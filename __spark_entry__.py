@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps every
+implemented operator (SURVEY.md §2 + LLM-pipeline extensions) to a
+callable ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the
+DuckDB twin for the correctness gate.  Column names are aliased
+identically on both sides (the driver sorts columns by name and hashes
+values).
 """
 
 from __future__ import annotations
@@ -12,27 +13,266 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_workflow_spark import queries as Q
+from etl_workflow_spark.catalog import table
+from etl_workflow_spark.operators import etl as E
+from etl_workflow_spark.operators.dimtime import dim_time_frame, dim_time_oracle
+
+MONEY = "decimal(18,2)"
+
+
+# --------------------------------------------------------------------------
+# Testdata-bound wrappers for the generic ETL operators (FIXTURES.md §3
+# column mapping: orders→orders, order_items→lineitem, products→part).
+# --------------------------------------------------------------------------
+
+
+def _q_daily_sales_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = table(spark, sf_dir, "lineitem").withColumn("item_total", Q.item_total())
+    df = E.daily_sales_aggregation(
+        items,
+        table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+        table(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey"),
+        order_key="l_orderkey",
+        product_key="l_partkey",
+        order_date="o_orderdate",
+        category_key="p_brand",
+        quantity="l_quantity",
+        total="item_total",
+    )
+    return df.select(
+        F.col("date"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("p_brand").alias("category_name"),
+        F.col("units_sold").cast("double").alias("units_sold"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("order_count"),
+        F.col("avg_unit_price"),
+    )
+
+
+_DAILY_SALES_ORACLE = """
+    WITH it AS (
+        SELECT l_orderkey, l_partkey,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))
+                    - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS item_total
+        FROM lineitem
+    )
+    SELECT CAST(o.o_orderdate AS DATE) AS date,
+           it.l_partkey AS product_id,
+           p.p_brand AS category_name,
+           CAST(SUM(it.qty) AS DOUBLE) AS units_sold,
+           CAST(SUM(it.item_total) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT it.l_orderkey) AS order_count,
+           COALESCE(CAST(SUM(it.item_total) AS DOUBLE)
+                    / CAST(SUM(it.qty) AS DOUBLE), 0.0) AS avg_unit_price
+    FROM it
+    LEFT JOIN orders o ON it.l_orderkey = o.o_orderkey
+    LEFT JOIN part p ON it.l_partkey = p.p_partkey
+    GROUP BY 1, 2, 3
+"""
+
+
+def _q_lifetime_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = E.with_lifetime_value(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        customer_key="c_custkey",
+        order_customer_key="o_custkey",
+        amount="o_totalprice",
+    )
+    return df.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("lifetime_value").cast("double").alias("lifetime_value"),
+    )
+
+
+_LIFETIME_VALUE_ORACLE = """
+    SELECT c.c_custkey AS customer_id,
+           c.c_name AS name,
+           CAST(COALESCE(o.lv, 0) AS DOUBLE) AS lifetime_value
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS lv
+        FROM orders GROUP BY 1
+    ) o ON c.c_custkey = o.o_custkey
+"""
+
+
+def _q_customer_purchase_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = E.customer_purchase_summary(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        customer_key="c_custkey",
+        order_key="o_orderkey",
+        order_date="o_orderdate",
+        amount="o_totalprice",
+        status="o_orderstatus",
+        excluded_status=("F",),
+    )
+    return df.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("order_count"),
+        F.col("total_spent").cast("double").alias("total_spent"),
+        F.col("first_order_date"),
+        F.col("last_order_date"),
+        F.col("avg_days_between_orders").cast("double").alias("avg_days_between_orders"),
+    )
+
+
+_CUSTOMER_SUMMARY_ORACLE = """
+    SELECT c.c_custkey AS customer_id,
+           COUNT(DISTINCT o.o_orderkey) AS order_count,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+           MIN(o.o_orderdate) AS first_order_date,
+           MAX(o.o_orderdate) AS last_order_date,
+           CAST(datediff('day', CAST(MIN(o.o_orderdate) AS DATE),
+                                CAST(MAX(o.o_orderdate) AS DATE)) AS DOUBLE)
+               / COUNT(DISTINCT o.o_orderkey) AS avg_days_between_orders
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY 1
+"""
+
+
+def _q_product_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = table(spark, sf_dir, "lineitem").withColumn("item_total", Q.item_total())
+    df = E.product_sales_summary(
+        table(spark, sf_dir, "part").withColumnRenamed("p_brand", "category_name"),
+        None,
+        items.withColumnRenamed("l_partkey", "p_partkey").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        table(spark, sf_dir, "orders"),
+        product_key="p_partkey",
+        product_name="p_name",
+        category_name="category_name",
+        order_key="o_orderkey",
+        customer_key="o_custkey",
+        order_date="o_orderdate",
+        quantity="l_quantity",
+        total="item_total",
+        status="o_orderstatus",
+        excluded_status=("F",),
+    )
+    return df.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("product_name"),
+        F.col("category_name"),
+        F.col("total_quantity_sold").cast("double").alias("total_quantity_sold"),
+        F.col("total_revenue").cast("double").alias("total_revenue"),
+        F.col("order_count"),
+        F.col("unique_customers"),
+        F.col("last_order_date"),
+    )
+
+
+_PRODUCT_SUMMARY_ORACLE = """
+    SELECT p.p_partkey AS product_id,
+           p.p_name AS product_name,
+           p.p_brand AS category_name,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity_sold,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l.l_quantity AS DECIMAL(18,2))
+                         - CAST(l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_revenue,
+           COUNT(DISTINCT o.o_orderkey) AS order_count,
+           COUNT(DISTINCT o.o_custkey) AS unique_customers,
+           MAX(o.o_orderdate) AS last_order_date
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY 1, 2, 3
+"""
+
+
+def _q_order_items_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 + G1/Q6: clean key nulls then recompute total (workflow.py:120-127)."""
+    items = E.clean_nulls(
+        table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_partkey", "l_quantity"]
+    )
+    df = E.recompute_item_total(
+        items, price="l_extendedprice", quantity="l_quantity",
+        discount="l_discount", out="total",
+    )
+    return df.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+_ORDER_ITEMS_TRANSFORM_ORACLE = """
+    SELECT l_orderkey AS order_id,
+           l_linenumber AS line_number,
+           l_partkey AS product_id,
+           CAST(l_quantity AS INT) AS quantity,
+           CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(l_discount AS DOUBLE) AS discount,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))
+                AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_quantity IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Contract functions
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY §7.1) on sf0.001: topSellingProductsByCategory."""
+    return Q.top_selling_by_category(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- reference analytics queries (app.py) --------------------------
+        "product_sales": lambda s, d: Q.product_sales(s, d),
+        "top_selling_by_category": lambda s, d: Q.top_selling_by_category(s, d),
+        "customer_purchase_history": lambda s, d: Q.customer_purchase_history(
+            s, d, customer_id=1, offset=2, limit=10
+        ),
+        "sales_trends_month": lambda s, d: Q.sales_trends(s, d, interval="month"),
+        "sales_trends_week": lambda s, d: Q.sales_trends(s, d, interval="week"),
+        # -- ETL transforms & derived relations (workflow.py / schema.sql) -
+        "order_items_transform": _q_order_items_transform,
+        "daily_sales_aggregation": _q_daily_sales_agg,
+        "lifetime_value": _q_lifetime_value,
+        "customer_purchase_summary": _q_customer_purchase_summary,
+        "product_sales_summary": _q_product_sales_summary,
+        "dim_time": lambda s, d: dim_time_frame(s, "1995-01-01", "1996-12-31"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "product_sales": Q.product_sales_oracle(),
+        "top_selling_by_category": Q.top_selling_by_category_oracle(),
+        "customer_purchase_history": Q.customer_purchase_history_oracle(
+            customer_id=1, offset=2, limit=10
+        ),
+        "sales_trends_month": Q.sales_trends_oracle(interval="month"),
+        "sales_trends_week": Q.sales_trends_oracle(interval="week"),
+        "order_items_transform": _ORDER_ITEMS_TRANSFORM_ORACLE,
+        "daily_sales_aggregation": _DAILY_SALES_ORACLE,
+        "lifetime_value": _LIFETIME_VALUE_ORACLE,
+        "customer_purchase_summary": _CUSTOMER_SUMMARY_ORACLE,
+        "product_sales_summary": _PRODUCT_SUMMARY_ORACLE,
+        "dim_time": dim_time_oracle("1995-01-01", "1996-12-31"),
+    }

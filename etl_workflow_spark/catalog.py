@@ -1,0 +1,54 @@
+"""Table catalog over the parquet testdata.
+
+The reference registers its tables in Postgres DDL
+(``database-schema.sql:17-149``); here the catalog is a thin loader
+that reads each parquet table once and registers it as a temp view so
+both the DataFrame API and ``spark.sql`` can reach it.
+
+Scans stay lazy — Catalyst prunes columns and pushes predicates into
+the parquet reader, so "loading" all tables costs nothing until an
+action runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Every table the driver materializes (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load every testdata table; optionally register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a single table lazily (no view registration)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

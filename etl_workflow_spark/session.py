@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference delegates all planning to Postgres (SURVEY.md §4); here
+Catalyst is the only planner, so the session config is where the
+100 TB-scale knobs live:
+
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+* auto-broadcast for small dimension tables (the reference's dims —
+  categories/products — map to part/nation/region here)
+* Arrow for the Pandas-UDF escape hatch (text/multimodal operators)
+* shuffle partitions sized for the local harness; on a real cluster
+  AQE's coalescing makes the initial number far less critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-workflow-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster the caller passes the real master / lets spark-submit set it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- planner ----------------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # -- python interop ---------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- scan sizing: 128 MiB splits are the right grain for a
+        #    1000-executor cluster reading 100 TB of parquet ------------
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # -- local-harness hygiene --------------------------------------
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # ANSI off: the reference tolerates bad rows (pandas coercion);
+        # try_* functions are still used where division can hit zero.
+        .config("spark.sql.ansi.enabled", "false")
+        # Stable timezone for timestamp <-> date conversions so results
+        # match the DuckDB oracle regardless of host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
