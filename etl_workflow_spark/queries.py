@@ -103,11 +103,17 @@ def product_sales(
     if category is not None:
         df = df.filter(F.col("p_brand") == F.lit(category))
 
+    # Tiebreak chain down to full-row identity: the testdata's lineitem
+    # can repeat (l_orderkey, l_linenumber), so pagination is only
+    # deterministic if the ordering distinguishes every non-identical row.
     ordering = [
         F.col(sort_col).asc() if direction == "ASC" else F.col(sort_col).desc(),
-        # unique tiebreak -> deterministic pagination
         F.col("o_orderkey").asc(),
         F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+        F.col("l_quantity").asc(),
+        F.col("l_extendedprice").asc(),
+        F.col("l_discount").asc(),
     ]
     return (
         df.select(
@@ -154,7 +160,9 @@ def product_sales_oracle(
         WHERE o.o_orderstatus <> 'F'
           AND o.o_orderdate BETWEEN TIMESTAMP '{start_date} 00:00:00'
                                 AND TIMESTAMP '{end_date} 00:00:00'
-        ORDER BY {sort_col} {direction}, o.o_orderkey ASC, l.l_linenumber ASC
+        ORDER BY {sort_col} {direction}, o.o_orderkey ASC, l.l_linenumber ASC,
+                 l.l_partkey ASC, l.l_quantity ASC, l.l_extendedprice ASC,
+                 l.l_discount ASC
         LIMIT {limit} OFFSET {offset}
     """
 
