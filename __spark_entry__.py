@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from etl_workflow_spark import queries as Q
 from etl_workflow_spark.catalog import table
+from etl_workflow_spark.operators import dedup as D
 from etl_workflow_spark.operators import etl as E
+from etl_workflow_spark.operators import multimodal as M
+from etl_workflow_spark.operators import similarity as S
+from etl_workflow_spark.operators import text as T
 from etl_workflow_spark.operators.dimtime import dim_time_frame, dim_time_oracle
 
 MONEY = "decimal(18,2)"
@@ -231,6 +235,93 @@ _ORDER_ITEMS_TRANSFORM_ORACLE = """
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline operators on documents / embeddings / events
+# --------------------------------------------------------------------------
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-pairwise tier: fine for the documents table (planted
+    # near-dups sit at Jaccard ~0.98); minhash_lsh is the scale path.
+    docs = table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.4)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(table(spark, sf_dir, "documents"))
+
+
+def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    return S.brute_force_topk(emb, queries_df, k=5)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    return S.lsh_topk(emb, queries_df, k=5, query_id_col="query_id")
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
+    meta = M.extract_media_meta(docs)
+    # Oracle covers the content-determined columns; fake decode
+    # dimensions are unit-tested (tests/test_llm_ops.py).
+    return meta.select("doc_id", "payload_bytes", "checksum_sha256")
+
+
+def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_workflow_spark.catalog import events_table
+
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_EVENTS_WINDOWED_ORACLE = """
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_workflow_spark.catalog import events_table
+
+    ev = events_table(spark, sf_dir)
+    return ev.select(
+        F.col("event_id"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+    )
+
+
+_EVENTS_JSON_ORACLE = """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -257,6 +348,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_purchase_summary": _q_customer_purchase_summary,
         "product_sales_summary": _q_product_sales_summary,
         "dim_time": lambda s, d: dim_time_frame(s, "1995-01-01", "1996-12-31"),
+        # -- LLM-pipeline operators (north-star extensions) ----------------
+        "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
+        "text_quality": lambda s, d: T.text_quality(table(s, d, "documents")),
+        "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
+        "doc_fingerprint": lambda s, d: T.fingerprint(table(s, d, "documents")),
+        "dedup_exact": lambda s, d: D.exact_dedup(table(s, d, "documents")),
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,  # rows-only (hash-dependent)
+        "simhash": _q_simhash,  # rows-only (hash-dependent)
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,  # rows-only (hash-dependent buckets)
+        "multimodal_meta": _q_multimodal_meta,
+        "events_windowed": _q_events_windowed,
+        "events_json": _q_events_json,
     }
 
 
@@ -275,4 +380,16 @@ def oracle_sql() -> dict[str, str]:
         "customer_purchase_summary": _CUSTOMER_SUMMARY_ORACLE,
         "product_sales_summary": _PRODUCT_SUMMARY_ORACLE,
         "dim_time": dim_time_oracle("1995-01-01", "1996-12-31"),
+        "token_count": T.token_count_oracle(),
+        "text_quality": T.text_quality_oracle(),
+        "lang_id": T.lang_id_oracle(),
+        "doc_fingerprint": T.fingerprint_oracle(),
+        "dedup_exact": D.exact_dedup_oracle(),
+        "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
+        "ann_bruteforce": S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8"),
+        "multimodal_meta": M.media_meta_oracle(),
+        "events_windowed": _EVENTS_WINDOWED_ORACLE,
+        "events_json": _EVENTS_JSON_ORACLE,
+        # dedup_minhash_lsh / simhash / ann_lsh: hash-function-dependent
+        # (xxhash64 buckets) — driver records rows-only checks.
     }

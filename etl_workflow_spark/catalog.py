@@ -52,3 +52,21 @@ def load_tables(
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a single table lazily (no view registration)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a proper timestamp.
+
+    The parquet stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py) it
+    arrives as epoch-nanos long — convert to microsecond timestamps
+    (Spark's native precision).
+    """
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev

@@ -1,0 +1,349 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all expressed with built-in JVM functions (no Python UDFs
+in any hot path — every expression stays inside whole-stage codegen):
+
+  exact_dedup       hash-groupBy on normalized text          (oracle-able)
+  ngram_jaccard     exact pairwise Jaccard on word shingles  (oracle-able,
+                    bounded candidate set)
+  minhash_lsh       MinHash signatures + banded LSH self-join → candidate
+                    pairs verified with exact Jaccard (the 100 TB path:
+                    cost ~ O(docs × shingles) + bucket-local joins, never
+                    all-pairs)
+  simhash           64-bit SimHash per document (near-dup clustering by
+                    Hamming distance on the fingerprint)
+
+Scale notes: the LSH band join shuffles on (band, band_hash) — bucket
+sizes are bounded by signature similarity, so no quadratic blowup; the
+reference's pg_trgm GIN index (database-schema.sql:5,64) is the
+capability analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def normalize_text(col: str = "text") -> Column:
+    return F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text hash: one row per distinct
+    content, keeping the smallest id (deterministic winner), with the
+    duplicate count. ON CONFLICT DO NOTHING's "first wins" becomes
+    "min id wins" — stable under any partitioning.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(normalize_text(col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_oracle(table: str = "documents") -> str:
+    return f"""
+        SELECT sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS content_hash,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM {table}
+        GROUP BY 1
+    """
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def word_shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side:
+    split → sequence → transform → concat_ws → array_distinct)."""
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _sql_word_shingles(col: str = "text", n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles`."""
+    toks = f"string_split_regex(trim({col}), '\\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+# ------------------------------------------------------------------ jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingles via an inverted
+    index: explode shingles → self-join on shingle → count common
+    shingles per pair → Jaccard = inter / (|A| + |B| - inter).
+
+    This is the exact (quadratic-in-collisions) tier — bound the input
+    (a candidate set or a sampled shard) and use :func:`minhash_lsh_pairs`
+    to produce candidates at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(col, n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle(
+    table: str = "documents", threshold: float = 0.5, n: int = 3,
+    predicate: str = "TRUE",
+) -> str:
+    sh = _sql_word_shingles("text", n)
+    return f"""
+        WITH sh AS (
+            SELECT doc_id AS id, {sh} AS shingles
+            FROM {table} WHERE {predicate}
+        ),
+        ex AS (
+            SELECT id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+        ),
+        pairs AS (
+            SELECT a.id AS doc_a, b.id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                   COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               round(inter / CAST(n_a + n_b - inter AS DOUBLE), 4) AS jaccard
+        FROM pairs
+        WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 4) >= {threshold}
+    """
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def _affine(k: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients for hash function k
+    (odd multiplier; Java long arithmetic wraps, fine for hashing)."""
+    a = 0x9E3779B97F4A7C15 % (1 << 63) + (2 * k + 1)
+    b = (k * 0xBF58476D1CE4E5B9) % (1 << 63)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document MinHash signatures: (id, s0..s{k-1}) columns.
+
+    Spark's higher-order-function lambdas are interpreted per element
+    (outside whole-stage codegen), so computing signatures inside array
+    transforms is ~10× slower than relational form. This path explodes
+    shingles to rows — xxhash64 and the k affine min-aggregations all
+    run inside codegen, and the groupBy benefits from map-side partial
+    aggregation (shuffle carries |docs| rows of k longs, not shingles).
+    """
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(col, n).alias("shingles"))
+    ex = sh.select("id", F.explode("shingles").alias("shingle")).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    aggs = []
+    for k in range(num_hashes):
+        a, b = _affine(k)
+        aggs.append(
+            F.min(F.col("h") * F.lit(a).cast("long") + F.lit(b).cast("long")).alias(
+                f"s{k}"
+            )
+        )
+    return ex.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs at scale: MinHash → banded LSH buckets →
+    bucket-local candidate join → exact Jaccard verification.
+
+    With r = num_hashes/bands rows per band, a pair with true Jaccard s
+    collides in ≥1 band with prob 1-(1-s^r)^bands (the S-curve). The
+    only shuffle touching all docs is the band-bucket exchange; the
+    verification join is bucket-local. False positives are removed by
+    the exact check; false negatives follow the S-curve (documented
+    approximation — this is the standard web-scale contract).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, col, id_col)
+
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col(f"s{k}")
+                                for k in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(col, n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    lhs = sh.select(
+        F.col("id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    rhs = sh.select(
+        F.col("id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cand.join(lhs, on="doc_a")
+        .join(rhs, on="doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: each token hashes to 64 bits; bit b
+    of the fingerprint is 1 iff the (count-weighted) sum of ±1 votes is
+    positive. Near-dups then cluster by Hamming distance.
+
+    Built-ins only: explode tokens → per-token xxhash64 → 64 conditional
+    sums in ONE aggregation pass (map-side partial agg keeps the shuffle
+    at |docs| rows × 64 ints).
+    """
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    h = ex.withColumn("th", F.xxhash64("tok"))
+    # shiftleft instead of lit(1 << b): bit 63 overflows a signed-long lit.
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(
+                F.col("th").bitwiseAND(F.shiftleft(one, b)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = fp.bitwiseOR(bit)
+    return agg.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
+def hamming_pairs(fps: DataFrame, max_distance: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+
+    Blocked self-join: split the 64-bit fingerprint into
+    ``max_distance+1`` segments — any pair within the distance budget
+    shares at least one exact segment (pigeonhole), so the join is
+    segment-equality, never all-pairs.
+    """
+    nseg = max_distance + 1
+    seg_bits = 64 // nseg
+    segs = fps.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftrightunsigned(F.col("simhash"), s * seg_bits)
+                        .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                        .alias("segval"),
+                    )
+                    for s in range(nseg)
+                ]
+            )
+        ).alias("sv"),
+    ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"))
+    cand = (
+        segs.alias("x")
+        .join(segs.alias("y"), on=["seg", "segval"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= F.lit(max_distance))

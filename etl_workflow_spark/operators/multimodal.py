@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content rides as a ``binary`` column with a typed
+metadata struct next to it. Decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas iterators over
+``mapInPandas`` — the Spark-side contract (schema, partitioning, batch
+shape) is real and tested; the actual media decode is STUBBED because
+codec libraries aren't in this container (each stub raises
+``NotImplementedError`` unless the deterministic fake is requested).
+
+At 100 TB the payload column dominates I/O: keep it in its own parquet
+column (column pruning skips it unless selected), size
+``spark.sql.files.maxPartitionBytes`` so a batch of payloads fits the
+Arrow buffer, and never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# Typed metadata schema for extracted features.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload_bytes", IntegerType(), False),
+        StructField("checksum_sha256", StringType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Testdata adapter: treat the document text's UTF-8 bytes as an
+    opaque media payload (the container has no real media files)."""
+    return df.withColumn("payload", F.col(text_col).cast(BinaryType()))
+
+
+def decode_media(payload: bytes, media_type: str = "image",
+                 allow_fake: bool = False):
+    """STUB for the real decoder (PIL/librosa/av are not installed).
+
+    With ``allow_fake=True`` returns deterministic fake dimensions
+    derived from the payload digest — enough to exercise the full
+    distributed plumbing and to unit-test downstream logic.
+    """
+    if not allow_fake:
+        raise NotImplementedError(
+            "media decoding requires codec libraries not present in this "
+            "environment; pass allow_fake=True for the deterministic stub"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + digest[0] % 192,        # 64..255 px
+        "height": 64 + digest[1] % 192,
+        "n_frames": 1 + digest[2] % 8,
+    }
+
+
+def extract_media_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media_type: str = "image",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``.
+
+    Arrow streams batches of (id, payload) into pandas; each batch
+    yields one metadata frame. Per-batch (not per-row) Python — the
+    pattern scales to any decode library. Batch size is controlled by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            meta = [decode_media(bytes(p), media_type, allow_fake=allow_fake)
+                    for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload_bytes": payloads.map(len).astype("int32"),
+                    "checksum_sha256": payloads.map(
+                        lambda p: hashlib.sha256(bytes(p)).hexdigest()
+                    ),
+                    "media_type": media_type,
+                    "width": pd.array([m["width"] for m in meta], dtype="Int32"),
+                    "height": pd.array([m["height"] for m in meta], dtype="Int32"),
+                    "n_frames": pd.array([m["n_frames"] for m in meta], dtype="Int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=MEDIA_META_SCHEMA
+    )
+
+
+def media_meta_oracle(table: str = "documents") -> str:
+    """Oracle for the engine-verifiable part of the extraction (byte
+    length + checksum are content-determined; fake dimensions are not
+    SQL-expressible and are unit-tested instead)."""
+    return f"""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_bytes,
+               sha256(text) AS checksum_sha256
+        FROM {table}
+    """

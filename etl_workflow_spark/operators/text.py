@@ -1,0 +1,208 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+The reference's only text hook is the trigram GIN index on
+``products.name`` (``database-schema.sql:5,64``) — capability, not a
+query. These operators provide the text surface a 100 TB document
+pipeline needs: token counting, quality scoring, language ID, and
+document fingerprinting — all as narrow, shuffle-free projections of
+built-in JVM functions (no Python in the hot path), so they scale
+linearly with input splits.
+
+Every function has a DuckDB oracle twin built from the same primitive
+semantics (split on single space, lower(), literal stopword lists) so
+the correctness gate can hash-compare results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword lists per language for the n-gram/stopword-hit heuristic.
+# Deliberately tiny and literal so Spark and the SQL oracle agree.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (JVM-side regex split, empty-safe)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"string_split_regex(trim({col}), '\\s+')"
+
+
+def token_count(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate.
+
+    The subword estimate is the classic chars/4 heuristic plus one per
+    token boundary — deterministic, no tokenizer dependency, and a
+    reasonable budget proxy for LLM-pipeline sizing.
+    """
+    toks = tokens(col)
+    n_tok = F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("int").alias("n_tokens"),
+        (F.ceil(F.length(F.col(col)) / F.lit(4)) + n_tok).cast("int").alias("n_subwords_est"),
+        F.length(F.col(col)).cast("int").alias("n_chars_actual"),
+    )
+
+
+def token_count_oracle(table: str = "documents") -> str:
+    t = _sql_tokens("text")
+    return f"""
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len({t}) END AS INT) AS n_tokens,
+               CAST(CAST(ceil(length(text) / 4.0) AS BIGINT)
+                    + (CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len({t}) END) AS INT) AS n_subwords_est,
+               CAST(length(text) AS INT) AS n_chars_actual
+        FROM {table}
+    """
+
+
+def text_quality(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality heuristics: length, word stats, stopword & punctuation
+    ratios, alpha ratio — the standard pre-training filter features
+    (C4/Gopher-style), all as built-in expressions.
+    """
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS_EN)))
+    n_chars = F.length(F.col(col))
+    n_alpha = F.length(F.regexp_replace(F.col(col), r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(col), r"[^.,;:!?]", ""))
+    avg_word_len = F.round(
+        (F.length(F.regexp_replace(F.col(col), r"\s+", "")) / n_tok), 4
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("int").alias("n_chars"),
+        n_tok.cast("int").alias("n_words"),
+        avg_word_len.cast("double").alias("avg_word_len"),
+        F.round(stop_hits / n_tok, 4).cast("double").alias("stopword_ratio"),
+        F.round(n_punct / n_chars, 4).cast("double").alias("punct_ratio"),
+        F.round(n_alpha / n_chars, 4).cast("double").alias("alpha_ratio"),
+        (
+            (n_tok >= F.lit(5))
+            & (avg_word_len.between(2.0, 12.0))
+            & (stop_hits / n_tok >= F.lit(0.01))
+        ).alias("passes_quality"),
+    )
+
+
+def text_quality_oracle(table: str = "documents") -> str:
+    t = _sql_tokens("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+        WITH q AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({t}) AS n_words,
+                   round(length(regexp_replace(text, '\\s+', '', 'g'))
+                         / CAST(len({t}) AS DOUBLE), 4) AS avg_word_len,
+                   len(list_filter({t}, w -> lower(w) IN ({stop_list}))) AS stop_hits,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM {table}
+        )
+        SELECT doc_id,
+               CAST(n_chars AS INT) AS n_chars,
+               CAST(n_words AS INT) AS n_words,
+               CAST(avg_word_len AS DOUBLE) AS avg_word_len,
+               CAST(round(stop_hits / CAST(n_words AS DOUBLE), 4) AS DOUBLE)
+                   AS stopword_ratio,
+               CAST(round(n_punct / CAST(n_chars AS DOUBLE), 4) AS DOUBLE)
+                   AS punct_ratio,
+               CAST(round(n_alpha / CAST(n_chars AS DOUBLE), 4) AS DOUBLE)
+                   AS alpha_ratio,
+               (n_words >= 5 AND avg_word_len BETWEEN 2.0 AND 12.0
+                AND stop_hits / CAST(n_words AS DOUBLE) >= 0.01) AS passes_quality
+        FROM q
+    """
+
+
+def lang_id(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: count marker-word hits per language,
+    predict the argmax (ties broken by language code order), 'und' when
+    nothing hits. A deterministic n-gram-style heuristic — the scale
+    path for real corpora swaps in fastText via mapInPandas without
+    changing the plan shape.
+    """
+    toks = tokens(col)
+    codes = sorted(LANG_MARKERS)
+
+    def marker_filter(markers: tuple[str, ...]):
+        # single-arg lambda: pyspark passes one Column per parameter,
+        # so defaults-as-closure would receive the array index arg.
+        return lambda w: F.lower(w).isin(*markers)
+
+    hits = {
+        c: F.size(F.filter(toks, marker_filter(LANG_MARKERS[c]))) for c in codes
+    }
+    best = F.greatest(*hits.values())
+    # First code (sorted order) reaching the max wins ties — same CASE
+    # ordering in the SQL oracle.
+    pred = F.lit("und")
+    for c in reversed(codes):
+        pred = F.when(hits[c] == best, F.lit(c)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+        best.cast("int").alias("marker_hits"),
+    )
+
+
+def lang_id_oracle(table: str = "documents") -> str:
+    t = _sql_tokens("text")
+    codes = sorted(LANG_MARKERS)
+    hit_exprs = {
+        c: "len(list_filter(%s, w -> lower(w) IN (%s)))"
+        % (t, ", ".join(f"'{w}'" for w in LANG_MARKERS[c]))
+        for c in codes
+    }
+    hit_cols = ", ".join(f"{e} AS h_{c}" for c, e in hit_exprs.items())
+    best = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    case = " ".join(f"WHEN h_{c} = best THEN '{c}'" for c in codes)
+    return f"""
+        WITH h AS (SELECT doc_id, {hit_cols} FROM {table}),
+        b AS (SELECT doc_id, *, {best} AS best FROM h)
+        SELECT doc_id,
+               CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'und' END AS lang_pred,
+               CAST(best AS INT) AS marker_hits
+        FROM b
+    """
+
+
+def fingerprint(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: SHA-256 over whitespace-normalized,
+    lowercased text. Content-addressed identity for exact dedup across
+    shards — stable across partitioning, engines, and runs.
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.sha2(normalized, 256).alias("fingerprint"),
+        F.length(normalized).cast("int").alias("n_chars_norm"),
+    )
+
+
+def fingerprint_oracle(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fingerprint,
+               CAST(length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                    AS INT) AS n_chars_norm
+        FROM {table}
+    """

@@ -59,6 +59,9 @@ def get_spark(
         # Stable timezone for timestamp <-> date conversions so results
         # match the DuckDB oracle regardless of host TZ.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert (catalog.events_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,165 @@
+"""Unit tests for the LLM-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from etl_workflow_spark.operators import dedup as D
+from etl_workflow_spark.operators import multimodal as M
+from etl_workflow_spark.operators import similarity as S
+from etl_workflow_spark.operators import text as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = _docs(
+        spark,
+        [(1, "Hello  World"), (2, "hello world"), (3, "different doc entirely")],
+    )
+    out = D.exact_dedup(df).collect()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert by_keeper == {1: 2, 3: 1}  # 1 and 2 collapse; min id wins
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "the quick brown fox jumps over the lazy dog tonight"  # near-dup
+    c = "completely unrelated words appear in this one sentence here"
+    df = _docs(spark, [(1, a), (2, b), (3, c)])
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 1)
+    other = "one two three four five six seven eight nine ten " * 5
+    df = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             D.minhash_lsh_pairs(df, threshold=0.4).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard_on_testdata(spark, sf_dir):
+    """LSH candidates verified by exact Jaccard must equal the exact
+    pairwise result at a threshold where recall is ~1 (near-identical
+    planted dups -> collision probability ≈ 1)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in
+           D.minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "lambda", 1)
+    other = "one two three four five six seven eight nine ten " * 5
+    df = _docs(spark, [(1, base), (2, near), (3, other)])
+    fps = D.simhash(df)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in D.hamming_pairs(fps, max_distance=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ------------------------------------------------------------------ text
+
+
+def test_token_count_empty_and_simple(spark):
+    df = _docs(spark, [(1, "one two three"), (2, ""), (3, "   ")])
+    out = {r["doc_id"]: r["n_tokens"] for r in T.token_count(df).collect()}
+    assert out == {1: 3, 2: 0, 3: 0}
+
+
+def test_text_quality_ratios(spark):
+    df = _docs(spark, [(1, "the cat sat on a mat.")])
+    r = T.text_quality(df).collect()[0]
+    assert r["n_words"] == 6
+    # stopwords: 'the', 'a' -> 2/6
+    assert abs(r["stopword_ratio"] - round(2 / 6, 4)) < 1e-9
+    assert r["punct_ratio"] > 0
+    assert r["passes_quality"]
+
+
+def test_lang_id_picks_marker_language(spark):
+    df = _docs(
+        spark,
+        [(1, "el perro y la casa de que"), (2, "the dog and a cat of note"),
+         (3, "xyzzy plugh qwerty")],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in T.lang_id(df).collect()}
+    assert out == {1: "es", 2: "en", 3: "und"}
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = _docs(spark, [(1, "Hello   World"), (2, "  hello world ")])
+    fps = [r["fingerprint"] for r in T.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+# ------------------------------------------------------------------ similarity
+
+
+def test_cosine_topk_exact_small(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # closest to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    emb = spark.createDataFrame(rows)
+    q = emb.where("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    out = S.brute_force_topk(emb, q, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["rank"] == 1
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(out[0]["score"] - round(expected, 4)) < 1e-9
+
+
+def test_lsh_topk_recall_on_testdata(spark, sf_dir):
+    """LSH top-k must recover most of the exact top-k (recall ≥ 0.5 on
+    the 64-dim testdata with 16 planes / 4 bands)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in S.lsh_topk(emb, q, k=5).collect()}
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+# ------------------------------------------------------------------ multimodal
+
+
+def test_decode_media_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"bytes", allow_fake=False)
+
+
+def test_extract_media_meta_plumbing(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="x")])
+    out = {r["doc_id"]: r for r in
+           M.extract_media_meta(M.with_binary_payload(df)).collect()}
+    assert out[1]["payload_bytes"] == 5
+    import hashlib
+    assert out[1]["checksum_sha256"] == hashlib.sha256(b"hello").hexdigest()
+    assert 64 <= out[1]["width"] <= 255 and 1 <= out[1]["n_frames"] <= 8
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in
+             M.extract_media_meta(M.with_binary_payload(df)).collect()}
+    assert out[1]["width"] == again[1]["width"]
