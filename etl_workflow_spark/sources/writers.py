@@ -1,0 +1,142 @@
+"""Sinks — the reference's load stage re-expressed for immutable storage.
+
+The reference's write modes (SURVEY.md §2 A4-A7, J1-J4):
+
+  ON CONFLICT DO NOTHING   -> idempotent_append (left-anti vs existing keys)
+  TRUNCATE + INSERT        -> overwrite
+  DELETE today + INSERT    -> partition overwrite (replaceWhere-style)
+  UPDATE ... SET           -> conditional-projection rewrite
+  updated_at triggers      -> stamp_updated_at in the write path
+
+Postgres "first writer wins" becomes "existing wins" — documented
+divergence (SURVEY §7.4 risk 3): an idempotent re-run never changes
+rows already present.
+
+Scale notes: facts are written partitioned by a date column so date
+predicates prune partitions (the analog of the reference's yearly
+RANGE partitions, database-schema.sql:91-116); dynamic partition
+overwrite touches only the partitions present in the incoming batch —
+the 100 TB-safe version of DELETE+INSERT for CURRENT_DATE.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stamp_updated_at(df: DataFrame) -> DataFrame:
+    """J3: the BEFORE UPDATE trigger (database-schema.sql:234-257)
+    becomes a write-path column."""
+    return df.withColumn("updated_at", F.current_timestamp())
+
+
+def overwrite(df: DataFrame, path: str) -> None:
+    """A5: TRUNCATE-and-reload (workflow.py:86-96) — also the
+    materialized-view refresh path (A7): recompute + overwrite."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def idempotent_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+) -> int:
+    """A4/J4: INSERT ... ON CONFLICT DO NOTHING (workflow.py:188-205).
+
+    New rows are deduped on the conflict keys (min-first deterministic
+    winner via dropDuplicates after an orderBy-free plan: duplicates
+    within the batch keep an arbitrary-but-single row, matching
+    Postgres's "first in batch wins" as closely as a parallel engine
+    can), then anti-joined against the existing table so re-runs are
+    no-ops. Returns the number of rows actually appended.
+
+    At scale the anti-join shuffles on the key columns only after
+    Catalyst prunes the existing side to its key columns; with AQE the
+    existing side often broadcasts when small.
+    """
+    batch = df.dropDuplicates(list(keys))
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).select(*keys)
+        batch = batch.join(existing, on=list(keys), how="left_anti")
+    appended = batch.count()
+    if appended:
+        batch.write.mode("append").parquet(path)
+    return appended
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "date",
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned fact write — the analog of the reference's yearly
+    RANGE partitions on orders.order_date. Date filters then prune at
+    the directory level (plus parquet min/max skipping inside files).
+    """
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def overwrite_partitions(
+    spark: SparkSession, df: DataFrame, path: str, partition_col: str = "date"
+) -> None:
+    """J2: the idempotent incremental slice — DELETE WHERE date=X then
+    INSERT (database-schema.sql:202-231) becomes dynamic partition
+    overwrite: only partitions present in ``df`` are replaced.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def update_rows(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    key_value,
+    updates: dict[str, object],
+) -> int:
+    """J1: UPDATE ... WHERE key = value (app.py:201-207) without a
+    mutable store: read → conditional projection → overwrite, stamping
+    updated_at on touched rows. Returns rows matched.
+
+    For true in-place semantics at scale use a table format with MERGE
+    (Delta/Iceberg); this path keeps vanilla parquet semantics.
+    """
+    if not updates:
+        raise ValueError("At least one field must be provided")
+    df = spark.read.parquet(path)
+    is_target = F.col(key_col) == F.lit(key_value)
+    matched = df.filter(is_target).count()
+    if matched == 0:
+        return 0
+    for col_name, value in updates.items():
+        df = df.withColumn(
+            col_name, F.when(is_target, F.lit(value)).otherwise(F.col(col_name))
+        )
+    if "updated_at" in df.columns:
+        df = df.withColumn(
+            "updated_at",
+            F.when(is_target, F.current_timestamp()).otherwise(F.col("updated_at")),
+        )
+    else:
+        df = df.withColumn(
+            "updated_at", F.when(is_target, F.current_timestamp())
+        )
+    # Parquet can't overwrite a path while reading it — stage then swap.
+    tmp = path.rstrip("/") + "._staged"
+    df.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return matched

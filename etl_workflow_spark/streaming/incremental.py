@@ -1,0 +1,120 @@
+"""Incremental aggregation as Structured Streaming.
+
+The reference's incremental story is batch-shaped: a plpgsql function
+deletes and re-inserts CURRENT_DATE's slice of daily_sales_aggregation
+(``database-schema.sql:202-231``) and the spec asks for "incremental
+data loads" (``backend-engineer-test.md:52-56``). The Spark-native
+generalization is a streaming pipeline:
+
+  file/rate source → event-time tumbling window + watermark
+  → foreachBatch idempotent partition overwrite
+
+Late data policy (the reference has none): rows later than the
+watermark are dropped from the stream; the nightly batch recompute
+(operators.etl.daily_sales_aggregation) remains the authoritative
+backfill — the standard lambda-architecture contract.
+
+At scale: state is bounded by (watermark horizon × groups/day); the
+foreachBatch sink rewrites only the partitions present in each
+micro-batch (dynamic partition overwrite), so a day's re-aggregation
+never touches historical partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark.
+
+    Works on a streaming OR batch DataFrame (same plan — Spark unifies
+    them); streaming adds state cleanup at the watermark.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_daily_sales(
+    spark: SparkSession,
+    items_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 day",
+):
+    """Streaming daily sales rollup with idempotent sink.
+
+    ``items_stream`` carries (order_date ts, product_id, category_id,
+    quantity, total) — e.g. a readStream over the enriched items feed.
+    Each micro-batch's aggregate is merged by dynamic partition
+    overwrite keyed on date: re-delivery of a batch converges to the
+    same result (the streaming J2).
+    """
+    agg = (
+        items_stream.withWatermark("order_date", watermark)
+        .groupBy(
+            F.window(F.col("order_date"), "1 day").alias("w"),
+            "product_id",
+            "category_id",
+        )
+        .agg(
+            F.sum(F.col("quantity").cast("decimal(18,2)")).alias("units_sold"),
+            F.sum(F.col("total").cast("decimal(18,2)")).alias("revenue"),
+            F.approx_count_distinct("order_id").alias("order_count"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "product_id",
+            "category_id",
+            "units_sold",
+            "revenue",
+            "order_count",
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(output_path)
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def file_stream_events(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File source for event streams (the production shape: new parquet
+    files land per micro-batch)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )

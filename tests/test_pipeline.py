@@ -1,0 +1,139 @@
+"""End-to-end pipeline + writer semantics tests (tiny synthetic CSVs —
+unit fixtures only; the oracle gate runs on the driver's testdata)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_workflow_spark import pipeline as P
+from etl_workflow_spark.sources import writers
+
+
+CSV_DATA = {
+    "product_categories": (
+        "category_id,name,description,parent_id,created_at\n"
+        "1,Electronics,Desc,,2021-01-01 00:00:00\n"
+        "2,Phones,Desc,1,2021-01-01 00:00:00\n"
+    ),
+    "products": (
+        "product_id,name,description,price,cost,category_id,sku,"
+        "inventory_count,weight,created_at,is_active\n"
+        "1,Widget,Desc,10.00,5.00,1,SKU-1,5,1.0,2021-01-01 00:00:00,true\n"
+        "2,Gadget,Desc,20.00,8.00,2,SKU-2,3,2.0,2021-01-01 00:00:00,true\n"
+    ),
+    "customers": (
+        "customer_id,email,first_name,last_name,street_address,city,state,"
+        "zip_code,country,phone,registration_date,last_login\n"
+        "1,a@x.com,Ann,Lee,1 St,Town,TX,111,US,555,2021-01-01 00:00:00,"
+        "2021-06-01 00:00:00\n"
+        "2,b@x.com,Bob,Day,2 St,Town,TX,222,US,556,2021-02-01 00:00:00,\n"
+    ),
+    "orders": (
+        "order_id,customer_id,order_date,status,payment_method,"
+        "shipping_address,shipping_city,shipping_state,shipping_zip,"
+        "shipping_country,processing_date,shipping_date,delivery_date,"
+        "total_amount\n"
+        "1,1,2021-03-01 10:00:00,Delivered,PayPal,1 St,Town,TX,111,US,,,,"
+        "19.00\n"
+        "2,1,2021-03-05 11:00:00,Cancelled,PayPal,1 St,Town,TX,111,US,,,,"
+        "20.00\n"
+    ),
+    "order_items": (
+        "order_item_id,order_id,product_id,quantity,price,discount,total\n"
+        "1,1,1,2,10.00,1.00,0.00\n"
+        "2,2,2,1,20.00,0.00,20.00\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(tmp_path_factory):
+    input_dir = tmp_path_factory.mktemp("raw")
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    for name, content in CSV_DATA.items():
+        (input_dir / f"{name}.csv").write_text(content)
+    return str(input_dir), str(warehouse)
+
+
+def test_pipeline_end_to_end(spark, pipeline_dirs):
+    input_dir, warehouse = pipeline_dirs
+    res = P.run_pipeline(spark, input_dir, warehouse)
+    assert res.rows_loaded == {
+        "product_categories": 2,
+        "products": 2,
+        "customers": 2,
+        "orders": 2,
+        "order_items": 2,
+    }
+    # quirk Q6: item 1 total recomputed 2*10-1=19, item 2 stays 20.
+    items = spark.read.parquet(os.path.join(warehouse, "order_items"))
+    totals = {r["order_item_id"]: float(r["total"]) for r in items.collect()}
+    assert totals == {1: 19.0, 2: 20.0}
+    # quirk Q7: LV includes the cancelled order (19+20=39 for cust 1, 0 for 2).
+    cust = spark.read.parquet(os.path.join(warehouse, "customers"))
+    lv = {r["customer_id"]: float(r["lifetime_value"]) for r in cust.collect()}
+    assert lv == {1: 39.0, 2: 0.0}
+    # dim_time regenerated at reference cardinality.
+    assert spark.read.parquet(os.path.join(warehouse, "dim_time")).count() == 1826
+    # daily agg partitioned by date; cancelled order still counted
+    # (the ETL-side daily agg has no status filter, workflow.py:151-184).
+    daily = spark.read.parquet(os.path.join(warehouse, "daily_sales_aggregation"))
+    assert daily.count() == 2
+    # matview exists with the status exclusion applied (only order 1).
+    summary = spark.read.parquet(os.path.join(warehouse, "product_sales_summary"))
+    rows = summary.collect()
+    assert len(rows) == 1 and rows[0]["product_id"] == 1
+
+
+def test_pipeline_rerun_is_idempotent(spark, pipeline_dirs):
+    input_dir, warehouse = pipeline_dirs
+    res2 = P.run_pipeline(spark, input_dir, warehouse)
+    # ON CONFLICT DO NOTHING parity: second run appends nothing.
+    assert res2.rows_loaded["products"] == 0
+    assert res2.rows_loaded["customers"] == 0
+    assert res2.rows_loaded["order_items"] == 0
+    items = spark.read.parquet(os.path.join(warehouse, "order_items"))
+    assert items.count() == 2
+
+
+def test_idempotent_append_existing_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "original"), (2, "two")], ["id", "v"])
+    assert writers.idempotent_append(spark, df1, path, ["id"]) == 2
+    df2 = spark.createDataFrame([(1, "changed"), (3, "three")], ["id", "v"])
+    assert writers.idempotent_append(spark, df2, path, ["id"]) == 1
+    out = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {1: "original", 2: "two", 3: "three"}  # existing wins
+
+
+def test_update_rows_semantics(spark, tmp_path):
+    path = str(tmp_path / "u")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], ["id", "name", "price"]
+    ).write.parquet(path)
+    with pytest.raises(ValueError):
+        writers.update_rows(spark, path, "id", 1, {})
+    assert writers.update_rows(spark, path, "id", 99, {"name": "x"}) == 0
+    assert writers.update_rows(spark, path, "id", 1, {"name": "x"}) == 1
+    out = {r["id"]: r for r in spark.read.parquet(path).collect()}
+    assert out[1]["name"] == "x" and out[1]["updated_at"] is not None
+    assert out[2]["name"] == "b" and out[2]["updated_at"] is None
+
+
+def test_overwrite_partitions_only_touches_incoming(spark, tmp_path):
+    path = str(tmp_path / "p")
+    import datetime
+
+    d1, d2 = datetime.date(2023, 1, 1), datetime.date(2023, 1, 2)
+    spark.createDataFrame(
+        [(d1, 1, 10.0), (d2, 2, 20.0)], ["date", "k", "v"]
+    ).write.partitionBy("date").parquet(path)
+    # Overwrite only d2's slice with new content (J2 semantics).
+    newer = spark.createDataFrame([(d2, 9, 99.0)], ["date", "k", "v"])
+    writers.overwrite_partitions(spark, newer, path)
+    out = sorted(
+        (r["date"], r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert out == [(d1, 1, 10.0), (d2, 9, 99.0)]

@@ -1,0 +1,62 @@
+"""Plan-shape tests: the 100 TB questions, asserted.
+
+Each test encodes a scale invariant: filters reach the parquet scan,
+dims broadcast instead of shuffling the fact, scans prune columns,
+and aggregations don't shuffle more than once.
+"""
+
+from __future__ import annotations
+
+from etl_workflow_spark import plans
+from etl_workflow_spark import queries as Q
+
+
+def test_product_sales_pushes_date_and_status_filters(spark, sf_dir):
+    df = Q.product_sales(spark, sf_dir)
+    # status + date-range predicates must reach the orders scan.
+    assert plans.has_pushed_filters(df, "o_orderstatus", "o_orderdate")
+
+
+def test_top_selling_broadcasts_part_dim(spark, sf_dir):
+    df = Q.top_selling_by_category(spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_top_selling_prunes_columns(spark, sf_dir):
+    df = Q.top_selling_by_category(spark, sf_dir)
+    schemas = plans.scan_read_schemas(df)
+    # lineitem scan must not read l_shipdate/l_tax etc. (6 needed cols).
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and "l_shipdate" not in li[0] and "l_tax" not in li[0]
+    # orders scan: only key + status (+optional date filter cols).
+    o = [s for s in schemas if "o_orderkey" in s]
+    assert o and "o_totalprice" not in o[0] and "o_custkey" not in o[0]
+
+
+def test_customer_history_pushes_point_filter(spark, sf_dir):
+    df = Q.customer_purchase_history(spark, sf_dir, customer_id=7)
+    assert plans.has_pushed_filters(df, "o_custkey")
+
+
+def test_lifetime_value_single_shuffle_for_agg(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["lifetime_value"](spark, sf_dir)
+    # one exchange for the orders agg; the customer join broadcasts
+    # (post-agg side is small) — no second full shuffle of customers.
+    assert plans.count_exchanges(df) <= 2
+    assert plans.count_broadcasts(df) >= 1
+
+
+def test_sales_trends_broadcasts_calendar(spark, sf_dir):
+    df = Q.sales_trends(spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_dedup_exact_prunes_to_needed_columns(spark, sf_dir):
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import dedup as D
+
+    df = D.exact_dedup(table(spark, sf_dir, "documents"))
+    schemas = plans.scan_read_schemas(df)
+    assert schemas and "lang" not in schemas[0] and "source" not in schemas[0]

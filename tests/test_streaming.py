@@ -1,0 +1,88 @@
+"""Structured Streaming tests: file source → windowed agg → idempotent
+foreachBatch sink, using availableNow triggers over testdata-derived
+parquet so the stream is deterministic."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.catalog import events_table
+from etl_workflow_spark.streaming import incremental as inc
+
+
+def _prepare_events_dir(spark, sf_dir, tmp_path):
+    """Stage events as normal-precision parquet (the raw testdata file
+    is TIMESTAMP(NANOS), which the streaming reader also rejects)."""
+    out = str(tmp_path / "events_in")
+    events_table(spark, sf_dir).write.parquet(out)
+    return out
+
+
+def test_windowed_counts_batch_equals_stream(spark, sf_dir, tmp_path):
+    events_dir = _prepare_events_dir(spark, sf_dir, tmp_path)
+    static = spark.read.parquet(events_dir)
+
+    batch_result = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in inc.windowed_event_counts(static).collect()
+    }
+
+    stream = inc.file_stream_events(spark, events_dir, static.schema,
+                                    max_files_per_trigger=2)
+    agg = inc.windowed_event_counts(stream)
+    out_rows = []
+
+    def collect_batch(df, _bid):
+        out_rows.extend(df.collect())
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last complete-mode emission = final state
+    stream_result = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out_rows
+    }
+    assert stream_result == batch_result and len(batch_result) > 0
+
+
+def test_stream_daily_sales_idempotent_sink(spark, tmp_path):
+    rows = [
+        (datetime.datetime(2023, 1, 1, 10), 1, 1, 10, 2, 18.0),
+        (datetime.datetime(2023, 1, 1, 11), 1, 2, 20, 1, 20.0),
+        (datetime.datetime(2023, 1, 2, 9), 2, 1, 10, 3, 30.0),
+    ]
+    src = str(tmp_path / "items_in")
+    spark.createDataFrame(
+        rows, ["order_date", "order_id", "product_id", "category_id",
+               "quantity", "total"]
+    ).write.parquet(src)
+
+    out = str(tmp_path / "daily_out")
+    for run in range(2):  # second run must converge to the same result
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        )
+        q = (
+            inc.stream_daily_sales(
+                spark, stream, out, str(tmp_path / f"ckpt_{run}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    res = spark.read.parquet(out)
+    assert res.count() == 3
+    d1 = res.filter(F.col("product_id") == 1).filter(
+        F.col("date") == datetime.date(2023, 1, 1)
+    ).collect()[0]
+    assert float(d1["units_sold"]) == 2.0 and float(d1["revenue"]) == 18.0
