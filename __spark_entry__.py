@@ -359,6 +359,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,  # rows-only (hash-dependent)
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,  # rows-only (hash-dependent buckets)
+        "embedding_neardup": lambda s, d: S.embedding_neardup_exact(
+            table(s, d, "embeddings"), threshold=0.45
+        ),
+        "embedding_neardup_blocked": lambda s, d: S.embedding_neardup_blocked(
+            table(s, d, "embeddings"), threshold=0.45
+        ),
+        "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
+            table(s, d, "embeddings"), threshold=0.45
+        ),  # rows-only (sketch-dependent recall)
         "multimodal_meta": _q_multimodal_meta,
         "events_windowed": _q_events_windowed,
         "events_json": _q_events_json,
@@ -387,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.exact_dedup_oracle(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
         "ann_bruteforce": S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8"),
+        "embedding_neardup": S.embedding_neardup_exact_oracle(threshold=0.45),
+        "embedding_neardup_blocked": S.embedding_neardup_exact_oracle(threshold=0.45),
         "multimodal_meta": M.media_meta_oracle(),
         "events_windowed": _EVENTS_WINDOWED_ORACLE,
         "events_json": _EVENTS_JSON_ORACLE,

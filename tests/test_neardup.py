@@ -1,0 +1,44 @@
+"""Embedding-cosine near-dup tiers cross-validate against each other:
+blocked matmul is exact (same pairs, same rounded cosines as the HOF
+tier); LSH is a no-false-positive subset."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_workflow_spark.operators.similarity import (
+    embedding_neardup_blocked,
+    embedding_neardup_exact,
+    embedding_neardup_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pairs(df):
+    return {(r.vec_a, r.vec_b): r.cosine for r in df.collect()}
+
+
+def test_blocked_matches_exact(emb):
+    exact = _pairs(embedding_neardup_exact(emb, threshold=0.45))
+    assert len(exact) > 0
+    for nb in (1, 4):
+        blocked = _pairs(embedding_neardup_blocked(emb, threshold=0.45, num_blocks=nb))
+        assert set(blocked) == set(exact)
+        for k, v in blocked.items():
+            assert v == pytest.approx(exact[k], abs=1e-3)
+
+
+def test_lsh_subset_of_exact_with_recall(emb):
+    # lower threshold -> more pairs, exercises bucket recall
+    exact = _pairs(embedding_neardup_exact(emb, threshold=0.4))
+    lsh = _pairs(embedding_neardup_lsh(emb, threshold=0.4))
+    assert set(lsh) <= set(exact)  # exact verification: no false positives
+    # planted structure at 0.4 is weak similarity; sign-sketch recall is
+    # S-curve-bounded — just require a sane floor and no silent empties
+    assert len(lsh) >= len(exact) * 0.2
+    for k, v in lsh.items():
+        assert v == pytest.approx(exact[k], abs=1e-3)
