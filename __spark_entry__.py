@@ -234,6 +234,56 @@ _ORDER_ITEMS_TRANSFORM_ORACLE = """
 """
 
 
+def _q_update_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 updateProduct mutation (app.py:182-226) as a read-side check:
+    conditional projection + updated_at stamping, projected onto
+    deterministic columns (the timestamp itself becomes a flag)."""
+    df = Q.update_product(spark, sf_dir, product_id=1, name="UPDATED", price=99.99)
+    return df.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("updated_at").isNotNull().alias("was_updated"),
+    )
+
+
+_UPDATE_PRODUCT_ORACLE = """
+    SELECT p_partkey AS product_id,
+           CASE WHEN p_partkey = 1 THEN 'UPDATED' ELSE p_name END AS name,
+           CAST(CASE WHEN p_partkey = 1 THEN 99.99 ELSE p_retailprice END
+                AS DOUBLE) AS price,
+           (p_partkey = 1) AS was_updated
+    FROM part
+"""
+
+
+def _q_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 membership filter as a left-semi join: orders of high-balance
+    customers (data-generator.py:300 sample-membership analog). The
+    build side is the filtered dim — broadcastable, no fact shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    rich = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return orders.join(
+        F.broadcast(rich),
+        orders.o_custkey == rich.c_custkey,
+        "left_semi",
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").cast("double").alias("total_amount"),
+    )
+
+
+_ORDERS_SEMIJOIN_ORACLE = """
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           CAST(o_totalprice AS DOUBLE) AS total_amount
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+"""
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline operators on documents / embeddings / events
 # --------------------------------------------------------------------------
@@ -348,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_purchase_summary": _q_customer_purchase_summary,
         "product_sales_summary": _q_product_sales_summary,
         "dim_time": lambda s, d: dim_time_frame(s, "1995-01-01", "1996-12-31"),
+        "update_product": _q_update_product,
+        "orders_semijoin": _q_orders_semijoin,
         # -- LLM-pipeline operators (north-star extensions) ----------------
         "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
         "text_quality": lambda s, d: T.text_quality(table(s, d, "documents")),
@@ -389,6 +441,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_purchase_summary": _CUSTOMER_SUMMARY_ORACLE,
         "product_sales_summary": _PRODUCT_SUMMARY_ORACLE,
         "dim_time": dim_time_oracle("1995-01-01", "1996-12-31"),
+        "update_product": _UPDATE_PRODUCT_ORACLE,
+        "orders_semijoin": _ORDERS_SEMIJOIN_ORACLE,
         "token_count": T.token_count_oracle(),
         "text_quality": T.text_quality_oracle(),
         "lang_id": T.lang_id_oracle(),
