@@ -324,6 +324,13 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "payload_bytes", "checksum_sha256")
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.operators.sessions import sessionize
+
+    return sessionize(events_table(spark, sf_dir), gap_minutes=30)
+
+
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_workflow_spark.catalog import events_table
 
@@ -362,6 +369,11 @@ def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
         F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
     )
+
+
+from etl_workflow_spark.operators.sessions import sessionize_oracle as _sess_oracle
+
+_SESSIONIZE_ORACLE = _sess_oracle(gap_minutes=30)
 
 
 _EVENTS_JSON_ORACLE = """
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "events_windowed": _q_events_windowed,
         "events_json": _q_events_json,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -455,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": M.media_meta_oracle(),
         "events_windowed": _EVENTS_WINDOWED_ORACLE,
         "events_json": _EVENTS_JSON_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
         # dedup_minhash_lsh / simhash / ann_lsh: hash-function-dependent
         # (xxhash64 buckets) — driver records rows-only checks.
     }

@@ -60,6 +60,7 @@ def main() -> None:
         # isotropic testdata embeddings don't contain (max pair ~0.6)
         "embedding_neardup_blocked",
         "events_windowed",
+        "sessionize",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

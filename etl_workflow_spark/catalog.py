@@ -66,7 +66,9 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: epoch-nanos (~1.7e18) overflows a double's
+        # 53-bit mantissa, so `/ 1000` + cast silently rounded off the
+        # low microseconds; `div` truncates exactly like DuckDB's
+        # nanos->micros read
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return ev
