@@ -331,6 +331,46 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events_table(spark, sf_dir), gap_minutes=30)
 
 
+def _q_approx_unique_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 at scale: HyperLogLog++ distinct counts — one pass, fixed
+    sketch memory per group, no exact-distinct double shuffle. Sketch
+    values are engine-specific, so the gate records rows-only; the
+    <2% relative-error bound is unit-tested (tests/test_approx.py)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
+    out = M.resize_media(docs, 224, 224)
+    return out.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "width",
+        "height",
+    )
+
+
+_MULTIMODAL_RESIZE_ORACLE = """
+    SELECT doc_id,
+           sha256(text || '224x224') AS payload_hex,
+           224 AS width, 224 AS height
+    FROM documents
+"""
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
+    return M.sample_frames(docs, every_n=2).select("doc_id", "frame_idx")
+
+
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_workflow_spark.catalog import events_table
 
@@ -433,9 +473,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             table(s, d, "embeddings"), threshold=0.45
         ),  # rows-only (sketch-dependent recall)
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,  # rows-only (fake frame count)
         "events_windowed": _q_events_windowed,
         "events_json": _q_events_json,
         "sessionize": _q_sessionize,
+        "approx_unique_customers": _q_approx_unique_customers,  # rows-only (sketch)
     }
 
 
@@ -466,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": S.embedding_neardup_exact_oracle(threshold=0.45),
         "embedding_neardup_blocked": S.embedding_neardup_exact_oracle(threshold=0.45),
         "multimodal_meta": M.media_meta_oracle(),
+        "multimodal_resize": _MULTIMODAL_RESIZE_ORACLE,
         "events_windowed": _EVENTS_WINDOWED_ORACLE,
         "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,

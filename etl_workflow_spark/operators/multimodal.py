@@ -126,3 +126,106 @@ def media_meta_oracle(table: str = "documents") -> str:
                sha256(text) AS checksum_sha256
         FROM {table}
     """
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Resize every payload to (width, height) via ``mapInPandas``.
+
+    Spark-side contract is real: binary in, binary out, one output row
+    per input row, batch-at-a-time Python. The pixel work is stubbed
+    (no codec libs here): the fake "resized" payload is the SHA-256 of
+    (payload ‖ dims) — deterministic across runs/partitions, so
+    downstream dedup/caching logic is testable.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not allow_fake:
+                raise NotImplementedError(
+                    "media resize requires codec libraries not present in "
+                    "this environment; pass allow_fake=True for the stub"
+                )
+            dims = f"{width}x{height}".encode()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[payload_col].map(
+                        lambda p: hashlib.sha256(bytes(p) + dims).digest()
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video payload — a
+    fan-out ``mapInPandas`` (one input row → k output rows, so the
+    output row count is data-dependent; Spark handles this natively
+    because mapInPandas yields frames, not row-aligned columns).
+
+    Frame count comes from the (stubbed) decoder; each fake frame
+    payload is SHA-256(payload ‖ frame_idx), deterministic everywhere.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                meta = decode_media(raw, "video", allow_fake=allow_fake)
+                for i in range(0, meta["n_frames"], every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_payload": frames}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -163,3 +163,35 @@ def test_extract_media_meta_plumbing(spark):
     again = {r["doc_id"]: r for r in
              M.extract_media_meta(M.with_binary_payload(df)).collect()}
     assert out[1]["width"] == again[1]["width"]
+
+def test_resize_media_deterministic_and_shaped(spark, sf_dir):
+    docs = M.with_binary_payload(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    )
+    a = M.resize_media(docs, 224, 224).collect()
+    b = M.resize_media(docs, 224, 224).collect()
+    assert len(a) == 20
+    assert {r.width for r in a} == {224} and {r.height for r in a} == {224}
+    assert sorted((r.doc_id, bytes(r.payload)) for r in a) == sorted(
+        (r.doc_id, bytes(r.payload)) for r in b
+    )
+    # different target dims -> different payloads
+    c = M.resize_media(docs, 64, 64).collect()
+    assert sorted(bytes(r.payload) for r in a) != sorted(bytes(r.payload) for r in c)
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    docs = M.with_binary_payload(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    )
+    meta = {r.doc_id: r.n_frames for r in M.extract_media_meta(
+        docs, media_type="video").collect()}
+    frames = M.sample_frames(docs, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in by_doc.items():
+        expected = list(range(0, meta[doc_id], 2))
+        assert sorted(idxs) == expected
+    # frame payloads unique per (doc, idx)
+    assert len({(r.doc_id, r.frame_idx) for r in frames}) == len(frames)
