@@ -140,3 +140,25 @@ def update_rows(
 
     shutil.rmtree(tmp, ignore_errors=True)
     return matched
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    num_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) table.
+
+    Bucketing is the 100 TB join strategy the reference's B-tree FK
+    indexes (database-schema.sql:119-121,136-137) map to: two tables
+    bucketed on the same key with the same bucket count join with ZERO
+    shuffle — each task reads matching bucket files from both sides —
+    and bucket-local sorting removes the sort step of the merge join.
+    Re-aggregations on the bucket key also skip their exchange.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table_name)

@@ -12,7 +12,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def spark():
     from etl_workflow_spark.session import get_spark
 
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-graft-test-warehouse"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -60,3 +60,36 @@ def test_dedup_exact_prunes_to_needed_columns(spark, sf_dir):
     df = D.exact_dedup(table(spark, sf_dir, "documents"))
     schemas = plans.scan_read_schemas(df)
     assert schemas and "lang" not in schemas[0] and "source" not in schemas[0]
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located bucketed tables must merge-join with zero exchanges
+    (the bucketing contract a 100 TB fact-fact join relies on)."""
+    from etl_workflow_spark.sources.writers import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        assert plans.count_exchanges(joined) == 0
+        assert "SortMergeJoin" in plans.physical_plan(joined)
+        # and the result is still correct
+        plain = orders.join(lineitem, "o_orderkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_aggregation_skips_exchange(spark):
+    """groupBy on the bucket key must reuse the bucket partitioning."""
+    agg = (
+        spark.table("b_lineitem")
+        .groupBy("o_orderkey")
+        .count()
+    )
+    assert plans.count_exchanges(agg) == 0
