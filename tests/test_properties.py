@@ -1,0 +1,104 @@
+"""Property-based checks (hypothesis) for semantics that golden tests
+can only spot-check: calendar parity, the revenue rule, session
+partitioning invariants. Few examples, tiny frames — each example runs
+Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SETTINGS
+@given(
+    start=st.dates(dt.date(1990, 1, 1), dt.date(2030, 1, 1)),
+    span=st.integers(0, 40),
+)
+def test_dim_time_calendar_parity(spark, start, span):
+    """Every derived calendar part must match Python's datetime for a
+    random inclusive range (Mon=1 dow, ISO week, quarter, weekend)."""
+    from etl_workflow_spark.operators.dimtime import dim_time_frame
+
+    end = start + dt.timedelta(days=span)
+    rows = dim_time_frame(spark, start.isoformat(), end.isoformat()).collect()
+    assert len(rows) == span + 1  # inclusive bounds (workflow.py:51-53)
+    for r in rows:
+        d = r.date
+        assert r.day_of_week == d.weekday() + 1
+        assert r.is_weekend == (d.weekday() >= 5)
+        assert r.week_of_year == d.isocalendar()[1]
+        assert r.quarter == (d.month - 1) // 3 + 1
+        assert r.month_name == d.strftime("%B")
+        assert r.day_of_year == d.timetuple().tm_yday
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.decimals("0.01", "99999.99", places=2),
+            st.integers(1, 1000),
+            st.decimals("0.00", "9999.99", places=2),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_item_total_rule_exact_decimal(spark, rows):
+    """total = price*qty - discount, exact under DECIMAL (quirk Q6) —
+    compared against Python Decimal arithmetic, no float anywhere."""
+    from etl_workflow_spark.operators.etl import recompute_item_total
+
+    df = spark.createDataFrame(
+        [(i, str(p), q, str(d)) for i, (p, q, d) in enumerate(rows)],
+        ["id", "price", "quantity", "discount"],
+    )
+    out = {
+        r.id: r.total
+        for r in recompute_item_total(
+            df, price="price", quantity="quantity", discount="discount", out="total"
+        ).collect()
+    }
+    for i, (p, q, d) in enumerate(rows):
+        assert out[i] == Decimal(p) * q - Decimal(d)
+
+
+@SETTINGS
+@given(
+    gaps=st.lists(st.integers(0, 120), min_size=1, max_size=30),
+    gap_minutes=st.integers(1, 60),
+)
+def test_sessionize_partitions_events(spark, gaps, gap_minutes):
+    """Sessions must partition a user's events; boundaries appear
+    exactly where consecutive gaps exceed the threshold."""
+    from etl_workflow_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    ts, cur = [], base
+    for g in gaps:
+        cur = cur + dt.timedelta(minutes=g)
+        ts.append(cur)
+    df = spark.createDataFrame(
+        [(i, t, 1, "e", 1.0, "{}") for i, t in enumerate(ts)],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    sess = sorted(
+        sessionize(df, gap_minutes=gap_minutes).collect(),
+        key=lambda r: r.session_idx,
+    )
+    # events are partitioned: counts sum, sessions don't overlap
+    assert sum(r.n_events for r in sess) == len(ts)
+    expected_sessions = 1 + sum(1 for g in gaps[1:] if g > gap_minutes)
+    assert len(sess) == expected_sessions
+    for a, b in zip(sess, sess[1:]):
+        gap = (b.session_start - a.session_end).total_seconds() / 60
+        assert gap > gap_minutes
