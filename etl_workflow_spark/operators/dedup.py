@@ -202,14 +202,12 @@ def minhash_signatures(
     ex = df.select(
         F.col(id_col).alias("id"), F.explode(_shingle_hashes(col, n)).alias("tri")
     ).withColumn("h", F.xxhash64(*[f"tri.{i}" for i in range(n)]))
-    aggs = []
-    for k in range(num_hashes):
-        a, b = _affine(k)
-        aggs.append(
-            F.min(F.col("h") * F.lit(a).cast("long") + F.lit(b).cast("long")).alias(
-                f"s{k}"
-            )
-        )
+    # expressions as ONE SQL string: building k Column trees through
+    # py4j cost ~2s of driver time per call at k=32
+    aggs = [
+        F.expr(f"min(h * {a}L + {b}L) AS s{k}")
+        for k, (a, b) in ((k, _affine(k)) for k in range(num_hashes))
+    ]
     return ex.groupBy("id").agg(*aggs)
 
 
@@ -235,27 +233,18 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, col, id_col)
 
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.col(f"s{k}")
-                                for k in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    band_structs = ", ".join(
+        "struct({b} AS band, hash({cols}) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"s{k}" for k in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = sigs.selectExpr("id", f"explode(array({band_structs})) AS bb").selectExpr(
+        "id", "bb.band AS band", "bb.bucket AS bucket"
+    )
 
     # Candidate pairs are tiny relative to the corpus (bounded by the
     # S-curve), so persist them: they are consumed three times below
