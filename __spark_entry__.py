@@ -438,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- reference analytics queries (app.py) --------------------------
         "product_sales": lambda s, d: Q.product_sales(s, d),
         "top_selling_by_category": lambda s, d: Q.top_selling_by_category(s, d),
+        "top_selling_dated": lambda s, d: Q.top_selling_by_category(
+            s, d, start_date="1994-01-01", end_date="1996-12-31"
+        ),
         "customer_purchase_history": lambda s, d: Q.customer_purchase_history(
             s, d, customer_id=1, offset=2, limit=10
         ),
@@ -486,6 +489,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "product_sales": Q.product_sales_oracle(),
         "top_selling_by_category": Q.top_selling_by_category_oracle(),
+        "top_selling_dated": Q.top_selling_by_category_oracle(
+            start_date="1994-01-01", end_date="1996-12-31"
+        ),
         "customer_purchase_history": Q.customer_purchase_history_oracle(
             customer_id=1, offset=2, limit=10
         ),

@@ -235,10 +235,19 @@ def top_selling_by_category(
 
 
 def top_selling_by_category_oracle(
-    sort_by: str = "total_units_sold", sort_dir: str = "DESC", limit: int = 25
+    sort_by: str = "total_units_sold",
+    sort_dir: str = "DESC",
+    limit: int = 25,
+    start_date: str | None = None,
+    end_date: str | None = None,
 ) -> str:
     sort_col = _TOP_SELLING_SORT.get(sort_by, "total_units_sold")
     direction = sort_dir.upper() if sort_dir.upper() in ("ASC", "DESC") else "DESC"
+    date_pred = ""
+    if start_date is not None:
+        date_pred += f" AND o.o_orderdate >= TIMESTAMP '{start_date} 00:00:00'"
+    if end_date is not None:
+        date_pred += f" AND o.o_orderdate <= TIMESTAMP '{end_date} 00:00:00'"
     return f"""
         SELECT p.p_partkey AS product_id,
                p.p_name AS product_name,
@@ -252,7 +261,7 @@ def top_selling_by_category_oracle(
         FROM orders o
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE o.o_orderstatus <> 'F'
+        WHERE o.o_orderstatus <> 'F'{date_pred}
         GROUP BY 1, 2, 3
         ORDER BY {sort_col} {direction}, product_id ASC
         LIMIT {limit}

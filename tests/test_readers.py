@@ -1,0 +1,45 @@
+"""CSV reader: schema-declared roundtrip parity with the parquet
+original, and malformed rows degrade to nulls (PERMISSIVE), not
+failures — the reference's tolerant pandas-read semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from etl_workflow_spark.sources.readers import read_csv
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    orig = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    path = str(tmp_path / "customer_csv")
+    orig.write.option("header", True).mode("overwrite").csv(path)
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert back.schema == schema
+    a = sorted(map(tuple, orig.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_csv_malformed_rows_become_nulls(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("id,qty\n1,2\nnot_an_int,xyz\n3,4\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("qty", LongType())]
+    )
+    rows = sorted(
+        map(tuple, read_csv(spark, str(p), schema=schema).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert (1, 2) in rows and (3, 4) in rows
+    assert (None, None) in rows  # malformed -> nulls, cleaned by B2
