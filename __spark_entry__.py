@@ -446,6 +446,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sales_trends_month": lambda s, d: Q.sales_trends(s, d, interval="month"),
         "sales_trends_week": lambda s, d: Q.sales_trends(s, d, interval="week"),
+        "sales_trends_day": lambda s, d: Q.sales_trends(s, d, interval="day"),
+        # C10 point lookup (app.py:212): dim row fetch after the mutation
+        "category_lookup": lambda s, d: table(s, d, "part")
+        .where(F.col("p_partkey") == 42)
+        .select(
+            F.col("p_partkey").alias("product_id"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("category_name"),
+        ),
         # -- ETL transforms & derived relations (workflow.py / schema.sql) -
         "order_items_transform": _q_order_items_transform,
         "daily_sales_aggregation": _q_daily_sales_agg,
@@ -497,6 +506,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sales_trends_month": Q.sales_trends_oracle(interval="month"),
         "sales_trends_week": Q.sales_trends_oracle(interval="week"),
+        "sales_trends_day": Q.sales_trends_oracle(interval="day"),
+        "category_lookup": """
+            SELECT p_partkey AS product_id, p_name AS name,
+                   p_brand AS category_name
+            FROM part WHERE p_partkey = 42
+        """,
         "order_items_transform": _ORDER_ITEMS_TRANSFORM_ORACLE,
         "daily_sales_aggregation": _DAILY_SALES_ORACLE,
         "lifetime_value": _LIFETIME_VALUE_ORACLE,

@@ -12,11 +12,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def spark():
     from etl_workflow_spark.session import get_spark
 
+    import tempfile
+
+    # fresh warehouse per pytest session: managed-table locations outlive
+    # the in-memory catalog, so a fixed dir collides on the next run
+    warehouse = tempfile.mkdtemp(prefix="spark-graft-warehouse-")
     s = get_spark(
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-graft-test-warehouse"},
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
