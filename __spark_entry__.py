@@ -347,6 +347,66 @@ def _q_approx_unique_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — the quality-filter
+    statistics a training pipeline thresholds on. percentile() is the
+    exact tier (full sort per group); percentile_approx (KLL sketch,
+    one pass, bounded memory) is the drop-in at 100 TB."""
+    from etl_workflow_spark.catalog import events_table
+
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("round(percentile(value, 0.5), 4) AS p50"),
+            F.expr("round(percentile(value, 0.95), 4) AS p95"),
+            F.expr("round(percentile(value, 0.99), 4) AS p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VALUE_PERCENTILES_ORACLE = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency top-k: explode tokens -> two-phase count
+    -> TakeOrderedAndProject. The shuffle carries one (term, partial
+    count) row per distinct term per partition, never raw tokens."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    return (
+        toks.where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(50)
+    )
+
+
+_TOP_TERMS_ORACLE = """
+    SELECT term, COUNT(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    )
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT 50
+"""
+
+
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
     out = M.resize_media(docs, 224, 224)
@@ -469,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": lambda s, d: T.text_quality(table(s, d, "documents")),
         "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: T.fingerprint(table(s, d, "documents")),
+        "top_terms": _q_top_terms,
+        "value_percentiles": _q_value_percentiles,
         "dedup_exact": lambda s, d: D.exact_dedup(table(s, d, "documents")),
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,  # rows-only (hash-dependent)
@@ -524,6 +586,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": T.text_quality_oracle(),
         "lang_id": T.lang_id_oracle(),
         "doc_fingerprint": T.fingerprint_oracle(),
+        "top_terms": _TOP_TERMS_ORACLE,
+        "value_percentiles": _VALUE_PERCENTILES_ORACLE,
         "dedup_exact": D.exact_dedup_oracle(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
         "ann_bruteforce": S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8"),
