@@ -304,6 +304,27 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(table(spark, sf_dir, "documents"))
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole-blocked Hamming join over the
+    64-bit fingerprints (segment equality bounds candidates)."""
+    fps = D.simhash(table(spark, sf_dir, "documents"))
+    return D.hamming_pairs(fps, max_distance=3)
+
+
+def _q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: quality-score -> filter -> corpus stats, the
+    canonical pre-training data funnel (filter feeds token budget)."""
+    docs = table(spark, sf_dir, "documents")
+    q = T.text_quality(docs).where(F.col("passes_quality"))
+    counts = T.token_count(docs)
+    return q.join(counts, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+    )
+
+
 def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
@@ -535,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,  # rows-only (hash-dependent)
         "simhash": _q_simhash,  # rows-only (hash-dependent)
+        "simhash_pairs": _q_simhash_pairs,  # rows-only (hash-dependent)
+        "quality_filtered_stats": _q_quality_filtered_stats,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,  # rows-only (hash-dependent buckets)
         "embedding_neardup": lambda s, d: S.embedding_neardup_exact(
@@ -587,6 +610,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.lang_id_oracle(),
         "doc_fingerprint": T.fingerprint_oracle(),
         "top_terms": _TOP_TERMS_ORACLE,
+        "quality_filtered_stats": f"""
+            WITH q AS ({T.text_quality_oracle()}),
+                 c AS ({T.token_count_oracle()})
+            SELECT COUNT(*) AS n_docs,
+                   SUM(c.n_tokens) AS total_tokens,
+                   round(AVG(c.n_tokens), 4) AS avg_tokens,
+                   round(AVG(q.stopword_ratio), 4) AS avg_stopword_ratio
+            FROM q JOIN c USING (doc_id)
+            WHERE q.passes_quality
+        """,
         "value_percentiles": _VALUE_PERCENTILES_ORACLE,
         "dedup_exact": D.exact_dedup_oracle(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),

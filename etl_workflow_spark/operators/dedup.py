@@ -312,24 +312,22 @@ def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     toks = F.split(F.trim(F.col(col)), r"\s+")
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
     h = ex.withColumn("th", F.xxhash64("tok"))
-    # shiftleft instead of lit(1 << b): bit 63 overflows a signed-long lit.
-    one = F.lit(1).cast("long")
+    # expressions as SQL strings: 64 Column-built aggregates cost
+    # seconds of py4j round-trips (same finding as minhash_signatures).
+    # shiftleft instead of a 1<<b literal: bit 63 overflows a long lit.
     votes = [
-        F.sum(
-            F.when(
-                F.col("th").bitwiseAND(F.shiftleft(one, b)) != 0, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"v{b}")
+        F.expr(
+            f"sum(CASE WHEN (th & shiftleft(1L, {b})) != 0 THEN 1 ELSE -1 END)"
+            f" AS v{b}"
+        )
         for b in range(bits)
     ]
     agg = h.groupBy("id").agg(*votes)
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b)).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = fp.bitwiseOR(bit)
-    return agg.select(F.col("id").alias(id_col), fp.alias("simhash"))
+    fp = " | ".join(
+        f"(CASE WHEN v{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(bits)
+    )
+    return agg.selectExpr(f"id AS {id_col}", f"({fp}) AS simhash")
 
 
 def hamming_pairs(fps: DataFrame, max_distance: int = 3,
