@@ -337,6 +337,12 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries_df, k=5, query_id_col="query_id")
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    return S.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=4)
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
     meta = M.extract_media_meta(docs)
@@ -560,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filtered_stats": _q_quality_filtered_stats,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,  # rows-only (hash-dependent buckets)
+        "ann_ivf": _q_ann_ivf,  # rows-only (quantizer-dependent cells)
         "embedding_neardup": lambda s, d: S.embedding_neardup_exact(
             table(s, d, "embeddings"), threshold=0.45
         ),

@@ -55,6 +55,7 @@ def main() -> None:
         "token_count",
         "lang_id",
         "ann_bruteforce",
+        "ann_ivf",
         # blocked matmul is the right near-dup tier at this corpus size;
         # the LSH tier only prunes in the >=0.9-cosine regime, which the
         # isotropic testdata embeddings don't contain (max pair ~0.6)

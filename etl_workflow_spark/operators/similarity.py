@@ -481,3 +481,114 @@ def embedding_neardup_lsh(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------- IVF index
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    dim: int,
+    sample_size: int,
+    seed: int,
+    vec_col: str,
+):
+    """Train a coarse quantizer (k-means, few iterations) on a bounded
+    driver-side sample — the standard IVF recipe: the quantizer is tiny
+    and trained once; only the sample (~sample_size × dim doubles)
+    ever reaches the driver, never the corpus."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .sample(fraction=1.0, seed=seed)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(8):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    sample_size: int = 2048,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → corpus rows
+    bucketed by nearest cell → each query probes its ``n_probe``
+    nearest cells → exact cosine only on those cells' members.
+
+    Complements the LSH tier: IVF adapts to the data distribution
+    (cells follow density; LSH hyperplanes don't), costs one
+    assignment pass over the corpus, and bounds query work to
+    n_probe/n_cells of the corpus. Assignment and scoring are
+    Arrow-batched numpy; the corpus shuffles once on cell id.
+    """
+    import numpy as np
+
+    cents = _train_centroids(corpus, n_cells, dim, sample_size, seed, vec_col)
+    cents_b = [list(map(float, c)) for c in cents]
+
+    @F.pandas_udf(LongType())
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        C = np.array(cents_b, dtype=np.float64)
+        M = np.array(vs.tolist(), dtype=np.float64)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int64))
+
+    probe_schema = "array<bigint>"
+
+    @F.pandas_udf(probe_schema)
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        C = np.array(cents_b, dtype=np.float64)
+        M = np.array(vs.tolist(), dtype=np.float64)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe]
+        return pd.Series([list(map(int, row)) for row in order])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cell", nearest_cell(F.col("cvec")))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qvec"),
+        )
+        .withColumn("cell", F.explode(probe_cells(F.col("qvec"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(_cosine_batch(F.col("cvec"), F.col("qvec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select("query_id", "neighbor_id", "score",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -195,3 +195,22 @@ def test_sample_frames_fanout(spark, sf_dir):
         assert sorted(idxs) == expected
     # frame payloads unique per (doc, idx)
     assert len({(r.doc_id, r.frame_idx) for r in frames}) == len(frames)
+
+
+def test_ivf_topk_recall_on_testdata(spark, sf_dir):
+    """IVF with 4/16 probes must recover a solid share of exact top-k;
+    results are a subset of valid (query, neighbor) scored pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, k=5).collect()}
+    ivf = S.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(got & exact) / len(exact) >= 0.5
+    # scores must match the exact scorer where pairs overlap
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"]
+                    for r in S.brute_force_topk(emb, q, k=5).collect()}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-3
