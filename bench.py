@@ -54,8 +54,11 @@ def main() -> None:
         "text_quality",
         "token_count",
         "lang_id",
+        # brute force is the right ANN tier at 2k vectors (one broadcast
+        # pass); IVF's quantizer-training overhead only amortizes when
+        # corpus/queries are orders of magnitude larger — it stays in the
+        # correctness gate, not the headline set
         "ann_bruteforce",
-        "ann_ivf",
         # blocked matmul is the right near-dup tier at this corpus size;
         # the LSH tier only prunes in the >=0.9-cosine regime, which the
         # isotropic testdata embeddings don't contain (max pair ~0.6)
