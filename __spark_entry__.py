@@ -317,11 +317,20 @@ def _q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     q = T.text_quality(docs).where(F.col("passes_quality"))
     counts = T.token_count(docs)
+    # Averages from exact, order-independent sums (long / decimal), then
+    # ONE divide + round: avg() over doubles depends on accumulation
+    # order and hash-mismatched the DuckDB oracle at the 4th decimal.
     return q.join(counts, "doc_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_tokens"),
+        F.round(
+            F.sum(F.col("stopword_ratio").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_stopword_ratio"),
     )
 
 
@@ -622,8 +631,11 @@ def oracle_sql() -> dict[str, str]:
                  c AS ({T.token_count_oracle()})
             SELECT COUNT(*) AS n_docs,
                    SUM(c.n_tokens) AS total_tokens,
-                   round(AVG(c.n_tokens), 4) AS avg_tokens,
-                   round(AVG(q.stopword_ratio), 4) AS avg_stopword_ratio
+                   round(CAST(SUM(c.n_tokens) AS DOUBLE) / COUNT(*), 4)
+                       AS avg_tokens,
+                   round(CAST(SUM(CAST(q.stopword_ratio AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*), 4)
+                       AS avg_stopword_ratio
             FROM q JOIN c USING (doc_id)
             WHERE q.passes_quality
         """,

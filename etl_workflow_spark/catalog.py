@@ -55,14 +55,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper timestamp.
+    """events with ``ts`` as a proper timestamp — session-agnostic.
 
-    The parquet stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py) it
-    arrives as epoch-nanos long — convert to microsecond timestamps
-    (Spark's native precision).
+    The parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set. Callers hand us
+    arbitrary sessions (the correctness gate builds a default one), so
+    set the conf at read time — it is runtime-settable — instead of
+    relying on our own session factory. The session timezone is pinned
+    to UTC for the same reason: epoch-derived timestamps must collect
+    identically everywhere (and match the DuckDB oracle, which reads
+    the nanos column as a TZ-free timestamp).
     """
     from pyspark.sql import functions as F
+
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # pragma: no cover - static conf on odd builds
+            pass
 
     ev = table(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":

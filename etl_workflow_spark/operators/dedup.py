@@ -173,14 +173,6 @@ def ngram_jaccard_oracle(
 # ------------------------------------------------------------------ minhash
 
 
-def _affine(k: int) -> tuple[int, int]:
-    """Deterministic universal-hash coefficients for hash function k
-    (odd multiplier; Java long arithmetic wraps, fine for hashing)."""
-    a = 0x9E3779B97F4A7C15 % (1 << 63) + (2 * k + 1)
-    b = (k * 0xBF58476D1CE4E5B9) % (1 << 63)
-    return a, b
-
-
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
@@ -203,11 +195,12 @@ def minhash_signatures(
         F.col(id_col).alias("id"), F.explode(_shingle_hashes(col, n)).alias("tri")
     ).withColumn("h", F.xxhash64(*[f"tri.{i}" for i in range(n)]))
     # expressions as ONE SQL string: building k Column trees through
-    # py4j cost ~2s of driver time per call at k=32
-    aggs = [
-        F.expr(f"min(h * {a}L + {b}L) AS s{k}")
-        for k, (a, b) in ((k, _affine(k)) for k in range(num_hashes))
-    ]
+    # py4j cost ~2s of driver time per call at k=32.
+    # Hash family k = xxhash64(h, k): overflow-free by construction, so
+    # it runs identically under ANSI mode (an earlier affine min(h*a+b)
+    # relied on silent long wraparound and threw ARITHMETIC_OVERFLOW on
+    # any default Spark 4 session).
+    aggs = [F.expr(f"min(xxhash64(h, {k})) AS s{k}") for k in range(num_hashes)]
     return ex.groupBy("id").agg(*aggs)
 
 

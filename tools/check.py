@@ -53,10 +53,23 @@ def digest(cols, rows):
 
 
 def main() -> int:
-    from etl_workflow_spark.session import get_spark
+    # Deliberately NOT etl_workflow_spark.session.get_spark: the driver's
+    # harness builds its own mostly-default session (ANSI on, no legacy
+    # parquet confs, host timezone), so gate entries must be
+    # session-agnostic. Local gating on a default session is what keeps
+    # that true (round-1 lesson: 5 entries passed here with our factory
+    # configs and errored in the driver).
+    from pyspark.sql import SparkSession
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("check", master="local[8]", shuffle_partitions=8)
+    spark = (
+        SparkSession.builder.appName("check")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
