@@ -340,16 +340,81 @@ def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries_df, k=5)
 
 
+def _ann_recall_frame(
+    exact: DataFrame, approx: DataFrame, min_recall: float
+) -> DataFrame:
+    """Per-query recall of an approximate top-k against the exact tier.
+
+    Turns a hash/quantizer-dependent result (not SQL-expressible) into a
+    falsifiable invariant: the oracle asserts ``recall_ok`` for every
+    query, so a recall regression fails the gate instead of hiding
+    behind a rows-only check. Both tiers run in Spark with deterministic
+    tie-breaks, so the recall value itself is reproducible.
+    """
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+    )
+    recall = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+    return per_q.select(
+        "query_id",
+        F.col("n_exact"),
+        (recall >= F.lit(min_recall)).alias("recall_ok"),
+    ).orderBy("query_id")
+
+
+def _ann_recall_oracle(k: int, query_predicate: str = "vec_id < 8") -> str:
+    return f"""
+        SELECT vec_id AS query_id,
+               CAST({k} AS BIGINT) AS n_exact,
+               TRUE AS recall_ok
+        FROM embeddings WHERE {query_predicate}
+        ORDER BY 1
+    """
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k graded as recall@k against the exact brute-force tier."""
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
-    return S.lsh_topk(emb, queries_df, k=5, query_id_col="query_id")
+    exact = S.brute_force_topk(emb, queries_df, k=5)
+    approx = S.lsh_topk(emb, queries_df, k=5, query_id_col="query_id")
+    return _ann_recall_frame(exact, approx, min_recall=0.6)
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k graded as MEAN recall@k against the brute-force tier.
+
+    Per-query recall on isotropic testdata is noisy (a query's true
+    neighbors are barely closer than the bulk, so cell assignment is
+    near-random for the tail) — measured min per-query recall at
+    n_probe=8 is 0.6 at both sf0.001 and sf0.01 while the mean sits at
+    ~0.83. The aggregate invariant (mean >= 0.6) is stable yet still
+    fails on a broken quantizer/probe stage."""
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
-    return S.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=4)
+    exact = S.brute_force_topk(emb, queries_df, k=5)
+    approx = S.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=8)
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    n_exact = F.count(F.lit(1))
+    joined = exact.select("query_id", "neighbor_id").join(
+        hits.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    total_hits = F.coalesce(F.sum("hit"), F.lit(0))
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (total_hits * F.lit(10) >= n_exact * F.lit(6)).alias("recall_ok"),
+    )
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,17 +434,62 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_approx_unique_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6 at scale: HyperLogLog++ distinct counts — one pass, fixed
-    sketch memory per group, no exact-distinct double shuffle. Sketch
-    values are engine-specific, so the gate records rows-only; the
-    <2% relative-error bound is unit-tested (tests/test_approx.py)."""
+    sketch memory per group, no exact-distinct double shuffle.
+
+    Sketch values are engine-specific, so the gate checks a falsifiable
+    invariant instead: the HLL estimate must land within 5% of the
+    exact count per group (rsd=0.02, so 5% is a comfortable but real
+    bound — a broken sketch fails it). The exact count and group sizes
+    are fully oracle-checked; the <2% typical error is also
+    unit-tested (tests/test_approx.py)."""
     orders = table(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.countDistinct("o_custkey")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+            exact.alias("exact_customers"),
+            # no division: |approx-exact| <= 0.05*exact as integer math
+            (
+                F.abs(approx - exact) * F.lit(100) <= exact * F.lit(5)
+            ).alias("within_bounds"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+_APPROX_UNIQUE_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_bounds
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+def _q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall invariant for the MinHash-LSH tier: every exact-Jaccard
+    pair (>= 0.5, from the oracle-checkable inverted-index tier) should
+    be recovered by the banded-LSH path. Planted near-dups sit at
+    Jaccard ~0.98 where the S-curve collision probability is ~1, so the
+    0.8 floor only trips on a genuinely broken signature/band stage."""
+    docs = table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    found = D.minhash_lsh_pairs(docs, threshold=0.5)
+    j = exact.select("doc_a", "doc_b").join(
+        found.select("doc_a", "doc_b").withColumn("hit", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    n = F.count(F.lit(1))
+    hits = F.coalesce(F.sum("hit"), F.lit(0))
+    # no division (empty-set and ANSI safe): hits >= ceil(0.8 * n)
+    return j.agg(
+        n.alias("n_exact"),
+        (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
     )
 
 
@@ -462,9 +572,48 @@ _MULTIMODAL_RESIZE_ORACLE = """
 """
 
 
+def _q_embedding_neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall invariant for the LSH near-dup tier vs the exact blocked
+    tier (itself oracle-verified). The sketch S-curve gives ~0.79
+    expected recall at cosine 0.45 with r=4 x 8 bands, so the floor is
+    0.6 — low enough to be stable, high enough that a broken
+    bucket/verify stage fails it. n_exact is fully oracle-checked."""
+    emb = table(spark, sf_dir, "embeddings")
+    exact = S.embedding_neardup_blocked(emb, threshold=0.45)
+    found = S.embedding_neardup_lsh(emb, threshold=0.45)
+    j = exact.select("vec_a", "vec_b").join(
+        found.select("vec_a", "vec_b").withColumn("hit", F.lit(1)),
+        ["vec_a", "vec_b"],
+        "left",
+    )
+    n = F.count(F.lit(1))
+    hits = F.coalesce(F.sum("hit"), F.lit(0))
+    return j.agg(
+        n.alias("n_exact"),
+        (hits * F.lit(10) >= n * F.lit(6)).alias("recall_ok"),
+    )
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
     return M.sample_frames(docs, every_n=2).select("doc_id", "frame_idx")
+
+
+# The fake decoder derives n_frames = 1 + digest[2] % 8 from the
+# payload's SHA-256 (multimodal.py decode_media), and frame sampling
+# keeps every 2nd index — both reproducible in SQL, so the "stub"
+# plumbing is still hash-gated end to end. digest[2] % 8 is the low 3
+# bits of the third byte, i.e. hex digit 6 of the hex digest mod 8.
+_MULTIMODAL_FRAMES_ORACLE = """
+    WITH f AS (
+        SELECT doc_id,
+               1 + ((strpos('0123456789abcdef', substr(sha256(text), 6, 1)) - 1)
+                    % 8) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+    FROM f
+"""
 
 
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,6 +668,176 @@ _EVENTS_JSON_ORACLE = """
 """
 
 
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY entry point end to end
+    (``workflow.py:355-361``): raw CSVs → extract → clean/transform →
+    idempotent load → daily aggregation → warehouse, then a query over
+    the landed warehouse table.
+
+    Testdata parquet is first re-shaped into the reference's CSV layout
+    (deterministic column mapping: part→products + brand-derived
+    categories, orders→orders, lineitem→order_items), written as real
+    CSVs, and run through ``run_pipeline``. The gate then reads
+    ``daily_sales_aggregation`` back FROM THE WAREHOUSE FILES — so CSV
+    parsing, schema application, null-cleaning, total recomputation
+    (quirk Q6), both enrichment joins, the rollup, and the partitioned
+    write are all inside the hash-checked path.
+    """
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from etl_workflow_spark.pipeline import run_pipeline
+
+    part = table(spark, sf_dir, "part")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+
+    # category ids: alphabetical dense index over distinct brands —
+    # reproducible in SQL (25 rows; the window is driver-trivial)
+    cat = (
+        part.select("p_brand")
+        .distinct()
+        .withColumn(
+            "category_id", F.row_number().over(Window.orderBy("p_brand")).cast("int")
+        )
+    )
+    categories = cat.select(
+        "category_id",
+        F.col("p_brand").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("int").alias("parent_id"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+    )
+    products = (
+        part.join(F.broadcast(cat), "p_brand")
+        .select(
+            F.col("p_partkey").cast("int").alias("product_id"),
+            F.col("p_name").alias("name"),
+            F.lit(None).cast("string").alias("description"),
+            F.col("p_retailprice").cast("decimal(10,2)").alias("price"),
+            F.lit(None).cast("decimal(10,2)").alias("cost"),
+            F.col("category_id"),
+            F.col("p_partkey").cast("string").alias("sku"),
+            F.lit(None).cast("int").alias("inventory_count"),
+            F.lit(None).cast("decimal(8,2)").alias("weight"),
+            F.lit(None).cast("timestamp").alias("created_at"),
+            F.lit(True).alias("is_active"),
+        )
+    )
+    customers = customer.select(
+        F.col("c_custkey").cast("int").alias("customer_id"),
+        F.concat(F.lit("c"), F.col("c_custkey"), F.lit("@example.com")).alias("email"),
+        F.col("c_name").alias("first_name"),
+        F.lit("x").alias("last_name"),
+        *[
+            F.lit(None).cast("string").alias(c)
+            for c in (
+                "street_address", "city", "state", "zip_code", "country", "phone",
+            )
+        ],
+        F.lit(None).cast("timestamp").alias("registration_date"),
+        F.lit(None).cast("timestamp").alias("last_login"),
+    )
+    orders_csv = orders.select(
+        F.col("o_orderkey").cast("int").alias("order_id"),
+        F.col("o_custkey").cast("int").alias("customer_id"),
+        F.col("o_orderdate").cast("timestamp").alias("order_date"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(None).cast("string").alias("payment_method"),
+        *[
+            F.lit(None).cast("string").alias(c)
+            for c in (
+                "shipping_address", "shipping_city", "shipping_state",
+                "shipping_zip", "shipping_country",
+            )
+        ],
+        *[
+            F.lit(None).cast("timestamp").alias(c)
+            for c in ("processing_date", "shipping_date", "delivery_date")
+        ],
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total_amount"),
+    )
+    items_csv = lineitem.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("int")
+        .alias("order_item_id"),
+        F.col("l_orderkey").cast("int").alias("order_id"),
+        F.col("l_partkey").cast("int").alias("product_id"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+        F.col("l_extendedprice").cast("decimal(10,2)").alias("price"),
+        F.col("l_discount").cast("decimal(10,2)").alias("discount"),
+        F.lit(None).cast("decimal(10,2)").alias("total"),  # recomputed (Q6)
+    )
+
+    workdir = tempfile.mkdtemp(prefix="pipeline_e2e_")
+    raw = f"{workdir}/raw"
+    warehouse = f"{workdir}/warehouse"
+    from etl_workflow_spark.sources.writers import write_csv
+
+    for name, df in (
+        ("product_categories", categories),
+        ("products", products),
+        ("customers", customers),
+        ("orders", orders_csv),
+        ("order_items", items_csv),
+    ):
+        write_csv(df, f"{raw}/{name}.csv")
+
+    run_pipeline(spark, raw, warehouse)
+
+    daily = spark.read.parquet(f"{warehouse}/daily_sales_aggregation")
+    return daily.select(
+        "date",
+        "product_id",
+        "category_id",
+        F.col("units_sold").cast("double").alias("units_sold"),
+        F.col("revenue").cast("double").alias("revenue"),
+        "order_count",
+        F.col("avg_unit_price").cast("double").alias("avg_unit_price"),
+    )
+
+
+_PIPELINE_E2E_ORACLE = """
+    WITH cat AS (
+        SELECT p_brand,
+               CAST(row_number() OVER (ORDER BY p_brand) AS INT) AS category_id
+        FROM (SELECT DISTINCT p_brand FROM part)
+    ),
+    prod AS (
+        SELECT CAST(p.p_partkey AS INT) AS product_id, c.category_id
+        FROM part p JOIN cat c USING (p_brand)
+    ),
+    items AS (
+        SELECT CAST(l_orderkey AS INT) AS order_id,
+               CAST(l_partkey AS INT) AS product_id,
+               CAST(l_quantity AS INT) AS quantity,
+               CAST(CAST(CAST(l_extendedprice AS DECIMAL(10,2)) AS DECIMAL(18,2))
+                    * CAST(CAST(l_quantity AS INT) AS DECIMAL(18,2))
+                    - CAST(CAST(l_discount AS DECIMAL(10,2)) AS DECIMAL(18,2))
+                    AS DECIMAL(18,2)) AS total
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+          AND l_linenumber IS NOT NULL
+    ),
+    o AS (SELECT CAST(o_orderkey AS INT) AS order_id, o_orderdate FROM orders)
+    SELECT CAST(o.o_orderdate AS DATE) AS date,
+           i.product_id,
+           p.category_id,
+           CAST(SUM(CAST(i.quantity AS DECIMAL(18,2))) AS DOUBLE) AS units_sold,
+           CAST(SUM(i.total) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT i.order_id) AS order_count,
+           COALESCE(CAST(SUM(i.total) AS DOUBLE)
+                    / CAST(SUM(CAST(i.quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+               AS avg_unit_price
+    FROM items i
+    LEFT JOIN o o ON i.order_id = o.order_id
+    LEFT JOIN prod p ON i.product_id = p.product_id
+    GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -560,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_time": lambda s, d: dim_time_frame(s, "1995-01-01", "1996-12-31"),
         "update_product": _q_update_product,
         "orders_semijoin": _q_orders_semijoin,
+        "pipeline_e2e": _q_pipeline_e2e,
         # -- LLM-pipeline operators (north-star extensions) ----------------
         "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
         "text_quality": lambda s, d: T.text_quality(table(s, d, "documents")),
@@ -569,29 +889,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "dedup_exact": lambda s, d: D.exact_dedup(table(s, d, "documents")),
         "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_minhash_lsh": _q_minhash_lsh,  # rows-only (hash-dependent)
-        "simhash": _q_simhash,  # rows-only (hash-dependent)
-        "simhash_pairs": _q_simhash_pairs,  # rows-only (hash-dependent)
+        # rows-only: candidate pairs depend on xxhash64 buckets (no
+        # DuckDB analog); the recall entry below is the falsifiable twin
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_minhash_recall": _q_dedup_minhash_recall,
+        # rows-only: 64-bit xxhash64 fingerprints, DuckDB has no xxhash64
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "quality_filtered_stats": _q_quality_filtered_stats,
         "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh": _q_ann_lsh,  # rows-only (hash-dependent buckets)
-        "ann_ivf": _q_ann_ivf,  # rows-only (quantizer-dependent cells)
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_neardup": lambda s, d: S.embedding_neardup_exact(
             table(s, d, "embeddings"), threshold=0.45
         ),
         "embedding_neardup_blocked": lambda s, d: S.embedding_neardup_blocked(
             table(s, d, "embeddings"), threshold=0.45
         ),
-        "embedding_neardup_lsh": lambda s, d: S.embedding_neardup_lsh(
-            table(s, d, "embeddings"), threshold=0.45
-        ),  # rows-only (sketch-dependent recall)
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh_recall,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,  # rows-only (fake frame count)
+        "multimodal_frames": _q_multimodal_frames,
         "events_windowed": _q_events_windowed,
         "events_json": _q_events_json,
         "sessionize": _q_sessionize,
-        "approx_unique_customers": _q_approx_unique_customers,  # rows-only (sketch)
+        "approx_unique_customers": _q_approx_unique_customers,
     }
 
 
@@ -621,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_time": dim_time_oracle("1995-01-01", "1996-12-31"),
         "update_product": _UPDATE_PRODUCT_ORACLE,
         "orders_semijoin": _ORDERS_SEMIJOIN_ORACLE,
+        "pipeline_e2e": _PIPELINE_E2E_ORACLE,
         "token_count": T.token_count_oracle(),
         "text_quality": T.text_quality_oracle(),
         "lang_id": T.lang_id_oracle(),
@@ -642,14 +965,32 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _VALUE_PERCENTILES_ORACLE,
         "dedup_exact": D.exact_dedup_oracle(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
+        "dedup_minhash_recall": f"""
+            WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.5)})
+            SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
+        """,
         "ann_bruteforce": S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8"),
+        "ann_lsh": _ann_recall_oracle(k=5),
+        "ann_ivf": """
+            SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 8
+        """,
         "embedding_neardup": S.embedding_neardup_exact_oracle(threshold=0.45),
         "embedding_neardup_blocked": S.embedding_neardup_exact_oracle(threshold=0.45),
+        "embedding_neardup_lsh": f"""
+            WITH pairs AS ({S.embedding_neardup_exact_oracle(threshold=0.45)})
+            SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
+        """,
         "multimodal_meta": M.media_meta_oracle(),
         "multimodal_resize": _MULTIMODAL_RESIZE_ORACLE,
+        "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
         "events_windowed": _EVENTS_WINDOWED_ORACLE,
         "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
-        # dedup_minhash_lsh / simhash / ann_lsh: hash-function-dependent
-        # (xxhash64 buckets) — driver records rows-only checks.
+        "approx_unique_customers": _APPROX_UNIQUE_ORACLE,
+        # Still rows-only (each depends on xxhash64, which DuckDB lacks):
+        #   dedup_minhash_lsh — candidate buckets; falsifiable twin is
+        #     dedup_minhash_recall (exact-pair recall >= 0.8)
+        #   simhash / simhash_pairs — 64-bit xxhash64 fingerprints;
+        #     pigeonhole + bit_count semantics are pytest-covered
     }

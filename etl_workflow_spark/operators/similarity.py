@@ -353,7 +353,8 @@ def embedding_neardup_exact_oracle(
 def embedding_neardup_blocked(
     emb: DataFrame,
     threshold: float = 0.45,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
+    rows_per_block: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -368,13 +369,21 @@ def embedding_neardup_blocked(
     ulp (numpy pairwise vs left-fold accumulation).
 
     Scale shape: shuffle is one groupBy over N rows plus an
-    (num_blocks^2)/2-row nested-loop join of block summaries — pick
-    num_blocks so a block (N/num_blocks x dim doubles) fits an Arrow
-    batch comfortably.
+    (num_blocks^2)/2-row nested-loop join of block summaries. By
+    default ``num_blocks`` is derived from the corpus count so each
+    collect_list block row stays ~rows_per_block vectors (a fixed block
+    COUNT was the scale bug: at 100x corpus a block row outgrows
+    Arrow/row-size limits; a fixed block SIZE cannot).
     """
+    import math
+
     from pyspark.sql.types import (
         ArrayType, DoubleType, LongType, StructField, StructType,
     )
+
+    if num_blocks is None:
+        n = emb.count()
+        num_blocks = max(1, math.ceil(n / rows_per_block))
 
     blocks = (
         emb.select(
@@ -500,17 +509,24 @@ def _train_centroids(
     ever reaches the driver, never the corpus."""
     import numpy as np
 
+    # A real random sample: compute the fraction from the corpus count
+    # (with 1.5x headroom so the Bernoulli sample rarely undershoots),
+    # then cap at sample_size. sample(1.0).limit(n) only took the first
+    # n rows in file order, biasing centroids toward early partitions.
+    n_corpus = corpus.count()
+    fraction = min(1.0, (sample_size * 1.5) / max(n_corpus, 1))
     sample = np.array(
         [
             r[0]
             for r in corpus.select(vec_col)
-            .sample(fraction=1.0, seed=seed)
+            .sample(fraction=fraction, seed=seed)
             .limit(sample_size)
             .collect()
         ],
         dtype=np.float64,
     )
     rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(sample))
     cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(8):
         d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

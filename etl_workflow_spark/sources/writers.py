@@ -63,9 +63,15 @@ def idempotent_append(
     if os.path.exists(path):
         existing = spark.read.parquet(path).select(*keys)
         batch = batch.join(existing, on=list(keys), how="left_anti")
-    appended = batch.count()
-    if appended:
-        batch.write.mode("append").parquet(path)
+    # persist: count() and write() both consume the anti-join — without
+    # it the dedup+anti-join (a full shuffle at scale) runs twice
+    batch = batch.persist()
+    try:
+        appended = batch.count()
+        if appended:
+            batch.write.mode("append").parquet(path)
+    finally:
+        batch.unpersist()
     return appended
 
 
@@ -140,6 +146,27 @@ def update_rows(
 
     shutil.rmtree(tmp, ignore_errors=True)
     return matched
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    single_file: bool = False,
+    **options: str,
+) -> None:
+    """A8: CSV export sink (ref ``data-generator.py:307-311,326-330``
+    writes each generated table to a headered CSV).
+
+    Distributed by default — one CSV part per partition, the only shape
+    that scales (a 100 TB export must not funnel through one task).
+    ``single_file=True`` coalesces to a single part for small,
+    human-consumed exports, the closest analog of the reference's
+    one-file-per-table layout.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).options(header=str(header).lower(), **options).csv(path)
 
 
 def write_bucketed(

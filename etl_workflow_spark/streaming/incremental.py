@@ -94,17 +94,52 @@ def stream_daily_sales(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("date")
-            .parquet(output_path)
-        )
+        merge_daily_partitions(batch_df, output_path)
 
     return (
         agg.writeStream.outputMode("update")
         .foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def merge_daily_partitions(
+    batch_df: DataFrame,
+    output_path: str,
+    keys: tuple[str, ...] = ("date", "product_id", "category_id"),
+    partition_col: str = "date",
+) -> None:
+    """Upsert a micro-batch into date-partitioned parquet.
+
+    An update-mode micro-batch carries only the groups that CHANGED in
+    that batch, so blindly overwriting the whole date partition deletes
+    previously written groups for the same date (silent data loss once
+    one date spans multiple micro-batches). Merge instead: keep the
+    existing rows of the affected dates that the batch does NOT update,
+    union the batch, then dynamically overwrite just those partitions.
+
+    The kept rows are localCheckpoint-ed (micro-batch scale, bounded by
+    groups-per-day) so the overwrite never reads from the files it is
+    replacing. Uses a read-probe rather than os.path so the logic holds
+    on any Hadoop-compatible filesystem.
+    """
+    out = batch_df
+    try:
+        existing = batch_df.sparkSession.read.parquet(output_path)
+    except Exception:  # first batch: nothing to merge
+        existing = None
+    if existing is not None:
+        dates = batch_df.select(partition_col).distinct()
+        kept = existing.join(
+            F.broadcast(dates), on=partition_col, how="left_semi"
+        ).join(batch_df.select(*keys), on=list(keys), how="left_anti")
+        out = batch_df.unionByName(kept)
+    out = out.localCheckpoint(eager=True)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(output_path)
     )
 
 

@@ -43,3 +43,31 @@ def test_csv_malformed_rows_become_nulls(spark, tmp_path):
     )
     assert (1, 2) in rows and (3, 4) in rows
     assert (None, None) in rows  # malformed -> nulls, cleaned by B2
+
+
+def test_write_csv_sink_roundtrip(spark, sf_dir, tmp_path):
+    """A8: the CSV export sink (ref data-generator.py:307-311) must
+    roundtrip through the schema-declared reader, single- and
+    multi-file."""
+    from etl_workflow_spark.sources.writers import write_csv
+
+    orig = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_acctbal", DoubleType()),
+        ]
+    )
+    expected = sorted(map(tuple, orig.collect()))
+    for single in (False, True):
+        path = str(tmp_path / f"export_{single}")
+        write_csv(orig, path, single_file=single)
+        back = read_csv(spark, path, schema=schema)
+        assert sorted(map(tuple, back.collect())) == expected
+        import glob
+
+        n_parts = len(glob.glob(f"{path}/part-*.csv"))
+        assert n_parts == 1 if single else n_parts >= 1

@@ -86,3 +86,36 @@ def test_stream_daily_sales_idempotent_sink(spark, tmp_path):
         F.col("date") == datetime.date(2023, 1, 1)
     ).collect()[0]
     assert float(d1["units_sold"]) == 2.0 and float(d1["revenue"]) == 18.0
+
+def test_merge_daily_partitions_keeps_unchanged_groups(spark, tmp_path):
+    """Update-mode micro-batches carry only changed groups; the merge
+    sink must NOT drop a date's previously-written groups when a later
+    batch updates a different group of the same date (the silent-loss
+    bug of blind dynamic partition overwrite)."""
+    import datetime as dt
+
+    out = str(tmp_path / "merged")
+    cols = ["date", "product_id", "category_id", "units_sold", "revenue",
+            "order_count"]
+    d1 = dt.date(2023, 1, 1)
+
+    batch1 = spark.createDataFrame(
+        [(d1, 1, 10, 5.0, 50.0, 2), (d1, 2, 10, 3.0, 30.0, 1)], cols
+    )
+    inc.merge_daily_partitions(batch1, out)
+
+    # same date, only product 2 changed + one new product
+    batch2 = spark.createDataFrame(
+        [(d1, 2, 10, 9.0, 90.0, 3), (d1, 3, 11, 1.0, 10.0, 1)], cols
+    )
+    inc.merge_daily_partitions(batch2, out)
+
+    got = {
+        (r["product_id"]): (r["units_sold"], r["revenue"], r["order_count"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        1: (5.0, 50.0, 2),   # untouched group survives the 2nd batch
+        2: (9.0, 90.0, 3),   # updated in place
+        3: (1.0, 10.0, 1),   # new group added
+    }
