@@ -64,6 +64,8 @@ def main() -> None:
         # isotropic testdata embeddings don't contain (max pair ~0.6)
         "embedding_neardup_blocked",
         "events_windowed",
+        "events_json",
+        "value_percentiles",
         "sessionize",
     ]
     qs = entry_mod.queries()
@@ -79,17 +81,32 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Per-query delta vs the newest recorded round (BENCH_r{N}.json), so
+    # each round's record carries its own regression report. Single-run
+    # local timings are noisy (~±0.3s); read deltas accordingly.
+    import glob
+
+    prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    if prior:
+        try:
+            with open(prior[-1]) as fh:
+                prev = json.load(fh).get("parsed", {}).get("queries", {})
+            out["prev_round"] = os.path.basename(prior[-1])
+            out["delta_vs_prev"] = {
+                q: round(t - prev[q], 3) for q, t in timings.items() if q in prev
             }
-        )
-    )
+        except Exception:
+            pass
+
+    print(json.dumps(out))
     spark.stop()
 
 
