@@ -20,6 +20,7 @@ from etl_workflow_spark.catalog import table
 from etl_workflow_spark.operators import dedup as D
 from etl_workflow_spark.operators import etl as E
 from etl_workflow_spark.operators import multimodal as M
+from etl_workflow_spark.operators import sampling as SAMP
 from etl_workflow_spark.operators import similarity as S
 from etl_workflow_spark.operators import text as T
 from etl_workflow_spark.operators.dimtime import dim_time_frame, dim_time_oracle
@@ -668,6 +669,42 @@ _EVENTS_JSON_ORACLE = """
 """
 
 
+def _q_incremental_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10/J2: one day's slice of the daily rollup, computed
+    incrementally (date filter pushed to the orders scan, items
+    semi-joined down before any aggregation)."""
+    from etl_workflow_spark.streaming.incremental import incremental_daily_slice
+
+    items = table(spark, sf_dir, "lineitem").withColumn("item_total", Q.item_total())
+    df = incremental_daily_slice(
+        items,
+        table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+        table(spark, sf_dir, "part").withColumnRenamed("p_partkey", "l_partkey"),
+        as_of="1995-06-19",
+        order_key="l_orderkey",
+        product_key="l_partkey",
+        order_date="o_orderdate",
+        category_key="p_brand",
+        quantity="l_quantity",
+        total="item_total",
+    )
+    return df.select(
+        F.col("date"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("p_brand").alias("category_name"),
+        F.col("units_sold").cast("double").alias("units_sold"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("order_count"),
+        F.col("avg_unit_price"),
+    )
+
+
+_INCREMENTAL_SLICE_ORACLE = f"""
+    SELECT * FROM ({_DAILY_SALES_ORACLE})
+    WHERE date = DATE '1995-06-19'
+"""
+
+
 def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's PRIMARY entry point end to end
     (``workflow.py:355-361``): raw CSVs → extract → clean/transform →
@@ -880,11 +917,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_product": _q_update_product,
         "orders_semijoin": _q_orders_semijoin,
         "pipeline_e2e": _q_pipeline_e2e,
+        "incremental_slice": _q_incremental_slice,
         # -- LLM-pipeline operators (north-star extensions) ----------------
         "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
         "text_quality": lambda s, d: T.text_quality(table(s, d, "documents")),
         "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: T.fingerprint(table(s, d, "documents")),
+        "redact_pii": lambda s, d: T.redact_pii(table(s, d, "documents")),
+        "deterministic_sample": lambda s, d: SAMP.deterministic_sample(
+            table(s, d, "documents"), rate=0.2
+        ),
+        "stratified_sample": lambda s, d: SAMP.stratified_sample(
+            table(s, d, "documents"),
+            rates={"en": 0.3, "zh": 1.0},
+            strata_col="lang",
+            default_rate=0.5,
+        ),
         "top_terms": _q_top_terms,
         "value_percentiles": _q_value_percentiles,
         "dedup_exact": lambda s, d: D.exact_dedup(table(s, d, "documents")),
@@ -944,10 +992,16 @@ def oracle_sql() -> dict[str, str]:
         "update_product": _UPDATE_PRODUCT_ORACLE,
         "orders_semijoin": _ORDERS_SEMIJOIN_ORACLE,
         "pipeline_e2e": _PIPELINE_E2E_ORACLE,
+        "incremental_slice": _INCREMENTAL_SLICE_ORACLE,
         "token_count": T.token_count_oracle(),
         "text_quality": T.text_quality_oracle(),
         "lang_id": T.lang_id_oracle(),
         "doc_fingerprint": T.fingerprint_oracle(),
+        "redact_pii": T.redact_pii_oracle(),
+        "deterministic_sample": SAMP.deterministic_sample_oracle(rate=0.2),
+        "stratified_sample": SAMP.stratified_sample_oracle(
+            rates={"en": 0.3, "zh": 1.0}, strata_col="lang", default_rate=0.5
+        ),
         "top_terms": _TOP_TERMS_ORACLE,
         "quality_filtered_stats": f"""
             WITH q AS ({T.text_quality_oracle()}),

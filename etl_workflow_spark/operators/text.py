@@ -184,6 +184,48 @@ def lang_id_oracle(table: str = "documents") -> str:
     """
 
 
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) so the oracle is byte-identical: character classes, \S, {m,}.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://\S+"
+
+
+def redact_pii(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing — the standard pre-training compliance pass:
+    replace emails and URLs with typed placeholder tokens and count the
+    hits per document (the counts feed the quality/compliance report).
+
+    Pure JVM regex (codegen, shuffle-free projection); the pattern set
+    is deliberately small and cross-engine — a production pass extends
+    the same shape with more patterns (phones, IP addresses, keys).
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(col), PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>"
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col(col), F.lit(PII_EMAIL), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col(col), F.lit(PII_URL), 0))
+        .cast("int")
+        .alias("n_urls"),
+    )
+
+
+def redact_pii_oracle(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{PII_URL}', '<URL>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_URL}')) AS INT) AS n_urls
+        FROM {table}
+    """
+
+
 def fingerprint(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: SHA-256 over whitespace-normalized,
     lowercased text. Content-addressed identity for exact dedup across

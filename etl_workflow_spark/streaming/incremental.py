@@ -143,6 +143,52 @@ def merge_daily_partitions(
     )
 
 
+def incremental_daily_slice(
+    items: DataFrame,
+    orders: DataFrame,
+    products: DataFrame,
+    as_of: str,
+    order_key: str = "order_id",
+    product_key: str = "product_id",
+    order_date: str = "order_date",
+    category_key: str = "category_id",
+    quantity: str = "quantity",
+    total: str = "total",
+) -> DataFrame:
+    """B10/J2: the reference's CURRENT_DATE incremental re-aggregation
+    (``database-schema.sql:202-231`` deletes and re-inserts today's
+    slice of daily_sales_aggregation) as an incremental COMPUTE: filter
+    orders to the as-of date FIRST, semi-join items down to that day's
+    orders, and only then aggregate — at 100 TB the date predicate
+    prunes partitions at the scan, so the job's cost tracks one day's
+    data, not the table.
+
+    ``CURRENT_DATE`` is parameterized as ``as_of`` so runs are
+    deterministic and gate-testable; production callers pass
+    ``F.current_date()``'s value. Pair with
+    ``writers.overwrite_partitions`` for the idempotent DELETE+INSERT.
+    """
+    from ..operators import etl as ops
+
+    day_orders = orders.where(
+        F.to_date(F.col(order_date)) == F.lit(as_of).cast("date")
+    )
+    day_items = items.join(
+        day_orders.select(order_key), on=order_key, how="left_semi"
+    )
+    return ops.daily_sales_aggregation(
+        day_items,
+        day_orders,
+        products,
+        order_key=order_key,
+        product_key=product_key,
+        order_date=order_date,
+        category_key=category_key,
+        quantity=quantity,
+        total=total,
+    )
+
+
 def file_stream_events(
     spark: SparkSession, path: str, schema, max_files_per_trigger: int = 4
 ) -> DataFrame:

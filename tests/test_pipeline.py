@@ -137,3 +137,36 @@ def test_overwrite_partitions_only_touches_incoming(spark, tmp_path):
         (r["date"], r["k"], r["v"]) for r in spark.read.parquet(path).collect()
     )
     assert out == [(d1, 1, 10.0), (d2, 9, 99.0)]
+
+def test_update_rows_partitioned_touches_only_affected_partition(spark, tmp_path):
+    """J1 at scale: the key's partition is rewritten, other partitions'
+    files are left physically untouched."""
+    import datetime as dt
+    import glob
+
+    from etl_workflow_spark.sources import writers
+
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2023, 1, 1), "a"),
+            (2, dt.date(2023, 1, 1), "b"),
+            (3, dt.date(2023, 1, 2), "c"),
+        ],
+        ["id", "date", "name"],
+    )
+    writers.write_partitioned(df, path, "date")
+    untouched = sorted(glob.glob(f"{path}/date=2023-01-02/*.parquet"))
+
+    assert (
+        writers.update_rows_partitioned(spark, path, "date", "id", 2, {"name": "B"})
+        == 1
+    )
+    assert writers.update_rows_partitioned(
+        spark, path, "date", "id", 99, {"name": "x"}
+    ) == 0
+
+    got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # other partition: same physical files (never read-modified-written)
+    assert sorted(glob.glob(f"{path}/date=2023-01-02/*.parquet")) == untouched
