@@ -296,6 +296,19 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → canonical cluster assignment (connected components):
+    the step that makes a pair list an actual dedup decision."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    return D.dedup_clusters(pairs, all_ids=docs)
+
+
+_DEDUP_CLUSTERS_ORACLE = D.dedup_clusters_oracle(
+    D.ngram_jaccard_oracle(threshold=0.5)
+)
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, threshold=0.4)
@@ -937,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _q_value_percentiles,
         "dedup_exact": lambda s, d: D.exact_dedup(table(s, d, "documents")),
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         # rows-only: candidate pairs depend on xxhash64 buckets (no
         # DuckDB analog); the recall entry below is the falsifiable twin
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -1019,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _VALUE_PERCENTILES_ORACLE,
         "dedup_exact": D.exact_dedup_oracle(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "dedup_minhash_recall": f"""
             WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.5)})
             SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs

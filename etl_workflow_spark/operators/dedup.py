@@ -21,7 +21,7 @@ capability analog.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ exact
@@ -365,3 +365,109 @@ def hamming_pairs(fps: DataFrame, max_distance: int = 3,
         .distinct()
     )
     return cand.where(F.col("hamming") <= F.lit(max_distance))
+
+
+# ------------------------------------------------------------ clustering
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: the step that
+    turns a pair list (from :func:`ngram_jaccard_pairs`,
+    :func:`minhash_lsh_pairs`, or :func:`hamming_pairs`) into the
+    actual dedup decision — one canonical ``cluster_id`` (the minimum
+    member id) per document, plus the cluster size. Keep one doc per
+    cluster and you have the deduplicated corpus.
+
+    Algorithm: distributed min-label propagation. Each node starts
+    labeled min(self, neighbors); each round every node takes the min
+    of its own and its neighbors' labels; stop when no label changes.
+    Rounds = graph diameter, and near-dup graphs are shallow — LSH/
+    Jaccard components are quasi-cliques (diameter ≤ 2-3 in practice)
+    — so this converges in a handful of rounds. Each round is ONE
+    shuffle join (edges ⨝ labels) + one agg; labels are
+    localCheckpoint-ed per round so lineage stays flat no matter how
+    many rounds run. For adversarial long-chain graphs swap in
+    alternating large-star/small-star (same edge-join primitive,
+    O(log^2 n) rounds); dedup workloads never need it.
+
+    ``all_ids`` (one ``id_col`` per corpus document) makes the output
+    total: docs in no pair come back as singletons labeled by their own
+    id. Returns (doc_id, cluster_id, cluster_size).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list once — the pair generator upstream (an
+    # LSH band join or shingle self-join) must not re-run every round
+    adj = adj.localCheckpoint(eager=True)
+
+    labels = (
+        adj.groupBy("u")
+        .agg(F.min("v").alias("m"))
+        .select(F.col("u").alias("id"), F.least(F.col("u"), F.col("m")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            adj.join(labels, adj["v"] == labels["id"])
+            .select(adj["u"].alias("id"), F.col("label").alias("nl"))
+            .groupBy("id")
+            .agg(F.min("nl").alias("nl"))
+        )
+        merged = labels.join(nbr_min, on="id", how="left").select(
+            "id",
+            "label",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "new_label"
+            ),
+        )
+        merged = merged.localCheckpoint(eager=True)
+        if merged.where(F.col("new_label") < F.col("label")).limit(1).count() == 0:
+            labels = merged.select("id", F.col("new_label").alias("label"))
+            break
+        labels = merged.select("id", F.col("new_label").alias("label"))
+
+    out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    if all_ids is not None:
+        out = (
+            all_ids.select(id_col)
+            .join(out, on=id_col, how="left")
+            .select(
+                id_col,
+                F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
+    # single shuffle on cluster_id (vs groupBy + join = two)
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        id_col, "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+def dedup_clusters_oracle(
+    pairs_sql: str, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Transitive-closure twin via recursive CTE (tractable at oracle
+    scale; the Spark side is the distributed algorithm)."""
+    return f"""
+        WITH RECURSIVE
+        p AS ({pairs_sql}),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach(id, r) AS (
+            SELECT {id_col}, {id_col} FROM {table}
+            UNION
+            SELECT reach.id, e.v FROM reach JOIN e ON reach.r = e.u
+        ),
+        comp AS (SELECT id AS {id_col}, MIN(r) AS cluster_id
+                 FROM reach GROUP BY id)
+        SELECT {id_col}, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    """

@@ -42,3 +42,30 @@ def test_lsh_subset_of_exact_with_recall(emb):
     assert len(lsh) >= len(exact) * 0.2
     for k, v in lsh.items():
         assert v == pytest.approx(exact[k], abs=1e-3)
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    from etl_workflow_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round), pair 7-6,
+    # singletons 5 and 8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 6)], ["doc_a", "doc_b"]
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs, all_ids=ids).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        5: (5, 1), 6: (6, 2), 7: (6, 2), 8: (8, 1),
+    }
+
+
+def test_dedup_clusters_without_all_ids_covers_paired_only(spark):
+    from etl_workflow_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(10, 20), (20, 30)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10}
