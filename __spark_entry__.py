@@ -718,6 +718,131 @@ _INCREMENTAL_SLICE_ORACLE = f"""
 """
 
 
+def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase event joined as-of to the
+    user's most recent click at-or-before it (union+window as-of join —
+    one sort shuffle, no range explosion)."""
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.operators.temporal import asof_join
+
+    ev = events_table(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts", "click_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_id",
+        "click_ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "micros_since_click"
+        ),
+    )
+
+
+_ASOF_ATTRIBUTION_ORACLE = """
+    WITH c AS (
+        SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
+           epoch_us(p.ts) - epoch_us(c.click_ts) AS micros_since_click
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless points-in-intervals: events from ANY user counted inside
+    the 50 busiest session windows (time-binned equi-join, not the
+    BroadcastNestedLoop Spark would plan for a bare range predicate)."""
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.operators.sessions import sessionize
+    from etl_workflow_spark.operators.temporal import interval_join
+
+    ev = events_table(spark, sf_dir)
+    sess = sessionize(ev, gap_minutes=30)
+    top = (
+        sess.orderBy(F.desc("n_events"), "user_id", "session_start")
+        .limit(50)
+        .select(
+            F.col("user_id").alias("window_user"), "session_start", "session_end"
+        )
+    )
+    joined = interval_join(
+        ev.select("event_id", "ts"), top, "ts", "session_start", "session_end",
+        bin_seconds=900,
+    )
+    return joined.groupBy("window_user", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_events_in_window")
+    )
+
+
+_INTERVAL_JOIN_ORACLE = f"""
+    WITH sessions AS ({_sess_oracle(gap_minutes=30)}),
+    top AS (
+        SELECT user_id AS window_user, session_start, session_end
+        FROM sessions
+        ORDER BY n_events DESC, user_id, session_start LIMIT 50
+    )
+    SELECT t.window_user, t.session_start, t.session_end,
+           COUNT(*) AS n_events_in_window
+    FROM top t JOIN events e ON e.ts BETWEEN t.session_start AND t.session_end
+    GROUP BY 1, 2, 3
+"""
+
+
+def _q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-windowed trailing 7-day revenue + running cumulative
+    over the daily order rollup (RANGE frame on days, so calendar gaps
+    shrink the window instead of stretching it)."""
+    from etl_workflow_spark.operators.temporal import rolling_daily
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("date"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+        )
+    )
+    return rolling_daily(daily, "date", "revenue", days=7)
+
+
+_ROLLING_REVENUE_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS date,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT date, revenue,
+           SUM(revenue) OVER w7 AS revenue_7d_sum,
+           ROUND(CAST(SUM(revenue) OVER w7 AS DOUBLE)
+                 / COUNT(revenue) OVER w7, 4) AS revenue_7d_avg,
+           SUM(revenue) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING)
+               AS revenue_cumulative
+    FROM daily
+    WINDOW w7 AS (ORDER BY date
+                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's PRIMARY entry point end to end
     (``workflow.py:355-361``): raw CSVs → extract → clean/transform →
@@ -975,6 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_json": _q_events_json,
         "sessionize": _q_sessionize,
+        "asof_attribution": _q_asof_attribution,
+        "interval_join_sessions": _q_interval_join,
+        "rolling_revenue": _q_rolling_revenue,
         "approx_unique_customers": _q_approx_unique_customers,
     }
 
@@ -1056,6 +1184,9 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": _EVENTS_WINDOWED_ORACLE,
         "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
+        "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
+        "interval_join_sessions": _INTERVAL_JOIN_ORACLE,
+        "rolling_revenue": _ROLLING_REVENUE_ORACLE,
         "approx_unique_customers": _APPROX_UNIQUE_ORACLE,
         # Still rows-only (each depends on xxhash64, which DuckDB lacks):
         #   dedup_minhash_lsh — candidate buckets; falsifiable twin is

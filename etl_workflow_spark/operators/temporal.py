@@ -1,0 +1,222 @@
+"""Temporal join and window operators.
+
+Three operators the reference's SQL surface cannot express but every
+time-series / activity-log workload needs, each built Spark-first:
+
+  asof_join       latest right row at-or-before each left timestamp —
+                  ONE sort shuffle via union+window (no range explosion,
+                  no per-row lookup)
+  interval_join   points-in-intervals WITHOUT an equality key — time-
+                  binned equi-join instead of the quadratic cross join
+  rolling_daily   calendar-windowed (RANGE frame) moving aggregates
+
+Capability analogs: the reference joins fact rows to dim_time by exact
+date (``database-schema.sql:152-156``); these generalize that to
+inexact (as-of) and interval temporal alignment.
+
+Scale notes are on each function; none of them carries a cross join or
+a per-row Python path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ asof
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the same key and the greatest ``right_ts`` <= ``left_ts`` (DuckDB's
+    ``ASOF LEFT JOIN`` semantics). Unmatched left rows keep nulls.
+
+    Implementation is union-and-carry, the shuffle-minimal plan: tag
+    both inputs, union, then one window sorted by (ts, side) per key in
+    which ``last(value, ignorenulls)`` carries the most recent right
+    payload forward into each left row. Cost = ONE hash shuffle + sort
+    on the key — identical to what a sort-merge equi-join would pay —
+    versus the range-condition join Spark would otherwise plan as
+    BroadcastNestedLoop. State per key is O(1) (the running last), so
+    skewed keys degrade to a sort, never to a quadratic buffer.
+
+    Right rows sort BEFORE left rows at equal ts (side 0 < 1), making
+    the match inclusive. If multiple right rows share (key, ts) the
+    carried one is undefined — pre-aggregate the right side to one row
+    per (key, ts), as any as-of semantics requires.
+
+    ``tolerance_seconds`` voids matches older than the given age
+    (pandas ``merge_asof(tolerance=...)``): the join still runs in one
+    pass; stale matches are nulled afterwards.
+    """
+    lcols = left.columns
+    carried = list(right_cols)
+    if right_ts not in carried:
+        carried = [right_ts] + carried
+
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).alias(f"_r_{c}") for c in carried],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = r.unionByName(l).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in carried
+        ],
+    )
+    out = u.where(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        fresh = F.col(f"_m_{right_ts}") >= F.col("_ts") - F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        )
+        out = out.select(
+            *["_k", "_ts"],
+            *[F.col(f"_l_{c}").alias(f"_l_{c}") for c in lcols],
+            *[
+                F.when(fresh, F.col(f"_m_{c}")).alias(f"_m_{c}")
+                for c in carried
+            ],
+        )
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_m_{c}").alias(c) for c in right_cols],
+    )
+
+
+def asof_join_oracle(
+    left_sql: str,
+    right_sql: str,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> str:
+    """DuckDB twin using its native ASOF LEFT JOIN."""
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    rsel = ", ".join(f"r.{c}" for c in right_cols)
+    return f"""
+        SELECT {lsel}, {rsel}
+        FROM ({left_sql}) l
+        ASOF LEFT JOIN ({right_sql}) r
+          ON l.{on} = r.{on} AND l.{left_ts} >= r.{right_ts}
+    """
+
+
+# -------------------------------------------------------------- interval
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Keyless points-in-intervals join: every (point, interval) pair
+    with ``start <= ts <= end``, with NO equality key to hash on.
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin —
+    O(points × intervals), the classic scale-killer. Instead both sides
+    are mapped onto fixed-width time bins: each interval explodes into
+    the bins it covers (``sequence`` — codegen, fanout = duration/bin),
+    each point lands in one bin, and the bins equi-join with the exact
+    range predicate re-checked afterwards. Candidates are limited to
+    pairs sharing a bin, so cost tracks temporal locality, not the
+    cross product. Pick ``bin_seconds`` near the median interval length
+    so fanout stays O(1); skewed long intervals only widen their own
+    fanout.
+
+    Output: all point columns + all interval columns (names must not
+    collide).
+    """
+    p = points.withColumn(
+        "_bin", (F.unix_timestamp(F.col(point_ts)) / bin_seconds).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / bin_seconds).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, on="_bin")
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )
+
+
+# --------------------------------------------------------------- rolling
+
+
+def rolling_daily(
+    daily: DataFrame,
+    date_col: str,
+    value_col: str,
+    days: int = 7,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Calendar-windowed moving aggregates over a daily series: for each
+    day, the sum/avg of ``value_col`` over the trailing ``days``-day
+    window (RANGE frame on days-since-epoch, so gaps in the calendar
+    count as zero — a ROWS frame would silently stretch the window) and
+    the running cumulative sum.
+
+    One sort shuffle per partition key; the frame is O(1) state
+    (sliding sum), nothing is buffered. The input should already be the
+    daily rollup — run this AFTER aggregation so the window sees one
+    row per (key, day), not raw facts.
+    """
+    keys = partition_cols or []
+    d = daily.withColumn("_day", F.datediff(F.col(date_col), F.lit("1970-01-01")))
+    trailing = (
+        Window.partitionBy(*keys).orderBy("_day").rangeBetween(-(days - 1), 0)
+    )
+    running = (
+        Window.partitionBy(*keys)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # avg derived from the exact (decimal) windowed sum / count — a
+    # direct windowed avg accumulates in engine-specific order
+    tsum = F.sum(value_col).over(trailing)
+    tcnt = F.count(value_col).over(trailing)
+    return d.select(
+        *keys,
+        F.col(date_col),
+        F.col(value_col),
+        tsum.alias(f"{value_col}_{days}d_sum"),
+        F.round(tsum.cast("double") / tcnt, 4).alias(f"{value_col}_{days}d_avg"),
+        F.sum(value_col).over(running).alias(f"{value_col}_cumulative"),
+    ).drop("_day")

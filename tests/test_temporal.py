@@ -1,0 +1,107 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    rolling_daily,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_matches_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 10:00:00")),
+            (2, "u", _ts("2024-01-01 12:00:00")),
+            (3, "u", _ts("2024-01-01 09:00:00")),  # before any right row
+            (4, "v", _ts("2024-01-01 10:30:00")),
+            (5, "w", _ts("2024-01-01 10:00:00")),  # key with no right rows
+        ],
+        ["id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 09:30:00"), 100),
+            ("u", _ts("2024-01-01 10:00:00"), 200),  # ties left id=1: inclusive
+            ("u", _ts("2024-01-01 11:00:00"), 300),
+            ("v", _ts("2024-01-01 10:30:00"), 400),
+        ],
+        ["k", "rts", "val"],
+    )
+    out = {
+        r["id"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["val"],
+        ).collect()
+    }
+    assert out == {1: 200, 2: 300, 3: None, 4: 400, 5: None}
+
+
+def test_asof_join_tolerance_voids_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 12:00:00"))], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-01 10:00:00"), 7)], ["k", "rts", "val"]
+    )
+    fresh = asof_join(
+        left, right, "k", "ts", "rts", ["val"], tolerance_seconds=3 * 3600
+    ).collect()[0]
+    stale = asof_join(
+        left, right, "k", "ts", "rts", ["val"], tolerance_seconds=3600
+    ).collect()[0]
+    assert fresh["val"] == 7
+    assert stale["val"] is None
+
+
+def test_interval_join_equals_naive_range_join(spark):
+    points = spark.createDataFrame(
+        [(i, _ts("2024-01-01 00:00:00") + dt.timedelta(minutes=17 * i))
+         for i in range(60)],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:30:00")),
+            (2, _ts("2024-01-01 02:00:00"), _ts("2024-01-01 02:10:00")),
+            (3, _ts("2024-01-02 00:00:00"), _ts("2024-01-02 06:00:00")),
+            (4, _ts("2024-03-01 00:00:00"), _ts("2024-03-01 01:00:00")),  # empty
+        ],
+        ["iid", "lo", "hi"],
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "ts", "lo", "hi",
+                               bin_seconds=600).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .where((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_rolling_daily_range_frame_respects_calendar_gaps(spark):
+    daily = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 1), 10.0),
+            (dt.date(2024, 1, 2), 20.0),
+            # gap: Jan 3-9 missing; Jan 10 must NOT see Jan 1-2
+            (dt.date(2024, 1, 10), 40.0),
+        ],
+        ["date", "rev"],
+    )
+    out = {
+        r["date"]: (r["rev_7d_sum"], r["rev_7d_avg"], r["rev_cumulative"])
+        for r in rolling_daily(daily, "date", "rev", days=7).collect()
+    }
+    assert out[dt.date(2024, 1, 2)] == (30.0, 15.0, 30.0)
+    assert out[dt.date(2024, 1, 10)] == (40.0, 40.0, 70.0)
