@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_workflow_spark import queries as Q
 from etl_workflow_spark.catalog import table
+from etl_workflow_spark.operators import chunking as CH
 from etl_workflow_spark.operators import dedup as D
 from etl_workflow_spark.operators import etl as E
 from etl_workflow_spark.operators import multimodal as M
@@ -718,6 +719,36 @@ _INCREMENTAL_SLICE_ORACLE = f"""
 """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking of the corpus — training/RAG sequence prep."""
+    return CH.chunk_documents(table(spark, sf_dir, "documents"), chunk_tokens=32)
+
+
+_CHUNK_DOCUMENTS_ORACLE = CH.chunk_documents_oracle(chunk_tokens=32)
+
+
+def _q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing checked by falsifiable invariants (the pack ids
+    themselves depend on the shard hash, so the oracle verifies the
+    contract: conservation, budget, and fill floor)."""
+    chunks = CH.chunk_documents(table(spark, sf_dir, "documents"), chunk_tokens=32)
+    packed = CH.pack_sequences(chunks, budget_tokens=256, num_shards=16)
+    fills = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("fill"))
+    return fills.agg(
+        F.sum("fill").cast("long").alias("total_tokens"),
+        (F.max("fill") <= F.lit(256)).alias("packs_within_budget"),
+        (F.avg("fill") >= F.lit(128.0)).alias("fill_floor_ok"),
+    )
+
+
+_PACK_INVARIANTS_ORACLE = f"""
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           true AS packs_within_budget,
+           true AS fill_floor_ok
+    FROM ({_CHUNK_DOCUMENTS_ORACLE})
+"""
+
+
 def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase event joined as-of to the
     user's most recent click at-or-before it (union+window as-of join —
@@ -1101,6 +1132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "chunk_documents": _q_chunk_documents,
+        "pack_invariants": _q_pack_invariants,
         "interval_join_sessions": _q_interval_join,
         "rolling_revenue": _q_rolling_revenue,
         "approx_unique_customers": _q_approx_unique_customers,
@@ -1185,6 +1218,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
+        "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
+        "pack_invariants": _PACK_INVARIANTS_ORACLE,
         "interval_join_sessions": _INTERVAL_JOIN_ORACLE,
         "rolling_revenue": _ROLLING_REVENUE_ORACLE,
         "approx_unique_customers": _APPROX_UNIQUE_ORACLE,

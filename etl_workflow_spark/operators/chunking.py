@@ -1,0 +1,160 @@
+"""Document chunking and training-sequence packing.
+
+The two steps between a cleaned corpus and a training dataloader:
+
+  chunk_documents   split each document into fixed-token-budget chunks
+                    (optionally overlapping, RAG-style)
+  pack_sequences    bin chunks into context-window-sized packs (the
+                    "sequence packing" that keeps GPU batches dense)
+
+Chunking is pure Spark SQL: tokens via ``split``, per-chunk slices via
+``transform`` over a ``sequence`` of chunk indexes, fanned out with
+``posexplode``. Each output row carries ONLY its own chunk text (the
+alternative — exploding positions and re-slicing the full token array
+per row — duplicates the whole document once per chunk, quadratic in
+document length). The transform lambda is interpreted, but it runs
+once per CHUNK with vectorized slice/concat inside, so total work stays
+O(corpus tokens).
+
+Packing is a greedy next-fit stream per shard: an inherently sequential
+recurrence (each pack's state depends on the previous decision), so it
+cannot be a window function. It IS embarrassingly parallel across
+shards: documents hash-shard, each shard packs its own chunk stream in
+one Arrow batch (``applyInPandas``), and shard-local pack ids are made
+global by offsetting with the shard id. Cross-shard waste is at most
+one partial pack per shard — negligible when shards ≫ packs-per-shard.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PACK_SHARD_BITS = 40  # local pack ids stay below 2^40 per shard
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size whitespace-token chunks per document.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; every document yields at
+    least one chunk (empty/short docs give one short chunk). Output:
+    (id, chunk_idx, chunk_text, n_tokens). Shuffle-free projection.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * stride + 1, chunk_tokens)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("chunk_idx") * stride
+        )
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+def chunk_documents_oracle(
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    stride = chunk_tokens - overlap
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+        WITH t AS (
+            SELECT {id_col}, {toks} AS toks, len({toks}) AS n FROM {table}
+        ),
+        x AS (
+            SELECT {id_col}, toks, n,
+                   unnest(generate_series(0,
+                       GREATEST(CAST(CEIL((n - {overlap})
+                                          / CAST({stride} AS DOUBLE)) AS INT),
+                                1) - 1)) AS chunk_idx
+            FROM t
+        )
+        SELECT {id_col}, CAST(chunk_idx AS INT) AS chunk_idx,
+               array_to_string(
+                   list_slice(toks, chunk_idx * {stride} + 1,
+                              chunk_idx * {stride} + {chunk_tokens}), ' ')
+                   AS chunk_text,
+               CAST(LEAST({chunk_tokens}, n - chunk_idx * {stride}) AS INT)
+                   AS n_tokens
+        FROM x
+    """
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget_tokens: int = 512,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign each chunk a ``pack_id``
+    so every pack's token total stays within ``budget_tokens``.
+
+    Chunks longer than the budget get a pack of their own (they should
+    have been chunked smaller — the pack still records them rather than
+    dropping data). Deterministic: shard = hash(doc id), shard streams
+    ordered by (doc id, chunk idx). Next-fit guarantees every closed
+    pack is fuller than ``budget - max_chunk``, so fill rate stays high
+    without the sequential global pass a true first-fit-decreasing
+    would need.
+    """
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in chunks.select(id_col, idx_col, tokens_col).schema.fields
+    ) + ", pack_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, idx_col], kind="mergesort")
+        shard = int(pdf["_shard"].iloc[0])
+        pack_ids, local, fill = [], 0, 0
+        for n in pdf[tokens_col].to_numpy():
+            n = int(n)
+            if fill > 0 and fill + n > budget_tokens:
+                local += 1
+                fill = 0
+            fill += n
+            pack_ids.append((shard << _PACK_SHARD_BITS) | local)
+        out = pdf[[id_col, idx_col, tokens_col]].copy()
+        out["pack_id"] = pack_ids
+        return out
+
+    return (
+        chunks.select(id_col, idx_col, tokens_col)
+        .withColumn(
+            "_shard",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int"),
+        )
+        .groupBy("_shard")
+        .applyInPandas(pack, schema=out_schema)
+    )

@@ -1,0 +1,70 @@
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.operators.chunking import chunk_documents, pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunk_documents_covers_all_tokens_in_order(spark):
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")])
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4).collect()
+    )
+    assert out == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t4 t5 t6 t7", 4),
+        (1, 2, "t8 t9", 2),
+        (2, 0, "a b", 2),
+    ]
+
+
+def test_chunk_documents_overlap_strides(spark):
+    df = _docs(spark, [(1, "a b c d e")])
+    out = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=3, overlap=1).collect()
+    )
+    # stride 2: [a b c], [c d e]
+    assert out == [(0, "a b c"), (1, "c d e")]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "only")])
+    out = chunk_documents(df, chunk_tokens=8).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 1
+
+
+def test_pack_sequences_budget_and_conservation(spark):
+    df = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(40)],
+    )
+    chunks = chunk_documents(df, chunk_tokens=8)  # 40 docs x 4 chunks
+    packed = pack_sequences(chunks, budget_tokens=20, num_shards=4)
+    fills = {
+        r["pack_id"]: r["fill"]
+        for r in packed.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .collect()
+    }
+    assert all(f <= 20 for f in fills.values())
+    assert packed.count() == chunks.count()
+    assert (
+        packed.agg(F.sum("n_tokens")).collect()[0][0]
+        == chunks.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    # determinism: same input -> same assignment
+    again = pack_sequences(chunks, budget_tokens=20, num_shards=4)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_pack_sequences_oversized_chunk_gets_own_pack(spark):
+    df = _docs(spark, [(1, " ".join(f"w{j}" for j in range(50)))])
+    chunks = chunk_documents(df, chunk_tokens=50)
+    packed = pack_sequences(chunks, budget_tokens=10, num_shards=2).collect()
+    assert len(packed) == 1  # kept, not dropped
