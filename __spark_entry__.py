@@ -1093,6 +1093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: T.fingerprint(table(s, d, "documents")),
         "redact_pii": lambda s, d: T.redact_pii(table(s, d, "documents")),
+        "repetition_signals": lambda s, d: T.repetition_signals(
+            table(s, d, "documents")
+        ),
         "deterministic_sample": lambda s, d: SAMP.deterministic_sample(
             table(s, d, "documents"), rate=0.2
         ),
@@ -1173,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.lang_id_oracle(),
         "doc_fingerprint": T.fingerprint_oracle(),
         "redact_pii": T.redact_pii_oracle(),
+        "repetition_signals": T.repetition_signals_oracle(),
         "deterministic_sample": SAMP.deterministic_sample_oracle(rate=0.2),
         "stratified_sample": SAMP.stratified_sample_oracle(
             rates={"en": 0.3, "zh": 1.0}, strata_col="lang", default_rate=0.5

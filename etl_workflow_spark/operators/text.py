@@ -248,3 +248,119 @@ def fingerprint_oracle(table: str = "documents") -> str:
                     AS INT) AS n_chars_norm
         FROM {table}
     """
+
+
+def repetition_signals(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    documents dominated by one token, one bigram, or copy-pasted lines
+    are low-quality training data and get filtered on these scores.
+
+      distinct_token_ratio   |distinct tokens| / |tokens|
+      top_token_fraction     occurrences of the most frequent token / n
+      top_2gram_fraction     occurrences of the most frequent bigram /
+                             (n - 1)
+      dup_line_fraction      1 - |distinct lines| / |lines|
+
+    Mode-of-a-group ("most frequent X") is computed by explode →
+    count → max — two narrow shuffles on the doc id — NOT by an
+    in-array higher-order aggregate, which would be an interpreted
+    O(len²) lambda per document. The three branches join on the doc id
+    they were just aggregated on, so AQE coalesces them cheaply.
+    """
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    lines = F.split(F.col(col), "\n", -1)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.size(lines).alias("nl"),
+        F.size(F.array_distinct(lines)).alias("ndl"),
+        toks.alias("_toks"),
+    )
+    tok_max = (
+        base.select(id_col, F.explode("_toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("max_tok"))
+    )
+    sz = F.greatest(F.size(F.col("_toks")) - F.lit(1), F.lit(0))
+    z = F.arrays_zip(F.slice("_toks", 1, sz), F.slice("_toks", 2, sz))
+    grams = F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    gram_max = (
+        base.select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("max_gram"))
+    )
+    return (
+        base.drop("_toks")
+        .join(tok_max, on=id_col, how="left")
+        .join(gram_max, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n").cast("int").alias("n_tokens"),
+            F.round(F.col("nd") / F.col("n"), 4).alias("distinct_token_ratio"),
+            F.round(F.coalesce(F.col("max_tok"), F.lit(0)) / F.col("n"), 4).alias(
+                "top_token_fraction"
+            ),
+            F.round(
+                F.coalesce(F.col("max_gram"), F.lit(0))
+                / F.greatest(F.col("n") - 1, F.lit(1)),
+                4,
+            ).alias("top_2gram_fraction"),
+            F.round((F.col("nl") - F.col("ndl")) / F.col("nl"), 4).alias(
+                "dup_line_fraction"
+            ),
+        )
+    )
+
+
+def repetition_signals_oracle(table: str = "documents") -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM {table}
+        ),
+        base AS (
+            SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+                   len(lines) AS nl, len(list_distinct(lines)) AS ndl
+            FROM t
+        ),
+        tokc AS (
+            SELECT doc_id, MAX(c) AS max_tok FROM (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        ),
+        gramc AS (
+            SELECT doc_id, MAX(c) AS max_gram FROM (
+                SELECT doc_id, gram, COUNT(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+                    FROM t
+                )
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        )
+        SELECT b.doc_id, CAST(n AS INT) AS n_tokens,
+               round(nd / CAST(n AS DOUBLE), 4) AS distinct_token_ratio,
+               round(COALESCE(max_tok, 0) / CAST(n AS DOUBLE), 4)
+                   AS top_token_fraction,
+               round(COALESCE(max_gram, 0)
+                     / CAST(greatest(n - 1, 1) AS DOUBLE), 4)
+                   AS top_2gram_fraction,
+               round((nl - ndl) / CAST(nl AS DOUBLE), 4) AS dup_line_fraction
+        FROM base b
+        LEFT JOIN tokc USING (doc_id)
+        LEFT JOIN gramc USING (doc_id)
+    """

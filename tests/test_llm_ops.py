@@ -214,3 +214,27 @@ def test_ivf_topk_recall_on_testdata(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) < 1e-3
+
+
+def test_repetition_signals_crafted_docs(spark):
+    from etl_workflow_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one token dominates
+            (2, "a b c d"),                       # all distinct
+            (3, "x y x y x y"),                   # dominant bigram "x y"
+            (4, "l1\nl2\nl1\nl1"),                # duplicate lines
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert got[1]["top_token_fraction"] == 1.0
+    assert got[1]["distinct_token_ratio"] == 0.25
+    assert got[2]["distinct_token_ratio"] == 1.0
+    assert got[2]["top_token_fraction"] == 0.25
+    # "x y" occurs 3 times among 5 bigrams
+    assert got[3]["top_2gram_fraction"] == 0.6
+    # 4 lines, 2 distinct -> half duplicated
+    assert got[4]["dup_line_fraction"] == 0.5
+    assert got[1]["dup_line_fraction"] == 0.0
