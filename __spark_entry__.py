@@ -719,6 +719,122 @@ _INCREMENTAL_SLICE_ORACLE = f"""
 """
 
 
+_ITEM_TOTAL_SQL = """CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+    * CAST(l.l_quantity AS DECIMAL(18,2))
+    - CAST(l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))"""
+
+
+def _q_top_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 generalized: top-3 products per brand by revenue via a ranked
+    window — one agg shuffle + one window sort; the dim side broadcast."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").withColumn("rev", Q.item_total())
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev"), F.col("l_partkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "p_brand",
+            F.col("l_partkey").alias("product_id"),
+            F.col("rev").cast("double").alias("revenue"),
+            "rank",
+        )
+    )
+
+
+_TOP_PER_BRAND_ORACLE = f"""
+    WITH agg AS (
+        SELECT p.p_brand, l.l_partkey AS product_id,
+               SUM({_ITEM_TOTAL_SQL}) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p_brand, product_id, rev,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                                       ORDER BY rev DESC, product_id) AS INT)
+                   AS rank
+        FROM agg
+    )
+    SELECT p_brand, product_id, CAST(rev AS DOUBLE) AS revenue, rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity profile: event-type counts pivoted to
+    columns plus decimal-exact purchase value (conditional aggregation
+    — the same plan Spark's pivot-with-explicit-values produces, with
+    zero-filled counts instead of nulls)."""
+    from etl_workflow_spark.catalog import events_table
+
+    ev = events_table(spark, sf_dir)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(
+        *aggs,
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).cast(
+                "decimal(25,10)"
+            )
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+_EVENTS_PIVOT_ORACLE = f"""
+    SELECT user_id,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                      for t in _EVENT_TYPES)},
+           CAST(SUM(CAST(value AS DECIMAL(25,10)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchase_value
+    FROM events GROUP BY user_id
+"""
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (brand, year): per-cell, per-brand and grand totals in one
+    pass — partial aggregation handles all grouping sets in the same
+    shuffle instead of three separate jobs."""
+    li = table(spark, sf_dir, "lineitem").withColumn("rev", Q.item_total())
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    df = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+    )
+    return df.rollup("p_brand", "order_year").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_REVENUE_ROLLUP_ORACLE = f"""
+    SELECT p.p_brand, CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM({_ITEM_TOTAL_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ROLLUP (p_brand, order_year)
+"""
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token chunking of the corpus — training/RAG sequence prep."""
     return CH.chunk_documents(table(spark, sf_dir, "documents"), chunk_tokens=32)
@@ -1135,6 +1251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "top_per_brand": _q_top_per_brand,
+        "events_pivot": _q_events_pivot,
+        "revenue_rollup": _q_revenue_rollup,
         "chunk_documents": _q_chunk_documents,
         "pack_invariants": _q_pack_invariants,
         "interval_join_sessions": _q_interval_join,
@@ -1222,6 +1341,9 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
+        "top_per_brand": _TOP_PER_BRAND_ORACLE,
+        "events_pivot": _EVENTS_PIVOT_ORACLE,
+        "revenue_rollup": _REVENUE_ROLLUP_ORACLE,
         "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
         "pack_invariants": _PACK_INVARIANTS_ORACLE,
         "interval_join_sessions": _INTERVAL_JOIN_ORACLE,
