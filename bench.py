@@ -67,6 +67,18 @@ def main() -> None:
         "events_json",
         "value_percentiles",
         "sessionize",
+        # round-2 additions: temporal joins, clustering, chunk/pack,
+        # repetition signals, ranked/pivot/rollup analytics
+        "asof_attribution",
+        "interval_join_sessions",
+        "rolling_revenue",
+        "dedup_clusters",
+        "chunk_documents",
+        "pack_invariants",
+        "repetition_signals",
+        "top_per_brand",
+        "events_pivot",
+        "revenue_rollup",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -93,3 +93,48 @@ def test_bucketed_aggregation_skips_exchange(spark):
         .count()
     )
     assert plans.count_exchanges(agg) == 0
+
+
+def test_asof_join_has_no_nested_loop(spark, sf_dir):
+    """A raw range-condition join would plan BroadcastNestedLoop; the
+    union+window as-of must not."""
+    import __spark_entry__ as m
+
+    df = m.queries()["asof_attribution"](spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_interval_join_has_no_nested_loop(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["interval_join_sessions"](spark, sf_dir)
+    p = plans.physical_plan(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_top_per_brand_broadcasts_dim_single_agg_shuffle(spark, sf_dir):
+    import __spark_entry__ as m
+
+    df = m.queries()["top_per_brand"](spark, sf_dir)
+    assert plans.count_broadcasts(df) >= 1
+    # one exchange for the (brand, part) agg + one for the rank window
+    assert plans.count_exchanges(df) <= 2
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.chunking import chunk_documents
+
+    df = chunk_documents(table(spark, sf_dir, "documents"), chunk_tokens=32)
+    assert plans.count_exchanges(df) == 0
+    schemas = plans.scan_read_schemas(df)
+    assert schemas and "lang" not in schemas[0]  # column pruning
+
+
+def test_sampling_is_shuffle_free_pushdown(spark, sf_dir):
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.sampling import deterministic_sample
+
+    df = deterministic_sample(table(spark, sf_dir, "documents"), rate=0.2)
+    assert plans.count_exchanges(df) == 0
