@@ -1212,6 +1212,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": lambda s, d: T.repetition_signals(
             table(s, d, "documents")
         ),
+        "tfidf_top_terms": lambda s, d: T.tfidf_top_terms(
+            table(s, d, "documents"), k=5
+        ),
+        "embedding_centroids": lambda s, d: S.group_centroids(
+            table(s, d, "embeddings")
+        ),
         "deterministic_sample": lambda s, d: SAMP.deterministic_sample(
             table(s, d, "documents"), rate=0.2
         ),
@@ -1296,6 +1302,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": T.fingerprint_oracle(),
         "redact_pii": T.redact_pii_oracle(),
         "repetition_signals": T.repetition_signals_oracle(),
+        "tfidf_top_terms": T.tfidf_top_terms_oracle(k=5),
+        "embedding_centroids": S.group_centroids_oracle(),
         "deterministic_sample": SAMP.deterministic_sample_oracle(rate=0.2),
         "stratified_sample": SAMP.stratified_sample_oracle(
             rates={"en": 0.3, "zh": 1.0}, strata_col="lang", default_rate=0.5

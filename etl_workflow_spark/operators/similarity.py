@@ -608,3 +608,59 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "score",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids — the drift/contamination monitor
+    of a corpus pipeline (compare a source's centroid across snapshots,
+    or distance-to-centroid as an outlier score).
+
+    Float sums are order-dependent, so a naive avg would never match a
+    second run (or another engine) bit-for-bit. Each component is
+    quantized to exact integer micro-units (round(x*1e6) — float32's
+    ~1e-7 relative step makes micro-units lossless for unit-scale
+    embeddings), summed as longs (exact, associative, order-free), and
+    divided once at the output edge. posexplode → ONE shuffle on
+    (group, dim); 64 dims × |groups| output rows.
+    """
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        group_col,
+        "dim",
+        F.round(F.col("x").cast("double") * 1e6, 0).cast("long").alias("q"),
+    )
+    return (
+        ex.groupBy(group_col, "dim")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            group_col,
+            "dim",
+            F.round(F.col("sq") / (F.col("n") * F.lit(1e6)), 6).alias("centroid"),
+            F.col("n"),
+        )
+    )
+
+
+def group_centroids_oracle(
+    table: str = "embeddings", group_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    return f"""
+        SELECT {group_col}, dim,
+               round(SUM(q) / (COUNT(*) * 1e6), 6) AS centroid,
+               COUNT(*) AS n
+        FROM (
+            SELECT {group_col},
+                   generate_subscripts({vec_col}, 1) - 1 AS dim,
+                   CAST(round(CAST(unnest({vec_col}) AS DOUBLE) * 1e6)
+                        AS BIGINT) AS q
+            FROM {table}
+        )
+        GROUP BY 1, 2
+    """

@@ -364,3 +364,83 @@ def repetition_signals_oracle(table: str = "documents") -> str:
         LEFT JOIN tokc USING (doc_id)
         LEFT JOIN gramc USING (doc_id)
     """
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the keyword
+    profile used for topic routing and near-dup triage.
+
+    tf = in-doc count; idf = ln((N+1)/(df+1)) + 1 (the smoothed sklearn
+    form — never zero, no divide-by-zero on corpus-wide terms). Shape:
+    explode → (doc, term) count → term document-frequency agg → join.
+    The corpus size N is ONE scalar count action (bounded driver state,
+    same contract as the IVF quantizer); the df side joins by term —
+    term cardinality scales sublinearly with corpus size, and the join
+    carries only (term, df). Ranking sorts on the UNROUNDED score with
+    a term-name tiebreak so both engines rank identically; the score is
+    rounded only at the output edge.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(col)), r"\s+")).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(docfreq, on="term").withColumn(
+        "score",
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+    )
+
+
+def tfidf_top_terms_oracle(k: int = 5, table: str = "documents") -> str:
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS term
+                FROM {table}
+            ) GROUP BY 1, 2
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM {table}),
+        docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   tf.tf * (ln((n.n_docs + 1.0) / (docfreq.df + 1)) + 1.0)
+                       AS score
+            FROM tf JOIN docfreq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS INT)
+                       AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, CAST(tf AS INT) AS tf,
+               round(score, 4) AS score, rank
+        FROM ranked WHERE rank <= {k}
+    """

@@ -199,3 +199,28 @@ def file_stream_events(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop redelivered events (at-least-once
+    sources, retried producers) by key within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps state ONLY for the
+    watermark window — per-key state expires once the event-time
+    watermark passes it, so state is bounded by (arrival rate ×
+    horizon), not by history. A plain ``dropDuplicates`` on a stream
+    would accumulate every key ever seen. Batch callers get the same
+    semantics via ``dropDuplicates`` on the same keys (no watermark
+    state needed when the whole input is visible).
+    """
+    keys = key_cols or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -119,3 +119,43 @@ def test_merge_daily_partitions_keeps_unchanged_groups(spark, tmp_path):
         2: (9.0, 90.0, 3),   # updated in place
         3: (1.0, 10.0, 1),   # new group added
     }
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery collapses to one row per key; state is
+    watermark-bounded (contract documented in stream_dedup)."""
+    import datetime as dt
+
+    from etl_workflow_spark.streaming.incremental import stream_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "click", 1.0),
+        (2, base + dt.timedelta(minutes=1), "view", 2.0),
+        (1, base, "click", 1.0),          # exact redelivery
+        (2, base + dt.timedelta(minutes=1), "view", 2.0),  # redelivery
+        (3, base + dt.timedelta(minutes=2), "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = stream_dedup(stream, key_cols=["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+
+    # batch path: same keys, same survivors
+    assert sorted(
+        r["event_id"] for r in stream_dedup(df, key_cols=["event_id"]).collect()
+    ) == [1, 2, 3]
