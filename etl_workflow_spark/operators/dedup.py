@@ -407,11 +407,12 @@ def dedup_clusters(
     # LSH band join or shingle self-join) must not re-run every round
     adj = adj.localCheckpoint(eager=True)
 
+    # no checkpoint here: the lineage only references the (checkpointed)
+    # edge list, and round 1's checkpoint materializes it anyway
     labels = (
         adj.groupBy("u")
         .agg(F.min("v").alias("m"))
         .select(F.col("u").alias("id"), F.least(F.col("u"), F.col("m")).alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
         nbr_min = (
