@@ -745,6 +745,100 @@ _ITEM_TOTAL_SQL = """CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
     - CAST(l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))"""
 
 
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9's complement: lapsed customers via anti-join (NOT EXISTS with
+    a pushed date predicate). The orders side is filtered at the scan
+    and projected to the key before the join, so the shuffle carries 8
+    bytes/row; with AQE the small side broadcasts."""
+    cust = table(spark, sf_dir, "customer")
+    recent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(recent, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+"""
+
+
+def _q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values — one agg shuffle on the
+    bucket id (20 groups), partial aggregation does the real work
+    map-side. Bucket = floor(v / width) clamped to the last bucket;
+    identical integer arithmetic on both engines."""
+    width, nbuckets = 25_000.0, 20
+    orders = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(width)).cast("int"),
+        F.lit(nbuckets - 1),
+    )
+    return (
+        orders.select(
+            bucket.alias("bucket"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+_ORDER_VALUE_HISTOGRAM_ORACLE = """
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 19) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM orders GROUP BY 1
+"""
+
+
+def _q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split accounting: the hash-range split is a pure
+    function of the doc id, so the oracle replays the exact assignment —
+    disjoint + exhaustive by construction, sizes checked by value."""
+    from etl_workflow_spark.operators.sampling import split_frame
+
+    docs = table(spark, sf_dir, "documents")
+    parts = split_frame(docs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    labeled = None
+    for name, df in parts.items():
+        cur = df.select(F.lit(name).alias("split"), "doc_id")
+        labeled = cur if labeled is None else labeled.unionByName(cur)
+    return labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _split_counts_oracle() -> str:
+    from etl_workflow_spark.operators.sampling import _thr
+
+    t_train, t_valid = _thr(0.8), _thr(0.9)
+    return f"""
+        SELECT CASE
+                 WHEN h < '{t_train}' THEN 'train'
+                 WHEN h < '{t_valid}' THEN 'valid'
+                 ELSE 'test'
+               END AS split,
+               COUNT(*) AS n_docs
+        FROM (
+            SELECT substr(sha256('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+            FROM documents
+        )
+        GROUP BY 1
+    """
+
+
 def _q_top_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 generalized: top-3 products per brand by revenue via a ranked
     window — one agg shuffle + one window sort; the dim side broadcast."""
@@ -1279,6 +1373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "customers_without_orders": _q_customers_without_orders,
+        "order_value_histogram": _q_order_value_histogram,
+        "split_counts": _q_split_counts,
         "top_per_brand": _q_top_per_brand,
         "events_pivot": _q_events_pivot,
         "revenue_rollup": _q_revenue_rollup,
@@ -1375,6 +1472,9 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
+        "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+        "order_value_histogram": _ORDER_VALUE_HISTOGRAM_ORACLE,
+        "split_counts": _split_counts_oracle(),
         "top_per_brand": _TOP_PER_BRAND_ORACLE,
         "events_pivot": _EVENTS_PIVOT_ORACLE,
         "revenue_rollup": _REVENUE_ROLLUP_ORACLE,
