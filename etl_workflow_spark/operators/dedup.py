@@ -401,11 +401,13 @@ def dedup_clusters(
     total: docs in no pair come back as singletons labeled by their own
     id. Returns (doc_id, cluster_id, cluster_size).
     """
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # materialize the directed edge list BEFORE mirroring: the pair
+    # generator upstream (an LSH band join or shingle self-join) runs
+    # exactly once, and both union branches read the checkpoint
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint(
+        eager=True
+    )
     adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # materialize the edge list once — the pair generator upstream (an
-    # LSH band join or shingle self-join) must not re-run every round
-    adj = adj.localCheckpoint(eager=True)
 
     # no checkpoint here: the lineage only references the (checkpointed)
     # edge list, and round 1's checkpoint materializes it anyway
