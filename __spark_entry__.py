@@ -21,6 +21,7 @@ from etl_workflow_spark.operators import chunking as CH
 from etl_workflow_spark.operators import dedup as D
 from etl_workflow_spark.operators import etl as E
 from etl_workflow_spark.operators import multimodal as M
+from etl_workflow_spark.operators import quality as QL
 from etl_workflow_spark.operators import sampling as SAMP
 from etl_workflow_spark.operators import similarity as S
 from etl_workflow_spark.operators import text as T
@@ -745,6 +746,72 @@ _ITEM_TOTAL_SQL = """CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
     - CAST(l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))"""
 
 
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_totalprice", True),
+    ("o_orderstatus", False),
+    ("o_orderpriority", False),
+]
+
+
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the Deequ capability): nulls, exact distincts,
+    numeric ranges — one aggregation over one scan."""
+    from etl_workflow_spark.operators.quality import profile_table
+
+    return profile_table(
+        table(spark, sf_dir, "orders"), cols=[c for c, _ in _PROFILE_COLS]
+    )
+
+
+def _q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse invariants as machine-checkable violation counts: PK
+    uniqueness, FK containment, key non-nullness."""
+    from etl_workflow_spark.operators.quality import (
+        expect_non_null,
+        expect_subset,
+        expect_unique,
+        run_checks,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+    return run_checks(
+        expect_unique(orders, ["o_orderkey"], "orders_pk_unique"),
+        expect_subset(
+            lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_fk_orders"
+        ),
+        expect_subset(
+            orders, "o_custkey", customer, "c_custkey", "orders_fk_customer"
+        ),
+        expect_non_null(lineitem, "l_partkey", "lineitem_partkey_not_null"),
+    )
+
+
+_PROFILE_ORDERS_ORACLE = QL.profile_table_oracle("orders", _PROFILE_COLS)
+_CONSTRAINT_CHECKS_ORACLE = """
+    SELECT 'orders_pk_unique' AS check_name,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_partkey_not_null',
+           (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL)
+"""
+
+
 def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9's complement: lapsed customers via anti-join (NOT EXISTS with
     a pushed date predicate). The orders side is filtered at the scan
@@ -1373,6 +1440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "profile_orders": _q_profile_orders,
+        "constraint_checks": _q_constraint_checks,
         "customers_without_orders": _q_customers_without_orders,
         "order_value_histogram": _q_order_value_histogram,
         "split_counts": _q_split_counts,
@@ -1472,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
+        "profile_orders": _PROFILE_ORDERS_ORACLE,
+        "constraint_checks": _CONSTRAINT_CHECKS_ORACLE,
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "order_value_histogram": _ORDER_VALUE_HISTOGRAM_ORACLE,
         "split_counts": _split_counts_oracle(),
