@@ -746,6 +746,25 @@ _ITEM_TOTAL_SQL = """CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
     - CAST(l.l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))"""
 
 
+_SQL_REVENUE_BY_PRIORITY = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+def _q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL surface: register the catalog as temp views and run
+    the query through ``spark.sql`` — same Catalyst plan as the
+    DataFrame API, and the oracle is the IDENTICAL SQL text."""
+    from etl_workflow_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_SQL_REVENUE_BY_PRIORITY)
+
+
 _PROFILE_COLS = [
     ("o_orderkey", True),
     ("o_custkey", True),
@@ -1440,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
+        "sql_interface": _q_sql_interface,
         "profile_orders": _q_profile_orders,
         "constraint_checks": _q_constraint_checks,
         "customers_without_orders": _q_customers_without_orders,
@@ -1541,6 +1561,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
+        "sql_interface": _SQL_REVENUE_BY_PRIORITY,
         "profile_orders": _PROFILE_ORDERS_ORACLE,
         "constraint_checks": _CONSTRAINT_CHECKS_ORACLE,
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,

@@ -42,7 +42,9 @@ def load_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        # events needs the nanos-read conf + ts conversion — route it
+        # through its session-agnostic loader so a default session works
+        df = events_table(spark, sf_dir) if name == "events" else spark.read.parquet(path)
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df

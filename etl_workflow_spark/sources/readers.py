@@ -54,3 +54,19 @@ def union_chunks(*chunks: DataFrame) -> DataFrame:
     for c in chunks[1:]:
         out = out.unionByName(c, allowMissingColumns=False)
     return out
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan. An explicit schema skips the inference pass
+    (which reads the data TWICE — never acceptable on a 100 TB source);
+    inference stays available for exploration only.
+    """
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

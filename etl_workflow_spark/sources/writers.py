@@ -241,3 +241,17 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table_name)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    single_file: bool = False,
+    **options: str,
+) -> None:
+    """JSON-lines export sink — the interchange format of LLM-corpus
+    tooling. Same fan-out contract as :func:`write_csv`: one part per
+    partition unless ``single_file`` coalesces a small export."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).options(**options).json(path)

@@ -71,3 +71,19 @@ def test_write_csv_sink_roundtrip(spark, sf_dir, tmp_path):
 
         n_parts = len(glob.glob(f"{path}/part-*.csv"))
         assert n_parts == 1 if single else n_parts >= 1
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    from etl_workflow_spark.sources.readers import read_jsonl
+    from etl_workflow_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], ["id", "s", "v"]
+    )
+    path = str(tmp_path / "out.jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # inference path (exploration only) sees the same rows
+    inferred = read_jsonl(spark, path)
+    assert inferred.count() == 2
