@@ -377,6 +377,7 @@ def dedup_clusters(
     id_b: str = "doc_b",
     id_col: str = "doc_id",
     max_rounds: int = 20,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: the step that
     turns a pair list (from :func:`ngram_jaccard_pairs`,
@@ -397,6 +398,15 @@ def dedup_clusters(
     alternating large-star/small-star (same edge-join primitive,
     O(log^2 n) rounds); dedup workloads never need it.
 
+    Small-graph fast path: a verified near-dup pair list is orders of
+    magnitude smaller than the corpus (it survived similarity
+    verification), so when the edge count is under
+    ``small_graph_edges`` the components are solved by driver-side
+    union-find on the collected pairs — bounded memory (~32 B/edge,
+    same contract as the IVF quantizer's bounded driver step), same
+    output, and none of the per-round job overhead. Above the bound the
+    distributed loop below takes over unchanged.
+
     ``all_ids`` (one ``id_col`` per corpus document) makes the output
     total: docs in no pair come back as singletons labeled by their own
     id. Returns (doc_id, cluster_id, cluster_size).
@@ -407,6 +417,34 @@ def dedup_clusters(
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).localCheckpoint(
         eager=True
     )
+
+    if e.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in e.collect():
+            u, v = row[0], row[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        root_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = root_min.get(r)
+            if m is None or node < m:
+                root_min[r] = node
+        labels = e.sparkSession.createDataFrame(
+            [(n, root_min[find(n)]) for n in parent], ["id", "label"]
+        )
+        return _cluster_output(labels, all_ids, id_col)
+
     adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     # no checkpoint here: the lineage only references the (checkpointed)
@@ -436,6 +474,13 @@ def dedup_clusters(
             break
         labels = merged.select("id", F.col("new_label").alias("label"))
 
+    return _cluster_output(labels, all_ids, id_col)
+
+
+def _cluster_output(
+    labels: DataFrame, all_ids: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Shared tail: attach singletons, compute sizes in one shuffle."""
     out = labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     if all_ids is not None:
         out = (

@@ -44,7 +44,14 @@ def test_lsh_subset_of_exact_with_recall(emb):
         assert v == pytest.approx(exact[k], abs=1e-3)
 
 
-def test_dedup_clusters_chain_and_singletons(spark):
+import pytest
+
+
+@pytest.mark.parametrize("small_graph_edges", [2_000_000, 0])
+def test_dedup_clusters_chain_and_singletons(spark, small_graph_edges):
+    """Both tiers — driver union-find (default bound) and the
+    distributed label-propagation loop (bound forced to 0) — must
+    produce identical assignments."""
     from etl_workflow_spark.operators.dedup import dedup_clusters
 
     # chain 1-2-3-4 (diameter 3: needs >1 propagation round), pair 7-6,
@@ -55,7 +62,9 @@ def test_dedup_clusters_chain_and_singletons(spark):
     ids = spark.createDataFrame([(i,) for i in range(1, 9)], ["doc_id"])
     got = {
         r["doc_id"]: (r["cluster_id"], r["cluster_size"])
-        for r in dedup_clusters(pairs, all_ids=ids).collect()
+        for r in dedup_clusters(
+            pairs, all_ids=ids, small_graph_edges=small_graph_edges
+        ).collect()
     }
     assert got == {
         1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
