@@ -1157,6 +1157,44 @@ _INTERVAL_JOIN_ORACLE = f"""
 """
 
 
+def _q_revenue_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day deltas via lag(): the change and percent change of
+    daily revenue — one sort shuffle, O(1) window state."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("date"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w = Window.orderBy("date")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "date",
+        "revenue",
+        (F.col("revenue") - prev).alias("delta"),
+        F.round(
+            (F.col("revenue") - prev).cast("double") / prev.cast("double") * 100,
+            4,
+        ).alias("pct_change"),
+    )
+
+
+_REVENUE_DOD_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS date,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT date, revenue,
+           revenue - lag(revenue) OVER (ORDER BY date) AS delta,
+           round(CAST(revenue - lag(revenue) OVER (ORDER BY date) AS DOUBLE)
+                 / CAST(lag(revenue) OVER (ORDER BY date) AS DOUBLE) * 100, 4)
+               AS pct_change
+    FROM daily
+"""
+
+
 def _q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-windowed trailing 7-day revenue + running cumulative
     over the daily order rollup (RANGE frame on days, so calendar gaps
@@ -1472,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_invariants": _q_pack_invariants,
         "interval_join_sessions": _q_interval_join,
         "rolling_revenue": _q_rolling_revenue,
+        "revenue_dod": _q_revenue_dod,
         "approx_unique_customers": _q_approx_unique_customers,
     }
 
@@ -1574,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_invariants": _PACK_INVARIANTS_ORACLE,
         "interval_join_sessions": _INTERVAL_JOIN_ORACLE,
         "rolling_revenue": _ROLLING_REVENUE_ORACLE,
+        "revenue_dod": _REVENUE_DOD_ORACLE,
         "approx_unique_customers": _APPROX_UNIQUE_ORACLE,
         # Still rows-only (each depends on xxhash64, which DuckDB lacks):
         #   dedup_minhash_lsh — candidate buckets; falsifiable twin is
