@@ -755,6 +755,94 @@ _SQL_REVENUE_BY_PRIORITY = """
 """
 
 
+def _q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with engine-exact accumulation: both moments
+    are integer sums (quantity, price in cents; squares as
+    DECIMAL(38,0) — cents² overflows a long) so the only float math is
+    the final closed-form ratio, identical IEEE ops on both engines.
+    A direct ``corr()`` accumulates doubles in partition order and
+    never reproduces across engines or runs."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(F.col("n"), F.round(corr, 6).alias("corr_qty_price"))
+
+
+_QTY_PRICE_CORR_ORACLE = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+               SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+               SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+        FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        )
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr_qty_price
+    FROM s
+"""
+
+
+def _q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE segmentation: customers bucketed into revenue quartiles
+    (deterministic total order via the custkey tiebreak)."""
+    from pyspark.sql.window import Window
+
+    lv = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv"))
+    )
+    w = Window.orderBy(F.desc("ltv"), F.col("o_custkey"))
+    return lv.select(
+        F.col("o_custkey"),
+        F.col("ltv").cast("double").alias("ltv"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_CUSTOMER_QUARTILES_ORACLE = """
+    WITH lv AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ltv
+        FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, CAST(ltv AS DOUBLE) AS ltv,
+           CAST(NTILE(4) OVER (ORDER BY ltv DESC, o_custkey) AS INT)
+               AS quartile
+    FROM lv
+"""
+
+
 def _q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL surface: register the catalog as temp views and run
     the query through ``spark.sql`` — same Catalyst plan as the
@@ -1498,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
         "sql_interface": _q_sql_interface,
+        "qty_price_corr": _q_qty_price_corr,
+        "customer_quartiles": _q_customer_quartiles,
         "profile_orders": _q_profile_orders,
         "constraint_checks": _q_constraint_checks,
         "customers_without_orders": _q_customers_without_orders,
@@ -1601,6 +1691,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSIONIZE_ORACLE,
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
         "sql_interface": _SQL_REVENUE_BY_PRIORITY,
+        "qty_price_corr": _QTY_PRICE_CORR_ORACLE,
+        "customer_quartiles": _CUSTOMER_QUARTILES_ORACLE,
         "profile_orders": _PROFILE_ORDERS_ORACLE,
         "constraint_checks": _CONSTRAINT_CHECKS_ORACLE,
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
