@@ -224,3 +224,18 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: str, broadcast_dim: bool = True
+) -> DataFrame:
+    """Stream-static enrichment join (C9's streaming twin): attach dim
+    attributes to a stream without state — stream-static inner joins
+    are stateless in Structured Streaming (each micro-batch joins
+    against the CURRENT dim snapshot; a file-backed dim picks up
+    updates between batches). Broadcast keeps the stream side
+    shuffle-free; disable for dims too large to broadcast, which makes
+    it a per-batch shuffle join.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how="inner")

@@ -159,3 +159,40 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     assert sorted(
         r["event_id"] for r in stream_dedup(df, key_cols=["event_id"]).collect()
     ) == [1, 2, 3]
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static join: stateless enrichment, stream side never
+    shuffles (broadcast dim)."""
+    import datetime as dt
+
+    from etl_workflow_spark.streaming.incremental import enrich_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    facts = spark.createDataFrame(
+        [(1, 100, base), (2, 200, base), (3, 100, base), (4, 999, base)],
+        ["event_id", "product_id", "ts"],
+    )
+    facts.coalesce(1).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame(
+        [(100, "widget"), (200, "gadget")], ["product_id", "name"]
+    )
+
+    stream = spark.readStream.schema(facts.schema).parquet(src)
+    q = (
+        enrich_stream(stream, dim, on="product_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["name"]) for r in spark.read.parquet(out).collect()
+    )
+    # inner join: the unknown product (999) drops
+    assert got == [(1, "widget"), (2, "gadget"), (3, "widget")]
