@@ -755,6 +755,40 @@ _SQL_REVENUE_BY_PRIORITY = """
 """
 
 
+def _q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level aggregation, oracle-checked: the salt only
+    reshapes the shuffle — decomposable aggregates over exact types
+    (count/min/max, decimal sum) are salt-independent, so the plain
+    GROUP BY oracle must match bit-for-bit."""
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.operators.skew import salted_aggregate
+
+    ev = events_table(spark, sf_dir).withColumn(
+        "v", F.col("value").cast("decimal(25,10)")
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "total_value": ("sum", "v"),
+        },
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+_SKEW_SALTED_AGG_ORACLE = """
+    SELECT event_type,
+           COUNT(event_id) AS n_events,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+"""
+
+
 def _q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation with engine-exact accumulation: both moments
     are integer sums (quantity, price in cents; squares as
@@ -1587,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": _q_asof_attribution,
         "sql_interface": _q_sql_interface,
         "qty_price_corr": _q_qty_price_corr,
+        "skew_salted_agg": _q_skew_salted_agg,
         "customer_quartiles": _q_customer_quartiles,
         "profile_orders": _q_profile_orders,
         "constraint_checks": _q_constraint_checks,
@@ -1692,6 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
         "sql_interface": _SQL_REVENUE_BY_PRIORITY,
         "qty_price_corr": _QTY_PRICE_CORR_ORACLE,
+        "skew_salted_agg": _SKEW_SALTED_AGG_ORACLE,
         "customer_quartiles": _CUSTOMER_QUARTILES_ORACLE,
         "profile_orders": _PROFILE_ORDERS_ORACLE,
         "constraint_checks": _CONSTRAINT_CHECKS_ORACLE,
