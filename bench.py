@@ -79,6 +79,9 @@ def main() -> None:
         "top_per_brand",
         "events_pivot",
         "revenue_rollup",
+        "tfidf_top_terms",
+        "profile_orders",
+        "constraint_checks",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

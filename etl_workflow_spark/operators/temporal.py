@@ -136,7 +136,7 @@ def interval_join(
     point_ts: str,
     start_col: str,
     end_col: str,
-    bin_seconds: int = 3600,
+    bin_seconds: int | None = 3600,
 ) -> DataFrame:
     """Keyless points-in-intervals join: every (point, interval) pair
     with ``start <= ts <= end``, with NO equality key to hash on.
@@ -150,11 +150,21 @@ def interval_join(
     pairs sharing a bin, so cost tracks temporal locality, not the
     cross product. Pick ``bin_seconds`` near the median interval length
     so fanout stays O(1); skewed long intervals only widen their own
-    fanout.
+    fanout. ``bin_seconds=None`` self-tunes: one sketch pass
+    (``percentile_approx`` — bounded memory, one scalar to the driver)
+    sets the bin to the median interval length, the fanout sweet spot.
 
     Output: all point columns + all interval columns (names must not
     collide).
     """
+    if bin_seconds is None:
+        med = intervals.select(
+            F.expr(
+                f"percentile_approx(unix_timestamp({end_col}) - "
+                f"unix_timestamp({start_col}), 0.5, 1000)"
+            )
+        ).first()[0]
+        bin_seconds = max(int(med or 0), 60)
     p = points.withColumn(
         "_bin", (F.unix_timestamp(F.col(point_ts)) / bin_seconds).cast("long")
     )

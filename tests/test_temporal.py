@@ -105,3 +105,27 @@ def test_rolling_daily_range_frame_respects_calendar_gaps(spark):
     }
     assert out[dt.date(2024, 1, 2)] == (30.0, 15.0, 30.0)
     assert out[dt.date(2024, 1, 10)] == (40.0, 40.0, 70.0)
+
+
+def test_interval_join_auto_bin_matches_fixed(spark):
+    points = spark.createDataFrame(
+        [(i, _ts("2024-01-01 00:00:00") + dt.timedelta(minutes=13 * i))
+         for i in range(40)],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 03:00:00")),
+            (2, _ts("2024-01-01 04:00:00"), _ts("2024-01-01 04:30:00")),
+        ],
+        ["iid", "lo", "hi"],
+    )
+    fixed = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "ts", "lo", "hi", 600).collect()
+    )
+    auto = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "ts", "lo", "hi", None).collect()
+    )
+    assert auto == fixed and len(auto) > 0
