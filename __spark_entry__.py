@@ -329,24 +329,33 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: quality-score -> filter -> corpus stats, the
-    canonical pre-training data funnel (filter feeds token budget)."""
+    canonical pre-training data funnel (filter feeds token budget).
+
+    Every output column is an exact integer: sums over longs/decimals
+    are order-independent, the average is integral fixed-point (1e-4
+    units) via truncating integer division, and the stopword-ratio sum
+    is returned in 1e-6 units (a scale-6 decimal sum times 10^6 is
+    integral by construction). Two rounds of hash-FAILs traced to
+    round(double, 4) sitting on an environment-sensitive knife edge —
+    there is no float left to diverge.
+    """
     docs = table(spark, sf_dir, "documents")
     q = T.text_quality(docs).where(F.col("passes_quality"))
     counts = T.token_count(docs)
-    # Averages from exact, order-independent sums (long / decimal), then
-    # ONE divide + round: avg() over doubles depends on accumulation
-    # order and hash-mismatched the DuckDB oracle at the 4th decimal.
-    return q.join(counts, "doc_id").agg(
+    agg = q.join(counts, "doc_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4
-        ).alias("avg_tokens"),
-        F.round(
-            F.sum(F.col("stopword_ratio").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("avg_stopword_ratio"),
+        F.sum(F.col("stopword_ratio").cast("decimal(18,6)")).alias("_ssr"),
+    )
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        F.expr("CAST((total_tokens * 10000) DIV n_docs AS BIGINT)").alias(
+            "avg_tokens_e4"
+        ),
+        (F.col("_ssr") * F.lit(1_000_000)).cast("long").alias(
+            "sum_stopword_ratio_e6"
+        ),
     )
 
 
@@ -1683,16 +1692,19 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _TOP_TERMS_ORACLE,
         "quality_filtered_stats": f"""
             WITH q AS ({T.text_quality_oracle()}),
-                 c AS ({T.token_count_oracle()})
-            SELECT COUNT(*) AS n_docs,
-                   SUM(c.n_tokens) AS total_tokens,
-                   round(CAST(SUM(c.n_tokens) AS DOUBLE) / COUNT(*), 4)
-                       AS avg_tokens,
-                   round(CAST(SUM(CAST(q.stopword_ratio AS DECIMAL(18,6)))
-                              AS DOUBLE) / COUNT(*), 4)
-                       AS avg_stopword_ratio
-            FROM q JOIN c USING (doc_id)
-            WHERE q.passes_quality
+                 c AS ({T.token_count_oracle()}),
+                 s AS (
+                     SELECT COUNT(*) AS n_docs,
+                            SUM(c.n_tokens) AS total_tokens,
+                            SUM(CAST(q.stopword_ratio AS DECIMAL(18,6))) AS ssr
+                     FROM q JOIN c USING (doc_id)
+                     WHERE q.passes_quality
+                 )
+            SELECT n_docs, total_tokens,
+                   CAST((total_tokens * 10000) // n_docs AS BIGINT)
+                       AS avg_tokens_e4,
+                   CAST(ssr * 1000000 AS BIGINT) AS sum_stopword_ratio_e6
+            FROM s
         """,
         "value_percentiles": _VALUE_PERCENTILES_ORACLE,
         "dedup_exact": D.exact_dedup_oracle(),

@@ -51,26 +51,22 @@ def load_tables(
     return out
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a single table lazily (no view registration)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Make results session- and host-agnostic at read time.
 
+    Callers hand us arbitrary sessions (the correctness gate builds a
+    default one), so the confs results depend on are set here — both
+    are runtime-settable — instead of relying on our own session
+    factory:
 
-def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper timestamp — session-agnostic.
-
-    The parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright (PARQUET_TYPE_ILLEGAL) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set. Callers hand us
-    arbitrary sessions (the correctness gate builds a default one), so
-    set the conf at read time — it is runtime-settable — instead of
-    relying on our own session factory. The session timezone is pinned
-    to UTC for the same reason: epoch-derived timestamps must collect
-    identically everywhere (and match the DuckDB oracle, which reads
-    the nanos column as a TZ-free timestamp).
+    - ``timeZone=UTC``: date extraction from timestamp columns
+      (``to_date(o_orderdate)`` etc.) must not depend on the host
+      timezone, and must match the DuckDB oracle, which reads parquet
+      timestamps as TZ-free values.
+    - ``nanosAsLong``: the events parquet stores TIMESTAMP(NANOS),
+      which Spark's vectorized reader rejects outright
+      (PARQUET_TYPE_ILLEGAL) without it.
     """
-    from pyspark.sql import functions as F
-
     for key, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
@@ -79,6 +75,18 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, val)
         except Exception:  # pragma: no cover - static conf on odd builds
             pass
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a single table lazily (no view registration)."""
+    _pin_session_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a proper timestamp — session-agnostic
+    (see :func:`_pin_session_confs` for the confs involved)."""
+    from pyspark.sql import functions as F
 
     ev = table(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":

@@ -377,7 +377,8 @@ def dedup_clusters(
     id_b: str = "doc_b",
     id_col: str = "doc_id",
     max_rounds: int = 20,
-    small_graph_edges: int = 2_000_000,
+    small_graph_edges: int = 200_000,
+    small_graph_nodes: int = 500_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: the step that
     turns a pair list (from :func:`ngram_jaccard_pairs`,
@@ -401,11 +402,15 @@ def dedup_clusters(
     Small-graph fast path: a verified near-dup pair list is orders of
     magnitude smaller than the corpus (it survived similarity
     verification), so when the edge count is under
-    ``small_graph_edges`` the components are solved by driver-side
-    union-find on the collected pairs — bounded memory (~32 B/edge,
-    same contract as the IVF quantizer's bounded driver step), same
-    output, and none of the per-round job overhead. Above the bound the
-    distributed loop below takes over unchanged.
+    ``small_graph_edges`` AND the node count stays under
+    ``small_graph_nodes`` the components are solved by driver-side
+    union-find on the collected pairs, and the label frame goes back
+    through the Arrow batch path (``createDataFrame(pandas.DataFrame)``)
+    rather than row-by-row py4j serialization. The defaults bound the
+    driver dict at ~200k edges (a Python dict entry costs ~100+ B, so
+    this is tens of MB of driver heap, not the GB the old 2M default
+    admitted). Above either bound the distributed loop below takes over
+    unchanged.
 
     ``all_ids`` (one ``id_col`` per corpus document) makes the output
     total: docs in no pair come back as singletons labeled by their own
@@ -434,16 +439,26 @@ def dedup_clusters(
             ru, rv = find(u), find(v)
             if ru != rv:
                 parent[ru] = rv
-        root_min: dict = {}
-        for node in parent:
-            r = find(node)
-            m = root_min.get(r)
-            if m is None or node < m:
-                root_min[r] = node
-        labels = e.sparkSession.createDataFrame(
-            [(n, root_min[find(n)]) for n in parent], ["id", "label"]
-        )
-        return _cluster_output(labels, all_ids, id_col)
+        if len(parent) <= small_graph_nodes:
+            root_min: dict = {}
+            for node in parent:
+                r = find(node)
+                m = root_min.get(r)
+                if m is None or node < m:
+                    root_min[r] = node
+            import pandas as pd
+
+            labels = e.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "id": list(parent),
+                        "label": [root_min[find(n)] for n in parent],
+                    }
+                )
+            )
+            return _cluster_output(labels, all_ids, id_col)
+        # too many nodes for a driver-built frame: fall through to the
+        # distributed loop (the collected dict is discarded)
 
     adj = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
@@ -454,6 +469,7 @@ def dedup_clusters(
         .agg(F.min("v").alias("m"))
         .select(F.col("u").alias("id"), F.least(F.col("u"), F.col("m")).alias("label"))
     )
+    converged = False
     for _ in range(max_rounds):
         nbr_min = (
             adj.join(labels, adj["v"] == labels["id"])
@@ -469,10 +485,21 @@ def dedup_clusters(
             ),
         )
         merged = merged.localCheckpoint(eager=True)
-        if merged.where(F.col("new_label") < F.col("label")).limit(1).count() == 0:
-            labels = merged.select("id", F.col("new_label").alias("label"))
-            break
+        changed = merged.where(F.col("new_label") < F.col("label")).limit(1).count()
         labels = merged.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            converged = True
+            break
+
+    if not converged:
+        # a component's diameter exceeded max_rounds: partial labels
+        # would silently split clusters — refuse instead.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_rounds={max_rounds}; "
+            "the pair graph has a longer-diameter component than label "
+            "propagation budgeted for — raise max_rounds or switch to the "
+            "large-star/small-star variant"
+        )
 
     return _cluster_output(labels, all_ids, id_col)
 

@@ -383,7 +383,15 @@ def embedding_neardup_blocked(
 
     if num_blocks is None:
         n = emb.count()
-        num_blocks = max(1, math.ceil(n / rows_per_block))
+        # two bounds: block SIZE stays <= rows_per_block (a fixed count
+        # outgrows Arrow row limits at 100x corpus), and block COUNT
+        # stays >= ~8 when the corpus allows (>=64 rows/block) so the
+        # B(B+1)/2 block pairs actually spread across executors — with
+        # one block the whole matmul lands on a single task.
+        num_blocks = max(
+            math.ceil(n / rows_per_block),
+            min(8, max(1, n // 64)),
+        )
 
     blocks = (
         emb.select(

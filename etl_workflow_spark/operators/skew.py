@@ -80,7 +80,17 @@ def salted_join(
 
     Use when the dim is too big to broadcast AND the fact has hot keys;
     otherwise prefer plain ``join`` (broadcast or AQE skew handling).
+
+    Only ``inner`` and ``left`` are sound: the dim side is exploded
+    across all ``salt_buckets``, so right/full outer joins would emit
+    each unmatched dim row once per salt bucket (silent duplication).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got how={how!r}: the "
+            "exploded dim side would duplicate unmatched rows "
+            f"{salt_buckets}x under right/full outer semantics"
+        )
     f = fact.withColumn("_salt", (F.rand(seed=0) * salt_buckets).cast("int"))
     d = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

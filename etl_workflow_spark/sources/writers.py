@@ -137,14 +137,19 @@ def update_rows(
         df = df.withColumn(
             "updated_at", F.when(is_target, F.current_timestamp())
         )
-    # Parquet can't overwrite a path while reading it — stage then swap.
+    # Parquet can't overwrite a path while reading it — stage once,
+    # then swap directories with a filesystem rename (metadata-only on
+    # HDFS/local; one materialization instead of the old
+    # stage→re-read→rewrite double write).
     tmp = path.rstrip("/") + "._staged"
     df.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    if not fs.rename(htmp, hpath):
+        raise IOError(f"rename {tmp} -> {path} failed")
     return matched
 
 

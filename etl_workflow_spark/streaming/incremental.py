@@ -123,10 +123,19 @@ def merge_daily_partitions(
     replacing. Uses a read-probe rather than os.path so the logic holds
     on any Hadoop-compatible filesystem.
     """
+    from pyspark.errors import AnalysisException
+
     out = batch_df
     try:
         existing = batch_df.sparkSession.read.parquet(output_path)
-    except Exception:  # first batch: nothing to merge
+    except AnalysisException as e:
+        # ONLY the missing-path case means "first batch". Anything else
+        # (permissions, corrupt footer, ...) must propagate: swallowing
+        # it would skip the merge and overwrite the affected partitions
+        # with just this micro-batch — silent data loss.
+        cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        if (cond or "") != "PATH_NOT_FOUND":
+            raise
         existing = None
     if existing is not None:
         dates = batch_df.select(partition_col).distinct()

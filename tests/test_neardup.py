@@ -72,6 +72,32 @@ def test_dedup_clusters_chain_and_singletons(spark, small_graph_edges):
     }
 
 
+def test_dedup_clusters_node_bound_falls_through_to_distributed(spark):
+    """Edge count under the bound but node count over it: the fast path
+    must be skipped, and the distributed loop still gets it right."""
+    from etl_workflow_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 6)], ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, small_graph_nodes=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 6: 6, 7: 6}
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    """A chain whose diameter exceeds max_rounds must refuse rather than
+    return silently split clusters."""
+    from etl_workflow_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-...-8: min-label needs several rounds to reach the tail
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, small_graph_edges=0, max_rounds=1)
+
+
 def test_dedup_clusters_without_all_ids_covers_paired_only(spark):
     from etl_workflow_spark.operators.dedup import dedup_clusters
 

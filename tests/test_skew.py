@@ -59,6 +59,17 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         assert _rows(salted, *cols) == _rows(plain, *cols)
 
 
+def test_salted_join_rejects_outer_modes(spark, sf_dir):
+    # the exploded dim side would emit unmatched rows salt_buckets times
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner/left only"):
+            salted_join(orders, customer, "o_custkey", how=how)
+
+
 def test_salted_join_left_keeps_unmatched(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     # drop half the customers so some orders have no match
