@@ -311,20 +311,106 @@ _DEDUP_CLUSTERS_ORACLE = D.dedup_clusters_oracle(
 )
 
 
-def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash-LSH family in ONE hash-checked row.
+
+    The raw candidate pairs depend on xxhash64 buckets (no DuckDB
+    analog), so the gate asserts the falsifiable contract instead:
+
+      n_exact            exact-Jaccard pair count (oracle-exact)
+      recall_ok          >= 80% of exact pairs recovered by the banded
+                         LSH path (planted near-dups sit at J~0.98
+                         where S-curve collision prob ~1)
+      no_false_positives the LSH output verifies candidates with the
+                         SAME exact Jaccard, so found ⊆ exact must hold
+                         as a set identity, not an approximation
+      pairs_ordered_ok   every emitted pair has doc_a < doc_b
+    """
     docs = table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, threshold=0.4)
+    exact = (
+        D.ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    found = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    j = exact.join(found.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
+    n = F.count(F.lit(1))
+    hits = F.coalesce(F.sum("hit"), F.lit(0))
+    r1 = j.agg(
+        n.alias("n_exact"),
+        (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
+    )
+    r2 = found.join(
+        exact.withColumn("e", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).agg(
+        (F.count(F.when(F.col("e").isNull(), 1)) == 0).alias("no_false_positives"),
+        F.coalesce(F.expr("bool_and(doc_a < doc_b)"), F.lit(True)).alias(
+            "pairs_ordered_ok"
+        ),
+    )
+    return r1.crossJoin(r2)
 
 
-def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(table(spark, sf_dir, "documents"))
+_DEDUP_MINHASH_ORACLE = f"""
+    WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.5)})
+    SELECT COUNT(*) AS n_exact, TRUE AS recall_ok,
+           TRUE AS no_false_positives, TRUE AS pairs_ordered_ok
+    FROM pairs
+"""
 
 
-def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: pigeonhole-blocked Hamming join over the
-    64-bit fingerprints (segment equality bounds candidates)."""
-    fps = D.simhash(table(spark, sf_dir, "documents"))
-    return D.hamming_pairs(fps, max_distance=3)
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash family (fingerprint + pigeonhole Hamming join) in ONE
+    hash-checked row. The 64-bit xxhash64 fingerprints themselves have
+    no DuckDB analog; the contract does:
+
+      n_docs             one fingerprint per document
+      n_exact            exact pairs at Jaccard >= 0.8 (oracle-exact)
+      recall_ok          strong near-dups land within Hamming 6, where
+                         the 7-segment pigeonhole join GUARANTEES
+                         candidate generation — a miss means the
+                         fingerprint drifted, not the join
+      pairs_ordered_ok   doc_a < doc_b on every pair
+      hamming_bounded_ok emitted distances within [0, 6]
+    """
+    docs = table(spark, sf_dir, "documents")
+    fps = D.simhash(docs).persist()
+    found = D.hamming_pairs(fps, max_distance=6).persist()
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    j = exact.join(
+        found.select("doc_a", "doc_b").withColumn("hit", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    n = F.count(F.lit(1))
+    hits = F.coalesce(F.sum("hit"), F.lit(0))
+    r1 = j.agg(
+        n.alias("n_exact"),
+        (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
+    )
+    r2 = fps.agg(F.count(F.lit(1)).alias("n_docs"))
+    r3 = found.agg(
+        F.coalesce(F.expr("bool_and(doc_a < doc_b)"), F.lit(True)).alias(
+            "pairs_ordered_ok"
+        ),
+        F.coalesce(F.expr("bool_and(hamming BETWEEN 0 AND 6)"), F.lit(True)).alias(
+            "hamming_bounded_ok"
+        ),
+    )
+    return r1.crossJoin(r2).crossJoin(r3)
+
+
+_SIMHASH_NEARDUP_ORACLE = f"""
+    WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.8)})
+    SELECT COUNT(*) AS n_exact, TRUE AS recall_ok,
+           (SELECT COUNT(*) FROM documents) AS n_docs,
+           TRUE AS pairs_ordered_ok, TRUE AS hamming_bounded_ok
+    FROM pairs
+"""
 
 
 def _q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,58 +482,71 @@ def _ann_recall_frame(
     ).orderBy("query_id")
 
 
-def _ann_recall_oracle(k: int, query_predicate: str = "vec_id < 8") -> str:
-    return f"""
-        SELECT vec_id AS query_id,
-               CAST({k} AS BIGINT) AS n_exact,
-               TRUE AS recall_ok
-        FROM embeddings WHERE {query_predicate}
-        ORDER BY 1
+def _q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate ANN tiers graded against the exact brute-force
+    tier in ONE hash-checked row.
+
+    LSH top-k: per-query recall@5 >= 0.6 must hold for EVERY query.
+    IVF top-k: MEAN recall@5 >= 0.6 — per-query recall on isotropic
+    testdata is noisy (a query's true neighbors are barely closer than
+    the bulk, so cell assignment is near-random for the tail); the
+    measured mean sits at ~0.83, and the aggregate floor still fails on
+    a broken quantizer/probe stage.
     """
-
-
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH top-k graded as recall@k against the exact brute-force tier."""
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
-    exact = S.brute_force_topk(emb, queries_df, k=5)
-    approx = S.lsh_topk(emb, queries_df, k=5, query_id_col="query_id")
-    return _ann_recall_frame(exact, approx, min_recall=0.6)
-
-
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k graded as MEAN recall@k against the brute-force tier.
-
-    Per-query recall on isotropic testdata is noisy (a query's true
-    neighbors are barely closer than the bulk, so cell assignment is
-    near-random for the tail) — measured min per-query recall at
-    n_probe=8 is 0.6 at both sf0.001 and sf0.01 while the mean sits at
-    ~0.83. The aggregate invariant (mean >= 0.6) is stable yet still
-    fails on a broken quantizer/probe stage."""
-    emb = table(spark, sf_dir, "embeddings")
-    queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
-    exact = S.brute_force_topk(emb, queries_df, k=5)
-    approx = S.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=8)
-    hits = exact.select("query_id", "neighbor_id").join(
-        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    exact = S.brute_force_topk(emb, queries_df, k=5).persist()
+    lsh = S.lsh_topk(emb, queries_df, k=5, query_id_col="query_id")
+    ivf = S.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=8)
+    r1 = _ann_recall_frame(exact, lsh, min_recall=0.6).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.coalesce(F.expr("bool_and(recall_ok)"), F.lit(True)).alias(
+            "lsh_recall_ok"
+        ),
     )
-    n_exact = F.count(F.lit(1))
+    hits = exact.select("query_id", "neighbor_id").join(
+        ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
     joined = exact.select("query_id", "neighbor_id").join(
         hits.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
     )
-    total_hits = F.coalesce(F.sum("hit"), F.lit(0))
-    return joined.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        (total_hits * F.lit(10) >= n_exact * F.lit(6)).alias("recall_ok"),
+    r2 = joined.agg(
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)) * F.lit(10)
+            >= F.count(F.lit(1)) * F.lit(6)
+        ).alias("ivf_recall_ok"),
     )
+    return r1.crossJoin(r2)
 
 
-def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+_ANN_APPROX_ORACLE = """
+    SELECT COUNT(*) AS n_queries, TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+    FROM embeddings WHERE vec_id < 8
+"""
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multimodal mapInPandas stages — metadata extraction,
+    resize, frame sampling — joined per document into one hash-checked
+    frame. The oracle covers every content-determined column (byte
+    length, checksum, fake-resize digest, sampled frame count/max from
+    the digest-derived frame count); fake decode dimensions are
+    unit-tested (tests/test_llm_ops.py)."""
     docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
-    meta = M.extract_media_meta(docs)
-    # Oracle covers the content-determined columns; fake decode
-    # dimensions are unit-tested (tests/test_llm_ops.py).
-    return meta.select("doc_id", "payload_bytes", "checksum_sha256")
+    meta = M.extract_media_meta(docs).select(
+        "doc_id", "payload_bytes", "checksum_sha256"
+    )
+    rez = M.resize_media(docs, 224, 224).select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("resized_hex"),
+        "width",
+        "height",
+    )
+    frames = M.sample_frames(docs, every_n=2).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+    return meta.join(rez, "doc_id").join(frames, "doc_id")
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,50 +592,6 @@ _APPROX_UNIQUE_ORACLE = """
     GROUP BY 1
     ORDER BY 1
 """
-
-
-def _q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall invariant for the MinHash-LSH tier: every exact-Jaccard
-    pair (>= 0.5, from the oracle-checkable inverted-index tier) should
-    be recovered by the banded-LSH path. Planted near-dups sit at
-    Jaccard ~0.98 where the S-curve collision probability is ~1, so the
-    0.8 floor only trips on a genuinely broken signature/band stage."""
-    docs = table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.5)
-    found = D.minhash_lsh_pairs(docs, threshold=0.5)
-    j = exact.select("doc_a", "doc_b").join(
-        found.select("doc_a", "doc_b").withColumn("hit", F.lit(1)),
-        ["doc_a", "doc_b"],
-        "left",
-    )
-    n = F.count(F.lit(1))
-    hits = F.coalesce(F.sum("hit"), F.lit(0))
-    # no division (empty-set and ANSI safe): hits >= ceil(0.8 * n)
-    return j.agg(
-        n.alias("n_exact"),
-        (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
-    )
-
-
-def _q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall invariant for the SimHash tier: strong near-dups (exact
-    Jaccard >= 0.8) should land within Hamming distance 6, where the
-    7-segment pigeonhole join GUARANTEES candidate generation — so a
-    recall miss means the fingerprint itself drifted, not the join.
-    Measured 0.93-1.0 across sf; the 0.8 floor trips only on a broken
-    hash/segment stage."""
-    docs = table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
-    found = D.hamming_pairs(D.simhash(docs), max_distance=6).select(
-        "doc_a", "doc_b"
-    )
-    j = exact.join(found.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
-    n = F.count(F.lit(1))
-    hits = F.coalesce(F.sum("hit"), F.lit(0))
-    return j.agg(
-        n.alias("n_exact"),
-        (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
-    )
 
 
 def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,22 +654,36 @@ _TOP_TERMS_ORACLE = """
 """
 
 
-def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
-    out = M.resize_media(docs, 224, 224)
-    return out.select(
-        "doc_id",
-        F.lower(F.hex("payload")).alias("payload_hex"),
-        "width",
-        "height",
+# Fake decode derives n_frames = 1 + digest[2] % 8 from the payload's
+# SHA-256 (multimodal.py decode_media); frame sampling keeps every 2nd
+# index. digest[2] % 8 is the low 3 bits of the third byte, i.e. hex
+# digit 6 of the hex digest mod 8 — reproducible in SQL, so the "stub"
+# plumbing stays hash-gated end to end.
+_MULTIMODAL_ORACLE = f"""
+    WITH m AS ({M.media_meta_oracle()}),
+    r AS (
+        SELECT doc_id, sha256(text || '224x224') AS resized_hex,
+               224 AS width, 224 AS height
+        FROM documents
+    ),
+    nf AS (
+        SELECT doc_id,
+               1 + ((strpos('0123456789abcdef', substr(sha256(text), 6, 1)) - 1)
+                    % 8) AS n_frames
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+        FROM nf
+    ),
+    f AS (
+        SELECT doc_id, COUNT(*) AS n_frames_sampled,
+               CAST(MAX(frame_idx) AS INT) AS max_frame_idx
+        FROM fr GROUP BY 1
     )
-
-
-_MULTIMODAL_RESIZE_ORACLE = """
-    SELECT doc_id,
-           sha256(text || '224x224') AS payload_hex,
-           224 AS width, 224 AS height
-    FROM documents
+    SELECT m.*, r.resized_hex, r.width, r.height,
+           f.n_frames_sampled, f.max_frame_idx
+    FROM m JOIN r USING (doc_id) JOIN f USING (doc_id)
 """
 
 
@@ -640,29 +709,11 @@ def _q_embedding_neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
-    return M.sample_frames(docs, every_n=2).select("doc_id", "frame_idx")
-
-
-# The fake decoder derives n_frames = 1 + digest[2] % 8 from the
-# payload's SHA-256 (multimodal.py decode_media), and frame sampling
-# keeps every 2nd index — both reproducible in SQL, so the "stub"
-# plumbing is still hash-gated end to end. digest[2] % 8 is the low 3
-# bits of the third byte, i.e. hex digit 6 of the hex digest mod 8.
-_MULTIMODAL_FRAMES_ORACLE = """
-    WITH f AS (
-        SELECT doc_id,
-               1 + ((strpos('0123456789abcdef', substr(sha256(text), 6, 1)) - 1)
-                    % 8) AS n_frames
-        FROM documents
-    )
-    SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
-    FROM f
-"""
-
-
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windowed aggregation + per-group JSON-prop extraction:
+    ``sum_prop_k`` sums a field pulled out of the JSON ``props`` column
+    (exact integer sum), so both the window agg and the JSON path
+    operator feed the hash."""
     from etl_workflow_spark.catalog import events_table
 
     ev = events_table(spark, sf_dir)
@@ -675,6 +726,9 @@ def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.sum(F.col("value").cast("decimal(25,10)")).cast("double").alias("total_value"),
+            F.sum(
+                F.get_json_object(F.col("props"), "$.k").cast("int")
+            ).alias("sum_prop_k"),
         )
         .orderBy("hour", "event_type")
     )
@@ -685,33 +739,18 @@ _EVENTS_WINDOWED_ORACLE = """
            event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_prop_k
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
 
 
-def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_workflow_spark.catalog import events_table
-
-    ev = events_table(spark, sf_dir)
-    return ev.select(
-        F.col("event_id"),
-        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
-    )
-
-
 from etl_workflow_spark.operators.sessions import sessionize_oracle as _sess_oracle
 
 _SESSIONIZE_ORACLE = _sess_oracle(gap_minutes=30)
-
-
-_EVENTS_JSON_ORACLE = """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
-    FROM events
-"""
 
 
 def _q_incremental_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
