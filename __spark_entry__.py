@@ -1641,18 +1641,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: D.exact_dedup(table(s, d, "documents")),
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
-        # rows-only: candidate pairs depend on xxhash64 buckets (no
-        # DuckDB analog); the recall entry below is the falsifiable twin
-        "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_minhash_recall": _q_dedup_minhash_recall,
-        "simhash_recall": _q_simhash_recall,
-        # rows-only: 64-bit xxhash64 fingerprints, DuckDB has no xxhash64
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
+        # consolidated one-row contracts: recall/ordering/etc. invariants
+        # of the xxhash64-based paths, hash-checked against exact tiers
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash_neardup": _q_simhash_neardup,
         "quality_filtered_stats": _q_quality_filtered_stats,
         "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
+        "ann_approx": _q_ann_approx,
         "embedding_neardup": lambda s, d: S.embedding_neardup_exact(
             table(s, d, "embeddings"), threshold=0.45
         ),
@@ -1660,11 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             table(s, d, "embeddings"), threshold=0.45
         ),
         "embedding_neardup_lsh": _q_embedding_neardup_lsh_recall,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,
+        "multimodal": _q_multimodal,
         "events_windowed": _q_events_windowed,
-        "events_json": _q_events_json,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
         "sql_interface": _q_sql_interface,
@@ -1749,31 +1741,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.exact_dedup_oracle(),
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
-        "dedup_minhash_recall": f"""
-            WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.5)})
-            SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
-        """,
-        "simhash_recall": f"""
-            WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.8)})
-            SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
-        """,
+        "dedup_minhash": _DEDUP_MINHASH_ORACLE,
+        "simhash_neardup": _SIMHASH_NEARDUP_ORACLE,
         "ann_bruteforce": S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8"),
-        "ann_lsh": _ann_recall_oracle(k=5),
-        "ann_ivf": """
-            SELECT COUNT(*) AS n_queries, TRUE AS recall_ok
-            FROM embeddings WHERE vec_id < 8
-        """,
+        "ann_approx": _ANN_APPROX_ORACLE,
         "embedding_neardup": S.embedding_neardup_exact_oracle(threshold=0.45),
         "embedding_neardup_blocked": S.embedding_neardup_exact_oracle(threshold=0.45),
         "embedding_neardup_lsh": f"""
             WITH pairs AS ({S.embedding_neardup_exact_oracle(threshold=0.45)})
             SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
         """,
-        "multimodal_meta": M.media_meta_oracle(),
-        "multimodal_resize": _MULTIMODAL_RESIZE_ORACLE,
-        "multimodal_frames": _MULTIMODAL_FRAMES_ORACLE,
+        "multimodal": _MULTIMODAL_ORACLE,
         "events_windowed": _EVENTS_WINDOWED_ORACLE,
-        "events_json": _EVENTS_JSON_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
         "sql_interface": _SQL_REVENUE_BY_PRIORITY,
@@ -1794,9 +1773,4 @@ def oracle_sql() -> dict[str, str]:
         "rolling_revenue": _ROLLING_REVENUE_ORACLE,
         "revenue_dod": _REVENUE_DOD_ORACLE,
         "approx_unique_customers": _APPROX_UNIQUE_ORACLE,
-        # Still rows-only (each depends on xxhash64, which DuckDB lacks):
-        #   dedup_minhash_lsh — candidate buckets; falsifiable twin is
-        #     dedup_minhash_recall (exact-pair recall >= 0.8)
-        #   simhash / simhash_pairs — 64-bit xxhash64 fingerprints;
-        #     pigeonhole + bit_count semantics are pytest-covered
     }

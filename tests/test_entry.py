@@ -1,0 +1,34 @@
+"""Gate smoke tests: the driver contract must always be importable.
+
+Round-3 postmortem: a consolidation left 11 dangling names in
+``queries()``, which zeroed out the entire correctness/bench signal for
+the round. These tests make that class of breakage a local pytest
+failure instead of a driver-side blackout.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_queries_importable_and_callable():
+    q = entry.queries()
+    assert len(q) > 0
+    for name, fn in q.items():
+        assert callable(fn), f"queries()[{name!r}] is not callable"
+
+
+def test_oracle_keys_match_query_keys():
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert q - o == set(), f"queries without an oracle: {sorted(q - o)}"
+    assert o - q == set(), f"oracles without a query: {sorted(o - q)}"
+
+
+def test_oracles_are_nonempty_sql():
+    for name, sql in entry.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), (
+            f"oracle_sql()[{name!r}] is not a SQL string"
+        )
+
+
