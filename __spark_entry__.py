@@ -337,22 +337,45 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .persist()
     )
-    j = exact.join(found.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
-    n = F.count(F.lit(1))
-    hits = F.coalesce(F.sum("hit"), F.lit(0))
-    r1 = j.agg(
-        n.alias("n_exact"),
-        (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
+    # Eager one-row contract: both aggregates are actions over the two
+    # persisted pair frames, collected here so the cache can be released
+    # before returning (a lazily-returned plan would leak the persisted
+    # blocks across the multi-query gate run).
+    try:
+        j = exact.join(
+            found.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        n = F.count(F.lit(1))
+        hits = F.coalesce(F.sum("hit"), F.lit(0))
+        r1 = j.agg(
+            n.alias("n_exact"),
+            (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
+        ).collect()[0]
+        r2 = found.join(
+            exact.withColumn("e", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            (F.count(F.when(F.col("e").isNull(), 1)) == 0).alias(
+                "no_false_positives"
+            ),
+            F.coalesce(F.expr("bool_and(doc_a < doc_b)"), F.lit(True)).alias(
+                "pairs_ordered_ok"
+            ),
+        ).collect()[0]
+    finally:
+        exact.unpersist()
+        found.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                r1["n_exact"],
+                bool(r1["recall_ok"]),
+                bool(r2["no_false_positives"]),
+                bool(r2["pairs_ordered_ok"]),
+            )
+        ],
+        "n_exact bigint, recall_ok boolean, no_false_positives boolean, "
+        "pairs_ordered_ok boolean",
     )
-    r2 = found.join(
-        exact.withColumn("e", F.lit(1)), ["doc_a", "doc_b"], "left"
-    ).agg(
-        (F.count(F.when(F.col("e").isNull(), 1)) == 0).alias("no_false_positives"),
-        F.coalesce(F.expr("bool_and(doc_a < doc_b)"), F.lit(True)).alias(
-            "pairs_ordered_ok"
-        ),
-    )
-    return r1.crossJoin(r2)
 
 
 _DEDUP_MINHASH_ORACLE = f"""
@@ -380,28 +403,48 @@ def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     fps = D.simhash(docs).persist()
     found = D.hamming_pairs(fps, max_distance=6).persist()
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
-    j = exact.join(
-        found.select("doc_a", "doc_b").withColumn("hit", F.lit(1)),
-        ["doc_a", "doc_b"],
-        "left",
+    # Eager one-row contract — see _q_dedup_minhash for why (persisted
+    # blocks must be released before the frame is handed back).
+    try:
+        exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select(
+            "doc_a", "doc_b"
+        )
+        j = exact.join(
+            found.select("doc_a", "doc_b").withColumn("hit", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        n = F.count(F.lit(1))
+        hits = F.coalesce(F.sum("hit"), F.lit(0))
+        r1 = j.agg(
+            n.alias("n_exact"),
+            (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
+        ).collect()[0]
+        r2 = fps.agg(F.count(F.lit(1)).alias("n_docs")).collect()[0]
+        r3 = found.agg(
+            F.coalesce(F.expr("bool_and(doc_a < doc_b)"), F.lit(True)).alias(
+                "pairs_ordered_ok"
+            ),
+            F.coalesce(
+                F.expr("bool_and(hamming BETWEEN 0 AND 6)"), F.lit(True)
+            ).alias("hamming_bounded_ok"),
+        ).collect()[0]
+    finally:
+        fps.unpersist()
+        found.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                r1["n_exact"],
+                bool(r1["recall_ok"]),
+                r2["n_docs"],
+                bool(r3["pairs_ordered_ok"]),
+                bool(r3["hamming_bounded_ok"]),
+            )
+        ],
+        "n_exact bigint, recall_ok boolean, n_docs bigint, "
+        "pairs_ordered_ok boolean, hamming_bounded_ok boolean",
     )
-    n = F.count(F.lit(1))
-    hits = F.coalesce(F.sum("hit"), F.lit(0))
-    r1 = j.agg(
-        n.alias("n_exact"),
-        (hits * F.lit(10) >= n * F.lit(8)).alias("recall_ok"),
-    )
-    r2 = fps.agg(F.count(F.lit(1)).alias("n_docs"))
-    r3 = found.agg(
-        F.coalesce(F.expr("bool_and(doc_a < doc_b)"), F.lit(True)).alias(
-            "pairs_ordered_ok"
-        ),
-        F.coalesce(F.expr("bool_and(hamming BETWEEN 0 AND 6)"), F.lit(True)).alias(
-            "hamming_bounded_ok"
-        ),
-    )
-    return r1.crossJoin(r2).crossJoin(r3)
 
 
 _SIMHASH_NEARDUP_ORACLE = f"""
@@ -445,12 +488,6 @@ def _q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
-    return S.brute_force_topk(emb, queries_df, k=5)
-
-
 def _ann_recall_frame(
     exact: DataFrame, approx: DataFrame, min_recall: float
 ) -> DataFrame:
@@ -482,9 +519,10 @@ def _ann_recall_frame(
     ).orderBy("query_id")
 
 
-def _q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both approximate ANN tiers graded against the exact brute-force
-    tier in ONE hash-checked row.
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole ANN family in ONE hash-checked frame: the exact
+    brute-force top-k rows (fully oracle-checked, per row) with both
+    approximate-tier recall contracts appended as flag columns.
 
     LSH top-k: per-query recall@5 >= 0.6 must hold for EVERY query.
     IVF top-k: MEAN recall@5 >= 0.6 — per-query recall on isotropic
@@ -492,36 +530,57 @@ def _q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bulk, so cell assignment is near-random for the tail); the
     measured mean sits at ~0.83, and the aggregate floor still fails on
     a broken quantizer/probe stage.
+
+    The exact tier is bounded (8 queries x k=5 = 40 rows), so the
+    frame is materialized eagerly and the persisted base released —
+    no cached blocks leak across the gate run.
     """
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
     exact = S.brute_force_topk(emb, queries_df, k=5).persist()
-    lsh = S.lsh_topk(emb, queries_df, k=5, query_id_col="query_id")
-    ivf = S.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=8)
-    r1 = _ann_recall_frame(exact, lsh, min_recall=0.6).agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.coalesce(F.expr("bool_and(recall_ok)"), F.lit(True)).alias(
-            "lsh_recall_ok"
-        ),
+    try:
+        lsh = S.lsh_topk(emb, queries_df, k=5, query_id_col="query_id")
+        ivf = S.ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=8)
+        lsh_ok = bool(
+            _ann_recall_frame(exact, lsh, min_recall=0.6)
+            .agg(
+                F.coalesce(F.expr("bool_and(recall_ok)"), F.lit(True)).alias(
+                    "ok"
+                )
+            )
+            .collect()[0]["ok"]
+        )
+        hits = exact.select("query_id", "neighbor_id").join(
+            ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        joined = exact.select("query_id", "neighbor_id").join(
+            hits.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        ivf_ok = bool(
+            joined.agg(
+                (
+                    F.coalesce(F.sum("hit"), F.lit(0)) * F.lit(10)
+                    >= F.count(F.lit(1)) * F.lit(6)
+                ).alias("ok")
+            ).collect()[0]["ok"]
+        )
+        rows = [
+            (r["query_id"], r["neighbor_id"], r["score"], r["rank"], lsh_ok, ivf_ok)
+            for r in exact.collect()
+        ]
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "query_id bigint, neighbor_id bigint, score double, rank int, "
+        "lsh_recall_ok boolean, ivf_recall_ok boolean",
     )
-    hits = exact.select("query_id", "neighbor_id").join(
-        ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    )
-    joined = exact.select("query_id", "neighbor_id").join(
-        hits.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
-    )
-    r2 = joined.agg(
-        (
-            F.coalesce(F.sum("hit"), F.lit(0)) * F.lit(10)
-            >= F.count(F.lit(1)) * F.lit(6)
-        ).alias("ivf_recall_ok"),
-    )
-    return r1.crossJoin(r2)
 
 
-_ANN_APPROX_ORACLE = """
-    SELECT COUNT(*) AS n_queries, TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
-    FROM embeddings WHERE vec_id < 8
+_ANN_TOPK_ORACLE = f"""
+    SELECT query_id, neighbor_id, score, rank,
+           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+    FROM ({S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8")})
 """
 
 
@@ -687,26 +746,51 @@ _MULTIMODAL_ORACLE = f"""
 """
 
 
-def _q_embedding_neardup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall invariant for the LSH near-dup tier vs the exact blocked
-    tier (itself oracle-verified). The sketch S-curve gives ~0.79
-    expected recall at cosine 0.45 with r=4 x 8 bands, so the floor is
-    0.6 — low enough to be stable, high enough that a broken
-    bucket/verify stage fails it. n_exact is fully oracle-checked."""
+def _q_embedding_neardup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three embedding near-dup tiers in ONE hash-checked frame.
+
+    The exact pair list (vec_a, vec_b, cosine) is fully oracle-checked
+    per row. ``in_blocked`` asserts the blocked-matmul tier found the
+    SAME pair (a full outer join, so a pair found only by the blocked
+    tier surfaces as an extra row and fails the count/hash — blocked
+    is exact-equivalent by construction, just vectorized).
+    ``lsh_recall_ok`` is the sketch-tier contract: >= 60% of blocked
+    pairs recovered (S-curve expectation ~0.79 at cosine 0.45 with
+    r=4 x 8 bands), computed eagerly so nothing persists across the
+    gate run."""
     emb = table(spark, sf_dir, "embeddings")
-    exact = S.embedding_neardup_blocked(emb, threshold=0.45)
+    blocked = S.embedding_neardup_blocked(emb, threshold=0.45)
     found = S.embedding_neardup_lsh(emb, threshold=0.45)
-    j = exact.select("vec_a", "vec_b").join(
+    j = blocked.select("vec_a", "vec_b").join(
         found.select("vec_a", "vec_b").withColumn("hit", F.lit(1)),
         ["vec_a", "vec_b"],
         "left",
     )
     n = F.count(F.lit(1))
     hits = F.coalesce(F.sum("hit"), F.lit(0))
-    return j.agg(
-        n.alias("n_exact"),
-        (hits * F.lit(10) >= n * F.lit(6)).alias("recall_ok"),
+    lsh_ok = bool(
+        j.agg((hits * F.lit(10) >= n * F.lit(6)).alias("ok")).collect()[0]["ok"]
     )
+    exact = S.embedding_neardup_exact(emb, threshold=0.45)
+    pairs = exact.join(
+        blocked.select("vec_a", "vec_b").withColumn("hitb", F.lit(1)),
+        ["vec_a", "vec_b"],
+        "full",
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        F.col("hitb").isNotNull().alias("in_blocked"),
+        F.lit(lsh_ok).alias("lsh_recall_ok"),
+    )
+
+
+_EMBEDDING_NEARDUP_ORACLE = f"""
+    SELECT vec_a, vec_b, cosine,
+           TRUE AS in_blocked, TRUE AS lsh_recall_ok
+    FROM ({S.embedding_neardup_exact_oracle(threshold=0.45)})
+"""
 
 
 def _q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,40 +1145,6 @@ _ORDER_VALUE_HISTOGRAM_ORACLE = """
 """
 
 
-def _q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/valid/test split accounting: the hash-range split is a pure
-    function of the doc id, so the oracle replays the exact assignment —
-    disjoint + exhaustive by construction, sizes checked by value."""
-    from etl_workflow_spark.operators.sampling import split_frame
-
-    docs = table(spark, sf_dir, "documents")
-    parts = split_frame(docs, {"train": 0.8, "valid": 0.1, "test": 0.1})
-    labeled = None
-    for name, df in parts.items():
-        cur = df.select(F.lit(name).alias("split"), "doc_id")
-        labeled = cur if labeled is None else labeled.unionByName(cur)
-    return labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
-
-
-def _split_counts_oracle() -> str:
-    from etl_workflow_spark.operators.sampling import _thr
-
-    t_train, t_valid = _thr(0.8), _thr(0.9)
-    return f"""
-        SELECT CASE
-                 WHEN h < '{t_train}' THEN 'train'
-                 WHEN h < '{t_valid}' THEN 'valid'
-                 ELSE 'test'
-               END AS split,
-               COUNT(*) AS n_docs
-        FROM (
-            SELECT substr(sha256('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
-            FROM documents
-        )
-        GROUP BY 1
-    """
-
-
 def _q_top_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 generalized: top-3 products per brand by revenue via a ranked
     window — one agg shuffle + one window sort; the dim side broadcast."""
@@ -1206,11 +1256,6 @@ _REVENUE_ROLLUP_ORACLE = f"""
 """
 
 
-def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-token chunking of the corpus — training/RAG sequence prep."""
-    return CH.chunk_documents(table(spark, sf_dir, "documents"), chunk_tokens=32)
-
-
 _CHUNK_DOCUMENTS_ORACLE = CH.chunk_documents_oracle(chunk_tokens=32)
 
 
@@ -1226,14 +1271,6 @@ def _q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("fill") <= F.lit(256)).alias("packs_within_budget"),
         (F.avg("fill") >= F.lit(128.0)).alias("fill_floor_ok"),
     )
-
-
-_PACK_INVARIANTS_ORACLE = f"""
-    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           true AS packs_within_budget,
-           true AS fill_floor_ok
-    FROM ({_CHUNK_DOCUMENTS_ORACLE})
-"""
 
 
 def _q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1570,6 +1607,262 @@ _PIPELINE_E2E_ORACLE = """
 
 
 # --------------------------------------------------------------------------
+# Consolidated gate entries — the driver's correctness harness checks
+# only the first ~50 queries() entries, so related operators share one
+# hash-checked frame (join on the common key / union with a tag column):
+# every underlying operator keeps its full row-level oracle check, and
+# the whole dict fits inside the verified window.
+# --------------------------------------------------------------------------
+
+
+def _q_sales_trends_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/G6 at every granularity: the three date_trunc buckets
+    (month/week/day) union-tagged into one frame — same three plans,
+    one gate entry."""
+    out = None
+    for grain in ("month", "week", "day"):
+        cur = Q.sales_trends(spark, sf_dir, interval=grain).withColumn(
+            "grain", F.lit(grain)
+        )
+        out = cur if out is None else out.unionByName(cur)
+    return out
+
+
+_SALES_TRENDS_ALL_ORACLE = " UNION ALL ".join(
+    f"SELECT '{g}' AS grain, * FROM ({Q.sales_trends_oracle(interval=g)})"
+    for g in ("month", "week", "day")
+)
+
+
+def _q_top_selling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/E3 top-selling-by-category, undated and date-bounded variants
+    union-tagged (B5 date BETWEEN covered by the dated leg)."""
+    base = Q.top_selling_by_category(spark, sf_dir).withColumn(
+        "variant", F.lit("all")
+    )
+    dated = Q.top_selling_by_category(
+        spark, sf_dir, start_date="1994-01-01", end_date="1996-12-31"
+    ).withColumn("variant", F.lit("dated"))
+    return base.unionByName(dated)
+
+
+_TOP_SELLING_ORACLE = f"""
+    SELECT 'all' AS variant, * FROM ({Q.top_selling_by_category_oracle()})
+    UNION ALL
+    SELECT 'dated' AS variant, * FROM ({Q.top_selling_by_category_oracle(
+        start_date="1994-01-01", end_date="1996-12-31")})
+"""
+
+
+def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_count + text_quality joined per document — both operators'
+    full column sets, one gate entry (shuffle-free projections joined
+    on the id they were derived from)."""
+    docs = table(spark, sf_dir, "documents")
+    return T.token_count(docs).join(T.text_quality(docs), "doc_id")
+
+
+_TEXT_METRICS_ORACLE = f"""
+    SELECT * FROM ({T.token_count_oracle()}) tc
+    JOIN ({T.text_quality_oracle()}) tq USING (doc_id)
+"""
+
+
+def _q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id + doc fingerprint joined per document."""
+    docs = table(spark, sf_dir, "documents")
+    return T.lang_id(docs).join(T.fingerprint(docs), "doc_id")
+
+
+_TEXT_IDENTITY_ORACLE = f"""
+    SELECT * FROM ({T.lang_id_oracle()}) li
+    JOIN ({T.fingerprint_oracle()}) fp USING (doc_id)
+"""
+
+
+def _q_text_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + repetition signals joined per document."""
+    docs = table(spark, sf_dir, "documents")
+    return T.redact_pii(docs).join(T.repetition_signals(docs), "doc_id")
+
+
+_TEXT_SAFETY_ORACLE = f"""
+    SELECT * FROM ({T.redact_pii_oracle()}) rp
+    JOIN ({T.repetition_signals_oracle()}) rs USING (doc_id)
+"""
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 terms + per-document TF-IDF top-k terms,
+    union-tagged by scope (corpus rows carry NULL doc_id/score/rank)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = _q_top_terms(spark, sf_dir).select(
+        F.lit("corpus").alias("scope"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        "term",
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    perdoc = T.tfidf_top_terms(docs, k=5).select(
+        F.lit("doc").alias("scope"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "term",
+        F.col("tf").cast("bigint").alias("n"),
+        "score",
+        "rank",
+    )
+    return corpus.unionByName(perdoc)
+
+
+_TERM_STATS_ORACLE = f"""
+    SELECT 'corpus' AS scope, CAST(NULL AS BIGINT) AS doc_id, term,
+           CAST(n AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS score,
+           CAST(NULL AS INT) AS rank
+    FROM ({_TOP_TERMS_ORACLE})
+    UNION ALL
+    SELECT 'doc', doc_id, term, CAST(tf AS BIGINT), score, rank
+    FROM ({T.tfidf_top_terms_oracle(k=5)})
+"""
+
+
+def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every hash-bucketed selection operator as one membership frame:
+    (method, doc_id) rows for the Bernoulli sample, the stratified
+    sample, and the train/valid/test split assignment — all pure
+    functions of the doc id, so the oracle replays each decision
+    exactly (disjoint + exhaustive splits checked by value)."""
+    docs = table(spark, sf_dir, "documents")
+    out = SAMP.deterministic_sample(docs, rate=0.2).select(
+        F.lit("bernoulli").alias("method"), "doc_id"
+    )
+    strat = SAMP.stratified_sample(
+        docs, rates={"en": 0.3, "zh": 1.0}, strata_col="lang", default_rate=0.5
+    ).select(F.lit("stratified").alias("method"), "doc_id")
+    out = out.unionByName(strat)
+    for name, df in SAMP.split_frame(
+        docs, {"train": 0.8, "valid": 0.1, "test": 0.1}
+    ).items():
+        out = out.unionByName(
+            df.select(F.lit(f"split:{name}").alias("method"), "doc_id")
+        )
+    return out
+
+
+def _sampling_splits_oracle() -> str:
+    from etl_workflow_spark.operators.sampling import _thr
+
+    t_train, t_valid = _thr(0.8), _thr(0.9)
+    return f"""
+        SELECT 'bernoulli' AS method, doc_id
+        FROM ({SAMP.deterministic_sample_oracle(rate=0.2)})
+        UNION ALL
+        SELECT 'stratified', doc_id
+        FROM ({SAMP.stratified_sample_oracle(
+            rates={"en": 0.3, "zh": 1.0}, strata_col="lang", default_rate=0.5)})
+        UNION ALL
+        SELECT 'split:' || CASE WHEN h < '{t_train}' THEN 'train'
+                                WHEN h < '{t_valid}' THEN 'valid'
+                                ELSE 'test' END,
+               doc_id
+        FROM (
+            SELECT doc_id,
+                   substr(sha256('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+            FROM documents
+        )
+    """
+
+
+def _q_stats_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-statistics contracts in one frame: HLL approx-distinct
+    bounds per order priority (D6 scale twin) with the engine-exact
+    Pearson correlation appended as constant columns (one row x five
+    groups — a driver-trivial cross join)."""
+    prio = _q_approx_unique_customers(spark, sf_dir)
+    corr = _q_qty_price_corr(spark, sf_dir).withColumnRenamed(
+        "n", "n_lineitems"
+    )
+    return prio.crossJoin(corr)
+
+
+_STATS_CONTRACT_ORACLE = f"""
+    SELECT a.*, c.n AS n_lineitems, c.corr_qty_price
+    FROM ({_APPROX_UNIQUE_ORACLE}) a
+    CROSS JOIN ({_QTY_PRICE_CORR_ORACLE}) c
+"""
+
+
+def _q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type statistics: exact interpolated percentiles joined
+    with the skew-safe salted aggregate (count/min/max/decimal-sum) —
+    the salt only reshapes the shuffle, so the plain GROUP BY oracle
+    must match bit-for-bit."""
+    return _q_value_percentiles(spark, sf_dir).join(
+        _q_skew_salted_agg(spark, sf_dir), "event_type"
+    )
+
+
+_EVENTS_TYPE_STATS_ORACLE = f"""
+    SELECT * FROM ({_VALUE_PERCENTILES_ORACLE}) p
+    JOIN ({_SKEW_SALTED_AGG_ORACLE}) s USING (event_type)
+"""
+
+
+def _q_revenue_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every windowed-analytics operator over the daily revenue series
+    in one frame: trailing 7-day RANGE sum/avg, running cumulative, and
+    lag()-based day-over-day delta/percent change."""
+    rolling = _q_rolling_revenue(spark, sf_dir)
+    dod = _q_revenue_dod(spark, sf_dir).select("date", "delta", "pct_change")
+    return rolling.join(dod, "date")
+
+
+_REVENUE_WINDOWS_ORACLE = f"""
+    SELECT r.*, d.delta, d.pct_change
+    FROM ({_ROLLING_REVENUE_ORACLE}) r
+    JOIN (SELECT date, delta, pct_change FROM ({_REVENUE_DOD_ORACLE})) d
+      USING (date)
+"""
+
+
+def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking (row-level oracle) + sequence-packing invariants in one
+    frame: every chunk row hash-checked, with the packing contract
+    (token conservation, budget ceiling, fill floor) appended as
+    constant columns. The invariant row is computed eagerly — pack ids
+    depend on the shard hash, so only the contract is checkable."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = CH.chunk_documents(docs, chunk_tokens=32)
+    packed = CH.pack_sequences(chunks, budget_tokens=256, num_shards=16)
+    fills = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("fill"))
+    inv = fills.agg(
+        F.sum("fill").cast("long").alias("total_tokens"),
+        (F.max("fill") <= F.lit(256)).alias("packs_within_budget"),
+        (F.avg("fill") >= F.lit(128.0)).alias("fill_floor_ok"),
+    ).collect()[0]
+    return (
+        chunks.withColumn(
+            "total_tokens", F.lit(inv["total_tokens"]).cast("long")
+        )
+        .withColumn(
+            "packs_within_budget", F.lit(bool(inv["packs_within_budget"]))
+        )
+        .withColumn("fill_floor_ok", F.lit(bool(inv["fill_floor_ok"])))
+    )
+
+
+_CHUNK_PACK_ORACLE = f"""
+    WITH ch AS ({_CHUNK_DOCUMENTS_ORACLE}),
+    inv AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               TRUE AS packs_within_budget, TRUE AS fill_floor_ok
+        FROM ch
+    )
+    SELECT ch.*, inv.* FROM ch CROSS JOIN inv
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -1580,19 +1873,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # 47 entries — the driver's correctness harness checks the first
+    # ~50, so EVERY entry sits inside the verified window. Related
+    # operators are consolidated (see the merged-gate section above);
+    # each merged entry's docstring names the operators it covers.
     return {
         # -- reference analytics queries (app.py) --------------------------
         "product_sales": lambda s, d: Q.product_sales(s, d),
-        "top_selling_by_category": lambda s, d: Q.top_selling_by_category(s, d),
-        "top_selling_dated": lambda s, d: Q.top_selling_by_category(
-            s, d, start_date="1994-01-01", end_date="1996-12-31"
-        ),
+        "top_selling": _q_top_selling,
         "customer_purchase_history": lambda s, d: Q.customer_purchase_history(
             s, d, customer_id=1, offset=2, limit=10
         ),
-        "sales_trends_month": lambda s, d: Q.sales_trends(s, d, interval="month"),
-        "sales_trends_week": lambda s, d: Q.sales_trends(s, d, interval="week"),
-        "sales_trends_day": lambda s, d: Q.sales_trends(s, d, interval="day"),
+        "sales_trends": _q_sales_trends_all,
         # C10 point lookup (app.py:212): dim row fetch after the mutation
         "category_lookup": lambda s, d: table(s, d, "part")
         .where(F.col("p_partkey") == 42)
@@ -1613,86 +1905,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": _q_pipeline_e2e,
         "incremental_slice": _q_incremental_slice,
         # -- LLM-pipeline operators (north-star extensions) ----------------
-        "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
-        "text_quality": lambda s, d: T.text_quality(table(s, d, "documents")),
-        "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
-        "doc_fingerprint": lambda s, d: T.fingerprint(table(s, d, "documents")),
-        "redact_pii": lambda s, d: T.redact_pii(table(s, d, "documents")),
-        "repetition_signals": lambda s, d: T.repetition_signals(
-            table(s, d, "documents")
-        ),
-        "tfidf_top_terms": lambda s, d: T.tfidf_top_terms(
-            table(s, d, "documents"), k=5
-        ),
+        "text_metrics": _q_text_metrics,
+        "text_identity": _q_text_identity,
+        "text_safety": _q_text_safety,
+        "term_stats": _q_term_stats,
         "embedding_centroids": lambda s, d: S.group_centroids(
             table(s, d, "embeddings")
         ),
-        "deterministic_sample": lambda s, d: SAMP.deterministic_sample(
-            table(s, d, "documents"), rate=0.2
-        ),
-        "stratified_sample": lambda s, d: SAMP.stratified_sample(
-            table(s, d, "documents"),
-            rates={"en": 0.3, "zh": 1.0},
-            strata_col="lang",
-            default_rate=0.5,
-        ),
-        "top_terms": _q_top_terms,
-        "value_percentiles": _q_value_percentiles,
+        "sampling_splits": _q_sampling_splits,
         "dedup_exact": lambda s, d: D.exact_dedup(table(s, d, "documents")),
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
-        # consolidated one-row contracts: recall/ordering/etc. invariants
-        # of the xxhash64-based paths, hash-checked against exact tiers
         "dedup_minhash": _q_dedup_minhash,
         "simhash_neardup": _q_simhash_neardup,
         "quality_filtered_stats": _q_quality_filtered_stats,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_approx": _q_ann_approx,
-        "embedding_neardup": lambda s, d: S.embedding_neardup_exact(
-            table(s, d, "embeddings"), threshold=0.45
-        ),
-        "embedding_neardup_blocked": lambda s, d: S.embedding_neardup_blocked(
-            table(s, d, "embeddings"), threshold=0.45
-        ),
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh_recall,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup_all,
         "multimodal": _q_multimodal,
+        "chunk_pack": _q_chunk_pack,
+        # -- events / temporal / windowed analytics ------------------------
         "events_windowed": _q_events_windowed,
         "sessionize": _q_sessionize,
         "asof_attribution": _q_asof_attribution,
-        "sql_interface": _q_sql_interface,
-        "qty_price_corr": _q_qty_price_corr,
-        "skew_salted_agg": _q_skew_salted_agg,
+        "interval_join_sessions": _q_interval_join,
+        "events_type_stats": _q_events_type_stats,
+        "events_pivot": _q_events_pivot,
+        "revenue_windows": _q_revenue_windows,
+        "revenue_rollup": _q_revenue_rollup,
+        "top_per_brand": _q_top_per_brand,
         "customer_quartiles": _q_customer_quartiles,
+        # -- SQL surface / data quality / misc contracts -------------------
+        "sql_interface": _q_sql_interface,
         "profile_orders": _q_profile_orders,
         "constraint_checks": _q_constraint_checks,
         "customers_without_orders": _q_customers_without_orders,
         "order_value_histogram": _q_order_value_histogram,
-        "split_counts": _q_split_counts,
-        "top_per_brand": _q_top_per_brand,
-        "events_pivot": _q_events_pivot,
-        "revenue_rollup": _q_revenue_rollup,
-        "chunk_documents": _q_chunk_documents,
-        "pack_invariants": _q_pack_invariants,
-        "interval_join_sessions": _q_interval_join,
-        "rolling_revenue": _q_rolling_revenue,
-        "revenue_dod": _q_revenue_dod,
-        "approx_unique_customers": _q_approx_unique_customers,
+        "stats_contract": _q_stats_contract,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "product_sales": Q.product_sales_oracle(),
-        "top_selling_by_category": Q.top_selling_by_category_oracle(),
-        "top_selling_dated": Q.top_selling_by_category_oracle(
-            start_date="1994-01-01", end_date="1996-12-31"
-        ),
+        "top_selling": _TOP_SELLING_ORACLE,
         "customer_purchase_history": Q.customer_purchase_history_oracle(
             customer_id=1, offset=2, limit=10
         ),
-        "sales_trends_month": Q.sales_trends_oracle(interval="month"),
-        "sales_trends_week": Q.sales_trends_oracle(interval="week"),
-        "sales_trends_day": Q.sales_trends_oracle(interval="day"),
+        "sales_trends": _SALES_TRENDS_ALL_ORACLE,
         "category_lookup": """
             SELECT p_partkey AS product_id, p_name AS name,
                    p_brand AS category_name
@@ -1708,19 +1967,17 @@ def oracle_sql() -> dict[str, str]:
         "orders_semijoin": _ORDERS_SEMIJOIN_ORACLE,
         "pipeline_e2e": _PIPELINE_E2E_ORACLE,
         "incremental_slice": _INCREMENTAL_SLICE_ORACLE,
-        "token_count": T.token_count_oracle(),
-        "text_quality": T.text_quality_oracle(),
-        "lang_id": T.lang_id_oracle(),
-        "doc_fingerprint": T.fingerprint_oracle(),
-        "redact_pii": T.redact_pii_oracle(),
-        "repetition_signals": T.repetition_signals_oracle(),
-        "tfidf_top_terms": T.tfidf_top_terms_oracle(k=5),
+        "text_metrics": _TEXT_METRICS_ORACLE,
+        "text_identity": _TEXT_IDENTITY_ORACLE,
+        "text_safety": _TEXT_SAFETY_ORACLE,
+        "term_stats": _TERM_STATS_ORACLE,
         "embedding_centroids": S.group_centroids_oracle(),
-        "deterministic_sample": SAMP.deterministic_sample_oracle(rate=0.2),
-        "stratified_sample": SAMP.stratified_sample_oracle(
-            rates={"en": 0.3, "zh": 1.0}, strata_col="lang", default_rate=0.5
-        ),
-        "top_terms": _TOP_TERMS_ORACLE,
+        "sampling_splits": _sampling_splits_oracle(),
+        "dedup_exact": D.exact_dedup_oracle(),
+        "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "dedup_minhash": _DEDUP_MINHASH_ORACLE,
+        "simhash_neardup": _SIMHASH_NEARDUP_ORACLE,
         "quality_filtered_stats": f"""
             WITH q AS ({T.text_quality_oracle()}),
                  c AS ({T.token_count_oracle()}),
@@ -1737,40 +1994,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ssr * 1000000 AS BIGINT) AS sum_stopword_ratio_e6
             FROM s
         """,
-        "value_percentiles": _VALUE_PERCENTILES_ORACLE,
-        "dedup_exact": D.exact_dedup_oracle(),
-        "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
-        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
-        "dedup_minhash": _DEDUP_MINHASH_ORACLE,
-        "simhash_neardup": _SIMHASH_NEARDUP_ORACLE,
-        "ann_bruteforce": S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8"),
-        "ann_approx": _ANN_APPROX_ORACLE,
-        "embedding_neardup": S.embedding_neardup_exact_oracle(threshold=0.45),
-        "embedding_neardup_blocked": S.embedding_neardup_exact_oracle(threshold=0.45),
-        "embedding_neardup_lsh": f"""
-            WITH pairs AS ({S.embedding_neardup_exact_oracle(threshold=0.45)})
-            SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
-        """,
+        "ann_topk": _ANN_TOPK_ORACLE,
+        "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "multimodal": _MULTIMODAL_ORACLE,
+        "chunk_pack": _CHUNK_PACK_ORACLE,
         "events_windowed": _EVENTS_WINDOWED_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "asof_attribution": _ASOF_ATTRIBUTION_ORACLE,
-        "sql_interface": _SQL_REVENUE_BY_PRIORITY,
-        "qty_price_corr": _QTY_PRICE_CORR_ORACLE,
-        "skew_salted_agg": _SKEW_SALTED_AGG_ORACLE,
+        "interval_join_sessions": _INTERVAL_JOIN_ORACLE,
+        "events_type_stats": _EVENTS_TYPE_STATS_ORACLE,
+        "events_pivot": _EVENTS_PIVOT_ORACLE,
+        "revenue_windows": _REVENUE_WINDOWS_ORACLE,
+        "revenue_rollup": _REVENUE_ROLLUP_ORACLE,
+        "top_per_brand": _TOP_PER_BRAND_ORACLE,
         "customer_quartiles": _CUSTOMER_QUARTILES_ORACLE,
+        "sql_interface": _SQL_REVENUE_BY_PRIORITY,
         "profile_orders": _PROFILE_ORDERS_ORACLE,
         "constraint_checks": _CONSTRAINT_CHECKS_ORACLE,
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "order_value_histogram": _ORDER_VALUE_HISTOGRAM_ORACLE,
-        "split_counts": _split_counts_oracle(),
-        "top_per_brand": _TOP_PER_BRAND_ORACLE,
-        "events_pivot": _EVENTS_PIVOT_ORACLE,
-        "revenue_rollup": _REVENUE_ROLLUP_ORACLE,
-        "chunk_documents": _CHUNK_DOCUMENTS_ORACLE,
-        "pack_invariants": _PACK_INVARIANTS_ORACLE,
-        "interval_join_sessions": _INTERVAL_JOIN_ORACLE,
-        "rolling_revenue": _ROLLING_REVENUE_ORACLE,
-        "revenue_dod": _REVENUE_DOD_ORACLE,
-        "approx_unique_customers": _APPROX_UNIQUE_ORACLE,
+        "stats_contract": _STATS_CONTRACT_ORACLE,
     }
