@@ -158,16 +158,21 @@ def main() -> None:
     import glob
 
     prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
-    if prior:
+    # newest round whose record actually parsed (a crashed round stores
+    # parsed: null — skip it so the delta is vs the last real run)
+    for path in reversed(prior):
         try:
-            with open(prior[-1]) as fh:
-                prev = json.load(fh).get("parsed", {}).get("queries", {})
-            out["prev_round"] = os.path.basename(prior[-1])
+            with open(path) as fh:
+                prev = (json.load(fh).get("parsed") or {}).get("queries") or {}
+            if not prev:
+                continue
+            out["prev_round"] = os.path.basename(path)
             out["delta_vs_prev"] = {
                 q: round(t - prev[q], 3) for q, t in timings.items() if q in prev
             }
+            break
         except Exception:
-            pass
+            continue
 
     print(json.dumps(out))
     spark.stop()

@@ -470,7 +470,11 @@ def dedup_clusters(
         .select(F.col("u").alias("id"), F.least(F.col("u"), F.col("m")).alias("label"))
     )
     converged = False
-    for _ in range(max_rounds):
+    # max_rounds + 1: a component whose diameter is exactly max_rounds
+    # finishes propagating on the final permitted round, so one extra
+    # check-only pass (which finds changed == 0) is needed to observe
+    # convergence rather than spuriously raising.
+    for _ in range(max_rounds + 1):
         nbr_min = (
             adj.join(labels, adj["v"] == labels["id"])
             .select(adj["u"].alias("id"), F.col("label").alias("nl"))

@@ -146,10 +146,22 @@ def update_rows(
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    hold = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._old")
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    # Swap via rename so a crash mid-sequence never leaves the live path
+    # empty: live -> ._old, staged -> live, then drop ._old. Every step
+    # before the old-dir delete is recoverable (either the live path or
+    # ._old still holds the previous data, ._staged holds the new).
+    if fs.exists(hold) and not fs.delete(hold, True):
+        raise IOError(f"could not clear stale {hold}")
+    if not fs.rename(hpath, hold):
+        raise IOError(f"rename {path} -> {hold} failed")
     if not fs.rename(htmp, hpath):
+        # roll back so the table stays readable at its original path
+        fs.rename(hold, hpath)
         raise IOError(f"rename {tmp} -> {path} failed")
+    if not fs.delete(hold, True):
+        raise IOError(f"cleanup of {hold} failed (table swap succeeded)")
     return matched
 
 

@@ -122,6 +122,25 @@ def test_update_rows_semantics(spark, tmp_path):
     assert out[2]["name"] == "b" and out[2]["updated_at"] is None
 
 
+def test_update_rows_swap_cleans_up_and_tolerates_stale_old(spark, tmp_path):
+    """The rename-swap must clear a stale ._old left by a prior crash and
+    leave neither ._old nor ._staged behind on success."""
+    import os
+
+    path = str(tmp_path / "u2")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(path)
+    # simulate debris from a crashed previous swap
+    stale = path + "._old"
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk"), "w") as fh:
+        fh.write("x")
+    assert writers.update_rows(spark, path, "id", 1, {"name": "z"}) == 1
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._staged")
+    out = spark.read.parquet(path).collect()
+    assert out[0]["name"] == "z"
+
+
 def test_overwrite_partitions_only_touches_incoming(spark, tmp_path):
     path = str(tmp_path / "p")
     import datetime
