@@ -447,6 +447,9 @@ def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# literal stopword list for oracle SQL (same tuple the Spark side uses)
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+
 _SIMHASH_NEARDUP_ORACLE = f"""
     WITH pairs AS ({D.ngram_jaccard_oracle(threshold=0.8)})
     SELECT COUNT(*) AS n_exact, TRUE AS recall_ok,
@@ -460,21 +463,43 @@ def _q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: quality-score -> filter -> corpus stats, the
     canonical pre-training data funnel (filter feeds token budget).
 
-    Every output column is an exact integer: sums over longs/decimals
-    are order-independent, the average is integral fixed-point (1e-4
-    units) via truncating integer division, and the stopword-ratio sum
-    is returned in 1e-6 units (a scale-6 decimal sum times 10^6 is
-    integral by construction). Two rounds of hash-FAILs traced to
-    round(double, 4) sitting on an environment-sensitive knife edge —
-    there is no float left to diverge.
+    Every output column is an exact integer computed from integer
+    primitives only: the average is integral fixed-point (1e-4 units)
+    via truncating integer division, and the stopword-ratio sum is
+    per-doc integer fixed-point ``(stop_hits * 1e6) DIV n_words``
+    summed as BIGINT — identical arithmetic in Spark and DuckDB. Two
+    rounds of hash-FAILs traced to ``round(double, 4)`` sitting on an
+    environment-sensitive knife edge; no float touches this entry now.
     """
     docs = table(spark, sf_dir, "documents")
     q = T.text_quality(docs).where(F.col("passes_quality"))
     counts = T.token_count(docs)
-    agg = q.join(counts, "doc_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.col("stopword_ratio").cast("decimal(18,6)")).alias("_ssr"),
+    # Per-doc fixed point from INTEGER primitives (stop_hits, n_words)
+    # — never sum a rounded double ratio: the r3/r4 hash-fails were a
+    # last-ulp difference between Spark's and DuckDB's round(double, 4)
+    # flipping one doc's 4th decimal. Integer DIV is exact in both.
+    toks = T.tokens("text")
+    ssr = docs.select(
+        "doc_id",
+        F.size(toks).alias("_nw"),
+        F.size(
+            F.filter(toks, lambda w: F.lower(w).isin(*T.STOPWORDS_EN))
+        ).alias("_sh"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST((CAST(_sh AS BIGINT) * 1000000) DIV _nw AS BIGINT)"
+        ).alias("_ssr_e6"),
+    )
+    agg = (
+        q.select("doc_id")
+        .join(counts, "doc_id")
+        .join(ssr, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("_ssr_e6").alias("sum_stopword_ratio_e6"),
+        )
     )
     return agg.select(
         "n_docs",
@@ -482,7 +507,7 @@ def _q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((total_tokens * 10000) DIV n_docs AS BIGINT)").alias(
             "avg_tokens_e4"
         ),
-        (F.col("_ssr") * F.lit(1_000_000)).cast("long").alias(
+        F.col("sum_stopword_ratio_e6").cast("long").alias(
             "sum_stopword_ratio_e6"
         ),
     )
@@ -1366,7 +1391,14 @@ _INTERVAL_JOIN_ORACLE = f"""
 
 def _q_revenue_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day deltas via lag(): the change and percent change of
-    daily revenue — one sort shuffle, O(1) window state."""
+    daily revenue — one sort shuffle, O(1) window state.
+
+    ``pct_change_e4`` is BIGINT fixed-point (percent in 1e-4 units) via
+    integer cents arithmetic: delta can be negative, so the division is
+    sign-guarded trunc — identical in Spark (DIV truncates) and the
+    DuckDB oracle (// floors; the CASE normalizes both to trunc). The
+    old ``round(double, 4)`` pct hash-failed on a .00005 knife edge.
+    """
     from pyspark.sql.window import Window
 
     daily = (
@@ -1376,15 +1408,22 @@ def _q_revenue_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("date")
     prev = F.lag("revenue").over(w)
-    return daily.select(
+    stage = daily.select(
         "date",
         "revenue",
         (F.col("revenue") - prev).alias("delta"),
-        F.round(
-            (F.col("revenue") - prev).cast("double") / prev.cast("double") * 100,
-            4,
-        ).alias("pct_change"),
+        # cents are integral for scale-2 decimals -> exact long cast
+        ((F.col("revenue") - prev) * 100).cast("long").alias("_delta_c"),
+        (prev * 100).cast("long").alias("_prev_c"),
     )
+    return stage.withColumn(
+        "pct_change_e4",
+        F.expr(
+            "CAST(CASE WHEN _delta_c < 0 "
+            "THEN -((-_delta_c * 1000000) DIV _prev_c) "
+            "ELSE (_delta_c * 1000000) DIV _prev_c END AS BIGINT)"
+        ),
+    ).drop("_delta_c", "_prev_c")
 
 
 _REVENUE_DOD_ORACLE = """
@@ -1392,13 +1431,22 @@ _REVENUE_DOD_ORACLE = """
         SELECT CAST(o_orderdate AS DATE) AS date,
                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
         FROM orders GROUP BY 1
+    ),
+    staged AS (
+        SELECT date, revenue,
+               revenue - lag(revenue) OVER (ORDER BY date) AS delta,
+               CAST((revenue - lag(revenue) OVER (ORDER BY date)) * 100
+                    AS BIGINT) AS delta_c,
+               CAST(lag(revenue) OVER (ORDER BY date) * 100 AS BIGINT)
+                   AS prev_c
+        FROM daily
     )
-    SELECT date, revenue,
-           revenue - lag(revenue) OVER (ORDER BY date) AS delta,
-           round(CAST(revenue - lag(revenue) OVER (ORDER BY date) AS DOUBLE)
-                 / CAST(lag(revenue) OVER (ORDER BY date) AS DOUBLE) * 100, 4)
-               AS pct_change
-    FROM daily
+    SELECT date, revenue, delta,
+           CAST(CASE WHEN delta_c < 0
+                THEN -((-delta_c * 1000000) // prev_c)
+                ELSE (delta_c * 1000000) // prev_c END AS BIGINT)
+               AS pct_change_e4
+    FROM staged
 """
 
 
@@ -1423,16 +1471,23 @@ _ROLLING_REVENUE_ORACLE = """
         SELECT CAST(o_orderdate AS DATE) AS date,
                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
         FROM orders GROUP BY 1
+    ),
+    staged AS (
+        SELECT date, revenue,
+               SUM(revenue) OVER w7 AS revenue_7d_sum,
+               CAST(SUM(revenue) OVER w7 * 10000 AS BIGINT) AS sum_e4,
+               COUNT(revenue) OVER w7 AS cnt,
+               SUM(revenue) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING)
+                   AS revenue_cumulative
+        FROM daily
+        WINDOW w7 AS (ORDER BY date
+                      RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
     )
-    SELECT date, revenue,
-           SUM(revenue) OVER w7 AS revenue_7d_sum,
-           ROUND(CAST(SUM(revenue) OVER w7 AS DOUBLE)
-                 / COUNT(revenue) OVER w7, 4) AS revenue_7d_avg,
-           SUM(revenue) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING)
-               AS revenue_cumulative
-    FROM daily
-    WINDOW w7 AS (ORDER BY date
-                  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    SELECT date, revenue, revenue_7d_sum,
+           CAST(CASE WHEN sum_e4 < 0 THEN -((-sum_e4) // cnt)
+                ELSE sum_e4 // cnt END AS BIGINT) AS revenue_7d_avg_e4,
+           revenue_cumulative
+    FROM staged
 """
 
 
@@ -1813,14 +1868,14 @@ def _q_revenue_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one frame: trailing 7-day RANGE sum/avg, running cumulative, and
     lag()-based day-over-day delta/percent change."""
     rolling = _q_rolling_revenue(spark, sf_dir)
-    dod = _q_revenue_dod(spark, sf_dir).select("date", "delta", "pct_change")
+    dod = _q_revenue_dod(spark, sf_dir).select("date", "delta", "pct_change_e4")
     return rolling.join(dod, "date")
 
 
 _REVENUE_WINDOWS_ORACLE = f"""
-    SELECT r.*, d.delta, d.pct_change
+    SELECT r.*, d.delta, d.pct_change_e4
     FROM ({_ROLLING_REVENUE_ORACLE}) r
-    JOIN (SELECT date, delta, pct_change FROM ({_REVENUE_DOD_ORACLE})) d
+    JOIN (SELECT date, delta, pct_change_e4 FROM ({_REVENUE_DOD_ORACLE})) d
       USING (date)
 """
 
@@ -1981,17 +2036,26 @@ def oracle_sql() -> dict[str, str]:
         "quality_filtered_stats": f"""
             WITH q AS ({T.text_quality_oracle()}),
                  c AS ({T.token_count_oracle()}),
+                 t AS (
+                     SELECT doc_id,
+                            (CAST(len(list_filter({T._sql_tokens('text')},
+                                 w -> lower(w) IN ({_STOP_LIST_SQL})))
+                                  AS BIGINT)
+                             * 1000000)
+                            // len({T._sql_tokens('text')}) AS ssr_e6
+                     FROM documents
+                 ),
                  s AS (
                      SELECT COUNT(*) AS n_docs,
                             SUM(c.n_tokens) AS total_tokens,
-                            SUM(CAST(q.stopword_ratio AS DECIMAL(18,6))) AS ssr
-                     FROM q JOIN c USING (doc_id)
+                            SUM(t.ssr_e6) AS ssr_e6
+                     FROM q JOIN c USING (doc_id) JOIN t USING (doc_id)
                      WHERE q.passes_quality
                  )
             SELECT n_docs, total_tokens,
                    CAST((total_tokens * 10000) // n_docs AS BIGINT)
                        AS avg_tokens_e4,
-                   CAST(ssr * 1000000 AS BIGINT) AS sum_stopword_ratio_e6
+                   CAST(ssr_e6 AS BIGINT) AS sum_stopword_ratio_e6
             FROM s
         """,
         "ann_topk": _ANN_TOPK_ORACLE,

@@ -133,6 +133,7 @@ def main() -> None:
 
     qs = {**entry_mod.queries(), **ops}
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline:
         fn = qs.get(name)
         if fn is None:
@@ -140,8 +141,14 @@ def main() -> None:
         t0 = time.time()
         # count() forces the full plan; results are small-to-medium so
         # this measures compute, not driver materialization.
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # One bad query must never zero out the whole round's perf
+        # signal (r3 and r4 both lost their bench to a single raise) —
+        # record the error and keep timing the rest.
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - bench must survive anything
+            errors[name] = str(e).split("\n", 1)[0][:300]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -151,6 +158,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
 
     # Per-query delta vs the newest recorded round (BENCH_r{N}.json), so
     # each round's record carries its own regression report. Single-run

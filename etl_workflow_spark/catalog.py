@@ -89,10 +89,36 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ev = table(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    return normalize_ts(ev)
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_LTZ regardless of
+    how the parquet physically stored it.
+
+    The testdata's ``events.parquet`` has appeared as two shapes
+    depending on writer/reader versions:
+
+    - ``bigint`` epoch-nanos (when ``nanosAsLong`` applies)
+    - ``timestamp_ntz`` (Spark 4 reads TIMESTAMP(isAdjustedToUTC=false)
+      as NTZ natively)
+
+    Downstream operators (``unix_micros``, ``withWatermark``, window
+    aggs) require TIMESTAMP_LTZ, so both shapes convert here. The
+    session timezone is pinned UTC (:func:`_pin_session_confs`), so the
+    NTZ→LTZ cast is a pure relabel — wall-clock values are unchanged
+    and match the DuckDB oracle, which reads the same parquet TZ-free.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
         # integer division: epoch-nanos (~1.7e18) overflows a double's
         # 53-bit mantissa, so `/ 1000` + cast silently rounded off the
         # low microseconds; `div` truncates exactly like DuckDB's
         # nanos->micros read
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return ev
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif dtype == "timestamp_ntz":
+        # UTC session => relabel only; values identical to the oracle's
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df

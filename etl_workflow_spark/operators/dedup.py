@@ -252,17 +252,18 @@ def minhash_lsh_pairs(
         .persist()
     )
     # no .distinct(): left_semi tolerates duplicate build keys and the
-    # extra shuffle costs more than the slightly larger broadcast
+    # extra shuffle costs more than the slightly larger build side
     members = cand.select(F.col("doc_a").alias("mid")).union(
         cand.select(F.col("doc_b"))
     )
 
     # Exact-verification shingles are built ONLY for docs that appear in
-    # some candidate pair (broadcast semi-join) — at corpus scale this
-    # is the difference between re-shingling 100 TB and a few GB.
-    in_cand = df.join(
-        F.broadcast(members), F.col(id_col) == F.col("mid"), "left_semi"
-    )
+    # some candidate pair (semi-join) — at corpus scale this is the
+    # difference between re-shingling 100 TB and a few GB. No broadcast
+    # hint: on a near-dup-heavy corpus (exactly when dedup matters) the
+    # candidate set is NOT small, and a forced broadcast OOMs the
+    # executors; AQE still converts to broadcast when it measures small.
+    in_cand = df.join(members, F.col(id_col) == F.col("mid"), "left_semi")
     sh = in_cand.select(
         F.col(id_col).alias("id"), word_shingles(col, n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
@@ -277,7 +278,7 @@ def minhash_lsh_pairs(
         F.col("n_sh").alias("n_b"),
     )
     verified = (
-        lhs.join(F.broadcast(cand), on="doc_a")
+        lhs.join(cand, on="doc_a")
         .join(rhs, on="doc_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(

@@ -207,6 +207,14 @@ def rolling_daily(
     (sliding sum), nothing is buffered. The input should already be the
     daily rollup — run this AFTER aggregation so the window sees one
     row per (key, day), not raw facts.
+
+    The trailing average is emitted as ``{value}_{days}d_avg_e4`` — a
+    BIGINT in 1e-4 units of ``value_col`` via truncating integer
+    division of the exact windowed sum. Two rounds of oracle hash-fails
+    traced to ``round(double, 4)`` landing on the .00005 boundary and
+    rounding differently across engines; integer fixed-point from a
+    decimal input is bit-identical everywhere (divide by 1e4 to
+    display). Feed a decimal ``value_col`` for full exactness.
     """
     keys = partition_cols or []
     d = daily.withColumn("_day", F.datediff(F.col(date_col), F.lit("1970-01-01")))
@@ -222,11 +230,24 @@ def rolling_daily(
     # direct windowed avg accumulates in engine-specific order
     tsum = F.sum(value_col).over(trailing)
     tcnt = F.count(value_col).over(trailing)
-    return d.select(
+    out = d.select(
         *keys,
         F.col(date_col),
         F.col(value_col),
         tsum.alias(f"{value_col}_{days}d_sum"),
-        F.round(tsum.cast("double") / tcnt, 4).alias(f"{value_col}_{days}d_avg"),
+        # decimal(38,0) cast rounds the (integral for decimal inputs)
+        # scaled sum before the long cast, so double inputs round sanely
+        (tsum * F.lit(10000)).cast("decimal(38,0)").cast("long").alias("_sum_e4"),
+        tcnt.alias("_cnt"),
         F.sum(value_col).over(running).alias(f"{value_col}_cumulative"),
-    ).drop("_day")
+    )
+    # sign-guarded truncating division: Spark's DIV truncates toward
+    # zero while DuckDB's // floors — the CASE pins both to trunc so
+    # the oracle twin is exact even on negative sums
+    return out.withColumn(
+        f"{value_col}_{days}d_avg_e4",
+        F.expr(
+            "CAST(CASE WHEN _sum_e4 < 0 THEN -((-_sum_e4) DIV _cnt) "
+            "ELSE _sum_e4 DIV _cnt END AS BIGINT)"
+        ),
+    ).drop("_day", "_sum_e4", "_cnt")

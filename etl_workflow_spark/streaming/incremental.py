@@ -202,12 +202,20 @@ def file_stream_events(
     spark: SparkSession, path: str, schema, max_files_per_trigger: int = 4
 ) -> DataFrame:
     """File source for event streams (the production shape: new parquet
-    files land per micro-batch)."""
-    return (
+    files land per micro-batch).
+
+    The event-time column is normalized to TIMESTAMP_LTZ (same rules as
+    the batch catalog: epoch-nanos bigint or NTZ both convert) because
+    ``withWatermark`` and window aggs reject TIMESTAMP_NTZ input.
+    """
+    from ..catalog import normalize_ts
+
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    return normalize_ts(stream)
 
 
 def stream_dedup(

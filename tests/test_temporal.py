@@ -100,11 +100,12 @@ def test_rolling_daily_range_frame_respects_calendar_gaps(spark):
         ["date", "rev"],
     )
     out = {
-        r["date"]: (r["rev_7d_sum"], r["rev_7d_avg"], r["rev_cumulative"])
+        r["date"]: (r["rev_7d_sum"], r["rev_7d_avg_e4"], r["rev_cumulative"])
         for r in rolling_daily(daily, "date", "rev", days=7).collect()
     }
-    assert out[dt.date(2024, 1, 2)] == (30.0, 15.0, 30.0)
-    assert out[dt.date(2024, 1, 10)] == (40.0, 40.0, 70.0)
+    # avg is BIGINT fixed-point in 1e-4 units (15.0 -> 150000)
+    assert out[dt.date(2024, 1, 2)] == (30.0, 150000, 30.0)
+    assert out[dt.date(2024, 1, 10)] == (40.0, 400000, 70.0)
 
 
 def test_interval_join_auto_bin_matches_fixed(spark):
