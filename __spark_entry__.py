@@ -10,6 +10,7 @@ values).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1917,6 +1918,77 @@ _CHUNK_PACK_ORACLE = f"""
 """
 
 
+# pg_trgm analog (reference: database-schema.sql:5,64 — trigram GIN
+# index on products.name). Fixed typo query: "smal ring" is a
+# misspelling of the testdata product name "small ring".
+_FUZZY_QUERY = "smal ring"
+
+
+def _q_fuzzy_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant product-name lookup via trigram Jaccard — the
+    Spark analog of the reference's pg_trgm index on products.name."""
+    return T.fuzzy_name_search(
+        table(spark, sf_dir, "part"), _FUZZY_QUERY, k=20, min_sim_e4=500
+    )
+
+
+_FUZZY_NAME_SEARCH_ORACLE = T.fuzzy_name_search_oracle(
+    _FUZZY_QUERY, k=20, min_sim_e4=500
+)
+
+
+def _q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tier under the driver's gate: run the windowed
+    event aggregation as an ACTUAL Structured Streaming query
+    (file source → watermark → tumbling window → complete-mode
+    foreachBatch) and hash-compare its final state against a plain SQL
+    oracle. pytest checks stream-vs-batch parity; this entry makes the
+    driver — not just CI — guard that the streaming engine produces
+    the same numbers as batch SQL.
+
+    The staged source is a single file so the run is one deterministic
+    micro-batch (no cross-batch watermark ordering effects); the
+    multi-batch path is covered by tests/test_streaming.py.
+    """
+    import tempfile
+
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.streaming import incremental as inc
+
+    tmp = tempfile.mkdtemp(prefix="stream_gate_")
+    src = os.path.join(tmp, "events_in")
+    events_table(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+
+    stream = inc.file_stream_events(spark, src, static.schema)
+    agg = inc.windowed_event_counts(stream)
+    final: list = []
+
+    def keep_last(df: DataFrame, _bid: int) -> None:
+        final[:] = df.collect()
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(keep_last)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(final, schema=agg.schema)
+
+
+_STREAMING_PARITY_ORACLE = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -1996,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "order_value_histogram": _q_order_value_histogram,
         "stats_contract": _q_stats_contract,
+        # -- round-5 additions: pg_trgm analog + driver-gated streaming ----
+        "fuzzy_name_search": _q_fuzzy_name_search,
+        "streaming_parity": _q_streaming_parity,
     }
 
 
@@ -2078,4 +2153,6 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "order_value_histogram": _ORDER_VALUE_HISTOGRAM_ORACLE,
         "stats_contract": _STATS_CONTRACT_ORACLE,
+        "fuzzy_name_search": _FUZZY_NAME_SEARCH_ORACLE,
+        "streaming_parity": _STREAMING_PARITY_ORACLE,
     }

@@ -444,3 +444,98 @@ def tfidf_top_terms_oracle(k: int = 5, table: str = "documents") -> str:
                round(score, 4) AS score, rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------------ fuzzy search
+
+
+def _query_trigrams(query: str) -> list[str]:
+    q = query.lower()
+    return sorted({q[i : i + 3] for i in range(max(len(q) - 2, 0))})
+
+
+def fuzzy_name_search(
+    df: DataFrame,
+    query: str,
+    col: str = "p_name",
+    id_col: str = "p_partkey",
+    k: int = 20,
+    min_sim_e4: int = 500,
+) -> DataFrame:
+    """Trigram fuzzy lookup — the pg_trgm analog.
+
+    The reference enables the ``pg_trgm`` extension and puts a trigram
+    GIN index on ``products.name`` (``database-schema.sql:5,64``) for
+    typo-tolerant product search. Same semantics here: character
+    3-grams of the lowercased name, Jaccard similarity against the
+    query's trigram set, top-k above a floor.
+
+    Similarity is BIGINT fixed-point (1e-4 units) from integer set
+    sizes — bit-identical in Spark and the DuckDB oracle, no float
+    knife edge. The scan is a narrow projection + per-row array ops
+    (JVM codegen, no shuffle until the top-k sort), so at 100 TB it is
+    a single pass; the top-k is a TakeOrderedAndProject, not a full
+    sort.
+    """
+    qgrams = _query_trigrams(query)
+    qlit = "array(" + ", ".join("'" + g.replace("'", "\\'") + "'" for g in qgrams) + ")"
+    d = (
+        df.select(F.col(id_col), F.col(col), F.lower(F.col(col)).alias("_nm"))
+        .withColumn(
+            "_tri",
+            F.expr(
+                "array_distinct(filter(transform("
+                "sequence(1, greatest(length(_nm) - 2, 1)), "
+                "i -> substring(_nm, i, 3)), t -> length(t) = 3))"
+            ),
+        )
+        .withColumn("_inter", F.expr(f"CAST(size(array_intersect(_tri, {qlit})) AS BIGINT)"))
+        .withColumn("_union", F.expr(f"CAST(size(array_union(_tri, {qlit})) AS BIGINT)"))
+        .withColumn(
+            "sim_e4", F.expr("CAST((_inter * 10000) DIV _union AS BIGINT)")
+        )
+    )
+    return (
+        d.where(F.col("sim_e4") >= F.lit(min_sim_e4))
+        .orderBy(F.desc("sim_e4"), F.col(id_col))
+        .limit(k)
+        .select(id_col, col, "sim_e4")
+    )
+
+
+def fuzzy_name_search_oracle(
+    query: str,
+    col: str = "p_name",
+    id_col: str = "p_partkey",
+    k: int = 20,
+    min_sim_e4: int = 500,
+    table: str = "part",
+) -> str:
+    qgrams = _query_trigrams(query)
+    qlist = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in qgrams) + "]"
+    return f"""
+        WITH n AS (
+            SELECT {id_col}, {col}, lower({col}) AS nm FROM {table}
+        ),
+        t AS (
+            SELECT {id_col}, {col},
+                   list_distinct(list_filter(list_transform(
+                       range(1, greatest(length(nm) - 2, 1) + 1),
+                       i -> substr(nm, CAST(i AS INT), 3)),
+                       x -> length(x) = 3)) AS tri
+            FROM n
+        ),
+        s AS (
+            SELECT {id_col}, {col},
+                   CAST(len(list_intersect(tri, {qlist})) AS BIGINT) AS inter,
+                   CAST(len(list_distinct(list_concat(tri, {qlist})))
+                        AS BIGINT) AS un
+            FROM t
+        )
+        SELECT {id_col}, {col},
+               CAST((inter * 10000) // un AS BIGINT) AS sim_e4
+        FROM s
+        WHERE (inter * 10000) // un >= {min_sim_e4}
+        ORDER BY sim_e4 DESC, {id_col}
+        LIMIT {k}
+    """

@@ -116,6 +116,12 @@ def update_rows(
 
     For true in-place semantics at scale use a table format with MERGE
     (Delta/Iceberg); this path keeps vanilla parquet semantics.
+
+    Concurrency contract: the swap assumes NO concurrent readers — a
+    reader between the two renames sees a missing path (narrower than
+    the old delete-then-write window, but present). Rename is also
+    non-atomic and slow on object stores (S3A is copy+delete); there,
+    use the Delta/Iceberg MERGE path above instead of this swap.
     """
     if not updates:
         raise ValueError("At least one field must be provided")
@@ -158,10 +164,26 @@ def update_rows(
         raise IOError(f"rename {path} -> {hold} failed")
     if not fs.rename(htmp, hpath):
         # roll back so the table stays readable at its original path
-        fs.rename(hold, hpath)
-        raise IOError(f"rename {tmp} -> {path} failed")
+        if not fs.rename(hold, hpath):
+            raise IOError(
+                f"rename {tmp} -> {path} failed AND rollback failed: the "
+                f"live path is missing; previous data is recoverable at "
+                f"{hold}, new data at {tmp}"
+            )
+        raise IOError(f"rename {tmp} -> {path} failed (rolled back)")
     if not fs.delete(hold, True):
-        raise IOError(f"cleanup of {hold} failed (table swap succeeded)")
+        # the swap itself committed — the table at `path` already holds
+        # the new data, so report success and leave the stale ._old for
+        # the next run's pre-swap cleanup instead of masking the commit
+        # behind an exception (a caller retry would be wrong here)
+        import warnings
+
+        warnings.warn(
+            f"cleanup of {hold} failed after a successful swap; "
+            f"stale dir will be cleared on the next update",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return matched
 
 

@@ -112,6 +112,24 @@ def test_fingerprint_stable_under_whitespace(spark):
     assert fps[0] == fps[1]
 
 
+def test_fuzzy_name_search_ranks_typo_match_first(spark):
+    parts = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_name="small ring"),
+            Row(p_partkey=2, p_name="red widget"),
+            Row(p_partkey=3, p_name="small gizmo"),
+        ]
+    )
+    out = T.fuzzy_name_search(parts, "smal ring", k=3, min_sim_e4=0).collect()
+    # exact-typo target first; the other "small" product beats the
+    # trigram-disjoint one
+    assert [r["p_partkey"] for r in out][0] == 1
+    assert out[0]["sim_e4"] > out[1]["sim_e4"]
+    # identical query/name => Jaccard 1.0 exactly (fixed point 10000)
+    exact = T.fuzzy_name_search(parts, "small ring", k=1, min_sim_e4=0).collect()
+    assert exact[0]["sim_e4"] == 10000
+
+
 # ------------------------------------------------------------------ similarity
 
 
