@@ -85,6 +85,8 @@ def main() -> None:
         "tfidf_top_terms",
         "profile_orders",
         "constraint_checks",
+        # round-5 addition: pg_trgm-analog trigram fuzzy lookup
+        "fuzzy_name_search",
     ]
 
     # Operator-tier callables for headline names whose gate entries were

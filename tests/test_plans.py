@@ -53,6 +53,29 @@ def test_sales_trends_broadcasts_calendar(spark, sf_dir):
     assert plans.uses_broadcast_join(df)
 
 
+def test_minhash_lsh_broadcast_is_count_gated(spark, sf_dir):
+    """The candidate set of a near-dup-heavy corpus is NOT small — a
+    forced broadcast of it OOMs executors exactly when dedup matters.
+    The broadcast hint must be gated on the measured candidate count:
+    above the limit the plan carries no hint (AQE may still broadcast
+    if it measures small), under it the hint is applied.
+    """
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+
+    over = D.minhash_lsh_pairs(docs, threshold=0.5, broadcast_pairs_limit=0)
+    analyzed = over._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+    under = D.minhash_lsh_pairs(docs, threshold=0.5)  # testdata cand is tiny
+    analyzed = under._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed
+    # both paths emit identical pairs — the hint is advisory only
+    assert sorted(map(tuple, over.collect())) == sorted(map(tuple, under.collect()))
+
+
 def test_dedup_exact_prunes_to_needed_columns(spark, sf_dir):
     from etl_workflow_spark.catalog import table
     from etl_workflow_spark.operators import dedup as D
