@@ -126,21 +126,32 @@ def ngram_jaccard_pairs(
     to distinct shingle strings and the join is equality on the same
     sets — but building the structs is pure codegen (``arrays_zip`` +
     ``array_distinct``), where the string form paid an interpreted
-    ``transform`` lambda per element. The exploded index is eagerly
-    localCheckpoint-ed so the tokenize+explode runs ONCE instead of
-    once per self-join side (-2s of 6.8 at sf0.1; at scale it also
-    keeps the self-join's two shuffle reads off the raw text).
+    ``transform`` lambda per element.
+
+    Physical shape: the exploded index is hash-repartitioned by the
+    join key and eagerly localCheckpoint-ed, so (1) tokenize+explode
+    runs ONCE, not once per self-join side, (2) the single repartition
+    replaces the two exchanges the self-join would otherwise insert,
+    and (3) parallelism no longer depends on the input's file split
+    (a one-file corpus otherwise runs the whole join on one task —
+    4.4s → 1.0s at sf0.1). The join is hinted shuffle-hash: both sides
+    are already co-partitioned, and hash build beats sort-merge's two
+    struct-comparator sorts.
     """
+    from .partitioning import scale_partitions
+
     toks = F.split(F.trim(F.col(col)), r"\s+")
     sz = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     z = F.arrays_zip(*[F.slice(toks, i + 1, sz) for i in range(n)])
-    sh = df.select(
+    sh = scale_partitions(df).select(
         F.col(id_col).alias("id"), F.array_distinct(z).alias("tris")
     ).withColumn("n_sh", F.size("tris"))
-    ex = sh.select("id", "n_sh", F.explode("tris").alias("tri")).localCheckpoint(
-        eager=True
+    ex = (
+        sh.select("id", "n_sh", F.explode("tris").alias("tri"))
+        .repartition(F.col("tri"))
+        .localCheckpoint(eager=True)
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    a, b = ex.alias("a").hint("shuffle_hash"), ex.alias("b")
     pairs = (
         a.join(b, on="tri")
         .where(F.col("a.id") < F.col("b.id"))
@@ -207,7 +218,9 @@ def minhash_signatures(
     and the groupBy benefits from map-side partial aggregation (the
     shuffle carries |docs| rows of k longs, not shingles).
     """
-    ex = df.select(
+    from .partitioning import scale_partitions
+
+    ex = scale_partitions(df).select(
         F.col(id_col).alias("id"), F.explode(_shingle_hashes(col, n)).alias("tri")
     ).withColumn("h", F.xxhash64(*[f"tri.{i}" for i in range(n)]))
     # expressions as ONE SQL string: building k Column trees through
@@ -325,8 +338,12 @@ def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     sums in ONE aggregation pass (map-side partial agg keeps the shuffle
     at |docs| rows × 64 ints).
     """
+    from .partitioning import scale_partitions
+
     toks = F.split(F.trim(F.col(col)), r"\s+")
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    ex = scale_partitions(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    )
     h = ex.withColumn("th", F.xxhash64("tok"))
     # expressions as SQL strings: 64 Column-built aggregates cost
     # seconds of py4j round-trips (same finding as minhash_signatures).

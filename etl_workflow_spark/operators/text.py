@@ -387,8 +387,11 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
+    from .partitioning import scale_partitions
+
     tf = (
-        df.select(
+        scale_partitions(df)
+        .select(
             F.col(id_col),
             F.explode(F.split(F.trim(F.col(col)), r"\s+")).alias("term"),
         )
