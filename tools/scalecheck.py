@@ -1,0 +1,100 @@
+"""Empirical scaling curves for the scale-tier operators.
+
+Replicates the sf0.1 corpus K× (id-offset per replica so keys stay
+distinct) and times each scale-tier operator at K = 1, 4, 16. A
+scale-safe operator's wall time should grow ~linearly in K (the LSH
+band join grows with candidate count, which replication inflates
+quadratically per-document — noted per row). The exact all-pairs tiers
+are deliberately absent: they are documented bounded-input audit paths.
+
+Usage: python tools/scalecheck.py [sf_dir] [K ...]
+Prints one JSON line per (operator, K) with rows + seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def replicate(df: DataFrame, k: int, id_cols: list[str], offset: int) -> DataFrame:
+    """K copies with id columns offset per replica (distinct keys)."""
+    out = None
+    for i in range(k):
+        rep = df
+        for c in id_cols:
+            rep = rep.withColumn(c, (F.col(c) + F.lit(i * offset)).cast("long"))
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ks = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+
+    from etl_workflow_spark.session import get_spark
+    from etl_workflow_spark.catalog import table, events_table
+    from etl_workflow_spark.operators import dedup as D
+    from etl_workflow_spark.operators import sessions as SES
+    from etl_workflow_spark.operators import similarity as S
+    from etl_workflow_spark.operators import text as T
+
+    spark = get_spark("scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs0 = table(spark, sf_dir, "documents")
+    emb0 = table(spark, sf_dir, "embeddings")
+    ev0 = events_table(spark, sf_dir)
+    d_off = (docs0.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    e_off = (emb0.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    u_off = (ev0.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+
+    # warm the JVM on a representative plan
+    D.minhash_lsh_pairs(docs0, threshold=0.5).count()
+
+    def run(name, k, fn):
+        # force EVERY output column (count() alone lets Catalyst prune
+        # the projection, timing nothing for narrow per-row operators)
+        t0 = time.time()
+        df = fn()
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+            ).alias("h"),
+        ).collect()[0]
+        print(json.dumps({"op": name, "k": k, "rows": row["n"],
+                          "sec": round(time.time() - t0, 2)}), flush=True)
+
+    for k in ks:
+        docs = replicate(docs0, k, ["doc_id"], d_off).localCheckpoint(eager=True)
+        emb = replicate(emb0, k, ["vec_id"], e_off).localCheckpoint(eager=True)
+        ev = replicate(ev0, k, ["user_id", "event_id"], u_off).localCheckpoint(
+            eager=True
+        )
+        run("exact_dedup", k, lambda: D.exact_dedup(docs))
+        run("minhash_lsh_pairs", k, lambda: D.minhash_lsh_pairs(docs, threshold=0.5))
+        run("simhash_hamming", k,
+            lambda: D.hamming_pairs(D.simhash(docs), max_distance=3))
+        run("text_quality", k, lambda: T.text_quality(docs))
+        run("tfidf_top_terms", k, lambda: T.tfidf_top_terms(docs, k=5))
+        run("ann_bruteforce", k, lambda: S.brute_force_topk(
+            emb,
+            emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id"),
+            k=5,
+        ))
+        run("sessionize", k, lambda: SES.sessionize(ev, gap_minutes=30))
+        for df in (docs, emb, ev):
+            df.unpersist()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
