@@ -102,3 +102,65 @@ def test_sessionize_partitions_events(spark, gaps, gap_minutes):
     for a, b in zip(sess, sess[1:]):
         gap = (b.session_start - a.session_end).total_seconds() / 60
         assert gap > gap_minutes
+
+
+@SETTINGS
+@given(
+    revs=st.lists(
+        st.decimals("0.01", "99999999.99", places=2), min_size=2, max_size=40
+    )
+)
+def test_fixed_point_dod_matches_duckdb(spark, revs):
+    """The sign-guarded fixed-point pct_change must be BIT-IDENTICAL
+    between Spark (DIV truncates toward zero) and DuckDB (// floors) —
+    the exact cross-engine class that hash-failed rounds 3 and 4.
+    Deltas go negative whenever the series dips, so the sign guard is
+    exercised, not just stated."""
+    import duckdb
+
+    rows = [(dt.date(2024, 1, 1) + dt.timedelta(days=i), d)
+            for i, d in enumerate(revs)]
+    df = spark.createDataFrame(rows, "date date, revenue decimal(18,2)")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    prev = F.lag("revenue").over(Window.orderBy("date"))
+    got = {
+        r["date"]: r["pct_e4"]
+        for r in df.select(
+            "date",
+            ((F.col("revenue") - prev) * 100).cast("long").alias("_d"),
+            (prev * 100).cast("long").alias("_p"),
+        )
+        .selectExpr(
+            "date",
+            "CAST(CASE WHEN _d < 0 THEN -((-_d * 1000000) DIV _p) "
+            "ELSE (_d * 1000000) DIV _p END AS BIGINT) AS pct_e4",
+        )
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (date DATE, revenue DECIMAL(18,2))"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            """
+            WITH s AS (
+                SELECT date,
+                       CAST((revenue - lag(revenue) OVER (ORDER BY date)) * 100
+                            AS BIGINT) AS d,
+                       CAST(lag(revenue) OVER (ORDER BY date) * 100 AS BIGINT)
+                           AS p
+                FROM t
+            )
+            SELECT date, CAST(CASE WHEN d < 0 THEN -((-d * 1000000) // p)
+                         ELSE (d * 1000000) // p END AS BIGINT)
+            FROM s
+            """
+        ).fetchall()
+    )
+    assert got == want
