@@ -94,9 +94,17 @@ def overwrite_partitions(
     """J2: the idempotent incremental slice — DELETE WHERE date=X then
     INSERT (database-schema.sql:202-231) becomes dynamic partition
     overwrite: only partitions present in ``df`` are replaced.
+
+    The frame is hash-repartitioned by the partition column first: one
+    writer task covers many partition values instead of the planner
+    fanning out one task per value (2,399 date dirs took 2,399 tiny
+    tasks = ~35s of the e2e gate at sf0.01), and at scale it is the
+    standard small-files guard — each partition dir gets one file, not
+    one per upstream task.
     """
     (
-        df.write.mode("overwrite")
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
