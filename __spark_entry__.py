@@ -1989,6 +1989,59 @@ _STREAMING_PARITY_ORACLE = """
 """
 
 
+def _q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix dashboard: the per-language corpus funnel — docs,
+    quality-pass count, pass rate, and token budget per predicted
+    language, composing lang-id × quality filter × token count. The
+    pass rate is integer fixed-point (1e-4) so the cross-engine hash
+    has no float edge.
+    """
+    docs = table(spark, sf_dir, "documents")
+    lang = T.lang_id(docs).select("doc_id", "lang_pred")
+    q = T.text_quality(docs).select("doc_id", "passes_quality")
+    c = T.token_count(docs).select("doc_id", "n_tokens")
+    agg = (
+        lang.join(q, "doc_id")
+        .join(c, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("passes_quality"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    return agg.select(
+        "lang_pred",
+        "n_docs",
+        "n_pass",
+        "total_tokens",
+        F.expr("CAST((n_pass * 10000) DIV n_docs AS BIGINT)").alias(
+            "pass_rate_e4"
+        ),
+    )
+
+
+_LANG_QUALITY_ROLLUP_ORACLE = f"""
+    WITH lang AS ({T.lang_id_oracle()}),
+         q AS ({T.text_quality_oracle()}),
+         c AS ({T.token_count_oracle()}),
+         agg AS (
+             SELECT lang.lang_pred,
+                    COUNT(*) AS n_docs,
+                    CAST(SUM(CASE WHEN q.passes_quality THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_pass,
+                    CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens
+             FROM lang JOIN q USING (doc_id) JOIN c USING (doc_id)
+             GROUP BY 1
+         )
+    SELECT lang_pred, n_docs, n_pass, total_tokens,
+           CAST((n_pass * 10000) // n_docs AS BIGINT) AS pass_rate_e4
+    FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2071,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions: pg_trgm analog + driver-gated streaming ----
         "fuzzy_name_search": _q_fuzzy_name_search,
         "streaming_parity": _q_streaming_parity,
+        "lang_quality_rollup": _q_lang_quality_rollup,
     }
 
 
@@ -2155,4 +2209,5 @@ def oracle_sql() -> dict[str, str]:
         "stats_contract": _STATS_CONTRACT_ORACLE,
         "fuzzy_name_search": _FUZZY_NAME_SEARCH_ORACLE,
         "streaming_parity": _STREAMING_PARITY_ORACLE,
+        "lang_quality_rollup": _LANG_QUALITY_ROLLUP_ORACLE,
     }
