@@ -128,15 +128,16 @@ def ngram_jaccard_pairs(
     ``array_distinct``), where the string form paid an interpreted
     ``transform`` lambda per element.
 
-    Physical shape: the exploded index is hash-repartitioned by the
-    join key and eagerly localCheckpoint-ed, so (1) tokenize+explode
-    runs ONCE, not once per self-join side, (2) the single repartition
-    replaces the two exchanges the self-join would otherwise insert,
-    and (3) parallelism no longer depends on the input's file split
-    (a one-file corpus otherwise runs the whole join on one task —
-    4.4s → 1.0s at sf0.1). The join is hinted shuffle-hash: both sides
-    are already co-partitioned, and hash build beats sort-merge's two
-    struct-comparator sorts.
+    Physical shape: the input is spread across the cluster first
+    (``scale_partitions`` — a one-file corpus otherwise runs the whole
+    pipeline on one task), the exploded index is hash-repartitioned by
+    the join key so both self-join sides are co-partitioned, and the
+    join is hinted shuffle-hash — hash build beats sort-merge's two
+    struct-comparator sorts. The operator stays LAZY: callers that
+    consume the pairs more than once checkpoint/persist the result
+    (``dedup_clusters`` does), which beats materializing the exploded
+    index inside the operator (measured: the eager checkpoint's write
+    job cost more than recomputing the cheap codegen explode).
     """
     from .partitioning import scale_partitions
 
@@ -146,10 +147,8 @@ def ngram_jaccard_pairs(
     sh = scale_partitions(df).select(
         F.col(id_col).alias("id"), F.array_distinct(z).alias("tris")
     ).withColumn("n_sh", F.size("tris"))
-    ex = (
-        sh.select("id", "n_sh", F.explode("tris").alias("tri"))
-        .repartition(F.col("tri"))
-        .localCheckpoint(eager=True)
+    ex = sh.select("id", "n_sh", F.explode("tris").alias("tri")).repartition(
+        F.col("tri")
     )
     a, b = ex.alias("a").hint("shuffle_hash"), ex.alias("b")
     pairs = (
