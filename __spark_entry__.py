@@ -1992,17 +1992,15 @@ _STREAMING_PARITY_ORACLE = """
 def _q_lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix dashboard: the per-language corpus funnel — docs,
     quality-pass count, pass rate, and token budget per predicted
-    language, composing lang-id × quality filter × token count. The
-    pass rate is integer fixed-point (1e-4) so the cross-engine hash
-    has no float edge.
+    language, over the FUSED one-scan ``text_profile`` (lang-id +
+    quality + token count in a single projection: one corpus pass,
+    zero joins, where three separate operators would scan three times).
+    The pass rate is integer fixed-point (1e-4) so the cross-engine
+    hash has no float edge.
     """
     docs = table(spark, sf_dir, "documents")
-    lang = T.lang_id(docs).select("doc_id", "lang_pred")
-    q = T.text_quality(docs).select("doc_id", "passes_quality")
-    c = T.token_count(docs).select("doc_id", "n_tokens")
     agg = (
-        lang.join(q, "doc_id")
-        .join(c, "doc_id")
+        T.text_profile(docs)
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

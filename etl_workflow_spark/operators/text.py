@@ -40,6 +40,46 @@ def _sql_tokens(col: str = "text") -> str:
     return f"string_split_regex(trim({col}), '\\s+')"
 
 
+def _n_tokens(col: str) -> Column:
+    """Empty-safe whitespace token count (split of "" yields [""])."""
+    return F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def _passes_quality(col: str) -> Column:
+    """The quality verdict shared by text_quality and text_profile."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS_EN)))
+    avg_word_len = F.round(
+        (F.length(F.regexp_replace(F.col(col), r"\s+", "")) / n_tok), 4
+    )
+    return (
+        (n_tok >= F.lit(5))
+        & (avg_word_len.between(2.0, 12.0))
+        & (stop_hits / n_tok >= F.lit(0.01))
+    )
+
+
+def _lang_pred(col: str) -> Column:
+    """Argmax language prediction shared by lang_id and text_profile."""
+    toks = tokens(col)
+    codes = sorted(LANG_MARKERS)
+
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda w: F.lower(w).isin(*markers)
+
+    hits = {
+        c: F.size(F.filter(toks, marker_filter(LANG_MARKERS[c]))) for c in codes
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for c in reversed(codes):
+        pred = F.when(hits[c] == best, F.lit(c)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
 def token_count(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate.
 
@@ -47,8 +87,7 @@ def token_count(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Dat
     token boundary — deterministic, no tokenizer dependency, and a
     reasonable budget proxy for LLM-pipeline sizing.
     """
-    toks = tokens(col)
-    n_tok = F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_tok = _n_tokens(col)
     return df.select(
         F.col(id_col),
         n_tok.cast("int").alias("n_tokens"),
@@ -93,11 +132,25 @@ def text_quality(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
         F.round(stop_hits / n_tok, 4).cast("double").alias("stopword_ratio"),
         F.round(n_punct / n_chars, 4).cast("double").alias("punct_ratio"),
         F.round(n_alpha / n_chars, 4).cast("double").alias("alpha_ratio"),
-        (
-            (n_tok >= F.lit(5))
-            & (avg_word_len.between(2.0, 12.0))
-            & (stop_hits / n_tok >= F.lit(0.01))
-        ).alias("passes_quality"),
+        _passes_quality(col).alias("passes_quality"),
+    )
+
+
+def text_profile(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-scan per-document text profile: language prediction, quality
+    verdict, and token count fused into a SINGLE projection.
+
+    Running ``lang_id`` + ``text_quality`` + ``token_count`` separately
+    and joining costs three corpus scans plus two shuffles; at 100 TB
+    the fused form is the difference between one pass and three. The
+    expressions are the same builders the individual operators use, so
+    the semantics cannot drift.
+    """
+    return df.select(
+        F.col(id_col),
+        _lang_pred(col).alias("lang_pred"),
+        _passes_quality(col).alias("passes_quality"),
+        _n_tokens(col).cast("int").alias("n_tokens"),
     )
 
 
@@ -152,13 +205,10 @@ def lang_id(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFra
     }
     best = F.greatest(*hits.values())
     # First code (sorted order) reaching the max wins ties — same CASE
-    # ordering in the SQL oracle.
-    pred = F.lit("und")
-    for c in reversed(codes):
-        pred = F.when(hits[c] == best, F.lit(c)).otherwise(pred)
+    # ordering in the SQL oracle; _lang_pred is the shared builder.
     return df.select(
         F.col(id_col),
-        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+        _lang_pred(col).alias("lang_pred"),
         best.cast("int").alias("marker_hits"),
     )
 
