@@ -472,30 +472,30 @@ def _q_quality_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds of hash-FAILs traced to ``round(double, 4)`` sitting on an
     environment-sensitive knife edge; no float touches this entry now.
     """
-    docs = table(spark, sf_dir, "documents")
-    q = T.text_quality(docs).where(F.col("passes_quality"))
-    counts = T.token_count(docs)
+    # ONE corpus scan, zero joins: quality verdict, token count, and
+    # the stopword fixed-point all project off the same row (the fused
+    # form of quality -> filter -> stats; three joined operators would
+    # scan the corpus three times).
     # Per-doc fixed point from INTEGER primitives (stop_hits, n_words)
     # — never sum a rounded double ratio: the r3/r4 hash-fails were a
     # last-ulp difference between Spark's and DuckDB's round(double, 4)
     # flipping one doc's 4th decimal. Integer DIV is exact in both.
+    docs = table(spark, sf_dir, "documents")
     toks = T.tokens("text")
-    ssr = docs.select(
-        "doc_id",
-        F.size(toks).alias("_nw"),
-        F.size(
-            F.filter(toks, lambda w: F.lower(w).isin(*T.STOPWORDS_EN))
-        ).alias("_sh"),
-    ).select(
-        "doc_id",
-        F.expr(
-            "CAST((CAST(_sh AS BIGINT) * 1000000) DIV _nw AS BIGINT)"
-        ).alias("_ssr_e6"),
-    )
     agg = (
-        q.select("doc_id")
-        .join(counts, "doc_id")
-        .join(ssr, "doc_id")
+        docs.select(
+            T._passes_quality("text").alias("_ok"),
+            T._n_tokens("text").alias("n_tokens"),
+            F.size(toks).alias("_nw"),
+            F.size(
+                F.filter(toks, lambda w: F.lower(w).isin(*T.STOPWORDS_EN))
+            ).alias("_sh"),
+        )
+        .withColumn(
+            "_ssr_e6",
+            F.expr("CAST((CAST(_sh AS BIGINT) * 1000000) DIV _nw AS BIGINT)"),
+        )
+        .where(F.col("_ok"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
