@@ -55,6 +55,20 @@ def test_sales_trends_broadcasts_calendar(spark, sf_dir):
     assert plans.uses_broadcast_join(df)
 
 
+def test_fused_corpus_entries_scan_once(spark, sf_dir):
+    """The training-mix rollup and the quality funnel are FUSED
+    single-projection pipelines: exactly one corpus scan, no joins.
+    Three joined operators would read the corpus three times — at
+    100 TB the scan count is the query cost."""
+    import __spark_entry__ as m
+
+    for name in ("lang_quality_rollup", "quality_filtered_stats"):
+        df = m.queries()[name](spark, sf_dir)
+        plan = plans.physical_plan(df)
+        assert plan.count("FileScan parquet") == 1, name
+        assert "Join" not in plan, name
+
+
 def test_partitioned_facts_prune_by_year(spark, sf_dir, tmp_path):
     """The warehouse writes facts partitioned by order year (the
     reference's RANGE-partition analog, database-schema.sql:109-116);
