@@ -49,6 +49,10 @@ def get_spark(
         # -- scan sizing: 128 MiB splits are the right grain for a
         #    1000-executor cluster reading 100 TB of parquet ------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # zstd for every parquet sink: ~20-30% smaller than snappy at
+        # comparable CPU — at 100 TB that is tens of TB of storage and
+        # shuffle-read bandwidth; readers are codec-transparent.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # -- local-harness hygiene --------------------------------------
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
