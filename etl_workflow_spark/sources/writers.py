@@ -151,10 +151,21 @@ def update_rows(
         df = df.withColumn(
             "updated_at", F.when(is_target, F.current_timestamp())
         )
-    # Parquet can't overwrite a path while reading it — stage once,
-    # then swap directories with a filesystem rename (metadata-only on
-    # HDFS/local; one materialization instead of the old
-    # stage→re-read→rewrite double write).
+    _swap_staged(spark, path, df)
+    return matched
+
+
+def _swap_staged(spark: SparkSession, path: str, df: DataFrame) -> None:
+    """Materialize ``df`` beside ``path`` and swap it in via renames.
+
+    Parquet can't overwrite a path while reading it — stage once, then
+    swap directories with filesystem renames (metadata-only on
+    HDFS/local). Swap via rename so a crash mid-sequence never leaves
+    the live path empty: live -> ._old, staged -> live, then drop
+    ._old; every step before the old-dir delete is recoverable (either
+    the live path or ._old still holds the previous data, ._staged
+    holds the new). Assumes NO concurrent readers (see update_rows).
+    """
     tmp = path.rstrip("/") + "._staged"
     df.write.mode("overwrite").parquet(tmp)
     jvm = spark.sparkContext._jvm
@@ -162,10 +173,6 @@ def update_rows(
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
     hold = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._old")
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    # Swap via rename so a crash mid-sequence never leaves the live path
-    # empty: live -> ._old, staged -> live, then drop ._old. Every step
-    # before the old-dir delete is recoverable (either the live path or
-    # ._old still holds the previous data, ._staged holds the new).
     if fs.exists(hold) and not fs.delete(hold, True):
         raise IOError(f"could not clear stale {hold}")
     if not fs.rename(hpath, hold):
@@ -192,7 +199,104 @@ def update_rows(
             RuntimeWarning,
             stacklevel=2,
         )
-    return matched
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_col: str | None = None,
+) -> tuple[int, int]:
+    """Parquet-native MERGE INTO: WHEN MATCHED THEN UPDATE (the source
+    row wins), WHEN NOT MATCHED THEN INSERT.
+
+    The vanilla-parquet analog of a Delta/Iceberg MERGE — the upsert
+    upgrade of the reference's ON CONFLICT DO NOTHING
+    (``database-schema.sql`` conflict clauses; ``idempotent_append``
+    keeps the do-nothing semantics). Table formats remain the right
+    answer for concurrent writers; this path needs none of their
+    runtime dependencies.
+
+    For a ``partition_col``-partitioned target only AFFECTED partitions
+    are rewritten: those holding currently-matched target rows (the
+    key's old location) plus the source rows' partitions (its new
+    location — an update may move a row across partitions). A narrow
+    key+partition scan finds them (partition pruning + min/max
+    skipping); untouched partitions are never read or written. The
+    merged slice is localCheckpoint-ed before the dynamic overwrite so
+    the write never reads the files it replaces. Unpartitioned targets
+    stage the full merge and swap atomically.
+
+    ``source`` must contain every target column; duplicate source keys
+    are collapsed (single arbitrary winner) before merging. Returns
+    ``(updated, inserted)``.
+    """
+    keys = list(keys)
+    if not os.path.exists(path):
+        src = source.dropDuplicates(keys).persist()
+        inserted = src.count()
+        writer = src.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        src.unpersist()
+        return (0, inserted)
+
+    target = spark.read.parquet(path)
+    src = source.dropDuplicates(keys).select(*target.columns).persist()
+    n_src = src.count()
+
+    if partition_col is None:
+        kept = target.join(src.select(*keys), on=keys, how="left_anti")
+        updated = target.count() - kept.count()
+        _swap_staged(spark, path, kept.unionByName(src))
+        src.unpersist()
+        return (updated, n_src - updated)
+
+    affected = [
+        r[0]
+        for r in (
+            target.join(src.select(*keys), on=keys, how="left_semi")
+            .select(partition_col)
+            .union(src.select(partition_col))
+            .distinct()
+            .collect()
+        )
+    ]
+    sub = target.where(F.col(partition_col).isin(affected))
+    kept = sub.join(src.select(*keys), on=keys, how="left_anti")
+    n_sub = sub.count()
+    merged = kept.unionByName(src).localCheckpoint(eager=True)
+    updated = n_sub - (merged.count() - n_src)
+    (
+        merged.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    # Dynamic overwrite only replaces partitions PRESENT in the output:
+    # a partition emptied by a cross-partition key move has no output
+    # rows, so its stale files would silently survive — clear those
+    # directories explicitly. (Partition values must round-trip through
+    # str() for the Hive-style dir name; true for the int/string/date
+    # keys this engine partitions by.)
+    present = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    emptied = [p for p in affected if p not in present]
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        for p in emptied:
+            pdir = jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + f"/{partition_col}={p}"
+            )
+            if fs.exists(pdir):
+                fs.delete(pdir, True)
+    src.unpersist()
+    return (updated, n_src - updated)
 
 
 def update_rows_partitioned(

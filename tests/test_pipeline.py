@@ -189,3 +189,74 @@ def test_update_rows_partitioned_touches_only_affected_partition(spark, tmp_path
     assert got == {1: "a", 2: "B", 3: "c"}
     # other partition: same physical files (never read-modified-written)
     assert sorted(glob.glob(f"{path}/date=2023-01-02/*.parquet")) == untouched
+
+
+def test_merge_into_unpartitioned_upsert(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["id", "name", "v"]
+    ).write.parquet(path)
+
+    src = spark.createDataFrame(
+        [(2, "b2", 99), (3, "c", 30)], ["id", "name", "v"]
+    )
+    updated, inserted = writers.merge_into(spark, path, src, ["id"])
+    assert (updated, inserted) == (1, 1)
+    got = {r["id"]: (r["name"], r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30)}
+
+
+def test_merge_into_creates_missing_target(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    src = spark.createDataFrame([(1, "a")], ["id", "name"])
+    assert writers.merge_into(spark, path, src, ["id"]) == (0, 1)
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_into_partitioned_rewrites_only_affected(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "fact")
+    target = spark.createDataFrame(
+        [(1, "2024-01", 10), (2, "2024-01", 20), (3, "2024-02", 30),
+         (4, "2024-03", 40)],
+        ["id", "month", "v"],
+    )
+    target.write.partitionBy("month").parquet(path)
+    before = set(glob.glob(os.path.join(path, "month=2024-03", "*.parquet")))
+
+    # update id=2 in place, insert id=5 into 2024-02; 2024-03 untouched
+    src = spark.createDataFrame(
+        [(2, "2024-01", 99), (5, "2024-02", 50)], ["id", "month", "v"]
+    )
+    updated, inserted = writers.merge_into(
+        spark, path, src, ["id"], partition_col="month"
+    )
+    assert (updated, inserted) == (1, 1)
+    got = {r["id"]: (r["month"], r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("2024-01", 10), 2: ("2024-01", 99),
+                   3: ("2024-02", 30), 4: ("2024-03", 40),
+                   5: ("2024-02", 50)}
+    # dynamic overwrite must not have touched the 2024-03 files
+    after = set(glob.glob(os.path.join(path, "month=2024-03", "*.parquet")))
+    assert after == before
+
+
+def test_merge_into_moves_row_across_partitions(spark, tmp_path):
+    path = str(tmp_path / "move")
+    spark.createDataFrame(
+        [(1, "2024-01", 10), (2, "2024-02", 20)], ["id", "month", "v"]
+    ).write.partitionBy("month").parquet(path)
+
+    # id=1 moves from 2024-01 to 2024-02: old partition loses it,
+    # new partition gains it — no duplicate left behind
+    src = spark.createDataFrame([(1, "2024-02", 11)], ["id", "month", "v"])
+    updated, inserted = writers.merge_into(
+        spark, path, src, ["id"], partition_col="month"
+    )
+    assert (updated, inserted) == (1, 0)
+    got = sorted((r["id"], r["month"], r["v"])
+                 for r in spark.read.parquet(path).collect())
+    assert got == [(1, "2024-02", 11), (2, "2024-02", 20)]
