@@ -136,10 +136,18 @@ def main() -> None:
         "chunk_documents": lambda s, d: CH.chunk_documents(
             table(s, d, "documents"), chunk_tokens=32
         ),
-        "value_percentiles": entry_mod._q_value_percentiles,
-        "pack_invariants": entry_mod._q_pack_invariants,
-        "rolling_revenue": entry_mod._q_rolling_revenue,
     }
+    # Private entry-module callables resolved defensively: a rename in a
+    # future consolidation must cost ONE missing query row, not the
+    # whole bench (round 3 died to exactly this NameError class).
+    for bench_name, attr in (
+        ("value_percentiles", "_q_value_percentiles"),
+        ("pack_invariants", "_q_pack_invariants"),
+        ("rolling_revenue", "_q_rolling_revenue"),
+    ):
+        fn = getattr(entry_mod, attr, None)
+        if fn is not None:
+            ops[bench_name] = fn
 
     qs = {**entry_mod.queries(), **ops}
     timings: dict[str, float] = {}
