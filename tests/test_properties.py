@@ -164,3 +164,43 @@ def test_fixed_point_dod_matches_duckdb(spark, revs):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 99)),
+        max_size=12, unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 99)),
+        max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_into_matches_dict_model(spark, tmp_path_factory, target, source):
+    """merge_into must behave exactly like dict.update keyed by id —
+    including cross-partition moves and emptied-partition cleanup —
+    for arbitrary target/source combinations."""
+    from etl_workflow_spark.sources.writers import merge_into
+
+    path = str(tmp_path_factory.mktemp("merge") / "t")
+    cols = ["id", "part", "v"]
+    if target:
+        spark.createDataFrame(target, cols).write.partitionBy("part").parquet(path)
+
+    src = spark.createDataFrame(source, cols) if source else spark.createDataFrame(
+        [], "id int, part int, v int"
+    )
+    updated, inserted = merge_into(spark, path, src, ["id"], partition_col="part")
+
+    model = {t[0]: t for t in target}
+    n_matched = sum(1 for s in source if s[0] in model)
+    model.update({s[0]: s for s in source})
+    if target or source:
+        # select explicitly: parquet read-back appends partition cols last
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(path).select(*cols).collect()
+        )
+        assert got == sorted(model.values())
+    assert (updated, inserted) == (n_matched, len(source) - n_matched)
