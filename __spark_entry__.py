@@ -591,20 +591,21 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0]["ok"]
         )
         rows = [
-            (r["query_id"], r["neighbor_id"], r["score"], r["rank"], lsh_ok, ivf_ok)
+            (r["query_id"], r["neighbor_id"], r["score_e4"], r["rank"],
+             lsh_ok, ivf_ok)
             for r in exact.collect()
         ]
     finally:
         exact.unpersist()
     return spark.createDataFrame(
         rows,
-        "query_id bigint, neighbor_id bigint, score double, rank int, "
+        "query_id bigint, neighbor_id bigint, score_e4 bigint, rank int, "
         "lsh_recall_ok boolean, ivf_recall_ok boolean",
     )
 
 
 _ANN_TOPK_ORACLE = f"""
-    SELECT query_id, neighbor_id, score, rank,
+    SELECT query_id, neighbor_id, score_e4, rank,
            TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
     FROM ({S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8")})
 """
@@ -1757,7 +1758,7 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("doc_id"),
         "term",
         F.col("n").cast("bigint").alias("n"),
-        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("bigint").alias("score_e4"),
         F.lit(None).cast("int").alias("rank"),
     )
     perdoc = T.tfidf_top_terms(docs, k=5).select(
@@ -1765,7 +1766,7 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "term",
         F.col("tf").cast("bigint").alias("n"),
-        "score",
+        "score_e4",
         "rank",
     )
     return corpus.unionByName(perdoc)
@@ -1773,11 +1774,11 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TERM_STATS_ORACLE = f"""
     SELECT 'corpus' AS scope, CAST(NULL AS BIGINT) AS doc_id, term,
-           CAST(n AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS score,
+           CAST(n AS BIGINT) AS n, CAST(NULL AS BIGINT) AS score_e4,
            CAST(NULL AS INT) AS rank
     FROM ({_TOP_TERMS_ORACLE})
     UNION ALL
-    SELECT 'doc', doc_id, term, CAST(tf AS BIGINT), score, rank
+    SELECT 'doc', doc_id, term, CAST(tf AS BIGINT), score_e4, rank
     FROM ({T.tfidf_top_terms_oracle(k=5)})
 """
 
@@ -1867,14 +1868,42 @@ _EVENTS_TYPE_STATS_ORACLE = f"""
 def _q_revenue_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every windowed-analytics operator over the daily revenue series
     in one frame: trailing 7-day RANGE sum/avg, running cumulative, and
-    lag()-based day-over-day delta/percent change."""
+    lag()-based day-over-day delta/percent change.
+
+    Every money column is emitted as BIGINT integer cents and every
+    lag-derived NULL (the first row has no predecessor) is coalesced
+    to 0: the r5 driver hash-fail was engine-default DECIMAL widths
+    (Spark decimal(28,2) -> object Decimal vs DuckDB DECIMAL(38,2) ->
+    float64) plus NaN-vs-typed-NULL in the normalizer, not values.
+    """
     rolling = _q_rolling_revenue(spark, sf_dir)
     dod = _q_revenue_dod(spark, sf_dir).select("date", "delta", "pct_change_e4")
-    return rolling.join(dod, "date")
+    joined = rolling.join(dod, "date")
+    return joined.select(
+        "date",
+        F.expr("CAST(revenue * 100 AS BIGINT)").alias("revenue_c"),
+        F.expr("CAST(revenue_7d_sum * 100 AS BIGINT)").alias(
+            "revenue_7d_sum_c"
+        ),
+        "revenue_7d_avg_e4",
+        F.expr("CAST(revenue_cumulative * 100 AS BIGINT)").alias(
+            "revenue_cum_c"
+        ),
+        F.expr("COALESCE(CAST(delta * 100 AS BIGINT), 0)").alias("delta_c"),
+        F.expr("CAST(COALESCE(pct_change_e4, 0) AS BIGINT)").alias(
+            "pct_change_e4"
+        ),
+    )
 
 
 _REVENUE_WINDOWS_ORACLE = f"""
-    SELECT r.*, d.delta, d.pct_change_e4
+    SELECT date,
+           CAST(r.revenue * 100 AS BIGINT) AS revenue_c,
+           CAST(r.revenue_7d_sum * 100 AS BIGINT) AS revenue_7d_sum_c,
+           r.revenue_7d_avg_e4,
+           CAST(r.revenue_cumulative * 100 AS BIGINT) AS revenue_cum_c,
+           COALESCE(CAST(d.delta * 100 AS BIGINT), 0) AS delta_c,
+           CAST(COALESCE(d.pct_change_e4, 0) AS BIGINT) AS pct_change_e4
     FROM ({_ROLLING_REVENUE_ORACLE}) r
     JOIN (SELECT date, delta, pct_change_e4 FROM ({_REVENUE_DOD_ORACLE})) d
       USING (date)
@@ -2173,9 +2202,13 @@ def oracle_sql() -> dict[str, str]:
                      FROM documents
                  ),
                  s AS (
-                     SELECT COUNT(*) AS n_docs,
-                            SUM(c.n_tokens) AS total_tokens,
-                            SUM(t.ssr_e6) AS ssr_e6
+                     -- Explicit BIGINT: DuckDB's uncast SUM yields
+                     -- HUGEINT which pandas widens to float64 while
+                     -- Spark emits int64 — the r5 driver hash-fail.
+                     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                            CAST(SUM(c.n_tokens) AS BIGINT)
+                                AS total_tokens,
+                            CAST(SUM(t.ssr_e6) AS BIGINT) AS ssr_e6
                      FROM q JOIN c USING (doc_id) JOIN t USING (doc_id)
                      WHERE q.passes_quality
                  )

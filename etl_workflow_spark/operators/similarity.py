@@ -99,7 +99,13 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("score", 4).alias("score"),
+            # fixed-point e4 via floor: round(double, 4) sits on a
+            # .00005 knife edge where Spark (HALF_UP) and DuckDB
+            # (HALF_EVEN) disagree; floor only flips when score*1e4 is
+            # exactly integral, which cosine values essentially never
+            # hit except the exact 1.0 self-similarity (integral on
+            # both engines anyway)
+            F.floor(F.col("score") * 10000).alias("score_e4"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -109,8 +115,8 @@ def brute_force_topk_oracle(
     k: int = 5, query_predicate: str = "vec_id < 8", table: str = "embeddings"
 ) -> str:
     """DuckDB twin: double-cast lists + list_cosine_similarity (same
-    left-to-right accumulation, double precision → 4-decimal round is
-    engine-stable)."""
+    left-to-right accumulation, double precision → floor-e4 fixed
+    point is engine-stable)."""
     return f"""
         WITH q AS (
             SELECT vec_id AS query_id,
@@ -130,7 +136,8 @@ def brute_force_topk_oracle(
                                       ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM scored
         )
-        SELECT query_id, neighbor_id, round(score, 4) AS score,
+        SELECT query_id, neighbor_id,
+               CAST(floor(score * 10000) AS BIGINT) AS score_e4,
                CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}
     """
@@ -295,7 +302,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("score", 4).alias("score"),
+            F.floor(F.col("score") * 10000).alias("score_e4"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -605,7 +612,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(_cosine_batch(F.col("cvec"), F.col("qvec")), 4))
+        .withColumn("score", _cosine_batch(F.col("cvec"), F.col("qvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -613,7 +620,8 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.lit(k))
-        .select("query_id", "neighbor_id", "score",
+        .select("query_id", "neighbor_id",
+                F.floor(F.col("score") * 10000).alias("score_e4"),
                 F.col("rank").cast("int").alias("rank"))
     )
 

@@ -433,7 +433,10 @@ def tfidf_top_terms(
     term cardinality scales sublinearly with corpus size, and the join
     carries only (term, df). Ranking sorts on the UNROUNDED score with
     a term-name tiebreak so both engines rank identically; the score is
-    rounded only at the output edge.
+    fixed-pointed only at the output edge (``score_e4`` = floor of
+    score*1e4 — scores are always positive since the smoothed idf >= 1,
+    and floor avoids the .00005 HALF_UP-vs-HALF_EVEN knife edge that
+    ``round(double, 4)`` hash-failed on in rounds 3-4).
     """
     from pyspark.sql.window import Window
 
@@ -463,7 +466,7 @@ def tfidf_top_terms(
             id_col,
             "term",
             F.col("tf").cast("int").alias("tf"),
-            F.round("score", 4).alias("score"),
+            F.floor(F.col("score") * 10000).alias("score_e4"),
             "rank",
         )
     )
@@ -494,7 +497,7 @@ def tfidf_top_terms_oracle(k: int = 5, table: str = "documents") -> str:
             FROM scored
         )
         SELECT doc_id, term, CAST(tf AS INT) AS tf,
-               round(score, 4) AS score, rank
+               CAST(floor(score * 10000) AS BIGINT) AS score_e4, rank
         FROM ranked WHERE rank <= {k}
     """
 

@@ -146,7 +146,7 @@ def test_cosine_topk_exact_small(spark):
     assert [r["neighbor_id"] for r in out] == [1, 2, 3]
     assert out[0]["rank"] == 1
     expected = 0.9 / math.sqrt(0.81 + 0.01)
-    assert abs(out[0]["score"] - round(expected, 4)) < 1e-9
+    assert out[0]["score_e4"] == math.floor(expected * 10000)
 
 
 def test_lsh_topk_recall_on_testdata(spark, sf_dir):
@@ -226,12 +226,12 @@ def test_ivf_topk_recall_on_testdata(spark, sf_dir):
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     assert len(got & exact) / len(exact) >= 0.5
     # scores must match the exact scorer where pairs overlap
-    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"]
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score_e4"]
                     for r in S.brute_force_topk(emb, q, k=5).collect()}
     for r in ivf:
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
-            assert abs(r["score"] - exact_scores[key]) < 1e-3
+            assert abs(r["score_e4"] - exact_scores[key]) <= 10
 
 
 def test_repetition_signals_crafted_docs(spark):

@@ -2,14 +2,31 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, column
-names, and an order-insensitive value digest (columns sorted by name,
-rows sorted, floats rounded to 6 significant-ish decimals).
+names, an order-insensitive value digest, AND the pandas dtype *kind*
+of every column.
+
+The dtype check is the round-6 addition: rounds 3-5 each "fixed" an
+entry locally and still hash-failed at the driver because the old
+``fetchall()`` comparison saw Python ints where the driver's pandas
+conversion saw float64 (DuckDB HUGEINT sums) or object Decimal (Spark
+decimal outputs). Both engines now go through pandas (Spark
+``toPandas()``, DuckDB ``.df()``) exactly like the driver, and a column
+whose *kind* differs (int vs float vs decimal vs str ...) FAILS even
+when the values match — that is precisely the class of edge the driver
+sees and we used to miss.
+
+Value comparison stays tolerant (decimals compare as floats, dates as
+ISO strings) so the output distinguishes "type-representation edge"
+(DTYPE line, values equal) from a real value bug (hash line).
 
 Usage: python tools/check.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
+import hashlib
 import math
 import sys
 import time
@@ -17,6 +34,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -26,25 +45,86 @@ TABLES = (
 ).split()
 
 
+def _col_kind(s: pd.Series) -> str:
+    """Coarse dtype kind for cross-engine comparison.
+
+    date and datetime collapse to one kind (Spark DateType arrives as
+    object-of-date, DuckDB DATE as datetime64 — the driver normalizes
+    these fine, so we don't flag them), but int / float / decimal / str
+    stay distinct: int64-vs-float64 (HUGEINT widening) and
+    Decimal-vs-float64 (engine-default DECIMAL widths) are the exact
+    asymmetries behind the r3-r5 driver-only hash-fails.
+    """
+    dt = s.dtype
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    nn = s.dropna()
+    if len(nn):
+        v = nn.iloc[0]
+        if isinstance(v, (datetime.datetime, pd.Timestamp, datetime.date)):
+            return "datetime"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+    return "object"
+
+
 def _norm_cell(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, (float,)):
         if math.isnan(v):
-            return "NaN"
+            return "NULL"
         if v == 0:
             return "0"
         return f"{v:.6g}"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if pd.isna(v):
+            return "NULL"
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def digest(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
-    import hashlib
-
+def digest(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    cells = {c: [_norm_cell(v) for v in df[c].tolist()] for c in cols}
+    lines = sorted(
+        "|".join(cells[c][i] for c in cols) for i in range(len(df))
+    )
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
@@ -84,37 +164,47 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"okay {name}: rows-only check, {len(srows)} rows "
-                  f"({time.time()-t0:.1f}s)")
-            if not srows:
+            print(
+                f"okay {name}: rows-only check, {len(sdf)} rows "
+                f"({time.time()-t0:.1f}s)"
+            )
+            if not len(sdf):
                 print(f"  WARN {name}: 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         ok = True
-        if len(srows) != len(orows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(orows)}")
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
             ok = False
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(
+                f"FAIL {name}: cols spark={sorted(sdf.columns)} "
+                f"duckdb={sorted(odf.columns)}"
+            )
             ok = False
         if ok:
-            sh, sl = digest(scols, srows)
-            oh, ol = digest(ocols, orows)
+            for c in sorted(sdf.columns):
+                sk, okind = _col_kind(sdf[c]), _col_kind(odf[c])
+                if sk != okind:
+                    print(
+                        f"FAIL {name}: DTYPE {c}: spark={sk}"
+                        f"({sdf[c].dtype}) duckdb={okind}({odf[c].dtype})"
+                    )
+                    ok = False
+        if ok:
+            sh, sl = digest(sdf)
+            oh, ol = digest(odf)
             if sh != oh:
                 ok = False
                 print(f"FAIL {name}: value hash mismatch")
@@ -123,7 +213,7 @@ def main() -> int:
                         print(f"  spark : {a}\n  duckdb: {b}")
                         break
         if ok:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
 
