@@ -691,9 +691,22 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.expr("round(percentile(value, 0.5), 4) AS p50"),
-            F.expr("round(percentile(value, 0.95), 4) AS p95"),
-            F.expr("round(percentile(value, 0.99), 4) AS p99"),
+            # floor-e4 fixed point: both engines interpolate the same
+            # sorted exact values, and FLOOR of the identical double
+            # avoids the round(double, 4) half-way knife edge (floor is
+            # floor on negatives in both engines, no sign guard needed)
+            F.expr(
+                "CAST(FLOOR(percentile(value, 0.5) * 10000) AS BIGINT)"
+                " AS p50_e4"
+            ),
+            F.expr(
+                "CAST(FLOOR(percentile(value, 0.95) * 10000) AS BIGINT)"
+                " AS p95_e4"
+            ),
+            F.expr(
+                "CAST(FLOOR(percentile(value, 0.99) * 10000) AS BIGINT)"
+                " AS p99_e4"
+            ),
         )
         .orderBy("event_type")
     )
@@ -701,9 +714,9 @@ def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VALUE_PERCENTILES_ORACLE = """
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.95), 4) AS p95,
-           round(quantile_cont(value, 0.99), 4) AS p99
+           CAST(floor(quantile_cont(value, 0.5) * 10000) AS BIGINT) AS p50_e4,
+           CAST(floor(quantile_cont(value, 0.95) * 10000) AS BIGINT) AS p95_e4,
+           CAST(floor(quantile_cont(value, 0.99) * 10000) AS BIGINT) AS p99_e4
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -807,14 +820,14 @@ def _q_embedding_neardup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a",
         "vec_b",
-        "cosine",
+        "cosine_e4",
         F.col("hitb").isNotNull().alias("in_blocked"),
         F.lit(lsh_ok).alias("lsh_recall_ok"),
     )
 
 
 _EMBEDDING_NEARDUP_ORACLE = f"""
-    SELECT vec_a, vec_b, cosine,
+    SELECT vec_a, vec_b, cosine_e4,
            TRUE AS in_blocked, TRUE AS lsh_recall_ok
     FROM ({S.embedding_neardup_exact_oracle(threshold=0.45)})
 """
@@ -977,7 +990,12 @@ def _q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (n * sxy - sx * sy) / F.sqrt(
         (n * sxx - sx * sx) * (n * syy - sy * sy)
     )
-    return s.select(F.col("n"), F.round(corr, 6).alias("corr_qty_price"))
+    # floor-e6 fixed point (see percentiles entry): floor of the same
+    # closed-form double is engine-identical, round(double, 6) is not
+    return s.select(
+        F.col("n"),
+        F.floor(corr * F.lit(1000000)).alias("corr_qty_price_e6"),
+    )
 
 
 _QTY_PRICE_CORR_ORACLE = """
@@ -994,13 +1012,14 @@ _QTY_PRICE_CORR_ORACLE = """
         )
     )
     SELECT n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-               AS corr_qty_price
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                      * 1000000) AS BIGINT)
+               AS corr_qty_price_e6
     FROM s
 """
 
@@ -1843,7 +1862,7 @@ def _q_stats_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STATS_CONTRACT_ORACLE = f"""
-    SELECT a.*, c.n AS n_lineitems, c.corr_qty_price
+    SELECT a.*, c.n AS n_lineitems, c.corr_qty_price_e6
     FROM ({_APPROX_UNIQUE_ORACLE}) a
     CROSS JOIN ({_QTY_PRICE_CORR_ORACLE}) c
 """

@@ -162,11 +162,18 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # e4 fixed point from exact integer counts: truncating DIV (Spark)
+    # == floor // (DuckDB) for non-negatives, so no round(double, 4)
+    # half-way knife edge reaches the hash compare or the threshold
     return (
-        pairs.withColumn("jaccard", F.round(jac, 4))
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("doc_a", "doc_b", "jaccard")
+        pairs.withColumn(
+            "jaccard_e4",
+            F.expr(
+                "CAST((inter * 10000) DIV (n_a + n_b - inter) AS BIGINT)"
+            ),
+        )
+        .where(F.col("jaccard_e4") >= F.lit(int(threshold * 10000 + 0.5)))
+        .select("doc_a", "doc_b", "jaccard_e4")
     )
 
 
@@ -190,9 +197,11 @@ def ngram_jaccard_oracle(
             GROUP BY 1, 2, 3, 4
         )
         SELECT doc_a, doc_b,
-               round(inter / CAST(n_a + n_b - inter AS DOUBLE), 4) AS jaccard
+               CAST((inter * 10000) // (n_a + n_b - inter) AS BIGINT)
+                   AS jaccard_e4
         FROM pairs
-        WHERE round(inter / CAST(n_a + n_b - inter AS DOUBLE), 4) >= {threshold}
+        WHERE (inter * 10000) // (n_a + n_b - inter)
+              >= {int(threshold * 10000 + 0.5)}
     """
 
 
@@ -316,12 +325,15 @@ def minhash_lsh_pairs(
         .join(rhs, on="doc_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
+            "jaccard_e4",
+            F.expr(
+                "CAST((CAST(inter AS BIGINT) * 10000)"
+                " DIV (n_a + n_b - inter) AS BIGINT)"
+            ),
         )
-        .where(F.col("jaccard") >= F.lit(threshold))
+        .where(F.col("jaccard_e4") >= F.lit(int(threshold * 10000 + 0.5)))
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    return verified.select("doc_a", "doc_b", "jaccard_e4")
 
 
 # ------------------------------------------------------------------ simhash

@@ -336,24 +336,32 @@ def embedding_neardup_exact(
     # blocked tier already proved the numpy math oracle-exact
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(_cosine_batch(F.col("va"), F.col("vb")), 4))
-        .where(F.col("cosine") >= F.lit(threshold))
-        .select("vec_a", "vec_b", "cosine")
+        .withColumn(
+            "cosine_e4",
+            F.floor(_cosine_batch(F.col("va"), F.col("vb")) * 10000),
+        )
+        .where(F.col("cosine_e4") >= F.lit(int(threshold * 10000 + 0.5)))
+        .select("vec_a", "vec_b", "cosine_e4")
     )
 
 
 def embedding_neardup_exact_oracle(
     threshold: float = 0.45, table: str = "embeddings"
 ) -> str:
+    # floor-e4 fixed point (not round): np.round is HALF_EVEN, DuckDB
+    # round is half-away — floor of the identical double is the only
+    # representation all tiers and both engines agree on bit-for-bit
+    thr_e4 = int(threshold * 10000 + 0.5)
     return f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 4)
-                   AS cosine
+               CAST(floor(list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT)
+                   AS cosine_e4
         FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 4)
-              >= {threshold}
+        WHERE floor(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) * 10000) >= {thr_e4}
     """
 
 
@@ -409,12 +417,13 @@ def embedding_neardup_blocked(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "vec")).alias("rows"))
     )
+    thr_e4 = int(threshold * 10000 + 0.5)
     pair_schema = ArrayType(
         StructType(
             [
                 StructField("vec_a", LongType()),
                 StructField("vec_b", LongType()),
-                StructField("cosine", DoubleType()),
+                StructField("cosine_e4", LongType()),
             ]
         )
     )
@@ -432,8 +441,11 @@ def embedding_neardup_blocked(
             sims = (mx @ my.T) / np.outer(
                 np.linalg.norm(mx, axis=1), np.linalg.norm(my, axis=1)
             )
-            sims = np.round(sims, 4)
-            mask = sims >= threshold
+            # floor-e4 fixed point: np.round is HALF_EVEN which can
+            # disagree with both Spark HALF_UP and DuckDB half-away on
+            # .00005 edges; floor of the same double agrees everywhere
+            sims_e4 = np.floor(sims * 10000).astype(np.int64)
+            mask = sims_e4 >= thr_e4
             if np.array_equal(ids_x, ids_y):
                 # diagonal block pair: dedupe within the block by id order
                 mask &= ids_x[:, None] < ids_y[None, :]
@@ -445,7 +457,7 @@ def embedding_neardup_blocked(
                     {
                         "vec_a": int(min(ids_x[i], ids_y[j])),
                         "vec_b": int(max(ids_x[i], ids_y[j])),
-                        "cosine": float(sims[i, j]),
+                        "cosine_e4": int(sims_e4[i, j]),
                     }
                     for i, j in zip(ia, ib)
                 ]
@@ -459,7 +471,7 @@ def embedding_neardup_blocked(
     return block_pairs.select(F.explode("hits").alias("h")).select(
         F.col("h.vec_a").alias("vec_a"),
         F.col("h.vec_b").alias("vec_b"),
-        F.col("h.cosine").alias("cosine"),
+        F.col("h.cosine_e4").alias("cosine_e4"),
     )
 
 
@@ -501,9 +513,12 @@ def embedding_neardup_lsh(
     return (
         cand.join(vecs.select(F.col("id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
         .join(vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
-        .withColumn("cosine", F.round(_cosine_batch(F.col("va"), F.col("vb")), 4))
-        .where(F.col("cosine") >= F.lit(threshold))
-        .select("vec_a", "vec_b", "cosine")
+        .withColumn(
+            "cosine_e4",
+            F.floor(_cosine_batch(F.col("va"), F.col("vb")) * 10000),
+        )
+        .where(F.col("cosine_e4") >= F.lit(int(threshold * 10000 + 0.5)))
+        .select("vec_a", "vec_b", "cosine_e4")
     )
 
 
@@ -657,7 +672,14 @@ def group_centroids(
         .select(
             group_col,
             "dim",
-            F.round(F.col("sq") / (F.col("n") * F.lit(1e6)), 6).alias("centroid"),
+            # centroid in exact e6 micro-units: sq is already e6-scaled,
+            # so the mean needs only one integer division — sign-guarded
+            # trunc (Spark DIV truncates, DuckDB // floors; the CASE
+            # pins both to trunc for negative components)
+            F.expr(
+                "CAST(CASE WHEN sq < 0 THEN -((-sq) DIV n) "
+                "ELSE sq DIV n END AS BIGINT)"
+            ).alias("centroid_e6"),
             F.col("n"),
         )
     )
@@ -669,8 +691,9 @@ def group_centroids_oracle(
 ) -> str:
     return f"""
         SELECT {group_col}, dim,
-               round(SUM(q) / (COUNT(*) * 1e6), 6) AS centroid,
-               COUNT(*) AS n
+               CAST(CASE WHEN SUM(q) < 0 THEN -((-SUM(q)) // COUNT(*))
+                    ELSE SUM(q) // COUNT(*) END AS BIGINT) AS centroid_e6,
+               CAST(COUNT(*) AS BIGINT) AS n
         FROM (
             SELECT {group_col},
                    generate_subscripts({vec_col}, 1) - 1 AS dim,

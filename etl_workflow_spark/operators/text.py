@@ -114,6 +114,11 @@ def text_quality(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
     """Quality heuristics: length, word stats, stopword & punctuation
     ratios, alpha ratio — the standard pre-training filter features
     (C4/Gopher-style), all as built-in expressions.
+
+    Ratio outputs are BIGINT fixed-point in 1e-4 units computed with
+    truncating integer division of exact integer counts — identical in
+    Spark (DIV) and DuckDB (//), unlike ``round(double, 4)`` whose
+    half-way semantics differ across engines (the r3/r4 hash-fails).
     """
     toks = tokens(col)
     n_tok = F.size(toks)
@@ -121,18 +126,42 @@ def text_quality(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
     n_chars = F.length(F.col(col))
     n_alpha = F.length(F.regexp_replace(F.col(col), r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(F.col(col), r"[^.,;:!?]", ""))
-    avg_word_len = F.round(
-        (F.length(F.regexp_replace(F.col(col), r"\s+", "")) / n_tok), 4
-    )
-    return df.select(
+    n_nospace = F.length(F.regexp_replace(F.col(col), r"\s+", ""))
+    # integer counts first, fixed-point DIV second: both operands are
+    # non-negative BIGINTs, so truncating DIV (Spark) and floor //
+    # (DuckDB) agree bit-for-bit; NULLIF guards ANSI div-by-zero on
+    # degenerate empty text (NULL on both engines)
+    d = df.select(
         F.col(id_col),
         n_chars.cast("int").alias("n_chars"),
         n_tok.cast("int").alias("n_words"),
-        avg_word_len.cast("double").alias("avg_word_len"),
-        F.round(stop_hits / n_tok, 4).cast("double").alias("stopword_ratio"),
-        F.round(n_punct / n_chars, 4).cast("double").alias("punct_ratio"),
-        F.round(n_alpha / n_chars, 4).cast("double").alias("alpha_ratio"),
+        stop_hits.cast("bigint").alias("_sh"),
+        n_punct.cast("bigint").alias("_np"),
+        n_alpha.cast("bigint").alias("_na"),
+        n_nospace.cast("bigint").alias("_ns"),
         _passes_quality(col).alias("passes_quality"),
+    )
+    return d.select(
+        id_col,
+        "n_chars",
+        "n_words",
+        F.expr(
+            "CAST((_ns * 10000) DIV NULLIF(CAST(n_words AS BIGINT), 0)"
+            " AS BIGINT)"
+        ).alias("avg_word_len_e4"),
+        F.expr(
+            "CAST((_sh * 10000) DIV NULLIF(CAST(n_words AS BIGINT), 0)"
+            " AS BIGINT)"
+        ).alias("stopword_ratio_e4"),
+        F.expr(
+            "CAST((_np * 10000) DIV NULLIF(CAST(n_chars AS BIGINT), 0)"
+            " AS BIGINT)"
+        ).alias("punct_ratio_e4"),
+        F.expr(
+            "CAST((_na * 10000) DIV NULLIF(CAST(n_chars AS BIGINT), 0)"
+            " AS BIGINT)"
+        ).alias("alpha_ratio_e4"),
+        "passes_quality",
     )
 
 
@@ -164,21 +193,31 @@ def text_quality_oracle(table: str = "documents") -> str:
                    len({t}) AS n_words,
                    round(length(regexp_replace(text, '\\s+', '', 'g'))
                          / CAST(len({t}) AS DOUBLE), 4) AS avg_word_len,
-                   len(list_filter({t}, w -> lower(w) IN ({stop_list}))) AS stop_hits,
-                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                        AS BIGINT) AS n_nospace,
+                   CAST(len(list_filter({t}, w -> lower(w) IN ({stop_list})))
+                        AS BIGINT) AS stop_hits,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS BIGINT) AS n_alpha
             FROM {table}
         )
         SELECT doc_id,
                CAST(n_chars AS INT) AS n_chars,
                CAST(n_words AS INT) AS n_words,
-               CAST(avg_word_len AS DOUBLE) AS avg_word_len,
-               CAST(round(stop_hits / CAST(n_words AS DOUBLE), 4) AS DOUBLE)
-                   AS stopword_ratio,
-               CAST(round(n_punct / CAST(n_chars AS DOUBLE), 4) AS DOUBLE)
-                   AS punct_ratio,
-               CAST(round(n_alpha / CAST(n_chars AS DOUBLE), 4) AS DOUBLE)
-                   AS alpha_ratio,
+               CAST((n_nospace * 10000)
+                    // NULLIF(CAST(n_words AS BIGINT), 0) AS BIGINT)
+                   AS avg_word_len_e4,
+               CAST((stop_hits * 10000)
+                    // NULLIF(CAST(n_words AS BIGINT), 0) AS BIGINT)
+                   AS stopword_ratio_e4,
+               CAST((n_punct * 10000)
+                    // NULLIF(CAST(n_chars AS BIGINT), 0) AS BIGINT)
+                   AS punct_ratio_e4,
+               CAST((n_alpha * 10000)
+                    // NULLIF(CAST(n_chars AS BIGINT), 0) AS BIGINT)
+                   AS alpha_ratio_e4,
                (n_words >= 5 AND avg_word_len BETWEEN 2.0 AND 12.0
                 AND stop_hits / CAST(n_words AS DOUBLE) >= 0.01) AS passes_quality
         FROM q
@@ -353,18 +392,25 @@ def repetition_signals(
         .select(
             id_col,
             F.col("n").cast("int").alias("n_tokens"),
-            F.round(F.col("nd") / F.col("n"), 4).alias("distinct_token_ratio"),
-            F.round(F.coalesce(F.col("max_tok"), F.lit(0)) / F.col("n"), 4).alias(
-                "top_token_fraction"
-            ),
-            F.round(
-                F.coalesce(F.col("max_gram"), F.lit(0))
-                / F.greatest(F.col("n") - 1, F.lit(1)),
-                4,
-            ).alias("top_2gram_fraction"),
-            F.round((F.col("nl") - F.col("ndl")) / F.col("nl"), 4).alias(
-                "dup_line_fraction"
-            ),
+            # e4 fixed point from exact integer counts (truncating DIV
+            # == DuckDB // for non-negatives): no round(double, 4)
+            # half-way knife edge can reach the hash compare
+            F.expr(
+                "CAST((CAST(nd AS BIGINT) * 10000)"
+                " DIV NULLIF(CAST(n AS BIGINT), 0) AS BIGINT)"
+            ).alias("distinct_token_ratio_e4"),
+            F.expr(
+                "CAST((CAST(COALESCE(max_tok, 0) AS BIGINT) * 10000)"
+                " DIV NULLIF(CAST(n AS BIGINT), 0) AS BIGINT)"
+            ).alias("top_token_fraction_e4"),
+            F.expr(
+                "CAST((CAST(COALESCE(max_gram, 0) AS BIGINT) * 10000)"
+                " DIV CAST(GREATEST(n - 1, 1) AS BIGINT) AS BIGINT)"
+            ).alias("top_2gram_fraction_e4"),
+            F.expr(
+                "CAST((CAST(nl - ndl AS BIGINT) * 10000)"
+                " DIV NULLIF(CAST(nl AS BIGINT), 0) AS BIGINT)"
+            ).alias("dup_line_fraction_e4"),
         )
     )
 
@@ -403,13 +449,18 @@ def repetition_signals_oracle(table: str = "documents") -> str:
             ) GROUP BY 1
         )
         SELECT b.doc_id, CAST(n AS INT) AS n_tokens,
-               round(nd / CAST(n AS DOUBLE), 4) AS distinct_token_ratio,
-               round(COALESCE(max_tok, 0) / CAST(n AS DOUBLE), 4)
-                   AS top_token_fraction,
-               round(COALESCE(max_gram, 0)
-                     / CAST(greatest(n - 1, 1) AS DOUBLE), 4)
-                   AS top_2gram_fraction,
-               round((nl - ndl) / CAST(nl AS DOUBLE), 4) AS dup_line_fraction
+               CAST((CAST(nd AS BIGINT) * 10000)
+                    // NULLIF(CAST(n AS BIGINT), 0) AS BIGINT)
+                   AS distinct_token_ratio_e4,
+               CAST((CAST(COALESCE(max_tok, 0) AS BIGINT) * 10000)
+                    // NULLIF(CAST(n AS BIGINT), 0) AS BIGINT)
+                   AS top_token_fraction_e4,
+               CAST((CAST(COALESCE(max_gram, 0) AS BIGINT) * 10000)
+                    // CAST(greatest(n - 1, 1) AS BIGINT) AS BIGINT)
+                   AS top_2gram_fraction_e4,
+               CAST((CAST(nl - ndl AS BIGINT) * 10000)
+                    // NULLIF(CAST(nl AS BIGINT), 0) AS BIGINT)
+                   AS dup_line_fraction_e4
         FROM base b
         LEFT JOIN tokc USING (doc_id)
         LEFT JOIN gramc USING (doc_id)

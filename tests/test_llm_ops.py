@@ -36,9 +36,9 @@ def test_ngram_jaccard_identical_and_disjoint(spark):
     b = "the quick brown fox jumps over the lazy dog tonight"  # near-dup
     c = "completely unrelated words appear in this one sentence here"
     df = _docs(spark, [(1, a), (2, b), (3, c)])
-    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"]
              for r in D.ngram_jaccard_pairs(df, threshold=0.1).collect()}
-    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 2) in pairs and pairs[(1, 2)] > 5000
     assert not any(3 in p for p in pairs)
 
 
@@ -90,9 +90,9 @@ def test_text_quality_ratios(spark):
     df = _docs(spark, [(1, "the cat sat on a mat.")])
     r = T.text_quality(df).collect()[0]
     assert r["n_words"] == 6
-    # stopwords: 'the', 'a' -> 2/6
-    assert abs(r["stopword_ratio"] - round(2 / 6, 4)) < 1e-9
-    assert r["punct_ratio"] > 0
+    # stopwords: 'the', 'a' -> 2/6 -> floor(20000/6) = 3333 in e4 units
+    assert r["stopword_ratio_e4"] == 2 * 10000 // 6
+    assert r["punct_ratio_e4"] > 0
     assert r["passes_quality"]
 
 
@@ -247,12 +247,12 @@ def test_repetition_signals_crafted_docs(spark):
         ["doc_id", "text"],
     )
     got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
-    assert got[1]["top_token_fraction"] == 1.0
-    assert got[1]["distinct_token_ratio"] == 0.25
-    assert got[2]["distinct_token_ratio"] == 1.0
-    assert got[2]["top_token_fraction"] == 0.25
+    assert got[1]["top_token_fraction_e4"] == 10000
+    assert got[1]["distinct_token_ratio_e4"] == 2500
+    assert got[2]["distinct_token_ratio_e4"] == 10000
+    assert got[2]["top_token_fraction_e4"] == 2500
     # "x y" occurs 3 times among 5 bigrams
-    assert got[3]["top_2gram_fraction"] == 0.6
+    assert got[3]["top_2gram_fraction_e4"] == 6000
     # 4 lines, 2 distinct -> half duplicated
-    assert got[4]["dup_line_fraction"] == 0.5
-    assert got[1]["dup_line_fraction"] == 0.0
+    assert got[4]["dup_line_fraction_e4"] == 5000
+    assert got[1]["dup_line_fraction_e4"] == 0

@@ -1,6 +1,6 @@
 """Embedding-cosine near-dup tiers cross-validate against each other:
-blocked matmul is exact (same pairs, same rounded cosines as the HOF
-tier); LSH is a no-false-positive subset."""
+blocked matmul is exact (same pairs, same e4 fixed-point cosines as
+the HOF tier); LSH is a no-false-positive subset."""
 
 from __future__ import annotations
 
@@ -19,7 +19,7 @@ def emb(spark, sf_dir):
 
 
 def _pairs(df):
-    return {(r.vec_a, r.vec_b): r.cosine for r in df.collect()}
+    return {(r.vec_a, r.vec_b): r.cosine_e4 for r in df.collect()}
 
 
 def test_blocked_matches_exact(emb):
@@ -29,7 +29,7 @@ def test_blocked_matches_exact(emb):
         blocked = _pairs(embedding_neardup_blocked(emb, threshold=0.45, num_blocks=nb))
         assert set(blocked) == set(exact)
         for k, v in blocked.items():
-            assert v == pytest.approx(exact[k], abs=1e-3)
+            assert abs(v - exact[k]) <= 10  # e4 units
 
 
 def test_lsh_subset_of_exact_with_recall(emb):
@@ -41,7 +41,7 @@ def test_lsh_subset_of_exact_with_recall(emb):
     # S-curve-bounded — just require a sane floor and no silent empties
     assert len(lsh) >= len(exact) * 0.2
     for k, v in lsh.items():
-        assert v == pytest.approx(exact[k], abs=1e-3)
+        assert abs(v - exact[k]) <= 10  # e4 units
 
 
 import pytest
