@@ -1998,32 +1998,45 @@ def _q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch (no cross-batch watermark ordering effects); the
     multi-batch path is covered by tests/test_streaming.py.
     """
+    import shutil
     import tempfile
 
     from etl_workflow_spark.catalog import events_table
     from etl_workflow_spark.streaming import incremental as inc
 
     tmp = tempfile.mkdtemp(prefix="stream_gate_")
-    src = os.path.join(tmp, "events_in")
-    events_table(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
-    static = spark.read.parquet(src)
+    try:
+        src = os.path.join(tmp, "events_in")
+        events_table(spark, sf_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        static = spark.read.parquet(src)
 
-    stream = inc.file_stream_events(spark, src, static.schema)
-    agg = inc.windowed_event_counts(stream)
-    final: list = []
+        stream = inc.file_stream_events(spark, src, static.schema)
+        agg = inc.windowed_event_counts(stream)
+        final: list = []
 
-    def keep_last(df: DataFrame, _bid: int) -> None:
-        final[:] = df.collect()
+        def keep_last(df: DataFrame, _bid: int) -> None:
+            final[:] = df.collect()
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(keep_last)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.createDataFrame(final, schema=agg.schema)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(keep_last)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # a False return means the query is still mid-batch: `final`
+        # would be empty/partial and the gate would report a spurious
+        # hash mismatch instead of the real problem — fail loudly
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_parity query did not finish within 300s"
+            )
+        return spark.createDataFrame(final, schema=agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 _STREAMING_PARITY_ORACLE = """

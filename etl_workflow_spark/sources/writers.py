@@ -21,7 +21,6 @@ the 100 TB-safe version of DELETE+INSERT for CURRENT_DATE.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +37,16 @@ def overwrite(df: DataFrame, path: str) -> None:
     """A5: TRUNCATE-and-reload (workflow.py:86-96) — also the
     materialized-view refresh path (A7): recompute + overwrite."""
     df.write.mode("overwrite").parquet(path)
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence via the Hadoop FS for the path's scheme — correct on
+    HDFS/S3/local alike, where ``os.path.exists`` only sees the local
+    filesystem and silently reports a remote table as missing."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def idempotent_append(
@@ -60,7 +69,7 @@ def idempotent_append(
     existing side often broadcasts when small.
     """
     batch = df.dropDuplicates(list(keys))
-    if os.path.exists(path):
+    if _hadoop_exists(spark, path):
         existing = spark.read.parquet(path).select(*keys)
         batch = batch.join(existing, on=list(keys), how="left_anti")
     # persist: count() and write() both consume the anti-join — without
@@ -233,7 +242,14 @@ def merge_into(
     ``(updated, inserted)``.
     """
     keys = list(keys)
-    if not os.path.exists(path):
+    # existence via the Hadoop FS for the path's scheme, NOT
+    # os.path.exists: on HDFS/S3 a local-FS check always says "missing"
+    # and the create branch would overwrite the table with only the
+    # source rows, silently dropping every unmatched target row
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         src = source.dropDuplicates(keys).persist()
         inserted = src.count()
         writer = src.write.mode("overwrite")
@@ -279,22 +295,33 @@ def merge_into(
     # Dynamic overwrite only replaces partitions PRESENT in the output:
     # a partition emptied by a cross-partition key move has no output
     # rows, so its stale files would silently survive — clear those
-    # directories explicitly. (Partition values must round-trip through
-    # str() for the Hive-style dir name; true for the int/string/date
-    # keys this engine partitions by.)
+    # directories explicitly. Directories are matched by LISTING the
+    # table and unescaping each dir name with Spark's own
+    # unescapePathName, not by formatting f"{col}={str(p)}": Spark
+    # escapes special characters (space, %, =, ...) in partition dir
+    # names, so raw str() formatting would miss those dirs and stale
+    # files would reappear as duplicate keys on read.
     present = {r[0] for r in merged.select(partition_col).distinct().collect()}
-    emptied = [p for p in affected if p not in present]
-    if emptied:
-        jvm = spark.sparkContext._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        for p in emptied:
-            pdir = jvm.org.apache.hadoop.fs.Path(
-                path.rstrip("/") + f"/{partition_col}={p}"
+    emptied_strs = {
+        "__HIVE_DEFAULT_PARTITION__" if p is None else str(p)
+        for p in affected
+        if p not in present
+    }
+    if emptied_strs:
+        prefix = partition_col + "="
+        try:
+            unescape = (
+                jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName
             )
-            if fs.exists(pdir):
-                fs.delete(pdir, True)
+        except Exception:  # pragma: no cover - shaded/renamed utils
+            unescape = lambda s: s  # noqa: E731 - unescaped fallback
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            if unescape(name[len(prefix):]) in emptied_strs:
+                fs.delete(status.getPath(), True)
     src.unpersist()
     return (updated, n_src - updated)
 

@@ -260,3 +260,50 @@ def test_merge_into_moves_row_across_partitions(spark, tmp_path):
     got = sorted((r["id"], r["month"], r["v"])
                  for r in spark.read.parquet(path).collect())
     assert got == [(1, "2024-02", 11), (2, "2024-02", 20)]
+
+
+def test_swap_recovers_stale_old(spark, tmp_path):
+    """A crash after a committed swap leaves a stale `._old` dir; the
+    next mutation must clear it and commit normally (the crash-safety
+    contract in SCALE.md 9b)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"]).write.parquet(path)
+    # simulate the leftover of a crash-after-commit
+    stale = path + "._old"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    src = spark.createDataFrame([(2, 21), (3, 30)], ["id", "v"])
+    assert writers.merge_into(spark, path, src, ["id"]) == (1, 1)
+    got = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got == [(1, 10), (2, 21), (3, 30)]
+    assert not os.path.exists(stale)
+    assert not os.path.exists(path + "._staged")
+
+
+def test_merge_into_clears_emptied_partition_with_escaped_name(
+    spark, tmp_path
+):
+    """Partition values with characters Spark escapes in dir names
+    (space, =, %) must still be cleaned up when a key move empties
+    them — the cleanup lists and unescapes real dirs instead of
+    formatting f"{col}={str(v)}"."""
+    path = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(1, "a b=c%d", 10), (2, "plain", 20)], ["id", "grp", "v"]
+    ).write.partitionBy("grp").parquet(path)
+
+    # id=1 moves out of the escaped partition, emptying it
+    src = spark.createDataFrame([(1, "plain", 11)], ["id", "grp", "v"])
+    updated, inserted = writers.merge_into(
+        spark, path, src, ["id"], partition_col="grp"
+    )
+    assert (updated, inserted) == (1, 0)
+    got = sorted((r["id"], r["grp"], r["v"])
+                 for r in spark.read.parquet(path).collect())
+    assert got == [(1, "plain", 11), (2, "plain", 20)]
+    # the escaped dir itself must be gone, not just empty of rows
+    leftovers = [d for d in os.listdir(path) if d.startswith("grp=")
+                 and "plain" not in d]
+    assert leftovers == []
