@@ -1,0 +1,351 @@
+"""Transactional parquet tables via a version-manifest log.
+
+The reference gets snapshot isolation for free from Postgres
+transactions (``database-schema.sql:202-231``, ``app.py:201-216``).
+Vanilla parquet has none: the rename-swap mutation path in
+``writers.py`` is correct for a single writer but a concurrent reader
+can list a half-swapped table (documented in SCALE.md §9b). This
+module closes that gap with the standard manifest-log pattern
+(the public Delta/Iceberg core idea, minus their runtimes):
+
+  path/
+    _txnlog/00000000000000000001.json   one manifest per version
+    _data/<uuid>/                       immutable data dirs
+
+A manifest is the COMPLETE table state at that version: a list of
+``{"dir": <uuid>, "partitions": [values] | null}`` entries. Commits
+write data to a fresh ``_data/<uuid>/`` dir, stage the next manifest
+to a temp name, and publish it with a single atomic rename to
+``_txnlog/<version+1>.json``. Hadoop rename-to-existing fails, so two
+concurrent committers race on the same version and exactly one wins —
+optimistic concurrency, surfaced as :class:`ConcurrentWriteError`.
+
+Readers resolve the latest manifest ONCE and then read only the
+immutable dirs it lists: a reader started at version N is never
+affected by a commit of N+1 (snapshot isolation), and old versions
+stay time-travel-readable until :func:`txn_vacuum` drops them.
+
+Scale notes: a partitioned commit replaces only the partition VALUES
+it carries — untouched partitions keep their existing entry, so a
+merge writes O(affected) data and the manifest grows by one entry,
+not one per partition. Reads apply partition pruning inside each
+entry dir (hive layout + an ``isin`` filter on the partition column).
+The manifest itself is a few KB of JSON per version — driver-side by
+design, like Delta's log replay.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_txnlog"
+_DATA_DIR = "_data"
+_NULL_PARTITION = "__NULL__"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+# ------------------------------------------------------------ fs plumbing
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs
+
+
+def _hpath(jvm, *parts: str):
+    return jvm.org.apache.hadoop.fs.Path("/".join(p.rstrip("/") for p in parts))
+
+
+def _read_file(jvm, fs, hpath) -> str:
+    # commons-io ships on Spark's classpath; py4j passes arrays by
+    # value, so a Java read(byte[]) could never fill a Python buffer
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _write_file(fs, hpath, content: str) -> None:
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+# ------------------------------------------------------------ manifest log
+
+
+def _version_name(v: int) -> str:
+    return f"{v:020d}.json"
+
+
+def _list_versions(spark: SparkSession, path: str) -> list[int]:
+    jvm, fs = _fs(spark, path)
+    log = _hpath(jvm, path, _LOG_DIR)
+    if not fs.exists(log):
+        return []
+    out = []
+    for status in fs.listStatus(log):
+        name = status.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(spark: SparkSession, path: str) -> int | None:
+    """Highest committed version, or None for a missing/empty table."""
+    versions = _list_versions(spark, path)
+    return versions[-1] if versions else None
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    jvm, fs = _fs(spark, path)
+    return json.loads(
+        _read_file(
+            jvm, fs, _hpath(jvm, path, _LOG_DIR, _version_name(version))
+        )
+    )
+
+
+def _commit(spark: SparkSession, path: str, version: int, manifest: dict) -> None:
+    """Publish ``manifest`` as ``version`` with one atomic rename.
+
+    rename(tmp, final) fails if ``final`` exists (HDFS and local FS
+    contract), so concurrent committers targeting the same version
+    serialize: the loser raises ConcurrentWriteError and must re-read
+    the new latest version and retry its transaction.
+    """
+    jvm, fs = _fs(spark, path)
+    log = _hpath(jvm, path, _LOG_DIR)
+    fs.mkdirs(log)
+    final = _hpath(jvm, path, _LOG_DIR, _version_name(version))
+    if fs.exists(final):
+        raise ConcurrentWriteError(
+            f"version {version} of {path} already committed"
+        )
+    tmp = _hpath(jvm, path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json")
+    _write_file(fs, tmp, json.dumps(manifest, sort_keys=True))
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise ConcurrentWriteError(
+            f"lost the commit race for version {version} of {path}"
+        )
+
+
+def _encode_partition(v) -> str:
+    return _NULL_PARTITION if v is None else str(v)
+
+
+def _write_data(
+    df: DataFrame, path: str, partition_col: str | None
+) -> tuple[str, list[str] | None]:
+    """Write an immutable data dir; return (dir name, partition values).
+
+    Partitioned data is repartitioned by the partition column first so
+    each partition dir gets one file instead of one per upstream task
+    (the small-files guard, same as overwrite_partitions).
+    """
+    d = uuid.uuid4().hex
+    target = f"{path.rstrip('/')}/{_DATA_DIR}/{d}"
+    if partition_col:
+        parts = [
+            _encode_partition(r[0])
+            for r in df.select(partition_col).distinct().collect()
+        ]
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("errorifexists")
+            .partitionBy(partition_col)
+            .parquet(target)
+        )
+        return d, sorted(parts)
+    df.write.mode("errorifexists").parquet(target)
+    return d, None
+
+
+# ------------------------------------------------------------ public API
+
+
+def txn_create(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_col: str | None = None,
+) -> int:
+    """Create a transactional table at version 1; errors if one exists."""
+    if latest_version(spark, path) is not None:
+        raise ValueError(f"transactional table already exists at {path}")
+    d, parts = _write_data(df, path, partition_col)
+    manifest = {
+        "partition_col": partition_col,
+        # original column order: hive-layout reads move the partition
+        # column to the end, so reads re-select this order
+        "columns": list(df.columns),
+        "entries": [{"dir": d, "partitions": parts}],
+    }
+    _commit(spark, path, 1, manifest)
+    return 1
+
+
+def txn_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: resolve ONE manifest, then union its immutable
+    dirs. Commits that land after this call never affect the returned
+    frame (old dirs are immutable until vacuumed past this version)."""
+    v = latest_version(spark, path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    m = _read_manifest(spark, path, v)
+    pcol = m["partition_col"]
+    frames = []
+    for e in m["entries"]:
+        d = f"{path.rstrip('/')}/{_DATA_DIR}/{e['dir']}"
+        sub = spark.read.option("basePath", d).parquet(d)
+        if pcol is not None and e["partitions"] is not None:
+            vals = [p for p in e["partitions"] if p != _NULL_PARTITION]
+            cond = F.col(pcol).cast("string").isin(vals)
+            if _NULL_PARTITION in e["partitions"]:
+                cond = cond | F.col(pcol).isNull()
+            sub = sub.where(cond)
+        frames.append(sub)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(*m["columns"])
+
+
+def txn_merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+) -> tuple[int, int]:
+    """MERGE with snapshot isolation: WHEN MATCHED UPDATE (source row
+    wins), WHEN NOT MATCHED INSERT — same semantics and return value
+    as ``writers.merge_into``, but readers of the previous version are
+    never disturbed and a concurrent commit raises
+    :class:`ConcurrentWriteError` instead of corrupting the table.
+
+    Partitioned targets rewrite only AFFECTED partition values: the
+    new data dir carries them, surviving entries lose them from their
+    ``partitions`` list (dropping entries that end up empty), so
+    unaffected data is neither read nor rewritten.
+    """
+    keys = list(keys)
+    base_v = latest_version(spark, path)
+    if base_v is None:
+        raise FileNotFoundError(
+            f"no transactional table at {path}; use txn_create first"
+        )
+    m = _read_manifest(spark, path, base_v)
+    pcol = m["partition_col"]
+    target = txn_read(spark, path, base_v)
+    src = source.dropDuplicates(keys).select(*target.columns).persist()
+    n_src = src.count()
+
+    if pcol is None:
+        kept = target.join(src.select(*keys), on=keys, how="left_anti")
+        updated = target.count() - kept.count()
+        d, parts = _write_data(kept.unionByName(src), path, None)
+        manifest = {
+            "partition_col": None,
+            "columns": m["columns"],
+            "entries": [{"dir": d, "partitions": parts}],
+        }
+        _commit(spark, path, base_v + 1, manifest)
+        src.unpersist()
+        return (updated, n_src - updated)
+
+    affected = {
+        _encode_partition(r[0])
+        for r in (
+            target.join(src.select(*keys), on=keys, how="left_semi")
+            .select(pcol)
+            .union(src.select(pcol))
+            .distinct()
+            .collect()
+        )
+    }
+    aff_vals = [p for p in affected if p != _NULL_PARTITION]
+    cond = F.col(pcol).cast("string").isin(aff_vals)
+    if _NULL_PARTITION in affected:
+        cond = cond | F.col(pcol).isNull()
+    sub = target.where(cond)
+    kept = sub.join(src.select(*keys), on=keys, how="left_anti").persist()
+    n_sub = sub.count()
+    n_kept = kept.count()
+    updated = n_sub - n_kept
+    d, parts = _write_data(kept.unionByName(src), path, pcol)
+    kept.unpersist()
+    entries = []
+    for e in m["entries"]:
+        if e["partitions"] is None:
+            remaining = None
+        else:
+            remaining = [p for p in e["partitions"] if p not in affected]
+            if not remaining:
+                continue
+        entries.append({"dir": e["dir"], "partitions": remaining})
+    entries.append({"dir": d, "partitions": parts})
+    _commit(
+        spark,
+        path,
+        base_v + 1,
+        {"partition_col": pcol, "columns": m["columns"], "entries": entries},
+    )
+    src.unpersist()
+    return (updated, n_src - updated)
+
+
+def txn_history(spark: SparkSession, path: str) -> list[int]:
+    """Committed versions, oldest first (time travel via txn_read)."""
+    return _list_versions(spark, path)
+
+
+def txn_vacuum(
+    spark: SparkSession, path: str, keep_versions: int = 2
+) -> list[str]:
+    """Drop manifests older than the newest ``keep_versions`` and any
+    data dir no surviving manifest references. Returns removed dirs.
+
+    Run only when no reader is pinned to a vacuumed version — the same
+    retention contract as Delta's VACUUM.
+    """
+    versions = _list_versions(spark, path)
+    if len(versions) <= keep_versions:
+        return []
+    keep, drop = versions[-keep_versions:], versions[:-keep_versions]
+    live = set()
+    for v in keep:
+        for e in _read_manifest(spark, path, v)["entries"]:
+            live.add(e["dir"])
+    jvm, fs = _fs(spark, path)
+    removed = []
+    data = _hpath(jvm, path, _DATA_DIR)
+    if fs.exists(data):
+        for status in fs.listStatus(data):
+            name = status.getPath().getName()
+            if name not in live:
+                fs.delete(status.getPath(), True)
+                removed.append(name)
+    for v in drop:
+        fs.delete(_hpath(jvm, path, _LOG_DIR, _version_name(v)), False)
+    return removed

@@ -1,0 +1,153 @@
+"""Manifest-log transactional tables: snapshot isolation, optimistic
+concurrency, partition-selective merge, time travel, vacuum.
+
+The contract under test is the one SCALE.md §9b promises: a reader
+that resolved a version is never affected by later commits, exactly
+one of two racing committers wins, and a partitioned merge rewrites
+only the partition values it touches (reference analog: Postgres
+transactional DML, database-schema.sql:202-231).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from etl_workflow_spark.sources import txn
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    assert txn.txn_create(spark, path, df) == 1
+    assert _rows(txn.txn_read(spark, path)) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError):
+        txn.txn_create(spark, path, df)
+
+
+def test_merge_upsert_and_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    src = spark.createDataFrame([(2, 21), (3, 30)], ["id", "v"])
+    assert txn.txn_merge_into(spark, path, src, ["id"]) == (1, 1)
+    assert _rows(txn.txn_read(spark, path)) == [(1, 10), (2, 21), (3, 30)]
+    assert txn.txn_history(spark, path) == [1, 2]
+
+
+def test_snapshot_isolation_old_version_unchanged(spark, tmp_path):
+    """A frame resolved at version 1 must keep returning version-1 data
+    after version 2 commits — the property the rename-swap path cannot
+    provide."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    pinned = txn.txn_read(spark, path, version=1)
+    txn.txn_merge_into(
+        spark, path, spark.createDataFrame([(1, 99)], ["id", "v"]), ["id"]
+    )
+    assert _rows(pinned) == [(1, 10)]                     # pre-resolved
+    assert _rows(txn.txn_read(spark, path, version=1)) == [(1, 10)]
+    assert _rows(txn.txn_read(spark, path)) == [(1, 99)]  # latest
+
+
+def test_commit_race_exactly_one_winner(spark, tmp_path):
+    """Two committers targeting the same next version: the second
+    rename hits an existing manifest and raises instead of clobbering."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    m = txn._read_manifest(spark, path, 1)
+    txn._commit(spark, path, 2, m)  # writer A wins version 2
+    with pytest.raises(txn.ConcurrentWriteError):
+        txn._commit(spark, path, 2, m)  # writer B must lose
+    assert txn.txn_history(spark, path) == [1, 2]
+
+
+def test_partitioned_merge_rewrites_only_affected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "2024-01", 10), (2, "2024-02", 20), (3, "2024-03", 30)],
+            ["id", "month", "v"],
+        ),
+        partition_col="month",
+    )
+    v1_dir = txn._read_manifest(spark, path, 1)["entries"][0]["dir"]
+    before = set(
+        glob.glob(os.path.join(path, "_data", v1_dir, "month=2024-03", "*"))
+    )
+
+    src = spark.createDataFrame(
+        [(2, "2024-02", 21), (4, "2024-01", 40)], ["id", "month", "v"]
+    )
+    assert txn.txn_merge_into(spark, path, src, ["id"]) == (1, 1)
+    assert _rows(txn.txn_read(spark, path)) == [
+        (1, "2024-01", 10),
+        (2, "2024-02", 21),
+        (3, "2024-03", 30),
+        (4, "2024-01", 40),
+    ]
+    m2 = txn._read_manifest(spark, path, 2)
+    # the surviving entry still points at the ORIGINAL dir, narrowed to
+    # the untouched partition; its files were not rewritten
+    survivors = [e for e in m2["entries"] if e["dir"] == v1_dir]
+    assert survivors and survivors[0]["partitions"] == ["2024-03"]
+    after = set(
+        glob.glob(os.path.join(path, "_data", v1_dir, "month=2024-03", "*"))
+    )
+    assert after == before
+
+
+def test_partitioned_merge_moves_row_across_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "2024-01", 10), (2, "2024-02", 20)], ["id", "month", "v"]
+        ),
+        partition_col="month",
+    )
+    src = spark.createDataFrame([(1, "2024-02", 11)], ["id", "month", "v"])
+    assert txn.txn_merge_into(spark, path, src, ["id"]) == (1, 0)
+    assert _rows(txn.txn_read(spark, path)) == [
+        (1, "2024-02", 11),
+        (2, "2024-02", 20),
+    ]
+
+
+def test_vacuum_drops_unreferenced_dirs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    for v in (11, 12, 13):
+        txn.txn_merge_into(
+            spark, path, spark.createDataFrame([(1, v)], ["id", "v"]), ["id"]
+        )
+    assert txn.txn_history(spark, path) == [1, 2, 3, 4]
+    removed = txn.txn_vacuum(spark, path, keep_versions=2)
+    assert len(removed) == 2  # versions 1 and 2's dirs
+    assert txn.txn_history(spark, path) == [3, 4]
+    # surviving versions still read
+    assert _rows(txn.txn_read(spark, path, version=3)) == [(1, 12)]
+    assert _rows(txn.txn_read(spark, path)) == [(1, 13)]
+    live = {
+        e["dir"]
+        for v in (3, 4)
+        for e in txn._read_manifest(spark, path, v)["entries"]
+    }
+    on_disk = set(os.listdir(os.path.join(path, "_data")))
+    assert on_disk == live
