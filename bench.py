@@ -44,6 +44,31 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
     _warm_q.product_sales(spark, sf_dir).count()
 
+    # Calibration probe: a fixed synthetic workload (codegen agg + a
+    # 1000-key shuffle) that never touches repo code or testdata. Its
+    # time moves with the HOST (CPU contention, VM generation, JIT),
+    # not with this round's changes — divide headline totals by the
+    # calibration ratio before reading round-over-round deltas.
+    # Measured spread on one box: identical code varied 25.9s -> 30.8s
+    # total across back-to-back runs (~19%), swamping real deltas.
+    from pyspark.sql import functions as _CF
+
+    def _calibrate() -> float:
+        t0 = time.time()
+        spark.range(100_000_000).select(
+            _CF.sum(_CF.col("id") % 7)
+        ).collect()
+        (
+            spark.range(20_000_000)
+            .groupBy((_CF.col("id") % 1000).alias("k"))
+            .count()
+            .count()
+        )
+        return time.time() - t0
+
+    _calibrate()  # warm the probe's own codegen
+    calibration = round(min(_calibrate(), _calibrate()), 3)
+
     # Headline set: the queries a reference user runs all day, weighted
     # toward the shuffle/join-heavy paths that dominate at scale.
     # Names match BENCH_r02 for round-over-round comparability; where
@@ -185,6 +210,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "passes": 2,
+        "calibration_sec": calibration,
     }
     if errors:
         out["errors"] = errors
