@@ -128,6 +128,30 @@ def test_partitioned_merge_moves_row_across_partitions(spark, tmp_path):
     ]
 
 
+def test_txn_read_prunes_partitions(spark, tmp_path):
+    """A partition predicate over txn_read must prune at the directory
+    level inside each entry dir (hive layout + PartitionFilters), not
+    scan the whole table — the property that keeps snapshot reads
+    O(touched partitions) at scale."""
+    from etl_workflow_spark.plans import formatted_plan
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"2024-{m:02d}", i) for m in (1, 2, 3) for i in range(m, 10)],
+            ["id", "month", "v"],
+        ),
+        partition_col="month",
+    )
+    q = txn.txn_read(spark, path).where("month = '2024-02'")
+    plan = formatted_plan(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("2024-02" in ln or "month" in ln for ln in pf)
+    assert _rows(q) == sorted((i, "2024-02", i) for i in range(2, 10))
+
+
 def test_vacuum_drops_unreferenced_dirs(spark, tmp_path):
     path = str(tmp_path / "t")
     txn.txn_create(
