@@ -204,3 +204,54 @@ def test_merge_into_matches_dict_model(spark, tmp_path_factory, target, source):
         )
         assert got == sorted(model.values())
     assert (updated, inserted) == (n_matched, len(source) - n_matched)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 99)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 99)),
+            max_size=6, unique_by=lambda t: t[0],
+        ),
+        max_size=3,
+    ),
+)
+def test_txn_merge_matches_dict_model(spark, tmp_path_factory, target, batches):
+    """txn_merge_into must match the same dict.update model as
+    merge_into across a SEQUENCE of commits, and every historical
+    version must keep replaying its own model state (time travel)."""
+    from etl_workflow_spark.sources import txn
+
+    path = str(tmp_path_factory.mktemp("txnmerge") / "t")
+    cols = ["id", "part", "v"]
+    txn.txn_create(
+        spark, path, spark.createDataFrame(target, cols), partition_col="part"
+    )
+
+    model = {t[0]: t for t in target}
+    snapshots = {1: sorted(model.values())}
+    v = 1
+    for batch in batches:
+        src = (
+            spark.createDataFrame(batch, cols)
+            if batch
+            else spark.createDataFrame([], "id int, part int, v int")
+        )
+        n_matched = sum(1 for s in batch if s[0] in model)
+        updated, inserted = txn.txn_merge_into(spark, path, src, ["id"])
+        assert (updated, inserted) == (n_matched, len(batch) - n_matched)
+        model.update({s[0]: s for s in batch})
+        v += 1
+        snapshots[v] = sorted(model.values())
+
+    for version, want in snapshots.items():
+        got = sorted(
+            tuple(r)
+            for r in txn.txn_read(spark, path, version=version).collect()
+        )
+        assert got == want
