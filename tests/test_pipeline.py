@@ -307,3 +307,113 @@ def test_merge_into_clears_emptied_partition_with_escaped_name(
     leftovers = [d for d in os.listdir(path) if d.startswith("grp=")
                  and "plain" not in d]
     assert leftovers == []
+
+
+def test_incremental_summary_refresh_matches_full_recompute(spark, tmp_path):
+    """A7 incremental: after a delta of new orders AND a cancellation
+    that strips a product's only qualifying order, the incrementally
+    refreshed matview must equal a from-scratch recompute (including
+    dropping the now-unqualified product's row)."""
+    from etl_workflow_spark.operators.etl import (
+        product_sales_summary,
+        refresh_product_summary_incremental,
+    )
+    from etl_workflow_spark.sources.writers import overwrite
+
+    cats = spark.createDataFrame([(1, "cat-a")], ["category_id", "category_name"])
+    prods = spark.createDataFrame(
+        [(1, 1, "p1"), (2, 1, "p2"), (3, 1, "p3")],
+        ["product_id", "category_id", "name"],
+    )
+    base_orders = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01", "Delivered"),
+            (2, 11, "2024-01-02", "Delivered"),
+            (3, 10, "2024-01-03", "Delivered"),
+        ],
+        ["order_id", "customer_id", "order_date", "status"],
+    )
+    items = spark.createDataFrame(
+        [
+            (1, 1, 1, 2, 20.0),   # order 1: product 1
+            (2, 2, 2, 1, 15.0),   # order 2: product 2 (its ONLY order)
+            (3, 3, 1, 1, 10.0),   # order 3: product 1 again
+            (4, 4, 3, 4, 40.0),   # order 4 (delta): product 3
+            (5, 5, 1, 1, 5.0),    # order 5 (delta): product 1
+        ],
+        ["order_item_id", "order_id", "product_id", "quantity", "total"],
+    )
+
+    path = str(tmp_path / "summary")
+    overwrite(product_sales_summary(prods, cats, items, base_orders), path)
+
+    # the delta: two new orders + order 2 flips to Cancelled, which
+    # must REMOVE product 2 from the view entirely
+    delta = spark.createDataFrame(
+        [
+            (2, 11, "2024-01-02", "Cancelled"),
+            (4, 12, "2024-01-04", "Delivered"),
+            (5, 10, "2024-01-05", "Delivered"),
+        ],
+        ["order_id", "customer_id", "order_date", "status"],
+    )
+    orders_now = base_orders.where("order_id <> 2").unionByName(delta)
+
+    n = refresh_product_summary_incremental(
+        spark, path, prods, cats, items, orders_now, delta
+    )
+    assert n == 3  # products 1, 2, 3 all touched by the delta
+
+    want = sorted(
+        tuple(r)
+        for r in product_sales_summary(prods, cats, items, orders_now).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == want
+    assert not any(r[0] == 2 for r in got)  # product 2 dropped
+
+
+def test_incremental_summary_refresh_untouched_products_not_rewritten(
+    spark, tmp_path
+):
+    """A delta touching one product must leave other products' rows
+    byte-identical (they are carried over, not recomputed)."""
+    from etl_workflow_spark.operators.etl import (
+        product_sales_summary,
+        refresh_product_summary_incremental,
+    )
+    from etl_workflow_spark.sources.writers import overwrite
+
+    cats = spark.createDataFrame([(1, "c")], ["category_id", "category_name"])
+    prods = spark.createDataFrame(
+        [(1, 1, "p1"), (2, 1, "p2")], ["product_id", "category_id", "name"]
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, "2024-01-01", "Delivered"), (2, 11, "2024-01-02", "Delivered")],
+        ["order_id", "customer_id", "order_date", "status"],
+    )
+    items = spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0), (2, 2, 2, 1, 20.0), (3, 3, 2, 1, 30.0)],
+        ["order_item_id", "order_id", "product_id", "quantity", "total"],
+    )
+    path = str(tmp_path / "summary")
+    overwrite(product_sales_summary(prods, cats, items, orders), path)
+    before = {
+        r["product_id"]: tuple(r)
+        for r in spark.read.parquet(path).collect()
+    }
+
+    delta = spark.createDataFrame(
+        [(3, 12, "2024-01-03", "Delivered")],
+        ["order_id", "customer_id", "order_date", "status"],
+    )
+    orders_now = orders.unionByName(delta)
+    assert refresh_product_summary_incremental(
+        spark, path, prods, cats, items, orders_now, delta
+    ) == 1
+    after = {
+        r["product_id"]: tuple(r)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after[1] == before[1]          # untouched product carried over
+    assert after[2] != before[2]          # refreshed product changed
