@@ -256,3 +256,48 @@ def enrich_stream(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on=on, how="inner")
+
+
+def stream_matview_refresh(
+    spark: SparkSession,
+    orders_stream: DataFrame,
+    orders_path: str,
+    summary_path: str,
+    checkpoint_path: str,
+    products: DataFrame,
+    categories: DataFrame | None,
+    items: DataFrame,
+):
+    """Continuous materialized-view maintenance: each micro-batch of
+    new/changed orders is (1) MERGEd into the orders table by key and
+    (2) used as the delta for the affected-products incremental
+    summary refresh — the streaming composition of the reference's
+    transactional DML + REFRESH MATERIALIZED VIEW
+    (``database-schema.sql:157-179,202-231``) with per-batch cost
+    proportional to the delta's fact slice, not the corpus.
+
+    Re-delivered batches converge: the MERGE upserts the same rows and
+    the refresh recomputes the same deterministic slice (streaming J2
+    semantics, same contract as ``stream_daily_sales``).
+    """
+    from ..operators.etl import refresh_product_summary_incremental
+    from ..sources.writers import merge_into
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.head(1):
+                merge_into(spark, orders_path, batch_df, ["order_id"])
+                orders_now = spark.read.parquet(orders_path)
+                refresh_product_summary_incremental(
+                    spark, summary_path, products, categories, items,
+                    orders_now, batch_df,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        orders_stream.writeStream.outputMode("append")
+        .foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_path)
+    )

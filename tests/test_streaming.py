@@ -196,3 +196,77 @@ def test_enrich_stream_static_join(spark, tmp_path):
     )
     # inner join: the unknown product (999) drops
     assert got == [(1, "widget"), (2, "gadget"), (3, "widget")]
+
+
+def test_stream_matview_refresh_matches_batch_recompute(spark, tmp_path):
+    """Continuous matview maintenance: two micro-batches of order
+    deltas (inserts + a cancellation) must leave the summary equal to
+    a full batch recompute over the final orders state."""
+    from etl_workflow_spark.operators.etl import product_sales_summary
+    from etl_workflow_spark.sources.writers import overwrite
+
+    cats = spark.createDataFrame([(1, "c")], ["category_id", "category_name"])
+    prods = spark.createDataFrame(
+        [(1, 1, "p1"), (2, 1, "p2")], ["product_id", "category_id", "name"]
+    )
+    items = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 10.0),
+            (2, 2, 2, 1, 20.0),
+            (3, 3, 1, 2, 30.0),
+            (4, 4, 2, 1, 40.0),
+        ],
+        ["order_item_id", "order_id", "product_id", "quantity", "total"],
+    )
+    base_orders = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01", "Delivered"),
+            (2, 11, "2024-01-02", "Delivered"),
+        ],
+        ["order_id", "customer_id", "order_date", "status"],
+    )
+
+    orders_path = str(tmp_path / "orders")
+    base_orders.write.parquet(orders_path)
+    summary_path = str(tmp_path / "summary")
+    overwrite(product_sales_summary(prods, cats, items, base_orders),
+              summary_path)
+
+    # delta feed: one file per micro-batch (maxFilesPerTrigger=1)
+    feed = tmp_path / "feed"
+    spark.createDataFrame(
+        [(3, 12, "2024-01-03", "Delivered")], base_orders.schema
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+    spark.createDataFrame(
+        # order 2 cancelled: product 2 must NOT vanish (order 4 still
+        # qualifies after batch 2 inserts it) but its numbers change
+        [(2, 11, "2024-01-02", "Cancelled"),
+         (4, 13, "2024-01-04", "Delivered")],
+        base_orders.schema,
+    ).coalesce(1).write.mode("append").parquet(str(feed))
+
+    stream = (
+        spark.readStream.schema(base_orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = (
+        inc.stream_matview_refresh(
+            spark, stream, orders_path, summary_path,
+            str(tmp_path / "ckpt"), prods, cats, items,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    want = sorted(
+        tuple(r)
+        for r in product_sales_summary(
+            prods, cats, items, spark.read.parquet(orders_path)
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(summary_path).collect()
+    )
+    assert got == want and len(got) == 2
