@@ -349,3 +349,36 @@ def txn_vacuum(
     for v in drop:
         fs.delete(_hpath(jvm, path, _LOG_DIR, _version_name(v)), False)
     return removed
+
+
+def txn_compact(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE analog: rewrite the CURRENT snapshot into one fresh
+    entry with ``target_files`` files per partition value, committed as
+    a new version. Readers of older versions are untouched (their dirs
+    survive until :func:`txn_vacuum`); a racing writer loses the
+    version race and retries as usual. Returns the new version.
+    """
+    base_v = latest_version(spark, path)
+    if base_v is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    m = _read_manifest(spark, path, base_v)
+    pcol = m["partition_col"]
+    snap = txn_read(spark, path, base_v)
+    if pcol:
+        snap = snap.repartition(target_files, F.col(pcol))
+    else:
+        snap = snap.coalesce(target_files)
+    d, parts = _write_data(snap, path, pcol)
+    _commit(
+        spark,
+        path,
+        base_v + 1,
+        {
+            "partition_col": pcol,
+            "columns": m["columns"],
+            "entries": [{"dir": d, "partitions": parts}],
+        },
+    )
+    return base_v + 1

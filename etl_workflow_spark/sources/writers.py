@@ -433,3 +433,70 @@ def write_jsonl(
     partition unless ``single_file`` coalesces a small export."""
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).options(**options).json(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping layout: range-partition by ``sort_cols`` then sort
+    within each output file, so parquet row-group min/max stats become
+    DISJOINT ranges and point/range predicates skip whole files.
+
+    This is the vanilla-parquet analog of the reference's B-tree
+    indexes (database-schema.sql:62-63,86-88) and of Delta's
+    OPTIMIZE ZORDER for the single-dimension case: a filter on the
+    leading sort column reads O(matching files), not the table.
+    ``repartitionByRange`` samples the data to build balanced ranges —
+    one extra exchange at write time buys every later scan's skipping.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    target_files: int = 1,
+) -> int:
+    """Small-files compaction: rewrite a parquet table so each
+    partition holds ``target_files`` files (default 1).
+
+    Streaming sinks and per-task writers accrete many small files;
+    at scale the NameNode/listing and per-file open costs dominate
+    scans long before data size does. Partitioned tables rewrite via
+    dynamic partition overwrite (history untouched beyond present
+    partitions); unpartitioned tables stage + rename-swap. Same
+    single-writer contract as the other mutators (SCALE.md 9b).
+    Returns the number of files after compaction.
+    """
+    df = spark.read.parquet(path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if partition_col:
+        (
+            df.repartition(target_files, F.col(partition_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    else:
+        _swap_staged(spark, path, df.coalesce(target_files))
+    n = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

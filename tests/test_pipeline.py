@@ -417,3 +417,57 @@ def test_incremental_summary_refresh_untouched_products_not_rewritten(
     }
     assert after[1] == before[1]          # untouched product carried over
     assert after[2] != before[2]          # refreshed product changed
+
+
+def test_compact_partitions_reduces_files_keeps_rows(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "frag")
+    # fragment: 8 writer tasks per partition
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i) for i in range(64)],
+        ["id", "grp", "v"],
+    )
+    df.repartition(8).write.partitionBy("grp").parquet(path)
+    frag_files = glob.glob(f"{path}/grp=*/*.parquet")
+    assert len(frag_files) > 4
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).select("id", "grp", "v").collect()
+    )
+
+    n = writers.compact_partitions(spark, path, partition_col="grp")
+    assert n == 2  # one file per partition
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(path).select("id", "grp", "v").collect()
+    )
+    assert after == before
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
+    """Row-group min/max stats across the sorted files must be disjoint
+    ranges — the physical property parquet data skipping relies on
+    (checked directly via pyarrow file metadata, not inferred)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "sorted")
+    df = spark.createDataFrame([(i % 97, i) for i in range(10_000)], ["k", "v"])
+    writers.write_sorted(df, path, ["k"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (or touching) ranges => skipping works
+    # and the data round-trips
+    assert spark.read.parquet(path).count() == 10_000

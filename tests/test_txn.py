@@ -175,3 +175,36 @@ def test_vacuum_drops_unreferenced_dirs(spark, tmp_path):
     }
     on_disk = set(os.listdir(os.path.join(path, "_data")))
     assert on_disk == live
+
+
+def test_txn_compact_collapses_entries_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], ["id", "grp", "v"]
+        ),
+        partition_col="grp",
+    )
+    for oid, grp, v in [(3, "a", 30), (4, "b", 40), (5, "a", 50)]:
+        txn.txn_merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(oid, grp, v)], ["id", "grp", "v"]),
+            ["id"],
+        )
+    before = sorted(tuple(r) for r in txn.txn_read(spark, path).collect())
+    assert len(txn._read_manifest(
+        spark, path, txn.latest_version(spark, path))["entries"]) > 1
+
+    new_v = txn.txn_compact(spark, path)
+    m = txn._read_manifest(spark, path, new_v)
+    assert len(m["entries"]) == 1
+    assert sorted(
+        tuple(r) for r in txn.txn_read(spark, path).collect()
+    ) == before
+    # pre-compaction snapshot still time-travels
+    assert sorted(
+        tuple(r) for r in txn.txn_read(spark, path, version=new_v - 1).collect()
+    ) == before
