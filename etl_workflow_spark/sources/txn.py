@@ -198,6 +198,8 @@ def txn_create(
         # original column order: hive-layout reads move the partition
         # column to the end, so reads re-select this order
         "columns": list(df.columns),
+        # DDL types so evolved-away or missing columns can be NULL-cast
+        "types": {f.name: f.dataType.simpleString() for f in df.schema.fields},
         "entries": [{"dir": d, "partitions": parts}],
     }
     _commit(spark, path, 1, manifest)
@@ -228,7 +230,14 @@ def txn_read(
         frames.append(sub)
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        # allowMissingColumns: entries written before a schema
+        # evolution lack the newer columns — they read as NULL, the
+        # standard add-column semantics of manifest table formats
+        out = out.unionByName(f, allowMissingColumns=True)
+    types = m.get("types") or {}
+    for c in m["columns"]:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast(types.get(c, "string")))
     return out.select(*m["columns"])
 
 
@@ -237,6 +246,7 @@ def txn_merge_into(
     path: str,
     source: DataFrame,
     keys: Sequence[str],
+    evolve_schema: bool = False,
 ) -> tuple[int, int]:
     """MERGE with snapshot isolation: WHEN MATCHED UPDATE (source row
     wins), WHEN NOT MATCHED INSERT — same semantics and return value
@@ -248,6 +258,11 @@ def txn_merge_into(
     new data dir carries them, surviving entries lose them from their
     ``partitions`` list (dropping entries that end up empty), so
     unaffected data is neither read nor rewritten.
+
+    ``evolve_schema=True`` (the mergeSchema analog) appends source
+    columns missing from the table: the manifest's column list grows,
+    surviving entries simply lack the new columns and read as NULL —
+    no historical data is rewritten for an ADD COLUMN.
     """
     keys = list(keys)
     base_v = latest_version(spark, path)
@@ -258,7 +273,22 @@ def txn_merge_into(
     m = _read_manifest(spark, path, base_v)
     pcol = m["partition_col"]
     target = txn_read(spark, path, base_v)
-    src = source.dropDuplicates(keys).select(*target.columns).persist()
+    out_columns = list(m["columns"])
+    out_types = dict(m.get("types") or {})
+    extra = [f for f in source.schema.fields if f.name not in out_columns]
+    if evolve_schema:
+        for f in extra:
+            out_columns.append(f.name)
+            out_types[f.name] = f.dataType.simpleString()
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+    elif extra:
+        # strict by default: a typo'd column must fail loudly, not
+        # silently vanish (same posture as Delta without mergeSchema)
+        raise ValueError(
+            f"source columns {[f.name for f in extra]} not in table "
+            f"schema; pass evolve_schema=True to add them"
+        )
+    src = source.dropDuplicates(keys).select(*out_columns).persist()
     n_src = src.count()
 
     if pcol is None:
@@ -267,7 +297,8 @@ def txn_merge_into(
         d, parts = _write_data(kept.unionByName(src), path, None)
         manifest = {
             "partition_col": None,
-            "columns": m["columns"],
+            "columns": out_columns,
+            "types": out_types,
             "entries": [{"dir": d, "partitions": parts}],
         }
         _commit(spark, path, base_v + 1, manifest)
@@ -309,7 +340,12 @@ def txn_merge_into(
         spark,
         path,
         base_v + 1,
-        {"partition_col": pcol, "columns": m["columns"], "entries": entries},
+        {
+            "partition_col": pcol,
+            "columns": out_columns,
+            "types": out_types,
+            "entries": entries,
+        },
     )
     src.unpersist()
     return (updated, n_src - updated)
@@ -378,7 +414,63 @@ def txn_compact(
         {
             "partition_col": pcol,
             "columns": m["columns"],
+            "types": m.get("types") or {},
             "entries": [{"dir": d, "partitions": parts}],
         },
     )
     return base_v + 1
+
+
+def txn_changes(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two versions (the CDF analog): the
+    row-level diff keyed by ``keys``, tagged ``_change_type`` in
+    {'insert', 'update_postimage', 'delete'}.
+
+    Computed from the two snapshots (full-outer semantics via
+    anti/semi joins), so it needs no per-commit change files — the
+    manifest log already preserves both endpoints until vacuum. At
+    scale the joins shuffle on the key columns only; updates compare
+    shared non-key columns null-safely, so a rewrite that didn't
+    change a row's values does NOT emit a change row (value-level CDF,
+    stricter than file-level diffs). Deleted rows carry their OLD
+    values, NULL-extended to the newer schema.
+    """
+    keys = list(keys)
+    new_v = latest_version(spark, path) if to_version is None else to_version
+    old = txn_read(spark, path, from_version)
+    new = txn_read(spark, path, new_v)
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))
+    old = old.select(*new.columns)
+
+    inserts = new.join(old.select(*keys), on=keys, how="left_anti").select(
+        F.lit("insert").alias("_change_type"), *new.columns
+    )
+    deletes = old.join(new.select(*keys), on=keys, how="left_anti").select(
+        F.lit("delete").alias("_change_type"), *new.columns
+    )
+    value_cols = [c for c in new.columns if c not in keys]
+    o = old.alias("o")
+    n = new.alias("n")
+    changed = None
+    for c in value_cols:
+        neq = ~F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+        changed = neq if changed is None else (changed | neq)
+    upd = n.join(o, on=keys)
+    if changed is not None:
+        upd = upd.where(changed)
+    else:  # key-only table: an "update" cannot change anything
+        upd = upd.where(F.lit(False))
+    updates = upd.select(
+        F.lit("update_postimage").alias("_change_type"),
+        *keys,
+        *[F.col(f"n.{c}").alias(c) for c in value_cols],
+    )
+    return inserts.unionByName(deletes).unionByName(updates)

@@ -208,3 +208,100 @@ def test_txn_compact_collapses_entries_and_preserves_data(spark, tmp_path):
     assert sorted(
         tuple(r) for r in txn.txn_read(spark, path, version=new_v - 1).collect()
     ) == before
+
+
+def test_merge_schema_evolution_adds_column_without_rewrite(spark, tmp_path):
+    """evolve_schema=True appends a source-only column; untouched
+    partitions' files are NOT rewritten and read the new column as
+    NULL (ADD COLUMN is metadata-only for historical data)."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], ["id", "grp", "v"]
+        ),
+        partition_col="grp",
+    )
+    v1_dir = txn._read_manifest(spark, path, 1)["entries"][0]["dir"]
+    before = set(
+        glob.glob(os.path.join(path, "_data", v1_dir, "grp=b", "*"))
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a", 11, "note-1"), (3, "a", 30, "note-3")],
+        ["id", "grp", "v", "note"],
+    )
+    assert txn.txn_merge_into(
+        spark, path, src, ["id"], evolve_schema=True
+    ) == (1, 1)
+    got = _rows(txn.txn_read(spark, path))
+    assert got == [
+        (1, "a", 11, "note-1"),
+        (2, "b", 20, None),       # historical row: NULL-extended
+        (3, "a", 30, "note-3"),
+    ]
+    after = set(
+        glob.glob(os.path.join(path, "_data", v1_dir, "grp=b", "*"))
+    )
+    assert after == before  # grp=b never rewritten
+    # and without the flag, an extra column is an error (no silent drop)
+    with pytest.raises(Exception):
+        txn.txn_merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(9, "a", 1, "x", True)],
+                                  ["id", "grp", "v", "note", "flag"]),
+            ["id"],
+        )
+
+
+def test_txn_changes_reports_value_level_diff(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)], ["id", "grp", "v"]
+        ),
+        partition_col="grp",
+    )
+    # v2: update id=2, insert id=4; id=1 is "touched" by the affected-
+    # partition rewrite but its VALUES are unchanged -> no change row
+    txn.txn_merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 21), (4, "a", 40)], ["id", "grp", "v"]
+        ),
+        ["id"],
+    )
+    changes = {
+        (r["_change_type"], r["id"]): (r["grp"], r["v"])
+        for r in txn.txn_changes(spark, path, ["id"], 1, 2).collect()
+    }
+    assert changes == {
+        ("update_postimage", 2): ("a", 21),
+        ("insert", 4): ("a", 40),
+    }
+
+
+def test_txn_changes_detects_deletes_via_compacted_rewrite(spark, tmp_path):
+    """A full-rewrite commit that drops a key must surface as a delete
+    carrying the OLD values."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    # manual "delete" commit: rewrite without id=2
+    d, parts = txn._write_data(
+        spark.createDataFrame([(1, 10)], ["id", "v"]), path, None
+    )
+    m = txn._read_manifest(spark, path, 1)
+    txn._commit(spark, path, 2, {**m, "entries": [
+        {"dir": d, "partitions": parts}]})
+    rows = {
+        (r["_change_type"], r["id"], r["v"])
+        for r in txn.txn_changes(spark, path, ["id"], 1, 2).collect()
+    }
+    assert rows == {("delete", 2, 20)}
