@@ -290,6 +290,12 @@ def txn_merge_into(
         )
     src = source.dropDuplicates(keys).select(*out_columns).persist()
     n_src = src.count()
+    if n_src == 0:
+        # no-op merge: committing would add an entry whose data dir has
+        # no files (unreadable) — an empty source changes nothing, so
+        # the version history shouldn't grow either
+        src.unpersist()
+        return (0, 0)
 
     if pcol is None:
         kept = target.join(src.select(*keys), on=keys, how="left_anti")

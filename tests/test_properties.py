@@ -245,6 +245,8 @@ def test_txn_merge_matches_dict_model(spark, tmp_path_factory, target, batches):
         n_matched = sum(1 for s in batch if s[0] in model)
         updated, inserted = txn.txn_merge_into(spark, path, src, ["id"])
         assert (updated, inserted) == (n_matched, len(batch) - n_matched)
+        if not batch:
+            continue  # empty merge is a no-op: no new version
         model.update({s[0]: s for s in batch})
         v += 1
         snapshots[v] = sorted(model.values())
