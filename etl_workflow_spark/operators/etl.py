@@ -250,3 +250,51 @@ def refresh_product_summary_incremental(
     kept = current.join(affected, on=product_key, how="left_anti")
     _swap_staged(spark, summary_path, kept.unionByName(fresh))
     return n_affected
+
+
+def refresh_product_summary_from_changes(
+    spark,
+    orders_txn_path: str,
+    summary_path: str,
+    products: DataFrame,
+    categories: DataFrame | None,
+    items: DataFrame,
+    from_version: int,
+    to_version: int | None = None,
+    **summary_kwargs,
+) -> int:
+    """CDC-driven view maintenance: the orders table lives in a
+    manifest-log transactional table (``sources/txn.py``); the change
+    data feed between two of its versions IS the refresh delta.
+
+    This closes the loop the reference gets from Postgres triggers +
+    REFRESH (``database-schema.sql:202-231,157-179``): writers merge
+    into the orders table transactionally, and any consumer can later
+    bring the summary up to date for exactly the keys that changed —
+    inserts, updates, AND deletes all surface in the feed, so a
+    product whose orders were deleted is re-derived (or dropped) too.
+    No state beyond the last-refreshed version number is needed, and
+    the refresh is idempotent: re-running the same version window
+    recomputes the same slice.
+
+    Returns the number of affected products (0 when the window is
+    empty or the versions are equal).
+    """
+    from ..sources.txn import latest_version, txn_changes, txn_read
+
+    to_v = (
+        latest_version(spark, orders_txn_path)
+        if to_version is None
+        else to_version
+    )
+    if to_v is None or to_v == from_version:
+        return 0
+    order_key = summary_kwargs.get("order_key", "order_id")
+    changes = txn_changes(
+        spark, orders_txn_path, [order_key], from_version, to_v
+    )
+    orders_now = txn_read(spark, orders_txn_path, to_v)
+    return refresh_product_summary_incremental(
+        spark, summary_path, products, categories, items, orders_now,
+        changes.select(order_key), **summary_kwargs,
+    )

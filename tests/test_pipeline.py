@@ -471,3 +471,63 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint (or touching) ranges => skipping works
     # and the data round-trips
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_cdf_driven_summary_refresh(spark, tmp_path):
+    """Orders in a transactional table; the change feed between two
+    versions drives the incremental summary refresh — result equals a
+    full recompute at the newer version, and an empty window is a
+    no-op."""
+    from etl_workflow_spark.operators.etl import (
+        product_sales_summary,
+        refresh_product_summary_from_changes,
+    )
+    from etl_workflow_spark.sources import txn
+    from etl_workflow_spark.sources.writers import overwrite
+
+    cats = spark.createDataFrame([(1, "c")], ["category_id", "category_name"])
+    prods = spark.createDataFrame(
+        [(1, 1, "p1"), (2, 1, "p2")], ["product_id", "category_id", "name"]
+    )
+    items = spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0), (2, 2, 2, 2, 20.0), (3, 3, 2, 1, 30.0)],
+        ["order_item_id", "order_id", "product_id", "quantity", "total"],
+    )
+    orders_v1 = spark.createDataFrame(
+        [(1, 10, "2024-01-01", "Delivered"), (2, 11, "2024-01-02", "Delivered")],
+        ["order_id", "customer_id", "order_date", "status"],
+    )
+    orders_path = str(tmp_path / "orders_txn")
+    txn.txn_create(spark, orders_path, orders_v1)
+    summary_path = str(tmp_path / "summary")
+    overwrite(product_sales_summary(prods, cats, items, orders_v1),
+              summary_path)
+
+    # v2: cancel order 2, insert order 3 (both touch product 2 only)
+    txn.txn_merge_into(
+        spark,
+        orders_path,
+        spark.createDataFrame(
+            [(2, 11, "2024-01-02", "Cancelled"),
+             (3, 12, "2024-01-03", "Delivered")],
+            orders_v1.schema,
+        ),
+        ["order_id"],
+    )
+    n = refresh_product_summary_from_changes(
+        spark, orders_path, summary_path, prods, cats, items, from_version=1
+    )
+    assert n == 1  # only product 2 touched
+
+    want = sorted(
+        tuple(r)
+        for r in product_sales_summary(
+            prods, cats, items, txn.txn_read(spark, orders_path)
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(summary_path).collect())
+    assert got == want
+    # closed window: nothing to do
+    assert refresh_product_summary_from_changes(
+        spark, orders_path, summary_path, prods, cats, items, from_version=2
+    ) == 0
