@@ -1026,19 +1026,27 @@ _QTY_PRICE_CORR_ORACLE = """
 
 def _q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE segmentation: customers bucketed into revenue quartiles
-    (deterministic total order via the custkey tiebreak)."""
-    from pyspark.sql.window import Window
+    (deterministic total order via the custkey tiebreak).
+
+    Rides ``operators.ranking.distributed_ntile`` — range-partition +
+    per-partition offsets — instead of ``Window.orderBy`` with no
+    partition, which collapses the whole table into ONE task (Spark's
+    own WindowExec warning). Same NTILE values, distributed cost.
+    """
+    from etl_workflow_spark.operators.ranking import distributed_ntile
 
     lv = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv"))
     )
-    w = Window.orderBy(F.desc("ltv"), F.col("o_custkey"))
-    return lv.select(
+    ranked = distributed_ntile(
+        lv, [F.desc("ltv"), F.asc("o_custkey")], 4, out_col="quartile"
+    )
+    return ranked.select(
         F.col("o_custkey"),
         F.col("ltv").cast("double").alias("ltv"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.col("quartile").cast("int").alias("quartile"),
     )
 
 

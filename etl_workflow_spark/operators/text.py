@@ -339,6 +339,94 @@ def fingerprint_oracle(table: str = "documents") -> str:
     """
 
 
+def _norm_ngrams(col: str, n: int) -> Column:
+    """Word ``n``-grams over aggressively normalized text (lowercase,
+    alnum-only, whitespace-split) — the normalization the published
+    decontamination recipes use so trivial formatting differences
+    don't hide an overlap. Empty array when the doc has < n words."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(col)), r"[^a-z0-9\s]", " ")),
+        r"\s+",
+    )
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(k >= F.lit(n), grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out evaluation set (the 13-gram-overlap
+    recipe the GPT-3/PaLM training reports describe).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval sets are MBs against a 100 TB corpus), so its distinct
+    n-gram *hashes* build once and broadcast; the corpus explodes to
+    (doc_id, gram_hash) — linear in token count, hash-only width — and
+    probes the broadcast set with a semi-join aggregated back per doc.
+    The 100 TB side never shuffles for the probe; the only exchange is
+    the per-doc hit-count aggregation, keyed on ``id_col``.
+
+    Returns every input doc with ``n_contaminated_ngrams`` and a
+    ``contaminated`` flag; feed to :func:`decontaminate` to drop hits.
+    """
+    bench_hashes = (
+        benchmark.select(
+            F.explode(_norm_ngrams(bench_col, n)).alias("gram")
+        )
+        .select(F.xxhash64("gram").alias("gram_h"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_norm_ngrams(col, n)).alias("gram")
+    ).select(id_col, F.xxhash64("gram").alias("gram_h"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_hashes), "gram_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str = "text",
+) -> DataFrame:
+    """The filtering form: training docs with every benchmark-overlap
+    doc removed (broadcast-probe + anti-join on the flagged ids)."""
+    flagged = ngram_contamination(
+        docs, benchmark, n=n, col=col, id_col=id_col, bench_col=bench_col
+    ).filter(F.col("contaminated"))
+    return docs.join(flagged.select(id_col), id_col, "left_anti")
+
+
 def repetition_signals(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

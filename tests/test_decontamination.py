@@ -1,0 +1,100 @@
+"""Benchmark decontamination (13-gram overlap) vs a pure-Python oracle.
+
+The oracle recomputes the published recipe — lowercase, strip
+non-alnum, whitespace-split, word n-grams, any-overlap — row by row on
+the collected sample, so the Spark implementation's normalization,
+n-gram construction, hashing, and join shape are all under test.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.operators.text import (
+    decontaminate,
+    ngram_contamination,
+)
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    toks = re.sub(r"[^a-z0-9\s]", " ", text.lower()).split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+
+
+@pytest.mark.parametrize("n", [5, 13])
+def test_matches_python_oracle(spark, docs, n):
+    # Benchmark: excerpts of some real docs (guaranteed overlap) plus a
+    # string that overlaps nothing.
+    sample = [r["text"] for r in docs.orderBy("doc_id").limit(3).collect()]
+    bench_rows = [(t[: len(t) // 2],) for t in sample] + [
+        ("zz qq xx " * 40,)
+    ]
+    bench = spark.createDataFrame(bench_rows, ["text"])
+
+    bench_grams: set[str] = set()
+    for (t,) in bench_rows:
+        bench_grams |= _py_ngrams(t, n)
+
+    expected = {
+        r["doc_id"]: len(_py_ngrams(r["text"], n) & bench_grams)
+        for r in docs.collect()
+    }
+    got = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in ngram_contamination(docs, bench, n=n).collect()
+    }
+    assert got == expected
+    assert any(v > 0 for v in got.values())  # the overlap actually fired
+
+
+def test_decontaminate_drops_exactly_the_flagged(spark, docs):
+    sample = [r["text"] for r in docs.orderBy("doc_id").limit(2).collect()]
+    bench = spark.createDataFrame([(t,) for t in sample], ["text"])
+    flagged = {
+        r["doc_id"]
+        for r in ngram_contamination(docs, bench, n=8)
+        .filter("contaminated")
+        .collect()
+    }
+    assert flagged  # full-text benchmark must flag its own sources
+    clean_ids = {
+        r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert clean_ids == all_ids - flagged
+
+
+def test_short_docs_are_never_contaminated(spark):
+    docs = spark.createDataFrame(
+        [(1, "only four words here"), (2, "")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([("only four words here",)], ["text"])
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_contamination(docs, bench, n=13).collect()
+    }
+    # Both sides have < 13 words: no n-grams exist, nothing can match.
+    assert out == {1: False, 2: False}
+
+
+def test_benchmark_side_broadcasts(spark, docs):
+    """Scale shape: the probe must be a broadcast join (the corpus
+    side never shuffles to meet the benchmark)."""
+    from etl_workflow_spark.plans import physical_plan
+
+    bench = spark.createDataFrame([("a b c d e f g h i j k l m",)], ["text"])
+    plan = physical_plan(ngram_contamination(docs, bench, n=13))
+    assert "BroadcastHashJoin" in plan
