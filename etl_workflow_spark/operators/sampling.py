@@ -101,6 +101,90 @@ def stratified_sample_oracle(
     """
 
 
+def target_mixture(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str,
+    key: str = "doc_id",
+    salt: str = "mixture",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Downsample to a target stratum mixture (the data-mixing step of
+    training-corpus construction: "30% web, 30% code, 40% books").
+
+    Solves for the largest output that hits ``targets`` exactly with
+    keep-rates ≤ 1 (no upsampling): the binding stratum — the one whose
+    observed share falls shortest of its target — is kept whole, and
+    every other stratum is hash-downsampled to match. Strata not named
+    in ``targets`` are dropped.
+
+    Cost: ONE small aggregation (stratum counts — rows = number of
+    strata) to solve the rates, then a shuffle-free deterministic
+    filter; the corpus itself never moves. Returns ``(sampled_df,
+    rates)`` so the solved rates can be logged / reused.
+    """
+    total_target = sum(targets.values())
+    if total_target <= 0:
+        raise ValueError("targets must have positive total weight")
+    norm = {s: w / total_target for s, w in targets.items()}
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.where(F.col(strata_col).isin(*targets))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = [s for s in targets if counts.get(s, 0) == 0 and norm[s] > 0]
+    if missing:
+        raise ValueError(
+            f"strata {missing} have a positive target share but no rows"
+        )
+    # Largest feasible output size: every stratum must supply
+    # share*T rows from its count[s] available.
+    t_out = min(counts[s] / norm[s] for s in targets if norm[s] > 0)
+    rates = {
+        s: min(1.0, (norm[s] * t_out) / counts[s]) if norm[s] > 0 else 0.0
+        for s in targets
+    }
+    return (
+        stratified_sample(
+            df, rates, strata_col, key=key, salt=salt, default_rate=0.0
+        ),
+        rates,
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: str = "doc_id",
+    salt: str = "shuffle",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Reproducible global random order for training-data sharding.
+
+    Orders rows by ``xxhash64(salt, key)`` — a fixed pseudo-random
+    permutation of the keys, independent of input partitioning, run,
+    and cluster size (the property ``orderBy(rand(seed))`` lacks:
+    rand() is seeded per-partition, so a repartition reshuffles the
+    "random" order). Executed as a range sort: Spark samples split
+    points, range-partitions into ``num_shards`` (default: planner
+    choice), sorts within shards — the standard distributed sort, no
+    single-task collapse. Writing the result preserves per-file order,
+    so shard k of a 100 TB corpus is byte-identical across reruns.
+
+    A second ``salt`` draws an independent permutation (fresh data
+    order per training epoch without rewriting the corpus).
+    """
+    h = F.xxhash64(F.lit(salt), F.col(key).cast("string"))
+    tagged = df.withColumn("__shuffle_h", h)
+    if num_shards is not None:
+        tagged = tagged.repartitionByRange(
+            num_shards, F.col("__shuffle_h"), F.col(key)
+        ).sortWithinPartitions(F.col("__shuffle_h"), F.col(key))
+    else:
+        tagged = tagged.orderBy(F.col("__shuffle_h"), F.col(key))
+    return tagged.drop("__shuffle_h")
+
+
 def split_frame(
     df: DataFrame,
     weights: dict[str, float],

@@ -70,3 +70,66 @@ def test_redact_pii_replaces_and_counts(spark):
     assert (got[1]["n_emails"], got[1]["n_urls"]) == (1, 1)
     assert got[2]["redacted"] == "no pii here"
     assert (got[2]["n_emails"], got[2]["n_urls"]) == (0, 0)
+
+
+def test_target_mixture_hits_proportions(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    targets = {"en": 0.5, "zh": 0.25, "es": 0.25}
+    out, rates = samp.target_mixture(docs, targets, "lang")
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) <= set(targets)
+    total = sum(counts.values())
+    assert total > 0
+    # binding stratum kept (almost) whole; every rate feasible
+    assert max(rates.values()) <= 1.0
+    assert any(r > 0.95 for r in rates.values())
+    # achieved shares within hash-sampling tolerance of the target
+    for lang, share in targets.items():
+        assert abs(counts.get(lang, 0) / total - share) < 0.12
+
+
+def test_target_mixture_drops_unnamed_strata(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out, _ = samp.target_mixture(docs, {"en": 1.0}, "lang")
+    assert out.where(F.col("lang") != "en").count() == 0
+
+
+def test_target_mixture_missing_stratum_raises(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        samp.target_mixture(docs, {"xx_not_a_lang": 1.0}, "lang")
+
+
+def test_deterministic_shuffle_stable_under_repartition(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    a = [r["doc_id"] for r in samp.deterministic_shuffle(docs).collect()]
+    b = [
+        r["doc_id"]
+        for r in samp.deterministic_shuffle(docs.repartition(7)).collect()
+    ]
+    assert a == b  # same global order regardless of input layout
+    assert a != sorted(a)  # and it is actually permuted
+
+
+def test_deterministic_shuffle_salt_changes_order(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = [r["doc_id"] for r in samp.deterministic_shuffle(docs, salt="e1").collect()]
+    b = [r["doc_id"] for r in samp.deterministic_shuffle(docs, salt="e2").collect()]
+    assert sorted(a) == sorted(b)
+    assert a != b
+
+
+def test_deterministic_shuffle_sharded_keeps_total_order(spark, sf_dir):
+    """num_shards path: concatenating shards in partition order yields
+    the same sequence as the global sort."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    want = [r["doc_id"] for r in samp.deterministic_shuffle(docs).collect()]
+    sharded = samp.deterministic_shuffle(docs, num_shards=5)
+    # collect() preserves partition order then intra-partition order
+    got = [r["doc_id"] for r in sharded.collect()]
+    assert got == want

@@ -42,6 +42,7 @@ def main() -> None:
     from etl_workflow_spark.catalog import table, events_table
     from etl_workflow_spark.operators import dedup as D
     from etl_workflow_spark.operators import sessions as SES
+    from etl_workflow_spark.operators import ranking as R
     from etl_workflow_spark.operators import similarity as S
     from etl_workflow_spark.operators import text as T
 
@@ -90,6 +91,15 @@ def main() -> None:
             k=5,
         ))
         run("sessionize", k, lambda: SES.sessionize(ev, gap_minutes=30))
+        # fixed-size benchmark (eval sets don't grow with the corpus)
+        bench = docs0.limit(50).select("text")
+        run("decontamination", k,
+            lambda: T.ngram_contamination(docs, bench, n=13))
+        run("distributed_ntile", k, lambda: R.distributed_ntile(
+            docs.select("doc_id", "n_chars"),
+            [F.desc("n_chars"), F.asc("doc_id")],
+            100,
+        ))
         for df in (docs, emb, ev):
             df.unpersist()
 
