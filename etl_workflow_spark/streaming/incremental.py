@@ -258,6 +258,50 @@ def enrich_stream(
     return stream.join(d, on=on, how="inner")
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events for the same key arriving within ``within`` after it (the
+    click→purchase attribution shape). Works identically on static
+    frames — the batch twin for parity testing is this same function.
+
+    Column names of ``left`` and ``right`` must be disjoint except for
+    ``on`` (alias before calling); the joined output carries left's
+    key column once.
+
+    State story: BOTH sides are watermarked and the join predicate
+    bounds ``right_ts`` to ``[left_ts, left_ts + within]``, which is
+    exactly what Structured Streaming needs to compute a state
+    retention horizon per side — rows older than
+    (watermark + interval) are evicted, so state is bounded by
+    (arrival rate × horizon), not by history. An unbounded-condition
+    stream-stream join would keep every row forever.
+    """
+    l = (
+        left.withWatermark(left_ts, watermark)
+        if left.isStreaming
+        else left
+    )
+    r = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    lj, rj = l.alias("l"), r.alias("r")
+    cond = F.expr(
+        f"l.{on} = r.{on} AND r.{right_ts} >= l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
+    )
+    return lj.join(rj, cond, "inner").drop(rj[on])
+
+
 def stream_matview_refresh(
     spark: SparkSession,
     orders_stream: DataFrame,

@@ -270,3 +270,57 @@ def test_stream_matview_refresh_matches_batch_recompute(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(summary_path).collect()
     )
     assert got == want and len(got) == 2
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join parity: click->purchase attribution
+    over two file streams must equal the same join on static frames."""
+    events_dir = _prepare_events_dir(spark, sf_dir, tmp_path)
+    static = spark.read.parquet(events_dir)
+
+    def sides(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        buys = df.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return clicks, buys
+
+    b_clicks, b_buys = sides(static)
+    batch_pairs = {
+        (r["click_id"], r["buy_id"])
+        for r in inc.interval_join_stream(
+            b_clicks, b_buys, "user_id", "click_ts", "buy_ts",
+            within="30 minutes",
+        ).collect()
+    }
+    assert batch_pairs  # the fixture must actually produce attributions
+
+    s_clicks, s_buys = sides(
+        inc.file_stream_events(spark, events_dir, static.schema,
+                               max_files_per_trigger=2)
+    )
+    joined = inc.interval_join_stream(
+        s_clicks, s_buys, "user_id", "click_ts", "buy_ts",
+        within="30 minutes", watermark="1 hour",
+    )
+    got = []
+
+    def collect_batch(df, _bid):
+        got.extend(df.collect())
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    stream_pairs = {(r["click_id"], r["buy_id"]) for r in got}
+    assert stream_pairs == batch_pairs
