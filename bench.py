@@ -189,13 +189,27 @@ def main() -> None:
             if fn is None:
                 continue
             t0 = time.time()
-            # count() forces the full plan; results are small-to-medium
-            # so this measures compute, not driver materialization.
-            # One bad query must never zero out the whole round's perf
-            # signal (r3 and r4 both lost their bench to a single
-            # raise) — record the error and keep timing the rest.
+            # Force EVERY output column with a hash-sum, not count():
+            # count() lets Catalyst eliminate outer joins whose build
+            # side has provably-unique keys (any Aggregate right side)
+            # and prune generator payloads — r2-r5 under-measured
+            # lifetime_value this way (its customer⟕agg join was
+            # optimized out entirely). The hash-sum is one scalar agg
+            # over the result, so it measures compute, not driver
+            # materialization. One bad query must never zero out the
+            # whole round's perf signal (r3 and r4 both lost their
+            # bench to a single raise) — record the error and keep
+            # timing the rest.
             try:
-                fn(spark, sf_dir).count()
+                out_df = fn(spark, sf_dir)
+                out_df.groupBy().agg(
+                    _CF.count(_CF.lit(1)),
+                    _CF.sum(
+                        _CF.xxhash64(
+                            *[_CF.col(c).cast("string") for c in out_df.columns]
+                        )
+                    ),
+                ).collect()
                 t = round(time.time() - t0, 3)
                 if name not in timings or t < timings[name]:
                     timings[name] = t
@@ -211,6 +225,11 @@ def main() -> None:
         "sf": sf,
         "passes": 2,
         "calibration_sec": calibration,
+        # r6 methodology change: full-output hash-sum forcing (r2-r5
+        # used count(), which join-eliminated some queries — e.g.
+        # lifetime_value's outer join never ran). Per-query deltas vs
+        # r5 therefore mix real change with forcing overhead.
+        "forcing": "hash-sum",
     }
     if errors:
         out["errors"] = errors

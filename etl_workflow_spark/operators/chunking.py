@@ -52,7 +52,15 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(col)), r"\s+")
+    # Materialize the token array BEFORE the chunk lambda references
+    # it: a lambda body re-evaluates any captured outer expression per
+    # element, so embedding the split() tree here would re-tokenize
+    # the document once per chunk (quadratic in document length); a
+    # bound column reference is O(1) per access.
+    prepared = df.select(
+        F.col(id_col), F.split(F.trim(F.col(col)), r"\s+").alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(float(stride))), F.lit(1)
@@ -63,7 +71,7 @@ def chunk_documents(
             " ", F.slice(toks, i * stride + 1, chunk_tokens)
         ),
     )
-    return df.select(
+    return prepared.select(
         F.col(id_col),
         n.alias("_n"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),

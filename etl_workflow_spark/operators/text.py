@@ -339,29 +339,43 @@ def fingerprint_oracle(table: str = "documents") -> str:
     """
 
 
-def _norm_ngram_hashes(col: str, n: int) -> Column:
-    """64-bit hashes of word ``n``-grams over aggressively normalized
-    text (lowercase, alnum-only, whitespace-split) — the normalization
-    the published decontamination recipes use so trivial formatting
-    differences don't hide an overlap. Empty array when the doc has
-    < n words.
-
-    Hashes are computed directly over the token slice
-    (``xxhash64(slice(toks, i, n))``) instead of materializing each
-    n-gram as a joined string: the exploded probe stream is then 8-byte
-    longs rather than ~13-word strings — measured >10× cheaper
-    end-to-end at sf0.1 (10.7 s → 0.5 s) with identical match semantics
-    (xxhash64 of the token array is order- and boundary-sensitive, so
-    equality of hash == equality of the n-gram up to hash collision).
-    """
+def _norm_token_hashes(col: str) -> Column:
+    """Per-token 64-bit hashes of aggressively normalized text
+    (lowercase, alnum-only, whitespace-split) — the normalization the
+    published decontamination recipes use so trivial formatting
+    differences don't hide an overlap."""
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(col)), r"[^a-z0-9\s]", " ")),
         r"\s+",
     )
-    k = F.size(toks)
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def _gram_hashes(th_col: str, n: int) -> Column:
+    """n-gram hashes from a MATERIALIZED token-hash array column.
+
+    Two deliberate shapes, each worth ~an order of magnitude at sf0.1
+    (measured 9.5 s → 0.3 s together):
+
+    - The lambda reads the token hashes through a bound column
+      reference (``F.col(th_col)``), never the tokenization expression
+      itself. A lambda body re-evaluates any outer EXPRESSION it
+      captures once per element — embedding the split/regexp tree here
+      re-tokenizes the whole document for every gram index (quadratic
+      in document length). An attribute reference is O(1).
+    - Grams are hashed as ``xxhash64(slice(hashes, i, n))`` over
+      8-byte longs instead of join-then-hash strings, so the exploded
+      probe stream is longs, not ~13-word strings. Hash-of-hashes is
+      order- and boundary-sensitive, so hash equality == n-gram
+      equality up to collision (2^-64).
+
+    Empty array when the doc has < n words.
+    """
+    th = F.col(th_col)
+    k = F.size(th)
     grams = F.transform(
         F.sequence(F.lit(1), k - F.lit(n - 1)),
-        lambda i: F.xxhash64(F.slice(toks, i, n)),
+        lambda i: F.xxhash64(F.slice(th, i, n)),
     )
     return F.when(k >= F.lit(n), grams).otherwise(
         F.array().cast("array<bigint>")
@@ -391,15 +405,17 @@ def ngram_contamination(
     Returns every input doc with ``n_contaminated_ngrams`` and a
     ``contaminated`` flag; feed to :func:`decontaminate` to drop hits.
     """
+    from .partitioning import scale_partitions
+
     bench_hashes = (
-        benchmark.select(
-            F.explode(_norm_ngram_hashes(bench_col, n)).alias("gram_h")
-        )
+        benchmark.select(_norm_token_hashes(bench_col).alias("__th"))
+        .select(F.explode(_gram_hashes("__th", n)).alias("gram_h"))
         .distinct()
     )
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(_norm_ngram_hashes(col, n)).alias("gram_h"),
+    doc_grams = (
+        scale_partitions(docs)
+        .select(F.col(id_col), _norm_token_hashes(col).alias("__th"))
+        .select(id_col, F.explode(_gram_hashes("__th", n)).alias("gram_h"))
     )
     hits = (
         doc_grams.join(F.broadcast(bench_hashes), "gram_h", "left_semi")
