@@ -120,6 +120,10 @@ def main() -> None:
         "constraint_checks",
         # round-5 addition: pg_trgm-analog trigram fuzzy lookup
         "fuzzy_name_search",
+        # round-6 additions: distributed exact NTILE (no single-task
+        # window) and 13-gram benchmark decontamination
+        "customer_quartiles",
+        "decontamination",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -161,6 +165,12 @@ def main() -> None:
         "chunk_documents": lambda s, d: CH.chunk_documents(
             table(s, d, "documents"), chunk_tokens=32
         ),
+        # fixed-size benchmark side (eval sets don't grow with corpus)
+        "decontamination": lambda s, d: T.ngram_contamination(
+            table(s, d, "documents"),
+            table(s, d, "documents").limit(50).select("text"),
+            n=13,
+        ),
     }
     # Private entry-module callables resolved defensively: a rename in a
     # future consolidation must cost ONE missing query row, not the
@@ -189,26 +199,23 @@ def main() -> None:
             if fn is None:
                 continue
             t0 = time.time()
-            # Force EVERY output column with a hash-sum, not count():
-            # count() lets Catalyst eliminate outer joins whose build
-            # side has provably-unique keys (any Aggregate right side)
-            # and prune generator payloads — r2-r5 under-measured
-            # lifetime_value this way (its customer⟕agg join was
-            # optimized out entirely). The hash-sum is one scalar agg
-            # over the result, so it measures compute, not driver
-            # materialization. One bad query must never zero out the
-            # whole round's perf signal (r3 and r4 both lost their
-            # bench to a single raise) — record the error and keep
-            # timing the rest.
+            # Force EVERY output column with count(col)-per-column, not
+            # count(*): bare count() lets Catalyst eliminate outer
+            # joins whose build side has provably-unique keys (any
+            # Aggregate right side) and prune scan columns — r2-r5
+            # under-measured lifetime_value this way (its customer⟕agg
+            # join was optimized out entirely). count(col) references
+            # each output column, so pruning/elimination can't fire,
+            # at ~3× less overhead than a hash-sum of stringified rows
+            # (which charged wide outputs for the hashing, not the
+            # query). One bad query must never zero out the whole
+            # round's perf signal (r3 and r4 both lost their bench to
+            # a single raise) — record the error and keep timing the
+            # rest.
             try:
                 out_df = fn(spark, sf_dir)
                 out_df.groupBy().agg(
-                    _CF.count(_CF.lit(1)),
-                    _CF.sum(
-                        _CF.xxhash64(
-                            *[_CF.col(c).cast("string") for c in out_df.columns]
-                        )
-                    ),
+                    *[_CF.count(_CF.col(c)) for c in out_df.columns]
                 ).collect()
                 t = round(time.time() - t0, 3)
                 if name not in timings or t < timings[name]:
@@ -225,11 +232,12 @@ def main() -> None:
         "sf": sf,
         "passes": 2,
         "calibration_sec": calibration,
-        # r6 methodology change: full-output hash-sum forcing (r2-r5
-        # used count(), which join-eliminated some queries — e.g.
-        # lifetime_value's outer join never ran). Per-query deltas vs
-        # r5 therefore mix real change with forcing overhead.
-        "forcing": "hash-sum",
+        # r6 methodology change: count-per-output-column forcing
+        # (r2-r5 used count(*), which join-eliminated some queries —
+        # e.g. lifetime_value's outer join never ran — and let scans
+        # prune to zero columns). Per-query deltas vs r5 therefore mix
+        # real change with the fuller measurement.
+        "forcing": "count-per-column",
     }
     if errors:
         out["errors"] = errors

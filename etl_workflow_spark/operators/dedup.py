@@ -601,3 +601,97 @@ def dedup_clusters_oracle(
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp
     """
+
+
+# ------------------------------------------------------- line-level dedup
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequent lines: every distinct (trimmed, non-empty) line
+    occurring in at least ``min_docs`` DISTINCT documents — the
+    boilerplate set of the C4-style cleanup recipe (navigation menus,
+    cookie banners, license footers repeat across pages; prose doesn't).
+
+    Returns (line_h, line, n_docs). One explode + one count-distinct
+    aggregation keyed on the 64-bit line hash; combiner-friendly and
+    linear in corpus lines.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(col), "\n")).alias("line_raw"),
+    ).select(
+        id_col,
+        F.trim(F.col("line_raw")).alias("line"),
+    ).where(F.length("line") > 0)
+    return (
+        lines.groupBy(F.xxhash64("line").alias("line_h"))
+        .agg(
+            F.first("line").alias("line"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document with corpus-boilerplate lines removed
+    (kept lines preserve their original order; a fully-boilerplate
+    document keeps an empty text). Output: (id, text, n_lines_removed).
+
+    Scale shape: lines explode once; the boilerplate probe joins on
+    the line hash — the same key the count aggregation just shuffled
+    on, so the join reuses that partitioning rather than moving the
+    corpus again; the rebuild is one groupBy(id) with an in-group sort
+    by original position (array_sort on (pos, line) structs — no
+    window, no per-group Python).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), "\n")).alias("pos", "line_raw"),
+    )
+    flagged = boilerplate_lines(
+        docs, min_docs=min_docs, col=col, id_col=id_col
+    ).select("line_h")
+    tagged = lines.withColumn(
+        "line_h", F.xxhash64(F.trim(F.col("line_raw")))
+    ).withColumn(
+        "is_empty", F.length(F.trim(F.col("line_raw"))) == 0
+    )
+    kept = tagged.join(
+        flagged.withColumn("__bp", F.lit(True)), "line_h", "left"
+    ).withColumn(
+        "drop", F.coalesce(F.col("__bp"), F.lit(False)) & ~F.col("is_empty")
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct(
+                                    F.col("pos"), F.col("line_raw").alias("line")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(col),
+            F.sum(F.col("drop").cast("long")).alias("n_lines_removed"),
+        )
+    )
+    return rebuilt

@@ -480,3 +480,24 @@ def txn_changes(
         *[F.col(f"n.{c}").alias(c) for c in value_cols],
     )
     return inserts.unionByName(deletes).unionByName(updates)
+
+
+def txn_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE analog: roll the table back to ``version`` by committing
+    a NEW version whose manifest replays the old one — history moves
+    forward only (the rolled-back versions stay readable until
+    :func:`txn_vacuum`), so concurrent readers never see the log
+    shrink, and a racing writer loses the ordinary version race.
+    Returns the new version number.
+    """
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in table history {versions}"
+        )
+    m = _read_manifest(spark, path, version)
+    new_v = versions[-1] + 1
+    _commit(spark, path, new_v, m)
+    return new_v

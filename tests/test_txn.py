@@ -305,3 +305,33 @@ def test_txn_changes_detects_deletes_via_compacted_rewrite(spark, tmp_path):
         for r in txn.txn_changes(spark, path, ["id"], 1, 2).collect()
     }
     assert rows == {("delete", 2, 20)}
+
+
+def test_txn_restore_rolls_forward_to_old_snapshot(spark, tmp_path):
+    path = str(tmp_path / "restore_tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    txn.txn_create(spark, path, df1)
+    txn.txn_merge_into(
+        spark, path,
+        spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]),
+        ["id"],
+    )
+    v_before = txn.latest_version(spark, path)
+    restored_v = txn.txn_restore(spark, path, 1)
+    assert restored_v == v_before + 1
+    # latest snapshot == version-1 snapshot, and history only grew
+    now = {(r["id"], r["v"]) for r in txn.txn_read(spark, path).collect()}
+    assert now == {(1, "a"), (2, "b")}
+    # the rolled-back version is still time-travel readable
+    mid = {(r["id"], r["v"]) for r in txn.txn_read(spark, path, v_before).collect()}
+    assert mid == {(1, "a"), (2, "B"), (3, "c")}
+    assert txn.txn_history(spark, path) == [1, 2, restored_v]
+
+
+def test_txn_restore_unknown_version_raises(spark, tmp_path):
+    path = str(tmp_path / "restore_bad")
+    txn.txn_create(spark, path, spark.createDataFrame([(1, "a")], ["id", "v"]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        txn.txn_restore(spark, path, 99)
