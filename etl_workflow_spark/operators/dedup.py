@@ -241,29 +241,12 @@ def minhash_signatures(
     return ex.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float = 0.5,
-    num_hashes: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    col: str = "text",
-    id_col: str = "doc_id",
-    broadcast_pairs_limit: int = 1_000_000,
+def _band_rows(
+    sigs: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Near-duplicate pairs at scale: MinHash → banded LSH buckets →
-    bucket-local candidate join → exact Jaccard verification.
-
-    With r = num_hashes/bands rows per band, a pair with true Jaccard s
-    collides in ≥1 band with prob 1-(1-s^r)^bands (the S-curve). The
-    only shuffle touching all docs is the band-bucket exchange; the
-    verification join is bucket-local. False positives are removed by
-    the exact check; false negatives follow the S-curve (documented
-    approximation — this is the standard web-scale contract).
-    """
+    """(id, band, bucket) rows from a signature frame: each band's
+    rows_per_band signature slots hash to one bucket id."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, col, id_col)
-
     band_structs = ", ".join(
         "struct({b} AS band, hash({cols}) AS bucket)".format(
             b=b,
@@ -273,40 +256,29 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     )
-    banded = sigs.selectExpr("id", f"explode(array({band_structs})) AS bb").selectExpr(
+    return sigs.selectExpr("id", f"explode(array({band_structs})) AS bb").selectExpr(
         "id", "bb.band AS band", "bb.bucket AS bucket"
     )
 
-    # Candidate pairs are tiny relative to the corpus (bounded by the
-    # S-curve), so persist them: they are consumed three times below
-    # (pair join + two membership filters) and re-deriving them would
-    # recompute the signature scan each time.
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), on=["band", "bucket"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
-        .distinct()
-        .persist()
-    )
-    # Count-gated broadcast: an UNCONDITIONAL broadcast of the candidate
-    # set OOMs executors on a near-dup-heavy corpus (exactly when dedup
-    # matters), but when the measured count is genuinely small the
-    # broadcast saves two shuffles of the (much larger) corpus side. The
-    # count is a cheap action over the already-persisted candidates.
-    small = cand.count() <= broadcast_pairs_limit
-    hint = F.broadcast if small else (lambda d: d)
 
-    # no .distinct(): left_semi tolerates duplicate build keys and the
-    # extra shuffle costs more than the slightly larger build side
+def _verify_jaccard(
+    docs: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    n: int,
+    col: str,
+    id_col: str,
+    hint,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list: shingles are
+    built ONLY for docs appearing in some pair (semi-join) — at corpus
+    scale this is the difference between re-shingling 100 TB and a few
+    GB. ``hint`` wraps the (tiny) candidate side, broadcast or identity.
+    """
     members = cand.select(F.col("doc_a").alias("mid")).union(
         cand.select(F.col("doc_b"))
     )
-
-    # Exact-verification shingles are built ONLY for docs that appear in
-    # some candidate pair (semi-join) — at corpus scale this is the
-    # difference between re-shingling 100 TB and a few GB.
-    in_cand = df.join(hint(members), F.col(id_col) == F.col("mid"), "left_semi")
+    in_cand = docs.join(hint(members), F.col(id_col) == F.col("mid"), "left_semi")
     sh = in_cand.select(
         F.col(id_col).alias("id"), word_shingles(col, n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
@@ -334,6 +306,141 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard_e4") >= F.lit(int(threshold * 10000 + 0.5)))
     )
     return verified.select("doc_a", "doc_b", "jaccard_e4")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_pairs_limit: int = 1_000_000,
+) -> DataFrame:
+    """Near-duplicate pairs at scale: MinHash → banded LSH buckets →
+    bucket-local candidate join → exact Jaccard verification.
+
+    With r = num_hashes/bands rows per band, a pair with true Jaccard s
+    collides in ≥1 band with prob 1-(1-s^r)^bands (the S-curve). The
+    only shuffle touching all docs is the band-bucket exchange; the
+    verification join is bucket-local. False positives are removed by
+    the exact check; false negatives follow the S-curve (documented
+    approximation — this is the standard web-scale contract).
+    """
+    sigs = minhash_signatures(df, num_hashes, n, col, id_col)
+    banded = _band_rows(sigs, num_hashes, bands)
+
+    # Candidate pairs are tiny relative to the corpus (bounded by the
+    # S-curve), so persist them: they are consumed three times below
+    # (pair join + two membership filters) and re-deriving them would
+    # recompute the signature scan each time.
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    # Count-gated broadcast: an UNCONDITIONAL broadcast of the candidate
+    # set OOMs executors on a near-dup-heavy corpus (exactly when dedup
+    # matters), but when the measured count is genuinely small the
+    # broadcast saves two shuffles of the (much larger) corpus side. The
+    # count is a cheap action over the already-persisted candidates.
+    small = cand.count() <= broadcast_pairs_limit
+    hint = F.broadcast if small else (lambda d: d)
+
+    # no .distinct() on members inside _verify_jaccard: left_semi
+    # tolerates duplicate build keys and the extra shuffle costs more
+    # than the slightly larger build side
+    return _verify_jaccard(df, cand, threshold, n, col, id_col, hint)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded MinHash index rows ``(id, band, bucket)`` for a corpus —
+    the persistent artifact that makes dedup *incremental*: write it
+    once per ingested corpus (ideally bucketed on ``(band, bucket)``,
+    :func:`~etl_workflow_spark.sources.writers.write_bucketed`) and
+    daily probes (:func:`minhash_lsh_probe`) never re-shingle or
+    re-pair the 100 TB corpus again.
+    """
+    sigs = minhash_signatures(df, num_hashes, n, col, id_col)
+    return _band_rows(sigs, num_hashes, bands)
+
+
+def minhash_lsh_probe(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_rows_limit: int = 1_000_000,
+) -> DataFrame:
+    """Incremental near-duplicate detection: pairs between a NEW batch
+    and an already-ingested corpus, plus pairs inside the new batch —
+    without ever re-pairing (or, given a prebuilt ``index``,
+    re-shingling) the corpus.
+
+    This is the daily-ingest path at 100 TB: ``minhash_lsh_pairs`` on
+    corpus+batch re-runs the full self-join every day; the probe's
+    corpus-side cost is one index scan (bucket-pruned when the index is
+    bucketed on ``(band, bucket)``) plus shingling ONLY the matched
+    candidate docs. The (tiny) new batch is the broadcast side of every
+    join, so the corpus never shuffles.
+
+    Exactness contract: with identical parameters, the result equals
+    ``minhash_lsh_pairs(corpus ∪ new)`` restricted to pairs touching a
+    new doc — banding is deterministic per document, so the candidate
+    buckets are identical (asserted by ``test_neardup.py``). Ids must
+    be unique across ``corpus`` and ``new_docs``.
+
+    Returns (doc_a, doc_b, jaccard_e4); within-batch pairs ordered
+    doc_a < doc_b, cross pairs new-doc-first.
+    """
+    if index is None:
+        index = build_lsh_index(corpus, num_hashes, bands, n, col, id_col)
+    new_banded = build_lsh_index(new_docs, num_hashes, bands, n, col, id_col)
+
+    # Count-gated broadcast of the new batch's band rows (|new| × bands
+    # rows of three longs): when genuinely small the corpus-side index
+    # is probed in place with zero shuffle; a bulk backfill that
+    # exceeds the gate falls back to a hash join — never an OOM.
+    new_banded = new_banded.persist()
+    small = new_banded.count() <= broadcast_rows_limit
+    hint = F.broadcast if small else (lambda d: d)
+
+    cross = (
+        index.join(hint(new_banded.withColumnRenamed("id", "nid")),
+                   on=["band", "bucket"])
+        .where(F.col("id") != F.col("nid"))
+        .select(F.col("nid").alias("doc_a"), F.col("id").alias("doc_b"))
+    )
+    within = (
+        new_banded.alias("x")
+        .join(hint(new_banded.alias("y")), on=["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+    )
+    cand = cross.union(within).distinct().persist()
+    cand_small = cand.count() <= broadcast_rows_limit
+    chint = F.broadcast if cand_small else (lambda d: d)
+
+    docs = new_docs.select(F.col(id_col), F.col(col)).unionByName(
+        corpus.select(F.col(id_col), F.col(col))
+    )
+    return _verify_jaccard(docs, cand, threshold, n, col, id_col, chint)
 
 
 # ------------------------------------------------------------------ simhash

@@ -211,3 +211,55 @@ def split_frame(
         out[name] = df.where(cond)
         lo = hi
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    salt: str = "split",
+    broadcast_pairs_limit: int = 1_000_000,
+) -> dict[str, DataFrame]:
+    """Train/valid/test split that near-duplicates cannot straddle.
+
+    A hash split on ``doc_id`` puts one member of a near-dup pair in
+    train and its twin in test — silent eval contamination (the model
+    is scored on paraphrases of its training data). Here the split key
+    is the document's dedup *cluster* (connected components over
+    ``pairs``, the output of any pair generator in ``operators.dedup``),
+    so every near-dup cluster lands whole in exactly one split.
+
+    Cost on top of :func:`split_frame`: the components computation
+    (bounded by the verified pair list, not the corpus) and ONE join of
+    the corpus against the cluster map. The join's build side is the
+    cluster assignment of *paired docs only* (singletons fall back to
+    their own id via coalesce), so at corpus scale it normally stays a
+    broadcast — count-gated (same contract as ``minhash_lsh_pairs``) so
+    a pathologically duplicate-heavy corpus degrades to a hash join,
+    never an executor OOM. Weights apply to clusters by hash range;
+    with bounded cluster sizes the realized row split converges to the
+    same proportions.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = pairs.persist()
+    small = pairs.count() <= broadcast_pairs_limit
+    hint = F.broadcast if small else (lambda d: d)
+    clusters = dedup_clusters(pairs, all_ids=None, id_a=id_a, id_b=id_b,
+                              id_col=id_col)
+    keyed = (
+        df.join(
+            hint(clusters.select(id_col, "cluster_id")),
+            on=id_col,
+            how="left",
+        )
+        # singletons (in no pair) are their own cluster
+        .withColumn("_split_key",
+                    F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .drop("cluster_id")
+    )
+    parts = split_frame(keyed, weights, key="_split_key", salt=salt)
+    return {name: part.drop("_split_key") for name, part in parts.items()}

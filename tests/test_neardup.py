@@ -104,3 +104,58 @@ def test_dedup_clusters_without_all_ids_covers_paired_only(spark):
     pairs = spark.createDataFrame([(10, 20), (20, 30)], ["doc_a", "doc_b"])
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {10: 10, 20: 10, 30: 10}
+
+
+# ------------------------------------------------- incremental LSH probe
+
+
+def test_lsh_probe_matches_full_run_restricted_to_new(spark, sf_dir):
+    """Banding is deterministic per document, so probing a new batch
+    against the corpus index must yield EXACTLY the full self-join's
+    pairs that touch a new doc — the incremental path loses nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.dedup import (
+        build_lsh_index,
+        minhash_lsh_pairs,
+        minhash_lsh_probe,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+
+    full = minhash_lsh_pairs(docs, threshold=0.4)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    expected = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.jaccard_e4)
+        for r in full.collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+
+    idx = build_lsh_index(corpus)
+    got_rows = minhash_lsh_probe(new, corpus, index=idx, threshold=0.4).collect()
+    got = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.jaccard_e4)
+        for r in got_rows
+    }
+    assert got == expected
+    assert expected, "fixture must contain near-dup pairs touching new docs"
+    # every returned pair touches a new doc
+    for a, b, _ in got:
+        assert a in new_ids or b in new_ids
+
+
+def test_lsh_probe_without_prebuilt_index(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.dedup import minhash_lsh_probe
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 17 == 3)
+    corpus = docs.where(F.col("doc_id") % 17 != 3)
+    out = minhash_lsh_probe(new, corpus, threshold=0.4)
+    assert out.columns == ["doc_a", "doc_b", "jaccard_e4"]
+    out.collect()  # runs end-to-end

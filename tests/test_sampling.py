@@ -133,3 +133,52 @@ def test_deterministic_shuffle_sharded_keeps_total_order(spark, sf_dir):
     # collect() preserves partition order then intra-partition order
     got = [r["doc_id"] for r in sharded.collect()]
     assert got == want
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark, sf_dir):
+    """No near-dup pair may straddle splits, and the split must stay
+    disjoint + exhaustive over the corpus."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    parts = samp.leakage_safe_split(
+        docs, pairs, {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+
+    assignment: dict[int, str] = {}
+    for name, part in parts.items():
+        for r in part.select("doc_id").collect():
+            assert r.doc_id not in assignment, "splits overlap"
+            assignment[r.doc_id] = name
+    assert len(assignment) == docs.count(), "split not exhaustive"
+    assert parts["train"].columns == docs.columns, "helper columns leaked"
+
+    pair_rows = pairs.collect()
+    assert pair_rows, "fixture must contain near-dup pairs"
+    for r in pair_rows:
+        assert assignment[r.doc_a] == assignment[r.doc_b], (
+            f"near-dup pair ({r.doc_a},{r.doc_b}) straddles "
+            f"{assignment[r.doc_a]}/{assignment[r.doc_b]}"
+        )
+
+
+def test_leakage_safe_split_transitive_clusters(spark):
+    """Chained pairs (a-b, b-c) must land whole: the split key is the
+    connected component, not the pair."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 9000), (2, 3, 9000), (50, 51, 9000)],
+        ["doc_a", "doc_b", "jaccard_e4"],
+    )
+    parts = samp.leakage_safe_split(docs, pairs, {"a": 0.5, "b": 0.5})
+    where = {}
+    for name, part in parts.items():
+        for r in part.select("doc_id").collect():
+            where[r.doc_id] = name
+    assert where[1] == where[2] == where[3]
+    assert where[50] == where[51]
+    assert len(where) == 100
