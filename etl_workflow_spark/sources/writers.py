@@ -462,6 +462,77 @@ def write_sorted(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    bits_per_col: int = 6,
+    quantile_error: float = 0.01,
+) -> None:
+    """Multi-column data-skipping layout (Delta ``OPTIMIZE ZORDER``
+    analog): rows sort by the bit-interleaving of each column's
+    quantile-bucket rank, so parquet min/max stats stay narrow on
+    EVERY z-column at once — a linear sort (:func:`write_sorted`)
+    skips only on its leading column.
+
+    Bucketing is rank-based (``approxQuantile`` split points, a
+    driver-side array of ``2^bits_per_col - 1`` doubles per column),
+    not equal-width, so skewed value distributions still spread across
+    buckets. Bucket assignment compiles to a chain of
+    ``(col >= boundary)::int`` adds and the interleave to
+    shiftleft/or — all whole-stage codegen, no UDFs; the only
+    data-moving step is the same single range exchange
+    ``write_sorted`` pays. 2×6 bits = 4096 z-cells, plenty of
+    resolution for any realistic file count per partition.
+
+    Numeric z-columns only (rank of a string would need a global sort);
+    date/timestamp callers pass ``unix_date``/``unix_timestamp``
+    projections.
+    """
+    if not (1 <= bits_per_col * len(zorder_cols) <= 62):
+        raise ValueError("bits_per_col × columns must fit a long")
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    staged = df.select(
+        "*", *[F.col(c).cast("double").alias(f"_z_{c}") for c in zorder_cols]
+    )
+    # one pass computes every column's split points (approxQuantile
+    # takes a column list), not one scan per z-column
+    all_splits = staged.stat.approxQuantile(
+        [f"_z_{c}" for c in zorder_cols], probs, quantile_error
+    )
+    bucket_cols = []
+    for c, splits in zip(zorder_cols, all_splits):
+        # strictly increasing boundaries (ties collapse buckets, fine)
+        uniq = sorted(set(splits))
+        b = F.lit(0)
+        for s in uniq:
+            b = b + (F.col(f"_z_{c}") >= F.lit(s)).cast("int")
+        bucket_cols.append(b.alias(f"_zb_{c}"))
+    staged = staged.select("*", *bucket_cols)
+    # interleave: bit i of column j lands at position i*ncols + j,
+    # so equal prefixes of the z-value bound ALL columns' buckets
+    ncols = len(zorder_cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(zorder_cols):
+        for i in range(bits_per_col):
+            bit = F.shiftright(F.col(f"_zb_{c}"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), i * ncols + j)
+            )
+    staged = staged.withColumn("_zval", z).drop(
+        *[f"_z_{c}" for c in zorder_cols], *[f"_zb_{c}" for c in zorder_cols]
+    )
+    out = (
+        staged.repartitionByRange(num_files, "_zval")
+        if num_files
+        else staged.repartitionByRange("_zval")
+    )
+    out.sortWithinPartitions("_zval").drop("_zval").write.mode(mode).parquet(path)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -531,3 +531,65 @@ def test_cdf_driven_summary_refresh(spark, tmp_path):
     assert refresh_product_summary_from_changes(
         spark, orders_path, summary_path, prods, cats, items, from_version=2
     ) == 0
+
+
+def test_write_zordered_skips_on_both_dimensions(spark, tmp_path):
+    """Point queries on EITHER z-column must be able to skip most
+    files by min/max stats — the property a linear sort only gives its
+    leading column. Measured directly on pyarrow file metadata."""
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(1000), rnd.randrange(1000)) for _ in range(40_000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    zpath = str(tmp_path / "zord")
+    lpath = str(tmp_path / "linear")
+    writers.write_zordered(df, zpath, ["x", "y"], num_files=16)
+    writers.write_sorted(df, lpath, ["x"], num_files=16)
+
+    def file_ranges(path, col_idx):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def hit_fraction(ranges, probes):
+        hits = sum(
+            1 for p in probes for lo, hi in ranges if lo <= p <= hi
+        ) / (len(probes) * len(ranges))
+        return hits
+
+    probes = [rnd.randrange(1000) for _ in range(50)]
+    zx = hit_fraction(file_ranges(zpath, 0), probes)
+    zy = hit_fraction(file_ranges(zpath, 1), probes)
+    ly = hit_fraction(file_ranges(lpath, 1), probes)
+
+    # z-order: a point predicate on either column touches well under
+    # half the files (16 files × 2×6-bit z ⇒ ~1/4 of each dim's range
+    # per file); linear sort leaves the trailing column unskippable.
+    assert zx < 0.5, f"x-skipping ineffective: {zx:.2f}"
+    assert zy < 0.5, f"y-skipping ineffective: {zy:.2f}"
+    assert ly > 0.9, f"expected no y-skipping under linear sort: {ly:.2f}"
+    # round-trip: same rows, z helper columns dropped
+    got = spark.read.parquet(zpath)
+    assert got.columns == ["x", "y"]
+    assert got.count() == 40_000
+
+
+def test_write_zordered_rejects_too_many_bits(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2)], ["x", "y"])
+    with _pytest.raises(ValueError):
+        writers.write_zordered(df, str(tmp_path / "z"), ["x", "y"],
+                               bits_per_col=40)
