@@ -703,3 +703,121 @@ def group_centroids_oracle(
         )
         GROUP BY 1, 2
     """
+
+
+# -------------------------------------------------------- distributed kmeans
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means over an embedding column: corpus
+    clustering for topic/mixture analysis and density-balanced corpus
+    selection (where :func:`_train_centroids` trains IVF's tiny
+    quantizer on a driver SAMPLE, this clusters the FULL corpus and
+    only ever moves k×dim doubles to the driver).
+
+    Per iteration: broadcast centroids into an Arrow-batched
+    nearest-cell pass, then ONE map-side-partial aggregation of
+    per-cell component sums (the shuffle carries ≤ partitions×k rows
+    of dim sums, never vectors). Iteration stops at ``max_iter`` or
+    when no centroid moves more than ``tol`` (L∞). Initialization is
+    farthest-first traversal (the deterministic k-means++ variant) over
+    a bounded hash-ordered sample — reproducible across runs, layouts,
+    and cluster sizes, unlike ``rand()``, and it can't seed two
+    centroids inside one tight blob the way raw hash-order pick-k can
+    (observed: split/merged blobs under pick-k init).
+
+    Returns ``(assignments, centroids)``: (id, cluster, dist_e6) and
+    the final k×dim python list. Empty cells keep their previous
+    centroid (standard Lloyd's degradation, documented).
+    """
+    import numpy as np
+
+    vecs = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    try:
+        n_sample = max(8 * k, 256)
+        init_rows = (
+            vecs.select("v", F.xxhash64(F.col("id"), F.lit(seed)).alias("h"))
+            .orderBy("h")
+            .limit(n_sample)
+            .collect()
+        )
+        if len(init_rows) < k:
+            raise ValueError(f"corpus has fewer than k={k} rows")
+        S = np.array([r.v for r in init_rows], dtype=np.float64)
+        # farthest-first traversal on the sample: start from the
+        # hash-minimal row, then greedily add the sample point farthest
+        # from everything chosen so far
+        chosen = [0]
+        mind = ((S - S[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            nxt = int(mind.argmax())
+            chosen.append(nxt)
+            mind = np.minimum(mind, ((S - S[nxt]) ** 2).sum(axis=1))
+        cents = S[chosen].copy()
+
+        sums = [F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)]
+        for _ in range(max_iter):
+            cents_b = [list(map(float, c)) for c in cents]
+
+            @F.pandas_udf(LongType())
+            def cell_of(vs: pd.Series) -> pd.Series:
+                C = np.array(cents_b, dtype=np.float64)
+                M = np.array(vs.tolist(), dtype=np.float64)
+                d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                return pd.Series(d2.argmin(axis=1).astype(np.int64))
+
+            stats = (
+                vecs.withColumn("cell", cell_of(F.col("v")))
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"), *sums)
+                .collect()
+            )
+            new = cents.copy()
+            for r in stats:
+                new[r.cell] = [getattr(r, f"s{i}") / r.n for i in range(dim)]
+            shift = float(np.abs(new - cents).max())
+            cents = new
+            if shift <= tol:
+                break
+
+        cents_b = [list(map(float, c)) for c in cents]
+
+        @F.pandas_udf("struct<cluster: bigint, dist_e6: bigint>")
+        def assign_final(vs: pd.Series) -> pd.DataFrame:
+            C = np.array(cents_b, dtype=np.float64)
+            M = np.array(vs.tolist(), dtype=np.float64)
+            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            dist = np.sqrt(d2[np.arange(len(M)), cell])
+            return pd.DataFrame(
+                {
+                    "cluster": cell.astype(np.int64),
+                    "dist_e6": np.floor(dist * 1e6).astype(np.int64),
+                }
+            )
+
+        out = (
+            vecs.withColumn("a", assign_final(F.col("v")))
+            .select(
+                F.col("id").alias(id_col),
+                F.col("a.cluster").alias("cluster"),
+                F.col("a.dist_e6").alias("dist_e6"),
+            )
+        )
+        # materialize BEFORE unpersist so the cached iterate feeds the
+        # final assignment instead of re-reading the source
+        out = out.localCheckpoint(eager=True)
+        return out, [list(map(float, c)) for c in cents]
+    finally:
+        vecs.unpersist()

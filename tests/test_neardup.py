@@ -159,3 +159,62 @@ def test_lsh_probe_without_prebuilt_index(spark, sf_dir):
     out = minhash_lsh_probe(new, corpus, threshold=0.4)
     assert out.columns == ["doc_a", "doc_b", "jaccard_e4"]
     out.collect()  # runs end-to-end
+
+
+# ------------------------------------------------------ distributed kmeans
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """Three well-separated gaussian blobs must come back as three
+    pure clusters, deterministically across runs."""
+    import random
+
+    from etl_workflow_spark.operators.similarity import kmeans
+
+    rnd = random.Random(11)
+    centers = [[0.0] * 8, [10.0] * 8, [-10.0] * 8]
+    rows = []
+    for i in range(300):
+        c = i % 3
+        rows.append(
+            (i, [centers[c][d] + rnd.gauss(0, 0.3) for d in range(8)], c)
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "truth"])
+
+    out1, cents1 = kmeans(df, k=3, dim=8, seed=5)
+    got = {r.vec_id: r.cluster for r in out1.collect()}
+    # purity: every truth-group maps to exactly one predicted cluster
+    mapping = {}
+    for i, (_, _, truth) in enumerate(rows):
+        mapping.setdefault(truth, set()).add(got[i])
+    assert all(len(v) == 1 for v in mapping.values()), mapping
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+    out2, cents2 = kmeans(df, k=3, dim=8, seed=5)
+    assert cents1 == cents2, "same seed must reproduce identical centroids"
+    assert {r.vec_id: r.cluster for r in out2.collect()} == got
+
+
+def test_kmeans_on_embeddings_table(spark, sf_dir):
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.similarity import kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    out, cents = kmeans(emb, k=4, dim=64, max_iter=5)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert {r.cluster for r in rows} <= set(range(4))
+    assert len(cents) == 4 and len(cents[0]) == 64
+    assert all(r.dist_e6 >= 0 for r in rows)
+
+
+def test_kmeans_raises_when_k_exceeds_rows(spark):
+    import pytest as _pytest
+
+    from etl_workflow_spark.operators.similarity import kmeans
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError):
+        kmeans(df, k=5, dim=2)
