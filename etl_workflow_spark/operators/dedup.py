@@ -411,6 +411,9 @@ def minhash_lsh_probe(
     """
     if index is None:
         index = build_lsh_index(corpus, num_hashes, bands, n, col, id_col)
+    elif "id" not in index.columns and id_col in index.columns:
+        # persisted indexes usually carry the real id column name
+        index = index.withColumnRenamed(id_col, "id")
     new_banded = build_lsh_index(new_docs, num_hashes, bands, n, col, id_col)
 
     # Count-gated broadcast of the new batch's band rows (|new| × bands
@@ -605,14 +608,25 @@ def dedup_clusters(
                 if m is None or node < m:
                     root_min[r] = node
             import pandas as pd
+            from pyspark.sql.types import StructField, StructType
 
+            # explicit schema from the edge columns: inference fails on
+            # an EMPTY pair list (legal input — e.g. a batch with no
+            # near-dups), which must yield all-singleton output
+            schema = StructType(
+                [
+                    StructField("id", e.schema[0].dataType),
+                    StructField("label", e.schema[1].dataType),
+                ]
+            )
             labels = e.sparkSession.createDataFrame(
                 pd.DataFrame(
                     {
                         "id": list(parent),
                         "label": [root_min[find(n)] for n in parent],
                     }
-                )
+                ),
+                schema=schema,
             )
             return _cluster_output(labels, all_ids, id_col)
         # too many nodes for a driver-built frame: fall through to the

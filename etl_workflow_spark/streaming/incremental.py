@@ -345,3 +345,134 @@ def stream_matview_refresh(
         .foreachBatch(refresh)
         .option("checkpointLocation", checkpoint_path)
     )
+
+
+def neardup_ingest_batch(
+    batch_df: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """One dedup-at-ingest step: admit only the batch documents that
+    near-duplicate neither the ingested corpus nor an earlier-id batch
+    member, then append the survivors AND their banded MinHash index
+    rows — so the next batch probes an index that already covers this
+    one. Returns the number of documents admitted.
+
+    Policy is keep-first, cluster-transitive: within-batch near-dup
+    clusters admit only their min-id member, and a cluster any member
+    of which matches the corpus admits nobody (its members are
+    transitive near-dups of ingested content). The corpus side is
+    never re-paired — the probe's cost is the batch × matched buckets
+    (`SCALE.md` §6, incremental tier).
+
+    Idempotent under micro-batch replay: survivors append through the
+    key-anti-join (`idempotent_append`), so a batch re-delivered after
+    a partial failure converges instead of duplicating rows.
+    """
+    from ..operators.dedup import build_lsh_index, minhash_lsh_probe
+    from ..sources.writers import _hadoop_exists, idempotent_append
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    # every persist released before return: a long-running stream runs
+    # this once per micro-batch and leaked blocks would accrete forever
+    pairs = survivors = None
+    try:
+        bootstrapped = _hadoop_exists(spark, corpus_path)
+        if bootstrapped:
+            corpus = spark.read.parquet(corpus_path)
+            index = spark.read.parquet(index_path)
+            pairs = minhash_lsh_probe(
+                batch_df, corpus, index=index, threshold=threshold,
+                num_hashes=num_hashes, bands=bands, n=n, col=col,
+                id_col=id_col,
+            ).persist()
+            batch_ids = batch_df.select(F.col(id_col))
+            # cross pairs are new-doc-first; within-batch both sides new
+            corpus_dup = pairs.join(
+                batch_ids.withColumnRenamed(id_col, "doc_b"),
+                on="doc_b", how="left_anti",
+            ).select(F.col("doc_a").alias(id_col))
+            within = pairs.join(
+                batch_ids.withColumnRenamed(id_col, "doc_b"),
+                on="doc_b", how="left_semi",
+            )
+        else:
+            from ..operators.dedup import minhash_lsh_pairs
+
+            corpus_dup = None
+            within = minhash_lsh_pairs(
+                batch_df, threshold=threshold, num_hashes=num_hashes,
+                bands=bands, n=n, col=col, id_col=id_col,
+            )
+
+        from ..operators.dedup import dedup_clusters
+
+        clusters = dedup_clusters(
+            within, all_ids=batch_df.select(id_col), id_col=id_col
+        )
+        if corpus_dup is not None:
+            # any cluster touching a corpus near-dup admits nobody
+            bad = (
+                clusters.join(F.broadcast(corpus_dup), on=id_col, how="left_semi")
+                .select("cluster_id")
+                .distinct()
+            )
+            clusters = clusters.join(
+                F.broadcast(bad), on="cluster_id", how="left_anti"
+            )
+        survivor_ids = clusters.where(
+            F.col(id_col) == F.col("cluster_id")
+        ).select(id_col)
+        survivors = batch_df.join(
+            F.broadcast(survivor_ids), on=id_col, how="left_semi"
+        ).persist()
+
+        admitted = idempotent_append(spark, survivors, corpus_path, [id_col])
+        new_index = build_lsh_index(
+            survivors, num_hashes=num_hashes, bands=bands, n=n, col=col,
+            id_col=id_col,
+        ).withColumnRenamed("id", id_col)
+        # replay guard for the index too: a re-delivered batch's
+        # survivors are already indexed
+        idempotent_append(
+            spark, new_index, index_path, [id_col, "band", "bucket"]
+        )
+        return admitted
+    finally:
+        batch_df.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
+        if survivors is not None:
+            survivors.unpersist()
+
+
+def stream_neardup_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Streaming dedup-at-ingest: every micro-batch of documents probes
+    the persisted LSH index (:func:`neardup_ingest_batch`), admits only
+    novel content, and extends corpus + index for the batches behind
+    it. The 100 TB corpus is never re-paired; per-batch cost tracks the
+    batch, not the history. Returns a writeStream builder (caller adds
+    trigger/start), same contract as :func:`stream_daily_sales`.
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_ingest_batch(batch_df, corpus_path, index_path, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+    )

@@ -324,3 +324,123 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
     assert q.awaitTermination(180)
     stream_pairs = {(r["click_id"], r["buy_id"]) for r in got}
     assert stream_pairs == batch_pairs
+
+
+def test_neardup_ingest_batches_dedup_across_batches(spark, tmp_path):
+    """Dedup-at-ingest: batch 2's near-duplicate of batch 1 content is
+    rejected, novel docs are admitted, and the index extends so batch 3
+    sees batch 2's survivors."""
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest looking for delicious food"
+    )
+    other = (
+        "completely different content about databases indexes and query "
+        "optimization strategies for distributed analytical engines"
+    )
+    third = (
+        "yet another unrelated document discussing streaming watermarks "
+        "state stores and exactly once delivery semantics in pipelines"
+    )
+
+    b1 = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"])
+    n1 = inc.neardup_ingest_batch(b1, corpus, index, threshold=0.5)
+    assert n1 == 2
+
+    # near-dup of doc 1 (one word changed) + a novel doc
+    b2 = spark.createDataFrame(
+        [(10, base.replace("delicious", "tasty")), (11, third)],
+        ["doc_id", "text"],
+    )
+    n2 = inc.neardup_ingest_batch(b2, corpus, index, threshold=0.5)
+    assert n2 == 1
+
+    # near-dup of batch-2 SURVIVOR (doc 11) must also be rejected
+    b3 = spark.createDataFrame(
+        [(20, third.replace("pipelines", "systems"))], ["doc_id", "text"]
+    )
+    n3 = inc.neardup_ingest_batch(b3, corpus, index, threshold=0.5)
+    assert n3 == 0
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [1, 2, 11]
+
+
+def test_neardup_ingest_within_batch_keeps_min_id(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    text = (
+        "some reasonably long document text that shingles into plenty "
+        "of three gram sequences for the minhash signature computation"
+    )
+    b = spark.createDataFrame(
+        [(5, text), (3, text + " extra"), (9, "entirely different words "
+          "about orchestration scheduling and resource management today")],
+        ["doc_id", "text"],
+    )
+    admitted = inc.neardup_ingest_batch(b, corpus, index, threshold=0.5)
+    assert admitted == 2
+    ids = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [3, 9]
+
+
+def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    b = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")],
+        ["doc_id", "text"],
+    )
+    assert inc.neardup_ingest_batch(b, corpus, index) == 1
+    # replayed micro-batch (failure before checkpoint commit)
+    assert inc.neardup_ingest_batch(b, corpus, index) == 0
+    assert spark.read.parquet(corpus).count() == 1
+    idx = spark.read.parquet(index)
+    assert idx.count() == idx.dropDuplicates(["doc_id", "band", "bucket"]).count()
+
+
+def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run over a file source: two files of
+    documents, availableNow trigger, dedup across micro-batches."""
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    t1 = (
+        "original document text with enough words to produce a useful "
+        "number of shingles for locality sensitive hashing to work with"
+    )
+    t2 = (
+        "a second totally distinct document concerning compilers parsers "
+        "abstract syntax trees and register allocation techniques galore"
+    )
+    d1 = spark.createDataFrame([(1, t1)], ["doc_id", "text"])
+    d2 = spark.createDataFrame(
+        [(2, t1.replace("galore", "indeed").replace("original", "copied")),
+         (3, t2)],
+        ["doc_id", "text"],
+    )
+    d1.coalesce(1).write.parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        inc.stream_neardup_ingest(stream, corpus, index, ckpt, threshold=0.5)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+
+    got = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert 3 in got and len(got) >= 2
+    # t1 and its near-dup can't both be present
+    assert not (1 in got and 2 in got)
