@@ -148,3 +148,79 @@ def distributed_ntile(
         )
         bucket = F.when(rn <= F.lit(cut), in_big).otherwise(in_small)
     return ranked.withColumn(out_col, bucket.cast("long")).drop(rn_col)
+
+
+def select_prefix_by_budget(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    weight_col: str,
+    budget: int,
+    out_col: str = "cum_weight",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ordered-prefix selection under a weight budget: keep the
+    rows earliest in ``order_by`` order whose RUNNING total of
+    ``weight_col`` stays ≤ ``budget`` — the token-budget corpus
+    selection of a training pipeline ("best documents first until the
+    token budget is spent"), equivalent to
+    ``SUM(w) OVER (ORDER BY ...) <= budget`` without the
+    single-partition window.
+
+    Same two-pass shape as :func:`distributed_row_number`, summing
+    weights instead of counting rows; partitions whose cumulative
+    offset already exceeds the budget are PRUNED before the assignment
+    pass — at 100 TB with a 1% budget, ~99% of partitions never run
+    pass 2 (their shuffle output is simply not read). ``order_by`` must
+    be a total order for reproducibility; weights must be non-negative.
+    Output keeps ``df``'s columns plus ``out_col`` (the running total
+    INCLUDING the row, so every kept row has ``out_col <= budget``).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(
+        *order_by
+    )
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+
+    sums = {
+        r[_PID]: r["w"]
+        for r in with_pid.groupBy(_PID)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    # prune: a partition whose starting offset is already past the
+    # budget cannot contribute a kept row
+    keep_pids = [pid for pid, off in offsets.items() if off < budget]
+    if not keep_pids:
+        schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+        )
+        return spark.createDataFrame([], schema=schema)
+    pruned = with_pid.where(F.col(_PID).isin(keep_pids))
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    schema = StructType(
+        list(with_pid.schema.fields)
+        + [StructField(out_col, LongType(), False)]
+    )
+
+    def assign(batches):
+        run = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            base = b_offsets.value.get(int(pdf[_PID].iloc[0]), 0)
+            w = pdf[weight_col].astype("int64").to_numpy()
+            cum = base + run + np.cumsum(w)
+            run += int(w.sum())
+            pdf[out_col] = cum
+            yield pdf[cum <= budget]
+
+    return pruned.mapInPandas(assign, schema=schema).drop(_PID)

@@ -102,3 +102,67 @@ def test_gate_entry_uses_distributed_path(spark, sf_dir):
     from etl_workflow_spark.plans import physical_plan
 
     assert "Window" not in physical_plan(df)
+
+
+def test_budget_prefix_matches_window_semantics(spark):
+    """select_prefix_by_budget == SUM(w) OVER (ORDER BY ...) <= budget
+    computed the naive single-partition way."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from etl_workflow_spark.operators.ranking import select_prefix_by_budget
+
+    rnd = random.Random(3)
+    rows = [(i, rnd.randrange(1, 50), rnd.randrange(1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "quality"])
+    order = [F.desc("quality"), F.asc("doc_id")]
+    budget = 5000
+
+    w = Window.orderBy(*order)
+    expected = {
+        (r.doc_id, r.cw)
+        for r in df.withColumn("cw", F.sum("n_tokens").over(w))
+        .where(F.col("cw") <= budget)
+        .select("doc_id", "cw")
+        .collect()
+    }
+    got = {
+        (r.doc_id, r.cum_weight)
+        for r in select_prefix_by_budget(
+            df, order, "n_tokens", budget, num_partitions=8
+        ).collect()
+    }
+    assert got == expected
+    assert got, "budget must select a non-empty prefix"
+
+
+def test_budget_prefix_prunes_partitions(spark):
+    """A tiny budget must not read every partition in pass 2 — the plan
+    filters on the partition id before mapInPandas."""
+    from etl_workflow_spark.operators.ranking import select_prefix_by_budget
+
+    df = spark.createDataFrame(
+        [(i, 10, i) for i in range(1000)], ["doc_id", "n_tokens", "q"]
+    )
+    out = select_prefix_by_budget(
+        df, [F.asc("q"), F.asc("doc_id")], "n_tokens", budget=50,
+        num_partitions=8,
+    )
+    rows = out.collect()
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.cum_weight)] == [
+        0, 1, 2, 3, 4
+    ]
+    # the pid filter survives into the optimized plan (a single-pid
+    # isin folds to an equality — either form proves pass-2 pruning)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in plan and "__rank_pid" in plan
+
+
+def test_budget_prefix_empty_when_budget_below_first_row(spark):
+    from etl_workflow_spark.operators.ranking import select_prefix_by_budget
+
+    df = spark.createDataFrame([(1, 100, 1)], ["doc_id", "n_tokens", "q"])
+    out = select_prefix_by_budget(df, [F.asc("q")], "n_tokens", budget=50)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "q", "cum_weight"]
