@@ -124,6 +124,11 @@ def main() -> None:
         # window) and 13-gram benchmark decontamination
         "customer_quartiles",
         "decontamination",
+        # round-6 session 2: incremental LSH probe, full-corpus k-means,
+        # token-budget corpus selection
+        "lsh_probe",
+        "kmeans_embeddings",
+        "token_budget_select",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -134,6 +139,7 @@ def main() -> None:
     from etl_workflow_spark.catalog import table
     from etl_workflow_spark.operators import chunking as CH
     from etl_workflow_spark.operators import dedup as D
+    from etl_workflow_spark.operators import ranking as R
     from etl_workflow_spark.operators import similarity as S
     from etl_workflow_spark.operators import text as T
 
@@ -170,6 +176,30 @@ def main() -> None:
             table(s, d, "documents"),
             table(s, d, "documents").limit(50).select("text"),
             n=13,
+        ),
+        # daily-ingest shape: 2% of the corpus probes the other 98%
+        "lsh_probe": lambda s, d: D.minhash_lsh_probe(
+            table(s, d, "documents").where(F.col("doc_id") % 50 == 0),
+            table(s, d, "documents").where(F.col("doc_id") % 50 != 0),
+            threshold=0.5,
+        ),
+        "kmeans_embeddings": lambda s, d: S.kmeans(
+            table(s, d, "embeddings"), k=8, dim=64, max_iter=5
+        )[0],
+        # quality-ordered prefix under a 50k-token budget (stopword
+        # ratio as the naturalness proxy; unique-id tiebreak)
+        "token_budget_select": lambda s, d: R.select_prefix_by_budget(
+            T.token_count(table(s, d, "documents"))
+            .select("doc_id", "n_tokens")
+            .join(
+                T.text_quality(table(s, d, "documents")).select(
+                    "doc_id", "stopword_ratio_e4"
+                ),
+                "doc_id",
+            ),
+            [F.desc("stopword_ratio_e4"), F.asc("doc_id")],
+            "n_tokens",
+            budget=50_000,
         ),
     }
     # Private entry-module callables resolved defensively: a rename in a

@@ -100,6 +100,23 @@ def main() -> None:
             [F.desc("n_chars"), F.asc("doc_id")],
             100,
         ))
+        # incremental-dedup claim: a FIXED daily batch probing a K×
+        # corpus should grow far slower than the K² self-join — the
+        # corpus side is one index scan, verification touches only
+        # matched docs
+        batch = docs0.limit(100).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * d_off + 1)
+        )
+        run("lsh_probe_fixed_batch", k,
+            lambda: D.minhash_lsh_probe(batch, docs, threshold=0.5))
+        # budget selection: fixed budget over a K× corpus — pass 2 is
+        # partition-pruned, so time should track pass 1's range shuffle
+        run("budget_select", k, lambda: R.select_prefix_by_budget(
+            docs.select("doc_id", "n_chars"),
+            [F.desc("n_chars"), F.asc("doc_id")],
+            "n_chars",
+            budget=500_000,
+        ))
         for df in (docs, emb, ev):
             df.unpersist()
 
