@@ -218,3 +218,22 @@ def test_kmeans_raises_when_k_exceeds_rows(spark):
     )
     with _pytest.raises(ValueError):
         kmeans(df, k=5, dim=2)
+
+
+def test_kmeans_tolerates_empty_cells(spark):
+    """k larger than the number of distinct points: empty cells keep
+    their previous centroid instead of crashing (documented Lloyd's
+    degradation)."""
+    from etl_workflow_spark.operators.similarity import kmeans
+
+    # 6 points at only 2 distinct locations, k=4
+    df = spark.createDataFrame(
+        [(i, [0.0, 0.0] if i % 2 else [5.0, 5.0]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    out, cents = kmeans(df, k=4, dim=2, max_iter=4)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert len(cents) == 4
+    # all points land in some cluster with zero distance to a centroid
+    assert {r.dist_e6 for r in rows} == {0}

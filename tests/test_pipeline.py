@@ -593,3 +593,30 @@ def test_write_zordered_rejects_too_many_bits(spark, tmp_path):
     with _pytest.raises(ValueError):
         writers.write_zordered(df, str(tmp_path / "z"), ["x", "y"],
                                bits_per_col=40)
+
+
+def test_write_zordered_survives_zipfian_skew(spark, tmp_path):
+    """Rank-based buckets must spread a zipfian key across files —
+    equal-width bucketing would collapse most rows into one z-cell."""
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    rnd = random.Random(13)
+    # 90% of mass in the bottom 1% of the key range
+    rows = [
+        (rnd.randrange(10) if rnd.random() < 0.9 else rnd.randrange(1_000_000),
+         rnd.randrange(1000))
+        for _ in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, ["hot", "uniform"])
+    path = str(tmp_path / "skewz")
+    writers.write_zordered(df, path, ["hot", "uniform"], num_files=8)
+
+    files = glob.glob(f"{path}/*.parquet")
+    counts = sorted(pq.ParquetFile(f).metadata.num_rows for f in files)
+    # range partitioning on the z-value keeps files balanced even
+    # though the hot key dominates: no file may hold the majority
+    assert counts[-1] < 0.5 * 20_000, counts
+    assert spark.read.parquet(path).count() == 20_000

@@ -117,6 +117,10 @@ def main() -> None:
             "n_chars",
             budget=500_000,
         ))
+        # full-corpus k-means: time should track K (assignment passes
+        # and partial-agg shuffles are linear; iterations fixed)
+        run("kmeans", k,
+            lambda: S.kmeans(emb, k=8, dim=64, max_iter=3)[0])
         for df in (docs, emb, ev):
             df.unpersist()
 
