@@ -760,3 +760,86 @@ def fuzzy_name_search_oracle(
         ORDER BY sim_e4 DESC, {id_col}
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------- LM-proxy quality
+
+
+def ngram_lm_counts(
+    reference: DataFrame,
+    n: int = 2,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus n-gram frequency table ``(gram_h, cnt)`` — the "language
+    model" side of CCNet-style LM-proxy filtering. Built once from a
+    trusted reference corpus and persisted; scoring joins against it.
+
+    Grams hash through :func:`_gram_hashes` (longs end-to-end, never
+    gram strings); the groupBy is map-side partial, so the shuffle
+    carries distinct grams, not occurrences.
+    """
+    from .partitioning import scale_partitions
+
+    return (
+        scale_partitions(reference)
+        .select(_norm_token_hashes(col).alias("__th"))
+        .select(F.explode(_gram_hashes("__th", n)).alias("gram_h"))
+        .groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    counts: DataFrame,
+    n: int = 2,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LM-proxy quality score: the mean log-frequency of
+    the document's word n-grams under a reference corpus's n-gram
+    distribution (:func:`ngram_lm_counts`), plus the out-of-vocabulary
+    gram ratio. The cheap stand-in for CCNet's KenLM perplexity filter:
+    fluent in-domain text reuses frequent reference grams (high mean
+    log-freq, low OOV); gibberish and boilerplate-mangled text does not.
+
+    Scale shape: docs explode to (doc_id, gram_h) longs and LEFT-join
+    the counts table on the gram hash — both sides hash-partition on
+    ``gram_h``, and when the reference table is small it broadcasts
+    (Catalyst decides from its size; no collect here). One per-doc
+    aggregation closes it. Returns
+    (doc_id, n_grams, avg_logfreq_e6, oov_ratio_e6); the mean is over
+    IN-VOCABULARY grams (OOV mass is its own signal, not a -inf term),
+    and docs with < n words — or all grams OOV — score NULL avg.
+    """
+    doc_grams = (
+        docs.select(F.col(id_col), _norm_token_hashes(col).alias("__th"))
+        .select(id_col, F.explode(_gram_hashes("__th", n)).alias("gram_h"))
+    )
+    scored = doc_grams.join(counts, "gram_h", "left")
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.avg(F.log(F.col("cnt").cast("double"))).alias("_avg_lf"),
+        F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("_oov"),
+    )
+    out = agg.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.floor(F.col("_avg_lf") * 1e6).cast("long").alias("avg_logfreq_e6"),
+        F.expr(
+            "CAST((_oov * 1000000) DIV n_grams AS BIGINT)"
+        ).alias("oov_ratio_e6"),
+    )
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            "avg_logfreq_e6",
+            F.coalesce("oov_ratio_e6", F.lit(0)).cast("long").alias(
+                "oov_ratio_e6"
+            ),
+        )
+    )

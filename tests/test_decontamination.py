@@ -98,3 +98,86 @@ def test_benchmark_side_broadcasts(spark, docs):
     bench = spark.createDataFrame([("a b c d e f g h i j k l m",)], ["text"])
     plan = physical_plan(ngram_contamination(docs, bench, n=13))
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------ LM-proxy score
+
+
+def _py_norm_tokens(text):
+    import re
+
+    return [t for t in re.sub(r"[^a-z0-9\s]", " ", text.lower()).split() if t]
+
+
+def test_ngram_lm_score_matches_python_oracle(spark):
+    """Exact parity with a hand-computed bigram log-frequency model."""
+    import math
+    from collections import Counter
+
+    from etl_workflow_spark.operators.text import ngram_lm_counts, ngram_lm_score
+
+    ref_texts = [
+        "the cat sat on the mat",
+        "the cat ran over the hill",
+        "a dog sat on the mat",
+    ]
+    probe_texts = {
+        1: "the cat sat quietly",          # mix of known/unknown bigrams
+        2: "zx qv totally novel bigrams",  # all OOV
+        3: "word",                         # < n words
+    }
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame(
+        list(probe_texts.items()), ["doc_id", "text"]
+    )
+
+    counts = Counter()
+    for t in ref_texts:
+        toks = _py_norm_tokens(t)
+        counts.update(zip(toks, toks[1:]))
+
+    expected = {}
+    for i, t in probe_texts.items():
+        toks = _py_norm_tokens(t)
+        grams = list(zip(toks, toks[1:]))
+        logs = [math.log(counts[g]) for g in grams if g in counts]
+        oov = sum(1 for g in grams if g not in counts)
+        expected[i] = (
+            len(grams),
+            math.floor(sum(logs) / len(logs) * 1e6) if logs else None,
+            (oov * 1_000_000) // len(grams) if grams else 0,
+        )
+
+    lm = ngram_lm_counts(ref, n=2)
+    got = {
+        r.doc_id: (r.n_grams, r.avg_logfreq_e6, r.oov_ratio_e6)
+        for r in ngram_lm_score(probe, lm, n=2).collect()
+    }
+    assert got == expected
+
+
+def test_ngram_lm_score_separates_fluent_from_gibberish(spark, sf_dir):
+    """Scoring the corpus against itself: real documents must score
+    strictly better than shuffled-vocabulary gibberish."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import ngram_lm_counts, ngram_lm_score
+
+    docs = table(spark, sf_dir, "documents")
+    lm = ngram_lm_counts(docs, n=2)
+
+    fluent = ngram_lm_score(docs.limit(50), lm, n=2)
+    import pyspark.sql.functions as F
+
+    gibberish = docs.limit(50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.reverse(F.split(F.col("text"), r"\s+"))
+        ).alias("text"),
+    )
+    g_score = ngram_lm_score(gibberish, lm, n=2)
+
+    f_avg = fluent.agg(F.avg("oov_ratio_e6")).collect()[0][0]
+    g_avg = g_score.agg(F.avg("oov_ratio_e6")).collect()[0][0]
+    assert g_avg > f_avg, (f_avg, g_avg)
