@@ -816,3 +816,67 @@ def strip_boilerplate_lines(
         )
     )
     return rebuilt
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    sep: str = "\n\n",
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the RefinedWeb/MassiveText
+    recipe): every repeated paragraph survives ONLY in its first
+    occurrence — first by ``(doc_id, position)`` — and is removed from
+    every later document; document-internal repeats beyond the first
+    also drop. Output: (id, text, n_paras_removed), paragraph order
+    preserved, empty paragraphs (formatting) always kept.
+
+    Scale shape: paragraphs explode once; the winner per distinct
+    paragraph is ``min(struct(doc_id, pos))`` — ONE combiner-friendly
+    aggregation on the 64-bit paragraph hash, and the probe joins back
+    on that same hash so it reuses the aggregation's partitioning. The
+    rebuild is the same windowless groupBy(id) + in-group array_sort
+    as :func:`strip_boilerplate_lines`. Everything is linear in corpus
+    paragraphs; nothing is quadratic in repeats.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), sep)).alias("pos", "para"),
+    ).withColumn(
+        "para_h", F.xxhash64(F.trim(F.col("para")))
+    ).withColumn(
+        "is_empty", F.length(F.trim(F.col("para"))) == 0
+    )
+    winners = (
+        paras.where(~F.col("is_empty"))
+        .groupBy("para_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+    )
+    tagged = paras.join(winners, "para_h", "left").withColumn(
+        "drop",
+        ~F.col("is_empty")
+        & ~(
+            (F.col(f"w.{id_col}") == F.col(id_col))
+            & (F.col("w.pos") == F.col("pos"))
+        ),
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct(F.col("pos"), F.col("para").alias("p")),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                sep,
+            ).alias(col),
+            F.sum(F.col("drop").cast("long")).alias("n_paras_removed"),
+        )
+    )

@@ -74,3 +74,65 @@ def test_duplicate_lines_within_one_doc_dont_flag(spark):
         ["doc_id", "text"],
     )
     assert boilerplate_lines(df, 2).count() == 0  # distinct DOCS, not lines
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    """A repeated paragraph survives only at its first (doc_id, pos)
+    occurrence; order and empty paragraphs are preserved."""
+    from etl_workflow_spark.operators.dedup import dedup_paragraphs
+
+    shared = "this exact paragraph repeats across documents verbatim"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one\n\n{shared}\n\noutro one"),
+            (2, f"{shared}\n\nunique two"),
+            (3, f"unique three\n\n{shared}\n\n{shared}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+
+    assert out[1].text == f"intro one\n\n{shared}\n\noutro one"
+    assert out[1].n_paras_removed == 0
+    assert out[2].text == "unique two"
+    assert out[2].n_paras_removed == 1
+    assert out[3].text == "unique three"
+    assert out[3].n_paras_removed == 2
+
+
+def test_dedup_paragraphs_python_oracle(spark):
+    """Exact parity with a sequential keep-first-seen pass."""
+    import random
+
+    from etl_workflow_spark.operators.dedup import dedup_paragraphs
+
+    rnd = random.Random(5)
+    pool = [f"paragraph number {i} with some words" for i in range(12)]
+    rows = []
+    for d in range(30):
+        paras = [rnd.choice(pool) for _ in range(rnd.randrange(1, 6))]
+        rows.append((d, "\n\n".join(paras)))
+
+    seen = set()
+    expected = {}
+    for d, text in rows:  # rows are already in doc_id order
+        kept, removed = [], 0
+        for p in text.split("\n\n"):
+            key = p.strip()
+            if key and key in seen:
+                removed += 1
+                continue
+            if key:
+                seen.add(key)
+            kept.append(p)
+        expected[d] = ("\n\n".join(kept), removed)
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text, r.n_paras_removed)
+        for r in dedup_paragraphs(docs).collect()
+    }
+    assert got == expected
