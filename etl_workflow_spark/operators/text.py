@@ -843,3 +843,91 @@ def ngram_lm_score(
             ),
         )
     )
+
+
+# ------------------------------------------------------- web-corpus prep
+
+
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: "&amp;lt;" must become "&lt;", not "<"
+)
+
+
+def strip_html(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style HTML→text: drop script/style/comment blocks, strip
+    tags, unescape the common entities, collapse whitespace — the
+    first stage of a web-crawl corpus pipeline, entirely as chained
+    ``regexp_replace`` (codegen; no parser dependency, no Python).
+
+    Deliberately a cleaner, not a browser: malformed markup degrades to
+    leftover text rather than an error, matching the published C4
+    recipe's tolerance. Output: (id, text) with ``col`` replaced.
+    """
+    x = F.col(col)
+    # block elements whose CONTENT must go, then comments; (?s) lets
+    # the block patterns span lines, (?i) matches any tag case
+    for pat in (
+        r"(?is)<script\b[^>]*>.*?</script\s*>",
+        r"(?is)<style\b[^>]*>.*?</style\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        x = F.regexp_replace(x, pat, " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return df.select(F.col(id_col), x.alias(col))
+
+
+def url_domain(col: str = "url") -> Column:
+    """Registrable host of a URL, lowercased, ``www.`` stripped —
+    ``parse_url`` is a built-in, so this stays JVM-side."""
+    host = F.lower(F.parse_url(F.col(col), F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def filter_by_domain(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Drop documents whose URL's domain is on a blocklist (the
+    standard crawl-hygiene step). The blocklist is tiny against a
+    100 TB corpus, so the anti-join broadcasts; with
+    ``include_subdomains`` a blocked ``example.com`` also drops
+    ``cdn.example.com`` via a suffix key — built by exploding each
+    host's dot-suffixes (bounded by label count, ~constant per row),
+    NOT by a non-equi join.
+    """
+    host = url_domain(url_col)
+    if not include_subdomains:
+        keyed = df.withColumn("__dom", host)
+        return keyed.join(
+            F.broadcast(blocklist.select(F.col(domain_col).alias("__dom"))),
+            on="__dom",
+            how="left_anti",
+        ).drop("__dom")
+    # all dot-suffixes of the host: a.b.c -> [a.b.c, b.c, c]
+    labels = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    exploded = df.withColumn("__suf", F.explode(suffixes))
+    blocked_ids = exploded.join(
+        F.broadcast(blocklist.select(F.col(domain_col).alias("__suf"))),
+        on="__suf",
+        how="left_semi",
+    ).select(df.columns[0]).distinct()
+    first_col = df.columns[0]
+    return df.join(F.broadcast(blocked_ids), on=first_col, how="left_anti")

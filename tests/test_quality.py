@@ -40,3 +40,60 @@ def test_constraint_checks_count_violations(spark):
         "child_fk_parent": 1,
         "fk_not_null": 1,
     }
+
+
+# ------------------------------------------------------- web-corpus prep
+
+
+def test_strip_html_blocks_tags_entities(spark):
+    from etl_workflow_spark.operators.text import strip_html
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<html><head><style>p {color:red}</style>"
+                "<script type='x'>var a=1;\nalert(a)</script></head>"
+                "<body><p>Hello <b>world</b>!</p>"
+                "<!-- hidden\ncomment --><div>Tom &amp; Jerry "
+                "&lt;3&gt; &quot;quoted&quot;&nbsp;end</div></body></html>"),
+            (2, "plain text stays"),
+            (3, "broken <tag never closes"),
+            (4, "&amp;lt; stays escaped-once"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.text for r in strip_html(docs).collect()}
+    assert got[1] == 'Hello world ! Tom & Jerry <3> "quoted" end'
+    assert got[2] == "plain text stays"
+    assert got[3] == "broken <tag never closes" or got[3] == "broken"
+    # double-escaped input unescapes exactly one level
+    assert got[4] == "&lt; stays escaped-once"
+
+
+def test_filter_by_domain_subdomains_and_exact(spark):
+    from etl_workflow_spark.operators.text import filter_by_domain
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.spam.example/page"),
+            (2, "http://cdn.spam.example/x?y=1"),
+            (3, "https://good.example/ok"),
+            (4, "https://spamexample.net/ok"),  # not a suffix match
+            (5, "https://sub.deep.good.example/ok"),
+        ],
+        ["doc_id", "url"],
+    )
+    block = spark.createDataFrame([("spam.example",)], ["domain"])
+
+    kept = sorted(
+        r.doc_id for r in filter_by_domain(docs, block).collect()
+    )
+    assert kept == [3, 4, 5]
+
+    kept_exact = sorted(
+        r.doc_id
+        for r in filter_by_domain(
+            docs, block, include_subdomains=False
+        ).collect()
+    )
+    # www. strips, so doc 1 is exact-blocked; cdn. is not
+    assert kept_exact == [2, 3, 4, 5]
