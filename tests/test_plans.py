@@ -205,3 +205,26 @@ def test_sampling_is_shuffle_free_pushdown(spark, sf_dir):
 
     df = deterministic_sample(table(spark, sf_dir, "documents"), rate=0.2)
     assert plans.count_exchanges(df) == 0
+
+
+def test_lsh_probe_broadcasts_batch_index_side_never_shuffles(spark, sf_dir):
+    """The incremental probe's scale contract: the (small) new batch is
+    the broadcast side of the band join, so the corpus index side
+    carries no shuffle exchange before the join."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.dedup import build_lsh_index, minhash_lsh_probe
+    from etl_workflow_spark.plans import physical_plan
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    idx = build_lsh_index(corpus)
+
+    out = minhash_lsh_probe(new, corpus, index=idx, threshold=0.4)
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    # candidate generation must never fall back to a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
