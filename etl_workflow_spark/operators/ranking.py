@@ -64,7 +64,19 @@ def _ranked(
     ranged = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(
         *order_by
     )
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # MATERIALIZE before the two passes: RangePartitioner samples split
+    # points per JOB (the seed folds in the fresh RDD id), and
+    # exchange reuse only applies within one action — so without this,
+    # the count pass and the assign pass can see DIFFERENT partition
+    # boundaries and the offsets silently corrupt the global numbering
+    # (caught at sf0.1: 174 duplicated row numbers over 15k customers;
+    # small inputs sketch whole partitions, which masked it in tests).
+    # localCheckpoint pins the partitioning: a lost block fails the job
+    # instead of recomputing with new boundaries (persist would
+    # silently re-sample on eviction).
+    with_pid = ranged.withColumn(
+        _PID, F.spark_partition_id()
+    ).localCheckpoint(eager=True)
 
     # Pass 1: per-partition row counts -> cumulative offsets. Partial
     # aggregation makes this a numPartitions-row shuffle regardless of
@@ -180,7 +192,11 @@ def select_prefix_by_budget(
     ranged = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(
         *order_by
     )
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # same materialization contract as _ranked: the sum pass and the
+    # assign pass must see identical range boundaries
+    with_pid = ranged.withColumn(
+        _PID, F.spark_partition_id()
+    ).localCheckpoint(eager=True)
 
     sums = {
         r[_PID]: r["w"]

