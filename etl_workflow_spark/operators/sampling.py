@@ -158,6 +158,7 @@ def deterministic_shuffle(
     key: str = "doc_id",
     salt: str = "shuffle",
     num_shards: int | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Reproducible global random order for training-data sharding.
 
@@ -165,11 +166,17 @@ def deterministic_shuffle(
     permutation of the keys, independent of input partitioning, run,
     and cluster size (the property ``orderBy(rand(seed))`` lacks:
     rand() is seeded per-partition, so a repartition reshuffles the
-    "random" order). Executed as a range sort: Spark samples split
-    points, range-partitions into ``num_shards`` (default: planner
-    choice), sorts within shards — the standard distributed sort, no
-    single-task collapse. Writing the result preserves per-file order,
-    so shard k of a 100 TB corpus is byte-identical across reruns.
+    "random" order). With ``num_shards``, shard MEMBERSHIP is a pure
+    function of the key: the hash's signed order is mapped to unsigned
+    (sign-bit flip) and equal-width-bucketed into ``num_shards`` cells
+    — monotone in the sort order, so concatenating shards still yields
+    the global permutation, and balanced because xxhash64 is uniform.
+    Range boundaries SAMPLED from the data (what a bare
+    ``repartitionByRange`` on the hash would pin shards to) would make
+    shard contents drift across reruns at scale, where the reservoir
+    sketch no longer sees every row. Pass ``shard_col`` to keep the
+    shard id as an output column — writing with ``partitionBy`` on it
+    gives byte-stable shard files regardless of executor layout.
 
     A second ``salt`` draws an independent permutation (fresh data
     order per training epoch without rewriting the corpus).
@@ -177,9 +184,21 @@ def deterministic_shuffle(
     h = F.xxhash64(F.lit(salt), F.col(key).cast("string"))
     tagged = df.withColumn("__shuffle_h", h)
     if num_shards is not None:
-        tagged = tagged.repartitionByRange(
-            num_shards, F.col("__shuffle_h"), F.col(key)
-        ).sortWithinPartitions(F.col("__shuffle_h"), F.col(key))
+        # signed→unsigned order, top 32 bits, scale to num_shards:
+        # floor(t * k / 2^32) — monotone coarsening of the sort order
+        u = F.col("__shuffle_h").bitwiseXOR(F.lit(-(2**63)))
+        t = F.shiftrightunsigned(u, 32)
+        shard = F.shiftright(t * F.lit(num_shards), 32).cast("int")
+        tagged = (
+            tagged.withColumn("__shard", shard)
+            .repartitionByRange(num_shards, F.col("__shard"))
+            .sortWithinPartitions(
+                F.col("__shard"), F.col("__shuffle_h"), F.col(key)
+            )
+        )
+        if shard_col is not None:
+            tagged = tagged.withColumn(shard_col, F.col("__shard"))
+        tagged = tagged.drop("__shard")
     else:
         tagged = tagged.orderBy(F.col("__shuffle_h"), F.col(key))
     return tagged.drop("__shuffle_h")

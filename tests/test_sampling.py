@@ -182,3 +182,24 @@ def test_leakage_safe_split_transitive_clusters(spark):
     assert where[1] == where[2] == where[3]
     assert where[50] == where[51]
     assert len(where) == 100
+
+
+def test_deterministic_shuffle_shard_membership_is_pure(spark, sf_dir):
+    """Shard id must be a function of the key alone — identical across
+    reruns and input layouts (a range exchange pinned to SAMPLED
+    boundaries would drift at scale)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = {
+        r.doc_id: r.shard
+        for r in samp.deterministic_shuffle(
+            docs, num_shards=5, shard_col="shard"
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.shard
+        for r in samp.deterministic_shuffle(
+            docs.repartition(11), num_shards=5, shard_col="shard"
+        ).collect()
+    }
+    assert a == b
+    assert set(a.values()) == set(range(5))
