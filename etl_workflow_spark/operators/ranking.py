@@ -210,8 +210,10 @@ def select_prefix_by_budget(
         offsets[pid] = acc
         acc += sums[pid]
     # prune: a partition whose starting offset is already past the
-    # budget cannot contribute a kept row
-    keep_pids = [pid for pid, off in offsets.items() if off < budget]
+    # budget cannot contribute a kept row. <= not <: a partition whose
+    # offset EQUALS the budget can still open with zero-weight rows
+    # whose running total is exactly the budget (hypothesis-found edge)
+    keep_pids = [pid for pid, off in offsets.items() if off <= budget]
     if not keep_pids:
         schema = StructType(
             list(df.schema.fields) + [StructField(out_col, LongType(), False)]

@@ -257,3 +257,69 @@ def test_txn_merge_matches_dict_model(spark, tmp_path_factory, target, batches):
             for r in txn.txn_read(spark, path, version=version).collect()
         )
         assert got == want
+
+
+@SETTINGS
+@given(
+    weights=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    budget=st.integers(0, 600),
+    nparts=st.integers(2, 6),
+)
+def test_budget_prefix_property(spark, weights, budget, nparts):
+    """select_prefix_by_budget must equal the sequential prefix scan for
+    ANY weights (zeros included), budget, and partition count."""
+    from etl_workflow_spark.operators.ranking import select_prefix_by_budget
+    from pyspark.sql import functions as F
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["id", "w"]).repartition(3)
+
+    run = 0
+    expected = {}
+    for i, w in rows:  # already in the order asc(id)
+        run += w
+        if run > budget:
+            break
+        expected[i] = run
+
+    got = {
+        r.id: r.cum_weight
+        for r in select_prefix_by_budget(
+            df, [F.asc("id")], "w", budget, num_partitions=nparts
+        ).collect()
+    }
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    n=st.integers(1, 120),
+    buckets=st.integers(1, 9),
+    nparts=st.integers(2, 5),
+)
+def test_distributed_ntile_property(spark, n, buckets, nparts):
+    """distributed_ntile == SQL-standard NTILE for any (n, buckets,
+    partitioning): first n%buckets buckets get one extra row."""
+    from etl_workflow_spark.operators.ranking import distributed_ntile
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).repartition(2)
+    got = {
+        r.id: r.q
+        for r in distributed_ntile(
+            df, [F.asc("id")], buckets, out_col="q", num_partitions=nparts
+        ).collect()
+    }
+    size, rem = divmod(n, buckets)
+    expected = {}
+    pos = 0
+    for b in range(1, buckets + 1):
+        cnt = size + (1 if b <= rem else 0)
+        for _ in range(cnt):
+            if pos < n:
+                expected[pos] = b
+                pos += 1
+    # fewer rows than buckets: bucket == row number
+    if size == 0:
+        expected = {i: i + 1 for i in range(n)}
+    assert got == expected
