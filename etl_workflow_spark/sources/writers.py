@@ -402,7 +402,7 @@ def write_csv(
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    key: str,
+    key: str | Sequence[str],
     num_buckets: int = 16,
     sort: bool = True,
 ) -> None:
@@ -414,10 +414,15 @@ def write_bucketed(
     shuffle — each task reads matching bucket files from both sides —
     and bucket-local sorting removes the sort step of the merge join.
     Re-aggregations on the bucket key also skip their exchange.
+    Composite keys (e.g. the LSH index's ``(band, bucket)``) bucket on
+    the tuple; joins on exactly those keys read the table in place.
     """
-    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, keys[0], *keys[1:]
+    )
     if sort:
-        w = w.sortBy(key)
+        w = w.sortBy(keys[0], *keys[1:])
     w.saveAsTable(table_name)
 
 

@@ -228,3 +228,36 @@ def test_lsh_probe_broadcasts_batch_index_side_never_shuffles(spark, sf_dir):
     # candidate generation must never fall back to a nested loop
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_probe_fallback_reads_bucketed_index_in_place(spark, sf_dir):
+    """Bulk-backfill path (batch too big to broadcast): a (band, bucket)-
+    bucketed index must join without its own exchange — only the batch
+    side moves. Asserted as strictly fewer shuffles than the same probe
+    over a plain (unbucketed) index."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.dedup import build_lsh_index, minhash_lsh_probe
+    from etl_workflow_spark.plans import count_exchanges
+    from etl_workflow_spark.sources.writers import write_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+
+    plain_idx = build_lsh_index(corpus)
+    write_bucketed(plain_idx, "lsh_idx_bucketed", ["band", "bucket"],
+                   num_buckets=8)
+    bucketed_idx = spark.table("lsh_idx_bucketed")
+
+    # broadcast_rows_limit=0 forces the non-broadcast fallback
+    plain = minhash_lsh_probe(new, corpus, index=plain_idx,
+                              threshold=0.4, broadcast_rows_limit=0)
+    bucketed = minhash_lsh_probe(new, corpus, index=bucketed_idx,
+                                 threshold=0.4, broadcast_rows_limit=0)
+    assert count_exchanges(bucketed) < count_exchanges(plain)
+    # and the two paths agree on the result
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
