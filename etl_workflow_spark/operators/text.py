@@ -931,3 +931,56 @@ def filter_by_domain(
     ).select(df.columns[0]).distinct()
     first_col = df.columns[0]
     return df.join(F.broadcast(blocked_ids), on=first_col, how="left_anti")
+
+
+def corpus_containment(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    n: int = 3,
+    col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """How much of corpus B's content already exists in corpus A — the
+    acquisition question of corpus curation ("what does this crawl add
+    beyond what we have?"), answered as n-gram containment:
+    ``|grams(B) ∩ grams(A)| / |grams(B)|`` over DISTINCT word n-grams.
+
+    With ``group_col`` the containment is reported per group of B
+    (e.g. per source), so a mostly-redundant feed is visible before it
+    is paid for. Scale shape: both sides reduce to distinct 64-bit gram
+    hashes (map-side partial distinct — the shuffle carries distinct
+    grams, not occurrences); the overlap is one semi-join on the hash,
+    and the output is |groups| rows. Returns (group?, n_grams_b,
+    n_shared, containment_e6) with exact integer fixed-point.
+    """
+    def _grams(df: DataFrame, keep: list) -> DataFrame:
+        return (
+            df.select(*keep, _norm_token_hashes(col).alias("__th"))
+            .select(*keep, F.explode(_gram_hashes("__th", n)).alias("gram_h"))
+        )
+
+    a_grams = _grams(corpus_a, []).distinct()
+    keys = [group_col] if group_col else []
+    b_grams = _grams(corpus_b, keys).distinct()
+    shared = b_grams.join(a_grams, "gram_h", "left_semi")
+
+    def _agg(g: DataFrame, out: str) -> DataFrame:
+        return (g.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+                if keys else g.agg(F.count(F.lit(1)).alias(out)))
+
+    totals = _agg(b_grams, "n_grams_b")
+    hits = _agg(shared, "n_shared")
+    joined = (
+        totals.join(hits, on=keys, how="left")
+        if keys
+        else totals.crossJoin(hits)
+    )
+    return joined.select(
+        *keys,
+        F.col("n_grams_b").cast("long").alias("n_grams_b"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.expr(
+            "CAST((COALESCE(n_shared, 0) * 1000000)"
+            " DIV NULLIF(n_grams_b, 0) AS BIGINT)"
+        ).alias("containment_e6"),
+    )

@@ -181,3 +181,53 @@ def test_ngram_lm_score_separates_fluent_from_gibberish(spark, sf_dir):
     f_avg = fluent.agg(F.avg("oov_ratio_e6")).collect()[0][0]
     g_avg = g_score.agg(F.avg("oov_ratio_e6")).collect()[0][0]
     assert g_avg > f_avg, (f_avg, g_avg)
+
+
+# --------------------------------------------------- corpus containment
+
+
+def test_corpus_containment_python_oracle(spark):
+    """Exact parity with a set-based Python computation, global and
+    per-source."""
+    from etl_workflow_spark.operators.text import corpus_containment
+
+    a_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+    ]
+    b_rows = [
+        (1, "the quick brown fox jumps high today", "s1"),
+        (2, "entirely novel content nothing shared here at all", "s1"),
+        (3, "pack my box with five dozen liquor jugs exactly", "s2"),
+    ]
+    A = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(a_texts)], ["doc_id", "text"]
+    )
+    B = spark.createDataFrame(b_rows, ["doc_id", "text", "source"])
+
+    def grams(text, n=3):
+        toks = text.lower().split()
+        return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    ag = set().union(*(grams(t) for t in a_texts))
+
+    # global
+    bg = set().union(*(grams(t) for _, t, _ in b_rows))
+    shared = len(bg & ag)
+    row = corpus_containment(A, B).collect()[0]
+    assert (row.n_grams_b, row.n_shared) == (len(bg), shared)
+    assert row.containment_e6 == (shared * 1_000_000) // len(bg)
+
+    # per source
+    by_src = {}
+    for _, t, s in b_rows:
+        by_src.setdefault(s, set()).update(grams(t))
+    got = {
+        r.source: (r.n_grams_b, r.n_shared, r.containment_e6)
+        for r in corpus_containment(A, B, group_col="source").collect()
+    }
+    for s, g in by_src.items():
+        sh = len(g & ag)
+        assert got[s] == (len(g), sh, (sh * 1_000_000) // len(g))
+    # s2 is a superset-extension of an A document: high containment
+    assert got["s2"][2] > got["s1"][2]
