@@ -984,3 +984,51 @@ def corpus_containment(
             " DIV NULLIF(n_grams_b, 0) AS BIGINT)"
         ).alias("containment_e6"),
     )
+
+
+def corpus_containment_approx(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    n: int = 3,
+    col: str = "text",
+    lg_k: int = 14,
+) -> DataFrame:
+    """The 100 TB tier of :func:`corpus_containment`: containment from
+    HyperLogLog sketches instead of an exact distinct semi-join.
+    ``|A∩B| = |A| + |B| - |A∪B|`` with each cardinality estimated by a
+    Datasketches HLL (``hll_sketch_agg`` / ``hll_union`` — built-ins,
+    JVM-side): ONE pass over each corpus, constant-size sketches
+    (~2^lg_k bytes) as the only data reaching the driver plan, no gram
+    shuffle at all — where the exact tier's distinct + semi-join moves
+    every distinct gram of both corpora.
+
+    Standard HLL error (~1.04/√2^lg_k ≈ 0.8% at the default lg_k=14)
+    propagates through the subtraction, so containment of very small
+    overlaps is noisy — use the exact tier to audit; this tier decides
+    "is this feed mostly redundant" at fleet scale. Returns one row:
+    (n_grams_a_est, n_grams_b_est, n_shared_est, containment_e6).
+    """
+    def _sketch(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(_norm_token_hashes(col).alias("__th"))
+            .select(F.explode(_gram_hashes("__th", n)).alias("gram_h"))
+            .agg(F.hll_sketch_agg("gram_h", F.lit(lg_k)).alias(out))
+        )
+
+    joined = _sketch(corpus_a, "sa").crossJoin(_sketch(corpus_b, "sb"))
+    est = joined.select(
+        F.hll_sketch_estimate("sa").alias("ea"),
+        F.hll_sketch_estimate("sb").alias("eb"),
+        F.hll_sketch_estimate(F.hll_union("sa", "sb")).alias("eu"),
+    )
+    return est.select(
+        F.col("ea").cast("long").alias("n_grams_a_est"),
+        F.col("eb").cast("long").alias("n_grams_b_est"),
+        F.greatest(F.lit(0), (F.col("ea") + F.col("eb") - F.col("eu")))
+        .cast("long")
+        .alias("n_shared_est"),
+        F.expr(
+            "CAST((GREATEST(0, ea + eb - eu) * 1000000)"
+            " DIV NULLIF(eb, 0) AS BIGINT)"
+        ).alias("containment_e6"),
+    )

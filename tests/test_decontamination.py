@@ -231,3 +231,27 @@ def test_corpus_containment_python_oracle(spark):
         assert got[s] == (len(g), sh, (sh * 1_000_000) // len(g))
     # s2 is a superset-extension of an A document: high containment
     assert got["s2"][2] > got["s1"][2]
+
+
+def test_corpus_containment_approx_tracks_exact(spark, sf_dir):
+    """HLL tier must agree with the exact tier within sketch error on a
+    real corpus split (overlap by construction: shared documents)."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import (
+        corpus_containment,
+        corpus_containment_approx,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    A = docs.where(F.col("doc_id") % 3 != 2)         # 2/3 of corpus
+    B = docs.where(F.col("doc_id") % 3 != 0)         # overlaps A on %3==1
+    exact = corpus_containment(A, B).collect()[0]
+    approx = corpus_containment_approx(A, B).collect()[0]
+
+    assert exact.n_grams_b > 0 and exact.n_shared > 0
+    # cardinalities within a few percent (lg_k=14 → ~0.8% std error)
+    assert abs(approx.n_grams_b_est - exact.n_grams_b) / exact.n_grams_b < 0.05
+    # containment within 5 points (subtraction amplifies sketch error)
+    assert abs(approx.containment_e6 - exact.containment_e6) < 50_000
