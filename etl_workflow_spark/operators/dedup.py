@@ -839,7 +839,9 @@ def dedup_paragraphs(
     as :func:`strip_boilerplate_lines`. Everything is linear in corpus
     paragraphs; nothing is quadratic in repeats.
     """
-    paras = docs.select(
+    from .partitioning import scale_partitions
+
+    paras = scale_partitions(docs).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(col), sep)).alias("pos", "para"),
     ).withColumn(

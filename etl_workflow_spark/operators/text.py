@@ -953,9 +953,12 @@ def corpus_containment(
     and the output is |groups| rows. Returns (group?, n_grams_b,
     n_shared, containment_e6) with exact integer fixed-point.
     """
+    from .partitioning import scale_partitions
+
     def _grams(df: DataFrame, keep: list) -> DataFrame:
         return (
-            df.select(*keep, _norm_token_hashes(col).alias("__th"))
+            scale_partitions(df)
+            .select(*keep, _norm_token_hashes(col).alias("__th"))
             .select(*keep, F.explode(_gram_hashes("__th", n)).alias("gram_h"))
         )
 
