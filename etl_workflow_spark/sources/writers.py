@@ -64,23 +64,40 @@ def idempotent_append(
     can), then anti-joined against the existing table so re-runs are
     no-ops. Returns the number of rows actually appended.
 
-    At scale the anti-join shuffles on the key columns only after
-    Catalyst prunes the existing side to its key columns; with AQE the
-    existing side often broadcasts when small.
+    Scale shape: when the (deduped) batch is small — the steady-state
+    ingest case — its keys broadcast and pre-filter the existing side
+    with a shuffle-free semi-join, so the anti-join's build side is
+    bounded by the batch and the existing table is only ever SCANNED
+    (key columns, pruned), never shuffled. A bulk backfill above the
+    gate falls back to the plain key-column anti-join (one shuffle on
+    the keys), never an OOM-prone broadcast of a huge batch.
     """
-    batch = df.dropDuplicates(list(keys))
-    if _hadoop_exists(spark, path):
-        existing = spark.read.parquet(path).select(*keys)
-        batch = batch.join(existing, on=list(keys), how="left_anti")
-    # persist: count() and write() both consume the anti-join — without
-    # it the dedup+anti-join (a full shuffle at scale) runs twice
-    batch = batch.persist()
+    deduped = df.dropDuplicates(list(keys)).persist()
+    out = deduped
     try:
-        appended = batch.count()
+        n_batch = deduped.count()
+        if _hadoop_exists(spark, path):
+            existing = spark.read.parquet(path).select(*keys)
+            if n_batch <= 1_000_000:
+                hot = existing.join(
+                    F.broadcast(deduped.select(*keys)),
+                    on=list(keys),
+                    how="left_semi",
+                )
+                out = deduped.join(
+                    F.broadcast(hot), on=list(keys), how="left_anti"
+                )
+            else:
+                out = deduped.join(existing, on=list(keys), how="left_anti")
+            # the anti-join output is consumed by count() and write()
+            out = out.persist()
+        appended = out.count()
         if appended:
-            batch.write.mode("append").parquet(path)
+            out.write.mode("append").parquet(path)
     finally:
-        batch.unpersist()
+        if out is not deduped:
+            out.unpersist()
+        deduped.unpersist()
     return appended
 
 
