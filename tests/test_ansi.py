@@ -1,0 +1,57 @@
+"""ANSI-mode smoke: the session pins ANSI off for reference parity
+(bad rows tolerated), but the operators claim Spark-4-default (ANSI on)
+portability — the round-5 minhash rewrite exists precisely because an
+affine-min hash relied on silent overflow and threw under ANSI. This
+suite re-runs representative operators with the runtime conf flipped.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.catalog import table
+
+
+@pytest.fixture()
+def ansi(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_minhash_and_text_ops_under_ansi(ansi, sf_dir):
+    from etl_workflow_spark.operators.dedup import minhash_lsh_pairs
+    from etl_workflow_spark.operators.text import text_profile, text_quality
+
+    docs = table(ansi, sf_dir, "documents")
+    assert minhash_lsh_pairs(docs, threshold=0.4).count() >= 0
+    tq = text_quality(docs)
+    assert tq.where(F.col("n_words") > 0).count() > 0
+    assert text_profile(docs).count() == docs.count()
+
+
+def test_ranking_and_fixed_point_under_ansi(ansi, sf_dir):
+    from etl_workflow_spark.operators.ranking import (
+        distributed_ntile,
+        select_prefix_by_budget,
+    )
+
+    docs = table(ansi, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    nt = distributed_ntile(docs, order, 4, out_col="q")
+    assert set(r.q for r in nt.collect()) == {1, 2, 3, 4}
+    sel = select_prefix_by_budget(docs, order, "n_chars", budget=10_000)
+    assert sel.agg(F.max("cum_weight")).collect()[0][0] <= 10_000
+
+
+def test_gate_fixed_point_entries_under_ansi(ansi, sf_dir):
+    """The integer-DIV fixed-point recipes (quality stats, revenue
+    windows) must not hit ANSI division/overflow errors."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    assert q["quality_filtered_stats"](ansi, sf_dir).count() == 1
+    assert q["revenue_windows"](ansi, sf_dir).count() > 0
