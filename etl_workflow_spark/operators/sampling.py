@@ -282,3 +282,32 @@ def leakage_safe_split(
     )
     parts = split_frame(keyed, weights, key="_split_key", salt=salt)
     return {name: part.drop("_split_key") for name, part in parts.items()}
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic k-per-group sample (eval-set construction: "k
+    examples per language × source"): rows rank within their group by a
+    salted content hash and the first k survive — stable across runs,
+    layouts, and cluster sizes, where ``sampleBy`` fractions drift with
+    partitioning and give no exact-k guarantee.
+
+    One hash shuffle on the group key (the partitioned window); a
+    skewed group costs its own size, never the corpus. A new ``salt``
+    draws an independent sample.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.xxhash64(F.lit(salt), F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("__gs_rn", F.row_number().over(w))
+        .where(F.col("__gs_rn") <= k)
+        .drop("__gs_rn")
+    )

@@ -203,3 +203,28 @@ def test_deterministic_shuffle_shard_membership_is_pure(spark, sf_dir):
     }
     assert a == b
     assert set(a.values()) == set(range(5))
+
+
+def test_per_group_sample_exact_k_and_stable(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = samp.per_group_sample(docs, ["lang"], k=5)
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, full[lang])
+    a = {r.doc_id for r in out.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in samp.per_group_sample(
+            docs.repartition(13), ["lang"], k=5
+        ).select("doc_id").collect()
+    }
+    assert a == b, "sample must be layout-independent"
+    c = {
+        r.doc_id
+        for r in samp.per_group_sample(docs, ["lang"], k=5, salt="other")
+        .select("doc_id").collect()
+    }
+    assert c != a, "a new salt must draw a different sample"
