@@ -251,3 +251,78 @@ def rolling_daily(
             "ELSE _sum_e4 DIV _cnt END AS BIGINT)"
         ),
     ).drop("_day", "_sum_e4", "_cnt")
+
+
+# ------------------------------------------------------------ funnel
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within: str | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-touch funnel analysis: for each user, the earliest strictly
+    ordered completion of ``steps`` (e.g. view → click → purchase),
+    optionally within a ``within`` interval of the first step (SQL
+    interval string, e.g. ``'7 days'``). Standard product-analytics
+    semantics: the funnel anchors on the user's FIRST step-1 event; a
+    later step-1 occurrence is never revisited.
+
+    Relational, not per-user iteration: step i is "earliest step-i
+    event after t_{i-1}" — a type-filtered slice (predicate reaches the
+    scan) joined on the user key and min-aggregated. N steps cost N
+    filtered passes + N co-keyed join/agg shuffles, each carrying only
+    (user, ts) pairs; no collect_list, no per-row Python, skewed users
+    cost their own events. Returns one row per user that entered the
+    funnel: (user, t_1..t_N nullable, reached ∈ [1, N]).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    slim = events.select(
+        F.col(user_col), F.col(ts_col).alias("_t"), F.col(type_col)
+    )
+    cur = (
+        slim.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("_t").alias("t_1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = slim.where(F.col(type_col) == s).select(user_col, "_t")
+        cond = F.col("_t") > F.col(f"t_{i - 1}")
+        if within is not None:
+            cond = cond & (
+                F.col("_t") <= F.col("t_1") + F.expr(f"INTERVAL {within}")
+            )
+        prev_cols = [f"t_{j}" for j in range(1, i)]
+        advanced = (
+            cur.join(nxt, on=user_col)
+            .where(cond)
+            .groupBy(user_col, *prev_cols)
+            .agg(F.min("_t").alias(f"t_{i}"))
+        )
+        # left join keeps users who stalled at an earlier step
+        cur = cur.join(
+            advanced.select(user_col, f"t_{i}"), on=user_col, how="left"
+        )
+    reached = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        reached = F.when(F.col(f"t_{i}").isNotNull(), i).otherwise(reached)
+    # reached is monotone: t_i only exists if t_{i-1} did
+    return cur.select(
+        user_col,
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+        reached.cast("int").alias("reached"),
+    )
+
+
+def funnel_counts(funnel_df: DataFrame, n_steps: int) -> DataFrame:
+    """Step-wise conversion summary of a :func:`funnel` result: users
+    at-or-past each step (one tiny aggregation)."""
+    aggs = [
+        F.sum((F.col("reached") >= i).cast("long")).alias(f"step_{i}_users")
+        for i in range(1, n_steps + 1)
+    ]
+    return funnel_df.agg(*aggs)

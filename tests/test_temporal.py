@@ -130,3 +130,71 @@ def test_interval_join_auto_bin_matches_fixed(spark):
         for r in interval_join(points, intervals, "ts", "lo", "hi", None).collect()
     )
     assert auto == fixed and len(auto) > 0
+
+
+# ------------------------------------------------------------ funnel
+
+
+def test_funnel_python_oracle(spark, sf_dir):
+    """First-touch funnel over the real events table vs a sequential
+    per-user Python scan."""
+    import datetime as dt
+
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.operators.temporal import funnel, funnel_counts
+
+    ev = events_table(spark, sf_dir)
+    steps = ["view", "click", "purchase"]
+    got = {
+        r.user_id: (r.t_1, r.t_2, r.t_3, r.reached)
+        for r in funnel(ev, steps).collect()
+    }
+
+    rows = ev.select("user_id", "ts", "event_type").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        t = [None, None, None]
+        t[0] = next((ts for ts, e in evs if e == steps[0]), None)
+        if t[0] is None:
+            continue
+        for i in (1, 2):
+            t[i] = next(
+                (ts for ts, e in evs if e == steps[i] and ts > t[i - 1]),
+                None,
+            )
+            if t[i] is None:
+                break
+        reached = sum(1 for x in t if x is not None)
+        expected[u] = (t[0], t[1], t[2], reached)
+    assert got == expected
+    assert any(v[3] == 3 for v in got.values()), "no full conversion in fixture"
+
+    counts = funnel_counts(funnel(ev, steps), 3).collect()[0]
+    assert counts.step_1_users == len(expected)
+    assert counts.step_3_users == sum(1 for v in expected.values() if v[3] == 3)
+
+
+def test_funnel_within_window(spark):
+    import datetime as dt
+
+    from etl_workflow_spark.operators.temporal import funnel
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # converts: click 1h after view
+        (1, base, "view"), (1, base + dt.timedelta(hours=1), "click"),
+        # stalls: click 10 days after FIRST view (outside 1-day window),
+        # even though a second view exists 9 days in (first-touch)
+        (2, base, "view"), (2, base + dt.timedelta(days=9), "view"),
+        (2, base + dt.timedelta(days=10), "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r.reached
+        for r in funnel(ev, ["view", "click"], within="1 days").collect()
+    }
+    assert got == {1: 2, 2: 1}
