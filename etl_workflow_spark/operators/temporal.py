@@ -326,3 +326,59 @@ def funnel_counts(funnel_df: DataFrame, n_steps: int) -> DataFrame:
         for i in range(1, n_steps + 1)
     ]
     return funnel_df.agg(*aggs)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    cohort_event: str | None = "signup",
+    grain: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention: users grouped by the period of their first
+    ``cohort_event`` (``None`` = first activity of any type), counted
+    as retained in each later period they were active. The classic
+    product-analytics triangle: (cohort, period_offset, n_users).
+
+    Three combiner-friendly aggregations and one broadcast-size join:
+    cohorts are one row per user (min over a type-filtered slice),
+    activity deduplicates to (user, period) — the shuffle carries
+    distinct user-periods, not events — and the final rollup is
+    |cohorts × offsets| rows. ``period_offset`` counts ``grain``
+    boundaries (0 = the cohort period itself).
+    """
+    src = events.select(
+        F.col(user_col), F.col(ts_col).alias("_t"), F.col(type_col)
+    )
+    first = src if cohort_event is None else src.where(
+        F.col(type_col) == cohort_event
+    )
+    cohorts = first.groupBy(user_col).agg(
+        F.date_trunc(grain, F.min("_t")).alias("cohort")
+    )
+    activity = (
+        src.select(user_col, F.date_trunc(grain, F.col("_t")).alias("period"))
+        .distinct()
+    )
+    per_grain_days = {"day": 1, "week": 7}
+    joined = activity.join(cohorts, on=user_col).where(
+        F.col("period") >= F.col("cohort")
+    )
+    if grain in per_grain_days:
+        offset = (
+            F.datediff(F.col("period"), F.col("cohort"))
+            / per_grain_days[grain]
+        ).cast("long")
+    elif grain == "month":
+        offset = (
+            (F.year("period") - F.year("cohort")) * 12
+            + (F.month("period") - F.month("cohort"))
+        ).cast("long")
+    else:
+        raise ValueError(f"unsupported grain: {grain}")
+    return (
+        joined.select(user_col, "cohort", offset.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

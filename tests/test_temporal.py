@@ -198,3 +198,43 @@ def test_funnel_within_window(spark):
         for r in funnel(ev, ["view", "click"], within="1 days").collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_retention_cohorts_python_oracle(spark, sf_dir):
+    """Weekly signup-cohort retention vs a Python set computation on
+    the real events table."""
+    import datetime as dt
+
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.operators.temporal import retention_cohorts
+
+    ev = events_table(spark, sf_dir)
+    got = {
+        (r.cohort, r.period_offset): r.n_users
+        for r in retention_cohorts(ev, "signup", grain="week").collect()
+    }
+
+    def monday(ts):
+        d = ts.date()
+        return d - dt.timedelta(days=d.weekday())
+
+    rows = ev.select("user_id", "ts", "event_type").collect()
+    first_signup: dict = {}
+    activity: dict = {}
+    for r in rows:
+        if r.event_type == "signup":
+            cur = first_signup.get(r.user_id)
+            if cur is None or r.ts < cur:
+                first_signup[r.user_id] = r.ts
+        activity.setdefault(r.user_id, set()).add(monday(r.ts))
+    expected: dict = {}
+    for u, ts0 in first_signup.items():
+        c = monday(ts0)
+        for w in activity[u]:
+            if w >= c:
+                off = (w - c).days // 7
+                key = (dt.datetime.combine(c, dt.time()), off)
+                expected[key] = expected.get(key, 0) + 1
+    got_norm = {(k[0].replace(tzinfo=None), k[1]): v for k, v in got.items()}
+    assert got_norm == expected
+    assert any(k[1] > 0 for k in expected), "fixture has no retained weeks"
