@@ -382,3 +382,34 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Path analysis primitive: per-user consecutive event pairs rolled
+    up to (from_type, to_type, n_transitions) — the transition matrix
+    behind "what do users do after X" and Markov-style flow diagrams.
+
+    One partitioned window (hash shuffle on the user key — skewed users
+    cost their own events, state is O(1) per row) and one
+    combiner-friendly rollup whose shuffle carries |event-type|² rows
+    at most. Ties on (ts) break on a stable extra key if present in
+    the sort — callers needing strict determinism under same-timestamp
+    events should pre-dedup or pass monotonic timestamps.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    nxt = F.lead(type_col).over(w)
+    return (
+        events.select(F.col(user_col), F.col(ts_col), F.col(type_col))
+        .withColumn("_next", nxt)
+        .where(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

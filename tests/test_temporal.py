@@ -238,3 +238,31 @@ def test_retention_cohorts_python_oracle(spark, sf_dir):
     got_norm = {(k[0].replace(tzinfo=None), k[1]): v for k, v in got.items()}
     assert got_norm == expected
     assert any(k[1] > 0 for k in expected), "fixture has no retained weeks"
+
+
+def test_event_transitions_python_oracle(spark, sf_dir):
+    from collections import Counter
+
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.operators.temporal import event_transitions
+
+    ev = events_table(spark, sf_dir)
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transitions(ev).collect()
+    }
+
+    rows = ev.select("user_id", "ts", "event_type", "event_id").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    expected: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort(key=lambda x: x[0])  # stable on ts, matching the window
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            expected[(a, b)] += 1
+    # same-timestamp pairs are tie-ambiguous between engines; the
+    # fixture's microsecond timestamps make ties vanishingly rare, and
+    # totals must agree regardless of tie order per user when types tie
+    assert sum(got.values()) == sum(expected.values())
+    assert got == dict(expected)
