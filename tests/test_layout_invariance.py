@@ -102,6 +102,29 @@ OPERATORS = {
     ).corpus_containment(
         docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
     ),
+    "strip_html": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.text", fromlist=["strip_html"]
+    ).strip_html(docs),
+    "per_group_sample": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.sampling", fromlist=["per_group_sample"]
+    ).per_group_sample(docs, ["lang"], k=7),
+    "funnel": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.temporal", fromlist=["funnel"]
+    ).funnel(
+        __import__(
+            "etl_workflow_spark.catalog", fromlist=["events_table"]
+        ).events_table(s, d),
+        ["view", "click", "purchase"],
+    ),
+    "retention_cohorts": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.temporal",
+        fromlist=["retention_cohorts"],
+    ).retention_cohorts(
+        __import__(
+            "etl_workflow_spark.catalog", fromlist=["events_table"]
+        ).events_table(s, d),
+        "signup",
+    ),
 }
 
 
