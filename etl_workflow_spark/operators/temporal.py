@@ -413,3 +413,41 @@ def event_transitions(
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def fill_calendar_gaps(
+    daily: DataFrame,
+    date_col: str,
+    value_cols: list[str],
+    keys: list[str] | None = None,
+    fill=0,
+) -> DataFrame:
+    """Densify a daily series: emit one row for EVERY calendar day in
+    each key's [min, max] span, filling absent days' values with
+    ``fill`` (0 for additive metrics, None to leave gaps explicit for
+    carry-forward via :func:`asof_join`). Downstream consumers that
+    assume gap-free series (exports, plotting, naive ROWS-frame
+    windows) get the calendar contract the RANGE-frame operators here
+    enforce internally.
+
+    Per key: one min/max aggregation (rows = |keys|), a ``sequence``
+    explode into the calendar frame (codegen; rows = span days), and
+    one left join back on (key, date) — the series side shuffles once
+    on the key-date hash; at 100 TB "daily rollup" scale that side is
+    already tiny relative to facts.
+    """
+    keys = keys or []
+    spans = daily.groupBy(*keys).agg(
+        F.min(date_col).alias("_lo"), F.max(date_col).alias("_hi")
+    )
+    calendar = spans.select(
+        *keys,
+        F.explode(F.sequence("_lo", "_hi")).alias(date_col),
+    )
+    out = calendar.join(daily, on=[*keys, date_col], how="left")
+    filled = [
+        F.coalesce(F.col(c), F.lit(fill)).alias(c) if fill is not None
+        else F.col(c)
+        for c in value_cols
+    ]
+    return out.select(*keys, date_col, *filled)

@@ -266,3 +266,36 @@ def test_event_transitions_python_oracle(spark, sf_dir):
     # totals must agree regardless of tie order per user when types tie
     assert sum(got.values()) == sum(expected.values())
     assert got == dict(expected)
+
+
+def test_fill_calendar_gaps(spark):
+    import datetime as dt
+
+    from etl_workflow_spark.operators.temporal import fill_calendar_gaps
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 10),
+        ("a", d(2024, 1, 4), 40),   # gap: 2nd, 3rd
+        ("b", d(2024, 2, 1), 5),    # single day span
+    ]
+    daily = spark.createDataFrame(rows, ["k", "date", "v"])
+    got = {
+        (r.k, r.date): r.v
+        for r in fill_calendar_gaps(daily, "date", ["v"], keys=["k"]).collect()
+    }
+    assert got == {
+        ("a", d(2024, 1, 1)): 10,
+        ("a", d(2024, 1, 2)): 0,
+        ("a", d(2024, 1, 3)): 0,
+        ("a", d(2024, 1, 4)): 40,
+        ("b", d(2024, 2, 1)): 5,
+    }
+    # fill=None leaves explicit nulls
+    got_n = {
+        (r.k, r.date): r.v
+        for r in fill_calendar_gaps(
+            daily, "date", ["v"], keys=["k"], fill=None
+        ).collect()
+    }
+    assert got_n[("a", d(2024, 1, 2))] is None
