@@ -303,10 +303,13 @@ def funnel(
             .groupBy(user_col, *prev_cols)
             .agg(F.min("_t").alias(f"t_{i}"))
         )
-        # left join keeps users who stalled at an earlier step
+        # left join keeps users who stalled at an earlier step; the
+        # lazy checkpoint truncates lineage so step i+1 reuses this
+        # frame instead of re-deriving every prior step's scan+join
+        # (observed: the step-1 slice scanned N+1 times without it)
         cur = cur.join(
             advanced.select(user_col, f"t_{i}"), on=user_col, how="left"
-        )
+        ).localCheckpoint(eager=False)
     reached = F.lit(1)
     for i in range(2, len(steps) + 1):
         reached = F.when(F.col(f"t_{i}").isNotNull(), i).otherwise(reached)
