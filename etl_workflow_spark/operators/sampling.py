@@ -311,3 +311,44 @@ def per_group_sample(
         .where(F.col("__gs_rn") <= k)
         .drop("__gs_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate_col: str,
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-row keep probability (importance sampling: e.g. keep docs
+    with probability proportional to a quality score): row survives iff
+    its content hash, mapped to [0, 1), falls below ``rate_col``. Same
+    layout/run/engine stability contract as
+    :func:`deterministic_sample`, still a shuffle-free codegen filter;
+    rates outside [0, 1] clamp (≥1 always keeps, ≤0 always drops).
+    """
+    u = (
+        F.conv(_bucket(key, salt), 16, 10).cast("double")
+        / F.lit(float(_HEX_SPAN))
+    )
+    return df.where(u < F.col(rate_col).cast("double"))
+
+
+def global_sample_k(
+    df: DataFrame,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "ksample",
+) -> DataFrame:
+    """Exact-k uniform sample of the whole corpus, deterministically:
+    the k rows with the smallest salted content hash. Compiles to
+    TakeOrderedAndProject — a per-partition k-heap merged at the
+    driver, no global sort, no reservoir nondeterminism; a new salt
+    redraws.
+    """
+    h = F.xxhash64(F.lit(salt), F.col(key).cast("string"))
+    return (
+        df.withColumn("__ks_h", h)
+        .orderBy("__ks_h", key)
+        .limit(k)
+        .drop("__ks_h")
+    )

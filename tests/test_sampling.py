@@ -228,3 +228,47 @@ def test_per_group_sample_exact_k_and_stable(spark, sf_dir):
         .select("doc_id").collect()
     }
     assert c != a, "a new salt must draw a different sample"
+
+
+def test_weighted_sample_tracks_rate_and_is_stable(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn(
+        "keep_rate", F.when(F.col("doc_id") % 2 == 0, 0.9).otherwise(0.1)
+    )
+    out = samp.weighted_sample(docs, "keep_rate")
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    evens = {r.doc_id for r in docs.where("doc_id % 2 = 0").collect()}
+    odds = {r.doc_id for r in docs.where("doc_id % 2 = 1").collect()}
+    # high-rate stratum keeps far more than the low-rate one
+    assert len(kept & evens) / len(evens) > 0.7
+    assert len(kept & odds) / len(odds) < 0.3
+    again = {
+        r.doc_id
+        for r in samp.weighted_sample(
+            docs.repartition(9), "keep_rate"
+        ).select("doc_id").collect()
+    }
+    assert again == kept
+    # clamping: rate 1.0 keeps everything, 0.0 drops everything
+    allkeep = docs.withColumn("keep_rate", F.lit(1.0))
+    assert samp.weighted_sample(allkeep, "keep_rate").count() == docs.count()
+    nokeep = docs.withColumn("keep_rate", F.lit(0.0))
+    assert samp.weighted_sample(nokeep, "keep_rate").count() == 0
+
+
+def test_global_sample_k_exact_and_plan(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = samp.global_sample_k(docs, 17)
+    rows = {r.doc_id for r in out.collect()}
+    assert len(rows) == 17
+    again = {
+        r.doc_id
+        for r in samp.global_sample_k(docs.repartition(5), 17).collect()
+    }
+    assert again == rows
+    assert rows != {
+        r.doc_id
+        for r in samp.global_sample_k(docs, 17, salt="other").collect()
+    }
+    plan = samp.global_sample_k(docs, 17)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "must not global-sort"
