@@ -1,0 +1,85 @@
+"""Empty-input robustness: every operator must yield an empty (or
+well-defined degenerate) result on a zero-row corpus, never raise —
+the class of failure dedup_clusters hit on an empty pair list
+(CANNOT_INFER_EMPTY_SCHEMA) before round 6 fixed it. Empty inputs are
+routine in production: an idle micro-batch, a filter that matched
+nothing, a new partition."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.catalog import table
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_dedup_ops_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import dedup as D
+
+    assert D.exact_dedup(empty_docs).count() == 0
+    assert D.minhash_lsh_pairs(empty_docs).count() == 0
+    assert D.simhash(empty_docs).count() == 0
+    assert D.dedup_paragraphs(empty_docs).count() == 0
+    assert D.build_lsh_index(empty_docs).count() == 0
+    assert D.dedup_clusters(
+        D.minhash_lsh_pairs(empty_docs), all_ids=empty_docs.select("doc_id")
+    ).count() == 0
+
+
+def test_text_ops_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import text as T
+
+    assert T.text_quality(empty_docs).count() == 0
+    assert T.text_profile(empty_docs).count() == 0
+    assert T.tfidf_top_terms(empty_docs, k=3).count() == 0
+    assert T.strip_html(empty_docs).count() == 0
+    assert T.ngram_lm_score(
+        empty_docs, T.ngram_lm_counts(empty_docs)
+    ).count() == 0
+    row = T.corpus_containment(empty_docs, empty_docs).collect()[0]
+    assert (row.n_grams_b, row.n_shared, row.containment_e6) == (0, 0, None)
+
+
+def test_sampling_ops_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import sampling as S
+
+    assert S.deterministic_sample(empty_docs, 0.5).count() == 0
+    assert S.global_sample_k(empty_docs, 5).count() == 0
+    assert S.per_group_sample(empty_docs, ["text"], 3).count() == 0
+    parts = S.split_frame(empty_docs, {"a": 0.5, "b": 0.5})
+    assert all(p.count() == 0 for p in parts.values())
+
+
+def test_ranking_ops_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators.ranking import (
+        distributed_ntile,
+        distributed_row_number,
+        select_prefix_by_budget,
+    )
+
+    assert distributed_row_number(empty_docs, [F.asc("doc_id")]).count() == 0
+    assert distributed_ntile(empty_docs, [F.asc("doc_id")], 4).count() == 0
+    assert select_prefix_by_budget(
+        empty_docs, [F.asc("doc_id")], "doc_id", budget=100
+    ).count() == 0
+
+
+def test_event_ops_on_empty_stream(spark):
+    from etl_workflow_spark.operators.temporal import (
+        event_transitions,
+        funnel,
+        retention_cohorts,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert funnel(ev, ["view", "click"]).count() == 0
+    assert retention_cohorts(ev, "signup").count() == 0
+    assert event_transitions(ev).count() == 0
