@@ -1,0 +1,73 @@
+"""Sketch-rollup contracts: range estimates from stored daily sketches
+must track exact distincts within HLL error, and the sketch store must
+round-trip through parquet (the whole point is persisting it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.catalog import events_table
+from etl_workflow_spark.operators.sketches import (
+    daily_distinct_sketches,
+    distinct_over_range,
+    period_overlap_estimate,
+)
+
+
+def test_range_estimate_tracks_exact(spark, sf_dir, tmp_path):
+    ev = events_table(spark, sf_dir)
+    sk = daily_distinct_sketches(ev)
+    # persist + reload: binary sketches must survive parquet
+    path = str(tmp_path / "sketches")
+    sk.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    lo, hi = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).collect()[0]
+    mid = lo + (hi - lo) / 2
+
+    for start, end in [(lo, hi), (lo, mid)]:
+        est = distinct_over_range(
+            stored, str(start), str(end)
+        ).collect()[0]
+        exact = (
+            ev.where(
+                (F.to_date("ts") >= F.lit(str(start)))
+                & (F.to_date("ts") <= F.lit(str(end)))
+            )
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert exact > 0
+        assert abs(est.distinct_est - exact) / exact < 0.05, (
+            start, end, est.distinct_est, exact,
+        )
+
+
+def test_period_overlap_estimate(spark, sf_dir):
+    ev = events_table(spark, sf_dir)
+    sk = daily_distinct_sketches(ev).persist()
+    lo, hi = sk.agg(F.min("date"), F.max("date")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    a = sk.where(F.col("date") <= F.lit(str(mid)))
+    b = sk.where(F.col("date") > F.lit(str(mid)))
+    row = period_overlap_estimate(a, b).collect()[0]
+
+    ua = {
+        r.user_id
+        for r in ev.where(F.to_date("ts") <= F.lit(str(mid)))
+        .select("user_id").distinct().collect()
+    }
+    ub = {
+        r.user_id
+        for r in ev.where(F.to_date("ts") > F.lit(str(mid)))
+        .select("user_id").distinct().collect()
+    }
+    inter = len(ua & ub)
+    assert inter > 0
+    assert abs(row.a_est - len(ua)) / len(ua) < 0.05
+    # subtraction amplifies error: generous relative bound
+    assert abs(row.overlap_est - inter) / inter < 0.15
+    sk.unpersist()
