@@ -476,3 +476,72 @@ def stream_neardup_ingest(
         .foreachBatch(ingest)
         .option("checkpointLocation", checkpoint_path)
     )
+
+
+def sketch_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = 12,
+) -> None:
+    """Merge one micro-batch into the daily distinct-sketch store
+    (``operators.sketches``): the batch's per-day HLL sketches union
+    with the stored ones — HLL mergeability means late or replayed
+    events only ever WIDEN a day's sketch toward the true distinct set
+    (re-adding a seen user is a no-op), so the store converges under
+    at-least-once delivery without any key tracking. Only the dates
+    present in the batch rewrite (dynamic partition overwrite).
+    ``n_rows`` is a plain ingest counter — replays inflate it (it is
+    diagnostics, not a distinct estimate; the sketch is the truth)."""
+    from ..operators.sketches import daily_distinct_sketches
+
+    spark = batch_df.sparkSession
+    day = daily_distinct_sketches(
+        batch_df, id_col=id_col, ts_col=ts_col, lg_k=lg_k
+    )
+    from ..sources.writers import _hadoop_exists
+
+    if _hadoop_exists(spark, store_path):
+        existing = spark.read.parquet(store_path)
+        touched = day.select("date").distinct()
+        old = existing.join(F.broadcast(touched), "date", "left_semi")
+        merged = (
+            day.select("date", "sketch", "n_rows")
+            .unionByName(old.select("date", "sketch", "n_rows"))
+            .groupBy("date")
+            .agg(
+                F.hll_union_agg("sketch", True).alias("sketch"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    else:
+        merged = day
+    out = merged.localCheckpoint(eager=True)  # never read-from-overwrite
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(store_path)
+    )
+
+
+def stream_sketch_rollup(
+    events_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous sketch-store maintenance: every micro-batch unions
+    its days' sketches into the store (:func:`sketch_rollup_batch`);
+    range-distinct queries read the store, never the stream's history.
+    Returns a writeStream builder (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sketch_rollup_batch(batch_df, store_path, **kwargs)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )

@@ -71,3 +71,33 @@ def test_period_overlap_estimate(spark, sf_dir):
     # subtraction amplifies error: generous relative bound
     assert abs(row.overlap_est - inter) / inter < 0.15
     sk.unpersist()
+
+
+def test_stream_sketch_rollup_converges_to_batch(spark, sf_dir, tmp_path):
+    """Two micro-batches of real events through the streaming rollup
+    must estimate the same distincts as one batch build — and a
+    replayed batch must not change the sketch (HLL idempotency)."""
+    from etl_workflow_spark.streaming.incremental import sketch_rollup_batch
+
+    ev = events_table(spark, sf_dir)
+    store = str(tmp_path / "sketch_store")
+
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+    sketch_rollup_batch(b1, store, lg_k=12)
+    sketch_rollup_batch(b2, store, lg_k=12)
+
+    stored = spark.read.parquet(store)
+    lo, hi = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+    ).collect()[0]
+    est = distinct_over_range(stored, str(lo), str(hi)).collect()[0]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est.distinct_est - exact) / exact < 0.05
+
+    # replay batch 2: estimates must be unchanged
+    sketch_rollup_batch(b2, store, lg_k=12)
+    est2 = distinct_over_range(
+        spark.read.parquet(store), str(lo), str(hi)
+    ).collect()[0]
+    assert est2.distinct_est == est.distinct_est
