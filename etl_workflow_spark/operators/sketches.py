@@ -88,3 +88,25 @@ def period_overlap_estimate(
             ),
         ).cast("long").alias("overlap_est"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k frequent items (``approx_top_k`` built-in —
+    a bounded frequent-items sketch per partition, merged once): the
+    hot-key detector that feeds the skew tier (`operators/skew.py`)
+    and term/domain monitoring, at one pass and O(max_items_tracked)
+    state — where an exact top-k pays a full groupBy shuffle over every
+    distinct value. Exact counts for items that dominate; items near
+    the tracking boundary can under-count (standard frequent-items
+    contract). Returns (item, count) rows, most frequent first."""
+    sk = df.selectExpr(
+        f"approx_top_k({col}, {int(k)}, {int(max_items_tracked)}) AS tk"
+    )
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("count")
+    )

@@ -101,3 +101,21 @@ def test_stream_sketch_rollup_converges_to_batch(spark, sf_dir, tmp_path):
         spark.read.parquet(store), str(lo), str(hi)
     ).collect()[0]
     assert est2.distinct_est == est.distinct_est
+
+
+def test_heavy_hitters_match_exact_on_dominant_items(spark, sf_dir):
+    from etl_workflow_spark.operators.sketches import heavy_hitters
+
+    ev = events_table(spark, sf_dir)
+    got = {
+        r["item"]: r["count"]
+        for r in heavy_hitters(ev, "event_type", k=5).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    # 5 event types, all tracked: counts must be exact
+    assert got == exact
