@@ -387,6 +387,7 @@ def minhash_lsh_probe(
     col: str = "text",
     id_col: str = "doc_id",
     broadcast_rows_limit: int = 1_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental near-duplicate detection: pairs between a NEW batch
     and an already-ingested corpus, plus pairs inside the new batch —
@@ -421,29 +422,45 @@ def minhash_lsh_probe(
     # is probed in place with zero shuffle; a bulk backfill that
     # exceeds the gate falls back to a hash join — never an OOM.
     new_banded = new_banded.persist()
-    small = new_banded.count() <= broadcast_rows_limit
-    hint = F.broadcast if small else (lambda d: d)
+    cand = None
+    try:
+        small = new_banded.count() <= broadcast_rows_limit
+        hint = F.broadcast if small else (lambda d: d)
 
-    cross = (
-        index.join(hint(new_banded.withColumnRenamed("id", "nid")),
-                   on=["band", "bucket"])
-        .where(F.col("id") != F.col("nid"))
-        .select(F.col("nid").alias("doc_a"), F.col("id").alias("doc_b"))
-    )
-    within = (
-        new_banded.alias("x")
-        .join(hint(new_banded.alias("y")), on=["band", "bucket"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
-    )
-    cand = cross.union(within).distinct().persist()
-    cand_small = cand.count() <= broadcast_rows_limit
-    chint = F.broadcast if cand_small else (lambda d: d)
+        cross = (
+            index.join(hint(new_banded.withColumnRenamed("id", "nid")),
+                       on=["band", "bucket"])
+            .where(F.col("id") != F.col("nid"))
+            .select(F.col("nid").alias("doc_a"), F.col("id").alias("doc_b"))
+        )
+        within = (
+            new_banded.alias("x")
+            .join(hint(new_banded.alias("y")), on=["band", "bucket"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        )
+        cand = cross.union(within).distinct().persist()
+        cand_small = cand.count() <= broadcast_rows_limit
+        chint = F.broadcast if cand_small else (lambda d: d)
 
-    docs = new_docs.select(F.col(id_col), F.col(col)).unionByName(
-        corpus.select(F.col(id_col), F.col(col))
-    )
-    return _verify_jaccard(docs, cand, threshold, n, col, id_col, chint)
+        docs = new_docs.select(F.col(id_col), F.col(col)).unionByName(
+            corpus.select(F.col(id_col), F.col(col))
+        )
+        verified = _verify_jaccard(docs, cand, threshold, n, col, id_col, chint)
+        if not materialize:
+            # plan-inspection escape hatch (tests): returns the LAZY
+            # frame; the caller inherits the internal persists
+            return verified
+        # materialize the (small, by the S-curve) result so every
+        # internal persist can be RELEASED before returning: a stream
+        # calls this once per micro-batch, and leaked blocks would
+        # accrete for the life of the query
+        return verified.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            new_banded.unpersist()
+            if cand is not None:
+                cand.unpersist()
 
 
 # ------------------------------------------------------------------ simhash

@@ -222,7 +222,8 @@ def test_lsh_probe_broadcasts_batch_index_side_never_shuffles(spark, sf_dir):
     corpus = docs.where(F.col("doc_id") % 25 != 0)
     idx = build_lsh_index(corpus)
 
-    out = minhash_lsh_probe(new, corpus, index=idx, threshold=0.4)
+    out = minhash_lsh_probe(new, corpus, index=idx, threshold=0.4,
+                            materialize=False)
     plan = physical_plan(out)
     assert "BroadcastHashJoin" in plan
     # candidate generation must never fall back to a nested loop
@@ -253,9 +254,11 @@ def test_probe_fallback_reads_bucketed_index_in_place(spark, sf_dir):
 
     # broadcast_rows_limit=0 forces the non-broadcast fallback
     plain = minhash_lsh_probe(new, corpus, index=plain_idx,
-                              threshold=0.4, broadcast_rows_limit=0)
+                              threshold=0.4, broadcast_rows_limit=0,
+                              materialize=False)
     bucketed = minhash_lsh_probe(new, corpus, index=bucketed_idx,
-                                 threshold=0.4, broadcast_rows_limit=0)
+                                 threshold=0.4, broadcast_rows_limit=0,
+                                 materialize=False)
     assert count_exchanges(bucketed) < count_exchanges(plain)
     # and the two paths agree on the result
     assert sorted(map(tuple, bucketed.collect())) == sorted(
