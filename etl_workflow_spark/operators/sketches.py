@@ -110,3 +110,168 @@ def heavy_hitters(
     return sk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").alias("count")
     )
+
+
+def value_histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    ts_col: str | None = None,
+    lo: float = 0.01,
+    hi: float = 1e9,
+    growth: float = 1.05,
+) -> DataFrame:
+    """Mergeable log-scale histogram of a numeric column per group —
+    the quantile twin of :func:`daily_distinct_sketches`. Exact
+    per-bin counts (binning, not sampling): merging is elementwise
+    array addition, so a day's histogram is built ONCE and any later
+    range/rollup query unions a few hundred small rows instead of
+    re-scanning and re-sorting the facts (what every exact
+    percentile_approx over a range pays).
+
+    Bins are geometric: bucket i covers [lo·g^(i-1), lo·g^i), plus an
+    underflow bin 0 (v ≤ lo, including zero/negatives) and a terminal
+    overflow bin (v ≥ hi). Quantile estimates from the merged counts
+    carry relative error ≤ growth−1 (5% at the default 1.05; tighten
+    with growth=1.01 for ~2.3× more bins). The sketch rows are
+    self-describing (lo/hi/growth/nbins stored alongside) and
+    parquet-round-trippable.
+
+    ``ts_col`` is a convenience: group by its calendar date. One
+    groupBy shuffle whose payload is ≤ groups × nbins longs.
+    """
+    import math
+
+    if not (hi > lo > 0 and growth > 1):
+        raise ValueError("need hi > lo > 0 and growth > 1")
+    inner = math.ceil(math.log(hi / lo) / math.log(growth))
+    nbins = inner + 2  # underflow + inner + overflow
+
+    keys = [F.col(c) for c in (group_cols or [])]
+    if ts_col is not None:
+        keys = [F.to_date(F.col(ts_col)).alias("date")] + keys
+    v = F.col(value_col).cast("double")
+    bucket = (
+        F.when(v <= F.lit(float(lo)), F.lit(0))
+        .when(v >= F.lit(float(hi)), F.lit(nbins - 1))
+        .otherwise(
+            (
+                F.floor(F.log(v / F.lit(float(lo))) / F.lit(math.log(growth)))
+                + F.lit(1)
+            ).cast("int")
+        )
+    )
+    per_bucket = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, bucket.alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum(v).alias("bsum"),
+            F.min(v).alias("bmin"),
+            F.max(v).alias("bmax"),
+        )
+    )
+    key_names = (["date"] if ts_col is not None else []) + list(group_cols or [])
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("b"), F.col("bn")))
+    )
+    sk = per_bucket.groupBy(*[F.col(k) for k in key_names]).agg(
+        m.alias("m"),
+        F.sum("bn").alias("n"),
+        F.sum("bsum").alias("vsum"),
+        F.min("bmin").alias("vmin"),
+        F.max("bmax").alias("vmax"),
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(nbins - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0)),
+    )
+    return sk.select(
+        *key_names,
+        counts.alias("counts"),
+        "n",
+        "vsum",
+        "vmin",
+        "vmax",
+        F.lit(float(lo)).alias("lo"),
+        F.lit(float(hi)).alias("hi"),
+        F.lit(float(growth)).alias("growth"),
+        F.lit(nbins).alias("nbins"),
+    )
+
+
+def merge_histogram_sketches(sketches: DataFrame) -> DataFrame:
+    """Merge histogram-sketch rows (a date range, a set of groups)
+    into ONE combined histogram: posexplode → per-position sum →
+    re-assemble, an exact operation on exact counts. Shuffle payload
+    is rows × nbins longs — independent of the fact volume the
+    sketches summarize. Returns one row with the same self-describing
+    schema (minus the group keys)."""
+    pos = sketches.select(
+        F.posexplode("counts").alias("pos", "c"),
+        "n", "vsum", "vmin", "vmax", "lo", "hi", "growth", "nbins",
+    )
+    merged_bins = (
+        pos.groupBy("pos")
+        .agg(F.sum("c").alias("c"))
+        # collect_list order is not guaranteed even after a sort —
+        # sort the (pos, c) structs inside the array instead
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda e: e["c"],
+            ).alias("counts")
+        )
+    )
+    totals = sketches.agg(
+        F.sum("n").alias("n"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.first("growth").alias("growth"),
+        F.first("nbins").alias("nbins"),
+    )
+    return merged_bins.crossJoin(totals)
+
+
+def histogram_quantiles(
+    merged: DataFrame,
+    qs: list[float],
+) -> list[tuple[float, float]]:
+    """Quantile estimates from a merged histogram row: walk the
+    cumulative counts, geometric interpolation inside the landing bin,
+    clamped to the observed [vmin, vmax]. Relative error ≤ growth−1
+    for values inside (lo, hi); the edge bins answer with the exact
+    observed extrema. The input is ONE bounded row — the collect is
+    O(nbins), justified. Returns [(q, estimate), ...]."""
+    import math
+
+    row = merged.collect()[0]
+    counts, n = list(row.counts), int(row.n)
+    lo, growth = float(row.lo), float(row.growth)
+    vmin, vmax = float(row.vmin), float(row.vmax)
+    if n == 0:
+        raise ValueError("empty histogram")
+    out = []
+    cum = [0]
+    for c in counts:
+        cum.append(cum[-1] + c)
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0,1]")
+        rank = q * n
+        # first bin whose cumulative count reaches the rank
+        b = next(i for i in range(len(counts)) if cum[i + 1] >= rank)
+        if b == 0:
+            est = vmin
+        elif b == len(counts) - 1:
+            est = vmax
+        else:
+            lo_edge = lo * growth ** (b - 1)
+            hi_edge = lo_edge * growth
+            frac = (rank - cum[b]) / counts[b] if counts[b] else 0.0
+            est = lo_edge * math.exp(frac * math.log(hi_edge / lo_edge))
+        out.append((q, min(max(est, vmin), vmax)))
+    return out

@@ -119,3 +119,90 @@ def test_heavy_hitters_match_exact_on_dominant_items(spark, sf_dir):
     }
     # 5 event types, all tracked: counts must be exact
     assert got == exact
+
+
+def _hist_imports():
+    from etl_workflow_spark.operators.sketches import (
+        histogram_quantiles,
+        merge_histogram_sketches,
+        value_histogram_sketch,
+    )
+
+    return value_histogram_sketch, merge_histogram_sketches, histogram_quantiles
+
+
+def test_histogram_merge_is_exact(spark, sf_dir, tmp_path):
+    """Per-day sketches merged must equal the whole-table histogram
+    EXACTLY — bin counts are exact; only within-bin position is
+    approximate. Must also survive parquet (the store is persisted)."""
+    sketch, merge, _ = _hist_imports()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    daily = sketch(li, "l_extendedprice", ts_col="l_shipdate")
+    path = str(tmp_path / "hist_store")
+    daily.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    merged = merge(reloaded).collect()[0]
+    whole = (
+        sketch(li.select("l_extendedprice"), "l_extendedprice")
+        .collect()[0]
+    )
+    assert list(merged.counts) == list(whole.counts)
+    assert merged.n == whole.n == li.where("l_extendedprice is not null").count()
+    assert merged.vmin == whole.vmin and merged.vmax == whole.vmax
+    assert abs(merged.vsum - whole.vsum) < 1e-6 * abs(whole.vsum)
+
+
+def test_histogram_layout_invariant(spark, sf_dir):
+    sketch, merge, _ = _hist_imports()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_extendedprice")
+    a = sketch(li, "l_extendedprice").collect()[0]
+    b = sketch(li.repartition(7), "l_extendedprice").collect()[0]
+    assert list(a.counts) == list(b.counts) and a.n == b.n
+
+
+def test_histogram_quantiles_within_growth_bound(spark, sf_dir):
+    """Estimates vs numpy exact: relative error <= growth-1 (plus a
+    hair of slack for interpolation at bin boundaries)."""
+    import numpy as np
+
+    sketch, merge, quantiles = _hist_imports()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    growth = 1.05
+    daily = sketch(li, "l_extendedprice", ts_col="l_shipdate", growth=growth)
+    merged = merge(daily)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    est = dict(quantiles(merged, qs))
+    vals = np.array(
+        [r.l_extendedprice for r in li.select("l_extendedprice").collect()
+         if r.l_extendedprice is not None]
+    )
+    for q in qs:
+        exact = float(np.quantile(vals, q))
+        rel = abs(est[q] - exact) / exact
+        assert rel <= (growth - 1) + 0.01, (q, est[q], exact, rel)
+
+
+def test_histogram_edge_bins_clamp_to_extrema(spark):
+    sketch, merge, quantiles = _hist_imports()
+    df = spark.createDataFrame(
+        [(0.0,), (0.001,), (5.0,), (2e9,), (3e9,)], "v double"
+    )
+    sk = sketch(df, "v", lo=0.01, hi=1e9)
+    row = sk.collect()[0]
+    assert row.counts[0] == 2  # 0.0 and 0.001 underflow
+    assert row.counts[-1] == 2  # the two >hi values overflow
+    est = dict(quantiles(sk, [0.0, 1.0]))
+    assert est[0.0] == 0.0 and est[1.0] == 3e9
+
+
+def test_histogram_validates_params(spark):
+    sketch, _, quantiles = _hist_imports()
+    df = spark.createDataFrame([(1.0,)], "v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sketch(df, "v", lo=10.0, hi=1.0)
+    with _pytest.raises(ValueError):
+        sketch(df, "v", growth=1.0)
+    with _pytest.raises(ValueError):
+        quantiles(sketch(df, "v"), [1.5])
