@@ -545,3 +545,61 @@ def stream_sketch_rollup(
         .foreachBatch(merge)
         .option("checkpointLocation", checkpoint_path)
     )
+
+
+def histogram_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    lo: float = 0.01,
+    hi: float = 1e9,
+    growth: float = 1.05,
+) -> None:
+    """Write one micro-batch's per-day value histograms into the
+    sketch store, EXACTLY-ONCE: rows land in ``date=…/batch_id=…``
+    partitions, so replaying a failed batch dynamic-overwrites exactly
+    the partitions it wrote the first time with identical content —
+    unlike the HLL store (idempotent by union), additive counts need
+    this write-side idempotence. No read-modify-write: the store is
+    append-only by batch partition; readers merge per-date rows
+    (:func:`~etl_workflow_spark.operators.sketches.merge_histogram_sketches`
+    — merging IS elementwise addition, so per-batch fragments cost
+    nothing but file count). Compact closed days (rewrite a day's rows
+    as one merged row under a single batch partition) only once the
+    day can no longer receive a replay — Structured Streaming re-runs
+    at most the last uncommitted batch, so any older day is safe."""
+    from ..operators.sketches import value_histogram_sketch
+
+    day = value_histogram_sketch(
+        batch_df, value_col, ts_col=ts_col, lo=lo, hi=hi, growth=growth
+    ).withColumn("batch_id", F.lit(int(batch_id)))
+    (
+        day.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date", "batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_histogram_rollup(
+    events_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous histogram-store maintenance: each micro-batch adds
+    its (date, batch_id) histogram fragments
+    (:func:`histogram_rollup_batch`); range quantile queries merge the
+    store's rows — never the stream's history. Returns a writeStream
+    builder (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )

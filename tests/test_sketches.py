@@ -206,3 +206,72 @@ def test_histogram_validates_params(spark):
         sketch(df, "v", growth=1.0)
     with _pytest.raises(ValueError):
         quantiles(sketch(df, "v"), [1.5])
+
+
+def test_histogram_rollup_exactly_once_under_replay(spark, sf_dir, tmp_path):
+    """Split real events into two 'micro-batches', roll both into the
+    store, and the merged store must equal the one-shot batch build
+    EXACTLY (counts are exact). Replaying a batch with its original
+    batch_id must leave the store byte-identical (partition overwrite
+    idempotence); a NEW batch_id genuinely adds."""
+    from etl_workflow_spark.operators.sketches import (
+        merge_histogram_sketches,
+        value_histogram_sketch,
+    )
+    from etl_workflow_spark.streaming.incremental import histogram_rollup_batch
+
+    ev = events_table(spark, sf_dir).where(F.col("value").isNotNull())
+    store = str(tmp_path / "hist_store")
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+    histogram_rollup_batch(b1, store, batch_id=0)
+    histogram_rollup_batch(b2, store, batch_id=1)
+
+    merged = merge_histogram_sketches(spark.read.parquet(store)).collect()[0]
+    whole = merge_histogram_sketches(
+        value_histogram_sketch(ev, "value", ts_col="ts")
+    ).collect()[0]
+    assert list(merged.counts) == list(whole.counts)
+    assert merged.n == whole.n and merged.vmin == whole.vmin
+
+    # replay batch 1 (same batch_id): nothing changes
+    histogram_rollup_batch(b2, store, batch_id=1)
+    replay = merge_histogram_sketches(spark.read.parquet(store)).collect()[0]
+    assert list(replay.counts) == list(merged.counts) and replay.n == merged.n
+
+    # same rows under a NEW batch_id: counts double for those rows
+    histogram_rollup_batch(b2, store, batch_id=2)
+    dup = merge_histogram_sketches(spark.read.parquet(store)).collect()[0]
+    assert dup.n == merged.n + b2.count()
+
+
+def test_stream_histogram_rollup_real_stream(spark, sf_dir, tmp_path):
+    """Drive the rollup through a real availableNow file stream; the
+    store must match the batch build exactly."""
+    import time
+
+    from etl_workflow_spark.operators.sketches import (
+        merge_histogram_sketches,
+        value_histogram_sketch,
+    )
+    from etl_workflow_spark.streaming.incremental import stream_histogram_rollup
+
+    ev = events_table(spark, sf_dir).where(F.col("value").isNotNull())
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream_histogram_rollup(stream, store, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+
+    merged = merge_histogram_sketches(spark.read.parquet(store)).collect()[0]
+    whole = merge_histogram_sketches(
+        value_histogram_sketch(ev, "value", ts_col="ts")
+    ).collect()[0]
+    assert list(merged.counts) == list(whole.counts) and merged.n == whole.n
