@@ -853,14 +853,26 @@ def pca_fit(
     coordinate positive) so refits are comparable across runs and
     layouts.
     """
-    import numpy as np
+    return pca_fit_from_partials(
+        gram_partials(df, dim=dim, vec_col=vec_col), k=k, dim=dim, center=center
+    )
 
-    if k > dim:
-        raise ValueError(f"k={k} exceeds dim={dim}")
+
+def gram_partials(
+    df: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-partition Gram-matrix partials of an embedding column:
+    one row ``(n, s array<dim>, g array<dim²>)`` per non-empty
+    partition, accumulated in an Arrow-batched numpy loop. The partials
+    are a MERGEABLE SKETCH of the second-moment structure — addition
+    combines them — which is what makes PCA maintainable incrementally
+    (see ``streaming.incremental.stream_gram_rollup``) and fittable
+    from a persisted store without re-scanning vectors."""
+    import numpy as np
 
     src = df.select(_as_double(F.col(vec_col)).alias("v"))
 
-    def gram_partials(batches):
+    def acc(batches):
         n = 0
         s = np.zeros(dim, dtype=np.float64)
         g = np.zeros((dim, dim), dtype=np.float64)
@@ -880,9 +892,26 @@ def pca_fit(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    parts = src.mapInPandas(
-        gram_partials, "n long, s array<double>, g array<double>"
-    ).collect()
+    return src.mapInPandas(acc, "n long, s array<double>, g array<double>")
+
+
+def pca_fit_from_partials(
+    parts_df: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    center: bool = True,
+) -> dict:
+    """Solve the PCA eigenproblem from Gram partials (fresh from
+    :func:`gram_partials` or read back from a partial store): sum the
+    bounded partial rows on the driver, form the covariance, eigh.
+    Collect moves ``rows × (dim² + dim + 1)`` doubles — compact a
+    long-lived store periodically (partials merge by addition) to keep
+    the row count at O(partitions)."""
+    import numpy as np
+
+    if k > dim:
+        raise ValueError(f"k={k} exceeds dim={dim}")
+    parts = parts_df.select("n", "s", "g").collect()
     if not parts:
         raise ValueError("pca_fit: empty input")
     n = sum(r.n for r in parts)

@@ -603,3 +603,68 @@ def stream_histogram_rollup(
         .foreachBatch(merge)
         .option("checkpointLocation", checkpoint_path)
     )
+
+
+def gram_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Write one micro-batch's Gram partials (n, Σx, XᵀX — see
+    ``operators.similarity.gram_partials``) into the partial store
+    under a ``batch_id=…`` partition: the same write-side exactly-once
+    as :func:`histogram_rollup_batch` (replay dynamic-overwrites the
+    batch's own partition with identical content; partials are
+    additive, not union-idempotent). A PCA basis over everything
+    ingested so far is then ``pca_fit_from_partials(read store)`` —
+    no vector re-scan, ever. Coalesced to one row per batch: a
+    micro-batch is small, and store row count stays O(batches) until
+    compaction (sum rows into one — partials merge by addition)."""
+    from ..operators.similarity import gram_partials
+
+    # sum the partials driver-side: ONE scan of the batch, bounded rows
+    # (one per partition), and no cached blocks to leak across a
+    # long-running stream (a per-batch localCheckpoint would accrete)
+    import numpy as np
+
+    rows = gram_partials(batch_df, dim=dim, vec_col=vec_col).collect()
+    if not rows:
+        return
+    n = int(sum(r.n for r in rows))
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    g = np.sum([np.array(r.g) for r in rows], axis=0)
+    spark = batch_df.sparkSession
+    one = spark.createDataFrame(
+        [(n, [float(x) for x in s], [float(x) for x in g])],
+        "n long, s array<double>, g array<double>",
+    )
+    (
+        one.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_gram_rollup(
+    vec_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous PCA maintenance: each micro-batch appends its Gram
+    partial (:func:`gram_rollup_batch`); refitting the basis reads the
+    tiny partial store, never the vectors. Returns a writeStream
+    builder (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        gram_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )

@@ -115,3 +115,59 @@ def test_empty_and_bad_dim_raise(spark, emb):
         S.pca_fit(emb, k=2, dim=32)  # declared dim mismatches data
     with pytest.raises(ValueError):
         S.pca_fit(emb, k=DIM + 1, dim=DIM)
+
+
+def test_gram_rollup_incremental_pca_matches_batch(spark, emb, tmp_path):
+    """PCA refit from the streamed Gram-partial store must equal the
+    one-shot batch fit; replaying a batch with its original batch_id
+    must not change the model, a new batch_id must."""
+    from etl_workflow_spark.streaming.incremental import gram_rollup_batch
+
+    store = str(tmp_path / "gram_store")
+    b1 = emb.where("vec_id % 2 = 0")
+    b2 = emb.where("vec_id % 2 = 1")
+    gram_rollup_batch(b1, store, batch_id=0, dim=DIM)
+    gram_rollup_batch(b2, store, batch_id=1, dim=DIM)
+
+    from_store = S.pca_fit_from_partials(
+        spark.read.parquet(store), k=K, dim=DIM
+    )
+    batch = S.pca_fit(emb, k=K, dim=DIM)
+    assert from_store["n"] == batch["n"]
+    assert np.allclose(from_store["components"], batch["components"], atol=1e-8)
+    assert np.allclose(
+        from_store["explained_variance"], batch["explained_variance"], rtol=1e-8
+    )
+
+    # replay with the same batch_id: model unchanged
+    gram_rollup_batch(b2, store, batch_id=1, dim=DIM)
+    replay = S.pca_fit_from_partials(spark.read.parquet(store), k=K, dim=DIM)
+    assert replay["n"] == batch["n"]
+    assert np.allclose(replay["components"], batch["components"], atol=1e-10)
+
+    # a NEW batch_id genuinely adds rows
+    gram_rollup_batch(b2, store, batch_id=2, dim=DIM)
+    grown = S.pca_fit_from_partials(spark.read.parquet(store), k=K, dim=DIM)
+    assert grown["n"] == batch["n"] + b2.count()
+
+
+def test_stream_gram_rollup_real_stream(spark, emb, tmp_path):
+    """Drive the Gram rollup through a real availableNow stream and
+    refit: must match the batch model."""
+    from etl_workflow_spark.streaming.incremental import stream_gram_rollup
+
+    src = str(tmp_path / "src")
+    emb.write.parquet(src)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        stream_gram_rollup(stream, store, ckpt, dim=DIM)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+    model = S.pca_fit_from_partials(spark.read.parquet(store), k=K, dim=DIM)
+    batch = S.pca_fit(emb, k=K, dim=DIM)
+    assert model["n"] == batch["n"]
+    assert np.allclose(model["components"], batch["components"], atol=1e-8)
