@@ -218,7 +218,29 @@ def merge_histogram_sketches(sketches: DataFrame) -> DataFrame:
     must share one (lo, hi, growth) config — bins are only comparable
     within a config. Returns one row: (counts, n, vsum, vmin, vmax,
     lo, hi, growth, nbins)."""
-    one = sketches.agg(
+    folded = merge_histogram_rows(sketches, keys=[])
+    counts = F.transform(
+        F.sequence(F.lit(0), F.col("nbins") - 1),
+        lambda i: F.coalesce(
+            F.element_at(F.col("bins"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return folded.select(
+        counts.alias("counts"),
+        "n", "vsum", "vmin", "vmax", "lo", "hi", "growth", "nbins",
+    )
+
+
+def merge_histogram_rows(
+    sketches: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Merge sketch rows per ``keys`` group, staying in the SPARSE
+    store format (bins map, no densify) — the building block for
+    store compaction (collapse a day's per-batch fragments into one
+    row) and coarser rollups (day → month). ``keys=[]`` merges
+    everything to one row."""
+    key_cols = [F.col(k) for k in (keys or [])]
+    one = sketches.groupBy(*key_cols).agg(
         F.collect_list("bins").alias("ml"),
         F.sum("n").alias("n"),
         F.sum("vsum").alias("vsum"),
@@ -238,21 +260,9 @@ def merge_histogram_sketches(sketches: DataFrame) -> DataFrame:
             lambda _k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
         ),
     )
-    # materialize the folded map as a COLUMN before the densify pass:
-    # capturing the fold expression inside transform would re-evaluate
-    # it once per bin position
-    folded = one.select(
+    return one.select(
+        *(keys or []),
         merged_map.alias("bins"),
-        "n", "vsum", "vmin", "vmax", "lo", "hi", "growth", "nbins",
-    )
-    counts = F.transform(
-        F.sequence(F.lit(0), F.col("nbins") - 1),
-        lambda i: F.coalesce(
-            F.element_at(F.col("bins"), i.cast("int")), F.lit(0).cast("long")
-        ),
-    )
-    return folded.select(
-        counts.alias("counts"),
         "n", "vsum", "vmin", "vmax", "lo", "hi", "growth", "nbins",
     )
 

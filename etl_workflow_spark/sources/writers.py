@@ -181,7 +181,12 @@ def update_rows(
     return matched
 
 
-def _swap_staged(spark: SparkSession, path: str, df: DataFrame) -> None:
+def _swap_staged(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> None:
     """Materialize ``df`` beside ``path`` and swap it in via renames.
 
     Parquet can't overwrite a path while reading it — stage once, then
@@ -191,9 +196,15 @@ def _swap_staged(spark: SparkSession, path: str, df: DataFrame) -> None:
     ._old; every step before the old-dir delete is recoverable (either
     the live path or ._old still holds the previous data, ._staged
     holds the new). Assumes NO concurrent readers (see update_rows).
+    ``partition_by`` keeps the staged copy's directory layout identical
+    to a partitioned live table (a later dynamic-partition writer
+    expects it).
     """
     tmp = path.rstrip("/") + "._staged"
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)

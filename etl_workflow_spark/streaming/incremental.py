@@ -668,3 +668,60 @@ def stream_gram_rollup(
         .foreachBatch(merge)
         .option("checkpointLocation", checkpoint_path)
     )
+
+
+def compact_histogram_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Collapse per-batch histogram fragments into one row per date —
+    the file-count bound for a long-lived store. Only fragments with
+    ``batch_id < before_batch_id`` compact (pass the CURRENT max batch
+    id: Structured Streaming replays at most the last uncommitted
+    batch, so everything strictly below it is closed); compacted rows
+    land under ``batch_id=-1`` and re-compact harmlessly next time.
+    The rewrite is a staged swap preserving the (date, batch_id)
+    partition layout the streaming writer targets — single-writer
+    contract, same as every mutation in ``sources.writers``."""
+    from ..operators.sketches import merge_histogram_rows
+    from ..sources.writers import _swap_staged
+
+    store = spark.read.parquet(store_path)
+    old = store.where(F.col("batch_id") < F.lit(int(before_batch_id)))
+    keep = store.where(F.col("batch_id") >= F.lit(int(before_batch_id)))
+    compacted = merge_histogram_rows(old, keys=["date"]).withColumn(
+        "batch_id", F.lit(-1).cast("int")
+    )
+    out = compacted.unionByName(keep.select(*compacted.columns))
+    _swap_staged(spark, store_path, out, partition_by=["date", "batch_id"])
+
+
+def compact_gram_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Same contract for the Gram-partial store: sum all closed
+    batches' partials into one ``batch_id=-1`` row (partials merge by
+    addition; the sum runs driver-side over the store's bounded rows,
+    exactly like a refit would)."""
+    import numpy as np
+
+    from ..sources.writers import _swap_staged
+
+    store = spark.read.parquet(store_path)
+    old = store.where(F.col("batch_id") < F.lit(int(before_batch_id)))
+    keep = store.where(F.col("batch_id") >= F.lit(int(before_batch_id)))
+    rows = old.select("n", "s", "g").collect()
+    frames = [keep.select("n", "s", "g", "batch_id")]
+    if rows:
+        n = int(sum(r.n for r in rows))
+        s = np.sum([np.array(r.s) for r in rows], axis=0)
+        g = np.sum([np.array(r.g) for r in rows], axis=0)
+        frames.append(
+            spark.createDataFrame(
+                [(n, [float(x) for x in s], [float(x) for x in g], -1)],
+                "n long, s array<double>, g array<double>, batch_id int",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    _swap_staged(spark, store_path, out, partition_by=["batch_id"])

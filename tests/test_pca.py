@@ -171,3 +171,23 @@ def test_stream_gram_rollup_real_stream(spark, emb, tmp_path):
     batch = S.pca_fit(emb, k=K, dim=DIM)
     assert model["n"] == batch["n"]
     assert np.allclose(model["components"], batch["components"], atol=1e-8)
+
+
+def test_compact_gram_store_preserves_model(spark, emb, tmp_path):
+    from etl_workflow_spark.streaming.incremental import (
+        compact_gram_store,
+        gram_rollup_batch,
+    )
+
+    store = str(tmp_path / "gram")
+    for b in range(3):
+        gram_rollup_batch(
+            emb.where(f"vec_id % 3 = {b}"), store, batch_id=b, dim=DIM
+        )
+    before = S.pca_fit_from_partials(spark.read.parquet(store), k=K, dim=DIM)
+    compact_gram_store(spark, store, before_batch_id=2)
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == 2  # compacted row + open batch 2
+    after = S.pca_fit_from_partials(store_df, k=K, dim=DIM)
+    assert after["n"] == before["n"]
+    assert np.allclose(after["components"], before["components"], atol=1e-10)

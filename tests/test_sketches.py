@@ -274,3 +274,43 @@ def test_stream_histogram_rollup_real_stream(spark, sf_dir, tmp_path):
         value_histogram_sketch(ev, "value", ts_col="ts")
     ).collect()[0]
     assert list(merged.counts) == list(whole.counts) and merged.n == whole.n
+
+
+def test_compact_histogram_store_preserves_totals(spark, sf_dir, tmp_path):
+    """Compacting closed batches must leave every merged answer
+    unchanged, shrink the fragment count, and keep the still-open
+    batch's fragments untouched (replay safety)."""
+    import os
+
+    from etl_workflow_spark.operators.sketches import merge_histogram_sketches
+    from etl_workflow_spark.streaming.incremental import (
+        compact_histogram_store,
+        histogram_rollup_batch,
+    )
+
+    ev = events_table(spark, sf_dir).where(F.col("value").isNotNull())
+    store = str(tmp_path / "store")
+    for b in range(3):
+        histogram_rollup_batch(
+            ev.where(F.col("event_id") % 3 == b), store, batch_id=b
+        )
+    before = merge_histogram_sketches(spark.read.parquet(store)).collect()[0]
+    n_frags_before = spark.read.parquet(store).count()
+
+    # batch 2 is the still-replayable tail: compact everything below it
+    compact_histogram_store(spark, store, before_batch_id=2)
+    after_df = spark.read.parquet(store)
+    after = merge_histogram_sketches(after_df).collect()[0]
+    assert list(after.counts) == list(before.counts)
+    assert after.n == before.n and after.vmin == before.vmin
+    assert after_df.count() < n_frags_before
+    # open batch survives under its own id; closed ones merged to -1
+    ids = {r.batch_id for r in after_df.select("batch_id").distinct().collect()}
+    assert ids == {-1, 2}
+    # a replay of the open batch still converges after compaction
+    histogram_rollup_batch(
+        ev.where(F.col("event_id") % 3 == 2), store, batch_id=2
+    )
+    replay = merge_histogram_sketches(spark.read.parquet(store)).collect()[0]
+    assert list(replay.counts) == list(before.counts)
+    assert os.path.isdir(store)
