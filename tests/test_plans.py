@@ -264,3 +264,61 @@ def test_probe_fallback_reads_bucketed_index_in_place(spark, sf_dir):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_gram_partials_single_pass_no_shuffle(spark, sf_dir):
+    """PCA's fit pass must scan the vectors once with ZERO exchanges:
+    partials are per-partition, the only data movement is the bounded
+    collect of one row per partition."""
+    from etl_workflow_spark.operators.similarity import gram_partials
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    parts = gram_partials(emb, dim=64)
+    assert plans.count_exchanges(parts) == 0
+    # and the scan must prune to the embedding column only
+    schemas = plans.scan_read_schemas(parts)
+    assert any("embedding" in s and "label" not in s for s in schemas)
+
+
+def test_histogram_sketch_two_agg_shuffles_pruned_scan(spark, sf_dir):
+    """The histogram build is two hash aggregations (bucket cells,
+    then per-group maps) — no more; and the fact scan reads only the
+    value and date columns."""
+    from etl_workflow_spark.operators.sketches import value_histogram_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk = value_histogram_sketch(li, "l_extendedprice", ts_col="l_shipdate")
+    assert plans.count_exchanges(sk) <= 2
+    schemas = plans.scan_read_schemas(sk)
+    assert any(
+        "l_extendedprice" in s and "l_orderkey" not in s for s in schemas
+    )
+
+
+def test_histogram_month_rollup_from_daily_store(spark, sf_dir, tmp_path):
+    """Coarser rollups come from the STORE, not the facts: day→month
+    via merge_histogram_rows on a derived month key must equal
+    month histograms built from the raw facts."""
+    from etl_workflow_spark.operators.sketches import (
+        merge_histogram_rows,
+        value_histogram_sketch,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    daily = value_histogram_sketch(li, "l_extendedprice", ts_col="l_shipdate")
+    monthly_from_store = merge_histogram_rows(
+        daily.withColumn("month", F.date_trunc("month", "date").cast("date")),
+        keys=["month"],
+    )
+    monthly_direct = value_histogram_sketch(
+        li.withColumn(
+            "month", F.date_trunc("month", "l_shipdate").cast("date")
+        ),
+        "l_extendedprice",
+        group_cols=["month"],
+    )
+    got = {
+        r.month: (dict(r.bins), r.n) for r in monthly_from_store.collect()
+    }
+    want = {r.month: (dict(r.bins), r.n) for r in monthly_direct.collect()}
+    assert got == want and len(got) > 12
