@@ -254,10 +254,26 @@ def main() -> None:
     qs = {**entry_mod.queries(), **ops}
 
     def _prev_record() -> tuple[str | None, dict]:
-        """Newest BENCH_r*.json whose record parsed (crashed rounds
-        store parsed: null — skip so deltas are vs the last real run)."""
+        """Previous full record for deltas. Prefer BENCH_LOCAL.json —
+        bench.py's own complete record, written every run and committed
+        — over the driver's BENCH_r*.json tails: the driver persists
+        only the LAST 2000 chars of stdout, so a grown record loses its
+        front (r6: parsed null, headline+calibration unrecoverable).
+        BENCH_LOCAL always has calibration_sec and the current forcing
+        mode, so deltas are calibrated and compat re-timing never
+        triggers."""
         import glob
 
+        local = os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json")
+        try:
+            with open(local) as fh:
+                parsed = json.load(fh)
+            # same-sf only: a record from a smoke run at another scale
+            # would make every delta a scale artifact
+            if parsed.get("queries") and parsed.get("sf") == sf:
+                return "BENCH_LOCAL.json", parsed
+        except Exception:
+            pass
         prior = sorted(
             glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
         )
@@ -349,52 +365,92 @@ def main() -> None:
         else:
             _run_pass(compat_t, compat_e, mode)
 
-    total = round(sum(timings.values()), 3)
-    out = {
+    def _sig3(x: float) -> float:
+        """3 significant figures — the record must fit the driver's
+        2000-char stdout-tail capture (r6 outgrew it and the whole
+        round's perf signal was lost to truncation)."""
+        return float(f"{x:.3g}")
+
+    total = _sig3(sum(timings.values()))
+    # Field ORDER is load-bearing: the driver keeps only the stdout
+    # tail, so the headline fields (value, calibration_sec, sf, passes)
+    # go LAST — a front-truncated record still surrenders them to a
+    # tail scrape even if full-JSON parsing fails. The raw
+    # delta_vs_prev map is gone (recomputable from BENCH_LOCAL.json);
+    # only calibration-normalized regressions are published.
+    out: dict = {
         "metric": "headline_queries_wall",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "passes": 2,
-        "calibration_sec": calibration,
         # r6 methodology change: count-per-output-column forcing
         # (r2-r5 used count(*), which join-eliminated some queries —
         # e.g. lifetime_value's outer join never ran — and let scans
-        # prune to zero columns). Per-query deltas vs r5 therefore mix
-        # real change with the fuller measurement.
+        # prune to zero columns).
         "forcing": "count-per-column",
+        "queries": {q: _sig3(t) for q, t in timings.items()},
     }
     if errors:
         out["errors"] = errors
 
-    # Per-query delta vs the newest recorded round (BENCH_r{N}.json), so
-    # each round's record carries its own regression report. Single-run
-    # local timings are noisy (~±0.3s, with rare several-× late-session
-    # outliers); read deltas accordingly.
+    # Calibrated deltas: host throughput swings 2-4x within a day
+    # (measured; r6's apparent dedup_minhash_lsh +70% did not reproduce
+    # on a controlled re-run), so per-query deltas are divided by the
+    # calibration ratio (this run's synthetic-probe time / previous
+    # run's) before judging. Only calibrated regressions >15% are
+    # published (capped at 8, largest first) — the full previous record
+    # lives in BENCH_LOCAL.json for anything deeper.
     prev_q = prev_parsed.get("queries") or {}
     if prev_name:
         out["prev_round"] = prev_name
+    prev_cal = prev_parsed.get("calibration_sec")
     if prev_q and prev_parsed.get("forcing", "count-star") == out["forcing"]:
-        out["delta_vs_prev"] = {
-            q: round(t - prev_q[q], 3) for q, t in timings.items() if q in prev_q
-        }
+        ratio = (calibration / prev_cal) if prev_cal else 1.0
+        out["calibration_ratio"] = _sig3(ratio)
+        regressions = sorted(
+            (
+                (q, _sig3(t / ratio - prev_q[q]))
+                for q, t in timings.items()
+                if q in prev_q and prev_q[q] > 0
+                and (t / ratio - prev_q[q]) / prev_q[q] > 0.15
+                and t / ratio - prev_q[q] > 0.1
+            ),
+            key=lambda kv: -kv[1],
+        )[:8]
+        out["delta_vs_prev_calibrated"] = dict(regressions)
     elif prev_q and compat_t:
-        compat = {
+        # transient: only fires the one round after a forcing change
+        out["compat"] = {
             "forcing": compat_mode,
-            "value": round(sum(compat_t.values()), 3),
-            "queries": compat_t,
-            "delta_vs_prev": {
-                q: round(t - prev_q[q], 3)
-                for q, t in compat_t.items()
-                if q in prev_q
-            },
+            "value": _sig3(sum(compat_t.values())),
         }
-        if compat_e:
-            compat["errors"] = compat_e
-        out["compat"] = compat
+    out["passes"] = 2
+    out["sf"] = sf
+    out["calibration_sec"] = calibration
+    out["value"] = total
 
-    print(json.dumps(out))
+    # Persist the full record locally so the next run's deltas never
+    # depend on the driver's truncatable capture. Best-effort: a
+    # read-only checkout must not kill the bench.
+    try:
+        local = os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json")
+        with open(local, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError:
+        pass
+
+    line = json.dumps(out)
+    # Hard guard: the driver's capture window is 2000 chars. If the
+    # record ever outgrows it again, shed the biggest optional field
+    # rather than lose the headline (the queries map stays — it is the
+    # per-query signal; regressions and errors are diagnosable from
+    # BENCH_LOCAL.json).
+    if len(line) > 1900:
+        for drop in ("delta_vs_prev_calibrated", "errors", "compat"):
+            out.pop(drop, None)
+            line = json.dumps(out)
+            if len(line) <= 1900:
+                break
+    print(line)
     spark.stop()
 
 
