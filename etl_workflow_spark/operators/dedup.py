@@ -855,12 +855,23 @@ def dedup_paragraphs(
     rebuild is the same windowless groupBy(id) + in-group array_sort
     as :func:`strip_boilerplate_lines`. Everything is linear in corpus
     paragraphs; nothing is quadratic in repeats.
+
+    ``sep`` is treated as a LITERAL separator (escaped before the
+    regex split — a "." or "||" separator must not split on every
+    character), matching the literal rejoin. Documents with NULL text
+    survive with NULL text and ``n_paras_removed = 0`` via a final
+    join back to the input ids (posexplode of a null array would
+    otherwise silently drop them).
     """
+    import re as _re
+
     from .partitioning import scale_partitions
 
     paras = scale_partitions(docs).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(col), _re.escape(sep))).alias(
+            "pos", "para"
+        ),
     ).withColumn(
         "para_h", F.xxhash64(F.trim(F.col("para")))
     ).withColumn(
@@ -879,7 +890,7 @@ def dedup_paragraphs(
             & (F.col("w.pos") == F.col("pos"))
         ),
     )
-    return (
+    rebuilt = (
         tagged.groupBy(id_col)
         .agg(
             F.array_join(
@@ -895,7 +906,20 @@ def dedup_paragraphs(
                     lambda s: s["p"],
                 ),
                 sep,
-            ).alias(col),
+            ).alias("__text"),
             F.sum(F.col("drop").cast("long")).alias("n_paras_removed"),
+        )
+    )
+    # null-text docs never reached the explode; restore them (text
+    # stays NULL, nothing removed) — the join side is (id,) slim
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("__text").alias(col),
+            F.coalesce(F.col("n_paras_removed"), F.lit(0).cast("long")).alias(
+                "n_paras_removed"
+            ),
         )
     )

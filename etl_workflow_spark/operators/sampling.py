@@ -265,10 +265,18 @@ def leakage_safe_split(
     from .dedup import dedup_clusters
 
     pairs = pairs.persist()
-    small = pairs.count() <= broadcast_pairs_limit
+    try:
+        small = pairs.count() <= broadcast_pairs_limit
+        # eager checkpoint materializes the (small) cluster map and cuts
+        # its lineage to pairs, so the persist can be released HERE —
+        # the returned lazy splits no longer reference it (a
+        # long-running session would otherwise leak the cached blocks)
+        clusters = dedup_clusters(
+            pairs, all_ids=None, id_a=id_a, id_b=id_b, id_col=id_col
+        ).localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
     hint = F.broadcast if small else (lambda d: d)
-    clusters = dedup_clusters(pairs, all_ids=None, id_a=id_a, id_b=id_b,
-                              id_col=id_col)
     keyed = (
         df.join(
             hint(clusters.select(id_col, "cluster_id")),

@@ -57,8 +57,12 @@ def distinct_over_range(
     )
     return ranged.agg(
         F.count(F.lit(1)).alias("n_days"),
+        # allowDifferentLgConfigK: a store whose rows were written at
+        # different precisions (config drift across maintenance paths)
+        # must still answer range queries — union degrades to the
+        # coarser lg_k instead of throwing
         F.hll_sketch_estimate(
-            F.hll_union_agg(F.col(sketch_col))
+            F.hll_union_agg(F.col(sketch_col), True)
         ).cast("long").alias("distinct_est"),
     )
 
@@ -73,8 +77,8 @@ def period_overlap_estimate(
     audience overlap): |A∩B| ≈ |A| + |B| − |A∪B|. Same error caveat as
     every HLL subtraction — small overlaps are noisy; audit with the
     exact tier. Returns (a_est, b_est, overlap_est)."""
-    a = sketches_a.agg(F.hll_union_agg(F.col(sketch_col)).alias("sa"))
-    b = sketches_b.agg(F.hll_union_agg(F.col(sketch_col)).alias("sb"))
+    a = sketches_a.agg(F.hll_union_agg(F.col(sketch_col), True).alias("sa"))
+    b = sketches_b.agg(F.hll_union_agg(F.col(sketch_col), True).alias("sb"))
     both = a.crossJoin(b)
     return both.select(
         F.hll_sketch_estimate("sa").cast("long").alias("a_est"),
@@ -84,7 +88,7 @@ def period_overlap_estimate(
             (
                 F.hll_sketch_estimate("sa")
                 + F.hll_sketch_estimate("sb")
-                - F.hll_sketch_estimate(F.hll_union("sa", "sb"))
+                - F.hll_sketch_estimate(F.hll_union("sa", "sb", True))
             ),
         ).cast("long").alias("overlap_est"),
     )

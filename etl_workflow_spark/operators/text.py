@@ -900,6 +900,7 @@ def filter_by_domain(
     url_col: str = "url",
     domain_col: str = "domain",
     include_subdomains: bool = True,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Drop documents whose URL's domain is on a blocklist (the
     standard crawl-hygiene step). The blocklist is tiny against a
@@ -908,7 +909,17 @@ def filter_by_domain(
     ``cdn.example.com`` via a suffix key — built by exploding each
     host's dot-suffixes (bounded by label count, ~constant per row),
     NOT by a non-equi join.
+
+    ``id_col`` must name a unique row id: the subdomain path collects
+    blocked ids and anti-joins back on it, so a non-unique id would
+    silently drop every row sharing an id with a blocked one. Raises
+    if the column is absent rather than guessing by position.
     """
+    if include_subdomains and id_col not in df.columns:
+        raise ValueError(
+            f"filter_by_domain needs unique id column {id_col!r} "
+            f"(have: {df.columns}); pass id_col="
+        )
     host = url_domain(url_col)
     if not include_subdomains:
         keyed = df.withColumn("__dom", host)
@@ -928,9 +939,8 @@ def filter_by_domain(
         F.broadcast(blocklist.select(F.col(domain_col).alias("__suf"))),
         on="__suf",
         how="left_semi",
-    ).select(df.columns[0]).distinct()
-    first_col = df.columns[0]
-    return df.join(F.broadcast(blocked_ids), on=first_col, how="left_anti")
+    ).select(id_col).distinct()
+    return df.join(F.broadcast(blocked_ids), on=id_col, how="left_anti")
 
 
 def corpus_containment(

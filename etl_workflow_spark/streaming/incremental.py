@@ -417,21 +417,36 @@ def neardup_ingest_batch(
         clusters = dedup_clusters(
             within, all_ids=batch_df.select(id_col), id_col=id_col
         )
+        # Count-gated broadcasts (same gate as minhash_lsh_pairs/probe):
+        # corpus_dup is bounded by |pairs|, not |batch| — one batch doc
+        # matching many corpus rows, exactly the input dedup exists
+        # for, can make it too big to broadcast unconditionally.
+        gate = 1_000_000
+
+        def _hint(side: DataFrame):
+            return (
+                F.broadcast(side)
+                if side.limit(gate + 1).count() <= gate
+                else side
+            )
+
         if corpus_dup is not None:
             # any cluster touching a corpus near-dup admits nobody
             bad = (
-                clusters.join(F.broadcast(corpus_dup), on=id_col, how="left_semi")
+                clusters.join(
+                    _hint(corpus_dup.distinct()), on=id_col, how="left_semi"
+                )
                 .select("cluster_id")
                 .distinct()
             )
             clusters = clusters.join(
-                F.broadcast(bad), on="cluster_id", how="left_anti"
+                _hint(bad), on="cluster_id", how="left_anti"
             )
         survivor_ids = clusters.where(
             F.col(id_col) == F.col("cluster_id")
         ).select(id_col)
         survivors = batch_df.join(
-            F.broadcast(survivor_ids), on=id_col, how="left_semi"
+            _hint(survivor_ids), on=id_col, how="left_semi"
         ).persist()
 
         admitted = idempotent_append(spark, survivors, corpus_path, [id_col])
@@ -483,14 +498,16 @@ def sketch_rollup_batch(
     store_path: str,
     id_col: str = "user_id",
     ts_col: str = "ts",
-    lg_k: int = 12,
+    lg_k: int = 14,
 ) -> None:
     """Merge one micro-batch into the daily distinct-sketch store
     (``operators.sketches``): the batch's per-day HLL sketches union
     with the stored ones — HLL mergeability means late or replayed
     events only ever WIDEN a day's sketch toward the true distinct set
     (re-adding a seen user is a no-op), so the store converges under
-    at-least-once delivery without any key tracking. Only the dates
+    at-least-once delivery without any key tracking. ``lg_k`` defaults
+    to the batch builder's 14 so a store maintained by both paths stays
+    single-precision; the read-side unions also tolerate mixed lg_k. Only the dates
     present in the batch rewrite (dynamic partition overwrite).
     ``n_rows`` is a plain ingest counter — replays inflate it (it is
     diagnostics, not a distinct estimate; the sketch is the truth)."""

@@ -136,3 +136,25 @@ def test_dedup_paragraphs_python_oracle(spark):
         for r in dedup_paragraphs(docs).collect()
     }
     assert got == expected
+
+
+def test_dedup_paragraphs_literal_separator_and_null_text(spark):
+    """The separator is literal (regex metacharacters must not split
+    per-character) and NULL-text documents survive with NULL text."""
+    from etl_workflow_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta||gamma delta"),
+            (2, "gamma delta||unique two"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, sep="||").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].text == "alpha beta||gamma delta"
+    assert out[2].text == "unique two"
+    assert out[2].n_paras_removed == 1
+    assert out[3].text is None
+    assert out[3].n_paras_removed == 0

@@ -97,3 +97,31 @@ def test_filter_by_domain_subdomains_and_exact(spark):
     )
     # www. strips, so doc 1 is exact-blocked; cdn. is not
     assert kept_exact == [2, 3, 4, 5]
+
+
+def test_filter_by_domain_requires_explicit_id(spark):
+    """The subdomain path anti-joins on id_col — a missing id column
+    raises instead of guessing by position (a url-first schema would
+    silently over-delete)."""
+    import pytest
+
+    from etl_workflow_spark.operators.text import filter_by_domain
+
+    block = spark.createDataFrame([("spam.example",)], ["domain"])
+    no_id = spark.createDataFrame(
+        [("https://spam.example/a", "x")], ["url", "payload"]
+    )
+    with pytest.raises(ValueError, match="doc_id"):
+        filter_by_domain(no_id, block)
+
+    # url-first column order with an explicit id_col: only the blocked
+    # row drops, even though another row shares its first-column value
+    docs = spark.createDataFrame(
+        [
+            ("https://spam.example/a", 1),
+            ("https://spam.example/a".replace("spam", "good"), 2),
+        ],
+        ["url", "my_id"],
+    )
+    kept = filter_by_domain(docs, block, id_col="my_id").collect()
+    assert [r.my_id for r in kept] == [2]

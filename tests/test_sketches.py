@@ -314,3 +314,33 @@ def test_compact_histogram_store_preserves_totals(spark, sf_dir, tmp_path):
     replay = merge_histogram_sketches(spark.read.parquet(store)).collect()[0]
     assert list(replay.counts) == list(before.counts)
     assert os.path.isdir(store)
+
+
+def test_range_estimate_tolerates_mixed_lg_k(spark, sf_dir):
+    """A store whose day rows were written at different HLL precisions
+    (config drift between the batch builder and the stream maintainer)
+    must still answer range queries: the read-side union degrades to
+    the coarser lg_k instead of throwing."""
+    from etl_workflow_spark.operators.sketches import (
+        daily_distinct_sketches,
+        distinct_over_range,
+        period_overlap_estimate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.selectExpr(
+        "min(to_date(ts))", "max(to_date(ts))"
+    ).collect()[0]
+    day_a = daily_distinct_sketches(ev, lg_k=12)
+    day_b = daily_distinct_sketches(ev, lg_k=14)
+    mixed = day_a.limit(0).unionByName(
+        day_a.where("day(date) % 2 = 0")
+    ).unionByName(day_b.where("day(date) % 2 = 1"))
+
+    est = distinct_over_range(mixed, str(lo), str(hi)).collect()[0]
+    exact = ev.select("user_id").distinct().count()
+    assert est.distinct_est > 0
+    assert abs(est.distinct_est - exact) / exact < 0.15
+
+    ov = period_overlap_estimate(day_a, day_b).collect()[0]
+    assert ov.overlap_est > 0
