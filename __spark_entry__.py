@@ -1093,8 +1093,20 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Warehouse invariants as machine-checkable violation counts: PK
-    uniqueness, FK containment, key non-nullness."""
+    """Consolidated data-quality gate entry (two operators, one frame):
+
+    1. Warehouse invariants as machine-checkable violation counts — PK
+       uniqueness, FK containment, key non-nullness — as
+       ``(check_name, 0, '', n_violations)`` rows.
+    2. The lapsed-customer anti-join (B9's complement: NOT EXISTS with
+       a pushed date predicate — formerly its own entry), row-level
+       hash-checked as ``('lapsed_customer', c_custkey, c_name,
+       c_nationkey)`` rows.
+
+    Packing: (check_name, entity_id, detail, n) — the anti-join's name
+    rides in ``detail`` and its nationkey in ``n`` so both operators
+    share one hashable schema.
+    """
     from etl_workflow_spark.operators.quality import (
         expect_non_null,
         expect_subset,
@@ -1105,7 +1117,7 @@ def _q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     lineitem = table(spark, sf_dir, "lineitem")
     customer = table(spark, sf_dir, "customer")
-    return run_checks(
+    checks = run_checks(
         expect_unique(orders, ["o_orderkey"], "orders_pk_unique"),
         expect_subset(
             lineitem, "l_orderkey", orders, "o_orderkey", "lineitem_fk_orders"
@@ -1114,49 +1126,54 @@ def _q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders, "o_custkey", customer, "c_custkey", "orders_fk_customer"
         ),
         expect_non_null(lineitem, "l_partkey", "lineitem_partkey_not_null"),
+    ).select(
+        "check_name",
+        F.lit(0).cast("long").alias("entity_id"),
+        F.lit("").alias("detail"),
+        F.col("n_violations").cast("long").alias("n"),
     )
+    # orders side filtered at the scan and projected to the key before
+    # the anti-join (8 bytes/row shuffle; AQE broadcasts the small side)
+    recent = (
+        orders
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    lapsed = customer.join(recent, on="c_custkey", how="left_anti").select(
+        F.lit("lapsed_customer").alias("check_name"),
+        F.col("c_custkey").cast("long").alias("entity_id"),
+        F.col("c_name").alias("detail"),
+        F.col("c_nationkey").cast("long").alias("n"),
+    )
+    return checks.unionByName(lapsed)
 
 
 _PROFILE_ORDERS_ORACLE = QL.profile_table_oracle("orders", _PROFILE_COLS)
 _CONSTRAINT_CHECKS_ORACLE = """
     SELECT 'orders_pk_unique' AS check_name,
-           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+           CAST(0 AS BIGINT) AS entity_id, '' AS detail,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
+    FROM orders
     UNION ALL
-    SELECT 'lineitem_fk_orders',
+    SELECT 'lineitem_fk_orders', 0, '',
            (SELECT COUNT(*) FROM lineitem l
             WHERE l.l_orderkey IS NOT NULL
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_orderkey = l.l_orderkey))
     UNION ALL
-    SELECT 'orders_fk_customer',
+    SELECT 'orders_fk_customer', 0, '',
            (SELECT COUNT(*) FROM orders o
             WHERE o.o_custkey IS NOT NULL
               AND NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey))
     UNION ALL
-    SELECT 'lineitem_partkey_not_null',
+    SELECT 'lineitem_partkey_not_null', 0, '',
            (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL)
-"""
-
-
-def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B9's complement: lapsed customers via anti-join (NOT EXISTS with
-    a pushed date predicate). The orders side is filtered at the scan
-    and projected to the key before the join, so the shuffle carries 8
-    bytes/row; with AQE the small side broadcasts."""
-    cust = table(spark, sf_dir, "customer")
-    recent = (
-        table(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
-        .select(F.col("o_custkey").alias("c_custkey"))
-    )
-    return cust.join(recent, on="c_custkey", how="left_anti").select(
-        "c_custkey", "c_name", "c_nationkey"
-    )
-
-
-_CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
-    SELECT c_custkey, c_name, c_nationkey
+    UNION ALL
+    SELECT 'lapsed_customer', c_custkey, c_name, c_nationkey
     FROM customer c
     WHERE NOT EXISTS (
         SELECT 1 FROM orders o
@@ -1892,6 +1909,127 @@ _EVENTS_TYPE_STATS_ORACLE = f"""
 """
 
 
+def _q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated event-analytics gate entry — three operators
+    (`operators/temporal.py`), each cross-engine hash-checked, unioned
+    into one (kind, k1, k2, n) frame:
+
+    - ``funnel_user``: per-user furthest step reached in the
+      view → click → purchase funnel (first-touch semantics), plus
+      ``funnel_step`` conversion counts;
+    - ``retention``: weekly signup-cohort retention triangle
+      (cohort date, period offset, retained users);
+    - ``transition``: the per-user consecutive-event transition matrix
+      (event_id tiebreak pins a total order under equal timestamps).
+    """
+    from etl_workflow_spark.operators import temporal as TP
+
+    ev = table(spark, sf_dir, "events")
+    fun = TP.funnel(ev, ["view", "click", "purchase"])
+    per_user = fun.select(
+        F.lit("funnel_user").alias("kind"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("reached").cast("long").alias("n"),
+    )
+    steps = TP.funnel_counts(fun, 3).selectExpr(
+        "stack(3, 'step_1', step_1_users, 'step_2', step_2_users,"
+        " 'step_3', step_3_users) AS (k1, n)"
+    ).select(
+        F.lit("funnel_step").alias("kind"),
+        "k1",
+        F.lit("").alias("k2"),
+        F.col("n").cast("long").alias("n"),
+    )
+    ret = TP.retention_cohorts(ev, cohort_event="signup", grain="week").select(
+        F.lit("retention").alias("kind"),
+        F.date_format("cohort", "yyyy-MM-dd").alias("k1"),
+        F.col("period_offset").cast("string").alias("k2"),
+        F.col("n_users").cast("long").alias("n"),
+    )
+    tr = TP.event_transitions(ev, tiebreak_col="event_id").select(
+        F.lit("transition").alias("kind"),
+        F.col("from_type").alias("k1"),
+        F.col("to_type").alias("k2"),
+        F.col("n_transitions").cast("long").alias("n"),
+    )
+    return per_user.unionByName(steps).unionByName(ret).unionByName(tr)
+
+
+_EVENT_ANALYTICS_ORACLE = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT s1.user_id, MIN(e.ts) AS t2
+        FROM s1 JOIN events e
+          ON e.user_id = s1.user_id
+         AND e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY 1
+    ),
+    s3 AS (
+        SELECT s2.user_id, MIN(e.ts) AS t3
+        FROM s2 JOIN events e
+          ON e.user_id = s2.user_id
+         AND e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY 1
+    ),
+    fun AS (
+        SELECT s1.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS reached
+        FROM s1
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    ),
+    coh AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+        FROM events
+    ),
+    ret AS (
+        SELECT cohort,
+               (date_diff('day', cohort, period) // 7) AS period_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM act JOIN coh USING (user_id)
+        WHERE period >= cohort
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    )
+    SELECT 'funnel_user' AS kind, CAST(user_id AS VARCHAR) AS k1,
+           '' AS k2, CAST(reached AS BIGINT) AS n
+    FROM fun
+    UNION ALL
+    SELECT 'funnel_step', 'step_1', '', CAST(COUNT(*) AS BIGINT) FROM fun
+    UNION ALL
+    SELECT 'funnel_step', 'step_2', '',
+           CAST(SUM(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM fun
+    UNION ALL
+    SELECT 'funnel_step', 'step_3', '',
+           CAST(SUM(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM fun
+    UNION ALL
+    SELECT 'retention', STRFTIME(cohort, '%Y-%m-%d'),
+           CAST(period_offset AS VARCHAR), CAST(n_users AS BIGINT)
+    FROM ret
+    UNION ALL
+    SELECT 'transition', from_type, to_type, CAST(COUNT(*) AS BIGINT)
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 2, 3
+"""
+
+
 def _q_revenue_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every windowed-analytics operator over the daily revenue series
     in one frame: trailing 7-day RANGE sum/avg, running cumulative, and
@@ -2177,6 +2315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_sessions": _q_interval_join,
         "events_type_stats": _q_events_type_stats,
         "events_pivot": _q_events_pivot,
+        # consolidated: funnel (+step counts), retention, transitions
+        "event_analytics": _q_event_analytics,
         "revenue_windows": _q_revenue_windows,
         "revenue_rollup": _q_revenue_rollup,
         "top_per_brand": _q_top_per_brand,
@@ -2184,8 +2324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- SQL surface / data quality / misc contracts -------------------
         "sql_interface": _q_sql_interface,
         "profile_orders": _q_profile_orders,
+        # constraint_checks also carries the lapsed-customer anti-join
+        # (formerly the customers_without_orders entry)
         "constraint_checks": _q_constraint_checks,
-        "customers_without_orders": _q_customers_without_orders,
         "order_value_histogram": _q_order_value_histogram,
         "stats_contract": _q_stats_contract,
         # -- round-5 additions: pg_trgm analog + driver-gated streaming ----
@@ -2268,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_sessions": _INTERVAL_JOIN_ORACLE,
         "events_type_stats": _EVENTS_TYPE_STATS_ORACLE,
         "events_pivot": _EVENTS_PIVOT_ORACLE,
+        "event_analytics": _EVENT_ANALYTICS_ORACLE,
         "revenue_windows": _REVENUE_WINDOWS_ORACLE,
         "revenue_rollup": _REVENUE_ROLLUP_ORACLE,
         "top_per_brand": _TOP_PER_BRAND_ORACLE,
@@ -2275,7 +2417,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_interface": _SQL_REVENUE_BY_PRIORITY,
         "profile_orders": _PROFILE_ORDERS_ORACLE,
         "constraint_checks": _CONSTRAINT_CHECKS_ORACLE,
-        "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_ORACLE,
         "order_value_histogram": _ORDER_VALUE_HISTOGRAM_ORACLE,
         "stats_contract": _STATS_CONTRACT_ORACLE,
         "fuzzy_name_search": _FUZZY_NAME_SEARCH_ORACLE,

@@ -392,6 +392,7 @@ def event_transitions(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Path analysis primitive: per-user consecutive event pairs rolled
     up to (from_type, to_type, n_transitions) — the transition matrix
@@ -400,14 +401,20 @@ def event_transitions(
     One partitioned window (hash shuffle on the user key — skewed users
     cost their own events, state is O(1) per row) and one
     combiner-friendly rollup whose shuffle carries |event-type|² rows
-    at most. Ties on (ts) break on a stable extra key if present in
-    the sort — callers needing strict determinism under same-timestamp
-    events should pre-dedup or pass monotonic timestamps.
+    at most. Same-timestamp events make the sequence — and therefore
+    the counts — engine/partitioning-dependent; pass a unique
+    ``tiebreak_col`` (e.g. an event id) to pin a total order.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
     nxt = F.lead(type_col).over(w)
+    keep = [user_col, ts_col, type_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
     return (
-        events.select(F.col(user_col), F.col(ts_col), F.col(type_col))
+        events.select(*[F.col(c) for c in keep])
         .withColumn("_next", nxt)
         .where(F.col("_next").isNotNull())
         .groupBy(
