@@ -67,6 +67,110 @@ def distinct_over_range(
     )
 
 
+def monthly_distinct_sketches(
+    day_sketches: DataFrame,
+    date_col: str = "date",
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Coarser tier of the daily distinct-sketch store: one merged HLL
+    per calendar month, built FROM the day store (never the facts) —
+    HLL union is exact set-union of the sketched population, so a
+    month row answers exactly what unioning its day rows would. A
+    year-range query then unions 12 rows instead of 365; the day tier
+    stays for ragged range edges (:func:`distinct_over_range_tiered`).
+    Rebuilding after late data is one pass over the (tiny) day store.
+    Returns (month, sketch, n_rows)."""
+    return (
+        day_sketches.groupBy(
+            F.date_trunc("month", F.col(date_col)).cast("date").alias("month")
+        )
+        .agg(
+            F.hll_union_agg(F.col(sketch_col), True).alias(sketch_col),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+def distinct_over_range_tiered(
+    day_sketches: DataFrame,
+    month_sketches: DataFrame,
+    start: str,
+    end: str,
+    date_col: str = "date",
+    month_col: str = "month",
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Range distinct estimate reading the cheapest tier for each span:
+    whole calendar months inside [start, end] come from the month
+    store; only the ragged edge days touch the day store. Identical
+    answer to a pure day-store union (month rows ARE day-row unions),
+    at O(months + edge days) rows instead of O(days). Returns one row
+    (n_sketches, distinct_est)."""
+    import datetime as _dt
+
+    lo = _dt.date.fromisoformat(start)
+    hi = _dt.date.fromisoformat(end)
+    if lo > hi:
+        raise ValueError(f"empty range: {start} > {end}")
+
+    def _month_start(d: _dt.date) -> _dt.date:
+        return d.replace(day=1)
+
+    def _next_month(d: _dt.date) -> _dt.date:
+        return (d.replace(day=28) + _dt.timedelta(days=4)).replace(day=1)
+
+    # first/last fully-covered month: lo rounds FORWARD to a month
+    # start unless it is one; hi rounds BACK to its own month only if
+    # it is a month END, else to the previous month
+    first_full = _month_start(lo) if lo.day == 1 else _next_month(lo)
+    last_full = (
+        _month_start(hi) if (hi + _dt.timedelta(days=1)).day == 1
+        else _month_start(_month_start(hi) - _dt.timedelta(days=1))
+    )
+
+    parts = []
+    if first_full <= last_full:
+        parts.append(
+            month_sketches.where(
+                (F.col(month_col) >= F.lit(str(first_full)))
+                & (F.col(month_col) <= F.lit(str(last_full)))
+            ).select(F.col(sketch_col).alias("sk"))
+        )
+        head_end = first_full - _dt.timedelta(days=1)
+        tail_start = _next_month(last_full)
+        if lo <= head_end:
+            parts.append(
+                day_sketches.where(
+                    (F.col(date_col) >= F.lit(str(lo)))
+                    & (F.col(date_col) <= F.lit(str(head_end)))
+                ).select(F.col(sketch_col).alias("sk"))
+            )
+        if tail_start <= hi:
+            parts.append(
+                day_sketches.where(
+                    (F.col(date_col) >= F.lit(str(tail_start)))
+                    & (F.col(date_col) <= F.lit(str(hi)))
+                ).select(F.col(sketch_col).alias("sk"))
+            )
+    else:
+        # range covers no whole month — day tier only
+        parts.append(
+            day_sketches.where(
+                (F.col(date_col) >= F.lit(str(lo)))
+                & (F.col(date_col) <= F.lit(str(hi)))
+            ).select(F.col(sketch_col).alias("sk"))
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.agg(
+        F.count(F.lit(1)).alias("n_sketches"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("sk"), True)
+        ).cast("long").alias("distinct_est"),
+    )
+
+
 def period_overlap_estimate(
     sketches_a: DataFrame,
     sketches_b: DataFrame,

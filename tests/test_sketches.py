@@ -344,3 +344,76 @@ def test_range_estimate_tolerates_mixed_lg_k(spark, sf_dir):
 
     ov = period_overlap_estimate(day_a, day_b).collect()[0]
     assert ov.overlap_est > 0
+
+
+def test_month_tier_matches_day_tier_on_aligned_ranges(spark, sf_dir):
+    """The month store is an exact set-union of its day rows, so an
+    aligned (whole-month) range answered from 12× fewer rows must give
+    the IDENTICAL estimate the day store gives."""
+    import datetime as dt
+
+    from etl_workflow_spark.operators.sketches import (
+        daily_distinct_sketches,
+        distinct_over_range,
+        monthly_distinct_sketches,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = daily_distinct_sketches(
+        orders, id_col="o_custkey", ts_col="o_orderdate"
+    )
+    month = monthly_distinct_sketches(day)
+
+    months = sorted(
+        r.month for r in month.select("month").distinct().collect()
+    )
+    assert len(months) >= 2
+    start = months[0]
+    last = months[-1]
+    end = (last.replace(day=28) + dt.timedelta(days=4)).replace(
+        day=1
+    ) - dt.timedelta(days=1)
+
+    from_day = distinct_over_range(day, str(start), str(end)).collect()[0]
+    from_month = distinct_over_range(
+        month, str(start), str(end), date_col="month"
+    ).collect()[0]
+    assert from_month.distinct_est == from_day.distinct_est
+    assert from_month.n_days == len(months)
+
+
+def test_tiered_range_matches_day_tier_on_ragged_ranges(spark, sf_dir):
+    """A ragged range (partial edge months) answered month-tier-first
+    with day-tier edges equals the pure day-tier answer exactly."""
+    import datetime as dt
+
+    from etl_workflow_spark.operators.sketches import (
+        daily_distinct_sketches,
+        distinct_over_range,
+        distinct_over_range_tiered,
+        monthly_distinct_sketches,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = daily_distinct_sketches(
+        orders, id_col="o_custkey", ts_col="o_orderdate"
+    )
+    month = monthly_distinct_sketches(day)
+
+    lo, hi = orders.agg(
+        F.min(F.to_date("o_orderdate")), F.max(F.to_date("o_orderdate"))
+    ).collect()[0]
+    cases = [
+        (lo + dt.timedelta(days=9), hi - dt.timedelta(days=11)),  # ragged
+        (lo, hi),  # full span
+        (lo + dt.timedelta(days=3), lo + dt.timedelta(days=12)),  # no month
+    ]
+    for start, end in cases:
+        if start > end:
+            continue
+        tiered = distinct_over_range_tiered(
+            day, month, str(start), str(end)
+        ).collect()[0]
+        flat = distinct_over_range(day, str(start), str(end)).collect()[0]
+        assert tiered.distinct_est == flat.distinct_est, (start, end)
+        assert tiered.n_sketches <= flat.n_days
