@@ -145,20 +145,40 @@ def update_rows(
     updates: dict[str, object],
 ) -> int:
     """J1: UPDATE ... WHERE key = value (app.py:201-207) without a
-    mutable store: read → conditional projection → overwrite, stamping
-    updated_at on touched rows. Returns rows matched.
+    mutable store, stamping updated_at on touched rows. Returns rows
+    matched.
 
-    For true in-place semantics at scale use a table format with MERGE
-    (Delta/Iceberg); this path keeps vanilla parquet semantics.
-
-    Concurrency contract: the swap assumes NO concurrent readers — a
-    reader between the two renames sees a missing path (narrower than
-    the old delete-then-write window, but present). Rename is also
-    non-atomic and slow on object stores (S3A is copy+delete); there,
-    use the Delta/Iceberg MERGE path above instead of this swap.
+    THE unified mutation entry point together with :func:`merge_into`:
+    when ``path`` is a transactional table (``sources.txn``, detected
+    by its ``_txnlog``), the update commits through the manifest log —
+    snapshot-isolated readers, ``ConcurrentWriteError`` on a racing
+    commit — so a txn table can never be mutated non-atomically by
+    accident. Plain parquet paths fall back to the staged rename-swap
+    below, whose single-writer/no-concurrent-reader contract
+    (SCALE.md §9b) then applies; create concurrent-reader tables with
+    ``txn_create``.
     """
     if not updates:
         raise ValueError("At least one field must be provided")
+
+    from .txn import latest_version, txn_merge_into, txn_read
+
+    if latest_version(spark, path) is not None:
+        target = txn_read(spark, path)
+        is_target = F.col(key_col) == F.lit(key_value)
+        touched = target.filter(is_target)
+        matched = touched.count()
+        if matched == 0:
+            return 0
+        for col_name, value in updates.items():
+            touched = touched.withColumn(col_name, F.lit(value))
+        evolve = "updated_at" not in target.columns
+        touched = touched.withColumn("updated_at", F.current_timestamp())
+        txn_merge_into(
+            spark, path, touched, [key_col], evolve_schema=evolve
+        )
+        return matched
+
     df = spark.read.parquet(path)
     is_target = F.col(key_col) == F.lit(key_value)
     matched = df.filter(is_target).count()
@@ -268,8 +288,20 @@ def merge_into(
     ``source`` must contain every target column; duplicate source keys
     are collapsed (single arbitrary winner) before merging. Returns
     ``(updated, inserted)``.
+
+    Like :func:`update_rows`, this is the unified entry point: a
+    transactional target (``sources.txn``) routes through the
+    manifest-log commit (atomic, snapshot-isolated, safe under
+    concurrent readers); only plain parquet paths take the staged-swap
+    below with its single-writer contract.
     """
     keys = list(keys)
+
+    from .txn import latest_version, txn_merge_into
+
+    if latest_version(spark, path) is not None:
+        return txn_merge_into(spark, path, source.dropDuplicates(keys), keys)
+
     # existence via the Hadoop FS for the path's scheme, NOT
     # os.path.exists: on HDFS/S3 a local-FS check always says "missing"
     # and the create branch would overwrite the table with only the

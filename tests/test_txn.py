@@ -335,3 +335,37 @@ def test_txn_restore_unknown_version_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         txn.txn_restore(spark, path, 99)
+
+
+def test_unified_merge_into_routes_txn_tables_through_the_log(spark, tmp_path):
+    """writers.merge_into on a transactional target must commit through
+    the manifest log (version bump, snapshot isolation) — one mutation
+    API, no accidental staged-swap on a txn table."""
+    from etl_workflow_spark.sources.writers import merge_into
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    src = spark.createDataFrame([(2, 21), (3, 30)], ["id", "v"])
+    assert merge_into(spark, path, src, ["id"]) == (1, 1)
+    assert txn.txn_history(spark, path) == [1, 2]
+    assert _rows(txn.txn_read(spark, path)) == [(1, 10), (2, 21), (3, 30)]
+    # the pre-merge snapshot is untouched — the swap path would have
+    # rewritten the live dir in place
+    assert _rows(txn.txn_read(spark, path, version=1)) == [(1, 10), (2, 20)]
+
+
+def test_unified_update_rows_routes_txn_tables_through_the_log(spark, tmp_path):
+    from etl_workflow_spark.sources.writers import update_rows
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    assert update_rows(spark, path, "id", 2, {"v": 99}) == 1
+    assert update_rows(spark, path, "id", 7, {"v": 1}) == 0  # no match, no commit
+    assert txn.txn_history(spark, path) == [1, 2]
+    got = {r.id: (r.v, r.updated_at) for r in txn.txn_read(spark, path).collect()}
+    assert got[1][0] == 10 and got[1][1] is None
+    assert got[2][0] == 99 and got[2][1] is not None
