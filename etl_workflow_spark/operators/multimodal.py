@@ -56,7 +56,12 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def decode_media(payload: bytes, media_type: str = "image",
                  allow_fake: bool = False):
-    """STUB for the real decoder (PIL/librosa/av are not installed).
+    """Decoder seam — the engine's multimodal contract is
+    metadata/layout-only BY DESIGN (SCALE.md §8, final): codec choice
+    (PIL vs turbojpeg vs GPU, sandboxing untrusted payloads) is a
+    deployment concern; a deployment plugs its decoder into this
+    signature and the distributed plumbing (schema, partitioning,
+    Arrow batch shape, determinism tests) is already in place.
 
     With ``allow_fake=True`` returns deterministic fake dimensions
     derived from the payload digest — enough to exercise the full

@@ -9,6 +9,13 @@ are deliberately absent: they are documented bounded-input audit paths.
 
 Usage: python tools/scalecheck.py [sf_dir] [K ...]
 Prints one JSON line per (operator, K) with rows + seconds.
+
+ANN recall-vs-cost mode: python tools/scalecheck.py --ann-recall
+[sf_dir] [K ...] measures recall@10 against the exact brute-force
+answer and wall-time for the IVF tier (n_probe sweep at fixed cells —
+the probe fraction IS the cost knob) and the sign-LSH tier (planes ×
+bands sweep) at each corpus replication K. One JSON line per config;
+the measured table lives in SCALE.md §15.
 """
 
 from __future__ import annotations
@@ -34,7 +41,90 @@ def replicate(df: DataFrame, k: int, id_cols: list[str], offset: int) -> DataFra
     return out
 
 
+def ann_recall(sf_dir: str, ks: list[int]) -> None:
+    """Recall@10 vs wall-cost for the approximate ANN tiers against the
+    exact brute-force answer, at each corpus replication K. Queries are
+    a fixed 32-vector batch (daily-lookup shape), so cost differences
+    are pure corpus-side work: IVF scans ~n_probe/n_cells of the
+    corpus; sign-LSH scores only bucket collisions."""
+    from etl_workflow_spark.session import get_spark
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import similarity as S
+
+    spark = get_spark("ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb0 = table(spark, sf_dir, "embeddings")
+    e_off = (emb0.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    queries = (
+        emb0.where("vec_id < 32")
+        .withColumnRenamed("vec_id", "query_id")
+        .localCheckpoint(eager=True)
+    )
+    topk = 10
+
+    def timed_sets(fn):
+        t0 = time.time()
+        rows = fn().collect()
+        sec = round(time.time() - t0, 2)
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return got, sec
+
+    # warm codegen/JIT so K=1 brute force isn't charged session startup
+    S.brute_force_topk(emb0, queries, k=topk).count()
+
+    for k in ks:
+        emb = replicate(emb0, k, ["vec_id"], e_off).localCheckpoint(
+            eager=True
+        )
+        truth, bf_sec = timed_sets(
+            lambda: S.brute_force_topk(emb, queries, k=topk)
+        )
+        n_true = sum(len(v) for v in truth.values())
+        print(json.dumps({
+            "op": "ann_recall", "tier": "brute_force", "k_rep": k,
+            "recall": 1.0, "sec": bf_sec, "cost_vs_bf": 1.0,
+        }), flush=True)
+
+        def report(tier, param, fn):
+            got, sec = timed_sets(fn)
+            hit = sum(
+                len(got.get(q, set()) & t) for q, t in truth.items()
+            )
+            print(json.dumps({
+                "op": "ann_recall", "tier": tier, "k_rep": k,
+                "param": param, "recall": round(hit / n_true, 3),
+                "sec": sec,
+                "cost_vs_bf": round(sec / bf_sec, 2) if bf_sec else None,
+            }), flush=True)
+
+        n_cells = 16
+        for n_probe in (1, 2, 4, 8):
+            report(
+                "ivf", f"probe {n_probe}/{n_cells}",
+                lambda: S.ivf_topk(
+                    emb, queries, k=topk, n_cells=n_cells, n_probe=n_probe
+                ),
+            )
+        for planes, bands in ((16, 8), (32, 8), (64, 16)):
+            report(
+                "sign_lsh", f"planes {planes} bands {bands}",
+                lambda: S.lsh_topk(
+                    emb, queries, k=topk, num_planes=planes, bands=bands
+                ),
+            )
+        emb.unpersist()
+    spark.stop()
+
+
 def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--ann-recall"]
+    if "--ann-recall" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        ann_recall(sf, [int(a) for a in args[1:]] or [1, 4])
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     ks = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
 
