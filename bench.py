@@ -147,6 +147,8 @@ def main() -> None:
         # histogram store quantile path
         "pca_embeddings",
         "histogram_quantiles",
+        # round-7: ExactSubstr-style span dedup (full-corpus pass)
+        "dedup_spans",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -227,6 +229,11 @@ def main() -> None:
         ),
         # build per-day sketches, merge, answer a quantile set
         "histogram_quantiles": lambda s, d: _histogram_quantiles_df(s, d),
+        # repeated >=50-token spans removed from all but the first
+        # occurrence (the run-rarely full-corpus pass)
+        "dedup_spans": lambda s, d: D.dedup_spans(
+            table(s, d, "documents"), min_tokens=50
+        ),
     }
 
     from etl_workflow_spark.operators import sketches as SK

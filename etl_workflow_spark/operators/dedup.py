@@ -923,3 +923,127 @@ def dedup_paragraphs(
             ),
         )
     )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact SPAN dedup — the ExactSubstr step of the
+    Lee-et-al./RefinedWeb recipe, at window-hash granularity: any run
+    of ``min_tokens`` consecutive whitespace tokens appearing verbatim
+    at more than one (doc, position) survives only at its first
+    occurrence (min ``(doc_id, pos)``); every other occurrence loses
+    those tokens. A duplicated span of m >= min_tokens tokens is
+    covered by its m-min_tokens+1 windows, so the whole span is
+    removed from the losers; spans shorter than min_tokens are
+    invisible — the same threshold semantics as the suffix-array
+    original, without its single-node memory profile.
+
+    Scale shape (everything linear in corpus tokens, no Python in the
+    hot path): tokens hash once to longs; window hashes are
+    hash-of-hashes over array slices (the `_gram_hashes` pattern —
+    the lambda reads a MATERIALIZED hash column, never the
+    tokenization tree); the duplicate-window aggregation shuffles
+    (whash, 8 bytes) rows; ONLY affected documents explode to token
+    granularity for the rebuild (windowless groupBy + in-group
+    array_sort, as :func:`dedup_paragraphs`). Untouched documents keep
+    their text byte-identical; rebuilt documents rejoin tokens with
+    single spaces (token-stream semantics — the tier targets training
+    corpora, not archival storage). NULL-text docs survive unchanged.
+    Window equality is xxhash64 equality (collision odds 2^-64, the
+    decontamination contract). Run-rarely economics: this is the
+    expensive full-corpus pass of the recipe — at 100 TB schedule it
+    like the suffix-array original (a dedicated job), not per-ingest;
+    the incremental path for daily batches is the LSH probe tier.
+    """
+    from .partitioning import scale_partitions
+    from .text import _gram_hashes, tokens
+
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    length = int(min_tokens)
+
+    base = scale_partitions(docs.select(F.col(id_col), F.col(col)))
+    toked = base.select(id_col, col, tokens(col).alias("__toks"))
+    hashed = toked.select(
+        id_col,
+        "__toks",
+        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    windows = hashed.select(
+        F.col(id_col),
+        F.posexplode(_gram_hashes("__th", length)).alias("wpos", "whash"),
+    )
+    dup = (
+        windows.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("wpos"))).alias("__w"),
+        )
+        .where(F.col("__cnt") > 1)
+        .select("whash", "__w")
+    )
+    # losers: every duplicated-window occurrence except the global
+    # first — joins back on whash, the key the aggregation just
+    # shuffled on, so the corpus windows don't move again
+    losers = (
+        windows.join(dup, "whash")
+        .where(
+            ~(
+                (F.col(f"__w.{id_col}") == F.col(id_col))
+                & (F.col("__w.wpos") == F.col("wpos"))
+            )
+        )
+        .select(id_col, "wpos")
+    )
+    # token indices covered by any losing window (0-based; window at
+    # wpos covers wpos .. wpos+L-1), deduped across overlapping windows
+    removed = losers.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + F.lit(length - 1))
+        ).alias("tpos"),
+    ).distinct()
+    rem_agg = removed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_removed")
+    )
+    # ONLY affected docs explode to token granularity for the rebuild
+    toks_pos = (
+        hashed.join(rem_agg.select(id_col), id_col, "left_semi")
+        .select(id_col, F.posexplode("__toks").alias("tpos", "tok"))
+    )
+    kept_agg = (
+        toks_pos.join(removed, [id_col, "tpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("tpos"), F.col("tok").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("__text")
+        )
+    )
+    # fully-removed docs keep an empty text, not their original
+    rebuilt = rem_agg.join(kept_agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__text"), F.lit("")).alias("__text"),
+        "n_tokens_removed",
+    )
+    return docs.select(id_col, col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.when(F.col("n_tokens_removed").isNotNull(), F.col("__text"))
+        .otherwise(F.col(col))
+        .alias(col),
+        F.coalesce(
+            F.col("n_tokens_removed"), F.lit(0).cast("long")
+        ).alias("n_tokens_removed"),
+    )

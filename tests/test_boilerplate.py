@@ -158,3 +158,101 @@ def test_dedup_paragraphs_literal_separator_and_null_text(spark):
     assert out[2].n_paras_removed == 1
     assert out[3].text is None
     assert out[3].n_paras_removed == 0
+
+
+# ------------------------------------------------------- span-level dedup
+
+
+def _span_dedup_oracle(rows, L):
+    """Sequential reference: windows of L tokens keyed by content;
+    every occurrence except the global min (doc_id, pos) loses its
+    covered tokens."""
+    occ = {}
+    toks = {}
+    for d, text in rows:
+        if text is None:
+            continue
+        t = text.split(" ")
+        toks[d] = t
+        for p in range(len(t) - L + 1):
+            occ.setdefault(tuple(t[p:p + L]), []).append((d, p))
+    removed = {}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        keep = min(places)
+        for d, p in places:
+            if (d, p) != keep:
+                removed.setdefault(d, set()).update(range(p, p + L))
+    out = {}
+    for d, text in rows:
+        if d in removed:
+            kept = [t for i, t in enumerate(toks[d]) if i not in removed[d]]
+            out[d] = (" ".join(kept), len(removed[d]))
+        else:
+            out[d] = (text, 0)
+    return out
+
+
+def test_dedup_spans_python_oracle(spark):
+    """Exact parity with the sequential reference, including within-doc
+    repeats, overlapping windows, short docs, and NULL text."""
+    from etl_workflow_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (1, "a b c d e f"),                    # winner of the shared span
+        (2, "x y a b c d e z"),                # loses the 5-token span
+        (3, "q w e r t"),                      # unique
+        (4, None),                             # must survive as NULL
+        (5, "a b"),                            # shorter than a window
+        (6, "p q r s p q r s"),                # within-doc repeat
+        (7, "x y a b c d e z"),                # full duplicate of 2
+    ]
+    expected = _span_dedup_oracle(rows, 3)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in dedup_spans(docs, min_tokens=3).collect()
+    }
+    assert got == expected
+    # the winner's text is byte-identical, not re-joined
+    assert got[1][0] == "a b c d e f" and got[1][1] == 0
+    assert got[4] == (None, 0)
+
+
+def test_dedup_spans_randomized_oracle(spark):
+    import random
+
+    from etl_workflow_spark.operators.dedup import dedup_spans
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(20)]
+    shared = [rnd.choice(vocab) for _ in range(6)]
+    rows = []
+    for d in range(40):
+        t = [rnd.choice(vocab) for _ in range(rnd.randrange(2, 15))]
+        if rnd.random() < 0.4:
+            at = rnd.randrange(0, len(t) + 1)
+            t = t[:at] + shared + t[at:]
+        rows.append((d, " ".join(t)))
+    expected = _span_dedup_oracle(rows, 4)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in dedup_spans(docs, min_tokens=4).collect()
+    }
+    assert got == expected
+
+
+def test_dedup_spans_fully_removed_doc_keeps_empty_text(spark):
+    from etl_workflow_spark.operators.dedup import dedup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in dedup_spans(docs, min_tokens=3).collect()
+    }
+    assert got[1] == ("a b c", 0)
+    assert got[2] == ("", 3)

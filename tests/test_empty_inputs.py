@@ -26,6 +26,7 @@ def test_dedup_ops_on_empty_corpus(spark, empty_docs):
     assert D.minhash_lsh_pairs(empty_docs).count() == 0
     assert D.simhash(empty_docs).count() == 0
     assert D.dedup_paragraphs(empty_docs).count() == 0
+    assert D.dedup_spans(empty_docs, min_tokens=3).count() == 0
     assert D.build_lsh_index(empty_docs).count() == 0
     assert D.dedup_clusters(
         D.minhash_lsh_pairs(empty_docs), all_ids=empty_docs.select("doc_id")

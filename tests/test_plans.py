@@ -322,3 +322,46 @@ def test_histogram_month_rollup_from_daily_store(spark, sf_dir, tmp_path):
     }
     want = {r.month: (dict(r.bins), r.n) for r in monthly_direct.collect()}
     assert got == want and len(got) > 12
+
+
+def test_event_transitions_two_shuffles_pruned_scan(spark, sf_dir):
+    """One hash shuffle for the per-user window, one for the (from,to)
+    rollup — no more; the scan reads only the three needed columns
+    plus the tiebreak."""
+    from etl_workflow_spark.operators.temporal import event_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = event_transitions(ev, tiebreak_col="event_id")
+    assert plans.count_exchanges(df) <= 2
+    schemas = plans.scan_read_schemas(df)
+    assert any("user_id" in s and "props" not in s for s in schemas)
+
+
+def test_retention_shuffles_distinct_user_periods_only(spark, sf_dir):
+    """The activity side deduplicates to (user, period) BEFORE the
+    cohort join (the shuffle carries distinct user-periods, not
+    events), and the scan prunes to the three needed columns."""
+    from etl_workflow_spark.operators.temporal import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = retention_cohorts(ev, cohort_event="signup", grain="week")
+    plan = plans.physical_plan(df)
+    # the distinct aggregate must sit below the join
+    assert plan.index("HashAggregate") < plan.index("Join")
+    schemas = plans.scan_read_schemas(df)
+    assert any("user_id" in s and "props" not in s for s in schemas)
+    assert plans.count_exchanges(df) <= 5
+
+
+def test_dedup_spans_prunes_scan_and_joins_on_window_hash(spark, sf_dir):
+    """The span-dedup scan reads only (doc_id, text); the
+    duplicate-window probe joins on whash — the key its aggregation
+    just shuffled on."""
+    from etl_workflow_spark.operators.dedup import dedup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup_spans(docs, min_tokens=20)
+    schemas = plans.scan_read_schemas(df)
+    assert any(
+        "doc_id" in s and "text" in s and "lang" not in s for s in schemas
+    )
