@@ -147,8 +147,10 @@ def main() -> None:
         # histogram store quantile path
         "pca_embeddings",
         "histogram_quantiles",
-        # round-7: ExactSubstr-style span dedup (full-corpus pass)
+        # round-7: ExactSubstr-style span dedup (full-corpus pass) and
+        # the funnel path of the event-analytics trio
         "dedup_spans",
+        "event_funnel",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -234,7 +236,14 @@ def main() -> None:
         "dedup_spans": lambda s, d: D.dedup_spans(
             table(s, d, "documents"), min_tokens=50
         ),
+        "event_funnel": lambda s, d: _event_funnel_df(s, d),
     }
+
+    def _event_funnel_df(s, d):
+        from etl_workflow_spark.catalog import events_table
+        from etl_workflow_spark.operators import temporal as TP
+
+        return TP.funnel(events_table(s, d), ["view", "click", "purchase"])
 
     from etl_workflow_spark.operators import sketches as SK
 

@@ -211,6 +211,20 @@ def main() -> None:
         # and partial-agg shuffles are linear; iterations fixed)
         run("kmeans", k,
             lambda: S.kmeans(emb, k=8, dim=64, max_iter=3)[0])
+        # event analytics: funnel joins carry (user, ts) pairs only;
+        # retention shuffles distinct user-periods; transitions one
+        # window + a |types|^2 rollup — all linear in events
+        from etl_workflow_spark.operators import temporal as TP
+
+        run("event_funnel", k,
+            lambda: TP.funnel(ev, ["view", "click", "purchase"]))
+        run("event_retention", k,
+            lambda: TP.retention_cohorts(ev, cohort_event="signup"))
+        run("event_transitions", k,
+            lambda: TP.event_transitions(ev, tiebreak_col="event_id"))
+        # span dedup: linear in corpus tokens (the run-rarely pass)
+        run("dedup_spans", k,
+            lambda: D.dedup_spans(docs, min_tokens=50))
         for df in (docs, emb, ev):
             df.unpersist()
 
