@@ -1047,3 +1047,44 @@ def dedup_spans(
             F.col("n_tokens_removed"), F.lit(0).cast("long")
         ).alias("n_tokens_removed"),
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Quality-aware dedup keep policy: given near-dup cluster
+    assignments (:func:`dedup_clusters` output: ``(id, cluster_id,
+    ...)``), keep the member with the best ``score_col`` per cluster
+    (ties break on min id — fully deterministic), instead of the
+    min-id member — the RefinedWeb/FineWeb policy of surviving the
+    best-quality copy, not an arbitrary one. Documents in no cluster
+    pass through untouched.
+
+    One (cluster_id) aggregation over the (tiny) cluster map joined
+    with just ``(id, score)`` — the corpus itself only ever anti-joins
+    against the loser-id list, so at 100 TB the full rows never
+    shuffle. Returns the surviving rows of ``docs`` unchanged.
+    """
+    direction = -1.0 if higher_is_better else 1.0
+    member_scores = clusters.select(id_col, "cluster_id").join(
+        docs.select(
+            F.col(id_col),
+            (F.col(score_col).cast("double") * direction).alias("__s"),
+        ),
+        id_col,
+    )
+    winners = (
+        member_scores.groupBy("cluster_id")
+        .agg(F.min(F.struct(F.col("__s"), F.col(id_col))).alias("__w"))
+        .select("cluster_id", F.col(f"__w.{id_col}").alias("__winner"))
+    )
+    losers = (
+        member_scores.join(winners, "cluster_id")
+        .where(F.col(id_col) != F.col("__winner"))
+        .select(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -237,3 +237,37 @@ def test_kmeans_tolerates_empty_cells(spark):
     assert len(cents) == 4
     # all points land in some cluster with zero distance to a centroid
     assert {r.dist_e6 for r in rows} == {0}
+
+
+def test_keep_best_per_cluster_survives_highest_quality(spark):
+    """The best-scored member of each near-dup cluster survives (tie →
+    min id); unclustered docs pass through; lower_is_better inverts."""
+    from etl_workflow_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 0.2),
+            (2, "a'", 0.9),   # cluster A winner (best score)
+            (3, "a''", 0.9),  # ties with 2 -> loses on id
+            (4, "b", 0.5),    # singleton cluster: survives
+            (5, "c", 0.1),    # unclustered: survives
+        ],
+        "doc_id long, text string, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],
+        "doc_id long, cluster_id long",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_best_per_cluster(docs, clusters, "quality").collect()
+    )
+    assert kept == [2, 4, 5]
+
+    kept_lo = sorted(
+        r.doc_id
+        for r in keep_best_per_cluster(
+            docs, clusters, "quality", higher_is_better=False
+        ).collect()
+    )
+    assert kept_lo == [1, 4, 5]
