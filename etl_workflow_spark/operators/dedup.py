@@ -1088,3 +1088,47 @@ def keep_best_per_cluster(
         .select(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    quality_col: str | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """One-call corpus deduplication — the full keep-one recipe wired
+    from the tiers below, returning the SURVIVING rows of ``docs``:
+
+    1. exact tier: byte-duplicate groups collapse to their min-id
+       member (cheap hash groupBy — no point near-dup-hashing copies);
+    2. near-dup tier: MinHash+LSH candidate pairs at ``threshold``
+       over the exact survivors (``**lsh_kwargs`` pass through:
+       num_hashes, bands, n, ...);
+    3. clustering: connected components over the verified pairs;
+    4. keep policy: min-id member per cluster, or the best
+       ``quality_col`` member when given (the RefinedWeb policy via
+       :func:`keep_best_per_cluster`).
+
+    Scale shape is the sum of its parts (each documented above): the
+    corpus shuffles once for the exact hash, once for signatures;
+    pairs/clusters live in pair-space; final survival is an anti-join
+    against loser ids. The pair list is consumed by both clustering
+    rounds, so it rides :func:`dedup_clusters`'s internal persistence.
+    """
+    exact = exact_dedup(docs, col=col, id_col=id_col)
+    keepers = exact.select(F.col("keeper_id").alias(id_col))
+    stage1 = docs.join(keepers, id_col, "left_semi")
+    pairs = minhash_lsh_pairs(
+        stage1, threshold=threshold, col=col, id_col=id_col, **lsh_kwargs
+    )
+    clusters = dedup_clusters(pairs, all_ids=None, id_col=id_col)
+    if quality_col is not None:
+        return keep_best_per_cluster(
+            stage1, clusters, quality_col, id_col=id_col
+        )
+    losers = clusters.where(
+        F.col(id_col) != F.col("cluster_id")
+    ).select(id_col)
+    return stage1.join(losers, id_col, "left_anti")

@@ -271,3 +271,34 @@ def test_keep_best_per_cluster_survives_highest_quality(spark):
         ).collect()
     )
     assert kept_lo == [1, 4, 5]
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """The one-call recipe: byte-dupes collapse to min id, near-dups
+    collapse per cluster (min id, or best quality when given),
+    unrelated docs survive."""
+    from etl_workflow_spark.operators.dedup import dedup_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    near = base.replace("tonight", "yesterday")
+    rows = [
+        (1, base, 0.1),
+        (2, base, 0.9),        # byte-dup of 1 -> min id 1 survives stage 1
+        (3, near, 0.8),        # near-dup of 1
+        (4, "completely unrelated content about spark query planning "
+            "and shuffle partitions in distributed execution", 0.5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q double")
+
+    kept = sorted(
+        r.doc_id for r in dedup_corpus(docs, threshold=0.5).collect()
+    )
+    assert kept == [1, 4]
+
+    kept_q = sorted(
+        r.doc_id
+        for r in dedup_corpus(docs, threshold=0.5, quality_col="q").collect()
+    )
+    # near-dup cluster {1, 3}: doc 3 has the better quality
+    assert kept_q == [3, 4]
