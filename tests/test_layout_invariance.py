@@ -125,6 +125,21 @@ OPERATORS = {
         ).events_table(s, d),
         "signup",
     ),
+    "event_transitions": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.temporal",
+        fromlist=["event_transitions"],
+    ).event_transitions(
+        __import__(
+            "etl_workflow_spark.catalog", fromlist=["events_table"]
+        ).events_table(s, d),
+        tiebreak_col="event_id",
+    ),
+    "dedup_spans": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.dedup", fromlist=["dedup_spans"]
+    ).dedup_spans(docs, min_tokens=10),
+    "dedup_corpus": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.dedup", fromlist=["dedup_corpus"]
+    ).dedup_corpus(docs, threshold=0.4),
 }
 
 
