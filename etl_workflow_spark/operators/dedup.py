@@ -977,36 +977,32 @@ def dedup_spans(
         F.col(id_col),
         F.posexplode(_gram_hashes("__th", length)).alias("wpos", "whash"),
     )
-    dup = (
-        windows.groupBy("whash")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct(F.col(id_col), F.col("wpos"))).alias("__w"),
-        )
-        .where(F.col("__cnt") > 1)
-        .select("whash", "__w")
-    )
-    # losers: every duplicated-window occurrence except the global
-    # first — joins back on whash, the key the aggregation just
-    # shuffled on, so the corpus windows don't move again
+    # Losers in ONE pass over one whash shuffle: an unordered window
+    # frame gives each occurrence its group's size and global-first
+    # (min struct) — the aggregate-then-probe-join form evaluated the
+    # window lineage (scan + tokenize + hash + explode) TWICE in one
+    # plan; this evaluates it once. Skew note: a corpus-hot span puts
+    # its occurrences in one task either way; the window form at least
+    # doesn't also build a join hash table for it.
+    wspec = Window.partitionBy("whash")
+    occ = F.struct(F.col(id_col), F.col("wpos"))
     losers = (
-        windows.join(dup, "whash")
-        .where(
-            ~(
-                (F.col(f"__w.{id_col}") == F.col(id_col))
-                & (F.col("__w.wpos") == F.col("wpos"))
-            )
-        )
+        windows.withColumn("__cnt", F.count(F.lit(1)).over(wspec))
+        .withColumn("__first", F.min(occ).over(wspec))
+        .where((F.col("__cnt") > 1) & (occ != F.col("__first")))
         .select(id_col, "wpos")
     )
     # token indices covered by any losing window (0-based; window at
-    # wpos covers wpos .. wpos+L-1), deduped across overlapping windows
+    # wpos covers wpos .. wpos+L-1), deduped across overlapping
+    # windows. Lazily checkpointed: it is consumed twice (count + the
+    # rebuild anti-join) and is small — loser windows × L, bounded by
+    # duplicated content, not the corpus.
     removed = losers.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.col("wpos"), F.col("wpos") + F.lit(length - 1))
         ).alias("tpos"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     rem_agg = removed.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens_removed")
     )
