@@ -564,6 +564,32 @@ def stream_sketch_rollup(
     )
 
 
+def rollup_distinct_store_monthly(
+    spark: SparkSession,
+    day_store_path: str,
+    month_store_path: str,
+) -> None:
+    """Materialize the month tier of the daily distinct-sketch store
+    (``operators.sketches.monthly_distinct_sketches``) as a second
+    parquet store: a year-range ``distinct_over_range`` then unions 12
+    rows instead of 365, and ``distinct_over_range_tiered`` reads whole
+    months from here with day-tier ragged edges. Rebuilds the whole
+    month store from the (tiny — one row per day) day store on every
+    call, so late data that widened a day's sketch is always folded in;
+    idempotent by construction (HLL union is exact set-union). The
+    overwrite stages + swaps like every store rewrite here
+    (single-writer contract, SCALE.md §9b internals)."""
+    from ..operators.sketches import monthly_distinct_sketches
+    from ..sources.writers import _hadoop_exists, _swap_staged
+
+    day = spark.read.parquet(day_store_path)
+    month = monthly_distinct_sketches(day)
+    if _hadoop_exists(spark, month_store_path):
+        _swap_staged(spark, month_store_path, month)
+    else:
+        month.write.parquet(month_store_path)
+
+
 def histogram_rollup_batch(
     batch_df: DataFrame,
     store_path: str,

@@ -417,3 +417,52 @@ def test_tiered_range_matches_day_tier_on_ragged_ranges(spark, sf_dir):
         flat = distinct_over_range(day, str(start), str(end)).collect()[0]
         assert tiered.distinct_est == flat.distinct_est, (start, end)
         assert tiered.n_sketches <= flat.n_days
+
+
+def test_monthly_store_materializes_and_answers_tiered(spark, sf_dir, tmp_path):
+    """The persisted month store round-trips through parquet and a
+    tiered range read over (month store + day store) equals the pure
+    day-store answer; a rebuild after new data folds it in."""
+    from etl_workflow_spark.operators.sketches import (
+        daily_distinct_sketches,
+        distinct_over_range,
+        distinct_over_range_tiered,
+    )
+    from etl_workflow_spark.streaming.incremental import (
+        rollup_distinct_store_monthly,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    half = orders.where("o_orderkey % 2 = 0")
+    day_path = str(tmp_path / "day")
+    month_path = str(tmp_path / "month")
+
+    daily_distinct_sketches(
+        half, id_col="o_custkey", ts_col="o_orderdate"
+    ).write.parquet(day_path)
+    rollup_distinct_store_monthly(spark, day_path, month_path)
+
+    lo, hi = orders.agg(
+        F.min(F.to_date("o_orderdate")), F.max(F.to_date("o_orderdate"))
+    ).collect()[0]
+    day = spark.read.parquet(day_path)
+    month = spark.read.parquet(month_path)
+    tiered = distinct_over_range_tiered(
+        day, month, str(lo), str(hi)
+    ).collect()[0]
+    flat = distinct_over_range(day, str(lo), str(hi)).collect()[0]
+    assert tiered.distinct_est == flat.distinct_est
+
+    # late data widens a day; the rebuild folds it into the month tier
+    daily_distinct_sketches(
+        orders, id_col="o_custkey", ts_col="o_orderdate"
+    ).localCheckpoint(eager=True).write.mode("overwrite").parquet(day_path)
+    rollup_distinct_store_monthly(spark, day_path, month_path)
+    day2 = spark.read.parquet(day_path)
+    month2 = spark.read.parquet(month_path)
+    tiered2 = distinct_over_range_tiered(
+        day2, month2, str(lo), str(hi)
+    ).collect()[0]
+    flat2 = distinct_over_range(day2, str(lo), str(hi)).collect()[0]
+    assert tiered2.distinct_est == flat2.distinct_est
+    assert tiered2.distinct_est >= tiered.distinct_est
