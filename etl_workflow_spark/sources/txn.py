@@ -241,6 +241,52 @@ def txn_read(
     return out.select(*m["columns"])
 
 
+def txn_append(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str] | None = None,
+) -> int:
+    """INSERT — with ``keys``, INSERT ... ON CONFLICT DO NOTHING: rows
+    whose key already exists in the base snapshot are dropped before
+    the commit, so micro-batch replays converge (the transactional
+    twin of ``writers.idempotent_append``, which auto-routes here for
+    txn targets). Appends ONE immutable data dir and one manifest
+    entry; existing data is read only for the key anti-join (key
+    columns, pruned) and never rewritten. Entries' partition lists are
+    read-side filters, not exclusive claims, so an appended entry adds
+    rows without shadowing prior entries. Returns rows appended; an
+    empty effective batch commits nothing. Raises
+    :class:`ConcurrentWriteError` if another commit wins the version
+    race (re-read and retry)."""
+    base_v = latest_version(spark, path)
+    if base_v is None:
+        raise FileNotFoundError(
+            f"no transactional table at {path}; use txn_create first"
+        )
+    m = _read_manifest(spark, path, base_v)
+    src = source.select(*m["columns"])
+    if keys:
+        keys = list(keys)
+        src = src.dropDuplicates(keys)
+        existing = txn_read(spark, path, base_v).select(*keys)
+        src = src.join(existing, on=keys, how="left_anti")
+    # eager checkpoint: count and the data-dir write must see the SAME
+    # rows (a lazy anti-join could read a different snapshot if a
+    # concurrent commit landed between the two actions)
+    src = src.localCheckpoint(eager=True)
+    n = src.count()
+    if n == 0:
+        return 0
+    d, parts = _write_data(src, path, m["partition_col"])
+    manifest = dict(m)
+    manifest["entries"] = list(m["entries"]) + [
+        {"dir": d, "partitions": parts}
+    ]
+    _commit(spark, path, base_v + 1, manifest)
+    return n
+
+
 def txn_merge_into(
     spark: SparkSession,
     path: str,

@@ -71,7 +71,17 @@ def idempotent_append(
     (key columns, pruned), never shuffled. A bulk backfill above the
     gate falls back to the plain key-column anti-join (one shuffle on
     the keys), never an OOM-prone broadcast of a huge batch.
+
+    Unified mutation surface: a transactional target (``sources.txn``)
+    commits through ``txn_append`` — snapshot-isolated, atomic,
+    replay-idempotent by the same key anti-join — like
+    :func:`merge_into` and :func:`update_rows`.
     """
+    from .txn import latest_version, txn_append
+
+    if latest_version(spark, path) is not None:
+        return txn_append(spark, path, df, keys=list(keys))
+
     deduped = df.dropDuplicates(list(keys)).persist()
     out = deduped
     try:

@@ -369,3 +369,55 @@ def test_unified_update_rows_routes_txn_tables_through_the_log(spark, tmp_path):
     got = {r.id: (r.v, r.updated_at) for r in txn.txn_read(spark, path).collect()}
     assert got[1][0] == 10 and got[1][1] is None
     assert got[2][0] == 99 and got[2][1] is not None
+
+
+def test_txn_append_insert_if_absent_and_replay(spark, tmp_path):
+    """txn_append with keys is ON CONFLICT DO NOTHING: existing keys
+    drop, replays converge, each effective append is one version, and
+    the pre-append snapshot stays readable."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    batch = spark.createDataFrame([(2, 99), (3, 30), (3, 31)], ["id", "v"])
+    n = txn.txn_append(spark, path, batch, keys=["id"])
+    assert n == 1  # id 2 exists; ids 3,3 dedupe to one row
+    assert txn.txn_history(spark, path) == [1, 2]
+    got = {r.id: r.v for r in txn.txn_read(spark, path).collect()}
+    assert got[1] == 10 and got[2] == 20 and got[3] in (30, 31)
+    # replay: nothing appended, no version burned
+    assert txn.txn_append(spark, path, batch, keys=["id"]) == 0
+    assert txn.txn_history(spark, path) == [1, 2]
+    assert _rows(txn.txn_read(spark, path, version=1)) == [(1, 10), (2, 20)]
+
+
+def test_unified_idempotent_append_routes_txn_tables(spark, tmp_path):
+    from etl_workflow_spark.sources.writers import idempotent_append
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    batch = spark.createDataFrame([(1, 11), (2, 20)], ["id", "v"])
+    assert idempotent_append(spark, batch, path, ["id"]) == 1
+    assert txn.txn_history(spark, path) == [1, 2]
+    assert _rows(txn.txn_read(spark, path)) == [(1, 10), (2, 20)]
+
+
+def test_txn_append_partitioned_adds_entry_without_shadowing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "p"]),
+        partition_col="p",
+    )
+    n = txn.txn_append(
+        spark,
+        path,
+        spark.createDataFrame([(3, "a"), (4, "c")], ["id", "p"]),
+        keys=["id"],
+    )
+    assert n == 2
+    got = sorted((r.id, r.p) for r in txn.txn_read(spark, path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
