@@ -22,6 +22,8 @@ never touches historical partitions.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -644,6 +646,34 @@ def stream_histogram_rollup(
     return (
         events_stream.writeStream.outputMode("append")
         .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def stream_txn_append(
+    docs_stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    keys: Sequence[str],
+):
+    """Exactly-once streaming sink into a transactional table: every
+    micro-batch commits through ``txn_append(keys)`` — one atomic
+    manifest publish per effective batch, and the key anti-join makes
+    a replayed batch (Structured Streaming redelivers the last
+    uncommitted one after a crash) append zero rows instead of
+    duplicates. Readers always see a complete snapshot: there is no
+    window where a batch is half-visible, unlike a plain parquet
+    append sink. Returns a writeStream builder (caller adds
+    trigger/start); the table must exist (``txn_create``)."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.txn import txn_append
+
+        txn_append(batch_df.sparkSession, table_path, batch_df, keys=keys)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(commit)
         .option("checkpointLocation", checkpoint_path)
     )
 

@@ -421,3 +421,47 @@ def test_txn_append_partitioned_adds_entry_without_shadowing(spark, tmp_path):
     assert n == 2
     got = sorted((r.id, r.p) for r in txn.txn_read(spark, path).collect())
     assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
+
+
+def test_stream_txn_append_exactly_once(spark, tmp_path):
+    """A real availableNow stream committing through txn_append: every
+    row lands exactly once, each effective micro-batch is one atomic
+    version, and re-running the whole stream over the same files
+    appends nothing."""
+    from etl_workflow_spark.streaming.incremental import stream_txn_append
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"
+    ).repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(100, "seed")], ["id", "v"])
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream_txn_append(stream, path, str(tmp_path / ckpt), ["id"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    rows = txn.txn_read(spark, path).collect()
+    assert len(rows) == 21 and len({r.id for r in rows}) == 21
+    versions_after_first = txn.txn_history(spark, path)
+    assert len(versions_after_first) >= 2  # seed + >=1 batch commit
+
+    # fresh checkpoint, same files: the key anti-join keeps the table
+    # identical and burns no versions
+    run("ckpt2")
+    assert len(txn.txn_read(spark, path).collect()) == 21
+    assert txn.txn_history(spark, path) == versions_after_first
