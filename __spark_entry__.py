@@ -2258,11 +2258,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 47 entries — the driver's correctness harness checks the first
-    # ~50, so EVERY entry sits inside the verified window. Related
-    # operators are consolidated (see the merged-gate section above);
-    # each merged entry's docstring names the operators it covers.
-    return {
+    # 50 entries — the driver's correctness harness checks the first
+    # 50, so EVERY entry sits inside the verified window (enforced by
+    # the assert below; to add an operator, CONSOLIDATE related ones
+    # into a merged entry instead of growing the dict). Each merged
+    # entry's docstring names the operators it covers.
+    out = {
         # -- reference analytics queries (app.py) --------------------------
         "product_sales": lambda s, d: Q.product_sales(s, d),
         "top_selling": _q_top_selling,
@@ -2334,6 +2335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_parity": _q_streaming_parity,
         "lang_quality_rollup": _q_lang_quality_rollup,
     }
+    assert len(out) <= 50, (
+        f"{len(out)} gate entries exceed the driver's 50-entry verified "
+        "window — consolidate related operators instead of appending"
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -317,6 +317,7 @@ def minhash_lsh_pairs(
     col: str = "text",
     id_col: str = "doc_id",
     broadcast_pairs_limit: int = 1_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs at scale: MinHash → banded LSH buckets →
     bucket-local candidate join → exact Jaccard verification.
@@ -343,18 +344,32 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()
     )
-    # Count-gated broadcast: an UNCONDITIONAL broadcast of the candidate
-    # set OOMs executors on a near-dup-heavy corpus (exactly when dedup
-    # matters), but when the measured count is genuinely small the
-    # broadcast saves two shuffles of the (much larger) corpus side. The
-    # count is a cheap action over the already-persisted candidates.
-    small = cand.count() <= broadcast_pairs_limit
-    hint = F.broadcast if small else (lambda d: d)
+    try:
+        # Count-gated broadcast: an UNCONDITIONAL broadcast of the
+        # candidate set OOMs executors on a near-dup-heavy corpus
+        # (exactly when dedup matters), but when the measured count is
+        # genuinely small the broadcast saves two shuffles of the (much
+        # larger) corpus side. The count is a cheap action over the
+        # already-persisted candidates.
+        small = cand.count() <= broadcast_pairs_limit
+        hint = F.broadcast if small else (lambda d: d)
 
-    # no .distinct() on members inside _verify_jaccard: left_semi
-    # tolerates duplicate build keys and the extra shuffle costs more
-    # than the slightly larger build side
-    return _verify_jaccard(df, cand, threshold, n, col, id_col, hint)
+        # no .distinct() on members inside _verify_jaccard: left_semi
+        # tolerates duplicate build keys and the extra shuffle costs
+        # more than the slightly larger build side
+        verified = _verify_jaccard(df, cand, threshold, n, col, id_col, hint)
+        if not materialize:
+            # plan-inspection escape hatch (tests): returns the LAZY
+            # frame; the caller inherits the candidate persist
+            return verified
+        # materialize the (small, by the S-curve) result so the
+        # candidate persist can be RELEASED before returning — a
+        # repeated caller (dedup_corpus in a loop) must not accrete
+        # cached candidate blocks for the life of the session
+        return verified.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            cand.unpersist()
 
 
 def build_lsh_index(
@@ -1066,10 +1081,18 @@ def keep_best_per_cluster(
     shuffle. Returns the surviving rows of ``docs`` unchanged.
     """
     direction = -1.0 if higher_is_better else 1.0
+    # NULL scores coalesce to +inf (the worst value for the min-struct
+    # aggregate in EITHER direction): struct ordering sorts NULL fields
+    # first, so an unscored member would otherwise win its cluster
+    # regardless of higher_is_better. An all-NULL cluster still gets a
+    # winner — min-id among the +inf ties.
     member_scores = clusters.select(id_col, "cluster_id").join(
         docs.select(
             F.col(id_col),
-            (F.col(score_col).cast("double") * direction).alias("__s"),
+            F.coalesce(
+                F.col(score_col).cast("double") * direction,
+                F.lit(float("inf")),
+            ).alias("__s"),
         ),
         id_col,
     )
@@ -1112,19 +1135,29 @@ def dedup_corpus(
     pairs/clusters live in pair-space; final survival is an anti-join
     against loser ids. The pair list is consumed by both clustering
     rounds, so it rides :func:`dedup_clusters`'s internal persistence.
+
+    NULL-text documents bypass BOTH tiers and survive unconditionally —
+    the null-preservation contract of :func:`dedup_spans` /
+    :func:`dedup_paragraphs`. Without the bypass the exact tier's
+    ``sha2(normalize)`` maps every NULL text to a NULL hash, silently
+    collapsing all NULL-text docs into one "duplicate" group.
     """
-    exact = exact_dedup(docs, col=col, id_col=id_col)
+    nulls = docs.where(F.col(col).isNull())
+    nonnull = docs.where(F.col(col).isNotNull())
+    exact = exact_dedup(nonnull, col=col, id_col=id_col)
     keepers = exact.select(F.col("keeper_id").alias(id_col))
-    stage1 = docs.join(keepers, id_col, "left_semi")
+    stage1 = nonnull.join(keepers, id_col, "left_semi")
     pairs = minhash_lsh_pairs(
         stage1, threshold=threshold, col=col, id_col=id_col, **lsh_kwargs
     )
     clusters = dedup_clusters(pairs, all_ids=None, id_col=id_col)
     if quality_col is not None:
-        return keep_best_per_cluster(
+        survivors = keep_best_per_cluster(
             stage1, clusters, quality_col, id_col=id_col
         )
-    losers = clusters.where(
-        F.col(id_col) != F.col("cluster_id")
-    ).select(id_col)
-    return stage1.join(losers, id_col, "left_anti")
+    else:
+        losers = clusters.where(
+            F.col(id_col) != F.col("cluster_id")
+        ).select(id_col)
+        survivors = stage1.join(losers, id_col, "left_anti")
+    return survivors.unionByName(nulls)

@@ -334,73 +334,79 @@ def txn_merge_into(
             f"source columns {[f.name for f in extra]} not in table "
             f"schema; pass evolve_schema=True to add them"
         )
+    # try/finally: _commit raises ConcurrentWriteError BY DESIGN on a
+    # lost version race, and the documented retry loop re-enters this
+    # function — releases must not sit after the raise or every lost
+    # race leaks one cached copy of the source
     src = source.dropDuplicates(keys).select(*out_columns).persist()
-    n_src = src.count()
-    if n_src == 0:
-        # no-op merge: committing would add an entry whose data dir has
-        # no files (unreadable) — an empty source changes nothing, so
-        # the version history shouldn't grow either
-        src.unpersist()
-        return (0, 0)
+    kept = None
+    try:
+        n_src = src.count()
+        if n_src == 0:
+            # no-op merge: committing would add an entry whose data dir
+            # has no files (unreadable) — an empty source changes
+            # nothing, so the version history shouldn't grow either
+            return (0, 0)
 
-    if pcol is None:
-        kept = target.join(src.select(*keys), on=keys, how="left_anti")
-        updated = target.count() - kept.count()
-        d, parts = _write_data(kept.unionByName(src), path, None)
-        manifest = {
-            "partition_col": None,
-            "columns": out_columns,
-            "types": out_types,
-            "entries": [{"dir": d, "partitions": parts}],
+        if pcol is None:
+            kept = target.join(src.select(*keys), on=keys, how="left_anti")
+            updated = target.count() - kept.count()
+            d, parts = _write_data(kept.unionByName(src), path, None)
+            manifest = {
+                "partition_col": None,
+                "columns": out_columns,
+                "types": out_types,
+                "entries": [{"dir": d, "partitions": parts}],
+            }
+            _commit(spark, path, base_v + 1, manifest)
+            return (updated, n_src - updated)
+
+        affected = {
+            _encode_partition(r[0])
+            for r in (
+                target.join(src.select(*keys), on=keys, how="left_semi")
+                .select(pcol)
+                .union(src.select(pcol))
+                .distinct()
+                .collect()
+            )
         }
-        _commit(spark, path, base_v + 1, manifest)
-        src.unpersist()
-        return (updated, n_src - updated)
-
-    affected = {
-        _encode_partition(r[0])
-        for r in (
-            target.join(src.select(*keys), on=keys, how="left_semi")
-            .select(pcol)
-            .union(src.select(pcol))
-            .distinct()
-            .collect()
+        aff_vals = [p for p in affected if p != _NULL_PARTITION]
+        cond = F.col(pcol).cast("string").isin(aff_vals)
+        if _NULL_PARTITION in affected:
+            cond = cond | F.col(pcol).isNull()
+        sub = target.where(cond)
+        kept = sub.join(src.select(*keys), on=keys, how="left_anti").persist()
+        n_sub = sub.count()
+        n_kept = kept.count()
+        updated = n_sub - n_kept
+        d, parts = _write_data(kept.unionByName(src), path, pcol)
+        entries = []
+        for e in m["entries"]:
+            if e["partitions"] is None:
+                remaining = None
+            else:
+                remaining = [p for p in e["partitions"] if p not in affected]
+                if not remaining:
+                    continue
+            entries.append({"dir": e["dir"], "partitions": remaining})
+        entries.append({"dir": d, "partitions": parts})
+        _commit(
+            spark,
+            path,
+            base_v + 1,
+            {
+                "partition_col": pcol,
+                "columns": out_columns,
+                "types": out_types,
+                "entries": entries,
+            },
         )
-    }
-    aff_vals = [p for p in affected if p != _NULL_PARTITION]
-    cond = F.col(pcol).cast("string").isin(aff_vals)
-    if _NULL_PARTITION in affected:
-        cond = cond | F.col(pcol).isNull()
-    sub = target.where(cond)
-    kept = sub.join(src.select(*keys), on=keys, how="left_anti").persist()
-    n_sub = sub.count()
-    n_kept = kept.count()
-    updated = n_sub - n_kept
-    d, parts = _write_data(kept.unionByName(src), path, pcol)
-    kept.unpersist()
-    entries = []
-    for e in m["entries"]:
-        if e["partitions"] is None:
-            remaining = None
-        else:
-            remaining = [p for p in e["partitions"] if p not in affected]
-            if not remaining:
-                continue
-        entries.append({"dir": e["dir"], "partitions": remaining})
-    entries.append({"dir": d, "partitions": parts})
-    _commit(
-        spark,
-        path,
-        base_v + 1,
-        {
-            "partition_col": pcol,
-            "columns": out_columns,
-            "types": out_types,
-            "entries": entries,
-        },
-    )
-    src.unpersist()
-    return (updated, n_src - updated)
+        return (updated, n_src - updated)
+    finally:
+        src.unpersist()
+        if kept is not None:
+            kept.unpersist()  # no-op for the unpartitioned (lazy) branch
 
 
 def txn_history(spark: SparkSession, path: str) -> list[int]:

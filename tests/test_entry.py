@@ -32,3 +32,10 @@ def test_oracles_are_nonempty_sql():
         )
 
 
+
+
+def test_gate_stays_within_driver_verified_window():
+    """The driver verifies only the first 50 entries; an entry past the
+    cap would be silently ungraded. queries() itself asserts the cap —
+    this just pins the contract with a clear local failure."""
+    assert len(entry.queries()) <= 50

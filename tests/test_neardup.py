@@ -302,3 +302,78 @@ def test_dedup_corpus_end_to_end(spark):
     )
     # near-dup cluster {1, 3}: doc 3 has the better quality
     assert kept_q == [3, 4]
+
+
+def test_keep_best_never_crowns_null_score(spark):
+    """A NULL (or NULL-casting) score must not win its cluster — NULL
+    fields sort first in the min-struct aggregate, so without the
+    +inf coalesce an unscored member beats every scored one. An
+    all-NULL cluster still keeps exactly one member (min id)."""
+    from etl_workflow_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 0.1), (3, None), (4, None)],
+        "doc_id long, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)],
+        "doc_id long, cluster_id long",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_best_per_cluster(docs, clusters, "quality").collect()
+    )
+    assert kept == [2, 3]  # scored 2 beats NULL 1; all-NULL -> min id 3
+    kept_lo = sorted(
+        r.doc_id
+        for r in keep_best_per_cluster(
+            docs, clusters, "quality", higher_is_better=False
+        ).collect()
+    )
+    assert kept_lo == [2, 3]
+
+
+def test_dedup_corpus_preserves_null_text_docs(spark):
+    """NULL-text docs bypass every tier and ALL survive — the
+    null-preservation contract of dedup_spans/dedup_paragraphs; the
+    exact tier's sha2(NULL)=NULL must not collapse them into one."""
+    from etl_workflow_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "some real document text here"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_corpus(docs).collect())
+    assert kept == [1, 2, 3]
+
+
+def _non_checkpoint_persists(spark):
+    """Persisted RDDs that are NOT localCheckpoint blocks. Checkpoint
+    blocks are acceptable residue: they are reclaimed when the result
+    frame is GC'd and do not accrete across calls (ContextCleaner);
+    an explicit .persist() with no unpersist path is the leak class."""
+    out = []
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        rdd = it.next().getValue().rdd()
+        if not rdd.isLocallyCheckpointed():
+            out.append(rdd.id())
+    return out
+
+
+def test_dedup_corpus_releases_every_persist(spark):
+    """Repeated dedup_corpus calls must not accrete cached blocks:
+    minhash_lsh_pairs eagerly materializes its result and releases the
+    candidate persist in a finally; dedup_clusters releases its
+    internals. Only localCheckpoint residue may remain."""
+    from etl_workflow_spark.operators.dedup import dedup_corpus
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with shared words " * 3)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup_corpus(docs, threshold=0.5).count()
+    leaked = _non_checkpoint_persists(spark)
+    assert leaked == [], f"cached RDDs leaked: {leaked}"

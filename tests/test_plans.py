@@ -109,15 +109,20 @@ def test_minhash_lsh_broadcast_is_count_gated(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
 
-    over = D.minhash_lsh_pairs(docs, threshold=0.5, broadcast_pairs_limit=0)
+    # materialize=False: plan inspection needs the LAZY frame (the
+    # default eagerly checkpoints, collapsing the plan to a LogicalRDD)
+    over = D.minhash_lsh_pairs(
+        docs, threshold=0.5, broadcast_pairs_limit=0, materialize=False
+    )
     analyzed = over._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
 
-    under = D.minhash_lsh_pairs(docs, threshold=0.5)  # testdata cand is tiny
+    under = D.minhash_lsh_pairs(docs, threshold=0.5, materialize=False)
     analyzed = under._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in analyzed
     # both paths emit identical pairs — the hint is advisory only
     assert sorted(map(tuple, over.collect())) == sorted(map(tuple, under.collect()))
+    spark.catalog.clearCache()  # release the lazy frames' candidate persists
 
 
 def test_dedup_exact_prunes_to_needed_columns(spark, sf_dir):

@@ -465,3 +465,45 @@ def test_stream_txn_append_exactly_once(spark, tmp_path):
     run("ckpt2")
     assert len(txn.txn_read(spark, path).collect()) == 21
     assert txn.txn_history(spark, path) == versions_after_first
+
+
+def test_lost_race_merge_releases_persists(spark, tmp_path, monkeypatch):
+    """txn_merge_into persists its source (and kept rows); a lost
+    commit race raises ConcurrentWriteError BY DESIGN, and the retry
+    loop re-enters — the try/finally must release the persists on the
+    raise path or every lost race leaks one cached copy."""
+    from tests.test_neardup import _non_checkpoint_persists
+
+    spark.catalog.clearCache()
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+
+    def losing_commit(spark_, path_, version, manifest):
+        raise txn.ConcurrentWriteError("simulated lost race")
+
+    monkeypatch.setattr(txn, "_commit", losing_commit)
+    src = spark.createDataFrame([(1, 11), (2, 20)], ["id", "v"])
+    with pytest.raises(txn.ConcurrentWriteError):
+        txn.txn_merge_into(spark, path, src, ["id"])
+    assert _non_checkpoint_persists(spark) == []
+
+    # partitioned branch persists `kept` too
+    monkeypatch.undo()
+    ppath = str(tmp_path / "tp")
+    txn.txn_create(
+        spark,
+        ppath,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["id", "p", "v"]),
+        partition_col="p",
+    )
+    monkeypatch.setattr(txn, "_commit", losing_commit)
+    with pytest.raises(txn.ConcurrentWriteError):
+        txn.txn_merge_into(
+            spark,
+            ppath,
+            spark.createDataFrame([(1, "a", 11)], ["id", "p", "v"]),
+            ["id"],
+        )
+    assert _non_checkpoint_persists(spark) == []
