@@ -409,6 +409,58 @@ def txn_merge_into(
             kept.unpersist()  # no-op for the unpartitioned (lazy) branch
 
 
+def txn_retry(
+    fn,
+    attempts: int = 5,
+    backoff_sec: float = 0.2,
+):
+    """Bounded optimistic-concurrency retry: run ``fn()`` again when it
+    loses a commit race (:class:`ConcurrentWriteError`), with
+    exponential backoff, re-raising after ``attempts`` tries.
+
+    Safe for every mutation in this module BY CONSTRUCTION: each one
+    re-reads ``latest_version`` at entry, so a retry transacts against
+    the snapshot that beat it — the documented "re-read and retry"
+    contract, finally packaged. Key-conditioned ops (``txn_append``
+    with keys, ``txn_merge_into``) are idempotent across retries: the
+    anti-join/merge re-evaluates against the new snapshot, so a retry
+    after a racer inserted the same keys appends nothing twice.
+    """
+    import time
+
+    last: ConcurrentWriteError | None = None
+    for i in range(max(1, attempts)):
+        try:
+            return fn()
+        except ConcurrentWriteError as e:
+            last = e
+            if i < attempts - 1:
+                time.sleep(backoff_sec * (2 ** i))
+    raise last
+
+
+def txn_maintain(
+    spark: SparkSession,
+    path: str,
+    max_entries: int = 64,
+    target_files: int = 1,
+) -> int | None:
+    """Auto-compaction policy: when the CURRENT manifest lists more
+    than ``max_entries`` data-dir entries, rewrite the snapshot into
+    one (:func:`txn_compact`) and return the new version; otherwise
+    None. A per-minute streaming sink adds one entry per micro-batch —
+    without a bound, every read unions hundreds of dirs. Readers
+    pinned to older versions are unaffected (their dirs survive until
+    :func:`txn_vacuum`). Caller wraps in :func:`txn_retry` if other
+    writers may race."""
+    v = latest_version(spark, path)
+    if v is None:
+        return None
+    if len(_read_manifest(spark, path, v)["entries"]) <= max_entries:
+        return None
+    return txn_compact(spark, path, target_files=target_files)
+
+
 def txn_history(spark: SparkSession, path: str) -> list[int]:
     """Committed versions, oldest first (time travel via txn_read)."""
     return _list_versions(spark, path)

@@ -655,6 +655,8 @@ def stream_txn_append(
     table_path: str,
     checkpoint_path: str,
     keys: Sequence[str],
+    retry_attempts: int = 5,
+    auto_compact_entries: int | None = 64,
 ):
     """Exactly-once streaming sink into a transactional table: every
     micro-batch commits through ``txn_append(keys)`` — one atomic
@@ -664,12 +666,39 @@ def stream_txn_append(
     duplicates. Readers always see a complete snapshot: there is no
     window where a batch is half-visible, unlike a plain parquet
     append sink. Returns a writeStream builder (caller adds
-    trigger/start); the table must exist (``txn_create``)."""
+    trigger/start); the table must exist (``txn_create``).
+
+    Liveness under concurrency: a commit that loses the version race
+    to another writer (a parallel merge, compaction, vacuum) retries
+    through ``txn_retry`` — up to ``retry_attempts`` with backoff —
+    instead of killing the whole streaming query; the retried
+    anti-join re-reads the winner's snapshot, so replays stay
+    idempotent. Manifest growth is bounded by the
+    ``auto_compact_entries`` policy (``txn_maintain``): one entry per
+    micro-batch would otherwise make batch N's read union N dirs.
+    Compaction races are best-effort — a lost maintenance race is
+    skipped, never fatal (the next batch re-triggers it)."""
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        from ..sources.txn import txn_append
+        from ..sources.txn import (
+            ConcurrentWriteError,
+            txn_append,
+            txn_maintain,
+            txn_retry,
+        )
 
-        txn_append(batch_df.sparkSession, table_path, batch_df, keys=keys)
+        spark = batch_df.sparkSession
+        txn_retry(
+            lambda: txn_append(spark, table_path, batch_df, keys=keys),
+            attempts=retry_attempts,
+        )
+        if auto_compact_entries is not None:
+            try:
+                txn_maintain(
+                    spark, table_path, max_entries=auto_compact_entries
+                )
+            except ConcurrentWriteError:
+                pass  # another writer won; next batch re-checks
 
     return (
         docs_stream.writeStream.outputMode("append")

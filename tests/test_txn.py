@@ -507,3 +507,113 @@ def test_lost_race_merge_releases_persists(spark, tmp_path, monkeypatch):
             ["id"],
         )
     assert _non_checkpoint_persists(spark) == []
+
+
+def test_txn_retry_recovers_from_lost_races(spark, monkeypatch):
+    """txn_retry re-runs the transaction after ConcurrentWriteError (up
+    to the attempt bound) and re-raises once exhausted."""
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise txn.ConcurrentWriteError("lost race")
+        return "committed"
+
+    assert txn.txn_retry(flaky, attempts=5, backoff_sec=0.0) == "committed"
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+    with pytest.raises(txn.ConcurrentWriteError):
+        txn.txn_retry(flaky, attempts=2, backoff_sec=0.0)
+    assert calls["n"] == 2
+
+
+def test_stream_txn_append_survives_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A commit race mid-stream (e.g. a parallel compaction winning the
+    version) must not kill the streaming query: the sink retries and
+    the table still ends exactly-once."""
+    from etl_workflow_spark.streaming import incremental as inc
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"
+    ).repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(100, "seed")], ["id", "v"])
+    )
+
+    real_append = txn.txn_append
+    fails = {"left": 2}
+
+    def racing_append(*args, **kwargs):
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise txn.ConcurrentWriteError("simulated racer won")
+        return real_append(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "etl_workflow_spark.sources.txn.txn_append", racing_append
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        inc.stream_txn_append(stream, path, str(tmp_path / "ckpt"), ["id"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert fails["left"] == 0  # the race actually happened
+    rows = txn.txn_read(spark, path).collect()
+    assert len(rows) == 7 and len({r.id for r in rows}) == 7
+
+
+def test_stream_txn_append_auto_compacts_entry_growth(spark, tmp_path):
+    """A long-running sink adds one manifest entry per micro-batch;
+    the auto-compaction policy keeps the entry count bounded while a
+    reader pinned to an old version is unaffected."""
+    from etl_workflow_spark.streaming.incremental import stream_txn_append
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "id long, v string"
+    ).repartition(12).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(100, "seed")], ["id", "v"])
+    )
+    pinned = txn.txn_read(spark, path, version=1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_txn_append(
+            stream, path, str(tmp_path / "ckpt"), ["id"],
+            auto_compact_entries=3,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    v = txn.latest_version(spark, path)
+    entries = txn._read_manifest(spark, path, v)["entries"]
+    # every batch past 3 entries triggers a compact back to 1, so the
+    # steady-state count stays within policy + 1 in-flight batch
+    assert len(entries) <= 4, f"{len(entries)} entries survived the policy"
+    rows = txn.txn_read(spark, path).collect()
+    assert len(rows) == 13 and len({r.id for r in rows}) == 13
+    assert _rows(pinned) == [(100, "seed")]  # old version untouched
