@@ -217,6 +217,13 @@ def txn_read(
         raise FileNotFoundError(f"no transactional table at {path}")
     m = _read_manifest(spark, path, v)
     pcol = m["partition_col"]
+    if not m["entries"]:
+        # a table whose rows were all deleted: empty frame, real schema
+        types = m.get("types") or {}
+        schema = ", ".join(
+            f"`{c}` {types.get(c, 'string')}" for c in m["columns"]
+        )
+        return spark.createDataFrame([], schema)
     frames = []
     for e in m["entries"]:
         d = f"{path.rstrip('/')}/{_DATA_DIR}/{e['dir']}"
@@ -407,6 +414,152 @@ def txn_merge_into(
         src.unpersist()
         if kept is not None:
             kept.unpersist()  # no-op for the unpartitioned (lazy) branch
+
+
+def txn_replace_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    replacement: DataFrame | None,
+    evolve_schema: bool = False,
+) -> tuple[int, int]:
+    """Atomic DELETE WHERE ``condition`` + INSERT ``replacement`` — the
+    replaceWhere analog generalized to arbitrary predicates, and the
+    row-level mutation primitive :func:`txn_merge_into` cannot express:
+    a merge is keyed (``dropDuplicates`` on the key), so N existing
+    rows sharing a key collapse to one; replace_where swaps an exact
+    row SET for another, preserving multiplicity.
+
+    Rows where ``condition`` is NULL are kept (SQL DELETE semantics).
+    ``replacement=None`` means pure DELETE. Returns
+    ``(rows_deleted, rows_inserted)``; a no-op (nothing matched, empty
+    replacement) commits nothing.
+
+    Scale shape: partitioned targets rewrite only partitions holding a
+    matching row or receiving a replacement row — same
+    affected-partition machinery as merge; everything else keeps its
+    entry untouched. Raises :class:`ConcurrentWriteError` on a lost
+    version race (wrap in :func:`txn_retry`).
+    """
+    base_v = latest_version(spark, path)
+    if base_v is None:
+        raise FileNotFoundError(
+            f"no transactional table at {path}; use txn_create first"
+        )
+    m = _read_manifest(spark, path, base_v)
+    pcol = m["partition_col"]
+    target = txn_read(spark, path, base_v)
+    out_columns = list(m["columns"])
+    out_types = dict(m.get("types") or {})
+    if replacement is not None:
+        extra = [
+            f for f in replacement.schema.fields if f.name not in out_columns
+        ]
+        if evolve_schema:
+            for f in extra:
+                out_columns.append(f.name)
+                out_types[f.name] = f.dataType.simpleString()
+                target = target.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        elif extra:
+            raise ValueError(
+                f"replacement columns {[f.name for f in extra]} not in "
+                f"table schema; pass evolve_schema=True to add them"
+            )
+        replacement = replacement.select(*out_columns)
+
+    hit = F.coalesce(condition, F.lit(False))
+    repl = (
+        replacement.persist() if replacement is not None else None
+    )
+    kept = None
+    try:
+        n_ins = repl.count() if repl is not None else 0
+
+        if pcol is None:
+            kept = target.where(~hit).persist()
+            n_kept = kept.count()
+            deleted = target.count() - n_kept
+            if deleted == 0 and n_ins == 0:
+                return (0, 0)
+            # an all-rows delete commits ZERO entries (a data dir with
+            # no files would be unreadable); txn_read rebuilds the
+            # empty frame from the manifest schema
+            entries = []
+            if n_kept + n_ins > 0:
+                out = kept if repl is None else kept.unionByName(repl)
+                d, parts = _write_data(out, path, None)
+                entries = [{"dir": d, "partitions": parts}]
+            _commit(
+                spark,
+                path,
+                base_v + 1,
+                {
+                    "partition_col": None,
+                    "columns": out_columns,
+                    "types": out_types,
+                    "entries": entries,
+                },
+            )
+            return (deleted, n_ins)
+
+        aff_frames = target.where(hit).select(pcol)
+        if repl is not None:
+            aff_frames = aff_frames.union(repl.select(pcol))
+        affected = {
+            _encode_partition(r[0])
+            for r in aff_frames.distinct().collect()
+        }
+        if not affected:
+            return (0, 0)
+        aff_vals = [p for p in affected if p != _NULL_PARTITION]
+        in_aff = F.col(pcol).cast("string").isin(aff_vals)
+        if _NULL_PARTITION in affected:
+            in_aff = in_aff | F.col(pcol).isNull()
+        sub = target.where(in_aff)
+        kept = sub.where(~hit).persist()
+        n_kept = kept.count()
+        deleted = sub.count() - n_kept
+        entries = []
+        for e in m["entries"]:
+            if e["partitions"] is None:
+                remaining = None
+            else:
+                remaining = [p for p in e["partitions"] if p not in affected]
+                if not remaining:
+                    continue
+            entries.append({"dir": e["dir"], "partitions": remaining})
+        if n_kept + n_ins > 0:  # all-affected-rows delete -> no new dir
+            out = kept if repl is None else kept.unionByName(repl)
+            d, parts = _write_data(out, path, pcol)
+            entries.append({"dir": d, "partitions": parts})
+        _commit(
+            spark,
+            path,
+            base_v + 1,
+            {
+                "partition_col": pcol,
+                "columns": out_columns,
+                "types": out_types,
+                "entries": entries,
+            },
+        )
+        return (deleted, n_ins)
+    finally:
+        if repl is not None:
+            repl.unpersist()
+        if kept is not None:
+            kept.unpersist()
+
+
+def txn_delete(
+    spark: SparkSession, path: str, condition
+) -> int:
+    """DELETE WHERE ``condition`` (NULL-evaluating rows kept), as one
+    atomic version. Returns rows deleted."""
+    deleted, _ = txn_replace_where(spark, path, condition, None)
+    return deleted
 
 
 def txn_retry(

@@ -171,7 +171,7 @@ def update_rows(
     if not updates:
         raise ValueError("At least one field must be provided")
 
-    from .txn import latest_version, txn_merge_into, txn_read
+    from .txn import latest_version, txn_read, txn_replace_where
 
     if latest_version(spark, path) is not None:
         target = txn_read(spark, path)
@@ -184,8 +184,13 @@ def update_rows(
             touched = touched.withColumn(col_name, F.lit(value))
         evolve = "updated_at" not in target.columns
         touched = touched.withColumn("updated_at", F.current_timestamp())
-        txn_merge_into(
-            spark, path, touched, [key_col], evolve_schema=evolve
+        # replace_where, NOT merge: a merge is keyed (dropDuplicates on
+        # key_col), so N matching rows under a non-unique key would
+        # collapse to one while `matched` still reported N — replace
+        # swaps the exact row set and preserves multiplicity, same as
+        # the parquet branch below
+        txn_replace_where(
+            spark, path, is_target, touched, evolve_schema=evolve
         )
         return matched
 

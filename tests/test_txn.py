@@ -617,3 +617,105 @@ def test_stream_txn_append_auto_compacts_entry_growth(spark, tmp_path):
     rows = txn.txn_read(spark, path).collect()
     assert len(rows) == 13 and len({r.id for r in rows}) == 13
     assert _rows(pinned) == [(100, "seed")]  # old version untouched
+
+
+def test_replace_where_deletes_and_inserts_atomically(spark, tmp_path):
+    """replace_where swaps an exact row SET: matching rows go, the
+    replacement arrives, NULL-evaluating rows are kept (SQL DELETE
+    semantics), all in one version."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, None)], "id long, v long"
+        ),
+    )
+    from pyspark.sql import functions as F
+
+    deleted, inserted = txn.txn_replace_where(
+        spark,
+        path,
+        F.col("v") < 15,  # NULL v -> condition NULL -> row kept
+        spark.createDataFrame([(9, 90), (9, 90)], "id long, v long"),
+    )
+    assert (deleted, inserted) == (1, 2)
+    assert _rows(txn.txn_read(spark, path)) == [
+        (2, 20), (3, None), (9, 90), (9, 90)]
+    assert txn.txn_history(spark, path) == [1, 2]
+
+
+def test_replace_where_partitioned_rewrites_only_affected(spark, tmp_path):
+    """Partitions with no matching/replacement row keep their original
+    data dir — the affected-partition contract of merge."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            ["id", "p", "v"],
+        ),
+        partition_col="p",
+    )
+    from pyspark.sql import functions as F
+
+    m1 = txn._read_manifest(spark, path, 1)
+    deleted, inserted = txn.txn_replace_where(
+        spark, path, F.col("p") == "a",
+        spark.createDataFrame([(7, "a", 70)], ["id", "p", "v"]),
+    )
+    assert (deleted, inserted) == (1, 1)
+    m2 = txn._read_manifest(spark, path, 2)
+    # the original entry survives, stripped of 'a'; one new entry
+    surviving = [e for e in m2["entries"] if e["dir"] == m1["entries"][0]["dir"]]
+    assert surviving and sorted(surviving[0]["partitions"]) == ["b", "c"]
+    assert _rows(txn.txn_read(spark, path)) == [
+        (2, "b", 20), (3, "c", 30), (7, "a", 70)]
+
+
+def test_txn_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
+    """Deleting every row must not commit an unreadable empty data dir:
+    the manifest ends with zero entries and reads as an empty frame
+    with the original schema."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    from pyspark.sql import functions as F
+
+    assert txn.txn_delete(spark, path, F.lit(True)) == 2
+    empty = txn.txn_read(spark, path)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v"]
+    # and the table accepts new rows afterwards
+    txn.txn_append(spark, path, spark.createDataFrame([(5, 50)], ["id", "v"]))
+    assert _rows(txn.txn_read(spark, path)) == [(5, 50)]
+
+
+def test_update_rows_txn_preserves_duplicate_key_rows(spark, tmp_path):
+    """ADVICE r7: update_rows on a txn table with a NON-unique key must
+    update all N matching rows in place (like the parquet branch), not
+    collapse them to one through the keyed merge."""
+    from etl_workflow_spark.sources.writers import update_rows
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "x", 10), (1, "y", 20), (2, "z", 30)],
+            ["id", "tag", "v"],
+        ),
+    )
+    matched = update_rows(spark, path, "id", 1, {"v": 99})
+    assert matched == 2
+    rows = txn.txn_read(spark, path).select("id", "tag", "v").collect()
+    got = sorted((r.id, r.tag, r.v) for r in rows)
+    assert got == [(1, "x", 99), (1, "y", 99), (2, "z", 30)]
+    # updated_at stamped on the touched rows only
+    stamped = {
+        r.tag: r.updated_at is not None
+        for r in txn.txn_read(spark, path).collect()
+    }
+    assert stamped == {"x": True, "y": True, "z": False}
