@@ -180,6 +180,109 @@ def _write_data(
     return d, None
 
 
+# ------------------------------------------------------------ key stats
+
+# Types whose min/max survive a JSON round-trip with an order-preserving
+# representation: numbers stay numbers; date/timestamp stringify to a
+# fixed-width form whose lexicographic order IS chronological order.
+# DECIMAL is excluded (its string form is not order-preserving), as are
+# boolean/binary/complex — entries simply carry no stats for such keys
+# and are never pruned on them.
+_STATS_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint",
+    "float", "double", "string", "date", "timestamp",
+)
+
+
+def _stats_value(v):
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    return str(v)  # date / datetime -> ISO-ordered string
+
+
+def _batch_key_stats(
+    df: DataFrame, cols: list[str], pcol: str | None
+) -> tuple[dict, list[str] | None]:
+    """One aggregation pass: per-column [min, max] for the stats-able
+    ``cols``, plus the batch's distinct partition values when ``pcol``
+    is given. Driver traffic is 2×|cols| scalars + the partition list.
+    """
+    dtypes = dict(df.dtypes)
+    usable = [
+        c for c in cols
+        if c in dtypes and dtypes[c].startswith(_STATS_PREFIXES)
+        and not dtypes[c].startswith("interval")
+    ]
+    aggs = []
+    for i, c in enumerate(usable):
+        aggs.append(F.min(c).alias(f"__mn{i}"))
+        aggs.append(F.max(c).alias(f"__mx{i}"))
+    if pcol is not None:
+        aggs.append(
+            F.collect_set(F.col(pcol).cast("string")).alias("__pv")
+        )
+        aggs.append(
+            F.max(F.col(pcol).isNull().cast("int")).alias("__pnull")
+        )
+    if not aggs:
+        return {}, None
+    row = df.agg(*aggs).collect()[0]
+    stats = {}
+    for i, c in enumerate(usable):
+        mn = _stats_value(row[f"__mn{i}"])
+        mx = _stats_value(row[f"__mx{i}"])
+        if mn is not None and mx is not None:
+            stats[c] = [mn, mx]
+    parts = None
+    if pcol is not None:
+        parts = sorted(set(row["__pv"] or []))
+        if row["__pnull"]:
+            parts.append(_NULL_PARTITION)
+    return stats, parts
+
+
+def _dir_stats(
+    spark: SparkSession, path: str, d: str, cols: list[str]
+) -> dict:
+    """[min, max] per stats-able column of a freshly-written data dir —
+    a column-pruned scan of data still in page cache."""
+    written = spark.read.parquet(f"{path.rstrip('/')}/{_DATA_DIR}/{d}")
+    return _batch_key_stats(written, cols, None)[0]
+
+
+def _may_intersect(
+    entry: dict,
+    keys: list[str],
+    batch_stats: dict,
+    batch_parts: list[str] | None,
+) -> bool:
+    """False only when the entry PROVABLY shares no key with the batch:
+    disjoint partition-value sets, or a key column whose [min, max]
+    ranges don't overlap. Entries without stats (pre-stats history,
+    non-stats-able types) are always read — pruning is an optimization,
+    never a correctness gamble.
+
+    Range disjointness on ANY key column is sufficient: a composite-key
+    match needs equality on every column. Callers must pass
+    ``batch_parts`` ONLY when the partition column is itself one of the
+    keys — otherwise an equal key can live in a different partition and
+    partition pruning would silently skip the conflict."""
+    if batch_parts is not None and entry.get("partitions") is not None:
+        if not set(entry["partitions"]) & set(batch_parts):
+            return False
+    estats = entry.get("stats") or {}
+    for c in keys:
+        if c in estats and c in batch_stats:
+            e_mn, e_mx = estats[c]
+            b_mn, b_mx = batch_stats[c]
+            try:
+                if e_mx < b_mn or e_mn > b_mx:
+                    return False
+            except TypeError:  # mixed-type residue: keep the entry
+                continue
+    return True
+
+
 # ------------------------------------------------------------ public API
 
 
@@ -188,11 +291,25 @@ def txn_create(
     path: str,
     df: DataFrame,
     partition_col: str | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> int:
-    """Create a transactional table at version 1; errors if one exists."""
+    """Create a transactional table at version 1; errors if one exists.
+
+    ``stats_cols`` (typically the table's conflict-check keys) records
+    per-column [min, max] on the initial entry so later
+    ``txn_append(keys=...)`` calls can range-prune it out of their
+    anti-join."""
     if latest_version(spark, path) is not None:
         raise ValueError(f"transactional table already exists at {path}")
     d, parts = _write_data(df, path, partition_col)
+    entry: dict = {"dir": d, "partitions": parts}
+    if stats_cols:
+        # read back the freshly-written dir: a column-pruned scan of
+        # data still in page cache, and it avoids re-running df's lineage
+        written = spark.read.parquet(f"{path.rstrip('/')}/{_DATA_DIR}/{d}")
+        stats, _ = _batch_key_stats(written, list(stats_cols), None)
+        if stats:
+            entry["stats"] = stats
     manifest = {
         "partition_col": partition_col,
         # original column order: hive-layout reads move the partition
@@ -200,32 +317,32 @@ def txn_create(
         "columns": list(df.columns),
         # DDL types so evolved-away or missing columns can be NULL-cast
         "types": {f.name: f.dataType.simpleString() for f in df.schema.fields},
-        "entries": [{"dir": d, "partitions": parts}],
+        "entries": [entry],
     }
     _commit(spark, path, 1, manifest)
     return 1
 
 
-def txn_read(
-    spark: SparkSession, path: str, version: int | None = None
+def _read_entries(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    entries: list[dict],
+    columns: list[str] | None = None,
 ) -> DataFrame:
-    """Snapshot read: resolve ONE manifest, then union its immutable
-    dirs. Commits that land after this call never affect the returned
-    frame (old dirs are immutable until vacuumed past this version)."""
-    v = latest_version(spark, path) if version is None else version
-    if v is None:
-        raise FileNotFoundError(f"no transactional table at {path}")
-    m = _read_manifest(spark, path, v)
+    """Union the given manifest entries' immutable dirs, projected to
+    ``columns`` (default: the full manifest column list). The column
+    projection reaches each parquet scan — the key-pruned anti-join in
+    :func:`txn_append` reads ONLY key columns of ONLY the entries whose
+    stats may intersect the batch."""
+    cols = list(columns) if columns is not None else list(m["columns"])
+    types = m.get("types") or {}
     pcol = m["partition_col"]
-    if not m["entries"]:
-        # a table whose rows were all deleted: empty frame, real schema
-        types = m.get("types") or {}
-        schema = ", ".join(
-            f"`{c}` {types.get(c, 'string')}" for c in m["columns"]
-        )
+    if not entries:
+        schema = ", ".join(f"`{c}` {types.get(c, 'string')}" for c in cols)
         return spark.createDataFrame([], schema)
     frames = []
-    for e in m["entries"]:
+    for e in entries:
         d = f"{path.rstrip('/')}/{_DATA_DIR}/{e['dir']}"
         sub = spark.read.option("basePath", d).parquet(d)
         if pcol is not None and e["partitions"] is not None:
@@ -241,11 +358,23 @@ def txn_read(
         # evolution lack the newer columns — they read as NULL, the
         # standard add-column semantics of manifest table formats
         out = out.unionByName(f, allowMissingColumns=True)
-    types = m.get("types") or {}
-    for c in m["columns"]:
+    for c in cols:
         if c not in out.columns:
             out = out.withColumn(c, F.lit(None).cast(types.get(c, "string")))
-    return out.select(*m["columns"])
+    return out.select(*cols)
+
+
+def txn_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: resolve ONE manifest, then union its immutable
+    dirs. Commits that land after this call never affect the returned
+    frame (old dirs are immutable until vacuumed past this version)."""
+    v = latest_version(spark, path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    m = _read_manifest(spark, path, v)
+    return _read_entries(spark, path, m, m["entries"])
 
 
 def txn_append(
@@ -265,18 +394,40 @@ def txn_append(
     rows without shadowing prior entries. Returns rows appended; an
     empty effective batch commits nothing. Raises
     :class:`ConcurrentWriteError` if another commit wins the version
-    race (re-read and retry)."""
+    race (re-read and retry).
+
+    The conflict check's cost stays FLAT as table history grows: each
+    entry's manifest carries per-key [min, max] stats recorded at write
+    time, and the anti-join reads only the key columns of only the
+    entries whose ranges may intersect the batch (plus, when the
+    partition column is itself a key, only entries sharing a partition
+    value). A streaming sink appending monotone keys (event ids,
+    timestamps) therefore probes O(1) recent entries per batch instead
+    of re-scanning the whole table's keys — the manifest-side analog of
+    the reference's one index probe per conflict check
+    (``database-schema.sql:62-63``)."""
     base_v = latest_version(spark, path)
     if base_v is None:
         raise FileNotFoundError(
             f"no transactional table at {path}; use txn_create first"
         )
     m = _read_manifest(spark, path, base_v)
+    pcol = m["partition_col"]
     src = source.select(*m["columns"])
+    stats: dict = {}
     if keys:
         keys = list(keys)
         src = src.dropDuplicates(keys)
-        existing = txn_read(spark, path, base_v).select(*keys)
+        # one agg pass over the (small) batch: key ranges + partition
+        # values — reused twice, to prune the existing-keys read AND as
+        # the new entry's recorded stats
+        stats, bparts = _batch_key_stats(src, keys, pcol)
+        prune_parts = bparts if (pcol is not None and pcol in keys) else None
+        candidates = [
+            e for e in m["entries"]
+            if _may_intersect(e, keys, stats, prune_parts)
+        ]
+        existing = _read_entries(spark, path, m, candidates, columns=keys)
         src = src.join(existing, on=keys, how="left_anti")
     # eager checkpoint: count and the data-dir write must see the SAME
     # rows (a lazy anti-join could read a different snapshot if a
@@ -285,11 +436,12 @@ def txn_append(
     n = src.count()
     if n == 0:
         return 0
-    d, parts = _write_data(src, path, m["partition_col"])
+    d, parts = _write_data(src, path, pcol)
     manifest = dict(m)
-    manifest["entries"] = list(m["entries"]) + [
-        {"dir": d, "partitions": parts}
-    ]
+    new_entry = {"dir": d, "partitions": parts}
+    if stats:
+        new_entry["stats"] = stats
+    manifest["entries"] = list(m["entries"]) + [new_entry]
     _commit(spark, path, base_v + 1, manifest)
     return n
 
@@ -359,11 +511,15 @@ def txn_merge_into(
             kept = target.join(src.select(*keys), on=keys, how="left_anti")
             updated = target.count() - kept.count()
             d, parts = _write_data(kept.unionByName(src), path, None)
+            entry: dict = {"dir": d, "partitions": parts}
+            stats = _dir_stats(spark, path, d, keys)
+            if stats:
+                entry["stats"] = stats
             manifest = {
                 "partition_col": None,
                 "columns": out_columns,
                 "types": out_types,
-                "entries": [{"dir": d, "partitions": parts}],
+                "entries": [entry],
             }
             _commit(spark, path, base_v + 1, manifest)
             return (updated, n_src - updated)
@@ -396,8 +552,12 @@ def txn_merge_into(
                 remaining = [p for p in e["partitions"] if p not in affected]
                 if not remaining:
                     continue
-            entries.append({"dir": e["dir"], "partitions": remaining})
-        entries.append({"dir": d, "partitions": parts})
+            entries.append(dict(e, partitions=remaining))
+        new_entry: dict = {"dir": d, "partitions": parts}
+        stats = _dir_stats(spark, path, d, keys)
+        if stats:
+            new_entry["stats"] = stats
+        entries.append(new_entry)
         _commit(
             spark,
             path,
@@ -529,7 +689,9 @@ def txn_replace_where(
                 remaining = [p for p in e["partitions"] if p not in affected]
                 if not remaining:
                     continue
-            entries.append({"dir": e["dir"], "partitions": remaining})
+            # surviving entries keep their stats: the original-dir range
+            # is a superset of the filtered view — conservative-sound
+            entries.append(dict(e, partitions=remaining))
         if n_kept + n_ins > 0:  # all-affected-rows delete -> no new dir
             out = kept if repl is None else kept.unionByName(repl)
             d, parts = _write_data(out, path, pcol)
@@ -663,6 +825,8 @@ def txn_compact(
     if base_v is None:
         raise FileNotFoundError(f"no transactional table at {path}")
     m = _read_manifest(spark, path, base_v)
+    if not m["entries"]:
+        return base_v  # fully-deleted table: nothing to rewrite
     pcol = m["partition_col"]
     snap = txn_read(spark, path, base_v)
     if pcol:
@@ -670,6 +834,25 @@ def txn_compact(
     else:
         snap = snap.coalesce(target_files)
     d, parts = _write_data(snap, path, pcol)
+    entry: dict = {"dir": d, "partitions": parts}
+    # stats carry through compaction WITHOUT a scan: for each column
+    # every pre-compaction entry has stats for, the union's range is
+    # [min of mins, max of maxes] (a superset of the live rows —
+    # conservative-sound for pruning)
+    merged: dict = {}
+    if m["entries"]:
+        shared = set.intersection(
+            *[set((e.get("stats") or {}).keys()) for e in m["entries"]]
+        )
+        for c in shared:
+            los = [e["stats"][c][0] for e in m["entries"]]
+            his = [e["stats"][c][1] for e in m["entries"]]
+            try:
+                merged[c] = [min(los), max(his)]
+            except TypeError:
+                continue
+    if merged:
+        entry["stats"] = merged
     _commit(
         spark,
         path,
@@ -678,7 +861,7 @@ def txn_compact(
             "partition_col": pcol,
             "columns": m["columns"],
             "types": m.get("types") or {},
-            "entries": [{"dir": d, "partitions": parts}],
+            "entries": [entry],
         },
     )
     return base_v + 1

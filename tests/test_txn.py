@@ -719,3 +719,131 @@ def test_update_rows_txn_preserves_duplicate_key_rows(spark, tmp_path):
         for r in txn.txn_read(spark, path).collect()
     }
     assert stamped == {"x": True, "y": True, "z": False}
+
+
+# ------------------------------------------------------------ key stats
+
+
+def test_append_records_and_prunes_on_key_stats(spark, tmp_path):
+    """Each append records its key [min, max]; a later batch's conflict
+    anti-join provably skips entries with disjoint ranges while a
+    genuinely overlapping batch still dedups correctly."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+        stats_cols=["id"],
+    )
+    txn.txn_append(
+        spark, path,
+        spark.createDataFrame([(10, "j"), (11, "k")], ["id", "v"]),
+        keys=["id"],
+    )
+    m = txn._read_manifest(spark, path, 2)
+    assert m["entries"][0]["stats"]["id"] == [1, 2]
+    assert m["entries"][1]["stats"]["id"] == [10, 11]
+
+    # disjoint batch: every entry is provably prunable
+    stats, _ = txn._batch_key_stats(
+        spark.createDataFrame([(100, "z")], ["id", "v"]), ["id"], None
+    )
+    cand = [e for e in m["entries"]
+            if txn._may_intersect(e, ["id"], stats, None)]
+    assert cand == []
+
+    # overlapping batch: only the intersecting entry is read, and the
+    # conflict with id=10 is still caught
+    stats2, _ = txn._batch_key_stats(
+        spark.createDataFrame([(10, "dup"), (12, "new")], ["id", "v"]),
+        ["id"], None,
+    )
+    cand2 = [e for e in m["entries"]
+             if txn._may_intersect(e, ["id"], stats2, None)]
+    assert [e["dir"] for e in cand2] == [m["entries"][1]["dir"]]
+    n = txn.txn_append(
+        spark, path,
+        spark.createDataFrame([(10, "dup"), (12, "new")], ["id", "v"]),
+        keys=["id"],
+    )
+    assert n == 1  # id=10 dropped via the pruned anti-join
+    assert sorted(r.id for r in txn.txn_read(spark, path).collect()) == [
+        1, 2, 10, 11, 12]
+
+
+def test_entries_without_stats_are_always_read(spark, tmp_path):
+    """Pre-stats history (or non-stats-able key types) must never be
+    pruned: conflicts in a stats-less entry are still caught."""
+    path = str(tmp_path / "t")
+    txn.txn_create(  # no stats_cols -> entry carries no stats
+        spark, path, spark.createDataFrame([(1, "a")], ["id", "v"])
+    )
+    m = txn._read_manifest(spark, path, 1)
+    assert "stats" not in m["entries"][0]
+    n = txn.txn_append(
+        spark, path,
+        spark.createDataFrame([(1, "dup"), (2, "new")], ["id", "v"]),
+        keys=["id"],
+    )
+    assert n == 1
+
+
+def test_partition_pruning_only_when_pcol_is_a_key(spark, tmp_path):
+    """A key conflict in ANOTHER partition must still be caught when
+    the partition column is not part of the key (partition pruning
+    would be unsound there), and partition-value stats still encode
+    NULLs correctly."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "p1", 10), (2, None, 20)], ["id", "p", "v"]
+        ),
+        partition_col="p",
+    )
+    # batch in partition p2 but with the EXISTING id=1: must be dropped
+    n = txn.txn_append(
+        spark, path,
+        spark.createDataFrame([(1, "p2", 99), (3, None, 30)],
+                              ["id", "p", "v"]),
+        keys=["id"],
+    )
+    assert n == 1
+    rows = sorted((r.id, r.p) for r in txn.txn_read(spark, path).collect())
+    assert rows == [(1, "p1"), (2, None), (3, None)]
+
+    # NULL partition round-trips through the stats encoding
+    stats, parts = txn._batch_key_stats(
+        spark.createDataFrame([(5, None, 1), (6, "x", 2)],
+                              ["id", "p", "v"]),
+        ["id", "p"], "p",
+    )
+    assert parts is not None and txn._NULL_PARTITION in parts and "x" in parts
+
+
+def test_merge_and_compact_carry_key_stats(spark, tmp_path):
+    """Merge records stats on its rewritten entry; compaction merges
+    entry stats without a scan (min of mins / max of maxes)."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"]),
+        stats_cols=["id"],
+    )
+    txn.txn_merge_into(
+        spark, path,
+        spark.createDataFrame([(2, 21), (50, 500)], ["id", "v"]), ["id"]
+    )
+    m = txn._read_manifest(spark, path, 2)
+    assert m["entries"][-1]["stats"]["id"] == [1, 50]
+
+    txn.txn_append(
+        spark, path, spark.createDataFrame([(99, 990)], ["id", "v"]),
+        keys=["id"],
+    )
+    txn.txn_compact(spark, path)
+    mc = txn._read_manifest(spark, path, txn.latest_version(spark, path))
+    assert len(mc["entries"]) == 1
+    assert mc["entries"][0]["stats"]["id"] == [1, 99]

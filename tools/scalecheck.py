@@ -119,8 +119,66 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
     spark.stop()
 
 
+def txn_sink_cost(sf_dir: str, batches: int = 20) -> None:
+    """Per-batch cost curve of the streaming txn sink's conflict check.
+
+    Appends ``batches`` disjoint-key micro-batches (the monotone-id
+    shape of a real event stream) into one transactional table, timing
+    each commit, twice: with key-stats pruning active (default) and
+    with it disabled (every entry's keys re-read — the r7 behavior).
+    Flat per-batch seconds under ``pruned=true`` vs linear growth under
+    ``pruned=false`` is the acceptance row for the manifest key-stats
+    work. One JSON line per (mode, batch)."""
+    import shutil
+    import tempfile
+
+    from etl_workflow_spark.session import get_spark
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.sources import txn
+
+    spark = get_spark("txn-sink-cost")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(2000)
+        .localCheckpoint(eager=True)
+    )
+    n_docs = docs.count()
+    real_intersect = txn._may_intersect
+    for pruned in (True, False):
+        txn._may_intersect = (
+            real_intersect if pruned else (lambda *a, **kw: True)
+        )
+        root = tempfile.mkdtemp(prefix="txn-sink-")
+        path = f"{root}/t"
+        txn.txn_create(
+            spark, path,
+            docs.withColumn("doc_id", F.col("doc_id") - F.lit(n_docs)),
+            stats_cols=["doc_id"],
+        )
+        for b in range(batches):
+            batch = docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(b * n_docs)
+            )
+            t0 = time.time()
+            n = txn.txn_append(spark, path, batch, keys=["doc_id"])
+            print(json.dumps({
+                "op": "txn_sink_batch", "pruned": pruned, "batch": b,
+                "rows": n, "sec": round(time.time() - t0, 2),
+            }), flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+    txn._may_intersect = real_intersect
+    spark.stop()
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--ann-recall"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--ann-recall", "--txn-sink")]
+    if "--txn-sink" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        txn_sink_cost(sf, int(args[1]) if len(args) > 1 else 20)
+        return
     if "--ann-recall" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         ann_recall(sf, [int(a) for a in args[1:]] or [1, 4])
