@@ -945,6 +945,7 @@ def dedup_spans(
     min_tokens: int = 50,
     col: str = "text",
     id_col: str = "doc_id",
+    broadcast_dups_limit: int = 1_000_000,
 ) -> DataFrame:
     """Corpus-wide exact SPAN dedup — the ExactSubstr step of the
     Lee-et-al./RefinedWeb recipe, at window-hash granularity: any run
@@ -962,7 +963,11 @@ def dedup_spans(
     hash-of-hashes over array slices (the `_gram_hashes` pattern —
     the lambda reads a MATERIALIZED hash column, never the
     tokenization tree); the duplicate-window aggregation shuffles
-    (whash, 8 bytes) rows; ONLY affected documents explode to token
+    (whash, 8 bytes) rows with map-side combine, so a corpus-hot span
+    repeated k times costs every task O(1), never one straggler task
+    O(k) — the duplicate set then probes back via a count-gated
+    broadcast join, leaving the window rows unpartitioned by whash;
+    ONLY affected documents explode to token
     granularity for the rebuild (windowless groupBy + in-group
     array_sort, as :func:`dedup_paragraphs`). Untouched documents keep
     their text byte-identical; rebuilt documents rejoin tokens with
@@ -988,23 +993,35 @@ def dedup_spans(
         "__toks",
         F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
     )
+    # Skew-guarded loser detection (r7 verdict #4): the earlier
+    # window-partitionBy(whash) form put a corpus-hot span's k
+    # occurrences into ONE task (sort + count in a single partition —
+    # a straggler at 100× repeat). Shape now: materialize the window
+    # rows ONCE (lazy checkpoint — same volume the window exchange
+    # wrote, but reusable), aggregate per whash with map-side combine
+    # (each task emits ≤1 row per whash, so a hot span costs every
+    # task O(1), never one task O(k)), then probe the (small — only
+    # duplicated windows) aggregate back with a count-gated broadcast
+    # join: no whash partitioning of the window rows at all.
     windows = hashed.select(
         F.col(id_col),
         F.posexplode(_gram_hashes("__th", length)).alias("wpos", "whash"),
-    )
-    # Losers in ONE pass over one whash shuffle: an unordered window
-    # frame gives each occurrence its group's size and global-first
-    # (min struct) — the aggregate-then-probe-join form evaluated the
-    # window lineage (scan + tokenize + hash + explode) TWICE in one
-    # plan; this evaluates it once. Skew note: a corpus-hot span puts
-    # its occurrences in one task either way; the window form at least
-    # doesn't also build a join hash table for it.
-    wspec = Window.partitionBy("whash")
+    ).localCheckpoint(eager=False)
     occ = F.struct(F.col(id_col), F.col("wpos"))
+    dup = (
+        windows.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min(occ).alias("__first"))
+        .where(F.col("__cnt") > 1)
+        .select("whash", "__first")
+        .localCheckpoint(eager=False)  # consumed by count + join
+    )
+    # bounded by duplicated content, not the corpus; over the gate the
+    # join falls back to a shuffle, where AQE's skew split applies
+    small = dup.count() <= broadcast_dups_limit
+    hint = F.broadcast if small else (lambda d: d)
     losers = (
-        windows.withColumn("__cnt", F.count(F.lit(1)).over(wspec))
-        .withColumn("__first", F.min(occ).over(wspec))
-        .where((F.col("__cnt") > 1) & (occ != F.col("__first")))
+        windows.join(hint(dup), "whash")
+        .where(occ != F.col("__first"))
         .select(id_col, "wpos")
     )
     # token indices covered by any losing window (0-based; window at

@@ -172,9 +172,48 @@ def txn_sink_cost(sf_dir: str, batches: int = 20) -> None:
     spark.stop()
 
 
+def span_skew(sf_dir: str, repeats: list[int]) -> None:
+    """Hot-span straggler check for dedup_spans: one 60-token span is
+    appended to the corpus ``r`` times (each in its own synthetic doc).
+    The whash aggregation is combiner-friendly and the duplicate probe
+    is a broadcast join, so wall time should stay FLAT as r scales
+    100× — the old window-partitionBy(whash) form put all r
+    occurrences in one sort task. One JSON line per r."""
+    from etl_workflow_spark.session import get_spark
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import dedup as D
+
+    spark = get_spark("span-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d_off = (docs0.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    hot = " ".join(f"hotspan{i}" for i in range(60))
+    D.dedup_spans(docs0, min_tokens=50).count()  # JVM warm-up
+    for r in repeats:
+        hot_docs = spark.range(r).select(
+            (F.col("id") + F.lit(d_off)).alias("doc_id"),
+            F.lit(hot).alias("text"),
+        )
+        corpus = docs0.unionByName(hot_docs).localCheckpoint(eager=True)
+        t0 = time.time()
+        out = D.dedup_spans(corpus, min_tokens=50)
+        removed = out.agg(F.sum("n_tokens_removed")).collect()[0][0]
+        print(json.dumps({
+            "op": "dedup_spans_hot", "repeat": r,
+            "tokens_removed": int(removed or 0),
+            "sec": round(time.time() - t0, 2),
+        }), flush=True)
+        corpus.unpersist()
+    spark.stop()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--ann-recall", "--txn-sink")]
+            if a not in ("--ann-recall", "--txn-sink", "--span-skew")]
+    if "--span-skew" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        span_skew(sf, [int(a) for a in args[1:]] or [10, 100, 1000])
+        return
     if "--txn-sink" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         txn_sink_cost(sf, int(args[1]) if len(args) > 1 else 20)
