@@ -299,6 +299,86 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def _q_dedup_recipes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated dedup-recipe gate entry — two operators
+    (`operators/dedup.py`), each cross-engine hash-checked, unioned
+    into one (kind, k1, k2, n) frame (r7 verdict #6: rotate the
+    paragraph tier from Python-oracle pytest to the DuckDB gate):
+
+    - ``exact``: byte-duplicate groups over normalized text —
+      k1 = content hash, k2 = keeper id, n = copies
+      (reference analog: ON CONFLICT DO NOTHING, app.py:186-199);
+    - ``para``: corpus-wide paragraph dedup (first occurrence by
+      (doc_id, pos) wins, later repeats removed, document rebuilt) —
+      k1 = doc id, k2 = the REBUILT text (value-level parity, not
+      just counts), n = paragraphs removed.
+    """
+    docs = table(spark, sf_dir, "documents")
+    exact = D.exact_dedup(docs).select(
+        F.lit("exact").alias("kind"),
+        F.col("content_hash").alias("k1"),
+        F.col("keeper_id").cast("string").alias("k2"),
+        F.col("n_copies").cast("long").alias("n"),
+    )
+    paras = D.dedup_paragraphs(docs).select(
+        F.lit("para").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.coalesce(F.col("text"), F.lit("<NULL>")).alias("k2"),
+        F.col("n_paras_removed").cast("long").alias("n"),
+    )
+    return exact.unionByName(paras)
+
+
+_DEDUP_RECIPES_ORACLE = """
+    WITH exact AS (
+        SELECT 'exact' AS kind,
+               sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS k1,
+               CAST(MIN(doc_id) AS VARCHAR) AS k2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY 2
+    ),
+    split AS (
+        SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts
+        FROM documents WHERE text IS NOT NULL
+    ),
+    paras AS (
+        SELECT doc_id,
+               generate_subscripts(parts, 1) AS pos,
+               unnest(parts) AS para
+        FROM split
+    ),
+    flagged AS (
+        SELECT doc_id, pos, para,
+               (length(trim(para)) > 0) AS nonempty,
+               row_number() OVER (
+                   PARTITION BY trim(para) ORDER BY doc_id, pos
+               ) AS rn
+        FROM paras
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               coalesce(string_agg(
+                   CASE WHEN NOT (nonempty AND rn > 1) THEN para END,
+                   chr(10)||chr(10) ORDER BY pos), '') AS text,
+               CAST(count(CASE WHEN nonempty AND rn > 1 THEN 1 END)
+                    AS BIGINT) AS n
+        FROM flagged GROUP BY doc_id
+    ),
+    para_rows AS (
+        SELECT 'para' AS kind,
+               CAST(d.doc_id AS VARCHAR) AS k1,
+               coalesce(r.text, '<NULL>') AS k2,
+               CAST(coalesce(r.n, 0) AS BIGINT) AS n
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    )
+    SELECT kind, k1, k2, n FROM exact
+    UNION ALL
+    SELECT kind, k1, k2, n FROM para_rows
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → canonical cluster assignment (connected components):
     the step that makes a pair list an actual dedup decision."""
@@ -2299,7 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             table(s, d, "embeddings")
         ),
         "sampling_splits": _q_sampling_splits,
-        "dedup_exact": lambda s, d: D.exact_dedup(table(s, d, "documents")),
+        # consolidated: exact_dedup + dedup_paragraphs (value-level)
+        "dedup_recipes": _q_dedup_recipes,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash": _q_dedup_minhash,
@@ -2371,7 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": _TERM_STATS_ORACLE,
         "embedding_centroids": S.group_centroids_oracle(),
         "sampling_splits": _sampling_splits_oracle(),
-        "dedup_exact": D.exact_dedup_oracle(),
+        "dedup_recipes": _DEDUP_RECIPES_ORACLE,
         "dedup_ngram_jaccard": D.ngram_jaccard_oracle(threshold=0.5),
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "dedup_minhash": _DEDUP_MINHASH_ORACLE,
