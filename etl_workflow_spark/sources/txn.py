@@ -154,13 +154,17 @@ def _encode_partition(v) -> str:
 
 
 def _write_data(
-    df: DataFrame, path: str, partition_col: str | None
+    df: DataFrame, path: str, partition_col: str | None,
+    arranged: bool = False,
 ) -> tuple[str, list[str] | None]:
     """Write an immutable data dir; return (dir name, partition values).
 
     Partitioned data is repartitioned by the partition column first so
     each partition dir gets one file instead of one per upstream task
-    (the small-files guard, same as overwrite_partitions).
+    (the small-files guard, same as overwrite_partitions) — unless
+    ``arranged`` says the caller already laid out the frame (sorted /
+    z-ordered compaction), in which case repartitioning again would
+    destroy the clustering the caller just paid for.
     """
     d = uuid.uuid4().hex
     target = f"{path.rstrip('/')}/{_DATA_DIR}/{d}"
@@ -169,9 +173,9 @@ def _write_data(
             _encode_partition(r[0])
             for r in df.select(partition_col).distinct().collect()
         ]
+        out = df if arranged else df.repartition(F.col(partition_col))
         (
-            df.repartition(F.col(partition_col))
-            .write.mode("errorifexists")
+            out.write.mode("errorifexists")
             .partitionBy(partition_col)
             .parquet(target)
         )
@@ -452,12 +456,20 @@ def txn_merge_into(
     source: DataFrame,
     keys: Sequence[str],
     evolve_schema: bool = False,
+    strict_source: bool = False,
 ) -> tuple[int, int]:
     """MERGE with snapshot isolation: WHEN MATCHED UPDATE (source row
     wins), WHEN NOT MATCHED INSERT — same semantics and return value
     as ``writers.merge_into``, but readers of the previous version are
     never disturbed and a concurrent commit raises
     :class:`ConcurrentWriteError` instead of corrupting the table.
+
+    Duplicate SOURCE keys collapse to one arbitrary winner (the
+    ``writers.merge_into`` contract); ``strict_source=True`` instead
+    raises — the Delta posture ("multiple source rows matched"),
+    for callers whose duplicate keys indicate an upstream bug. Rows
+    needing multiplicity-preserving replacement belong in
+    :func:`txn_replace_where`.
 
     Partitioned targets rewrite only AFFECTED partition values: the
     new data dir carries them, surviving entries lose them from their
@@ -501,6 +513,13 @@ def txn_merge_into(
     kept = None
     try:
         n_src = src.count()
+        if strict_source and source.count() != n_src:
+            raise ValueError(
+                "source has duplicate rows per key; merge would pick an "
+                "arbitrary winner (pass strict_source=False to accept, "
+                "or use txn_replace_where for multiplicity-preserving "
+                "writes)"
+            )
         if n_src == 0:
             # no-op merge: committing would add an entry whose data dir
             # has no files (unreadable) — an empty source changes
@@ -813,14 +832,28 @@ def txn_vacuum(
 
 
 def txn_compact(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    sort_cols: Sequence[str] | None = None,
+    zorder_cols: Sequence[str] | None = None,
 ) -> int:
     """OPTIMIZE analog: rewrite the CURRENT snapshot into one fresh
     entry with ``target_files`` files per partition value, committed as
     a new version. Readers of older versions are untouched (their dirs
     survive until :func:`txn_vacuum`); a racing writer loses the
     version race and retries as usual. Returns the new version.
+
+    ``sort_cols`` (OPTIMIZE ... with linear sort) or ``zorder_cols``
+    (OPTIMIZE ZORDER — see ``writers.write_zordered`` for the
+    rank-interleave construction) additionally arrange the rewritten
+    rows so parquet row-group min/max stats become narrow on the named
+    columns: point/range predicates on them skip whole row groups of a
+    compacted transactional table. Partitioned tables arrange WITHIN
+    each partition value (the Delta per-partition semantics).
     """
+    if sort_cols and zorder_cols:
+        raise ValueError("pass sort_cols or zorder_cols, not both")
     base_v = latest_version(spark, path)
     if base_v is None:
         raise FileNotFoundError(f"no transactional table at {path}")
@@ -829,11 +862,35 @@ def txn_compact(
         return base_v  # fully-deleted table: nothing to rewrite
     pcol = m["partition_col"]
     snap = txn_read(spark, path, base_v)
-    if pcol:
+    arranged = False
+    drop_z = False
+    order: list = []
+    if zorder_cols:
+        from .writers import zorder_staged
+
+        snap = zorder_staged(snap, list(zorder_cols))
+        order = [F.col("_zval")]
+        drop_z = True
+    elif sort_cols:
+        order = [F.col(c) for c in sort_cols]
+    if order:
+        arranged = True
+        if pcol:
+            # cluster per partition value: partition dirs split the
+            # tasks' output anyway, so sort pcol first to keep each
+            # task's rows contiguous per partition
+            snap = snap.repartition(target_files, F.col(pcol))
+            snap = snap.sortWithinPartitions(F.col(pcol), *order)
+        else:
+            snap = snap.repartitionByRange(target_files, *order)
+            snap = snap.sortWithinPartitions(*order)
+        if drop_z:
+            snap = snap.drop("_zval")
+    elif pcol:
         snap = snap.repartition(target_files, F.col(pcol))
     else:
         snap = snap.coalesce(target_files)
-    d, parts = _write_data(snap, path, pcol)
+    d, parts = _write_data(snap, path, pcol, arranged=arranged)
     entry: dict = {"dir": d, "partitions": parts}
     # stats carry through compaction WITHOUT a scan: for each column
     # every pre-compaction entry has stats for, the union's range is
@@ -920,6 +977,84 @@ def txn_changes(
         *[F.col(f"n.{c}").alias(c) for c in value_cols],
     )
     return inserts.unionByName(deletes).unionByName(updates)
+
+
+def _read_cursor(spark: SparkSession, cursor_path: str) -> int | None:
+    jvm, fs = _fs(spark, cursor_path)
+    hp = _hpath(jvm, cursor_path)
+    if not fs.exists(hp):
+        return None
+    return int(json.loads(_read_file(jvm, fs, hp))["version"])
+
+
+def txn_feed_advance(
+    spark: SparkSession, cursor_path: str, version: int
+) -> None:
+    """Persist the consumer's cursor AFTER its processing of the
+    :func:`txn_feed` window is durably done — advancing first would
+    turn a crash into silent data loss; advancing after gives
+    at-least-once with an idempotent replay window."""
+    jvm, fs = _fs(spark, cursor_path)
+    hp = _hpath(jvm, cursor_path)
+    parent = hp.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    tmp = _hpath(jvm, str(parent), f".tmp-cursor-{uuid.uuid4().hex}")
+    _write_file(fs, tmp, json.dumps({"version": int(version)}))
+    fs.delete(hp, False)
+    if not fs.rename(tmp, hp):
+        raise IOError(f"could not publish cursor {cursor_path}")
+
+
+def txn_feed(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    cursor_path: str,
+) -> tuple[DataFrame, int]:
+    """Incremental consumption of a transactional table — the
+    startingVersion/CDF-consumer pattern with a persisted cursor:
+    returns ``(changes, latest_version)`` where ``changes`` is the
+    value-level feed (:func:`txn_changes`) since the version the
+    cursor last recorded, or the FULL current snapshot tagged
+    ``insert`` on first call. Process the frame, then call
+    :func:`txn_feed_advance` with the returned version; crashing
+    before the advance replays the same window (at-least-once — the
+    feed is a deterministic function of two immutable snapshots, so
+    replays are idempotent for any idempotent consumer, e.g. the
+    CDC-driven matview refresh in ``operators/etl.py``).
+
+    Scale: nothing is re-scanned but the two snapshot endpoints; the
+    cursor is one tiny JSON file. An empty window returns an empty
+    frame with the full CDF schema.
+    """
+    latest = latest_version(spark, path)
+    if latest is None:
+        raise FileNotFoundError(f"no transactional table at {path}")
+    last = _read_cursor(spark, cursor_path)
+    if last is None:
+        snap = txn_read(spark, path, latest)
+        return (
+            snap.select(
+                F.lit("insert").alias("_change_type"), *snap.columns
+            ),
+            latest,
+        )
+    if last == latest:
+        empty = txn_read(spark, path, latest).where(F.lit(False))
+        return (
+            empty.select(
+                F.lit("insert").alias("_change_type"), *empty.columns
+            ),
+            latest,
+        )
+    if last > latest:
+        raise ValueError(
+            f"cursor at version {last} is ahead of table version "
+            f"{latest} — was the table restored/recreated under the "
+            f"consumer?"
+        )
+    return txn_changes(spark, path, list(keys), last, latest), latest
 
 
 def txn_restore(spark: SparkSession, path: str, version: int) -> int:

@@ -571,6 +571,25 @@ def write_zordered(
     date/timestamp callers pass ``unix_date``/``unix_timestamp``
     projections.
     """
+    staged = zorder_staged(df, zorder_cols, bits_per_col, quantile_error)
+    out = (
+        staged.repartitionByRange(num_files, "_zval")
+        if num_files
+        else staged.repartitionByRange("_zval")
+    )
+    out.sortWithinPartitions("_zval").drop("_zval").write.mode(mode).parquet(path)
+
+
+def zorder_staged(
+    df: DataFrame,
+    zorder_cols: Sequence[str],
+    bits_per_col: int = 6,
+    quantile_error: float = 0.01,
+) -> DataFrame:
+    """``df`` plus a ``_zval`` column — the bit-interleaved z-value of
+    the quantile-bucket ranks of ``zorder_cols`` (the arrangement key
+    behind :func:`write_zordered`, exposed so transactional compaction
+    can sort by it before its own manifest-committed write)."""
     if not (1 <= bits_per_col * len(zorder_cols) <= 62):
         raise ValueError("bits_per_col × columns must fit a long")
     n_buckets = 1 << bits_per_col
@@ -602,15 +621,9 @@ def write_zordered(
             z = z.bitwiseOR(
                 F.shiftleft(bit.cast("long"), i * ncols + j)
             )
-    staged = staged.withColumn("_zval", z).drop(
+    return staged.withColumn("_zval", z).drop(
         *[f"_z_{c}" for c in zorder_cols], *[f"_zb_{c}" for c in zorder_cols]
     )
-    out = (
-        staged.repartitionByRange(num_files, "_zval")
-        if num_files
-        else staged.repartitionByRange("_zval")
-    )
-    out.sortWithinPartitions("_zval").drop("_zval").write.mode(mode).parquet(path)
 
 
 def compact_partitions(

@@ -847,3 +847,116 @@ def test_merge_and_compact_carry_key_stats(spark, tmp_path):
     mc = txn._read_manifest(spark, path, txn.latest_version(spark, path))
     assert len(mc["entries"]) == 1
     assert mc["entries"][0]["stats"]["id"] == [1, 99]
+
+
+def test_txn_compact_sorted_produces_narrow_row_groups(spark, tmp_path):
+    """OPTIMIZE-with-sort analog: after txn_compact(sort_cols), the
+    compacted entry's parquet row-group min/max ranges on the sort
+    column are disjoint, so range predicates skip row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 4000)
+        .selectExpr("id", "CAST(pmod(id * 2654435761, 4000) AS LONG) AS k")
+    )
+    txn.txn_create(spark, path, df)
+    # several appends -> several entries, k unsorted everywhere
+    for i in range(2):
+        txn.txn_append(
+            spark, path,
+            spark.range(4000 + i * 1000, 5000 + i * 1000).selectExpr(
+                "id", "CAST(pmod(id * 2654435761, 4000) AS LONG) AS k"
+            ),
+        )
+    v = txn.txn_compact(spark, path, target_files=4, sort_cols=["k"])
+    m = txn._read_manifest(spark, path, v)
+    assert len(m["entries"]) == 1
+    files = glob.glob(
+        f"{path}/_data/{m['entries'][0]['dir']}/*.parquet"
+    )
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = [meta.schema.column(i).name
+               for i in range(meta.num_columns)].index("k")
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            ranges.append((st.min, st.max))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping row-group ranges {ranges}"
+    # and the data survived intact
+    assert txn.txn_read(spark, path).count() == 6000
+
+
+def test_txn_compact_zorder_roundtrip(spark, tmp_path):
+    """ZORDER compaction preserves the row set and commits one entry;
+    the z-arrangement machinery itself is covered by the writers
+    layout tests."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(pmod(id * 37, 500) AS DOUBLE) AS x",
+        "CAST(pmod(id * 101, 500) AS DOUBLE) AS y",
+    )
+    txn.txn_create(spark, path, df)
+    v = txn.txn_compact(spark, path, target_files=8, zorder_cols=["x", "y"])
+    m = txn._read_manifest(spark, path, v)
+    assert len(m["entries"]) == 1
+    out = txn.txn_read(spark, path)
+    assert out.count() == 2000 and "_zval" not in out.columns
+    with pytest.raises(ValueError):
+        txn.txn_compact(spark, path, sort_cols=["x"], zorder_cols=["y"])
+
+
+def test_txn_feed_cursor_lifecycle(spark, tmp_path):
+    """First call = full snapshot as inserts; advance; empty window;
+    after a merge the feed carries exactly the delta; a cursor ahead of
+    the table fails loudly."""
+    path = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor.json")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    feed, v1 = txn.txn_feed(spark, path, ["id"], cur)
+    rows = sorted((r._change_type, r.id, r.v) for r in feed.collect())
+    assert rows == [("insert", 1, 10), ("insert", 2, 20)] and v1 == 1
+    txn.txn_feed_advance(spark, cur, v1)
+
+    feed2, v2 = txn.txn_feed(spark, path, ["id"], cur)
+    assert feed2.count() == 0 and v2 == 1
+
+    txn.txn_merge_into(
+        spark, path,
+        spark.createDataFrame([(2, 21), (3, 30)], ["id", "v"]), ["id"],
+    )
+    feed3, v3 = txn.txn_feed(spark, path, ["id"], cur)
+    rows3 = sorted((r._change_type, r.id, r.v) for r in feed3.collect())
+    assert rows3 == [("insert", 3, 30), ("update_postimage", 2, 21)]
+    assert v3 == 2
+    # replay before advance: same window again (at-least-once)
+    feed3b, _ = txn.txn_feed(spark, path, ["id"], cur)
+    assert sorted(map(tuple, feed3b.collect())) == sorted(
+        map(tuple, feed3.collect())
+    )
+    txn.txn_feed_advance(spark, cur, v3)
+
+    txn.txn_feed_advance(spark, cur, 99)
+    with pytest.raises(ValueError):
+        txn.txn_feed(spark, path, ["id"], cur)
+
+
+def test_merge_strict_source_rejects_duplicate_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    dup = spark.createDataFrame([(1, 11), (1, 12)], ["id", "v"])
+    with pytest.raises(ValueError, match="duplicate"):
+        txn.txn_merge_into(spark, path, dup, ["id"], strict_source=True)
+    # default keeps the collapse-to-one contract
+    upd, ins = txn.txn_merge_into(spark, path, dup, ["id"])
+    assert (upd, ins) == (1, 0)
