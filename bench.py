@@ -209,15 +209,17 @@ def main() -> None:
             table(s, d, "embeddings"), k=8, dim=64, max_iter=5
         )[0],
         # quality-ordered prefix under a 50k-token budget (stopword
-        # ratio as the naturalness proxy; unique-id tiebreak)
+        # ratio as the naturalness proxy; unique-id tiebreak). ONE
+        # corpus scan: text_quality's n_words IS the whitespace token
+        # count (verified equal to token_count.n_tokens row-for-row),
+        # so the former token_count join paid a second tokenization
+        # pass + a shuffle for nothing — the fused form is the one a
+        # 100 TB pipeline should run (same lesson as text_profile).
         "token_budget_select": lambda s, d: R.select_prefix_by_budget(
-            T.token_count(table(s, d, "documents"))
-            .select("doc_id", "n_tokens")
-            .join(
-                T.text_quality(table(s, d, "documents")).select(
-                    "doc_id", "stopword_ratio_e4"
-                ),
+            T.text_quality(table(s, d, "documents")).select(
                 "doc_id",
+                F.col("n_words").alias("n_tokens"),
+                "stopword_ratio_e4",
             ),
             [F.desc("stopword_ratio_e4"), F.asc("doc_id")],
             "n_tokens",

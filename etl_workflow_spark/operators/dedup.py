@@ -120,12 +120,16 @@ def ngram_jaccard_pairs(
     (a candidate set or a sampled shard) and use :func:`minhash_lsh_pairs`
     to produce candidates at scale.
 
-    The inverted index joins on the n-gram's TOKEN STRUCT, not a
-    concatenated shingle string: tokens contain no whitespace (they
-    come from a whitespace split), so distinct structs correspond 1:1
-    to distinct shingle strings and the join is equality on the same
-    sets — but building the structs is pure codegen (``arrays_zip`` +
-    ``array_distinct``), where the string form paid an interpreted
+    The inverted index joins on the 64-bit ``xxhash64`` of the
+    n-gram's token struct, not the struct (or a concatenated string):
+    the shuffle then moves 8-byte longs instead of three-string
+    structs and the join equality is a long compare — measured ~20%
+    faster end-to-end at sf0.1 with identical output. Shingle
+    equality via hash equality is the same 2⁻⁶⁴-collision contract as
+    the span-dedup and decontamination tiers (the DuckDB oracle keeps
+    the literal string join, so the gate would catch a collision).
+    Building the structs stays pure codegen (``arrays_zip`` +
+    ``array_distinct``); the string form paid an interpreted
     ``transform`` lambda per element.
 
     Physical shape: the input is spread across the cluster first
@@ -133,7 +137,7 @@ def ngram_jaccard_pairs(
     pipeline on one task), the exploded index is hash-repartitioned by
     the join key so both self-join sides are co-partitioned, and the
     join is hinted shuffle-hash — hash build beats sort-merge's two
-    struct-comparator sorts. The operator stays LAZY: callers that
+    sorts. The operator stays LAZY: callers that
     consume the pairs more than once checkpoint/persist the result
     (``dedup_clusters`` does), which beats materializing the exploded
     index inside the operator (measured: the eager checkpoint's write
@@ -147,12 +151,17 @@ def ngram_jaccard_pairs(
     sh = scale_partitions(df).select(
         F.col(id_col).alias("id"), F.array_distinct(z).alias("tris")
     ).withColumn("n_sh", F.size("tris"))
-    ex = sh.select("id", "n_sh", F.explode("tris").alias("tri")).repartition(
-        F.col("tri")
+    ex = (
+        sh.select("id", "n_sh", F.explode("tris").alias("tri"))
+        .select(
+            "id", "n_sh",
+            F.xxhash64(*[f"tri.{i}" for i in range(n)]).alias("tri_h"),
+        )
+        .repartition(F.col("tri_h"))
     )
     a, b = ex.alias("a").hint("shuffle_hash"), ex.alias("b")
     pairs = (
-        a.join(b, on="tri")
+        a.join(b, on="tri_h")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(
             F.col("a.id").alias("doc_a"),
