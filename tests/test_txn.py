@@ -960,3 +960,80 @@ def test_merge_strict_source_rejects_duplicate_keys(spark, tmp_path):
     # default keeps the collapse-to-one contract
     upd, ins = txn.txn_merge_into(spark, path, dup, ["id"])
     assert (upd, ins) == (1, 0)
+
+
+def test_txn_feed_drives_cdc_matview_refresh(spark, tmp_path):
+    """End-to-end CDC loop with NO consumer-side version bookkeeping:
+    the persisted txn_feed cursor supplies the refresh window, the
+    matview lands exactly at the full-recompute answer, and a replay
+    (crash before advance) or closed window refreshes nothing new."""
+    from etl_workflow_spark.operators.etl import (
+        product_sales_summary,
+        refresh_product_summary_from_changes,
+    )
+    from etl_workflow_spark.sources.writers import overwrite
+
+    cats = spark.createDataFrame([(1, "c")], ["category_id", "category_name"])
+    prods = spark.createDataFrame(
+        [(1, 1, "p1"), (2, 1, "p2")], ["product_id", "category_id", "name"]
+    )
+    items = spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0), (2, 2, 2, 2, 20.0), (3, 3, 2, 1, 30.0)],
+        ["order_item_id", "order_id", "product_id", "quantity", "total"],
+    )
+    orders_v1 = spark.createDataFrame(
+        [(1, 10, "2024-01-01", "Delivered"),
+         (2, 11, "2024-01-02", "Delivered")],
+        ["order_id", "customer_id", "order_date", "status"],
+    )
+    orders_path = str(tmp_path / "orders_txn")
+    cur = str(tmp_path / "summary_cursor.json")
+    txn.txn_create(spark, orders_path, orders_v1)
+    summary_path = str(tmp_path / "summary")
+
+    # bootstrap: first feed call IS the initial snapshot; build the
+    # matview from it and advance
+    feed, v = txn.txn_feed(spark, orders_path, ["order_id"], cur)
+    assert feed.count() == 2 and v == 1
+    overwrite(
+        product_sales_summary(prods, cats, items, feed.drop("_change_type")),
+        summary_path,
+    )
+    txn.txn_feed_advance(spark, cur, v)
+
+    txn.txn_merge_into(
+        spark,
+        orders_path,
+        spark.createDataFrame(
+            [(2, 11, "2024-01-02", "Cancelled"),
+             (3, 12, "2024-01-03", "Delivered")],
+            orders_v1.schema,
+        ),
+        ["order_id"],
+    )
+    last = txn._read_cursor(spark, cur)
+    _, latest = txn.txn_feed(spark, orders_path, ["order_id"], cur)
+    n = refresh_product_summary_from_changes(
+        spark, orders_path, summary_path, prods, cats, items,
+        from_version=last, to_version=latest,
+    )
+    assert n == 1
+    txn.txn_feed_advance(spark, cur, latest)
+
+    want = sorted(
+        tuple(r)
+        for r in product_sales_summary(
+            prods, cats, items, txn.txn_read(spark, orders_path)
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(summary_path).collect())
+    assert got == want
+
+    # closed window via the cursor: no-op refresh
+    last2 = txn._read_cursor(spark, cur)
+    feed2, latest2 = txn.txn_feed(spark, orders_path, ["order_id"], cur)
+    assert feed2.count() == 0 and latest2 == last2
+    assert refresh_product_summary_from_changes(
+        spark, orders_path, summary_path, prods, cats, items,
+        from_version=last2, to_version=latest2,
+    ) == 0
