@@ -422,9 +422,17 @@ def txn_append(
     if keys:
         keys = list(keys)
         src = src.dropDuplicates(keys)
-        # one agg pass over the (small) batch: key ranges + partition
-        # values — reused twice, to prune the existing-keys read AND as
-        # the new entry's recorded stats
+    # eager checkpoint BEFORE any action: the stats aggregation, the
+    # prune decision, the anti-join, the count, and the data-dir write
+    # must all see the SAME rows — a non-deterministic source (landing
+    # dir mid-ingest, rand() sampling) re-evaluated per action would
+    # otherwise let the written keys diverge from the stats/anti-join
+    # that vouched for them, silently breaking exactly-once
+    src = src.localCheckpoint(eager=True)
+    if keys:
+        # one agg pass over the (small, now-pinned) batch: key ranges +
+        # partition values — reused twice, to prune the existing-keys
+        # read AND as the new entry's recorded stats
         stats, bparts = _batch_key_stats(src, keys, pcol)
         prune_parts = bparts if (pcol is not None and pcol in keys) else None
         candidates = [
@@ -432,11 +440,13 @@ def txn_append(
             if _may_intersect(e, keys, stats, prune_parts)
         ]
         existing = _read_entries(spark, path, m, candidates, columns=keys)
-        src = src.join(existing, on=keys, how="left_anti")
-    # eager checkpoint: count and the data-dir write must see the SAME
-    # rows (a lazy anti-join could read a different snapshot if a
-    # concurrent commit landed between the two actions)
-    src = src.localCheckpoint(eager=True)
+        # both anti-join inputs are now immutable (checkpointed batch,
+        # version-pinned entry dirs), so count and write below replay
+        # it identically; checkpoint the result anyway to evaluate the
+        # existing-keys read once, not once per action
+        src = src.join(existing, on=keys, how="left_anti").localCheckpoint(
+            eager=True
+        )
     n = src.count()
     if n == 0:
         return 0
@@ -649,6 +659,23 @@ def txn_replace_where(
         replacement = replacement.select(*out_columns)
 
     hit = F.coalesce(condition, F.lit(False))
+    # the rewritten entry re-records stats for whatever columns the
+    # table tracks (union across existing entries) — an unstatted
+    # rewrite would force every later keyed append to scan it forever
+    # and poison the next compaction's stats carry-through
+    tracked = sorted(
+        set().union(*[set((e.get("stats") or {}).keys())
+                      for e in m["entries"]])
+    ) if m["entries"] else []
+
+    def _entry_with_stats(d: str, parts) -> dict:
+        e: dict = {"dir": d, "partitions": parts}
+        if tracked:
+            s = _dir_stats(spark, path, d, tracked)
+            if s:
+                e["stats"] = s
+        return e
+
     repl = (
         replacement.persist() if replacement is not None else None
     )
@@ -669,7 +696,7 @@ def txn_replace_where(
             if n_kept + n_ins > 0:
                 out = kept if repl is None else kept.unionByName(repl)
                 d, parts = _write_data(out, path, None)
-                entries = [{"dir": d, "partitions": parts}]
+                entries = [_entry_with_stats(d, parts)]
             _commit(
                 spark,
                 path,
@@ -714,7 +741,7 @@ def txn_replace_where(
         if n_kept + n_ins > 0:  # all-affected-rows delete -> no new dir
             out = kept if repl is None else kept.unionByName(repl)
             d, parts = _write_data(out, path, pcol)
-            entries.append({"dir": d, "partitions": parts})
+            entries.append(_entry_with_stats(d, parts))
         _commit(
             spark,
             path,
@@ -801,14 +828,26 @@ def txn_history(spark: SparkSession, path: str) -> list[int]:
 
 
 def txn_vacuum(
-    spark: SparkSession, path: str, keep_versions: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 2,
+    min_age_sec: float = 3600.0,
 ) -> list[str]:
     """Drop manifests older than the newest ``keep_versions`` and any
     data dir no surviving manifest references. Returns removed dirs.
 
     Run only when no reader is pinned to a vacuumed version — the same
     retention contract as Delta's VACUUM.
+
+    ``min_age_sec`` keeps unreferenced dirs YOUNGER than the cutoff: a
+    concurrent writer stages its data dir BEFORE committing the
+    manifest that references it, so an age-blind vacuum could delete
+    an in-flight commit's data out from under it (the same uncommitted-
+    file retention Delta's VACUUM applies). Set it above your longest
+    write job; 0 only when no writer can be running.
     """
+    import time as _time
+
     versions = _list_versions(spark, path)
     if len(versions) <= keep_versions:
         return []
@@ -819,11 +858,12 @@ def txn_vacuum(
             live.add(e["dir"])
     jvm, fs = _fs(spark, path)
     removed = []
+    cutoff_ms = (_time.time() - min_age_sec) * 1000.0
     data = _hpath(jvm, path, _DATA_DIR)
     if fs.exists(data):
         for status in fs.listStatus(data):
             name = status.getPath().getName()
-            if name not in live:
+            if name not in live and status.getModificationTime() < cutoff_ms:
                 fs.delete(status.getPath(), True)
                 removed.append(name)
     for v in drop:
@@ -892,22 +932,28 @@ def txn_compact(
         snap = snap.coalesce(target_files)
     d, parts = _write_data(snap, path, pcol, arranged=arranged)
     entry: dict = {"dir": d, "partitions": parts}
-    # stats carry through compaction WITHOUT a scan: for each column
-    # every pre-compaction entry has stats for, the union's range is
-    # [min of mins, max of maxes] (a superset of the live rows —
-    # conservative-sound for pruning)
+    # Stats carry through compaction: columns every pre-compaction
+    # entry has stats for merge WITHOUT a scan ([min of mins, max of
+    # maxes] — a superset of the live rows, conservative-sound); any
+    # column only SOME entries cover is recomputed from the freshly
+    # written dir instead — one statsless entry (a keyless create, a
+    # replace_where rewrite) must not strip the whole table's stats,
+    # or auto-compaction would silently degrade every later keyed
+    # append back to full-table conflict scans.
     merged: dict = {}
-    if m["entries"]:
-        shared = set.intersection(
-            *[set((e.get("stats") or {}).keys()) for e in m["entries"]]
-        )
-        for c in shared:
-            los = [e["stats"][c][0] for e in m["entries"]]
-            his = [e["stats"][c][1] for e in m["entries"]]
-            try:
-                merged[c] = [min(los), max(his)]
-            except TypeError:
-                continue
+    per_entry = [set((e.get("stats") or {}).keys()) for e in m["entries"]]
+    wanted = set.union(*per_entry)
+    shared = set.intersection(*per_entry)
+    for c in shared:
+        los = [e["stats"][c][0] for e in m["entries"]]
+        his = [e["stats"][c][1] for e in m["entries"]]
+        try:
+            merged[c] = [min(los), max(his)]
+        except TypeError:
+            continue
+    partial = sorted(wanted - set(merged))
+    if partial:
+        merged.update(_dir_stats(spark, path, d, partial))
     if merged:
         entry["stats"] = merged
     _commit(
@@ -980,11 +1026,21 @@ def txn_changes(
 
 
 def _read_cursor(spark: SparkSession, cursor_path: str) -> int | None:
+    """Highest version marker in the cursor DIRECTORY, or None."""
     jvm, fs = _fs(spark, cursor_path)
     hp = _hpath(jvm, cursor_path)
     if not fs.exists(hp):
         return None
-    return int(json.loads(_read_file(jvm, fs, hp))["version"])
+    best = None
+    for status in fs.listStatus(hp):
+        name = status.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                v = int(name[:-5])
+            except ValueError:
+                continue
+            best = v if best is None else max(best, v)
+    return best
 
 
 def txn_feed_advance(
@@ -993,17 +1049,33 @@ def txn_feed_advance(
     """Persist the consumer's cursor AFTER its processing of the
     :func:`txn_feed` window is durably done — advancing first would
     turn a crash into silent data loss; advancing after gives
-    at-least-once with an idempotent replay window."""
+    at-least-once with an idempotent replay window.
+
+    The cursor is a directory of version marker files published by
+    atomic rename (the manifest-log pattern): there is NO window where
+    no cursor exists — a delete-then-rename file swap could crash
+    in between and silently reset the consumer to first-call state,
+    whose full-snapshot replay never delivers the deletes it skipped.
+    Older markers are pruned best-effort after the new one lands."""
     jvm, fs = _fs(spark, cursor_path)
     hp = _hpath(jvm, cursor_path)
-    parent = hp.getParent()
-    if parent is not None:
-        fs.mkdirs(parent)
-    tmp = _hpath(jvm, str(parent), f".tmp-cursor-{uuid.uuid4().hex}")
-    _write_file(fs, tmp, json.dumps({"version": int(version)}))
-    fs.delete(hp, False)
-    if not fs.rename(tmp, hp):
-        raise IOError(f"could not publish cursor {cursor_path}")
+    fs.mkdirs(hp)
+    final = _hpath(jvm, cursor_path, _version_name(version))
+    if not fs.exists(final):
+        tmp = _hpath(jvm, cursor_path, f".tmp-{uuid.uuid4().hex}.json")
+        _write_file(fs, tmp, json.dumps({"version": int(version)}))
+        if not fs.rename(tmp, final):
+            fs.delete(tmp, False)
+            if not fs.exists(final):  # a racer advancing is fine
+                raise IOError(f"could not publish cursor {cursor_path}")
+    for status in fs.listStatus(hp):
+        name = status.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                if int(name[:-5]) < int(version):
+                    fs.delete(status.getPath(), False)
+            except ValueError:
+                continue
 
 
 def txn_feed(
@@ -1025,8 +1097,9 @@ def txn_feed(
     CDC-driven matview refresh in ``operators/etl.py``).
 
     Scale: nothing is re-scanned but the two snapshot endpoints; the
-    cursor is one tiny JSON file. An empty window returns an empty
-    frame with the full CDF schema.
+    cursor is a tiny directory of version markers (atomic rename
+    publish — see :func:`txn_feed_advance`). An empty window returns
+    an empty frame with the full CDF schema.
     """
     latest = latest_version(spark, path)
     if latest is None:

@@ -669,7 +669,7 @@ def stream_txn_append(
     trigger/start); the table must exist (``txn_create``).
 
     Liveness under concurrency: a commit that loses the version race
-    to another writer (a parallel merge, compaction, vacuum) retries
+    to another writer (a parallel merge or compaction) retries
     through ``txn_retry`` — up to ``retry_attempts`` with backoff —
     instead of killing the whole streaming query; the retried
     anti-join re-reads the winner's snapshot, so replays stay
@@ -677,7 +677,11 @@ def stream_txn_append(
     ``auto_compact_entries`` policy (``txn_maintain``): one entry per
     micro-batch would otherwise make batch N's read union N dirs.
     Compaction races are best-effort — a lost maintenance race is
-    skipped, never fatal (the next batch re-triggers it)."""
+    skipped, never fatal (the next batch re-triggers it). A parallel
+    ``txn_vacuum`` is safe ONLY with its ``min_age_sec`` retention
+    (the default) longer than a micro-batch: vacuum wins no version
+    race — its hazard is deleting a staged-but-uncommitted data dir,
+    which the age guard prevents."""
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.txn import (

@@ -162,7 +162,9 @@ def test_vacuum_drops_unreferenced_dirs(spark, tmp_path):
             spark, path, spark.createDataFrame([(1, v)], ["id", "v"]), ["id"]
         )
     assert txn.txn_history(spark, path) == [1, 2, 3, 4]
-    removed = txn.txn_vacuum(spark, path, keep_versions=2)
+    # min_age_sec=0: everything here is seconds old; production keeps
+    # the default so an in-flight writer's staged dir survives
+    removed = txn.txn_vacuum(spark, path, keep_versions=2, min_age_sec=0)
     assert len(removed) == 2  # versions 1 and 2's dirs
     assert txn.txn_history(spark, path) == [3, 4]
     # surviving versions still read
@@ -1037,3 +1039,69 @@ def test_txn_feed_drives_cdc_matview_refresh(spark, tmp_path):
         spark, orders_path, summary_path, prods, cats, items,
         from_version=last2, to_version=latest2,
     ) == 0
+
+
+def test_vacuum_age_guard_spares_staged_uncommitted_dirs(spark, tmp_path):
+    """An in-flight writer stages its data dir BEFORE committing the
+    manifest; a concurrent vacuum must not delete a young unreferenced
+    dir out from under it (the uncommitted-file retention contract)."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    for v in (11, 12, 13):
+        txn.txn_merge_into(
+            spark, path, spark.createDataFrame([(1, v)], ["id", "v"]), ["id"]
+        )
+    # simulate a writer mid-commit: a staged, not-yet-referenced dir
+    staged_d, _ = txn._write_data(
+        spark.createDataFrame([(9, 90)], ["id", "v"]), path, None
+    )
+    removed = txn.txn_vacuum(spark, path, keep_versions=2)  # default age
+    assert removed == []  # everything is too young to touch
+    assert staged_d in set(os.listdir(os.path.join(path, "_data")))
+    # age-blind mode still spares it once referenced by a commit
+    m = txn._read_manifest(spark, path, 4)
+    m2 = dict(m, entries=list(m["entries"]) + [
+        {"dir": staged_d, "partitions": None}])
+    txn._commit(spark, path, 5, m2)
+    removed = txn.txn_vacuum(spark, path, keep_versions=1, min_age_sec=0)
+    assert staged_d not in removed
+    assert sorted((r.id, r.v) for r in txn.txn_read(spark, path).collect()) \
+        == [(1, 13), (9, 90)]
+
+
+def test_compact_recovers_stats_from_statsless_entries(spark, tmp_path):
+    """One statsless entry (keyless create — the streaming-sink setup
+    path) must not strip stats from the compacted table: columns the
+    other entries track are recomputed from the written dir."""
+    path = str(tmp_path / "t")
+    txn.txn_create(  # NO stats_cols
+        spark, path, spark.createDataFrame([(1, "a")], ["id", "v"])
+    )
+    txn.txn_append(
+        spark, path, spark.createDataFrame([(5, "e")], ["id", "v"]),
+        keys=["id"],
+    )
+    v = txn.txn_compact(spark, path)
+    m = txn._read_manifest(spark, path, v)
+    assert m["entries"][0]["stats"]["id"] == [1, 5]
+
+
+def test_replace_where_rewrite_keeps_tracked_stats(spark, tmp_path):
+    """update_rows/replace_where rewrites re-record stats for whatever
+    columns the table tracks, so the rewritten entry stays prunable."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path,
+        spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"]),
+        stats_cols=["id"],
+    )
+    from pyspark.sql import functions as F
+
+    txn.txn_replace_where(
+        spark, path, F.col("id") == 2,
+        spark.createDataFrame([(7, 70)], ["id", "v"]),
+    )
+    m = txn._read_manifest(spark, path, 2)
+    assert m["entries"][-1]["stats"]["id"] == [1, 7]

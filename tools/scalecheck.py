@@ -136,39 +136,51 @@ def txn_sink_cost(sf_dir: str, batches: int = 20) -> None:
     from etl_workflow_spark.catalog import table
     from etl_workflow_spark.sources import txn
 
+    from pyspark.sql import Window
+
     spark = get_spark("txn-sink-cost")
     spark.sparkContext.setLogLevel("ERROR")
+    # re-key to DENSE ids [1, n]: batch b offsets by b*n, so density is
+    # what makes consecutive batches genuinely disjoint and monotone
+    # (raw testdata doc_ids may be sparse, which would overlap ranges
+    # and dedup rows away mid-curve)
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .limit(2000)
+        .withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("doc_id")).cast("long"),
+        )
         .localCheckpoint(eager=True)
     )
     n_docs = docs.count()
     real_intersect = txn._may_intersect
-    for pruned in (True, False):
-        txn._may_intersect = (
-            real_intersect if pruned else (lambda *a, **kw: True)
-        )
-        root = tempfile.mkdtemp(prefix="txn-sink-")
-        path = f"{root}/t"
-        txn.txn_create(
-            spark, path,
-            docs.withColumn("doc_id", F.col("doc_id") - F.lit(n_docs)),
-            stats_cols=["doc_id"],
-        )
-        for b in range(batches):
-            batch = docs.withColumn(
-                "doc_id", F.col("doc_id") + F.lit(b * n_docs)
+    try:
+        for pruned in (True, False):
+            txn._may_intersect = (
+                real_intersect if pruned else (lambda *a, **kw: True)
             )
-            t0 = time.time()
-            n = txn.txn_append(spark, path, batch, keys=["doc_id"])
-            print(json.dumps({
-                "op": "txn_sink_batch", "pruned": pruned, "batch": b,
-                "rows": n, "sec": round(time.time() - t0, 2),
-            }), flush=True)
-        shutil.rmtree(root, ignore_errors=True)
-    txn._may_intersect = real_intersect
+            root = tempfile.mkdtemp(prefix="txn-sink-")
+            path = f"{root}/t"
+            txn.txn_create(
+                spark, path,
+                docs.withColumn("doc_id", F.col("doc_id") - F.lit(n_docs)),
+                stats_cols=["doc_id"],
+            )
+            for b in range(batches):
+                batch = docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(b * n_docs)
+                )
+                t0 = time.time()
+                n = txn.txn_append(spark, path, batch, keys=["doc_id"])
+                print(json.dumps({
+                    "op": "txn_sink_batch", "pruned": pruned, "batch": b,
+                    "rows": n, "sec": round(time.time() - t0, 2),
+                }), flush=True)
+            shutil.rmtree(root, ignore_errors=True)
+    finally:
+        txn._may_intersect = real_intersect
     spark.stop()
 
 
