@@ -323,3 +323,73 @@ def test_distributed_ntile_property(spark, n, buckets, nparts):
     if size == 0:
         expected = {i: i + 1 for i in range(n)}
     assert got == expected
+
+
+# ------------------------------------------------- txn key-stats pruning
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    entry_keys=st.lists(
+        st.integers(-1000, 1000), min_size=0, max_size=12, unique=True
+    ),
+    batch_keys=st.lists(
+        st.integers(-1000, 1000), min_size=0, max_size=12, unique=True
+    ),
+    with_entry_stats=st.booleans(),
+    with_batch_stats=st.booleans(),
+)
+def test_may_intersect_never_prunes_a_real_conflict(
+    entry_keys, batch_keys, with_entry_stats, with_batch_stats
+):
+    """Soundness invariant of the conflict-check pruner (pure driver
+    logic, no Spark): whenever the entry and the batch genuinely share
+    a key, _may_intersect must keep the entry — with stats on either
+    side, both, or neither. Pruning is only ever allowed on provably
+    disjoint ranges."""
+    from etl_workflow_spark.sources.txn import _may_intersect
+
+    entry = {"partitions": None}
+    if with_entry_stats and entry_keys:
+        entry["stats"] = {"id": [min(entry_keys), max(entry_keys)]}
+    bstats = (
+        {"id": [min(batch_keys), max(batch_keys)]}
+        if with_batch_stats and batch_keys
+        else {}
+    )
+    keeps = _may_intersect(entry, ["id"], bstats, None)
+    if set(entry_keys) & set(batch_keys):
+        assert keeps, (
+            f"pruned an entry sharing keys: {entry} vs {sorted(batch_keys)}"
+        )
+    # and statslessness on either side always keeps the entry
+    if not (with_entry_stats and entry_keys) or not (
+        with_batch_stats and batch_keys
+    ):
+        assert keeps
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    entry_parts=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "__NULL__"]),
+        min_size=0, max_size=4, unique=True,
+    ),
+    batch_parts=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "__NULL__"]),
+        min_size=0, max_size=4, unique=True,
+    ),
+)
+def test_may_intersect_partition_pruning_is_set_disjointness(
+    entry_parts, batch_parts
+):
+    """With the partition column among the keys, an entry survives iff
+    its partition-value set intersects the batch's (NULL encoded like
+    the manifest does); entries with partitions=None always survive."""
+    from etl_workflow_spark.sources.txn import _may_intersect
+
+    keeps = _may_intersect(
+        {"partitions": entry_parts}, ["p"], {}, batch_parts
+    )
+    assert keeps == bool(set(entry_parts) & set(batch_parts))
+    assert _may_intersect({"partitions": None}, ["p"], {}, batch_parts)

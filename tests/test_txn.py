@@ -1105,3 +1105,41 @@ def test_replace_where_rewrite_keeps_tracked_stats(spark, tmp_path):
     )
     m = txn._read_manifest(spark, path, 2)
     assert m["entries"][-1]["stats"]["id"] == [1, 7]
+
+
+def test_append_composite_key_stats_prune_per_column(spark, tmp_path):
+    """Composite keys: range disjointness on ANY key column suffices to
+    prune (equality needs every column), and conflicts are still exact
+    on the full key tuple."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 20)], ["id", "tag", "v"]
+        ),
+        stats_cols=["id", "tag"],
+    )
+    m = txn._read_manifest(spark, path, 1)
+    assert m["entries"][0]["stats"] == {"id": [1, 2], "tag": ["x", "y"]}
+
+    # same ids, different tag range -> provably disjoint on `tag`
+    stats, _ = txn._batch_key_stats(
+        spark.createDataFrame([(1, "zz", 1)], ["id", "tag", "v"]),
+        ["id", "tag"], None,
+    )
+    assert not txn._may_intersect(m["entries"][0], ["id", "tag"], stats, None)
+
+    # (1, "x") is a real conflict, (1, "z") is not: tuple-exact dedup
+    n = txn.txn_append(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "x", 99), (1, "z", 30)], ["id", "tag", "v"]
+        ),
+        keys=["id", "tag"],
+    )
+    assert n == 1
+    got = sorted(
+        (r.id, r.tag, r.v) for r in txn.txn_read(spark, path).collect()
+    )
+    assert got == [(1, "x", 10), (1, "z", 30), (2, "y", 20)]
