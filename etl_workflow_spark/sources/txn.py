@@ -805,6 +805,8 @@ def txn_maintain(
     path: str,
     max_entries: int = 64,
     target_files: int = 1,
+    vacuum_keep_versions: int | None = None,
+    vacuum_min_age_sec: float = 3600.0,
 ) -> int | None:
     """Auto-compaction policy: when the CURRENT manifest lists more
     than ``max_entries`` data-dir entries, rewrite the snapshot into
@@ -813,13 +815,27 @@ def txn_maintain(
     without a bound, every read unions hundreds of dirs. Readers
     pinned to older versions are unaffected (their dirs survive until
     :func:`txn_vacuum`). Caller wraps in :func:`txn_retry` if other
-    writers may race."""
+    writers may race.
+
+    ``vacuum_keep_versions`` additionally bounds DISK growth after a
+    compaction: old versions' dirs otherwise accrete until someone
+    vacuums. It is opt-in — retention is a policy decision (time
+    travel ends at the horizon you set), and the age guard still
+    protects in-flight writers — pick a horizon no reader outlives."""
     v = latest_version(spark, path)
     if v is None:
         return None
     if len(_read_manifest(spark, path, v)["entries"]) <= max_entries:
         return None
-    return txn_compact(spark, path, target_files=target_files)
+    new_v = txn_compact(spark, path, target_files=target_files)
+    if vacuum_keep_versions is not None:
+        txn_vacuum(
+            spark,
+            path,
+            keep_versions=vacuum_keep_versions,
+            min_age_sec=vacuum_min_age_sec,
+        )
+    return new_v
 
 
 def txn_history(spark: SparkSession, path: str) -> list[int]:

@@ -657,6 +657,7 @@ def stream_txn_append(
     keys: Sequence[str],
     retry_attempts: int = 5,
     auto_compact_entries: int | None = 64,
+    retention_versions: int | None = None,
 ):
     """Exactly-once streaming sink into a transactional table: every
     micro-batch commits through ``txn_append(keys)`` — one atomic
@@ -681,7 +682,10 @@ def stream_txn_append(
     ``txn_vacuum`` is safe ONLY with its ``min_age_sec`` retention
     (the default) longer than a micro-batch: vacuum wins no version
     race — its hazard is deleting a staged-but-uncommitted data dir,
-    which the age guard prevents."""
+    which the age guard prevents. ``retention_versions`` (opt-in)
+    additionally vacuums after each auto-compaction so old versions'
+    dirs do not accrete on disk for the life of the stream — pick a
+    horizon no concurrent time-travel reader outlives."""
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.txn import (
@@ -699,7 +703,10 @@ def stream_txn_append(
         if auto_compact_entries is not None:
             try:
                 txn_maintain(
-                    spark, table_path, max_entries=auto_compact_entries
+                    spark,
+                    table_path,
+                    max_entries=auto_compact_entries,
+                    vacuum_keep_versions=retention_versions,
                 )
             except ConcurrentWriteError:
                 pass  # another writer won; next batch re-checks
