@@ -93,13 +93,14 @@ def _version_name(v: int) -> str:
     return f"{v:020d}.json"
 
 
-def _list_versions(spark: SparkSession, path: str) -> list[int]:
-    jvm, fs = _fs(spark, path)
-    log = _hpath(jvm, path, _LOG_DIR)
-    if not fs.exists(log):
+def _list_numbered(fs, hdir) -> list[int]:
+    """Sorted integer names of the ``<int>.json`` marker files in a
+    directory (dot-prefixed temp files skipped) — the shared listing
+    rule of the manifest log and the feed cursor."""
+    if not fs.exists(hdir):
         return []
     out = []
-    for status in fs.listStatus(log):
+    for status in fs.listStatus(hdir):
         name = status.getPath().getName()
         if name.endswith(".json") and not name.startswith("."):
             try:
@@ -107,6 +108,11 @@ def _list_versions(spark: SparkSession, path: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+def _list_versions(spark: SparkSession, path: str) -> list[int]:
+    jvm, fs = _fs(spark, path)
+    return _list_numbered(fs, _hpath(jvm, path, _LOG_DIR))
 
 
 def latest_version(spark: SparkSession, path: str) -> int | None:
@@ -865,9 +871,16 @@ def txn_vacuum(
     import time as _time
 
     versions = _list_versions(spark, path)
-    if len(versions) <= keep_versions:
+    if not versions:
         return []
-    keep, drop = versions[-keep_versions:], versions[:-keep_versions]
+    # The dir sweep runs even when no manifest is droppable: a prior
+    # vacuum may have dropped manifests whose dirs were then too young
+    # to delete, and crashed writers leave staged dirs no manifest ever
+    # references — an early return here would strand both forever once
+    # the version count sits at its post-vacuum steady state.
+    k = max(1, keep_versions)  # the latest version is never droppable
+    keep = versions[-k:]
+    drop = versions[: len(versions) - len(keep)]
     live = set()
     for v in keep:
         for e in _read_manifest(spark, path, v)["entries"]:
@@ -1042,21 +1055,20 @@ def txn_changes(
 
 
 def _read_cursor(spark: SparkSession, cursor_path: str) -> int | None:
-    """Highest version marker in the cursor DIRECTORY, or None."""
+    """Highest version marker in the cursor DIRECTORY, or None.
+
+    A plain FILE at ``cursor_path`` is the legacy single-file cursor
+    format: its JSON version is honored (silently reading it as None
+    would reset the consumer to first-call state — the exact
+    data-loss mode the directory format exists to prevent)."""
     jvm, fs = _fs(spark, cursor_path)
     hp = _hpath(jvm, cursor_path)
     if not fs.exists(hp):
         return None
-    best = None
-    for status in fs.listStatus(hp):
-        name = status.getPath().getName()
-        if name.endswith(".json") and not name.startswith("."):
-            try:
-                v = int(name[:-5])
-            except ValueError:
-                continue
-            best = v if best is None else max(best, v)
-    return best
+    if fs.getFileStatus(hp).isFile():
+        return int(json.loads(_read_file(jvm, fs, hp))["version"])
+    markers = _list_numbered(fs, hp)
+    return markers[-1] if markers else None
 
 
 def txn_feed_advance(
@@ -1072,9 +1084,14 @@ def txn_feed_advance(
     no cursor exists — a delete-then-rename file swap could crash
     in between and silently reset the consumer to first-call state,
     whose full-snapshot replay never delivers the deletes it skipped.
-    Older markers are pruned best-effort after the new one lands."""
+    Older markers are pruned best-effort after the new one lands. A
+    legacy single-FILE cursor at this path is upgraded in place (its
+    version is superseded by this advance — txn_feed already consumed
+    through it)."""
     jvm, fs = _fs(spark, cursor_path)
     hp = _hpath(jvm, cursor_path)
+    if fs.exists(hp) and fs.getFileStatus(hp).isFile():
+        fs.delete(hp, False)
     fs.mkdirs(hp)
     final = _hpath(jvm, cursor_path, _version_name(version))
     if not fs.exists(final):
@@ -1084,14 +1101,9 @@ def txn_feed_advance(
             fs.delete(tmp, False)
             if not fs.exists(final):  # a racer advancing is fine
                 raise IOError(f"could not publish cursor {cursor_path}")
-    for status in fs.listStatus(hp):
-        name = status.getPath().getName()
-        if name.endswith(".json") and not name.startswith("."):
-            try:
-                if int(name[:-5]) < int(version):
-                    fs.delete(status.getPath(), False)
-            except ValueError:
-                continue
+    for v in _list_numbered(fs, hp):
+        if v < int(version):
+            fs.delete(_hpath(jvm, cursor_path, _version_name(v)), False)
 
 
 def txn_feed(

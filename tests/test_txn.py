@@ -1216,3 +1216,60 @@ def test_maintain_with_retention_bounds_disk(spark, tmp_path):
     }
     assert set(os.listdir(os.path.join(path, "_data"))) == live
     assert txn.txn_read(spark, path).count() == 5
+
+
+def test_vacuum_reclaims_aged_dirs_at_steady_state(spark, tmp_path):
+    """A dir too young for one vacuum must be reclaimable by a LATER
+    vacuum even when no manifest is droppable anymore (the
+    post-vacuum steady state) — an early return would strand it."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    txn.txn_merge_into(
+        spark, path, spark.createDataFrame([(1, 11)], ["id", "v"]), ["id"]
+    )
+    txn.txn_merge_into(
+        spark, path, spark.createDataFrame([(1, 12)], ["id", "v"]), ["id"]
+    )
+    # vacuum 1: manifests beyond keep drop, but dirs are too young
+    removed = txn.txn_vacuum(spark, path, keep_versions=2)  # default age
+    assert removed == [] and txn.txn_history(spark, path) == [2, 3]
+    assert len(os.listdir(os.path.join(path, "_data"))) == 3
+    # vacuum 2: version count is AT keep_versions; the sweep must still
+    # run and reclaim the now-eligible unreferenced dir
+    removed = txn.txn_vacuum(spark, path, keep_versions=2, min_age_sec=0)
+    assert len(removed) == 1
+    live = {
+        e["dir"]
+        for v in (2, 3)
+        for e in txn._read_manifest(spark, path, v)["entries"]
+    }
+    assert set(os.listdir(os.path.join(path, "_data"))) == live
+    assert _rows(txn.txn_read(spark, path)) == [(1, 12)]
+
+
+def test_feed_cursor_migrates_legacy_single_file(spark, tmp_path):
+    """A legacy single-FILE cursor must be honored (not silently read
+    as None — that would replay the full snapshot and lose deletes)
+    and upgraded to the marker-directory format on the next advance."""
+    path = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor.json")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    txn.txn_merge_into(  # v2: delete nothing, update id=2
+        spark, path, spark.createDataFrame([(2, 21)], ["id", "v"]), ["id"]
+    )
+    # write an old-format cursor file pointing at version 1
+    import json as _json
+
+    jvm, fs = txn._fs(spark, cur)
+    txn._write_file(fs, txn._hpath(jvm, cur), _json.dumps({"version": 1}))
+    assert txn._read_cursor(spark, cur) == 1
+    feed, latest = txn.txn_feed(spark, path, ["id"], cur)
+    rows = sorted((r._change_type, r.id, r.v) for r in feed.collect())
+    assert rows == [("update_postimage", 2, 21)] and latest == 2
+    txn.txn_feed_advance(spark, cur, latest)
+    assert txn._read_cursor(spark, cur) == 2
+    assert not fs.getFileStatus(txn._hpath(jvm, cur)).isFile()  # upgraded
