@@ -311,7 +311,14 @@ def _q_dedup_recipes(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``para``: corpus-wide paragraph dedup (first occurrence by
       (doc_id, pos) wins, later repeats removed, document rebuilt) —
       k1 = doc id, k2 = the REBUILT text (value-level parity, not
-      just counts), n = paragraphs removed.
+      just counts), n = paragraphs removed;
+    - ``spans``: ExactSubstr-style span dedup at 20-token windows
+      (``dedup_spans`` — repeated >=L-token runs survive only at
+      their first (doc, pos); only affected docs rebuild) — k1 =
+      doc id, k2 = rebuilt (or untouched original) text, n = tokens
+      removed. Spark groups windows by xxhash64 of the token-hash
+      slice; the oracle groups by the literal window string, so a
+      hash collision would surface as a gate mismatch.
     """
     docs = table(spark, sf_dir, "documents")
     exact = D.exact_dedup(docs).select(
@@ -326,7 +333,13 @@ def _q_dedup_recipes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("text"), F.lit("<NULL>")).alias("k2"),
         F.col("n_paras_removed").cast("long").alias("n"),
     )
-    return exact.unionByName(paras)
+    spans = D.dedup_spans(docs, min_tokens=20).select(
+        F.lit("spans").alias("kind"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.coalesce(F.col("text"), F.lit("<NULL>")).alias("k2"),
+        F.col("n_tokens_removed").cast("long").alias("n"),
+    )
+    return exact.unionByName(paras).unionByName(spans)
 
 
 _DEDUP_RECIPES_ORACLE = """
@@ -372,10 +385,68 @@ _DEDUP_RECIPES_ORACLE = """
                coalesce(r.text, '<NULL>') AS k2,
                CAST(coalesce(r.n, 0) AS BIGINT) AS n
         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    ),
+    sp_toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sp_wlists AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(tk) - 19, 0)),
+                   i -> array_to_string(list_slice(tk, i, i + 19), ' ')
+               ) AS ws
+        FROM sp_toks
+    ),
+    sp_wins AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w
+        FROM sp_wlists
+    ),
+    sp_flagged AS (
+        SELECT doc_id, wpos,
+               count(*) OVER (PARTITION BY w) AS cnt,
+               row_number() OVER (
+                   PARTITION BY w ORDER BY doc_id, wpos
+               ) AS rn
+        FROM sp_wins
+    ),
+    sp_removed AS (
+        SELECT DISTINCT doc_id,
+               unnest(generate_series(wpos, wpos + 19)) AS tpos
+        FROM sp_flagged WHERE cnt > 1 AND rn > 1
+    ),
+    sp_rem_agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        FROM sp_removed GROUP BY 1
+    ),
+    sp_toks_pos AS (
+        SELECT t.doc_id, generate_subscripts(t.tk, 1) AS tpos,
+               unnest(t.tk) AS tok
+        FROM sp_toks t SEMI JOIN sp_rem_agg r ON t.doc_id = r.doc_id
+    ),
+    sp_rebuilt AS (
+        SELECT tp.doc_id,
+               coalesce(string_agg(
+                   CASE WHEN rm.tpos IS NULL THEN tp.tok END,
+                   ' ' ORDER BY tp.tpos), '') AS new_text
+        FROM sp_toks_pos tp LEFT JOIN sp_removed rm
+          ON tp.doc_id = rm.doc_id AND tp.tpos = rm.tpos
+        GROUP BY 1
+    ),
+    span_rows AS (
+        SELECT 'spans' AS kind,
+               CAST(d.doc_id AS VARCHAR) AS k1,
+               coalesce(coalesce(r.new_text, d.text), '<NULL>') AS k2,
+               CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n
+        FROM documents d
+        LEFT JOIN sp_rebuilt r USING (doc_id)
+        LEFT JOIN sp_rem_agg a USING (doc_id)
     )
     SELECT kind, k1, k2, n FROM exact
     UNION ALL
     SELECT kind, k1, k2, n FROM para_rows
+    UNION ALL
+    SELECT kind, k1, k2, n FROM span_rows
 """
 
 
