@@ -84,3 +84,12 @@ def test_event_ops_on_empty_stream(spark):
     assert funnel(ev, ["view", "click"]).count() == 0
     assert retention_cohorts(ev, "signup").count() == 0
     assert event_transitions(ev).count() == 0
+
+
+def test_round8_dedup_ops_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import dedup as D
+
+    assert D.dedup_corpus(empty_docs).count() == 0
+    clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
+    scored = empty_docs.withColumn("q", empty_docs.doc_id.cast("double"))
+    assert D.keep_best_per_cluster(scored, clusters, "q").count() == 0
