@@ -342,7 +342,7 @@ def _q_dedup_recipes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(paras).unionByName(spans)
 
 
-_DEDUP_RECIPES_ORACLE = """
+_DEDUP_RECIPES_ORACLE = f"""
     WITH exact AS (
         SELECT 'exact' AS kind,
                sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
@@ -387,7 +387,7 @@ _DEDUP_RECIPES_ORACLE = """
         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     ),
     sp_toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        SELECT doc_id, {T._sql_tokens("text")} AS tk
         FROM documents WHERE text IS NOT NULL
     ),
     sp_wlists AS (

@@ -1060,15 +1060,22 @@ def _read_cursor(spark: SparkSession, cursor_path: str) -> int | None:
     A plain FILE at ``cursor_path`` is the legacy single-file cursor
     format: its JSON version is honored (silently reading it as None
     would reset the consumer to first-call state — the exact
-    data-loss mode the directory format exists to prevent)."""
+    data-loss mode the directory format exists to prevent). A
+    ``.legacy`` sibling is the migration parking spot — consulted
+    whenever the directory holds no marker yet, so no crash point in
+    the migration ever leaves the consumer cursorless."""
     jvm, fs = _fs(spark, cursor_path)
     hp = _hpath(jvm, cursor_path)
-    if not fs.exists(hp):
-        return None
-    if fs.getFileStatus(hp).isFile():
-        return int(json.loads(_read_file(jvm, fs, hp))["version"])
-    markers = _list_numbered(fs, hp)
-    return markers[-1] if markers else None
+    if fs.exists(hp):
+        if fs.getFileStatus(hp).isFile():
+            return int(json.loads(_read_file(jvm, fs, hp))["version"])
+        markers = _list_numbered(fs, hp)
+        if markers:
+            return markers[-1]
+    legacy = _hpath(jvm, cursor_path.rstrip("/") + ".legacy")
+    if fs.exists(legacy):
+        return int(json.loads(_read_file(jvm, fs, legacy))["version"])
+    return None
 
 
 def txn_feed_advance(
@@ -1085,24 +1092,35 @@ def txn_feed_advance(
     in between and silently reset the consumer to first-call state,
     whose full-snapshot replay never delivers the deletes it skipped.
     Older markers are pruned best-effort after the new one lands. A
-    legacy single-FILE cursor at this path is upgraded in place (its
-    version is superseded by this advance — txn_feed already consumed
-    through it)."""
+    legacy single-FILE cursor at this path is migrated crash-safely:
+    renamed aside (atomic) so :func:`_read_cursor` can still fall back
+    to it at every intermediate crash point, then superseded by a
+    marker carrying max(legacy, this advance) — a stale consumer
+    advancing to an OLDER version than the legacy cursor recorded must
+    not regress it (the directory format's max-marker monotonicity)."""
     jvm, fs = _fs(spark, cursor_path)
     hp = _hpath(jvm, cursor_path)
+    legacy = _hpath(jvm, cursor_path.rstrip("/") + ".legacy")
+    version = int(version)
     if fs.exists(hp) and fs.getFileStatus(hp).isFile():
-        fs.delete(hp, False)
+        if not fs.rename(hp, legacy):
+            raise IOError(f"could not stage legacy cursor {cursor_path}")
+    if fs.exists(legacy):
+        version = max(
+            version, int(json.loads(_read_file(jvm, fs, legacy))["version"])
+        )
     fs.mkdirs(hp)
     final = _hpath(jvm, cursor_path, _version_name(version))
     if not fs.exists(final):
         tmp = _hpath(jvm, cursor_path, f".tmp-{uuid.uuid4().hex}.json")
-        _write_file(fs, tmp, json.dumps({"version": int(version)}))
+        _write_file(fs, tmp, json.dumps({"version": version}))
         if not fs.rename(tmp, final):
             fs.delete(tmp, False)
             if not fs.exists(final):  # a racer advancing is fine
                 raise IOError(f"could not publish cursor {cursor_path}")
+    fs.delete(legacy, False)  # marker published; parking spot done
     for v in _list_numbered(fs, hp):
-        if v < int(version):
+        if v < version:
             fs.delete(_hpath(jvm, cursor_path, _version_name(v)), False)
 
 

@@ -1273,3 +1273,19 @@ def test_feed_cursor_migrates_legacy_single_file(spark, tmp_path):
     txn.txn_feed_advance(spark, cur, latest)
     assert txn._read_cursor(spark, cur) == 2
     assert not fs.getFileStatus(txn._hpath(jvm, cur)).isFile()  # upgraded
+    assert not fs.exists(txn._hpath(jvm, cur + ".legacy"))  # spot cleaned
+
+    # monotonicity through migration: a stale consumer advancing to an
+    # OLDER version than a legacy cursor recorded must not regress it
+    cur2 = str(tmp_path / "cursor2.json")
+    txn._write_file(fs, txn._hpath(jvm, cur2), _json.dumps({"version": 2}))
+    txn.txn_feed_advance(spark, cur2, 1)
+    assert txn._read_cursor(spark, cur2) == 2
+
+    # crash window: legacy parked aside but marker not yet published -
+    # the cursor must still read (no first-call reset)
+    cur3 = str(tmp_path / "cursor3.json")
+    txn._write_file(
+        fs, txn._hpath(jvm, cur3 + ".legacy"), _json.dumps({"version": 7})
+    )
+    assert txn._read_cursor(spark, cur3) == 7
