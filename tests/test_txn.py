@@ -1289,3 +1289,86 @@ def test_feed_cursor_migrates_legacy_single_file(spark, tmp_path):
         fs, txn._hpath(jvm, cur3 + ".legacy"), _json.dumps({"version": 7})
     )
     assert txn._read_cursor(spark, cur3) == 7
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_txn_random_walk_matches_model(spark, tmp_path, seed):
+    """Model-based check of the whole mutation surface: a seeded random
+    walk of append / merge / replace_where / delete / compact /
+    vacuum against a driver-side dict model — after every step the
+    snapshot equals the model, and a version pinned mid-walk stays
+    byte-stable until vacuumed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"t{seed}")
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(int(k), int(v)) for k, v in rows], "id long, v long"
+        )
+
+    model = {1: 10, 2: 20}
+    txn.txn_create(spark, path, frame(model.items()), stats_cols=["id"])
+    pinned_version = None
+    pinned_model = None
+
+    def check():
+        got = {r.id: r.v for r in txn.txn_read(spark, path).collect()}
+        assert got == model, f"seed {seed}: snapshot diverged from model"
+
+    for step in range(10):
+        op = rng.choice(
+            ["append", "merge", "replace", "delete", "compact", "vacuum"]
+        )
+        ids = [rng.randrange(0, 12) for _ in range(rng.randrange(1, 4))]
+        vals = [rng.randrange(0, 1000) for _ in ids]
+        rows = list(dict(zip(ids, vals)).items())
+        if op == "append":
+            n = txn.txn_append(spark, path, frame(rows), keys=["id"])
+            fresh = [kv for kv in rows if kv[0] not in model]
+            assert n == len(fresh)
+            model.update(fresh)
+        elif op == "merge":
+            upd, ins = txn.txn_merge_into(spark, path, frame(rows), ["id"])
+            assert upd == sum(1 for k, _ in rows if k in model)
+            assert ins == sum(1 for k, _ in rows if k not in model)
+            model.update(rows)
+        elif op == "replace":
+            hit = set(ids)
+            deleted, inserted = txn.txn_replace_where(
+                spark, path,
+                F.col("id").isin([int(i) for i in hit]),
+                frame(rows),
+            )
+            assert deleted == sum(1 for k in model if k in hit)
+            assert inserted == len(rows)
+            model = {k: v for k, v in model.items() if k not in hit}
+            model.update(rows)
+        elif op == "delete":
+            n = txn.txn_delete(spark, path, F.col("id").isin(
+                [int(i) for i in ids]))
+            assert n == sum(1 for k in model if k in set(ids))
+            model = {k: v for k, v in model.items() if k not in set(ids)}
+        elif op == "compact":
+            txn.txn_compact(spark, path)
+        else:
+            txn.txn_vacuum(spark, path, keep_versions=3, min_age_sec=0)
+            if (
+                pinned_version is not None
+                and pinned_version
+                not in txn.txn_history(spark, path)
+            ):
+                pinned_version = None  # horizon passed; pin released
+        check()
+        if step == 3:
+            pinned_version = txn.latest_version(spark, path)
+            pinned_model = dict(model)
+        if pinned_version is not None:
+            got = {
+                r.id: r.v
+                for r in txn.txn_read(spark, path, pinned_version).collect()
+            }
+            assert got == pinned_model, f"seed {seed}: pinned version drifted"
