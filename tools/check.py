@@ -217,6 +217,19 @@ def main() -> int:
         else:
             failures.append(name)
 
+    # Cache-hygiene gate: after the full sweep, no entry may leave an
+    # explicit persist behind (localCheckpoint residue is reclaimed by
+    # GC and exempt) — the leak class that held two r7 components weak.
+    leaked = []
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        rdd = it.next().getValue().rdd()
+        if not rdd.isLocallyCheckpointed():
+            leaked.append(rdd.id())
+    if leaked:
+        failures.append(f"persist-leak:{leaked}")
+        print(f"FAIL persist-leak: {len(leaked)} cached RDDs left behind")
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
