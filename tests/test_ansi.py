@@ -55,3 +55,34 @@ def test_gate_fixed_point_entries_under_ansi(ansi, sf_dir):
     q = entry.queries()
     assert q["quality_filtered_stats"](ansi, sf_dir).count() == 1
     assert q["revenue_windows"](ansi, sf_dir).count() > 0
+
+
+def test_txn_mutations_and_span_dedup_under_ansi(ansi, sf_dir, tmp_path):
+    """Round-8 surface under ANSI: the txn mutation family (stats
+    aggregation, key anti-join, replace_where arithmetic) and the
+    reshaped span dedup must not rely on silent overflow/coercion."""
+    from etl_workflow_spark.operators.dedup import dedup_spans
+    from etl_workflow_spark.sources import txn
+
+    docs = table(ansi, sf_dir, "documents").limit(50)
+    assert dedup_spans(docs, min_tokens=10).count() == 50
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        ansi, path, ansi.createDataFrame([(1, 10)], ["id", "v"]),
+        stats_cols=["id"],
+    )
+    assert txn.txn_append(
+        ansi, path, ansi.createDataFrame([(1, 11), (2, 20)], ["id", "v"]),
+        keys=["id"],
+    ) == 1
+    assert txn.txn_merge_into(
+        ansi, path, ansi.createDataFrame([(2, 21)], ["id", "v"]), ["id"]
+    ) == (1, 0)
+    deleted, inserted = txn.txn_replace_where(
+        ansi, path, F.col("v") > 15,
+        ansi.createDataFrame([(9, 9)], ["id", "v"]),
+    )
+    assert (deleted, inserted) == (1, 1)
+    got = sorted((r.id, r.v) for r in txn.txn_read(ansi, path).collect())
+    assert got == [(1, 10), (9, 9)]
