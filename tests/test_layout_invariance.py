@@ -43,6 +43,9 @@ OPERATORS = {
     "minhash_lsh_pairs": lambda s, d, docs, emb: __import__(
         "etl_workflow_spark.operators.dedup", fromlist=["minhash_lsh_pairs"]
     ).minhash_lsh_pairs(docs, threshold=0.4),
+    "ngram_jaccard_pairs": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.dedup", fromlist=["ngram_jaccard_pairs"]
+    ).ngram_jaccard_pairs(docs, threshold=0.4),
     "simhash": lambda s, d, docs, emb: __import__(
         "etl_workflow_spark.operators.dedup", fromlist=["simhash"]
     ).simhash(docs),
