@@ -122,3 +122,23 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         # UTC session => relabel only; values identical to the oracle's
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def register_txn_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Register a transactional table (``sources/txn.py``) as a temp
+    view so ``spark.sql`` reaches its snapshot like any other catalog
+    table. The view is PINNED to the resolved version (snapshot
+    isolation extends to the SQL surface): later commits don't leak
+    into running queries; re-register to move the view forward, or
+    pass ``version`` for time travel.
+    """
+    from .sources.txn import txn_read
+
+    df = txn_read(spark, path, version)
+    df.createOrReplaceTempView(name)
+    return df

@@ -69,3 +69,33 @@ def test_testdata_schema_contract(spark, sf_dir):
     assert t["documents"]["text"] == "string"
     assert t["embeddings"]["vec_id"] in INTEGRAL
     assert t["embeddings"]["embedding"] in {"array<float>", "array<double>"}
+
+
+def test_register_txn_table_pins_snapshot_for_sql(spark, tmp_path):
+    from etl_workflow_spark.catalog import register_txn_table
+    from etl_workflow_spark.sources import txn
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    register_txn_table(spark, "txn_sql_t", path)
+    assert spark.sql(
+        "SELECT sum(v) AS s FROM txn_sql_t"
+    ).collect()[0].s == 30
+    # a later commit must NOT leak into the registered view
+    txn.txn_merge_into(
+        spark, path, spark.createDataFrame([(3, 70)], ["id", "v"]), ["id"]
+    )
+    assert spark.sql(
+        "SELECT sum(v) AS s FROM txn_sql_t"
+    ).collect()[0].s == 30
+    # re-register moves forward; version= pins time travel
+    register_txn_table(spark, "txn_sql_t", path)
+    assert spark.sql(
+        "SELECT sum(v) AS s FROM txn_sql_t"
+    ).collect()[0].s == 100
+    register_txn_table(spark, "txn_sql_t_v1", path, version=1)
+    assert spark.sql(
+        "SELECT count(*) AS c FROM txn_sql_t_v1"
+    ).collect()[0].c == 2
