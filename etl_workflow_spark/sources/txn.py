@@ -1173,6 +1173,14 @@ def txn_feed(
             f"{latest} — was the table restored/recreated under the "
             f"consumer?"
         )
+    if last not in _list_versions(spark, path):
+        raise ValueError(
+            f"cursor version {last} was vacuumed from {path} — the "
+            f"retention horizon passed this consumer; re-bootstrap "
+            f"(clear the cursor for a full-snapshot first call) and "
+            f"size txn_vacuum keep_versions above the slowest "
+            f"consumer's lag"
+        )
     return txn_changes(spark, path, list(keys), last, latest), latest
 
 

@@ -1372,3 +1372,23 @@ def test_txn_random_walk_matches_model(spark, tmp_path, seed):
                 for r in txn.txn_read(spark, path, pinned_version).collect()
             }
             assert got == pinned_model, f"seed {seed}: pinned version drifted"
+
+
+def test_feed_fails_loudly_when_cursor_vacuumed_past(spark, tmp_path):
+    """A consumer slower than the vacuum horizon must get a clear
+    re-bootstrap error, not a raw missing-manifest failure."""
+    path = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    _, v = txn.txn_feed(spark, path, ["id"], cur)
+    txn.txn_feed_advance(spark, cur, v)
+    for n in (2, 3, 4):
+        txn.txn_merge_into(
+            spark, path,
+            spark.createDataFrame([(n, n * 10)], ["id", "v"]), ["id"],
+        )
+    txn.txn_vacuum(spark, path, keep_versions=2, min_age_sec=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        txn.txn_feed(spark, path, ["id"], cur)
