@@ -392,6 +392,7 @@ def txn_append(
     path: str,
     source: DataFrame,
     keys: Sequence[str] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """INSERT — with ``keys``, INSERT ... ON CONFLICT DO NOTHING: rows
     whose key already exists in the base snapshot are dropped before
@@ -423,7 +424,34 @@ def txn_append(
         )
     m = _read_manifest(spark, path, base_v)
     pcol = m["partition_col"]
-    src = source.select(*m["columns"])
+    out_columns = list(m["columns"])
+    out_types = dict(m.get("types") or {})
+    if evolve_schema:
+        # mergeSchema semantics, same as txn_merge_into: NEW source
+        # columns extend the table (historical entries read them as
+        # typed NULL — no rewrite); table columns the source lacks
+        # fill with NULL in this batch
+        for f in source.schema.fields:
+            if f.name not in out_columns:
+                out_columns.append(f.name)
+                out_types[f.name] = f.dataType.simpleString()
+        src = source
+        for c in out_columns:
+            if c not in source.columns:
+                src = src.withColumn(
+                    c, F.lit(None).cast(out_types.get(c, "string"))
+                )
+        src = src.select(*out_columns)
+    else:
+        extra = [c for c in source.columns if c not in out_columns]
+        if extra:
+            # same posture as txn_merge_into: a typo'd column must fail
+            # loudly, not silently vanish from the committed rows
+            raise ValueError(
+                f"source columns {extra} not in table schema; pass "
+                f"evolve_schema=True to add them"
+            )
+        src = source.select(*out_columns)
     stats: dict = {}
     if keys:
         keys = list(keys)
@@ -458,6 +486,8 @@ def txn_append(
         return 0
     d, parts = _write_data(src, path, pcol)
     manifest = dict(m)
+    manifest["columns"] = out_columns
+    manifest["types"] = out_types
     new_entry = {"dir": d, "partitions": parts}
     if stats:
         new_entry["stats"] = stats

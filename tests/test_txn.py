@@ -1392,3 +1392,30 @@ def test_feed_fails_loudly_when_cursor_vacuumed_past(spark, tmp_path):
     txn.txn_vacuum(spark, path, keep_versions=2, min_age_sec=0)
     with pytest.raises(ValueError, match="vacuumed"):
         txn.txn_feed(spark, path, ["id"], cur)
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    """evolve_schema on append: new source columns extend the table
+    (history reads typed NULL, no rewrite); table columns the source
+    lacks NULL-fill; strict mode still fails loudly."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    wide = spark.createDataFrame([(2, 20, "en")], ["id", "v", "lang"])
+    with pytest.raises(ValueError, match="lang"):
+        txn.txn_append(spark, path, wide, keys=["id"])
+    assert txn.txn_append(
+        spark, path, wide, keys=["id"], evolve_schema=True
+    ) == 1
+    got = sorted(
+        (r.id, r.v, r.lang) for r in txn.txn_read(spark, path).collect()
+    )
+    assert got == [(1, 10, None), (2, 20, "en")]
+    # narrow source after evolution: missing column NULL-fills
+    assert txn.txn_append(
+        spark, path, spark.createDataFrame([(3, 30)], ["id", "v"]),
+        keys=["id"], evolve_schema=True,
+    ) == 1
+    rows = {r.id: r.lang for r in txn.txn_read(spark, path).collect()}
+    assert rows == {1: None, 2: "en", 3: None}
