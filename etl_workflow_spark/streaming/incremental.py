@@ -658,6 +658,7 @@ def stream_txn_append(
     retry_attempts: int = 5,
     auto_compact_entries: int | None = 64,
     retention_versions: int | None = None,
+    evolve_schema: bool = False,
 ):
     """Exactly-once streaming sink into a transactional table: every
     micro-batch commits through ``txn_append(keys)`` — one atomic
@@ -697,7 +698,10 @@ def stream_txn_append(
 
         spark = batch_df.sparkSession
         txn_retry(
-            lambda: txn_append(spark, table_path, batch_df, keys=keys),
+            lambda: txn_append(
+                spark, table_path, batch_df, keys=keys,
+                evolve_schema=evolve_schema,
+            ),
             attempts=retry_attempts,
         )
         if auto_compact_entries is not None:
