@@ -293,6 +293,65 @@ def _may_intersect(
     return True
 
 
+# ---------------------------------------------------------- schema rules
+
+# Lossless widenings a writer may carry implicitly (int literals into a
+# bigint column, etc.). Everything else — notably string→number, whose
+# non-ANSI cast silently NULLs bad rows — must fail loudly BEFORE the
+# commit: a mistyped dir is durable and poisons every later read.
+_SAFE_WIDEN = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+    ("date", "timestamp"),
+}
+
+
+def _evolved_schema(
+    m: dict, source: DataFrame, evolve_schema: bool
+) -> tuple[list[str], dict]:
+    """The table's (columns, types) after applying ``source`` under the
+    shared evolution rule: new source columns extend the schema when
+    ``evolve_schema``, otherwise they raise — one rule for append,
+    merge, and replace_where."""
+    out_columns = list(m["columns"])
+    out_types = dict(m.get("types") or {})
+    extra = [f for f in source.schema.fields if f.name not in out_columns]
+    if evolve_schema:
+        for f in extra:
+            out_columns.append(f.name)
+            out_types[f.name] = f.dataType.simpleString()
+    elif extra:
+        raise ValueError(
+            f"source columns {[f.name for f in extra]} not in table "
+            f"schema; pass evolve_schema=True to add them"
+        )
+    return out_columns, out_types
+
+
+def _conform_types(src: DataFrame, out_types: dict) -> DataFrame:
+    """Align ``src`` to the manifest's recorded column types: identical
+    types pass, lossless widenings cast implicitly, anything else
+    raises. Without this a drifted batch (string v into a bigint
+    column) would COMMIT as-is and break every subsequent read."""
+    for f in src.schema.fields:
+        want = out_types.get(f.name)
+        have = f.dataType.simpleString()
+        if want is None or have == want:
+            continue
+        if (have, want) in _SAFE_WIDEN:
+            src = src.withColumn(f.name, F.col(f.name).cast(want))
+        else:
+            raise ValueError(
+                f"source column {f.name} has type {have}; table "
+                f"records {want} — cast explicitly (implicit casts "
+                f"are limited to lossless widenings)"
+            )
+    return src
+
+
 # ------------------------------------------------------------ public API
 
 
@@ -424,34 +483,19 @@ def txn_append(
         )
     m = _read_manifest(spark, path, base_v)
     pcol = m["partition_col"]
-    out_columns = list(m["columns"])
-    out_types = dict(m.get("types") or {})
+    # shared evolution rule (new columns extend / extras raise), then
+    # NULL-fill table columns the source lacks (evolve mode only) and
+    # enforce recorded column types before anything becomes durable
+    out_columns, out_types = _evolved_schema(m, source, evolve_schema)
+    src = source
     if evolve_schema:
-        # mergeSchema semantics, same as txn_merge_into: NEW source
-        # columns extend the table (historical entries read them as
-        # typed NULL — no rewrite); table columns the source lacks
-        # fill with NULL in this batch
-        for f in source.schema.fields:
-            if f.name not in out_columns:
-                out_columns.append(f.name)
-                out_types[f.name] = f.dataType.simpleString()
-        src = source
         for c in out_columns:
             if c not in source.columns:
                 src = src.withColumn(
                     c, F.lit(None).cast(out_types.get(c, "string"))
                 )
-        src = src.select(*out_columns)
-    else:
-        extra = [c for c in source.columns if c not in out_columns]
-        if extra:
-            # same posture as txn_merge_into: a typo'd column must fail
-            # loudly, not silently vanish from the committed rows
-            raise ValueError(
-                f"source columns {extra} not in table schema; pass "
-                f"evolve_schema=True to add them"
-            )
-        src = source.select(*out_columns)
+    src = _conform_types(src.select(*out_columns), out_types)
+    schema_grew = out_columns != m["columns"]
     stats: dict = {}
     if keys:
         keys = list(keys)
@@ -482,12 +526,19 @@ def txn_append(
             eager=True
         )
     n = src.count()
-    if n == 0:
-        return 0
-    d, parts = _write_data(src, path, pcol)
     manifest = dict(m)
     manifest["columns"] = out_columns
     manifest["types"] = out_types
+    if n == 0:
+        if schema_grew:
+            # a replayed evolving batch may dedup to empty: the schema
+            # change must still commit (mergeSchema semantics — a
+            # consumer told "the column exists as of this batch" reads
+            # it as typed NULL), just with no new data dir
+            manifest["entries"] = list(m["entries"])
+            _commit(spark, path, base_v + 1, manifest)
+        return 0
+    d, parts = _write_data(src, path, pcol)
     new_entry = {"dir": d, "partitions": parts}
     if stats:
         new_entry["stats"] = stats
@@ -536,26 +587,19 @@ def txn_merge_into(
     m = _read_manifest(spark, path, base_v)
     pcol = m["partition_col"]
     target = txn_read(spark, path, base_v)
-    out_columns = list(m["columns"])
-    out_types = dict(m.get("types") or {})
-    extra = [f for f in source.schema.fields if f.name not in out_columns]
-    if evolve_schema:
-        for f in extra:
-            out_columns.append(f.name)
-            out_types[f.name] = f.dataType.simpleString()
-            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
-    elif extra:
-        # strict by default: a typo'd column must fail loudly, not
-        # silently vanish (same posture as Delta without mergeSchema)
-        raise ValueError(
-            f"source columns {[f.name for f in extra]} not in table "
-            f"schema; pass evolve_schema=True to add them"
-        )
+    out_columns, out_types = _evolved_schema(m, source, evolve_schema)
+    for c in out_columns:
+        if c not in target.columns:
+            target = target.withColumn(
+                c, F.lit(None).cast(out_types.get(c, "string"))
+            )
     # try/finally: _commit raises ConcurrentWriteError BY DESIGN on a
     # lost version race, and the documented retry loop re-enters this
     # function — releases must not sit after the raise or every lost
     # race leaks one cached copy of the source
-    src = source.dropDuplicates(keys).select(*out_columns).persist()
+    src = _conform_types(
+        source.dropDuplicates(keys).select(*out_columns), out_types
+    ).persist()
     kept = None
     try:
         n_src = src.count()
@@ -677,22 +721,15 @@ def txn_replace_where(
     out_columns = list(m["columns"])
     out_types = dict(m.get("types") or {})
     if replacement is not None:
-        extra = [
-            f for f in replacement.schema.fields if f.name not in out_columns
-        ]
-        if evolve_schema:
-            for f in extra:
-                out_columns.append(f.name)
-                out_types[f.name] = f.dataType.simpleString()
+        out_columns, out_types = _evolved_schema(m, replacement, evolve_schema)
+        for c in out_columns:
+            if c not in target.columns:
                 target = target.withColumn(
-                    f.name, F.lit(None).cast(f.dataType)
+                    c, F.lit(None).cast(out_types.get(c, "string"))
                 )
-        elif extra:
-            raise ValueError(
-                f"replacement columns {[f.name for f in extra]} not in "
-                f"table schema; pass evolve_schema=True to add them"
-            )
-        replacement = replacement.select(*out_columns)
+        replacement = _conform_types(
+            replacement.select(*out_columns), out_types
+        )
 
     hit = F.coalesce(condition, F.lit(False))
     # the rewritten entry re-records stats for whatever columns the
@@ -1177,7 +1214,8 @@ def txn_feed(
     publish — see :func:`txn_feed_advance`). An empty window returns
     an empty frame with the full CDF schema.
     """
-    latest = latest_version(spark, path)
+    versions = _list_versions(spark, path)  # one log listing per call
+    latest = versions[-1] if versions else None
     if latest is None:
         raise FileNotFoundError(f"no transactional table at {path}")
     last = _read_cursor(spark, cursor_path)
@@ -1203,7 +1241,7 @@ def txn_feed(
             f"{latest} — was the table restored/recreated under the "
             f"consumer?"
         )
-    if last not in _list_versions(spark, path):
+    if last not in versions:
         raise ValueError(
             f"cursor version {last} was vacuumed from {path} — the "
             f"retention horizon passed this consumer; re-bootstrap "

@@ -54,6 +54,7 @@ def idempotent_append(
     df: DataFrame,
     path: str,
     keys: Sequence[str],
+    evolve_schema: bool = False,
 ) -> int:
     """A4/J4: INSERT ... ON CONFLICT DO NOTHING (workflow.py:188-205).
 
@@ -80,7 +81,12 @@ def idempotent_append(
     from .txn import latest_version, txn_append
 
     if latest_version(spark, path) is not None:
-        return txn_append(spark, path, df, keys=list(keys))
+        # txn_append rejects unknown source columns loudly (a typo'd
+        # column must not vanish from committed rows); pass
+        # evolve_schema=True to widen the table instead
+        return txn_append(
+            spark, path, df, keys=list(keys), evolve_schema=evolve_schema
+        )
 
     deduped = df.dropDuplicates(list(keys)).persist()
     out = deduped
@@ -180,8 +186,15 @@ def update_rows(
         matched = touched.count()
         if matched == 0:
             return 0
+        dtypes = dict(target.dtypes)
         for col_name, value in updates.items():
-            touched = touched.withColumn(col_name, F.lit(value))
+            lit = F.lit(value)
+            if col_name in dtypes:
+                # a Python literal's natural Spark type (int, double)
+                # may be narrower than the column's recorded type; the
+                # txn layer enforces types at commit, so align here
+                lit = lit.cast(dtypes[col_name])
+            touched = touched.withColumn(col_name, lit)
         evolve = "updated_at" not in target.columns
         touched = touched.withColumn("updated_at", F.current_timestamp())
         # replace_where, NOT merge: a merge is keyed (dropDuplicates on

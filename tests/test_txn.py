@@ -1419,3 +1419,37 @@ def test_append_schema_evolution(spark, tmp_path):
     ) == 1
     rows = {r.id: r.lang for r in txn.txn_read(spark, path).collect()}
     assert rows == {1: None, 2: "en", 3: None}
+
+
+def test_append_enforces_recorded_types(spark, tmp_path):
+    """A drifted batch must fail BEFORE the commit (a mistyped dir is
+    durable and breaks every later read); lossless widenings cast
+    implicitly; an evolving batch that dedups to empty still commits
+    the schema change."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    # string v into a bigint column: loud failure, nothing committed
+    with pytest.raises(ValueError, match="type"):
+        txn.txn_append(
+            spark, path,
+            spark.createDataFrame([(2, "oops")], "id long, v string"),
+            keys=["id"],
+        )
+    assert txn.latest_version(spark, path) == 1
+    # int v widens to bigint implicitly
+    assert txn.txn_append(
+        spark, path,
+        spark.createDataFrame([(3, 30)], "id long, v int"),
+        keys=["id"],
+    ) == 1
+    assert dict(txn.txn_read(spark, path).dtypes)["v"] == "bigint"
+    # replayed evolving batch, all keys duplicate: schema still commits
+    n = txn.txn_append(
+        spark, path,
+        spark.createDataFrame([(1, 11, "en")], "id long, v long, lang string"),
+        keys=["id"], evolve_schema=True,
+    )
+    assert n == 0
+    assert "lang" in txn.txn_read(spark, path).columns
