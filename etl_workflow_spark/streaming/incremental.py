@@ -659,6 +659,7 @@ def stream_txn_append(
     auto_compact_entries: int | None = 64,
     retention_versions: int | None = None,
     evolve_schema: bool = False,
+    create_if_missing: bool = False,
 ):
     """Exactly-once streaming sink into a transactional table: every
     micro-batch commits through ``txn_append(keys)`` — one atomic
@@ -686,17 +687,42 @@ def stream_txn_append(
     which the age guard prevents. ``retention_versions`` (opt-in)
     additionally vacuums after each auto-compaction so old versions'
     dirs do not accrete on disk for the life of the stream — pick a
-    horizon no concurrent time-travel reader outlives."""
+    horizon no concurrent time-travel reader outlives.
+    ``create_if_missing`` bootstraps the table from the first batch
+    (keys become the stats columns, so conflict pruning works from
+    version 1); a replay of that batch after a crash re-routes through
+    the key anti-join and appends nothing, and a racing creator loses
+    cleanly to txn_create's exists check."""
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.txn import (
             ConcurrentWriteError,
+            latest_version,
             txn_append,
+            txn_create,
             txn_maintain,
             txn_retry,
         )
 
         spark = batch_df.sparkSession
+        if (
+            create_if_missing
+            and latest_version(spark, table_path) is None
+        ):
+            try:
+                # bootstrap from the first batch; keys become the
+                # table's recorded stats columns so pruning works from
+                # version 1. A racing creator loses cleanly (create
+                # raises ValueError on an existing table) and this
+                # batch re-routes through the ordinary append below.
+                txn_create(
+                    spark, table_path,
+                    batch_df.dropDuplicates(list(keys)),
+                    stats_cols=list(keys),
+                )
+                return
+            except ValueError:
+                pass  # another writer created it first
         txn_retry(
             lambda: txn_append(
                 spark, table_path, batch_df, keys=keys,

@@ -1453,3 +1453,43 @@ def test_append_enforces_recorded_types(spark, tmp_path):
     )
     assert n == 0
     assert "lang" in txn.txn_read(spark, path).columns
+
+
+def test_stream_txn_append_bootstraps_missing_table(spark, tmp_path):
+    """create_if_missing: the sink creates the table from its first
+    batch (keys recorded as stats columns) and a full replay with a
+    fresh checkpoint appends nothing."""
+    from etl_workflow_spark.streaming.incremental import stream_txn_append
+
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(9)], "id long, v string"
+    ).repartition(3).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    path = str(tmp_path / "t")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream_txn_append(
+                stream, path, str(tmp_path / ckpt), ["id"],
+                create_if_missing=True,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    rows = txn.txn_read(spark, path).collect()
+    assert len(rows) == 9 and len({r.id for r in rows}) == 9
+    m = txn._read_manifest(spark, path, 1)
+    assert "stats" in m["entries"][0]  # bootstrap recorded key stats
+    hist = txn.txn_history(spark, path)
+    run("ck2")
+    assert len(txn.txn_read(spark, path).collect()) == 9
+    assert txn.txn_history(spark, path) == hist
