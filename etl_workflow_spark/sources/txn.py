@@ -331,6 +331,16 @@ def _evolved_schema(
     return out_columns, out_types
 
 
+def _null_fill(df: DataFrame, out_columns: list[str], out_types: dict) -> DataFrame:
+    """Extend ``df`` with typed-NULL columns for every schema column it
+    lacks (the read side of ADD COLUMN: history and narrow batches see
+    the evolved columns as NULL)."""
+    for c in out_columns:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(out_types.get(c, "string")))
+    return df
+
+
 def _conform_types(src: DataFrame, out_types: dict) -> DataFrame:
     """Align ``src`` to the manifest's recorded column types: identical
     types pass, lossless widenings cast implicitly, anything else
@@ -487,13 +497,7 @@ def txn_append(
     # NULL-fill table columns the source lacks (evolve mode only) and
     # enforce recorded column types before anything becomes durable
     out_columns, out_types = _evolved_schema(m, source, evolve_schema)
-    src = source
-    if evolve_schema:
-        for c in out_columns:
-            if c not in source.columns:
-                src = src.withColumn(
-                    c, F.lit(None).cast(out_types.get(c, "string"))
-                )
+    src = _null_fill(source, out_columns, out_types) if evolve_schema else source
     src = _conform_types(src.select(*out_columns), out_types)
     schema_grew = out_columns != m["columns"]
     stats: dict = {}
@@ -588,11 +592,7 @@ def txn_merge_into(
     pcol = m["partition_col"]
     target = txn_read(spark, path, base_v)
     out_columns, out_types = _evolved_schema(m, source, evolve_schema)
-    for c in out_columns:
-        if c not in target.columns:
-            target = target.withColumn(
-                c, F.lit(None).cast(out_types.get(c, "string"))
-            )
+    target = _null_fill(target, out_columns, out_types)
     # try/finally: _commit raises ConcurrentWriteError BY DESIGN on a
     # lost version race, and the documented retry loop re-enters this
     # function — releases must not sit after the raise or every lost
@@ -722,11 +722,7 @@ def txn_replace_where(
     out_types = dict(m.get("types") or {})
     if replacement is not None:
         out_columns, out_types = _evolved_schema(m, replacement, evolve_schema)
-        for c in out_columns:
-            if c not in target.columns:
-                target = target.withColumn(
-                    c, F.lit(None).cast(out_types.get(c, "string"))
-                )
+        target = _null_fill(target, out_columns, out_types)
         replacement = _conform_types(
             replacement.select(*out_columns), out_types
         )

@@ -87,6 +87,15 @@ def idempotent_append(
         return txn_append(
             spark, path, df, keys=list(keys), evolve_schema=evolve_schema
         )
+    if evolve_schema:
+        # a plain parquet dir can't evolve safely: appending files with
+        # a different schema makes later schema inference footer-order
+        # dependent — honor the flag only where a manifest records the
+        # schema, fail loudly everywhere else
+        raise ValueError(
+            "evolve_schema requires a transactional table "
+            "(create it with txn_create)"
+        )
 
     deduped = df.dropDuplicates(list(keys)).persist()
     out = deduped
@@ -186,15 +195,13 @@ def update_rows(
         matched = touched.count()
         if matched == 0:
             return 0
-        dtypes = dict(target.dtypes)
+        # literals stay UNCAST: the txn layer's commit-time enforcement
+        # widens safe literals (int into bigint) implicitly and raises
+        # on lossy drift (string/3.7 into a numeric column) — a blind
+        # pre-cast here would non-ANSI-launder bad values into NULL or
+        # truncation, the exact poison the enforcement exists to stop
         for col_name, value in updates.items():
-            lit = F.lit(value)
-            if col_name in dtypes:
-                # a Python literal's natural Spark type (int, double)
-                # may be narrower than the column's recorded type; the
-                # txn layer enforces types at commit, so align here
-                lit = lit.cast(dtypes[col_name])
-            touched = touched.withColumn(col_name, lit)
+            touched = touched.withColumn(col_name, F.lit(value))
         evolve = "updated_at" not in target.columns
         touched = touched.withColumn("updated_at", F.current_timestamp())
         # replace_where, NOT merge: a merge is keyed (dropDuplicates on

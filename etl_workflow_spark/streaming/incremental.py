@@ -694,6 +694,12 @@ def stream_txn_append(
     the key anti-join and appends nothing, and a racing creator loses
     cleanly to txn_create's exists check."""
 
+    # closure flag: once the table exists the bootstrap probe (one
+    # _txnlog listing per batch) never needs to run again — a
+    # per-minute stream must not pay a metered LIST forever for a
+    # check that can only matter before the first commit
+    bootstrapped = {"done": not create_if_missing}
+
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.txn import (
             ConcurrentWriteError,
@@ -706,23 +712,26 @@ def stream_txn_append(
 
         spark = batch_df.sparkSession
         if (
-            create_if_missing
+            not bootstrapped["done"]
             and latest_version(spark, table_path) is None
         ):
             try:
                 # bootstrap from the first batch; keys become the
                 # table's recorded stats columns so pruning works from
-                # version 1. A racing creator loses cleanly (create
-                # raises ValueError on an existing table) and this
-                # batch re-routes through the ordinary append below.
+                # version 1. A racing creator loses cleanly — via the
+                # exists check (ValueError) or the version-1 commit
+                # race (ConcurrentWriteError) — and this batch
+                # re-routes through the ordinary append below.
                 txn_create(
                     spark, table_path,
                     batch_df.dropDuplicates(list(keys)),
                     stats_cols=list(keys),
                 )
+                bootstrapped["done"] = True
                 return
-            except ValueError:
+            except (ValueError, ConcurrentWriteError):
                 pass  # another writer created it first
+        bootstrapped["done"] = True
         txn_retry(
             lambda: txn_append(
                 spark, table_path, batch_df, keys=keys,

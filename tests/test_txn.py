@@ -1493,3 +1493,30 @@ def test_stream_txn_append_bootstraps_missing_table(spark, tmp_path):
     run("ck2")
     assert len(txn.txn_read(spark, path).collect()) == 9
     assert txn.txn_history(spark, path) == hist
+
+
+def test_update_rows_txn_rejects_lossy_literal_drift(spark, tmp_path):
+    """A mistyped update value must fail loudly before commit, not
+    non-ANSI-launder into NULL/truncation (review r8)."""
+    from etl_workflow_spark.sources.writers import update_rows
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    with pytest.raises(ValueError, match="type"):
+        update_rows(spark, path, "id", 1, {"v": "banana"})
+    with pytest.raises(ValueError, match="type"):
+        update_rows(spark, path, "id", 1, {"v": 3.7})
+    assert update_rows(spark, path, "id", 1, {"v": 99}) == 1  # int widens
+    assert _rows(txn.txn_read(spark, path).drop("updated_at")) == [(1, 99)]
+
+
+def test_idempotent_append_evolve_requires_txn_table(spark, tmp_path):
+    from etl_workflow_spark.sources.writers import idempotent_append
+
+    path = str(tmp_path / "p")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    df.write.parquet(path)
+    with pytest.raises(ValueError, match="transactional"):
+        idempotent_append(spark, df, path, ["id"], evolve_schema=True)
