@@ -130,13 +130,53 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     )
 
 
-def _commit(spark: SparkSession, path: str, version: int, manifest: dict) -> None:
-    """Publish ``manifest`` as ``version`` with one atomic rename.
+def _rename_no_overwrite(spark: SparkSession, jvm, src, dst) -> None:
+    """Rename that REFUSES an existing destination, atomically where
+    the filesystem can promise it.
 
-    rename(tmp, final) fails if ``final`` exists (HDFS and local FS
-    contract), so concurrent committers targeting the same version
-    serialize: the loser raises ConcurrentWriteError and must re-read
-    the new latest version and retry its transaction.
+    ``FileSystem.rename`` on the LOCAL filesystem delegates to POSIX
+    rename(2), which silently OVERWRITES an existing destination — two
+    racing committers could both "win" and one manifest would vanish.
+    ``FileContext.rename(..., Rename.NONE)`` implements the
+    no-overwrite contract on local and HDFS; filesystems with no
+    AbstractFileSystem binding (e.g. bare s3a) fall back to
+    ``FileSystem.rename``, whose semantics there are the store's own —
+    deployments on such stores should front the log with a
+    rename-atomic coordinator, exactly as Delta requires a LogStore.
+
+    Raises :class:`ConcurrentWriteError` when the destination exists.
+    """
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        rename_enum = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+        opts[0] = rename_enum.NONE
+        fc.rename(src, dst, opts)
+        return
+    except Py4JJavaError as e:
+        msg = str(e)
+        if "FileAlreadyExistsException" in msg:
+            raise ConcurrentWriteError(
+                f"destination {dst} already exists"
+            ) from None
+        if "UnsupportedFileSystemException" not in msg:
+            raise
+    # no AbstractFileSystem for this scheme: FileSystem.rename fallback
+    fs = dst.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(dst) or not fs.rename(src, dst):
+        raise ConcurrentWriteError(f"destination {dst} already exists")
+
+
+def _commit(spark: SparkSession, path: str, version: int, manifest: dict) -> None:
+    """Publish ``manifest`` as ``version`` with one no-overwrite rename
+    (see :func:`_rename_no_overwrite`), so concurrent committers
+    targeting the same version serialize: the loser raises
+    ConcurrentWriteError and must re-read the new latest version and
+    retry its transaction.
     """
     jvm, fs = _fs(spark, path)
     log = _hpath(jvm, path, _LOG_DIR)
@@ -148,15 +188,27 @@ def _commit(spark: SparkSession, path: str, version: int, manifest: dict) -> Non
         )
     tmp = _hpath(jvm, path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json")
     _write_file(fs, tmp, json.dumps(manifest, sort_keys=True))
-    if not fs.rename(tmp, final):
+    try:
+        _rename_no_overwrite(spark, jvm, tmp, final)
+    except ConcurrentWriteError:
         fs.delete(tmp, False)
         raise ConcurrentWriteError(
             f"lost the commit race for version {version} of {path}"
-        )
+        ) from None
 
 
-def _encode_partition(v) -> str:
-    return _NULL_PARTITION if v is None else str(v)
+def _partition_cond(pcol: str, values: list[str]):
+    """The read/affected filter for a recorded partition-value list:
+    Spark ``cast('string')`` equality plus the NULL sentinel — the ONE
+    encoding used everywhere (write-side recording, read filters,
+    conflict pruning). Mixing this with Python ``str()`` was a silent
+    row-loss bug class: str(True) is 'True' but Spark casts to 'true',
+    and fractional timestamps stringify differently."""
+    vals = [p for p in values if p != _NULL_PARTITION]
+    cond = F.col(pcol).cast("string").isin(vals)
+    if _NULL_PARTITION in values:
+        cond = cond | F.col(pcol).isNull()
+    return cond
 
 
 def _write_data(
@@ -171,20 +223,34 @@ def _write_data(
     ``arranged`` says the caller already laid out the frame (sorted /
     z-ordered compaction), in which case repartitioning again would
     destroy the clustering the caller just paid for.
+
+    The recorded partition values are derived from the WRITTEN FILES
+    (read back with the frame's own schema — no hive type
+    re-inference), encoded via Spark ``cast('string')``. Deriving them
+    from ``df`` before the write would trust a possibly
+    non-deterministic lineage to evaluate identically twice; the files
+    are the single source of truth the manifest describes.
     """
     d = uuid.uuid4().hex
     target = f"{path.rstrip('/')}/{_DATA_DIR}/{d}"
     if partition_col:
-        parts = [
-            _encode_partition(r[0])
-            for r in df.select(partition_col).distinct().collect()
-        ]
         out = df if arranged else df.repartition(F.col(partition_col))
         (
             out.write.mode("errorifexists")
             .partitionBy(partition_col)
             .parquet(target)
         )
+        written = (
+            df.sparkSession.read.schema(df.schema)
+            .option("basePath", target)
+            .parquet(target)
+        )
+        parts = [
+            _NULL_PARTITION if r[0] is None else r[0]
+            for r in written.select(
+                F.col(partition_col).cast("string")
+            ).distinct().collect()
+        ]
         return d, sorted(parts)
     df.write.mode("errorifexists").parquet(target)
     return d, None
@@ -212,10 +278,15 @@ def _stats_value(v):
 
 def _batch_key_stats(
     df: DataFrame, cols: list[str], pcol: str | None
-) -> tuple[dict, list[str] | None]:
+) -> tuple[dict, list[str] | None, bool]:
     """One aggregation pass: per-column [min, max] for the stats-able
-    ``cols``, plus the batch's distinct partition values when ``pcol``
-    is given. Driver traffic is 2×|cols| scalars + the partition list.
+    ``cols``, the batch's distinct partition values when ``pcol`` is
+    given (pass it ONLY when the partition column is itself a key —
+    the collect_set is wasted work otherwise), and whether ANY key
+    column holds a NULL (range pruning is unsound for NULL-keyed rows:
+    min/max ignore them, but the null-safe anti-join must still see
+    every entry that might hold a NULL twin). Driver traffic is
+    2×|cols| scalars + the partition list.
     """
     dtypes = dict(df.dtypes)
     usable = [
@@ -227,6 +298,11 @@ def _batch_key_stats(
     for i, c in enumerate(usable):
         aggs.append(F.min(c).alias(f"__mn{i}"))
         aggs.append(F.max(c).alias(f"__mx{i}"))
+    for i, c in enumerate(cols):
+        if c in dtypes:
+            aggs.append(
+                F.max(F.col(c).isNull().cast("int")).alias(f"__kn{i}")
+            )
     if pcol is not None:
         aggs.append(
             F.collect_set(F.col(pcol).cast("string")).alias("__pv")
@@ -235,7 +311,7 @@ def _batch_key_stats(
             F.max(F.col(pcol).isNull().cast("int")).alias("__pnull")
         )
     if not aggs:
-        return {}, None
+        return {}, None, False
     row = df.agg(*aggs).collect()[0]
     stats = {}
     for i, c in enumerate(usable):
@@ -243,12 +319,15 @@ def _batch_key_stats(
         mx = _stats_value(row[f"__mx{i}"])
         if mn is not None and mx is not None:
             stats[c] = [mn, mx]
+    has_null_keys = any(
+        row[f"__kn{i}"] for i, c in enumerate(cols) if c in dtypes
+    )
     parts = None
     if pcol is not None:
         parts = sorted(set(row["__pv"] or []))
         if row["__pnull"]:
             parts.append(_NULL_PARTITION)
-    return stats, parts
+    return stats, parts, has_null_keys
 
 
 def _dir_stats(
@@ -386,7 +465,7 @@ def txn_create(
         # read back the freshly-written dir: a column-pruned scan of
         # data still in page cache, and it avoids re-running df's lineage
         written = spark.read.parquet(f"{path.rstrip('/')}/{_DATA_DIR}/{d}")
-        stats, _ = _batch_key_stats(written, list(stats_cols), None)
+        stats, _, _ = _batch_key_stats(written, list(stats_cols), None)
         if stats:
             entry["stats"] = stats
     manifest = {
@@ -416,30 +495,28 @@ def _read_entries(
     stats may intersect the batch."""
     cols = list(columns) if columns is not None else list(m["columns"])
     types = m.get("types") or {}
+    # every entry reads under the MANIFEST's schema: columns an old
+    # entry lacks (pre-evolution history) come back as typed NULL, and
+    # — critically — the partition column keeps its RECORDED type
+    # instead of being re-inferred from hive dir names (a string
+    # partition value '01' would otherwise come back as int 1 and the
+    # value filter below would silently hide the rows)
+    ddl = ", ".join(
+        f"`{c}` {types.get(c, 'string')}" for c in m["columns"]
+    )
     pcol = m["partition_col"]
     if not entries:
-        schema = ", ".join(f"`{c}` {types.get(c, 'string')}" for c in cols)
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], ddl).select(*cols)
     frames = []
     for e in entries:
         d = f"{path.rstrip('/')}/{_DATA_DIR}/{e['dir']}"
-        sub = spark.read.option("basePath", d).parquet(d)
+        sub = spark.read.schema(ddl).option("basePath", d).parquet(d)
         if pcol is not None and e["partitions"] is not None:
-            vals = [p for p in e["partitions"] if p != _NULL_PARTITION]
-            cond = F.col(pcol).cast("string").isin(vals)
-            if _NULL_PARTITION in e["partitions"]:
-                cond = cond | F.col(pcol).isNull()
-            sub = sub.where(cond)
+            sub = sub.where(_partition_cond(pcol, e["partitions"]))
         frames.append(sub)
     out = frames[0]
     for f in frames[1:]:
-        # allowMissingColumns: entries written before a schema
-        # evolution lack the newer columns — they read as NULL, the
-        # standard add-column semantics of manifest table formats
-        out = out.unionByName(f, allowMissingColumns=True)
-    for c in cols:
-        if c not in out.columns:
-            out = out.withColumn(c, F.lit(None).cast(types.get(c, "string")))
+        out = out.unionByName(f)
     return out.select(*cols)
 
 
@@ -514,19 +591,38 @@ def txn_append(
     if keys:
         # one agg pass over the (small, now-pinned) batch: key ranges +
         # partition values — reused twice, to prune the existing-keys
-        # read AND as the new entry's recorded stats
-        stats, bparts = _batch_key_stats(src, keys, pcol)
-        prune_parts = bparts if (pcol is not None and pcol in keys) else None
-        candidates = [
-            e for e in m["entries"]
-            if _may_intersect(e, keys, stats, prune_parts)
-        ]
+        # read AND as the new entry's recorded stats. The partition
+        # list is only computed when pruning can legally use it (pcol
+        # among the keys) — a per-minute sink must not pay a dead
+        # collect_set forever.
+        stats, bparts, has_null_keys = _batch_key_stats(
+            src, keys, pcol if (pcol is not None and pcol in keys) else None
+        )
+        if has_null_keys:
+            # min/max ignore NULLs, so range pruning cannot see a NULL
+            # twin sitting in an otherwise-disjoint entry — read
+            # everything for this (rare) batch shape
+            candidates = list(m["entries"])
+        else:
+            candidates = [
+                e for e in m["entries"]
+                if _may_intersect(e, keys, stats, bparts)
+            ]
         existing = _read_entries(spark, path, m, candidates, columns=keys)
-        # both anti-join inputs are now immutable (checkpointed batch,
+        # NULL-SAFE key equality: dropDuplicates above already treats
+        # NULL keys as equal, and a replayed micro-batch must converge
+        # for NULL-keyed rows too — plain equality would re-append them
+        # on every replay (NULL = NULL is unknown in a join predicate)
+        s, ex = src.alias("__s"), existing.alias("__e")
+        cond = None
+        for k in keys:
+            c = F.col(f"__s.{k}").eqNullSafe(F.col(f"__e.{k}"))
+            cond = c if cond is None else cond & c
+        # both anti-join inputs are immutable (checkpointed batch,
         # version-pinned entry dirs), so count and write below replay
         # it identically; checkpoint the result anyway to evaluate the
         # existing-keys read once, not once per action
-        src = src.join(existing, on=keys, how="left_anti").localCheckpoint(
+        src = s.join(ex, on=cond, how="left_anti").localCheckpoint(
             eager=True
         )
     n = src.count()
@@ -612,13 +708,31 @@ def txn_merge_into(
             )
         if n_src == 0:
             # no-op merge: committing would add an entry whose data dir
-            # has no files (unreadable) — an empty source changes
-            # nothing, so the version history shouldn't grow either
+            # has no files (unreadable) — an empty source changes no
+            # DATA. A schema evolution must still commit (mergeSchema
+            # metadata semantics, same as txn_append's empty-batch
+            # path), else a replayed evolving merge that dedups to
+            # empty silently drops the promised column-add.
+            if out_columns != m["columns"]:
+                _commit(
+                    spark,
+                    path,
+                    base_v + 1,
+                    dict(
+                        m,
+                        columns=out_columns,
+                        types=out_types,
+                        entries=list(m["entries"]),
+                    ),
+                )
             return (0, 0)
 
         if pcol is None:
             kept = target.join(src.select(*keys), on=keys, how="left_anti")
-            updated = target.count() - kept.count()
+            # matched SOURCE keys (a non-unique-key target collapses N
+            # rows into one source row; counting removals would yield
+            # updated > n_src and negative inserts)
+            updated = src.join(target, on=keys, how="left_semi").count()
             d, parts = _write_data(kept.unionByName(src), path, None)
             entry: dict = {"dir": d, "partitions": parts}
             stats = _dir_stats(spark, path, d, keys)
@@ -634,24 +748,23 @@ def txn_merge_into(
             return (updated, n_src - updated)
 
         affected = {
-            _encode_partition(r[0])
+            _NULL_PARTITION if r[0] is None else r[0]
             for r in (
                 target.join(src.select(*keys), on=keys, how="left_semi")
-                .select(pcol)
-                .union(src.select(pcol))
+                .select(F.col(pcol).cast("string"))
+                .union(src.select(F.col(pcol).cast("string")))
                 .distinct()
                 .collect()
             )
         }
-        aff_vals = [p for p in affected if p != _NULL_PARTITION]
-        cond = F.col(pcol).cast("string").isin(aff_vals)
-        if _NULL_PARTITION in affected:
-            cond = cond | F.col(pcol).isNull()
-        sub = target.where(cond)
+        sub = target.where(_partition_cond(pcol, sorted(affected)))
         kept = sub.join(src.select(*keys), on=keys, how="left_anti").persist()
-        n_sub = sub.count()
-        n_kept = kept.count()
-        updated = n_sub - n_kept
+        # matched SOURCE keys, not rows removed: a non-unique-key
+        # target collapses N rows into the one source row (the keyed
+        # merge contract), and counting removals would report
+        # updated > n_src and a negative insert count
+        updated = src.join(sub, on=keys, how="left_semi").count()
+        kept.count()
         d, parts = _write_data(kept.unionByName(src), path, pcol)
         entries = []
         for e in m["entries"]:
@@ -745,6 +858,23 @@ def txn_replace_where(
                 e["stats"] = s
         return e
 
+    def _commit_schema_only() -> None:
+        # nothing to delete or insert, but the replacement carried a
+        # schema evolution: commit the metadata change (mergeSchema
+        # semantics — same as the append/merge empty paths)
+        if out_columns != m["columns"]:
+            _commit(
+                spark,
+                path,
+                base_v + 1,
+                dict(
+                    m,
+                    columns=out_columns,
+                    types=out_types,
+                    entries=list(m["entries"]),
+                ),
+            )
+
     repl = (
         replacement.persist() if replacement is not None else None
     )
@@ -757,6 +887,7 @@ def txn_replace_where(
             n_kept = kept.count()
             deleted = target.count() - n_kept
             if deleted == 0 and n_ins == 0:
+                _commit_schema_only()
                 return (0, 0)
             # an all-rows delete commits ZERO entries (a data dir with
             # no files would be unreadable); txn_read rebuilds the
@@ -779,20 +910,19 @@ def txn_replace_where(
             )
             return (deleted, n_ins)
 
-        aff_frames = target.where(hit).select(pcol)
+        aff_frames = target.where(hit).select(F.col(pcol).cast("string"))
         if repl is not None:
-            aff_frames = aff_frames.union(repl.select(pcol))
+            aff_frames = aff_frames.union(
+                repl.select(F.col(pcol).cast("string"))
+            )
         affected = {
-            _encode_partition(r[0])
+            _NULL_PARTITION if r[0] is None else r[0]
             for r in aff_frames.distinct().collect()
         }
         if not affected:
+            _commit_schema_only()
             return (0, 0)
-        aff_vals = [p for p in affected if p != _NULL_PARTITION]
-        in_aff = F.col(pcol).cast("string").isin(aff_vals)
-        if _NULL_PARTITION in affected:
-            in_aff = in_aff | F.col(pcol).isNull()
-        sub = target.where(in_aff)
+        sub = target.where(_partition_cond(pcol, sorted(affected)))
         kept = sub.where(~hit).persist()
         n_kept = kept.count()
         deleted = sub.count() - n_kept

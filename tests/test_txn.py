@@ -747,7 +747,7 @@ def test_append_records_and_prunes_on_key_stats(spark, tmp_path):
     assert m["entries"][1]["stats"]["id"] == [10, 11]
 
     # disjoint batch: every entry is provably prunable
-    stats, _ = txn._batch_key_stats(
+    stats, _, _ = txn._batch_key_stats(
         spark.createDataFrame([(100, "z")], ["id", "v"]), ["id"], None
     )
     cand = [e for e in m["entries"]
@@ -756,7 +756,7 @@ def test_append_records_and_prunes_on_key_stats(spark, tmp_path):
 
     # overlapping batch: only the intersecting entry is read, and the
     # conflict with id=10 is still caught
-    stats2, _ = txn._batch_key_stats(
+    stats2, _, _ = txn._batch_key_stats(
         spark.createDataFrame([(10, "dup"), (12, "new")], ["id", "v"]),
         ["id"], None,
     )
@@ -816,7 +816,7 @@ def test_partition_pruning_only_when_pcol_is_a_key(spark, tmp_path):
     assert rows == [(1, "p1"), (2, None), (3, None)]
 
     # NULL partition round-trips through the stats encoding
-    stats, parts = txn._batch_key_stats(
+    stats, parts, _ = txn._batch_key_stats(
         spark.createDataFrame([(5, None, 1), (6, "x", 2)],
                               ["id", "p", "v"]),
         ["id", "p"], "p",
@@ -1124,7 +1124,7 @@ def test_append_composite_key_stats_prune_per_column(spark, tmp_path):
     assert m["entries"][0]["stats"] == {"id": [1, 2], "tag": ["x", "y"]}
 
     # same ids, different tag range -> provably disjoint on `tag`
-    stats, _ = txn._batch_key_stats(
+    stats, _, _ = txn._batch_key_stats(
         spark.createDataFrame([(1, "zz", 1)], ["id", "tag", "v"]),
         ["id", "tag"], None,
     )
@@ -1520,3 +1520,146 @@ def test_idempotent_append_evolve_requires_txn_table(spark, tmp_path):
     df.write.parquet(path)
     with pytest.raises(ValueError, match="transactional"):
         idempotent_append(spark, df, path, ["id"], evolve_schema=True)
+
+
+def test_rename_no_overwrite_refuses_existing_destination(spark, tmp_path):
+    """The commit rename must REFUSE an existing destination: POSIX
+    rename(2) (what FileSystem.rename delegates to on the local FS)
+    silently overwrites, which would let both racing committers 'win'
+    and vanish one manifest."""
+    import json
+
+    jvm, fs = txn._fs(spark, str(tmp_path))
+    a = txn._hpath(jvm, str(tmp_path), "a.json")
+    b = txn._hpath(jvm, str(tmp_path), "b.json")
+    dst = txn._hpath(jvm, str(tmp_path), "final.json")
+    txn._write_file(fs, a, '{"v": 1}')
+    txn._write_file(fs, b, '{"v": 2}')
+    txn._rename_no_overwrite(spark, jvm, a, dst)
+    with pytest.raises(txn.ConcurrentWriteError):
+        txn._rename_no_overwrite(spark, jvm, b, dst)
+    # the winner's content survives intact
+    assert json.loads(txn._read_file(jvm, fs, dst)) == {"v": 1}
+
+
+def test_append_null_keyed_rows_replay_converges(spark, tmp_path):
+    """NULL-keyed rows: min/max stats ignore NULLs, so range pruning
+    must stand down for a NULL-keyed batch, and the anti-join must use
+    null-safe equality — otherwise every replay re-appends the NULL
+    twin (NULL = NULL is unknown under plain join equality)."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        stats_cols=["id"],
+    )
+    batch = spark.createDataFrame(
+        [(None, "n"), (2, "b")], "id long, v string"
+    )
+    assert txn.txn_append(spark, path, batch, keys=["id"]) == 2
+    # replay: the NULL-keyed row now EXISTS and must be dropped even
+    # though no entry's [min,max] range can describe it
+    assert txn.txn_append(spark, path, batch, keys=["id"]) == 0
+    got = sorted(
+        ((r.id, r.v) for r in txn.txn_read(spark, path).collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert got == [(1, "a"), (2, "b"), (None, "n")]
+
+
+def test_boolean_partition_values_roundtrip(spark, tmp_path):
+    """Partition values are recorded with Spark cast('string') ('true'),
+    not Python str() ('True') — a mismatch between the write-side
+    encoding and the read-side isin filter silently hides rows."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, None)],
+            "id long, flag boolean",
+        ),
+        partition_col="flag",
+    )
+    assert _rows(txn.txn_read(spark, path)) == [
+        (1, True), (2, False), (3, None)]
+    # partition-selective merge still routes on the cast encoding
+    upd, ins = txn.txn_merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(1, True)], "id long, flag boolean"),
+        ["id"],
+    )
+    assert (upd, ins) == (1, 0)
+    assert _rows(txn.txn_read(spark, path)) == [
+        (1, True), (2, False), (3, None)]
+
+
+def test_string_partition_values_keep_recorded_type(spark, tmp_path):
+    """Entries read under the MANIFEST's schema: a string partition
+    value '01' must not come back int 1 via hive dir-name re-inference
+    (the value filter would then hide the row)."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "01"), (2, "1"), (3, "x")], "id long, p string"
+        ),
+        partition_col="p",
+    )
+    got = txn.txn_read(spark, path)
+    assert dict(got.dtypes)["p"] == "string"
+    assert _rows(got) == [(1, "01"), (2, "1"), (3, "x")]
+
+
+def test_empty_evolving_merge_still_commits_schema(spark, tmp_path):
+    """A replayed evolving merge that dedups to empty must still commit
+    the promised column-add (mergeSchema metadata semantics), not
+    silently drop it."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    empty = spark.createDataFrame([], "id long, v long, note string")
+    assert txn.txn_merge_into(
+        spark, path, empty, ["id"], evolve_schema=True
+    ) == (0, 0)
+    got = txn.txn_read(spark, path)
+    assert got.columns == ["id", "v", "note"]
+    assert _rows(got) == [(1, 10, None)]
+    assert txn.txn_history(spark, path) == [1, 2]
+
+    # replace_where no-op with an evolving replacement: same rule
+    empty2 = spark.createDataFrame([], "id long, v long, note string, z long")
+    from pyspark.sql import functions as F
+
+    assert txn.txn_replace_where(
+        spark, path, F.lit(False), empty2, evolve_schema=True
+    ) == (0, 0)
+    assert txn.txn_read(spark, path).columns == ["id", "v", "note", "z"]
+
+
+def test_merge_matched_count_with_non_unique_target_keys(spark, tmp_path):
+    """updated counts MATCHED SOURCE KEYS: a target holding N rows for
+    one key collapses to the one source row (the keyed-merge contract),
+    and counting removals would report updated=N and a negative insert
+    count."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20)], "id long, v long"
+        ),
+    )
+    upd, ins = txn.txn_merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(1, 99), (3, 30)], "id long, v long"),
+        ["id"],
+    )
+    assert (upd, ins) == (1, 1)
+    assert _rows(txn.txn_read(spark, path)) == [
+        (1, 99), (2, 20), (3, 30)]
