@@ -460,6 +460,28 @@ def txn_create(
     if latest_version(spark, path) is not None:
         raise ValueError(f"transactional table already exists at {path}")
     d, parts = _write_data(df, path, partition_col)
+    if partition_col and not parts:
+        # empty partitioned create: partitionBy of zero rows writes no
+        # schema-bearing part file, so referencing the dir would brick
+        # every read ("unable to infer schema") — commit ZERO entries
+        # (the merge/replace_where rule); txn_read rebuilds the empty
+        # frame from the manifest schema, and the fileless staged dir
+        # is swept by the next txn_vacuum
+        _commit(
+            spark,
+            path,
+            1,
+            {
+                "partition_col": partition_col,
+                "columns": list(df.columns),
+                "types": {
+                    f.name: f.dataType.simpleString()
+                    for f in df.schema.fields
+                },
+                "entries": [],
+            },
+        )
+        return 1
     entry: dict = {"dir": d, "partitions": parts}
     if stats_cols:
         # read back the freshly-written dir: a column-pruned scan of

@@ -1663,3 +1663,24 @@ def test_merge_matched_count_with_non_unique_target_keys(spark, tmp_path):
     assert (upd, ins) == (1, 1)
     assert _rows(txn.txn_read(spark, path)) == [
         (1, 99), (2, 20), (3, 30)]
+
+
+def test_create_empty_partitioned_table_stays_readable(spark, tmp_path):
+    """partitionBy of zero rows writes no schema-bearing part file —
+    the create must commit ZERO entries (not a fileless dir that bricks
+    every later read) and leave the table fully usable."""
+    path = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "id long, day string, v long")
+    assert txn.txn_create(spark, path, empty, partition_col="day") == 1
+    got = txn.txn_read(spark, path)
+    assert got.columns == ["id", "day", "v"]
+    assert got.count() == 0
+    # the table is not bricked: keyed appends and compaction work
+    assert txn.txn_append(
+        spark, path,
+        spark.createDataFrame([(1, "d1", 10)], "id long, day string, v long"),
+        keys=["id"],
+    ) == 1
+    assert _rows(txn.txn_read(spark, path)) == [(1, "d1", 10)]
+    txn.txn_compact(spark, path)
+    assert _rows(txn.txn_read(spark, path)) == [(1, "d1", 10)]
