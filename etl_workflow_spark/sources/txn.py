@@ -331,11 +331,19 @@ def _batch_key_stats(
 
 
 def _dir_stats(
-    spark: SparkSession, path: str, d: str, cols: list[str]
+    spark: SparkSession, path: str, d: str, cols: list[str],
+    columns: list[str], types: dict,
 ) -> dict:
     """[min, max] per stats-able column of a freshly-written data dir —
-    a column-pruned scan of data still in page cache."""
-    written = spark.read.parquet(f"{path.rstrip('/')}/{_DATA_DIR}/{d}")
+    a column-pruned scan of data still in page cache. Reads under the
+    RECORDED schema: hive re-inference would type a numeric-looking
+    string partition value as int, recording stats the later
+    string-typed batch comparisons can never range-prune against."""
+    target = f"{path.rstrip('/')}/{_DATA_DIR}/{d}"
+    ddl = ", ".join(f"`{c}` {types.get(c, 'string')}" for c in columns)
+    written = (
+        spark.read.schema(ddl).option("basePath", target).parquet(target)
+    )
     return _batch_key_stats(written, cols, None)[0]
 
 
@@ -460,36 +468,6 @@ def txn_create(
     if latest_version(spark, path) is not None:
         raise ValueError(f"transactional table already exists at {path}")
     d, parts = _write_data(df, path, partition_col)
-    if partition_col and not parts:
-        # empty partitioned create: partitionBy of zero rows writes no
-        # schema-bearing part file, so referencing the dir would brick
-        # every read ("unable to infer schema") — commit ZERO entries
-        # (the merge/replace_where rule); txn_read rebuilds the empty
-        # frame from the manifest schema, and the fileless staged dir
-        # is swept by the next txn_vacuum
-        _commit(
-            spark,
-            path,
-            1,
-            {
-                "partition_col": partition_col,
-                "columns": list(df.columns),
-                "types": {
-                    f.name: f.dataType.simpleString()
-                    for f in df.schema.fields
-                },
-                "entries": [],
-            },
-        )
-        return 1
-    entry: dict = {"dir": d, "partitions": parts}
-    if stats_cols:
-        # read back the freshly-written dir: a column-pruned scan of
-        # data still in page cache, and it avoids re-running df's lineage
-        written = spark.read.parquet(f"{path.rstrip('/')}/{_DATA_DIR}/{d}")
-        stats, _, _ = _batch_key_stats(written, list(stats_cols), None)
-        if stats:
-            entry["stats"] = stats
     manifest = {
         "partition_col": partition_col,
         # original column order: hive-layout reads move the partition
@@ -497,8 +475,29 @@ def txn_create(
         "columns": list(df.columns),
         # DDL types so evolved-away or missing columns can be NULL-cast
         "types": {f.name: f.dataType.simpleString() for f in df.schema.fields},
-        "entries": [entry],
+        "entries": [],
     }
+    if partition_col and not parts:
+        # empty partitioned create: partitionBy of zero rows writes no
+        # schema-bearing part file, so referencing the dir would brick
+        # every read ("unable to infer schema") — commit ZERO entries
+        # (the merge/replace_where rule); txn_read rebuilds the empty
+        # frame from the manifest schema, and the fileless staged dir
+        # is swept by the next txn_vacuum
+        _commit(spark, path, 1, manifest)
+        return 1
+    entry: dict = {"dir": d, "partitions": parts}
+    if stats_cols:
+        # stats from the freshly-written dir (a column-pruned scan of
+        # data still in page cache), not df's possibly
+        # non-deterministic lineage
+        stats = _dir_stats(
+            spark, path, d, list(stats_cols),
+            manifest["columns"], manifest["types"],
+        )
+        if stats:
+            entry["stats"] = stats
+    manifest["entries"] = [entry]
     _commit(spark, path, 1, manifest)
     return 1
 
@@ -757,7 +756,7 @@ def txn_merge_into(
             updated = src.join(target, on=keys, how="left_semi").count()
             d, parts = _write_data(kept.unionByName(src), path, None)
             entry: dict = {"dir": d, "partitions": parts}
-            stats = _dir_stats(spark, path, d, keys)
+            stats = _dir_stats(spark, path, d, keys, out_columns, out_types)
             if stats:
                 entry["stats"] = stats
             manifest = {
@@ -798,7 +797,7 @@ def txn_merge_into(
                     continue
             entries.append(dict(e, partitions=remaining))
         new_entry: dict = {"dir": d, "partitions": parts}
-        stats = _dir_stats(spark, path, d, keys)
+        stats = _dir_stats(spark, path, d, keys, out_columns, out_types)
         if stats:
             new_entry["stats"] = stats
         entries.append(new_entry)
@@ -875,7 +874,7 @@ def txn_replace_where(
     def _entry_with_stats(d: str, parts) -> dict:
         e: dict = {"dir": d, "partitions": parts}
         if tracked:
-            s = _dir_stats(spark, path, d, tracked)
+            s = _dir_stats(spark, path, d, tracked, out_columns, out_types)
             if s:
                 e["stats"] = s
         return e
@@ -1197,7 +1196,12 @@ def txn_compact(
             continue
     partial = sorted(wanted - set(merged))
     if partial:
-        merged.update(_dir_stats(spark, path, d, partial))
+        merged.update(
+            _dir_stats(
+                spark, path, d, partial,
+                m["columns"], m.get("types") or {},
+            )
+        )
     if merged:
         entry["stats"] = merged
     _commit(

@@ -1684,3 +1684,29 @@ def test_create_empty_partitioned_table_stays_readable(spark, tmp_path):
     assert _rows(txn.txn_read(spark, path)) == [(1, "d1", 10)]
     txn.txn_compact(spark, path)
     assert _rows(txn.txn_read(spark, path)) == [(1, "d1", 10)]
+
+
+def test_dir_stats_use_recorded_types_not_hive_inference(spark, tmp_path):
+    """Recorded entry stats read the dir under the MANIFEST schema: a
+    numeric-looking string partition value must record string stats
+    ('01'), not hive-re-inferred int 1 — mistyped stats silently
+    disable range pruning for that entry forever (TypeError fallback
+    in _may_intersect keeps it, correct but never prunable)."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "01", 10), (2, "02", 20)], "id long, day string, v long"
+        ),
+        partition_col="day",
+        stats_cols=["id", "day"],
+    )
+    m = txn._read_manifest(spark, path, 1)
+    assert m["entries"][0]["stats"] == {"id": [1, 2], "day": ["01", "02"]}
+    # a disjoint string-day batch is now provably prunable
+    stats, _, _ = txn._batch_key_stats(
+        spark.createDataFrame([(9, "05", 1)], "id long, day string, v long"),
+        ["day"], None,
+    )
+    assert not txn._may_intersect(m["entries"][0], ["day"], stats, None)
