@@ -1244,7 +1244,7 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consolidated data-quality gate entry (two operators, one frame):
+    """Consolidated data-quality gate entry (three operators, one frame):
 
     1. Warehouse invariants as machine-checkable violation counts — PK
        uniqueness, FK containment, key non-nullness — as
@@ -1253,10 +1253,16 @@ def _q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
        a pushed date predicate — formerly its own entry), row-level
        hash-checked as ``('lapsed_customer', c_custkey, c_name,
        c_nationkey)`` rows.
+    3. The fixed-width order-value histogram (formerly its own entry —
+       consolidated to free a gate slot): per-bucket order counts as
+       ``('hist_orders', bucket, '', n)`` and per-bucket value sums in
+       exact integer CENTS as ``('hist_value_cents', bucket, '', n)``
+       — the decimal(18,2) sum × 100 is integral, so the packing into
+       the shared ``long n`` loses nothing.
 
     Packing: (check_name, entity_id, detail, n) — the anti-join's name
-    rides in ``detail`` and its nationkey in ``n`` so both operators
-    share one hashable schema.
+    rides in ``detail`` and its nationkey in ``n`` so all three
+    operators share one hashable schema.
     """
     from etl_workflow_spark.operators.quality import (
         expect_non_null,
@@ -1299,7 +1305,38 @@ def _q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("detail"),
         F.col("c_nationkey").cast("long").alias("n"),
     )
-    return checks.unionByName(lapsed)
+    # one agg shuffle on the bucket id (20 groups); partial aggregation
+    # does the real work map-side. Bucket = floor(v / width) clamped to
+    # the last bucket; identical integer arithmetic on both engines.
+    width, nbuckets = 25_000.0, 20
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(width)).cast("int"),
+        F.lit(nbuckets - 1),
+    )
+    hist = (
+        orders.select(
+            bucket.cast("long").alias("bucket"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("v") * 100).cast("long").alias("cents"),
+        )
+    )
+    hist_n = hist.select(
+        F.lit("hist_orders").alias("check_name"),
+        F.col("bucket").alias("entity_id"),
+        F.lit("").alias("detail"),
+        F.col("n_orders").cast("long").alias("n"),
+    )
+    hist_v = hist.select(
+        F.lit("hist_value_cents").alias("check_name"),
+        F.col("bucket").alias("entity_id"),
+        F.lit("").alias("detail"),
+        F.col("cents").alias("n"),
+    )
+    return checks.unionByName(lapsed).unionByName(hist_n).unionByName(hist_v)
 
 
 _PROFILE_ORDERS_ORACLE = QL.profile_table_oracle("orders", _PROFILE_COLS)
@@ -1331,39 +1368,120 @@ _CONSTRAINT_CHECKS_ORACLE = """
         WHERE o.o_custkey = c.c_custkey
           AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
     )
+    UNION ALL
+    SELECT 'hist_orders',
+           CAST(LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 19)
+                AS BIGINT),
+           '', COUNT(*)
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'hist_value_cents',
+           CAST(LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 19)
+                AS BIGINT),
+           '',
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+    FROM orders GROUP BY 2
 """
 
 
-def _q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram of order values — one agg shuffle on the
-    bucket id (20 groups), partial aggregation does the real work
-    map-side. Bucket = floor(v / width) clamped to the last bucket;
-    identical integer arithmetic on both engines."""
-    width, nbuckets = 25_000.0, 20
-    orders = table(spark, sf_dir, "orders")
-    bucket = F.least(
-        F.floor(F.col("o_totalprice") / F.lit(width)).cast("int"),
-        F.lit(nbuckets - 1),
+def _q_txn_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated transactional-table gate entry — the txn mutation
+    surface (``sources/txn.py``; reference analog: Postgres
+    transactional DML, database-schema.sql:202-231) cross-engine
+    hash-checked END TO END rather than only via pytest:
+
+    1. ``txn_create`` (partitioned on status, key stats recorded),
+    2. ``txn_append(keys=...)`` — INSERT-if-absent: one overlapping
+       residue class is dropped by the stats-pruned anti-join,
+    3. ``txn_merge_into(evolve_schema=True)`` — UPDATE + INSERT + ADD
+       COLUMN in one commit (price doubled, ``flag`` added),
+    4. ``txn_delete`` — predicate delete via the replace_where path,
+
+    then the FINAL SNAPSHOT is read back through the manifest log and
+    compared against a DuckDB oracle computing the same final state
+    relationally. Every mutation routes through version-manifest
+    commits on a throwaway table under ``tempfile``; the sf_dir
+    parquet is only ever read.
+    """
+    import tempfile
+
+    from etl_workflow_spark.sources import txn as T
+
+    path = tempfile.mkdtemp(prefix="txn_gate_") + "/t"
+    uni = table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") <= 4200
+    ).select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
     )
-    return (
-        orders.select(
-            bucket.alias("bucket"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("v").cast("double").alias("total_value"),
-        )
+    # create: residue classes 0-4 of the id<=4000 slice
+    T.txn_create(
+        spark,
+        path,
+        uni.where((F.col("id") <= 4000) & (F.col("id") % 7 < 5)),
+        partition_col="status",
+        stats_cols=["id"],
+    )
+    # keyed append: classes 4-6 — class 4 already exists and must be
+    # dropped by the (stats-pruned, null-safe) conflict anti-join
+    T.txn_append(
+        spark,
+        path,
+        uni.where((F.col("id") <= 4000) & (F.col("id") % 7 >= 4)),
+        keys=["id"],
+    )
+    # evolving merge: ids ≡ 0 (mod 10) get price×2 and a new `flag`
+    # column; ids in (4000, 4200] are fresh inserts
+    T.txn_merge_into(
+        spark,
+        path,
+        uni.where(F.col("id") % 10 == 0).select(
+            "id",
+            "cust",
+            (F.col("price") * 2).cast("decimal(18,2)").alias("price"),
+            "status",
+            F.lit(1).cast("long").alias("flag"),
+        ),
+        ["id"],
+        evolve_schema=True,
+    )
+    # predicate delete (NULL-evaluating rows kept — none here)
+    T.txn_delete(spark, path, F.col("price") > 400000)
+    snap = T.txn_read(spark, path)
+    return snap.select(
+        "id", "cust",
+        F.col("price").cast("double").alias("price"),
+        "status", "flag",
     )
 
 
-_ORDER_VALUE_HISTOGRAM_ORACLE = """
-    SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 19) AS bucket,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS total_value
-    FROM orders GROUP BY 1
+_TXN_MUTATIONS_ORACLE = """
+    WITH uni AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS id,
+               CAST(o_custkey AS BIGINT) AS cust,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey <= 4200
+    ),
+    tbl AS (   -- create (classes 0-4) + keyed append (5,6; 4 dropped)
+        SELECT id, cust, price, status FROM uni WHERE id <= 4000
+    ),
+    msrc AS (  -- evolving merge source
+        SELECT id, cust, CAST(price * 2 AS DECIMAL(18,2)) AS price,
+               status, CAST(1 AS BIGINT) AS flag
+        FROM uni WHERE id % 10 = 0
+    ),
+    merged AS (
+        SELECT t.id, t.cust, t.price, t.status,
+               CAST(NULL AS BIGINT) AS flag
+        FROM tbl t WHERE t.id NOT IN (SELECT id FROM msrc)
+        UNION ALL
+        SELECT id, cust, price, status, flag FROM msrc
+    )
+    SELECT id, cust, CAST(price AS DOUBLE) AS price, status, flag
+    FROM merged WHERE NOT (price > 400000)
 """
 
 
@@ -2478,9 +2596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": _q_sql_interface,
         "profile_orders": _q_profile_orders,
         # constraint_checks also carries the lapsed-customer anti-join
-        # (formerly the customers_without_orders entry)
+        # (formerly customers_without_orders) and the order-value
+        # histogram (formerly order_value_histogram)
         "constraint_checks": _q_constraint_checks,
-        "order_value_histogram": _q_order_value_histogram,
+        # consolidated txn surface: create/append/merge/delete under
+        # the DuckDB oracle (final-snapshot equality)
+        "txn_mutations": _q_txn_mutations,
         "stats_contract": _q_stats_contract,
         # -- round-5 additions: pg_trgm analog + driver-gated streaming ----
         "fuzzy_name_search": _q_fuzzy_name_search,
@@ -2575,7 +2696,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_interface": _SQL_REVENUE_BY_PRIORITY,
         "profile_orders": _PROFILE_ORDERS_ORACLE,
         "constraint_checks": _CONSTRAINT_CHECKS_ORACLE,
-        "order_value_histogram": _ORDER_VALUE_HISTOGRAM_ORACLE,
+        "txn_mutations": _TXN_MUTATIONS_ORACLE,
         "stats_contract": _STATS_CONTRACT_ORACLE,
         "fuzzy_name_search": _FUZZY_NAME_SEARCH_ORACLE,
         "streaming_parity": _STREAMING_PARITY_ORACLE,
