@@ -151,6 +151,10 @@ def main() -> None:
         # the funnel path of the event-analytics trio
         "dedup_spans",
         "event_funnel",
+        # round-8: the transactional DML path (create → keyed append →
+        # evolving merge → delete through the manifest log) — constant
+        # work vs sf (fixed key slice), timing the commit protocol
+        "txn_mutations",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
