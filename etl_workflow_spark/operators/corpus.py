@@ -1,0 +1,276 @@
+"""One-call training-corpus materialization.
+
+The LLM-pipeline operators in this package (quality filtering,
+benchmark decontamination, corpus dedup, mixture solving, deterministic
+shuffle/shard, chunk + pack) are each scale-shaped on their own; this
+module wires them into the recipe a training run actually consumes:
+
+    raw docs ──quality──decontaminate──dedup──mixture──shuffle──►
+        parquet shards + manifest.json
+
+Design rules, in order of importance at 100 TB:
+
+- **Lazy until the single output write.** Every stage composes into one
+  logical plan; nothing is counted or materialized per stage unless the
+  caller opts into ``audit=True`` (which pays one count-action per
+  stage and records the per-stage survivor curve in the manifest).
+  The default manifest derives ALL its statistics from one scan of the
+  WRITTEN output — the files are the source of truth, the same
+  principle as the txn manifest (``sources/txn.py::_write_data``).
+- **Determinism end to end.** Every stochastic decision (mixture
+  downsampling, shuffle order, shard membership) is a pure function of
+  ``(salt, doc id)`` — rerunning the recipe over the same input
+  produces byte-identical shard contents regardless of partitioning,
+  cluster size, or run (the layout-independence contract of
+  ``operators/sampling.py``).
+- **Shards are range-partitioned, not files-per-task.** The shard id
+  is a monotone coarsening of the global shuffle order
+  (:func:`~etl_workflow_spark.operators.sampling.deterministic_shuffle`),
+  so concatenating shards 0..N-1 replays the global permutation and a
+  training loader can stride shards independently.
+
+Capability analog in the reference: the staged load-transform-aggregate
+pipeline of ``etl-pipeline.py`` (extract → transform → load with
+logged per-stage row counts, lines 24-90) — re-expressed for corpus
+construction instead of warehouse loads, with the logging made opt-in
+because a count per stage is a full re-evaluation per stage at scale.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .chunking import chunk_documents, pack_sequences
+from .dedup import dedup_corpus
+from .sampling import deterministic_shuffle, target_mixture
+from .text import decontaminate, text_quality
+
+
+def materialize_training_set(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    *,
+    quality_filter: bool = True,
+    benchmark: DataFrame | None = None,
+    contamination_ngram: int = 13,
+    dedup: bool = True,
+    dedup_threshold: float = 0.8,
+    keep_quality_col: str | None = None,
+    mixture: dict[str, float] | None = None,
+    strata_col: str | None = None,
+    chunk_tokens: int | None = None,
+    pack_budget: int | None = None,
+    num_shards: int = 16,
+    salt: str = "train-v1",
+    col: str = "text",
+    id_col: str = "doc_id",
+    audit: bool = False,
+) -> dict:
+    """Materialize a training-ready corpus at ``out_path`` and return
+    its manifest (also written to ``out_path/manifest.json``).
+
+    Stages (each optional, each documented in its own module):
+
+    1. **quality**: drop rows failing the C4/Gopher-style heuristic
+       gate (:func:`~.text.text_quality` ``passes_quality``).
+    2. **decontamination**: drop rows sharing any ``contamination_ngram``
+       word n-gram with ``benchmark`` (:func:`~.text.decontaminate` —
+       broadcast-probe; the corpus never shuffles).
+    3. **dedup**: :func:`~.dedup.dedup_corpus` (exact tier → MinHash/
+       LSH → connected components → keep policy; pass
+       ``keep_quality_col`` for best-quality-survives).
+    4. **mixture**: :func:`~.sampling.target_mixture` solves per-stratum
+       keep rates for ``mixture`` shares over ``strata_col`` (largest
+       feasible output, no upsampling) and hash-downsamples.
+    5. **chunk/pack**: with ``chunk_tokens``, documents become
+       fixed-size token chunks; with ``pack_budget`` additionally,
+       each chunk gets a ``pack_id`` under the token budget
+       (:mod:`~.chunking`).
+    6. **shuffle + shard + write**: deterministic global permutation,
+       shard membership a pure function of ``(salt, id)``, written as
+       ``out_path/data/shard=K/`` parquet.
+
+    The manifest records the configuration, the written row/token
+    totals and per-shard row counts (all computed from ONE scan of the
+    written files), and — only under ``audit=True`` — the per-stage
+    survivor counts (each costs one extra evaluation of the pipeline
+    prefix; leave off at scale unless you need the drop curve).
+
+    Returns the manifest dict.
+    """
+    if mixture is not None and strata_col is None:
+        raise ValueError("mixture targets require strata_col")
+    if pack_budget is not None and chunk_tokens is None:
+        raise ValueError("pack_budget requires chunk_tokens")
+
+    stages: list[tuple[str, int]] = []
+
+    def _audit(name: str, frame: DataFrame) -> None:
+        if audit:
+            stages.append((name, frame.count()))
+
+    cur = docs
+    _audit("input", cur)
+    if quality_filter:
+        passing = text_quality(cur, col=col, id_col=id_col).where(
+            F.col("passes_quality")
+        )
+        cur = cur.join(passing.select(id_col), id_col, "left_semi")
+        _audit("quality", cur)
+    if benchmark is not None:
+        cur = decontaminate(
+            cur, benchmark, n=contamination_ngram, col=col, id_col=id_col
+        )
+        _audit("decontaminated", cur)
+    if dedup:
+        cur = dedup_corpus(
+            cur,
+            threshold=dedup_threshold,
+            quality_col=keep_quality_col,
+            col=col,
+            id_col=id_col,
+        )
+        _audit("deduped", cur)
+    rates: dict[str, float] = {}
+    if mixture is not None:
+        cur, rates = target_mixture(
+            cur, mixture, strata_col, key=id_col, salt=f"{salt}:mix"
+        )
+        _audit("mixture", cur)
+
+    unit = "documents"
+    if chunk_tokens is not None:
+        chunks = chunk_documents(
+            cur, chunk_tokens=chunk_tokens, col=col, id_col=id_col
+        )
+        if pack_budget is not None:
+            packed = pack_sequences(
+                chunks,
+                budget_tokens=pack_budget,
+                num_shards=num_shards,
+                id_col=id_col,
+                tokens_col="n_tokens",
+            )
+            chunks = chunks.join(
+                packed.select(id_col, "chunk_idx", "pack_id"),
+                [id_col, "chunk_idx"],
+            )
+            unit = "packed_chunks"
+        else:
+            unit = "chunks"
+        # the shuffle key must stay unique per output row
+        cur = chunks.withColumn(
+            "__unit_id",
+            F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx")),
+        )
+        shuffle_key = "__unit_id"
+        tokens_expr = F.col("n_tokens").cast("long")
+    else:
+        shuffle_key = id_col
+        tokens_expr = F.size(F.split(F.trim(F.col(col)), r"\s+")).cast("long")
+
+    out = deterministic_shuffle(
+        cur,
+        key=shuffle_key,
+        salt=f"{salt}:shuffle",
+        num_shards=num_shards,
+        shard_col="shard",
+    ).drop("__unit_id")
+
+    data_path = f"{out_path.rstrip('/')}/data"
+    out.write.mode("errorifexists").partitionBy("shard").parquet(data_path)
+
+    # All written-output statistics from ONE scan of the files — the
+    # write is the only full evaluation the default config pays.
+    written = spark.read.parquet(data_path)
+    tok_col = (
+        F.col("n_tokens").cast("long")
+        if chunk_tokens is not None
+        else F.when(
+            F.length(F.trim(F.col(col))) == 0, F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(F.col(col)), r"\s+"))).cast("long")
+    )
+    shard_rows = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(tok_col).alias("tokens"),
+        )
+        .collect()
+    )
+    # string shard keys: the manifest must equal its own JSON
+    # round-trip (read_training_set returns the parsed file)
+    per_shard = {
+        str(int(r["shard"])): {"rows": r["rows"], "tokens": r["tokens"] or 0}
+        for r in shard_rows
+    }
+    manifest = {
+        "format": "spark-graft-training-set/v1",
+        "unit": unit,
+        "salt": salt,
+        "num_shards": num_shards,
+        "rows": sum(s["rows"] for s in per_shard.values()),
+        "tokens": sum(s["tokens"] for s in per_shard.values()),
+        "shards": per_shard,
+        "config": {
+            "quality_filter": quality_filter,
+            "decontaminated": benchmark is not None,
+            "contamination_ngram": (
+                contamination_ngram if benchmark is not None else None
+            ),
+            "dedup": dedup,
+            "dedup_threshold": dedup_threshold if dedup else None,
+            "keep_quality_col": keep_quality_col,
+            "mixture": mixture,
+            "strata_col": strata_col,
+            "solved_mixture_rates": rates or None,
+            "chunk_tokens": chunk_tokens,
+            "pack_budget": pack_budget,
+        },
+    }
+    if audit:
+        manifest["stage_rows"] = dict(stages)
+    _write_manifest(spark, f"{out_path.rstrip('/')}/manifest.json", manifest)
+    return manifest
+
+
+def read_training_set(
+    spark: SparkSession, out_path: str
+) -> tuple[DataFrame, dict]:
+    """Load a materialized training set: ``(data, manifest)``. The
+    frame is ordered by (shard, global shuffle position) when read
+    shard-by-shard; a loader striding shards gets disjoint, jointly
+    exhaustive slices of the global permutation."""
+    base = out_path.rstrip("/")
+    manifest = json.loads(
+        _read_manifest_text(spark, f"{base}/manifest.json")
+    )
+    return spark.read.parquet(f"{base}/data"), manifest
+
+
+def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    # Hadoop FS API so the manifest lands next to the data on whatever
+    # filesystem the output uses (not the driver's local disk)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
+    finally:
+        stream.close()
+
+
+def _read_manifest_text(spark: SparkSession, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()

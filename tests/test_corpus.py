@@ -1,0 +1,195 @@
+"""One-call training-corpus materialization (`operators/corpus.py`).
+
+Contracts under test: every stage's drop decision lands in the output
+(quality fail, contamination, duplicates, mixture strata), the manifest
+reports exactly what was written, shard membership/order is a pure
+function of (salt, id) — two runs produce byte-identical shards — and
+chunk+pack mode respects the token budget per pack.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_workflow_spark.operators import corpus as C
+
+
+T1 = (
+    "the quick brown fox jumps over the lazy dog and then the fox "
+    "rests under a tall tree while the dog watches the quiet field"
+)
+T2 = (
+    "a gentle rain fell on the harbor town as fishermen hauled in "
+    "their heavy nets before the storm could reach the little pier"
+)
+T3 = (
+    "engineers reviewed the failing build for hours until someone "
+    "noticed that the cache key had quietly changed between releases"
+)
+T4 = (
+    "def parse(rows): return [int(x) for x in rows if x] "
+    "# keep the numeric ids and drop every empty marker from the feed"
+)
+T5 = (
+    "print(sum(values)) is the whole report because the team only "
+    "wants a single total number at the end of each batch run"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+@pytest.fixture()
+def base_docs(spark):
+    rows = [
+        (1, T1, "web"),
+        (2, T2, "web"),
+        (3, T3, "web"),
+        (4, T4, "code"),
+        (5, T5, "code"),
+        # exact duplicate of 1 -> exact-dedup loser
+        (6, T1, "web"),
+        # quality fail: < 5 tokens
+        (7, "!!! ??? ...", "web"),
+        # contaminated: contains the benchmark's 13-gram verbatim
+        (8, T2 + " zeta secret benchmark answer key must never leak "
+            "into the train corpus at all", "web"),
+    ]
+    return _docs(spark, rows)
+
+
+@pytest.fixture()
+def holdout(spark):
+    return spark.createDataFrame(
+        [(100, "zeta secret benchmark answer key must never leak into "
+               "the train corpus at all indeed")],
+        "doc_id long, text string",
+    )
+
+
+def test_materialize_end_to_end(spark, tmp_path, base_docs, holdout):
+    out = str(tmp_path / "train")
+    manifest = C.materialize_training_set(
+        spark,
+        base_docs,
+        out,
+        benchmark=holdout,
+        num_shards=4,
+        audit=True,
+    )
+    data, m2 = C.read_training_set(spark, out)
+    assert m2 == manifest
+    ids = sorted(r.doc_id for r in data.collect())
+    # 7 fails quality, 8 is contaminated, 6 loses exact dedup to 1
+    assert ids == [1, 2, 3, 4, 5]
+    assert manifest["rows"] == 5
+    assert manifest["unit"] == "documents"
+    # token total matches a direct whitespace count of the survivors
+    n_tok = sum(
+        len(r.text.split()) for r in data.collect()
+    )
+    assert manifest["tokens"] == n_tok
+    # per-shard counts sum to the total and shards stay within bound
+    assert sum(s["rows"] for s in manifest["shards"].values()) == 5
+    assert all(0 <= int(k) < 4 for k in manifest["shards"])
+    # audit curve: monotone non-increasing survivor counts
+    curve = manifest["stage_rows"]
+    assert curve["input"] == 8
+    vals = [curve[k] for k in
+            ["input", "quality", "decontaminated", "deduped"]]
+    assert vals == sorted(vals, reverse=True)
+    # manifest file exists next to the data
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert json.load(fh)["rows"] == 5
+
+
+def test_materialize_is_deterministic(spark, tmp_path, base_docs):
+    """Same input + same salt -> identical shard membership AND order,
+    regardless of input partitioning (the layout-independence contract
+    of deterministic_shuffle carried through the recipe)."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    C.materialize_training_set(spark, base_docs, a, num_shards=4)
+    C.materialize_training_set(
+        spark, base_docs.repartition(7), b, num_shards=4
+    )
+    da, ma = C.read_training_set(spark, a)
+    db, mb = C.read_training_set(spark, b)
+    assert ma == mb
+    rows_a = sorted((r.shard, r.doc_id) for r in da.collect())
+    rows_b = sorted((r.shard, r.doc_id) for r in db.collect())
+    assert rows_a == rows_b
+
+
+def test_mixture_targets_drop_unnamed_and_solve_rates(
+    spark, tmp_path, base_docs
+):
+    out = str(tmp_path / "train")
+    manifest = C.materialize_training_set(
+        spark,
+        base_docs,
+        out,
+        quality_filter=False,
+        dedup=False,
+        mixture={"web": 0.5, "code": 0.5},
+        strata_col="source",
+        num_shards=2,
+    )
+    data, _ = C.read_training_set(spark, out)
+    by_src = {
+        r.source: r.n
+        for r in data.groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # code is the binding stratum (2 rows vs 6 web): kept whole, web
+    # downsampled toward 2 — shares can't be exact at tiny n, but no
+    # stratum may exceed the solved keep expectation grossly
+    assert set(by_src) <= {"web", "code"}
+    assert by_src.get("code", 0) == 2
+    rates = manifest["config"]["solved_mixture_rates"]
+    assert rates["code"] == 1.0 and 0 < rates["web"] < 1
+
+
+def test_chunk_pack_mode_respects_budget(spark, tmp_path, base_docs):
+    out = str(tmp_path / "train")
+    manifest = C.materialize_training_set(
+        spark,
+        base_docs,
+        out,
+        benchmark=None,
+        chunk_tokens=8,
+        pack_budget=16,
+        num_shards=2,
+    )
+    assert manifest["unit"] == "packed_chunks"
+    data, _ = C.read_training_set(spark, out)
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens",
+            "pack_id", "shard"} <= set(data.columns)
+    # every pack's token total within budget (single chunks may not
+    # exceed 8 <= 16, so no own-pack overflow case here)
+    over = (
+        data.groupBy("pack_id").sum("n_tokens")
+        .where("`sum(n_tokens)` > 16").count()
+    )
+    assert over == 0
+    # chunk rows re-assemble every surviving document exactly
+    n_docs = data.select("doc_id").distinct().count()
+    assert n_docs == 6  # 6 lost dedup, 7 lost quality; 8 kept (no bench)
+
+
+def test_config_validation(spark, tmp_path, base_docs):
+    with pytest.raises(ValueError, match="strata_col"):
+        C.materialize_training_set(
+            spark, base_docs, str(tmp_path / "x"), mixture={"web": 1.0}
+        )
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        C.materialize_training_set(
+            spark, base_docs, str(tmp_path / "y"), pack_budget=16
+        )
