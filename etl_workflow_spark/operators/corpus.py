@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from .chunking import chunk_documents, pack_sequences
 from .dedup import dedup_corpus
 from .sampling import deterministic_shuffle, target_mixture
-from .text import decontaminate, text_quality
+from .text import _n_tokens, _passes_quality, decontaminate
 
 
 def materialize_training_set(
@@ -116,10 +116,11 @@ def materialize_training_set(
     cur = docs
     _audit("input", cur)
     if quality_filter:
-        passing = text_quality(cur, col=col, id_col=id_col).where(
-            F.col("passes_quality")
-        )
-        cur = cur.join(passing.select(id_col), id_col, "left_semi")
+        # row-local predicate, NOT a semi-join back onto ids: the
+        # verdict is a pure function of the text, so joining would add
+        # a corpus-sized shuffle for nothing (and silently key-drop
+        # NULL-id rows)
+        cur = cur.where(_passes_quality(col))
         _audit("quality", cur)
     if benchmark is not None:
         cur = decontaminate(
@@ -143,6 +144,7 @@ def materialize_training_set(
         _audit("mixture", cur)
 
     unit = "documents"
+    pack_mode = False
     if chunk_tokens is not None:
         chunks = chunk_documents(
             cur, chunk_tokens=chunk_tokens, col=col, id_col=id_col
@@ -160,18 +162,26 @@ def materialize_training_set(
                 [id_col, "chunk_idx"],
             )
             unit = "packed_chunks"
+            pack_mode = True
+            # the shuffle UNIT is the PACK: every chunk of a pack must
+            # land in the same shard, contiguously, or a loader
+            # striding shards can never assemble a complete sequence
+            cur = chunks.withColumn(
+                "__unit_id", F.col("pack_id").cast("string")
+            )
         else:
             unit = "chunks"
-        # the shuffle key must stay unique per output row
-        cur = chunks.withColumn(
-            "__unit_id",
-            F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx")),
-        )
+            # standalone chunks: each chunk is its own training row,
+            # so per-chunk keys give the desired full interleave
+            cur = chunks.withColumn(
+                "__unit_id",
+                F.concat_ws(
+                    "#", F.col(id_col).cast("string"), F.col("chunk_idx")
+                ),
+            )
         shuffle_key = "__unit_id"
-        tokens_expr = F.col("n_tokens").cast("long")
     else:
         shuffle_key = id_col
-        tokens_expr = F.size(F.split(F.trim(F.col(col)), r"\s+")).cast("long")
 
     out = deterministic_shuffle(
         cur,
@@ -179,20 +189,37 @@ def materialize_training_set(
         salt=f"{salt}:shuffle",
         num_shards=num_shards,
         shard_col="shard",
-    ).drop("__unit_id")
+    )
+    if pack_mode:
+        # deterministic_shuffle's tiebreak is the key itself, which is
+        # SHARED by every chunk of a pack — pin the intra-pack order
+        # (doc, chunk) explicitly so parquet row order is deterministic
+        # and each pack reads back contiguous and in sequence
+        out = out.sortWithinPartitions(
+            "shard",
+            F.xxhash64(F.lit(f"{salt}:shuffle"), F.col("__unit_id")),
+            "__unit_id",
+            id_col,
+            "chunk_idx",
+        )
+    out = out.drop("__unit_id")
 
     data_path = f"{out_path.rstrip('/')}/data"
     out.write.mode("errorifexists").partitionBy("shard").parquet(data_path)
 
     # All written-output statistics from ONE scan of the files — the
-    # write is the only full evaluation the default config pays.
-    written = spark.read.parquet(data_path)
+    # write is the only full evaluation the default config pays. The
+    # explicit schema keeps an all-rows-filtered run readable (zero
+    # part files would otherwise fail schema inference).
+    written = (
+        spark.read.schema(out.schema)
+        .option("basePath", data_path)
+        .parquet(data_path)
+    )
     tok_col = (
         F.col("n_tokens").cast("long")
         if chunk_tokens is not None
-        else F.when(
-            F.length(F.trim(F.col(col))) == 0, F.lit(0)
-        ).otherwise(F.size(F.split(F.trim(F.col(col)), r"\s+"))).cast("long")
+        else _n_tokens(col).cast("long")
     )
     shard_rows = (
         written.groupBy("shard")
@@ -212,6 +239,12 @@ def materialize_training_set(
         "format": "spark-graft-training-set/v1",
         "unit": unit,
         "salt": salt,
+        # recorded schema: read_training_set reads under it, so an
+        # all-rows-filtered (zero-part-file) output stays loadable
+        "schema": ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in out.schema.fields
+        ),
         "num_shards": num_shards,
         "rows": sum(s["rows"] for s in per_shard.values()),
         "tokens": sum(s["tokens"] for s in per_shard.values()),
@@ -249,28 +282,37 @@ def read_training_set(
     manifest = json.loads(
         _read_manifest_text(spark, f"{base}/manifest.json")
     )
-    return spark.read.parquet(f"{base}/data"), manifest
+    data = (
+        spark.read.schema(manifest["schema"])
+        .option("basePath", f"{base}/data")
+        .parquet(f"{base}/data")
+    )
+    return data, manifest
 
 
 def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
-    # Hadoop FS API so the manifest lands next to the data on whatever
-    # filesystem the output uses (not the driver's local disk)
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    stream = fs.create(hpath, True)
+    # The txn module's Hadoop-FS plumbing (one copy in the codebase)
+    # and its commit discipline: stage to a temp name, publish with a
+    # no-overwrite rename — a reader can never observe a truncated
+    # manifest, and a racing second materialize fails loudly instead
+    # of clobbering (its data write already failed on errorifexists).
+    import uuid
+
+    from ..sources.txn import _fs, _hpath, _rename_no_overwrite, _write_file
+
+    jvm, fs = _fs(spark, path)
+    parent, name = path.rsplit("/", 1)
+    tmp = _hpath(jvm, parent, f".tmp-{name}-{uuid.uuid4().hex}")
+    _write_file(fs, tmp, json.dumps(manifest, sort_keys=True))
     try:
-        stream.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
-    finally:
-        stream.close()
+        _rename_no_overwrite(spark, jvm, tmp, _hpath(jvm, path))
+    except Exception:
+        fs.delete(tmp, False)
+        raise
 
 
 def _read_manifest_text(spark: SparkSession, path: str) -> str:
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    stream = fs.open(hpath)
-    try:
-        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
+    from ..sources.txn import _fs, _hpath, _read_file
+
+    jvm, fs = _fs(spark, path)
+    return _read_file(jvm, fs, _hpath(jvm, path))

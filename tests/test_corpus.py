@@ -182,6 +182,51 @@ def test_chunk_pack_mode_respects_budget(spark, tmp_path, base_docs):
     # chunk rows re-assemble every surviving document exactly
     n_docs = data.select("doc_id").distinct().count()
     assert n_docs == 6  # 6 lost dedup, 7 lost quality; 8 kept (no bench)
+    # PACK INTEGRITY: the shuffle unit is the pack — every chunk of a
+    # pack lands in ONE shard...
+    split_packs = (
+        data.select("pack_id", "shard").distinct()
+        .groupBy("pack_id").count().where("count > 1").count()
+    )
+    assert split_packs == 0
+    # ...contiguously and in (doc, chunk) order within the shard file,
+    # so a loader streaming one shard assembles complete sequences
+    import glob as _glob
+
+    for shard_dir in _glob.glob(os.path.join(out, "data", "shard=*")):
+        rows = spark.read.parquet(shard_dir).collect()
+        seen, prev = set(), None
+        for r in rows:
+            if r.pack_id != prev:
+                assert r.pack_id not in seen  # contiguity: no recurrence
+                seen.add(r.pack_id)
+                prev = r.pack_id
+        by_pack: dict = {}
+        for r in rows:
+            by_pack.setdefault(r.pack_id, []).append(
+                (r.doc_id, r.chunk_idx)
+            )
+        for members in by_pack.values():
+            assert members == sorted(members)
+
+
+def test_all_rows_filtered_still_writes_a_readable_set(spark, tmp_path):
+    """Zero survivors: the write produces no part files, but the
+    manifest (rows/tokens 0, recorded schema) still lands and
+    read_training_set returns a typed empty frame instead of a schema-
+    inference crash."""
+    docs = _docs(spark, [(1, "!!! ??? ...", "web"), (2, "x y", "web")])
+    out = str(tmp_path / "train")
+    manifest = C.materialize_training_set(
+        spark, docs, out, dedup=False, num_shards=4
+    )
+    assert manifest["rows"] == 0
+    assert manifest["tokens"] == 0
+    assert manifest["shards"] == {}
+    data, m2 = C.read_training_set(spark, out)
+    assert m2 == manifest
+    assert data.count() == 0
+    assert {"doc_id", "text", "source", "shard"} <= set(data.columns)
 
 
 def test_config_validation(spark, tmp_path, base_docs):
