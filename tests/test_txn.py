@@ -1710,3 +1710,95 @@ def test_dir_stats_use_recorded_types_not_hive_inference(spark, tmp_path):
         ["day"], None,
     )
     assert not txn._may_intersect(m["entries"][0], ["day"], stats, None)
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_txn_random_walk_partitioned_tricky_values(spark, tmp_path, seed):
+    """Model-based walk over a PARTITIONED table whose partition values
+    are the encoding traps ('01' vs '1', 'true' vs 'True', embedded
+    space, NULL): after every mutation the snapshot — including the
+    partition column — equals the driver-side model. This is the
+    systemic net for the str()/cast('string')/hive-re-inference bug
+    class: any representation mismatch between the write-side recorded
+    values and a read/affected/prune filter loses or duplicates rows
+    within a few steps."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"p{seed}")
+    PARTS = ["01", "1", "true", "True", "x y", None]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(int(k), p, int(v)) for k, (p, v) in rows],
+            "id long, p string, v long",
+        )
+
+    def rand_rows():
+        ids = {rng.randrange(0, 12) for _ in range(rng.randrange(1, 4))}
+        return [(i, (rng.choice(PARTS), rng.randrange(0, 1000)))
+                for i in ids]
+
+    model = {1: ("01", 10), 2: ("True", 20), 3: (None, 30)}
+    txn.txn_create(
+        spark, path, frame(model.items()),
+        partition_col="p", stats_cols=["id"],
+    )
+
+    def check():
+        got = {r.id: (r.p, r.v)
+               for r in txn.txn_read(spark, path).collect()}
+        assert got == model, f"seed {seed}: snapshot diverged from model"
+
+    for step in range(8):
+        op = rng.choice(["append", "merge", "replace", "delete", "compact"])
+        rows = rand_rows()
+        if op == "append":
+            n = txn.txn_append(spark, path, frame(rows), keys=["id"])
+            fresh = [kv for kv in rows if kv[0] not in model]
+            assert n == len(fresh)
+            model.update(fresh)
+        elif op == "merge":
+            upd, ins = txn.txn_merge_into(spark, path, frame(rows), ["id"])
+            assert upd == sum(1 for k, _ in rows if k in model)
+            assert ins == sum(1 for k, _ in rows if k not in model)
+            model.update(rows)  # may move a row ACROSS partitions
+        elif op == "replace":
+            # partition-predicate replace: clear one tricky value, put
+            # the replacement rows wherever they say they belong
+            target_p = rng.choice(PARTS)
+            cond = (
+                F.col("p").isNull() if target_p is None
+                else F.col("p") == target_p
+            )
+            survivors = {k for k, pv in model.items()
+                         if pv[0] != target_p}
+            # replace_where preserves multiplicity (it is NOT keyed):
+            # a replacement id colliding with a surviving row in some
+            # other partition would legitimately duplicate it, which
+            # the dict model can't express — keep ids disjoint
+            repl_rows = [kv for kv in rand_rows()
+                         if kv[0] not in survivors]
+            deleted, inserted = txn.txn_replace_where(
+                spark, path, cond, frame(repl_rows)
+            )
+            assert deleted == sum(
+                1 for pv, _ in model.values() if pv == target_p
+            )
+            assert inserted == len(repl_rows)
+            model = {k: pv for k, pv in model.items()
+                     if pv[0] != target_p}
+            model.update(repl_rows)
+        elif op == "delete":
+            ids = [k for k, _ in rows]
+            n = txn.txn_delete(
+                spark, path, F.col("id").isin([int(i) for i in ids])
+            )
+            assert n == sum(1 for k in model if k in set(ids))
+            model = {k: pv for k, pv in model.items()
+                     if k not in set(ids)}
+        else:
+            txn.txn_compact(spark, path)
+        check()
