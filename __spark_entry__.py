@@ -2099,9 +2099,14 @@ _TERM_STATS_ORACLE = f"""
 def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every hash-bucketed selection operator as one membership frame:
     (method, doc_id) rows for the Bernoulli sample, the stratified
-    sample, and the train/valid/test split assignment — all pure
-    functions of the doc id, so the oracle replays each decision
-    exactly (disjoint + exhaustive splits checked by value)."""
+    sample, the train/valid/test split assignment, the solved
+    target-mixture downsample, and the per-row weighted sample — all
+    pure functions of the doc id (and, for the mixture, the stratum
+    counts), so the oracle replays each decision exactly. The mixture
+    rows cross-check `target_mixture`'s rate-solving ARITHMETIC: the
+    DuckDB oracle re-derives the per-stratum keep rates from its own
+    counts with the identical double-precision operation order, so any
+    drift in the solver shows up as a membership hash mismatch."""
     docs = table(spark, sf_dir, "documents")
     out = SAMP.deterministic_sample(docs, rate=0.2).select(
         F.lit("bernoulli").alias("method"), "doc_id"
@@ -2116,6 +2121,21 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(
             df.select(F.lit(f"split:{name}").alias("method"), "doc_id")
         )
+    mixed, _rates = SAMP.target_mixture(
+        docs, {"en": 0.6, "zh": 0.4}, "lang", salt="mix"
+    )
+    out = out.unionByName(
+        mixed.select(F.lit("mixture").alias("method"), "doc_id")
+    )
+    weighted = SAMP.weighted_sample(
+        docs.withColumn(
+            "w_rate", (F.col("doc_id") % 10).cast("double") / F.lit(10.0)
+        ),
+        "w_rate",
+    )
+    out = out.unionByName(
+        weighted.select(F.lit("weighted").alias("method"), "doc_id")
+    )
     return out
 
 
@@ -2140,6 +2160,52 @@ def _sampling_splits_oracle() -> str:
                    substr(sha256('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
             FROM documents
         )
+        UNION ALL
+        -- target_mixture replay: the oracle re-solves the keep rates
+        -- from ITS OWN stratum counts with the exact double-precision
+        -- operation order of sampling.target_mixture (share = w/total,
+        -- t_out = min(n/share), rate = min(1, (share*t_out)/n)), then
+        -- re-derives the per-stratum hex threshold exactly as _thr()
+        -- does (truncate rate*2^32, clamp to [0, 2^32-1], 8-hex).
+        -- Literals are CAST to DOUBLE: DuckDB decimal-literal
+        -- arithmetic would otherwise diverge from Python floats.
+        SELECT 'mixture', d.doc_id
+        FROM documents d
+        JOIN (
+            SELECT lang,
+                   printf('%08x', LEAST(GREATEST(CAST(FLOOR(
+                       LEAST(CAST(1.0 AS DOUBLE),
+                             (share * t_out) / n) * 4294967296.0
+                   ) AS BIGINT), 0), 4294967295)) AS thr
+            FROM (
+                SELECT lang, n, share,
+                       MIN(n / share) OVER () AS t_out
+                FROM (
+                    SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+                           CASE lang
+                               WHEN 'en' THEN CAST(0.6 AS DOUBLE)
+                                   / (CAST(0.6 AS DOUBLE)
+                                      + CAST(0.4 AS DOUBLE))
+                               WHEN 'zh' THEN CAST(0.4 AS DOUBLE)
+                                   / (CAST(0.6 AS DOUBLE)
+                                      + CAST(0.4 AS DOUBLE))
+                           END AS share
+                    FROM documents WHERE lang IN ('en', 'zh')
+                    GROUP BY lang
+                )
+            )
+        ) r ON d.lang = r.lang
+        WHERE substr(sha256('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < r.thr
+        UNION ALL
+        -- weighted_sample replay: u = first-32-bits(sha)/2^32 < rate,
+        -- with the per-row rate (doc_id % 10)/10 derived identically
+        SELECT 'weighted', doc_id
+        FROM documents
+        WHERE (CAST(('0x' || substr(
+                   sha256('wsample' || CAST(doc_id AS VARCHAR)), 1, 8
+               )) AS BIGINT) / CAST(4294967296 AS DOUBLE))
+              < (CAST(doc_id % 10 AS DOUBLE) / CAST(10.0 AS DOUBLE))
     """
 
 

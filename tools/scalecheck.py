@@ -219,9 +219,84 @@ def span_skew(sf_dir: str, repeats: list[int]) -> None:
     spark.stop()
 
 
+def corpus_cost(sf_dir: str, ks: list[int]) -> None:
+    """materialize_training_set wall time at K× corpus replication,
+    audit off vs on. Claims under measurement: (a) the default recipe
+    scales ~linearly in corpus size (its stages do, and it evaluates
+    the pipeline ONCE — at the write); (b) `audit=True`'s per-stage
+    counts cost real extra evaluations (quantified here, so SCALE.md's
+    'leave off at scale' advice is a number, not an opinion)."""
+    import tempfile
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import corpus as C
+    from etl_workflow_spark.session import get_spark
+
+    spark = get_spark("scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = table(spark, sf_dir, "documents")
+    d_off = (docs0.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    # warm the JVM on the dominant internal plan
+    from etl_workflow_spark.operators import dedup as D
+
+    D.minhash_lsh_pairs(docs0, threshold=0.5).count()
+    for k in ks:
+        # replicas must be GENUINELY DISTINCT documents — an id offset
+        # alone leaves k exact text copies, which the recipe's exact
+        # tier collapses right back (output constant in k, measuring
+        # nothing). Suffixing every >=4-char word shifts nearly every
+        # shingle (replicas survive both dedup tiers) while keeping the
+        # short stopwords intact, so the quality verdict is unchanged
+        # (verified: identical pass count at sf0.1).
+        reps = []
+        for i in range(k):
+            reps.append(
+                docs0.withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(i * d_off)).cast("long")
+                ).withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S{4,})", rf"$1~{i}"),
+                )
+            )
+        docs = reps[0]
+        for r in reps[1:]:
+            docs = docs.unionByName(r)
+        docs = docs.localCheckpoint(eager=True)
+        for audit in (False, True):
+            best = None
+            for _ in range(2):  # min of 2: first run absorbs warm-up
+                out = tempfile.mkdtemp(prefix=f"corpus-k{k}-") + "/t"
+                t0 = time.time()
+                m = C.materialize_training_set(
+                    spark, docs, out, num_shards=8, audit=audit
+                )
+                sec = time.time() - t0
+                best = sec if best is None else min(best, sec)
+            print(
+                json.dumps(
+                    {
+                        "op": "materialize_training_set",
+                        "k": k,
+                        "audit": audit,
+                        "rows": m["rows"],
+                        "tokens": m["tokens"],
+                        "sec": round(best, 2),
+                    }
+                ),
+                flush=True,
+            )
+        docs.unpersist()
+    spark.stop()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
-            if a not in ("--ann-recall", "--txn-sink", "--span-skew")]
+            if a not in ("--ann-recall", "--txn-sink", "--span-skew",
+                         "--corpus")]
+    if "--corpus" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        corpus_cost(sf, [int(a) for a in args[1:]] or [1, 4])
+        return
     if "--span-skew" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         span_skew(sf, [int(a) for a in args[1:]] or [10, 100, 1000])
