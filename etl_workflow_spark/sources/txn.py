@@ -1237,11 +1237,65 @@ def txn_changes(
     change a row's values does NOT emit a change row (value-level CDF,
     stricter than file-level diffs). Deleted rows carry their OLD
     values, NULL-extended to the newer schema.
+
+    Partitioned tables are diffed over AFFECTED PARTITION VALUES only:
+    a value served by the same immutable dirs in both manifests holds
+    bit-identical rows on both sides, so only entries carrying a value
+    whose contribution set changed are read at all — a feed window
+    over a daily-partitioned table costs O(changed days), not
+    O(table). Cross-partition key moves stay correct (both the losing
+    and gaining value's contributions change, so both sides are read).
+    ``keys`` must identify a row (the keyed-mutation discipline this
+    module maintains); rows duplicated across partitions under one key
+    are outside the CDC contract.
     """
     keys = list(keys)
     new_v = latest_version(spark, path) if to_version is None else to_version
-    old = txn_read(spark, path, from_version)
-    new = txn_read(spark, path, new_v)
+    m_old = _read_manifest(spark, path, from_version)
+    m_new = _read_manifest(spark, path, new_v)
+    pcol = m_new["partition_col"]
+    pruned = (
+        pcol is not None
+        and m_old["partition_col"] == pcol
+        and all(
+            e["partitions"] is not None
+            for e in m_old["entries"] + m_new["entries"]
+        )
+    )
+    if pruned:
+        # Manifest-driven pruning: a partition value whose CONTRIBUTION
+        # SET — the dirs (immutable) serving it — is identical in both
+        # manifests holds bit-identical rows on both sides and can emit
+        # no change row, so the diff below needs only the values whose
+        # contributions differ, and only the ENTRIES carrying such a
+        # value are opened at all. A feed over a daily-partitioned
+        # table therefore costs O(changed days), not O(table) — without
+        # this, every txn_feed window re-joined both FULL snapshots.
+        def _contrib(m: dict) -> dict[str, frozenset]:
+            out: dict[str, set] = {}
+            for e in m["entries"]:
+                for p in e["partitions"]:
+                    out.setdefault(p, set()).add(e["dir"])
+            return {p: frozenset(s) for p, s in out.items()}
+
+        co, cn = _contrib(m_old), _contrib(m_new)
+        hit = {p for p in set(co) | set(cn) if co.get(p) != cn.get(p)}
+        affected = sorted(hit)
+
+        def _touched(m: dict) -> list[dict]:
+            return [
+                e for e in m["entries"] if set(e["partitions"]) & hit
+            ]
+
+        old = _read_entries(spark, path, m_old, _touched(m_old)).where(
+            _partition_cond(pcol, affected)
+        )
+        new = _read_entries(spark, path, m_new, _touched(m_new)).where(
+            _partition_cond(pcol, affected)
+        )
+    else:
+        old = _read_entries(spark, path, m_old, m_old["entries"])
+        new = _read_entries(spark, path, m_new, m_new["entries"])
     for c in new.columns:
         if c not in old.columns:
             old = old.withColumn(c, F.lit(None).cast(dict(new.dtypes)[c]))

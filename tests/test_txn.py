@@ -1802,3 +1802,114 @@ def test_txn_random_walk_partitioned_tricky_values(spark, tmp_path, seed):
         else:
             txn.txn_compact(spark, path)
         check()
+
+
+def _brute_changes(spark, path, keys, v_old, v_new):
+    """Reference diff computed from the two full snapshots driver-side
+    (no pruning) — the semantics txn_changes must preserve."""
+    old = {tuple(r[k] for k in keys): r.asDict()
+           for r in txn.txn_read(spark, path, v_old).collect()}
+    new_rows = {tuple(r[k] for k in keys): r.asDict()
+                for r in txn.txn_read(spark, path, v_new).collect()}
+    cols = list(txn.txn_read(spark, path, v_new).columns)
+    out = []
+    for k, r in new_rows.items():
+        if k not in old:
+            out.append(("insert", tuple(r.get(c) for c in cols)))
+        else:
+            o = old[k]
+            if any(r.get(c) != o.get(c) for c in cols):
+                out.append(
+                    ("update_postimage", tuple(r.get(c) for c in cols))
+                )
+    for k, r in old.items():
+        if k not in new_rows:
+            out.append(("delete", tuple(r.get(c) for c in cols)))
+    return sorted(out)
+
+
+def test_txn_changes_partition_pruned_matches_full_diff(spark, tmp_path):
+    """The manifest-driven affected-partition pruning must return the
+    EXACT diff of the full snapshots — across merge (incl. a
+    cross-partition key move), append, and delete windows."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30), (4, None, 40)],
+            "id long, day string, v long",
+        ),
+        partition_col="day",
+    )
+    # window 1: merge updates d1 and MOVES id=3 from d2 to d3
+    txn.txn_merge_into(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "d1", 21), (3, "d3", 31)], "id long, day string, v long"
+        ),
+        ["id"],
+    )
+    # window 2: keyed append into d2 + NULL partition
+    txn.txn_append(
+        spark, path,
+        spark.createDataFrame(
+            [(5, "d2", 50), (6, None, 60)], "id long, day string, v long"
+        ),
+        keys=["id"],
+    )
+    # window 3: predicate delete out of d1
+    txn.txn_delete(spark, path, F.col("id") == 1)
+    versions = txn.txn_history(spark, path)
+    for v_old, v_new in zip(versions, versions[1:]):
+        got = sorted(
+            (r["_change_type"], (r.id, r.day, r.v))
+            for r in txn.txn_changes(
+                spark, path, ["id"], v_old, v_new
+            ).collect()
+        )
+        assert got == _brute_changes(spark, path, ["id"], v_old, v_new), (
+            f"window {v_old}->{v_new}"
+        )
+    # and the full-span window
+    got = sorted(
+        (r["_change_type"], (r.id, r.day, r.v))
+        for r in txn.txn_changes(
+            spark, path, ["id"], versions[0], versions[-1]
+        ).collect()
+    )
+    assert got == _brute_changes(
+        spark, path, ["id"], versions[0], versions[-1]
+    )
+
+
+def test_txn_changes_untouched_partitions_not_read(spark, tmp_path):
+    """An append window over a daily-partitioned table must read only
+    the touched entries: the diff's scan set excludes the untouched
+    days' dirs (the O(changed days) feed contract)."""
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(i, f"d{i}", i * 10) for i in range(1, 6)],
+            "id long, day string, v long",
+        ),
+        partition_col="day",
+    )
+    txn.txn_append(
+        spark, path,
+        spark.createDataFrame([(9, "d9", 90)], "id long, day string, v long"),
+        keys=["id"],
+    )
+    ch = txn.txn_changes(spark, path, ["id"], 1, 2)
+    rows = sorted((r["_change_type"], r.id) for r in ch.collect())
+    assert rows == [("insert", 9)]
+    # the plan scans ONLY the appended entry's dir: the create entry
+    # serves no affected value and is pruned at the entry level
+    m1 = txn._read_manifest(spark, path, 1)
+    create_dir = m1["entries"][0]["dir"]
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert create_dir not in plan
