@@ -145,19 +145,32 @@ def materialize_training_set(
 
     unit = "documents"
     pack_mode = False
+    persisted: DataFrame | None = None
     if chunk_tokens is not None:
         chunks = chunk_documents(
             cur, chunk_tokens=chunk_tokens, col=col, id_col=id_col
         )
         if pack_budget is not None:
+            # Persist the chunked corpus for the duration of the write:
+            # the pack subtree (reads 3 small columns) and the join that
+            # re-attaches chunk_text both consume it, and Spark does NOT
+            # dedupe the two differently-projected subplans — without
+            # the cache the tokenize+explode (the dominant cost) would
+            # run twice inside the single write job. Shipping chunk_text
+            # through pack_sequences' Arrow batches instead would put
+            # the full text of a shard in one pandas frame — the wrong
+            # trade at scale, where only (id, idx, n_tokens) may enter
+            # Python. Released in the finally below once the write is
+            # the last consumer standing.
+            persisted = chunks.persist()
             packed = pack_sequences(
-                chunks,
+                persisted,
                 budget_tokens=pack_budget,
                 num_shards=num_shards,
                 id_col=id_col,
                 tokens_col="n_tokens",
             )
-            chunks = chunks.join(
+            chunks = persisted.join(
                 packed.select(id_col, "chunk_idx", "pack_id"),
                 [id_col, "chunk_idx"],
             )
@@ -183,29 +196,30 @@ def materialize_training_set(
     else:
         shuffle_key = id_col
 
+    # In pack mode the shuffle key (the pack id) is SHARED by every
+    # chunk of a pack — tiebreak_cols pins the intra-pack order
+    # (doc, chunk) INSIDE the shuffle operator, so parquet row order is
+    # deterministic and each pack reads back contiguous and in
+    # sequence, without this module re-deriving the operator's private
+    # ordering hash.
     out = deterministic_shuffle(
         cur,
         key=shuffle_key,
         salt=f"{salt}:shuffle",
         num_shards=num_shards,
         shard_col="shard",
+        tiebreak_cols=[id_col, "chunk_idx"] if pack_mode else None,
     )
-    if pack_mode:
-        # deterministic_shuffle's tiebreak is the key itself, which is
-        # SHARED by every chunk of a pack — pin the intra-pack order
-        # (doc, chunk) explicitly so parquet row order is deterministic
-        # and each pack reads back contiguous and in sequence
-        out = out.sortWithinPartitions(
-            "shard",
-            F.xxhash64(F.lit(f"{salt}:shuffle"), F.col("__unit_id")),
-            "__unit_id",
-            id_col,
-            "chunk_idx",
-        )
     out = out.drop("__unit_id")
 
     data_path = f"{out_path.rstrip('/')}/data"
-    out.write.mode("errorifexists").partitionBy("shard").parquet(data_path)
+    try:
+        out.write.mode("errorifexists").partitionBy("shard").parquet(
+            data_path
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
 
     # All written-output statistics from ONE scan of the files — the
     # write is the only full evaluation the default config pays. The

@@ -159,6 +159,7 @@ def deterministic_shuffle(
     salt: str = "shuffle",
     num_shards: int | None = None,
     shard_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reproducible global random order for training-data sharding.
 
@@ -180,7 +181,14 @@ def deterministic_shuffle(
 
     A second ``salt`` draws an independent permutation (fresh data
     order per training epoch without rewriting the corpus).
+
+    ``tiebreak_cols`` extends the ordering BELOW (hash, key) for
+    callers whose key is shared by several rows (e.g. every chunk of a
+    pack shuffles as one unit): the hash/salt composition that decides
+    both order and shard membership stays defined here, in one place,
+    and the caller only names its intra-key order.
     """
+    extra = [F.col(c) for c in (tiebreak_cols or [])]
     h = F.xxhash64(F.lit(salt), F.col(key).cast("string"))
     tagged = df.withColumn("__shuffle_h", h)
     if num_shards is not None:
@@ -193,14 +201,14 @@ def deterministic_shuffle(
             tagged.withColumn("__shard", shard)
             .repartitionByRange(num_shards, F.col("__shard"))
             .sortWithinPartitions(
-                F.col("__shard"), F.col("__shuffle_h"), F.col(key)
+                F.col("__shard"), F.col("__shuffle_h"), F.col(key), *extra
             )
         )
         if shard_col is not None:
             tagged = tagged.withColumn(shard_col, F.col("__shard"))
         tagged = tagged.drop("__shard")
     else:
-        tagged = tagged.orderBy(F.col("__shuffle_h"), F.col(key))
+        tagged = tagged.orderBy(F.col("__shuffle_h"), F.col(key), *extra)
     return tagged.drop("__shuffle_h")
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -261,17 +262,22 @@ def corpus_cost(sf_dir: str, ks: list[int]) -> None:
         docs = reps[0]
         for r in reps[1:]:
             docs = docs.unionByName(r)
-        docs = docs.localCheckpoint(eager=True)
+        # persist()+count, NOT localCheckpoint: unpersist() only
+        # releases CacheManager-registered plans, so checkpoint blocks
+        # would accrete across K iterations for the life of the run
+        docs = docs.persist()
+        docs.count()
         for audit in (False, True):
             best = None
             for _ in range(2):  # min of 2: first run absorbs warm-up
-                out = tempfile.mkdtemp(prefix=f"corpus-k{k}-") + "/t"
+                base = tempfile.mkdtemp(prefix=f"corpus-k{k}-")
                 t0 = time.time()
                 m = C.materialize_training_set(
-                    spark, docs, out, num_shards=8, audit=audit
+                    spark, docs, base + "/t", num_shards=8, audit=audit
                 )
                 sec = time.time() - t0
                 best = sec if best is None else min(best, sec)
+                shutil.rmtree(base, ignore_errors=True)
             print(
                 json.dumps(
                     {
