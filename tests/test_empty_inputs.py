@@ -93,3 +93,26 @@ def test_round8_dedup_ops_on_empty_corpus(spark, empty_docs):
     clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
     scored = empty_docs.withColumn("q", empty_docs.doc_id.cast("double"))
     assert D.keep_best_per_cluster(scored, clusters, "q").count() == 0
+
+
+def test_similarity_ops_on_empty_corpus(spark):
+    from etl_workflow_spark.operators import similarity as SIM
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    one_q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    assert SIM.quantize_embeddings(empty_emb).count() == 0
+    # empty corpus, live query batch — and the mirror image
+    assert SIM.quantized_topk(empty_emb, one_q, k=3).count() == 0
+    assert SIM.quantized_topk(empty_emb, one_q, k=3, rerank_factor=1).count() == 0
+    assert SIM.brute_force_topk(empty_emb, one_q, k=3).count() == 0
+    live = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    empty_q = spark.createDataFrame(
+        [], "query_id long, embedding array<float>"
+    )
+    assert SIM.quantized_topk(live, empty_q, k=3).count() == 0

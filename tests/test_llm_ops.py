@@ -256,3 +256,61 @@ def test_repetition_signals_crafted_docs(spark):
     # 4 lines, 2 distinct -> half duplicated
     assert got[4]["dup_line_fraction_e4"] == 5000
     assert got[1]["dup_line_fraction_e4"] == 0
+
+
+# ---------------------------------------------------------- quantization
+
+
+def test_quantize_embeddings_bounds_and_types(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, -0.5, 0.25]),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0]),     # all-zero
+        Row(vec_id=2, embedding=[-3.0, 2.0, 0.1]),
+    ]
+    qe = S.quantize_embeddings(spark.createDataFrame(rows))
+    assert qe.schema["qvec"].dataType.simpleString() == "array<tinyint>"
+    got = {r["vec_id"]: r for r in qe.collect()}
+    # all-zero vector: scale 1.0, stays all-zero
+    assert got[1]["qscale"] == 1.0 and got[1]["qvec"] == [0, 0, 0]
+    for r in got.values():
+        s = r["qscale"]
+        for v, q in zip(r["embedding"], r["qvec"]):
+            assert -127 <= q <= 127
+            # reconstruction error within half a quantization step
+            assert abs(v - q * s) <= s / 2 + 1e-9
+        # max-abs element quantizes to exactly +-127 (non-zero vectors)
+        if any(v != 0 for v in r["embedding"]):
+            assert max(abs(q) for q in r["qvec"]) == 127
+
+
+def test_quantized_topk_recall_and_exact_rerank(spark, sf_dir):
+    """int8 scan keeps recall high (measured 0.975 raw on the 64-dim
+    testdata); float re-rank of 4x candidates restores exact scores on
+    every returned pair."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    exact = {(r["query_id"], r["neighbor_id"]): r["score_e4"]
+             for r in S.brute_force_topk(emb, q, k=5).collect()}
+    raw = {(r["query_id"], r["neighbor_id"])
+           for r in S.quantized_topk(emb, q, k=5, rerank_factor=1).collect()}
+    assert len(raw & set(exact)) / len(exact) >= 0.8
+    rr = S.quantized_topk(emb, q, k=5, rerank_factor=4).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rr}
+    assert len(got & set(exact)) / len(exact) >= len(raw & set(exact)) / len(exact)
+    # re-ranked scores are EXACT — identical e4 fixed-point to the
+    # brute-force float scorer for every overlapping pair
+    for r in rr:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["score_e4"] == exact[key]
+
+
+def test_quantized_topk_accepts_prequantized_corpus(spark, sf_dir):
+    """The deployment shape: quantize once, probe many times — results
+    identical to inline quantization."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    pre = S.quantize_embeddings(emb)
+    a = sorted(map(tuple, S.quantized_topk(pre, q, k=5).collect()))
+    b = sorted(map(tuple, S.quantized_topk(emb, q, k=5).collect()))
+    assert a == b

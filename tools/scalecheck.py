@@ -77,9 +77,11 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
     S.brute_force_topk(emb0, queries, k=topk).count()
 
     for k in ks:
-        emb = replicate(emb0, k, ["vec_id"], e_off).localCheckpoint(
-            eager=True
-        )
+        # persist()+count, NOT localCheckpoint: unpersist() on a
+        # checkpointed frame is a no-op, so replica blocks would
+        # accrete across the K loop
+        emb = replicate(emb0, k, ["vec_id"], e_off).persist()
+        emb.count()
         truth, bf_sec = timed_sets(
             lambda: S.brute_force_topk(emb, queries, k=topk)
         )
@@ -116,6 +118,18 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
                     emb, queries, k=topk, num_planes=planes, bands=bands
                 ),
             )
+        # int8 tier: quantize ONCE (the deployment shape — the cost of
+        # quantization amortizes over every probe), then scan int8
+        emb_q = S.quantize_embeddings(emb).persist()
+        emb_q.count()
+        for rf in (1, 4):
+            report(
+                "int8", f"rerank x{rf}",
+                lambda: S.quantized_topk(
+                    emb_q, queries, k=topk, rerank_factor=rf
+                ),
+            )
+        emb_q.unpersist()
         emb.unpersist()
     spark.stop()
 
