@@ -143,6 +143,17 @@ OPERATORS = {
     "dedup_corpus": lambda s, d, docs, emb: __import__(
         "etl_workflow_spark.operators.dedup", fromlist=["dedup_corpus"]
     ).dedup_corpus(docs, threshold=0.4),
+    "quantize_embeddings": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.similarity",
+        fromlist=["quantize_embeddings"],
+    ).quantize_embeddings(emb),
+    "quantized_topk": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.similarity",
+        fromlist=["quantized_topk"],
+    ).quantized_topk(
+        emb, emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id"),
+        k=3,
+    ),
 }
 
 
