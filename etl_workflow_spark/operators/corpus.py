@@ -222,33 +222,15 @@ def materialize_training_set(
             persisted.unpersist()
 
     # All written-output statistics from ONE scan of the files — the
-    # write is the only full evaluation the default config pays. The
-    # explicit schema keeps an all-rows-filtered run readable (zero
-    # part files would otherwise fail schema inference).
-    written = (
-        spark.read.schema(out.schema)
-        .option("basePath", data_path)
-        .parquet(data_path)
-    )
-    tok_col = (
+    # write is the only full evaluation the default config pays.
+    per_shard = _written_shard_stats(
+        spark,
+        data_path,
+        out.schema,
         F.col("n_tokens").cast("long")
         if chunk_tokens is not None
-        else _n_tokens(col).cast("long")
+        else _n_tokens(col).cast("long"),
     )
-    shard_rows = (
-        written.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(tok_col).alias("tokens"),
-        )
-        .collect()
-    )
-    # string shard keys: the manifest must equal its own JSON
-    # round-trip (read_training_set returns the parsed file)
-    per_shard = {
-        str(int(r["shard"])): {"rows": r["rows"], "tokens": r["tokens"] or 0}
-        for r in shard_rows
-    }
     manifest = {
         "format": "spark-graft-training-set/v1",
         "unit": unit,
@@ -263,7 +245,12 @@ def materialize_training_set(
         "rows": sum(s["rows"] for s in per_shard.values()),
         "tokens": sum(s["tokens"] for s in per_shard.values()),
         "shards": per_shard,
+        # ingest epochs so far: extend_training_set increments this;
+        # within a shard, row order is (epoch, shuffle hash)
+        "epochs": 1,
         "config": {
+            "col": col,
+            "id_col": id_col,
             "quality_filter": quality_filter,
             "decontaminated": benchmark is not None,
             "contamination_ngram": (
@@ -282,6 +269,203 @@ def materialize_training_set(
     if audit:
         manifest["stage_rows"] = dict(stages)
     _write_manifest(spark, f"{out_path.rstrip('/')}/manifest.json", manifest)
+    return manifest
+
+
+def _written_shard_stats(spark, data_path, schema, tok_col) -> dict:
+    """Per-shard {rows, tokens} from ONE scan of the written files —
+    the files are the source of truth (same principle as the txn
+    manifest). The explicit schema keeps an all-rows-filtered output
+    readable (zero part files would fail schema inference); string
+    shard keys so the manifest equals its own JSON round-trip."""
+    written = (
+        spark.read.schema(schema)
+        .option("basePath", data_path)
+        .parquet(data_path)
+    )
+    shard_rows = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(tok_col).alias("tokens"),
+        )
+        .collect()
+    )
+    return {
+        str(int(r["shard"])): {"rows": r["rows"], "tokens": r["tokens"] or 0}
+        for r in shard_rows
+    }
+
+
+def extend_training_set(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_path: str,
+    *,
+    benchmark: DataFrame | None = None,
+    audit: bool = False,
+) -> dict:
+    """Incrementally grow a materialized training set: run the SAME
+    recipe the set was built with over ``new_docs`` only, dedup the
+    survivors against the EXISTING corpus, and append — the existing
+    100 TB never re-processes to add a day of data.
+
+    The recipe (quality gate, decontamination n-gram, dedup threshold
+    + keep policy, salt, shard count) comes from the manifest, so an
+    extension cannot drift from the original build. Stages:
+
+    1. **insert-if-absent by id**: rows whose id already exists in the
+       set are skipped (the ``txn_append`` contract) — re-running the
+       same extension after a partial failure appends nothing twice.
+    2. **quality / decontamination**: per the recorded config. A set
+       built with decontamination REQUIRES ``benchmark`` here (silent
+       skip would contaminate); a set built without REFUSES one
+       (half-decontaminated corpora are recipe drift).
+    3. **within-batch dedup**: :func:`~.dedup.dedup_corpus` at the
+       recorded threshold/keep policy.
+    4. **cross dedup, new vs existing — the scale-critical step**: the
+       existing corpus is scanned ONCE for content hashes (exact tier
+       anti-join; existing always wins) and probed via
+       :func:`~.dedup.minhash_lsh_probe` (banded index built from the
+       corpus side, new batch broadcast — the corpus never shuffles
+       and is never self-paired again).
+    5. **shuffle + append**: the same ``salt`` makes shard membership
+       the SAME pure function of id as the original build; new rows
+       append into their shards. Within a shard, row order becomes
+       (ingest epoch, shuffle hash): each epoch is internally a
+       deterministic permutation, appended after the previous ones —
+       striding shards still yields disjoint exhaustive slices.
+
+    Restrictions (all raise ``ValueError``): chunked/packed sets
+    (their stored unit is a derived row; chunk-level incremental dedup
+    would change recipe semantics) and mixture-configured sets (the
+    solved rates are a function of the ORIGINAL stratum distribution)
+    re-materialize instead.
+
+    Manifest update: stats recomputed from one scan of the written
+    files; the previous manifest survives as ``manifest.json.bak``
+    (crash between the two renames leaves ``.bak`` + a tmp file —
+    recover by renaming either back).
+
+    Returns the new manifest plus ``appended_rows``.
+    """
+    from .dedup import minhash_lsh_probe, normalize_text
+
+    base = out_path.rstrip("/")
+    existing, manifest = read_training_set(spark, base)
+    cfg = manifest["config"]
+    if cfg.get("chunk_tokens") is not None:
+        raise ValueError(
+            "chunked/packed training sets do not extend incrementally; "
+            "re-materialize (stored unit is a derived chunk row)"
+        )
+    if cfg.get("mixture") is not None:
+        raise ValueError(
+            "mixture-configured training sets do not extend "
+            "incrementally; solved rates depend on the original "
+            "stratum distribution — re-materialize"
+        )
+    if cfg.get("decontaminated") and benchmark is None:
+        raise ValueError(
+            "this set was built with benchmark decontamination; "
+            "pass the benchmark frame (silent skip would contaminate)"
+        )
+    if not cfg.get("decontaminated") and benchmark is not None:
+        raise ValueError(
+            "this set was built WITHOUT decontamination; extending "
+            "with a benchmark would leave it half-decontaminated"
+        )
+    col = cfg.get("col", "text")
+    id_col = cfg.get("id_col", "doc_id")
+    expected = [f for f in existing.columns if f != "shard"]
+    if sorted(new_docs.columns) != sorted(expected):
+        raise ValueError(
+            f"new_docs columns {sorted(new_docs.columns)} != recorded "
+            f"schema {sorted(expected)}"
+        )
+
+    stages: list[tuple[str, int]] = []
+
+    def _audit(name: str, frame: DataFrame) -> None:
+        if audit:
+            stages.append((name, frame.count()))
+
+    cur = new_docs
+    _audit("input", cur)
+    # 1. insert-if-absent by id (narrow id-only scan of the set)
+    cur = cur.join(existing.select(id_col), id_col, "left_anti")
+    _audit("new_ids", cur)
+    if cfg.get("quality_filter", True):
+        cur = cur.where(_passes_quality(col))
+        _audit("quality", cur)
+    if benchmark is not None:
+        cur = decontaminate(
+            cur, benchmark, n=cfg["contamination_ngram"],
+            col=col, id_col=id_col,
+        )
+        _audit("decontaminated", cur)
+    if cfg.get("dedup", True):
+        cur = dedup_corpus(
+            cur,
+            threshold=cfg["dedup_threshold"],
+            quality_col=cfg.get("keep_quality_col"),
+            col=col,
+            id_col=id_col,
+        )
+        _audit("deduped_within_batch", cur)
+        # cross tier — existing always wins (keep-first across epochs).
+        # Exact: one narrow (hash) scan of the corpus, anti-joined.
+        # NULL-text rows pass (NULL hash never equi-matches), matching
+        # dedup_corpus's null-preservation contract.
+        ex_hash = existing.where(F.col(col).isNotNull()).select(
+            F.sha2(normalize_text(col), 256).alias("__h")
+        )
+        cur = (
+            cur.withColumn("__h", F.sha2(normalize_text(col), 256))
+            .join(ex_hash, "__h", "left_anti")
+            .drop("__h")
+        )
+        _audit("cross_exact", cur)
+        # Near-dup: probe the corpus-side banded index with the (tiny)
+        # new batch; drop any new doc colliding with an existing one.
+        cross = minhash_lsh_probe(
+            cur,
+            existing,
+            threshold=cfg["dedup_threshold"],
+            col=col,
+            id_col=id_col,
+        )
+        ex_ids = existing.select(F.col(id_col).alias("__ex"))
+        losers = (
+            cross.join(ex_ids, cross["doc_b"] == F.col("__ex"), "left_semi")
+            .select(F.col("doc_a").alias(id_col))
+            .distinct()
+        )
+        cur = cur.join(losers, id_col, "left_anti")
+        _audit("cross_neardup", cur)
+
+    out = deterministic_shuffle(
+        cur,
+        key=id_col,
+        salt=f"{manifest['salt']}:shuffle",
+        num_shards=manifest["num_shards"],
+        shard_col="shard",
+    )
+    data_path = f"{base}/data"
+    out.write.mode("append").partitionBy("shard").parquet(data_path)
+
+    prev_rows = manifest["rows"]
+    per_shard = _written_shard_stats(
+        spark, data_path, existing.schema, _n_tokens(col).cast("long")
+    )
+    manifest["shards"] = per_shard
+    manifest["rows"] = sum(s["rows"] for s in per_shard.values())
+    manifest["tokens"] = sum(s["tokens"] for s in per_shard.values())
+    manifest["epochs"] = int(manifest.get("epochs", 1)) + 1
+    manifest["appended_rows"] = manifest["rows"] - prev_rows
+    if audit:
+        manifest["stage_rows"] = dict(stages)
+    _replace_manifest(spark, f"{base}/manifest.json", manifest)
     return manifest
 
 
@@ -320,6 +504,32 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
     _write_file(fs, tmp, json.dumps(manifest, sort_keys=True))
     try:
         _rename_no_overwrite(spark, jvm, tmp, _hpath(jvm, path))
+    except Exception:
+        fs.delete(tmp, False)
+        raise
+
+
+def _replace_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Atomic-as-available manifest replacement: stage the new JSON to
+    a tmp name, demote the live manifest to ``.bak`` (previous ``.bak``
+    deleted), publish with a no-overwrite rename. Readers never see a
+    truncated file; the only crash window (between demote and publish)
+    leaves ``.bak`` + the staged tmp — rename either back to recover."""
+    import uuid
+
+    from ..sources.txn import _fs, _hpath, _rename_no_overwrite, _write_file
+
+    jvm, fs = _fs(spark, path)
+    parent, name = path.rsplit("/", 1)
+    tmp = _hpath(jvm, parent, f".tmp-{name}-{uuid.uuid4().hex}")
+    _write_file(fs, tmp, json.dumps(manifest, sort_keys=True))
+    bak = _hpath(jvm, parent, f"{name}.bak")
+    live = _hpath(jvm, path)
+    try:
+        fs.delete(bak, False)
+        if not fs.rename(live, bak):
+            raise IOError(f"could not demote {path} to .bak")
+        _rename_no_overwrite(spark, jvm, tmp, live)
     except Exception:
         fs.delete(tmp, False)
         raise

@@ -238,3 +238,125 @@ def test_config_validation(spark, tmp_path, base_docs):
         C.materialize_training_set(
             spark, base_docs, str(tmp_path / "y"), pack_budget=16
         )
+
+
+# ------------------------------------------------------------- extension
+
+
+T6 = (
+    "storage nodes report their disk health every minute so the "
+    "scheduler can drain failing racks before any data is lost"
+)
+
+
+def test_extend_training_set_dedups_against_existing(
+    spark, tmp_path, base_docs
+):
+    out = str(tmp_path / "train")
+    C.materialize_training_set(
+        spark, base_docs, out, num_shards=4, dedup_threshold=0.5
+    )
+    # base survivors: 1..5 (6 exact-dup loser, 7 quality fail, and 8 —
+    # a superset of T2 — is a NEAR-dup of 2 at threshold 0.5)
+    batch = _docs(spark, [
+        (2, T2, "web"),                       # id collision -> skipped
+        (20, T3, "web"),                      # exact copy of 3 -> cross-exact
+        (21, T1.replace("field", "meadow"), "web"),  # near-dup of 1
+        (22, T6, "web"),                      # genuinely new -> survives
+        (23, "!!! ??? ...", "web"),           # quality fail
+        (24, T6, "web"),                      # within-batch dup of 22
+    ])
+    m = C.extend_training_set(spark, batch, out, audit=True)
+    data, m2 = C.read_training_set(spark, out)
+    assert m2 == m
+    assert m["appended_rows"] == 1
+    assert m["rows"] == 6 and m["epochs"] == 2
+    ids = sorted(r.doc_id for r in data.collect())
+    assert ids == [1, 2, 3, 4, 5, 22]
+    # audit curve records every cross-dedup stage
+    curve = m["stage_rows"]
+    assert curve["input"] == 6 and curve["new_ids"] == 5
+    assert curve["cross_exact"] < curve["deduped_within_batch"]
+    assert curve["cross_neardup"] == 1
+    # shard membership is the SAME pure function of (salt, id) as the
+    # original build
+    from etl_workflow_spark.operators.sampling import deterministic_shuffle
+
+    exp = deterministic_shuffle(
+        batch.where("doc_id = 22"), key="doc_id",
+        salt="train-v1:shuffle", num_shards=4, shard_col="shard",
+    ).collect()[0]["shard"]
+    got = {r.doc_id: r.shard for r in data.collect()}[22]
+    assert got == exp
+    # previous manifest demoted, not lost
+    assert os.path.exists(os.path.join(out, "manifest.json.bak"))
+    with open(os.path.join(out, "manifest.json.bak")) as fh:
+        assert json.load(fh)["rows"] == 5
+
+    # idempotent re-run: every id now exists -> appends nothing
+    m3 = C.extend_training_set(spark, batch, out)
+    assert m3["appended_rows"] == 0
+    assert m3["rows"] == 6 and m3["epochs"] == 3
+
+
+def test_extend_training_set_decontaminated_path(
+    spark, tmp_path, base_docs, holdout
+):
+    out = str(tmp_path / "train")
+    C.materialize_training_set(
+        spark, base_docs, out, benchmark=holdout, num_shards=4
+    )
+    dirty = _docs(spark, [
+        (30, T2 + " zeta secret benchmark answer key must never leak "
+              "into the train corpus at all", "web"),
+        (31, T6, "web"),
+    ])
+    # a decontaminated set REQUIRES the benchmark at extension time
+    with pytest.raises(ValueError, match="decontamination"):
+        C.extend_training_set(spark, dirty, out)
+    m = C.extend_training_set(spark, dirty, out, benchmark=holdout)
+    assert m["appended_rows"] == 1
+    data, _ = C.read_training_set(spark, out)
+    ids = {r.doc_id for r in data.collect()}
+    assert 31 in ids and 30 not in ids
+
+
+def test_extend_training_set_guards(spark, tmp_path, base_docs):
+    # chunked sets refuse extension
+    chunked = str(tmp_path / "chunked")
+    C.materialize_training_set(
+        spark, base_docs, chunked, chunk_tokens=8, num_shards=2
+    )
+    with pytest.raises(ValueError, match="re-materialize"):
+        C.extend_training_set(spark, _docs(spark, [(40, T6, "web")]),
+                              chunked)
+    # mixture sets refuse extension
+    mixed = str(tmp_path / "mixed")
+    C.materialize_training_set(
+        spark, base_docs, mixed, quality_filter=False, dedup=False,
+        mixture={"web": 0.5, "code": 0.5}, strata_col="source",
+        num_shards=2,
+    )
+    with pytest.raises(ValueError, match="mixture"):
+        C.extend_training_set(spark, _docs(spark, [(40, T6, "web")]), mixed)
+    # a set built WITHOUT decontamination refuses a benchmark
+    plain = str(tmp_path / "plain")
+    C.materialize_training_set(spark, base_docs, plain, num_shards=2)
+    with pytest.raises(ValueError, match="WITHOUT"):
+        C.extend_training_set(
+            spark, _docs(spark, [(40, T6, "web")]), plain,
+            benchmark=_docs(spark, [(0, T1, "x")]).select("doc_id", "text"),
+        )
+    # schema drift refuses
+    with pytest.raises(ValueError, match="columns"):
+        C.extend_training_set(
+            spark,
+            spark.createDataFrame([(40, T6)], "doc_id long, text string"),
+            plain,
+        )
+    # an empty batch is a no-op epoch (idle micro-batch shape)
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    m = C.extend_training_set(spark, empty, plain)
+    assert m["appended_rows"] == 0 and m["epochs"] == 2
