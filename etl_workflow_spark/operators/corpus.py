@@ -27,7 +27,10 @@ Design rules, in order of importance at 100 TB:
   is a monotone coarsening of the global shuffle order
   (:func:`~etl_workflow_spark.operators.sampling.deterministic_shuffle`),
   so concatenating shards 0..N-1 replays the global permutation and a
-  training loader can stride shards independently.
+  training loader can stride shards independently. (File order is the
+  row order only for single-shot builds — one part file per shard;
+  after :func:`extend_training_set` use
+  ``read_training_set(ordered=True)`` to restore the permutation.)
 
 Capability analog in the reference: the staged load-transform-aggregate
 pipeline of ``etl-pipeline.py`` (extract → transform → load with
@@ -303,6 +306,7 @@ def extend_training_set(
     out_path: str,
     *,
     benchmark: DataFrame | None = None,
+    index: DataFrame | None = None,
     audit: bool = False,
 ) -> dict:
     """Incrementally grow a materialized training set: run the SAME
@@ -326,31 +330,47 @@ def extend_training_set(
     4. **cross dedup, new vs existing — the scale-critical step**: the
        existing corpus is scanned ONCE for content hashes (exact tier
        anti-join; existing always wins) and probed via
-       :func:`~.dedup.minhash_lsh_probe` (banded index built from the
-       corpus side, new batch broadcast — the corpus never shuffles
-       and is never self-paired again).
+       :func:`~.dedup.minhash_lsh_probe` (new batch broadcast — the
+       corpus never shuffles and is never self-paired again). Pass a
+       prebuilt ``index`` (:func:`~.dedup.build_lsh_index` output,
+       persisted once per corpus) so daily probes never re-shingle
+       the corpus either; without it the band index is rebuilt from
+       the corpus text each call — one full-corpus hashing pass.
     5. **shuffle + append**: the same ``salt`` makes shard membership
        the SAME pure function of id as the original build; new rows
-       append into their shards. Within a shard, row order becomes
-       (ingest epoch, shuffle hash): each epoch is internally a
-       deterministic permutation, appended after the previous ones —
-       striding shards still yields disjoint exhaustive slices.
+       append into their shards. Shard MEMBERSHIP stays exact, but a
+       shard directory now holds part files from several write jobs
+       and parquet gives no cross-file order guarantee — a loader
+       needing the exact global permutation uses
+       ``read_training_set(..., ordered=True)``, which re-derives the
+       shuffle hash (a pure function of salt and id) and restores the
+       permutation a single-shot build of the same rows would produce.
 
     Restrictions (all raise ``ValueError``): chunked/packed sets
     (their stored unit is a derived row; chunk-level incremental dedup
     would change recipe semantics) and mixture-configured sets (the
     solved rates are a function of the ORIGINAL stratum distribution)
-    re-materialize instead.
+    re-materialize instead. ``new_docs`` must match the recorded
+    schema in names AND types (a type-drifted batch would append
+    parquet files unreadable under the recorded schema), and ids must
+    be non-NULL and batch-unique (a NULL id can never equi-match the
+    insert-if-absent anti-join, silently breaking idempotence).
+
+    Single-writer: a best-effort ``_extend.lock`` marker (atomic
+    create) rejects concurrent extensions of the same set — two
+    racing append jobs would otherwise BOTH see the pre-append
+    snapshot and double-append. A crash leaves the lock behind;
+    delete it after confirming no extension is running (the error
+    says so).
 
     Manifest update: stats recomputed from one scan of the written
-    files; the previous manifest survives as ``manifest.json.bak``
-    (crash between the two renames leaves ``.bak`` + a tmp file —
-    recover by renaming either back).
+    files; the previous manifest survives as ``manifest.json.bak``.
+    If the publish rename fails mid-replacement the previous manifest
+    is restored from ``.bak`` automatically; only if THAT restore
+    also fails are ``.bak`` + the staged tmp left for manual recovery.
 
     Returns the new manifest plus ``appended_rows``.
     """
-    from .dedup import minhash_lsh_probe, normalize_text
-
     base = out_path.rstrip("/")
     existing, manifest = read_training_set(spark, base)
     cfg = manifest["config"]
@@ -377,11 +397,35 @@ def extend_training_set(
         )
     col = cfg.get("col", "text")
     id_col = cfg.get("id_col", "doc_id")
-    expected = [f for f in existing.columns if f != "shard"]
-    if sorted(new_docs.columns) != sorted(expected):
+    # names AND types: append-mode parquet happily writes type-drifted
+    # files that every later schema-pinned read chokes on — validate
+    # BEFORE any data lands
+    expected = {
+        f.name: f.dataType.simpleString()
+        for f in existing.schema.fields
+        if f.name != "shard"
+    }
+    got = {f.name: f.dataType.simpleString() for f in new_docs.schema.fields}
+    if got != expected:
         raise ValueError(
-            f"new_docs columns {sorted(new_docs.columns)} != recorded "
-            f"schema {sorted(expected)}"
+            f"new_docs columns {sorted(got.items())} != recorded "
+            f"schema {sorted(expected.items())}"
+        )
+    # id discipline: a NULL id never equi-matches the insert-if-absent
+    # anti-join (silent idempotence break); a batch-internal id
+    # collision would append two rows under one key. One tiny action
+    # over the batch, before anything is written.
+    bad = (
+        new_docs.groupBy(id_col)
+        .count()
+        .where(F.col(id_col).isNull() | (F.col("count") > 1))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"new_docs ids must be non-NULL and unique; offending "
+            f"{id_col}: {bad[0][id_col]!r}"
         )
 
     stages: list[tuple[str, int]] = []
@@ -389,6 +433,22 @@ def extend_training_set(
     def _audit(name: str, frame: DataFrame) -> None:
         if audit:
             stages.append((name, frame.count()))
+
+    _acquire_extend_lock(spark, base)
+    try:
+        return _extend_locked(
+            spark, new_docs, base, manifest, cfg, existing,
+            benchmark, index, audit, _audit, stages, col, id_col,
+        )
+    finally:
+        _release_extend_lock(spark, base)
+
+
+def _extend_locked(
+    spark, new_docs, base, manifest, cfg, existing,
+    benchmark, index, audit, _audit, stages, col, id_col,
+) -> dict:
+    from .dedup import minhash_lsh_probe, normalize_text
 
     cur = new_docs
     _audit("input", cur)
@@ -431,6 +491,7 @@ def extend_training_set(
         cross = minhash_lsh_probe(
             cur,
             existing,
+            index=index,
             threshold=cfg["dedup_threshold"],
             col=col,
             id_col=id_col,
@@ -463,6 +524,8 @@ def extend_training_set(
     manifest["tokens"] = sum(s["tokens"] for s in per_shard.values())
     manifest["epochs"] = int(manifest.get("epochs", 1)) + 1
     manifest["appended_rows"] = manifest["rows"] - prev_rows
+    # a prior audited epoch's curve must not masquerade as this one's
+    manifest.pop("stage_rows", None)
     if audit:
         manifest["stage_rows"] = dict(stages)
     _replace_manifest(spark, f"{base}/manifest.json", manifest)
@@ -470,12 +533,22 @@ def extend_training_set(
 
 
 def read_training_set(
-    spark: SparkSession, out_path: str
+    spark: SparkSession, out_path: str, ordered: bool = False
 ) -> tuple[DataFrame, dict]:
-    """Load a materialized training set: ``(data, manifest)``. The
-    frame is ordered by (shard, global shuffle position) when read
-    shard-by-shard; a loader striding shards gets disjoint, jointly
-    exhaustive slices of the global permutation."""
+    """Load a materialized training set: ``(data, manifest)``.
+
+    A single-shot build writes exactly ONE part file per shard (the
+    shuffle's range exchange puts each shard in one task), so the
+    default read already yields (shard, global shuffle position)
+    order and a loader striding shards gets disjoint, jointly
+    exhaustive slices of the global permutation. After
+    :func:`extend_training_set` a shard holds part files from several
+    write jobs and parquet guarantees NO cross-file order — pass
+    ``ordered=True`` to re-derive the shuffle hash (a pure function of
+    the recorded salt and each row's key) and sort each shard back
+    into the exact permutation a single-shot build of the same rows
+    would produce (one in-shard sort, no global exchange beyond the
+    shard repartition)."""
     base = out_path.rstrip("/")
     manifest = json.loads(
         _read_manifest_text(spark, f"{base}/manifest.json")
@@ -485,6 +558,27 @@ def read_training_set(
         .option("basePath", f"{base}/data")
         .parquet(f"{base}/data")
     )
+    if ordered:
+        cfg = manifest.get("config", {})
+        id_col = cfg.get("id_col", "doc_id")
+        # the same shuffle key construction as materialize: documents
+        # key on id, chunks on id#chunk_idx, packs on the pack id with
+        # the (doc, chunk) tiebreak
+        if manifest["unit"] == "packed_chunks":
+            key = F.col("pack_id").cast("string")
+            extra = [F.col(id_col), F.col("chunk_idx")]
+        elif manifest["unit"] == "chunks":
+            key = F.concat_ws(
+                "#", F.col(id_col).cast("string"), F.col("chunk_idx")
+            )
+            extra = []
+        else:
+            key = F.col(id_col).cast("string")
+            extra = []
+        h = F.xxhash64(F.lit(f"{manifest['salt']}:shuffle"), key)
+        data = data.repartitionByRange(
+            int(manifest["num_shards"]), F.col("shard")
+        ).sortWithinPartitions(F.col("shard"), h, key, *extra)
     return data, manifest
 
 
@@ -509,12 +603,39 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
         raise
 
 
+def _acquire_extend_lock(spark: SparkSession, base: str) -> None:
+    """Single-writer guard: atomically create ``_extend.lock`` —
+    ``FileSystem.createNewFile`` is the one primitive every Hadoop FS
+    implements exclusively. Two racing extensions would both read the
+    pre-append snapshot and double-append; the loser here fails BEFORE
+    any data lands instead."""
+    from ..sources.txn import _fs, _hpath
+
+    jvm, fs = _fs(spark, base)
+    lock = _hpath(jvm, base, "_extend.lock")
+    if not fs.createNewFile(lock):
+        raise RuntimeError(
+            f"another extend_training_set holds {base}/_extend.lock; "
+            "if no extension is actually running (a crashed one leaves "
+            "the marker behind), delete the lock file and retry"
+        )
+
+
+def _release_extend_lock(spark: SparkSession, base: str) -> None:
+    from ..sources.txn import _fs, _hpath
+
+    jvm, fs = _fs(spark, base)
+    fs.delete(_hpath(jvm, base, "_extend.lock"), False)
+
+
 def _replace_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
     """Atomic-as-available manifest replacement: stage the new JSON to
     a tmp name, demote the live manifest to ``.bak`` (previous ``.bak``
     deleted), publish with a no-overwrite rename. Readers never see a
-    truncated file; the only crash window (between demote and publish)
-    leaves ``.bak`` + the staged tmp — rename either back to recover."""
+    truncated file. If the publish fails after the demote, the live
+    manifest is restored from ``.bak``; only if that restore ALSO
+    fails are ``.bak`` + the staged tmp left behind (rename either
+    back to recover — and the raised error still points here)."""
     import uuid
 
     from ..sources.txn import _fs, _hpath, _rename_no_overwrite, _write_file
@@ -525,13 +646,18 @@ def _replace_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
     _write_file(fs, tmp, json.dumps(manifest, sort_keys=True))
     bak = _hpath(jvm, parent, f"{name}.bak")
     live = _hpath(jvm, path)
+    fs.delete(bak, False)
+    if not fs.rename(live, bak):
+        fs.delete(tmp, False)
+        raise IOError(f"could not demote {path} to .bak")
     try:
-        fs.delete(bak, False)
-        if not fs.rename(live, bak):
-            raise IOError(f"could not demote {path} to .bak")
         _rename_no_overwrite(spark, jvm, tmp, live)
     except Exception:
-        fs.delete(tmp, False)
+        # the live slot is empty (we just demoted it) — put the old
+        # manifest back so readers keep working; keep the tmp only
+        # when even the restore fails
+        if fs.rename(bak, live):
+            fs.delete(tmp, False)
         raise
 
 

@@ -360,3 +360,86 @@ def test_extend_training_set_guards(spark, tmp_path, base_docs):
     )
     m = C.extend_training_set(spark, empty, plain)
     assert m["appended_rows"] == 0 and m["epochs"] == 2
+
+
+def test_extend_training_set_hardening(spark, tmp_path, base_docs):
+    out = str(tmp_path / "train")
+    C.materialize_training_set(
+        spark, base_docs, out, num_shards=4, dedup_threshold=0.5
+    )
+    # type drift refused BEFORE any data lands
+    drifted = spark.createDataFrame(
+        [("40", T6, "web")], "doc_id string, text string, source string"
+    )
+    with pytest.raises(ValueError, match="recorded"):
+        C.extend_training_set(spark, drifted, out)
+    # NULL / duplicate ids refused
+    with pytest.raises(ValueError, match="non-NULL"):
+        C.extend_training_set(
+            spark, _docs(spark, [(None, T6, "web")]), out
+        )
+    with pytest.raises(ValueError, match="unique"):
+        C.extend_training_set(
+            spark, _docs(spark, [(40, T6, "web"), (40, T3, "web")]), out
+        )
+    # concurrent-extension lock: a held lock refuses, and is released
+    # after a successful run
+    lock = os.path.join(out, "_extend.lock")
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="_extend.lock"):
+        C.extend_training_set(spark, _docs(spark, [(41, T6, "web")]), out)
+    os.remove(lock)
+    m = C.extend_training_set(
+        spark, _docs(spark, [(41, T6, "web")]), out, audit=True
+    )
+    assert m["appended_rows"] == 1
+    assert not os.path.exists(lock)
+    assert "stage_rows" in m
+    # a later non-audited epoch must NOT inherit the stale audit curve
+    m2 = C.extend_training_set(spark, _docs(spark, [(42, T3, "web")]), out)
+    assert "stage_rows" not in m2
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert "stage_rows" not in json.load(fh)
+
+
+def test_extend_with_prebuilt_index_and_ordered_read(
+    spark, tmp_path, base_docs
+):
+    """A persisted LSH index gives the same result as rebuilding from
+    corpus text, and ordered=True restores the exact permutation a
+    single-shot build of the same rows would produce."""
+    from etl_workflow_spark.operators.dedup import build_lsh_index
+
+    out = str(tmp_path / "train")
+    C.materialize_training_set(
+        spark, base_docs, out, num_shards=4, dedup_threshold=0.5
+    )
+    existing, _ = C.read_training_set(spark, out)
+    idx = build_lsh_index(existing)
+    batch = _docs(spark, [
+        (21, T1.replace("field", "meadow"), "web"),  # near-dup of 1
+        (22, T6, "web"),
+    ])
+    m = C.extend_training_set(spark, batch, out, index=idx)
+    assert m["appended_rows"] == 1  # 21 dropped via the prebuilt index
+
+    # ordered read == single-shot build of the same surviving rows
+    combined = base_docs.unionByName(_docs(spark, [(22, T6, "web")]))
+    fresh = str(tmp_path / "fresh")
+    C.materialize_training_set(
+        spark, combined, fresh, num_shards=4, dedup_threshold=0.5
+    )
+    # per-shard sequence of the ordered extended read must equal the
+    # fresh build's per-shard FILE row order (one part file per shard
+    # in a single-shot build — the written permutation itself)
+    da, _ = C.read_training_set(spark, out, ordered=True)
+    seq_a: dict = {}
+    for r in da.collect():
+        seq_a.setdefault(r.shard, []).append(r.doc_id)
+    import glob as _glob
+
+    seq_b: dict = {}
+    for d in _glob.glob(os.path.join(fresh, "data", "shard=*")):
+        k = int(d.rsplit("=", 1)[1])
+        seq_b[k] = [r.doc_id for r in spark.read.parquet(d).collect()]
+    assert seq_a == seq_b
