@@ -309,10 +309,102 @@ def corpus_cost(sf_dir: str, ks: list[int]) -> None:
     spark.stop()
 
 
+def extend_cost(sf_dir: str, ks: list[int]) -> None:
+    """extend_training_set vs full re-materialization as the existing
+    corpus grows K×, fixed ~200-doc daily batch. Claims measured:
+    (a) extension cost is dominated by the BATCH plus one narrow scan
+    of the corpus (hash anti-join + index probe), so it grows far
+    slower than the re-materialize path, which re-runs the whole
+    recipe over corpus+batch; (b) a prebuilt LSH index removes the
+    per-call corpus re-shingling (quantified as with/without rows)."""
+    import tempfile
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import corpus as C
+    from etl_workflow_spark.operators import dedup as D
+    from etl_workflow_spark.session import get_spark
+
+    spark = get_spark("scalecheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = table(spark, sf_dir, "documents")
+    d_off = (docs0.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    D.minhash_lsh_pairs(docs0, threshold=0.5).count()  # warm JVM
+    # fixed daily batch: 200 genuinely-new docs (fresh ids, every
+    # >=4-char word suffixed so neither dedup tier drops them)
+    batch = (
+        docs0.orderBy("doc_id").limit(200)
+        .withColumn("doc_id", (F.col("doc_id") + F.lit(100 * d_off))
+                    .cast("long"))
+        .withColumn("text",
+                    F.regexp_replace(F.col("text"), r"(\S{4,})", r"$1~nw"))
+        .persist()
+    )
+    batch.count()
+    for k in ks:
+        reps = []
+        for i in range(k):
+            reps.append(
+                docs0.withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(i * d_off)).cast("long")
+                ).withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S{4,})", rf"$1~{i}"),
+                )
+            )
+        docs = reps[0]
+        for r in reps[1:]:
+            docs = docs.unionByName(r)
+        docs = docs.persist()
+        docs.count()
+        base = tempfile.mkdtemp(prefix=f"extend-k{k}-")
+        C.materialize_training_set(spark, docs, base + "/t", num_shards=8)
+        existing, _ = C.read_training_set(spark, base + "/t")
+        idx = D.build_lsh_index(existing).persist()
+        idx.count()
+        rows = []
+        for mode in ("prebuilt_index", "no_index", "rematerialize"):
+            t0 = time.time()
+            if mode == "rematerialize":
+                out2 = tempfile.mkdtemp(prefix=f"extend-full-k{k}-")
+                m = C.materialize_training_set(
+                    spark, docs.unionByName(batch), out2 + "/t",
+                    num_shards=8,
+                )
+                shutil.rmtree(out2, ignore_errors=True)
+                appended = m["rows"]
+            else:
+                out2 = tempfile.mkdtemp(prefix=f"extend-inc-k{k}-")
+                import shutil as _sh
+
+                _sh.copytree(base + "/t", out2 + "/t")
+                m = C.extend_training_set(
+                    spark, batch, out2 + "/t",
+                    index=idx if mode == "prebuilt_index" else None,
+                )
+                shutil.rmtree(out2, ignore_errors=True)
+                appended = m["appended_rows"]
+            rows.append({
+                "op": "extend_training_set", "k": k, "mode": mode,
+                "rows_out": appended,
+                "sec": round(time.time() - t0, 2),
+            })
+        for r in rows:
+            print(json.dumps(r), flush=True)
+        idx.unpersist()
+        docs.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+    batch.unpersist()
+    spark.stop()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--ann-recall", "--txn-sink", "--span-skew",
-                         "--corpus")]
+                         "--corpus", "--extend")]
+    if "--extend" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        extend_cost(sf, [int(a) for a in args[1:]] or [1, 4])
+        return
     if "--corpus" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         corpus_cost(sf, [int(a) for a in args[1:]] or [1, 4])
