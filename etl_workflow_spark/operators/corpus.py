@@ -248,8 +248,11 @@ def materialize_training_set(
         "rows": sum(s["rows"] for s in per_shard.values()),
         "tokens": sum(s["tokens"] for s in per_shard.values()),
         "shards": per_shard,
-        # ingest epochs so far: extend_training_set increments this;
-        # within a shard, row order is (epoch, shuffle hash)
+        # ingest epochs so far: extend_training_set increments this.
+        # After any extension a shard holds part files from several
+        # write jobs with NO cross-file order guarantee — loaders
+        # needing the global permutation use
+        # read_training_set(ordered=True).
         "epochs": 1,
         "config": {
             "col": col,
@@ -332,10 +335,15 @@ def extend_training_set(
        anti-join; existing always wins) and probed via
        :func:`~.dedup.minhash_lsh_probe` (new batch broadcast — the
        corpus never shuffles and is never self-paired again). Pass a
-       prebuilt ``index`` (:func:`~.dedup.build_lsh_index` output,
-       persisted once per corpus) so daily probes never re-shingle
-       the corpus either; without it the band index is rebuilt from
-       the corpus text each call — one full-corpus hashing pass.
+       prebuilt ``index`` (:func:`~.dedup.build_lsh_index` output)
+       so daily probes never re-shingle the corpus either; without
+       it the band index is rebuilt from the corpus text each call —
+       one full-corpus hashing pass. The index MUST cover the
+       current corpus including prior extensions (rebuild or append
+       band rows after each one) — a staleness guard compares its
+       coverage against the live snapshot and refuses a stale or
+       differently-banded index rather than silently admitting
+       near-dups of recently appended docs.
     5. **shuffle + append**: the same ``salt`` makes shard membership
        the SAME pure function of id as the original build; new rows
        append into their shards. Shard MEMBERSHIP stays exact, but a
@@ -372,6 +380,29 @@ def extend_training_set(
     Returns the new manifest plus ``appended_rows``.
     """
     base = out_path.rstrip("/")
+    # lock BEFORE pinning the snapshot: reading first would let a
+    # racing extension commit between our read and our lock — this
+    # job would then append against a stale file listing (its
+    # insert-if-absent and cross-dedup blind to the winner's rows)
+    _acquire_extend_lock(spark, base)
+    try:
+        return _extend_locked(
+            spark, new_docs, base, benchmark, index, audit
+        )
+    finally:
+        _release_extend_lock(spark, base)
+
+
+def _extend_locked(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    base: str,
+    benchmark: DataFrame | None,
+    index: DataFrame | None,
+    audit: bool,
+) -> dict:
+    from .dedup import minhash_lsh_probe, normalize_text
+
     existing, manifest = read_training_set(spark, base)
     cfg = manifest["config"]
     if cfg.get("chunk_tokens") is not None:
@@ -428,27 +459,37 @@ def extend_training_set(
             f"{id_col}: {bad[0][id_col]!r}"
         )
 
+    # staleness guard for a prebuilt index: a persisted index that
+    # predates the last extension lacks band rows for the appended
+    # docs, so their near-dups would be admitted SILENTLY. One cheap
+    # agg per side: distinct indexed ids must equal the corpus docs
+    # that can shingle (>= n tokens of non-null text), and the band
+    # range must match the probe's default banding.
+    if index is not None:
+        iid = "id" if "id" in index.columns else id_col
+        stats = index.agg(
+            F.countDistinct(F.col(iid)).alias("ids"),
+            (F.max("band") + 1).alias("bands"),
+        ).collect()[0]
+        shingleable = existing.where(
+            F.col(col).isNotNull()
+            & (F.size(F.split(F.trim(F.col(col)), r"\s+")) >= 3)
+        ).count()
+        if stats["ids"] != shingleable or stats["bands"] != 8:
+            raise ValueError(
+                f"prebuilt index is stale or mis-parameterized: it "
+                f"covers {stats['ids']} docs across {stats['bands']} "
+                f"bands, but the current corpus has {shingleable} "
+                f"shingle-able docs (expected 8 bands). Rebuild with "
+                f"build_lsh_index after every extension, or pass "
+                f"index=None"
+            )
+
     stages: list[tuple[str, int]] = []
 
     def _audit(name: str, frame: DataFrame) -> None:
         if audit:
             stages.append((name, frame.count()))
-
-    _acquire_extend_lock(spark, base)
-    try:
-        return _extend_locked(
-            spark, new_docs, base, manifest, cfg, existing,
-            benchmark, index, audit, _audit, stages, col, id_col,
-        )
-    finally:
-        _release_extend_lock(spark, base)
-
-
-def _extend_locked(
-    spark, new_docs, base, manifest, cfg, existing,
-    benchmark, index, audit, _audit, stages, col, id_col,
-) -> dict:
-    from .dedup import minhash_lsh_probe, normalize_text
 
     cur = new_docs
     _audit("input", cur)
@@ -564,21 +605,25 @@ def read_training_set(
         # the same shuffle key construction as materialize: documents
         # key on id, chunks on id#chunk_idx, packs on the pack id with
         # the (doc, chunk) tiebreak
+        # tiebreak below the hash on the RAW key column, exactly as
+        # deterministic_shuffle sorted at build time (hash input is
+        # the string cast, the tiebreak is not — a string tiebreak
+        # would order hash-colliding numeric ids differently)
         if manifest["unit"] == "packed_chunks":
             key = F.col("pack_id").cast("string")
-            extra = [F.col(id_col), F.col("chunk_idx")]
+            tiebreak = [key, F.col(id_col), F.col("chunk_idx")]
         elif manifest["unit"] == "chunks":
             key = F.concat_ws(
                 "#", F.col(id_col).cast("string"), F.col("chunk_idx")
             )
-            extra = []
+            tiebreak = [key]
         else:
             key = F.col(id_col).cast("string")
-            extra = []
+            tiebreak = [F.col(id_col)]
         h = F.xxhash64(F.lit(f"{manifest['salt']}:shuffle"), key)
         data = data.repartitionByRange(
             int(manifest["num_shards"]), F.col("shard")
-        ).sortWithinPartitions(F.col("shard"), h, key, *extra)
+        ).sortWithinPartitions(F.col("shard"), h, *tiebreak)
     return data, manifest
 
 
@@ -604,11 +649,16 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
 
 
 def _acquire_extend_lock(spark: SparkSession, base: str) -> None:
-    """Single-writer guard: atomically create ``_extend.lock`` —
-    ``FileSystem.createNewFile`` is the one primitive every Hadoop FS
-    implements exclusively. Two racing extensions would both read the
-    pre-append snapshot and double-append; the loser here fails BEFORE
-    any data lands instead."""
+    """Single-writer guard: atomically create ``_extend.lock``. Two
+    racing extensions would both read the pre-append snapshot and
+    double-append; the loser here fails BEFORE any data lands.
+
+    Scope of the guarantee: ``FileSystem.createNewFile`` is exclusive
+    on HDFS and local filesystems. On object stores without atomic
+    create-if-absent (plain S3A) it degrades to check-then-put —
+    deployments there must serialize extensions externally (scheduler
+    mutex / a store with conditional puts), the same caveat as every
+    rename-based commit protocol including the txn log's."""
     from ..sources.txn import _fs, _hpath
 
     jvm, fs = _fs(spark, base)

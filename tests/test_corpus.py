@@ -423,6 +423,15 @@ def test_extend_with_prebuilt_index_and_ordered_read(
     m = C.extend_training_set(spark, batch, out, index=idx)
     assert m["appended_rows"] == 1  # 21 dropped via the prebuilt index
 
+    # the index no longer covers the corpus (22 was appended) — the
+    # staleness guard must refuse it rather than silently admit 22's
+    # future near-dups
+    with pytest.raises(ValueError, match="stale"):
+        C.extend_training_set(
+            spark, _docs(spark, [(23, T3 + " extra", "web")]), out,
+            index=idx,
+        )
+
     # ordered read == single-shot build of the same surviving rows
     combined = base_docs.unionByName(_docs(spark, [(22, T6, "web")]))
     fresh = str(tmp_path / "fresh")
