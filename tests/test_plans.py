@@ -370,3 +370,39 @@ def test_dedup_spans_prunes_scan_and_joins_on_window_hash(spark, sf_dir):
     assert any(
         "doc_id" in s and "text" in s and "lang" not in s for s in schemas
     )
+
+
+def test_quantized_topk_scan_prunes_to_int8_and_broadcasts_queries(
+    spark, sf_dir
+):
+    """The int8 tier's scale contract: the corpus-side scan of a
+    pre-quantized table reads the tinyint column, NOT the float
+    embedding (4x the bytes); the query batch broadcasts so the corpus
+    never shuffles before scoring; the re-rank join stays broadcast."""
+    import tempfile
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    qdir = tempfile.mkdtemp(prefix="qemb-") + "/t"
+    quantize_embeddings(emb).write.parquet(qdir)
+    pre = spark.read.parquet(qdir)
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+
+    # no re-rank: the scoring scan must read qvec but not embedding
+    raw = quantized_topk(pre, q, k=3, rerank_factor=1)
+    schemas = plans.scan_read_schemas(raw)
+    qvec_scans = [s for s in schemas if "qvec" in s]
+    assert qvec_scans and all("embedding" not in s for s in qvec_scans)
+    plan = plans.physical_plan(raw)
+    # query batch broadcasts (BroadcastNestedLoopJoin), never a
+    # two-sided CartesianProduct shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # with re-rank: candidates broadcast back onto the float column
+    rr = quantized_topk(pre, q, k=3, rerank_factor=4)
+    assert plans.physical_plan(rr).count("SortMergeJoin") == 0
