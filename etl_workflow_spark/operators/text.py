@@ -1045,3 +1045,111 @@ def corpus_containment_approx(
             " DIV NULLIF(eb, 0) AS BIGINT)"
         ).alias("containment_e6"),
     )
+
+
+# ------------------------------------------------- tokenizer training
+
+
+def vocab_counts(
+    df: DataFrame,
+    col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus word-frequency table ``(token, count)`` — the distributed
+    half of tokenizer training: at 100 TB the corpus aggregates down to
+    a vocabulary table of at most a few hundred million rows, and every
+    subsequent tokenizer step (BPE merges, unigram EM pruning) iterates
+    over THAT table, never the corpus again (the standard split in
+    published BPE/SentencePiece practice; see :func:`bpe_pair_counts`).
+
+    One explode + one combiner-friendly groupBy shuffle: partial
+    counts aggregate map-side, so the exchange carries distinct-token
+    partials per partition, not corpus tokens. ``top_k`` uses
+    ``orderBy(...).limit`` — Spark's distributed take-ordered, one
+    per-partition top-k then a driver merge of k×partitions rows —
+    never a single-partition global window. Deterministic: ties on
+    count break by token.
+
+    Capability analog in the reference: the GROUP BY term counting of
+    the summary endpoints (`main.py:109-135`) — re-aimed at tokenizer
+    vocabularies.
+    """
+    tok = F.explode(F.split(F.trim(F.col(col)), r"\s+")).alias("token")
+    t = df.where(F.col(col).isNotNull()).select(tok).where(
+        F.col("token") != ""
+    )
+    if lowercase:
+        t = t.select(F.lower(F.col("token")).alias("token"))
+    out = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= F.lit(int(min_count)))
+    )
+    out = out.orderBy(F.col("count").desc(), F.col("token").asc())
+    if top_k is not None:
+        out = out.limit(int(top_k))
+    return out
+
+
+def vocab_counts_oracle(
+    lowercase: bool = True,
+    min_count: int = 1,
+    top_k: int | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`vocab_counts`."""
+    tok = "unnest(string_split_regex(trim(text), '\\s+'))"
+    word = "lower(token)" if lowercase else "token"
+    limit = f"LIMIT {int(top_k)}" if top_k is not None else ""
+    return f"""
+        WITH toks AS (
+            SELECT {tok} AS token FROM {table} WHERE text IS NOT NULL
+        )
+        SELECT {word} AS token, COUNT(*) AS count
+        FROM toks WHERE token <> ''
+        GROUP BY 1 HAVING COUNT(*) >= {int(min_count)}
+        ORDER BY count DESC, token ASC {limit}
+    """
+
+
+def bpe_pair_counts(
+    vocab: DataFrame,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Weighted adjacent-symbol pair frequencies over a
+    :func:`vocab_counts` table — the table a BPE trainer consumes to
+    pick its next merge: ``(left, right, pair_count)`` where
+    ``pair_count = Σ word_count × occurrences-of-pair-in-word``.
+
+    Runs over the VOCABULARY (distinct words × their counts), never
+    the corpus — the point of the two-phase split: the first merge
+    decision needs exactly this table, and subsequent BPE iterations
+    mutate a symbol table that fits one machine (vocabularies cap at
+    ~10⁸ distinct words even at web scale, and shrink exponentially
+    as merges proceed), so the published trainers all run the merge
+    loop driver-side over the aggregated counts. Spark's job is the
+    corpus→counts collapse, done here with explode + one
+    combiner-friendly shuffle; per-character splitting stays in
+    codegen (``split('')``).
+    """
+    chars = F.split(F.col("token"), "")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(chars) - 2),
+        lambda i: F.struct(
+            F.element_at(chars, i + 1).alias("left"),
+            F.element_at(chars, i + 2).alias("right"),
+        ),
+    )
+    out = (
+        vocab.where(F.length("token") >= 2)
+        .select(F.col("count"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("count").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("left").asc(),
+                 F.col("right").asc())
+    )
+    if top_k is not None:
+        out = out.limit(int(top_k))
+    return out

@@ -45,6 +45,9 @@ def test_text_ops_on_empty_corpus(spark, empty_docs):
     ).count() == 0
     row = T.corpus_containment(empty_docs, empty_docs).collect()[0]
     assert (row.n_grams_b, row.n_shared, row.containment_e6) == (0, 0, None)
+    assert T.vocab_counts(empty_docs).count() == 0
+    empty_vocab = spark.createDataFrame([], "token string, count long")
+    assert T.bpe_pair_counts(empty_vocab).count() == 0
 
 
 def test_sampling_ops_on_empty_corpus(spark, empty_docs):

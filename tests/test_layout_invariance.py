@@ -143,6 +143,9 @@ OPERATORS = {
     "dedup_corpus": lambda s, d, docs, emb: __import__(
         "etl_workflow_spark.operators.dedup", fromlist=["dedup_corpus"]
     ).dedup_corpus(docs, threshold=0.4),
+    "vocab_counts": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.text", fromlist=["vocab_counts"]
+    ).vocab_counts(docs, min_count=2, top_k=100),
     "quantize_embeddings": lambda s, d, docs, emb: __import__(
         "etl_workflow_spark.operators.similarity",
         fromlist=["quantize_embeddings"],

@@ -314,3 +314,56 @@ def test_quantized_topk_accepts_prequantized_corpus(spark, sf_dir):
     a = sorted(map(tuple, S.quantized_topk(pre, q, k=5).collect()))
     b = sorted(map(tuple, S.quantized_topk(emb, q, k=5).collect()))
     assert a == b
+
+
+# ------------------------------------------------- tokenizer training
+
+
+def test_vocab_counts_matches_duckdb(spark, sf_dir):
+    """Cross-engine parity for the vocabulary table, incl. the
+    min_count/top_k knobs (deterministic tiebreak on token)."""
+    import duckdb
+
+    from etl_workflow_spark.operators.text import (
+        vocab_counts,
+        vocab_counts_oracle,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for kwargs in ({}, {"min_count": 3}, {"top_k": 50, "min_count": 2}):
+        got = [
+            (r["token"], r["count"])
+            for r in vocab_counts(docs, **kwargs).collect()
+        ]
+        want = con.execute(vocab_counts_oracle(**kwargs)).fetchall()
+        if "top_k" in kwargs:
+            assert got == want  # ordered take: exact sequence parity
+        else:
+            assert sorted(got) == sorted(want)
+    con.close()
+
+
+def test_bpe_pair_counts_python_oracle(spark):
+    from collections import Counter
+
+    from etl_workflow_spark.operators.text import bpe_pair_counts
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+             ("a", 7)]
+    want = Counter()
+    for w, c in vocab:
+        for a, b in zip(w, w[1:]):
+            want[(a, b)] += c
+    df = spark.createDataFrame(vocab, "token string, count long")
+    got = {(r["left"], r["right"]): r["pair_count"]
+           for r in bpe_pair_counts(df).collect()}
+    assert got == dict(want)
+    # top_k returns the best merges first, ties broken lexically
+    top = bpe_pair_counts(df, top_k=2).collect()
+    best = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [((r["left"], r["right"]), r["pair_count"]) for r in top] == best
