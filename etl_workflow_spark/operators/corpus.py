@@ -226,13 +226,14 @@ def materialize_training_set(
 
     # All written-output statistics from ONE scan of the files — the
     # write is the only full evaluation the default config pays.
-    per_shard = _written_shard_stats(
+    per_shard, shingleable = _written_shard_stats(
         spark,
         data_path,
         out.schema,
         F.col("n_tokens").cast("long")
         if chunk_tokens is not None
         else _n_tokens(col).cast("long"),
+        shingle_col=col if chunk_tokens is None else None,
     )
     manifest = {
         "format": "spark-graft-training-set/v1",
@@ -254,6 +255,10 @@ def materialize_training_set(
         # needing the global permutation use
         # read_training_set(ordered=True).
         "epochs": 1,
+        # docs able to produce word shingles (document units only):
+        # the prebuilt-index staleness guard compares against this
+        # instead of re-scanning the corpus text
+        "shingleable": shingleable,
         "config": {
             "col": col,
             "id_col": id_col,
@@ -278,29 +283,44 @@ def materialize_training_set(
     return manifest
 
 
-def _written_shard_stats(spark, data_path, schema, tok_col) -> dict:
+def _written_shard_stats(
+    spark, data_path, schema, tok_col, shingle_col=None
+) -> tuple[dict, int | None]:
     """Per-shard {rows, tokens} from ONE scan of the written files —
     the files are the source of truth (same principle as the txn
     manifest). The explicit schema keeps an all-rows-filtered output
     readable (zero part files would fail schema inference); string
-    shard keys so the manifest equals its own JSON round-trip."""
+    shard keys so the manifest equals its own JSON round-trip.
+
+    With ``shingle_col``, the SAME scan also totals the docs that can
+    produce word 3-shingles (≥3 tokens of non-null text) — recorded
+    in the manifest so the prebuilt-index staleness guard is a
+    metadata compare, not a second corpus text scan per extension."""
+    from .dedup import DEFAULT_SHINGLE_N
+    from .text import tokens
+
     written = (
         spark.read.schema(schema)
         .option("basePath", data_path)
         .parquet(data_path)
     )
-    shard_rows = (
-        written.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(tok_col).alias("tokens"),
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(tok_col).alias("tokens"),
+    ]
+    if shingle_col is not None:
+        cond = F.col(shingle_col).isNotNull() & (
+            F.size(tokens(shingle_col)) >= F.lit(DEFAULT_SHINGLE_N)
         )
-        .collect()
-    )
-    return {
+        aggs.append(F.sum(cond.cast("long")).alias("sh"))
+    shard_rows = written.groupBy("shard").agg(*aggs).collect()
+    per_shard = {
         str(int(r["shard"])): {"rows": r["rows"], "tokens": r["tokens"] or 0}
         for r in shard_rows
     }
+    if shingle_col is None:
+        return per_shard, None
+    return per_shard, int(sum(r["sh"] or 0 for r in shard_rows))
 
 
 def extend_training_set(
@@ -380,6 +400,16 @@ def extend_training_set(
     Returns the new manifest plus ``appended_rows``.
     """
     base = out_path.rstrip("/")
+    # fail a typo'd / nonexistent path BEFORE taking the lock —
+    # createNewFile would otherwise create the directory chain as a
+    # side effect of the guard itself
+    from ..sources.txn import _fs, _hpath
+
+    jvm, fs = _fs(spark, base)
+    if not fs.exists(_hpath(jvm, base, "manifest.json")):
+        raise FileNotFoundError(
+            f"no training set at {base} (manifest.json missing)"
+        )
     # lock BEFORE pinning the snapshot: reading first would let a
     # racing extension commit between our read and our lock — this
     # job would then append against a stale file listing (its
@@ -461,21 +491,32 @@ def _extend_locked(
 
     # staleness guard for a prebuilt index: a persisted index that
     # predates the last extension lacks band rows for the appended
-    # docs, so their near-dups would be admitted SILENTLY. One cheap
-    # agg per side: distinct indexed ids must equal the corpus docs
-    # that can shingle (>= n tokens of non-null text), and the band
-    # range must match the probe's default banding.
+    # docs, so their near-dups would be admitted SILENTLY. Coverage is
+    # a METADATA compare (the manifest records the shingle-able doc
+    # count from the write scan); banding is one agg over the index;
+    # hash parameters (num_hashes / shingle n are invisible in the
+    # bucket values) are verified by a CANARY — rebuild one indexed
+    # doc's band rows from corpus text and require identical buckets.
     if index is not None:
+        from .dedup import build_lsh_index
+
         iid = "id" if "id" in index.columns else id_col
         stats = index.agg(
             F.countDistinct(F.col(iid)).alias("ids"),
             (F.max("band") + 1).alias("bands"),
+            F.min(F.col(iid)).alias("canary"),
         ).collect()[0]
-        shingleable = existing.where(
-            F.col(col).isNotNull()
-            & (F.size(F.split(F.trim(F.col(col)), r"\s+")) >= 3)
-        ).count()
-        if stats["ids"] != shingleable or stats["bands"] != 8:
+        shingleable = manifest.get("shingleable")
+        if shingleable is None:
+            # manifest predates the recorded count: one fallback scan
+            from .text import tokens as _toks
+
+            shingleable = existing.where(
+                F.col(col).isNotNull() & (F.size(_toks(col)) >= 3)
+            ).count()
+        if (stats["ids"] or 0) == 0 and shingleable == 0:
+            pass  # empty index over a shingle-less corpus is fresh
+        elif stats["ids"] != shingleable or stats["bands"] != 8:
             raise ValueError(
                 f"prebuilt index is stale or mis-parameterized: it "
                 f"covers {stats['ids']} docs across {stats['bands']} "
@@ -484,6 +525,23 @@ def _extend_locked(
                 f"build_lsh_index after every extension, or pass "
                 f"index=None"
             )
+        else:
+            want = build_lsh_index(
+                existing.where(F.col(id_col) == stats["canary"]),
+                col=col, id_col=id_col,
+            ).select("band", "bucket")
+            have = index.where(F.col(iid) == stats["canary"]).select(
+                "band", "bucket"
+            )
+            if want.exceptAll(have).limit(1).count() > 0:
+                raise ValueError(
+                    "prebuilt index was built with different MinHash "
+                    "parameters (num_hashes / shingle n): its bucket "
+                    "values for a sample doc don't match a default-"
+                    "parameter rebuild — the probe would silently "
+                    "find no candidates. Rebuild with build_lsh_index "
+                    "defaults, or pass index=None"
+                )
 
     stages: list[tuple[str, int]] = []
 
@@ -557,9 +615,11 @@ def _extend_locked(
     out.write.mode("append").partitionBy("shard").parquet(data_path)
 
     prev_rows = manifest["rows"]
-    per_shard = _written_shard_stats(
-        spark, data_path, existing.schema, _n_tokens(col).cast("long")
+    per_shard, shingleable = _written_shard_stats(
+        spark, data_path, existing.schema, _n_tokens(col).cast("long"),
+        shingle_col=col,
     )
+    manifest["shingleable"] = shingleable
     manifest["shards"] = per_shard
     manifest["rows"] = sum(s["rows"] for s in per_shard.values())
     manifest["tokens"] = sum(s["tokens"] for s in per_shard.values())

@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# The default word-shingle width shared by every MinHash-family
+# operator (and by corpus.py's index-staleness bookkeeping): a doc
+# produces shingles iff it has >= this many whitespace tokens.
+DEFAULT_SHINGLE_N = 3
+
 # ------------------------------------------------------------------ exact
 
 

@@ -1066,17 +1066,19 @@ def vocab_counts(
 
     One explode + one combiner-friendly groupBy shuffle: partial
     counts aggregate map-side, so the exchange carries distinct-token
-    partials per partition, not corpus tokens. ``top_k`` uses
+    partials per partition, not corpus tokens. Without ``top_k`` the
+    table comes back UNORDERED (sorting a vocabulary someone is about
+    to re-aggregate would be a wasted range shuffle); ``top_k`` uses
     ``orderBy(...).limit`` — Spark's distributed take-ordered, one
     per-partition top-k then a driver merge of k×partitions rows —
-    never a single-partition global window. Deterministic: ties on
-    count break by token.
+    never a single-partition global window, deterministic with ties
+    on count breaking by token.
 
     Capability analog in the reference: the GROUP BY term counting of
     the summary endpoints (`main.py:109-135`) — re-aimed at tokenizer
     vocabularies.
     """
-    tok = F.explode(F.split(F.trim(F.col(col)), r"\s+")).alias("token")
+    tok = F.explode(tokens(col)).alias("token")
     t = df.where(F.col(col).isNotNull()).select(tok).where(
         F.col("token") != ""
     )
@@ -1087,9 +1089,14 @@ def vocab_counts(
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") >= F.lit(int(min_count)))
     )
-    out = out.orderBy(F.col("count").desc(), F.col("token").asc())
     if top_k is not None:
-        out = out.limit(int(top_k))
+        # ordered take only when the caller wants the top slice — an
+        # unconditional global sort would range-shuffle the whole
+        # vocabulary for consumers (bpe_pair_counts) that immediately
+        # re-aggregate it
+        out = out.orderBy(
+            F.col("count").desc(), F.col("token").asc()
+        ).limit(int(top_k))
     return out
 
 
@@ -1100,7 +1107,7 @@ def vocab_counts_oracle(
     table: str = "documents",
 ) -> str:
     """DuckDB twin of :func:`vocab_counts`."""
-    tok = "unnest(string_split_regex(trim(text), '\\s+'))"
+    tok = f"unnest({_sql_tokens('text')})"
     word = "lower(token)" if lowercase else "token"
     limit = f"LIMIT {int(top_k)}" if top_k is not None else ""
     return f"""

@@ -431,6 +431,16 @@ def test_extend_with_prebuilt_index_and_ordered_read(
             spark, _docs(spark, [(23, T3 + " extra", "web")]), out,
             index=idx,
         )
+    # same coverage/bands but DIFFERENT num_hashes: counts match, so
+    # only the bucket canary can catch it — probing with it would
+    # silently find no candidates
+    existing2, _ = C.read_training_set(spark, out)
+    bad_idx = build_lsh_index(existing2, num_hashes=64)
+    with pytest.raises(ValueError, match="parameters"):
+        C.extend_training_set(
+            spark, _docs(spark, [(23, T3 + " extra", "web")]), out,
+            index=bad_idx,
+        )
 
     # ordered read == single-shot build of the same surviving rows
     combined = base_docs.unionByName(_docs(spark, [(22, T6, "web")]))

@@ -373,14 +373,12 @@ def test_dedup_spans_prunes_scan_and_joins_on_window_hash(spark, sf_dir):
 
 
 def test_quantized_topk_scan_prunes_to_int8_and_broadcasts_queries(
-    spark, sf_dir
+    spark, sf_dir, tmp_path
 ):
     """The int8 tier's scale contract: the corpus-side scan of a
     pre-quantized table reads the tinyint column, NOT the float
     embedding (4x the bytes); the query batch broadcasts so the corpus
     never shuffles before scoring; the re-rank join stays broadcast."""
-    import tempfile
-
     from etl_workflow_spark.catalog import table
     from etl_workflow_spark.operators.similarity import (
         quantize_embeddings,
@@ -388,7 +386,7 @@ def test_quantized_topk_scan_prunes_to_int8_and_broadcasts_queries(
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    qdir = tempfile.mkdtemp(prefix="qemb-") + "/t"
+    qdir = str(tmp_path / "qemb")
     quantize_embeddings(emb).write.parquet(qdir)
     pre = spark.read.parquet(qdir)
     q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
