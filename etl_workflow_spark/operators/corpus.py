@@ -406,7 +406,14 @@ def extend_training_set(
     from ..sources.txn import _fs, _hpath
 
     jvm, fs = _fs(spark, base)
-    if not fs.exists(_hpath(jvm, base, "manifest.json")):
+    # .bak counts as present: during a concurrent _replace_manifest's
+    # demote window the live name is briefly absent — that situation
+    # must surface as the accurate lock-held error below, not as a
+    # bogus "no training set"
+    if not (
+        fs.exists(_hpath(jvm, base, "manifest.json"))
+        or fs.exists(_hpath(jvm, base, "manifest.json.bak"))
+    ):
         raise FileNotFoundError(
             f"no training set at {base} (manifest.json missing)"
         )
@@ -507,12 +514,19 @@ def _extend_locked(
             F.min(F.col(iid)).alias("canary"),
         ).collect()[0]
         shingleable = manifest.get("shingleable")
-        if shingleable is None:
-            # manifest predates the recorded count: one fallback scan
+        # the manifest's count is trustworthy only while the manifest
+        # matches the FILES (the module's source of truth): a crashed
+        # extension leaves appended part files with pre-crash stats.
+        # A no-filter parquet count is served from footer metadata, so
+        # this detection is cheap; the fallback text scan runs only on
+        # a stale or pre-upgrade manifest.
+        if shingleable is None or existing.count() != manifest["rows"]:
+            from .dedup import DEFAULT_SHINGLE_N
             from .text import tokens as _toks
 
             shingleable = existing.where(
-                F.col(col).isNotNull() & (F.size(_toks(col)) >= 3)
+                F.col(col).isNotNull()
+                & (F.size(_toks(col)) >= F.lit(DEFAULT_SHINGLE_N))
             ).count()
         if (stats["ids"] or 0) == 0 and shingleable == 0:
             pass  # empty index over a shingle-less corpus is fresh
@@ -526,21 +540,34 @@ def _extend_locked(
                 f"index=None"
             )
         else:
-            want = build_lsh_index(
-                existing.where(F.col(id_col) == stats["canary"]),
-                col=col, id_col=id_col,
-            ).select("band", "bucket")
-            have = index.where(F.col(iid) == stats["canary"]).select(
-                "band", "bucket"
-            )
-            if want.exceptAll(have).limit(1).count() > 0:
+            # two-way set compare of the canary doc's ≤bands band rows
+            # (collected, so an EMPTY rebuilt side cannot vacuously
+            # pass — a foreign index whose min id is absent from this
+            # corpus is refused, not waved through)
+            want = {
+                (r["band"], r["bucket"])
+                for r in build_lsh_index(
+                    existing.where(F.col(id_col) == stats["canary"]),
+                    col=col, id_col=id_col,
+                ).select("band", "bucket").collect()
+            }
+            have = {
+                (r["band"], r["bucket"])
+                for r in index.where(F.col(iid) == stats["canary"])
+                .select("band", "bucket").collect()
+            }
+            if not want or want != have:
                 raise ValueError(
-                    "prebuilt index was built with different MinHash "
-                    "parameters (num_hashes / shingle n): its bucket "
-                    "values for a sample doc don't match a default-"
-                    "parameter rebuild — the probe would silently "
-                    "find no candidates. Rebuild with build_lsh_index "
-                    "defaults, or pass index=None"
+                    "prebuilt index does not match this corpus under "
+                    "default MinHash parameters: the sample doc's "
+                    "rebuilt band rows "
+                    + ("are empty (its min id is not a shingle-able "
+                       "doc of this training set)" if not want
+                       else "differ from the indexed ones (different "
+                       "num_hashes / shingle n)")
+                    + " — the probe would silently find no candidates. "
+                    "Rebuild with build_lsh_index defaults, or pass "
+                    "index=None"
                 )
 
     stages: list[tuple[str, int]] = []

@@ -66,7 +66,7 @@ def exact_dedup_oracle(table: str = "documents") -> str:
 # ------------------------------------------------------------------ shingles
 
 
-def word_shingles(col: str = "text", n: int = 3) -> Column:
+def word_shingles(col: str = "text", n: int = DEFAULT_SHINGLE_N) -> Column:
     """Distinct word n-gram shingles as an array column.
 
     Built as ``arrays_zip`` of n shifted slices of the token array, so
@@ -83,7 +83,7 @@ def word_shingles(col: str = "text", n: int = 3) -> Column:
     )
 
 
-def _shingle_hashes(col: str = "text", n: int = 3) -> Column:
+def _shingle_hashes(col: str = "text", n: int = DEFAULT_SHINGLE_N) -> Column:
     """Array of 64-bit hashes, one per word n-gram — the MinHash input.
 
     No string shingle is ever materialized: each n-gram hashes directly
@@ -97,7 +97,7 @@ def _shingle_hashes(col: str = "text", n: int = 3) -> Column:
     return z  # caller explodes and hashes the struct fields
 
 
-def _sql_word_shingles(col: str = "text", n: int = 3) -> str:
+def _sql_word_shingles(col: str = "text", n: int = DEFAULT_SHINGLE_N) -> str:
     """DuckDB twin of :func:`word_shingles`."""
     toks = f"string_split_regex(trim({col}), '\\s+')"
     return (
@@ -113,7 +113,7 @@ def _sql_word_shingles(col: str = "text", n: int = 3) -> str:
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    n: int = 3,
+    n: int = DEFAULT_SHINGLE_N,
     col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -192,7 +192,7 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_oracle(
-    table: str = "documents", threshold: float = 0.5, n: int = 3,
+    table: str = "documents", threshold: float = 0.5, n: int = DEFAULT_SHINGLE_N,
     predicate: str = "TRUE",
 ) -> str:
     sh = _sql_word_shingles("text", n)
@@ -225,7 +225,7 @@ def ngram_jaccard_oracle(
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
-    n: int = 3,
+    n: int = DEFAULT_SHINGLE_N,
     col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -327,7 +327,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
-    n: int = 3,
+    n: int = DEFAULT_SHINGLE_N,
     col: str = "text",
     id_col: str = "doc_id",
     broadcast_pairs_limit: int = 1_000_000,
@@ -390,7 +390,7 @@ def build_lsh_index(
     df: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
-    n: int = 3,
+    n: int = DEFAULT_SHINGLE_N,
     col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -412,7 +412,7 @@ def minhash_lsh_probe(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
-    n: int = 3,
+    n: int = DEFAULT_SHINGLE_N,
     col: str = "text",
     id_col: str = "doc_id",
     broadcast_rows_limit: int = 1_000_000,
