@@ -226,7 +226,7 @@ def materialize_training_set(
 
     # All written-output statistics from ONE scan of the files — the
     # write is the only full evaluation the default config pays.
-    per_shard, shingleable = _written_shard_stats(
+    per_shard, shingleable, canaries = _written_shard_stats(
         spark,
         data_path,
         out.schema,
@@ -234,6 +234,7 @@ def materialize_training_set(
         if chunk_tokens is not None
         else _n_tokens(col).cast("long"),
         shingle_col=col if chunk_tokens is None else None,
+        id_col=id_col,
     )
     manifest = {
         "format": "spark-graft-training-set/v1",
@@ -277,15 +278,56 @@ def materialize_training_set(
             "pack_budget": pack_budget,
         },
     }
+    if canaries is not None and _json_safe_ids(canaries):
+        # the min AND max shingleable id: the staleness guard rebuilds
+        # both docs' band rows, so a mis-parameterized maintenance
+        # append (band rows for NEW docs built with different
+        # num_hashes/n) is caught from the max-id end on monotone-id
+        # corpora — min(id) alone always samples the oldest, provably
+        # correct epoch
+        manifest["canary_ids"] = canaries
     if audit:
         manifest["stage_rows"] = dict(stages)
     _write_manifest(spark, f"{out_path.rstrip('/')}/manifest.json", manifest)
     return manifest
 
 
+def _shingleable_cond(col: str, id_col: str):
+    """THE definition of "this doc participates in a prebuilt LSH
+    index": a non-NULL id (band rows key on the id, and the guard's
+    ``countDistinct`` on the index side drops NULL groups — a NULL-id
+    doc can never be covered, so it must not be counted as coverable)
+    plus enough non-null text for ≥1 word shingle — the implicit
+    indexable condition of ``dedup._shingle_hashes`` (trim → split on
+    whitespace → ≥ ``DEFAULT_SHINGLE_N`` tokens). One shared helper so
+    the manifest-side count and the staleness guard's fallback scan can
+    never drift from each other."""
+    from .dedup import DEFAULT_SHINGLE_N
+    from .text import tokens
+
+    return (
+        F.col(id_col).isNotNull()
+        & F.col(col).isNotNull()
+        & (F.size(tokens(col)) >= F.lit(DEFAULT_SHINGLE_N))
+    )
+
+
+def _json_safe_ids(vals) -> bool:
+    """True when every value survives a manifest JSON round-trip with
+    identity (int/float/str — not bool, whose Spark cast-to-string
+    differs, and not date/timestamp objects, which json.dumps rejects).
+    Canary ids failing this are simply not recorded; the guard's
+    fallback scan recomputes them live."""
+    return all(
+        isinstance(v, (int, float, str)) and not isinstance(v, bool)
+        for v in vals
+    )
+
+
 def _written_shard_stats(
-    spark, data_path, schema, tok_col, shingle_col=None
-) -> tuple[dict, int | None]:
+    spark, data_path, schema, tok_col, shingle_col=None,
+    id_col: str = "doc_id",
+) -> tuple[dict, int | None, list | None]:
     """Per-shard {rows, tokens} from ONE scan of the written files —
     the files are the source of truth (same principle as the txn
     manifest). The explicit schema keeps an all-rows-filtered output
@@ -293,12 +335,10 @@ def _written_shard_stats(
     shard keys so the manifest equals its own JSON round-trip.
 
     With ``shingle_col``, the SAME scan also totals the docs that can
-    produce word 3-shingles (≥3 tokens of non-null text) — recorded
-    in the manifest so the prebuilt-index staleness guard is a
-    metadata compare, not a second corpus text scan per extension."""
-    from .dedup import DEFAULT_SHINGLE_N
-    from .text import tokens
-
+    produce word 3-shingles (:func:`_shingleable_cond`) and captures
+    the min/max shingleable id — recorded in the manifest so the
+    prebuilt-index staleness guard is a metadata compare with known
+    canary ids, not a second corpus text scan per extension."""
     written = (
         spark.read.schema(schema)
         .option("basePath", data_path)
@@ -309,18 +349,21 @@ def _written_shard_stats(
         F.sum(tok_col).alias("tokens"),
     ]
     if shingle_col is not None:
-        cond = F.col(shingle_col).isNotNull() & (
-            F.size(tokens(shingle_col)) >= F.lit(DEFAULT_SHINGLE_N)
-        )
+        cond = _shingleable_cond(shingle_col, id_col)
         aggs.append(F.sum(cond.cast("long")).alias("sh"))
+        aggs.append(F.min(F.when(cond, F.col(id_col))).alias("cmn"))
+        aggs.append(F.max(F.when(cond, F.col(id_col))).alias("cmx"))
     shard_rows = written.groupBy("shard").agg(*aggs).collect()
     per_shard = {
         str(int(r["shard"])): {"rows": r["rows"], "tokens": r["tokens"] or 0}
         for r in shard_rows
     }
     if shingle_col is None:
-        return per_shard, None
-    return per_shard, int(sum(r["sh"] or 0 for r in shard_rows))
+        return per_shard, None, None
+    mns = [r["cmn"] for r in shard_rows if r["cmn"] is not None]
+    mxs = [r["cmx"] for r in shard_rows if r["cmx"] is not None]
+    canaries = [min(mns), max(mxs)] if mns else None
+    return per_shard, int(sum(r["sh"] or 0 for r in shard_rows)), canaries
 
 
 def extend_training_set(
@@ -423,6 +466,18 @@ def extend_training_set(
     # insert-if-absent and cross-dedup blind to the winner's rows)
     _acquire_extend_lock(spark, base)
     try:
+        # With the lock held there is no concurrent demote window, so a
+        # missing live manifest now means exactly one thing: a prior
+        # _replace_manifest crashed after demoting AND its .bak restore
+        # failed. Tell the operator the one-rename fix instead of dying
+        # inside read_training_set with an opaque FileNotFoundException.
+        if not fs.exists(_hpath(jvm, base, "manifest.json")):
+            raise RuntimeError(
+                f"{base}/manifest.json is missing but manifest.json.bak "
+                "exists: a previous manifest replacement crashed "
+                "mid-publish and could not self-restore. Rename "
+                "manifest.json.bak back to manifest.json, then retry"
+            )
         return _extend_locked(
             spark, new_docs, base, benchmark, index, audit
         )
@@ -500,34 +555,60 @@ def _extend_locked(
     # predates the last extension lacks band rows for the appended
     # docs, so their near-dups would be admitted SILENTLY. Coverage is
     # a METADATA compare (the manifest records the shingle-able doc
-    # count from the write scan); banding is one agg over the index;
-    # hash parameters (num_hashes / shingle n are invisible in the
-    # bucket values) are verified by a CANARY — rebuild one indexed
-    # doc's band rows from corpus text and require identical buckets.
+    # count from the write scan); hash parameters (num_hashes /
+    # shingle n are invisible in the bucket values) are verified by
+    # CANARIES — rebuild the min-id AND max-id shingleable docs' band
+    # rows from corpus text and require identical buckets, so a
+    # mis-parameterized maintenance APPEND (new docs' band rows built
+    # with different parameters onto a correct base) is caught from
+    # the newest-id end, not just the oldest. Coverage, banding, and
+    # the canaries' indexed band rows all come from ONE aggregation
+    # pass over the index (the canary ids are known beforehand from
+    # the manifest — no second index scan).
     if index is not None:
         from .dedup import build_lsh_index
 
         iid = "id" if "id" in index.columns else id_col
+        shingleable = manifest.get("shingleable")
+        canaries = manifest.get("canary_ids")
+        # the manifest's metadata is trustworthy only while it matches
+        # the FILES (the module's source of truth): a crashed extension
+        # leaves appended part files with pre-crash stats. A no-filter
+        # parquet count is served from footer metadata, so this
+        # detection is cheap; the fallback text scan runs only on a
+        # stale or pre-upgrade manifest (or a non-JSON-safe id type,
+        # which never records canary_ids).
+        if (
+            shingleable is None
+            or canaries is None
+            or existing.count() != manifest["rows"]
+        ):
+            row = (
+                existing.where(_shingleable_cond(col, id_col))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(id_col).alias("mn"),
+                    F.max(id_col).alias("mx"),
+                )
+                .collect()[0]
+            )
+            shingleable = row["n"]
+            canaries = [row["mn"], row["mx"]]
+        canaries = sorted(
+            {c for c in canaries if c is not None}, key=str
+        )
         stats = index.agg(
             F.countDistinct(F.col(iid)).alias("ids"),
             (F.max("band") + 1).alias("bands"),
-            F.min(F.col(iid)).alias("canary"),
+            *[
+                F.collect_list(
+                    F.when(
+                        F.col(iid) == F.lit(c), F.struct("band", "bucket")
+                    )
+                ).alias(f"__c{i}")
+                for i, c in enumerate(canaries)
+            ],
         ).collect()[0]
-        shingleable = manifest.get("shingleable")
-        # the manifest's count is trustworthy only while the manifest
-        # matches the FILES (the module's source of truth): a crashed
-        # extension leaves appended part files with pre-crash stats.
-        # A no-filter parquet count is served from footer metadata, so
-        # this detection is cheap; the fallback text scan runs only on
-        # a stale or pre-upgrade manifest.
-        if shingleable is None or existing.count() != manifest["rows"]:
-            from .dedup import DEFAULT_SHINGLE_N
-            from .text import tokens as _toks
-
-            shingleable = existing.where(
-                F.col(col).isNotNull()
-                & (F.size(_toks(col)) >= F.lit(DEFAULT_SHINGLE_N))
-            ).count()
         if (stats["ids"] or 0) == 0 and shingleable == 0:
             pass  # empty index over a shingle-less corpus is fresh
         elif stats["ids"] != shingleable or stats["bands"] != 8:
@@ -540,35 +621,42 @@ def _extend_locked(
                 f"index=None"
             )
         else:
-            # two-way set compare of the canary doc's ≤bands band rows
-            # (collected, so an EMPTY rebuilt side cannot vacuously
-            # pass — a foreign index whose min id is absent from this
-            # corpus is refused, not waved through)
-            want = {
-                (r["band"], r["bucket"])
-                for r in build_lsh_index(
-                    existing.where(F.col(id_col) == stats["canary"]),
+            # rebuild BOTH canaries' band rows in one corpus point
+            # lookup (per-doc MinHash is corpus-independent), then a
+            # two-way set compare per canary against the rows the
+            # index agg above already captured. The rebuilt side is
+            # collected, so an EMPTY rebuilt set cannot vacuously
+            # pass — a foreign index whose ids are absent from this
+            # corpus is refused, not waved through.
+            want: dict = {}
+            for r in (
+                build_lsh_index(
+                    existing.where(F.col(id_col).isin(canaries)),
                     col=col, id_col=id_col,
-                ).select("band", "bucket").collect()
-            }
-            have = {
-                (r["band"], r["bucket"])
-                for r in index.where(F.col(iid) == stats["canary"])
-                .select("band", "bucket").collect()
-            }
-            if not want or want != have:
-                raise ValueError(
-                    "prebuilt index does not match this corpus under "
-                    "default MinHash parameters: the sample doc's "
-                    "rebuilt band rows "
-                    + ("are empty (its min id is not a shingle-able "
-                       "doc of this training set)" if not want
-                       else "differ from the indexed ones (different "
-                       "num_hashes / shingle n)")
-                    + " — the probe would silently find no candidates. "
-                    "Rebuild with build_lsh_index defaults, or pass "
-                    "index=None"
                 )
+                .select("id", "band", "bucket")
+                .collect()
+            ):
+                want.setdefault(r["id"], set()).add(
+                    (r["band"], r["bucket"])
+                )
+            for i, c in enumerate(canaries):
+                have = {
+                    (r["band"], r["bucket"]) for r in stats[f"__c{i}"]
+                }
+                if not want.get(c) or want.get(c) != have:
+                    raise ValueError(
+                        "prebuilt index does not match this corpus "
+                        "under default MinHash parameters: canary doc "
+                        f"{c!r}'s rebuilt band rows "
+                        + ("are empty (not a shingle-able doc of this "
+                           "training set)" if not want.get(c)
+                           else "differ from the indexed ones "
+                           "(different num_hashes / shingle n)")
+                        + " — the probe would silently find no "
+                        "candidates. Rebuild with build_lsh_index "
+                        "defaults, or pass index=None"
+                    )
 
     stages: list[tuple[str, int]] = []
 
@@ -642,11 +730,14 @@ def _extend_locked(
     out.write.mode("append").partitionBy("shard").parquet(data_path)
 
     prev_rows = manifest["rows"]
-    per_shard, shingleable = _written_shard_stats(
+    per_shard, shingleable, canaries = _written_shard_stats(
         spark, data_path, existing.schema, _n_tokens(col).cast("long"),
-        shingle_col=col,
+        shingle_col=col, id_col=id_col,
     )
     manifest["shingleable"] = shingleable
+    manifest.pop("canary_ids", None)
+    if canaries is not None and _json_safe_ids(canaries):
+        manifest["canary_ids"] = canaries
     manifest["shards"] = per_shard
     manifest["rows"] = sum(s["rows"] for s in per_shard.values())
     manifest["tokens"] = sum(s["tokens"] for s in per_shard.values())

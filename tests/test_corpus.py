@@ -462,3 +462,78 @@ def test_extend_with_prebuilt_index_and_ordered_read(
         k = int(d.rsplit("=", 1)[1])
         seq_b[k] = [r.doc_id for r in spark.read.parquet(d).collect()]
     assert seq_a == seq_b
+
+
+def test_staleness_guard_catches_misparameterized_append(
+    spark, tmp_path, base_docs
+):
+    """A maintenance APPEND of band rows built with the wrong
+    parameters: coverage count and band range both match, so only the
+    max-id canary (the newest epoch's doc) can expose it — min(id)
+    alone always samples the oldest, provably correct build."""
+    from etl_workflow_spark.operators.dedup import build_lsh_index
+
+    out = str(tmp_path / "train")
+    C.materialize_training_set(
+        spark, base_docs, out, num_shards=4, dedup_threshold=0.5
+    )
+    C.extend_training_set(spark, _docs(spark, [(22, T6, "web")]), out)
+    existing, m = C.read_training_set(spark, out)
+    assert m["canary_ids"][-1] == 22  # max shingleable id is the append
+    good = build_lsh_index(existing.where("doc_id != 22"))
+    bad_tail = build_lsh_index(
+        existing.where("doc_id = 22"), num_hashes=64
+    )
+    patched = good.unionByName(bad_tail)
+    with pytest.raises(ValueError, match="parameters"):
+        C.extend_training_set(
+            spark, _docs(spark, [(23, T3 + " fresh", "web")]), out,
+            index=patched,
+        )
+
+
+def test_extend_surfaces_crashed_manifest_replacement(
+    spark, tmp_path, base_docs
+):
+    """live-manifest-missing-but-.bak-present (a crashed
+    _replace_manifest whose restore also failed) raises a recovery
+    instruction, not an opaque FileNotFoundException — and the
+    instructed rename actually fixes it."""
+    out = str(tmp_path / "train")
+    C.materialize_training_set(
+        spark, base_docs, out, num_shards=2, dedup_threshold=0.5
+    )
+    live = os.path.join(out, "manifest.json")
+    os.rename(live, live + ".bak")
+    with pytest.raises(RuntimeError, match="manifest.json.bak"):
+        C.extend_training_set(spark, _docs(spark, [(30, T6, "web")]), out)
+    assert not os.path.exists(os.path.join(out, "_extend.lock"))
+    os.rename(live + ".bak", live)
+    m = C.extend_training_set(
+        spark, _docs(spark, [(30, T6, "web")]), out
+    )
+    assert m["appended_rows"] == 1
+
+
+def test_staleness_guard_ignores_null_id_docs(spark, tmp_path):
+    """A NULL-id shingle-able doc is outside the prebuilt-index
+    contract (band rows key on id; countDistinct drops NULL groups) —
+    it must not be counted as coverable, or a perfectly fresh index
+    would be refused forever."""
+    from etl_workflow_spark.operators.dedup import build_lsh_index
+
+    out = str(tmp_path / "train")
+    docs = _docs(
+        spark, [(1, T1, "web"), (2, T2, "web"), (None, T3, "web")]
+    )
+    C.materialize_training_set(
+        spark, docs, out, num_shards=2, dedup=False, quality_filter=False
+    )
+    existing, m = C.read_training_set(spark, out)
+    assert m["shingleable"] == 2
+    assert m["canary_ids"] == [1, 2]
+    idx = build_lsh_index(existing.where("doc_id is not null"))
+    mm = C.extend_training_set(
+        spark, _docs(spark, [(9, T5, "web")]), out, index=idx
+    )
+    assert mm["appended_rows"] == 1
