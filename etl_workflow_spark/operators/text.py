@@ -15,6 +15,7 @@ the correctness gate can hash-compare results.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1160,3 +1161,226 @@ def bpe_pair_counts(
     if top_k is not None:
         out = out.limit(int(top_k))
     return out
+
+
+def train_bpe(
+    df: DataFrame,
+    col: str = "text",
+    num_merges: int = 1000,
+    lowercase: bool = True,
+    min_count: int = 1,
+    max_words: int = 1_000_000,
+    min_pair_count: int = 2,
+) -> dict:
+    """Learn a BPE merge table from a corpus (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") and
+    return a JSON-serializable model for :func:`bpe_encode`.
+
+    The published two-phase split, same as every production trainer
+    (subword-nmt, SentencePiece, HF tokenizers): Spark does the ONE
+    corpus-sized pass — :func:`vocab_counts`' explode + combiner-
+    friendly shuffle down to ``(word, count)`` — and the merge loop
+    then iterates driver-side over that aggregated table, never
+    touching the corpus again. ``max_words`` bounds the driver
+    collect with a deterministic top-k by count (tail words are
+    frequency-noise for merge decisions; capping the trainer's word
+    table is exactly what SentencePiece's sentence/word limits do).
+    Words never merge across boundaries (the corpus is whitespace
+    pre-tokenized by :func:`tokens`); no end-of-word marker is added.
+
+    Merge selection is highest pair count, ties broken by ``(left,
+    right)`` ascending — the same order :func:`bpe_pair_counts`
+    publishes, so the first learned merge always equals that table's
+    top row. Learning stops early when the best pair's count drops
+    below ``min_pair_count`` (default 2: a pair seen once generalizes
+    to nothing, per subword-nmt practice).
+
+    Model fields: ``merges`` (ordered ``[left, right]`` lists),
+    ``symbols`` (every base character + merged symbol, deterministic
+    order — index = token id for ``bpe_encode(ids=True)``, with the
+    final id reserved for OOV), ``lowercase`` (recorded so encode
+    preprocesses exactly like training).
+
+    Capability analog in the reference: none (nearest: the term
+    counting of the summary endpoints, `main.py:109-135`); this is
+    extension-tier surface for LLM training-data pipelines.
+    """
+    vocab = vocab_counts(
+        df, col=col, lowercase=lowercase, min_count=min_count,
+        top_k=int(max_words),
+    )
+    words = [(r["token"], int(r["count"])) for r in vocab.collect()]
+    return learn_bpe(
+        words, num_merges=num_merges, lowercase=lowercase,
+        min_pair_count=min_pair_count,
+    )
+
+
+def learn_bpe(
+    words: list[tuple[str, int]],
+    num_merges: int = 1000,
+    lowercase: bool = True,
+    min_pair_count: int = 2,
+) -> dict:
+    """Driver-side BPE merge loop over an aggregated ``(word, count)``
+    table (see :func:`train_bpe` for the distributed half and the
+    model contract). Incremental pair-count maintenance: each merge
+    re-indexes only the words that contain the merged pair, so the
+    loop is O(affected words × word length) per merge, not a full
+    vocabulary re-scan — the standard efficient formulation.
+    """
+    seqs: list[list[str]] = [list(w) for w, _ in words]
+    wc: list[int] = [int(c) for _, c in words]
+    stats: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], dict[int, int]] = {}
+    for i, seq in enumerate(seqs):
+        _index_word(stats, where, i, seq, wc[i], +1)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        if not stats:
+            break
+        # highest count, ties by (left, right) ascending — the exact
+        # publication order of bpe_pair_counts
+        pair = min(stats, key=lambda p: (-stats[p], p))
+        if stats[pair] < int(min_pair_count):
+            break
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for i in sorted(where.get(pair, {})):
+            old = seqs[i]
+            new = _merge_word(old, pair, merged)
+            _index_word(stats, where, i, old, wc[i], -1)
+            _index_word(stats, where, i, new, wc[i], +1)
+            seqs[i] = new
+        # fully merged: every occurrence was rewritten, so the pair's
+        # count is exactly zero and _index_word already dropped it
+
+    base = sorted({ch for w, _ in words for ch in w})
+    symbols = base + [left + right for left, right in merges]
+    return {
+        "format": "spark-graft-bpe/v1",
+        "merges": [[left, right] for left, right in merges],
+        "symbols": symbols,
+        "lowercase": bool(lowercase),
+    }
+
+
+def _index_word(stats, where, i, seq, count, sign) -> None:
+    """Add (+1) or remove (-1) word i's adjacent-pair contributions.
+    Counts are exact, so a removed pair hits exactly zero and is
+    dropped — stats never carries dead entries."""
+    for a, b in zip(seq, seq[1:]):
+        p = (a, b)
+        n = stats.get(p, 0) + sign * count
+        if n:
+            stats[p] = n
+        else:
+            stats.pop(p, None)
+        occ = where.setdefault(p, {})
+        k = occ.get(i, 0) + sign
+        if k:
+            occ[i] = k
+        else:
+            occ.pop(i, None)
+            if not occ:
+                where.pop(p, None)
+
+
+def _merge_word(seq: list[str], pair: tuple[str, str], merged: str) -> list[str]:
+    """All non-overlapping occurrences, left to right (so 'aaa' under
+    merge (a,a) becomes ['aa','a']) — the convention both training and
+    encoding share."""
+    out: list[str] = []
+    j = 0
+    while j < len(seq):
+        if j + 1 < len(seq) and seq[j] == pair[0] and seq[j + 1] == pair[1]:
+            out.append(merged)
+            j += 2
+        else:
+            out.append(seq[j])
+            j += 1
+    return out
+
+
+def bpe_segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Segment one word under a rank table: repeatedly merge the
+    lowest-rank adjacent pair present (all occurrences, left to right)
+    until no learnable pair remains — equivalent to replaying the
+    merges in learned order, in O(pairs present) per step instead of
+    O(total merges). Characters outside the training alphabet simply
+    stay single-character symbols."""
+    seq = list(word)
+    while len(seq) > 1:
+        best = None
+        for p in zip(seq, seq[1:]):
+            r = ranks.get(p)
+            if r is not None and (best is None or r < best[0]):
+                best = (r, p)
+        if best is None:
+            break
+        seq = _merge_word(seq, best[1], best[1][0] + best[1][1])
+    return seq
+
+
+def bpe_encode(
+    df: DataFrame,
+    model: dict,
+    col: str = "text",
+    out_col: str = "bpe_tokens",
+    ids: bool = False,
+) -> DataFrame:
+    """Tokenize a corpus with a :func:`train_bpe` model: adds
+    ``out_col`` as ``array<string>`` (symbols) or, with ``ids=True``,
+    ``array<int>`` (indexes into ``model["symbols"]``; characters the
+    training corpus never saw map to the reserved OOV id
+    ``len(symbols)``). NULL text stays NULL; empty/whitespace text
+    encodes to an empty array — the module's null-preservation
+    contract. Feed the id arrays straight into ``chunking.chunk_pack``
+    for sequence packing.
+
+    Encoding is per-row pure — embarrassingly parallel, no shuffle —
+    but iterative merging can't be expressed in codegen, so this is a
+    deliberate Arrow-batched ``pandas_udf`` with a per-batch word
+    memo: under a Zipfian corpus almost every word in a batch is a
+    cache hit, so the amortized cost per row is a dict probe per
+    word. (The alternative — distinct-word join — would need a
+    positional explode plus an ordered collect_list shuffle to
+    rebuild documents: strictly worse than shuffle-free encode.)
+    """
+    ranks = {
+        (left, right): r for r, (left, right) in enumerate(model["merges"])
+    }
+    lowercase = bool(model.get("lowercase", True))
+    sym_ids = (
+        {s: i for i, s in enumerate(model["symbols"])} if ids else None
+    )
+    oov = len(model["symbols"])
+    ret = "array<int>" if ids else "array<string>"
+
+    @F.pandas_udf(ret)
+    def enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list] = {}
+
+        def one_word(w: str) -> list:
+            got = memo.get(w)
+            if got is None:
+                got = bpe_segment_word(w, ranks)
+                if sym_ids is not None:
+                    got = [sym_ids.get(s, oov) for s in got]
+                memo[w] = got
+            return got
+
+        def one_doc(t):
+            if t is None:
+                return None
+            if lowercase:
+                t = t.lower()
+            out: list = []
+            for w in t.split():
+                out.extend(one_word(w))
+            return out
+
+        return texts.map(one_doc)
+
+    return df.withColumn(out_col, enc(F.col(col)))

@@ -367,3 +367,106 @@ def test_bpe_pair_counts_python_oracle(spark):
     top = bpe_pair_counts(df, top_k=2).collect()
     best = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
     assert [((r["left"], r["right"]), r["pair_count"]) for r in top] == best
+
+
+# --------------------------------------------------------- BPE tokenizer
+
+
+def _naive_bpe(words, num_merges, min_pair_count=2):
+    """Recount-everything-per-iteration oracle for learn_bpe's
+    incremental pair-count maintenance."""
+    seqs = {w: list(w) for w, _ in words}
+    counts = dict(words)
+    merges = []
+    for _ in range(num_merges):
+        stats = {}
+        for w, seq in seqs.items():
+            for p in zip(seq, seq[1:]):
+                stats[p] = stats.get(p, 0) + counts[w]
+        if not stats:
+            break
+        pair = min(stats, key=lambda p: (-stats[p], p))
+        if stats[pair] < min_pair_count:
+            break
+        merges.append(pair)
+        for w in seqs:
+            seqs[w] = T._merge_word(seqs[w], pair, pair[0] + pair[1])
+    return merges, seqs
+
+
+def test_learn_bpe_matches_naive_oracle():
+    words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+             ("wider", 1), ("new", 2), ("aaa", 4)]
+    model = T.learn_bpe(words, num_merges=12)
+    want, want_seqs = _naive_bpe(words, 12)
+    assert [tuple(m) for m in model["merges"]] == want
+    # encoding each training word reproduces its final training
+    # segmentation (min-rank replay == in-order replay)
+    ranks = {tuple(m): r for r, m in enumerate(model["merges"])}
+    for w, _ in words:
+        assert T.bpe_segment_word(w, ranks) == want_seqs[w]
+    # 'aaa' merges left-to-right non-overlapping: ['aa', 'a']
+    assert "".join(T.bpe_segment_word("aaa", ranks)) == "aaa"
+
+
+def test_learn_bpe_incremental_equals_naive_on_random_corpora():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abcd", min_size=1, max_size=8),
+                st.integers(min_value=1, max_value=9),
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda wc: wc[0],
+        )
+    )
+    def check(words):
+        model = T.learn_bpe(words, num_merges=8, min_pair_count=1)
+        want, _ = _naive_bpe(words, 8, min_pair_count=1)
+        assert [tuple(m) for m in model["merges"]] == want
+
+    check()
+
+
+def test_train_bpe_first_merge_is_top_pair(spark):
+    df = _docs(spark, [(1, "low lower low low"), (2, "newest new lowest")])
+    model = T.train_bpe(df, num_merges=5)
+    top = T.bpe_pair_counts(T.vocab_counts(df)).first()
+    assert model["merges"][0] == [top["left"], top["right"]]
+    # stop rule: every learned merge had count >= 2 at selection time
+    assert len(model["merges"]) <= 5
+
+
+def test_bpe_encode_strings_ids_and_nulls(spark):
+    import json
+
+    df = _docs(spark, [(1, "low low lower"), (2, None), (3, "   "),
+                       (4, "LOW"), (5, "xyz")])
+    model = T.train_bpe(df.where("doc_id = 1"), num_merges=3,
+                        min_pair_count=1)
+    # model survives a JSON round-trip (the persistence contract)
+    model = json.loads(json.dumps(model))
+    rows = {r["doc_id"]: r["bpe_tokens"]
+            for r in T.bpe_encode(df, model).collect()}
+    assert rows[2] is None          # NULL text stays NULL
+    assert rows[3] == []            # whitespace-only -> empty
+    assert rows[4] == rows[1][:len(rows[4])]  # lowercase recorded
+    for did in (1, 4, 5):
+        assert "".join(rows[did]) == " ".join(
+            df.where(f"doc_id = {did}").first()["text"].lower().split()
+        ).replace(" ", "")
+    ids = {r["doc_id"]: r["bpe_tokens"]
+           for r in T.bpe_encode(df, model, ids=True).collect()}
+    sym = {s: i for i, s in enumerate(model["symbols"])}
+    assert ids[1] == [sym[s] for s in rows[1]]
+    oov = len(model["symbols"])
+    assert ids[5] != [] and all(
+        i == oov for i, s in zip(ids[5], rows[5]) if s not in sym
+    )
+    # doc 5's chars never occur in training -> every id is OOV
+    assert set(ids[5]) == {oov}
