@@ -362,7 +362,10 @@ def _written_shard_stats(
         return per_shard, None, None
     mns = [r["cmn"] for r in shard_rows if r["cmn"] is not None]
     mxs = [r["cmx"] for r in shard_rows if r["cmx"] is not None]
-    canaries = [min(mns), max(mxs)] if mns else None
+    # zero shingleable docs record an EMPTY canary list (a valid,
+    # cheap metadata answer) — None would force the guard's fallback
+    # text scan on every future extension
+    canaries = [min(mns), max(mxs)] if mns else []
     return per_shard, int(sum(r["sh"] or 0 for r in shard_rows)), canaries
 
 
@@ -594,8 +597,16 @@ def _extend_locked(
             )
             shingleable = row["n"]
             canaries = [row["mn"], row["mx"]]
+        # binary id columns collect as bytearray — unhashable, so it
+        # can be neither set member nor dict key below; bytes keeps
+        # the value and round-trips through F.lit/isin unchanged
         canaries = sorted(
-            {c for c in canaries if c is not None}, key=str
+            {
+                bytes(c) if isinstance(c, bytearray) else c
+                for c in canaries
+                if c is not None
+            },
+            key=str,
         )
         stats = index.agg(
             F.countDistinct(F.col(iid)).alias("ids"),
@@ -637,26 +648,44 @@ def _extend_locked(
                 .select("id", "band", "bucket")
                 .collect()
             ):
-                want.setdefault(r["id"], set()).add(
+                k = (
+                    bytes(r["id"])
+                    if isinstance(r["id"], bytearray)
+                    else r["id"]
+                )
+                want.setdefault(k, set()).add(
                     (r["band"], r["bucket"])
                 )
             for i, c in enumerate(canaries):
                 have = {
                     (r["band"], r["bucket"]) for r in stats[f"__c{i}"]
                 }
-                if not want.get(c) or want.get(c) != have:
-                    raise ValueError(
-                        "prebuilt index does not match this corpus "
-                        "under default MinHash parameters: canary doc "
-                        f"{c!r}'s rebuilt band rows "
-                        + ("are empty (not a shingle-able doc of this "
-                           "training set)" if not want.get(c)
-                           else "differ from the indexed ones "
-                           "(different num_hashes / shingle n)")
-                        + " — the probe would silently find no "
-                        "candidates. Rebuild with build_lsh_index "
-                        "defaults, or pass index=None"
+                if want.get(c) and want.get(c) == have:
+                    continue
+                if not want.get(c):
+                    why = (
+                        "rebuilt band rows are empty (not a "
+                        "shingle-able doc of this training set)"
                     )
+                elif not have:
+                    why = (
+                        "band rows are missing from the index even "
+                        "though its coverage count matches — it was "
+                        "built over a DIFFERENT id set (wrong corpus "
+                        "or wrong batch)"
+                    )
+                else:
+                    why = (
+                        "rebuilt band rows differ from the indexed "
+                        "ones (different num_hashes / shingle n)"
+                    )
+                raise ValueError(
+                    "prebuilt index does not match this corpus "
+                    "under default MinHash parameters: canary doc "
+                    f"{c!r}'s {why} — the probe would silently find "
+                    "no candidates. Rebuild with build_lsh_index "
+                    "defaults, or pass index=None"
+                )
 
     stages: list[tuple[str, int]] = []
 

@@ -1228,7 +1228,18 @@ def learn_bpe(
     re-indexes only the words that contain the merged pair, so the
     loop is O(affected words × word length) per merge, not a full
     vocabulary re-scan — the standard efficient formulation.
+
+    ``lowercase=True`` (the default, matching :func:`vocab_counts`)
+    lowercases the input words and folds their counts, so a
+    mixed-case word table can't produce symbols the (lowercasing)
+    encoder could never emit.
     """
+    if lowercase:
+        folded: dict[str, int] = {}
+        for w, c in words:
+            lw = w.lower()
+            folded[lw] = folded.get(lw, 0) + int(c)
+        words = list(folded.items())
     seqs: list[list[str]] = [list(w) for w, _ in words]
     wc: list[int] = [int(c) for _, c in words]
     stats: dict[tuple[str, str], int] = {}
@@ -1360,12 +1371,22 @@ def bpe_encode(
 
     @F.pandas_udf(ret)
     def enc(texts: pd.Series) -> pd.Series:
+        import re
+
+        # re.ASCII makes \s the Java-regex character class Spark's
+        # tokens() splits on ([ \t\n\x0b\f\r]) — Python's default
+        # Unicode \s (and str.split()) would additionally split on
+        # NBSP/thin-space/U+2028, silently diverging from the training
+        # segmentation on web text
+        ws = re.compile(r"\s+", re.ASCII)
         memo: dict[str, list] = {}
 
         def one_word(w: str) -> list:
             got = memo.get(w)
             if got is None:
-                got = bpe_segment_word(w, ranks)
+                got = bpe_segment_word(
+                    w.lower() if lowercase else w, ranks
+                )
                 if sym_ids is not None:
                     got = [sym_ids.get(s, oov) for s in got]
                 memo[w] = got
@@ -1374,11 +1395,10 @@ def bpe_encode(
         def one_doc(t):
             if t is None:
                 return None
-            if lowercase:
-                t = t.lower()
             out: list = []
-            for w in t.split():
-                out.extend(one_word(w))
+            for w in ws.split(t):
+                if w:
+                    out.extend(one_word(w))
             return out
 
         return texts.map(one_doc)

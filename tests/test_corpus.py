@@ -537,3 +537,68 @@ def test_staleness_guard_ignores_null_id_docs(spark, tmp_path):
         spark, _docs(spark, [(9, T5, "web")]), out, index=idx
     )
     assert mm["appended_rows"] == 1
+
+
+def test_staleness_guard_handles_binary_ids(spark, tmp_path):
+    """Binary id columns collect as (unhashable) bytearray; the guard
+    must still run — canary ids are normalized to bytes, and the
+    manifest simply never records them (not JSON-safe), so the
+    fallback scan path is the one exercised here."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.operators.dedup import build_lsh_index
+
+    out = str(tmp_path / "train")
+    docs = (
+        _docs(spark, [(1, T1, "web"), (2, T2, "web"), (3, T3, "web")])
+        .withColumn("doc_id", F.encode(F.concat(F.lit("k"), "doc_id"), "utf-8"))
+    )
+    C.materialize_training_set(
+        spark, docs, out, num_shards=2, dedup=False, quality_filter=False
+    )
+    existing, m = C.read_training_set(spark, out)
+    assert "canary_ids" not in m
+    idx = build_lsh_index(existing)
+    new = _docs(spark, [(9, T5, "web")]).withColumn(
+        "doc_id", F.encode(F.concat(F.lit("k"), "doc_id"), "utf-8")
+    )
+    mm = C.extend_training_set(spark, new, out, index=idx)
+    assert mm["appended_rows"] == 1
+
+
+def test_staleness_guard_names_wrong_id_set(spark, tmp_path, base_docs):
+    """An index whose coverage COUNT matches but whose id set does not
+    (band rows for a different corpus/batch) is refused with a
+    different-id-set diagnosis, not a hash-parameter one."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.operators.dedup import build_lsh_index
+
+    out = str(tmp_path / "train")
+    C.materialize_training_set(
+        spark, base_docs, out, num_shards=2, dedup_threshold=0.5
+    )
+    existing, m = C.read_training_set(spark, out)
+    hi = max(m["canary_ids"])
+    relabeled = build_lsh_index(existing).withColumn(
+        "id", F.when(F.col("id") == hi, F.lit(9999)).otherwise(F.col("id"))
+    )
+    with pytest.raises(ValueError, match="DIFFERENT id set"):
+        C.extend_training_set(
+            spark, _docs(spark, [(40, T5 + " anew", "web")]), out,
+            index=relabeled,
+        )
+
+
+def test_shingleless_corpus_records_empty_canaries(spark, tmp_path):
+    """Zero shingle-able docs -> canary_ids records [] (a valid cheap
+    metadata answer), keeping future guarded extensions off the
+    fallback text scan."""
+    out = str(tmp_path / "train")
+    docs = _docs(spark, [(1, "one two", "web"), (2, "ok", "web")])
+    C.materialize_training_set(
+        spark, docs, out, num_shards=2, dedup=False, quality_filter=False
+    )
+    _, m = C.read_training_set(spark, out)
+    assert m["shingleable"] == 0
+    assert m["canary_ids"] == []

@@ -470,3 +470,26 @@ def test_bpe_encode_strings_ids_and_nulls(spark):
     )
     # doc 5's chars never occur in training -> every id is OOV
     assert set(ids[5]) == {oov}
+
+
+def test_bpe_encode_tokenizes_like_training(spark):
+    """Non-ASCII whitespace (NBSP) is NOT a word boundary for Spark's
+    tokens() (Java \\s+ is ASCII-only) — encode must agree, or symbols
+    learned across NBSP become unreachable."""
+    t = "foo bar foo bar baz"
+    df = _docs(spark, [(1, t)])
+    model = T.train_bpe(df, num_merges=20, min_pair_count=1)
+    assert "foo bar" in model["symbols"]  # learned as ONE word
+    toks = T.bpe_encode(df, model).first()["bpe_tokens"]
+    assert toks == ["foo bar", "foo bar", "baz"]
+
+
+def test_learn_bpe_folds_case_when_lowercasing(spark):
+    model = T.learn_bpe([("Low", 5), ("LOW", 3), ("lower", 1)],
+                        num_merges=3, min_pair_count=1)
+    # counts folded: 'lo'/'low' merges learned from 9 combined copies
+    assert model["merges"][0] == ["l", "o"]
+    assert all(s == s.lower() for s in model["symbols"])
+    df = _docs(spark, [(1, "LOW Low low")])
+    rows = T.bpe_encode(df, model).first()["bpe_tokens"]
+    assert rows == ["low", "low", "low"]
