@@ -155,6 +155,9 @@ def main() -> None:
         # evolving merge → delete through the manifest log) — constant
         # work vs sf (fixed key slice), timing the commit protocol
         "txn_mutations",
+        # round-8: full BPE tokenizer workflow — vocab shuffle + driver
+        # merge loop (run-rarely) + the corpus-sized shuffle-free encode
+        "bpe_tokenize",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -246,6 +249,13 @@ def main() -> None:
             table(s, d, "documents"), min_tokens=50
         ),
         "event_funnel": lambda s, d: _event_funnel_df(s, d),
+        # train (one vocab shuffle + driver merge loop) + encode
+        # (shuffle-free Arrow pass) — the whole tokenizer workflow
+        "bpe_tokenize": lambda s, d: T.bpe_encode(
+            table(s, d, "documents").select("doc_id", "text"),
+            T.train_bpe(table(s, d, "documents"), num_merges=200),
+            ids=True,
+        ),
     }
 
     def _event_funnel_df(s, d):

@@ -404,3 +404,19 @@ def test_quantized_topk_scan_prunes_to_int8_and_broadcasts_queries(
     # with re-rank: candidates broadcast back onto the float column
     rr = quantized_topk(pre, q, k=3, rerank_factor=4)
     assert plans.physical_plan(rr).count("SortMergeJoin") == 0
+
+
+def test_bpe_encode_is_shuffle_free(spark, sf_dir):
+    """Tokenization must scale as a pure map: no Exchange anywhere —
+    the corpus-sized recurring cost of the tokenizer is one
+    Arrow-batched pass per split."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import bpe_encode, learn_bpe
+
+    model = learn_bpe([("the", 5), ("then", 3), ("them", 2)],
+                      num_merges=4, min_pair_count=1)
+    df = bpe_encode(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        model, ids=True,
+    )
+    assert plans.count_exchanges(df) == 0
