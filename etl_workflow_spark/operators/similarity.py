@@ -372,6 +372,7 @@ def embedding_neardup_blocked(
     rows_per_block: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs via blocked matrix multiplication.
 
@@ -382,6 +383,14 @@ def embedding_neardup_blocked(
     straight onto a GPU scorer). Same exact result set as
     :func:`embedding_neardup_exact`; FP sums differ only in the last
     ulp (numpy pairwise vs left-fold accumulation).
+
+    With ``group_col``, pairs are computed only WITHIN each group
+    (the :func:`semdedup` shape: group = k-means cell) — block pairs
+    join on equal group, and each group gets its own block count
+    derived from its OWN size (a global count would shred small
+    groups into thousands of near-empty blocks and the block-pair
+    join would quadratically multiply them; parallelism comes from
+    the groups themselves).
 
     Scale shape: shuffle is one groupBy over N rows plus an
     (num_blocks^2)/2-row nested-loop join of block summaries. By
@@ -396,26 +405,48 @@ def embedding_neardup_blocked(
         ArrayType, DoubleType, LongType, StructField, StructType,
     )
 
-    if num_blocks is None:
-        n = emb.count()
-        # two bounds: block SIZE stays <= rows_per_block (a fixed count
-        # outgrows Arrow row limits at 100x corpus), and block COUNT
-        # stays >= ~8 when the corpus allows (>=64 rows/block) so the
-        # B(B+1)/2 block pairs actually spread across executors — with
-        # one block the whole matmul lands on a single task.
-        num_blocks = max(
-            math.ceil(n / rows_per_block),
-            min(8, max(1, n // 64)),
+    base = emb.select(
+        *([F.col(group_col).alias("grp")] if group_col else []),
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    if group_col is not None:
+        # per-group block count from per-group size; the size table is
+        # one row per group — broadcast back onto the rows
+        sizes = base.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
+        nb = F.greatest(
+            F.lit(1),
+            F.ceil(F.col("__n") / F.lit(int(rows_per_block))).cast("long"),
         )
+        keyed = base.join(F.broadcast(sizes), "grp").select(
+            "grp",
+            (F.crc32(F.col("id").cast("string")) % nb).alias("blk"),
+            "id",
+            "vec",
+        )
+        grp_cols = ["grp", "blk"]
+    else:
+        if num_blocks is None:
+            n = emb.count()
+            # two bounds: block SIZE stays <= rows_per_block (a fixed
+            # count outgrows Arrow row limits at 100x corpus), and block
+            # COUNT stays >= ~8 when the corpus allows (>=64 rows/block)
+            # so the B(B+1)/2 block pairs actually spread across
+            # executors — with one block the whole matmul lands on a
+            # single task.
+            num_blocks = max(
+                math.ceil(n / rows_per_block),
+                min(8, max(1, n // 64)),
+            )
+        keyed = base.select(
+            (F.crc32(F.col("id").cast("string")) % num_blocks).alias("blk"),
+            "id",
+            "vec",
+        )
+        grp_cols = ["blk"]
 
-    blocks = (
-        emb.select(
-            (F.crc32(F.col(id_col).cast("string")) % num_blocks).alias("blk"),
-            F.col(id_col).alias("id"),
-            _as_double(F.col(vec_col)).alias("vec"),
-        )
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("id", "vec")).alias("rows"))
+    blocks = keyed.groupBy(*grp_cols).agg(
+        F.collect_list(F.struct("id", "vec")).alias("rows")
     )
     thr_e4 = int(threshold * 10000 + 0.5)
     pair_schema = ArrayType(
@@ -465,7 +496,12 @@ def embedding_neardup_blocked(
         return pd.Series(out)
 
     x, y = blocks.alias("x"), blocks.alias("y")
-    block_pairs = x.join(y, F.col("x.blk") <= F.col("y.blk")).select(
+    cond = F.col("x.blk") <= F.col("y.blk")
+    if group_col is not None:
+        # equi-key first: Catalyst plans a hash join on grp with the
+        # blk inequality as a post-filter, never a cross of groups
+        cond = (F.col("x.grp") == F.col("y.grp")) & cond
+    block_pairs = x.join(y, cond).select(
         score_blocks(F.col("x.rows"), F.col("y.rows")).alias("hits")
     )
     return block_pairs.select(F.explode("hits").alias("h")).select(
@@ -821,6 +857,74 @@ def kmeans(
         return out, [list(map(float, c)) for c in cents]
     finally:
         vecs.unpersist()
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    k: int = 16,
+    dim: int = 64,
+    keep: str = "farthest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    rows_per_block: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup
+    recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the corpus
+    with :func:`kmeans`, find cosine-near pairs WITHIN each cluster
+    only, connect them into duplicate groups, and keep one member per
+    group. Returns the surviving rows of ``emb`` unchanged.
+
+    ``keep='farthest'`` (the paper's policy) survives the member
+    farthest from its cluster centroid — the most atypical copy, which
+    preserves diversity; ``keep='min_id'`` survives the smallest id.
+    Both tie-break deterministically on id.
+
+    Scale shape: the quadratic pairing is confined to k-means cells
+    (cost Σ cellᵢ², the paper's point — k controls the quadratic
+    term), executed as per-cell blocked matmuls
+    (:func:`embedding_neardup_blocked` with ``group_col``, each block
+    ≤ ``rows_per_block`` vectors); components and the keep policy run
+    over the (tiny) verified pair list, and the corpus itself only
+    ever semi/anti-joins the survivor/loser ids — full vectors never
+    re-shuffle after the one assignment join.
+
+    Capability analog in the reference: none (extension tier for LLM
+    training-data pipelines; nearest hook is the trigram similarity
+    index, `database-schema.sql:5,64` — lexical, not semantic).
+    """
+    from .dedup import dedup_clusters, keep_best_per_cluster
+
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+
+    assign, _ = kmeans(
+        emb, k=k, dim=dim, max_iter=max_iter, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    with_cell = emb.select(id_col, vec_col).join(
+        assign.select(id_col, "cluster"), id_col
+    )
+    pairs = embedding_neardup_blocked(
+        with_cell, threshold=threshold, rows_per_block=rows_per_block,
+        id_col=id_col, vec_col=vec_col, group_col="cluster",
+    )
+    comps = dedup_clusters(pairs, id_a="vec_a", id_b="vec_b", id_col=id_col)
+    if keep == "min_id":
+        losers = comps.where(F.col(id_col) != F.col("cluster_id")).select(
+            id_col
+        )
+        return emb.join(losers, id_col, "left_anti")
+    # 'farthest': every component's members share one k-means cell, so
+    # their centroid distances are directly comparable
+    surviving = keep_best_per_cluster(
+        assign.select(id_col, "dist_e6"), comps, "dist_e6",
+        id_col=id_col, higher_is_better=True,
+    )
+    return emb.join(surviving.select(id_col), id_col, "left_semi")
 
 
 def pca_fit(

@@ -377,3 +377,95 @@ def test_dedup_corpus_releases_every_persist(spark):
     dedup_corpus(docs, threshold=0.5).count()
     leaked = _non_checkpoint_persists(spark)
     assert leaked == [], f"cached RDDs leaked: {leaked}"
+
+
+# --------------------------------------------------------------- semdedup
+
+
+def _blob_corpus(spark):
+    """Three well-separated blobs; inside blob 0 two planted near-dup
+    groups (cosine ~1 pairs), everything else angularly distinct."""
+    import random
+
+    rnd = random.Random(3)
+    centers = [[0.0] * 8, [40.0] * 8, [-40.0] * 8]
+    centers[0][0] = 40.0  # keep blob 0 away from the origin
+    rows = []
+    for i in range(120):
+        c = i % 3
+        v = [centers[c][d] + rnd.gauss(0, 2.0) for d in range(8)]
+        rows.append((i, v))
+    # planted dups: same direction, different magnitude -> cosine ~1
+    base = rows[0][1]
+    rows.append((200, [x * 2.0 for x in base]))
+    rows.append((201, [x * 3.0 for x in base]))
+    base2 = rows[3][1]
+    rows.append((210, [x * 1.5 for x in base2]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_blocked_group_col_restricts_pairs_to_group(spark):
+    """Grouped blocked pairing == global exact pairs filtered to
+    same-group membership (value-level, both ids and cosines)."""
+    from pyspark.sql import functions as F
+
+    df = _blob_corpus(spark).withColumn(
+        "grp", (F.col("vec_id") % 2).cast("long")
+    )
+    grp_of = {r.vec_id: r.grp for r in df.select("vec_id", "grp").collect()}
+    exact = _pairs(embedding_neardup_exact(df, threshold=0.9))
+    want = {
+        p: c for p, c in exact.items() if grp_of[p[0]] == grp_of[p[1]]
+    }
+    got = _pairs(
+        embedding_neardup_blocked(
+            df, threshold=0.9, group_col="grp", rows_per_block=16
+        )
+    )
+    assert got == want
+    assert any(grp_of[a] != grp_of[b] for a, b in exact), (
+        "fixture must contain cross-group pairs for the filter to bite"
+    )
+
+
+def test_semdedup_drops_planted_dups_keeps_rest(spark):
+    from etl_workflow_spark.operators.similarity import semdedup
+
+    df = _blob_corpus(spark)
+    surv = semdedup(df, threshold=0.9999, k=3, dim=8, keep="min_id")
+    ids = {r.vec_id for r in surv.select("vec_id").collect()}
+    # each planted dup group survives exactly its min id
+    assert 0 in ids and not {200, 201} & ids
+    assert 3 in ids and 210 not in ids
+    # nothing else was dropped
+    assert len(ids) == df.count() - 3
+    # survivors keep the input schema untouched
+    assert surv.columns == df.columns
+
+
+def test_semdedup_farthest_keeps_most_atypical_member(spark):
+    from etl_workflow_spark.operators.similarity import (
+        kmeans,
+        semdedup,
+    )
+
+    df = _blob_corpus(spark)
+    surv = semdedup(df, threshold=0.9999, k=3, dim=8, keep="farthest")
+    ids = {r.vec_id for r in surv.select("vec_id").collect()}
+    assert len(ids) == df.count() - 3
+    # the paper policy: among {0, 200, 201} the survivor is the member
+    # farthest from its centroid (the x3 copy), same for {3, 210}
+    assign, _ = kmeans(df, k=3, dim=8)
+    dist = {r.vec_id: r.dist_e6 for r in assign.collect()}
+    for group in ({0, 200, 201}, {3, 210}):
+        keepers = group & ids
+        # highest centroid distance wins, ties break on min id —
+        # keep_best_per_cluster's exact ordering
+        assert keepers == {min(group, key=lambda i: (-dist[i], i))}
+
+
+def test_semdedup_rejects_unknown_keep_policy(spark):
+    from etl_workflow_spark.operators.similarity import semdedup
+
+    with pytest.raises(ValueError, match="keep"):
+        semdedup(_blob_corpus(spark), keep="random")
