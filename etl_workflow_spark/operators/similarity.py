@@ -188,6 +188,17 @@ def _cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+# Planning fence for "score, then threshold-filter" call sites: when a
+# threshold Filter sits above the scoring projection, Catalyst pushes
+# the filter below it by substituting the expression — and a Python UDF
+# referenced by both Filter and Project is planned as TWO
+# ArrowEvalPython nodes, scoring every candidate twice. The function is
+# perfectly deterministic; the marking only forbids that pushdown, so
+# the batch cosine runs once and the filter consumes its column.
+# (Plan-tested in test_plans.py::test_neardup_verify_scores_once.)
+_cosine_batch_once = _cosine_batch.asNondeterministic()
+
+
 def _banded_sketch(
     df: DataFrame,
     idname: str,
@@ -338,7 +349,7 @@ def embedding_neardup_exact(
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cosine_e4",
-            F.floor(_cosine_batch(F.col("va"), F.col("vb")) * 10000),
+            F.floor(_cosine_batch_once(F.col("va"), F.col("vb")) * 10000),
         )
         .where(F.col("cosine_e4") >= F.lit(int(threshold * 10000 + 0.5)))
         .select("vec_a", "vec_b", "cosine_e4")
@@ -373,6 +384,7 @@ def embedding_neardup_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str | None = None,
+    group_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs via blocked matrix multiplication.
 
@@ -390,11 +402,24 @@ def embedding_neardup_blocked(
     derived from its OWN size (a global count would shred small
     groups into thousands of near-empty blocks and the block-pair
     join would quadratically multiply them; parallelism comes from
-    the groups themselves).
+    the groups themselves). Rows whose group value is NULL have no
+    group membership and are EXCLUDED from pairing (filtered, not
+    silently lost in a join). ``group_sizes`` optionally supplies the
+    per-group row counts as a ``(group_col, n)`` frame when the caller
+    already has them (semdedup derives them from the checkpointed
+    k-means assignment), skipping this function's own counting pass
+    over the input; ``num_blocks`` applies only to the ungrouped path
+    (grouped block counts are per group by construction — combining
+    the two is refused).
 
-    Scale shape: shuffle is one groupBy over N rows plus an
-    (num_blocks^2)/2-row nested-loop join of block summaries. By
-    default ``num_blocks`` is derived from the corpus count so each
+    Scale shape: one groupBy exchange carries the N (id, vec) rows
+    into block rows (one fat row per block), then the self-join over
+    that B-row frame produces (num_blocks^2)/2 block-pair rows — the
+    join inputs are block summaries, not the original N rows (the
+    planner may build each side from the same shuffle or re-aggregate
+    the broadcast side; either way the join itself never re-keys the
+    corpus). By default
+    ``num_blocks`` is derived from the corpus count so each
     collect_list block row stays ~rows_per_block vectors (a fixed block
     COUNT was the scale bug: at 100x corpus a block row outgrows
     Arrow/row-size limits; a fixed block SIZE cannot).
@@ -405,15 +430,28 @@ def embedding_neardup_blocked(
         ArrayType, DoubleType, LongType, StructField, StructType,
     )
 
+    if group_col is not None and num_blocks is not None:
+        raise ValueError(
+            "num_blocks applies only to ungrouped pairing; with "
+            "group_col the block count is derived per group from "
+            "rows_per_block"
+        )
     base = emb.select(
         *([F.col(group_col).alias("grp")] if group_col else []),
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),
     )
     if group_col is not None:
+        base = base.where(F.col("grp").isNotNull())
         # per-group block count from per-group size; the size table is
         # one row per group — broadcast back onto the rows
-        sizes = base.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
+        if group_sizes is not None:
+            sizes = group_sizes.select(
+                F.col(group_sizes.columns[0]).alias("grp"),
+                F.col(group_sizes.columns[1]).cast("long").alias("__n"),
+            )
+        else:
+            sizes = base.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
         nb = F.greatest(
             F.lit(1),
             F.ceil(F.col("__n") / F.lit(int(rows_per_block))).cast("long"),
@@ -460,11 +498,13 @@ def embedding_neardup_blocked(
     )
 
     @F.pandas_udf(pair_schema)
-    def score_blocks(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    def score_blocks(
+        diag: pd.Series, xs: pd.Series, ys: pd.Series
+    ) -> pd.Series:
         import numpy as np
 
         out = []
-        for x, y in zip(xs, ys):
+        for is_diag, x, y in zip(diag, xs, ys):
             ids_x = np.array([r["id"] for r in x], dtype=np.int64)
             ids_y = np.array([r["id"] for r in y], dtype=np.int64)
             mx = np.array([r["vec"] for r in x], dtype=np.float64)
@@ -477,8 +517,13 @@ def embedding_neardup_blocked(
             # .00005 edges; floor of the same double agrees everywhere
             sims_e4 = np.floor(sims * 10000).astype(np.int64)
             mask = sims_e4 >= thr_e4
-            if np.array_equal(ids_x, ids_y):
-                # diagonal block pair: dedupe within the block by id order
+            if is_diag:
+                # diagonal block pair (DECLARED by key equality, never
+                # inferred from element order — collect_list order is a
+                # shuffle-fetch artifact): both sides hold the same id
+                # set, so keeping only id_x < id_y emits each unordered
+                # pair exactly once and no self-pairs, regardless of
+                # how either side happens to be ordered
                 mask &= ids_x[:, None] < ids_y[None, :]
             # off-diagonal: keep every hit — block assignment is a hash,
             # so either side may hold the smaller id; normalize below
@@ -502,12 +547,26 @@ def embedding_neardup_blocked(
         # blk inequality as a post-filter, never a cross of groups
         cond = (F.col("x.grp") == F.col("y.grp")) & cond
     block_pairs = x.join(y, cond).select(
-        score_blocks(F.col("x.rows"), F.col("y.rows")).alias("hits")
+        score_blocks(
+            F.col("x.blk") == F.col("y.blk"),
+            F.col("x.rows"),
+            F.col("y.rows"),
+        ).alias("hits")
     )
-    return block_pairs.select(F.explode("hits").alias("h")).select(
-        F.col("h.vec_a").alias("vec_a"),
-        F.col("h.vec_b").alias("vec_b"),
-        F.col("h.cosine_e4").alias("cosine_e4"),
+    # explode_OUTER, then drop the null rows it emits for empty hit
+    # lists: a plain explode makes Catalyst infer a size(hits)>0
+    # pre-filter that references the UDF column, and a Python UDF
+    # referenced by both a Filter and a Project is EVALUATED TWICE
+    # (two ArrowEvalPython nodes) — doubling the entire matmul cost.
+    # The post-generate null filter is a cheap JVM predicate instead.
+    return (
+        block_pairs.select(F.explode_outer("hits").alias("h"))
+        .where(F.col("h").isNotNull())
+        .select(
+            F.col("h.vec_a").alias("vec_a"),
+            F.col("h.vec_b").alias("vec_b"),
+            F.col("h.cosine_e4").alias("cosine_e4"),
+        )
     )
 
 
@@ -551,7 +610,7 @@ def embedding_neardup_lsh(
         .join(vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
         .withColumn(
             "cosine_e4",
-            F.floor(_cosine_batch(F.col("va"), F.col("vb")) * 10000),
+            F.floor(_cosine_batch_once(F.col("va"), F.col("vb")) * 10000),
         )
         .where(F.col("cosine_e4") >= F.lit(int(threshold * 10000 + 0.5)))
         .select("vec_a", "vec_b", "cosine_e4")
@@ -652,13 +711,27 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cvec"),
-    ).withColumn("cell", nearest_cell(F.col("cvec")))
+        # coalesce makes the column provably non-null, so the
+        # isnotnull(cell) filter the equi-join infers constant-folds
+        # away — otherwise that Filter + the Project both reference
+        # the UDF and Catalyst plans nearest_cell TWICE over the
+        # corpus (the dominant cost of the assignment pass). The
+        # sentinel never surfaces: the UDF itself never returns null.
+    ).withColumn(
+        "cell", F.coalesce(nearest_cell(F.col("cvec")), F.lit(-1))
+    )
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("qvec"),
         )
-        .withColumn("cell", F.explode(probe_cells(F.col("qvec"))))
+        # explode_outer + null drop, NOT plain explode: the inferred
+        # size()>0 pre-filter of a plain explode references the UDF
+        # column from both Filter and Project, and Catalyst then
+        # evaluates the Python UDF twice per query row (probe lists
+        # are never empty, so the filter could only ever waste work)
+        .withColumn("cell", F.explode_outer(probe_cells(F.col("qvec"))))
+        .where(F.col("cell").isNotNull())
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
@@ -887,10 +960,12 @@ def semdedup(
     (cost Σ cellᵢ², the paper's point — k controls the quadratic
     term), executed as per-cell blocked matmuls
     (:func:`embedding_neardup_blocked` with ``group_col``, each block
-    ≤ ``rows_per_block`` vectors); components and the keep policy run
-    over the (tiny) verified pair list, and the corpus itself only
-    ever semi/anti-joins the survivor/loser ids — full vectors never
-    re-shuffle after the one assignment join.
+    ≤ ``rows_per_block`` vectors). Vectors move through the
+    assignment join and the (cell, block) groupBy exchange; per-cell
+    sizes come from the (checkpointed, narrow) assignment frame, so
+    no extra counting pass touches the vectors. Components and the
+    keep policy run over the (tiny) verified pair list, and the final
+    result only semi/anti-joins survivor/loser ids against ``emb``.
 
     Capability analog in the reference: none (extension tier for LLM
     training-data pipelines; nearest hook is the trigram similarity
@@ -908,9 +983,11 @@ def semdedup(
     with_cell = emb.select(id_col, vec_col).join(
         assign.select(id_col, "cluster"), id_col
     )
+    cell_sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
     pairs = embedding_neardup_blocked(
         with_cell, threshold=threshold, rows_per_block=rows_per_block,
         id_col=id_col, vec_col=vec_col, group_col="cluster",
+        group_sizes=cell_sizes,
     )
     comps = dedup_clusters(pairs, id_a="vec_a", id_b="vec_b", id_col=id_col)
     if keep == "min_id":

@@ -51,3 +51,18 @@ def count_broadcasts(df: DataFrame) -> int:
 
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df)
+
+
+def count_python_evals(df: DataFrame) -> int:
+    """Number of Python-UDF evaluation operators (ArrowEvalPython /
+    BatchEvalPython) in the physical plan. A UDF column referenced by
+    both a Filter and a Project (e.g. the size()>0 pre-filter Catalyst
+    infers for a plain explode) is planned as TWO eval nodes — the UDF
+    runs twice per row. Operators whose UDF is the dominant cost
+    assert this stays at the intended count."""
+    plan = physical_plan(df)
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "ArrowEvalPython" in ln or "BatchEvalPython" in ln
+    )

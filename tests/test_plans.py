@@ -420,3 +420,51 @@ def test_bpe_encode_is_shuffle_free(spark, sf_dir):
         model, ids=True,
     )
     assert plans.count_exchanges(df) == 0
+
+
+def test_blocked_neardup_scores_each_block_pair_once(spark, sf_dir):
+    """The matmul UDF must be planned exactly once: a plain explode of
+    its output makes Catalyst infer a size()>0 pre-filter that doubles
+    the Python evaluation — the whole operator's dominant cost."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.similarity import (
+        embedding_neardup_blocked,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    df = embedding_neardup_blocked(emb, threshold=0.45, num_blocks=4)
+    assert plans.count_python_evals(df) == 1
+
+
+def test_ivf_probe_udfs_eval_once_each(spark, sf_dir):
+    """ivf_topk plans exactly three Python evals: corpus nearest-cell,
+    query probe-cells, and the candidate cosine — none duplicated by
+    an inferred explode pre-filter."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    df = ivf_topk(emb, q, k=3)
+    assert plans.count_python_evals(df) == 3
+
+
+def test_neardup_verify_scores_once(spark, sf_dir):
+    """The exact-verification cosine must be planned as ONE Python
+    eval per tier: without the nondeterministic planning fence the
+    threshold filter pushes below the scoring projection and the
+    batch UDF runs twice per candidate."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.similarity import (
+        embedding_neardup_exact,
+        embedding_neardup_lsh,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assert plans.count_python_evals(
+        embedding_neardup_exact(emb, threshold=0.4)
+    ) == 1
+    # lsh: 1 verify eval + 2 legitimate sketch evals (self-join sides)
+    assert plans.count_python_evals(
+        embedding_neardup_lsh(emb, threshold=0.4)
+    ) == 3
