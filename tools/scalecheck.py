@@ -530,6 +530,19 @@ def main() -> None:
         # span dedup: linear in corpus tokens (the run-rarely pass)
         run("dedup_spans", k,
             lambda: D.dedup_spans(docs, min_tokens=50))
+        # semdedup: pairing cost is sum(cell^2), so the cell COUNT
+        # scales with the corpus (the paper's k ~ n recipe) to hold
+        # cell sizes — and the quadratic term — constant; replicated
+        # copies are genuine exact dups, so output losers grow with k
+        run("semdedup", k, lambda: S.semdedup(
+            emb, threshold=0.95, k=8 * k, dim=64, max_iter=3))
+        # tokenizer: one vocab shuffle + driver merge loop (train) +
+        # the shuffle-free Arrow encode — linear in corpus tokens
+        run("bpe_tokenize", k, lambda: T.bpe_encode(
+            docs.select("doc_id", "text"),
+            T.train_bpe(docs, num_merges=200),
+            ids=True,
+        ))
         for df in (docs, emb, ev):
             df.unpersist()
 
