@@ -119,3 +119,26 @@ def test_similarity_ops_on_empty_corpus(spark):
         [], "query_id long, embedding array<float>"
     )
     assert SIM.quantized_topk(live, empty_q, k=3).count() == 0
+
+
+def test_round8s4_ops_on_empty_corpus(spark, empty_docs):
+    """semdedup / grouped blocked pairing / BPE on zero-row inputs."""
+    from etl_workflow_spark.operators import similarity as SIM
+    from etl_workflow_spark.operators import text as T
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert SIM.embedding_neardup_blocked(
+        empty_emb, threshold=0.5, group_col="vec_id"
+    ).count() == 0
+    # semdedup can't cluster an empty corpus (kmeans needs >= k rows)
+    # and refuses loudly rather than returning a silently empty frame
+    with pytest.raises(ValueError, match="fewer than k"):
+        SIM.semdedup(empty_emb, k=2, dim=2)
+    model = T.learn_bpe([], num_merges=5)
+    assert model["merges"] == [] and model["symbols"] == []
+    out = T.bpe_encode(empty_docs, model)
+    assert out.count() == 0 and "bpe_tokens" in out.columns
+    # empty corpus trains an empty model end-to-end
+    assert T.train_bpe(empty_docs, num_merges=5)["merges"] == []
