@@ -157,6 +157,17 @@ OPERATORS = {
         emb, emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id"),
         k=3,
     ),
+    "semdedup": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.similarity", fromlist=["semdedup"]
+    ).semdedup(emb, threshold=0.95, k=4, dim=64, max_iter=3),
+    "bpe_encode": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.text", fromlist=["bpe_encode"]
+    ).bpe_encode(
+        docs.select("doc_id", "text"),
+        __import__(
+            "etl_workflow_spark.operators.text", fromlist=["train_bpe"]
+        ).train_bpe(docs, num_merges=50),
+    ),
 }
 
 
