@@ -900,29 +900,8 @@ def kmeans(
             if shift <= tol:
                 break
 
-        cents_b = [list(map(float, c)) for c in cents]
-
-        @F.pandas_udf("struct<cluster: bigint, dist_e6: bigint>")
-        def assign_final(vs: pd.Series) -> pd.DataFrame:
-            C = np.array(cents_b, dtype=np.float64)
-            M = np.array(vs.tolist(), dtype=np.float64)
-            d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            cell = d2.argmin(axis=1)
-            dist = np.sqrt(d2[np.arange(len(M)), cell])
-            return pd.DataFrame(
-                {
-                    "cluster": cell.astype(np.int64),
-                    "dist_e6": np.floor(dist * 1e6).astype(np.int64),
-                }
-            )
-
-        out = (
-            vecs.withColumn("a", assign_final(F.col("v")))
-            .select(
-                F.col("id").alias(id_col),
-                F.col("a.cluster").alias("cluster"),
-                F.col("a.dist_e6").alias("dist_e6"),
-            )
+        out = assign_cells(vecs, cents, id_col="id", vec_col="v").select(
+            F.col("id").alias(id_col), "cluster", "dist_e6"
         )
         # materialize BEFORE unpersist so the cached iterate feeds the
         # final assignment instead of re-reading the source
@@ -930,6 +909,51 @@ def kmeans(
         return out, [list(map(float, c)) for c in cents]
     finally:
         vecs.unpersist()
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cluster, dist_e6)`` for every row under FIXED centroids —
+    the assignment half of :func:`kmeans`, public so incremental
+    ingest (:func:`semdedup_probe`) can place new vectors into an
+    existing clustering without moving it. One shuffle-free
+    Arrow-batched pass; the k×dim centroid list travels in the UDF
+    closure. ``dist_e6`` is the floor-e6 euclidean distance to the
+    winning centroid (the score :func:`semdedup`'s keep policy uses).
+    """
+    import numpy as np
+
+    cents_b = [list(map(float, c)) for c in centroids]
+
+    @F.pandas_udf("struct<cluster: bigint, dist_e6: bigint>")
+    def assign(vs: pd.Series) -> pd.DataFrame:
+        C = np.array(cents_b, dtype=np.float64)
+        M = np.array(vs.tolist(), dtype=np.float64)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        dist = np.sqrt(d2[np.arange(len(M)), cell])
+        return pd.DataFrame(
+            {
+                "cluster": cell.astype(np.int64),
+                "dist_e6": np.floor(dist * 1e6).astype(np.int64),
+            }
+        )
+
+    return (
+        df.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("a", assign(F.col("__v")))
+        .select(
+            id_col,
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.dist_e6").alias("dist_e6"),
+        )
+    )
 
 
 def semdedup(
@@ -1002,6 +1026,92 @@ def semdedup(
         id_col=id_col, higher_is_better=True,
     )
     return emb.join(surviving.select(id_col), id_col, "left_semi")
+
+
+def semdedup_probe(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Incremental semantic dedup: cosine-near pairs a NEW batch forms
+    against an already-clustered corpus and within itself — the
+    daily-ingest shape of :func:`semdedup`, mirroring what
+    :func:`minhash_lsh_probe` is to ``minhash_lsh_pairs``. Returns
+    ``(vec_a, vec_b, cosine_e4)`` pairs where at least one side is a
+    batch vector; batch and corpus ids must be disjoint (same contract
+    as the LSH probe — overlapping ids would double-count pairs).
+
+    ``corpus`` carries its cell assignment in ``cluster_col`` (from
+    :func:`kmeans` / :func:`assign_cells` at build time); ``centroids``
+    are the matching k×dim list. The batch is assigned to cells with
+    one Arrow pass, the corpus is PRUNED to the batch's cells (a
+    collected ≤k-value IN-list, so a cell-partitioned corpus prunes at
+    the scan) and then probed via a broadcast of the (small) batch —
+    the corpus never shuffles and never re-pairs against itself.
+    Batch×batch pairs come from the grouped blocked matmul.
+
+    Capability analog in the reference: none (extension tier; see
+    :func:`semdedup`).
+    """
+    thr_e4 = int(threshold * 10000 + 0.5)
+    ba = assign_cells(
+        batch, centroids, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("qid"), F.col("cluster").alias("cell"))
+    b = (
+        batch.select(
+            F.col(id_col).alias("qid"),
+            _as_double(F.col(vec_col)).alias("qvec"),
+        )
+        .join(ba, "qid")
+        .localCheckpoint(eager=True)  # assign once: consumed by the
+        # cell collect, the corpus probe, and the batch-side pairing
+    )
+    cells = [r["cell"] for r in b.select("cell").distinct().collect()]
+    if not cells:
+        return b.select(
+            F.col("qid").alias("vec_a"),
+            F.col("qid").alias("vec_b"),
+            F.lit(0).cast("long").alias("cosine_e4"),
+        ).where(F.lit(False))
+    new_x_corpus = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col(vec_col)).alias("cvec"),
+            F.col(cluster_col).alias("cell"),
+        )
+        .where(F.col("cell").isin(cells))
+        .join(F.broadcast(b), "cell")
+        .withColumn(
+            "cosine_e4",
+            F.floor(
+                _cosine_batch_once(F.col("cvec"), F.col("qvec")) * 10000
+            ),
+        )
+        .where(F.col("cosine_e4") >= F.lit(thr_e4))
+        .select(
+            F.least("cid", "qid").alias("vec_a"),
+            F.greatest("cid", "qid").alias("vec_b"),
+            "cosine_e4",
+        )
+    )
+    new_x_new = embedding_neardup_blocked(
+        b.select(
+            F.col("qid").alias(id_col),
+            F.col("qvec").alias(vec_col),
+            "cell",
+        ),
+        threshold=threshold,
+        rows_per_block=rows_per_block,
+        id_col=id_col,
+        vec_col=vec_col,
+        group_col="cell",
+    )
+    return new_x_corpus.unionByName(new_x_new)
 
 
 def pca_fit(

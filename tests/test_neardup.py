@@ -487,3 +487,79 @@ def test_semdedup_rejects_unknown_keep_policy(spark):
 
     with pytest.raises(ValueError, match="keep"):
         semdedup(_blob_corpus(spark), keep="random")
+
+
+def test_semdedup_probe_matches_full_pairing_restricted_to_batch(spark):
+    """Numpy oracle: probe pairs == all same-cell pairs touching the
+    batch (batch x corpus and batch x batch), under the corpus's own
+    centroids — the incremental path loses nothing and re-pairs
+    nothing corpus-side."""
+    import numpy as np
+
+    from etl_workflow_spark.operators.similarity import (
+        kmeans,
+        semdedup_probe,
+    )
+
+    corpus = _blob_corpus(spark)
+    assign, cents = kmeans(corpus, k=3, dim=8, max_iter=10)
+    corpus_c = corpus.join(assign.select("vec_id", "cluster"), "vec_id")
+    crows = {r.vec_id: (list(r.embedding), r.cluster)
+             for r in corpus_c.collect()}
+    base0 = crows[0][0]
+    fresh = [7.0, -3.0, 5.0, 1.0, -2.0, 4.0, 0.5, -1.0]
+    brows = [
+        (300, [x * 1.7 for x in base0]),    # near-dup of corpus 0's group
+        (301, fresh),                        # batch-internal dup pair...
+        (302, [x * 2.0 for x in fresh]),     # ...with 302
+        (303, [-5.0, 9.0, -7.0, 2.0, 8.0, -6.0, 3.0, -4.0]),  # unique
+    ]
+    batch = spark.createDataFrame(brows, ["vec_id", "embedding"])
+    got = {
+        (r.vec_a, r.vec_b): r.cosine_e4
+        for r in semdedup_probe(
+            batch, corpus_c, cents, threshold=0.9999
+        ).collect()
+    }
+
+    C = np.array(cents)
+    bcell = {
+        i: int(((np.array(v) - C) ** 2).sum(axis=1).argmin())
+        for i, v in brows
+    }
+    allv = {i: (np.array(v), bcell[i]) for i, v in brows}
+    allv.update({i: (np.array(v), c) for i, (v, c) in crows.items()})
+    bids = set(bcell)
+    want = {}
+    for a in bids:
+        va, ca = allv[a]
+        for b, (vb, cb) in allv.items():
+            if b == a or cb != ca or (b in bids and b <= a):
+                continue
+            e4 = int(np.floor(
+                float(va @ vb)
+                / (np.linalg.norm(va) * np.linalg.norm(vb)) * 10000
+            ))
+            if e4 >= 9999:
+                want[(min(a, b), max(a, b))] = e4
+    assert set(got) == set(want) and want
+    assert (300, 302) not in got  # different directions never pair
+    for p, v in got.items():
+        assert abs(v - want[p]) <= 10
+    # every pair touches the batch
+    assert all(a in bids or b in bids for a, b in got)
+
+
+def test_semdedup_probe_empty_batch(spark):
+    from etl_workflow_spark.operators.similarity import (
+        kmeans,
+        semdedup_probe,
+    )
+
+    corpus = _blob_corpus(spark)
+    assign, cents = kmeans(corpus, k=3, dim=8, max_iter=10)
+    corpus_c = corpus.join(assign.select("vec_id", "cluster"), "vec_id")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semdedup_probe(empty, corpus_c, cents)
+    assert out.columns == ["vec_a", "vec_b", "cosine_e4"]
+    assert out.count() == 0
