@@ -174,8 +174,7 @@ def hyperplane_sketch(
     return sketch
 
 
-@F.pandas_udf(DoubleType())
-def _cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
+def _cosine_batch_fn(va: pd.Series, vb: pd.Series) -> pd.Series:
     """Arrow-batched cosine for candidate-pair scoring: one einsum per
     batch instead of an interpreted fold per row — the verification
     step's cost then tracks candidate count, not lambda overhead."""
@@ -188,6 +187,8 @@ def _cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+_cosine_batch = F.pandas_udf(_cosine_batch_fn, DoubleType())
+
 # Planning fence for "score, then threshold-filter" call sites: when a
 # threshold Filter sits above the scoring projection, Catalyst pushes
 # the filter below it by substituting the expression — and a Python UDF
@@ -195,8 +196,34 @@ def _cosine_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
 # ArrowEvalPython nodes, scoring every candidate twice. The function is
 # perfectly deterministic; the marking only forbids that pushdown, so
 # the batch cosine runs once and the filter consumes its column.
+# A SEPARATE pandas_udf object, not `_cosine_batch.asNondeterministic()`
+# — asNondeterministic mutates the UDF in place, which would silently
+# fence every `_cosine_batch` site too (it shares the object).
 # (Plan-tested in test_plans.py::test_neardup_verify_scores_once.)
-_cosine_batch_once = _cosine_batch.asNondeterministic()
+_cosine_batch_once = F.pandas_udf(
+    _cosine_batch_fn, DoubleType()
+).asNondeterministic()
+
+
+def _verified_pairs(cand: DataFrame, thr_e4: int) -> DataFrame:
+    """Shared verification tail for candidate pairs carrying columns
+    ``(vec_a, vec_b, va, vb)``: floor-e4 cosine scored ONCE per
+    candidate behind the planning fence, thresholded, ids normalized
+    to (min, max). Every tier's verify stanza goes through here so the
+    fixed-point convention, the fence, and the normalization cannot
+    drift apart."""
+    return (
+        cand.withColumn(
+            "cosine_e4",
+            F.floor(_cosine_batch_once(F.col("va"), F.col("vb")) * 10000),
+        )
+        .where(F.col("cosine_e4") >= F.lit(int(thr_e4)))
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            "cosine_e4",
+        )
+    )
 
 
 def _banded_sketch(
@@ -345,14 +372,9 @@ def embedding_neardup_exact(
     # scoring via the Arrow/numpy batch UDF: the interpreted HOF fold
     # took 13s for 125k pairs at sf0.01 where einsum takes <1s, and the
     # blocked tier already proved the numpy math oracle-exact
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cosine_e4",
-            F.floor(_cosine_batch_once(F.col("va"), F.col("vb")) * 10000),
-        )
-        .where(F.col("cosine_e4") >= F.lit(int(threshold * 10000 + 0.5)))
-        .select("vec_a", "vec_b", "cosine_e4")
+    return _verified_pairs(
+        a.join(b, F.col("vec_a") < F.col("vec_b")),
+        int(threshold * 10000 + 0.5),
     )
 
 
@@ -446,6 +468,12 @@ def embedding_neardup_blocked(
         # per-group block count from per-group size; the size table is
         # one row per group — broadcast back onto the rows
         if group_sizes is not None:
+            if len(group_sizes.columns) != 2:
+                raise ValueError(
+                    "group_sizes must have exactly two columns "
+                    "(group value, row count), got "
+                    f"{group_sizes.columns}"
+                )
             sizes = group_sizes.select(
                 F.col(group_sizes.columns[0]).alias("grp"),
                 F.col(group_sizes.columns[1]).cast("long").alias("__n"),
@@ -456,7 +484,11 @@ def embedding_neardup_blocked(
             F.lit(1),
             F.ceil(F.col("__n") / F.lit(int(rows_per_block))).cast("long"),
         )
-        keyed = base.join(F.broadcast(sizes), "grp").select(
+        # LEFT join: a group missing from caller-supplied sizes (stale
+        # snapshot) must not silently drop its rows from pairing — __n
+        # is then NULL, greatest() skips it, and the group falls back
+        # to one block (correct pairs, possibly an oversized block)
+        keyed = base.join(F.broadcast(sizes), "grp", "left").select(
             "grp",
             (F.crc32(F.col("id").cast("string")) % nb).alias("blk"),
             "id",
@@ -605,15 +637,15 @@ def embedding_neardup_lsh(
         .distinct()
     )
     vecs = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-    return (
-        cand.join(vecs.select(F.col("id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
-        .join(vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
-        .withColumn(
-            "cosine_e4",
-            F.floor(_cosine_batch_once(F.col("va"), F.col("vb")) * 10000),
-        )
-        .where(F.col("cosine_e4") >= F.lit(int(threshold * 10000 + 0.5)))
-        .select("vec_a", "vec_b", "cosine_e4")
+    return _verified_pairs(
+        cand.join(
+            vecs.select(F.col("id").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        ).join(
+            vecs.select(F.col("id").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        ),
+        int(threshold * 10000 + 0.5),
     )
 
 
@@ -911,26 +943,16 @@ def kmeans(
         vecs.unpersist()
 
 
-def assign_cells(
-    df: DataFrame,
-    centroids,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """``(id, cluster, dist_e6)`` for every row under FIXED centroids —
-    the assignment half of :func:`kmeans`, public so incremental
-    ingest (:func:`semdedup_probe`) can place new vectors into an
-    existing clustering without moving it. One shuffle-free
-    Arrow-batched pass; the k×dim centroid list travels in the UDF
-    closure. ``dist_e6`` is the floor-e6 euclidean distance to the
-    winning centroid (the score :func:`semdedup`'s keep policy uses).
-    """
-    import numpy as np
-
+def _cell_assigner(centroids):
+    """Arrow-batched nearest-centroid UDF over FIXED centroids: emits
+    ``struct<cluster, dist_e6>`` per vector (floor-e6 euclidean
+    distance to the winner). The k×dim list travels in the closure."""
     cents_b = [list(map(float, c)) for c in centroids]
 
     @F.pandas_udf("struct<cluster: bigint, dist_e6: bigint>")
     def assign(vs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         C = np.array(cents_b, dtype=np.float64)
         M = np.array(vs.tolist(), dtype=np.float64)
         d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -943,15 +965,36 @@ def assign_cells(
             }
         )
 
+    return assign
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cluster, dist_e6)`` for every row under FIXED centroids —
+    the assignment half of :func:`kmeans`, public so incremental
+    ingest (:func:`semdedup_probe`) can place new vectors into an
+    existing clustering without moving it. One shuffle-free
+    Arrow-batched pass (:func:`_cell_assigner`). ``dist_e6`` is the
+    floor-e6 euclidean distance to the winning centroid (the score
+    :func:`semdedup`'s keep policy uses).
+    """
+    if id_col in ("cluster", "dist_e6"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with an output column name"
+        )
     return (
         df.select(
             F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
         )
-        .withColumn("a", assign(F.col("__v")))
+        .withColumn("__a", _cell_assigner(centroids)(F.col("__v")))
         .select(
             id_col,
-            F.col("a.cluster").alias("cluster"),
-            F.col("a.dist_e6").alias("dist_e6"),
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.dist_e6").alias("dist_e6"),
         )
     )
 
@@ -1059,15 +1102,18 @@ def semdedup_probe(
     :func:`semdedup`).
     """
     thr_e4 = int(threshold * 10000 + 0.5)
-    ba = assign_cells(
-        batch, centroids, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col).alias("qid"), F.col("cluster").alias("cell"))
     b = (
         batch.select(
             F.col(id_col).alias("qid"),
             _as_double(F.col(vec_col)).alias("qvec"),
         )
-        .join(ba, "qid")
+        # assignment applied INLINE so the vector column rides along —
+        # routing through assign_cells would strip it and force a
+        # batch-by-id shuffle join to re-attach it
+        .withColumn(
+            "cell",
+            _cell_assigner(centroids)(F.col("qvec")).getField("cluster"),
+        )
         .localCheckpoint(eager=True)  # assign once: consumed by the
         # cell collect, the corpus probe, and the batch-side pairing
     )
@@ -1078,26 +1124,20 @@ def semdedup_probe(
             F.col("qid").alias("vec_b"),
             F.lit(0).cast("long").alias("cosine_e4"),
         ).where(F.lit(False))
-    new_x_corpus = (
+    new_x_corpus = _verified_pairs(
         corpus.select(
-            F.col(id_col).alias("cid"),
-            _as_double(F.col(vec_col)).alias("cvec"),
+            F.col(id_col).alias("vec_a"),
+            _as_double(F.col(vec_col)).alias("va"),
             F.col(cluster_col).alias("cell"),
         )
         .where(F.col("cell").isin(cells))
         .join(F.broadcast(b), "cell")
-        .withColumn(
-            "cosine_e4",
-            F.floor(
-                _cosine_batch_once(F.col("cvec"), F.col("qvec")) * 10000
-            ),
-        )
-        .where(F.col("cosine_e4") >= F.lit(thr_e4))
         .select(
-            F.least("cid", "qid").alias("vec_a"),
-            F.greatest("cid", "qid").alias("vec_b"),
-            "cosine_e4",
-        )
+            "vec_a", "va",
+            F.col("qid").alias("vec_b"),
+            F.col("qvec").alias("vb"),
+        ),
+        thr_e4,
     )
     new_x_new = embedding_neardup_blocked(
         b.select(
