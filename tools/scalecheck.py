@@ -536,6 +536,18 @@ def main() -> None:
         # copies are genuine exact dups, so output losers grow with k
         run("semdedup", k, lambda: S.semdedup(
             emb, threshold=0.95, k=8 * k, dim=64, max_iter=3))
+        # incremental semantic ingest: a FIXED batch probing a K×
+        # clustered corpus — cost should track the batch's cells, not
+        # the corpus (clustering itself is prep, outside the window)
+        sem_assign, sem_cents = S.kmeans(emb, k=8 * k, dim=64, max_iter=3)
+        sem_corpus = emb.join(
+            sem_assign.select("vec_id", "cluster"), "vec_id"
+        ).localCheckpoint(eager=True)
+        sem_batch = emb0.limit(100).withColumn(
+            "vec_id", F.col("vec_id") + F.lit((k + 1) * e_off)
+        )
+        run("semdedup_probe_fixed_batch", k, lambda: S.semdedup_probe(
+            sem_batch, sem_corpus, sem_cents, threshold=0.95))
         # tokenizer: one vocab shuffle + driver merge loop (train) +
         # the shuffle-free Arrow encode — linear in corpus tokens
         run("bpe_tokenize", k, lambda: T.bpe_encode(
