@@ -349,6 +349,58 @@ def stream_matview_refresh(
     )
 
 
+def _admit_keep_first(
+    batch_df: DataFrame,
+    within: DataFrame,
+    corpus_dup: DataFrame | None,
+    id_col: str,
+) -> DataFrame:
+    """Keep-first, cluster-transitive admit decision shared by the
+    MinHash and semantic ingest tiers: within-batch near-dup clusters
+    admit only their min-id member, and a cluster ANY member of which
+    near-duplicates ingested content admits nobody (its members are
+    transitive near-dups of the corpus). ``within``'s first two
+    columns are the batch-side pair ids; ``corpus_dup`` is a
+    one-column frame of batch ids that matched the corpus (None at
+    bootstrap). Returns the surviving rows of ``batch_df`` (lazy)."""
+    from ..operators.dedup import dedup_clusters
+
+    a_col, b_col = within.columns[:2]
+    clusters = dedup_clusters(
+        within, all_ids=batch_df.select(id_col),
+        id_a=a_col, id_b=b_col, id_col=id_col,
+    )
+    # Count-gated broadcasts (same gate as minhash_lsh_pairs/probe):
+    # corpus_dup is bounded by |pairs|, not |batch| — one batch doc
+    # matching many corpus rows, exactly the input dedup exists
+    # for, can make it too big to broadcast unconditionally.
+    gate = 1_000_000
+
+    def _hint(side: DataFrame):
+        return (
+            F.broadcast(side)
+            if side.limit(gate + 1).count() <= gate
+            else side
+        )
+
+    if corpus_dup is not None:
+        # any cluster touching a corpus near-dup admits nobody
+        bad = (
+            clusters.join(
+                _hint(corpus_dup.distinct()), on=id_col, how="left_semi"
+            )
+            .select("cluster_id")
+            .distinct()
+        )
+        clusters = clusters.join(
+            _hint(bad), on="cluster_id", how="left_anti"
+        )
+    survivor_ids = clusters.where(
+        F.col(id_col) == F.col("cluster_id")
+    ).select(id_col)
+    return batch_df.join(_hint(survivor_ids), on=id_col, how="left_semi")
+
+
 def neardup_ingest_batch(
     batch_df: DataFrame,
     corpus_path: str,
@@ -414,41 +466,8 @@ def neardup_ingest_batch(
                 bands=bands, n=n, col=col, id_col=id_col,
             )
 
-        from ..operators.dedup import dedup_clusters
-
-        clusters = dedup_clusters(
-            within, all_ids=batch_df.select(id_col), id_col=id_col
-        )
-        # Count-gated broadcasts (same gate as minhash_lsh_pairs/probe):
-        # corpus_dup is bounded by |pairs|, not |batch| — one batch doc
-        # matching many corpus rows, exactly the input dedup exists
-        # for, can make it too big to broadcast unconditionally.
-        gate = 1_000_000
-
-        def _hint(side: DataFrame):
-            return (
-                F.broadcast(side)
-                if side.limit(gate + 1).count() <= gate
-                else side
-            )
-
-        if corpus_dup is not None:
-            # any cluster touching a corpus near-dup admits nobody
-            bad = (
-                clusters.join(
-                    _hint(corpus_dup.distinct()), on=id_col, how="left_semi"
-                )
-                .select("cluster_id")
-                .distinct()
-            )
-            clusters = clusters.join(
-                _hint(bad), on="cluster_id", how="left_anti"
-            )
-        survivor_ids = clusters.where(
-            F.col(id_col) == F.col("cluster_id")
-        ).select(id_col)
-        survivors = batch_df.join(
-            _hint(survivor_ids), on=id_col, how="left_semi"
+        survivors = _admit_keep_first(
+            batch_df, within, corpus_dup, id_col
         ).persist()
 
         admitted = idempotent_append(spark, survivors, corpus_path, [id_col])
@@ -490,6 +509,123 @@ def stream_neardup_ingest(
 
     return (
         docs_stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def semdedup_ingest_batch(
+    batch_df: DataFrame,
+    corpus_path: str,
+    centroids,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Semantic dedup-at-ingest (the embedding twin of
+    :func:`neardup_ingest_batch`): admit only the batch vectors that
+    cosine-near-duplicate neither the ingested corpus nor an
+    earlier-id batch member, then append the survivors WITH their
+    cell assignment — so the next batch probes a corpus that already
+    covers this one. Returns the number of vectors admitted.
+
+    ``centroids`` are FIXED (from the k-means run that built the
+    corpus); each batch assigns into the existing clustering in one
+    Arrow pass and :func:`~..operators.similarity.semdedup_probe`
+    prunes the corpus to the batch's cells — per-batch cost tracks
+    the batch, never the history (measured flat in SCALE.md §15).
+    Fixed centroids drift as the distribution shifts: re-cluster
+    periodically with a full :func:`~..operators.similarity.semdedup`
+    pass, the same cadence call production SemDeDup pipelines make.
+
+    Admit policy and replay idempotence are shared with the MinHash
+    tier (:func:`_admit_keep_first`; survivors append through the
+    key-anti-join).
+    """
+    from ..operators.similarity import (
+        _as_double,
+        _cell_assigner,
+        embedding_neardup_blocked,
+        semdedup_probe,
+    )
+    from ..sources.writers import _hadoop_exists, idempotent_append
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    pairs = survivors = None
+    try:
+        bootstrapped = _hadoop_exists(spark, corpus_path)
+        if bootstrapped:
+            corpus = spark.read.parquet(corpus_path)
+            pairs = semdedup_probe(
+                batch_df, corpus, centroids, threshold=threshold,
+                id_col=id_col, vec_col=vec_col, cluster_col="cluster",
+            ).persist()
+            bids_a = batch_df.select(F.col(id_col).alias("vec_a"))
+            bids_b = batch_df.select(F.col(id_col).alias("vec_b"))
+            # pair ids are (min, max)-normalized, so the corpus id can
+            # sit on EITHER side — classify by membership, not position
+            within = pairs.join(bids_a, "vec_a", "left_semi").join(
+                bids_b, "vec_b", "left_semi"
+            )
+            corpus_dup = (
+                pairs.join(bids_a, "vec_a", "left_anti")
+                .select(F.col("vec_b").alias(id_col))
+                .unionByName(
+                    pairs.join(bids_b, "vec_b", "left_anti")
+                    .select(F.col("vec_a").alias(id_col))
+                )
+            )
+        else:
+            corpus_dup = None
+            within = embedding_neardup_blocked(
+                batch_df.withColumn(
+                    "__cell",
+                    _cell_assigner(centroids)(
+                        _as_double(F.col(vec_col))
+                    ).getField("cluster"),
+                ),
+                threshold=threshold, id_col=id_col, vec_col=vec_col,
+                group_col="__cell",
+            )
+
+        survivors = _admit_keep_first(
+            batch_df, within, corpus_dup, id_col
+        ).persist()
+        with_cell = survivors.withColumn(
+            "cluster",
+            _cell_assigner(centroids)(
+                _as_double(F.col(vec_col))
+            ).getField("cluster"),
+        )
+        return idempotent_append(spark, with_cell, corpus_path, [id_col])
+    finally:
+        batch_df.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
+        if survivors is not None:
+            survivors.unpersist()
+
+
+def stream_semdedup_ingest(
+    vec_stream: DataFrame,
+    corpus_path: str,
+    centroids,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Streaming semantic dedup-at-ingest: every micro-batch probes
+    the clustered corpus (:func:`semdedup_ingest_batch`), admits only
+    semantically novel vectors, and extends the corpus for the batches
+    behind it. Returns a writeStream builder (caller adds
+    trigger/start), same contract as :func:`stream_neardup_ingest`.
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        semdedup_ingest_batch(batch_df, corpus_path, centroids, **kwargs)
+
+    return (
+        vec_stream.writeStream.outputMode("append")
         .foreachBatch(ingest)
         .option("checkpointLocation", checkpoint_path)
     )

@@ -444,3 +444,88 @@ def test_stream_neardup_ingest_end_to_end(spark, tmp_path):
     assert 3 in got and len(got) >= 2
     # t1 and its near-dup can't both be present
     assert not (1 in got and 2 in got)
+
+
+# ------------------------------------------------ semantic dedup-at-ingest
+
+
+_SEM_CENTS = [[0.0] * 4, [40.0] * 4, [-40.0] * 4]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_ingest_batches_dedup_across_batches(spark, tmp_path):
+    """Batch 2's semantic near-dup of batch 1 content is rejected,
+    novel vectors are admitted, and batch 3 sees batch 2's survivors."""
+    corpus = str(tmp_path / "semcorpus")
+    v1 = [1.0, 2.0, 3.0, 4.0]
+    v2 = [38.0, 41.0, 40.0, 39.0]
+    b1 = _vecs(spark, [(1, v1), (2, v2)])
+    assert inc.semdedup_ingest_batch(b1, corpus, _SEM_CENTS) == 2
+
+    # scaled copy of v1 (cosine 1) + a novel direction in cell 0
+    v3 = [4.0, 1.0, -2.0, 3.0]
+    b2 = _vecs(spark, [(10, [x * 2 for x in v1]), (11, v3)])
+    assert inc.semdedup_ingest_batch(b2, corpus, _SEM_CENTS) == 1
+
+    # near-dup of batch-2 SURVIVOR (vec 11) must also be rejected
+    b3 = _vecs(spark, [(20, [x * 1.5 for x in v3])])
+    assert inc.semdedup_ingest_batch(b3, corpus, _SEM_CENTS) == 0
+
+    got = spark.read.parquet(corpus)
+    assert sorted(r.vec_id for r in got.collect()) == [1, 2, 11]
+    # survivors land WITH their cell assignment for future probes
+    assert "cluster" in got.columns
+
+
+def test_semdedup_ingest_within_batch_and_corpus_transitive(spark, tmp_path):
+    corpus = str(tmp_path / "semcorpus")
+    v = [3.0, -1.0, 2.0, 5.0]
+    b = _vecs(spark, [(7, v), (4, [x * 3 for x in v]),
+                      (9, [-2.0, 4.0, 1.0, -3.0])])
+    # within-batch dup group {7, 4} admits min id 4
+    assert inc.semdedup_ingest_batch(b, corpus, _SEM_CENTS) == 2
+    assert sorted(r.vec_id for r in spark.read.parquet(corpus).collect()) == [4, 9]
+    # a batch pairing BOTH a corpus member and a fresh member: the
+    # whole cluster is transitive-rejected
+    b2 = _vecs(spark, [(30, [x * 2 for x in v]), (31, [x * 5 for x in v])])
+    assert inc.semdedup_ingest_batch(b2, corpus, _SEM_CENTS) == 0
+
+
+def test_semdedup_ingest_replay_is_idempotent(spark, tmp_path):
+    corpus = str(tmp_path / "semcorpus")
+    b = _vecs(spark, [(1, [1.0, 2.0, 3.0, 4.0])])
+    assert inc.semdedup_ingest_batch(b, corpus, _SEM_CENTS) == 1
+    # replayed micro-batch: its id now exists in the corpus (self-pair
+    # territory) — must converge, not duplicate or crash
+    assert inc.semdedup_ingest_batch(b, corpus, _SEM_CENTS) == 0
+    assert spark.read.parquet(corpus).count() == 1
+
+
+def test_stream_semdedup_ingest_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "semsrc")
+    corpus = str(tmp_path / "semcorpus")
+    ckpt = str(tmp_path / "semckpt")
+    v1 = [1.0, 2.0, 3.0, 4.0]
+    v2 = [-5.0, 2.0, -4.0, 1.0]
+    _vecs(spark, [(1, v1)]).coalesce(1).write.parquet(src)
+    _vecs(spark, [(2, [x * 2 for x in v1]), (3, v2)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        inc.stream_semdedup_ingest(stream, corpus, _SEM_CENTS, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    got = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert 3 in got
+    assert not (1 in got and 2 in got)  # v1 and its copy never coexist
