@@ -1080,43 +1080,54 @@ def semdedup_probe(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     rows_per_block: int = 4096,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Incremental semantic dedup: cosine-near pairs a NEW batch forms
     against an already-clustered corpus and within itself — the
     daily-ingest shape of :func:`semdedup`, mirroring what
     :func:`minhash_lsh_probe` is to ``minhash_lsh_pairs``. Returns
     ``(vec_a, vec_b, cosine_e4)`` pairs where at least one side is a
-    batch vector; batch and corpus ids must be disjoint (same contract
-    as the LSH probe — overlapping ids would double-count pairs).
+    batch vector. Id overlap between batch and corpus (a REPLAYED
+    ingest batch) is tolerated: self-pairs are dropped, but a pair
+    both sides of which exist in batch AND corpus is emitted by both
+    the batch×corpus and batch×batch paths — consumers needing set
+    semantics under replay should ``distinct()`` (the ingest tier's
+    connected components absorb duplicate edges for free).
 
     ``corpus`` carries its cell assignment in ``cluster_col`` (from
     :func:`kmeans` / :func:`assign_cells` at build time); ``centroids``
     are the matching k×dim list. The batch is assigned to cells with
-    one Arrow pass, the corpus is PRUNED to the batch's cells (a
-    collected ≤k-value IN-list, so a cell-partitioned corpus prunes at
-    the scan) and then probed via a broadcast of the (small) batch —
-    the corpus never shuffles and never re-pairs against itself.
-    Batch×batch pairs come from the grouped blocked matmul.
+    one Arrow pass — or, with ``cell_col``, arrives pre-assigned and
+    is trusted (the ingest tier assigns once and reuses it here) —
+    the corpus is PRUNED to the batch's cells (a collected ≤k-value
+    IN-list, so a cell-partitioned corpus prunes at the scan) and
+    then probed via a broadcast of the (small) batch — the corpus
+    never shuffles and never re-pairs against itself. Batch×batch
+    pairs come from the grouped blocked matmul.
 
     Capability analog in the reference: none (extension tier; see
     :func:`semdedup`).
     """
     thr_e4 = int(threshold * 10000 + 0.5)
-    b = (
-        batch.select(
-            F.col(id_col).alias("qid"),
-            _as_double(F.col(vec_col)).alias("qvec"),
-        )
+    b = batch.select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+        *(
+            [F.col(cell_col).alias("cell")]
+            if cell_col is not None
+            else []
+        ),
+    )
+    if cell_col is None:
         # assignment applied INLINE so the vector column rides along —
         # routing through assign_cells would strip it and force a
         # batch-by-id shuffle join to re-attach it
-        .withColumn(
+        b = b.withColumn(
             "cell",
             _cell_assigner(centroids)(F.col("qvec")).getField("cluster"),
         )
-        .localCheckpoint(eager=True)  # assign once: consumed by the
-        # cell collect, the corpus probe, and the batch-side pairing
-    )
+    b = b.localCheckpoint(eager=True)  # assign once: consumed by the
+    # cell collect, the corpus probe, and the batch-side pairing
     cells = [r["cell"] for r in b.select("cell").distinct().collect()]
     if not cells:
         return b.select(
@@ -1132,6 +1143,9 @@ def semdedup_probe(
         )
         .where(F.col("cell").isin(cells))
         .join(F.broadcast(b), "cell")
+        # a replayed batch's ids already exist in the corpus: drop the
+        # vector-paired-with-its-own-copy rows, they are not dups
+        .where(F.col("vec_a") != F.col("qid"))
         .select(
             "vec_a", "va",
             F.col("qid").alias("vec_b"),

@@ -349,6 +349,28 @@ def stream_matview_refresh(
     )
 
 
+def _classify_pairs(
+    pairs: DataFrame, batch_ids: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split a probe's pair list into (within-batch pairs, batch ids
+    that matched the corpus) by MEMBERSHIP of each side in the batch —
+    robust to any pair ordering convention (min/max-normalized or
+    new-doc-first), shared by the MinHash and semantic ingest tiers."""
+    a_col, b_col = pairs.columns[:2]
+    ba = batch_ids.select(F.col(id_col).alias(a_col))
+    bb = batch_ids.select(F.col(id_col).alias(b_col))
+    within = pairs.join(ba, a_col, "left_semi").join(bb, b_col, "left_semi")
+    corpus_dup = (
+        pairs.join(ba, a_col, "left_anti")
+        .select(F.col(b_col).alias(id_col))
+        .unionByName(
+            pairs.join(bb, b_col, "left_anti")
+            .select(F.col(a_col).alias(id_col))
+        )
+    )
+    return within, corpus_dup
+
+
 def _admit_keep_first(
     batch_df: DataFrame,
     within: DataFrame,
@@ -447,15 +469,8 @@ def neardup_ingest_batch(
                 num_hashes=num_hashes, bands=bands, n=n, col=col,
                 id_col=id_col,
             ).persist()
-            batch_ids = batch_df.select(F.col(id_col))
-            # cross pairs are new-doc-first; within-batch both sides new
-            corpus_dup = pairs.join(
-                batch_ids.withColumnRenamed(id_col, "doc_b"),
-                on="doc_b", how="left_anti",
-            ).select(F.col("doc_a").alias(id_col))
-            within = pairs.join(
-                batch_ids.withColumnRenamed(id_col, "doc_b"),
-                on="doc_b", how="left_semi",
+            within, corpus_dup = _classify_pairs(
+                pairs, batch_df.select(id_col), id_col
             )
         else:
             from ..operators.dedup import minhash_lsh_pairs
@@ -530,17 +545,23 @@ def semdedup_ingest_batch(
     covers this one. Returns the number of vectors admitted.
 
     ``centroids`` are FIXED (from the k-means run that built the
-    corpus); each batch assigns into the existing clustering in one
-    Arrow pass and :func:`~..operators.similarity.semdedup_probe`
-    prunes the corpus to the batch's cells — per-batch cost tracks
-    the batch, never the history (measured flat in SCALE.md §15).
-    Fixed centroids drift as the distribution shifts: re-cluster
-    periodically with a full :func:`~..operators.similarity.semdedup`
-    pass, the same cadence call production SemDeDup pipelines make.
+    corpus); each batch assigns into the existing clustering in ONE
+    Arrow pass (the resulting ``cluster`` column is carried through
+    pairing, the admit decision, and the append — never recomputed)
+    and :func:`~..operators.similarity.semdedup_probe` prunes the
+    corpus to the batch's cells — per-batch cost tracks the batch,
+    never the history (measured flat in SCALE.md §15). Fixed
+    centroids drift as the distribution shifts; to re-cluster, run
+    :func:`~..operators.similarity.kmeans` over the corpus for fresh
+    ``(assignments, centroids)``, rewrite the corpus with the new
+    ``cluster`` column (join on ``id_col``), and pass the NEW
+    centroids to subsequent calls — the cadence production SemDeDup
+    pipelines use.
 
     Admit policy and replay idempotence are shared with the MinHash
-    tier (:func:`_admit_keep_first`; survivors append through the
-    key-anti-join).
+    tier (:func:`_classify_pairs` + :func:`_admit_keep_first`;
+    survivors append through the key-anti-join, and the probe
+    tolerates a replayed batch whose ids already sit in the corpus).
     """
     from ..operators.similarity import (
         _as_double,
@@ -551,56 +572,38 @@ def semdedup_ingest_batch(
     from ..sources.writers import _hadoop_exists, idempotent_append
 
     spark = batch_df.sparkSession
-    batch_df = batch_df.persist()
+    assigned = batch_df.withColumn(
+        "cluster",
+        _cell_assigner(centroids)(
+            _as_double(F.col(vec_col))
+        ).getField("cluster"),
+    ).persist()
     pairs = survivors = None
     try:
         bootstrapped = _hadoop_exists(spark, corpus_path)
         if bootstrapped:
             corpus = spark.read.parquet(corpus_path)
             pairs = semdedup_probe(
-                batch_df, corpus, centroids, threshold=threshold,
+                assigned, corpus, centroids, threshold=threshold,
                 id_col=id_col, vec_col=vec_col, cluster_col="cluster",
+                cell_col="cluster",
             ).persist()
-            bids_a = batch_df.select(F.col(id_col).alias("vec_a"))
-            bids_b = batch_df.select(F.col(id_col).alias("vec_b"))
-            # pair ids are (min, max)-normalized, so the corpus id can
-            # sit on EITHER side — classify by membership, not position
-            within = pairs.join(bids_a, "vec_a", "left_semi").join(
-                bids_b, "vec_b", "left_semi"
-            )
-            corpus_dup = (
-                pairs.join(bids_a, "vec_a", "left_anti")
-                .select(F.col("vec_b").alias(id_col))
-                .unionByName(
-                    pairs.join(bids_b, "vec_b", "left_anti")
-                    .select(F.col("vec_a").alias(id_col))
-                )
+            within, corpus_dup = _classify_pairs(
+                pairs, assigned.select(id_col), id_col
             )
         else:
             corpus_dup = None
             within = embedding_neardup_blocked(
-                batch_df.withColumn(
-                    "__cell",
-                    _cell_assigner(centroids)(
-                        _as_double(F.col(vec_col))
-                    ).getField("cluster"),
-                ),
-                threshold=threshold, id_col=id_col, vec_col=vec_col,
-                group_col="__cell",
+                assigned, threshold=threshold, id_col=id_col,
+                vec_col=vec_col, group_col="cluster",
             )
 
         survivors = _admit_keep_first(
-            batch_df, within, corpus_dup, id_col
+            assigned, within, corpus_dup, id_col
         ).persist()
-        with_cell = survivors.withColumn(
-            "cluster",
-            _cell_assigner(centroids)(
-                _as_double(F.col(vec_col))
-            ).getField("cluster"),
-        )
-        return idempotent_append(spark, with_cell, corpus_path, [id_col])
+        return idempotent_append(spark, survivors, corpus_path, [id_col])
     finally:
-        batch_df.unpersist()
+        assigned.unpersist()
         if pairs is not None:
             pairs.unpersist()
         if survivors is not None:
