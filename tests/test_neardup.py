@@ -563,3 +563,33 @@ def test_semdedup_probe_empty_batch(spark):
     out = semdedup_probe(empty, corpus_c, cents)
     assert out.columns == ["vec_a", "vec_b", "cosine_e4"]
     assert out.count() == 0
+
+
+def test_semantic_tier_releases_every_persist(spark, tmp_path):
+    """semdedup, semdedup_probe, and the ingest batch must not accrete
+    cached blocks across calls (the streaming tier runs the batch fn
+    once per micro-batch forever). Only localCheckpoint residue may
+    remain."""
+    from etl_workflow_spark.operators.similarity import (
+        kmeans,
+        semdedup,
+        semdedup_probe,
+    )
+    from etl_workflow_spark.streaming import incremental as inc
+
+    spark.catalog.clearCache()
+    corpus = _blob_corpus(spark)
+    semdedup(corpus, threshold=0.9999, k=3, dim=8).count()
+    assign, cents = kmeans(corpus, k=3, dim=8, max_iter=10)
+    corpus_c = corpus.join(assign.select("vec_id", "cluster"), "vec_id")
+    batch = spark.createDataFrame(
+        [(900, [5.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    semdedup_probe(batch, corpus_c, cents, threshold=0.9).count()
+    path = str(tmp_path / "semcorpus")
+    inc.semdedup_ingest_batch(batch, path, cents, threshold=0.9,
+                              id_col="vec_id", vec_col="embedding")
+    inc.semdedup_ingest_batch(batch, path, cents, threshold=0.9,
+                              id_col="vec_id", vec_col="embedding")
+    leaked = _non_checkpoint_persists(spark)
+    assert leaked == [], f"cached RDDs leaked: {leaked}"
