@@ -68,3 +68,52 @@ def test_pack_sequences_oversized_chunk_gets_own_pack(spark):
     chunks = chunk_documents(df, chunk_tokens=50)
     packed = pack_sequences(chunks, budget_tokens=10, num_shards=2).collect()
     assert len(packed) == 1  # kept, not dropped
+
+
+def test_pack_sequences_best_fit_tighter_and_conserving(spark):
+    """best_fit: same chunk set, every pack within budget, and at
+    least as few packs as next_fit on a skew fixture built to make
+    next-fit waste space."""
+    # sizes alternating 12, 7: next-fit closes a pack per (12, 7) pair
+    # at budget 20; BFD pairs 12s with 7s far better (12+7=19)
+    rows = [(d, 0, 12 if d % 2 == 0 else 7) for d in range(40)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, n_tokens int"
+    )
+    kw = dict(budget_tokens=20, num_shards=2)
+    nf = pack_sequences(chunks, **kw).collect()
+    bf = pack_sequences(chunks, strategy="best_fit", **kw).collect()
+    assert sorted((r.doc_id, r.chunk_idx) for r in bf) == sorted(
+        (r.doc_id, r.chunk_idx) for r in nf
+    )
+    fills = {}
+    for r in bf:
+        fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+    assert all(v <= 20 for v in fills.values())
+    assert len(fills) <= len({r.pack_id for r in nf})
+    # deterministic re-run
+    again = pack_sequences(chunks, strategy="best_fit", **kw).collect()
+    assert sorted(map(tuple, bf)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_best_fit_oversized_own_pack(spark):
+    chunks = spark.createDataFrame(
+        [(1, 0, 99), (2, 0, 5), (3, 0, 6)],
+        "doc_id long, chunk_idx int, n_tokens int",
+    )
+    out = pack_sequences(
+        chunks, budget_tokens=20, num_shards=1, strategy="best_fit"
+    ).collect()
+    big_pack = next(r.pack_id for r in out if r.doc_id == 1)
+    assert [r.doc_id for r in out if r.pack_id == big_pack] == [1]
+    assert sorted(r.doc_id for r in out if r.pack_id != big_pack) == [2, 3]
+
+
+def test_pack_sequences_rejects_unknown_strategy(spark):
+    import pytest
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 5)], "doc_id long, chunk_idx int, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        pack_sequences(chunks, strategy="first_fit")
