@@ -16,13 +16,16 @@ document length). The transform lambda is interpreted, but it runs
 once per CHUNK with vectorized slice/concat inside, so total work stays
 O(corpus tokens).
 
-Packing is a greedy next-fit stream per shard: an inherently sequential
-recurrence (each pack's state depends on the previous decision), so it
-cannot be a window function. It IS embarrassingly parallel across
-shards: documents hash-shard, each shard packs its own chunk stream in
-one Arrow batch (``applyInPandas``), and shard-local pack ids are made
-global by offsetting with the shard id. Cross-shard waste is at most
-one partial pack per shard — negligible when shards ≫ packs-per-shard.
+Packing is a greedy per-shard recurrence (each pack's state depends on
+the previous decision), so it cannot be a window function. It IS
+embarrassingly parallel across shards: documents hash-shard, each shard
+packs its own chunk stream in one Arrow batch (``applyInPandas``), and
+shard-local pack ids are made global by offsetting with the shard id.
+Two strategies: next-fit (default — doc-order adjacency, cross-shard
+waste at most one partial pack per shard) and best-fit-decreasing
+(fewer packs on skewed sizes at the cost of doc contiguity; waste
+follows the any-fit bound, not next-fit's one-partial-pack one). See
+``pack_sequences``.
 """
 
 from __future__ import annotations
@@ -169,28 +172,38 @@ def pack_sequences(
                 fill += n
                 pack_ids.append((shard << _PACK_SHARD_BITS) | local)
         else:
-            # best-fit-decreasing over the shard: stable sort by
+            # best-fit-decreasing over the shard: stable argsort by
             # descending size keeps (doc, idx) order among equal sizes,
-            # so the assignment is deterministic; fills is scanned for
-            # the fullest pack that still fits (shard pack counts are
-            # small enough that the linear scan beats heap bookkeeping)
-            order = sorted(
-                range(len(out)),
-                key=lambda i: -int(out[tokens_col].iloc[i]),
-            )
-            fills: list[int] = []
-            pack_ids = [0] * len(out)
+            # so the assignment is deterministic. Open packs live in a
+            # fill-sorted list; the fullest pack that still fits is one
+            # bisect (O(log p)) — a per-chunk linear scan would be
+            # O(chunks × packs), quadratic in shard size, exactly on
+            # the large-corpus path this strategy exists for. The
+            # pop/insert memmoves are C-level on a flat int list.
+            import bisect
+
+            import numpy as np
+
+            sizes = pdf[tokens_col].to_numpy()
+            order = np.argsort(-sizes, kind="stable")
+            fills: list[int] = []   # sorted open-pack fills
+            packs: list[int] = []   # pack index parallel to fills
+            next_pack = 0
+            pack_ids = np.zeros(len(sizes), dtype=np.int64)
             for i in order:
-                n = int(out[tokens_col].iloc[i])
-                best, best_fill = -1, -1
-                for p, fill in enumerate(fills):
-                    if fill + n <= budget_tokens and fill > best_fill:
-                        best, best_fill = p, fill
-                if best < 0:
-                    best = len(fills)
-                    fills.append(0)
-                fills[best] += n
-                pack_ids[i] = (shard << _PACK_SHARD_BITS) | best
+                n = int(sizes[i])
+                j = bisect.bisect_right(fills, budget_tokens - n) - 1
+                if j >= 0:
+                    f = fills.pop(j) + n
+                    p = packs.pop(j)
+                else:
+                    f, p = n, next_pack
+                    next_pack += 1
+                k = bisect.bisect_left(fills, f)
+                fills.insert(k, f)
+                packs.insert(k, p)
+                pack_ids[i] = (shard << _PACK_SHARD_BITS) | p
+            pack_ids = pack_ids.tolist()
         out["pack_id"] = pack_ids
         return out
 
