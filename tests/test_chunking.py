@@ -117,3 +117,40 @@ def test_pack_sequences_rejects_unknown_strategy(spark):
     )
     with pytest.raises(ValueError, match="strategy"):
         pack_sequences(chunks, strategy="first_fit")
+
+
+def test_pack_sequences_property_sweep(spark):
+    """Randomized contract check for BOTH strategies: chunk set
+    conserved, every pack within budget (oversized chunks isolated),
+    and best_fit never uses more packs than next_fit."""
+    import random
+
+    rnd = random.Random(17)
+    for trial in range(3):
+        rows = [
+            (d, 0, rnd.choice([1, 3, 7, 11, 19, 25]))
+            for d in range(rnd.randint(1, 60))
+        ]
+        chunks = spark.createDataFrame(
+            rows, "doc_id long, chunk_idx int, n_tokens int"
+        )
+        budget = rnd.choice([10, 20, 24])
+        packs = {}
+        for strategy in ("next_fit", "best_fit"):
+            out = pack_sequences(
+                chunks, budget_tokens=budget, num_shards=2,
+                strategy=strategy,
+            ).collect()
+            assert sorted((r.doc_id, r.chunk_idx) for r in out) == sorted(
+                (d, i) for d, i, _ in rows
+            )
+            fills = {}
+            for r in out:
+                fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+            for pid, fill in fills.items():
+                members = [r for r in out if r.pack_id == pid]
+                assert fill <= budget or (
+                    len(members) == 1 and members[0].n_tokens > budget
+                ), (trial, strategy, pid, fill)
+            packs[strategy] = len(fills)
+        assert packs["best_fit"] <= packs["next_fit"], (trial, packs)

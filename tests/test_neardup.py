@@ -593,3 +593,37 @@ def test_semantic_tier_releases_every_persist(spark, tmp_path):
                               id_col="vec_id", vec_col="embedding")
     leaked = _non_checkpoint_persists(spark)
     assert leaked == [], f"cached RDDs leaked: {leaked}"
+
+
+def test_semdedup_probe_pre_assigned_cells_match(spark):
+    """cell_col: a pre-assigned batch (the ingest path) yields exactly
+    the pairs of the assign-inside path."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.operators.similarity import (
+        _as_double,
+        _cell_assigner,
+        kmeans,
+        semdedup_probe,
+    )
+
+    corpus = _blob_corpus(spark)
+    assign, cents = kmeans(corpus, k=3, dim=8, max_iter=10)
+    corpus_c = corpus.join(assign.select("vec_id", "cluster"), "vec_id")
+    batch = spark.createDataFrame(
+        [(300, [x * 2.0 for x in corpus.first().embedding]),
+         (301, [9.0, -2.0, 4.0, 1.0, 0.5, -3.0, 2.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    inline = _pairs(semdedup_probe(batch, corpus_c, cents, threshold=0.9))
+    pre = batch.withColumn(
+        "cluster",
+        _cell_assigner(cents)(_as_double(F.col("embedding"))).getField(
+            "cluster"
+        ),
+    )
+    given = _pairs(
+        semdedup_probe(pre, corpus_c, cents, threshold=0.9,
+                       cell_col="cluster")
+    )
+    assert inline == given and inline
