@@ -986,6 +986,138 @@ def compact_histogram_store(
     _swap_staged(spark, store_path, out, partition_by=["date", "batch_id"])
 
 
+def vocab_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    col: str = "text",
+    lowercase: bool = True,
+) -> None:
+    """Write one micro-batch's word counts into the vocabulary store,
+    EXACTLY-ONCE: fragments land under ``batch_id=…`` partitions, so a
+    replayed batch dynamic-overwrites exactly what it wrote the first
+    time (additive counts need write-side idempotence — the histogram
+    store's contract, not the HLL store's union idempotence). No
+    per-batch ``min_count`` is applied: a global threshold must see
+    the MERGED counts, so thresholds belong to :func:`read_vocab_store`.
+    Vocab merge IS addition, so fragments cost only file count until
+    :func:`compact_vocab_store` collapses closed batches.
+
+    The point at 100 TB: tokenizer retraining
+    (:func:`train_bpe_from_store`) reads this small additive store —
+    the corpus is tokenized-and-counted exactly once per document,
+    never re-scanned per retrain.
+    """
+    from ..operators.text import vocab_counts
+
+    counts = vocab_counts(
+        batch_df, col=col, lowercase=lowercase
+    ).withColumn("batch_id", F.lit(int(batch_id)))
+    (
+        counts.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_vocab_rollup(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous vocabulary-store maintenance: each micro-batch adds
+    its count fragments (:func:`vocab_rollup_batch`); tokenizer
+    retrains read the store, never the stream's history. Returns a
+    writeStream builder (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        vocab_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_vocab_store(
+    spark: SparkSession,
+    store_path: str,
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """The store's current ``(token, count)`` vocabulary — same
+    semantics as :func:`~etl_workflow_spark.operators.text.vocab_counts`
+    over the full ingested corpus: one combiner-friendly merge of the
+    fragments, ``min_count``/``top_k`` applied AFTER the merge (a
+    per-fragment threshold would drop tokens that only clear it
+    globally)."""
+    out = (
+        spark.read.parquet(store_path)
+        .groupBy("token")
+        .agg(F.sum("count").alias("count"))
+        .where(F.col("count") >= F.lit(int(min_count)))
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("count").desc(), F.col("token").asc()
+        ).limit(int(top_k))
+    return out
+
+
+def compact_vocab_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Collapse closed batches' fragments into one row per token under
+    ``batch_id=-1`` — the file-count bound for a long-lived store.
+    Same contract as :func:`compact_histogram_store`: pass the CURRENT
+    max batch id (Structured Streaming replays at most the last
+    uncommitted batch, so everything strictly below it is closed);
+    compacted rows re-compact harmlessly next time."""
+    from ..sources.writers import _swap_staged
+
+    store = spark.read.parquet(store_path)
+    old = store.where(F.col("batch_id") < F.lit(int(before_batch_id)))
+    keep = store.where(F.col("batch_id") >= F.lit(int(before_batch_id)))
+    compacted = (
+        old.groupBy("token")
+        .agg(F.sum("count").alias("count"))
+        .withColumn("batch_id", F.lit(-1).cast("int"))
+    )
+    out = compacted.unionByName(keep.select(*compacted.columns))
+    _swap_staged(spark, store_path, out, partition_by=["batch_id"])
+
+
+def train_bpe_from_store(
+    spark: SparkSession,
+    store_path: str,
+    num_merges: int = 1000,
+    min_count: int = 1,
+    max_words: int = 1_000_000,
+    min_pair_count: int = 2,
+    lowercase: bool = True,
+) -> dict:
+    """Learn a BPE model from the vocabulary store — identical result
+    to :func:`~etl_workflow_spark.operators.text.train_bpe` over the
+    full ingested corpus, without re-scanning it: the merge loop's
+    input is the store's merged (bounded, top-``max_words``) word
+    table. ``lowercase`` must match how the store was built (it is
+    also re-applied in ``learn_bpe``'s count folding, a no-op on an
+    already-lowercased vocabulary)."""
+    from ..operators.text import learn_bpe
+
+    vocab = read_vocab_store(
+        spark, store_path, min_count=min_count, top_k=int(max_words)
+    )
+    words = [(r["token"], int(r["count"])) for r in vocab.collect()]
+    return learn_bpe(
+        words, num_merges=num_merges, lowercase=lowercase,
+        min_pair_count=min_pair_count,
+    )
+
+
 def compact_gram_store(
     spark: SparkSession, store_path: str, before_batch_id: int
 ) -> None:

@@ -529,3 +529,81 @@ def test_stream_semdedup_ingest_end_to_end(spark, tmp_path):
     got = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
     assert 3 in got
     assert not (1 in got and 2 in got)  # v1 and its copy never coexist
+
+
+# ---------------------------------------------------- vocabulary store
+
+
+def test_vocab_store_matches_batch_vocab_and_replays(spark, tmp_path):
+    """Fragments merge to exactly vocab_counts over the full corpus;
+    a replayed batch overwrites its own partition (no double counts);
+    global min_count applies after the merge."""
+    from etl_workflow_spark.operators.text import vocab_counts
+
+    store = str(tmp_path / "vocab")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta beta gamma")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, "beta gamma gamma delta")], ["doc_id", "text"]
+    )
+    inc.vocab_rollup_batch(b1, store, 0)
+    inc.vocab_rollup_batch(b2, store, 1)
+    inc.vocab_rollup_batch(b2, store, 1)  # replay: same partition
+    got = {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, store).collect()
+    }
+    want = {
+        r["token"]: r["count"]
+        for r in vocab_counts(b1.unionByName(b2)).collect()
+    }
+    assert got == want
+    # a token below min_count per batch but above it globally survives
+    assert inc.read_vocab_store(spark, store, min_count=2).where(
+        "token = 'beta'"
+    ).count() == 1
+
+
+def test_vocab_store_compaction_preserves_counts(spark, tmp_path):
+    store = str(tmp_path / "vocab")
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i, f"tok{i} shared shared")], ["doc_id", "text"]
+        )
+        inc.vocab_rollup_batch(b, store, i)
+    before = {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, store).collect()
+    }
+    inc.compact_vocab_store(spark, store, before_batch_id=3)
+    frags = spark.read.parquet(store)
+    assert frags.where("batch_id = -1").count() > 0
+    assert {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, store).collect()
+    } == before
+    # re-compaction (batch_id=-1 included) stays correct
+    inc.compact_vocab_store(spark, store, before_batch_id=99)
+    assert {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, store).collect()
+    } == before
+
+
+def test_train_bpe_from_store_equals_full_corpus_train(spark, tmp_path):
+    from etl_workflow_spark.operators.text import train_bpe
+
+    store = str(tmp_path / "vocab")
+    docs = [(i, t) for i, t in enumerate(
+        ["low lower low", "newest new lowest low", "wide wider widest"]
+    )]
+    full = spark.createDataFrame(docs, ["doc_id", "text"])
+    for i, row in enumerate(docs):
+        inc.vocab_rollup_batch(
+            spark.createDataFrame([row], ["doc_id", "text"]), store, i
+        )
+    got = inc.train_bpe_from_store(spark, store, num_merges=10,
+                                   min_pair_count=1)
+    want = train_bpe(full, num_merges=10, min_pair_count=1)
+    assert got == want
