@@ -1209,6 +1209,15 @@ def train_bpe(
         df, col=col, lowercase=lowercase, min_count=min_count,
         top_k=int(max_words),
     )
+    return _learn_from_vocab(vocab, num_merges, lowercase, min_pair_count)
+
+
+def _learn_from_vocab(
+    vocab: DataFrame, num_merges: int, lowercase: bool, min_pair_count: int
+) -> dict:
+    """Shared tail of :func:`train_bpe` and the vocabulary store's
+    ``train_bpe_from_store`` — one place for the collect + merge-loop
+    handoff, so the two 'identical result' entry points cannot drift."""
     words = [(r["token"], int(r["count"])) for r in vocab.collect()]
     return learn_bpe(
         words, num_merges=num_merges, lowercase=lowercase,

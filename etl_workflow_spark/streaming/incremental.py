@@ -974,16 +974,12 @@ def compact_histogram_store(
     partition layout the streaming writer targets — single-writer
     contract, same as every mutation in ``sources.writers``."""
     from ..operators.sketches import merge_histogram_rows
-    from ..sources.writers import _swap_staged
 
-    store = spark.read.parquet(store_path)
-    old = store.where(F.col("batch_id") < F.lit(int(before_batch_id)))
-    keep = store.where(F.col("batch_id") >= F.lit(int(before_batch_id)))
-    compacted = merge_histogram_rows(old, keys=["date"]).withColumn(
-        "batch_id", F.lit(-1).cast("int")
+    _compact_batched_store(
+        spark, store_path, before_batch_id,
+        lambda old: merge_histogram_rows(old, keys=["date"]),
+        partition_by=["date", "batch_id"],
     )
-    out = compacted.unionByName(keep.select(*compacted.columns))
-    _swap_staged(spark, store_path, out, partition_by=["date", "batch_id"])
 
 
 def vocab_rollup_batch(
@@ -1010,9 +1006,15 @@ def vocab_rollup_batch(
     """
     from ..operators.text import vocab_counts
 
-    counts = vocab_counts(
-        batch_df, col=col, lowercase=lowercase
-    ).withColumn("batch_id", F.lit(int(batch_id)))
+    counts = (
+        vocab_counts(batch_df, col=col, lowercase=lowercase)
+        # the normalization the counts were built under travels WITH
+        # the fragments (RLE: one constant column costs ~nothing), so
+        # train_bpe_from_store can validate instead of trusting a
+        # must-match-by-convention parameter
+        .withColumn("lowercase", F.lit(bool(lowercase)))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
     (
         counts.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1067,27 +1069,48 @@ def read_vocab_store(
     return out
 
 
-def compact_vocab_store(
-    spark: SparkSession, store_path: str, before_batch_id: int
+def _compact_batched_store(
+    spark: SparkSession,
+    store_path: str,
+    before_batch_id: int,
+    merge_fn,
+    partition_by: list[str],
 ) -> None:
-    """Collapse closed batches' fragments into one row per token under
-    ``batch_id=-1`` — the file-count bound for a long-lived store.
-    Same contract as :func:`compact_histogram_store`: pass the CURRENT
-    max batch id (Structured Streaming replays at most the last
-    uncommitted batch, so everything strictly below it is closed);
-    compacted rows re-compact harmlessly next time."""
+    """Shared skeleton of every per-batch-fragment store compaction
+    (histogram / Gram / vocabulary): split the store at the closed-
+    batch boundary (strict ``<`` — Structured Streaming replays at
+    most the last uncommitted batch, so everything strictly below the
+    CURRENT max batch id is closed), merge the closed fragments via
+    ``merge_fn(old) -> DataFrame`` (no batch_id column), relabel them
+    ``batch_id=-1`` (re-compacts harmlessly next time), and stage-swap
+    preserving the partition layout the streaming writer targets —
+    single-writer contract, same as every mutation in
+    ``sources.writers``."""
     from ..sources.writers import _swap_staged
 
     store = spark.read.parquet(store_path)
     old = store.where(F.col("batch_id") < F.lit(int(before_batch_id)))
     keep = store.where(F.col("batch_id") >= F.lit(int(before_batch_id)))
-    compacted = (
-        old.groupBy("token")
-        .agg(F.sum("count").alias("count"))
-        .withColumn("batch_id", F.lit(-1).cast("int"))
+    compacted = merge_fn(old).withColumn(
+        "batch_id", F.lit(-1).cast("int")
     )
     out = compacted.unionByName(keep.select(*compacted.columns))
-    _swap_staged(spark, store_path, out, partition_by=["batch_id"])
+    _swap_staged(spark, store_path, out, partition_by=partition_by)
+
+
+def compact_vocab_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Collapse closed batches' fragments into one row per token under
+    ``batch_id=-1`` — the file-count bound for a long-lived store
+    (:func:`_compact_batched_store` contract)."""
+    _compact_batched_store(
+        spark, store_path, before_batch_id,
+        lambda old: old.groupBy("token", "lowercase").agg(
+            F.sum("count").alias("count")
+        ).select("token", "count", "lowercase"),
+        partition_by=["batch_id"],
+    )
 
 
 def train_bpe_from_store(
@@ -1097,25 +1120,31 @@ def train_bpe_from_store(
     min_count: int = 1,
     max_words: int = 1_000_000,
     min_pair_count: int = 2,
-    lowercase: bool = True,
 ) -> dict:
     """Learn a BPE model from the vocabulary store — identical result
     to :func:`~etl_workflow_spark.operators.text.train_bpe` over the
     full ingested corpus, without re-scanning it: the merge loop's
     input is the store's merged (bounded, top-``max_words``) word
-    table. ``lowercase`` must match how the store was built (it is
-    also re-applied in ``learn_bpe``'s count folding, a no-op on an
-    already-lowercased vocabulary)."""
-    from ..operators.text import learn_bpe
+    table. The normalization flag is READ FROM THE STORE (recorded at
+    write time), not trusted as a parameter — a store whose fragments
+    disagree on it is refused."""
+    from ..operators.text import _learn_from_vocab
 
+    flags = [
+        bool(r["lowercase"])
+        for r in spark.read.parquet(store_path)
+        .select("lowercase").distinct().collect()
+    ]
+    if len(flags) != 1:
+        raise ValueError(
+            "vocabulary store fragments disagree on the lowercase "
+            f"normalization ({sorted(flags)}) — rebuild the store with "
+            "one setting"
+        )
     vocab = read_vocab_store(
         spark, store_path, min_count=min_count, top_k=int(max_words)
     )
-    words = [(r["token"], int(r["count"])) for r in vocab.collect()]
-    return learn_bpe(
-        words, num_merges=num_merges, lowercase=lowercase,
-        min_pair_count=min_pair_count,
-    )
+    return _learn_from_vocab(vocab, num_merges, flags[0], min_pair_count)
 
 
 def compact_gram_store(
@@ -1127,24 +1156,19 @@ def compact_gram_store(
     exactly like a refit would)."""
     import numpy as np
 
-    from ..sources.writers import _swap_staged
+    schema = "n long, s array<double>, g array<double>"
 
-    store = spark.read.parquet(store_path)
-    old = store.where(F.col("batch_id") < F.lit(int(before_batch_id)))
-    keep = store.where(F.col("batch_id") >= F.lit(int(before_batch_id)))
-    rows = old.select("n", "s", "g").collect()
-    frames = [keep.select("n", "s", "g", "batch_id")]
-    if rows:
+    def merge(old: DataFrame) -> DataFrame:
+        rows = old.select("n", "s", "g").collect()
+        if not rows:
+            return spark.createDataFrame([], schema)
         n = int(sum(r.n for r in rows))
         s = np.sum([np.array(r.s) for r in rows], axis=0)
         g = np.sum([np.array(r.g) for r in rows], axis=0)
-        frames.append(
-            spark.createDataFrame(
-                [(n, [float(x) for x in s], [float(x) for x in g], -1)],
-                "n long, s array<double>, g array<double>, batch_id int",
-            )
+        return spark.createDataFrame(
+            [(n, [float(x) for x in s], [float(x) for x in g])], schema
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    _swap_staged(spark, store_path, out, partition_by=["batch_id"])
+
+    _compact_batched_store(
+        spark, store_path, before_batch_id, merge, partition_by=["batch_id"]
+    )

@@ -559,10 +559,28 @@ def test_vocab_store_matches_batch_vocab_and_replays(spark, tmp_path):
         for r in vocab_counts(b1.unionByName(b2)).collect()
     }
     assert got == want
-    # a token below min_count per batch but above it globally survives
-    assert inc.read_vocab_store(spark, store, min_count=2).where(
-        "token = 'beta'"
-    ).count() == 1
+    # tokens below min_count in EVERY fragment but above it merged:
+    # beta (2+1) and gamma (1+2) — a per-fragment threshold regression
+    # would return nothing here
+    thr = {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, store, min_count=3).collect()
+    }
+    assert thr == {"beta": 3, "gamma": 3}
+
+
+def test_vocab_store_refuses_mixed_normalization(spark, tmp_path):
+    """Fragments record their lowercase flag; a store whose fragments
+    disagree is refused at train time rather than silently training on
+    mixed-normalization counts."""
+    import pytest
+
+    store = str(tmp_path / "vocab")
+    b = spark.createDataFrame([(1, "The the")], ["doc_id", "text"])
+    inc.vocab_rollup_batch(b, store, 0, lowercase=True)
+    inc.vocab_rollup_batch(b, store, 1, lowercase=False)
+    with pytest.raises(ValueError, match="lowercase"):
+        inc.train_bpe_from_store(spark, store, num_merges=2)
 
 
 def test_vocab_store_compaction_preserves_counts(spark, tmp_path):
