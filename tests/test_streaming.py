@@ -625,3 +625,38 @@ def test_train_bpe_from_store_equals_full_corpus_train(spark, tmp_path):
                                    min_pair_count=1)
     want = train_bpe(full, num_merges=10, min_pair_count=1)
     assert got == want
+
+
+def test_stream_vocab_rollup_end_to_end(spark, tmp_path):
+    """Real availableNow stream: per-file micro-batches build the
+    store; the merged vocabulary equals the batch build."""
+    from etl_workflow_spark.operators.text import vocab_counts
+
+    src = str(tmp_path / "vsrc")
+    store = str(tmp_path / "vstore")
+    ckpt = str(tmp_path / "vckpt")
+    d1 = spark.createDataFrame([(1, "red green green")], ["doc_id", "text"])
+    d2 = spark.createDataFrame([(2, "green blue")], ["doc_id", "text"])
+    d1.coalesce(1).write.parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        inc.stream_vocab_rollup(stream, store, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    got = {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, store).collect()
+    }
+    want = {
+        r["token"]: r["count"]
+        for r in vocab_counts(d1.unionByName(d2)).collect()
+    }
+    assert got == want == {"red": 1, "green": 3, "blue": 1}
