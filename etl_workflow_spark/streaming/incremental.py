@@ -1044,6 +1044,36 @@ def stream_vocab_rollup(
     )
 
 
+def _vocab_store_flag(store: DataFrame) -> bool:
+    """The store's single normalization flag. Fragments written before
+    the flag column existed default to ``True`` (the only writer
+    default back then); an empty store also answers ``True`` (its
+    vocabulary is empty either way); fragments that DISAGREE are
+    refused — summing counts across normalization regimes is the
+    silent corruption the flag exists to prevent. The check is a
+    column-pruned scan of one RLE boolean column, not a data read."""
+    if "lowercase" not in store.columns:
+        return True
+    flags = sorted(
+        bool(r[0]) for r in store.select("lowercase").distinct().collect()
+    )
+    if len(flags) > 1:
+        raise ValueError(
+            "vocabulary store fragments disagree on the lowercase "
+            f"normalization ({flags}) — rebuild the store with one "
+            "setting"
+        )
+    return flags[0] if flags else True
+
+
+def _with_vocab_flag(df: DataFrame) -> DataFrame:
+    """Inject the flag column for pre-flag fragments so readers and
+    compaction see one schema."""
+    if "lowercase" in df.columns:
+        return df
+    return df.withColumn("lowercase", F.lit(True))
+
+
 def read_vocab_store(
     spark: SparkSession,
     store_path: str,
@@ -1055,10 +1085,12 @@ def read_vocab_store(
     over the full ingested corpus: one combiner-friendly merge of the
     fragments, ``min_count``/``top_k`` applied AFTER the merge (a
     per-fragment threshold would drop tokens that only clear it
-    globally)."""
+    globally). Mixed-normalization stores are refused HERE, the shared
+    read path, so every consumer inherits the guard."""
+    store = spark.read.parquet(store_path)
+    _vocab_store_flag(store)
     out = (
-        spark.read.parquet(store_path)
-        .groupBy("token")
+        store.groupBy("token")
         .agg(F.sum("count").alias("count"))
         .where(F.col("count") >= F.lit(int(min_count)))
     )
@@ -1075,6 +1107,7 @@ def _compact_batched_store(
     before_batch_id: int,
     merge_fn,
     partition_by: list[str],
+    prepare=None,
 ) -> None:
     """Shared skeleton of every per-batch-fragment store compaction
     (histogram / Gram / vocabulary): split the store at the closed-
@@ -1085,10 +1118,14 @@ def _compact_batched_store(
     ``batch_id=-1`` (re-compacts harmlessly next time), and stage-swap
     preserving the partition layout the streaming writer targets —
     single-writer contract, same as every mutation in
-    ``sources.writers``."""
+    ``sources.writers``. ``prepare`` (store -> store) runs on the raw
+    read BEFORE the split — schema-upgrade shims (e.g. the vocab
+    store's pre-flag fallback) go there so old/keep stay aligned."""
     from ..sources.writers import _swap_staged
 
     store = spark.read.parquet(store_path)
+    if prepare is not None:
+        store = prepare(store)
     old = store.where(F.col("batch_id") < F.lit(int(before_batch_id)))
     keep = store.where(F.col("batch_id") >= F.lit(int(before_batch_id)))
     compacted = merge_fn(old).withColumn(
@@ -1110,6 +1147,7 @@ def compact_vocab_store(
             F.sum("count").alias("count")
         ).select("token", "count", "lowercase"),
         partition_by=["batch_id"],
+        prepare=_with_vocab_flag,
     )
 
 
@@ -1127,24 +1165,14 @@ def train_bpe_from_store(
     input is the store's merged (bounded, top-``max_words``) word
     table. The normalization flag is READ FROM THE STORE (recorded at
     write time), not trusted as a parameter — a store whose fragments
-    disagree on it is refused."""
+    disagree on it is refused (:func:`_vocab_store_flag`)."""
     from ..operators.text import _learn_from_vocab
 
-    flags = [
-        bool(r["lowercase"])
-        for r in spark.read.parquet(store_path)
-        .select("lowercase").distinct().collect()
-    ]
-    if len(flags) != 1:
-        raise ValueError(
-            "vocabulary store fragments disagree on the lowercase "
-            f"normalization ({sorted(flags)}) — rebuild the store with "
-            "one setting"
-        )
+    flag = _vocab_store_flag(spark.read.parquet(store_path))
     vocab = read_vocab_store(
         spark, store_path, min_count=min_count, top_k=int(max_words)
     )
-    return _learn_from_vocab(vocab, num_merges, flags[0], min_pair_count)
+    return _learn_from_vocab(vocab, num_merges, flag, min_pair_count)
 
 
 def compact_gram_store(

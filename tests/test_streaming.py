@@ -660,3 +660,43 @@ def test_stream_vocab_rollup_end_to_end(spark, tmp_path):
         for r in vocab_counts(d1.unionByName(d2)).collect()
     }
     assert got == want == {"red": 1, "green": 3, "blue": 1}
+
+
+def test_vocab_store_guard_in_read_path_and_preflag_fallback(
+    spark, tmp_path
+):
+    """Mixed normalization is refused at read_vocab_store (every
+    consumer inherits the guard), and a pre-flag store (fragments
+    without the lowercase column) reads/compacts/trains under the
+    old default instead of crashing."""
+    import pytest
+
+    store = str(tmp_path / "vocab")
+    b = spark.createDataFrame([(1, "The the")], ["doc_id", "text"])
+    inc.vocab_rollup_batch(b, store, 0, lowercase=True)
+    inc.vocab_rollup_batch(b, store, 1, lowercase=False)
+    with pytest.raises(ValueError, match="lowercase"):
+        inc.read_vocab_store(spark, store).collect()
+
+    # pre-flag layout: fragments with only (token, count, batch_id)
+    old = str(tmp_path / "vocab_v0")
+    from etl_workflow_spark.operators.text import vocab_counts
+
+    (
+        vocab_counts(b)
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(old)
+    )
+    got = {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, old).collect()
+    }
+    assert got == {"the": 2}
+    inc.compact_vocab_store(spark, old, before_batch_id=99)
+    assert {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, old).collect()
+    } == got
+    model = inc.train_bpe_from_store(spark, old, num_merges=2,
+                                     min_pair_count=1)
+    assert model["lowercase"] is True and model["merges"]
