@@ -383,6 +383,103 @@ def _gram_hashes(th_col: str, n: int) -> Column:
     )
 
 
+def _aligned_token_hashes(col: str) -> Column:
+    """Per-token hashes normalized IN PLACE (lowercase + strip
+    non-alnum inside each token, never re-splitting), so position i of
+    the hash array IS position i of ``tokens(col)`` — the alignment
+    surgical span removal needs. :func:`_norm_token_hashes` (the
+    flag-level recipe) folds punctuation into token boundaries, which
+    re-splits: fine when only the hit count matters, fatal when hits
+    must map back to raw-token positions."""
+    return F.transform(
+        tokens(col),
+        lambda t: F.xxhash64(
+            F.regexp_replace(F.lower(t), "[^a-z0-9]", "")
+        ),
+    )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    margin: int = 0,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str = "text",
+) -> DataFrame:
+    """Surgical benchmark decontamination: instead of dropping a
+    contaminated document (:func:`decontaminate`), remove ONLY the
+    token windows that collide with a held-out set's ``n``-grams
+    (± ``margin`` extra tokens each side) and keep the rest — the
+    GPT-3-style excision recipe for documents too valuable to drop.
+
+    Matching normalizes per token in place
+    (:func:`_aligned_token_hashes`), a slightly stricter overlap
+    definition than :func:`ngram_contamination`'s boundary-folding
+    normalization — use the flag operator for audit counts and this
+    one for the rewrite. Rebuilt text is whitespace-normalized (single
+    spaces), the module's standard rebuild convention; untouched and
+    NULL-text documents pass through byte-identical. Adds
+    ``n_removed_tokens``.
+
+    Scale shape: the benchmark's gram hashes build once and broadcast;
+    the corpus explodes to hash-only (id, pos, gram) rows probed by
+    semi-join — the corpus never shuffles for the probe, and only the
+    per-doc hit-start aggregation exchanges (keyed on ``id_col``,
+    bounded by hit count). The rebuild is codegen HOFs; its cost per
+    doc is tokens × hit-starts, fine while per-doc collisions are few
+    (they are — eval sets are MBs against a 100 TB corpus).
+    """
+    from .partitioning import scale_partitions
+
+    bench_hashes = (
+        benchmark.select(_aligned_token_hashes(bench_col).alias("__th"))
+        .select(F.explode(_gram_hashes("__th", n)).alias("gram_h"))
+        .distinct()
+    )
+    doc_grams = (
+        scale_partitions(docs)
+        .select(F.col(id_col), _aligned_token_hashes(col).alias("__th"))
+        .select(
+            id_col,
+            F.posexplode(_gram_hashes("__th", n)).alias("__pos", "gram_h"),
+        )
+    )
+    hit_starts = (
+        doc_grams.join(F.broadcast(bench_hashes), "gram_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__starts"))
+    )
+    toks = tokens(col)
+    lo = F.lit(int(margin))
+    hi = F.lit(int(n - 1 + margin))
+    # gram at 0-based start s covers tokens [s, s+n-1]; drop token i
+    # when any hit-start's (margin-widened) window covers it. __starts
+    # is read through a column reference (the HOF capture rule).
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("__starts"), lambda s: (i >= s - lo) & (i <= s + hi)
+        ),
+    )
+    untouched = F.col("__starts").isNull() | F.col(col).isNull()
+    return (
+        docs.join(hit_starts, id_col, "left")
+        .withColumn(
+            "n_removed_tokens",
+            F.when(untouched, F.lit(0))
+            .otherwise(F.size(toks) - F.size(kept))
+            .cast("long"),
+        )
+        .withColumn(
+            col,
+            F.when(untouched, F.col(col)).otherwise(F.concat_ws(" ", kept)),
+        )
+        .drop("__starts")
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -255,3 +255,70 @@ def test_corpus_containment_approx_tracks_exact(spark, sf_dir):
     assert abs(approx.n_grams_b_est - exact.n_grams_b) / exact.n_grams_b < 0.05
     # containment within 5 points (subtraction amplifies sketch error)
     assert abs(approx.containment_e6 - exact.containment_e6) < 50_000
+
+
+# ------------------------------------------- surgical span removal
+
+
+def _surgical_oracle(text, bench_texts, n, margin):
+    """Pure-Python twin of remove_contaminated_spans for one doc."""
+    def norm(t):
+        return re.sub(r"[^a-z0-9]", "", t.lower())
+
+    bench_grams = set()
+    for b in bench_texts:
+        bt = [norm(t) for t in b.split()]
+        for i in range(len(bt) - n + 1):
+            bench_grams.add(tuple(bt[i:i + n]))
+    toks = text.split()
+    hs = [norm(t) for t in toks]
+    starts = [
+        i for i in range(len(hs) - n + 1)
+        if tuple(hs[i:i + n]) in bench_grams
+    ]
+    drop = set()
+    for s in starts:
+        drop.update(range(s - margin, s + n + margin))
+    kept = [t for i, t in enumerate(toks) if i not in drop]
+    if not starts:
+        return text, 0  # untouched docs pass through byte-identical
+    return " ".join(kept), len(toks) - len(kept)
+
+
+@pytest.mark.parametrize("margin", [0, 2])
+def test_remove_contaminated_spans_python_oracle(spark, margin):
+    from etl_workflow_spark.operators.text import (
+        remove_contaminated_spans,
+    )
+
+    bench = ["the secret answer is forty two exactly"]
+    texts = {
+        # punctuation INSIDE a token ("two,") normalizes away without
+        # moving boundaries; a hyphenated merge ("forty-two") would NOT
+        # match — that is the documented in-place-normalization contract
+        1: ("intro words then The Secret answer IS forty two, exactly "
+            "and the rest of the useful document keeps going fine"),
+        2: "totally unrelated content   with  odd   spacing preserved",
+        3: "short doc",
+        4: "the secret answer is forty two exactly",  # whole doc
+        5: None,
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame([(t,) for t in bench], "text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in remove_contaminated_spans(
+            docs, bdf, n=6, margin=margin
+        ).collect()
+    }
+    for k, v in texts.items():
+        if v is None:
+            assert out[k] == (None, 0)
+        else:
+            assert out[k] == _surgical_oracle(v, bench, 6, margin), k
+    # doc 1 was surgically cut, not dropped; doc 2 kept raw spacing
+    assert out[1][1] > 0 and "useful document" in out[1][0]
+    assert out[2] == (texts[2], 0)
+    assert out[4][0] == ""  # fully contaminated doc becomes empty
