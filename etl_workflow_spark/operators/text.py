@@ -383,18 +383,34 @@ def _gram_hashes(th_col: str, n: int) -> Column:
     )
 
 
-def _aligned_token_hashes(col: str) -> Column:
+def _ws_tokens(col: str) -> Column:
+    """Non-empty whitespace tokens: ``tokens()``'s split leaves a
+    phantom "" first element when text LEADS with a tab/newline (trim
+    strips only spaces) — dropping empties here keeps hash positions
+    and rebuild positions aligned AND keeps the phantom out of gram
+    matching."""
+    return F.filter(tokens(col), lambda t: t != F.lit(""))
+
+
+def _aligned_hashes(toks: Column) -> Column:
     """Per-token hashes normalized IN PLACE (lowercase + strip
     non-alnum inside each token, never re-splitting), so position i of
-    the hash array IS position i of ``tokens(col)`` — the alignment
-    surgical span removal needs. :func:`_norm_token_hashes` (the
-    flag-level recipe) folds punctuation into token boundaries, which
-    re-splits: fine when only the hit count matters, fatal when hits
-    must map back to raw-token positions."""
+    the hash array IS position i of ``toks`` — the alignment surgical
+    span removal needs. :func:`_norm_token_hashes` (the flag-level
+    recipe) folds punctuation into token boundaries, which re-splits:
+    fine when only the hit count matters, fatal when hits must map
+    back to raw-token positions. A token that normalizes to "" (pure
+    punctuation) falls back to its lowercased raw form — hashing all
+    of them as "" would make every punctuation token a WILDCARD that
+    matches every other one (verified: ',' vs '.' aligned inside
+    otherwise-matching grams caused false excision)."""
     return F.transform(
-        tokens(col),
+        toks,
         lambda t: F.xxhash64(
-            F.regexp_replace(F.lower(t), "[^a-z0-9]", "")
+            F.when(
+                F.regexp_replace(F.lower(t), "[^a-z0-9]", "") == "",
+                F.lower(t),
+            ).otherwise(F.regexp_replace(F.lower(t), "[^a-z0-9]", ""))
         ),
     )
 
@@ -414,49 +430,57 @@ def remove_contaminated_spans(
     (± ``margin`` extra tokens each side) and keep the rest — the
     GPT-3-style excision recipe for documents too valuable to drop.
 
-    Matching normalizes per token in place
-    (:func:`_aligned_token_hashes`), a slightly stricter overlap
-    definition than :func:`ngram_contamination`'s boundary-folding
-    normalization — use the flag operator for audit counts and this
-    one for the rewrite. Rebuilt text is whitespace-normalized (single
-    spaces), the module's standard rebuild convention; untouched and
-    NULL-text documents pass through byte-identical. Adds
-    ``n_removed_tokens``.
+    Matching normalizes per token in place (:func:`_aligned_hashes`),
+    a slightly stricter overlap definition than
+    :func:`ngram_contamination`'s boundary-folding normalization —
+    use the flag operator for audit counts and this one for the
+    rewrite. Rebuilt text is whitespace-normalized (single spaces),
+    the module's standard rebuild convention; untouched and NULL-text
+    documents pass through byte-identical. Adds ``n_removed_tokens``.
 
     Scale shape: the benchmark's gram hashes build once and broadcast;
-    the corpus explodes to hash-only (id, pos, gram) rows probed by
+    the corpus explodes to hash-only (key, pos, gram) rows probed by
     semi-join — the corpus never shuffles for the probe, and only the
-    per-doc hit-start aggregation exchanges (keyed on ``id_col``,
-    bounded by hit count). The rebuild is codegen HOFs; its cost per
-    doc is tokens × hit-starts, fine while per-doc collisions are few
-    (they are — eval sets are MBs against a 100 TB corpus).
+    per-doc hit-start aggregation exchanges (bounded by hit count).
+    Hits key on ``xxhash64(id, text)``, not ``id_col`` alone: a NULL
+    id would never equi-join its hits back (contamination shipping
+    untouched), and duplicate ids with different texts would
+    cross-pollinate windows. The rebuild is codegen HOFs, evaluated
+    ONCE behind a materialized column; its cost per doc is tokens ×
+    hit-starts, fine while per-doc collisions are few (they are —
+    eval sets are MBs against a 100 TB corpus).
     """
     from .partitioning import scale_partitions
 
     bench_hashes = (
-        benchmark.select(_aligned_token_hashes(bench_col).alias("__th"))
+        benchmark.select(
+            _aligned_hashes(_ws_tokens(bench_col)).alias("__th")
+        )
         .select(F.explode(_gram_hashes("__th", n)).alias("gram_h"))
         .distinct()
     )
+    key = F.xxhash64(F.col(id_col), F.col(col)).alias("__key")
     doc_grams = (
         scale_partitions(docs)
-        .select(F.col(id_col), _aligned_token_hashes(col).alias("__th"))
+        .select(key, _aligned_hashes(_ws_tokens(col)).alias("__th"))
         .select(
-            id_col,
+            "__key",
             F.posexplode(_gram_hashes("__th", n)).alias("__pos", "gram_h"),
         )
     )
     hit_starts = (
         doc_grams.join(F.broadcast(bench_hashes), "gram_h", "left_semi")
-        .groupBy(id_col)
+        .groupBy("__key")
         .agg(F.collect_set("__pos").alias("__starts"))
     )
-    toks = tokens(col)
+    toks = _ws_tokens(col)
     lo = F.lit(int(margin))
     hi = F.lit(int(n - 1 + margin))
     # gram at 0-based start s covers tokens [s, s+n-1]; drop token i
     # when any hit-start's (margin-widened) window covers it. __starts
-    # is read through a column reference (the HOF capture rule).
+    # is read through a column reference (the HOF capture rule), and
+    # __kept is materialized once — referencing the filter expression
+    # from both outputs would run the tokens×hits scan twice per row.
     kept = F.filter(
         toks,
         lambda x, i: ~F.exists(
@@ -465,18 +489,22 @@ def remove_contaminated_spans(
     )
     untouched = F.col("__starts").isNull() | F.col(col).isNull()
     return (
-        docs.join(hit_starts, id_col, "left")
+        docs.withColumn("__key", F.xxhash64(F.col(id_col), F.col(col)))
+        .join(hit_starts, "__key", "left")
+        .withColumn("__kept", F.when(~untouched, kept))
         .withColumn(
             "n_removed_tokens",
             F.when(untouched, F.lit(0))
-            .otherwise(F.size(toks) - F.size(kept))
+            .otherwise(F.size(toks) - F.size(F.col("__kept")))
             .cast("long"),
         )
         .withColumn(
             col,
-            F.when(untouched, F.col(col)).otherwise(F.concat_ws(" ", kept)),
+            F.when(untouched, F.col(col)).otherwise(
+                F.concat_ws(" ", F.col("__kept"))
+            ),
         )
-        .drop("__starts")
+        .drop("__starts", "__key", "__kept")
     )
 
 

@@ -263,7 +263,8 @@ def test_corpus_containment_approx_tracks_exact(spark, sf_dir):
 def _surgical_oracle(text, bench_texts, n, margin):
     """Pure-Python twin of remove_contaminated_spans for one doc."""
     def norm(t):
-        return re.sub(r"[^a-z0-9]", "", t.lower())
+        s = re.sub(r"[^a-z0-9]", "", t.lower())
+        return s if s else t.lower()  # punct-only: no wildcard
 
     bench_grams = set()
     for b in bench_texts:
@@ -322,3 +323,45 @@ def test_remove_contaminated_spans_python_oracle(spark, margin):
     assert out[1][1] > 0 and "useful document" in out[1][0]
     assert out[2] == (texts[2], 0)
     assert out[4][0] == ""  # fully contaminated doc becomes empty
+
+
+def test_remove_contaminated_spans_edge_contracts(spark):
+    """The three empirically-found failure modes stay fixed:
+    punct-only tokens are not wildcards, NULL/duplicate ids still get
+    excised (hits key on (id, text)), and leading tabs neither create
+    phantom tokens nor leak leading spaces into rebuilt text."""
+    from etl_workflow_spark.operators.text import (
+        remove_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [("price is 5 . see table one",),
+         ("the secret answer is forty two",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # ',' vs benchmark '.' at the aligned slot: NOT a match
+            (1, "price is 5 , see table one ok"),
+            # identical punct '.' IS a match -> excised
+            (2, "price is 5 . see table one ok"),
+            # NULL id still excised (key = (id, text))
+            (None, "pad the secret answer is forty two tail"),
+            # duplicate id, different texts: windows must not cross
+            (7, "left the secret answer is forty two right"),
+            (7, "nothing shared with any benchmark at all here now"),
+            # leading tab: no phantom token, no leading space in rebuild
+            (9, "\tthe secret answer is forty two tail words"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = remove_contaminated_spans(docs, bench, n=6).collect()
+    by_text = {r["text"]: r["n_removed_tokens"] for r in rows}
+    assert by_text.get("price is 5 , see table one ok") == 0
+    assert by_text.get("ok") == 7  # identical-punct doc excised
+    assert by_text.get("pad tail") == 6  # NULL id excised
+    assert by_text.get("left right") == 6  # dup id, right text excised
+    assert by_text.get(
+        "nothing shared with any benchmark at all here now"
+    ) == 0
+    assert by_text.get("tail words") == 6  # no leading space, no phantom
