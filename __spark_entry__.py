@@ -1403,6 +1403,7 @@ def _q_txn_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     commits on a throwaway table under ``tempfile``; the sf_dir
     parquet is only ever read.
     """
+    import shutil
     import tempfile
 
     from etl_workflow_spark.sources import txn as T
@@ -1449,12 +1450,18 @@ def _q_txn_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # predicate delete (NULL-evaluating rows kept — none here)
     T.txn_delete(spark, path, F.col("price") > 400000)
-    snap = T.txn_read(spark, path)
-    return snap.select(
+    snap = T.txn_read(spark, path).select(
         "id", "cust",
         F.col("price").cast("double").alias("price"),
         "status", "flag",
     )
+    # the returned frame must outlive the throwaway table: pin the
+    # final projection in executor storage, THEN remove the temp root
+    # — without this every gate/bench invocation accreted a full
+    # table copy (all versions) under /tmp for the life of the host
+    snap = snap.localCheckpoint(eager=True)
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return snap
 
 
 _TXN_MUTATIONS_ORACLE = """

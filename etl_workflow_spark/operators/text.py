@@ -1402,13 +1402,32 @@ def learn_bpe(
         # count is exactly zero and _index_word already dropped it
 
     base = sorted({ch for w, _ in words for ch in w})
-    symbols = base + [left + right for left, right in merges]
+    symbols = _dedup_symbols(base, merges)
     return {
         "format": "spark-graft-bpe/v1",
         "merges": [[left, right] for left, right in merges],
         "symbols": symbols,
         "lowercase": bool(lowercase),
     }
+
+
+def _dedup_symbols(
+    base: list[str], merges: list[tuple[str, str]]
+) -> list[str]:
+    """The model's symbol table: base characters then merged strings,
+    de-duplicated preserving first occurrence. Distinct merge pairs
+    CAN concatenate to the same string (e.g. (a,bc) and (ab,c) both
+    yield 'abc'); without the de-dup, ``bpe_encode``'s
+    ``{symbol: index}`` map would silently shadow the earlier index,
+    breaking the documented index==token-id bijection and overcounting
+    vocabulary size (the OOV id is ``len(symbols)``)."""
+    seen: set[str] = set()
+    symbols: list[str] = []
+    for s in [*base, *(left + right for left, right in merges)]:
+        if s not in seen:
+            seen.add(s)
+            symbols.append(s)
+    return symbols
 
 
 def _index_word(stats, where, i, seq, count, sign) -> None:

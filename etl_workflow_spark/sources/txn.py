@@ -438,6 +438,13 @@ def _conform_types(src: DataFrame, out_types: dict) -> DataFrame:
         have = f.dataType.simpleString()
         if want is None or have == want:
             continue
+        if have == "void":
+            # a typeless NULL literal (F.lit(None) is void) casts
+            # losslessly to ANY recorded type — without this,
+            # update_rows(updates={field: None}) raises on txn tables
+            # while the plain-parquet branch sets NULL fine
+            src = src.withColumn(f.name, F.col(f.name).cast(want))
+            continue
         if (have, want) in _SAFE_WIDEN:
             src = src.withColumn(f.name, F.col(f.name).cast(want))
         else:

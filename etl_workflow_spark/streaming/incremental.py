@@ -1044,11 +1044,35 @@ def stream_vocab_rollup(
     )
 
 
+#: The vocabulary store's full schema, applied explicitly on every
+#: read: without it a store mixing pre-flag and flagged fragments is
+#: read under ONE parquet footer's schema — the flag column is either
+#: hidden entirely (silently answering the pre-flag default even when
+#: new fragments recorded ``False``) or pre-flag fragments surface as
+#: NULL. With the explicit schema the column is always present; NULLs
+#: (pre-flag fragments) coalesce to ``True``, the only writer default
+#: before the flag existed.
+_VOCAB_STORE_SCHEMA = (
+    "token string, count bigint, lowercase boolean, batch_id int"
+)
+
+
+def _read_vocab_store_raw(spark: SparkSession, store_path: str) -> DataFrame:
+    """Schema-stable read of the vocabulary store's fragments (see
+    :data:`_VOCAB_STORE_SCHEMA`) — THE read path every consumer
+    (merge, flag check, compaction) goes through."""
+    store = spark.read.schema(_VOCAB_STORE_SCHEMA).parquet(store_path)
+    return store.withColumn(
+        "lowercase", F.coalesce(F.col("lowercase"), F.lit(True))
+    )
+
+
 def _vocab_store_flag(store: DataFrame) -> bool:
     """The store's single normalization flag. Fragments written before
-    the flag column existed default to ``True`` (the only writer
-    default back then); an empty store also answers ``True`` (its
-    vocabulary is empty either way); fragments that DISAGREE are
+    the flag column existed read as NULL under the explicit schema and
+    coalesce to ``True`` (the only writer default back then) in
+    :func:`_read_vocab_store_raw`; an empty store also answers ``True``
+    (its vocabulary is empty either way); fragments that DISAGREE are
     refused — summing counts across normalization regimes is the
     silent corruption the flag exists to prevent. The check is a
     column-pruned scan of one RLE boolean column, not a data read."""
@@ -1066,14 +1090,6 @@ def _vocab_store_flag(store: DataFrame) -> bool:
     return flags[0] if flags else True
 
 
-def _with_vocab_flag(df: DataFrame) -> DataFrame:
-    """Inject the flag column for pre-flag fragments so readers and
-    compaction see one schema."""
-    if "lowercase" in df.columns:
-        return df
-    return df.withColumn("lowercase", F.lit(True))
-
-
 def read_vocab_store(
     spark: SparkSession,
     store_path: str,
@@ -1087,7 +1103,7 @@ def read_vocab_store(
     per-fragment threshold would drop tokens that only clear it
     globally). Mixed-normalization stores are refused HERE, the shared
     read path, so every consumer inherits the guard."""
-    store = spark.read.parquet(store_path)
+    store = _read_vocab_store_raw(spark, store_path)
     _vocab_store_flag(store)
     out = (
         store.groupBy("token")
@@ -1108,6 +1124,7 @@ def _compact_batched_store(
     merge_fn,
     partition_by: list[str],
     prepare=None,
+    reader=None,
 ) -> None:
     """Shared skeleton of every per-batch-fragment store compaction
     (histogram / Gram / vocabulary): split the store at the closed-
@@ -1120,10 +1137,17 @@ def _compact_batched_store(
     single-writer contract, same as every mutation in
     ``sources.writers``. ``prepare`` (store -> store) runs on the raw
     read BEFORE the split — schema-upgrade shims (e.g. the vocab
-    store's pre-flag fallback) go there so old/keep stay aligned."""
+    store's pre-flag fallback) go there so old/keep stay aligned;
+    ``reader`` (spark, path -> DataFrame) overrides the raw read for
+    stores whose fragments can disagree on schema (explicit-schema
+    reads)."""
     from ..sources.writers import _swap_staged
 
-    store = spark.read.parquet(store_path)
+    store = (
+        reader(spark, store_path)
+        if reader is not None
+        else spark.read.parquet(store_path)
+    )
     if prepare is not None:
         store = prepare(store)
     old = store.where(F.col("batch_id") < F.lit(int(before_batch_id)))
@@ -1147,7 +1171,7 @@ def compact_vocab_store(
             F.sum("count").alias("count")
         ).select("token", "count", "lowercase"),
         partition_by=["batch_id"],
-        prepare=_with_vocab_flag,
+        reader=_read_vocab_store_raw,
     )
 
 
@@ -1168,7 +1192,7 @@ def train_bpe_from_store(
     disagree on it is refused (:func:`_vocab_store_flag`)."""
     from ..operators.text import _learn_from_vocab
 
-    flag = _vocab_store_flag(spark.read.parquet(store_path))
+    flag = _vocab_store_flag(_read_vocab_store_raw(spark, store_path))
     vocab = read_vocab_store(
         spark, store_path, min_count=min_count, top_k=int(max_words)
     )

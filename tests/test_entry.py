@@ -39,3 +39,19 @@ def test_gate_stays_within_driver_verified_window():
     cap would be silently ungraded. queries() itself asserts the cap —
     this just pins the contract with a clear local failure."""
     assert len(entry.queries()) <= 50
+
+
+def test_txn_mutations_gate_entry_cleans_its_temp_table(spark, sf_dir):
+    """ADVICE r8: _q_txn_mutations builds a throwaway txn table under
+    tempfile.mkdtemp; the result must be pinned (localCheckpoint) and
+    the temp root REMOVED before the frame is returned — otherwise
+    every gate/bench invocation accretes a full table copy in /tmp."""
+    import glob
+
+    before = set(glob.glob("/tmp/txn_gate_*"))
+    df = entry.queries()["txn_mutations"](spark, sf_dir)
+    leftover = set(glob.glob("/tmp/txn_gate_*")) - before
+    assert leftover == set(), f"temp txn table leaked: {sorted(leftover)}"
+    # the frame survives the removal (it is checkpointed, not lazy
+    # over deleted files)
+    assert df.count() > 0

@@ -484,6 +484,25 @@ def test_bpe_encode_tokenizes_like_training(spark):
     assert toks == ["foo bar", "foo bar", "baz"]
 
 
+def test_bpe_symbol_table_is_a_bijection():
+    """ADVICE r8: colliding merge pairs ((a,bc) and (ab,c) both yield
+    'abc') must not produce duplicate symbol strings — duplicates
+    shadow the earlier {symbol: index} entry and overcount the OOV id.
+    Unreachable in 50k randomized learn_bpe corpora, so the guard is
+    tested directly at the symbol-table builder."""
+    from etl_workflow_spark.operators.text import _dedup_symbols
+
+    syms = _dedup_symbols(
+        ["a", "b", "c"], [("a", "b"), ("b", "c"), ("a", "bc"), ("ab", "c")]
+    )
+    assert syms == ["a", "b", "c", "ab", "bc", "abc"]
+    assert len(syms) == len(set(syms))
+    # learn_bpe wires the guard in: whatever the merges, the model's
+    # symbol table is duplicate-free
+    m = T.learn_bpe([("abab", 9), ("ab", 5)], num_merges=5, min_pair_count=1)
+    assert len(m["symbols"]) == len(set(m["symbols"]))
+
+
 def test_learn_bpe_folds_case_when_lowercasing(spark):
     model = T.learn_bpe([("Low", 5), ("LOW", 3), ("lower", 1)],
                         num_merges=3, min_pair_count=1)

@@ -569,6 +569,53 @@ def test_vocab_store_matches_batch_vocab_and_replays(spark, tmp_path):
     assert thr == {"beta": 3, "gamma": 3}
 
 
+def test_vocab_store_mixed_flag_fragments_read_correctly(spark, tmp_path):
+    """ADVICE r8: a store mixing pre-flag fragments (no lowercase
+    column on disk) with flagged fragments must neither hide the new
+    fragments' flag behind one parquet footer's schema nor read the
+    old fragments as NULL→False and spuriously refuse. The explicit
+    read schema surfaces the column everywhere; pre-flag NULLs
+    coalesce to True (the only writer default back then)."""
+    import pytest
+
+    from etl_workflow_spark.operators.text import vocab_counts
+
+    store = str(tmp_path / "vocab")
+    b = spark.createDataFrame([(1, "alpha beta alpha")], ["doc_id", "text"])
+    # a fragment the PRE-FLAG writer would have produced: no lowercase
+    # column on disk
+    (
+        vocab_counts(b)
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store)
+    )
+    inc.vocab_rollup_batch(b, store, 1, lowercase=True)
+    # merge sees BOTH fragments; flag resolves to the agreeing True
+    got = {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, store).collect()
+    }
+    assert got == {"alpha": 4, "beta": 2}
+    assert inc.train_bpe_from_store(spark, store, num_merges=1)[
+        "lowercase"
+    ] is True
+    # compaction reads through the same explicit-schema path
+    inc.compact_vocab_store(spark, store, before_batch_id=2)
+    got = {
+        r["token"]: r["count"]
+        for r in inc.read_vocab_store(spark, store).collect()
+    }
+    assert got == {"alpha": 4, "beta": 2}
+    # a flagged-False fragment DISAGREES with the pre-flag default and
+    # is still refused
+    inc.vocab_rollup_batch(b, store, 2, lowercase=False)
+    with pytest.raises(ValueError, match="lowercase"):
+        inc.train_bpe_from_store(spark, store, num_merges=1)
+
+
 def test_vocab_store_refuses_mixed_normalization(spark, tmp_path):
     """Fragments record their lowercase flag; a store whose fragments
     disagree is refused at train time rather than silently training on

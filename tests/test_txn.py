@@ -358,6 +358,24 @@ def test_unified_merge_into_routes_txn_tables_through_the_log(spark, tmp_path):
     assert _rows(txn.txn_read(spark, path, version=1)) == [(1, 10), (2, 20)]
 
 
+def test_update_rows_txn_sets_column_to_null(spark, tmp_path):
+    """ADVICE r8: updates={field: None} must set NULL on a txn table —
+    F.lit(None) is void-typed and a typeless NULL casts losslessly to
+    the recorded type; previously _conform_types raised while the
+    plain-parquet branch of the same unified entry point set NULL fine."""
+    from etl_workflow_spark.sources.writers import update_rows
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    )
+    assert update_rows(spark, path, "id", 2, {"v": None}) == 1
+    got = {r.id: r.v for r in txn.txn_read(spark, path).collect()}
+    assert got == {1: 10, 2: None}
+    # recorded column type is unchanged by the NULL write
+    assert dict(txn.txn_read(spark, path).dtypes)["v"] == "bigint"
+
+
 def test_unified_update_rows_routes_txn_tables_through_the_log(spark, tmp_path):
     from etl_workflow_spark.sources.writers import update_rows
 
