@@ -158,6 +158,9 @@ def main() -> None:
         # round-8: full BPE tokenizer workflow — vocab shuffle + driver
         # merge loop (run-rarely) + the corpus-sized shuffle-free encode
         "bpe_tokenize",
+        # round-9: IVF-PQ flat-ADC top-k — fit + encode + code-column
+        # scan + exact re-rank (the ~8%-of-bytes ANN tier)
+        "pq_topk",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -256,7 +259,22 @@ def main() -> None:
             T.train_bpe(table(s, d, "documents"), num_merges=200),
             ids=True,
         ),
+        # the whole IVF-PQ workflow: fit (driver k-means on a bounded
+        # sample) + index encode (one Arrow pass) + flat ADC scan +
+        # exact re-rank ×8 — at scale fit/index amortize, so this is
+        # the upper bound on the per-query-batch cost
+        "pq_topk": lambda s, d: _pq_topk_df(s, d),
     }
+
+    def _pq_topk_df(s, d):
+        emb = table(s, d, "embeddings")
+        q = (
+            emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+        )
+        model = S.pq_fit(emb, n_cells=16, m_sub=8, ksub=256)
+        return S.pq_topk(
+            S.pq_index(emb, model), q, model, emb, k=10, rerank_factor=8
+        )
 
     def _event_funnel_df(s, d):
         from etl_workflow_spark.catalog import events_table

@@ -119,6 +119,18 @@ def test_similarity_ops_on_empty_corpus(spark):
         [], "query_id long, embedding array<float>"
     )
     assert SIM.quantized_topk(live, empty_q, k=3).count() == 0
+    # PQ tier: model trained on a live 2-dim corpus, probed with empty
+    # corpus index / empty query batch
+    model = SIM.pq_fit(live, n_cells=1, m_sub=2, ksub=1, sample_size=4)
+    assert SIM.pq_index(empty_emb, model).count() == 0
+    assert SIM.pq_topk(
+        SIM.pq_index(empty_emb, model), one_q, model, empty_emb, k=3
+    ).count() == 0
+    live_idx = SIM.pq_index(live, model)
+    assert SIM.pq_topk(live_idx, empty_q, model, live, k=3).count() == 0
+    assert SIM.pq_topk(
+        live_idx, empty_q, model, live, k=3, n_probe=1
+    ).count() == 0
 
 
 def test_round8s4_ops_on_empty_corpus(spark, empty_docs):

@@ -28,6 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pandas as pd  # noqa: E402
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 
@@ -91,7 +92,8 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
             "recall": 1.0, "sec": bf_sec, "cost_vs_bf": 1.0,
         }), flush=True)
 
-        def report(tier, param, fn):
+        def report(tier, param, fn, truth=truth, n_true=n_true,
+                   bf_sec=bf_sec, **extra):
             got, sec = timed_sets(fn)
             hit = sum(
                 len(got.get(q, set()) & t) for q, t in truth.items()
@@ -101,6 +103,7 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
                 "param": param, "recall": round(hit / n_true, 3),
                 "sec": sec,
                 "cost_vs_bf": round(sec / bf_sec, 2) if bf_sec else None,
+                **extra,
             }), flush=True)
 
         n_cells = 16
@@ -130,6 +133,91 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
                 ),
             )
         emb_q.unpersist()
+
+        # PQ flat ADC: index once (deployment shape), scan every code
+        # row — the fraction that matters is BYTES (codes are ~8% of
+        # the float column), the only tier that holds recall on this
+        # isotropic corpus at <10% of corpus bytes
+        model = S.pq_fit(emb, n_cells=16, m_sub=8, ksub=256)
+        bytes_frac = (2 * 8 + 4) / (4 * 64)
+        idx = S.pq_index(emb, model).persist()
+        idx.count()
+        report(
+            "pq_flat", "M=8 ksub=256 rerank x8",
+            lambda: S.pq_topk(idx, queries, model, emb,
+                              k=topk, rerank_factor=8),
+            bytes_frac=round(bytes_frac, 3), rows_frac=1.0,
+        )
+        idx.unpersist()
+
+        # PQ IVF mode on a CLUSTERED derivative of the same corpus
+        # (label-shifted; real embedding corpora are clustered — the
+        # isotropic testdata is the worst case where cell membership
+        # caps recall, so the cell-pruned story is measured where it
+        # applies). rows_frac is computed exactly from cell sizes.
+        import numpy as np
+
+        D = np.random.RandomState(3).randn(10, 64)
+        D /= np.linalg.norm(D, axis=1, keepdims=True)
+        D_b = [[float(x) for x in d] for d in D]
+
+        def shift(batches):
+            import numpy as _np
+            DD = _np.asarray(D_b)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+                Vn = V / _np.maximum(
+                    _np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+                )
+                Vc = Vn + DD[pdf["label"].to_numpy() % 10]
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "embedding": [r.tolist() for r in Vc],
+                })
+
+        cemb = emb.mapInPandas(
+            shift, "vec_id long, embedding array<double>"
+        ).persist()
+        n_c = cemb.count()
+        cq = (
+            cemb.where("vec_id < 32")
+            .withColumnRenamed("vec_id", "query_id")
+            .localCheckpoint(eager=True)
+        )
+        ctruth, cbf_sec = timed_sets(
+            lambda: S.brute_force_topk(cemb, cq, k=topk)
+        )
+        cn_true = sum(len(v) for v in ctruth.values())
+        cmodel = S.pq_fit(cemb, n_cells=64, m_sub=8, ksub=256)
+        cidx = S.pq_index(cemb, cmodel).persist()
+        sizes = {
+            r["cell"]: r["count"]
+            for r in cidx.groupBy("cell").count().collect()
+        }
+        CO = np.asarray(cmodel["coarse"])
+        Q = np.array(
+            [r["embedding"] for r in cq.orderBy("query_id").collect()]
+        )
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        qd = ((Qn**2).sum(1)[:, None] + (CO**2).sum(1)[None, :]
+              - 2 * Qn @ CO.T)
+        for n_probe in (4, 5, 6):
+            probed = np.argsort(qd, axis=1)[:, :n_probe]
+            frac = float(np.mean([
+                sum(sizes.get(int(c), 0) for c in row) / max(n_c, 1)
+                for row in probed
+            ]))
+            report(
+                "pq_ivf_clustered", f"cells=64 probe={n_probe} rerank x8",
+                lambda: S.pq_topk(cidx, cq, cmodel, cemb, k=topk,
+                                  n_probe=n_probe, rerank_factor=8),
+                truth=ctruth, n_true=cn_true, bf_sec=cbf_sec,
+                rows_frac=round(frac, 3),
+            )
+        cidx.unpersist()
+        cemb.unpersist()
         emb.unpersist()
     spark.stop()
 
