@@ -675,25 +675,46 @@ def _sample_vectors(corpus: DataFrame, sample_size: int, seed: int, vec_col: str
     )
 
 
-def _lloyd(sample, k: int, seed: int, iters: int = 8):
+def _pairwise_d2(X, C):
+    """Squared distances in the expanded ||x||²+||c||²−2x·c form — one
+    BLAS matmul instead of an O(n·k·dim) broadcast tensor. THE shared
+    kernel of every quantizer path (training, encode, probe), so
+    assignment-at-train and assignment-at-encode cannot drift
+    numerically."""
+    return (
+        (X**2).sum(axis=1)[:, None]
+        + (C**2).sum(axis=1)[None, :]
+        - 2.0 * X @ C.T
+    )
+
+
+def _l2_normalize(V):
+    """Row-wise unit L2 norm; all-zero rows pass through unchanged."""
+    import numpy as np
+
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return V / norms
+
+
+def _lloyd(sample, k: int, seed: int, iters: int = 8, return_assign=False):
     """Driver-side Lloyd k-means over a numpy sample: random-row init,
     fixed iteration count, empty cells keep their previous centroid.
-    Distances use the expanded ||x||²+||c||²−2x·c form — one BLAS
-    matmul instead of an O(n·k·dim) broadcast tensor, which matters
-    when k=256 PQ codebooks train on multi-thousand-row samples."""
+    With ``return_assign`` the assignment is recomputed against the
+    RETURNED centroids (they move after the loop's last assignment)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     k = min(k, len(sample))
     cents = sample[rng.choice(len(sample), size=k, replace=False)].copy()
-    x2 = (sample**2).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = x2 + (cents**2).sum(axis=1)[None, :] - 2.0 * sample @ cents.T
-        assign = d2.argmin(axis=1)
+        assign = _pairwise_d2(sample, cents).argmin(axis=1)
         for c in range(k):
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
+    if return_assign:
+        return cents, _pairwise_d2(sample, cents).argmin(axis=1)
     return cents
 
 
@@ -1566,19 +1587,16 @@ def pq_fit(
             f"m_sub={m_sub} must divide the embedding dim {dim}"
         )
     dsub = dim // m_sub
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    sn = sample / norms
-    coarse = _lloyd(sn, n_cells, seed)
-    d2 = (
-        (sn**2).sum(axis=1)[:, None]
-        + (coarse**2).sum(axis=1)[None, :]
-        - 2.0 * sn @ coarse.T
-    )
-    residuals = sn - coarse[d2.argmin(axis=1)]
+    sn = _l2_normalize(sample)
+    coarse, assign = _lloyd(sn, n_cells, seed, return_assign=True)
+    residuals = sn - coarse[assign]
     codebooks = [
         _lloyd(residuals[:, m * dsub : (m + 1) * dsub], ksub, seed + 1 + m)
         for m in range(m_sub)
+    ]
+    coarse_l = [[float(x) for x in c] for c in coarse]
+    codebooks_l = [
+        [[float(x) for x in e] for e in cb] for cb in codebooks
     ]
     return {
         "format": "spark-graft-ivfpq/v1",
@@ -1588,11 +1606,34 @@ def pq_fit(
         "dsub": int(dsub),
         "n_cells": int(len(coarse)),
         "ksub": int(len(codebooks[0])),
-        "coarse": [[float(x) for x in c] for c in coarse],
-        "codebooks": [
-            [[float(x) for x in e] for e in cb] for cb in codebooks
-        ],
+        # fingerprint of the trained quantizers: pq_index stamps it
+        # into the codes column metadata (survives parquet) and
+        # pq_topk refuses an index encoded under a DIFFERENT model —
+        # a stale index would otherwise score garbage silently, since
+        # codes/cells stay in-range for any same-shape model
+        "model_id": _pq_model_id(coarse_l, codebooks_l),
+        "coarse": coarse_l,
+        "codebooks": codebooks_l,
     }
+
+
+def _pq_model_id(coarse: list, codebooks: list) -> str:
+    import hashlib
+    import json as _json
+
+    return hashlib.sha256(
+        _json.dumps([coarse, codebooks]).encode()
+    ).hexdigest()[:16]
+
+
+def _check_pq_model(model: dict) -> None:
+    if model.get("format") != "spark-graft-ivfpq/v1":
+        raise ValueError(
+            "not a pq_fit model (format="
+            f"{model.get('format')!r}; want spark-graft-ivfpq/v1)"
+        )
+    if int(model["m_sub"]) * int(model["dsub"]) != int(model["dim"]):
+        raise ValueError("corrupt pq model: m_sub*dsub != dim")
 
 
 def pq_index(
@@ -1618,6 +1659,7 @@ def pq_index(
         ArrayType, IntegerType, ShortType, StructField, StructType,
     )
 
+    _check_pq_model(model)
     co_b = model["coarse"]
     cb_b = model["codebooks"]
     in_schema = corpus.select(id_col, vec_col).schema
@@ -1635,32 +1677,30 @@ def pq_index(
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(V, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            Vn = V / norms
-            d2 = (
-                (Vn**2).sum(axis=1)[:, None]
-                + (CO**2).sum(axis=1)[None, :]
-                - 2.0 * Vn @ CO.T
-            )
-            assign = d2.argmin(axis=1)
+            Vn = _l2_normalize(V)
+            assign = _pairwise_d2(Vn, CO).argmin(axis=1)
             R = Vn - CO[assign]
             codes = np.empty((len(Vn), M), dtype=np.int16)
             for m in range(M):
                 Rm = R[:, m * dsub : (m + 1) * dsub]
-                dm = (
-                    (Rm**2).sum(axis=1)[:, None]
-                    + (CB[m] ** 2).sum(axis=1)[None, :]
-                    - 2.0 * Rm @ CB[m].T
+                codes[:, m] = (
+                    _pairwise_d2(Rm, CB[m]).argmin(axis=1).astype(np.int16)
                 )
-                codes[:, m] = dm.argmin(axis=1).astype(np.int16)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "cell": assign.astype(np.int32),
                 "codes": [row.tolist() for row in codes],
             })
 
-    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+    out = corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+    # stamp the model fingerprint into column metadata (survives a
+    # parquet round trip) so pq_topk can refuse a stale index
+    return out.withColumn(
+        "codes",
+        F.col("codes").alias(
+            "codes", metadata={"pq_model_id": model.get("model_id", "")}
+        ),
+    )
 
 
 def pq_topk(
@@ -1699,6 +1739,20 @@ def pq_topk(
     """
     import numpy as np
 
+    _check_pq_model(model)
+    # refuse an index encoded under a DIFFERENT model: codes/cells
+    # stay in-range for any same-shape model, so a stale index would
+    # otherwise score garbage silently (fingerprint stamped by
+    # pq_index; hand-built indexes without one are let through)
+    mid = model.get("model_id")
+    if mid and "codes" in index.columns:
+        stamped = (index.schema["codes"].metadata or {}).get("pq_model_id")
+        if stamped and stamped != mid:
+            raise ValueError(
+                "index was encoded with a different pq model "
+                f"(index {stamped}, model {mid}) — re-run pq_index "
+                "or pass the matching model"
+            )
     co_b = model["coarse"]
     cb_b = model["codebooks"]
     m_sub = int(model["m_sub"])
@@ -1712,15 +1766,8 @@ def pq_topk(
         @F.pandas_udf("array<int>")
         def probe_cells(vs: pd.Series) -> pd.Series:
             CO = np.asarray(co_b, dtype=np.float64)
-            M = np.array(vs.tolist(), dtype=np.float64)
-            norms = np.linalg.norm(M, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            M = M / norms
-            d2 = (
-                (M**2).sum(axis=1)[:, None]
-                + (CO**2).sum(axis=1)[None, :]
-                - 2.0 * M @ CO.T
-            )
+            M = _l2_normalize(np.array(vs.tolist(), dtype=np.float64))
+            d2 = _pairwise_d2(M, CO)
             order = np.argsort(d2, axis=1)[:, : int(n_probe)]
             return pd.Series([list(map(int, row)) for row in order])
 
@@ -1797,7 +1844,15 @@ def quantized_topk_oracle(
     top ``k×rerank_factor`` per query by (qscore DESC, neighbor ASC),
     then exact float re-rank — verified bit-identical to the Spark
     plan on the testdata."""
-    cand_k = k * max(int(rerank_factor), 1)
+    if int(rerank_factor) <= 1:
+        raise ValueError(
+            "quantized_topk_oracle twins only the rerank path "
+            "(rerank_factor > 1): with rerank_factor <= 1 the Spark "
+            "side returns floor(quantized-cosine) scores in quantized "
+            "order, which this oracle's exact re-scoring does not "
+            "reproduce"
+        )
+    cand_k = k * int(rerank_factor)
     return f"""
         WITH base AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1816,14 +1871,17 @@ def quantized_topk_oracle(
                        AS qv
             FROM sc
         ),
+        qset AS (
+            SELECT * FROM qz WHERE {query_predicate}
+        ),
         pairs AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    list_dot_product(c.qv, q.qv) /
                      sqrt(list_dot_product(c.qv, c.qv)
                           * list_dot_product(q.qv, q.qv)) AS qscore,
                    c.v AS cv, q.v AS qvv
-            FROM qz c CROSS JOIN qz q
-            WHERE q.{query_predicate} AND c.vec_id <> q.vec_id
+            FROM qz c CROSS JOIN qset q
+            WHERE c.vec_id <> q.vec_id
         ),
         cand AS (
             SELECT *, row_number() OVER (PARTITION BY query_id

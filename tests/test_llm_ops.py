@@ -356,13 +356,38 @@ def test_pq_flat_adc_recall_and_exact_scores(spark, sf_dir):
             assert r["score_e4"] == exact[key]
 
 
-def test_pq_probed_mode_on_clustered_corpus(spark):
+def test_pq_topk_refuses_stale_index(spark, sf_dir, tmp_path):
+    """An index encoded under one model probed with a DIFFERENT model
+    would score garbage silently (codes stay in-range) — the model
+    fingerprint is stamped into column metadata, survives parquet, and
+    pq_topk refuses the mismatch."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+    m1 = S.pq_fit(emb, n_cells=4, m_sub=8, ksub=16, seed=7)
+    m2 = S.pq_fit(emb, n_cells=4, m_sub=8, ksub=16, seed=8)
+    assert m1["model_id"] != m2["model_id"]
+    path = str(tmp_path / "pqidx")
+    S.pq_index(emb, m1).write.parquet(path)
+    idx = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="different pq model"):
+        S.pq_topk(idx, q, m2, emb, k=3)
+    # the matching model still works through the parquet round trip
+    assert S.pq_topk(idx, q, m1, emb, k=3).count() > 0
+    with pytest.raises(ValueError, match="rerank path"):
+        S.quantized_topk_oracle(rerank_factor=1)
+
+
+def test_pq_probed_mode_on_clustered_corpus(spark, sf_dir):
     """IVF mode (n_probe cells per query) is for CLUSTERED corpora:
-    on a label-shifted variant of the testdata the probed scan touches
-    a bounded corpus fraction and still recovers the exact top-k."""
+    on a label-shifted variant of the testdata (same derivation as
+    tools/scalecheck.py's pq_ivf_clustered rows) the probed scan
+    touches a bounded corpus fraction and still recovers the exact
+    top-k."""
     import numpy as np
 
-    src = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = src.orderBy("vec_id").collect()
     V = np.array([r["embedding"] for r in rows], dtype=np.float64)
     L = np.array([r["label"] for r in rows])

@@ -181,11 +181,15 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
             shift, "vec_id long, embedding array<double>"
         ).persist()
         n_c = cemb.count()
+        # persist()+unpersist(), NOT localCheckpoint: checkpoint blocks
+        # can't be released and would accrete across the K loop (same
+        # rationale as emb above)
         cq = (
             cemb.where("vec_id < 32")
             .withColumnRenamed("vec_id", "query_id")
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        cq.count()
         ctruth, cbf_sec = timed_sets(
             lambda: S.brute_force_topk(cemb, cq, k=topk)
         )
@@ -217,6 +221,7 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
                 rows_frac=round(frac, 3),
             )
         cidx.unpersist()
+        cq.unpersist()
         cemb.unpersist()
         emb.unpersist()
     spark.stop()
