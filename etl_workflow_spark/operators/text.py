@@ -1296,6 +1296,7 @@ def train_bpe(
     min_count: int = 1,
     max_words: int = 1_000_000,
     min_pair_count: int = 2,
+    byte_fallback: bool = False,
 ) -> dict:
     """Learn a BPE merge table from a corpus (Sennrich et al. 2016,
     "Neural Machine Translation of Rare Words with Subword Units") and
@@ -1324,7 +1325,13 @@ def train_bpe(
     ``symbols`` (every base character + merged symbol, deterministic
     order — index = token id for ``bpe_encode(ids=True)``, with the
     final id reserved for OOV), ``lowercase`` (recorded so encode
-    preprocesses exactly like training).
+    preprocesses exactly like training), ``byte_fallback`` (when
+    True, the 256 reserved ``<0xNN>`` pieces are appended and encode
+    decomposes out-of-vocabulary characters AND inter-word whitespace
+    into them — no input is unrepresentable, the OOV id is never
+    emitted, and :func:`bpe_decode` round-trips the exact input
+    modulo the lowercase normalization; the GPT-2/SentencePiece
+    byte-fallback recipe).
 
     Capability analog in the reference: none (nearest: the term
     counting of the summary endpoints, `main.py:109-135`); this is
@@ -1334,11 +1341,14 @@ def train_bpe(
         df, col=col, lowercase=lowercase, min_count=min_count,
         top_k=int(max_words),
     )
-    return _learn_from_vocab(vocab, num_merges, lowercase, min_pair_count)
+    return _learn_from_vocab(
+        vocab, num_merges, lowercase, min_pair_count, byte_fallback
+    )
 
 
 def _learn_from_vocab(
-    vocab: DataFrame, num_merges: int, lowercase: bool, min_pair_count: int
+    vocab: DataFrame, num_merges: int, lowercase: bool, min_pair_count: int,
+    byte_fallback: bool = False,
 ) -> dict:
     """Shared tail of :func:`train_bpe` and the vocabulary store's
     ``train_bpe_from_store`` — one place for the collect + merge-loop
@@ -1346,7 +1356,7 @@ def _learn_from_vocab(
     words = [(r["token"], int(r["count"])) for r in vocab.collect()]
     return learn_bpe(
         words, num_merges=num_merges, lowercase=lowercase,
-        min_pair_count=min_pair_count,
+        min_pair_count=min_pair_count, byte_fallback=byte_fallback,
     )
 
 
@@ -1355,6 +1365,7 @@ def learn_bpe(
     num_merges: int = 1000,
     lowercase: bool = True,
     min_pair_count: int = 2,
+    byte_fallback: bool = False,
 ) -> dict:
     """Driver-side BPE merge loop over an aggregated ``(word, count)``
     table (see :func:`train_bpe` for the distributed half and the
@@ -1403,12 +1414,30 @@ def learn_bpe(
 
     base = sorted({ch for w, _ in words for ch in w})
     symbols = _dedup_symbols(base, merges)
+    if byte_fallback:
+        # reserved byte pieces LAST (stable learned-symbol ids);
+        # _dedup_symbols has already guaranteed no duplicates among
+        # the learned strings, and any literal '<0xNN>' the corpus
+        # happened to learn keeps its first id (documented
+        # reserved-piece caveat in decode_bpe_tokens)
+        seen = set(symbols)
+        symbols = symbols + [t for t in _BYTE_TOKENS if t not in seen]
     return {
         "format": "spark-graft-bpe/v1",
         "merges": [[left, right] for left, right in merges],
         "symbols": symbols,
         "lowercase": bool(lowercase),
+        "byte_fallback": bool(byte_fallback),
     }
+
+
+#: Reserved byte-fallback pieces, SentencePiece-style: ``<0x00>`` …
+#: ``<0xFF>``. Appended to a model's symbol table when trained with
+#: ``byte_fallback=True``; encode decomposes out-of-vocabulary
+#: characters (and inter-word whitespace) into these, so no input is
+#: unrepresentable and decode is exact.
+_BYTE_TOKENS = [f"<0x{i:02X}>" for i in range(256)]
+_BYTE_SET = frozenset(_BYTE_TOKENS)
 
 
 def _dedup_symbols(
@@ -1512,48 +1541,148 @@ def bpe_encode(
     positional explode plus an ordered collect_list shuffle to
     rebuild documents: strictly worse than shuffle-free encode.)
     """
-    ranks = {
-        (left, right): r for r, (left, right) in enumerate(model["merges"])
-    }
-    lowercase = bool(model.get("lowercase", True))
-    sym_ids = (
-        {s: i for i, s in enumerate(model["symbols"])} if ids else None
-    )
-    oov = len(model["symbols"])
     ret = "array<int>" if ids else "array<string>"
 
     @F.pandas_udf(ret)
     def enc(texts: pd.Series) -> pd.Series:
-        import re
-
-        # re.ASCII makes \s the Java-regex character class Spark's
-        # tokens() splits on ([ \t\n\x0b\f\r]) — Python's default
-        # Unicode \s (and str.split()) would additionally split on
-        # NBSP/thin-space/U+2028, silently diverging from the training
-        # segmentation on web text
-        ws = re.compile(r"\s+", re.ASCII)
-        memo: dict[str, list] = {}
-
-        def one_word(w: str) -> list:
-            got = memo.get(w)
-            if got is None:
-                got = bpe_segment_word(
-                    w.lower() if lowercase else w, ranks
-                )
-                if sym_ids is not None:
-                    got = [sym_ids.get(s, oov) for s in got]
-                memo[w] = got
-            return got
-
-        def one_doc(t):
-            if t is None:
-                return None
-            out: list = []
-            for w in ws.split(t):
-                if w:
-                    out.extend(one_word(w))
-            return out
-
+        # the encoder closure is built per Arrow BATCH so the word
+        # memo stays batch-bounded — a worker-lifetime memo would grow
+        # with the corpus vocabulary
+        one_doc = _make_bpe_encoder(model, ids=ids)
         return texts.map(one_doc)
 
     return df.withColumn(out_col, enc(F.col(col)))
+
+
+def _make_bpe_encoder(model: dict, ids: bool = False):
+    """The pure per-document encoder behind :func:`bpe_encode` —
+    module-level so the round-trip property tests drive EXACTLY the
+    code the Arrow UDF runs. Returns ``one_doc(text) -> list``.
+
+    Whitespace: ``re.ASCII`` makes ``\\s`` the Java-regex class
+    Spark's ``tokens()`` splits on ([ \\t\\n\\x0b\\f\\r]) — Python's
+    default Unicode ``\\s`` (and ``str.split()``) would additionally
+    split on NBSP/thin-space/U+2028, silently diverging from the
+    training segmentation on web text.
+
+    Byte-fallback models additionally (a) decompose any symbol outside
+    the vocabulary into its UTF-8 byte tokens and (b) encode the
+    whitespace runs BETWEEN words as byte tokens — so every input is
+    representable and ``decode_bpe_tokens`` round-trips the exact
+    input string (modulo the model's lowercase normalization).
+    """
+    import re
+
+    ranks = {
+        (left, right): r for r, (left, right) in enumerate(model["merges"])
+    }
+    lowercase = bool(model.get("lowercase", True))
+    fallback = bool(model.get("byte_fallback", False))
+    known = set(model["symbols"])
+    sym_ids = (
+        {s: i for i, s in enumerate(model["symbols"])} if ids else None
+    )
+    oov = len(model["symbols"])
+    ws = re.compile(r"\s+", re.ASCII)
+    ws_capture = re.compile(r"(\s+)", re.ASCII)
+    memo: dict[str, list] = {}
+
+    def byte_toks(s: str) -> list:
+        toks = [_BYTE_TOKENS[b] for b in s.encode("utf-8")]
+        if sym_ids is not None:
+            return [sym_ids[t] for t in toks]
+        return toks
+
+    def one_word(w: str) -> list:
+        got = memo.get(w)
+        if got is None:
+            segs = bpe_segment_word(w.lower() if lowercase else w, ranks)
+            if fallback:
+                got = []
+                for s in segs:
+                    if s in known:
+                        got.append(sym_ids[s] if sym_ids is not None else s)
+                    else:
+                        got.extend(byte_toks(s))
+            elif sym_ids is not None:
+                got = [sym_ids.get(s, oov) for s in segs]
+            else:
+                got = segs
+            memo[w] = got
+        return got
+
+    def one_doc(t):
+        if t is None:
+            return None
+        out: list = []
+        if fallback:
+            # capture-split: even indexes are words, odd are ASCII-ws
+            # runs (byte-encoded, so decode restores them exactly)
+            for i, part in enumerate(ws_capture.split(t)):
+                if not part:
+                    continue
+                if i % 2 == 1:
+                    out.extend(byte_toks(part))
+                else:
+                    out.extend(one_word(part))
+        else:
+            for w in ws.split(t):
+                if w:
+                    out.extend(one_word(w))
+        return out
+
+    return one_doc
+
+
+def decode_bpe_tokens(tokens, model: dict, ids: bool = False) -> str | None:
+    """Invert :func:`bpe_encode` for one token list. For
+    ``byte_fallback`` models this is a TRUE inverse: unknown
+    characters and inter-word whitespace were byte-encoded, so the
+    exact input string comes back (modulo the model's recorded
+    lowercase normalization). For plain models word boundaries were
+    not encoded, so words come back concatenated (documented lossy
+    path) and the reserved OOV id decodes to U+FFFD.
+
+    Reserved-piece caveat (shared with SentencePiece): a corpus that
+    literally contains ``<0xNN>`` as learned text decodes those
+    symbols as bytes."""
+    if tokens is None:
+        return None
+    syms = model["symbols"]
+    fallback = bool(model.get("byte_fallback", False))
+    out: list[str] = []
+    buf = bytearray()
+    for t in tokens:
+        if ids:
+            t = syms[t] if 0 <= int(t) < len(syms) else "�"
+        if fallback and t in _BYTE_SET:
+            buf.append(int(t[3:5], 16))
+            continue
+        if buf:
+            out.append(bytes(buf).decode("utf-8", errors="replace"))
+            buf.clear()
+        out.append(t)
+    if buf:
+        out.append(bytes(buf).decode("utf-8", errors="replace"))
+    return "".join(out)
+
+
+def bpe_decode(
+    df: DataFrame,
+    model: dict,
+    col: str = "bpe_tokens",
+    out_col: str = "text_decoded",
+    ids: bool = False,
+) -> DataFrame:
+    """DataFrame twin of :func:`decode_bpe_tokens`: per-row pure,
+    shuffle-free Arrow pass (same rationale as :func:`bpe_encode`)."""
+
+    @F.pandas_udf("string")
+    def dec(tok: pd.Series) -> pd.Series:
+        return tok.map(
+            lambda t: decode_bpe_tokens(
+                None if t is None else list(t), model, ids=ids
+            )
+        )
+
+    return df.withColumn(out_col, dec(F.col(col)))

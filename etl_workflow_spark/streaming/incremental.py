@@ -1182,6 +1182,7 @@ def train_bpe_from_store(
     min_count: int = 1,
     max_words: int = 1_000_000,
     min_pair_count: int = 2,
+    byte_fallback: bool = False,
 ) -> dict:
     """Learn a BPE model from the vocabulary store — identical result
     to :func:`~etl_workflow_spark.operators.text.train_bpe` over the
@@ -1196,7 +1197,9 @@ def train_bpe_from_store(
     vocab = read_vocab_store(
         spark, store_path, min_count=min_count, top_k=int(max_words)
     )
-    return _learn_from_vocab(vocab, num_merges, flag, min_pair_count)
+    return _learn_from_vocab(
+        vocab, num_merges, flag, min_pair_count, byte_fallback
+    )
 
 
 def compact_gram_store(

@@ -603,6 +603,44 @@ def test_bpe_symbol_table_is_a_bijection():
     assert len(m["symbols"]) == len(set(m["symbols"]))
 
 
+def test_byte_fallback_bpe_spark_round_trip(spark, sf_dir):
+    """bpe_encode → bpe_decode on a byte_fallback model is the exact
+    identity over real testdata documents plus crafted docs with
+    unseen scripts / NBSP / emoji (lowercase=False); ids and symbol
+    modes agree; NULL stays NULL and empty stays empty."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(20)
+    )
+    crafted = spark.createDataFrame(
+        [(9001, "Ünïcode   nbsp and 日本語 🎉 mixed"),
+         (9002, None),
+         (9003, ""),
+         (9004, "  leading and trailing  ")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(crafted)
+    model = T.train_bpe(
+        df, num_merges=50, lowercase=False, byte_fallback=True,
+        min_pair_count=1,
+    )
+    enc = T.bpe_encode(df, model)
+    out = {r["doc_id"]: r for r in T.bpe_decode(
+        enc, model, col="bpe_tokens"
+    ).collect()}
+    for did, r in out.items():
+        assert r["text_decoded"] == r["text"], did
+    assert out[9002]["text_decoded"] is None
+    assert out[9003]["text_decoded"] == ""
+    # ids mode round-trips identically
+    enc_ids = T.bpe_encode(crafted, model, ids=True)
+    got = {r["doc_id"]: r["text_decoded"] for r in T.bpe_decode(
+        enc_ids, model, ids=True
+    ).collect()}
+    assert got[9001] == "Ünïcode   nbsp and 日本語 🎉 mixed"
+    assert got[9004] == "  leading and trailing  "
+
+
 def test_learn_bpe_folds_case_when_lowercasing(spark):
     model = T.learn_bpe([("Low", 5), ("LOW", 3), ("lower", 1)],
                         num_merges=3, min_pair_count=1)

@@ -393,3 +393,59 @@ def test_may_intersect_partition_pruning_is_set_disjointness(
     )
     assert keeps == bool(set(entry_parts) & set(batch_parts))
     assert _may_intersect({"partitions": None}, ["p"], {}, batch_parts)
+
+
+# ------------------------------------------------ byte-fallback BPE
+
+# a fixed training vocabulary (ASCII words) — the property quantifies
+# over INPUT text, not over models; pure-Python encode via
+# _make_bpe_encoder so each example costs no Spark job
+_BPE_WORDS = [("hello", 20), ("world", 15), ("byte", 9), ("fall", 7),
+              ("back", 7), ("low", 5)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80))
+def test_byte_fallback_bpe_round_trips_any_string(s):
+    """The GPT-2/SentencePiece byte-fallback property: EVERY string —
+    unseen scripts, emoji, control chars, non-ASCII whitespace —
+    round-trips encode→decode exactly (lowercase=False model). Without
+    fallback all unseen characters collapsed into one OOV id."""
+    from etl_workflow_spark.operators.text import (
+        _make_bpe_encoder, decode_bpe_tokens, learn_bpe,
+    )
+
+    model = learn_bpe(
+        _BPE_WORDS, num_merges=20, lowercase=False, min_pair_count=1,
+        byte_fallback=True,
+    )
+    toks = _make_bpe_encoder(model)(s)
+    assert decode_bpe_tokens(toks, model) == s
+    ids = _make_bpe_encoder(model, ids=True)(s)
+    assert decode_bpe_tokens(ids, model, ids=True) == s
+    # every id is a REAL symbol — the OOV id is never emitted
+    assert all(0 <= i < len(model["symbols"]) for i in ids)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60))
+def test_byte_fallback_bpe_round_trips_modulo_lowercase(s):
+    """With the default lowercase normalization the round trip returns
+    the case-folded input, whitespace preserved exactly."""
+    import re
+
+    from etl_workflow_spark.operators.text import (
+        _make_bpe_encoder, decode_bpe_tokens, learn_bpe,
+    )
+
+    model = learn_bpe(
+        _BPE_WORDS, num_merges=20, lowercase=True, min_pair_count=1,
+        byte_fallback=True,
+    )
+    toks = _make_bpe_encoder(model)(s)
+    # lowercase applies to the ASCII-split words; whitespace runs pass
+    # through byte-encoding untouched
+    want = re.sub(
+        r"[^\s]+", lambda m: m.group(0).lower(), s, flags=re.ASCII
+    )
+    assert decode_bpe_tokens(toks, model) == want
