@@ -140,7 +140,23 @@ def materialize_training_set(
         )
         _audit("deduped", cur)
     rates: dict[str, float] = {}
+    premix_schema: str | None = None
     if mixture is not None:
+        # r9: persist the PRE-mixture survivor pool — the extension
+        # state that makes mixture sets incrementally extendable.
+        # Fresh-build-on-union equality needs the rows the mixture
+        # DROPPED (a rate that rises on extension re-admits them), so
+        # the pool is the re-solve universe; it also de-duplicates
+        # work here — the expensive quality/decont/dedup prefix is
+        # evaluated once into the pool and the kept write reads the
+        # pool files instead of re-running the pipeline.
+        premix_path = f"{out_path.rstrip('/')}/premix"
+        cur.write.mode("errorifexists").parquet(premix_path)
+        premix_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in cur.schema.fields
+        )
+        cur = spark.read.schema(premix_schema).parquet(premix_path)
         cur, rates = target_mixture(
             cur, mixture, strata_col, key=id_col, salt=f"{salt}:mix"
         )
@@ -274,6 +290,7 @@ def materialize_training_set(
             "mixture": mixture,
             "strata_col": strata_col,
             "solved_mixture_rates": rates or None,
+            "premix_schema": premix_schema,
             "chunk_tokens": chunk_tokens,
             "pack_budget": pack_budget,
         },
@@ -505,12 +522,6 @@ def _extend_locked(
             "chunked/packed training sets do not extend incrementally; "
             "re-materialize (stored unit is a derived chunk row)"
         )
-    if cfg.get("mixture") is not None:
-        raise ValueError(
-            "mixture-configured training sets do not extend "
-            "incrementally; solved rates depend on the original "
-            "stratum distribution — re-materialize"
-        )
     if cfg.get("decontaminated") and benchmark is None:
         raise ValueError(
             "this set was built with benchmark decontamination; "
@@ -520,6 +531,10 @@ def _extend_locked(
         raise ValueError(
             "this set was built WITHOUT decontamination; extending "
             "with a benchmark would leave it half-decontaminated"
+        )
+    if cfg.get("mixture") is not None:
+        return _extend_mixture(
+            spark, new_docs, base, benchmark, index, audit, manifest
         )
     col = cfg.get("col", "text")
     id_col = cfg.get("id_col", "doc_id")
@@ -780,6 +795,183 @@ def _extend_locked(
     return manifest
 
 
+def _extend_mixture(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    base: str,
+    benchmark: DataFrame | None,
+    index: DataFrame | None,
+    audit: bool,
+    manifest: dict,
+) -> dict:
+    """Incremental extension for MIXTURE-configured sets (r9, lifting
+    the r8 refusal): the recorded recipe runs over the NEW batch only,
+    survivors append to the persisted PRE-mixture pool
+    (``base/premix``), per-stratum keep rates re-solve over the grown
+    pool with the original salt, and the kept shards are re-derived
+    from the pool — EXACTLY the set a fresh build over the union
+    corpus would produce (pytest: file-order equality under
+    ``ordered=True``).
+
+    Why a pool instead of an append-only delta: re-solved rates can
+    RISE (the batch feeds the binding stratum), re-admitting rows the
+    original mixture dropped — rows no longer present in the kept
+    shards. The pool keeps the re-solve universe; the corpus-sized
+    stages (quality/decontamination/dedup) still never re-run over old
+    data — only the batch is processed, and the kept rewrite is a pure
+    hash-filter + shuffle of the pool (O(pool), no pairing, no
+    re-scan of the raw corpus).
+
+    Crash safety under the extend lock: the pool append lands before
+    the kept swap, so a crash between them leaves a consistent old
+    set; ANY later extension (even an empty batch) re-derives kept
+    from the pool and self-heals. The staged swap itself is the
+    single-writer `_swap_staged` contract.
+    """
+    from ..sources.txn import _fs, _hpath
+    from ..sources.writers import _swap_staged
+    from .dedup import minhash_lsh_probe, normalize_text
+
+    cfg = manifest["config"]
+    col = cfg.get("col", "text")
+    id_col = cfg.get("id_col", "doc_id")
+    premix_schema = cfg.get("premix_schema")
+    jvm, fs = _fs(spark, base)
+    if premix_schema is None or not fs.exists(_hpath(jvm, base, "premix")):
+        raise ValueError(
+            "this mixture-configured set was materialized before "
+            "premix pools: re-materialize once (the build now writes "
+            "base/premix), after which extensions re-solve rates "
+            "incrementally"
+        )
+    if index is not None:
+        raise ValueError(
+            "prebuilt LSH indexes are not supported for mixture "
+            "extensions: the dedup universe is the premix pool, not "
+            "the kept shards an index would cover — pass index=None"
+        )
+    premix_path = f"{base}/premix"
+    pool = spark.read.schema(premix_schema).parquet(premix_path)
+
+    expected = {
+        f.name: f.dataType.simpleString() for f in pool.schema.fields
+    }
+    got = {f.name: f.dataType.simpleString() for f in new_docs.schema.fields}
+    if got != expected:
+        raise ValueError(
+            f"new_docs columns {sorted(got.items())} != recorded "
+            f"premix schema {sorted(expected.items())}"
+        )
+    bad = (
+        new_docs.groupBy(id_col)
+        .count()
+        .where(F.col(id_col).isNull() | (F.col("count") > 1))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"new_docs ids must be non-NULL and unique; offending "
+            f"{id_col}: {bad[0][id_col]!r}"
+        )
+
+    stages: list[tuple[str, int]] = []
+
+    def _audit(name: str, frame: DataFrame) -> None:
+        if audit:
+            stages.append((name, frame.count()))
+
+    cur = new_docs
+    _audit("input", cur)
+    # insert-if-absent against the POOL (the fresh-build dedup
+    # universe), not the kept shards
+    cur = cur.join(pool.select(id_col), id_col, "left_anti")
+    _audit("new_ids", cur)
+    if cfg.get("quality_filter", True):
+        cur = cur.where(_passes_quality(col))
+        _audit("quality", cur)
+    if benchmark is not None:
+        cur = decontaminate(
+            cur, benchmark, n=cfg["contamination_ngram"],
+            col=col, id_col=id_col,
+        )
+        _audit("decontaminated", cur)
+    if cfg.get("dedup", True):
+        cur = dedup_corpus(
+            cur,
+            threshold=cfg["dedup_threshold"],
+            quality_col=cfg.get("keep_quality_col"),
+            col=col,
+            id_col=id_col,
+        )
+        _audit("deduped_within_batch", cur)
+        pool_hash = pool.where(F.col(col).isNotNull()).select(
+            F.sha2(normalize_text(col), 256).alias("__h")
+        )
+        cur = (
+            cur.withColumn("__h", F.sha2(normalize_text(col), 256))
+            .join(pool_hash, "__h", "left_anti")
+            .drop("__h")
+        )
+        _audit("cross_exact", cur)
+        cross = minhash_lsh_probe(
+            cur,
+            pool,
+            index=None,
+            threshold=cfg["dedup_threshold"],
+            col=col,
+            id_col=id_col,
+        )
+        pool_ids = pool.select(F.col(id_col).alias("__ex"))
+        losers = (
+            cross.join(pool_ids, cross["doc_b"] == F.col("__ex"), "left_semi")
+            .select(F.col("doc_a").alias(id_col))
+            .distinct()
+        )
+        cur = cur.join(losers, id_col, "left_anti")
+        _audit("cross_neardup", cur)
+
+    # pool append FIRST (see crash-safety note above), then re-derive
+    # the kept set from the re-read pool files
+    cur.write.mode("append").parquet(premix_path)
+    pool = spark.read.schema(premix_schema).parquet(premix_path)
+    kept, rates = target_mixture(
+        pool, cfg["mixture"], cfg["strata_col"], key=id_col,
+        salt=f"{manifest['salt']}:mix",
+    )
+    _audit("mixture", kept)
+    out = deterministic_shuffle(
+        kept,
+        key=id_col,
+        salt=f"{manifest['salt']}:shuffle",
+        num_shards=manifest["num_shards"],
+        shard_col="shard",
+    )
+    data_path = f"{base}/data"
+    _swap_staged(spark, data_path, out, partition_by=["shard"])
+
+    prev_rows = manifest["rows"]
+    per_shard, shingleable, canaries = _written_shard_stats(
+        spark, data_path, out.schema, _n_tokens(col).cast("long"),
+        shingle_col=col, id_col=id_col,
+    )
+    manifest["shingleable"] = shingleable
+    manifest.pop("canary_ids", None)
+    if canaries is not None and _json_safe_ids(canaries):
+        manifest["canary_ids"] = canaries
+    manifest["shards"] = per_shard
+    manifest["rows"] = sum(s["rows"] for s in per_shard.values())
+    manifest["tokens"] = sum(s["tokens"] for s in per_shard.values())
+    manifest["epochs"] = int(manifest.get("epochs", 1)) + 1
+    manifest["appended_rows"] = manifest["rows"] - prev_rows
+    cfg["solved_mixture_rates"] = rates or None
+    manifest.pop("stage_rows", None)
+    if audit:
+        manifest["stage_rows"] = dict(stages)
+    _replace_manifest(spark, f"{base}/manifest.json", manifest)
+    return manifest
+
+
 def read_training_set(
     spark: SparkSession, out_path: str, ordered: bool = False
 ) -> tuple[DataFrame, dict]:
@@ -863,14 +1055,15 @@ def _acquire_extend_lock(spark: SparkSession, base: str) -> None:
     Scope of the guarantee: ``FileSystem.createNewFile`` is exclusive
     on HDFS and local filesystems. On object stores without atomic
     create-if-absent (plain S3A) it degrades to check-then-put —
-    deployments there must serialize extensions externally (scheduler
-    mutex / a store with conditional puts), the same caveat as every
-    rename-based commit protocol including the txn log's."""
-    from ..sources.txn import _fs, _hpath
+    deployments there install a conditional-put
+    :class:`~etl_workflow_spark.sources.txn.AtomicPublish` hook
+    (``set_publish_hook``), which this guard routes through — the
+    SAME hook that makes the txn log's commit rename honest."""
+    from ..sources.txn import _fs, _hpath, _publisher
 
     jvm, fs = _fs(spark, base)
     lock = _hpath(jvm, base, "_extend.lock")
-    if not fs.createNewFile(lock):
+    if not _publisher().create_exclusive(spark, fs, lock):
         raise RuntimeError(
             f"another extend_training_set holds {base}/_extend.lock; "
             "if no extension is actually running (a crashed one leaves "

@@ -1038,6 +1038,67 @@ def assign_cells(
     )
 
 
+def _bound_cell_sizes(
+    with_cell: DataFrame,
+    max_cell_size: int,
+    dim: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "cluster",
+    max_depth: int = 4,
+) -> DataFrame:
+    """SemDeDup's oversized-cell mitigation (Abbas et al. 2023 §2:
+    re-cluster giant clusters): any cell with more than
+    ``max_cell_size`` members is recursively split by k-means over
+    the oversized cells' members, relabelling to composite
+    ``orig/sub`` cells, until no cell exceeds the bound or
+    ``max_depth`` is reached. One sub-clustering pass per depth level
+    covers ALL oversized cells at once (the composite key keeps
+    original cells separate), so the cost is a few extra k-means
+    passes over only the oversized fraction — not one run per cell.
+
+    Why it matters at 100 TB: the pairing cost is Σ cellᵢ², so one
+    mega-cell (common on near-duplicate-heavy web corpora) makes a
+    single cell's quadratic term dominate the whole job; bounding
+    cell size bounds the worst term at max_cell_size².
+
+    Residual risk, documented: a cell of IDENTICAL vectors cannot be
+    split (every member is equidistant to every centroid) — after
+    ``max_depth`` levels the cell is accepted as-is. Identical
+    vectors are true duplicates; run the exact-dedup tier first if
+    that shape dominates.
+    """
+    cur = with_cell.withColumn(cell_col, F.col(cell_col).cast("string"))
+    for _ in range(int(max_depth)):
+        sizes = cur.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n"))
+        over_rows = sizes.where(
+            F.col("n") > F.lit(int(max_cell_size))
+        ).collect()
+        if not over_rows:
+            break
+        over = [r[cell_col] for r in over_rows]
+        n_over = sum(r["n"] for r in over_rows)
+        k2 = max(2, min(-(-n_over // max(int(max_cell_size) // 2, 1)), 256))
+        big = cur.where(F.col(cell_col).isin(over))
+        rest = cur.where(~F.col(cell_col).isin(over))
+        sub, _ = kmeans(
+            big, k=k2, dim=dim, max_iter=4, seed=seed + 13,
+            id_col=id_col, vec_col=vec_col,
+        )
+        big = (
+            big.join(
+                sub.select(id_col, F.col("cluster").alias("__sub")), id_col
+            )
+            .withColumn(
+                cell_col, F.concat_ws("/", F.col(cell_col), F.col("__sub"))
+            )
+            .drop("__sub")
+        )
+        cur = rest.unionByName(big)
+    return cur
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -1049,6 +1110,7 @@ def semdedup(
     max_iter: int = 10,
     rows_per_block: int = 4096,
     seed: int = 7,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -1064,7 +1126,10 @@ def semdedup(
 
     Scale shape: the quadratic pairing is confined to k-means cells
     (cost Σ cellᵢ², the paper's point — k controls the quadratic
-    term), executed as per-cell blocked matmuls
+    term; ``max_cell_size`` bounds the worst term by recursively
+    splitting oversized cells, :func:`_bound_cell_sizes` — set it on
+    near-duplicate-heavy corpora where one mega-cell would otherwise
+    dominate), executed as per-cell blocked matmuls
     (:func:`embedding_neardup_blocked` with ``group_col``, each block
     ≤ ``rows_per_block`` vectors). Vectors move through the
     assignment join and the (cell, block) groupBy exchange; per-cell
@@ -1089,7 +1154,25 @@ def semdedup(
     with_cell = emb.select(id_col, vec_col).join(
         assign.select(id_col, "cluster"), id_col
     )
-    cell_sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    if max_cell_size is not None:
+        # Σ cell² guard: recursively split oversized cells (the
+        # paper's own mitigation) so no single cell's quadratic term
+        # dominates; pairs then form within the SUB-cells. Exact and
+        # near-exact duplicate groups survive splitting unchanged —
+        # identical vectors always land in the same sub-cell — which
+        # is what the threshold regime (≥0.95 cosine) targets.
+        with_cell = _bound_cell_sizes(
+            with_cell, max_cell_size, dim, seed, id_col, vec_col
+        )
+        # composite labels exist only on with_cell now; the count is
+        # a column-pruned pass over (id, cell)
+        cell_sizes = with_cell.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    else:
+        cell_sizes = assign.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     pairs = embedding_neardup_blocked(
         with_cell, threshold=threshold, rows_per_block=rows_per_block,
         id_col=id_col, vec_col=vec_col, group_col="cluster",

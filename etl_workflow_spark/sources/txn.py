@@ -130,45 +130,86 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     )
 
 
-def _rename_no_overwrite(spark: SparkSession, jvm, src, dst) -> None:
-    """Rename that REFUSES an existing destination, atomically where
-    the filesystem can promise it.
-
-    ``FileSystem.rename`` on the LOCAL filesystem delegates to POSIX
-    rename(2), which silently OVERWRITES an existing destination — two
-    racing committers could both "win" and one manifest would vanish.
-    ``FileContext.rename(..., Rename.NONE)`` implements the
-    no-overwrite contract on local and HDFS; filesystems with no
-    AbstractFileSystem binding (e.g. bare s3a) fall back to
-    ``FileSystem.rename``, whose semantics there are the store's own —
-    deployments on such stores should front the log with a
-    rename-atomic coordinator, exactly as Delta requires a LogStore.
-
-    Raises :class:`ConcurrentWriteError` when the destination exists.
+class AtomicPublish:
+    """THE atomic-publish primitive behind every commit-shaped write:
+    the txn log's ``_commit``, the training-set manifest replacement,
+    and the ``_extend.lock`` single-writer guard all route through the
+    installed instance, so a deployment makes ALL of them honest on an
+    object store by overriding ONE class (e.g. with S3 conditional
+    PUT / ``If-None-Match`` or GCS ``if-generation-match`` calls).
+    Install with :func:`set_publish_hook`; the default implements the
+    best the Hadoop filesystem API offers (see method docstrings).
     """
-    from py4j.protocol import Py4JJavaError
 
-    try:
-        rename_enum = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            dst.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
-        opts[0] = rename_enum.NONE
-        fc.rename(src, dst, opts)
-        return
-    except Py4JJavaError as e:
-        msg = str(e)
-        if "FileAlreadyExistsException" in msg:
-            raise ConcurrentWriteError(
-                f"destination {dst} already exists"
-            ) from None
-        if "UnsupportedFileSystemException" not in msg:
-            raise
-    # no AbstractFileSystem for this scheme: FileSystem.rename fallback
-    fs = dst.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(dst) or not fs.rename(src, dst):
-        raise ConcurrentWriteError(f"destination {dst} already exists")
+    def rename_no_overwrite(self, spark: SparkSession, jvm, src, dst) -> None:
+        """Rename that REFUSES an existing destination, atomically
+        where the filesystem can promise it.
+
+        ``FileSystem.rename`` on the LOCAL filesystem delegates to
+        POSIX rename(2), which silently OVERWRITES an existing
+        destination — two racing committers could both "win" and one
+        manifest would vanish. ``FileContext.rename(..., Rename.NONE)``
+        implements the no-overwrite contract on local and HDFS;
+        filesystems with no AbstractFileSystem binding (e.g. bare
+        s3a) fall back to ``FileSystem.rename``, whose semantics
+        there are the store's own — deployments on such stores
+        install a conditional-put hook (:func:`set_publish_hook`),
+        exactly as Delta requires a LogStore.
+
+        Raises :class:`ConcurrentWriteError` when the destination
+        exists."""
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            rename_enum = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dst.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+            opts[0] = rename_enum.NONE
+            fc.rename(src, dst, opts)
+            return
+        except Py4JJavaError as e:
+            msg = str(e)
+            if "FileAlreadyExistsException" in msg:
+                raise ConcurrentWriteError(
+                    f"destination {dst} already exists"
+                ) from None
+            if "UnsupportedFileSystemException" not in msg:
+                raise
+        # no AbstractFileSystem for this scheme: FileSystem.rename
+        # fallback (check-then-put — the hook exists to replace this)
+        fs = dst.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(dst) or not fs.rename(src, dst):
+            raise ConcurrentWriteError(f"destination {dst} already exists")
+
+    def create_exclusive(self, spark: SparkSession, fs, path) -> bool:
+        """Create-if-absent marker (the lock-file primitive). Exclusive
+        on HDFS/local via ``createNewFile``; check-then-put on plain
+        S3A — same hook, same fix."""
+        return bool(fs.createNewFile(path))
+
+
+_DEFAULT_PUBLISH = AtomicPublish()
+_publish_hook: AtomicPublish | None = None
+
+
+def set_publish_hook(hook: AtomicPublish | None) -> AtomicPublish | None:
+    """Install (or, with ``None``, uninstall) a deployment-specific
+    :class:`AtomicPublish`; returns the previously installed hook.
+    Affects every commit-shaped write in the package."""
+    global _publish_hook
+    prev = _publish_hook
+    _publish_hook = hook
+    return prev
+
+
+def _publisher() -> AtomicPublish:
+    return _publish_hook or _DEFAULT_PUBLISH
+
+
+def _rename_no_overwrite(spark: SparkSession, jvm, src, dst) -> None:
+    _publisher().rename_no_overwrite(spark, jvm, src, dst)
 
 
 def _commit(spark: SparkSession, path: str, version: int, manifest: dict) -> None:

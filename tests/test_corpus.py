@@ -330,14 +330,27 @@ def test_extend_training_set_guards(spark, tmp_path, base_docs):
     with pytest.raises(ValueError, match="re-materialize"):
         C.extend_training_set(spark, _docs(spark, [(40, T6, "web")]),
                               chunked)
-    # mixture sets refuse extension
+    # mixture sets extend since r9 — but a PRE-premix set (simulated
+    # by deleting the pool) refuses with the upgrade hint, and a
+    # prebuilt index is refused (its universe would be the kept
+    # shards, not the pool)
+    import shutil
+
     mixed = str(tmp_path / "mixed")
     C.materialize_training_set(
         spark, base_docs, mixed, quality_filter=False, dedup=False,
         mixture={"web": 0.5, "code": 0.5}, strata_col="source",
         num_shards=2,
     )
-    with pytest.raises(ValueError, match="mixture"):
+    with pytest.raises(ValueError, match="premix pool"):
+        C.extend_training_set(
+            spark, _docs(spark, [(40, T6, "web")]), mixed,
+            index=spark.createDataFrame(
+                [], "id long, band int, bucket long"
+            ),
+        )
+    shutil.rmtree(f"{mixed}/premix")
+    with pytest.raises(ValueError, match="re-materialize once"):
         C.extend_training_set(spark, _docs(spark, [(40, T6, "web")]), mixed)
     # a set built WITHOUT decontamination refuses a benchmark
     plain = str(tmp_path / "plain")
@@ -602,3 +615,86 @@ def test_shingleless_corpus_records_empty_canaries(spark, tmp_path):
     _, m = C.read_training_set(spark, out)
     assert m["shingleable"] == 0
     assert m["canary_ids"] == []
+
+
+# ------------------------------------------- mixture extension (r9)
+
+T7 = (
+    "for row in stream: yield normalize(row) # the ingest loop trims "
+    "whitespace and lowercases every field before validation happens"
+)
+T8 = (
+    "select count(*) from events where day = today and status = 'ok' "
+    "group by source order by 1 desc limit 20 -- the daily health query"
+)
+
+
+def test_extend_mixture_equals_fresh_build_on_union(
+    spark, tmp_path, base_docs, holdout
+):
+    """r8 verdict task #5: an extended mixture set equals a fresh
+    build over the union corpus — file-order equality under
+    ordered=True — including the case append-only cannot express:
+    the batch feeds the binding stratum, rates RISE, and rows the
+    original mixture dropped are re-admitted from the premix pool."""
+    kwargs = dict(
+        benchmark=holdout,
+        mixture={"web": 0.5, "code": 0.5},
+        strata_col="source",
+        num_shards=2,
+    )
+    batch = _docs(spark, [(40, T7, "code"), (41, T8, "code")])
+    a = str(tmp_path / "a")
+    C.materialize_training_set(spark, base_docs, a, **kwargs)
+    rates_before = json.loads(
+        json.dumps(
+            C.read_training_set(spark, a)[1]["config"][
+                "solved_mixture_rates"
+            ]
+        )
+    )
+    m = C.extend_training_set(spark, batch, a, benchmark=holdout)
+    b = str(tmp_path / "b")
+    mb = C.materialize_training_set(
+        spark, base_docs.unionByName(batch), b, **kwargs
+    )
+    da, ma = C.read_training_set(spark, a, ordered=True)
+    db, _ = C.read_training_set(spark, b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [tuple(r) for r in db.collect()]
+    # the re-solved rates equal the fresh build's, and the binding
+    # stratum actually flipped (web rate rose to 1.0)
+    assert (
+        ma["config"]["solved_mixture_rates"]
+        == mb["config"]["solved_mixture_rates"]
+    )
+    assert rates_before["web"] < 1.0
+    assert ma["config"]["solved_mixture_rates"]["web"] == 1.0
+    assert m["rows"] == mb["rows"] and m["tokens"] == mb["tokens"]
+
+
+def test_extend_mixture_idempotent_rerun(spark, tmp_path, base_docs):
+    """Replaying the same batch is a no-op epoch: the pool's
+    insert-if-absent absorbs it and the re-derived kept set is
+    unchanged (crash-recovery story: any later extension re-derives
+    kept from the pool)."""
+    kwargs = dict(
+        mixture={"web": 0.5, "code": 0.5},
+        strata_col="source",
+        num_shards=2,
+    )
+    base = str(tmp_path / "t")
+    C.materialize_training_set(spark, base_docs, base, **kwargs)
+    batch = _docs(spark, [(40, T7, "code")])
+    m1 = C.extend_training_set(spark, batch, base)
+    rows1 = [
+        tuple(r)
+        for r in C.read_training_set(spark, base, ordered=True)[0].collect()
+    ]
+    m2 = C.extend_training_set(spark, batch, base)
+    rows2 = [
+        tuple(r)
+        for r in C.read_training_set(spark, base, ordered=True)[0].collect()
+    ]
+    assert rows1 == rows2
+    assert m2["appended_rows"] == 0
+    assert m2["epochs"] == m1["epochs"] + 1

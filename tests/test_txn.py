@@ -1931,3 +1931,130 @@ def test_txn_changes_untouched_partitions_not_read(spark, tmp_path):
     create_dir = m1["entries"][0]["dir"]
     plan = ch._jdf.queryExecution().executedPlan().toString()
     assert create_dir not in plan
+
+
+# ------------------------------------------------ atomic-publish hook
+
+
+def _local(p) -> str:
+    """py4j hadoop Path -> plain local path."""
+    s = str(p)
+    return s[len("file:"):] if s.startswith("file:") else s
+
+
+class _ConditionalPut(txn.AtomicPublish):
+    """Object-store shaped publisher: atomic create-if-absent of the
+    DESTINATION (conditional put), emulated with os.O_EXCL over the
+    local paths. ``race_on`` injects a concurrent committer that wins
+    the slot right before our put — AFTER _commit's exists() check has
+    already passed, the exact window plain check-then-put loses."""
+
+    def __init__(self, race_on: str | None = None):
+        self.race_on = race_on
+        self.raced = False
+
+    def rename_no_overwrite(self, spark_, jvm, src, dst) -> None:
+        import os
+
+        s, d = _local(src), _local(dst)
+        if self.race_on and d.endswith(self.race_on) and not self.raced:
+            self.raced = True
+            with open(d, "w") as f:
+                f.write('{"winner": "other committer"}')
+        try:
+            fd = os.open(d, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise txn.ConcurrentWriteError(
+                f"destination {dst} already exists"
+            ) from None
+        with os.fdopen(fd, "w") as out, open(s) as inp:
+            out.write(inp.read())
+        os.remove(s)
+
+
+def test_publish_hook_detects_lost_commit_race(spark, tmp_path):
+    """r8 verdict task #3: under check-then-put semantics a racing
+    committer landing between _commit's exists() check and the put
+    must be DETECTED — ConcurrentWriteError, never a silent
+    double-commit that vanishes the winner's manifest."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    txn.txn_create(
+        spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+    )
+    hook = _ConditionalPut(race_on=txn._version_name(2))
+    prev = txn.set_publish_hook(hook)
+    try:
+        with pytest.raises(txn.ConcurrentWriteError):
+            txn.txn_append(
+                spark, path, spark.createDataFrame([(2, 20)], ["id", "v"])
+            )
+    finally:
+        txn.set_publish_hook(prev)
+    assert hook.raced
+    # the winner's manifest survived untouched — we lost, they won
+    assert txn.latest_version(spark, path) == 2
+    log = f"{path}/_txnlog/{txn._version_name(2)}"
+    with open(log) as f:
+        assert "other committer" in f.read()
+    # and no stray tmp manifest is left behind
+    import os
+
+    assert not [
+        n for n in os.listdir(f"{path}/_txnlog") if n.startswith(".tmp-")
+    ]
+
+
+def test_publish_hook_happy_path_commits_through_hook(spark, tmp_path):
+    """Without a race the conditional-put hook carries commits
+    end-to-end: every mutation of the table publishes through it."""
+    path = str(tmp_path / "t")
+    hook = _ConditionalPut()
+    prev = txn.set_publish_hook(hook)
+    try:
+        txn.txn_create(
+            spark, path, spark.createDataFrame([(1, 10)], ["id", "v"])
+        )
+        txn.txn_append(
+            spark, path, spark.createDataFrame([(2, 20)], ["id", "v"])
+        )
+    finally:
+        txn.set_publish_hook(prev)
+    got = sorted((r.id, r.v) for r in txn.txn_read(spark, path).collect())
+    assert got == [(1, 10), (2, 20)]
+    assert txn.txn_history(spark, path) == [1, 2]
+
+
+def test_extend_lock_routes_through_publish_hook(spark, tmp_path):
+    """The _extend.lock single-writer guard uses the SAME hook's
+    create_exclusive — one override makes both commit shapes honest
+    on an object store."""
+    import pytest
+
+    from etl_workflow_spark.operators.corpus import (
+        _acquire_extend_lock, _release_extend_lock,
+    )
+
+    class RefuseAll(txn.AtomicPublish):
+        def create_exclusive(self, spark_, fs, path) -> bool:
+            return False
+
+    base = str(tmp_path / "ts")
+    import os
+
+    os.makedirs(base)
+    prev = txn.set_publish_hook(RefuseAll())
+    try:
+        with pytest.raises(RuntimeError, match="_extend.lock"):
+            _acquire_extend_lock(spark, base)
+    finally:
+        txn.set_publish_hook(prev)
+    # default hook: acquire succeeds, a second acquire is refused,
+    # release unblocks
+    _acquire_extend_lock(spark, base)
+    with pytest.raises(RuntimeError, match="_extend.lock"):
+        _acquire_extend_lock(spark, base)
+    _release_extend_lock(spark, base)
+    _acquire_extend_lock(spark, base)
+    _release_extend_lock(spark, base)

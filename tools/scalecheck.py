@@ -327,6 +327,60 @@ def span_skew(sf_dir: str, repeats: list[int]) -> None:
     spark.stop()
 
 
+def semdedup_skew(sf_dir: str, ks: list[int]) -> None:
+    """Oversized-cell guard check for semdedup (r9): a corpus where
+    ~half the vectors collapse into ONE tight k-means cell (shifted
+    onto a common direction), so the unguarded Σcell² pairing is
+    dominated by that cell's quadratic term, while
+    ``max_cell_size`` recursively splits it and bounds the worst
+    term. One JSON line per (K, mode); the claim is that guarded wall
+    time grows ~linearly with K while unguarded grows with the
+    mega-cell's square."""
+    from etl_workflow_spark.session import get_spark
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import similarity as S
+
+    spark = get_spark("semdedup-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb0 = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e_off = (emb0.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+
+    def skew(batches):
+        import numpy as _np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            # even ids: tight cluster around 8·1⃗ (members stay
+            # distinct — the guard's sub-k-means must split them)
+            mask = (ids % 2) == 0
+            V[mask] = 8.0 + V[mask]
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": [r.tolist() for r in V],
+            })
+
+    skewed = emb0.mapInPandas(skew, "vec_id long, embedding array<double>")
+    S.semdedup(skewed, threshold=0.999, k=8, dim=64, keep="min_id").count()
+    for k_rep in ks:
+        emb = replicate(skewed, k_rep, ["vec_id"], e_off).persist()
+        n = emb.count()
+        for mode, mcs in (("unguarded", None), ("guarded", 512)):
+            t0 = time.time()
+            surv = S.semdedup(
+                emb, threshold=0.999, k=16, dim=64, keep="min_id",
+                max_cell_size=mcs,
+            ).count()
+            print(json.dumps({
+                "op": "semdedup_skew", "k_rep": k_rep, "mode": mode,
+                "n": n, "survivors": surv,
+                "sec": round(time.time() - t0, 2),
+            }), flush=True)
+        emb.unpersist()
+    spark.stop()
+
+
 def corpus_cost(sf_dir: str, ks: list[int]) -> None:
     """materialize_training_set wall time at K× corpus replication,
     audit off vs on. Claims under measurement: (a) the default recipe
@@ -502,7 +556,11 @@ def extend_cost(sf_dir: str, ks: list[int]) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--ann-recall", "--txn-sink", "--span-skew",
-                         "--corpus", "--extend")]
+                         "--corpus", "--extend", "--semdedup-skew")]
+    if "--semdedup-skew" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        semdedup_skew(sf, [int(a) for a in args[1:]] or [1, 4, 16])
+        return
     if "--extend" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         extend_cost(sf, [int(a) for a in args[1:]] or [1, 4])
