@@ -142,21 +142,25 @@ def materialize_training_set(
     rates: dict[str, float] = {}
     premix_schema: str | None = None
     if mixture is not None:
-        # r9: persist the PRE-mixture survivor pool — the extension
-        # state that makes mixture sets incrementally extendable.
-        # Fresh-build-on-union equality needs the rows the mixture
-        # DROPPED (a rate that rises on extension re-admits them), so
-        # the pool is the re-solve universe; it also de-duplicates
-        # work here — the expensive quality/decont/dedup prefix is
-        # evaluated once into the pool and the kept write reads the
-        # pool files instead of re-running the pipeline.
-        premix_path = f"{out_path.rstrip('/')}/premix"
-        cur.write.mode("errorifexists").parquet(premix_path)
-        premix_schema = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in cur.schema.fields
-        )
-        cur = spark.read.schema(premix_schema).parquet(premix_path)
+        if chunk_tokens is None:
+            # r9: persist the PRE-mixture survivor pool — the extension
+            # state that makes mixture sets incrementally extendable.
+            # Fresh-build-on-union equality needs the rows the mixture
+            # DROPPED (a rate that rises on extension re-admits them),
+            # so the pool is the re-solve universe; it also
+            # de-duplicates work here — the expensive
+            # quality/decont/dedup prefix is evaluated once into the
+            # pool and the kept write reads the pool files instead of
+            # re-running the pipeline. Chunked sets refuse extension
+            # outright, so a pool there would be dead storage — they
+            # keep the pre-r9 single-plan build.
+            premix_path = f"{out_path.rstrip('/')}/premix"
+            cur.write.mode("errorifexists").parquet(premix_path)
+            premix_schema = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in cur.schema.fields
+            )
+            cur = spark.read.schema(premix_schema).parquet(premix_path)
         cur, rates = target_mixture(
             cur, mixture, strata_col, key=id_col, salt=f"{salt}:mix"
         )
@@ -505,6 +509,276 @@ def extend_training_set(
         _release_extend_lock(spark, base)
 
 
+def _validate_batch(
+    new_docs: DataFrame, reference: DataFrame, id_col: str, what: str
+) -> None:
+    """Shared batch validation of both extension paths: column names
+    AND types against the recorded schema (append-mode parquet happily
+    writes type-drifted files every later schema-pinned read chokes
+    on), and id discipline — a NULL id never equi-matches the
+    insert-if-absent anti-join (silent idempotence break) and a
+    batch-internal collision would append two rows under one key. One
+    tiny action over the batch, before anything is written."""
+    expected = {
+        f.name: f.dataType.simpleString()
+        for f in reference.schema.fields
+        if f.name != "shard"
+    }
+    got = {f.name: f.dataType.simpleString() for f in new_docs.schema.fields}
+    if got != expected:
+        raise ValueError(
+            f"new_docs columns {sorted(got.items())} != recorded "
+            f"{what} {sorted(expected.items())}"
+        )
+    bad = (
+        new_docs.groupBy(id_col)
+        .count()
+        .where(F.col(id_col).isNull() | (F.col("count") > 1))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"new_docs ids must be non-NULL and unique; offending "
+            f"{id_col}: {bad[0][id_col]!r}"
+        )
+
+
+def _check_prebuilt_index(
+    spark: SparkSession,
+    universe: DataFrame,
+    index: DataFrame,
+    col: str,
+    id_col: str,
+    shingleable: int | None = None,
+    canaries: list | None = None,
+    expect_rows: int | None = None,
+) -> None:
+    """Staleness guard for a prebuilt LSH index against its dedup
+    UNIVERSE (the kept set for plain extensions, the premix pool for
+    mixture ones): an index that predates the last extension lacks
+    band rows for appended docs, so their near-dups would be admitted
+    SILENTLY. Coverage is a count compare; hash parameters
+    (num_hashes / shingle n are invisible in bucket values) are
+    verified by CANARIES — the min-id AND max-id shingleable docs'
+    band rows are rebuilt from universe text and must match the
+    indexed ones, so a mis-parameterized maintenance APPEND is caught
+    from the newest-id end, not just the oldest. Coverage, banding,
+    and the canaries' indexed rows come from ONE aggregation pass
+    over the index.
+
+    ``shingleable``/``canaries`` are the manifest fast path; they are
+    trusted only while ``expect_rows`` matches the universe's cheap
+    footer count (a crashed extension leaves files with pre-crash
+    stats). Callers without recorded stats pass None and pay one
+    narrow text scan of the universe."""
+    from .dedup import build_lsh_index
+
+    iid = "id" if "id" in index.columns else id_col
+    if (
+        shingleable is None
+        or canaries is None
+        or expect_rows is None
+        or universe.count() != expect_rows
+    ):
+        row = (
+            universe.where(_shingleable_cond(col, id_col))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(id_col).alias("mn"),
+                F.max(id_col).alias("mx"),
+            )
+            .collect()[0]
+        )
+        shingleable = row["n"]
+        canaries = [row["mn"], row["mx"]]
+    # binary id columns collect as bytearray — unhashable, so it can
+    # be neither set member nor dict key below; bytes keeps the value
+    # and round-trips through F.lit/isin unchanged
+    canaries = sorted(
+        {
+            bytes(c) if isinstance(c, bytearray) else c
+            for c in canaries
+            if c is not None
+        },
+        key=str,
+    )
+    stats = index.agg(
+        F.countDistinct(F.col(iid)).alias("ids"),
+        (F.max("band") + 1).alias("bands"),
+        *[
+            F.collect_list(
+                F.when(
+                    F.col(iid) == F.lit(c), F.struct("band", "bucket")
+                )
+            ).alias(f"__c{i}")
+            for i, c in enumerate(canaries)
+        ],
+    ).collect()[0]
+    if (stats["ids"] or 0) == 0 and shingleable == 0:
+        return  # empty index over a shingle-less universe is fresh
+    if stats["ids"] != shingleable or stats["bands"] != 8:
+        raise ValueError(
+            f"prebuilt index is stale or mis-parameterized: it "
+            f"covers {stats['ids']} docs across {stats['bands']} "
+            f"bands, but the current corpus has {shingleable} "
+            f"shingle-able docs (expected 8 bands). Rebuild with "
+            f"build_lsh_index after every extension, or pass "
+            f"index=None"
+        )
+    # rebuild BOTH canaries' band rows in one universe point lookup
+    # (per-doc MinHash is corpus-independent), then a two-way set
+    # compare per canary against the rows the index agg above already
+    # captured. The rebuilt side is collected, so an EMPTY rebuilt
+    # set cannot vacuously pass — a foreign index whose ids are
+    # absent from this universe is refused, not waved through.
+    want: dict = {}
+    for r in (
+        build_lsh_index(
+            universe.where(F.col(id_col).isin(canaries)),
+            col=col, id_col=id_col,
+        )
+        .select("id", "band", "bucket")
+        .collect()
+    ):
+        k = bytes(r["id"]) if isinstance(r["id"], bytearray) else r["id"]
+        want.setdefault(k, set()).add((r["band"], r["bucket"]))
+    for i, c in enumerate(canaries):
+        have = {(r["band"], r["bucket"]) for r in stats[f"__c{i}"]}
+        if want.get(c) and want.get(c) == have:
+            continue
+        if not want.get(c):
+            why = (
+                "rebuilt band rows are empty (not a "
+                "shingle-able doc of this training set)"
+            )
+        elif not have:
+            why = (
+                "band rows are missing from the index even "
+                "though its coverage count matches — it was "
+                "built over a DIFFERENT id set (wrong corpus "
+                "or wrong batch)"
+            )
+        else:
+            why = (
+                "rebuilt band rows differ from the indexed "
+                "ones (different num_hashes / shingle n)"
+            )
+        raise ValueError(
+            "prebuilt index does not match this corpus "
+            "under default MinHash parameters: canary doc "
+            f"{c!r}'s {why} — the probe would silently find "
+            "no candidates. Rebuild with build_lsh_index "
+            "defaults, or pass index=None"
+        )
+
+
+def _batch_recipe(
+    new_docs: DataFrame,
+    universe: DataFrame,
+    cfg: dict,
+    benchmark: DataFrame | None,
+    col: str,
+    id_col: str,
+    index: DataFrame | None,
+    _audit,
+) -> DataFrame:
+    """The recorded recipe over a NEW batch, shared by both extension
+    paths so the two cannot drift: insert-if-absent by id (narrow
+    id-only scan of the universe), quality, decontamination, dedup
+    within the batch, then the cross tiers — the UNIVERSE member
+    always wins (keep-first across epochs). Exact cross tier is one
+    narrow hash scan anti-joined (NULL-text rows pass — NULL hash
+    never equi-matches, matching dedup_corpus's null-preservation
+    contract); near-dup probes the universe-side banded index with
+    the (tiny) batch."""
+    from .dedup import minhash_lsh_probe, normalize_text
+
+    cur = new_docs
+    _audit("input", cur)
+    cur = cur.join(universe.select(id_col), id_col, "left_anti")
+    _audit("new_ids", cur)
+    if cfg.get("quality_filter", True):
+        cur = cur.where(_passes_quality(col))
+        _audit("quality", cur)
+    if benchmark is not None:
+        cur = decontaminate(
+            cur, benchmark, n=cfg["contamination_ngram"],
+            col=col, id_col=id_col,
+        )
+        _audit("decontaminated", cur)
+    if cfg.get("dedup", True):
+        cur = dedup_corpus(
+            cur,
+            threshold=cfg["dedup_threshold"],
+            quality_col=cfg.get("keep_quality_col"),
+            col=col,
+            id_col=id_col,
+        )
+        _audit("deduped_within_batch", cur)
+        ex_hash = universe.where(F.col(col).isNotNull()).select(
+            F.sha2(normalize_text(col), 256).alias("__h")
+        )
+        cur = (
+            cur.withColumn("__h", F.sha2(normalize_text(col), 256))
+            .join(ex_hash, "__h", "left_anti")
+            .drop("__h")
+        )
+        _audit("cross_exact", cur)
+        cross = minhash_lsh_probe(
+            cur,
+            universe,
+            index=index,
+            threshold=cfg["dedup_threshold"],
+            col=col,
+            id_col=id_col,
+        )
+        ex_ids = universe.select(F.col(id_col).alias("__ex"))
+        losers = (
+            cross.join(ex_ids, cross["doc_b"] == F.col("__ex"), "left_semi")
+            .select(F.col("doc_a").alias(id_col))
+            .distinct()
+        )
+        cur = cur.join(losers, id_col, "left_anti")
+        _audit("cross_neardup", cur)
+    return cur
+
+
+def _refresh_manifest_stats(
+    spark: SparkSession,
+    manifest: dict,
+    base: str,
+    schema,
+    col: str,
+    id_col: str,
+    audit: bool,
+    stages: list,
+) -> dict:
+    """Post-write manifest refresh shared by both extension paths:
+    every statistic from ONE scan of the written files, epochs
+    incremented, a prior audited epoch's curve never masquerading as
+    this one's, and the atomic manifest replacement."""
+    prev_rows = manifest["rows"]
+    per_shard, shingleable, canaries = _written_shard_stats(
+        spark, f"{base}/data", schema, _n_tokens(col).cast("long"),
+        shingle_col=col, id_col=id_col,
+    )
+    manifest["shingleable"] = shingleable
+    manifest.pop("canary_ids", None)
+    if canaries is not None and _json_safe_ids(canaries):
+        manifest["canary_ids"] = canaries
+    manifest["shards"] = per_shard
+    manifest["rows"] = sum(s["rows"] for s in per_shard.values())
+    manifest["tokens"] = sum(s["tokens"] for s in per_shard.values())
+    manifest["epochs"] = int(manifest.get("epochs", 1)) + 1
+    manifest["appended_rows"] = manifest["rows"] - prev_rows
+    manifest.pop("stage_rows", None)
+    if audit:
+        manifest["stage_rows"] = dict(stages)
+    _replace_manifest(spark, f"{base}/manifest.json", manifest)
+    return manifest
+
+
 def _extend_locked(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -513,8 +787,6 @@ def _extend_locked(
     index: DataFrame | None,
     audit: bool,
 ) -> dict:
-    from .dedup import minhash_lsh_probe, normalize_text
-
     existing, manifest = read_training_set(spark, base)
     cfg = manifest["config"]
     if cfg.get("chunk_tokens") is not None:
@@ -538,169 +810,17 @@ def _extend_locked(
         )
     col = cfg.get("col", "text")
     id_col = cfg.get("id_col", "doc_id")
-    # names AND types: append-mode parquet happily writes type-drifted
-    # files that every later schema-pinned read chokes on — validate
-    # BEFORE any data lands
-    expected = {
-        f.name: f.dataType.simpleString()
-        for f in existing.schema.fields
-        if f.name != "shard"
-    }
-    got = {f.name: f.dataType.simpleString() for f in new_docs.schema.fields}
-    if got != expected:
-        raise ValueError(
-            f"new_docs columns {sorted(got.items())} != recorded "
-            f"schema {sorted(expected.items())}"
-        )
-    # id discipline: a NULL id never equi-matches the insert-if-absent
-    # anti-join (silent idempotence break); a batch-internal id
-    # collision would append two rows under one key. One tiny action
-    # over the batch, before anything is written.
-    bad = (
-        new_docs.groupBy(id_col)
-        .count()
-        .where(F.col(id_col).isNull() | (F.col("count") > 1))
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"new_docs ids must be non-NULL and unique; offending "
-            f"{id_col}: {bad[0][id_col]!r}"
-        )
+    _validate_batch(new_docs, existing, id_col, "schema")
 
-    # staleness guard for a prebuilt index: a persisted index that
-    # predates the last extension lacks band rows for the appended
-    # docs, so their near-dups would be admitted SILENTLY. Coverage is
-    # a METADATA compare (the manifest records the shingle-able doc
-    # count from the write scan); hash parameters (num_hashes /
-    # shingle n are invisible in the bucket values) are verified by
-    # CANARIES — rebuild the min-id AND max-id shingleable docs' band
-    # rows from corpus text and require identical buckets, so a
-    # mis-parameterized maintenance APPEND (new docs' band rows built
-    # with different parameters onto a correct base) is caught from
-    # the newest-id end, not just the oldest. Coverage, banding, and
-    # the canaries' indexed band rows all come from ONE aggregation
-    # pass over the index (the canary ids are known beforehand from
-    # the manifest — no second index scan).
     if index is not None:
-        from .dedup import build_lsh_index
-
-        iid = "id" if "id" in index.columns else id_col
-        shingleable = manifest.get("shingleable")
-        canaries = manifest.get("canary_ids")
-        # the manifest's metadata is trustworthy only while it matches
-        # the FILES (the module's source of truth): a crashed extension
-        # leaves appended part files with pre-crash stats. A no-filter
-        # parquet count is served from footer metadata, so this
-        # detection is cheap; the fallback text scan runs only on a
-        # stale or pre-upgrade manifest (or a non-JSON-safe id type,
-        # which never records canary_ids).
-        if (
-            shingleable is None
-            or canaries is None
-            or existing.count() != manifest["rows"]
-        ):
-            row = (
-                existing.where(_shingleable_cond(col, id_col))
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min(id_col).alias("mn"),
-                    F.max(id_col).alias("mx"),
-                )
-                .collect()[0]
-            )
-            shingleable = row["n"]
-            canaries = [row["mn"], row["mx"]]
-        # binary id columns collect as bytearray — unhashable, so it
-        # can be neither set member nor dict key below; bytes keeps
-        # the value and round-trips through F.lit/isin unchanged
-        canaries = sorted(
-            {
-                bytes(c) if isinstance(c, bytearray) else c
-                for c in canaries
-                if c is not None
-            },
-            key=str,
+        # staleness guard (shared): manifest stats are the fast path,
+        # trusted only while the cheap footer row count matches
+        _check_prebuilt_index(
+            spark, existing, index, col, id_col,
+            shingleable=manifest.get("shingleable"),
+            canaries=manifest.get("canary_ids"),
+            expect_rows=manifest["rows"],
         )
-        stats = index.agg(
-            F.countDistinct(F.col(iid)).alias("ids"),
-            (F.max("band") + 1).alias("bands"),
-            *[
-                F.collect_list(
-                    F.when(
-                        F.col(iid) == F.lit(c), F.struct("band", "bucket")
-                    )
-                ).alias(f"__c{i}")
-                for i, c in enumerate(canaries)
-            ],
-        ).collect()[0]
-        if (stats["ids"] or 0) == 0 and shingleable == 0:
-            pass  # empty index over a shingle-less corpus is fresh
-        elif stats["ids"] != shingleable or stats["bands"] != 8:
-            raise ValueError(
-                f"prebuilt index is stale or mis-parameterized: it "
-                f"covers {stats['ids']} docs across {stats['bands']} "
-                f"bands, but the current corpus has {shingleable} "
-                f"shingle-able docs (expected 8 bands). Rebuild with "
-                f"build_lsh_index after every extension, or pass "
-                f"index=None"
-            )
-        else:
-            # rebuild BOTH canaries' band rows in one corpus point
-            # lookup (per-doc MinHash is corpus-independent), then a
-            # two-way set compare per canary against the rows the
-            # index agg above already captured. The rebuilt side is
-            # collected, so an EMPTY rebuilt set cannot vacuously
-            # pass — a foreign index whose ids are absent from this
-            # corpus is refused, not waved through.
-            want: dict = {}
-            for r in (
-                build_lsh_index(
-                    existing.where(F.col(id_col).isin(canaries)),
-                    col=col, id_col=id_col,
-                )
-                .select("id", "band", "bucket")
-                .collect()
-            ):
-                k = (
-                    bytes(r["id"])
-                    if isinstance(r["id"], bytearray)
-                    else r["id"]
-                )
-                want.setdefault(k, set()).add(
-                    (r["band"], r["bucket"])
-                )
-            for i, c in enumerate(canaries):
-                have = {
-                    (r["band"], r["bucket"]) for r in stats[f"__c{i}"]
-                }
-                if want.get(c) and want.get(c) == have:
-                    continue
-                if not want.get(c):
-                    why = (
-                        "rebuilt band rows are empty (not a "
-                        "shingle-able doc of this training set)"
-                    )
-                elif not have:
-                    why = (
-                        "band rows are missing from the index even "
-                        "though its coverage count matches — it was "
-                        "built over a DIFFERENT id set (wrong corpus "
-                        "or wrong batch)"
-                    )
-                else:
-                    why = (
-                        "rebuilt band rows differ from the indexed "
-                        "ones (different num_hashes / shingle n)"
-                    )
-                raise ValueError(
-                    "prebuilt index does not match this corpus "
-                    "under default MinHash parameters: canary doc "
-                    f"{c!r}'s {why} — the probe would silently find "
-                    "no candidates. Rebuild with build_lsh_index "
-                    "defaults, or pass index=None"
-                )
 
     stages: list[tuple[str, int]] = []
 
@@ -708,61 +828,9 @@ def _extend_locked(
         if audit:
             stages.append((name, frame.count()))
 
-    cur = new_docs
-    _audit("input", cur)
-    # 1. insert-if-absent by id (narrow id-only scan of the set)
-    cur = cur.join(existing.select(id_col), id_col, "left_anti")
-    _audit("new_ids", cur)
-    if cfg.get("quality_filter", True):
-        cur = cur.where(_passes_quality(col))
-        _audit("quality", cur)
-    if benchmark is not None:
-        cur = decontaminate(
-            cur, benchmark, n=cfg["contamination_ngram"],
-            col=col, id_col=id_col,
-        )
-        _audit("decontaminated", cur)
-    if cfg.get("dedup", True):
-        cur = dedup_corpus(
-            cur,
-            threshold=cfg["dedup_threshold"],
-            quality_col=cfg.get("keep_quality_col"),
-            col=col,
-            id_col=id_col,
-        )
-        _audit("deduped_within_batch", cur)
-        # cross tier — existing always wins (keep-first across epochs).
-        # Exact: one narrow (hash) scan of the corpus, anti-joined.
-        # NULL-text rows pass (NULL hash never equi-matches), matching
-        # dedup_corpus's null-preservation contract.
-        ex_hash = existing.where(F.col(col).isNotNull()).select(
-            F.sha2(normalize_text(col), 256).alias("__h")
-        )
-        cur = (
-            cur.withColumn("__h", F.sha2(normalize_text(col), 256))
-            .join(ex_hash, "__h", "left_anti")
-            .drop("__h")
-        )
-        _audit("cross_exact", cur)
-        # Near-dup: probe the corpus-side banded index with the (tiny)
-        # new batch; drop any new doc colliding with an existing one.
-        cross = minhash_lsh_probe(
-            cur,
-            existing,
-            index=index,
-            threshold=cfg["dedup_threshold"],
-            col=col,
-            id_col=id_col,
-        )
-        ex_ids = existing.select(F.col(id_col).alias("__ex"))
-        losers = (
-            cross.join(ex_ids, cross["doc_b"] == F.col("__ex"), "left_semi")
-            .select(F.col("doc_a").alias(id_col))
-            .distinct()
-        )
-        cur = cur.join(losers, id_col, "left_anti")
-        _audit("cross_neardup", cur)
-
+    cur = _batch_recipe(
+        new_docs, existing, cfg, benchmark, col, id_col, index, _audit
+    )
     out = deterministic_shuffle(
         cur,
         key=id_col,
@@ -770,29 +838,10 @@ def _extend_locked(
         num_shards=manifest["num_shards"],
         shard_col="shard",
     )
-    data_path = f"{base}/data"
-    out.write.mode("append").partitionBy("shard").parquet(data_path)
-
-    prev_rows = manifest["rows"]
-    per_shard, shingleable, canaries = _written_shard_stats(
-        spark, data_path, existing.schema, _n_tokens(col).cast("long"),
-        shingle_col=col, id_col=id_col,
+    out.write.mode("append").partitionBy("shard").parquet(f"{base}/data")
+    return _refresh_manifest_stats(
+        spark, manifest, base, existing.schema, col, id_col, audit, stages
     )
-    manifest["shingleable"] = shingleable
-    manifest.pop("canary_ids", None)
-    if canaries is not None and _json_safe_ids(canaries):
-        manifest["canary_ids"] = canaries
-    manifest["shards"] = per_shard
-    manifest["rows"] = sum(s["rows"] for s in per_shard.values())
-    manifest["tokens"] = sum(s["tokens"] for s in per_shard.values())
-    manifest["epochs"] = int(manifest.get("epochs", 1)) + 1
-    manifest["appended_rows"] = manifest["rows"] - prev_rows
-    # a prior audited epoch's curve must not masquerade as this one's
-    manifest.pop("stage_rows", None)
-    if audit:
-        manifest["stage_rows"] = dict(stages)
-    _replace_manifest(spark, f"{base}/manifest.json", manifest)
-    return manifest
 
 
 def _extend_mixture(
@@ -805,32 +854,49 @@ def _extend_mixture(
     manifest: dict,
 ) -> dict:
     """Incremental extension for MIXTURE-configured sets (r9, lifting
-    the r8 refusal): the recorded recipe runs over the NEW batch only,
-    survivors append to the persisted PRE-mixture pool
-    (``base/premix``), per-stratum keep rates re-solve over the grown
-    pool with the original salt, and the kept shards are re-derived
-    from the pool — EXACTLY the set a fresh build over the union
-    corpus would produce (pytest: file-order equality under
-    ``ordered=True``).
+    the r8 refusal): the recorded recipe runs over the NEW batch only
+    (:func:`_batch_recipe` — shared verbatim with the plain path, so
+    the two cannot drift), survivors append to the persisted
+    PRE-mixture pool (``base/premix``), per-stratum keep rates
+    re-solve over the grown pool with the original salt, and the kept
+    shards are re-derived from the pool — the set a fresh build over
+    the union corpus produces (pytest: file-order equality under
+    ``ordered=True``). A prebuilt ``index`` is accepted and guarded
+    against the POOL (the dedup universe here), paying one narrow pool
+    text scan for the staleness stats — build it with
+    ``build_lsh_index`` over ``base/premix`` after each extension to
+    skip the per-call pool re-shingling.
+
+    Equality precondition (same as the plain extension path, where
+    the cross tiers also keep-first across epochs): a fresh union
+    build resolves cross-epoch duplicate groups by the DEDUP keep
+    policy (min-id, or best-quality), while extension always keeps
+    the pool member. The two agree exactly when batch ids order after
+    existing ids (the monotone-id ingest shape) — or when the quality
+    policy ranks the existing copy first; batches with
+    arbitrarily-interleaved ids can pick a different group
+    representative than the fresh build would.
 
     Why a pool instead of an append-only delta: re-solved rates can
     RISE (the batch feeds the binding stratum), re-admitting rows the
     original mixture dropped — rows no longer present in the kept
     shards. The pool keeps the re-solve universe; the corpus-sized
-    stages (quality/decontamination/dedup) still never re-run over old
-    data — only the batch is processed, and the kept rewrite is a pure
-    hash-filter + shuffle of the pool (O(pool), no pairing, no
-    re-scan of the raw corpus).
+    stages (quality/decontamination/pairing dedup) still never re-run
+    over old data — only the batch is processed, and the kept rewrite
+    is a pure hash-filter + shuffle of the pool (O(pool), no pairing,
+    no re-scan of the raw corpus).
 
+    Concurrency: unlike the plain path's append-only write, the kept
+    rewrite goes through ``_swap_staged`` — NO CONCURRENT READERS
+    during a mixture extension (the lock excludes writers only); a
+    loader streaming shards mid-swap can hit renamed/deleted files.
     Crash safety under the extend lock: the pool append lands before
     the kept swap, so a crash between them leaves a consistent old
     set; ANY later extension (even an empty batch) re-derives kept
-    from the pool and self-heals. The staged swap itself is the
-    single-writer `_swap_staged` contract.
+    from the pool and self-heals.
     """
     from ..sources.txn import _fs, _hpath
     from ..sources.writers import _swap_staged
-    from .dedup import minhash_lsh_probe, normalize_text
 
     cfg = manifest["config"]
     col = cfg.get("col", "text")
@@ -844,36 +910,14 @@ def _extend_mixture(
             "base/premix), after which extensions re-solve rates "
             "incrementally"
         )
-    if index is not None:
-        raise ValueError(
-            "prebuilt LSH indexes are not supported for mixture "
-            "extensions: the dedup universe is the premix pool, not "
-            "the kept shards an index would cover — pass index=None"
-        )
     premix_path = f"{base}/premix"
     pool = spark.read.schema(premix_schema).parquet(premix_path)
-
-    expected = {
-        f.name: f.dataType.simpleString() for f in pool.schema.fields
-    }
-    got = {f.name: f.dataType.simpleString() for f in new_docs.schema.fields}
-    if got != expected:
-        raise ValueError(
-            f"new_docs columns {sorted(got.items())} != recorded "
-            f"premix schema {sorted(expected.items())}"
-        )
-    bad = (
-        new_docs.groupBy(id_col)
-        .count()
-        .where(F.col(id_col).isNull() | (F.col("count") > 1))
-        .limit(1)
-        .collect()
-    )
-    if bad:
-        raise ValueError(
-            f"new_docs ids must be non-NULL and unique; offending "
-            f"{id_col}: {bad[0][id_col]!r}"
-        )
+    _validate_batch(new_docs, pool, id_col, "premix schema")
+    if index is not None:
+        # the dedup universe is the POOL, so the guard scans it for
+        # fresh stats (no recorded pool metadata — the manifest's
+        # shingleable/canaries describe the kept shards)
+        _check_prebuilt_index(spark, pool, index, col, id_col)
 
     stages: list[tuple[str, int]] = []
 
@@ -881,55 +925,9 @@ def _extend_mixture(
         if audit:
             stages.append((name, frame.count()))
 
-    cur = new_docs
-    _audit("input", cur)
-    # insert-if-absent against the POOL (the fresh-build dedup
-    # universe), not the kept shards
-    cur = cur.join(pool.select(id_col), id_col, "left_anti")
-    _audit("new_ids", cur)
-    if cfg.get("quality_filter", True):
-        cur = cur.where(_passes_quality(col))
-        _audit("quality", cur)
-    if benchmark is not None:
-        cur = decontaminate(
-            cur, benchmark, n=cfg["contamination_ngram"],
-            col=col, id_col=id_col,
-        )
-        _audit("decontaminated", cur)
-    if cfg.get("dedup", True):
-        cur = dedup_corpus(
-            cur,
-            threshold=cfg["dedup_threshold"],
-            quality_col=cfg.get("keep_quality_col"),
-            col=col,
-            id_col=id_col,
-        )
-        _audit("deduped_within_batch", cur)
-        pool_hash = pool.where(F.col(col).isNotNull()).select(
-            F.sha2(normalize_text(col), 256).alias("__h")
-        )
-        cur = (
-            cur.withColumn("__h", F.sha2(normalize_text(col), 256))
-            .join(pool_hash, "__h", "left_anti")
-            .drop("__h")
-        )
-        _audit("cross_exact", cur)
-        cross = minhash_lsh_probe(
-            cur,
-            pool,
-            index=None,
-            threshold=cfg["dedup_threshold"],
-            col=col,
-            id_col=id_col,
-        )
-        pool_ids = pool.select(F.col(id_col).alias("__ex"))
-        losers = (
-            cross.join(pool_ids, cross["doc_b"] == F.col("__ex"), "left_semi")
-            .select(F.col("doc_a").alias(id_col))
-            .distinct()
-        )
-        cur = cur.join(losers, id_col, "left_anti")
-        _audit("cross_neardup", cur)
+    cur = _batch_recipe(
+        new_docs, pool, cfg, benchmark, col, id_col, index, _audit
+    )
 
     # pool append FIRST (see crash-safety note above), then re-derive
     # the kept set from the re-read pool files
@@ -947,29 +945,11 @@ def _extend_mixture(
         num_shards=manifest["num_shards"],
         shard_col="shard",
     )
-    data_path = f"{base}/data"
-    _swap_staged(spark, data_path, out, partition_by=["shard"])
-
-    prev_rows = manifest["rows"]
-    per_shard, shingleable, canaries = _written_shard_stats(
-        spark, data_path, out.schema, _n_tokens(col).cast("long"),
-        shingle_col=col, id_col=id_col,
-    )
-    manifest["shingleable"] = shingleable
-    manifest.pop("canary_ids", None)
-    if canaries is not None and _json_safe_ids(canaries):
-        manifest["canary_ids"] = canaries
-    manifest["shards"] = per_shard
-    manifest["rows"] = sum(s["rows"] for s in per_shard.values())
-    manifest["tokens"] = sum(s["tokens"] for s in per_shard.values())
-    manifest["epochs"] = int(manifest.get("epochs", 1)) + 1
-    manifest["appended_rows"] = manifest["rows"] - prev_rows
+    _swap_staged(spark, f"{base}/data", out, partition_by=["shard"])
     cfg["solved_mixture_rates"] = rates or None
-    manifest.pop("stage_rows", None)
-    if audit:
-        manifest["stage_rows"] = dict(stages)
-    _replace_manifest(spark, f"{base}/manifest.json", manifest)
-    return manifest
+    return _refresh_manifest_stats(
+        spark, manifest, base, out.schema, col, id_col, audit, stages
+    )
 
 
 def read_training_set(

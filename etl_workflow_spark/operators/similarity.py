@@ -1070,13 +1070,27 @@ def _bound_cell_sizes(
     that shape dominates.
     """
     cur = with_cell.withColumn(cell_col, F.col(cell_col).cast("string"))
+    prev_over: list | None = None
     for _ in range(int(max_depth)):
+        # pin each level: sizes, the oversized/rest split, and the
+        # next level's scan all re-reference cur — without the
+        # checkpoint every depth re-executes all prior joins/unions
+        cur = cur.localCheckpoint(eager=True)
         sizes = cur.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n"))
         over_rows = sizes.where(
             F.col("n") > F.lit(int(max_cell_size))
         ).collect()
         if not over_rows:
             break
+        cur_over = sorted((r[cell_col], r["n"]) for r in over_rows)
+        if cur_over == prev_over:
+            # fixed point: the previous level split NOTHING (identical
+            # vectors, or each oversized cell captured exactly one
+            # sub-centroid) — re-running the same deterministic
+            # k-means would burn max_depth identical passes for the
+            # same non-split
+            break
+        prev_over = cur_over
         over = [r[cell_col] for r in over_rows]
         n_over = sum(r["n"] for r in over_rows)
         k2 = max(2, min(-(-n_over // max(int(max_cell_size) // 2, 1)), 256))

@@ -342,7 +342,9 @@ def test_extend_training_set_guards(spark, tmp_path, base_docs):
         mixture={"web": 0.5, "code": 0.5}, strata_col="source",
         num_shards=2,
     )
-    with pytest.raises(ValueError, match="premix pool"):
+    # a prebuilt index is accepted but guarded against the POOL: an
+    # empty index over a non-empty pool is stale and refused
+    with pytest.raises(ValueError, match="stale or mis-parameterized"):
         C.extend_training_set(
             spark, _docs(spark, [(40, T6, "web")]), mixed,
             index=spark.createDataFrame(
@@ -670,6 +672,19 @@ def test_extend_mixture_equals_fresh_build_on_union(
     assert rates_before["web"] < 1.0
     assert ma["config"]["solved_mixture_rates"]["web"] == 1.0
     assert m["rows"] == mb["rows"] and m["tokens"] == mb["tokens"]
+    # prebuilt POOL index path: same result, no per-call pool
+    # re-shingling (the guard validates the index against the pool)
+    from etl_workflow_spark.operators.dedup import build_lsh_index
+
+    c = str(tmp_path / "c")
+    C.materialize_training_set(spark, base_docs, c, **kwargs)
+    pool = spark.read.parquet(f"{c}/premix")
+    idx = build_lsh_index(pool)
+    C.extend_training_set(spark, batch, c, benchmark=holdout, index=idx)
+    dc, _ = C.read_training_set(spark, c, ordered=True)
+    assert [tuple(r) for r in dc.collect()] == [
+        tuple(r) for r in da.collect()
+    ]
 
 
 def test_extend_mixture_idempotent_rerun(spark, tmp_path, base_docs):
