@@ -86,3 +86,29 @@ def test_txn_mutations_and_span_dedup_under_ansi(ansi, sf_dir, tmp_path):
     assert (deleted, inserted) == (1, 1)
     got = sorted((r.id, r.v) for r in txn.txn_read(ansi, path).collect())
     assert got == [(1, 10), (9, 9)]
+
+
+def test_r9_surface_under_ansi(ansi, sf_dir):
+    """Round-9 surface under ANSI: the PQ tier (int16 codes, bigint
+    accumulation in the int8 oracle twin's Spark side, window cuts)
+    and byte-fallback BPE encode/decode must not rely on silent
+    overflow/coercion."""
+    from etl_workflow_spark.operators import similarity as S
+    from etl_workflow_spark.operators import text as T
+
+    emb = table(ansi, sf_dir, "embeddings")
+    q = emb.where("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+    model = S.pq_fit(emb, n_cells=4, m_sub=8, ksub=16)
+    idx = S.pq_index(emb, model)
+    assert S.pq_topk(idx, q, model, emb, k=3).count() == 6
+    assert S.pq_topk(idx, q, model, emb, k=3, n_probe=2).count() > 0
+
+    docs = table(ansi, sf_dir, "documents").select("doc_id", "text").limit(20)
+    bpe = T.train_bpe(
+        docs, num_merges=20, lowercase=False, byte_fallback=True,
+        min_pair_count=1,
+    )
+    out = T.bpe_decode(T.bpe_encode(docs, bpe), bpe)
+    assert out.where(
+        F.col("text_decoded") != F.col("text")
+    ).count() == 0

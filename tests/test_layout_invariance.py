@@ -170,6 +170,18 @@ OPERATORS = {
             "etl_workflow_spark.operators.text", fromlist=["train_bpe"]
         ).train_bpe(docs, num_merges=50),
     ),
+    # pq_index under a FIXED model (trained from the fresh, canonical
+    # layout both times — pq_fit itself samples per-layout, same
+    # documented caveat as kmeans): encoding is row-local and must not
+    # depend on partitioning
+    "pq_index": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.similarity", fromlist=["pq_index"]
+    ).pq_index(
+        emb,
+        __import__(
+            "etl_workflow_spark.operators.similarity", fromlist=["pq_fit"]
+        ).pq_fit(_emb(s, d), n_cells=4, m_sub=8, ksub=16),
+    ),
 }
 
 

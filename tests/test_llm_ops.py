@@ -379,6 +379,36 @@ def test_pq_topk_refuses_stale_index(spark, sf_dir, tmp_path):
         S.quantized_topk_oracle(rerank_factor=1)
 
 
+def test_pq_index_appends_incrementally(spark, sf_dir, tmp_path):
+    """Daily-ingest shape: a new batch is encoded under the SAME model
+    and appended to the index parquet — the corpus is never
+    re-encoded, the model fingerprint survives the mixed-file read,
+    and probes see the appended vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where("vec_id < 400")
+    batch = emb.where("vec_id >= 400")
+    model = S.pq_fit(old, n_cells=8, m_sub=8, ksub=64)
+    path = str(tmp_path / "pqidx")
+    S.pq_index(old, model).write.parquet(path)
+    S.pq_index(batch, model).write.mode("append").parquet(path)
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    # full-corpus parity: appending batch encodings == encoding the
+    # union in one pass (row-local, model-determined)
+    a = sorted((r["vec_id"], r["cell"], tuple(r["codes"]))
+               for r in idx.collect())
+    b = sorted((r["vec_id"], r["cell"], tuple(r["codes"]))
+               for r in S.pq_index(emb, model).collect())
+    assert a == b
+    # a probe over the combined index can return appended neighbors
+    q = emb.where("vec_id in (5, 17)").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    got = S.pq_topk(idx, q, model, emb, k=10, rerank_factor=8).collect()
+    assert {r["query_id"] for r in got} == {5, 17}
+    assert any(r["neighbor_id"] >= 400 for r in got)
+
+
 def test_pq_probed_mode_on_clustered_corpus(spark, sf_dir):
     """IVF mode (n_probe cells per query) is for CLUSTERED corpora:
     on a label-shifted variant of the testdata (same derivation as

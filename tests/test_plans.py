@@ -468,3 +468,25 @@ def test_neardup_verify_scores_once(spark, sf_dir):
     assert plans.count_python_evals(
         embedding_neardup_lsh(emb, threshold=0.4)
     ) == 3
+
+
+def test_pq_topk_python_evals_bounded(spark, sf_dir):
+    """pq_topk plans exactly ONE Arrow eval in flat mode (the ADC
+    scorer) and TWO in probe mode (+query probe-cells), plus the
+    single mapInPandas encode pass — no eval duplicated by an
+    inferred explode pre-filter or per-field struct reference; the
+    exact re-rank cosine stays codegen."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.similarity import (
+        pq_fit, pq_index, pq_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    model = pq_fit(emb, n_cells=4, m_sub=8, ksub=16)
+    idx = pq_index(emb, model)
+    assert plans.physical_plan(idx).count("MapInPandas") == 1
+    flat = pq_topk(idx, q, model, emb, k=3)
+    assert plans.count_python_evals(flat) == 1
+    probed = pq_topk(idx, q, model, emb, k=3, n_probe=2)
+    assert plans.count_python_evals(probed) == 2

@@ -547,8 +547,59 @@ def extend_cost(sf_dir: str, ks: list[int]) -> None:
                 "sec": round(best, 2),
             }), flush=True)
         idx.unpersist()
+
+        # mixture recipe (r9): pool-backed extension. The claim under
+        # measurement is different from the plain path's flat curve —
+        # extension pays batch-sized recipe work PLUS an O(pool)
+        # hash-filter + shuffle rewrite of the kept set, but never the
+        # corpus-sized pairing dedup a re-materialization re-runs; a
+        # prebuilt POOL index additionally removes the per-call pool
+        # re-shingling.
+        mbase = tempfile.mkdtemp(prefix=f"extend-mix-k{k}-")
+        mix = {"src3": 0.5, "src7": 0.5}
+        mm0 = C.materialize_training_set(
+            spark, docs, mbase + "/t", num_shards=8,
+            mixture=mix, strata_col="source",
+        )
+        mix_rows = mm0["rows"]
+        pool_idx = D.build_lsh_index(
+            spark.read.parquet(mbase + "/t/premix")
+        ).persist()
+        pool_idx.count()
+        mbatch = batch.where(F.col("source").isin(list(mix)))
+        for mode in ("mix_rematerialize", "mix_pool_index",
+                     "mix_no_index"):
+            best = best_m = None
+            for _ in range(2):
+                out2 = tempfile.mkdtemp(prefix=f"extend-{mode}-k{k}-")
+                if mode != "mix_rematerialize":
+                    shutil.copytree(mbase + "/t", out2 + "/t")
+                t0 = time.time()
+                if mode == "mix_rematerialize":
+                    m = C.materialize_training_set(
+                        spark, docs.unionByName(mbatch), out2 + "/t",
+                        num_shards=8, mixture=mix, strata_col="source",
+                    )
+                else:
+                    m = C.extend_training_set(
+                        spark, mbatch, out2 + "/t",
+                        index=pool_idx if mode == "mix_pool_index"
+                        else None,
+                    )
+                sec = time.time() - t0
+                if best is None or sec < best:
+                    best, best_m = sec, m
+                shutil.rmtree(out2, ignore_errors=True)
+            print(json.dumps({
+                "op": "extend_training_set", "k": k, "mode": mode,
+                "rows_total": best_m["rows"],
+                "rows_new": best_m["rows"] - mix_rows,
+                "sec": round(best, 2),
+            }), flush=True)
+        pool_idx.unpersist()
         docs.unpersist()
         shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(mbase, ignore_errors=True)
     batch.unpersist()
     spark.stop()
 
