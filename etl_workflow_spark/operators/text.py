@@ -1542,37 +1542,25 @@ def bpe_encode(
     rebuild documents: strictly worse than shuffle-free encode.)
     """
     ret = "array<int>" if ids else "array<string>"
+    tables = _bpe_encoder_tables(model, ids)
 
     @F.pandas_udf(ret)
     def enc(texts: pd.Series) -> pd.Series:
-        # the encoder closure is built per Arrow BATCH so the word
-        # memo stays batch-bounded — a worker-lifetime memo would grow
-        # with the corpus vocabulary
-        one_doc = _make_bpe_encoder(model, ids=ids)
+        # tables built once driver-side and shipped in the closure;
+        # the encoder is re-made per Arrow BATCH only so the word
+        # memo stays batch-bounded — a worker-lifetime memo would
+        # grow with the corpus vocabulary
+        one_doc = _make_bpe_encoder(model, ids=ids, tables=tables)
         return texts.map(one_doc)
 
     return df.withColumn(out_col, enc(F.col(col)))
 
 
-def _make_bpe_encoder(model: dict, ids: bool = False):
-    """The pure per-document encoder behind :func:`bpe_encode` —
-    module-level so the round-trip property tests drive EXACTLY the
-    code the Arrow UDF runs. Returns ``one_doc(text) -> list``.
-
-    Whitespace: ``re.ASCII`` makes ``\\s`` the Java-regex class
-    Spark's ``tokens()`` splits on ([ \\t\\n\\x0b\\f\\r]) — Python's
-    default Unicode ``\\s`` (and ``str.split()``) would additionally
-    split on NBSP/thin-space/U+2028, silently diverging from the
-    training segmentation on web text.
-
-    Byte-fallback models additionally (a) decompose any symbol outside
-    the vocabulary into its UTF-8 byte tokens and (b) encode the
-    whitespace runs BETWEEN words as byte tokens — so every input is
-    representable and ``decode_bpe_tokens`` round-trips the exact
-    input string (modulo the model's lowercase normalization).
-    """
-    import re
-
+def _bpe_encoder_tables(model: dict, ids: bool = False) -> tuple:
+    """The model's lookup tables, built ONCE (driver side, captured in
+    the UDF closure) — rebuilding the ranks/symbol dicts per Arrow
+    batch would pay tens of millions of dict inserts on a large-model
+    encode; only the word memo is per-batch state."""
     ranks = {
         (left, right): r for r, (left, right) in enumerate(model["merges"])
     }
@@ -1583,12 +1571,50 @@ def _make_bpe_encoder(model: dict, ids: bool = False):
         {s: i for i, s in enumerate(model["symbols"])} if ids else None
     )
     oov = len(model["symbols"])
+    return ranks, lowercase, fallback, known, sym_ids, oov
+
+
+def _make_bpe_encoder(model: dict, ids: bool = False, tables=None):
+    """The pure per-document encoder behind :func:`bpe_encode` —
+    module-level so the round-trip property tests drive EXACTLY the
+    code the Arrow UDF runs. Returns ``one_doc(text) -> list``; each
+    call starts a fresh word memo (per-batch cache bound), reusing
+    prebuilt ``tables`` when given.
+
+    Whitespace: ``re.ASCII`` makes ``\\s`` the Java-regex class
+    Spark's ``tokens()`` splits on ([ \\t\\n\\x0b\\f\\r]) — Python's
+    default Unicode ``\\s`` (and ``str.split()``) would additionally
+    split on NBSP/thin-space/U+2028, silently diverging from the
+    training segmentation on web text.
+
+    Byte-fallback models additionally (a) decompose any symbol outside
+    the vocabulary — including lone surrogates (``surrogatepass``) —
+    into its UTF-8 byte tokens, (b) encode the whitespace runs BETWEEN
+    words as byte tokens, and (c) byte-expand a segmented symbol that
+    COLLIDES with a reserved ``<0xNN>`` piece (a corpus that literally
+    learned '<0x41>' would otherwise decode it as byte 0x41) — so
+    every input is representable and ``decode_bpe_tokens`` round-trips
+    the exact input string (modulo the model's lowercase
+    normalization). Cost note for the ``chunk_pack`` path: each word
+    boundary costs one ``<0x20>`` token, so fallback id sequences run
+    ~one token per word longer than plain-model ones, and whitespace
+    never participates in merges (unlike GPT-2's byte-level pretokens,
+    which fold the leading space into word pieces).
+    """
+    import re
+
+    ranks, lowercase, fallback, known, sym_ids, oov = (
+        tables if tables is not None else _bpe_encoder_tables(model, ids)
+    )
     ws = re.compile(r"\s+", re.ASCII)
     ws_capture = re.compile(r"(\s+)", re.ASCII)
     memo: dict[str, list] = {}
 
     def byte_toks(s: str) -> list:
-        toks = [_BYTE_TOKENS[b] for b in s.encode("utf-8")]
+        toks = [
+            _BYTE_TOKENS[b]
+            for b in s.encode("utf-8", errors="surrogatepass")
+        ]
         if sym_ids is not None:
             return [sym_ids[t] for t in toks]
         return toks
@@ -1600,7 +1626,10 @@ def _make_bpe_encoder(model: dict, ids: bool = False):
             if fallback:
                 got = []
                 for s in segs:
-                    if s in known:
+                    # a learned symbol equal to a reserved byte piece
+                    # byte-expands like an unknown symbol: emitting it
+                    # literally would make decode read it as a byte
+                    if s in known and s not in _BYTE_SET:
                         got.append(sym_ids[s] if sym_ids is not None else s)
                     else:
                         got.extend(byte_toks(s))
@@ -1643,27 +1672,42 @@ def decode_bpe_tokens(tokens, model: dict, ids: bool = False) -> str | None:
     not encoded, so words come back concatenated (documented lossy
     path) and the reserved OOV id decodes to U+FFFD.
 
-    Reserved-piece caveat (shared with SentencePiece): a corpus that
-    literally contains ``<0xNN>`` as learned text decodes those
-    symbols as bytes."""
+    Reserved byte pieces only ever arrive from the byte-fallback
+    encoder (a LEARNED symbol colliding with ``<0xNN>`` is
+    byte-expanded at encode time, never emitted literally), so
+    treating them as bytes here is unambiguous. NULL elements inside
+    a token array (ids or symbols) decode to U+FFFD instead of
+    crashing the batch; byte runs decode with ``surrogatepass`` so
+    lone-surrogate inputs round-trip too, falling back to
+    replacement characters for byte sequences that are not UTF-8 at
+    all (hand-corrupted ids)."""
     if tokens is None:
         return None
     syms = model["symbols"]
     fallback = bool(model.get("byte_fallback", False))
+
+    def flush(buf: bytearray) -> str:
+        try:
+            return bytes(buf).decode("utf-8", errors="surrogatepass")
+        except UnicodeDecodeError:
+            return bytes(buf).decode("utf-8", errors="replace")
+
     out: list[str] = []
     buf = bytearray()
     for t in tokens:
-        if ids:
+        if t is None:
+            t = "�"
+        elif ids:
             t = syms[t] if 0 <= int(t) < len(syms) else "�"
         if fallback and t in _BYTE_SET:
             buf.append(int(t[3:5], 16))
             continue
         if buf:
-            out.append(bytes(buf).decode("utf-8", errors="replace"))
+            out.append(flush(buf))
             buf.clear()
         out.append(t)
     if buf:
-        out.append(bytes(buf).decode("utf-8", errors="replace"))
+        out.append(flush(buf))
     return "".join(out)
 
 

@@ -671,6 +671,37 @@ def test_byte_fallback_bpe_spark_round_trip(spark, sf_dir):
     assert got[9004] == "  leading and trailing  "
 
 
+def test_byte_fallback_bpe_edge_inputs():
+    """Review hardening: (a) a LEARNED symbol colliding with a
+    reserved <0xNN> piece byte-expands at encode time, so literal
+    '<0x41>' text round-trips instead of decoding to 'A'; (b) lone
+    surrogates encode via surrogatepass and round-trip instead of
+    crashing the Arrow batch; (c) NULL elements inside a token array
+    decode to U+FFFD instead of raising."""
+    from etl_workflow_spark.operators.text import (
+        _make_bpe_encoder, decode_bpe_tokens, learn_bpe,
+    )
+
+    # learn '<0x41>' as a real symbol from a hexdump-ish corpus
+    model = learn_bpe(
+        [("<0x41>", 50), ("x41", 5)], num_merges=10, lowercase=False,
+        min_pair_count=1, byte_fallback=True,
+    )
+    assert "<0x41>" in model["symbols"]
+    for text in ("<0x41> A", "A <0x41> <0x42>"):
+        toks = _make_bpe_encoder(model)(text)
+        assert decode_bpe_tokens(toks, model) == text
+        ids = _make_bpe_encoder(model, ids=True)(text)
+        assert decode_bpe_tokens(ids, model, ids=True) == text
+    # lone surrogate: no UnicodeEncodeError, exact round-trip
+    weird = "\ud800x \udfffy"
+    toks = _make_bpe_encoder(model)(weird)
+    assert decode_bpe_tokens(toks, model) == weird
+    # NULL elements inside an array decode to U+FFFD, never raise
+    assert decode_bpe_tokens(["x", None, "y"], model) == "x�y"
+    assert "�" in decode_bpe_tokens([0, None], model, ids=True)
+
+
 def test_learn_bpe_folds_case_when_lowercasing(spark):
     model = T.learn_bpe([("Low", 5), ("LOW", 3), ("lower", 1)],
                         num_merges=3, min_pair_count=1)
