@@ -1044,6 +1044,95 @@ def stream_vocab_rollup(
     )
 
 
+# ------------------------------------------------------ PQ index store
+
+
+def pq_index_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode one micro-batch of embeddings under a FIXED
+    :func:`~etl_workflow_spark.operators.similarity.pq_fit` model and
+    land its code rows in the index store EXACTLY-ONCE: fragments live
+    under ``batch_id=…`` partitions, so a replayed batch
+    dynamic-overwrites exactly what it wrote the first time (the
+    vocabulary-store contract). The model fingerprint travels as a
+    constant RLE ``model_id`` COLUMN — per-row, not only footer
+    metadata, so a store whose fragments were encoded under DIFFERENT
+    models is detectable even though a multi-file read surfaces just
+    one footer's metadata (the vocab-store mixed-fragment lesson,
+    applied from day one).
+
+    The point at 100 TB: the corpus is encoded once per vector at
+    ingest; ANN queries read the small code store
+    (:func:`read_pq_index` → ``pq_topk``), never re-encoding history.
+    """
+    from ..operators.similarity import pq_index
+
+    codes = (
+        pq_index(batch_df, model, id_col=id_col, vec_col=vec_col)
+        .withColumn("model_id", F.lit(str(model.get("model_id", ""))))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        codes.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+
+
+def stream_pq_index(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    model: dict,
+    **kwargs,
+):
+    """Continuous PQ-index maintenance: each micro-batch encodes and
+    lands its fragments (:func:`pq_index_batch`); ANN queries read the
+    store, never the stream's history. Returns a writeStream builder
+    (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        pq_index_batch(batch_df, index_path, batch_id, model, **kwargs)
+
+    return (
+        emb_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_pq_index(
+    spark: SparkSession, index_path: str, model: dict | None = None
+) -> DataFrame:
+    """The store's current code table, shaped for
+    :func:`~etl_workflow_spark.operators.similarity.pq_topk` (id,
+    cell, codes). With ``model`` given, the per-row ``model_id``
+    column is checked FIRST — fragments encoded under a different or
+    mixed model are refused (stale codes stay in-range for any
+    same-shape model, so they would silently score garbage); the
+    check is a column-pruned scan of one constant RLE column."""
+    idx = spark.read.parquet(index_path)
+    if model is not None:
+        want = str(model.get("model_id", ""))
+        got = sorted(
+            str(r[0]) for r in idx.select("model_id").distinct().collect()
+        )
+        if got != [want]:
+            raise ValueError(
+                f"pq index at {index_path} was encoded under model(s) "
+                f"{got}, but the given model is {want!r} — re-encode "
+                "the stale fragments (or pass the matching model)"
+            )
+    return idx.drop("model_id", "batch_id")
+
+
 #: The vocabulary store's full schema, applied explicitly on every
 #: read: without it a store mixing pre-flag and flagged fragments is
 #: read under ONE parquet footer's schema — the flag column is either

@@ -747,3 +747,83 @@ def test_vocab_store_guard_in_read_path_and_preflag_fallback(
     model = inc.train_bpe_from_store(spark, old, num_merges=2,
                                      min_pair_count=1)
     assert model["lowercase"] is True and model["merges"]
+
+
+# ---------------------------------------------------- PQ index store
+
+
+def test_pq_index_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """Fragments merge to exactly the one-pass encode of the full
+    corpus; a replayed batch overwrites its own partition; fragments
+    encoded under a different model are refused via the per-row
+    model_id column (the vocab-store mixed-fragment lesson)."""
+    import pytest
+
+    from etl_workflow_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = emb.where("vec_id < 250")
+    b2 = emb.where("vec_id >= 250")
+    model = S.pq_fit(emb, n_cells=8, m_sub=8, ksub=32)
+    store = str(tmp_path / "pqstore")
+    inc.pq_index_batch(b1, store, 0, model)
+    inc.pq_index_batch(b2, store, 1, model)
+    inc.pq_index_batch(b2, store, 1, model)  # replay: same partition
+    got = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in inc.read_pq_index(spark, store, model).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in S.pq_index(emb, model).collect()
+    )
+    assert got == want
+    # probes over the store equal probes over the one-pass index
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    a = sorted(map(tuple, S.pq_topk(
+        inc.read_pq_index(spark, store, model), q, model, emb, k=5
+    ).collect()))
+    b = sorted(map(tuple, S.pq_topk(
+        S.pq_index(emb, model), q, model, emb, k=5
+    ).collect()))
+    assert a == b
+    # a fragment encoded under a DIFFERENT model is refused on read
+    other = S.pq_fit(emb, n_cells=8, m_sub=8, ksub=32, seed=99)
+    inc.pq_index_batch(b1.limit(10), store, 2, other)
+    with pytest.raises(ValueError, match="encoded under model"):
+        inc.read_pq_index(spark, store, model)
+
+
+def test_stream_pq_index_end_to_end(spark, sf_dir, tmp_path):
+    """Real availableNow stream: per-file micro-batches encode into
+    the store; the merged index equals the batch build."""
+    from etl_workflow_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = S.pq_fit(emb, n_cells=8, m_sub=8, ksub=32)
+    src = str(tmp_path / "psrc")
+    store = str(tmp_path / "pstore")
+    ckpt = str(tmp_path / "pckpt")
+    emb.where("vec_id < 250").coalesce(1).write.parquet(src)
+    emb.where("vec_id >= 250").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, "
+                                "label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        inc.stream_pq_index(stream, store, ckpt, model)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    got = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in inc.read_pq_index(spark, store, model).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in S.pq_index(emb, model).collect()
+    )
+    assert got == want
