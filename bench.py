@@ -161,6 +161,9 @@ def main() -> None:
         # round-9: IVF-PQ flat-ADC top-k — fit + encode + code-column
         # scan + exact re-rank (the ~8%-of-bytes ANN tier)
         "pq_topk",
+        # round-9: unigram-LM tokenizer workflow — one vocab shuffle +
+        # driver Viterbi-EM (run-rarely) + shuffle-free Arrow encode
+        "unigram_tokenize",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -257,6 +260,13 @@ def main() -> None:
         "bpe_tokenize": lambda s, d: T.bpe_encode(
             table(s, d, "documents").select("doc_id", "text"),
             T.train_bpe(table(s, d, "documents"), num_merges=200),
+            ids=True,
+        ),
+        # train (vocab shuffle + driver Viterbi-EM) + encode — the
+        # unigram twin of bpe_tokenize
+        "unigram_tokenize": lambda s, d: T.unigram_encode(
+            table(s, d, "documents").select("doc_id", "text"),
+            T.train_unigram(table(s, d, "documents"), vocab_size=500),
             ids=True,
         ),
         # the whole IVF-PQ workflow: fit (driver k-means on a bounded

@@ -15,6 +15,8 @@ the correctness gate can hash-compare results.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1730,3 +1732,301 @@ def bpe_decode(
         )
 
     return df.withColumn(out_col, dec(F.col(col)))
+
+
+# ------------------------------------------------- unigram LM tokenizer
+
+
+def _viterbi_segment(
+    word: str, logp: dict, max_piece_len: int, unk: float
+) -> list[str]:
+    """Best segmentation of one word under a unigram piece model:
+    standard Viterbi DP over end positions, pieces bounded to
+    ``max_piece_len``. A character absent from the model segments as
+    itself under the ``unk`` penalty, so EVERY word is segmentable.
+    Ties resolve to the first-found (smallest start) candidate —
+    deterministic for a fixed model."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j != 1:
+                    continue
+                lp = unk
+            cand = best[j] + lp
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def learn_unigram(
+    words: list[tuple[str, int]],
+    vocab_size: int = 1000,
+    max_piece_len: int = 8,
+    prune_frac: float = 0.2,
+    em_iters: int = 2,
+    lowercase: bool = True,
+) -> dict:
+    """Driver-side unigram-LM trainer over an aggregated ``(word,
+    count)`` table (Kudo 2018, "Subword Regularization" — the
+    SentencePiece unigram algorithm; see :func:`train_unigram` for the
+    distributed half). Viterbi-EM simplification: the E-step uses hard
+    best-segmentation counts instead of full forward–backward
+    expectations — the documented common approximation; prune order
+    and the final model are deterministic.
+
+    Seeding: every substring up to ``max_piece_len`` of the word
+    table, frequency-weighted, capped at 4×``vocab_size`` multi-char
+    pieces (SentencePiece seeds from an ESA over sentences; the
+    word-table variant is the same idea over the bounded vocab).
+    Single characters are never pruned, so any training-alphabet word
+    stays segmentable; retained-but-unused characters get an additive
+    0.5-count floor instead of -inf.
+
+    Model: ``pieces`` (deterministic order — index = token id for
+    ``unigram_encode(ids=True)``, final id reserved for
+    unknown-character fallback), ``logprobs_e6`` (fixed-point micro
+    log-probs, JSON-stable), ``lowercase``, ``max_piece_len``.
+    """
+    import math
+
+    if lowercase:
+        folded: dict[str, int] = {}
+        for w, c in words:
+            lw = w.lower()
+            folded[lw] = folded.get(lw, 0) + int(c)
+        words = list(folded.items())
+
+    freq: dict[str, int] = {}
+    chars: set[str] = set()
+    for w, c in words:
+        for i in range(len(w)):
+            chars.add(w[i])
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                s = w[i : i + ln]
+                freq[s] = freq.get(s, 0) + int(c)
+    multi = sorted(
+        (s for s in freq if len(s) > 1), key=lambda s: (-freq[s], s)
+    )
+    target_multi = max(0, int(vocab_size) - len(chars))
+    pieces = sorted(chars) + multi[: max(target_multi * 4, target_multi)]
+    total = sum(freq[p] for p in pieces) or 1
+    logp = {p: math.log(freq[p] / total) for p in pieces}
+
+    def em(cur: dict, iters: int) -> tuple[dict, dict]:
+        counts: dict[str, float] = {}
+        for _ in range(max(1, iters)):
+            counts = {}
+            unk = min(cur.values(), default=0.0) - 10.0
+            for w, c in words:
+                for s in _viterbi_segment(w, cur, max_piece_len, unk):
+                    if s in cur:
+                        counts[s] = counts.get(s, 0.0) + c
+            # chars are never dropped; unused ones keep a 0.5 floor
+            for ch in chars:
+                counts[ch] = counts.get(ch, 0.0) or 0.5
+            tot = sum(counts.values()) or 1.0
+            cur = {
+                p: math.log(counts[p] / tot)
+                for p in cur
+                if counts.get(p) or len(p) == 1
+            }
+        return cur, counts
+
+    logp, counts = em(logp, em_iters)
+    while True:
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        if n_multi <= target_multi:
+            break
+        excess = n_multi - target_multi
+        drop_n = min(excess, max(1, int(n_multi * prune_frac)))
+        victims = sorted(
+            (p for p in logp if len(p) > 1),
+            key=lambda p: (counts.get(p, 0.0), p),
+        )[:drop_n]
+        for p in victims:
+            del logp[p]
+        logp, counts = em(logp, em_iters)
+    order = sorted(logp, key=lambda p: (-counts.get(p, 0.0), p))
+    return {
+        "format": "spark-graft-unigram/v1",
+        "pieces": order,
+        "logprobs_e6": [int(math.floor(logp[p] * 1e6)) for p in order],
+        "lowercase": bool(lowercase),
+        "max_piece_len": int(max_piece_len),
+    }
+
+
+def train_unigram(
+    df: DataFrame,
+    col: str = "text",
+    vocab_size: int = 1000,
+    lowercase: bool = True,
+    min_count: int = 1,
+    max_words: int = 1_000_000,
+    max_piece_len: int = 8,
+    prune_frac: float = 0.2,
+    em_iters: int = 2,
+) -> dict:
+    """Unigram-LM tokenizer over a corpus — the same published
+    two-phase split as :func:`train_bpe`: Spark does the ONE
+    corpus-sized pass (:func:`vocab_counts`' combiner shuffle down to
+    a bounded ``(word, count)`` table), and the seed/EM/prune loop
+    (:func:`learn_unigram`) iterates driver-side over that table,
+    never touching the corpus again. The BPE/unigram pair covers both
+    halves of standard tokenizer practice (SentencePiece ships
+    exactly these two trainers)."""
+    vocab = vocab_counts(
+        df, col=col, lowercase=lowercase, min_count=min_count,
+        top_k=int(max_words),
+    )
+    words = [(r["token"], int(r["count"])) for r in vocab.collect()]
+    return learn_unigram(
+        words, vocab_size=vocab_size, max_piece_len=max_piece_len,
+        prune_frac=prune_frac, em_iters=em_iters, lowercase=lowercase,
+    )
+
+
+def _unigram_tables(model: dict) -> tuple:
+    logp = {
+        p: lp / 1e6
+        for p, lp in zip(model["pieces"], model["logprobs_e6"])
+    }
+    unk = min(logp.values(), default=0.0) - 10.0
+    sym_ids = {p: i for i, p in enumerate(model["pieces"])}
+    return (
+        logp, unk, sym_ids, len(model["pieces"]),
+        bool(model.get("lowercase", True)),
+        int(model.get("max_piece_len", 8)),
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: dict,
+    col: str = "text",
+    out_col: str = "unigram_tokens",
+    ids: bool = False,
+) -> DataFrame:
+    """Tokenize a corpus with a :func:`train_unigram` model: Viterbi
+    best segmentation per word, shuffle-free Arrow pass with a
+    per-batch word memo — the exact execution shape of
+    :func:`bpe_encode` (same ASCII whitespace contract, same NULL
+    preservation; unknown characters map to the reserved id
+    ``len(pieces)`` under ``ids=True``)."""
+    tables = _unigram_tables(model)
+    ret = "array<int>" if ids else "array<string>"
+
+    @F.pandas_udf(ret)
+    def enc(texts: pd.Series) -> pd.Series:
+        import re
+
+        logp, unk, sym_ids, oov, lowercase, max_len = tables
+        ws = re.compile(r"\s+", re.ASCII)
+        memo: dict[str, list] = {}
+
+        def one_word(w: str) -> list:
+            got = memo.get(w)
+            if got is None:
+                got = _viterbi_segment(
+                    w.lower() if lowercase else w, logp, max_len, unk
+                )
+                if ids:
+                    got = [sym_ids.get(s, oov) for s in got]
+                memo[w] = got
+            return got
+
+        def one_doc(t):
+            if t is None:
+                return None
+            out: list = []
+            for w in ws.split(t):
+                if w:
+                    out.extend(one_word(w))
+            return out
+
+        return texts.map(one_doc)
+
+    return df.withColumn(out_col, enc(F.col(col)))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    model: dict,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean piece log-probability under the trained
+    unigram LM — the tokenizer-native cousin of the CCNet
+    perplexity filter (:func:`ngram_lm_score` is the reference-corpus
+    n-gram variant): fluent in-domain text segments into frequent
+    pieces (high mean log-prob); gibberish decomposes into rare
+    pieces and unknown-character fallbacks. Returns ``(id_col,
+    n_pieces, avg_logprob_e6)`` — NULL text scores NULL, empty text
+    scores (0, NULL). One narrow mapInPandas pass, no shuffle, no
+    per-field struct re-evaluation."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tables = _unigram_tables(model)
+    in_schema = df.select(id_col, col).schema
+    out_schema = StructType([
+        in_schema[0],
+        StructField("n_pieces", LongType()),
+        StructField("avg_logprob_e6", LongType()),
+    ])
+
+    def score(batches):
+        import re
+
+        logp, unk, _sym, _oov, lowercase, max_len = tables
+        ws = re.compile(r"\s+", re.ASCII)
+        memo: dict[str, tuple] = {}
+
+        def word_stats(w: str):
+            got = memo.get(w)
+            if got is None:
+                segs = _viterbi_segment(
+                    w.lower() if lowercase else w, logp, max_len, unk
+                )
+                got = (len(segs), sum(logp.get(s, unk) for s in segs))
+                memo[w] = got
+            return got
+
+        for pdf in batches:
+            ids_out, n_out, avg_out = [], [], []
+            for rid, t in zip(pdf[id_col], pdf[col]):
+                ids_out.append(rid)
+                if t is None:
+                    n_out.append(None)
+                    avg_out.append(None)
+                    continue
+                n = 0
+                s = 0.0
+                for w in ws.split(t):
+                    if w:
+                        wn, wsum = word_stats(w)
+                        n += wn
+                        s += wsum
+                n_out.append(n)
+                avg_out.append(
+                    int(math.floor(s / n * 1e6)) if n else None
+                )
+            yield pd.DataFrame({
+                id_col: ids_out,
+                "n_pieces": pd.array(n_out, dtype="Int64"),
+                "avg_logprob_e6": pd.array(avg_out, dtype="Int64"),
+            })
+
+    return df.select(id_col, col).mapInPandas(score, out_schema)

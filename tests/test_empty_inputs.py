@@ -154,3 +154,17 @@ def test_round8s4_ops_on_empty_corpus(spark, empty_docs):
     assert out.count() == 0 and "bpe_tokens" in out.columns
     # empty corpus trains an empty model end-to-end
     assert T.train_bpe(empty_docs, num_merges=5)["merges"] == []
+
+
+def test_unigram_ops_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import text as T
+
+    model = T.train_unigram(empty_docs, vocab_size=8)
+    assert model["pieces"] == []
+    assert T.unigram_encode(empty_docs, model).count() == 0
+    assert T.unigram_logprob(empty_docs, model).count() == 0
+    # an empty model still encodes live docs (every char is the
+    # reserved unknown id)
+    live = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    row = T.unigram_encode(live, model, ids=True).collect()[0]
+    assert row["unigram_tokens"] == [0, 0]

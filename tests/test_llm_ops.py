@@ -711,3 +711,128 @@ def test_learn_bpe_folds_case_when_lowercasing(spark):
     df = _docs(spark, [(1, "LOW Low low")])
     rows = T.bpe_encode(df, model).first()["bpe_tokens"]
     assert rows == ["low", "low", "low"]
+
+
+# ------------------------------------------------- unigram tokenizer
+
+
+def test_viterbi_matches_bruteforce_oracle():
+    """Viterbi DP == exhaustive best-segmentation enumeration (the
+    independent oracle) for every word over a small random model."""
+    import itertools
+    import random
+
+    from etl_workflow_spark.operators.text import _viterbi_segment
+
+    rnd = random.Random(5)
+    pieces = ["a", "b", "c", "ab", "bc", "abc", "cab", "bb"]
+    logp = {p: -rnd.uniform(0.5, 6.0) for p in pieces}
+    unk = min(logp.values()) - 10.0
+
+    def brute(word):
+        best, best_score = None, float("-inf")
+        n = len(word)
+        for cuts in itertools.product([0, 1], repeat=max(0, n - 1)):
+            segs, start = [], 0
+            for i, cut in enumerate(cuts, 1):
+                if cut:
+                    segs.append(word[start:i])
+                    start = i
+            segs.append(word[start:])
+            try:
+                score = sum(
+                    logp[s] if s in logp
+                    else (unk if len(s) == 1 else float("-inf"))
+                    for s in segs
+                )
+            except KeyError:
+                continue
+            if score > best_score:
+                best, best_score = segs, score
+        return best, best_score
+
+    for _ in range(300):
+        w = "".join(rnd.choice("abcx") for _ in range(rnd.randint(1, 7)))
+        got = _viterbi_segment(w, logp, 8, unk)
+        _, want_score = brute(w)
+        got_score = sum(logp.get(s, unk) for s in got)
+        assert "".join(got) == w
+        assert abs(got_score - want_score) < 1e-9, (w, got)
+
+
+def test_learn_unigram_model_contracts():
+    import math
+
+    from etl_workflow_spark.operators.text import learn_unigram
+
+    words = [("hello", 30), ("help", 20), ("world", 25), ("word", 10),
+             ("low", 5), ("lowest", 3)]
+    m = learn_unigram(words, vocab_size=15, lowercase=False)
+    # normalized distribution, deterministic rerun
+    assert abs(sum(math.exp(lp / 1e6) for lp in m["logprobs_e6"]) - 1) < 1e-3
+    assert m == learn_unigram(words, vocab_size=15, lowercase=False)
+    # every training character survives pruning; vocab bound respected
+    chars = {ch for w, _ in words for ch in w}
+    assert chars <= set(m["pieces"])
+    assert sum(1 for p in m["pieces"] if len(p) > 1) <= 15 - len(chars)
+    # case folding mirrors vocab_counts
+    ml = learn_unigram([("Low", 5), ("LOW", 3)], vocab_size=8)
+    assert all(p == p.lower() for p in ml["pieces"])
+    # empty table -> empty model
+    assert learn_unigram([], vocab_size=4)["pieces"] == []
+
+
+def test_unigram_encode_and_logprob_spark(spark, sf_dir):
+    """Spark encode == the driver-side Viterbi the model was trained
+    with; ids reserve len(pieces) for unknown chars; unigram_logprob
+    equals the hand-computed mean piece log-prob."""
+    import math
+
+    from etl_workflow_spark.operators.text import (
+        _unigram_tables, _viterbi_segment, train_unigram,
+        unigram_encode, unigram_logprob,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(30)
+    )
+    crafted = spark.createDataFrame(
+        [(9001, "héllo wörld ñ"), (9002, None), (9003, "  ")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(crafted)
+    model = train_unigram(df, vocab_size=200)
+    logp, unk, sym_ids, oov, lowercase, max_len = _unigram_tables(model)
+    rows = {r["doc_id"]: r for r in unigram_encode(df, model).collect()}
+    for r in df.collect():
+        did, text = r["doc_id"], r["text"]
+        if text is None:
+            assert rows[did]["unigram_tokens"] is None
+            continue
+        want = []
+        for w in text.split():
+            want.extend(_viterbi_segment(
+                w.lower() if lowercase else w, logp, max_len, unk
+            ))
+        got = rows[did]["unigram_tokens"]
+        # ASCII-ws split parity holds for these docs (no exotic ws)
+        assert got == want, did
+    ids_rows = {r["doc_id"]: r["unigram_tokens"]
+                for r in unigram_encode(df, model, ids=True).collect()}
+    assert all(0 <= i <= oov for i in ids_rows[9001])
+    scores = {r["doc_id"]: r for r in unigram_logprob(df, model).collect()}
+    assert scores[9002]["n_pieces"] is None
+    assert scores[9003]["n_pieces"] == 0
+    assert scores[9003]["avg_logprob_e6"] is None
+    did = next(d for d in rows if rows[d]["unigram_tokens"])
+    segs = rows[did]["unigram_tokens"]
+    want_avg = sum(logp.get(s, unk) for s in segs) / len(segs)
+    assert scores[did]["n_pieces"] == len(segs)
+    assert scores[did]["avg_logprob_e6"] == int(math.floor(want_avg * 1e6))
+    # fluency signal: real text scores above a gibberish doc
+    gib = spark.createDataFrame(
+        [(9100, "zq xv qqj wvx zzqx vq")], "doc_id long, text string"
+    )
+    gib_score = unigram_logprob(gib, model).collect()[0]["avg_logprob_e6"]
+    assert gib_score < scores[did]["avg_logprob_e6"]
