@@ -1761,6 +1761,14 @@ def _viterbi_segment(
             if cand > best[i]:
                 best[i] = cand
                 back[i] = j
+    if n and best[n] == float("-inf"):
+        # unreachable end = corrupted model (e.g. max_piece_len < 1):
+        # backtracking would silently emit the whole word as one
+        # out-of-model piece — fail loudly instead
+        raise ValueError(
+            f"no segmentation path for {word!r}; the model's "
+            "max_piece_len/pieces are inconsistent"
+        )
     out: list[str] = []
     i = n
     while i > 0:
@@ -1788,9 +1796,10 @@ def learn_unigram(
     and the final model are deterministic.
 
     Seeding: every substring up to ``max_piece_len`` of the word
-    table, frequency-weighted, capped at 4×``vocab_size`` multi-char
-    pieces (SentencePiece seeds from an ESA over sentences; the
-    word-table variant is the same idea over the bounded vocab).
+    table, frequency-weighted, capped at 4× the multi-char vocabulary
+    target (``vocab_size`` minus the alphabet size — SentencePiece
+    seeds from an ESA over sentences; the word-table variant is the
+    same idea over the bounded vocab).
     Single characters are never pruned, so any training-alphabet word
     stays segmentable; retained-but-unused characters get an additive
     0.5-count floor instead of -inf.
@@ -1800,8 +1809,6 @@ def learn_unigram(
     unknown-character fallback), ``logprobs_e6`` (fixed-point micro
     log-probs, JSON-stable), ``lowercase``, ``max_piece_len``.
     """
-    import math
-
     if lowercase:
         folded: dict[str, int] = {}
         for w, c in words:
@@ -1821,7 +1828,7 @@ def learn_unigram(
         (s for s in freq if len(s) > 1), key=lambda s: (-freq[s], s)
     )
     target_multi = max(0, int(vocab_size) - len(chars))
-    pieces = sorted(chars) + multi[: max(target_multi * 4, target_multi)]
+    pieces = sorted(chars) + multi[: target_multi * 4]
     total = sum(freq[p] for p in pieces) or 1
     logp = {p: math.log(freq[p] / total) for p in pieces}
 
@@ -1900,6 +1907,11 @@ def train_unigram(
 
 
 def _unigram_tables(model: dict) -> tuple:
+    max_len = int(model.get("max_piece_len", 8))
+    if max_len < 1:
+        raise ValueError(
+            f"corrupt unigram model: max_piece_len={max_len} (must be >= 1)"
+        )
     logp = {
         p: lp / 1e6
         for p, lp in zip(model["pieces"], model["logprobs_e6"])
@@ -1909,8 +1921,48 @@ def _unigram_tables(model: dict) -> tuple:
     return (
         logp, unk, sym_ids, len(model["pieces"]),
         bool(model.get("lowercase", True)),
-        int(model.get("max_piece_len", 8)),
+        max_len,
     )
+
+
+def _make_unigram_segmenter(model: dict, ids: bool = False, tables=None):
+    """The pure per-document segmenter behind :func:`unigram_encode`
+    and :func:`unigram_logprob` — module-level so tests drive EXACTLY
+    the code the Arrow passes run (the ``_make_bpe_encoder``
+    convention). Returns ``one_doc(text) -> list``; each call starts a
+    fresh word memo (per-batch cache bound), reusing prebuilt
+    ``tables`` when given. Same ASCII whitespace contract and NULL
+    preservation as BPE; unknown characters map to the reserved id
+    ``len(pieces)`` under ``ids=True``."""
+    import re
+
+    logp, unk, sym_ids, oov, lowercase, max_len = (
+        tables if tables is not None else _unigram_tables(model)
+    )
+    ws = re.compile(r"\s+", re.ASCII)
+    memo: dict[str, list] = {}
+
+    def one_word(w: str) -> list:
+        got = memo.get(w)
+        if got is None:
+            got = _viterbi_segment(
+                w.lower() if lowercase else w, logp, max_len, unk
+            )
+            if ids:
+                got = [sym_ids.get(s, oov) for s in got]
+            memo[w] = got
+        return got
+
+    def one_doc(t):
+        if t is None:
+            return None
+        out: list = []
+        for w in ws.split(t):
+            if w:
+                out.extend(one_word(w))
+        return out
+
+    return one_doc
 
 
 def unigram_encode(
@@ -1921,42 +1973,17 @@ def unigram_encode(
     ids: bool = False,
 ) -> DataFrame:
     """Tokenize a corpus with a :func:`train_unigram` model: Viterbi
-    best segmentation per word, shuffle-free Arrow pass with a
-    per-batch word memo — the exact execution shape of
-    :func:`bpe_encode` (same ASCII whitespace contract, same NULL
-    preservation; unknown characters map to the reserved id
-    ``len(pieces)`` under ``ids=True``)."""
+    best segmentation per word (:func:`_make_unigram_segmenter`),
+    shuffle-free Arrow pass with a per-batch word memo — the exact
+    execution shape of :func:`bpe_encode`."""
     tables = _unigram_tables(model)
     ret = "array<int>" if ids else "array<string>"
 
     @F.pandas_udf(ret)
     def enc(texts: pd.Series) -> pd.Series:
-        import re
-
-        logp, unk, sym_ids, oov, lowercase, max_len = tables
-        ws = re.compile(r"\s+", re.ASCII)
-        memo: dict[str, list] = {}
-
-        def one_word(w: str) -> list:
-            got = memo.get(w)
-            if got is None:
-                got = _viterbi_segment(
-                    w.lower() if lowercase else w, logp, max_len, unk
-                )
-                if ids:
-                    got = [sym_ids.get(s, oov) for s in got]
-                memo[w] = got
-            return got
-
-        def one_doc(t):
-            if t is None:
-                return None
-            out: list = []
-            for w in ws.split(t):
-                if w:
-                    out.extend(one_word(w))
-            return out
-
+        # tables shipped once in the closure; the segmenter is re-made
+        # per Arrow BATCH only so the word memo stays batch-bounded
+        one_doc = _make_unigram_segmenter(model, ids=ids, tables=tables)
         return texts.map(one_doc)
 
     return df.withColumn(out_col, enc(F.col(col)))
@@ -1988,40 +2015,26 @@ def unigram_logprob(
     ])
 
     def score(batches):
-        import re
-
-        logp, unk, _sym, _oov, lowercase, max_len = tables
-        ws = re.compile(r"\s+", re.ASCII)
-        memo: dict[str, tuple] = {}
-
-        def word_stats(w: str):
-            got = memo.get(w)
-            if got is None:
-                segs = _viterbi_segment(
-                    w.lower() if lowercase else w, logp, max_len, unk
-                )
-                got = (len(segs), sum(logp.get(s, unk) for s in segs))
-                memo[w] = got
-            return got
-
+        logp, unk = tables[0], tables[1]
         for pdf in batches:
+            # segmenter re-made per batch: the word memo must stay
+            # batch-bounded (the _make_bpe_encoder convention — a
+            # partition-lifetime memo grows with the vocabulary)
+            one_doc = _make_unigram_segmenter(model, tables=tables)
             ids_out, n_out, avg_out = [], [], []
             for rid, t in zip(pdf[id_col], pdf[col]):
                 ids_out.append(rid)
-                if t is None:
+                toks = one_doc(t)
+                if toks is None:
                     n_out.append(None)
                     avg_out.append(None)
                     continue
-                n = 0
-                s = 0.0
-                for w in ws.split(t):
-                    if w:
-                        wn, wsum = word_stats(w)
-                        n += wn
-                        s += wsum
+                n = len(toks)
                 n_out.append(n)
                 avg_out.append(
-                    int(math.floor(s / n * 1e6)) if n else None
+                    int(math.floor(
+                        sum(logp.get(s, unk) for s in toks) / n * 1e6
+                    )) if n else None
                 )
             yield pd.DataFrame({
                 id_col: ids_out,

@@ -789,7 +789,7 @@ def test_unigram_encode_and_logprob_spark(spark, sf_dir):
     import math
 
     from etl_workflow_spark.operators.text import (
-        _unigram_tables, _viterbi_segment, train_unigram,
+        _make_unigram_segmenter, _unigram_tables, train_unigram,
         unigram_encode, unigram_logprob,
     )
 
@@ -804,20 +804,13 @@ def test_unigram_encode_and_logprob_spark(spark, sf_dir):
     df = docs.unionByName(crafted)
     model = train_unigram(df, vocab_size=200)
     logp, unk, sym_ids, oov, lowercase, max_len = _unigram_tables(model)
+    # the factory IS the UDF's code path, so parity here covers the
+    # whitespace contract too
+    one_doc = _make_unigram_segmenter(model)
     rows = {r["doc_id"]: r for r in unigram_encode(df, model).collect()}
     for r in df.collect():
         did, text = r["doc_id"], r["text"]
-        if text is None:
-            assert rows[did]["unigram_tokens"] is None
-            continue
-        want = []
-        for w in text.split():
-            want.extend(_viterbi_segment(
-                w.lower() if lowercase else w, logp, max_len, unk
-            ))
-        got = rows[did]["unigram_tokens"]
-        # ASCII-ws split parity holds for these docs (no exotic ws)
-        assert got == want, did
+        assert rows[did]["unigram_tokens"] == one_doc(text), did
     ids_rows = {r["doc_id"]: r["unigram_tokens"]
                 for r in unigram_encode(df, model, ids=True).collect()}
     assert all(0 <= i <= oov for i in ids_rows[9001])
@@ -836,3 +829,7 @@ def test_unigram_encode_and_logprob_spark(spark, sf_dir):
     )
     gib_score = unigram_logprob(gib, model).collect()[0]["avg_logprob_e6"]
     assert gib_score < scores[did]["avg_logprob_e6"]
+    # corrupt models fail loudly, not with silent whole-word tokens
+    bad = dict(model, max_piece_len=0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        _unigram_tables(bad)
