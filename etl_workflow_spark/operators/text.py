@@ -1925,7 +1925,68 @@ def _unigram_tables(model: dict) -> tuple:
     )
 
 
-def _make_unigram_segmenter(model: dict, ids: bool = False, tables=None):
+def _sample_segment(
+    word: str, logp: dict, max_piece_len: int, unk: float,
+    alpha: float, rng,
+) -> list[str]:
+    """Sample one segmentation ∝ P(seg)^alpha — subword regularization
+    (Kudo 2018 §3): forward log-masses over end positions, then a
+    backward categorical walk. ``alpha`` interpolates uniform-over-
+    segmentations (→0) to Viterbi-argmax (→∞). Same unknown-character
+    fallback as :func:`_viterbi_segment`."""
+    n = len(word)
+    if n == 0:
+        return []
+    steps: list[list[tuple[int, float]]] = [[] for _ in range(n + 1)]
+    fwd = [0.0] + [float("-inf")] * n
+    for i in range(1, n + 1):
+        opts = []
+        for j in range(max(0, i - max_piece_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j != 1:
+                    continue
+                lp = unk
+            if fwd[j] == float("-inf"):
+                continue
+            opts.append((j, fwd[j] + alpha * lp))
+        steps[i] = opts
+        if opts:
+            m = max(w for _, w in opts)
+            fwd[i] = m + math.log(sum(math.exp(w - m) for _, w in opts))
+    if fwd[n] == float("-inf"):
+        raise ValueError(
+            f"no segmentation path for {word!r}; the model's "
+            "max_piece_len/pieces are inconsistent"
+        )
+    out: list[str] = []
+    i = n
+    while i > 0:
+        opts = steps[i]
+        m = max(w for _, w in opts)
+        weights = [math.exp(w - m) for _, w in opts]
+        tot = sum(weights)
+        r = rng.random() * tot
+        j = opts[-1][0]
+        for (jj, _), wt in zip(opts, weights):
+            r -= wt
+            if r <= 0:
+                j = jj
+                break
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _make_unigram_segmenter(
+    model: dict,
+    ids: bool = False,
+    tables=None,
+    sample_alpha: float | None = None,
+    seed: int = 0,
+):
     """The pure per-document segmenter behind :func:`unigram_encode`
     and :func:`unigram_logprob` — module-level so tests drive EXACTLY
     the code the Arrow passes run (the ``_make_bpe_encoder``
@@ -1933,8 +1994,19 @@ def _make_unigram_segmenter(model: dict, ids: bool = False, tables=None):
     fresh word memo (per-batch cache bound), reusing prebuilt
     ``tables`` when given. Same ASCII whitespace contract and NULL
     preservation as BPE; unknown characters map to the reserved id
-    ``len(pieces)`` under ``ids=True``."""
+    ``len(pieces)`` under ``ids=True``.
+
+    ``sample_alpha`` switches Viterbi argmax to subword-regularization
+    SAMPLING (Kudo 2018): segmentations drawn ∝ P(seg)^alpha via
+    forward-filter/backward-sample. Draws are a pure function of
+    ``(seed, word)`` — crc32-seeded per word TYPE, process-independent
+    (Python's ``hash`` is salted per process and would break
+    layout-invariance) — so reruns and retries reproduce the same
+    corpus and the word memo stays valid; vary ``seed`` per epoch for
+    fresh segmentations."""
+    import random
     import re
+    import zlib
 
     logp, unk, sym_ids, oov, lowercase, max_len = (
         tables if tables is not None else _unigram_tables(model)
@@ -1945,9 +2017,17 @@ def _make_unigram_segmenter(model: dict, ids: bool = False, tables=None):
     def one_word(w: str) -> list:
         got = memo.get(w)
         if got is None:
-            got = _viterbi_segment(
-                w.lower() if lowercase else w, logp, max_len, unk
-            )
+            norm = w.lower() if lowercase else w
+            if sample_alpha is None:
+                got = _viterbi_segment(norm, logp, max_len, unk)
+            else:
+                rng = random.Random(
+                    (zlib.crc32(norm.encode("utf-8", "surrogatepass"))
+                     << 32) ^ int(seed)
+                )
+                got = _sample_segment(
+                    norm, logp, max_len, unk, float(sample_alpha), rng
+                )
             if ids:
                 got = [sym_ids.get(s, oov) for s in got]
             memo[w] = got
@@ -1971,11 +2051,15 @@ def unigram_encode(
     col: str = "text",
     out_col: str = "unigram_tokens",
     ids: bool = False,
+    sample_alpha: float | None = None,
+    seed: int = 0,
 ) -> DataFrame:
     """Tokenize a corpus with a :func:`train_unigram` model: Viterbi
     best segmentation per word (:func:`_make_unigram_segmenter`),
     shuffle-free Arrow pass with a per-batch word memo — the exact
-    execution shape of :func:`bpe_encode`."""
+    execution shape of :func:`bpe_encode`. ``sample_alpha`` enables
+    subword-regularization sampling (deterministic per ``(seed,
+    word)``, so the pass stays layout-invariant and replay-safe)."""
     tables = _unigram_tables(model)
     ret = "array<int>" if ids else "array<string>"
 
@@ -1983,7 +2067,10 @@ def unigram_encode(
     def enc(texts: pd.Series) -> pd.Series:
         # tables shipped once in the closure; the segmenter is re-made
         # per Arrow BATCH only so the word memo stays batch-bounded
-        one_doc = _make_unigram_segmenter(model, ids=ids, tables=tables)
+        one_doc = _make_unigram_segmenter(
+            model, ids=ids, tables=tables,
+            sample_alpha=sample_alpha, seed=seed,
+        )
         return texts.map(one_doc)
 
     return df.withColumn(out_col, enc(F.col(col)))

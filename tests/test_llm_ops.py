@@ -833,3 +833,44 @@ def test_unigram_encode_and_logprob_spark(spark, sf_dir):
     bad = dict(model, max_piece_len=0)
     with pytest.raises(ValueError, match="max_piece_len"):
         _unigram_tables(bad)
+
+
+def test_unigram_subword_regularization_sampling(spark):
+    """Kudo 2018 sampling mode: draws ∝ P(seg)^alpha — diverse at low
+    alpha, Viterbi-convergent at high alpha, always concatenating to
+    the word, and a pure function of (seed, word) so the Spark pass is
+    replay-safe and layout-invariant."""
+    from etl_workflow_spark.operators.text import (
+        _make_unigram_segmenter, learn_unigram, unigram_encode,
+    )
+
+    model = learn_unigram(
+        [("abc", 10), ("ab", 8), ("bc", 8), ("a", 5), ("b", 5), ("c", 5)],
+        vocab_size=10, lowercase=False,
+    )
+    segs = set()
+    for seed in range(30):
+        f = _make_unigram_segmenter(model, sample_alpha=0.2, seed=seed)
+        got = f("abc abc")
+        assert "".join(got) == "abcabc"
+        segs.add(tuple(got))
+    assert len(segs) >= 3  # genuinely samples the segmentation lattice
+    # high alpha -> the argmax segmentation
+    viterbi = _make_unigram_segmenter(model)
+    sharp = _make_unigram_segmenter(model, sample_alpha=100.0, seed=3)
+    for w in ("abc", "abcabc", "bca"):
+        assert sharp(w) == viterbi(w)
+    # determinism: same (seed, word) across independent instances
+    a = _make_unigram_segmenter(model, sample_alpha=0.2, seed=7)("abc")
+    b = _make_unigram_segmenter(model, sample_alpha=0.2, seed=7)("abc")
+    assert a == b
+    # Spark pass == the factory (same code path, same seeds)
+    df = spark.createDataFrame(
+        [(1, "abc bc abc"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["unigram_tokens"] for r in unigram_encode(
+        df, model, sample_alpha=0.2, seed=7
+    ).collect()}
+    want = _make_unigram_segmenter(model, sample_alpha=0.2, seed=7)
+    assert rows[1] == want("abc bc abc")
+    assert rows[2] is None
