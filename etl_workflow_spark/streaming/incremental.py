@@ -1075,7 +1075,7 @@ def pq_index_batch(
 
     codes = (
         pq_index(batch_df, model, id_col=id_col, vec_col=vec_col)
-        .withColumn("model_id", F.lit(str(model.get("model_id", ""))))
+        .withColumn("model_id", F.lit(_pq_fingerprint(model)))
         .withColumn("batch_id", F.lit(int(batch_id)))
     )
     (
@@ -1108,29 +1108,108 @@ def stream_pq_index(
     )
 
 
+def _pq_fingerprint(model: dict) -> str:
+    """The model's identity for the store guard: the recorded
+    fingerprint, or — for hand-built/stripped models — one computed
+    from the quantizers themselves. NEVER the empty string: two
+    different fingerprint-less models must not collide on a default
+    and slip past the mixed-fragment check."""
+    from ..operators.similarity import _pq_model_id
+
+    return str(
+        model.get("model_id")
+        or _pq_model_id(model["coarse"], model["codebooks"])
+    )
+
+
 def read_pq_index(
-    spark: SparkSession, index_path: str, model: dict | None = None
+    spark: SparkSession,
+    index_path: str,
+    model: dict | None = None,
+    latest_only: bool = True,
 ) -> DataFrame:
     """The store's current code table, shaped for
     :func:`~etl_workflow_spark.operators.similarity.pq_topk` (id,
-    cell, codes). With ``model`` given, the per-row ``model_id``
-    column is checked FIRST — fragments encoded under a different or
-    mixed model are refused (stale codes stay in-range for any
-    same-shape model, so they would silently score garbage); the
-    check is a column-pruned scan of one constant RLE column."""
+    cell, codes).
+
+    With ``model`` given, the per-row ``model_id`` column is checked
+    FIRST — fragments encoded under a different or mixed model are
+    refused (stale codes stay in-range for any same-shape model, so
+    they would silently score garbage); the check is a column-pruned
+    scan of one constant RLE column. An EMPTY store passes (trivially
+    consistent); a store without the column (written by plain
+    ``pq_index().write``, not this store's writer) is refused with an
+    actionable error instead of an unresolved-column crash.
+
+    ``latest_only`` (default): a vector re-delivered in a LATER batch
+    (corrected embedding) keeps only its highest-``batch_id`` row —
+    last-write-wins by id, one window over the narrow code store —
+    otherwise both rows would rank in ``pq_topk`` and the duplicate
+    id would displace a real neighbor from top-k. Pass ``False`` to
+    skip the window when ingest ids are guaranteed unique."""
     idx = spark.read.parquet(index_path)
     if model is not None:
-        want = str(model.get("model_id", ""))
+        if "model_id" not in idx.columns:
+            raise ValueError(
+                f"pq index at {index_path} has no model_id column — it "
+                "was not written by pq_index_batch/stream_pq_index; "
+                "read it directly (pq_topk's column-metadata guard "
+                "still applies) or re-ingest through the store writer"
+            )
+        want = _pq_fingerprint(model)
         got = sorted(
             str(r[0]) for r in idx.select("model_id").distinct().collect()
         )
-        if got != [want]:
+        if got and got != [want]:
             raise ValueError(
                 f"pq index at {index_path} was encoded under model(s) "
                 f"{got}, but the given model is {want!r} — re-encode "
                 "the stale fragments (or pass the matching model)"
             )
+    if latest_only and "batch_id" in idx.columns:
+        id_col = [
+            c for c in idx.columns
+            if c not in ("cell", "codes", "model_id", "batch_id")
+        ][0]
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+        idx = (
+            idx.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return idx.drop("model_id", "batch_id")
+
+
+def compact_pq_index(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Collapse closed batches' code fragments into one row per vector
+    under ``batch_id=-1`` — the file-count bound for a long-lived
+    store (:func:`_compact_batched_store` contract; a
+    micro-batch-per-minute stream would otherwise accrete ~1.4k
+    partitions/day and every read pays the full listing).
+    Last-write-wins per id among the closed fragments, matching
+    ``read_pq_index(latest_only=True)``."""
+    from pyspark.sql.window import Window
+
+    def merge(old: DataFrame) -> DataFrame:
+        id_col = [
+            c for c in old.columns
+            if c not in ("cell", "codes", "model_id", "batch_id")
+        ][0]
+        w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+        return (
+            old.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "batch_id")
+        )
+
+    _compact_batched_store(
+        spark, store_path, before_batch_id, merge,
+        partition_by=["batch_id"],
+    )
 
 
 #: The vocabulary store's full schema, applied explicitly on every

@@ -827,3 +827,70 @@ def test_stream_pq_index_end_to_end(spark, sf_dir, tmp_path):
         for r in S.pq_index(emb, model).collect()
     )
     assert got == want
+
+
+def test_pq_index_store_redelivery_and_compaction(spark, sf_dir, tmp_path):
+    """Review hardening: a vector re-delivered in a LATER batch keeps
+    only its latest codes (last-write-wins by id — a duplicate id
+    would displace a real neighbor from top-k); compaction collapses
+    closed fragments with the same semantics; fingerprint-less models
+    get a computed fingerprint (no empty-string collision); legacy
+    stores without the model_id column and empty stores error/pass
+    truthfully."""
+    import pytest
+
+    from etl_workflow_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = S.pq_fit(emb, n_cells=8, m_sub=8, ksub=32)
+    store = str(tmp_path / "pqstore")
+    inc.pq_index_batch(emb.where("vec_id < 300"), store, 0, model)
+    # batch 1 RE-DELIVERS vec 5 with a different (negated) embedding
+    redeliver = emb.where("vec_id == 5").selectExpr(
+        "vec_id", "transform(embedding, x -> -x) as embedding", "label"
+    )
+    inc.pq_index_batch(
+        emb.where("vec_id >= 300").unionByName(redeliver), store, 1, model
+    )
+    idx = inc.read_pq_index(spark, store, model)
+    assert idx.count() == emb.count()  # one row per id
+    new_cell = idx.where("vec_id = 5").collect()[0]["cell"]
+    old_cell = S.pq_index(emb.where("vec_id == 5"), model).collect()[0][
+        "cell"
+    ]
+    neg_cell = S.pq_index(redeliver, model).collect()[0]["cell"]
+    assert new_cell == neg_cell
+    if old_cell != neg_cell:
+        assert new_cell != old_cell
+    # compaction: same table afterwards, fragments collapsed
+    before = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in inc.read_pq_index(spark, store, model).collect()
+    )
+    inc.compact_pq_index(spark, store, before_batch_id=2)
+    after = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in inc.read_pq_index(spark, store, model).collect()
+    )
+    assert after == before
+    # fingerprint-less model: computed fingerprint, not "" — a
+    # DIFFERENT stripped model is still refused
+    bare = {k: v for k, v in model.items() if k != "model_id"}
+    store2 = str(tmp_path / "pq2")
+    inc.pq_index_batch(emb.limit(20), store2, 0, bare)
+    assert inc.read_pq_index(spark, store2, bare).count() == 20
+    other = {
+        k: v
+        for k, v in S.pq_fit(
+            emb, n_cells=8, m_sub=8, ksub=32, seed=99
+        ).items()
+        if k != "model_id"
+    }
+    with pytest.raises(ValueError, match="encoded under model"):
+        inc.read_pq_index(spark, store2, other)
+    # legacy store (plain pq_index write): actionable refusal
+    store3 = str(tmp_path / "pq3")
+    S.pq_index(emb.limit(10), model).write.parquet(store3)
+    with pytest.raises(ValueError, match="no model_id column"):
+        inc.read_pq_index(spark, store3, model)
+    assert inc.read_pq_index(spark, store3).count() == 10  # unguarded ok
