@@ -1737,6 +1737,23 @@ def bpe_decode(
 # ------------------------------------------------- unigram LM tokenizer
 
 
+def _piece_options(
+    word: str, i: int, logp: dict, max_piece_len: int, unk: float
+):
+    """Candidate (start j, piece log-prob) pairs for a piece ENDING at
+    position ``i`` — THE single enumeration both the Viterbi argmax
+    and the sampling walk consume, including the unknown-character
+    fallback (a char absent from the model scores ``unk``), so the
+    two paths cannot drift."""
+    for j in range(max(0, i - max_piece_len), i):
+        lp = logp.get(word[j:i])
+        if lp is None:
+            if i - j != 1:
+                continue
+            lp = unk
+        yield j, lp
+
+
 def _viterbi_segment(
     word: str, logp: dict, max_piece_len: int, unk: float
 ) -> list[str]:
@@ -1750,13 +1767,7 @@ def _viterbi_segment(
     best = [0.0] + [float("-inf")] * n
     back = [0] * (n + 1)
     for i in range(1, n + 1):
-        for j in range(max(0, i - max_piece_len), i):
-            piece = word[j:i]
-            lp = logp.get(piece)
-            if lp is None:
-                if i - j != 1:
-                    continue
-                lp = unk
+        for j, lp in _piece_options(word, i, logp, max_piece_len, unk):
             cand = best[j] + lp
             if cand > best[i]:
                 best[i] = cand
@@ -1937,21 +1948,17 @@ def _sample_segment(
     n = len(word)
     if n == 0:
         return []
-    steps: list[list[tuple[int, float]]] = [[] for _ in range(n + 1)]
     fwd = [0.0] + [float("-inf")] * n
+
+    def opts_at(i: int) -> list[tuple[int, float]]:
+        return [
+            (j, fwd[j] + alpha * lp)
+            for j, lp in _piece_options(word, i, logp, max_piece_len, unk)
+            if fwd[j] != float("-inf")
+        ]
+
     for i in range(1, n + 1):
-        opts = []
-        for j in range(max(0, i - max_piece_len), i):
-            piece = word[j:i]
-            lp = logp.get(piece)
-            if lp is None:
-                if i - j != 1:
-                    continue
-                lp = unk
-            if fwd[j] == float("-inf"):
-                continue
-            opts.append((j, fwd[j] + alpha * lp))
-        steps[i] = opts
+        opts = opts_at(i)
         if opts:
             m = max(w for _, w in opts)
             fwd[i] = m + math.log(sum(math.exp(w - m) for _, w in opts))
@@ -1960,10 +1967,15 @@ def _sample_segment(
             f"no segmentation path for {word!r}; the model's "
             "max_piece_len/pieces are inconsistent"
         )
+    # backward walk RECOMPUTES each visited position's options instead
+    # of retaining O(n·max_piece_len) candidate tuples: a megabyte
+    # no-whitespace blob (base64/DNA) must not hold ~8M boxed tuples
+    # in the Arrow worker when only the sampled path's positions —
+    # O(path·max_piece_len) work — are ever visited
     out: list[str] = []
     i = n
     while i > 0:
-        opts = steps[i]
+        opts = opts_at(i)
         m = max(w for _, w in opts)
         weights = [math.exp(w - m) for _, w in opts]
         tot = sum(weights)
@@ -1985,7 +1997,7 @@ def _make_unigram_segmenter(
     ids: bool = False,
     tables=None,
     sample_alpha: float | None = None,
-    seed: int = 0,
+    seed: int | None = None,
 ):
     """The pure per-document segmenter behind :func:`unigram_encode`
     and :func:`unigram_logprob` — module-level so tests drive EXACTLY
@@ -1999,47 +2011,76 @@ def _make_unigram_segmenter(
     ``sample_alpha`` switches Viterbi argmax to subword-regularization
     SAMPLING (Kudo 2018): segmentations drawn ∝ P(seg)^alpha via
     forward-filter/backward-sample. Draws are a pure function of
-    ``(seed, word)`` — crc32-seeded per word TYPE, process-independent
-    (Python's ``hash`` is salted per process and would break
-    layout-invariance) — so reruns and retries reproduce the same
-    corpus and the word memo stays valid; vary ``seed`` per epoch for
-    fresh segmentations."""
+    ``(seed, word, occurrence-within-document)`` — crc32-seeded,
+    process-independent (Python's ``hash`` is salted per process and
+    would break layout-invariance) — so reruns and retries reproduce
+    the same corpus while REPEATED occurrences of a word inside one
+    document draw independent segmentations (the paper samples per
+    occurrence; per-type-only draws would hand every 'the' in the
+    corpus one fixed split). ``seed`` must be EXPLICIT in sampling
+    mode and should vary per epoch — a silently-shared default would
+    make every epoch's "augmented" stream byte-identical, the exact
+    regularization failure the mode exists to prevent."""
     import random
     import re
     import zlib
 
+    if sample_alpha is not None and seed is None:
+        raise ValueError(
+            "sampling mode needs an explicit seed (vary it per "
+            "epoch): a shared default would reproduce the identical "
+            "token stream every epoch, silently disabling the "
+            "regularization"
+        )
     logp, unk, sym_ids, oov, lowercase, max_len = (
         tables if tables is not None else _unigram_tables(model)
     )
     ws = re.compile(r"\s+", re.ASCII)
-    memo: dict[str, list] = {}
+    memo: dict = {}
 
-    def one_word(w: str) -> list:
+    def viterbi_word(w: str) -> list:
         got = memo.get(w)
         if got is None:
-            norm = w.lower() if lowercase else w
-            if sample_alpha is None:
-                got = _viterbi_segment(norm, logp, max_len, unk)
-            else:
-                rng = random.Random(
-                    (zlib.crc32(norm.encode("utf-8", "surrogatepass"))
-                     << 32) ^ int(seed)
-                )
-                got = _sample_segment(
-                    norm, logp, max_len, unk, float(sample_alpha), rng
-                )
+            got = _viterbi_segment(
+                w.lower() if lowercase else w, logp, max_len, unk
+            )
             if ids:
                 got = [sym_ids.get(s, oov) for s in got]
             memo[w] = got
+        return got
+
+    def sampled_word(w: str, occ: int) -> list:
+        key = (w, occ)
+        got = memo.get(key)
+        if got is None:
+            norm = w.lower() if lowercase else w
+            rng = random.Random(
+                (zlib.crc32(norm.encode("utf-8", "surrogatepass")) << 32)
+                ^ (int(seed) * 1_000_003 + occ)
+            )
+            got = _sample_segment(
+                norm, logp, max_len, unk, float(sample_alpha), rng
+            )
+            if ids:
+                got = [sym_ids.get(s, oov) for s in got]
+            memo[key] = got
         return got
 
     def one_doc(t):
         if t is None:
             return None
         out: list = []
-        for w in ws.split(t):
-            if w:
-                out.extend(one_word(w))
+        if sample_alpha is None:
+            for w in ws.split(t):
+                if w:
+                    out.extend(viterbi_word(w))
+        else:
+            occ: dict[str, int] = {}
+            for w in ws.split(t):
+                if w:
+                    k = occ.get(w, 0)
+                    occ[w] = k + 1
+                    out.extend(sampled_word(w, k))
         return out
 
     return one_doc
@@ -2052,14 +2093,16 @@ def unigram_encode(
     out_col: str = "unigram_tokens",
     ids: bool = False,
     sample_alpha: float | None = None,
-    seed: int = 0,
+    seed: int | None = None,
 ) -> DataFrame:
     """Tokenize a corpus with a :func:`train_unigram` model: Viterbi
     best segmentation per word (:func:`_make_unigram_segmenter`),
     shuffle-free Arrow pass with a per-batch word memo — the exact
     execution shape of :func:`bpe_encode`. ``sample_alpha`` enables
-    subword-regularization sampling (deterministic per ``(seed,
-    word)``, so the pass stays layout-invariant and replay-safe)."""
+    subword-regularization sampling — deterministic per ``(seed,
+    word, occurrence-within-doc)``, so the pass stays layout-invariant
+    and replay-safe; the seed is required and should vary per
+    epoch."""
     tables = _unigram_tables(model)
     ret = "array<int>" if ids else "array<string>"
 

@@ -855,6 +855,23 @@ def test_unigram_subword_regularization_sampling(spark):
         assert "".join(got) == "abcabc"
         segs.add(tuple(got))
     assert len(segs) >= 3  # genuinely samples the segmentation lattice
+    # per-OCCURRENCE draws (the paper's recipe): under ONE seed,
+    # repeated occurrences of a word inside one doc draw independent
+    # segmentations — the flat output is NOT just the first
+    # occurrence's split repeated
+    diverse = False
+    for seed in range(8):
+        f = _make_unigram_segmenter(model, sample_alpha=0.2, seed=seed)
+        flat = f("abc " * 12)
+        first = f("abc")
+        if flat != first * 12:
+            diverse = True
+            break
+    assert diverse
+    # sampling without an explicit seed is refused (the silent
+    # fixed-stream footgun)
+    with pytest.raises(ValueError, match="explicit seed"):
+        _make_unigram_segmenter(model, sample_alpha=0.2)
     # high alpha -> the argmax segmentation
     viterbi = _make_unigram_segmenter(model)
     sharp = _make_unigram_segmenter(model, sample_alpha=100.0, seed=3)
