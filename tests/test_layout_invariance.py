@@ -182,6 +182,19 @@ OPERATORS = {
             "etl_workflow_spark.operators.similarity", fromlist=["pq_fit"]
         ).pq_fit(_emb(s, d), n_cells=4, m_sub=8, ksub=16),
     ),
+    # unigram encode, sampling mode: draws are (seed, word,
+    # occurrence-within-doc)-pure, so even the RANDOMIZED mode must be
+    # layout-invariant (model trained from the canonical layout)
+    "unigram_encode_sampled": lambda s, d, docs, emb: __import__(
+        "etl_workflow_spark.operators.text", fromlist=["unigram_encode"]
+    ).unigram_encode(
+        docs.select("doc_id", "text"),
+        __import__(
+            "etl_workflow_spark.operators.text", fromlist=["train_unigram"]
+        ).train_unigram(_docs(s, d), vocab_size=150),
+        sample_alpha=0.3,
+        seed=11,
+    ),
 }
 
 

@@ -327,6 +327,49 @@ def span_skew(sf_dir: str, repeats: list[int]) -> None:
     spark.stop()
 
 
+def pq_store_cost(sf_dir: str, batches: int = 40) -> None:
+    """PQ index store: read cost before/after compaction as fragments
+    accumulate (one partition per micro-batch). The claim: compaction
+    collapses closed batches to one fragment and read_pq_index's
+    listing + model-guard + latest-only window stop paying per-batch
+    file overhead. One JSON line per phase."""
+    import shutil
+    import tempfile
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import similarity as S
+    from etl_workflow_spark.streaming import incremental as inc
+    from etl_workflow_spark.session import get_spark
+
+    spark = get_spark("pq-store")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = table(spark, sf_dir, "embeddings")
+    model = S.pq_fit(emb, n_cells=16, m_sub=8, ksub=64)
+    store = tempfile.mkdtemp(prefix="pqstore-") + "/idx"
+    for b in range(batches):
+        inc.pq_index_batch(
+            emb.where(F.col("vec_id") % batches == b), store, b, model
+        )
+    inc.read_pq_index(spark, store, model).count()  # warm
+    for phase in ("fragmented", "compacted"):
+        if phase == "compacted":
+            t0 = time.time()
+            inc.compact_pq_index(spark, store, before_batch_id=batches)
+            compact_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        n = inc.read_pq_index(spark, store, model).count()
+        sec = round(time.time() - t0, 2)
+        rec = {
+            "op": "pq_store_read", "phase": phase, "batches": batches,
+            "rows": n, "sec": sec,
+        }
+        if phase == "compacted":
+            rec["compact_sec"] = compact_sec
+        print(json.dumps(rec), flush=True)
+    shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+    spark.stop()
+
+
 def semdedup_skew(sf_dir: str, ks: list[int]) -> None:
     """Oversized-cell guard check for semdedup (r9): a corpus where
     ~half the vectors collapse into ONE tight k-means cell (shifted
@@ -607,7 +650,12 @@ def extend_cost(sf_dir: str, ks: list[int]) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--ann-recall", "--txn-sink", "--span-skew",
-                         "--corpus", "--extend", "--semdedup-skew")]
+                         "--corpus", "--extend", "--semdedup-skew",
+                         "--pq-store")]
+    if "--pq-store" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        pq_store_cost(sf, int(args[1]) if len(args) > 1 else 40)
+        return
     if "--semdedup-skew" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         semdedup_skew(sf, [int(a) for a in args[1:]] or [1, 4, 16])
