@@ -216,3 +216,67 @@ def pack_sequences(
         .groupBy("_shard")
         .applyInPandas(pack, schema=out_schema)
     )
+
+
+def chunk_token_ids(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    chunk_tokens: int = 1024,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size chunks of TOKENIZER id arrays — the unit a training
+    pipeline actually packs. :func:`chunk_documents` counts whitespace
+    tokens, which only approximates the tokenizer's sequence length;
+    this operator chunks the encoded arrays (``bpe_encode`` /
+    ``unigram_encode`` ``ids=True`` output) exactly, so every chunk is
+    a model-ready id window.
+
+    Chunk ``i`` covers ids ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; a non-NULL document
+    yields at least one chunk (empty arrays give one empty chunk — the
+    :func:`chunk_documents` rule); NULL arrays (NULL text was never
+    encoded) yield one row with NULL ids and NULL ``n_tokens``,
+    preserving the module's null contract. Output: (id, chunk_idx,
+    ids, n_tokens) — feed straight into :func:`pack_sequences`.
+
+    All codegen (transform over sequence + slice), shuffle-free; the
+    id array is a bound column reference, never re-evaluated per
+    chunk (the module's lambda-capture rule).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    ids = F.col("__ids")
+    n = F.size(ids)
+    n_chunks = F.when(ids.isNull(), F.lit(1)).otherwise(
+        F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(float(stride))), F.lit(1)
+        )
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(ids, i * stride + 1, chunk_tokens),
+    )
+    # posexplode of a NULL array would DROP the row; a single NULL
+    # element keeps the doc visible downstream
+    chunks = F.when(ids.isNull(), F.array(F.lit(None))).otherwise(chunks)
+    return (
+        df.select(F.col(id_col), F.col(ids_col).alias("__ids"))
+        .select(
+            F.col(id_col),
+            n.alias("_n"),
+            F.posexplode(chunks).alias("chunk_idx", "ids"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "ids",
+            F.when(F.col("ids").isNull(), F.lit(None)).otherwise(
+                F.least(
+                    F.lit(chunk_tokens),
+                    F.col("_n") - F.col("chunk_idx") * stride,
+                )
+            ).cast("int").alias("n_tokens"),
+        )
+    )

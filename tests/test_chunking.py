@@ -154,3 +154,81 @@ def test_pack_sequences_property_sweep(spark):
                 ), (trial, strategy, pid, fill)
             packs[strategy] = len(fills)
         assert packs["best_fit"] <= packs["next_fit"], (trial, packs)
+
+
+def test_chunk_token_ids_matches_python_oracle(spark):
+    """Tokenizer-id chunking == an independent pure-Python slicer for
+    several (chunk, overlap) shapes, incl. empty and NULL arrays."""
+    rows = [
+        (1, list(range(10))),
+        (2, list(range(3))),
+        (3, []),
+        (4, None),
+        (5, list(range(7))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    from etl_workflow_spark.operators.chunking import chunk_token_ids
+
+    for chunk, ov in ((4, 0), (4, 1), (3, 2), (16, 0)):
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (
+                None if r["ids"] is None else list(r["ids"]),
+                r["n_tokens"],
+            )
+            for r in chunk_token_ids(
+                df, ids_col="token_ids", chunk_tokens=chunk, overlap=ov
+            ).collect()
+        }
+        want = {}
+        stride = chunk - ov
+        for did, ids in rows:
+            if ids is None:
+                want[(did, 0)] = (None, None)
+                continue
+            n_chunks = max(-(-(len(ids) - ov) // stride), 1)
+            for i in range(n_chunks):
+                want[(did, i)] = (
+                    ids[i * stride : i * stride + chunk],
+                    min(chunk, len(ids) - i * stride),
+                )
+        assert got == want, (chunk, ov)
+
+
+def test_chunk_token_ids_feeds_pack_and_conserves(spark, sf_dir):
+    """End-to-end with a real tokenizer: encode -> chunk by ids ->
+    pack; ids are conserved (overlap=0 flatten == original) and every
+    pack respects the budget."""
+    from etl_workflow_spark.operators.chunking import (
+        chunk_token_ids, pack_sequences,
+    )
+    from etl_workflow_spark.operators.text import train_bpe, bpe_encode
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(40)
+    )
+    model = train_bpe(docs, num_merges=50)
+    enc = bpe_encode(docs, model, ids=True)
+    chunks = chunk_token_ids(
+        enc, ids_col="bpe_tokens", chunk_tokens=32
+    ).persist()
+    try:
+        # conservation: per-doc concatenation of chunks == encoded ids
+        got = {}
+        for r in chunks.collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], list(r["ids"]))
+            )
+        want = {r["doc_id"]: list(r["bpe_tokens"])
+                for r in enc.collect() if r["bpe_tokens"] is not None}
+        for did, parts in got.items():
+            flat = [t for _, ids in sorted(parts) for t in ids]
+            assert flat == want[did], did
+        packed = pack_sequences(
+            chunks.where(F.col("n_tokens") > 0),
+            budget_tokens=64, num_shards=4,
+        )
+        sums = packed.groupBy("pack_id").sum("n_tokens").collect()
+        assert all(r["sum(n_tokens)"] <= 64 for r in sums)
+    finally:
+        chunks.unpersist()
