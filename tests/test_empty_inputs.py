@@ -157,7 +157,13 @@ def test_round8s4_ops_on_empty_corpus(spark, empty_docs):
 
 
 def test_unigram_ops_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import chunking as CH
     from etl_workflow_spark.operators import text as T
+
+    empty_ids = spark.createDataFrame(
+        [], "doc_id long, token_ids array<int>"
+    )
+    assert CH.chunk_token_ids(empty_ids, ids_col="token_ids").count() == 0
 
     model = T.train_unigram(empty_docs, vocab_size=8)
     assert model["pieces"] == []
