@@ -2446,10 +2446,15 @@ _REVENUE_WINDOWS_ORACLE = f"""
 
 def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunking (row-level oracle) + sequence-packing invariants in one
-    frame: every chunk row hash-checked, with the packing contract
-    (token conservation, budget ceiling, fill floor) appended as
-    constant columns. The invariant row is computed eagerly — pack ids
-    depend on the shard hash, so only the contract is checkable."""
+    frame, two hash-checked tiers: tier='text' is whitespace chunking
+    (`chunk_documents`), tier='ids' is the r9 exact tokenizer-id
+    chunking (`chunk_token_ids`, chunk=8/overlap=3 so the stride path
+    is exercised) over a synthetic id array both engines derive
+    identically (sequence 0..n_chars%37) — id chunks serialize to CSV
+    strings so the tiers share one schema. The packing contract
+    (token conservation, budget ceiling, fill floor) is appended as
+    constant columns; pack ids depend on the shard hash, so only the
+    contract is checkable."""
     docs = table(spark, sf_dir, "documents")
     chunks = CH.chunk_documents(docs, chunk_tokens=32)
     packed = CH.pack_sequences(chunks, budget_tokens=256, num_shards=16)
@@ -2459,8 +2464,26 @@ def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("fill") <= F.lit(256)).alias("packs_within_budget"),
         (F.avg("fill") >= F.lit(128.0)).alias("fill_floor_ok"),
     ).collect()[0]
+    text_tier = chunks.select(
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens",
+        F.lit("text").alias("tier"),
+    )
+    ids_df = docs.select(
+        "doc_id",
+        F.sequence(
+            F.lit(0), (F.coalesce(F.col("n_chars"), F.lit(0)) % 37).cast("int")
+        ).alias("tok_ids"),
+    )
+    ids_tier = CH.chunk_token_ids(
+        ids_df, ids_col="tok_ids", chunk_tokens=8, overlap=3
+    ).select(
+        "doc_id", "chunk_idx",
+        F.array_join("ids", ",").alias("chunk_text"), "n_tokens",
+        F.lit("ids").alias("tier"),
+    )
     return (
-        chunks.withColumn(
+        text_tier.unionByName(ids_tier)
+        .withColumn(
             "total_tokens", F.lit(inv["total_tokens"]).cast("long")
         )
         .withColumn(
@@ -2471,13 +2494,42 @@ def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHUNK_PACK_ORACLE = f"""
-    WITH ch AS ({_CHUNK_DOCUMENTS_ORACLE}),
+    WITH ch0 AS ({_CHUNK_DOCUMENTS_ORACLE}),
+    ch AS (
+        SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+               'text' AS tier
+        FROM ch0
+    ),
+    tid0 AS (
+        SELECT doc_id,
+               range(0, (COALESCE(n_chars, 0) % 37) + 1) AS ids
+        FROM documents
+    ),
+    tid1 AS (
+        SELECT doc_id, ids, len(ids) AS n,
+               unnest(generate_series(0,
+                   GREATEST(CAST(CEIL((len(ids) - 3) / 5.0) AS INT),
+                            1) - 1)) AS ci
+        FROM tid0
+    ),
+    tid AS (
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+               array_to_string(
+                   list_slice(ids, ci * 5 + 1, ci * 5 + 8), ',')
+                   AS chunk_text,
+               CAST(LEAST(8, n - ci * 5) AS INT) AS n_tokens,
+               'ids' AS tier
+        FROM tid1
+    ),
+    both_tiers AS (
+        SELECT * FROM ch UNION ALL SELECT * FROM tid
+    ),
     inv AS (
         SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                TRUE AS packs_within_budget, TRUE AS fill_floor_ok
-        FROM ch
+        FROM ch0
     )
-    SELECT ch.*, inv.* FROM ch CROSS JOIN inv
+    SELECT both_tiers.*, inv.* FROM both_tiers CROSS JOIN inv
 """
 
 
