@@ -1370,6 +1370,38 @@ def train_bpe_from_store(
     )
 
 
+def train_unigram_from_store(
+    spark: SparkSession,
+    store_path: str,
+    vocab_size: int = 1000,
+    min_count: int = 1,
+    max_words: int = 1_000_000,
+    max_piece_len: int = 8,
+    prune_frac: float = 0.2,
+    em_iters: int = 2,
+) -> dict:
+    """Learn a unigram-LM tokenizer from the vocabulary store —
+    identical result to
+    :func:`~etl_workflow_spark.operators.text.train_unigram` over the
+    full ingested corpus, without re-scanning it (the
+    :func:`train_bpe_from_store` contract, unigram twin): the
+    seed/EM/prune loop's input is the store's merged (bounded,
+    top-``max_words``) word table, and the normalization flag is READ
+    FROM THE STORE, with mixed-flag stores refused in the shared read
+    path."""
+    from ..operators.text import learn_unigram
+
+    flag = _vocab_store_flag(_read_vocab_store_raw(spark, store_path))
+    vocab = read_vocab_store(
+        spark, store_path, min_count=min_count, top_k=int(max_words)
+    )
+    words = [(r["token"], int(r["count"])) for r in vocab.collect()]
+    return learn_unigram(
+        words, vocab_size=vocab_size, max_piece_len=max_piece_len,
+        prune_frac=prune_frac, em_iters=em_iters, lowercase=flag,
+    )
+
+
 def compact_gram_store(
     spark: SparkSession, store_path: str, before_batch_id: int
 ) -> None:

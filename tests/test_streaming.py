@@ -894,3 +894,30 @@ def test_pq_index_store_redelivery_and_compaction(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="no model_id column"):
         inc.read_pq_index(spark, store3, model)
     assert inc.read_pq_index(spark, store3).count() == 10  # unguarded ok
+
+
+def test_train_unigram_from_store_matches_full_corpus(spark, tmp_path):
+    """The unigram twin of train_bpe_from_store: retraining from the
+    additive vocabulary store equals training over the full ingested
+    corpus — the corpus is counted once per document, never re-scanned
+    per retrain; and the model survives a JSON round trip."""
+    import json
+
+    from etl_workflow_spark.operators.text import train_unigram
+
+    store = str(tmp_path / "vocab")
+    b1 = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "help low world")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(3, "lowest world hello help")], ["doc_id", "text"]
+    )
+    inc.vocab_rollup_batch(b1, store, 0)
+    inc.vocab_rollup_batch(b2, store, 1)
+    from_store = inc.train_unigram_from_store(
+        spark, store, vocab_size=30
+    )
+    full = train_unigram(b1.unionByName(b2), vocab_size=30)
+    assert from_store == full
+    assert json.loads(json.dumps(from_store)) == from_store
