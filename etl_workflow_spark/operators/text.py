@@ -1797,6 +1797,7 @@ def learn_unigram(
     prune_frac: float = 0.2,
     em_iters: int = 2,
     lowercase: bool = True,
+    byte_fallback: bool = False,
 ) -> dict:
     """Driver-side unigram-LM trainer over an aggregated ``(word,
     count)`` table (Kudo 2018, "Subword Regularization" — the
@@ -1818,7 +1819,14 @@ def learn_unigram(
     Model: ``pieces`` (deterministic order — index = token id for
     ``unigram_encode(ids=True)``, final id reserved for
     unknown-character fallback), ``logprobs_e6`` (fixed-point micro
-    log-probs, JSON-stable), ``lowercase``, ``max_piece_len``.
+    log-probs, JSON-stable), ``lowercase``, ``max_piece_len``,
+    ``byte_fallback`` (when True, the 256 reserved ``<0xNN>`` pieces
+    are appended — same recipe as :func:`learn_bpe` — and encode
+    decomposes unknown characters AND inter-word whitespace into
+    them, so no input is unrepresentable, the reserved unknown id is
+    never emitted, and :func:`unigram_decode` round-trips the exact
+    input modulo the lowercase normalization; closes the lossy
+    OOV-collapse path the plain model has).
     """
     if lowercase:
         folded: dict[str, int] = {}
@@ -1878,12 +1886,29 @@ def learn_unigram(
             del logp[p]
         logp, counts = em(logp, em_iters)
     order = sorted(logp, key=lambda p: (-counts.get(p, 0.0), p))
+    lp_e6 = [int(math.floor(logp[p] * 1e6)) for p in order]
+    if byte_fallback:
+        # reserved byte pieces LAST (stable learned-piece ids), same
+        # as learn_bpe; a learned piece that literally equals a
+        # reserved '<0xNN>' keeps its first id but is byte-expanded at
+        # encode time (it is excluded from the segmentation table in
+        # _unigram_tables), so decode can treat every <0xNN> as a byte
+        # unambiguously. Their recorded log-prob is the unk penalty
+        # (min learned − 10): they are emit-time artifacts, never
+        # Viterbi candidates, so the value only matters for
+        # JSON-shape consistency of the parallel arrays.
+        floor_e6 = (min(lp_e6) if lp_e6 else 0) - 10_000_000
+        seen = set(order)
+        extra = [t for t in _BYTE_TOKENS if t not in seen]
+        order = order + extra
+        lp_e6 = lp_e6 + [floor_e6] * len(extra)
     return {
         "format": "spark-graft-unigram/v1",
         "pieces": order,
-        "logprobs_e6": [int(math.floor(logp[p] * 1e6)) for p in order],
+        "logprobs_e6": lp_e6,
         "lowercase": bool(lowercase),
         "max_piece_len": int(max_piece_len),
+        "byte_fallback": bool(byte_fallback),
     }
 
 
@@ -1897,6 +1922,7 @@ def train_unigram(
     max_piece_len: int = 8,
     prune_frac: float = 0.2,
     em_iters: int = 2,
+    byte_fallback: bool = False,
 ) -> dict:
     """Unigram-LM tokenizer over a corpus — the same published
     two-phase split as :func:`train_bpe`: Spark does the ONE
@@ -1914,6 +1940,7 @@ def train_unigram(
     return learn_unigram(
         words, vocab_size=vocab_size, max_piece_len=max_piece_len,
         prune_frac=prune_frac, em_iters=em_iters, lowercase=lowercase,
+        byte_fallback=byte_fallback,
     )
 
 
@@ -1923,9 +1950,17 @@ def _unigram_tables(model: dict) -> tuple:
         raise ValueError(
             f"corrupt unigram model: max_piece_len={max_len} (must be >= 1)"
         )
+    fallback = bool(model.get("byte_fallback", False))
+    # under byte_fallback the reserved <0xNN> pieces are EXCLUDED from
+    # the segmentation table: Viterbi/sampling must never produce one
+    # (decode reads every <0xNN> as a byte, so a literal '<0x41>' in
+    # the text has to segment through its characters instead), and the
+    # unk penalty stays min(LEARNED)−10 rather than dropping another
+    # 10 below the byte pieces' recorded floor
     logp = {
         p: lp / 1e6
         for p, lp in zip(model["pieces"], model["logprobs_e6"])
+        if not (fallback and p in _BYTE_SET)
     }
     unk = min(logp.values(), default=0.0) - 10.0
     sym_ids = {p: i for i, p in enumerate(model["pieces"])}
@@ -1933,6 +1968,7 @@ def _unigram_tables(model: dict) -> tuple:
         logp, unk, sym_ids, len(model["pieces"]),
         bool(model.get("lowercase", True)),
         max_len,
+        fallback,
     )
 
 
@@ -2011,16 +2047,28 @@ def _make_unigram_segmenter(
     ``sample_alpha`` switches Viterbi argmax to subword-regularization
     SAMPLING (Kudo 2018): segmentations drawn ∝ P(seg)^alpha via
     forward-filter/backward-sample. Draws are a pure function of
-    ``(seed, word, occurrence-within-document)`` — crc32-seeded,
-    process-independent (Python's ``hash`` is salted per process and
-    would break layout-invariance) — so reruns and retries reproduce
-    the same corpus while REPEATED occurrences of a word inside one
-    document draw independent segmentations (the paper samples per
-    occurrence; per-type-only draws would hand every 'the' in the
-    corpus one fixed split). ``seed`` must be EXPLICIT in sampling
-    mode and should vary per epoch — a silently-shared default would
-    make every epoch's "augmented" stream byte-identical, the exact
-    regularization failure the mode exists to prevent."""
+    ``(seed, word, occurrence-within-document, doc key)`` —
+    crc32-seeded, process-independent (Python's ``hash`` is salted per
+    process and would break layout-invariance) — so reruns and retries
+    reproduce the same corpus while REPEATED occurrences of a word
+    draw independent segmentations. The doc key (``one_doc``'s second
+    argument — data, e.g. the doc id, never layout) decorrelates draws
+    ACROSS documents: without it the k-th occurrence of a word would
+    receive the identical segmentation in every document corpus-wide,
+    one draw per (word, occurrence-rank) — Kudo resamples per
+    sentence. ``seed`` must be EXPLICIT in sampling mode and should
+    vary per epoch — a silently-shared default would make every
+    epoch's "augmented" stream byte-identical, the exact
+    regularization failure the mode exists to prevent.
+
+    Byte-fallback models mirror :func:`_make_bpe_encoder` exactly:
+    inter-word whitespace runs and any segment outside the learned
+    pieces (unknown characters; a learned piece colliding with a
+    reserved ``<0xNN>``) are emitted as UTF-8 byte tokens
+    (``surrogatepass``), so every input is representable, the
+    reserved unknown id is never emitted, and
+    :func:`decode_unigram_tokens` is a true inverse (modulo the
+    model's recorded lowercase normalization)."""
     import random
     import re
     import zlib
@@ -2032,55 +2080,106 @@ def _make_unigram_segmenter(
             "token stream every epoch, silently disabling the "
             "regularization"
         )
-    logp, unk, sym_ids, oov, lowercase, max_len = (
+    logp, unk, sym_ids, oov, lowercase, max_len, fallback = (
         tables if tables is not None else _unigram_tables(model)
     )
     ws = re.compile(r"\s+", re.ASCII)
+    ws_capture = re.compile(r"(\s+)", re.ASCII)
     memo: dict = {}
+
+    def byte_toks(s: str) -> list:
+        toks = [
+            _BYTE_TOKENS[b]
+            for b in s.encode("utf-8", errors="surrogatepass")
+        ]
+        if ids:
+            return [sym_ids[t] for t in toks]
+        return toks
+
+    def emit(segs: list[str]) -> list:
+        if fallback:
+            got: list = []
+            for s in segs:
+                # segmentation excludes <0xNN> pieces (see
+                # _unigram_tables), so a known piece here is always a
+                # learned one; anything else is an unknown character
+                if s in sym_ids and s not in _BYTE_SET:
+                    got.append(sym_ids[s] if ids else s)
+                else:
+                    got.extend(byte_toks(s))
+            return got
+        if ids:
+            return [sym_ids.get(s, oov) for s in segs]
+        return segs
 
     def viterbi_word(w: str) -> list:
         got = memo.get(w)
         if got is None:
-            got = _viterbi_segment(
+            got = emit(_viterbi_segment(
                 w.lower() if lowercase else w, logp, max_len, unk
-            )
-            if ids:
-                got = [sym_ids.get(s, oov) for s in got]
+            ))
             memo[w] = got
         return got
 
-    def sampled_word(w: str, occ: int) -> list:
-        key = (w, occ)
+    def sampled_word(w: str, occ: int, dk: int) -> list:
+        key = (w, occ, dk)
         got = memo.get(key)
         if got is None:
             norm = w.lower() if lowercase else w
             rng = random.Random(
                 (zlib.crc32(norm.encode("utf-8", "surrogatepass")) << 32)
                 ^ (int(seed) * 1_000_003 + occ)
+                ^ (dk * 2_654_435_761)
             )
-            got = _sample_segment(
+            got = emit(_sample_segment(
                 norm, logp, max_len, unk, float(sample_alpha), rng
-            )
-            if ids:
-                got = [sym_ids.get(s, oov) for s in got]
+            ))
             memo[key] = got
         return got
 
-    def one_doc(t):
+    def one_doc(t, doc_key=None):
         if t is None:
             return None
         out: list = []
         if sample_alpha is None:
-            for w in ws.split(t):
-                if w:
-                    out.extend(viterbi_word(w))
+            if fallback:
+                # capture-split: even indexes are words, odd are
+                # ASCII-ws runs (byte-encoded, so decode restores them)
+                for i, part in enumerate(ws_capture.split(t)):
+                    if not part:
+                        continue
+                    if i % 2 == 1:
+                        out.extend(byte_toks(part))
+                    else:
+                        out.extend(viterbi_word(part))
+            else:
+                for w in ws.split(t):
+                    if w:
+                        out.extend(viterbi_word(w))
+            return out
+        # sampling: the doc key is data (str round-trip, crc32) — a
+        # missing key degrades to the per-(word, occ) draw, documented
+        dk = (
+            0 if doc_key is None
+            else zlib.crc32(str(doc_key).encode("utf-8", "surrogatepass"))
+        )
+        occ: dict[str, int] = {}
+        if fallback:
+            for i, part in enumerate(ws_capture.split(t)):
+                if not part:
+                    continue
+                if i % 2 == 1:
+                    out.extend(byte_toks(part))
+                else:
+                    k = occ.get(part, 0)
+                    occ[part] = k + 1
+                    out.extend(sampled_word(part, k, dk))
         else:
-            occ: dict[str, int] = {}
             for w in ws.split(t):
                 if w:
                     k = occ.get(w, 0)
                     occ[w] = k + 1
-                    out.extend(sampled_word(w, k))
+                    out.extend(sampled_word(w, k, dk))
         return out
 
     return one_doc
@@ -2094,17 +2193,37 @@ def unigram_encode(
     ids: bool = False,
     sample_alpha: float | None = None,
     seed: int | None = None,
+    doc_id_col: str | None = None,
 ) -> DataFrame:
     """Tokenize a corpus with a :func:`train_unigram` model: Viterbi
     best segmentation per word (:func:`_make_unigram_segmenter`),
     shuffle-free Arrow pass with a per-batch word memo — the exact
     execution shape of :func:`bpe_encode`. ``sample_alpha`` enables
     subword-regularization sampling — deterministic per ``(seed,
-    word, occurrence-within-doc)``, so the pass stays layout-invariant
-    and replay-safe; the seed is required and should vary per
-    epoch."""
+    word, occurrence-within-doc, doc id)``, so the pass stays
+    layout-invariant and replay-safe; the seed is required and should
+    vary per epoch, and ``doc_id_col`` SHOULD name a stable per-row
+    key in sampling mode — without it the k-th occurrence of a word
+    draws the same segmentation in every document corpus-wide,
+    collapsing the within-epoch diversity the mode exists for (Kudo
+    2018 resamples per sentence)."""
     tables = _unigram_tables(model)
     ret = "array<int>" if ids else "array<string>"
+
+    if sample_alpha is not None and doc_id_col is not None:
+
+        @F.pandas_udf(ret)
+        def enc2(texts: pd.Series, keys: pd.Series) -> pd.Series:
+            one_doc = _make_unigram_segmenter(
+                model, ids=ids, tables=tables,
+                sample_alpha=sample_alpha, seed=seed,
+            )
+            return pd.Series(
+                [one_doc(t, k) for t, k in zip(texts, keys)],
+                index=texts.index, dtype=object,
+            )
+
+        return df.withColumn(out_col, enc2(F.col(col), F.col(doc_id_col)))
 
     @F.pandas_udf(ret)
     def enc(texts: pd.Series) -> pd.Series:
@@ -2117,6 +2236,46 @@ def unigram_encode(
         return texts.map(one_doc)
 
     return df.withColumn(out_col, enc(F.col(col)))
+
+
+def decode_unigram_tokens(tokens, model: dict, ids: bool = False) -> str | None:
+    """Invert :func:`unigram_encode` for one token list — the unigram
+    twin of :func:`decode_bpe_tokens`, and literally the same
+    machinery: the model's ``pieces`` play the symbol table, and under
+    ``byte_fallback`` every reserved ``<0xNN>`` piece decodes as a
+    byte (the encoder never emits one for any other reason). Plain
+    models are the documented lossy path: word boundaries were not
+    encoded (words concatenate) and the reserved unknown id decodes
+    to U+FFFD."""
+    return decode_bpe_tokens(
+        tokens,
+        {
+            "symbols": model["pieces"],
+            "byte_fallback": bool(model.get("byte_fallback", False)),
+        },
+        ids=ids,
+    )
+
+
+def unigram_decode(
+    df: DataFrame,
+    model: dict,
+    col: str = "unigram_tokens",
+    out_col: str = "text_decoded",
+    ids: bool = False,
+) -> DataFrame:
+    """DataFrame twin of :func:`decode_unigram_tokens`: per-row pure,
+    shuffle-free Arrow pass (the :func:`bpe_decode` shape)."""
+
+    @F.pandas_udf("string")
+    def dec(tok: pd.Series) -> pd.Series:
+        return tok.map(
+            lambda t: decode_unigram_tokens(
+                None if t is None else list(t), model, ids=ids
+            )
+        )
+
+    return df.withColumn(out_col, dec(F.col(col)))
 
 
 def unigram_logprob(

@@ -1379,6 +1379,7 @@ def train_unigram_from_store(
     max_piece_len: int = 8,
     prune_frac: float = 0.2,
     em_iters: int = 2,
+    byte_fallback: bool = False,
 ) -> dict:
     """Learn a unigram-LM tokenizer from the vocabulary store —
     identical result to
@@ -1399,6 +1400,7 @@ def train_unigram_from_store(
     return learn_unigram(
         words, vocab_size=vocab_size, max_piece_len=max_piece_len,
         prune_frac=prune_frac, em_iters=em_iters, lowercase=flag,
+        byte_fallback=byte_fallback,
     )
 
 

@@ -803,7 +803,7 @@ def test_unigram_encode_and_logprob_spark(spark, sf_dir):
     )
     df = docs.unionByName(crafted)
     model = train_unigram(df, vocab_size=200)
-    logp, unk, sym_ids, oov, lowercase, max_len = _unigram_tables(model)
+    logp, unk, sym_ids, oov, lowercase, max_len, _fb = _unigram_tables(model)
     # the factory IS the UDF's code path, so parity here covers the
     # whitespace contract too
     one_doc = _make_unigram_segmenter(model)
@@ -891,3 +891,113 @@ def test_unigram_subword_regularization_sampling(spark):
     want = _make_unigram_segmenter(model, sample_alpha=0.2, seed=7)
     assert rows[1] == want("abc bc abc")
     assert rows[2] is None
+
+
+def test_byte_fallback_unigram_spark_round_trip(spark, sf_dir):
+    """unigram_encode → unigram_decode on a byte_fallback model is the
+    exact identity over real testdata documents plus crafted docs with
+    unseen scripts / NBSP / emoji (lowercase=False); ids and symbol
+    modes agree; NULL stays NULL and empty stays empty — the BPE twin,
+    closing the lossy reserved-OOV path of the plain unigram model."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(20)
+    )
+    crafted = spark.createDataFrame(
+        [(9001, "Ünïcode   nbsp and 日本語 🎉 mixed"),
+         (9002, None),
+         (9003, ""),
+         (9004, "  leading and trailing  ")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(crafted)
+    model = T.train_unigram(
+        df, vocab_size=200, lowercase=False, byte_fallback=True,
+    )
+    enc = T.unigram_encode(df, model)
+    out = {r["doc_id"]: r for r in T.unigram_decode(
+        enc, model, col="unigram_tokens"
+    ).collect()}
+    for did, r in out.items():
+        assert r["text_decoded"] == r["text"], did
+    assert out[9002]["text_decoded"] is None
+    assert out[9003]["text_decoded"] == ""
+    enc_ids = T.unigram_encode(crafted, model, ids=True)
+    got = {r["doc_id"]: r["text_decoded"] for r in T.unigram_decode(
+        enc_ids, model, ids=True
+    ).collect()}
+    assert got[9001] == "Ünïcode   nbsp and 日本語 🎉 mixed"
+    assert got[9004] == "  leading and trailing  "
+
+
+def test_byte_fallback_unigram_edge_inputs():
+    """(a) a LEARNED piece colliding with a reserved <0xNN> is never
+    produced by segmentation (excluded from the Viterbi table), so
+    literal '<0x41>' text round-trips instead of decoding to 'A';
+    (b) lone surrogates round-trip via surrogatepass; (c) NULL
+    elements inside a token array decode to U+FFFD; (d) the plain
+    (non-fallback) model is unchanged: unknown chars still map to the
+    reserved unknown id and decode lossily."""
+    from etl_workflow_spark.operators.text import (
+        _make_unigram_segmenter, decode_unigram_tokens, learn_unigram,
+    )
+
+    model = learn_unigram(
+        [("<0x41>", 50), ("x41", 5)], vocab_size=30, lowercase=False,
+        max_piece_len=8, byte_fallback=True,
+    )
+    assert "<0x41>" in model["pieces"]
+    assert len(model["pieces"]) == len(model["logprobs_e6"])
+    for text in ("<0x41> A", "A <0x41> <0x42>"):
+        toks = _make_unigram_segmenter(model)(text)
+        assert decode_unigram_tokens(toks, model) == text
+        ids = _make_unigram_segmenter(model, ids=True)(text)
+        assert decode_unigram_tokens(ids, model, ids=True) == text
+    weird = "\ud800x \udfffy"
+    toks = _make_unigram_segmenter(model)(weird)
+    assert decode_unigram_tokens(toks, model) == weird
+    assert decode_unigram_tokens(["x", None, "y"], model) == "x�y"
+    assert "�" in decode_unigram_tokens([0, None], model, ids=True)
+    # plain model: documented lossy path intact
+    plain = learn_unigram([("ab", 5)], vocab_size=8, lowercase=False)
+    ids = _make_unigram_segmenter(plain, ids=True)("aZ")
+    assert len(plain["pieces"]) in ids  # reserved unknown id emitted
+
+
+def test_unigram_sampling_doc_key_decorrelates_documents(spark):
+    """ADVICE r9: with a doc key mixed into the crc32 seed, the k-th
+    occurrence of a word draws INDEPENDENT segmentations across
+    documents (Kudo resamples per sentence); draws stay deterministic
+    per (seed, word, occ, key), and the Spark pass with doc_id_col
+    matches the factory."""
+    from etl_workflow_spark.operators.text import (
+        _make_unigram_segmenter, learn_unigram, unigram_encode,
+    )
+
+    model = learn_unigram(
+        [("abc", 10), ("ab", 8), ("bc", 8), ("a", 5), ("b", 5), ("c", 5)],
+        vocab_size=10, lowercase=False,
+    )
+    f = _make_unigram_segmenter(model, sample_alpha=0.2, seed=11)
+    # same text, different doc keys -> at least one differing draw
+    # across a pool of keys (each word occurrence resampled per doc)
+    text = "abc " * 8
+    base = f(text, "doc-0")
+    assert any(f(text, f"doc-{k}") != base for k in range(1, 40))
+    # deterministic: same key reproduces the same draw across
+    # independent segmenter instances
+    g = _make_unigram_segmenter(model, sample_alpha=0.2, seed=11)
+    assert g(text, "doc-7") == f(text, "doc-7")
+    # no key falls back to the per-(word, occ) draw (documented)
+    assert g(text) == f(text)
+    # Spark pass with doc_id_col == factory with the same keys
+    df = spark.createDataFrame(
+        [(1, "abc bc abc"), (2, "abc bc abc"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["unigram_tokens"] for r in unigram_encode(
+        df, model, sample_alpha=0.2, seed=11, doc_id_col="doc_id"
+    ).collect()}
+    assert rows[1] == f("abc bc abc", 1)
+    assert rows[2] == f("abc bc abc", 2)
+    assert rows[3] is None

@@ -449,3 +449,70 @@ def test_byte_fallback_bpe_round_trips_modulo_lowercase(s):
         r"[^\s]+", lambda m: m.group(0).lower(), s, flags=re.ASCII
     )
     assert decode_bpe_tokens(toks, model) == want
+
+
+# ------------------------------------------- byte-fallback unigram LM
+
+_UNI_WORDS = [("hello", 20), ("world", 15), ("byte", 9), ("fall", 7),
+              ("back", 7), ("low", 5)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80))
+def test_byte_fallback_unigram_round_trips_any_string(s):
+    """The unigram twin of the BPE byte-fallback property: EVERY
+    string — unseen scripts, emoji, control chars, non-ASCII
+    whitespace, lone surrogates — round-trips encode→decode exactly
+    (lowercase=False model), in symbol AND id modes, and the reserved
+    unknown id is never emitted."""
+    from etl_workflow_spark.operators.text import (
+        _make_unigram_segmenter, decode_unigram_tokens, learn_unigram,
+    )
+
+    model = learn_unigram(
+        _UNI_WORDS, vocab_size=40, lowercase=False, byte_fallback=True,
+    )
+    toks = _make_unigram_segmenter(model)(s)
+    assert decode_unigram_tokens(toks, model) == s
+    ids = _make_unigram_segmenter(model, ids=True)(s)
+    assert decode_unigram_tokens(ids, model, ids=True) == s
+    # every id is a REAL piece — the reserved unknown id never appears
+    assert all(0 <= i < len(model["pieces"]) for i in ids)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60))
+def test_byte_fallback_unigram_round_trips_modulo_lowercase(s):
+    """Default lowercase normalization: the round trip returns the
+    case-folded input, whitespace preserved exactly (the BPE twin)."""
+    import re
+
+    from etl_workflow_spark.operators.text import (
+        _make_unigram_segmenter, decode_unigram_tokens, learn_unigram,
+    )
+
+    model = learn_unigram(
+        _UNI_WORDS, vocab_size=40, lowercase=True, byte_fallback=True,
+    )
+    toks = _make_unigram_segmenter(model)(s)
+    want = re.sub(
+        r"[^\s]+", lambda m: m.group(0).lower(), s, flags=re.ASCII
+    )
+    assert decode_unigram_tokens(toks, model) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=50), st.integers(0, 3))
+def test_byte_fallback_unigram_sampling_round_trips(s, seed):
+    """Subword-regularization sampling under byte_fallback still
+    round-trips: the sampled segmentation differs, the decoded string
+    does not (lowercase=False model, doc-key mixed in)."""
+    from etl_workflow_spark.operators.text import (
+        _make_unigram_segmenter, decode_unigram_tokens, learn_unigram,
+    )
+
+    model = learn_unigram(
+        _UNI_WORDS, vocab_size=40, lowercase=False, byte_fallback=True,
+    )
+    f = _make_unigram_segmenter(model, sample_alpha=0.3, seed=seed)
+    assert decode_unigram_tokens(f(s, "doc-77"), model) == s
