@@ -456,18 +456,37 @@ def main() -> None:
 
     # Calibrated deltas: host throughput swings 2-4x within a day
     # (measured; r6's apparent dedup_minhash_lsh +70% did not reproduce
-    # on a controlled re-run), so per-query deltas are divided by the
-    # calibration ratio (this run's synthetic-probe time / previous
-    # run's) before judging. Only calibrated regressions >15% are
-    # published (capped at 8, largest first) — the full previous record
-    # lives in BENCH_LOCAL.json for anything deeper.
+    # on a controlled re-run). r10 fix (judge process note): the
+    # synthetic probe was a poor proxy for query throughput — across
+    # three r9 runs it swung 0.645→0.565→0.439s (±32%) while most
+    # query times moved <10%, manufacturing 8 false regression flags
+    # whose set was DISJOINT between runs. The host factor is now the
+    # MEDIAN per-query ratio (this run / previous run) over the shared
+    # headline queries themselves: ~45 independent samples of the same
+    # host multiplier, robust to ≤ half of them genuinely regressing —
+    # a real code regression in a few queries cannot move the median,
+    # while a host-wide slowdown moves every ratio together and is
+    # divided out exactly. The probe's calibration_ratio is still
+    # published as a cross-check (median ≫ probe ratio would mean a
+    # repo-wide real slowdown); flags use the median. Only normalized
+    # regressions >15% are published (capped at 8, largest first) —
+    # the full previous record lives in BENCH_LOCAL.json.
     prev_q = prev_parsed.get("queries") or {}
     if prev_name:
         out["prev_round"] = prev_name
     prev_cal = prev_parsed.get("calibration_sec")
     if prev_q and prev_parsed.get("forcing", "count-star") == out["forcing"]:
-        ratio = (calibration / prev_cal) if prev_cal else 1.0
-        out["calibration_ratio"] = _sig3(ratio)
+        if prev_cal:
+            out["calibration_ratio"] = _sig3(calibration / prev_cal)
+        shared_ratios = sorted(
+            t / prev_q[q]
+            for q, t in timings.items()
+            if q in prev_q and prev_q[q] > 0
+        )
+        ratio = (
+            shared_ratios[len(shared_ratios) // 2] if shared_ratios else 1.0
+        )
+        out["host_ratio_median"] = _sig3(ratio)
         regressions = sorted(
             (
                 (q, _sig3(t / ratio - prev_q[q]))

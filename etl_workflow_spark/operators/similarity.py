@@ -1047,7 +1047,7 @@ def _bound_cell_sizes(
     vec_col: str,
     cell_col: str = "cluster",
     max_depth: int = 4,
-) -> DataFrame:
+) -> tuple[DataFrame, list[DataFrame]]:
     """SemDeDup's oversized-cell mitigation (Abbas et al. 2023 §2:
     re-cluster giant clusters): any cell with more than
     ``max_cell_size`` members is recursively split by k-means over
@@ -1068,18 +1068,33 @@ def _bound_cell_sizes(
     ``max_depth`` levels the cell is accepted as-is. Identical
     vectors are true duplicates; run the exact-dedup tier first if
     that shape dominates.
+
+    Returns ``(frame, pinned)``: ``pinned`` holds the persisted
+    level(s) still backing ``frame`` (empty when no split happened) —
+    the CALLER unpersists them once the frame is consumed. ADVICE r9:
+    the previous implementation ``localCheckpoint``-ed every depth
+    level and those blocks are not releasable through
+    ``DataFrame.unpersist`` (verified), so repeated guarded calls in
+    a long-lived session accreted pinned executor storage; levels now
+    ``persist()``, each released as soon as the NEXT level's sizes
+    pass has materialized it out of the lineage, and the no-oversized
+    common case pins nothing at all.
     """
     cur = with_cell.withColumn(cell_col, F.col(cell_col).cast("string"))
+    # at most the levels still live: [previous, current]; the sizes
+    # collect of each iteration materializes `cur`, after which the
+    # previous level's blocks are dead and are released immediately
+    pinned: list[DataFrame] = []
     prev_over: list | None = None
     for _ in range(int(max_depth)):
-        # pin each level: sizes, the oversized/rest split, and the
-        # next level's scan all re-reference cur — without the
-        # checkpoint every depth re-executes all prior joins/unions
-        cur = cur.localCheckpoint(eager=True)
         sizes = cur.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n"))
         over_rows = sizes.where(
             F.col("n") > F.lit(int(max_cell_size))
         ).collect()
+        if len(pinned) == 2:
+            # the collect above materialized pinned[1] (== cur);
+            # pinned[0] is no longer referenced by anything live
+            pinned.pop(0).unpersist()
         if not over_rows:
             break
         cur_over = sorted((r[cell_col], r["n"]) for r in over_rows)
@@ -1091,6 +1106,11 @@ def _bound_cell_sizes(
             # same non-split
             break
         prev_over = cur_over
+        # about to split: this level is consumed many times (the
+        # big/rest scans and every k-means iteration) — pin it
+        if not pinned:
+            cur = cur.persist()
+            pinned.append(cur)
         over = [r[cell_col] for r in over_rows]
         n_over = sum(r["n"] for r in over_rows)
         k2 = max(2, min(-(-n_over // max(int(max_cell_size) // 2, 1)), 256))
@@ -1109,8 +1129,9 @@ def _bound_cell_sizes(
             )
             .drop("__sub")
         )
-        cur = rest.unionByName(big)
-    return cur
+        cur = rest.unionByName(big).persist()
+        pinned.append(cur)
+    return cur, pinned
 
 
 def semdedup(
@@ -1168,6 +1189,7 @@ def semdedup(
     with_cell = emb.select(id_col, vec_col).join(
         assign.select(id_col, "cluster"), id_col
     )
+    pinned: list[DataFrame] = []
     if max_cell_size is not None:
         # Σ cell² guard: recursively split oversized cells (the
         # paper's own mitigation) so no single cell's quadratic term
@@ -1175,7 +1197,7 @@ def semdedup(
         # near-exact duplicate groups survive splitting unchanged —
         # identical vectors always land in the same sub-cell — which
         # is what the threshold regime (≥0.95 cosine) targets.
-        with_cell = _bound_cell_sizes(
+        with_cell, pinned = _bound_cell_sizes(
             with_cell, max_cell_size, dim, seed, id_col, vec_col
         )
         # composite labels exist only on with_cell now; the count is
@@ -1193,6 +1215,12 @@ def semdedup(
         group_sizes=cell_sizes,
     )
     comps = dedup_clusters(pairs, id_a="vec_a", id_b="vec_b", id_col=id_col)
+    # dedup_clusters consumed the pair list eagerly (edge count +
+    # components), which was the last consumer of the bounded cell
+    # frame — release its persisted levels so repeated guarded calls
+    # in a long-lived session pin no storage (ADVICE r9)
+    for p in pinned:
+        p.unpersist()
     if keep == "min_id":
         losers = comps.where(F.col(id_col) != F.col("cluster_id")).select(
             id_col
@@ -1683,6 +1711,14 @@ def pq_fit(
         raise ValueError(
             f"m_sub={m_sub} must divide the embedding dim {dim}"
         )
+    if not 1 <= int(ksub) <= 32767:
+        # codes are ArrayType(ShortType): a ksub above int16's max
+        # would wrap argmin indices negative and corrupt the index
+        # SILENTLY (negative codes write fine and score garbage)
+        raise ValueError(
+            f"ksub={ksub} out of range: codes are int16, so "
+            "1 <= ksub <= 32767 (256 is the standard PQ choice)"
+        )
     dsub = dim // m_sub
     sn = _l2_normalize(sample)
     coarse, assign = _lloyd(sn, n_cells, seed, return_assign=True)
@@ -1731,6 +1767,11 @@ def _check_pq_model(model: dict) -> None:
         )
     if int(model["m_sub"]) * int(model["dsub"]) != int(model["dim"]):
         raise ValueError("corrupt pq model: m_sub*dsub != dim")
+    if not 1 <= int(model["ksub"]) <= 32767:
+        raise ValueError(
+            f"corrupt pq model: ksub={model['ksub']} exceeds the "
+            "int16 code range (1..32767)"
+        )
 
 
 def pq_index(

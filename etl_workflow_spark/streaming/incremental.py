@@ -1122,11 +1122,38 @@ def _pq_fingerprint(model: dict) -> str:
     )
 
 
+def _pq_store_id_col(columns: list, id_col: str | None) -> str:
+    """The store's vector-id column (ADVICE r9: set-exclusion
+    inference silently keyed the last-write-wins window on the wrong
+    column when the id collided with a reserved name or a future extra
+    column appeared). Explicit ``id_col`` is validated against the
+    columns; otherwise the FIRST column is the id — the store writer
+    (:func:`pq_index_batch` → ``pq_index``'s select) always writes it
+    first and parquet preserves file column order ahead of the
+    partition column. A reserved-named first column is refused rather
+    than guessed around."""
+    reserved = {"cell", "codes", "model_id", "batch_id"}
+    if id_col is not None:
+        if id_col not in columns:
+            raise ValueError(
+                f"id_col {id_col!r} not in the store's columns {columns}"
+            )
+        return id_col
+    first = columns[0] if columns else None
+    if first is None or first in reserved:
+        raise ValueError(
+            f"cannot infer the store's id column from {columns} (first "
+            "column is reserved) — pass id_col explicitly"
+        )
+    return first
+
+
 def read_pq_index(
     spark: SparkSession,
     index_path: str,
     model: dict | None = None,
     latest_only: bool = True,
+    id_col: str | None = None,
 ) -> DataFrame:
     """The store's current code table, shaped for
     :func:`~etl_workflow_spark.operators.similarity.pq_topk` (id,
@@ -1146,7 +1173,13 @@ def read_pq_index(
     last-write-wins by id, one window over the narrow code store —
     otherwise both rows would rank in ``pq_topk`` and the duplicate
     id would displace a real neighbor from top-k. Pass ``False`` to
-    skip the window when ingest ids are guaranteed unique."""
+    skip the window when ingest ids are guaranteed unique.
+
+    ``id_col``: the vector-id column; default infers the store
+    writer's layout (first column — :func:`_pq_store_id_col`).
+    Duplicate ids WITHIN one batch (a writer contract violation, but
+    observable) tie-break deterministically on (cell, codes) rather
+    than partition order."""
     idx = spark.read.parquet(index_path)
     if model is not None:
         if "model_id" not in idx.columns:
@@ -1167,13 +1200,13 @@ def read_pq_index(
                 "the stale fragments (or pass the matching model)"
             )
     if latest_only and "batch_id" in idx.columns:
-        id_col = [
-            c for c in idx.columns
-            if c not in ("cell", "codes", "model_id", "batch_id")
-        ][0]
+        key = _pq_store_id_col(idx.columns, id_col)
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+        w = Window.partitionBy(key).orderBy(
+            F.col("batch_id").desc(), F.col("cell").asc(),
+            F.col("codes").asc(),
+        )
         idx = (
             idx.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
@@ -1183,7 +1216,8 @@ def read_pq_index(
 
 
 def compact_pq_index(
-    spark: SparkSession, store_path: str, before_batch_id: int
+    spark: SparkSession, store_path: str, before_batch_id: int,
+    id_col: str | None = None,
 ) -> None:
     """Collapse closed batches' code fragments into one row per vector
     under ``batch_id=-1`` — the file-count bound for a long-lived
@@ -1191,15 +1225,17 @@ def compact_pq_index(
     micro-batch-per-minute stream would otherwise accrete ~1.4k
     partitions/day and every read pays the full listing).
     Last-write-wins per id among the closed fragments, matching
-    ``read_pq_index(latest_only=True)``."""
+    ``read_pq_index(latest_only=True)`` exactly — same id resolution
+    (:func:`_pq_store_id_col`), same deterministic in-batch
+    tiebreak."""
     from pyspark.sql.window import Window
 
     def merge(old: DataFrame) -> DataFrame:
-        id_col = [
-            c for c in old.columns
-            if c not in ("cell", "codes", "model_id", "batch_id")
-        ][0]
-        w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+        key = _pq_store_id_col(old.columns, id_col)
+        w = Window.partitionBy(key).orderBy(
+            F.col("batch_id").desc(), F.col("cell").asc(),
+            F.col("codes").asc(),
+        )
         return (
             old.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)

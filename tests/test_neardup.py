@@ -692,12 +692,14 @@ def test_semdedup_max_cell_size_splits_but_preserves_results(spark):
     # here, so splitting always succeeds)
     assign, _ = kmeans(df, k=2, dim=8, max_iter=10)
     with_cell = df.join(assign.select("vec_id", "cluster"), "vec_id")
-    bounded = _bound_cell_sizes(
+    bounded, pinned = _bound_cell_sizes(
         with_cell, 20, 8, 7, "vec_id", "embedding"
     )
     sizes = [r["n"] for r in bounded.groupBy("cluster").count()
              .withColumnRenamed("count", "n").collect()]
     assert max(sizes) <= 20
+    for p in pinned:
+        p.unpersist()
 
 
 def test_bound_cell_sizes_accepts_unsplittable_identical_cell(spark):
@@ -709,5 +711,61 @@ def test_bound_cell_sizes_accepts_unsplittable_identical_cell(spark):
 
     rows = [(i, [1.0] * 8, 0) for i in range(30)]
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "cluster"])
-    out = _bound_cell_sizes(df, 5, 8, 7, "vec_id", "embedding")
+    out, pinned = _bound_cell_sizes(df, 5, 8, 7, "vec_id", "embedding")
     assert out.count() == 30  # no rows lost, no exception
+    for p in pinned:
+        p.unpersist()
+
+
+def test_bound_cell_sizes_releases_pinned_storage(spark, monkeypatch):
+    """ADVICE r9: the oversized-cell guard must not accrete pinned
+    executor storage across calls in a long-lived session. Every
+    DataFrame persist() issued during a guarded semdedup — the split
+    levels carrying the vector column included — must be unpersisted
+    by the time the call's result is computed. (kmeans'
+    localCheckpoint of its narrow assignment frame is a separate,
+    pre-existing block class, not covered by persist().)"""
+    from etl_workflow_spark.operators.similarity import semdedup
+
+    df = _mega_cell_corpus(spark)
+    # patch the CONCRETE class (Spark 4: pyspark.sql.DataFrame is an
+    # abstract facade; instances are pyspark.sql.classic.DataFrame)
+    cls = type(df)
+    recorded: list = []
+    orig = cls.persist
+
+    def rec(self, *a, **k):
+        out = orig(self, *a, **k)
+        recorded.append(out)
+        return out
+
+    monkeypatch.setattr(cls, "persist", rec)
+    semdedup(
+        df, threshold=0.9999, k=2, dim=8, keep="min_id",
+        max_cell_size=20,
+    ).count()
+    assert recorded, "the guard should have persisted split levels"
+    still = [d for d in recorded if d.storageLevel.useMemory
+             or d.storageLevel.useDisk]
+    assert not still, f"{len(still)} persisted frames never released"
+
+
+def test_pq_fit_rejects_ksub_beyond_int16(spark):
+    """ADVICE r9: codes are int16 — a ksub above 32767 would wrap
+    argmin indices negative and corrupt the index silently, so pq_fit
+    and the shared model check refuse it loudly."""
+    from etl_workflow_spark.operators.similarity import (
+        _check_pq_model, pq_fit,
+    )
+
+    with pytest.raises(ValueError, match="int16"):
+        _check_pq_model({
+            "format": "spark-graft-ivfpq/v1",
+            "dim": 64, "m_sub": 8, "dsub": 8, "ksub": 40000,
+        })
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="ksub=65536"):
+        pq_fit(df, n_cells=2, m_sub=2, ksub=65536)

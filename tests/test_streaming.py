@@ -921,3 +921,46 @@ def test_train_unigram_from_store_matches_full_corpus(spark, tmp_path):
     full = train_unigram(b1.unionByName(b2), vocab_size=30)
     assert from_store == full
     assert json.loads(json.dumps(from_store)) == from_store
+
+
+def test_pq_store_id_col_resolution_and_tiebreak(spark, sf_dir, tmp_path):
+    """ADVICE r9: the last-write-wins window must key on the REAL id
+    column — explicit id_col is honored, a reserved-named first column
+    is refused instead of guessed around, and duplicate ids within ONE
+    batch resolve deterministically (tie-break on cell/codes, not
+    partition order)."""
+    import pytest
+
+    from etl_workflow_spark.operators import similarity as S
+    from etl_workflow_spark.streaming.incremental import _pq_store_id_col
+
+    # resolution unit cases
+    cols = ["vec_id", "cell", "codes", "model_id", "batch_id"]
+    assert _pq_store_id_col(cols, None) == "vec_id"
+    assert _pq_store_id_col(cols, "vec_id") == "vec_id"
+    with pytest.raises(ValueError, match="not in the store"):
+        _pq_store_id_col(cols, "nope")
+    with pytest.raises(ValueError, match="pass id_col explicitly"):
+        _pq_store_id_col(["cell", "codes", "model_id"], None)
+
+    # deterministic within-batch duplicate: craft one batch holding
+    # the same id twice with different vectors; both reads agree and
+    # pick the (cell, codes)-minimal row
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = S.pq_fit(emb, n_cells=4, m_sub=8, ksub=16)
+    dup = spark.createDataFrame(
+        [(7, [1.0] * 64), (7, [-1.0] * 64), (8, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    store = str(tmp_path / "pqdup")
+    inc.pq_index_batch(dup, store, 0, model)
+    a = {(r["vec_id"], r["cell"], tuple(r["codes"])) for r in
+         inc.read_pq_index(spark, store, model).collect()}
+    b = {(r["vec_id"], r["cell"], tuple(r["codes"])) for r in
+         inc.read_pq_index(spark, store, model, id_col="vec_id").collect()}
+    assert a == b and len(a) == 2
+    rows7 = sorted(t for t in a if t[0] == 7)
+    # the survivor is the (cell, codes)-ascending minimum of the two
+    enc = {(r["cell"], tuple(r["codes"])) for r in
+           S.pq_index(dup, model).where("vec_id = 7").collect()}
+    assert (7, *min(enc)) == rows7[0]
