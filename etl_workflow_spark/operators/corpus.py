@@ -398,6 +398,7 @@ def extend_training_set(
     benchmark: DataFrame | None = None,
     index: DataFrame | None = None,
     audit: bool = False,
+    allow_interleaved_ids: bool = False,
 ) -> dict:
     """Incrementally grow a materialized training set: run the SAME
     recipe the set was built with over ``new_docs`` only, dedup the
@@ -443,13 +444,17 @@ def extend_training_set(
 
     Restrictions (all raise ``ValueError``): chunked/packed sets
     (their stored unit is a derived row; chunk-level incremental dedup
-    would change recipe semantics) and mixture-configured sets (the
-    solved rates are a function of the ORIGINAL stratum distribution)
-    re-materialize instead. ``new_docs`` must match the recorded
-    schema in names AND types (a type-drifted batch would append
-    parquet files unreadable under the recorded schema), and ids must
-    be non-NULL and batch-unique (a NULL id can never equi-match the
-    insert-if-absent anti-join, silently breaking idempotence).
+    would change recipe semantics) re-materialize instead.
+    ``new_docs`` must match the recorded schema in names AND types (a
+    type-drifted batch would append parquet files unreadable under the
+    recorded schema), and ids must be non-NULL and batch-unique (a
+    NULL id can never equi-match the insert-if-absent anti-join,
+    silently breaking idempotence). Under the min-id dedup keep
+    policy, genuinely-new ids must order AFTER every existing id —
+    the condition under which extension (existing copy wins) and a
+    fresh union build (group-minimum id wins) provably agree; an
+    interleaved batch is refused unless ``allow_interleaved_ids=True``
+    asserts it shares no duplicate groups with the corpus.
 
     Single-writer: a best-effort ``_extend.lock`` marker (atomic
     create) rejects concurrent extensions of the same set — two
@@ -503,7 +508,8 @@ def extend_training_set(
                 "manifest.json.bak back to manifest.json, then retry"
             )
         return _extend_locked(
-            spark, new_docs, base, benchmark, index, audit
+            spark, new_docs, base, benchmark, index, audit,
+            allow_interleaved_ids,
         )
     finally:
         _release_extend_lock(spark, base)
@@ -682,6 +688,7 @@ def _batch_recipe(
     id_col: str,
     index: DataFrame | None,
     _audit,
+    allow_interleaved_ids: bool = False,
 ) -> DataFrame:
     """The recorded recipe over a NEW batch, shared by both extension
     paths so the two cannot drift: insert-if-absent by id (narrow
@@ -698,6 +705,40 @@ def _batch_recipe(
     _audit("input", cur)
     cur = cur.join(universe.select(id_col), id_col, "left_anti")
     _audit("new_ids", cur)
+    if (
+        cfg.get("dedup", True)
+        and cfg.get("keep_quality_col") is None
+        and not allow_interleaved_ids
+    ):
+        # equality precondition made LOUD (r9 verdict): under the
+        # min-id keep policy the cross tiers here keep-first across
+        # epochs (the universe member always wins), while a fresh
+        # union build keeps the group-wide MIN id — the two agree
+        # exactly when genuinely-new batch ids order AFTER every
+        # existing id (the monotone-id ingest shape). An interleaved
+        # batch could silently keep a different duplicate-group
+        # representative, so it is refused; replayed ids are fine
+        # (the insert-if-absent anti-join above already dropped them
+        # before this check). Quality-policy sets skip the check
+        # (ranking is id-order-independent). Cost: one narrow min()
+        # over the admitted batch + one max() over the universe's id
+        # column. Opt out with allow_interleaved_ids=True when the
+        # batch provably shares no near-dup groups with the corpus.
+        lo = cur.agg(F.min(id_col).alias("m")).collect()[0]["m"]
+        if lo is not None:
+            hi = universe.agg(F.max(id_col).alias("m")).collect()[0]["m"]
+            if hi is not None and lo <= hi:
+                raise ValueError(
+                    f"extension batch ids interleave existing ids "
+                    f"(min new {lo!r} <= max existing {hi!r}) under the "
+                    "min-id dedup keep policy: extension keeps the "
+                    "existing copy of every cross-epoch duplicate "
+                    "group, but a fresh union build would keep the "
+                    "group's minimum id — the results could silently "
+                    "diverge. Use monotone ids, a quality keep policy, "
+                    "or allow_interleaved_ids=True if the batch shares "
+                    "no duplicate groups with the corpus"
+                )
     if cfg.get("quality_filter", True):
         cur = cur.where(_passes_quality(col))
         _audit("quality", cur)
@@ -786,6 +827,7 @@ def _extend_locked(
     benchmark: DataFrame | None,
     index: DataFrame | None,
     audit: bool,
+    allow_interleaved_ids: bool = False,
 ) -> dict:
     existing, manifest = read_training_set(spark, base)
     cfg = manifest["config"]
@@ -806,7 +848,8 @@ def _extend_locked(
         )
     if cfg.get("mixture") is not None:
         return _extend_mixture(
-            spark, new_docs, base, benchmark, index, audit, manifest
+            spark, new_docs, base, benchmark, index, audit, manifest,
+            allow_interleaved_ids,
         )
     col = cfg.get("col", "text")
     id_col = cfg.get("id_col", "doc_id")
@@ -829,7 +872,8 @@ def _extend_locked(
             stages.append((name, frame.count()))
 
     cur = _batch_recipe(
-        new_docs, existing, cfg, benchmark, col, id_col, index, _audit
+        new_docs, existing, cfg, benchmark, col, id_col, index, _audit,
+        allow_interleaved_ids=allow_interleaved_ids,
     )
     out = deterministic_shuffle(
         cur,
@@ -852,6 +896,7 @@ def _extend_mixture(
     index: DataFrame | None,
     audit: bool,
     manifest: dict,
+    allow_interleaved_ids: bool = False,
 ) -> dict:
     """Incremental extension for MIXTURE-configured sets (r9, lifting
     the r8 refusal): the recorded recipe runs over the NEW batch only
@@ -926,7 +971,8 @@ def _extend_mixture(
             stages.append((name, frame.count()))
 
     cur = _batch_recipe(
-        new_docs, pool, cfg, benchmark, col, id_col, index, _audit
+        new_docs, pool, cfg, benchmark, col, id_col, index, _audit,
+        allow_interleaved_ids=allow_interleaved_ids,
     )
 
     # pool append FIRST (see crash-safety note above), then re-derive

@@ -293,8 +293,17 @@ def test_extend_training_set_dedups_against_existing(
     with open(os.path.join(out, "manifest.json.bak")) as fh:
         assert json.load(fh)["rows"] == 5
 
-    # idempotent re-run: every id now exists -> appends nothing
-    m3 = C.extend_training_set(spark, batch, out)
+    # idempotent re-run: every id now exists or re-drops. The replayed
+    # batch's previously-DROPPED ids (20, 21, 23, 24) re-present as
+    # admitted ids below the max kept id (22), so the r10 min-id
+    # interleave guard fires — a replay is exactly the case the
+    # explicit opt-out documents (the recipe is deterministic, so the
+    # re-processed rows re-drop identically)
+    with pytest.raises(ValueError, match="interleave"):
+        C.extend_training_set(spark, batch, out)
+    m3 = C.extend_training_set(
+        spark, batch, out, allow_interleaved_ids=True
+    )
     assert m3["appended_rows"] == 0
     assert m3["rows"] == 6 and m3["epochs"] == 3
 
@@ -713,3 +722,52 @@ def test_extend_mixture_idempotent_rerun(spark, tmp_path, base_docs):
     assert rows1 == rows2
     assert m2["appended_rows"] == 0
     assert m2["epochs"] == m1["epochs"] + 1
+
+
+def test_extend_refuses_interleaved_ids_under_min_id_policy(
+    spark, tmp_path, base_docs
+):
+    """r9 verdict: the min-id keep-policy equality precondition is now
+    LOUD — a batch whose genuinely-new ids interleave existing ids is
+    refused (extension would keep the existing copy of a cross-epoch
+    dup group; a fresh union build keeps the group minimum), while a
+    replayed batch, a monotone batch, the explicit opt-out, and a
+    quality-policy set all pass."""
+    out = str(tmp_path / "train")
+    C.materialize_training_set(
+        spark, base_docs, out, num_shards=4, dedup_threshold=0.5
+    )
+    # existing kept ids: 1..5 — id 0 interleaves below them
+    inter = _docs(spark, [(0, T6, "web")])
+    with pytest.raises(ValueError, match="interleave"):
+        C.extend_training_set(spark, inter, out)
+    # opt-out: caller asserts no shared duplicate groups
+    m = C.extend_training_set(
+        spark, inter, out, allow_interleaved_ids=True
+    )
+    assert m["appended_rows"] == 1
+    # monotone batch passes the check
+    fresh = (
+        "completely different sentence about volcanoes, glaciers and "
+        "migratory seabirds crossing the strait at dawn"
+    )
+    m2 = C.extend_training_set(
+        spark, _docs(spark, [(50, fresh, "web")]), out
+    )
+    assert m2["appended_rows"] == 1
+    # pure replay (all ids exist) is NOT an interleave — the anti-join
+    # drops them before the check, so the empty admitted batch passes
+    m3 = C.extend_training_set(spark, inter, out, )
+    assert m3["appended_rows"] == 0
+    # quality keep policy: id ordering is irrelevant -> no check
+    qout = str(tmp_path / "trainq")
+    C.materialize_training_set(
+        spark,
+        base_docs.withColumn("q", base_docs.doc_id * 10),
+        qout, num_shards=4, dedup_threshold=0.5, keep_quality_col="q",
+    )
+    qb = _docs(spark, [(0, T6, "web")])
+    mq = C.extend_training_set(
+        spark, qb.withColumn("q", qb.doc_id * 10), qout,
+    )
+    assert mq["appended_rows"] == 1
