@@ -260,6 +260,11 @@ def materialize_training_set(
         "format": "spark-graft-training-set/v1",
         "unit": unit,
         "salt": salt,
+        # pointer to the live data version: mixture extensions publish
+        # re-derived kept sets as fresh data_v* dirs and flip this
+        # (snapshot isolation for concurrent readers); plain builds
+        # and append-only extensions keep "data"
+        "data_dir": "data",
         # recorded schema: read_training_set reads under it, so an
         # all-rows-filtered (zero-part-file) output stays loadable
         "schema": ", ".join(
@@ -796,12 +801,15 @@ def _refresh_manifest_stats(
     stages: list,
 ) -> dict:
     """Post-write manifest refresh shared by both extension paths:
-    every statistic from ONE scan of the written files, epochs
-    incremented, a prior audited epoch's curve never masquerading as
-    this one's, and the atomic manifest replacement."""
+    every statistic from ONE scan of the written files (at the
+    manifest's CURRENT ``data_dir`` — the mixture path points it at
+    the freshly-written version before calling), epochs incremented, a
+    prior audited epoch's curve never masquerading as this one's, and
+    the atomic manifest replacement that publishes the pointer."""
     prev_rows = manifest["rows"]
+    data_rel = manifest.get("data_dir", "data")
     per_shard, shingleable, canaries = _written_shard_stats(
-        spark, f"{base}/data", schema, _n_tokens(col).cast("long"),
+        spark, f"{base}/{data_rel}", schema, _n_tokens(col).cast("long"),
         shingle_col=col, id_col=id_col,
     )
     manifest["shingleable"] = shingleable
@@ -882,7 +890,9 @@ def _extend_locked(
         num_shards=manifest["num_shards"],
         shard_col="shard",
     )
-    out.write.mode("append").partitionBy("shard").parquet(f"{base}/data")
+    out.write.mode("append").partitionBy("shard").parquet(
+        f"{base}/{manifest.get('data_dir', 'data')}"
+    )
     return _refresh_manifest_stats(
         spark, manifest, base, existing.schema, col, id_col, audit, stages
     )
@@ -931,17 +941,26 @@ def _extend_mixture(
     is a pure hash-filter + shuffle of the pool (O(pool), no pairing,
     no re-scan of the raw corpus).
 
-    Concurrency: unlike the plain path's append-only write, the kept
-    rewrite goes through ``_swap_staged`` — NO CONCURRENT READERS
-    during a mixture extension (the lock excludes writers only); a
-    loader streaming shards mid-swap can hit renamed/deleted files.
-    Crash safety under the extend lock: the pool append lands before
-    the kept swap, so a crash between them leaves a consistent old
-    set; ANY later extension (even an empty batch) re-derives kept
-    from the pool and self-heals.
+    Concurrency — snapshot isolation (r10, closing the r9 reader-
+    exclusion caveat): the kept rewrite lands in a FRESH versioned
+    directory (``base/data_v<epoch>_<nonce>``) and becomes visible
+    only through the manifest's ``data_dir`` pointer, flipped by the
+    atomic manifest replacement (which routes renames through the
+    deployment's ``AtomicPublish`` hook). A reader that loaded the
+    manifest before the flip keeps streaming the OLD directory —
+    untouched — and one loading after sees the complete new version;
+    no reader can observe a mix or a mid-rename crash. Old versions
+    accrete until :func:`vacuum_training_set` (run it only when no
+    reader still holds a pre-flip manifest). Crash safety under the
+    extend lock: the pool append lands before the kept write, so a
+    crash between them leaves a consistent old set (plus at most an
+    orphaned, unreferenced version dir — vacuumable); ANY later
+    extension (even an empty batch) re-derives kept from the pool and
+    self-heals.
     """
+    import uuid
+
     from ..sources.txn import _fs, _hpath
-    from ..sources.writers import _swap_staged
 
     cfg = manifest["config"]
     col = cfg.get("col", "text")
@@ -991,7 +1010,17 @@ def _extend_mixture(
         num_shards=manifest["num_shards"],
         shard_col="shard",
     )
-    _swap_staged(spark, f"{base}/data", out, partition_by=["shard"])
+    # versioned publish: write the new kept set to a fresh directory
+    # (nonce-suffixed so a crashed prior attempt can never collide),
+    # then flip the manifest's data_dir pointer atomically — the old
+    # version stays on disk untouched for in-flight readers
+    new_rel = (
+        f"data_v{int(manifest.get('epochs', 1)) + 1}_{uuid.uuid4().hex[:8]}"
+    )
+    out.write.mode("errorifexists").partitionBy("shard").parquet(
+        f"{base}/{new_rel}"
+    )
+    manifest["data_dir"] = new_rel
     cfg["solved_mixture_rates"] = rates or None
     return _refresh_manifest_stats(
         spark, manifest, base, out.schema, col, id_col, audit, stages
@@ -1019,10 +1048,15 @@ def read_training_set(
     manifest = json.loads(
         _read_manifest_text(spark, f"{base}/manifest.json")
     )
+    # data_dir pointer: mixture extensions publish each re-derived
+    # kept set as a fresh versioned directory and flip this field —
+    # the read pins the version its manifest snapshot names, so a
+    # concurrent extension can never mutate files under this frame
+    data_rel = manifest.get("data_dir", "data")
     data = (
         spark.read.schema(manifest["schema"])
-        .option("basePath", f"{base}/data")
-        .parquet(f"{base}/data")
+        .option("basePath", f"{base}/{data_rel}")
+        .parquet(f"{base}/{data_rel}")
     )
     if ordered:
         cfg = manifest.get("config", {})
@@ -1050,6 +1084,34 @@ def read_training_set(
             int(manifest["num_shards"]), F.col("shard")
         ).sortWithinPartitions(F.col("shard"), h, *tiebreak)
     return data, manifest
+
+
+def vacuum_training_set(spark: SparkSession, out_path: str) -> list[str]:
+    """Delete superseded data versions of a training set: every
+    ``data``/``data_v*`` directory under the set EXCEPT the one the
+    live manifest's ``data_dir`` points at. Mixture extensions publish
+    each re-derived kept set as a fresh versioned directory (snapshot
+    isolation — in-flight readers keep their version), so old versions
+    accrete until this explicit call — the Delta-VACUUM shape: run it
+    only when no reader still holds a pre-flip manifest, since their
+    files are removed irrecoverably. Also removes orphaned version
+    dirs left by a crash between the kept write and the pointer flip.
+    Returns the relative names removed."""
+    base = out_path.rstrip("/")
+    from ..sources.txn import _fs, _hpath
+
+    manifest = json.loads(_read_manifest_text(spark, f"{base}/manifest.json"))
+    live = manifest.get("data_dir", "data")
+    jvm, fs = _fs(spark, base)
+    removed: list[str] = []
+    for st in fs.listStatus(_hpath(jvm, base)):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name != live and (name == "data" or name.startswith("data_v")):
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+    return sorted(removed)
 
 
 def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:

@@ -771,3 +771,56 @@ def test_extend_refuses_interleaved_ids_under_min_id_policy(
         spark, qb.withColumn("q", qb.doc_id * 10), qout,
     )
     assert mq["appended_rows"] == 1
+
+
+def test_extend_mixture_snapshot_isolated_publish(
+    spark, tmp_path, base_docs, holdout
+):
+    """r9 verdict task #2: the mixture kept rewrite is snapshot
+    isolated — a reader holding the pre-extension manifest keeps
+    streaming the OLD version's files untouched through the extension
+    (no renamed/deleted files under it), a post-extension reader sees
+    exactly the new version, and vacuum_training_set removes the
+    superseded version (and only it)."""
+    out = str(tmp_path / "snap")
+    C.materialize_training_set(
+        spark, base_docs, out,
+        benchmark=holdout,
+        mixture={"web": 0.5, "code": 0.5},
+        strata_col="source",
+        num_shards=2,
+    )
+    # a concurrent reader: loads the manifest NOW, collects later
+    old_reader, old_manifest = C.read_training_set(spark, out)
+    before = sorted(tuple(r) for r in old_reader.collect())
+    assert old_manifest.get("data_dir", "data") == "data"
+
+    batch = _docs(spark, [(40, T7, "code"), (41, T8, "code")])
+    m = C.extend_training_set(spark, batch, out, benchmark=holdout)
+    assert m["data_dir"].startswith("data_v")
+
+    # the old reader's files are untouched: same rows, no crash
+    assert sorted(tuple(r) for r in old_reader.collect()) == before
+    # a fresh reader pins the new version and sees the extended set
+    new_reader, new_manifest = C.read_training_set(spark, out)
+    assert new_manifest["data_dir"] == m["data_dir"]
+    assert new_reader.count() == m["rows"] > len(before)
+
+    # vacuum removes exactly the superseded version; the live one stays
+    removed = C.vacuum_training_set(spark, out)
+    assert removed == ["data"]
+    assert os.path.isdir(os.path.join(out, m["data_dir"]))
+    assert not os.path.exists(os.path.join(out, "data"))
+    still, _ = C.read_training_set(spark, out)
+    assert still.count() == m["rows"]
+
+    # a second extension supersedes the first version dir too
+    batch2 = _docs(
+        spark,
+        [(60, "fresh words about tidal marshes and migrating cranes "
+              "crossing the delta in october", "web")],
+    )
+    m2 = C.extend_training_set(spark, batch2, out, benchmark=holdout)
+    assert m2["data_dir"] != m["data_dir"]
+    removed2 = C.vacuum_training_set(spark, out)
+    assert removed2 == [m["data_dir"]]
