@@ -1686,6 +1686,7 @@ def pq_fit(
     sample_size: int = 4096,
     seed: int = 7,
     vec_col: str = "embedding",
+    opq_iters: int = 0,
 ) -> dict:
     """Train an IVF-PQ model (product quantization with residual
     encoding, Jégou et al. 2011) for cosine top-k: a coarse k-means
@@ -1694,6 +1695,25 @@ def pq_fit(
     the COARSE RESIDUALS ``v/|v| − centroid(v)`` of a bounded driver
     sample. Vectors are L2-normalized first, so inner product over
     reconstructions approximates cosine directly.
+
+    ``opq_iters > 0`` additionally learns an ORTHOGONAL rotation
+    (OPQ, Ge et al. 2013, the non-parametric alternation): rotate →
+    train quantizers → re-solve the rotation as the orthogonal
+    Procrustes problem against the reconstructions (SVD of XᵀX̂) →
+    repeat. Rotation preserves inner products, so the scored metric is
+    unchanged; what changes is the SUBSPACE DECOMPOSITION — on
+    anisotropic corpora (correlated dims, unbalanced variance — the
+    shape real embedding models emit) contiguous dim-slices waste
+    codebook bits on low-energy subspaces, and the learned rotation
+    re-balances energy across them, cutting ADC distortion and lifting
+    recall at the same byte budget. On exactly-isotropic data a
+    rotation is a no-op BY SYMMETRY (an isotropic distribution is
+    rotation-invariant), so it cannot lift the measured cell-membership
+    recall ceiling there (SCALE.md §15) — flat ADC remains the
+    isotropic-corpus tier. The rotation rides in the model
+    (``rotation``), is applied inside :func:`pq_index` and
+    :func:`pq_topk`'s query path, and changes the model fingerprint —
+    an index encoded without it is refused, never silently mis-scored.
 
     All training is driver-side on ≤``sample_size`` vectors — the
     standard recipe: quantizers are tiny and trained once; the corpus
@@ -1721,17 +1741,47 @@ def pq_fit(
         )
     dsub = dim // m_sub
     sn = _l2_normalize(sample)
-    coarse, assign = _lloyd(sn, n_cells, seed, return_assign=True)
-    residuals = sn - coarse[assign]
-    codebooks = [
-        _lloyd(residuals[:, m * dsub : (m + 1) * dsub], ksub, seed + 1 + m)
-        for m in range(m_sub)
-    ]
+
+    def _train(X):
+        co, asg = _lloyd(X, n_cells, seed, return_assign=True)
+        res = X - co[asg]
+        cbs = [
+            _lloyd(res[:, m * dsub : (m + 1) * dsub], ksub, seed + 1 + m)
+            for m in range(m_sub)
+        ]
+        return co, asg, cbs
+
+    rotation = None
+    if int(opq_iters) > 0:
+        R = np.eye(dim)
+        for _ in range(int(opq_iters)):
+            Y = sn @ R
+            co, asg, cbs = _train(Y)
+            # reconstruct each training vector from its codes, then
+            # re-solve R = argmin ‖XR − X̂‖² over orthogonal R: the
+            # Procrustes solution UVᵀ from the SVD of XᵀX̂
+            recon = co[asg].copy()
+            for m in range(m_sub):
+                Rm = Y[:, m * dsub : (m + 1) * dsub] - co[asg][
+                    :, m * dsub : (m + 1) * dsub
+                ]
+                codes_m = _pairwise_d2(Rm, cbs[m]).argmin(axis=1)
+                recon[:, m * dsub : (m + 1) * dsub] += cbs[m][codes_m]
+            U, _s, Vt = np.linalg.svd(sn.T @ recon)
+            R = U @ Vt
+        rotation = R
+        sn = sn @ R  # final quantizers train in the final rotated space
+
+    coarse, assign, codebooks = _train(sn)
     coarse_l = [[float(x) for x in c] for c in coarse]
     codebooks_l = [
         [[float(x) for x in e] for e in cb] for cb in codebooks
     ]
-    return {
+    rotation_l = (
+        None if rotation is None
+        else [[float(x) for x in r] for r in rotation]
+    )
+    model = {
         "format": "spark-graft-ivfpq/v1",
         "metric": "cosine",
         "dim": int(dim),
@@ -1739,23 +1789,34 @@ def pq_fit(
         "dsub": int(dsub),
         "n_cells": int(len(coarse)),
         "ksub": int(len(codebooks[0])),
-        # fingerprint of the trained quantizers: pq_index stamps it
-        # into the codes column metadata (survives parquet) and
-        # pq_topk refuses an index encoded under a DIFFERENT model —
-        # a stale index would otherwise score garbage silently, since
-        # codes/cells stay in-range for any same-shape model
-        "model_id": _pq_model_id(coarse_l, codebooks_l),
+        # fingerprint of the trained quantizers (rotation included
+        # when learned — rotated and unrotated models must never
+        # accept each other's indexes): pq_index stamps it into the
+        # codes column metadata (survives parquet) and pq_topk refuses
+        # an index encoded under a DIFFERENT model — a stale index
+        # would otherwise score garbage silently, since codes/cells
+        # stay in-range for any same-shape model
+        "model_id": _pq_model_id(coarse_l, codebooks_l, rotation_l),
         "coarse": coarse_l,
         "codebooks": codebooks_l,
     }
+    if rotation_l is not None:
+        model["rotation"] = rotation_l
+    return model
 
 
-def _pq_model_id(coarse: list, codebooks: list) -> str:
+def _pq_model_id(coarse: list, codebooks: list, rotation: list | None = None) -> str:
     import hashlib
     import json as _json
 
+    # rotation-less models hash exactly as before (backward-readable
+    # ids: every pre-OPQ index stays valid under its original model)
+    payload = (
+        [coarse, codebooks] if rotation is None
+        else [coarse, codebooks, rotation]
+    )
     return hashlib.sha256(
-        _json.dumps([coarse, codebooks]).encode()
+        _json.dumps(payload).encode()
     ).hexdigest()[:16]
 
 
@@ -1800,6 +1861,7 @@ def pq_index(
     _check_pq_model(model)
     co_b = model["coarse"]
     cb_b = model["codebooks"]
+    rot_b = model.get("rotation")
     in_schema = corpus.select(id_col, vec_col).schema
     out_schema = StructType([
         in_schema[0],
@@ -1810,12 +1872,15 @@ def pq_index(
     def encode(batches):
         CO = np.asarray(co_b, dtype=np.float64)
         CB = np.asarray(cb_b, dtype=np.float64)
+        R = None if rot_b is None else np.asarray(rot_b, dtype=np.float64)
         M, K, dsub = CB.shape
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Vn = _l2_normalize(V)
+            if R is not None:
+                Vn = Vn @ R  # OPQ: quantizers live in rotated space
             assign = _pairwise_d2(Vn, CO).argmin(axis=1)
             R = Vn - CO[assign]
             codes = np.empty((len(Vn), M), dtype=np.int16)
@@ -1893,6 +1958,7 @@ def pq_topk(
             )
     co_b = model["coarse"]
     cb_b = model["codebooks"]
+    rot_b = model.get("rotation")
     m_sub = int(model["m_sub"])
     dsub = int(model["dsub"])
 
@@ -1905,6 +1971,8 @@ def pq_topk(
         def probe_cells(vs: pd.Series) -> pd.Series:
             CO = np.asarray(co_b, dtype=np.float64)
             M = _l2_normalize(np.array(vs.tolist(), dtype=np.float64))
+            if rot_b is not None:
+                M = M @ np.asarray(rot_b, dtype=np.float64)
             d2 = _pairwise_d2(M, CO)
             order = np.argsort(d2, axis=1)[:, : int(n_probe)]
             return pd.Series([list(map(int, row)) for row in order])
@@ -1925,6 +1993,7 @@ def pq_topk(
     ) -> pd.Series:
         CO = np.asarray(co_b, dtype=np.float64)
         CB = np.asarray(cb_b, dtype=np.float64)
+        R = None if rot_b is None else np.asarray(rot_b, dtype=np.float64)
         out = np.empty(len(qv), dtype=np.float64)
         cells = cell.to_numpy()
         # few distinct queries per batch: build each query's LUT once
@@ -1939,6 +2008,10 @@ def pq_topk(
             nrm = np.linalg.norm(qn)
             if nrm > 0:
                 qn = qn / nrm
+            if R is not None:
+                # rotation is orthogonal: (qR)·(vR) == q·v, so ADC in
+                # rotated space scores the SAME cosine
+                qn = qn @ R
             lut = np.einsum(
                 "mkd,md->mk", CB, qn.reshape(m_sub, dsub)
             )

@@ -1118,7 +1118,9 @@ def _pq_fingerprint(model: dict) -> str:
 
     return str(
         model.get("model_id")
-        or _pq_model_id(model["coarse"], model["codebooks"])
+        or _pq_model_id(
+            model["coarse"], model["codebooks"], model.get("rotation")
+        )
     )
 
 

@@ -1001,3 +1001,81 @@ def test_unigram_sampling_doc_key_decorrelates_documents(spark):
     assert rows[1] == f("abc bc abc", 1)
     assert rows[2] == f("abc bc abc", 2)
     assert rows[3] is None
+
+
+def _aniso_corpus(spark, n=1200, dim=32, seed=11):
+    """Anisotropic + correlated embeddings — the shape real encoders
+    emit and the one contiguous PQ dim-slices handle worst: a latent
+    gaussian pushed through a decaying-spectrum mixer, so energy
+    concentrates in a few NON-axis-aligned directions."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    U, _ = np.linalg.qr(rng.randn(dim, dim))
+    V, _ = np.linalg.qr(rng.randn(dim, dim))
+    A = U @ np.diag(np.exp(-np.arange(dim) / 4.0)) @ V
+    X = rng.randn(n, dim) @ A
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_opq_rotation_lifts_adc_recall_on_anisotropic_data(spark):
+    """OPQ (Ge et al. 2013): the learned rotation is orthogonal to
+    machine precision, survives a JSON round trip, changes the model
+    fingerprint (a rotation-less index is refused), leaves the exact
+    re-rank scores bit-identical to brute force, and lifts RAW ADC
+    recall (rerank_factor=1 — no exact re-rank masking the
+    quantization error) over plain PQ on an anisotropic corpus.
+    Measured on this fixture: 0.519 -> 0.625."""
+    import json as _json
+
+    import numpy as np
+
+    emb = _aniso_corpus(spark).persist()
+    emb.count()
+    q = emb.where("vec_id < 16").withColumnRenamed("vec_id", "query_id")
+    truth = {}
+    brute = {(r["query_id"], r["neighbor_id"]): r["score_e4"]
+             for r in S.brute_force_topk(emb, q, k=10).collect()}
+    for qid, nid in brute:
+        truth.setdefault(qid, set()).add(nid)
+
+    def recall(model):
+        idx = S.pq_index(emb, model)
+        got = {}
+        for r in S.pq_topk(idx, q, model, emb, k=10,
+                           rerank_factor=1).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(k, set()) & v) for k, v in truth.items()
+        ) / sum(len(v) for v in truth.values())
+
+    plain = S.pq_fit(emb, n_cells=8, m_sub=8, ksub=16, seed=7)
+    opq = S.pq_fit(emb, n_cells=8, m_sub=8, ksub=16, seed=7, opq_iters=5)
+    # model contract: orthogonal rotation, JSON-stable, distinct id
+    R = np.asarray(opq["rotation"])
+    assert np.abs(R @ R.T - np.eye(R.shape[0])).max() < 1e-9
+    assert _json.loads(_json.dumps(opq)) == opq
+    assert opq["model_id"] != plain["model_id"]
+    assert "rotation" not in plain  # rotation-less models unchanged
+    r_plain, r_opq = recall(plain), recall(opq)
+    assert r_opq > r_plain + 0.05, (r_plain, r_opq)
+    # cross-model index refusal: codes encoded without the rotation
+    # must never be scored under it (and vice versa)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different pq model"):
+        S.pq_topk(S.pq_index(emb, plain), q, opq, emb, k=5)
+    with _pytest.raises(ValueError, match="different pq model"):
+        S.pq_topk(S.pq_index(emb, opq), q, plain, emb, k=5)
+    # exact re-rank parity holds under the rotation (orthogonal ->
+    # same cosine): every returned overlapping pair scores identically
+    for r in S.pq_topk(
+        S.pq_index(emb, opq), q, opq, emb, k=10, rerank_factor=8
+    ).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["score_e4"] == brute[key]
+    emb.unpersist()

@@ -223,6 +223,67 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
         cidx.unpersist()
         cq.unpersist()
         cemb.unpersist()
+
+        # OPQ (r10): PQ vs OPQ raw-ADC recall on an ANISOTROPIC
+        # derivative (fixed decaying-spectrum mixer — the correlated,
+        # unbalanced-variance shape real encoders emit, where
+        # contiguous dim-slices waste codebook bits). rerank x1 keeps
+        # the exact re-rank from masking quantization error; the x8
+        # rows show the deployed config. On the untouched ISOTROPIC
+        # corpus a rotation is a no-op by symmetry (rotation-invariant
+        # distribution), so the flat-ADC rows above are its ceiling.
+        MIX = np.random.RandomState(5)
+        U_m, _ = np.linalg.qr(MIX.randn(64, 64))
+        V_m, _ = np.linalg.qr(MIX.randn(64, 64))
+        A_b = [
+            [float(x) for x in r]
+            for r in U_m @ np.diag(np.exp(-np.arange(64) / 8.0)) @ V_m
+        ]
+
+        def mix(batches):
+            import numpy as _np
+            AA = _np.asarray(A_b)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "embedding": [r.tolist() for r in V @ AA],
+                })
+
+        aemb = emb.mapInPandas(
+            mix, "vec_id long, embedding array<double>"
+        ).persist()
+        aemb.count()
+        aq = (
+            aemb.where("vec_id < 32")
+            .withColumnRenamed("vec_id", "query_id")
+            .persist()
+        )
+        aq.count()
+        atruth, abf_sec = timed_sets(
+            lambda: S.brute_force_topk(aemb, aq, k=topk)
+        )
+        an_true = sum(len(v) for v in atruth.values())
+        for label, iters in (("plain", 0), ("opq", 8)):
+            amodel = S.pq_fit(
+                aemb, n_cells=16, m_sub=8, ksub=256, opq_iters=iters
+            )
+            aidx = S.pq_index(aemb, amodel).persist()
+            aidx.count()
+            for rf in (1, 8):
+                report(
+                    f"pq_flat_aniso_{label}",
+                    f"M=8 ksub=256 rerank x{rf}",
+                    lambda: S.pq_topk(aidx, aq, amodel, aemb,
+                                      k=topk, rerank_factor=rf),
+                    truth=atruth, n_true=an_true, bf_sec=abf_sec,
+                    bytes_frac=round(bytes_frac, 3), rows_frac=1.0,
+                )
+            aidx.unpersist()
+        aq.unpersist()
+        aemb.unpersist()
         emb.unpersist()
     spark.stop()
 
