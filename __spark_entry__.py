@@ -2444,17 +2444,148 @@ _REVENUE_WINDOWS_ORACLE = f"""
 """
 
 
+# Fixed unigram-LM gate model (r10): tiny, hand-written, shared
+# VERBATIM by the Spark encoder and the DuckDB oracle — the Viterbi DP
+# is replicated in SQL (list lambdas; _unigram_gate_oracle_ids), so
+# `unigram_encode(ids=True)` gets a full cross-engine hash check, not
+# just a pytest oracle. ASCII pieces only (the testdata generator
+# emits ASCII text, verified; lower() then agrees byte-for-byte across
+# engines); distinct logprobs; common-English pieces so real document
+# words exercise multi-char segmentation, with unknown chars hitting
+# the reserved-id fallback on both sides.
+_UNIGRAM_GATE_MODEL = {
+    "format": "spark-graft-unigram/v1",
+    "pieces": [
+        "e", "t", "a", "o", "i", "n", "s", "r", "h", "l", "d", "c",
+        "u", "m", "th", "he", "in", "er", "an", "re", "the", "ing",
+        "ion", "and", "ed", "es",
+    ],
+    "logprobs_e6": [
+        -2_000_000, -2_050_000, -2_100_000, -2_150_000, -2_200_000,
+        -2_250_000, -2_300_000, -2_350_000, -2_400_000, -2_450_000,
+        -2_500_000, -2_550_000, -2_600_000, -2_650_000, -3_100_000,
+        -3_150_000, -3_200_000, -3_250_000, -3_300_000, -3_350_000,
+        -3_900_000, -3_950_000, -4_000_000, -4_050_000, -3_400_000,
+        -3_450_000,
+    ],
+    "lowercase": True,
+    "max_piece_len": 3,
+}
+
+
+def _unigram_gate_oracle_ctes() -> str:
+    """DuckDB twin of ``unigram_encode(ids=True)`` under the fixed gate
+    model, as a chain of CTEs ending in ``uni(doc_id, chunk_text,
+    n_tokens)``: ASCII-whitespace split (the segmenter's re.ASCII
+    class), per-DISTINCT-word Viterbi DP as a RECURSIVE CTE carrying
+    the (best, backptr) arrays — one recursion step per character —
+    then a backward-walk recursion to pieces, the piece→id map with
+    the reserved-unknown fallback, and per-doc reassembly in word
+    order. Every float is derived e6/1e6 and summed in the same order
+    as the Python DP, and the argmax tie-breaks to the first (lowest
+    start) candidate on both engines, so the id streams hash equal.
+
+    Why recursion and not list_reduce lambdas: DuckDB 1.0's nested
+    list_reduce + lambda-capture path returns UNINITIALIZED memory at
+    batch scale (reproduced: the same word segments differently via
+    unnest, VALUES, a prepared param, and a table scan) — the
+    recursive-CTE formulation stays on the well-tested path and
+    verified exact on all 500 sf0.01 docs against the Python DP."""
+    m = _UNIGRAM_GATE_MODEL
+    pieces, lps = m["pieces"], m["logprobs_e6"]
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    logp_map = "MAP {" + ", ".join(
+        f"{_q(p)}: CAST({lp} AS DOUBLE)/1e6" for p, lp in zip(pieces, lps)
+    ) + "}"
+    id_map = "MAP {" + ", ".join(
+        f"{_q(p)}: {i}" for i, p in enumerate(pieces)
+    ) + "}"
+    L = int(m["max_piece_len"])
+    oov = len(pieces)
+    unk = repr(min(lp / 1e6 for lp in lps) - 10.0)
+    return f"""
+    uw0 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                  '[ \\t\\n\\x0B\\f\\r]+'), w -> w != '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uw1 AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wp
+        FROM uw0
+    ),
+    uwordpos AS (
+        SELECT doc_id, CAST(wp AS INT) AS wp, ws[wp] AS w FROM uw1
+    ),
+    uuw AS (SELECT DISTINCT w FROM uwordpos),
+    udp(w, i, b, k) AS (
+        SELECT w, 0, [CAST(0 AS DOUBLE)], [CAST(0 AS INT)] FROM uuw
+        UNION ALL
+        SELECT w, i, list_append(b, mx),
+               list_append(k, CAST(lo + list_position(vals, mx) - 1
+                                   AS INT))
+        FROM (
+            SELECT w, i, b, k, lo, vals,
+                   list_aggregate(vals, 'max') AS mx
+            FROM (
+                SELECT w, i + 1 AS i, b, k,
+                       greatest(0, i + 1 - {L}) AS lo,
+                       list_transform(range(greatest(0, i + 1 - {L}),
+                                            i + 1),
+                         j -> b[j + 1] + CASE WHEN i + 1 - j = 1
+                              THEN coalesce(
+                                  ({logp_map}[w[j + 1 : i + 1]])[1],
+                                  {unk})
+                              ELSE ({logp_map}[w[j + 1 : i + 1]])[1]
+                              END) AS vals
+                FROM udp WHERE i < length(w)
+            ) s1
+        ) s2
+    ),
+    ufin AS (SELECT w, k FROM udp WHERE i = length(w)),
+    uwalk(w, k, pos, ids) AS (
+        SELECT w, k, CAST(length(w) AS INT), CAST([] AS INT[]) FROM ufin
+        UNION ALL
+        SELECT w, k, k[pos + 1],
+               list_prepend(CAST(coalesce(
+                   ({id_map}[w[k[pos + 1] + 1 : pos]])[1], {oov})
+                   AS INT), ids)
+        FROM uwalk WHERE pos > 0
+    ),
+    useg AS (SELECT w, ids FROM uwalk WHERE pos = 0),
+    udocids AS (
+        SELECT uwordpos.doc_id,
+               flatten(list(useg.ids ORDER BY uwordpos.wp)) AS uids
+        FROM uwordpos JOIN useg ON uwordpos.w = useg.w
+        GROUP BY uwordpos.doc_id
+    ),
+    uni AS (
+        SELECT uw0.doc_id, CAST(0 AS INT) AS chunk_idx,
+               array_to_string(coalesce(udocids.uids, []), ',')
+                   AS chunk_text,
+               CAST(coalesce(len(udocids.uids), 0) AS INT) AS n_tokens,
+               'unigram' AS tier
+        FROM uw0 LEFT JOIN udocids ON uw0.doc_id = udocids.doc_id
+    )"""
+
+
 def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunking (row-level oracle) + sequence-packing invariants in one
-    frame, two hash-checked tiers: tier='text' is whitespace chunking
+    frame, THREE hash-checked tiers: tier='text' is whitespace chunking
     (`chunk_documents`), tier='ids' is the r9 exact tokenizer-id
     chunking (`chunk_token_ids`, chunk=8/overlap=3 so the stride path
     is exercised) over a synthetic id array both engines derive
     identically (sequence 0..n_chars%37) — id chunks serialize to CSV
-    strings so the tiers share one schema. The packing contract
-    (token conservation, budget ceiling, fill floor) is appended as
-    constant columns; pack ids depend on the shard hash, so only the
-    contract is checkable."""
+    strings so the tiers share one schema — and tier='unigram' (r10)
+    is the REAL `unigram_encode(ids=True)` under the fixed
+    `_UNIGRAM_GATE_MODEL`, hash-checked against a full Viterbi DP
+    replicated in DuckDB SQL. The packing contract (token
+    conservation, budget ceiling, fill floor) is appended as constant
+    columns; pack ids depend on the shard hash, so only the contract
+    is checkable."""
     docs = table(spark, sf_dir, "documents")
     chunks = CH.chunk_documents(docs, chunk_tokens=32)
     packed = CH.pack_sequences(chunks, budget_tokens=256, num_shards=16)
@@ -2481,8 +2612,20 @@ def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("ids", ",").alias("chunk_text"), "n_tokens",
         F.lit("ids").alias("tier"),
     )
+    uni_tier = T.unigram_encode(
+        docs.where(F.col("text").isNotNull()).select("doc_id", "text"),
+        _UNIGRAM_GATE_MODEL, ids=True,
+    ).select(
+        "doc_id",
+        F.lit(0).alias("chunk_idx"),
+        F.array_join(
+            F.col("unigram_tokens").cast("array<string>"), ","
+        ).alias("chunk_text"),
+        F.size("unigram_tokens").alias("n_tokens"),
+        F.lit("unigram").alias("tier"),
+    )
     return (
-        text_tier.unionByName(ids_tier)
+        text_tier.unionByName(ids_tier).unionByName(uni_tier)
         .withColumn(
             "total_tokens", F.lit(inv["total_tokens"]).cast("long")
         )
@@ -2494,7 +2637,7 @@ def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHUNK_PACK_ORACLE = f"""
-    WITH ch0 AS ({_CHUNK_DOCUMENTS_ORACLE}),
+    WITH RECURSIVE ch0 AS ({_CHUNK_DOCUMENTS_ORACLE}),
     ch AS (
         SELECT doc_id, chunk_idx, chunk_text, n_tokens,
                'text' AS tier
@@ -2521,8 +2664,10 @@ _CHUNK_PACK_ORACLE = f"""
                'ids' AS tier
         FROM tid1
     ),
+    {_unigram_gate_oracle_ctes()},
     both_tiers AS (
         SELECT * FROM ch UNION ALL SELECT * FROM tid
+        UNION ALL SELECT * FROM uni
     ),
     inv AS (
         SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

@@ -174,3 +174,22 @@ def test_unigram_ops_on_empty_corpus(spark, empty_docs):
     live = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     row = T.unigram_encode(live, model, ids=True).collect()[0]
     assert row["unigram_tokens"] == [0, 0]
+
+
+def test_byte_fallback_unigram_on_empty_corpus(spark, empty_docs):
+    """byte_fallback over an empty corpus: the model is just the 256
+    reserved byte pieces; live text still encodes (everything
+    byte-decomposes) and round-trips exactly; decode of empty stays
+    empty and NULL stays NULL."""
+    from etl_workflow_spark.operators import text as T
+
+    model = T.train_unigram(empty_docs, vocab_size=8, byte_fallback=True)
+    assert len(model["pieces"]) == 256
+    live = spark.createDataFrame(
+        [(1, "ab cd"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    enc = T.unigram_encode(live, model, ids=True)
+    out = {r["doc_id"]: r["text_decoded"] for r in T.unigram_decode(
+        enc, model, ids=True
+    ).collect()}
+    assert out == {1: "ab cd", 2: None, 3: ""}
