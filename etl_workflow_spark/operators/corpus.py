@@ -63,6 +63,7 @@ def materialize_training_set(
     dedup: bool = True,
     dedup_threshold: float = 0.8,
     keep_quality_col: str | None = None,
+    semantic_dedup: dict | None = None,
     mixture: dict[str, float] | None = None,
     strata_col: str | None = None,
     chunk_tokens: int | None = None,
@@ -86,6 +87,19 @@ def materialize_training_set(
     3. **dedup**: :func:`~.dedup.dedup_corpus` (exact tier → MinHash/
        LSH → connected components → keep policy; pass
        ``keep_quality_col`` for best-quality-survives).
+    3b. **semantic dedup** (``semantic_dedup`` config, r10): SemDeDup
+       over an embedding column AFTER the lexical tiers
+       (:func:`~.similarity.semdedup`). Config keys: ``vec_col``
+       (default "embedding"), ``threshold`` (0.95), ``keep``
+       ("min_id"; "farthest" allowed but then extension equality is
+       not guaranteed), ``k`` (16, used only when training),
+       ``max_cell_size`` (optional Σcell² guard), ``centroids``
+       (optional pretrained k×dim list — when absent, k-means trains
+       here and the RESULT is recorded in the manifest config, making
+       the clustering part of the recipe: extensions and fresh
+       rebuilds dedup under the IDENTICAL cell structure). NULL
+       embeddings pass through unexamined (the module's
+       null-preservation contract).
     4. **mixture**: :func:`~.sampling.target_mixture` solves per-stratum
        keep rates for ``mixture`` shares over ``strata_col`` (largest
        feasible output, no upsampling) and hash-downsamples.
@@ -109,6 +123,18 @@ def materialize_training_set(
         raise ValueError("mixture targets require strata_col")
     if pack_budget is not None and chunk_tokens is None:
         raise ValueError("pack_budget requires chunk_tokens")
+    sem: dict | None = None
+    if semantic_dedup is not None:
+        sem = dict(semantic_dedup)
+        sem.setdefault("vec_col", "embedding")
+        sem.setdefault("threshold", 0.95)
+        sem.setdefault("keep", "min_id")
+        sem.setdefault("k", 16)
+        if sem["vec_col"] not in docs.columns:
+            raise ValueError(
+                f"semantic_dedup.vec_col {sem['vec_col']!r} not in the "
+                f"input columns {docs.columns}"
+            )
 
     stages: list[tuple[str, int]] = []
 
@@ -139,6 +165,9 @@ def materialize_training_set(
             id_col=id_col,
         )
         _audit("deduped", cur)
+    if sem is not None:
+        cur = _semantic_stage(cur, sem, id_col, train_if_needed=True)
+        _audit("semantic_dedup", cur)
     rates: dict[str, float] = {}
     premix_schema: str | None = None
     if mixture is not None:
@@ -155,12 +184,19 @@ def materialize_training_set(
             # outright, so a pool there would be dead storage — they
             # keep the pre-r9 single-plan build.
             premix_path = f"{out_path.rstrip('/')}/premix"
+            if sem is not None:
+                # the pool carries the recipe clustering's cell id so
+                # extensions probe stored cells instead of re-assigning
+                # the whole pool per batch
+                cur = _with_semcell(cur, sem, id_col)
             cur.write.mode("errorifexists").parquet(premix_path)
             premix_schema = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"
                 for f in cur.schema.fields
             )
             cur = spark.read.schema(premix_schema).parquet(premix_path)
+            if sem is not None:
+                cur = cur.drop("__semcell")
         cur, rates = target_mixture(
             cur, mixture, strata_col, key=id_col, salt=f"{salt}:mix"
         )
@@ -296,6 +332,7 @@ def materialize_training_set(
             "dedup": dedup,
             "dedup_threshold": dedup_threshold if dedup else None,
             "keep_quality_col": keep_quality_col,
+            "semantic_dedup": sem,
             "mixture": mixture,
             "strata_col": strata_col,
             "solved_mixture_rates": rates or None,
@@ -316,6 +353,66 @@ def materialize_training_set(
         manifest["stage_rows"] = dict(stages)
     _write_manifest(spark, f"{out_path.rstrip('/')}/manifest.json", manifest)
     return manifest
+
+
+def _semantic_stage(
+    cur: DataFrame, sem: dict, id_col: str, train_if_needed: bool = False
+) -> DataFrame:
+    """The recipe's semantic-dedup stage: SemDeDup under a FIXED
+    clustering (:func:`~.similarity.semdedup` with the recorded
+    centroids — recorded at build so extensions and fresh rebuilds
+    dedup under the identical cell structure). With
+    ``train_if_needed`` (the build path) absent centroids are trained
+    here via :func:`~.similarity.kmeans` and written back into ``sem``
+    for the manifest. NULL embeddings pass through unexamined."""
+    from .similarity import kmeans, semdedup
+
+    v = sem["vec_col"]
+    nn = cur.where(F.col(v).isNotNull())
+    nulls = cur.where(F.col(v).isNull())
+    if sem.get("centroids") is None:
+        if not train_if_needed:
+            raise ValueError(
+                "recorded semantic_dedup config has no centroids — the "
+                "set predates the r10 semantic tier; re-materialize"
+            )
+        dim = sem.get("dim")
+        if dim is None:
+            row = nn.select(v).first()
+            if row is None:
+                sem["centroids"] = []
+                return cur
+            dim = len(row[0])
+        _, cents = kmeans(
+            nn, k=int(sem["k"]), dim=int(dim),
+            seed=int(sem.get("seed", 7)), id_col=id_col, vec_col=v,
+        )
+        sem["centroids"] = cents
+    if not sem["centroids"]:
+        return cur
+    kept = semdedup(
+        nn, threshold=float(sem["threshold"]), keep=sem["keep"],
+        id_col=id_col, vec_col=v, centroids=sem["centroids"],
+        max_cell_size=sem.get("max_cell_size"),
+    )
+    return kept.unionByName(nulls)
+
+
+def _with_semcell(cur: DataFrame, sem: dict, id_col: str) -> DataFrame:
+    """Attach the recipe clustering's cell id as ``__semcell`` (NULL
+    for NULL embeddings) — persisted in the premix pool so mixture
+    extensions probe the pool's cells without re-assigning the whole
+    pool per batch."""
+    from .similarity import assign_cells
+
+    if not sem.get("centroids"):
+        return cur.withColumn("__semcell", F.lit(None).cast("bigint"))
+    v = sem["vec_col"]
+    cells = assign_cells(
+        cur.where(F.col(v).isNotNull()), sem["centroids"],
+        id_col=id_col, vec_col=v,
+    ).select(id_col, F.col("cluster").alias("__semcell"))
+    return cur.join(cells, id_col, "left")
 
 
 def _shingleable_cond(col: str, id_col: str):
@@ -533,7 +630,9 @@ def _validate_batch(
     expected = {
         f.name: f.dataType.simpleString()
         for f in reference.schema.fields
-        if f.name != "shard"
+        # shard is the shuffle's own column; __semcell is the pool's
+        # stored recipe-clustering assignment — neither is input
+        if f.name not in ("shard", "__semcell")
     }
     got = {f.name: f.dataType.simpleString() for f in new_docs.schema.fields}
     if got != expected:
@@ -710,11 +809,14 @@ def _batch_recipe(
     _audit("input", cur)
     cur = cur.join(universe.select(id_col), id_col, "left_anti")
     _audit("new_ids", cur)
-    if (
-        cfg.get("dedup", True)
-        and cfg.get("keep_quality_col") is None
-        and not allow_interleaved_ids
-    ):
+    min_id_lexical = (
+        cfg.get("dedup", True) and cfg.get("keep_quality_col") is None
+    )
+    sem_cfg = cfg.get("semantic_dedup")
+    min_id_semantic = (
+        bool(sem_cfg) and sem_cfg.get("keep", "min_id") == "min_id"
+    )
+    if (min_id_lexical or min_id_semantic) and not allow_interleaved_ids:
         # equality precondition made LOUD (r9 verdict): under the
         # min-id keep policy the cross tiers here keep-first across
         # epochs (the universe member always wins), while a fresh
@@ -787,6 +889,47 @@ def _batch_recipe(
         )
         cur = cur.join(losers, id_col, "left_anti")
         _audit("cross_neardup", cur)
+    sem = cfg.get("semantic_dedup")
+    if sem:
+        from .similarity import semdedup_probe
+
+        v = sem["vec_col"]
+        # within-batch semantic dedup under the RECORDED clustering
+        cur = _semantic_stage(cur, sem, id_col)
+        _audit("semantic_within_batch", cur)
+        if sem.get("centroids"):
+            batch_nn = cur.where(F.col(v).isNotNull())
+            if "__semcell" in universe.columns:
+                # mixture path: the pool stored its cell assignments
+                corpus_cells = universe.where(F.col(v).isNotNull())
+            else:
+                # plain path: the kept set stores no cells — assign
+                # from the recorded centroids (one Arrow pass over the
+                # corpus per extension; the premix-pool path avoids
+                # this, which is the shape to prefer at scale)
+                corpus_cells = _with_semcell(
+                    universe, sem, id_col
+                ).where(F.col(v).isNotNull())
+            pairs = semdedup_probe(
+                batch_nn, corpus_cells, sem["centroids"],
+                threshold=float(sem["threshold"]),
+                id_col=id_col, vec_col=v, cluster_col="__semcell",
+            )
+            # probe cross pairs are (vec_a=universe, vec_b=batch); the
+            # universe member always wins (keep-first across epochs,
+            # same contract as the lexical cross tiers); batch×batch
+            # pairs fail the semi-join and were already resolved by
+            # the within-batch stage
+            ex_ids = universe.select(F.col(id_col).alias("__ex"))
+            losers = (
+                pairs.join(
+                    ex_ids, pairs["vec_a"] == F.col("__ex"), "left_semi"
+                )
+                .select(F.col("vec_b").alias(id_col))
+                .distinct()
+            )
+            cur = cur.join(losers, id_col, "left_anti")
+        _audit("cross_semantic", cur)
     return cur
 
 
@@ -996,10 +1139,18 @@ def _extend_mixture(
 
     # pool append FIRST (see crash-safety note above), then re-derive
     # the kept set from the re-read pool files
+    if cfg.get("semantic_dedup"):
+        # batch survivors enter the pool WITH their recipe-clustering
+        # cell, keeping the stored assignments complete for the next
+        # extension's probe
+        cur = _with_semcell(cur, cfg["semantic_dedup"], id_col)
     cur.write.mode("append").parquet(premix_path)
     pool = spark.read.schema(premix_schema).parquet(premix_path)
+    kept_src = (
+        pool.drop("__semcell") if "__semcell" in pool.columns else pool
+    )
     kept, rates = target_mixture(
-        pool, cfg["mixture"], cfg["strata_col"], key=id_col,
+        kept_src, cfg["mixture"], cfg["strata_col"], key=id_col,
         salt=f"{manifest['salt']}:mix",
     )
     _audit("mixture", kept)

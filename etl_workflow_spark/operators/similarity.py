@@ -1146,6 +1146,7 @@ def semdedup(
     rows_per_block: int = 4096,
     seed: int = 7,
     max_cell_size: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -1182,10 +1183,20 @@ def semdedup(
     if keep not in ("farthest", "min_id"):
         raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
 
-    assign, _ = kmeans(
-        emb, k=k, dim=dim, max_iter=max_iter, seed=seed,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if centroids is not None:
+        # FIXED clustering (the recipe/extension shape — the training
+        # set records its centroids so extensions and fresh rebuilds
+        # dedup under the identical cell structure): one Arrow
+        # assignment pass, no k-means training; k/dim/max_iter/seed
+        # are ignored
+        assign = assign_cells(
+            emb, centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        assign, _ = kmeans(
+            emb, k=k, dim=dim, max_iter=max_iter, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
     with_cell = emb.select(id_col, vec_col).join(
         assign.select(id_col, "cluster"), id_col
     )

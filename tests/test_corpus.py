@@ -824,3 +824,130 @@ def test_extend_mixture_snapshot_isolated_publish(
     assert m2["data_dir"] != m["data_dir"]
     removed2 = C.vacuum_training_set(spark, out)
     assert removed2 == [m["data_dir"]]
+
+
+def _vdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, "
+              "embedding array<double>"
+    )
+
+
+# well-separated base embeddings; 11/12 are semantic near-dups of each
+# other (cosine ~1) with DIFFERENT text, so only the semantic tier can
+# collapse them
+_E1 = [1.0, 0.0, 0.0, 0.0]
+_E2 = [0.0, 1.0, 0.0, 0.0]
+_E3 = [0.0, 0.0, 1.0, 0.0]
+_SEM_BASE = [
+    (11, "a long enough sentence about rivers flowing to the delta "
+         "every spring season", "web", _E1),
+    (12, "completely different words describing mountain passes and "
+         "winter snowfall patterns", "web", [0.999, 0.01, 0.0, 0.0]),
+    (13, "the third base document talks about harbor cranes and "
+         "container ships at dawn", "web", _E2),
+    (14, "def load(rows): return [r for r in rows if r] # keep the "
+         "non empty entries", "code", _E3),
+    (15, "print(total) gives the final answer for the nightly batch "
+         "report pipeline run", "code", [0.0, 0.0, 0.0, 1.0]),
+]
+
+
+def test_semantic_dedup_tier_in_recipe_and_extension(
+    spark, tmp_path
+):
+    """r9 verdict task #5: the training-set recipe gains a semantic
+    tier — build runs semdedup after MinHash under centroids RECORDED
+    in the manifest; a mixture extension probes the premix pool's
+    STORED cell assignments; extended set == fresh union build given
+    the recorded clustering; drop accounting includes the semantic
+    stages."""
+    docs = _vdocs(spark, _SEM_BASE)
+    out = str(tmp_path / "sem")
+    kwargs = dict(
+        mixture={"web": 0.5, "code": 0.5},
+        strata_col="source",
+        num_shards=2,
+        semantic_dedup={"vec_col": "embedding", "k": 2, "threshold": 0.95},
+        audit=True,
+    )
+    m = C.materialize_training_set(spark, docs, out, **kwargs)
+    sem_cfg = m["config"]["semantic_dedup"]
+    assert sem_cfg["centroids"], "build must record the trained centroids"
+    assert "semantic_dedup" in m["stage_rows"]
+    # 12 is a semantic near-dup of 11 (min-id keep -> 11 survives)
+    data, _ = C.read_training_set(spark, out)
+    ids0 = {r.doc_id for r in data.collect()}
+    assert 11 in ids0 and 12 not in ids0
+    # the pool carries cell assignments
+    pool = spark.read.parquet(f"{out}/premix")
+    assert "__semcell" in pool.columns
+    assert pool.where("__semcell IS NULL").count() == 0
+
+    batch = _vdocs(spark, [
+        # semantic near-dup of existing 13 (different text) -> dropped
+        (20, "unrelated phrasing about observatory domes on a clear "
+             "night with telescopes", "web", [0.01, 0.999, 0.0, 0.0]),
+        # within-batch semantic dup pair: 21 survives (min id), 22 drops
+        (21, "fresh content about tidal pools and shore birds feeding "
+             "at low tide", "web", [0.7, 0.0, 0.7, 0.0]),
+        (22, "entirely different words on the same embedding for the "
+             "within batch pair", "web", [0.7, 0.01, 0.7, 0.0]),
+        # genuinely new -> survives
+        (23, "the nightly report sums the daily totals and sorts the "
+             "days in descending order", "code", [0.0, 0.5, 0.0, -0.8]),
+    ])
+    m2 = C.extend_training_set(spark, batch, out, audit=True)
+    curve = m2["stage_rows"]
+    assert "semantic_within_batch" in curve and "cross_semantic" in curve
+    assert curve["cross_semantic"] < curve["semantic_within_batch"]
+    data2, _ = C.read_training_set(spark, out, ordered=True)
+    ids = {r.doc_id for r in data2.collect()}
+    assert 20 not in ids and 22 not in ids
+    assert 21 in ids and 23 in ids
+
+    # fresh union build under the RECORDED clustering == extension
+    out_b = str(tmp_path / "sem_b")
+    kwargs_b = dict(kwargs)
+    kwargs_b["semantic_dedup"] = {
+        "vec_col": "embedding", "k": 2, "threshold": 0.95,
+        "centroids": sem_cfg["centroids"],
+    }
+    mb = C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, **kwargs_b
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in data2.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+    assert m2["rows"] == mb["rows"] and m2["tokens"] == mb["tokens"]
+
+
+def test_semantic_dedup_plain_path_and_null_embeddings(spark, tmp_path):
+    """The non-mixture path: extension assigns the kept corpus's cells
+    from the recorded centroids on the fly (documented pool-less
+    trade); NULL embeddings pass through every semantic stage
+    unexamined."""
+    rows = _SEM_BASE + [(16, "a document with no embedding vector at "
+                             "all in this corpus", "web", None)]
+    docs = _vdocs(spark, rows)
+    out = str(tmp_path / "plain")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2,
+        semantic_dedup={"vec_col": "embedding", "k": 2},
+    )
+    data, _ = C.read_training_set(spark, out)
+    ids = {r.doc_id for r in data.collect()}
+    assert 16 in ids and 12 not in ids  # NULL passes; near-dup drops
+    batch = _vdocs(spark, [
+        (30, "observatory domes on a clear night with many telescopes "
+             "and visitors", "web", [0.01, 0.999, 0.0, 0.0]),
+        (31, "the counting job tallies the events for the current day "
+             "and ranks them", "code", [0.0, 0.5, 0.0, -0.8]),
+        (32, "another embedding-less row that only the lexical tiers "
+             "can ever examine", "web", None),
+    ])
+    m2 = C.extend_training_set(spark, batch, out)
+    ids2 = {r.doc_id for r in C.read_training_set(spark, out)[0].collect()}
+    assert 30 not in ids2          # semantic cross-dup of 13
+    assert 31 in ids2 and 32 in ids2
