@@ -135,6 +135,11 @@ def materialize_training_set(
                 f"semantic_dedup.vec_col {sem['vec_col']!r} not in the "
                 f"input columns {docs.columns}"
             )
+        if sem.get("centroids") is not None and not sem["centroids"]:
+            raise ValueError(
+                "semantic_dedup.centroids is empty — pass a real k×dim "
+                "list or omit it to train at build time"
+            )
 
     stages: list[tuple[str, int]] = []
 
@@ -380,8 +385,16 @@ def _semantic_stage(
         if dim is None:
             row = nn.select(v).first()
             if row is None:
-                sem["centroids"] = []
-                return cur
+                # recording empty centroids would silently disable the
+                # semantic tier for EVERY later extension (batches with
+                # real embeddings would skip it while a fresh rebuild
+                # of the union would train and dedup) — refuse loudly
+                raise ValueError(
+                    "semantic_dedup is configured but the corpus has "
+                    "no non-NULL embeddings to train the clustering "
+                    "on — drop the config, or pass pretrained "
+                    "centroids"
+                )
             dim = len(row[0])
         _, cents = kmeans(
             nn, k=int(sem["k"]), dim=int(dim),
@@ -552,11 +565,15 @@ def extend_training_set(
     recorded schema), and ids must be non-NULL and batch-unique (a
     NULL id can never equi-match the insert-if-absent anti-join,
     silently breaking idempotence). Under the min-id dedup keep
-    policy, genuinely-new ids must order AFTER every existing id —
-    the condition under which extension (existing copy wins) and a
-    fresh union build (group-minimum id wins) provably agree; an
-    interleaved batch is refused unless ``allow_interleaved_ids=True``
-    asserts it shares no duplicate groups with the corpus.
+    policy, batch rows surviving the within-batch stages must order
+    AFTER every existing id — the condition under which extension
+    (existing copy wins) and a fresh union build (group-minimum id
+    wins) agree for every duplicate group whose members are visible
+    in the kept/pool universe; an interleaved batch is refused unless
+    ``allow_interleaved_ids=True`` asserts it shares no duplicate
+    groups with the corpus. (Inherent residual, documented at the
+    check: a fresh union build can also link groups THROUGH docs a
+    previous epoch dropped — chains no survivor-only check can see.)
 
     Single-writer: a best-effort ``_extend.lock`` marker (atomic
     create) rejects concurrent extensions of the same set — two
@@ -809,43 +826,6 @@ def _batch_recipe(
     _audit("input", cur)
     cur = cur.join(universe.select(id_col), id_col, "left_anti")
     _audit("new_ids", cur)
-    min_id_lexical = (
-        cfg.get("dedup", True) and cfg.get("keep_quality_col") is None
-    )
-    sem_cfg = cfg.get("semantic_dedup")
-    min_id_semantic = (
-        bool(sem_cfg) and sem_cfg.get("keep", "min_id") == "min_id"
-    )
-    if (min_id_lexical or min_id_semantic) and not allow_interleaved_ids:
-        # equality precondition made LOUD (r9 verdict): under the
-        # min-id keep policy the cross tiers here keep-first across
-        # epochs (the universe member always wins), while a fresh
-        # union build keeps the group-wide MIN id — the two agree
-        # exactly when genuinely-new batch ids order AFTER every
-        # existing id (the monotone-id ingest shape). An interleaved
-        # batch could silently keep a different duplicate-group
-        # representative, so it is refused; replayed ids are fine
-        # (the insert-if-absent anti-join above already dropped them
-        # before this check). Quality-policy sets skip the check
-        # (ranking is id-order-independent). Cost: one narrow min()
-        # over the admitted batch + one max() over the universe's id
-        # column. Opt out with allow_interleaved_ids=True when the
-        # batch provably shares no near-dup groups with the corpus.
-        lo = cur.agg(F.min(id_col).alias("m")).collect()[0]["m"]
-        if lo is not None:
-            hi = universe.agg(F.max(id_col).alias("m")).collect()[0]["m"]
-            if hi is not None and lo <= hi:
-                raise ValueError(
-                    f"extension batch ids interleave existing ids "
-                    f"(min new {lo!r} <= max existing {hi!r}) under the "
-                    "min-id dedup keep policy: extension keeps the "
-                    "existing copy of every cross-epoch duplicate "
-                    "group, but a fresh union build would keep the "
-                    "group's minimum id — the results could silently "
-                    "diverge. Use monotone ids, a quality keep policy, "
-                    "or allow_interleaved_ids=True if the batch shares "
-                    "no duplicate groups with the corpus"
-                )
     if cfg.get("quality_filter", True):
         cur = cur.where(_passes_quality(col))
         _audit("quality", cur)
@@ -864,6 +844,48 @@ def _batch_recipe(
             id_col=id_col,
         )
         _audit("deduped_within_batch", cur)
+    min_id_lexical = (
+        cfg.get("dedup", True) and cfg.get("keep_quality_col") is None
+    )
+    sem_cfg = cfg.get("semantic_dedup")
+    min_id_semantic = (
+        bool(sem_cfg) and sem_cfg.get("keep", "min_id") == "min_id"
+    )
+    if (min_id_lexical or min_id_semantic) and not allow_interleaved_ids:
+        # equality precondition made LOUD (r9 verdict): under a min-id
+        # keep policy the cross tiers below keep-first across epochs
+        # (the universe member always wins), while a fresh union build
+        # keeps the group-wide MIN id — for any duplicate group whose
+        # members are all UNIVERSE-VISIBLE the two agree exactly when
+        # the rows reaching the cross tiers order AFTER every existing
+        # id (the monotone-id ingest shape); an interleaved batch
+        # could silently keep a different group representative, so it
+        # is refused. The check runs AFTER the within-batch stages so
+        # low ids that quality/decontamination/within-batch dedup
+        # would drop anyway cannot trigger a false refusal; replayed
+        # ids were dropped by the insert-if-absent anti-join. Known
+        # residual (documented, not detectable from the survivor-only
+        # universe): a fresh union build can also link duplicate
+        # groups THROUGH docs a previous epoch dropped — no check over
+        # kept rows can see those chains. Quality-policy sets skip
+        # (ranking is id-order-independent). Cost: one narrow min()
+        # over the surviving batch + one max() over the universe ids.
+        lo = cur.agg(F.min(id_col).alias("m")).collect()[0]["m"]
+        if lo is not None:
+            hi = universe.agg(F.max(id_col).alias("m")).collect()[0]["m"]
+            if hi is not None and lo <= hi:
+                raise ValueError(
+                    f"extension batch ids interleave existing ids "
+                    f"(min surviving new {lo!r} <= max existing {hi!r}) "
+                    "under the min-id dedup keep policy: extension "
+                    "keeps the existing copy of every cross-epoch "
+                    "duplicate group, but a fresh union build would "
+                    "keep the group's minimum id — the results could "
+                    "silently diverge. Use monotone ids, a quality "
+                    "keep policy, or allow_interleaved_ids=True if the "
+                    "batch shares no duplicate groups with the corpus"
+                )
+    if cfg.get("dedup", True):
         ex_hash = universe.where(F.col(col).isNotNull()).select(
             F.sha2(normalize_text(col), 256).alias("__h")
         )
@@ -1247,22 +1269,34 @@ def vacuum_training_set(spark: SparkSession, out_path: str) -> list[str]:
     only when no reader still holds a pre-flip manifest, since their
     files are removed irrecoverably. Also removes orphaned version
     dirs left by a crash between the kept write and the pointer flip.
-    Returns the relative names removed."""
+    Takes the ``_extend.lock`` for its duration: without it a vacuum
+    racing an in-flight extension would see the extension's
+    not-yet-published version dir as an orphan and delete it out from
+    under the imminent pointer flip. Returns the relative names
+    removed."""
     base = out_path.rstrip("/")
     from ..sources.txn import _fs, _hpath
 
-    manifest = json.loads(_read_manifest_text(spark, f"{base}/manifest.json"))
-    live = manifest.get("data_dir", "data")
-    jvm, fs = _fs(spark, base)
-    removed: list[str] = []
-    for st in fs.listStatus(_hpath(jvm, base)):
-        if not st.isDirectory():
-            continue
-        name = st.getPath().getName()
-        if name != live and (name == "data" or name.startswith("data_v")):
-            fs.delete(st.getPath(), True)
-            removed.append(name)
-    return sorted(removed)
+    _acquire_extend_lock(spark, base)
+    try:
+        manifest = json.loads(
+            _read_manifest_text(spark, f"{base}/manifest.json")
+        )
+        live = manifest.get("data_dir", "data")
+        jvm, fs = _fs(spark, base)
+        removed: list[str] = []
+        for st in fs.listStatus(_hpath(jvm, base)):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name != live and (
+                name == "data" or name.startswith("data_v")
+            ):
+                fs.delete(st.getPath(), True)
+                removed.append(name)
+        return sorted(removed)
+    finally:
+        _release_extend_lock(spark, base)
 
 
 def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:

@@ -1220,18 +1220,23 @@ def semdedup(
         cell_sizes = assign.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n")
         )
-    pairs = embedding_neardup_blocked(
-        with_cell, threshold=threshold, rows_per_block=rows_per_block,
-        id_col=id_col, vec_col=vec_col, group_col="cluster",
-        group_sizes=cell_sizes,
-    )
-    comps = dedup_clusters(pairs, id_a="vec_a", id_b="vec_b", id_col=id_col)
-    # dedup_clusters consumed the pair list eagerly (edge count +
-    # components), which was the last consumer of the bounded cell
-    # frame — release its persisted levels so repeated guarded calls
-    # in a long-lived session pin no storage (ADVICE r9)
-    for p in pinned:
-        p.unpersist()
+    try:
+        pairs = embedding_neardup_blocked(
+            with_cell, threshold=threshold, rows_per_block=rows_per_block,
+            id_col=id_col, vec_col=vec_col, group_col="cluster",
+            group_sizes=cell_sizes,
+        )
+        comps = dedup_clusters(
+            pairs, id_a="vec_a", id_b="vec_b", id_col=id_col
+        )
+    finally:
+        # dedup_clusters consumes the pair list eagerly (edge count +
+        # components), the last consumer of the bounded cell frame —
+        # release its persisted levels so repeated guarded calls in a
+        # long-lived session pin no storage (ADVICE r9); the finally
+        # keeps a mid-pairing failure from re-introducing the leak
+        for p in pinned:
+            p.unpersist()
     if keep == "min_id":
         losers = comps.where(F.col(id_col) != F.col("cluster_id")).select(
             id_col
@@ -1883,20 +1888,20 @@ def pq_index(
     def encode(batches):
         CO = np.asarray(co_b, dtype=np.float64)
         CB = np.asarray(cb_b, dtype=np.float64)
-        R = None if rot_b is None else np.asarray(rot_b, dtype=np.float64)
+        ROT = None if rot_b is None else np.asarray(rot_b, dtype=np.float64)
         M, K, dsub = CB.shape
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Vn = _l2_normalize(V)
-            if R is not None:
-                Vn = Vn @ R  # OPQ: quantizers live in rotated space
+            if ROT is not None:
+                Vn = Vn @ ROT  # OPQ: quantizers live in rotated space
             assign = _pairwise_d2(Vn, CO).argmin(axis=1)
-            R = Vn - CO[assign]
+            resid = Vn - CO[assign]
             codes = np.empty((len(Vn), M), dtype=np.int16)
             for m in range(M):
-                Rm = R[:, m * dsub : (m + 1) * dsub]
+                Rm = resid[:, m * dsub : (m + 1) * dsub]
                 codes[:, m] = (
                     _pairwise_d2(Rm, CB[m]).argmin(axis=1).astype(np.int16)
                 )

@@ -2292,9 +2292,30 @@ def unigram_logprob(
     pieces and unknown-character fallbacks. Returns ``(id_col,
     n_pieces, avg_logprob_e6)`` — NULL text scores NULL, empty text
     scores (0, NULL). One narrow mapInPandas pass, no shuffle, no
-    per-field struct re-evaluation."""
+    per-field struct re-evaluation.
+
+    ``byte_fallback`` models score through a PLAIN view (reserved
+    ``<0xNN>`` pieces stripped, fallback off): the fallback encoder
+    emits a byte token per whitespace run and per unknown-char byte,
+    each of which would otherwise score the unk floor — a fluent
+    100-word document would drown in ~99 floor-scored whitespace
+    tokens and the fluency signal this function exists for would
+    collapse. The scored segmentation is therefore identical whether
+    the model was trained with fallback or not."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if model.get("byte_fallback"):
+        kept = [
+            (p, lp)
+            for p, lp in zip(model["pieces"], model["logprobs_e6"])
+            if p not in _BYTE_SET
+        ]
+        model = {
+            **model,
+            "pieces": [p for p, _ in kept],
+            "logprobs_e6": [lp for _, lp in kept],
+            "byte_fallback": False,
+        }
     tables = _unigram_tables(model)
     in_schema = df.select(id_col, col).schema
     out_schema = StructType([

@@ -951,3 +951,63 @@ def test_semantic_dedup_plain_path_and_null_embeddings(spark, tmp_path):
     ids2 = {r.doc_id for r in C.read_training_set(spark, out)[0].collect()}
     assert 30 not in ids2          # semantic cross-dup of 13
     assert 31 in ids2 and 32 in ids2
+
+
+def test_vacuum_respects_extend_lock_and_guard_placement(
+    spark, tmp_path, base_docs, holdout
+):
+    """Code-review regressions (r10): (a) vacuum takes the extend
+    lock, so it can never delete an in-flight extension's
+    not-yet-published version dir; (b) the interleave guard runs AFTER
+    the within-batch stages, so a low id the quality filter drops
+    anyway cannot force a false refusal; (c) a build with
+    semantic_dedup over an all-NULL embedding corpus refuses instead
+    of recording empty centroids."""
+    out = str(tmp_path / "g")
+    C.materialize_training_set(
+        spark, base_docs, out,
+        benchmark=holdout,
+        mixture={"web": 0.5, "code": 0.5},
+        strata_col="source",
+        num_shards=2,
+    )
+    # (a) a held lock blocks vacuum
+    lock = os.path.join(out, "_extend.lock")
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="_extend.lock"):
+        C.vacuum_training_set(spark, out)
+    os.remove(lock)
+    assert C.vacuum_training_set(spark, out) == []
+    # and vacuum releases its own lock
+    assert not os.path.exists(lock)
+
+    # (b) on a plain set: batch holds id 0 (interleaves) that FAILS
+    # quality + a monotone survivor — no refusal, survivor appends
+    pout = str(tmp_path / "gp")
+    C.materialize_training_set(spark, base_docs, pout, num_shards=2)
+    batch = _docs(spark, [
+        (0, "!!! ??? ...", "web"),
+        (60, "a perfectly ordinary fresh sentence about lighthouse "
+             "keepers and their long winters", "web"),
+    ])
+    m = C.extend_training_set(spark, batch, pout)
+    assert m["appended_rows"] == 1
+    ids = {r.doc_id for r in C.read_training_set(spark, pout)[0].collect()}
+    assert 60 in ids and 0 not in ids
+
+    # (c) semantic over all-NULL embeddings refuses loudly
+    vd = spark.createDataFrame(
+        [(1, "plenty of ordinary words to pass the quality gate with "
+             "room to spare", "web", None)],
+        "doc_id long, text string, source string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="no non-NULL embeddings"):
+        C.materialize_training_set(
+            spark, vd, str(tmp_path / "nn"), num_shards=2,
+            semantic_dedup={"vec_col": "embedding", "k": 2},
+        )
+    with pytest.raises(ValueError, match="centroids is empty"):
+        C.materialize_training_set(
+            spark, vd, str(tmp_path / "ec"), num_shards=2,
+            semantic_dedup={"vec_col": "embedding", "centroids": []},
+        )

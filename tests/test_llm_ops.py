@@ -1079,3 +1079,53 @@ def test_opq_rotation_lifts_adc_recall_on_anisotropic_data(spark):
         if key in brute:
             assert r["score_e4"] == brute[key]
     emb.unpersist()
+
+
+def test_pq_index_multi_batch_encode_consistent(spark):
+    """Code-review regression (r10): encode() must treat every Arrow
+    batch identically — a prior bug clobbered the OPQ rotation
+    variable with the first batch's residual matrix, corrupting or
+    crashing partitions with more than one batch. Encode with a tiny
+    Arrow batch size and compare against the one-batch result, plain
+    and rotated models."""
+    emb = _aniso_corpus(spark, n=300, dim=16, seed=4).coalesce(1)
+    for iters in (0, 3):
+        model = S.pq_fit(emb, n_cells=4, m_sub=4, ksub=8,
+                         seed=7, opq_iters=iters)
+        big = {r["vec_id"]: (r["cell"], tuple(r["codes"]))
+               for r in S.pq_index(emb, model).collect()}
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        try:
+            small = {r["vec_id"]: (r["cell"], tuple(r["codes"]))
+                     for r in S.pq_index(emb, model).collect()}
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+        assert small == big and len(big) == 300
+
+
+def test_unigram_logprob_scores_fallback_like_plain(spark):
+    """Code-review regression (r10): unigram_logprob on a
+    byte_fallback model must score the PLAIN segmentation — not charge
+    the unk floor for every whitespace/unknown byte token the fallback
+    encoder emits."""
+    from etl_workflow_spark.operators.text import (
+        learn_unigram, unigram_logprob,
+    )
+
+    words = [("hello", 20), ("world", 15), ("data", 9)]
+    plain = learn_unigram(words, vocab_size=30, lowercase=False)
+    fb = learn_unigram(
+        words, vocab_size=30, lowercase=False, byte_fallback=True,
+    )
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "data Ünseen"), (3, None)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: (r["n_pieces"], r["avg_logprob_e6"])
+         for r in unigram_logprob(df, plain).collect()}
+    b = {r["doc_id"]: (r["n_pieces"], r["avg_logprob_e6"])
+         for r in unigram_logprob(df, fb).collect()}
+    assert a == b
