@@ -717,6 +717,12 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       >= 0.9 against the exact rows. Flat ADC is the mode that holds
       recall on isotropic data, where NO cell-pruned tier can
       (tools/scalecheck.py --ann-recall measures the ceiling).
+    - imi_recall_ok (r10): the inverted multi-index tier (product
+      cells from two half-space quantizers, pairs probed in summed-
+      distance order): mean recall@5 >= 0.6 at cells=8x8 / 24 pairs —
+      measured 0.68-0.70 at both gate scales; scalecheck's imi rows
+      carry the recall-vs-rows frontier (dominates flat IVF ~2x in
+      rows at equal recall on the isotropic corpus).
 
     The exact tier is bounded (8 queries x k=5 = 40 rows/tier), so the
     frame is materialized eagerly and the persisted base released —
@@ -757,12 +763,18 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=5, rerank_factor=8,
         )
         pq_ok = _mean_recall_ok(pq.collect(), 9, 10)
+        imi_model = S.imi_fit(emb, n_cells=8)
+        imi = S.imi_topk(
+            S.imi_index(emb, imi_model), queries_df, imi_model, emb,
+            k=5, n_probe_pairs=24,
+        )
+        imi_ok = _mean_recall_ok(imi.collect(), 6, 10)
         int8_rows = S.quantized_topk(
             emb, queries_df, k=5, rerank_factor=4
         ).collect()
         rows = [
             (r["query_id"], r["neighbor_id"], r["score_e4"], r["rank"],
-             tier, lsh_ok, ivf_ok, pq_ok)
+             tier, lsh_ok, ivf_ok, pq_ok, imi_ok)
             for tier, res in (("exact", exact_rows), ("int8", int8_rows))
             for r in res
         ]
@@ -772,19 +784,19 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "query_id bigint, neighbor_id bigint, score_e4 bigint, rank int, "
         "tier string, lsh_recall_ok boolean, ivf_recall_ok boolean, "
-        "pq_recall_ok boolean",
+        "pq_recall_ok boolean, imi_recall_ok boolean",
     )
 
 
 _ANN_TOPK_ORACLE = f"""
     SELECT query_id, neighbor_id, score_e4, rank, 'exact' AS tier,
            TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
-           TRUE AS pq_recall_ok
+           TRUE AS pq_recall_ok, TRUE AS imi_recall_ok
     FROM ({S.brute_force_topk_oracle(k=5, query_predicate="vec_id < 8")})
     UNION ALL
     SELECT query_id, neighbor_id, score_e4, rank, 'int8' AS tier,
            TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
-           TRUE AS pq_recall_ok
+           TRUE AS pq_recall_ok, TRUE AS imi_recall_ok
     FROM ({S.quantized_topk_oracle(k=5, rerank_factor=4)})
 """
 

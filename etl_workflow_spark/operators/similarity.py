@@ -2058,6 +2058,197 @@ def pq_topk(
     )
 
 
+def imi_fit(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    sample_size: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> dict:
+    """Train an inverted multi-index (Babenko & Lempitsky 2012, "The
+    Inverted Multi-Index"): the vector space splits into TWO halves,
+    each quantized independently to ``n_cells`` k-means centroids, so
+    the corpus lands in ``n_cells²`` PRODUCT cells. Why it exists in
+    this family: on hard/isotropic corpora a flat IVF's cell membership
+    caps recall (SCALE.md §15 — 0.42-0.55 recall@10 inside a 10%-of-
+    rows budget, and OPQ cannot help by rotation invariance); the
+    multi-index's product cells are ~n_cells× finer at the SAME
+    training cost, and probing pairs in ascending summed-distance
+    order concentrates the candidate budget far closer to the query —
+    the paper's headline result and the standard billion-scale recipe
+    (FAISS IMI). Training is driver-side on a bounded sample, like
+    :func:`pq_fit`."""
+    import numpy as np
+
+    sample = _sample_vectors(corpus, sample_size, seed, vec_col)
+    if sample.size == 0:
+        raise ValueError("imi_fit needs a non-empty corpus")
+    dim = sample.shape[1]
+    if dim % 2 != 0:
+        raise ValueError(f"imi_fit needs an even dim, got {dim}")
+    half = dim // 2
+    sn = _l2_normalize(sample)
+    ca = _lloyd(sn[:, :half], n_cells, seed)
+    cb = _lloyd(sn[:, half:], n_cells, seed + 1)
+    ca_l = [[float(x) for x in c] for c in ca]
+    cb_l = [[float(x) for x in c] for c in cb]
+    return {
+        "format": "spark-graft-imi/v1",
+        "metric": "cosine",
+        "dim": int(dim),
+        "half": int(half),
+        "n_cells": int(len(ca)),
+        "model_id": _pq_model_id(ca_l, cb_l),
+        "centroids_a": ca_l,
+        "centroids_b": cb_l,
+    }
+
+
+def _check_imi_model(model: dict) -> None:
+    if model.get("format") != "spark-graft-imi/v1":
+        raise ValueError(
+            "not an imi_fit model (format="
+            f"{model.get('format')!r}; want spark-graft-imi/v1)"
+        )
+    if 2 * int(model["half"]) != int(model["dim"]):
+        raise ValueError("corrupt imi model: 2*half != dim")
+
+
+def imi_index(
+    corpus: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign the corpus into the multi-index's product cells: one
+    Arrow pass, no shuffle, returning ``(id, cell_a int, cell_b
+    int)`` — a 9-byte row against 256 bytes of float32 at dim=64.
+    The model fingerprint rides in column metadata (the
+    :func:`pq_index` contract) so :func:`imi_topk` refuses an index
+    assigned under a different model."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    _check_imi_model(model)
+    ca_b, cb_b, half = model["centroids_a"], model["centroids_b"], int(
+        model["half"]
+    )
+    in_schema = corpus.select(id_col, vec_col).schema
+    out_schema = StructType([
+        in_schema[0],
+        StructField("cell_a", IntegerType()),
+        StructField("cell_b", IntegerType()),
+    ])
+
+    def assign(batches):
+        CA = np.asarray(ca_b, dtype=np.float64)
+        CB = np.asarray(cb_b, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = _l2_normalize(V)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cell_a": _pairwise_d2(Vn[:, :half], CA)
+                .argmin(axis=1).astype(np.int32),
+                "cell_b": _pairwise_d2(Vn[:, half:], CB)
+                .argmin(axis=1).astype(np.int32),
+            })
+
+    out = corpus.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return out.withColumn(
+        "cell_a",
+        F.col("cell_a").alias(
+            "cell_a", metadata={"imi_model_id": model.get("model_id", "")}
+        ),
+    )
+
+
+def imi_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    model: dict,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe_pairs: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k over an :func:`imi_index`: each query
+    ranks ALL ``n_cells²`` product cells by summed half-distance
+    ``d_a[i] + d_b[j]`` and probes the closest ``n_probe_pairs`` —
+    rows touched ≈ n_probe_pairs/n_cells² of the corpus on balanced
+    cells (64/1024 ≈ 6%) — then the candidates re-rank by EXACT float
+    cosine (:func:`_exact_rerank`), so returned scores match
+    :func:`brute_force_topk` per pair. Queries broadcast; the index
+    joins on a codegen pair key and never shuffles.
+
+    The pair ranking materializes the full n_cells² sum grid per
+    query (argpartition) — exact and trivially cheap up to n_cells ≈
+    256 (65k sums); beyond that the paper's multi-sequence heap
+    traversal generates the same prefix lazily (documented upgrade
+    path, not needed at these cell counts). Candidate generation only:
+    re-ranking reads the float column for ~n_probe_pairs/n_cells² of
+    the rows; compose with PQ codes when even that read must shrink.
+    """
+    import numpy as np
+
+    _check_imi_model(model)
+    mid = model.get("model_id")
+    if mid and "cell_a" in index.columns:
+        stamped = (index.schema["cell_a"].metadata or {}).get(
+            "imi_model_id"
+        )
+        if stamped and stamped != mid:
+            raise ValueError(
+                "index was assigned under a different imi model "
+                f"(index {stamped}, model {mid}) — re-run imi_index "
+                "or pass the matching model"
+            )
+    ca_b, cb_b = model["centroids_a"], model["centroids_b"]
+    half = int(model["half"])
+    K = int(model["n_cells"])
+    T = int(n_probe_pairs)
+
+    @F.pandas_udf("array<int>")
+    def probe_pairs(vs: pd.Series) -> pd.Series:
+        CA = np.asarray(ca_b, dtype=np.float64)
+        CB = np.asarray(cb_b, dtype=np.float64)
+        M = _l2_normalize(np.array(vs.tolist(), dtype=np.float64))
+        da = _pairwise_d2(M[:, :half], CA)
+        db = _pairwise_d2(M[:, half:], CB)
+        out = []
+        for qa, qb in zip(da, db):
+            grid = (qa[:, None] + qb[None, :]).ravel()
+            t = min(T, grid.size)
+            top = np.argpartition(grid, t - 1)[:t]
+            out.append([int(p) for p in top[np.argsort(grid[top])]])
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    # explode_outer + null drop (the ivf_topk lesson): a plain
+    # explode's inferred size()>0 filter would plan the UDF twice
+    q = q.withColumn(
+        "pair", F.explode_outer(probe_pairs(F.col("qvec")))
+    ).where(F.col("pair").isNotNull()).select("query_id", "pair")
+    keyed = index.withColumn(
+        "pair", (F.col("cell_a").cast("int") * K + F.col("cell_b"))
+    )
+    cand = (
+        keyed.join(F.broadcast(q), "pair")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    return _exact_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
 def quantized_topk_oracle(
     k: int = 5,
     rerank_factor: int = 4,

@@ -193,3 +193,18 @@ def test_byte_fallback_unigram_on_empty_corpus(spark, empty_docs):
         enc, model, ids=True
     ).collect()}
     assert out == {1: "ab cd", 2: None, 3: ""}
+
+
+def test_imi_ops_on_empty_inputs(spark, sf_dir):
+    """IMI robustness: empty query batch returns an empty top-k frame
+    with the contract schema; an index over one row still answers."""
+    from etl_workflow_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = S.imi_fit(emb, n_cells=4)
+    one = emb.limit(2)
+    idx = S.imi_index(one, model)
+    q0 = emb.where("vec_id < 0").withColumnRenamed("vec_id", "query_id")
+    out = S.imi_topk(idx, q0, model, one, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "score_e4", "rank"]
+    assert out.count() == 0

@@ -134,6 +134,52 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
             )
         emb_q.unpersist()
 
+        # Inverted multi-index (r10, Babenko & Lempitsky 2012): product
+        # cells from two half-space quantizers — the candidate-
+        # generation tier for the ISOTROPIC regime where flat-IVF cell
+        # membership caps recall (finer cells at the same training
+        # cost; probed in ascending summed half-distance order).
+        # rows_frac computed EXACTLY from the probed pairs' sizes.
+        import numpy as np
+
+        imodel = S.imi_fit(emb, n_cells=32)
+        iidx = S.imi_index(emb, imodel).persist()
+        n_rows = iidx.count()
+        pair_sizes = {
+            (r["cell_a"], r["cell_b"]): r["count"]
+            for r in iidx.groupBy("cell_a", "cell_b").count().collect()
+        }
+        CA = np.asarray(imodel["centroids_a"])
+        CB = np.asarray(imodel["centroids_b"])
+        hf = imodel["half"]
+        Qv = np.array(
+            [r["embedding"] for r in
+             emb.where("vec_id < 32").orderBy("vec_id").collect()]
+        )
+        Qn = Qv / np.maximum(
+            np.linalg.norm(Qv, axis=1, keepdims=True), 1e-12
+        )
+        da = ((Qn[:, :hf] ** 2).sum(1)[:, None] + (CA ** 2).sum(1)[None]
+              - 2 * Qn[:, :hf] @ CA.T)
+        db = ((Qn[:, hf:] ** 2).sum(1)[:, None] + (CB ** 2).sum(1)[None]
+              - 2 * Qn[:, hf:] @ CB.T)
+        for T in (32, 64, 128):
+            fracs = []
+            for qa, qb in zip(da, db):
+                grid = (qa[:, None] + qb[None, :]).ravel()
+                top = np.argpartition(grid, min(T, grid.size) - 1)[:T]
+                fracs.append(sum(
+                    pair_sizes.get((int(p) // 32, int(p) % 32), 0)
+                    for p in top
+                ) / max(n_rows, 1))
+            report(
+                "imi", f"cells=32x32 pairs={T}",
+                lambda: S.imi_topk(iidx, queries, imodel, emb,
+                                   k=topk, n_probe_pairs=T),
+                rows_frac=round(float(np.mean(fracs)), 3),
+            )
+        iidx.unpersist()
+
         # PQ flat ADC: index once (deployment shape), scan every code
         # row — the fraction that matters is BYTES (codes are ~8% of
         # the float column), the only tier that holds recall on this
