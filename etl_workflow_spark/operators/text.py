@@ -1498,6 +1498,36 @@ def _merge_word(seq: list[str], pair: tuple[str, str], merged: str) -> list[str]
     return out
 
 
+def _bpe_segment_word_dropout(
+    word: str, ranks: dict[tuple[str, str], int], p: float, rng
+) -> list[str]:
+    """BPE-dropout segmentation of one word (Provilkov et al. 2020):
+    at every step each mergeable adjacent-pair OCCURRENCE survives
+    with probability 1−p; the lowest-rank (leftmost on rank ties)
+    surviving occurrence merges; the walk stops when no occurrence
+    survives a step. p=0 reproduces :func:`bpe_segment_word` exactly
+    (single-occurrence leftmost application is order-equivalent to
+    the all-occurrences sweep: a merge can only CREATE pairs of
+    strictly higher rank, so the winning pair never changes
+    mid-sweep); p→1 degenerates toward characters. One rng draw per
+    candidate occurrence per step, so the result is a pure function
+    of the rng stream."""
+    seq = list(word)
+    while len(seq) > 1:
+        best = None
+        for i, pair in enumerate(zip(seq, seq[1:])):
+            r = ranks.get(pair)
+            if r is None or rng.random() < p:
+                continue
+            if best is None or r < best[0]:
+                best = (r, i, pair)
+        if best is None:
+            break
+        _, i, pair = best
+        seq[i : i + 2] = [pair[0] + pair[1]]
+    return seq
+
+
 def bpe_segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Segment one word under a rank table: repeatedly merge the
     lowest-rank adjacent pair present (all occurrences, left to right)
@@ -1524,6 +1554,9 @@ def bpe_encode(
     col: str = "text",
     out_col: str = "bpe_tokens",
     ids: bool = False,
+    dropout: float | None = None,
+    seed: int | None = None,
+    doc_id_col: str | None = None,
 ) -> DataFrame:
     """Tokenize a corpus with a :func:`train_bpe` model: adds
     ``out_col`` as ``array<string>`` (symbols) or, with ``ids=True``,
@@ -1542,9 +1575,34 @@ def bpe_encode(
     word. (The alternative — distinct-word join — would need a
     positional explode plus an ordered collect_list shuffle to
     rebuild documents: strictly worse than shuffle-free encode.)
+
+    ``dropout`` enables BPE-dropout (Provilkov et al. 2020) — the BPE
+    twin of the unigram tier's ``sample_alpha``: each mergeable pair
+    occurrence survives a step with probability 1−p, so repeated
+    epochs see varied subword segmentations of the same corpus. Draws
+    are a pure crc32 function of ``(seed, word, occurrence-within-doc,
+    doc id)`` — layout-invariant, replay-safe; the seed is required
+    and should vary per epoch, and ``doc_id_col`` SHOULD name a stable
+    per-row key so occurrences resample independently across
+    documents. ``dropout=0.0`` reproduces the deterministic
+    segmentation exactly.
     """
     ret = "array<int>" if ids else "array<string>"
     tables = _bpe_encoder_tables(model, ids)
+
+    if dropout is not None and doc_id_col is not None:
+
+        @F.pandas_udf(ret)
+        def enc2(texts: pd.Series, keys: pd.Series) -> pd.Series:
+            one_doc = _make_bpe_encoder(
+                model, ids=ids, tables=tables, dropout=dropout, seed=seed,
+            )
+            return pd.Series(
+                [one_doc(t, k) for t, k in zip(texts, keys)],
+                index=texts.index, dtype=object,
+            )
+
+        return df.withColumn(out_col, enc2(F.col(col), F.col(doc_id_col)))
 
     @F.pandas_udf(ret)
     def enc(texts: pd.Series) -> pd.Series:
@@ -1552,7 +1610,9 @@ def bpe_encode(
         # the encoder is re-made per Arrow BATCH only so the word
         # memo stays batch-bounded — a worker-lifetime memo would
         # grow with the corpus vocabulary
-        one_doc = _make_bpe_encoder(model, ids=ids, tables=tables)
+        one_doc = _make_bpe_encoder(
+            model, ids=ids, tables=tables, dropout=dropout, seed=seed,
+        )
         return texts.map(one_doc)
 
     return df.withColumn(out_col, enc(F.col(col)))
@@ -1576,12 +1636,24 @@ def _bpe_encoder_tables(model: dict, ids: bool = False) -> tuple:
     return ranks, lowercase, fallback, known, sym_ids, oov
 
 
-def _make_bpe_encoder(model: dict, ids: bool = False, tables=None):
+def _make_bpe_encoder(
+    model: dict, ids: bool = False, tables=None,
+    dropout: float | None = None, seed: int | None = None,
+):
     """The pure per-document encoder behind :func:`bpe_encode` —
     module-level so the round-trip property tests drive EXACTLY the
-    code the Arrow UDF runs. Returns ``one_doc(text) -> list``; each
-    call starts a fresh word memo (per-batch cache bound), reusing
-    prebuilt ``tables`` when given.
+    code the Arrow UDF runs. Returns ``one_doc(text, doc_key=None) ->
+    list``; each call starts a fresh word memo (per-batch cache
+    bound), reusing prebuilt ``tables`` when given.
+
+    ``dropout`` switches deterministic segmentation to BPE-dropout
+    (Provilkov et al. 2020, :func:`_bpe_segment_word_dropout`) — the
+    BPE twin of the unigram tier's subword-regularization sampling,
+    and the same draw contract: a pure crc32 function of ``(seed,
+    word, occurrence-within-doc, doc key)``, layout-invariant and
+    replay-safe, with the seed REQUIRED explicit (vary it per epoch)
+    and the doc key recommended so occurrences resample independently
+    across documents.
 
     Whitespace: ``re.ASCII`` makes ``\\s`` the Java-regex class
     Spark's ``tokens()`` splits on ([ \\t\\n\\x0b\\f\\r]) — Python's
@@ -1603,14 +1675,22 @@ def _make_bpe_encoder(model: dict, ids: bool = False, tables=None):
     never participates in merges (unlike GPT-2's byte-level pretokens,
     which fold the leading space into word pieces).
     """
+    import random
     import re
+    import zlib
 
+    if dropout is not None and seed is None:
+        raise ValueError(
+            "BPE-dropout needs an explicit seed (vary it per epoch): "
+            "a shared default would reproduce the identical token "
+            "stream every epoch, silently disabling the regularization"
+        )
     ranks, lowercase, fallback, known, sym_ids, oov = (
         tables if tables is not None else _bpe_encoder_tables(model, ids)
     )
     ws = re.compile(r"\s+", re.ASCII)
     ws_capture = re.compile(r"(\s+)", re.ASCII)
-    memo: dict[str, list] = {}
+    memo: dict = {}
 
     def byte_toks(s: str) -> list:
         toks = [
@@ -1621,31 +1701,69 @@ def _make_bpe_encoder(model: dict, ids: bool = False, tables=None):
             return [sym_ids[t] for t in toks]
         return toks
 
+    def emit(segs: list[str]) -> list:
+        if fallback:
+            got: list = []
+            for s in segs:
+                # a learned symbol equal to a reserved byte piece
+                # byte-expands like an unknown symbol: emitting it
+                # literally would make decode read it as a byte
+                if s in known and s not in _BYTE_SET:
+                    got.append(sym_ids[s] if sym_ids is not None else s)
+                else:
+                    got.extend(byte_toks(s))
+            return got
+        if sym_ids is not None:
+            return [sym_ids.get(s, oov) for s in segs]
+        return segs
+
     def one_word(w: str) -> list:
         got = memo.get(w)
         if got is None:
-            segs = bpe_segment_word(w.lower() if lowercase else w, ranks)
-            if fallback:
-                got = []
-                for s in segs:
-                    # a learned symbol equal to a reserved byte piece
-                    # byte-expands like an unknown symbol: emitting it
-                    # literally would make decode read it as a byte
-                    if s in known and s not in _BYTE_SET:
-                        got.append(sym_ids[s] if sym_ids is not None else s)
-                    else:
-                        got.extend(byte_toks(s))
-            elif sym_ids is not None:
-                got = [sym_ids.get(s, oov) for s in segs]
-            else:
-                got = segs
+            got = emit(
+                bpe_segment_word(w.lower() if lowercase else w, ranks)
+            )
             memo[w] = got
         return got
 
-    def one_doc(t):
+    def dropped_word(w: str, occ: int, dk: int) -> list:
+        key = (w, occ, dk)
+        got = memo.get(key)
+        if got is None:
+            norm = w.lower() if lowercase else w
+            rng = random.Random(
+                (zlib.crc32(norm.encode("utf-8", "surrogatepass")) << 32)
+                ^ (int(seed) * 1_000_003 + occ)
+                ^ (dk * 2_654_435_761)
+            )
+            got = emit(
+                _bpe_segment_word_dropout(norm, ranks, float(dropout), rng)
+            )
+            memo[key] = got
+        return got
+
+    def one_doc(t, doc_key=None):
         if t is None:
             return None
         out: list = []
+        if dropout is None:
+
+            def word_toks(w, _occ):
+                return one_word(w)
+        else:
+            dk = (
+                0 if doc_key is None
+                else zlib.crc32(
+                    str(doc_key).encode("utf-8", "surrogatepass")
+                )
+            )
+            occ_counts: dict[str, int] = {}
+
+            def word_toks(w, _occ=None):
+                k = occ_counts.get(w, 0)
+                occ_counts[w] = k + 1
+                return dropped_word(w, k, dk)
+
         if fallback:
             # capture-split: even indexes are words, odd are ASCII-ws
             # runs (byte-encoded, so decode restores them exactly)
@@ -1655,11 +1773,11 @@ def _make_bpe_encoder(model: dict, ids: bool = False, tables=None):
                 if i % 2 == 1:
                     out.extend(byte_toks(part))
                 else:
-                    out.extend(one_word(part))
+                    out.extend(word_toks(part, None))
         else:
             for w in ws.split(t):
                 if w:
-                    out.extend(one_word(w))
+                    out.extend(word_toks(w, None))
         return out
 
     return one_doc

@@ -1172,3 +1172,82 @@ def test_imi_index_and_topk_contract(spark, sf_dir):
     with _pytest.raises(ValueError, match="non-empty"):
         S.imi_fit(emb.where("vec_id < 0"))
     emb.unpersist()
+
+
+def test_bpe_dropout_regularization(spark):
+    """BPE-dropout (Provilkov et al. 2020), the BPE twin of unigram
+    subword-regularization: p=0 reproduces deterministic segmentation
+    exactly; p>0 samples genuinely varied segmentations that always
+    concatenate back to the word; draws are deterministic per (seed,
+    word, occ, doc key) and decorrelate across docs/seeds; the seed is
+    required; the Spark pass with doc_id_col matches the factory."""
+    from etl_workflow_spark.operators.text import (
+        _make_bpe_encoder, learn_bpe,
+    )
+
+    model = learn_bpe(
+        [("abcd", 12), ("abc", 10), ("ab", 8), ("cd", 8), ("bc", 6)],
+        num_merges=20, lowercase=False, min_pair_count=1,
+    )
+    det = _make_bpe_encoder(model)
+    zero = _make_bpe_encoder(model, dropout=0.0, seed=1)
+    for w in ("abcd", "abcabc", "dcba", "abcdabcd xyz"):
+        assert zero(w) == det(w)
+    # p>0: varied segmentations, all concatenating to the input word
+    segs = set()
+    f = _make_bpe_encoder(model, dropout=0.4, seed=3)
+    for k in range(30):
+        got = f("abcd", f"doc-{k}")
+        assert "".join(got) == "abcd"
+        segs.add(tuple(got))
+    assert len(segs) >= 3
+    # per-occurrence draws within one doc
+    diverse = any(
+        _make_bpe_encoder(model, dropout=0.4, seed=s)("abcd " * 12)
+        != _make_bpe_encoder(model, dropout=0.4, seed=s)("abcd") * 12
+        for s in range(8)
+    )
+    assert diverse
+    # determinism per (seed, doc key); seed required
+    a = _make_bpe_encoder(model, dropout=0.4, seed=7)("abcd abcd", "d1")
+    b = _make_bpe_encoder(model, dropout=0.4, seed=7)("abcd abcd", "d1")
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="explicit seed"):
+        _make_bpe_encoder(model, dropout=0.4)
+    # Spark pass with doc_id_col == the factory with the same keys
+    df = spark.createDataFrame(
+        [(1, "abcd abc"), (2, "abcd abc"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in T.bpe_encode(
+        df, model, dropout=0.4, seed=7, doc_id_col="doc_id"
+    ).collect()}
+    f7 = _make_bpe_encoder(model, dropout=0.4, seed=7)
+    assert rows[1] == f7("abcd abc", 1)
+    assert rows[2] == f7("abcd abc", 2)
+    assert rows[3] is None
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=60), st.integers(0, 3))
+def test_bpe_dropout_byte_fallback_round_trips(s, seed):
+    """Dropout varies the segmentation, never the decoded string: the
+    byte-fallback round trip holds under BPE-dropout for arbitrary
+    unicode input."""
+    from etl_workflow_spark.operators.text import (
+        _make_bpe_encoder, decode_bpe_tokens, learn_bpe,
+    )
+
+    model = learn_bpe(
+        [("hello", 20), ("world", 15), ("byte", 9)],
+        num_merges=20, lowercase=False, min_pair_count=1,
+        byte_fallback=True,
+    )
+    f = _make_bpe_encoder(model, dropout=0.3, seed=seed)
+    assert decode_bpe_tokens(f(s, "doc-9"), model) == s
