@@ -1250,6 +1250,168 @@ def compact_pq_index(
     )
 
 
+def imi_index_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign one micro-batch of embeddings into a FIXED
+    :func:`~etl_workflow_spark.operators.similarity.imi_fit` model's
+    product cells and land the rows EXACTLY-ONCE — the
+    :func:`pq_index_batch` contract verbatim: ``batch_id=…``
+    partition overwrite (replay-idempotent) and the model fingerprint
+    as a per-row constant RLE ``model_id`` column, so mixed/stale
+    fragments are detectable at read even though a multi-file read
+    surfaces one footer's metadata."""
+    from ..operators.similarity import imi_index
+
+    rows = (
+        imi_index(batch_df, model, id_col=id_col, vec_col=vec_col)
+        .withColumn("model_id", F.lit(_imi_fingerprint(model)))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+
+
+def stream_imi_index(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    model: dict,
+    **kwargs,
+):
+    """Continuous multi-index maintenance: each micro-batch assigns
+    and lands its fragments (:func:`imi_index_batch`); ANN queries
+    read the store, never the stream's history. Returns a writeStream
+    builder (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        imi_index_batch(batch_df, index_path, batch_id, model, **kwargs)
+
+    return (
+        emb_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def _imi_fingerprint(model: dict) -> str:
+    """The imi model's store-guard identity (the
+    :func:`_pq_fingerprint` contract: never the empty string)."""
+    from ..operators.similarity import _pq_model_id
+
+    return str(
+        model.get("model_id")
+        or _pq_model_id(model["centroids_a"], model["centroids_b"])
+    )
+
+
+def _imi_store_id_col(columns: list, id_col: str | None) -> str:
+    """Id resolution for the imi store (same rules as
+    :func:`_pq_store_id_col`, different reserved names)."""
+    reserved = {"cell_a", "cell_b", "model_id", "batch_id"}
+    if id_col is not None:
+        if id_col not in columns:
+            raise ValueError(
+                f"id_col {id_col!r} not in the store's columns {columns}"
+            )
+        return id_col
+    first = columns[0] if columns else None
+    if first is None or first in reserved:
+        raise ValueError(
+            f"cannot infer the store's id column from {columns} (first "
+            "column is reserved) — pass id_col explicitly"
+        )
+    return first
+
+
+def read_imi_index(
+    spark: SparkSession,
+    index_path: str,
+    model: dict | None = None,
+    latest_only: bool = True,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The store's current assignment table, shaped for
+    :func:`~etl_workflow_spark.operators.similarity.imi_topk` (id,
+    cell_a, cell_b). Same guarantees as :func:`read_pq_index`: with
+    ``model`` the per-row ``model_id`` column is checked first
+    (mixed/stale fragments refused; a store without the column —
+    written by plain ``imi_index().write`` — is refused with an
+    actionable error); ``latest_only`` keeps a re-delivered vector's
+    highest-``batch_id`` row with a deterministic (cell_a, cell_b)
+    in-batch tiebreak."""
+    idx = spark.read.parquet(index_path)
+    if model is not None:
+        if "model_id" not in idx.columns:
+            raise ValueError(
+                f"imi index at {index_path} has no model_id column — it "
+                "was not written by imi_index_batch/stream_imi_index; "
+                "read it directly (imi_topk's column-metadata guard "
+                "still applies) or re-ingest through the store writer"
+            )
+        want = _imi_fingerprint(model)
+        got = sorted(
+            str(r[0]) for r in idx.select("model_id").distinct().collect()
+        )
+        if got and got != [want]:
+            raise ValueError(
+                f"imi index at {index_path} was assigned under model(s) "
+                f"{got}, but the given model is {want!r} — re-assign "
+                "the stale fragments (or pass the matching model)"
+            )
+    if latest_only and "batch_id" in idx.columns:
+        key = _imi_store_id_col(idx.columns, id_col)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy(
+            F.col("batch_id").desc(), F.col("cell_a").asc(),
+            F.col("cell_b").asc(),
+        )
+        idx = (
+            idx.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return idx.drop("model_id", "batch_id")
+
+
+def compact_imi_index(
+    spark: SparkSession, store_path: str, before_batch_id: int,
+    id_col: str | None = None,
+) -> None:
+    """Collapse closed batches' assignment fragments into one row per
+    vector under ``batch_id=-1`` (the :func:`compact_pq_index`
+    contract — file-count bound, last-write-wins per id, same
+    deterministic tiebreak as the read path)."""
+    from pyspark.sql.window import Window
+
+    def merge(old: DataFrame) -> DataFrame:
+        key = _imi_store_id_col(old.columns, id_col)
+        w = Window.partitionBy(key).orderBy(
+            F.col("batch_id").desc(), F.col("cell_a").asc(),
+            F.col("cell_b").asc(),
+        )
+        return (
+            old.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "batch_id")
+        )
+
+    _compact_batched_store(
+        spark, store_path, before_batch_id, merge,
+        partition_by=["batch_id"],
+    )
+
+
 #: The vocabulary store's full schema, applied explicitly on every
 #: read: without it a store mixing pre-flag and flagged fragments is
 #: read under ONE parquet footer's schema — the flag column is either

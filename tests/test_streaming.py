@@ -964,3 +964,91 @@ def test_pq_store_id_col_resolution_and_tiebreak(spark, sf_dir, tmp_path):
     enc = {(r["cell"], tuple(r["codes"])) for r in
            S.pq_index(dup, model).where("vec_id = 7").collect()}
     assert (7, *min(enc)) == rows7[0]
+
+
+def test_imi_index_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """IMI store (the PQ-store contract, r10): fragments merge to the
+    one-pass assignment of the full corpus; a replayed batch
+    overwrites its own partition; imi_topk over the store equals
+    imi_topk over a direct index; mixed-model fragments are refused;
+    redelivered ids keep the newest assignment; compaction preserves
+    the read exactly; a real availableNow stream lands fragments."""
+    import pytest
+
+    from etl_workflow_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = emb.where("vec_id < 250")
+    b2 = emb.where("vec_id >= 250")
+    model = S.imi_fit(emb, n_cells=8)
+    store = str(tmp_path / "imistore")
+    inc.imi_index_batch(b1, store, 0, model)
+    inc.imi_index_batch(b2, store, 1, model)
+    inc.imi_index_batch(b2, store, 1, model)  # replay: same partition
+    got = {(r["vec_id"], r["cell_a"], r["cell_b"])
+           for r in inc.read_imi_index(spark, store, model).collect()}
+    want = {(r["vec_id"], r["cell_a"], r["cell_b"])
+            for r in S.imi_index(emb, model).collect()}
+    assert got == want
+    # probe equality over the store
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    direct = {(r["query_id"], r["neighbor_id"]) for r in S.imi_topk(
+        S.imi_index(emb, model), q, model, emb, k=5, n_probe_pairs=24
+    ).collect()}
+    stored = {(r["query_id"], r["neighbor_id"]) for r in S.imi_topk(
+        inc.read_imi_index(spark, store, model), q, model, emb,
+        k=5, n_probe_pairs=24,
+    ).collect()}
+    assert stored == direct
+    # mixed-model fragments refused
+    other = S.imi_fit(emb, n_cells=4)
+    inc.imi_index_batch(b1.limit(10), store, 2, other)
+    with pytest.raises(ValueError, match="assigned under model"):
+        inc.read_imi_index(spark, store, model)
+
+    # redelivery: newest batch wins; compaction preserves the read
+    store2 = str(tmp_path / "imistore2")
+    inc.imi_index_batch(emb.where("vec_id < 300"), store2, 0, model)
+    shifted = emb.where("vec_id < 60").selectExpr(
+        "vec_id", "transform(embedding, x -> -x) as embedding"
+    )
+    inc.imi_index_batch(shifted, store2, 1, model)
+    before = {(r["vec_id"], r["cell_a"], r["cell_b"])
+              for r in inc.read_imi_index(spark, store2, model).collect()}
+    new_assign = {(r["vec_id"], r["cell_a"], r["cell_b"])
+                  for r in S.imi_index(shifted, model).collect()}
+    assert new_assign <= before
+    inc.compact_imi_index(spark, store2, before_batch_id=2)
+    after = {(r["vec_id"], r["cell_a"], r["cell_b"])
+             for r in inc.read_imi_index(spark, store2, model).collect()}
+    assert after == before
+
+    # store written by the plain writer (no model_id) is refused
+    store3 = str(tmp_path / "imistore3")
+    S.imi_index(emb.limit(10), model).withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("batch_id").parquet(store3)
+    with pytest.raises(ValueError, match="no model_id"):
+        inc.read_imi_index(spark, store3, model)
+    assert inc.read_imi_index(spark, store3).count() == 10  # unguarded ok
+
+    # real availableNow stream
+    src = str(tmp_path / "src")
+    emb.where("vec_id < 120").write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    store4 = str(tmp_path / "imistore4")
+    qh = (
+        inc.stream_imi_index(
+            stream, store4, str(tmp_path / "ckpt"), model
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    got4 = {(r["vec_id"], r["cell_a"], r["cell_b"])
+            for r in inc.read_imi_index(spark, store4, model).collect()}
+    want4 = {(r["vec_id"], r["cell_a"], r["cell_b"])
+             for r in S.imi_index(emb.where("vec_id < 120"), model).collect()}
+    assert got4 == want4
