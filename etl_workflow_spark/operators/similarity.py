@@ -2003,6 +2003,32 @@ def pq_topk(
         cand = index.crossJoin(F.broadcast(q))
     cand = cand.where(F.col(id_col) != F.col("query_id"))
 
+    adc_score = _make_adc_scorer(co_b, cb_b, rot_b, m_sub, dsub)
+    scored = cand.withColumn(
+        "qscore", adc_score(F.col("qvec"), F.col("cell"), F.col("codes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col(id_col).asc()
+    )
+    cand_k = k * max(int(rerank_factor), 1)
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(cand_k))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    return _exact_rerank(
+        top, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def _make_adc_scorer(co_b, cb_b, rot_b, m_sub: int, dsub: int):
+    """The asymmetric-distance-computation scorer shared by
+    :func:`pq_topk` and :func:`imi_pq_topk`: ONE Arrow eval per batch,
+    per-query LUTs built once per batch (few distinct queries), the
+    OPQ rotation applied to the query side when the model carries one
+    (orthogonal ⇒ (qR)·(vR) == q·v, the same cosine)."""
+    import numpy as np
+
     @F.pandas_udf(DoubleType())
     def adc_score(
         qv: pd.Series, cell: pd.Series, codes: pd.Series
@@ -2025,8 +2051,6 @@ def pq_topk(
             if nrm > 0:
                 qn = qn / nrm
             if R is not None:
-                # rotation is orthogonal: (qR)·(vR) == q·v, so ADC in
-                # rotated space scores the SAME cosine
                 qn = qn @ R
             lut = np.einsum(
                 "mkd,md->mk", CB, qn.reshape(m_sub, dsub)
@@ -2041,21 +2065,7 @@ def pq_topk(
             )
         return pd.Series(out)
 
-    scored = cand.withColumn(
-        "qscore", adc_score(F.col("qvec"), F.col("cell"), F.col("codes"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qscore").desc(), F.col(id_col).asc()
-    )
-    cand_k = k * max(int(rerank_factor), 1)
-    top = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.lit(cand_k))
-        .select("query_id", F.col(id_col).alias("neighbor_id"))
-    )
-    return _exact_rerank(
-        top, corpus, queries, k, id_col, vec_col, query_id_col
-    )
+    return adc_score
 
 
 def imi_fit(
@@ -2246,6 +2256,185 @@ def imi_topk(
     )
     return _exact_rerank(
         cand, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def imi_pq_index(
+    corpus: DataFrame,
+    imi_model: dict,
+    pq_model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed index for :func:`imi_pq_topk`: ONE Arrow pass over
+    the corpus assigns both the multi-index product cell (cell_a,
+    cell_b — candidate generation) and the PQ coarse cell + residual
+    codes (cell, codes — ADC ranking), so the corpus floats are read
+    exactly once at build. Both model fingerprints ride in column
+    metadata; :func:`imi_pq_topk` refuses a mismatched index on either
+    axis."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, ShortType, StructField, StructType,
+    )
+
+    _check_imi_model(imi_model)
+    _check_pq_model(pq_model)
+    ca_b, cb2_b = imi_model["centroids_a"], imi_model["centroids_b"]
+    half = int(imi_model["half"])
+    co_b, cb_b = pq_model["coarse"], pq_model["codebooks"]
+    rot_b = pq_model.get("rotation")
+    in_schema = corpus.select(id_col, vec_col).schema
+    out_schema = StructType([
+        in_schema[0],
+        StructField("cell_a", IntegerType()),
+        StructField("cell_b", IntegerType()),
+        StructField("cell", IntegerType()),
+        StructField("codes", ArrayType(ShortType())),
+    ])
+
+    def encode(batches):
+        CA = np.asarray(ca_b, dtype=np.float64)
+        CB2 = np.asarray(cb2_b, dtype=np.float64)
+        CO = np.asarray(co_b, dtype=np.float64)
+        CB = np.asarray(cb_b, dtype=np.float64)
+        ROT = (
+            None if rot_b is None else np.asarray(rot_b, dtype=np.float64)
+        )
+        M, K, dsub = CB.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = _l2_normalize(V)
+            ca = _pairwise_d2(Vn[:, :half], CA).argmin(axis=1)
+            cb = _pairwise_d2(Vn[:, half:], CB2).argmin(axis=1)
+            Vr = Vn if ROT is None else Vn @ ROT
+            assign = _pairwise_d2(Vr, CO).argmin(axis=1)
+            resid = Vr - CO[assign]
+            codes = np.empty((len(Vr), M), dtype=np.int16)
+            for m in range(M):
+                Rm = resid[:, m * dsub : (m + 1) * dsub]
+                codes[:, m] = (
+                    _pairwise_d2(Rm, CB[m]).argmin(axis=1).astype(np.int16)
+                )
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cell_a": ca.astype(np.int32),
+                "cell_b": cb.astype(np.int32),
+                "cell": assign.astype(np.int32),
+                "codes": [row.tolist() for row in codes],
+            })
+
+    out = corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+    return out.withColumn(
+        "cell_a",
+        F.col("cell_a").alias(
+            "cell_a",
+            metadata={"imi_model_id": imi_model.get("model_id", "")},
+        ),
+    ).withColumn(
+        "codes",
+        F.col("codes").alias(
+            "codes", metadata={"pq_model_id": pq_model.get("model_id", "")}
+        ),
+    )
+
+
+def imi_pq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    imi_model: dict,
+    pq_model: dict,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe_pairs: int = 64,
+    rerank_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The composed billion-scale query shape — fraction × bytes:
+    multi-index product cells bound the CANDIDATE fraction
+    (≈ n_probe_pairs/n_cells² of rows), PQ codes bound the BYTES read
+    per candidate (~8% of float32 at dim=64/M=8), ADC ranks the
+    candidates with per-query LUTs, and only the top k×rerank_factor
+    rows per query touch the float column for the exact re-rank — so
+    a query batch reads ≈ fraction × 8% of the corpus bytes plus
+    k×factor float rows. Returned scores match
+    :func:`brute_force_topk` per pair (the family contract). Both
+    model fingerprints are checked against the index's column
+    metadata; a mismatch on either axis is refused."""
+    _check_imi_model(imi_model)
+    _check_pq_model(pq_model)
+    for axis, col_name, meta_key, model in (
+        ("imi", "cell_a", "imi_model_id", imi_model),
+        ("pq", "codes", "pq_model_id", pq_model),
+    ):
+        mid = model.get("model_id")
+        if mid and col_name in index.columns:
+            stamped = (index.schema[col_name].metadata or {}).get(meta_key)
+            if stamped and stamped != mid:
+                raise ValueError(
+                    f"index was built under a different {axis} model "
+                    f"(index {stamped}, model {mid}) — re-run "
+                    "imi_pq_index or pass the matching models"
+                )
+    import numpy as np
+
+    ca_b, cb2_b = imi_model["centroids_a"], imi_model["centroids_b"]
+    half = int(imi_model["half"])
+    K = int(imi_model["n_cells"])
+    T = int(n_probe_pairs)
+    co_b, cb_b = pq_model["coarse"], pq_model["codebooks"]
+    rot_b = pq_model.get("rotation")
+    m_sub, dsub = int(pq_model["m_sub"]), int(pq_model["dsub"])
+
+    @F.pandas_udf("array<int>")
+    def probe_pairs(vs: pd.Series) -> pd.Series:
+        CA = np.asarray(ca_b, dtype=np.float64)
+        CB2 = np.asarray(cb2_b, dtype=np.float64)
+        M = _l2_normalize(np.array(vs.tolist(), dtype=np.float64))
+        da = _pairwise_d2(M[:, :half], CA)
+        db = _pairwise_d2(M[:, half:], CB2)
+        out = []
+        for qa, qb in zip(da, db):
+            grid = (qa[:, None] + qb[None, :]).ravel()
+            t = min(T, grid.size)
+            top = np.argpartition(grid, t - 1)[:t]
+            out.append([int(p) for p in top[np.argsort(grid[top])]])
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    probes = (
+        q.withColumn("pair", F.explode_outer(probe_pairs(F.col("qvec"))))
+        .where(F.col("pair").isNotNull())
+        .select("query_id", "qvec", "pair")
+    )
+    keyed = index.withColumn(
+        "pair", (F.col("cell_a").cast("int") * K + F.col("cell_b"))
+    )
+    cand = keyed.join(F.broadcast(probes), "pair").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    adc_score = _make_adc_scorer(co_b, cb_b, rot_b, m_sub, dsub)
+    scored = cand.withColumn(
+        "qscore", adc_score(F.col("qvec"), F.col("cell"), F.col("codes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col(id_col).asc()
+    )
+    cand_k = k * max(int(rerank_factor), 1)
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(cand_k))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    return _exact_rerank(
+        top, corpus, queries, k, id_col, vec_col, query_id_col
     )
 
 

@@ -1251,3 +1251,51 @@ def test_bpe_dropout_byte_fallback_round_trips(s, seed):
     )
     f = _make_bpe_encoder(model, dropout=0.3, seed=seed)
     assert decode_bpe_tokens(f(s, "doc-9"), model) == s
+
+
+def test_imi_pq_composed_tier(spark):
+    """The composed fraction×bytes query shape: IMI product cells
+    bound the candidate fraction, PQ codes (OPQ-rotated) rank them via
+    ADC, exact re-rank returns brute-force scores per pair; recall
+    tracks the pure-IMI tier at the same pair budget (the composition
+    trades nothing but the re-rank cut); mismatched models on either
+    axis are refused."""
+    emb = _aniso_corpus(spark, n=1200, dim=32, seed=11).persist()
+    emb.count()
+    q = emb.where("vec_id < 16").withColumnRenamed("vec_id", "query_id")
+    imi_m = S.imi_fit(emb, n_cells=16)
+    pq_m = S.pq_fit(emb, n_cells=8, m_sub=8, ksub=32, opq_iters=3)
+    idx = S.imi_pq_index(emb, imi_m, pq_m).persist()
+    idx.count()
+    exact = {(r["query_id"], r["neighbor_id"]): r["score_e4"]
+             for r in S.brute_force_topk(emb, q, k=10).collect()}
+    got_rows = S.imi_pq_topk(
+        idx, q, imi_m, pq_m, emb, k=10, n_probe_pairs=16,
+        rerank_factor=8,
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    assert len(got & set(exact)) / len(exact) >= 0.8
+    for r in got_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["score_e4"] == exact[key]
+    # refusals on either axis
+    other_imi = S.imi_fit(emb, n_cells=8)
+    other_pq = S.pq_fit(emb, n_cells=8, m_sub=8, ksub=32)
+    with pytest.raises(ValueError, match="different imi model"):
+        S.imi_pq_topk(idx, q, other_imi, pq_m, emb, k=5)
+    with pytest.raises(ValueError, match="different pq model"):
+        S.imi_pq_topk(idx, q, imi_m, other_pq, emb, k=5)
+    # the fused index agrees with the two single-model indexes
+    a = {(r["vec_id"], r["cell_a"], r["cell_b"])
+         for r in idx.select("vec_id", "cell_a", "cell_b").collect()}
+    b = {(r["vec_id"], r["cell_a"], r["cell_b"])
+         for r in S.imi_index(emb, imi_m).collect()}
+    assert a == b
+    c = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+         for r in idx.select("vec_id", "cell", "codes").collect()}
+    d = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+         for r in S.pq_index(emb, pq_m).collect()}
+    assert c == d
+    idx.unpersist()
+    emb.unpersist()
