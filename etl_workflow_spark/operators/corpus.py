@@ -402,7 +402,15 @@ def _semantic_stage(
         )
         sem["centroids"] = cents
     if not sem["centroids"]:
-        return cur
+        # a manifest written by the pre-r10 build could record [] for
+        # an all-NULL-embedding corpus; silently skipping here would
+        # diverge from a fresh union rebuild (which trains and dedups)
+        raise ValueError(
+            "recorded semantic_dedup centroids are EMPTY (a pre-fix "
+            "build over a corpus with no embeddings) — re-materialize "
+            "the set; extensions must not silently skip the semantic "
+            "tier"
+        )
     kept = semdedup(
         nn, threshold=float(sem["threshold"]), keep=sem["keep"],
         id_col=id_col, vec_col=v, centroids=sem["centroids"],
@@ -1272,8 +1280,11 @@ def vacuum_training_set(spark: SparkSession, out_path: str) -> list[str]:
     Takes the ``_extend.lock`` for its duration: without it a vacuum
     racing an in-flight extension would see the extension's
     not-yet-published version dir as an orphan and delete it out from
-    under the imminent pointer flip. Returns the relative names
-    removed."""
+    under the imminent pointer flip. Consequence for crash cleanup: a
+    crashed extension leaves BOTH an orphan dir and the stale lock, so
+    this call then refuses with the lock-held error — confirm no
+    extension is running, delete ``_extend.lock`` (as that error says),
+    and re-run the vacuum. Returns the relative names removed."""
     base = out_path.rstrip("/")
     from ..sources.txn import _fs, _hpath
 

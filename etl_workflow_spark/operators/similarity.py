@@ -1655,6 +1655,7 @@ def _exact_rerank(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact-cosine re-rank of an approximate tier's candidate pairs —
     the shared tail of :func:`quantized_topk` and :func:`pq_topk`.
@@ -1662,7 +1663,14 @@ def _exact_rerank(
     into a semi-filtered scan of the float column — the corpus side
     stays a narrow (id, vec) projection — and returned scores are
     identical to :func:`brute_force_topk` for every returned pair;
-    only candidate membership is approximate."""
+    only candidate membership is approximate.
+
+    ``broadcast_candidates=False`` is for tiers whose candidate set is
+    a corpus FRACTION rather than |queries|·k·factor rows
+    (:func:`imi_topk` — candidate generation with no pre-rank score
+    to cut on): the candidates then shuffle-join the narrow float
+    projection on id instead of collecting to the driver, which would
+    OOM/overflow the broadcast limit at billion-row scale."""
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cvec"),
@@ -1671,8 +1679,13 @@ def _exact_rerank(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qvec"),
     )
-    rr = (
+    joined = (
         cvec.join(F.broadcast(cand_ids), "neighbor_id")
+        if broadcast_candidates
+        else cand_ids.join(cvec, "neighbor_id")
+    )
+    rr = (
+        joined
         .join(F.broadcast(qvec), "query_id")
         .withColumn("score", cosine(F.col("cvec"), F.col("qvec")))
     )
@@ -2175,6 +2188,32 @@ def imi_index(
     )
 
 
+def _make_imi_prober(ca_b, cb_b, half: int, T: int):
+    """The probe-pair ranking UDF shared by :func:`imi_topk` and
+    :func:`imi_pq_topk` (the :func:`_make_adc_scorer` convention —
+    one body, two tiers, no drift): per query, the full n_cells² sum
+    grid + argpartition, returning the T closest pair codes in
+    ascending summed half-distance order."""
+    import numpy as np
+
+    @F.pandas_udf("array<int>")
+    def probe_pairs(vs: pd.Series) -> pd.Series:
+        CA = np.asarray(ca_b, dtype=np.float64)
+        CB = np.asarray(cb_b, dtype=np.float64)
+        M = _l2_normalize(np.array(vs.tolist(), dtype=np.float64))
+        da = _pairwise_d2(M[:, :half], CA)
+        db = _pairwise_d2(M[:, half:], CB)
+        out = []
+        for qa, qb in zip(da, db):
+            grid = (qa[:, None] + qb[None, :]).ravel()
+            t = min(T, grid.size)
+            top = np.argpartition(grid, t - 1)[:t]
+            out.append([int(p) for p in top[np.argsort(grid[top])]])
+        return pd.Series(out)
+
+    return probe_pairs
+
+
 def imi_topk(
     index: DataFrame,
     queries: DataFrame,
@@ -2217,25 +2256,11 @@ def imi_topk(
                 f"(index {stamped}, model {mid}) — re-run imi_index "
                 "or pass the matching model"
             )
-    ca_b, cb_b = model["centroids_a"], model["centroids_b"]
-    half = int(model["half"])
+    probe_pairs = _make_imi_prober(
+        model["centroids_a"], model["centroids_b"],
+        int(model["half"]), int(n_probe_pairs),
+    )
     K = int(model["n_cells"])
-    T = int(n_probe_pairs)
-
-    @F.pandas_udf("array<int>")
-    def probe_pairs(vs: pd.Series) -> pd.Series:
-        CA = np.asarray(ca_b, dtype=np.float64)
-        CB = np.asarray(cb_b, dtype=np.float64)
-        M = _l2_normalize(np.array(vs.tolist(), dtype=np.float64))
-        da = _pairwise_d2(M[:, :half], CA)
-        db = _pairwise_d2(M[:, half:], CB)
-        out = []
-        for qa, qb in zip(da, db):
-            grid = (qa[:, None] + qb[None, :]).ravel()
-            t = min(T, grid.size)
-            top = np.argpartition(grid, t - 1)[:t]
-            out.append([int(p) for p in top[np.argsort(grid[top])]])
-        return pd.Series(out)
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -2254,8 +2279,13 @@ def imi_topk(
         .where(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
+    # the candidate set is a corpus FRACTION (≈ pairs/n_cells² of
+    # rows), not |queries|·k·factor — it must NOT broadcast (review
+    # r10: at 10⁸ rows it would overflow the driver); it shuffle-joins
+    # the narrow float projection instead
     return _exact_rerank(
-        cand, corpus, queries, k, id_col, vec_col, query_id_col
+        cand, corpus, queries, k, id_col, vec_col, query_id_col,
+        broadcast_candidates=False,
     )
 
 
@@ -2380,30 +2410,14 @@ def imi_pq_topk(
                     f"(index {stamped}, model {mid}) — re-run "
                     "imi_pq_index or pass the matching models"
                 )
-    import numpy as np
-
-    ca_b, cb2_b = imi_model["centroids_a"], imi_model["centroids_b"]
-    half = int(imi_model["half"])
+    probe_pairs = _make_imi_prober(
+        imi_model["centroids_a"], imi_model["centroids_b"],
+        int(imi_model["half"]), int(n_probe_pairs),
+    )
     K = int(imi_model["n_cells"])
-    T = int(n_probe_pairs)
     co_b, cb_b = pq_model["coarse"], pq_model["codebooks"]
     rot_b = pq_model.get("rotation")
     m_sub, dsub = int(pq_model["m_sub"]), int(pq_model["dsub"])
-
-    @F.pandas_udf("array<int>")
-    def probe_pairs(vs: pd.Series) -> pd.Series:
-        CA = np.asarray(ca_b, dtype=np.float64)
-        CB2 = np.asarray(cb2_b, dtype=np.float64)
-        M = _l2_normalize(np.array(vs.tolist(), dtype=np.float64))
-        da = _pairwise_d2(M[:, :half], CA)
-        db = _pairwise_d2(M[:, half:], CB2)
-        out = []
-        for qa, qb in zip(da, db):
-            grid = (qa[:, None] + qb[None, :]).ravel()
-            t = min(T, grid.size)
-            top = np.argpartition(grid, t - 1)[:t]
-            out.append([int(p) for p in top[np.argsort(grid[top])]])
-        return pd.Series(out)
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),

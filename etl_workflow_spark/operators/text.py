@@ -1587,6 +1587,14 @@ def bpe_encode(
     documents. ``dropout=0.0`` reproduces the deterministic
     segmentation exactly.
     """
+    if dropout is not None and seed is None:
+        # validate DRIVER-side: the factory's own check would only
+        # fire inside the executor UDF, after a full job launch
+        raise ValueError(
+            "BPE-dropout needs an explicit seed (vary it per epoch): "
+            "a shared default would reproduce the identical token "
+            "stream every epoch, silently disabling the regularization"
+        )
     ret = "array<int>" if ids else "array<string>"
     tables = _bpe_encoder_tables(model, ids)
 
@@ -1727,18 +1735,25 @@ def _make_bpe_encoder(
         return got
 
     def dropped_word(w: str, occ: int, dk: int) -> list:
-        key = (w, occ, dk)
-        got = memo.get(key)
-        if got is None:
-            norm = w.lower() if lowercase else w
-            rng = random.Random(
-                (zlib.crc32(norm.encode("utf-8", "surrogatepass")) << 32)
-                ^ (int(seed) * 1_000_003 + occ)
-                ^ (dk * 2_654_435_761)
-            )
-            got = emit(
-                _bpe_segment_word_dropout(norm, ranks, float(dropout), rng)
-            )
+        # memoize only keyless draws (dk=0): there (word, occ) repeats
+        # ACROSS documents in a batch and hits; with a per-doc key
+        # every (w, occ, dk) is computed exactly once, so caching
+        # would be a write-only dict growing with the batch's tokens
+        key = (w, occ)
+        if dk == 0:
+            got = memo.get(key)
+            if got is not None:
+                return got
+        norm = w.lower() if lowercase else w
+        rng = random.Random(
+            (zlib.crc32(norm.encode("utf-8", "surrogatepass")) << 32)
+            ^ (int(seed) * 1_000_003 + occ)
+            ^ (dk * 2_654_435_761)
+        )
+        got = emit(
+            _bpe_segment_word_dropout(norm, ranks, float(dropout), rng)
+        )
+        if dk == 0:
             memo[key] = got
         return got
 
@@ -2240,18 +2255,25 @@ def _make_unigram_segmenter(
         return got
 
     def sampled_word(w: str, occ: int, dk: int) -> list:
-        key = (w, occ, dk)
-        got = memo.get(key)
-        if got is None:
-            norm = w.lower() if lowercase else w
-            rng = random.Random(
-                (zlib.crc32(norm.encode("utf-8", "surrogatepass")) << 32)
-                ^ (int(seed) * 1_000_003 + occ)
-                ^ (dk * 2_654_435_761)
-            )
-            got = emit(_sample_segment(
-                norm, logp, max_len, unk, float(sample_alpha), rng
-            ))
+        # memoize only keyless draws (dk=0): there (word, occ) repeats
+        # ACROSS documents in a batch and hits; with a per-doc key
+        # every (w, occ, dk) is computed exactly once, so caching
+        # would be a write-only dict growing with the batch's tokens
+        key = (w, occ)
+        if dk == 0:
+            got = memo.get(key)
+            if got is not None:
+                return got
+        norm = w.lower() if lowercase else w
+        rng = random.Random(
+            (zlib.crc32(norm.encode("utf-8", "surrogatepass")) << 32)
+            ^ (int(seed) * 1_000_003 + occ)
+            ^ (dk * 2_654_435_761)
+        )
+        got = emit(_sample_segment(
+            norm, logp, max_len, unk, float(sample_alpha), rng
+        ))
+        if dk == 0:
             memo[key] = got
         return got
 
@@ -2325,6 +2347,15 @@ def unigram_encode(
     draws the same segmentation in every document corpus-wide,
     collapsing the within-epoch diversity the mode exists for (Kudo
     2018 resamples per sentence)."""
+    if sample_alpha is not None and seed is None:
+        # validate DRIVER-side (the _make_bpe_encoder convention): the
+        # factory's own check would only fire inside the executor UDF
+        raise ValueError(
+            "sampling mode needs an explicit seed (vary it per "
+            "epoch): a shared default would reproduce the identical "
+            "token stream every epoch, silently disabling the "
+            "regularization"
+        )
     tables = _unigram_tables(model)
     ret = "array<int>" if ids else "array<string>"
 

@@ -163,13 +163,14 @@ def ann_recall(sf_dir: str, ks: list[int]) -> None:
               - 2 * Qn[:, :hf] @ CA.T)
         db = ((Qn[:, hf:] ** 2).sum(1)[:, None] + (CB ** 2).sum(1)[None]
               - 2 * Qn[:, hf:] @ CB.T)
+        kc = int(imodel["n_cells"])  # the pair-code stride imi_topk keys on
         for T in (32, 64, 128):
             fracs = []
             for qa, qb in zip(da, db):
                 grid = (qa[:, None] + qb[None, :]).ravel()
                 top = np.argpartition(grid, min(T, grid.size) - 1)[:T]
                 fracs.append(sum(
-                    pair_sizes.get((int(p) // 32, int(p) % 32), 0)
+                    pair_sizes.get((int(p) // kc, int(p) % kc), 0)
                     for p in top
                 ) / max(n_rows, 1))
             report(
