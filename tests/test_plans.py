@@ -490,3 +490,31 @@ def test_pq_topk_python_evals_bounded(spark, sf_dir):
     assert plans.count_python_evals(flat) == 1
     probed = pq_topk(idx, q, model, emb, k=3, n_probe=2)
     assert plans.count_python_evals(probed) == 2
+
+
+def test_imi_topk_plan_shape(spark, sf_dir):
+    """The IMI tiers' plan contracts: imi_index is one mapInPandas
+    pass; imi_topk plans exactly ONE Arrow eval (the pair prober —
+    explode_outer dodges the inferred-filter double-plan) and
+    broadcasts the QUERY side of the pair join (never the index);
+    the composed imi_pq_topk plans exactly TWO Arrow evals (prober +
+    ADC scorer)."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.similarity import (
+        imi_fit, imi_index, imi_pq_index, imi_pq_topk, imi_topk, pq_fit,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    model = imi_fit(emb, n_cells=8)
+    idx = imi_index(emb, model)
+    assert plans.physical_plan(idx).count("MapInPandas") == 1
+    top = imi_topk(idx, q, model, emb, k=3, n_probe_pairs=8)
+    assert plans.count_python_evals(top) == 1
+    assert plans.count_broadcasts(top) >= 1  # the probe/query sides
+    pq_m = pq_fit(emb, n_cells=4, m_sub=8, ksub=16)
+    fused = imi_pq_index(emb, model, pq_m)
+    assert plans.physical_plan(fused).count("MapInPandas") == 1
+    composed = imi_pq_topk(fused, q, model, pq_m, emb, k=3,
+                           n_probe_pairs=8)
+    assert plans.count_python_evals(composed) == 2
