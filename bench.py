@@ -164,6 +164,10 @@ def main() -> None:
         # round-9: unigram-LM tokenizer workflow — one vocab shuffle +
         # driver Viterbi-EM (run-rarely) + shuffle-free Arrow encode
         "unigram_tokenize",
+        # round-10: inverted multi-index workflow — fit (driver
+        # k-means ×2 halves) + assignment pass + pair-probed
+        # candidate generation + exact re-rank ×8 queries
+        "imi_topk",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -274,7 +278,21 @@ def main() -> None:
         # exact re-rank ×8 — at scale fit/index amortize, so this is
         # the upper bound on the per-query-batch cost
         "pq_topk": lambda s, d: _pq_topk_df(s, d),
+        # r10: the whole inverted-multi-index workflow — fit + one
+        # assignment pass + pair-probed candidates + exact re-rank
+        "imi_topk": lambda s, d: _imi_topk_df(s, d),
     }
+
+    def _imi_topk_df(s, d):
+        emb = table(s, d, "embeddings")
+        q = (
+            emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+        )
+        model = S.imi_fit(emb, n_cells=32)
+        return S.imi_topk(
+            S.imi_index(emb, model), q, model, emb, k=10,
+            n_probe_pairs=64,
+        )
 
     def _pq_topk_df(s, d):
         emb = table(s, d, "embeddings")
