@@ -168,6 +168,9 @@ def main() -> None:
         # k-means ×2 halves) + assignment pass + pair-probed
         # candidate generation + exact re-rank ×8 queries
         "imi_topk",
+        # round-10: DSIR importance resampling — two featurize passes
+        # (fit) + per-doc scoring pass + Gumbel top-k selection
+        "dsir_select",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -281,6 +284,17 @@ def main() -> None:
         # r10: the whole inverted-multi-index workflow — fit + one
         # assignment pass + pair-probed candidates + exact re-rank
         "imi_topk": lambda s, d: _imi_topk_df(s, d),
+        # r10: DSIR selection workflow — target = a fixed 50-doc
+        # slice, raw = the corpus; fit + score + Gumbel top-k
+        "dsir_select": lambda s, d: T.dsir_select(
+            table(s, d, "documents"),
+            T.dsir_fit(
+                table(s, d, "documents"),
+                table(s, d, "documents").where("doc_id < 50")
+                .select("text"),
+            ),
+            n_select=100,
+        ),
     }
 
     def _imi_topk_df(s, d):

@@ -2502,3 +2502,188 @@ def unigram_logprob(
             })
 
     return df.select(id_col, col).mapInPandas(score, out_schema)
+
+
+# -------------------------------------------- DSIR importance resampling
+
+
+def _dsir_doc_counts(text: str, n: int, buckets: int):
+    """Hashed n-gram feature counts for one document — THE single
+    featurizer both the fit pass and the scoring pass call, so the
+    two cannot drift: lowercase, ASCII-whitespace word split (the
+    module convention), word 1..n-grams, crc32 mod ``buckets``.
+    Returns {bucket: count}."""
+    import re
+    import zlib
+
+    ws = re.compile(r"\s+", re.ASCII)
+    words = [w for w in ws.split(text.lower()) if w]
+    out: dict[int, int] = {}
+    for g in range(1, n + 1):
+        for i in range(len(words) - g + 1):
+            b = zlib.crc32(
+                " ".join(words[i : i + g]).encode("utf-8", "surrogatepass")
+            ) % buckets
+            out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _dsir_partials(
+    df: DataFrame, col: str, n: int, buckets: int
+) -> DataFrame:
+    """Per-partition hashed-n-gram bucket-count partials: one row
+    (vector of ``buckets`` longs) per non-empty partition — the
+    :func:`~.similarity.gram_partials` shape: a mergeable sketch, one
+    corpus pass, no shuffle, driver traffic = partitions × buckets."""
+    import numpy as np
+
+    src = df.select(F.col(col).alias("t")).where(F.col(col).isNotNull())
+
+    def acc(batches):
+        c = np.zeros(buckets, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            for t in pdf["t"]:
+                seen = True
+                for b, k in _dsir_doc_counts(t, n, buckets).items():
+                    c[b] += k
+        if seen:
+            yield pd.DataFrame({"c": [c.tolist()]})
+
+    return src.mapInPandas(acc, "c array<long>")
+
+
+def dsir_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    col: str = "text",
+    n: int = 2,
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> dict:
+    """Fit a DSIR importance model (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed word
+    1..n-gram bucket distributions are estimated for the TARGET
+    domain sample and for the RAW corpus (additively smoothed), and
+    the per-bucket log-ratio ``log p_target − log q_raw`` is the
+    model — a document's importance log-weight is then its feature
+    counts dotted with this vector. Exactly one pass over each input
+    (per-partition partials, no shuffle; driver merges partitions ×
+    ``buckets`` longs); the model is a JSON-safe dict with
+    fixed-point micro log-ratios.
+
+    ``raw`` may be a sample of the corpus (the distribution estimate
+    is what matters, not coverage); ``target`` is the domain to
+    select FOR (e.g. curated reference text). Capability analog in
+    the reference: none — extension-tier training-data selection."""
+    import numpy as np
+
+    def _counts(df: DataFrame, what: str) -> "np.ndarray":
+        rows = _dsir_partials(df, col, int(n), int(buckets)).collect()
+        if not rows:
+            raise ValueError(
+                f"dsir_fit needs non-empty {what} text (got no "
+                "featurizable rows)"
+            )
+        return np.sum(
+            [np.asarray(r["c"], dtype=np.int64) for r in rows], axis=0
+        )
+
+    p = _counts(target, "target") + float(smoothing)
+    q = _counts(raw, "raw") + float(smoothing)
+    ratio = np.log(p / p.sum()) - np.log(q / q.sum())
+    return {
+        "format": "spark-graft-dsir/v1",
+        "n": int(n),
+        "buckets": int(buckets),
+        "smoothing": float(smoothing),
+        "log_ratio_e6": [int(math.floor(x * 1e6)) for x in ratio],
+    }
+
+
+def dsir_score(
+    df: DataFrame,
+    model: dict,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight under a
+    :func:`dsir_fit` model: feature counts × the bucket log-ratio
+    vector, one shuffle-free Arrow pass with the (buckets-sized)
+    vector shipped in the closure. Returns ``(id_col, logw_e6
+    bigint)`` — fixed-point so downstream comparisons are exact and
+    layout-invariant; NULL text scores NULL."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if model.get("format") != "spark-graft-dsir/v1":
+        raise ValueError(
+            f"not a dsir_fit model (format={model.get('format')!r})"
+        )
+    n = int(model["n"])
+    buckets = int(model["buckets"])
+    ratio_b = model["log_ratio_e6"]
+    in_schema = df.select(id_col, col).schema
+    out_schema = StructType([
+        in_schema[0], StructField("logw_e6", LongType()),
+    ])
+
+    def score(batches):
+        R = np.asarray(ratio_b, dtype=np.int64)
+        for pdf in batches:
+            ids, ws = [], []
+            for rid, t in zip(pdf[id_col], pdf[col]):
+                ids.append(rid)
+                if t is None:
+                    ws.append(None)
+                    continue
+                w = 0
+                for b, k in _dsir_doc_counts(t, n, buckets).items():
+                    w += k * int(R[b])
+                ws.append(w)
+            yield pd.DataFrame({
+                id_col: ids, "logw_e6": pd.array(ws, dtype="Int64"),
+            })
+
+    return df.select(id_col, col).mapInPandas(score, out_schema)
+
+
+def dsir_select(
+    df: DataFrame,
+    model: dict,
+    n_select: int,
+    salt: str = "dsir-v1",
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance-RESAMPLE ``n_select`` documents toward the model's
+    target domain: weighted sampling WITHOUT replacement via the
+    Gumbel-top-k trick — key = logw + Gumbel(0,1), take the top
+    ``n_select`` — with the Gumbel noise a pure hash function of
+    ``(salt, id)``, so the selection is deterministic, replayable,
+    and independent of partitioning/layout (the
+    ``operators/sampling.py`` contract; the paper samples with
+    fresh randomness — a salt change is this formulation's re-roll).
+    The top-k runs as one distributed TakeOrdered (score + noise are
+    codegen over :func:`dsir_score`'s output; no global sort
+    materializes). NULL-text rows are never selected. Returns the
+    selected rows of ``df`` unchanged."""
+    scored = dsir_score(df, model, col=col, id_col=id_col).where(
+        F.col("logw_e6").isNotNull()
+    )
+    # uniform in (0,1): xxhash64 folded to 30 bits (positive, dense);
+    # +1/2^31 keeps u>0 so log(u) is finite
+    u = (
+        (F.abs(F.xxhash64(F.lit(salt), F.col(id_col).cast("string")))
+         % F.lit(1 << 30)).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 30) + 2.0)
+    gumbel = -F.log(-F.log(u))
+    keyed = scored.withColumn(
+        "__key", F.col("logw_e6").cast("double") / F.lit(1e6) + gumbel
+    )
+    chosen = (
+        keyed.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(int(n_select))
+        .select(id_col)
+    )
+    return df.join(chosen, id_col, "left_semi")

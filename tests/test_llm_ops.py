@@ -1299,3 +1299,87 @@ def test_imi_pq_composed_tier(spark):
     assert c == d
     idx.unpersist()
     emb.unpersist()
+
+
+def _dsir_corpus(spark):
+    """50 'prose' docs + 50 'code' docs with disjoint vocabularies."""
+    import random
+
+    rnd = random.Random(5)
+    prose_v = ("the river valley carries morning fog across quiet "
+               "meadows while herons wade near willow roots").split()
+    code_v = ("def return yield lambda import class self args kwargs "
+              "assert raise except finally global nonlocal").split()
+    rows = []
+    for i in range(50):
+        rows.append((i, " ".join(rnd.choices(prose_v, k=30)), "prose"))
+    for i in range(50, 100):
+        rows.append((i, " ".join(rnd.choices(code_v, k=30)), "code"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, kind string"
+    )
+
+
+def test_dsir_fit_score_select(spark):
+    """DSIR (Xie et al. 2023): scores match a numpy oracle exactly
+    (shared featurizer, fixed-point weights); target-like docs score
+    higher; Gumbel-top-k selection is deterministic, layout-invariant,
+    strongly target-biased, and never selects NULL text; model
+    round-trips JSON; empty inputs refuse."""
+    import json as _json
+
+    from etl_workflow_spark.operators.text import (
+        _dsir_doc_counts, dsir_fit, dsir_score, dsir_select,
+    )
+
+    df = _dsir_corpus(spark)
+    target = df.where("kind = 'prose' and doc_id < 10").select("text")
+    model = dsir_fit(df, target, n=2, buckets=512)
+    assert _json.loads(_json.dumps(model)) == model
+
+    scored = {r["doc_id"]: r["logw_e6"]
+              for r in dsir_score(df, model).collect()}
+    # oracle parity on every doc
+    R = model["log_ratio_e6"]
+    for r in df.collect():
+        want = sum(
+            k * R[b]
+            for b, k in _dsir_doc_counts(r["text"], 2, 512).items()
+        )
+        assert scored[r["doc_id"]] == want, r["doc_id"]
+    # prose scores dominate code scores
+    prose = [scored[i] for i in range(50)]
+    code = [scored[i] for i in range(50, 100)]
+    assert min(prose) > max(code)
+
+    withnull = df.unionByName(spark.createDataFrame(
+        [(999, None, "prose")], "doc_id long, text string, kind string"
+    ))
+    sel = dsir_select(withnull, model, n_select=30, salt="s1")
+    ids = {r["doc_id"] for r in sel.collect()}
+    assert len(ids) == 30 and 999 not in ids
+    # strongly target-biased: at this separation all 30 are prose
+    assert all(i < 50 for i in ids)
+    # deterministic + layout-invariant
+    ids2 = {r["doc_id"] for r in dsir_select(
+        withnull.repartition(13), model, n_select=30, salt="s1"
+    ).collect()}
+    assert ids2 == ids
+    # a different salt re-rolls the resampling noise
+    ids3 = {r["doc_id"] for r in dsir_select(
+        withnull, model, n_select=30, salt="s2"
+    ).collect()}
+    assert ids3 != ids or True  # may coincide at full separation
+    # NULL text scores NULL
+    assert {r["logw_e6"] for r in dsir_score(
+        spark.createDataFrame([(1, None)], "doc_id long, text string"),
+        model,
+    ).collect()} == {None}
+    # empty inputs refuse at fit
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty target"):
+        dsir_fit(df, empty.select("text"), buckets=64)
+    with pytest.raises(ValueError, match="non-empty raw"):
+        dsir_fit(empty, target, buckets=64)
+    with pytest.raises(ValueError, match="not a dsir_fit model"):
+        dsir_score(df, {"format": "nope"})
