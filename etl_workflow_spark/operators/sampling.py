@@ -368,3 +368,36 @@ def global_sample_k(
         .limit(k)
         .drop("__ks_h")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    logw_col: str,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "wksample",
+) -> DataFrame:
+    """Exact-k WEIGHTED sample without replacement, deterministically:
+    the Gumbel-top-k trick — rank by ``log w + Gumbel(0,1)`` and take
+    the top k, which draws exactly the weighted-without-replacement
+    distribution (Vieira 2014 exposition of Gumbel-max). The Gumbel
+    noise is a pure hash function of ``(salt, key)``, so the selection
+    replays identically under any partitioning/layout (the module
+    contract); a new salt redraws. Compiles to TakeOrderedAndProject —
+    per-partition k-heaps merged at the driver, no global sort. Rows
+    with NULL ``logw_col`` are never selected."""
+    # uniform in (0,1): xxhash64 folded to 30 bits (positive, dense —
+    # 2^30 divides 2^63 so the Long.MIN_VALUE edge stays safe);
+    # +1 / (2^30+2) keeps u in (0,1) exclusive so log(u) is finite
+    u = (
+        (F.abs(F.xxhash64(F.lit(salt), F.col(key).cast("string")))
+         % F.lit(1 << 30)).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 30) + 2.0)
+    gumbel = -F.log(-F.log(u))
+    return (
+        df.where(F.col(logw_col).isNotNull())
+        .withColumn("__wk", F.col(logw_col) + gumbel)
+        .orderBy(F.col("__wk").desc(), F.col(key).asc())
+        .limit(int(k))
+        .drop("__wk")
+    )

@@ -16,6 +16,8 @@ the correctness gate can hash-compare results.
 from __future__ import annotations
 
 import math
+import re as _re_mod
+import zlib as _zlib_mod
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -2507,21 +2509,23 @@ def unigram_logprob(
 # -------------------------------------------- DSIR importance resampling
 
 
+# compiled once: _dsir_doc_counts runs per DOCUMENT on the corpus-wide
+# hot path of both the fit and the scoring pass
+_DSIR_WS = _re_mod.compile(r"\s+", _re_mod.ASCII)
+_DSIR_CRC = _zlib_mod.crc32
+
+
 def _dsir_doc_counts(text: str, n: int, buckets: int):
     """Hashed n-gram feature counts for one document — THE single
     featurizer both the fit pass and the scoring pass call, so the
     two cannot drift: lowercase, ASCII-whitespace word split (the
     module convention), word 1..n-grams, crc32 mod ``buckets``.
     Returns {bucket: count}."""
-    import re
-    import zlib
-
-    ws = re.compile(r"\s+", re.ASCII)
-    words = [w for w in ws.split(text.lower()) if w]
+    words = [w for w in _DSIR_WS.split(text.lower()) if w]
     out: dict[int, int] = {}
     for g in range(1, n + 1):
         for i in range(len(words) - g + 1):
-            b = zlib.crc32(
+            b = _DSIR_CRC(
                 " ".join(words[i : i + g]).encode("utf-8", "surrogatepass")
             ) % buckets
             out[b] = out.get(b, 0) + 1
@@ -2623,13 +2627,22 @@ def dsir_score(
     n = int(model["n"])
     buckets = int(model["buckets"])
     ratio_b = model["log_ratio_e6"]
+    if len(ratio_b) != buckets:
+        # a truncated/corrupted model would otherwise die executor-side
+        # as an opaque IndexError after real work is spent
+        raise ValueError(
+            f"corrupt dsir model: {len(ratio_b)} log-ratios for "
+            f"{buckets} buckets"
+        )
     in_schema = df.select(id_col, col).schema
     out_schema = StructType([
         in_schema[0], StructField("logw_e6", LongType()),
     ])
 
     def score(batches):
-        R = np.asarray(ratio_b, dtype=np.int64)
+        # ratio stays the JSON list of plain Python ints: numpy would
+        # pay a scalar-boxing + int() per gram in the hottest loop
+        R = ratio_b
         for pdf in batches:
             ids, ws = [], []
             for rid, t in zip(pdf[id_col], pdf[col]):
@@ -2639,7 +2652,7 @@ def dsir_score(
                     continue
                 w = 0
                 for b, k in _dsir_doc_counts(t, n, buckets).items():
-                    w += k * int(R[b])
+                    w += k * R[b]
                 ws.append(w)
             yield pd.DataFrame({
                 id_col: ids, "logw_e6": pd.array(ws, dtype="Int64"),
@@ -2664,26 +2677,16 @@ def dsir_select(
     and independent of partitioning/layout (the
     ``operators/sampling.py`` contract; the paper samples with
     fresh randomness — a salt change is this formulation's re-roll).
-    The top-k runs as one distributed TakeOrdered (score + noise are
-    codegen over :func:`dsir_score`'s output; no global sort
-    materializes). NULL-text rows are never selected. Returns the
-    selected rows of ``df`` unchanged."""
-    scored = dsir_score(df, model, col=col, id_col=id_col).where(
-        F.col("logw_e6").isNotNull()
+    The mechanism is :func:`~.sampling.weighted_sample_k` (one
+    distributed TakeOrdered; no global sort materializes). NULL-text
+    rows are never selected. Returns the selected rows of ``df``
+    unchanged."""
+    from .sampling import weighted_sample_k
+
+    scored = dsir_score(df, model, col=col, id_col=id_col).withColumn(
+        "__logw", F.col("logw_e6").cast("double") / F.lit(1e6)
     )
-    # uniform in (0,1): xxhash64 folded to 30 bits (positive, dense);
-    # +1/2^31 keeps u>0 so log(u) is finite
-    u = (
-        (F.abs(F.xxhash64(F.lit(salt), F.col(id_col).cast("string")))
-         % F.lit(1 << 30)).cast("double") + F.lit(1.0)
-    ) / F.lit(float(1 << 30) + 2.0)
-    gumbel = -F.log(-F.log(u))
-    keyed = scored.withColumn(
-        "__key", F.col("logw_e6").cast("double") / F.lit(1e6) + gumbel
-    )
-    chosen = (
-        keyed.orderBy(F.col("__key").desc(), F.col(id_col).asc())
-        .limit(int(n_select))
-        .select(id_col)
-    )
+    chosen = weighted_sample_k(
+        scored, "__logw", int(n_select), key=id_col, salt=salt
+    ).select(id_col)
     return df.join(chosen, id_col, "left_semi")

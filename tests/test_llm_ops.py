@@ -1339,14 +1339,29 @@ def test_dsir_fit_score_select(spark):
 
     scored = {r["doc_id"]: r["logw_e6"]
               for r in dsir_score(df, model).collect()}
-    # oracle parity on every doc
+    # oracle parity on every doc — the featurizer is RE-IMPLEMENTED
+    # here (lowercase, ASCII-ws split, crc32 % buckets) so the test is
+    # independent of _dsir_doc_counts, not just of the dot product
+    import re as _re
+    import zlib as _zlib
+
+    def oracle_counts(text):
+        words = [w for w in _re.split(r"\s+", text.lower(), flags=_re.ASCII)
+                 if w]
+        c: dict = {}
+        for g in (1, 2):
+            for i in range(len(words) - g + 1):
+                b = _zlib.crc32(" ".join(words[i:i + g]).encode()) % 512
+                c[b] = c.get(b, 0) + 1
+        return c
+
     R = model["log_ratio_e6"]
     for r in df.collect():
-        want = sum(
-            k * R[b]
-            for b, k in _dsir_doc_counts(r["text"], 2, 512).items()
-        )
+        want = sum(k * R[b] for b, k in oracle_counts(r["text"]).items())
         assert scored[r["doc_id"]] == want, r["doc_id"]
+        assert oracle_counts(r["text"]) == _dsir_doc_counts(
+            r["text"], 2, 512
+        )
     # prose scores dominate code scores
     prose = [scored[i] for i in range(50)]
     code = [scored[i] for i in range(50, 100)]
@@ -1365,11 +1380,15 @@ def test_dsir_fit_score_select(spark):
         withnull.repartition(13), model, n_select=30, salt="s1"
     ).collect()}
     assert ids2 == ids
-    # a different salt re-rolls the resampling noise
-    ids3 = {r["doc_id"] for r in dsir_select(
-        withnull, model, n_select=30, salt="s2"
-    ).collect()}
-    assert ids3 != ids or True  # may coincide at full separation
+    # a different salt re-rolls the resampling noise: among the 50
+    # near-equal-weight prose docs, a top-30 Gumbel draw under two
+    # salts differs (verified deterministic for these fixed salts)
+    prose_only = df.where("kind = 'prose'")
+    sa = {r["doc_id"] for r in dsir_select(
+        prose_only, model, n_select=30, salt="s1").collect()}
+    sb = {r["doc_id"] for r in dsir_select(
+        prose_only, model, n_select=30, salt="s2").collect()}
+    assert sa != sb
     # NULL text scores NULL
     assert {r["logw_e6"] for r in dsir_score(
         spark.createDataFrame([(1, None)], "doc_id long, text string"),
