@@ -272,3 +272,36 @@ def test_global_sample_k_exact_and_plan(spark, sf_dir):
     plan = samp.global_sample_k(docs, 17)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, "must not global-sort"
+
+
+def test_weighted_sample_k_contract(spark):
+    """Gumbel-top-k exact-k weighted sampling: deterministic per salt,
+    layout-invariant, exactly k rows, NULL weights never selected, and
+    heavily-weighted rows dominate the draw."""
+    from etl_workflow_spark.operators.sampling import weighted_sample_k
+
+    import math
+
+    rows = [(i, math.log(10000.0) if i < 20 else 0.0) for i in range(200)]
+    rows.append((900, None))
+    df = spark.createDataFrame(rows, "doc_id long, logw double")
+    got = weighted_sample_k(df, "logw", 20, key="doc_id", salt="a")
+    ids = {r["doc_id"] for r in got.collect()}
+    assert len(ids) == 20 and 900 not in ids
+    # 20 rows at weight 10000 vs 180 at weight 1: heavy rows dominate
+    assert len([i for i in ids if i < 20]) >= 18
+    # deterministic + layout-invariant
+    again = {r["doc_id"] for r in weighted_sample_k(
+        df.repartition(17), "logw", 20, key="doc_id", salt="a"
+    ).collect()}
+    assert again == ids
+    # a new salt redraws (checked on the equal-weight subset — at
+    # weight ratio 10000 the top-20 is the heavy set under any salt)
+    light = df.where("doc_id >= 20 and doc_id < 900")
+    la = {r["doc_id"] for r in weighted_sample_k(
+        light, "logw", 20, key="doc_id", salt="a").collect()}
+    lb = {r["doc_id"] for r in weighted_sample_k(
+        light, "logw", 20, key="doc_id", salt="b").collect()}
+    assert la != lb
+    # schema passes through unchanged (helper column dropped)
+    assert got.columns == ["doc_id", "logw"]
