@@ -507,9 +507,13 @@ def main() -> None:
     if prev_name:
         out["prev_round"] = prev_name
     prev_cal = prev_parsed.get("calibration_sec")
+    # always emitted (default 1.0): harness tooling keyed on this field
+    # must never see it silently missing when a previous record lacks
+    # calibration_sec (flags still use host_ratio_median below)
+    out["calibration_ratio"] = (
+        _sig3(calibration / prev_cal) if prev_cal else 1.0
+    )
     if prev_q and prev_parsed.get("forcing", "count-star") == out["forcing"]:
-        if prev_cal:
-            out["calibration_ratio"] = _sig3(calibration / prev_cal)
         shared_ratios = sorted(
             t / prev_q[q]
             for q, t in timings.items()

@@ -818,6 +818,7 @@ def _batch_recipe(
     index: DataFrame | None,
     _audit,
     allow_interleaved_ids: bool = False,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """The recorded recipe over a NEW batch, shared by both extension
     paths so the two cannot drift: insert-if-absent by id (narrow
@@ -827,7 +828,13 @@ def _batch_recipe(
     narrow hash scan anti-joined (NULL-text rows pass — NULL hash
     never equi-matches, matching dedup_corpus's null-preservation
     contract); near-dup probes the universe-side banded index with
-    the (tiny) batch."""
+    the (tiny) batch.
+
+    The post-within-batch frame is persisted (appended to ``cleanup``
+    for the caller to unpersist after its write action): the
+    interleave guard's min(), the audit counts, and the cross tiers
+    each reference it, and without a cache every reference re-runs
+    quality/decontamination/within-batch dedup over the batch."""
     from .dedup import minhash_lsh_probe, normalize_text
 
     cur = new_docs
@@ -851,6 +858,17 @@ def _batch_recipe(
             col=col,
             id_col=id_col,
         )
+    # cache the surviving batch BEFORE anything acts on it: the guard's
+    # min() below, the audit counts, and each cross tier's multiple
+    # references would otherwise re-run the whole batch pipeline
+    # (quality/decontamination/within-batch dedup) per reference —
+    # batch-sized, never corpus-sized, and released by the caller
+    from pyspark import StorageLevel
+
+    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    if cleanup is not None:
+        cleanup.append(cur)
+    if cfg.get("dedup", True):
         _audit("deduped_within_batch", cur)
     min_id_lexical = (
         cfg.get("dedup", True) and cfg.get("keep_quality_col") is None
@@ -873,11 +891,15 @@ def _batch_recipe(
         # would drop anyway cannot trigger a false refusal; replayed
         # ids were dropped by the insert-if-absent anti-join. Known
         # residual (documented, not detectable from the survivor-only
-        # universe): a fresh union build can also link duplicate
-        # groups THROUGH docs a previous epoch dropped — no check over
-        # kept rows can see those chains. Quality-policy sets skip
-        # (ranking is id-order-independent). Cost: one narrow min()
-        # over the surviving batch + one max() over the universe ids.
+        # universe): a fresh union build can link duplicate groups
+        # THROUGH docs this pipeline drops — either docs a PREVIOUS
+        # epoch dropped, or docs the within-batch stages just dropped
+        # (a within-batch loser can be the bridge tying a surviving
+        # batch doc into an existing corpus group); no check over the
+        # surviving rows can see either chain. Quality-policy sets
+        # skip (ranking is id-order-independent). Cost: one narrow
+        # min() over the (cached) surviving batch + one max() over
+        # the universe ids.
         lo = cur.agg(F.min(id_col).alias("m")).collect()[0]["m"]
         if lo is not None:
             hi = universe.agg(F.max(id_col).alias("m")).collect()[0]["m"]
@@ -889,9 +911,14 @@ def _batch_recipe(
                     "keeps the existing copy of every cross-epoch "
                     "duplicate group, but a fresh union build would "
                     "keep the group's minimum id — the results could "
-                    "silently diverge. Use monotone ids, a quality "
-                    "keep policy, or allow_interleaved_ids=True if the "
-                    "batch shares no duplicate groups with the corpus"
+                    "silently diverge. (Residual even with monotone "
+                    "ids: a fresh build can link groups through docs "
+                    "this pipeline drops — previous-epoch losers or "
+                    "same-batch within-batch-dedup losers bridging a "
+                    "survivor into an existing group.) Use monotone "
+                    "ids, a quality keep policy, or "
+                    "allow_interleaved_ids=True if the batch shares "
+                    "no duplicate groups with the corpus"
                 )
     if cfg.get("dedup", True):
         ex_hash = universe.where(F.col(col).isNotNull()).select(
@@ -1052,20 +1079,25 @@ def _extend_locked(
         if audit:
             stages.append((name, frame.count()))
 
-    cur = _batch_recipe(
-        new_docs, existing, cfg, benchmark, col, id_col, index, _audit,
-        allow_interleaved_ids=allow_interleaved_ids,
-    )
-    out = deterministic_shuffle(
-        cur,
-        key=id_col,
-        salt=f"{manifest['salt']}:shuffle",
-        num_shards=manifest["num_shards"],
-        shard_col="shard",
-    )
-    out.write.mode("append").partitionBy("shard").parquet(
-        f"{base}/{manifest.get('data_dir', 'data')}"
-    )
+    cleanup: list[DataFrame] = []
+    try:
+        cur = _batch_recipe(
+            new_docs, existing, cfg, benchmark, col, id_col, index, _audit,
+            allow_interleaved_ids=allow_interleaved_ids, cleanup=cleanup,
+        )
+        out = deterministic_shuffle(
+            cur,
+            key=id_col,
+            salt=f"{manifest['salt']}:shuffle",
+            num_shards=manifest["num_shards"],
+            shard_col="shard",
+        )
+        out.write.mode("append").partitionBy("shard").parquet(
+            f"{base}/{manifest.get('data_dir', 'data')}"
+        )
+    finally:
+        for frame in cleanup:
+            frame.unpersist()
     return _refresh_manifest_stats(
         spark, manifest, base, existing.schema, col, id_col, audit, stages
     )
@@ -1103,7 +1135,11 @@ def _extend_mixture(
     existing ids (the monotone-id ingest shape) — or when the quality
     policy ranks the existing copy first; batches with
     arbitrarily-interleaved ids can pick a different group
-    representative than the fresh build would.
+    representative than the fresh build would. Residual even with
+    monotone ids: a fresh union build can link duplicate groups
+    through docs this pipeline drops (previous-epoch losers, or
+    same-batch within-batch-dedup losers bridging a surviving batch
+    doc into an existing group) — undetectable from survivors alone.
 
     Why a pool instead of an append-only delta: re-solved rates can
     RISE (the batch feeds the binding stratum), re-admitting rows the
@@ -1162,19 +1198,24 @@ def _extend_mixture(
         if audit:
             stages.append((name, frame.count()))
 
-    cur = _batch_recipe(
-        new_docs, pool, cfg, benchmark, col, id_col, index, _audit,
-        allow_interleaved_ids=allow_interleaved_ids,
-    )
+    cleanup: list[DataFrame] = []
+    try:
+        cur = _batch_recipe(
+            new_docs, pool, cfg, benchmark, col, id_col, index, _audit,
+            allow_interleaved_ids=allow_interleaved_ids, cleanup=cleanup,
+        )
 
-    # pool append FIRST (see crash-safety note above), then re-derive
-    # the kept set from the re-read pool files
-    if cfg.get("semantic_dedup"):
-        # batch survivors enter the pool WITH their recipe-clustering
-        # cell, keeping the stored assignments complete for the next
-        # extension's probe
-        cur = _with_semcell(cur, cfg["semantic_dedup"], id_col)
-    cur.write.mode("append").parquet(premix_path)
+        # pool append FIRST (see crash-safety note above), then
+        # re-derive the kept set from the re-read pool files
+        if cfg.get("semantic_dedup"):
+            # batch survivors enter the pool WITH their
+            # recipe-clustering cell, keeping the stored assignments
+            # complete for the next extension's probe
+            cur = _with_semcell(cur, cfg["semantic_dedup"], id_col)
+        cur.write.mode("append").parquet(premix_path)
+    finally:
+        for frame in cleanup:
+            frame.unpersist()
     pool = spark.read.schema(premix_schema).parquet(premix_path)
     kept_src = (
         pool.drop("__semcell") if "__semcell" in pool.columns else pool

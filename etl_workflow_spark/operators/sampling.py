@@ -385,7 +385,12 @@ def weighted_sample_k(
     replays identically under any partitioning/layout (the module
     contract); a new salt redraws. Compiles to TakeOrderedAndProject —
     per-partition k-heaps merged at the driver, no global sort. Rows
-    with NULL ``logw_col`` are never selected."""
+    with NULL ``logw_col`` or NULL ``key`` are never selected (NULL
+    keys would all share one hash value, making the draw
+    partition-order-dependent — the same reason the replay contract
+    requires ``key`` to be UNIQUE: duplicate keys share identical
+    Gumbel noise, so their draws are perfectly correlated and the
+    deterministic tiebreak between them is arbitrary)."""
     # uniform in (0,1): xxhash64 folded to 30 bits (positive, dense —
     # 2^30 divides 2^63 so the Long.MIN_VALUE edge stays safe);
     # +1 / (2^30+2) keeps u in (0,1) exclusive so log(u) is finite
@@ -395,7 +400,7 @@ def weighted_sample_k(
     ) / F.lit(float(1 << 30) + 2.0)
     gumbel = -F.log(-F.log(u))
     return (
-        df.where(F.col(logw_col).isNotNull())
+        df.where(F.col(logw_col).isNotNull() & F.col(key).isNotNull())
         .withColumn("__wk", F.col(logw_col) + gumbel)
         .orderBy(F.col("__wk").desc(), F.col(key).asc())
         .limit(int(k))

@@ -2103,6 +2103,7 @@ def imi_fit(
     :func:`pq_fit`."""
     import numpy as np
 
+    _check_imi_cells(n_cells)
     sample = _sample_vectors(corpus, sample_size, seed, vec_col)
     if sample.size == 0:
         raise ValueError("imi_fit needs a non-empty corpus")
@@ -2127,6 +2128,28 @@ def imi_fit(
     }
 
 
+_IMI_MAX_CELLS = 256
+
+
+def _check_imi_cells(n_cells: int) -> None:
+    """LOUD grid bound (r10 verdict): the probe ranker materializes the
+    full ``n_cells²`` sum grid per query (`_make_imi_prober`), which is
+    exact and cheap to 256 (65k floats/query) but would silently build
+    million-entry grids per query at n_cells=1024. Larger models need
+    the paper's multi-sequence heap traversal (Babenko & Lempitsky
+    2012 §3.1 — emit pairs lazily in ascending summed distance from
+    two sorted half-distance lists), the documented upgrade path."""
+    if int(n_cells) > _IMI_MAX_CELLS:
+        raise ValueError(
+            f"imi n_cells={int(n_cells)} exceeds the exact-grid bound "
+            f"({_IMI_MAX_CELLS}): pair ranking builds the full "
+            "n_cells² sum grid per query, which at this size is "
+            "millions of entries per query. Use n_cells<=256, or "
+            "implement the multi-sequence heap traversal (Babenko & "
+            "Lempitsky 2012 §3.1) for larger models"
+        )
+
+
 def _check_imi_model(model: dict) -> None:
     if model.get("format") != "spark-graft-imi/v1":
         raise ValueError(
@@ -2135,6 +2158,9 @@ def _check_imi_model(model: dict) -> None:
         )
     if 2 * int(model["half"]) != int(model["dim"]):
         raise ValueError("corrupt imi model: 2*half != dim")
+    # defense against a hand-built or future-format model dodging the
+    # imi_fit guard: probing is where the grid actually materializes
+    _check_imi_cells(int(model["n_cells"]))
 
 
 def imi_index(

@@ -2535,26 +2535,30 @@ def _dsir_doc_counts(text: str, n: int, buckets: int):
 def _dsir_partials(
     df: DataFrame, col: str, n: int, buckets: int
 ) -> DataFrame:
-    """Per-partition hashed-n-gram bucket-count partials: one row
-    (vector of ``buckets`` longs) per non-empty partition — the
-    :func:`~.similarity.gram_partials` shape: a mergeable sketch, one
-    corpus pass, no shuffle, driver traffic = partitions × buckets."""
+    """Per-partition hashed-n-gram bucket-count partials, SPARSE: one
+    ``(b, k)`` row per NONZERO bucket per partition — the
+    :func:`~.similarity.gram_partials` mergeable-sketch shape, but
+    emitted as rows so the merge can stay in Spark (a groupBy-sum in
+    :func:`dsir_fit`) instead of collecting partitions × ``buckets``
+    dense vectors to the driver (the r10 scale nit: at ~800k
+    partitions × 10k buckets that collect was ~64 GB of driver
+    traffic). One corpus pass, no shuffle here; the dense per-
+    partition accumulator keeps the per-gram hot path an int add."""
     import numpy as np
 
     src = df.select(F.col(col).alias("t")).where(F.col(col).isNotNull())
 
     def acc(batches):
         c = np.zeros(buckets, dtype=np.int64)
-        seen = False
         for pdf in batches:
             for t in pdf["t"]:
-                seen = True
                 for b, k in _dsir_doc_counts(t, n, buckets).items():
                     c[b] += k
-        if seen:
-            yield pd.DataFrame({"c": [c.tolist()]})
+        nz = np.flatnonzero(c)
+        if nz.size:
+            yield pd.DataFrame({"b": nz.astype(np.int64), "k": c[nz]})
 
-    return src.mapInPandas(acc, "c array<long>")
+    return src.mapInPandas(acc, "b long, k long")
 
 
 def dsir_fit(
@@ -2571,9 +2575,13 @@ def dsir_fit(
     domain sample and for the RAW corpus (additively smoothed), and
     the per-bucket log-ratio ``log p_target − log q_raw`` is the
     model — a document's importance log-weight is then its feature
-    counts dotted with this vector. Exactly one pass over each input
-    (per-partition partials, no shuffle; driver merges partitions ×
-    ``buckets`` longs); the model is a JSON-safe dict with
+    counts dotted with this vector. Exactly one pass over each input:
+    per-partition sparse partials merge by a Spark-side groupBy-sum
+    (shuffle rows ≤ partitions × nonzero buckets, already partition-
+    combined), so driver traffic is ≤ ``buckets`` (bucket, count)
+    pairs per input REGARDLESS of partition count — full-corpus fits
+    are safe, though a sample still estimates the raw distribution
+    just as well and faster. The model is a JSON-safe dict with
     fixed-point micro log-ratios.
 
     ``raw`` may be a sample of the corpus (the distribution estimate
@@ -2583,15 +2591,24 @@ def dsir_fit(
     import numpy as np
 
     def _counts(df: DataFrame, what: str) -> "np.ndarray":
-        rows = _dsir_partials(df, col, int(n), int(buckets)).collect()
+        rows = (
+            _dsir_partials(df, col, int(n), int(buckets))
+            .groupBy("b")
+            .agg(F.sum("k").alias("k"))
+            .collect()
+        )
         if not rows:
+            # covers both no non-null rows AND rows yielding zero
+            # grams (all-whitespace text) — a distribution estimated
+            # from nothing would silently be the uniform smoother
             raise ValueError(
                 f"dsir_fit needs non-empty {what} text (got no "
                 "featurizable rows)"
             )
-        return np.sum(
-            [np.asarray(r["c"], dtype=np.int64) for r in rows], axis=0
-        )
+        c = np.zeros(int(buckets), dtype=np.int64)
+        for r in rows:
+            c[r["b"]] = r["k"]
+        return c
 
     p = _counts(target, "target") + float(smoothing)
     q = _counts(raw, "raw") + float(smoothing)

@@ -1171,6 +1171,14 @@ def test_imi_index_and_topk_contract(spark, sf_dir):
         )
     with _pytest.raises(ValueError, match="non-empty"):
         S.imi_fit(emb.where("vec_id < 0"))
+    # exact-grid bound (r10 verdict): pair ranking builds the full
+    # n_cells² grid per query, so n_cells > 256 refuses loudly at fit
+    # AND at the model check (a hand-built model cannot dodge it)
+    with _pytest.raises(ValueError, match="multi-sequence heap"):
+        S.imi_fit(emb, n_cells=512)
+    big = dict(model, n_cells=1024)
+    with _pytest.raises(ValueError, match="exact-grid bound"):
+        S.imi_topk(idx, q, big, emb, k=5)
     emb.unpersist()
 
 
@@ -1362,6 +1370,28 @@ def test_dsir_fit_score_select(spark):
         assert oracle_counts(r["text"]) == _dsir_doc_counts(
             r["text"], 2, 512
         )
+    # the FIT itself matches a dense numpy oracle (r11: the partial
+    # merge moved into Spark — groupBy-sum of sparse partials — so
+    # prove the merged counts produce the exact same model), and is
+    # partition-invariant
+    import math as _math
+
+    import numpy as _np
+
+    def oracle_dist(frame):
+        c = _np.zeros(512, dtype=_np.int64)
+        for row in frame.collect():
+            for b, k in oracle_counts(row["text"]).items():
+                c[b] += k
+        return c + 1.0
+    p, q = oracle_dist(target), oracle_dist(df.select("text"))
+    want_ratio = _np.log(p / p.sum()) - _np.log(q / q.sum())
+    assert model["log_ratio_e6"] == [
+        int(_math.floor(x * 1e6)) for x in want_ratio
+    ]
+    assert dsir_fit(
+        df.repartition(13), target.repartition(7), n=2, buckets=512
+    ) == model
     # prose scores dominate code scores
     prose = [scored[i] for i in range(50)]
     code = [scored[i] for i in range(50, 100)]
@@ -1394,11 +1424,18 @@ def test_dsir_fit_score_select(spark):
         spark.createDataFrame([(1, None)], "doc_id long, text string"),
         model,
     ).collect()} == {None}
-    # empty inputs refuse at fit
+    # empty inputs refuse at fit — including texts yielding zero
+    # grams (a distribution estimated from nothing would silently be
+    # the uniform smoother)
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty target"):
         dsir_fit(df, empty.select("text"), buckets=64)
     with pytest.raises(ValueError, match="non-empty raw"):
         dsir_fit(empty, target, buckets=64)
+    blank = spark.createDataFrame(
+        [(1, "   \t  "), (2, "")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no.*featurizable"):
+        dsir_fit(df, blank.select("text"), buckets=64)
     with pytest.raises(ValueError, match="not a dsir_fit model"):
         dsir_score(df, {"format": "nope"})

@@ -305,3 +305,14 @@ def test_weighted_sample_k_contract(spark):
     assert la != lb
     # schema passes through unchanged (helper column dropped)
     assert got.columns == ["doc_id", "logw"]
+    # NULL keys never selected (all NULL keys share one hash value, so
+    # selection among them would be partition-order-dependent)
+    with_null_keys = df.union(
+        spark.createDataFrame(
+            [(None, math.log(10000.0))] * 5, "doc_id long, logw double"
+        )
+    )
+    nk = {r["doc_id"] for r in weighted_sample_k(
+        with_null_keys, "logw", 20, key="doc_id", salt="a"
+    ).collect()}
+    assert nk == ids and None not in nk
