@@ -2146,13 +2146,25 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every hash-bucketed selection operator as one membership frame:
     (method, doc_id) rows for the Bernoulli sample, the stratified
     sample, the train/valid/test split assignment, the solved
-    target-mixture downsample, and the per-row weighted sample — all
+    target-mixture downsample, the per-row weighted sample, the exact-k
+    Gumbel-top-k weighted sample, and the DSIR importance scores — all
     pure functions of the doc id (and, for the mixture, the stratum
     counts), so the oracle replays each decision exactly. The mixture
     rows cross-check `target_mixture`'s rate-solving ARITHMETIC: the
     DuckDB oracle re-derives the per-stratum keep rates from its own
     counts with the identical double-precision operation order, so any
-    drift in the solver shows up as a membership hash mismatch."""
+    drift in the solver shows up as a membership hash mismatch. The
+    gumbel_topk rows (r11) replay `weighted_sample_k`'s EXACT top-k:
+    both engines derive u from the same 32 sha256 bits (every term
+    exactly representable), so the Gumbel keys are the same two libm
+    log calls on the same doubles and the k-th boundary agrees
+    (verified at sf0.001/0.01/0.1). The dsir rows (r11) carry
+    `dsir_score`'s fixed-point score per doc in the method string
+    under a FIXED 32-bucket model; the oracle re-implements the whole
+    featurizer in SQL — lowercase, whitespace split, 1..2-grams, and
+    zlib crc32 via a recursive-CTE byte loop over the reflected
+    0xEDB88320 table — on the ASCII doc subset (non-ASCII stays
+    covered by the hypothesis/numpy-oracle pytest tier)."""
     docs = table(spark, sf_dir, "documents")
     out = SAMP.deterministic_sample(docs, rate=0.2).select(
         F.lit("bernoulli").alias("method"), "doc_id"
@@ -2182,13 +2194,55 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(
         weighted.select(F.lit("weighted").alias("method"), "doc_id")
     )
+    gumbel = SAMP.weighted_sample_k(
+        docs.withColumn(
+            "logw", (F.col("doc_id") % 7).cast("double") / F.lit(2.0)
+        ),
+        "logw", 500, key="doc_id", salt="gk",
+    )
+    out = out.unionByName(
+        gumbel.select(F.lit("gumbel_topk").alias("method"), "doc_id")
+    )
+    scored = T.dsir_score(
+        docs.where("doc_id < 40 AND text IS NOT NULL").where(
+            F.col("text").rlike("^[ -~]*$")
+        ),
+        _DSIR_GATE_MODEL,
+    )
+    out = out.unionByName(
+        scored.select(
+            F.concat(
+                F.lit("dsir:"), F.col("logw_e6").cast("string")
+            ).alias("method"),
+            "doc_id",
+        )
+    )
     return out
+
+
+# FIXED dsir model for the cross-engine scoring tier: constant
+# log-ratios (a quadratic residue pattern — arbitrary but stable and
+# sign-mixed), so the oracle needs no fit replication, only the
+# featurizer + dot product
+_DSIR_GATE_MODEL = {
+    "format": "spark-graft-dsir/v1",
+    "n": 2,
+    "buckets": 32,
+    "smoothing": 1.0,
+    "log_ratio_e6": [
+        ((37 * i * i + 11 * i) % 4000001) - 2000000 for i in range(32)
+    ],
+}
 
 
 def _sampling_splits_oracle() -> str:
     from etl_workflow_spark.operators.sampling import _thr
 
     t_train, t_valid = _thr(0.8), _thr(0.9)
+    ratio_vals = ", ".join(
+        f"({i}, CAST({v} AS BIGINT))"
+        for i, v in enumerate(_DSIR_GATE_MODEL["log_ratio_e6"])
+    )
     return f"""
         SELECT 'bernoulli' AS method, doc_id
         FROM ({SAMP.deterministic_sample_oracle(rate=0.2)})
@@ -2252,6 +2306,93 @@ def _sampling_splits_oracle() -> str:
                    sha256('wsample' || CAST(doc_id AS VARCHAR)), 1, 8
                )) AS BIGINT) / CAST(4294967296 AS DOUBLE))
               < (CAST(doc_id % 10 AS DOUBLE) / CAST(10.0 AS DOUBLE))
+        UNION ALL
+        -- weighted_sample_k (Gumbel-top-k) replay: key = logw +
+        -- -ln(-ln(u)) with u = (first-32-sha-bits + 1) / (2^32 + 2),
+        -- top 500 by (key DESC, id ASC) — every u term is exactly
+        -- representable, so both engines feed libm the same doubles
+        SELECT 'gumbel_topk', doc_id
+        FROM (
+            SELECT doc_id,
+                   CAST(doc_id % 7 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                   + -ln(-ln(
+                       (CAST(('0x' || substr(
+                            sha256('gk' || CAST(doc_id AS VARCHAR)), 1, 8
+                        )) AS BIGINT) + CAST(1.0 AS DOUBLE))
+                       / (CAST(4294967296.0 AS DOUBLE)
+                          + CAST(2.0 AS DOUBLE))
+                   )) AS gk
+            FROM documents
+            ORDER BY gk DESC, doc_id ASC
+            LIMIT 500
+        )
+        UNION ALL
+        -- dsir_score replay under the fixed 32-bucket model: the full
+        -- featurizer in SQL — lowercase, \\s+ word split, word 1..2-
+        -- grams, zlib crc32 (recursive-CTE byte loop over the
+        -- reflected 0xEDB88320 table; ASCII docs, so unicode(char) IS
+        -- the byte) mod 32 — summed against the constant log-ratio
+        -- list; gram-less docs score 0, exactly as the engine does
+        SELECT 'dsir:' || CAST(logw_e6 AS VARCHAR) AS method, doc_id
+        FROM (
+            WITH RECURSIVE crc_tbl(n, k, c) AS (
+                SELECT n, 0, CAST(n AS BIGINT) FROM range(256) t(n)
+                UNION ALL
+                SELECT n, k + 1,
+                       CASE WHEN c & 1 = 1
+                            THEN xor(3988292384, c >> 1)
+                            ELSE c >> 1 END
+                FROM crc_tbl WHERE k < 8
+            ),
+            tbl AS (SELECT n, c FROM crc_tbl WHERE k = 8),
+            dsir_docs AS (
+                SELECT doc_id, lower(text) AS t FROM documents
+                WHERE doc_id < 40 AND text IS NOT NULL
+                  AND regexp_matches(text, '^[ -~]*$')
+            ),
+            words AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(t, '\\s+'), w -> w <> ''
+                       ) AS ws
+                FROM dsir_docs
+            ),
+            gram_rows AS (
+                SELECT doc_id, g
+                FROM (
+                    SELECT doc_id, unnest(
+                        ws || [ws[i] || ' ' || ws[i + 1]
+                               for i in generate_series(1, len(ws) - 1)]
+                    ) AS g
+                    FROM words WHERE len(ws) > 0
+                )
+            ),
+            crc_iter(doc_id, i, n, g, c) AS (
+                SELECT doc_id, 0, length(g), g, CAST(4294967295 AS BIGINT)
+                FROM gram_rows
+                UNION ALL
+                SELECT ci.doc_id, ci.i + 1, ci.n, ci.g, xor(t.c, ci.c >> 8)
+                FROM crc_iter ci
+                JOIN tbl t
+                  ON t.n = xor(
+                         ci.c & 255, unicode(substr(ci.g, ci.i + 1, 1))
+                     )
+                WHERE ci.i < ci.n
+            ),
+            bkt AS (
+                SELECT doc_id,
+                       CAST(xor(c, 4294967295) % 32 AS BIGINT) AS b
+                FROM crc_iter WHERE i = n
+            ),
+            ratio(b, v) AS (SELECT * FROM (VALUES {ratio_vals})),
+            scores AS (
+                SELECT doc_id, CAST(SUM(v) AS BIGINT) AS logw_e6
+                FROM bkt JOIN ratio USING (b) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.logw_e6, 0) AS BIGINT) AS logw_e6
+            FROM dsir_docs d LEFT JOIN scores s USING (doc_id)
+        )
     """
 
 

@@ -64,6 +64,7 @@ def materialize_training_set(
     dedup_threshold: float = 0.8,
     keep_quality_col: str | None = None,
     semantic_dedup: dict | None = None,
+    dsir: dict | None = None,
     mixture: dict[str, float] | None = None,
     strata_col: str | None = None,
     chunk_tokens: int | None = None,
@@ -100,6 +101,27 @@ def materialize_training_set(
        rebuilds dedup under the IDENTICAL cell structure). NULL
        embeddings pass through unexamined (the module's
        null-preservation contract).
+    3c. **DSIR selection** (``dsir`` config, r11): importance-resample
+       toward a target domain (:func:`~.text.dsir_select` semantics,
+       Xie et al. 2023) AFTER the dedup tiers and BEFORE mixture —
+       the mixture's solved proportions are the output composition
+       contract, so selecting after it would distort them; DSIR
+       narrows the pool toward the target, then mixture balances
+       composition within the selection. Config keys: ``n_select``
+       (required), exactly ONE of ``target`` (a domain-sample
+       DataFrame with column ``col``, consumed at build — the fitted
+       model is what gets recorded) or ``model`` (a pretrained
+       :func:`~.text.dsir_fit` dict), optional ``salt`` (default
+       ``"{salt}:dsir"`` — a redraw knob independent of the shuffle),
+       and fit params ``n``/``buckets``/``smoothing`` (honored only
+       when fitting here). When fitting at build, the raw-corpus
+       distribution q is estimated from the INPUT ``docs`` (the
+       paper's shape — importance weights are raw-vs-target; one
+       narrow extra scan of the input, never a re-run of the recipe
+       prefix). The RECORDED model scores every later extension batch,
+       so extension and fresh-union-rebuild-under-the-recorded-model
+       select identically; per-doc weights are stored in the premix
+       pool (``__dsir_logw_e6``), so extensions score only the batch.
     4. **mixture**: :func:`~.sampling.target_mixture` solves per-stratum
        keep rates for ``mixture`` shares over ``strata_col`` (largest
        feasible output, no upsampling) and hash-downsamples.
@@ -140,6 +162,41 @@ def materialize_training_set(
                 "semantic_dedup.centroids is empty — pass a real k×dim "
                 "list or omit it to train at build time"
             )
+    dsir_cfg: dict | None = None
+    dsir_target: DataFrame | None = None
+    if dsir is not None:
+        src = dict(dsir)
+        dsir_target = src.pop("target", None)
+        n_sel = src.get("n_select")
+        if not isinstance(n_sel, int) or isinstance(n_sel, bool) \
+                or n_sel <= 0:
+            raise ValueError("dsir.n_select must be a positive int")
+        model = src.get("model")
+        if (dsir_target is None) == (model is None):
+            raise ValueError(
+                "dsir config needs exactly ONE of 'target' (a domain-"
+                "sample DataFrame, fit at build) or 'model' (a "
+                "pretrained dsir_fit dict)"
+            )
+        if model is not None and (
+            model.get("format") != "spark-graft-dsir/v1"
+        ):
+            raise ValueError(
+                "dsir.model is not a dsir_fit model (format="
+                f"{model.get('format')!r})"
+            )
+        # the recorded shape: only what extensions/rebuilds need —
+        # fit params live inside the model once fitted
+        dsir_cfg = {
+            "n_select": n_sel,
+            "salt": str(src.get("salt", f"{salt}:dsir")),
+            "model": model,
+        }
+        dsir_fit_params = {
+            "n": int(src.get("n", 2)),
+            "buckets": int(src.get("buckets", 10_000)),
+            "smoothing": float(src.get("smoothing", 1.0)),
+        }
 
     stages: list[tuple[str, int]] = []
 
@@ -173,15 +230,35 @@ def materialize_training_set(
     if sem is not None:
         cur = _semantic_stage(cur, sem, id_col, train_if_needed=True)
         _audit("semantic_dedup", cur)
+    if dsir_cfg is not None:
+        from .text import _dsir_logw_udf, dsir_fit
+
+        if dsir_cfg["model"] is None:
+            # q from the RAW input (one narrow extra scan of docs —
+            # the paper fits raw-vs-target; fitting on the survivor
+            # pipeline instead would re-run the whole recipe prefix
+            # for a distribution estimate a raw scan serves equally)
+            dsir_cfg["model"] = dsir_fit(
+                docs, dsir_target, col=col, **dsir_fit_params
+            )
+        # per-doc weight attached as a COLUMN (scalar Arrow UDF — no
+        # join, no shuffle, only the text column crosses the
+        # boundary); it rides into the premix pool so extensions
+        # score only their batch
+        cur = cur.withColumn(
+            "__dsir_logw_e6", _dsir_logw_udf(dsir_cfg["model"])(F.col(col))
+        )
     rates: dict[str, float] = {}
     premix_schema: str | None = None
-    if mixture is not None:
+    if mixture is not None or dsir_cfg is not None:
         if chunk_tokens is None:
-            # r9: persist the PRE-mixture survivor pool — the extension
-            # state that makes mixture sets incrementally extendable.
-            # Fresh-build-on-union equality needs the rows the mixture
-            # DROPPED (a rate that rises on extension re-admits them),
-            # so the pool is the re-solve universe; it also
+            # r9 (mixture) / r11 (dsir): persist the PRE-selection
+            # survivor pool — the extension state that makes globally-
+            # selected sets incrementally extendable. Fresh-build-on-
+            # union equality needs the rows the mixture/selection
+            # DROPPED (a mixture rate that rises re-admits them; a new
+            # batch can evict a previously-selected doc from the DSIR
+            # top-n), so the pool is the re-derive universe; it also
             # de-duplicates work here — the expensive
             # quality/decont/dedup prefix is evaluated once into the
             # pool and the kept write reads the pool files instead of
@@ -200,12 +277,16 @@ def materialize_training_set(
                 for f in cur.schema.fields
             )
             cur = spark.read.schema(premix_schema).parquet(premix_path)
-            if sem is not None:
-                cur = cur.drop("__semcell")
-        cur, rates = target_mixture(
-            cur, mixture, strata_col, key=id_col, salt=f"{salt}:mix"
-        )
-        _audit("mixture", cur)
+        if dsir_cfg is not None:
+            cur = _dsir_select_stage(cur, dsir_cfg, id_col)
+            _audit("dsir", cur)
+        # pool/stage helper columns never reach the written set
+        cur = cur.drop("__semcell", "__dsir_logw_e6")
+        if mixture is not None:
+            cur, rates = target_mixture(
+                cur, mixture, strata_col, key=id_col, salt=f"{salt}:mix"
+            )
+            _audit("mixture", cur)
 
     unit = "documents"
     pack_mode = False
@@ -338,6 +419,7 @@ def materialize_training_set(
             "dedup_threshold": dedup_threshold if dedup else None,
             "keep_quality_col": keep_quality_col,
             "semantic_dedup": sem,
+            "dsir": dsir_cfg,
             "mixture": mixture,
             "strata_col": strata_col,
             "solved_mixture_rates": rates or None,
@@ -417,6 +499,31 @@ def _semantic_stage(
         max_cell_size=sem.get("max_cell_size"),
     )
     return kept.unionByName(nulls)
+
+
+def _dsir_select_stage(
+    cur: DataFrame, dsir_cfg: dict, id_col: str
+) -> DataFrame:
+    """The recipe's DSIR selection stage: importance-resample
+    ``n_select`` rows toward the recorded model's target domain via
+    Gumbel-top-k over the stored ``__dsir_logw_e6`` weights — exactly
+    :func:`~.text.dsir_select`'s mechanism (same fixed-point→double
+    conversion, same :func:`~.sampling.weighted_sample_k`, same
+    hash-of-(salt,id) noise), so the standalone operator and the
+    recipe stage cannot drift and a given (pool, model, salt) selects
+    identically whether reached by extension or by a fresh rebuild.
+    NULL-weight (NULL-text) and NULL-id rows are never selected;
+    fewer than ``n_select`` survivors select them all. One
+    distributed TakeOrdered — no global sort."""
+    from .sampling import weighted_sample_k
+
+    scored = cur.withColumn(
+        "__logw", F.col("__dsir_logw_e6").cast("double") / F.lit(1e6)
+    )
+    return weighted_sample_k(
+        scored, "__logw", int(dsir_cfg["n_select"]), key=id_col,
+        salt=str(dsir_cfg["salt"]),
+    ).drop("__logw")
 
 
 def _with_semcell(cur: DataFrame, sem: dict, id_col: str) -> DataFrame:
@@ -555,6 +662,14 @@ def extend_training_set(
        coverage against the live snapshot and refuses a stale or
        differently-banded index rather than silently admitting
        near-dups of recently appended docs.
+    4b. **global re-derive (mixture and/or DSIR sets)**: batch
+       survivors append to the premix pool — DSIR-configured sets
+       score them under the RECORDED model first (only the batch is
+       ever scored; pool rows carry their stored weight) — then the
+       global stages (DSIR Gumbel-top-n selection, per-stratum
+       mixture rates) re-derive the kept set from the grown pool
+       under the original salts and publish it as a fresh snapshot
+       version (see :func:`_extend_pooled`).
     5. **shuffle + append**: the same ``salt`` makes shard membership
        the SAME pure function of id as the original build; new rows
        append into their shards. Shard MEMBERSHIP stays exact, but a
@@ -655,9 +770,9 @@ def _validate_batch(
     expected = {
         f.name: f.dataType.simpleString()
         for f in reference.schema.fields
-        # shard is the shuffle's own column; __semcell is the pool's
-        # stored recipe-clustering assignment — neither is input
-        if f.name not in ("shard", "__semcell")
+        # shard is the shuffle's own column; __semcell / __dsir_logw_e6
+        # are the pool's stored recipe-stage outputs — none is input
+        if f.name not in ("shard", "__semcell", "__dsir_logw_e6")
     }
     got = {f.name: f.dataType.simpleString() for f in new_docs.schema.fields}
     if got != expected:
@@ -1054,8 +1169,11 @@ def _extend_locked(
             "this set was built WITHOUT decontamination; extending "
             "with a benchmark would leave it half-decontaminated"
         )
-    if cfg.get("mixture") is not None:
-        return _extend_mixture(
+    if cfg.get("mixture") is not None or cfg.get("dsir") is not None:
+        # globally-selected sets (mixture rates and/or DSIR top-n):
+        # a new batch can change which OLD rows are kept, so the kept
+        # set re-derives from the premix pool instead of appending
+        return _extend_pooled(
             spark, new_docs, base, benchmark, index, audit, manifest,
             allow_interleaved_ids,
         )
@@ -1103,7 +1221,7 @@ def _extend_locked(
     )
 
 
-def _extend_mixture(
+def _extend_pooled(
     spark: SparkSession,
     new_docs: DataFrame,
     base: str,
@@ -1113,15 +1231,19 @@ def _extend_mixture(
     manifest: dict,
     allow_interleaved_ids: bool = False,
 ) -> dict:
-    """Incremental extension for MIXTURE-configured sets (r9, lifting
-    the r8 refusal): the recorded recipe runs over the NEW batch only
+    """Incremental extension for GLOBALLY-SELECTED sets — mixture
+    rates (r9, lifting the r8 refusal) and/or DSIR selection (r11):
+    the recorded recipe runs over the NEW batch only
     (:func:`_batch_recipe` — shared verbatim with the plain path, so
     the two cannot drift), survivors append to the persisted
-    PRE-mixture pool (``base/premix``), per-stratum keep rates
-    re-solve over the grown pool with the original salt, and the kept
-    shards are re-derived from the pool — the set a fresh build over
-    the union corpus produces (pytest: file-order equality under
-    ``ordered=True``). A prebuilt ``index`` is accepted and guarded
+    pre-selection pool (``base/premix``) carrying their DSIR weight
+    scored under the RECORDED model, the global stages re-derive over
+    the grown pool with the original salts (DSIR Gumbel-top-n, then
+    per-stratum mixture rates), and the kept shards are re-derived
+    from the pool — the set a fresh build over the union corpus
+    (under the recorded model/clustering) produces (pytest:
+    file-order equality under ``ordered=True``). A prebuilt
+    ``index`` is accepted and guarded
     against the POOL (the dedup universe here), paying one narrow pool
     text scan for the staleness stats — build it with
     ``build_lsh_index`` over ``base/premix`` after each extension to
@@ -1178,10 +1300,10 @@ def _extend_mixture(
     jvm, fs = _fs(spark, base)
     if premix_schema is None or not fs.exists(_hpath(jvm, base, "premix")):
         raise ValueError(
-            "this mixture-configured set was materialized before "
-            "premix pools: re-materialize once (the build now writes "
-            "base/premix), after which extensions re-solve rates "
-            "incrementally"
+            "this globally-selected (mixture/dsir) set was "
+            "materialized before premix pools: re-materialize once "
+            "(the build now writes base/premix), after which "
+            "extensions re-derive the kept set incrementally"
         )
     premix_path = f"{base}/premix"
     pool = spark.read.schema(premix_schema).parquet(premix_path)
@@ -1207,6 +1329,17 @@ def _extend_mixture(
 
         # pool append FIRST (see crash-safety note above), then
         # re-derive the kept set from the re-read pool files
+        if cfg.get("dsir") is not None:
+            # batch survivors enter the pool WITH their importance
+            # weight scored under the RECORDED model (the build-time
+            # column order: logw, then semcell) — the pool is only
+            # ever scored one batch at a time
+            from .text import _dsir_logw_udf
+
+            cur = cur.withColumn(
+                "__dsir_logw_e6",
+                _dsir_logw_udf(cfg["dsir"]["model"])(F.col(col)),
+            )
         if cfg.get("semantic_dedup"):
             # batch survivors enter the pool WITH their
             # recipe-clustering cell, keeping the stored assignments
@@ -1217,14 +1350,20 @@ def _extend_mixture(
         for frame in cleanup:
             frame.unpersist()
     pool = spark.read.schema(premix_schema).parquet(premix_path)
-    kept_src = (
-        pool.drop("__semcell") if "__semcell" in pool.columns else pool
-    )
-    kept, rates = target_mixture(
-        kept_src, cfg["mixture"], cfg["strata_col"], key=id_col,
-        salt=f"{manifest['salt']}:mix",
-    )
-    _audit("mixture", kept)
+    kept_src = pool
+    if cfg.get("dsir") is not None:
+        kept_src = _dsir_select_stage(kept_src, cfg["dsir"], id_col)
+        _audit("dsir", kept_src)
+    kept_src = kept_src.drop("__semcell", "__dsir_logw_e6")
+    rates: dict[str, float] = {}
+    if cfg.get("mixture") is not None:
+        kept, rates = target_mixture(
+            kept_src, cfg["mixture"], cfg["strata_col"], key=id_col,
+            salt=f"{manifest['salt']}:mix",
+        )
+        _audit("mixture", kept)
+    else:
+        kept = kept_src
     out = deterministic_shuffle(
         kept,
         key=id_col,
@@ -1243,7 +1382,8 @@ def _extend_mixture(
         f"{base}/{new_rel}"
     )
     manifest["data_dir"] = new_rel
-    cfg["solved_mixture_rates"] = rates or None
+    if cfg.get("mixture") is not None:
+        cfg["solved_mixture_rates"] = rates or None
     return _refresh_manifest_stats(
         spark, manifest, base, out.schema, col, id_col, audit, stages
     )

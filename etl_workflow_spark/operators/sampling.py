@@ -381,9 +381,12 @@ def weighted_sample_k(
     the Gumbel-top-k trick — rank by ``log w + Gumbel(0,1)`` and take
     the top k, which draws exactly the weighted-without-replacement
     distribution (Vieira 2014 exposition of Gumbel-max). The Gumbel
-    noise is a pure hash function of ``(salt, key)``, so the selection
-    replays identically under any partitioning/layout (the module
-    contract); a new salt redraws. Compiles to TakeOrderedAndProject —
+    noise is a pure function of the module's cross-engine bucket hash
+    of ``(salt, key)`` (sha256, like every other sampler here — NOT an
+    engine-private hash), so the selection replays identically under
+    any partitioning/layout (the module contract) AND a SQL oracle can
+    re-derive the exact top-k; a new salt redraws. Compiles to
+    TakeOrderedAndProject —
     per-partition k-heaps merged at the driver, no global sort. Rows
     with NULL ``logw_col`` or NULL ``key`` are never selected (NULL
     keys would all share one hash value, making the draw
@@ -391,13 +394,14 @@ def weighted_sample_k(
     requires ``key`` to be UNIQUE: duplicate keys share identical
     Gumbel noise, so their draws are perfectly correlated and the
     deterministic tiebreak between them is arbitrary)."""
-    # uniform in (0,1): xxhash64 folded to 30 bits (positive, dense —
-    # 2^30 divides 2^63 so the Long.MIN_VALUE edge stays safe);
-    # +1 / (2^30+2) keeps u in (0,1) exclusive so log(u) is finite
+    # uniform in (0,1): the first 32 digest bits as an integer;
+    # +1 / (2^32+2) keeps u strictly inside (0,1) so log(u) is finite.
+    # Every term is exactly representable, so both engines compute
+    # bit-identical u (the gumbel transform is then the same two libm
+    # log calls on the same doubles)
     u = (
-        (F.abs(F.xxhash64(F.lit(salt), F.col(key).cast("string")))
-         % F.lit(1 << 30)).cast("double") + F.lit(1.0)
-    ) / F.lit(float(1 << 30) + 2.0)
+        F.conv(_bucket(key, salt), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(_HEX_SPAN) + 2.0)
     gumbel = -F.log(-F.log(u))
     return (
         df.where(F.col(logw_col).isNotNull() & F.col(key).isNotNull())

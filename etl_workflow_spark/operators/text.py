@@ -2622,21 +2622,17 @@ def dsir_fit(
     }
 
 
-def dsir_score(
-    df: DataFrame,
-    model: dict,
-    col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Per-document DSIR importance log-weight under a
-    :func:`dsir_fit` model: feature counts × the bucket log-ratio
-    vector, one shuffle-free Arrow pass with the (buckets-sized)
-    vector shipped in the closure. Returns ``(id_col, logw_e6
-    bigint)`` — fixed-point so downstream comparisons are exact and
-    layout-invariant; NULL text scores NULL."""
-    import numpy as np
-    from pyspark.sql.types import LongType, StructField, StructType
-
+def _dsir_logw_udf(model: dict):
+    """Validate a :func:`dsir_fit` model and return the scalar Arrow
+    UDF computing a text's importance log-weight under it (feature
+    counts × the bucket log-ratio vector; NULL text → NULL) — THE one
+    scoring body: :func:`dsir_score`, the training-set recipe's
+    selection stage (``corpus.materialize_training_set(dsir=...)``),
+    and its extension path all call this, so an engine-side scoring
+    drift between them is structurally impossible. A scalar UDF
+    rather than ``mapInPandas`` so callers can ATTACH the weight as a
+    column without a join and only the text column crosses the Arrow
+    boundary."""
     if model.get("format") != "spark-graft-dsir/v1":
         raise ValueError(
             f"not a dsir_fit model (format={model.get('format')!r})"
@@ -2651,31 +2647,41 @@ def dsir_score(
             f"corrupt dsir model: {len(ratio_b)} log-ratios for "
             f"{buckets} buckets"
         )
-    in_schema = df.select(id_col, col).schema
-    out_schema = StructType([
-        in_schema[0], StructField("logw_e6", LongType()),
-    ])
 
-    def score(batches):
+    @F.pandas_udf("long")
+    def logw(ts: pd.Series) -> pd.Series:
         # ratio stays the JSON list of plain Python ints: numpy would
         # pay a scalar-boxing + int() per gram in the hottest loop
         R = ratio_b
-        for pdf in batches:
-            ids, ws = [], []
-            for rid, t in zip(pdf[id_col], pdf[col]):
-                ids.append(rid)
-                if t is None:
-                    ws.append(None)
-                    continue
-                w = 0
-                for b, k in _dsir_doc_counts(t, n, buckets).items():
-                    w += k * R[b]
-                ws.append(w)
-            yield pd.DataFrame({
-                id_col: ids, "logw_e6": pd.array(ws, dtype="Int64"),
-            })
+        ws = []
+        for t in ts:
+            if t is None:
+                ws.append(None)
+                continue
+            w = 0
+            for b, k in _dsir_doc_counts(t, n, buckets).items():
+                w += k * R[b]
+            ws.append(w)
+        return pd.Series(pd.array(ws, dtype="Int64"))
 
-    return df.select(id_col, col).mapInPandas(score, out_schema)
+    return logw
+
+
+def dsir_score(
+    df: DataFrame,
+    model: dict,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight under a
+    :func:`dsir_fit` model: feature counts × the bucket log-ratio
+    vector, one shuffle-free Arrow pass with the (buckets-sized)
+    vector shipped in the closure. Returns ``(id_col, logw_e6
+    bigint)`` — fixed-point so downstream comparisons are exact and
+    layout-invariant; NULL text scores NULL."""
+    return df.select(
+        id_col, _dsir_logw_udf(model)(F.col(col)).alias("logw_e6")
+    )
 
 
 def dsir_select(

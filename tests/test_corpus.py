@@ -1011,3 +1011,189 @@ def test_vacuum_respects_extend_lock_and_guard_placement(
             spark, vd, str(tmp_path / "ec"), num_shards=2,
             semantic_dedup={"vec_col": "embedding", "centroids": []},
         )
+
+
+# ---------------------------------------------------- DSIR recipe tier
+
+_DSIR_PROSE_W = [
+    "harbor", "tide", "gull", "lantern", "ferry", "quay", "mist", "sail",
+]
+_DSIR_CODE_W = [
+    "parser", "buffer", "tuple", "index", "thread", "socket", "kernel",
+    "queue",
+]
+
+
+def _dsir_recipe_docs(spark, start, count, words, source):
+    """Deterministic two-domain corpus for the recipe's DSIR stage:
+    every doc passes the quality gate (stopwords, length) and carries
+    two UNIQUE tokens so the formulaic rotation never trips MinHash
+    near-dup; the domain signal lives in the rotating vocab."""
+    rows = []
+    for g in range(start, start + count):
+        a = words[g % len(words)]
+        b = words[(g + 3) % len(words)]
+        c = words[(g + 5) % len(words)]
+        rows.append((
+            g,
+            f"the {a} and the {b} kept a steady {c} while "
+            f"{source}{g}a {source}{g}b drifted past the old stone "
+            "wall at dusk",
+            source,
+        ))
+    return _docs(spark, rows)
+
+
+def _dsir_recipe_target(spark):
+    rows = [(900 + i,
+             f"the {_DSIR_PROSE_W[i]} and the "
+             f"{_DSIR_PROSE_W[(i + 2) % 8]} kept a steady "
+             f"{_DSIR_PROSE_W[(i + 4) % 8]} through the night watch",
+             "web") for i in range(8)]
+    return _docs(spark, rows).select("text")
+
+
+def test_dsir_tier_in_recipe_and_extension(spark, tmp_path):
+    """r10 verdict task #1: the training-set recipe gains a DSIR
+    selection tier — build fits the model (recorded in the manifest
+    like the semantic centroids), selects n_select docs toward the
+    target domain before mixture, stores per-doc weights in the
+    premix pool; extension scores only the NEW batch under the
+    RECORDED model and re-derives the selection over the grown pool;
+    extended set == fresh union build under the recorded model; a
+    salt redraw changes the selection deterministically; drop
+    accounting gains a dsir stage."""
+    prose = _dsir_recipe_docs(spark, 1, 10, _DSIR_PROSE_W, "web")
+    code = _dsir_recipe_docs(spark, 11, 10, _DSIR_CODE_W, "code")
+    docs = prose.unionByName(code)
+    target = _dsir_recipe_target(spark)
+
+    out = str(tmp_path / "dsir")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True,
+        dsir={"target": target, "n_select": 12, "buckets": 512},
+    )
+    cfg = m["config"]["dsir"]
+    assert cfg["model"]["format"] == "spark-graft-dsir/v1"
+    assert cfg["n_select"] == 12 and cfg["salt"] == "train-v1:dsir"
+    # manifest (model included) survives a JSON round-trip identically
+    assert json.loads(json.dumps(m)) == m
+    assert m["stage_rows"]["dsir"] == 12 and m["rows"] == 12
+    data, _ = C.read_training_set(spark, out)
+    kept0 = {r.doc_id for r in data.collect()}
+    assert "__dsir_logw_e6" not in data.columns
+    # selection is target-biased: all 10 prose docs survive, the
+    # remaining 2 slots go to code by Gumbel noise
+    assert {i for i in kept0 if i <= 10} == set(range(1, 11))
+    assert len({i for i in kept0 if i > 10}) == 2
+    # the pool stores the per-doc weight for extension-time reuse
+    pool = spark.read.parquet(f"{out}/premix")
+    assert "__dsir_logw_e6" in pool.columns
+    assert pool.where("__dsir_logw_e6 IS NULL").count() == 0
+
+    # extension: 3 new prose docs outrank the code stragglers -> the
+    # re-derived selection EVICTS them (append-only cannot express
+    # this), scored under the recorded model, batch-only
+    batch = _dsir_recipe_docs(spark, 30, 3, _DSIR_PROSE_W, "web")
+    m2 = C.extend_training_set(spark, batch, out, audit=True)
+    assert m2["epochs"] == 2 and m2["rows"] == 12
+    assert m2["stage_rows"]["dsir"] == 12
+    data2, man2 = C.read_training_set(spark, out, ordered=True)
+    kept2 = {r.doc_id for r in data2.collect()}
+    assert {i for i in kept2 if i >= 30} == {30, 31, 32}
+    assert not {i for i in kept2 if 10 < i < 30}, "code evicted"
+    assert man2["data_dir"].startswith("data_v2_"), "snapshot publish"
+
+    # fresh union build under the RECORDED model == extension
+    out_b = str(tmp_path / "dsir_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        dsir={"model": cfg["model"], "n_select": 12},
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in data2.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+    # a salt redraw changes the selection deterministically (noise is
+    # a pure function of (salt, id): only the near-equal-weight tail
+    # re-rolls; both draws replay identically)
+    out_s = str(tmp_path / "dsir_s")
+    ms = C.materialize_training_set(
+        spark, docs, out_s, num_shards=2,
+        dsir={"model": cfg["model"], "n_select": 12, "salt": "redraw"},
+    )
+    assert ms["config"]["dsir"]["salt"] == "redraw"
+    kept_s = {
+        r.doc_id for r in C.read_training_set(spark, out_s)[0].collect()
+    }
+    assert kept_s != kept0
+    assert {i for i in kept_s if i <= 10} == set(range(1, 11))
+
+
+def test_dsir_with_mixture_composes_and_extends(spark, tmp_path):
+    """DSIR + mixture in one recipe: selection runs BEFORE mixture
+    (the solved proportions are the output contract), both re-derive
+    from the pool on extension, and extension == fresh union build
+    under the recorded model."""
+    docs = _dsir_recipe_docs(
+        spark, 1, 10, _DSIR_PROSE_W, "web"
+    ).unionByName(_dsir_recipe_docs(spark, 11, 10, _DSIR_CODE_W, "code"))
+    out = str(tmp_path / "dm")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True,
+        dsir={"target": _dsir_recipe_target(spark), "n_select": 15,
+              "buckets": 512},
+        mixture={"web": 0.5, "code": 0.5},
+        strata_col="source",
+    )
+    # dsir keeps all 10 web + 5 code; the code stratum binds
+    assert m["stage_rows"]["dsir"] == 15
+    assert m["config"]["solved_mixture_rates"]["code"] == 1.0
+    batch = _dsir_recipe_docs(spark, 30, 3, _DSIR_PROSE_W, "web")
+    C.extend_training_set(spark, batch, out)
+    da, ma = C.read_training_set(spark, out, ordered=True)
+    out_b = str(tmp_path / "dm_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        dsir={"model": m["config"]["dsir"]["model"], "n_select": 15},
+        mixture={"web": 0.5, "code": 0.5},
+        strata_col="source",
+    )
+    db, mb = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+    assert (
+        ma["config"]["solved_mixture_rates"]
+        == mb["config"]["solved_mixture_rates"]
+    )
+
+
+def test_dsir_config_validation(spark, tmp_path):
+    docs = _dsir_recipe_docs(spark, 1, 6, _DSIR_PROSE_W, "web")
+    target = _dsir_recipe_target(spark)
+    out = str(tmp_path / "v")
+    with pytest.raises(ValueError, match="n_select"):
+        C.materialize_training_set(
+            spark, docs, out, dsir={"target": target}
+        )
+    with pytest.raises(ValueError, match="n_select"):
+        C.materialize_training_set(
+            spark, docs, out, dsir={"target": target, "n_select": 0}
+        )
+    with pytest.raises(ValueError, match="exactly ONE"):
+        C.materialize_training_set(
+            spark, docs, out, dsir={"n_select": 3}
+        )
+    with pytest.raises(ValueError, match="exactly ONE"):
+        C.materialize_training_set(
+            spark, docs, out,
+            dsir={"target": target, "model": {"format": "x"},
+                  "n_select": 3},
+        )
+    with pytest.raises(ValueError, match="not a dsir_fit model"):
+        C.materialize_training_set(
+            spark, docs, out,
+            dsir={"model": {"format": "x"}, "n_select": 3},
+        )
