@@ -4,9 +4,11 @@ Image/audio/video content rides as a ``binary`` column with a typed
 metadata struct next to it. Decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas iterators over
 ``mapInPandas`` — the Spark-side contract (schema, partitioning, batch
-shape) is real and tested; the actual media decode is STUBBED because
-codec libraries aren't in this container (each stub raises
-``NotImplementedError`` unless the deterministic fake is requested).
+shape) is real and tested. The pixel tier is layered (r11): Pillow
+when importable, a dependency-free PNG IHDR header parse for
+dimensions (real even in this codec-less container), and the
+deterministic digest fake as the test default; a payload no enabled
+tier can handle raises ``NotImplementedError``.
 
 At 100 TB the payload column dominates I/O: keep it in its own parquet
 column (column pruning skips it unless selected), size
@@ -54,23 +56,90 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.col(text_col).cast(BinaryType()))
 
 
+def _pillow():
+    """Import-gated Pillow handle (None when absent — the container
+    default). Cached per process so the executor-side per-batch loops
+    pay one import, not one per call."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNRESOLVED:
+        try:
+            from PIL import Image
+
+            _PIL_IMAGE = Image
+        except Exception:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+_UNRESOLVED = object()
+_PIL_IMAGE = _UNRESOLVED
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_ihdr(payload: bytes):
+    """Real, dependency-free PNG dimension decode: the IHDR chunk is
+    mandatory, first, and fixed-layout (width/height as big-endian
+    u32 at bytes 16..24), so a header peek needs only ``struct`` —
+    the 100 TB shape for metadata extraction anyway (never inflate
+    pixels to learn a size). Returns (w, h) or None."""
+    import struct
+
+    if (
+        len(payload) >= 24
+        and payload[:8] == _PNG_MAGIC
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    return None
+
+
 def decode_media(payload: bytes, media_type: str = "image",
                  allow_fake: bool = False):
-    """Decoder seam — the engine's multimodal contract is
-    metadata/layout-only BY DESIGN (SCALE.md §8, final): codec choice
-    (PIL vs turbojpeg vs GPU, sandboxing untrusted payloads) is a
-    deployment concern; a deployment plugs its decoder into this
-    signature and the distributed plumbing (schema, partitioning,
-    Arrow batch shape, determinism tests) is already in place.
+    """Decoder seam — three tiers, most-real-first:
 
-    With ``allow_fake=True`` returns deterministic fake dimensions
-    derived from the payload digest — enough to exercise the full
-    distributed plumbing and to unit-test downstream logic.
+    1. **Pillow**, when importable (not in this container): full
+       decode, real dimensions, real frame count (``n_frames`` for
+       animated formats).
+    2. **stdlib PNG header parse** (always available): real
+       width/height from the mandatory IHDR chunk — no codec library,
+       no pixel inflation.
+    3. **deterministic fake** (``allow_fake=True``): digest-derived
+       dimensions, enough to exercise the full distributed plumbing
+       and unit-test downstream logic. This remains the TEST DEFAULT
+       for non-image payloads so fixtures behave identically with and
+       without Pillow installed.
+
+    A payload no available tier can decode raises
+    (``NotImplementedError`` keeps the historical contract). Codec
+    CHOICE beyond Pillow (turbojpeg, GPU, sandboxing untrusted
+    payloads) stays a deployment concern (SCALE.md §8): a deployment
+    plugs its decoder into this signature and the distributed
+    plumbing (schema, partitioning, Arrow batch shape, determinism
+    tests) is already in place.
     """
+    Image = _pillow()
+    if Image is not None:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                return {
+                    "width": int(img.size[0]),
+                    "height": int(img.size[1]),
+                    "n_frames": int(getattr(img, "n_frames", 1)),
+                }
+        except Exception:
+            pass  # not Pillow-decodable: fall through to the next tier
+    dims = _png_ihdr(payload)
+    if dims is not None:
+        return {"width": dims[0], "height": dims[1], "n_frames": 1}
     if not allow_fake:
         raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "environment; pass allow_fake=True for the deterministic stub"
+            "payload not decodable by any available tier (Pillow "
+            "absent or failed; not a PNG); pass allow_fake=True for "
+            "the deterministic stub"
         )
     digest = hashlib.sha256(payload).digest()
     return {
@@ -154,27 +223,44 @@ def resize_media(
     """Resize every payload to (width, height) via ``mapInPandas``.
 
     Spark-side contract is real: binary in, binary out, one output row
-    per input row, batch-at-a-time Python. The pixel work is stubbed
-    (no codec libs here): the fake "resized" payload is the SHA-256 of
-    (payload ‖ dims) — deterministic across runs/partitions, so
-    downstream dedup/caching logic is testable.
+    per input row, batch-at-a-time Python. Pixel work runs through
+    Pillow when importable (bytes in → bilinear resize → PNG bytes
+    out); otherwise — or for a payload Pillow cannot open — the fake
+    "resized" payload is the SHA-256 of (payload ‖ dims), deterministic
+    across runs/partitions, so downstream dedup/caching logic stays
+    testable in codec-less containers. ``allow_fake=False`` makes an
+    undecodable payload raise instead of degrading silently.
     """
+
+    def _resize_one(raw: bytes, dims: bytes) -> bytes:
+        Image = _pillow()
+        if Image is not None:
+            import io
+
+            try:
+                with Image.open(io.BytesIO(raw)) as img:
+                    out = io.BytesIO()
+                    img.resize((width, height)).save(out, format="PNG")
+                    return out.getvalue()
+            except Exception:
+                pass  # not Pillow-decodable: fake tier below
+        if not allow_fake:
+            raise NotImplementedError(
+                "payload not resizable (Pillow absent or failed); pass "
+                "allow_fake=True for the deterministic stub"
+            )
+        return hashlib.sha256(raw + dims).digest()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        dims = f"{width}x{height}".encode()
         for pdf in batches:
-            if not allow_fake:
-                raise NotImplementedError(
-                    "media resize requires codec libraries not present in "
-                    "this environment; pass allow_fake=True for the stub"
-                )
-            dims = f"{width}x{height}".encode()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "payload": pdf[payload_col].map(
-                        lambda p: hashlib.sha256(bytes(p) + dims).digest()
+                        lambda p: _resize_one(bytes(p), dims)
                     ),
                     "width": width,
                     "height": height,
@@ -207,9 +293,27 @@ def sample_frames(
     output row count is data-dependent; Spark handles this natively
     because mapInPandas yields frames, not row-aligned columns).
 
-    Frame count comes from the (stubbed) decoder; each fake frame
-    payload is SHA-256(payload ‖ frame_idx), deterministic everywhere.
+    Frame count comes from :func:`decode_media` (real under Pillow or
+    the PNG tier, digest-derived under the fake). Frame PAYLOADS are
+    real PNG re-encodes when Pillow can seek the payload's frames;
+    otherwise each fake frame payload is SHA-256(payload ‖ frame_idx),
+    deterministic everywhere.
     """
+
+    def _frame_bytes(raw: bytes, i: int) -> bytes:
+        Image = _pillow()
+        if Image is not None:
+            import io
+
+            try:
+                with Image.open(io.BytesIO(raw)) as img:
+                    img.seek(i)
+                    out = io.BytesIO()
+                    img.convert("RGB").save(out, format="PNG")
+                    return out.getvalue()
+            except Exception:
+                pass  # not Pillow-seekable: fake tier below
+        return hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -222,9 +326,7 @@ def sample_frames(
                 for i in range(0, meta["n_frames"], every_n):
                     ids.append(int(doc_id))
                     idxs.append(i)
-                    frames.append(
-                        hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
-                    )
+                    frames.append(_frame_bytes(raw, i))
             yield pd.DataFrame(
                 {"doc_id": pd.array(ids, dtype="int64"),
                  "frame_idx": pd.array(idxs, dtype="int32"),

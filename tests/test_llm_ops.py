@@ -169,6 +169,70 @@ def test_decode_media_stub_raises_without_fake():
         M.decode_media(b"bytes", allow_fake=False)
 
 
+def _make_png(w: int, h: int, color=(255, 0, 0)) -> bytes:
+    """Minimal valid RGB PNG from the stdlib alone (zlib + struct):
+    real test payloads without any codec dependency."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(color) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_png_header_tier(spark):
+    """r10 verdict task #6: a REAL decode path behind the boundary —
+    PNG dimensions parse from the IHDR header with the stdlib, no
+    codec library, so a real image payload yields its true size even
+    in this container (and the tier outranks the fake: allow_fake has
+    no effect on a decodable payload)."""
+    png = _make_png(37, 21)
+    for fake in (False, True):
+        meta = M.decode_media(png, allow_fake=fake)
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (
+            37, 21, 1,
+        )
+    # the distributed path picks the same tier
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    row = M.extract_media_meta(df, allow_fake=False).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (37, 21, 1)
+    # a truncated header is NOT silently fake-decoded
+    with pytest.raises(NotImplementedError):
+        M.decode_media(png[:20], allow_fake=False)
+
+
+def test_resize_media_real_tier_or_loud_refusal(spark):
+    """Pillow path (skip-tolerant): with Pillow importable the resize
+    is REAL — bytes in, PNG bytes out whose header says the target
+    size; without it, a real-image resize with allow_fake=False
+    refuses loudly instead of silently hashing."""
+    png = _make_png(37, 21)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    if M._pillow() is None:
+        with pytest.raises(Exception, match="not resizable"):
+            M.resize_media(df, 64, 48, allow_fake=False).collect()
+        pytest.skip("Pillow not installed: real-resize half skipped")
+    out = M.resize_media(df, 64, 48, allow_fake=False).collect()[0]
+    assert M._png_ihdr(bytes(out["payload"])) == (64, 48)
+    meta = M.decode_media(bytes(out["payload"]), allow_fake=False)
+    assert meta["width"] == 64 and meta["height"] == 48
+
+
 def test_extract_media_meta_plumbing(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="x")])
     out = {r["doc_id"]: r for r in
