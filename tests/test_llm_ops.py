@@ -1235,14 +1235,67 @@ def test_imi_index_and_topk_contract(spark, sf_dir):
         )
     with _pytest.raises(ValueError, match="non-empty"):
         S.imi_fit(emb.where("vec_id < 0"))
-    # exact-grid bound (r10 verdict): pair ranking builds the full
-    # n_cells² grid per query, so n_cells > 256 refuses loudly at fit
-    # AND at the model check (a hand-built model cannot dodge it)
-    with _pytest.raises(ValueError, match="multi-sequence heap"):
-        S.imi_fit(emb, n_cells=512)
-    big = dict(model, n_cells=1024)
-    with _pytest.raises(ValueError, match="exact-grid bound"):
+    # sanity bound (r11: the heap path lifted the 256 grid limit; the
+    # remaining bound is codebook-training degeneracy): oversized
+    # n_cells refuses loudly at fit AND at the model check (a
+    # hand-built model cannot dodge it)
+    with _pytest.raises(ValueError, match="supported bound"):
+        S.imi_fit(emb, n_cells=5000)
+    big = dict(model, n_cells=8192)
+    with _pytest.raises(ValueError, match="supported bound"):
         S.imi_topk(idx, q, big, emb, k=5)
+    emb.unpersist()
+
+
+def test_imi_rank_pairs_heap_matches_grid():
+    """The multi-sequence traversal (Babenko & Lempitsky 2012 §3.1)
+    returns EXACTLY the grid ranking, row-for-row — random inputs,
+    asymmetric halves, deliberate bit-equal ties at the truncation
+    boundary, and the full/over-asked edge."""
+    import numpy as np
+
+    from etl_workflow_spark.operators.similarity import _imi_rank_pairs
+
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        n_a = int(rng.randint(1, 40))
+        n_b = int(rng.randint(1, 40))
+        qa = rng.rand(n_a)
+        qb = rng.rand(n_b)
+        if trial % 3 == 0:
+            # force sum ties: quantize distances so many pairs share
+            # bit-identical sums (0.25 increments add exactly)
+            qa = np.round(qa * 4) / 4.0
+            qb = np.round(qb * 4) / 4.0
+        for t in (1, 3, n_a * n_b // 2 or 1, n_a * n_b, n_a * n_b + 5):
+            grid = _imi_rank_pairs(qa, qb, t)
+            heap = _imi_rank_pairs(qa, qb, t, force_heap=True)
+            assert heap == grid, (trial, n_a, n_b, t)
+    assert _imi_rank_pairs(np.array([1.0]), np.array([2.0]), 0) == []
+
+
+def test_imi_heap_path_end_to_end(spark):
+    """n_cells past the grid bound runs through the heap prober in
+    the real distributed query: same recall contract as the grid
+    tier, exact per-pair scores, and the candidate fraction shrinks
+    with the finer product grid."""
+    emb = _aniso_corpus(spark, n=1500, dim=32, seed=13).persist()
+    emb.count()
+    q = emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+    model = S.imi_fit(emb, n_cells=300)  # 90k product cells, heap path
+    assert model["n_cells"] == 300
+    idx = S.imi_index(emb, model)
+    exact = {(r["query_id"], r["neighbor_id"]): r["score_e4"]
+             for r in S.brute_force_topk(emb, q, k=10).collect()}
+    got_rows = S.imi_topk(
+        idx, q, model, emb, k=10, n_probe_pairs=600
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    assert len(got & set(exact)) / len(exact) >= 0.85
+    for r in got_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["score_e4"] == exact[key]
     emb.unpersist()
 
 
