@@ -2203,9 +2203,13 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(
         gumbel.select(F.lit("gumbel_topk").alias("method"), "doc_id")
     )
+    # \A..\z, not ^..$: Java's $ matches BEFORE a final line
+    # terminator, so '^[ -~]*$' would admit a trailing-newline doc
+    # the oracle's RE2 (end-of-text $) rejects — a latent gate
+    # divergence on data this filter exists to exclude
     scored = T.dsir_score(
         docs.where("doc_id < 40 AND text IS NOT NULL").where(
-            F.col("text").rlike("^[ -~]*$")
+            F.col("text").rlike("\\A[ -~]*\\z")
         ),
         _DSIR_GATE_MODEL,
     )

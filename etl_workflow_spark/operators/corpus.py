@@ -977,11 +977,13 @@ def _batch_recipe(
     # min() below, the audit counts, and each cross tier's multiple
     # references would otherwise re-run the whole batch pipeline
     # (quality/decontamination/within-batch dedup) per reference —
-    # batch-sized, never corpus-sized, and released by the caller
-    from pyspark import StorageLevel
-
-    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    # batch-sized, never corpus-sized, and released by the caller.
+    # Only when the caller provides the cleanup list: a persist with
+    # no owner to unpersist it would pin storage for the session
     if cleanup is not None:
+        from pyspark import StorageLevel
+
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         cleanup.append(cur)
     if cfg.get("dedup", True):
         _audit("deduped_within_batch", cur)

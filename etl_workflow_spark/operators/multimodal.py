@@ -240,7 +240,13 @@ def resize_media(
             try:
                 with Image.open(io.BytesIO(raw)) as img:
                     out = io.BytesIO()
-                    img.resize((width, height)).save(out, format="PNG")
+                    # resample pinned explicitly: Pillow's default has
+                    # changed across versions (bicubic today), and a
+                    # version-dependent kernel would break byte-level
+                    # determinism of the output payloads
+                    img.resize(
+                        (width, height), Image.Resampling.BILINEAR
+                    ).save(out, format="PNG")
                     return out.getvalue()
             except Exception:
                 pass  # not Pillow-decodable: fake tier below
@@ -295,25 +301,39 @@ def sample_frames(
 
     Frame count comes from :func:`decode_media` (real under Pillow or
     the PNG tier, digest-derived under the fake). Frame PAYLOADS are
-    real PNG re-encodes when Pillow can seek the payload's frames;
-    otherwise each fake frame payload is SHA-256(payload ‖ frame_idx),
-    deterministic everywhere.
+    real PNG re-encodes when Pillow can seek the payload's frames —
+    the container opens ONCE per document and seeks per frame, never
+    re-parsing the payload per frame; otherwise each fake frame
+    payload is SHA-256(payload ‖ frame_idx), requiring
+    ``allow_fake=True`` exactly like the other operators here.
     """
 
-    def _frame_bytes(raw: bytes, i: int) -> bytes:
+    def _doc_frames(raw: bytes, wanted: list[int]) -> list[bytes]:
         Image = _pillow()
         if Image is not None:
             import io
 
             try:
                 with Image.open(io.BytesIO(raw)) as img:
-                    img.seek(i)
-                    out = io.BytesIO()
-                    img.convert("RGB").save(out, format="PNG")
-                    return out.getvalue()
+                    out = []
+                    for i in wanted:
+                        img.seek(i)
+                        buf = io.BytesIO()
+                        img.convert("RGB").save(buf, format="PNG")
+                        out.append(buf.getvalue())
+                    return out
             except Exception:
                 pass  # not Pillow-seekable: fake tier below
-        return hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
+        if not allow_fake:
+            raise NotImplementedError(
+                "frame extraction not possible for this payload "
+                "(Pillow absent or failed); pass allow_fake=True for "
+                "the deterministic stub"
+            )
+        return [
+            hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
+            for i in wanted
+        ]
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -323,10 +343,10 @@ def sample_frames(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
                 meta = decode_media(raw, "video", allow_fake=allow_fake)
-                for i in range(0, meta["n_frames"], every_n):
-                    ids.append(int(doc_id))
-                    idxs.append(i)
-                    frames.append(_frame_bytes(raw, i))
+                wanted = list(range(0, meta["n_frames"], every_n))
+                ids.extend([int(doc_id)] * len(wanted))
+                idxs.extend(wanted)
+                frames.extend(_doc_frames(raw, wanted))
             yield pd.DataFrame(
                 {"doc_id": pd.array(ids, dtype="int64"),
                  "frame_idx": pd.array(idxs, dtype="int32"),

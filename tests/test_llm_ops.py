@@ -226,6 +226,10 @@ def test_resize_media_real_tier_or_loud_refusal(spark):
     if M._pillow() is None:
         with pytest.raises(Exception, match="not resizable"):
             M.resize_media(df, 64, 48, allow_fake=False).collect()
+        # frames share the refuse-loudly contract (review fix: the
+        # fake frame tier must not bypass allow_fake=False)
+        with pytest.raises(Exception, match="frame extraction"):
+            M.sample_frames(df, allow_fake=False).collect()
         pytest.skip("Pillow not installed: real-resize half skipped")
     out = M.resize_media(df, 64, 48, allow_fake=False).collect()[0]
     assert M._png_ihdr(bytes(out["payload"])) == (64, 48)
