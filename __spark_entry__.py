@@ -2158,12 +2158,14 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines derive u from the same 32 sha256 bits (every term
     exactly representable), so the Gumbel keys are the same two libm
     log calls on the same doubles and the k-th boundary agrees
-    (verified at sf0.001/0.01/0.1). The dsir rows (r11) carry
-    `dsir_score`'s fixed-point score per doc in the method string
-    under a FIXED 32-bucket model; the oracle re-implements the whole
-    featurizer in SQL — lowercase, whitespace split, 1..2-grams, and
-    zlib crc32 via a recursive-CTE byte loop over the reflected
-    0xEDB88320 table — on the ASCII doc subset (non-ASCII stays
+    (verified at sf0.001/0.01/0.1). The dsir and qcls rows (r11)
+    carry `dsir_score`'s fixed-point score and
+    `quality_classifier_score`'s (dot, gram-count) integers per doc
+    in the method string under FIXED 32-bucket models; the oracle
+    re-implements the whole featurizer ONCE in SQL — lowercase,
+    whitespace split, 1..2-grams, and zlib crc32 via a recursive-CTE
+    byte loop over the reflected 0xEDB88320 table — and projects both
+    models' sums from it, on the ASCII doc subset (non-ASCII stays
     covered by the hypothesis/numpy-oracle pytest tier)."""
     docs = table(spark, sf_dir, "documents")
     out = SAMP.deterministic_sample(docs, rate=0.2).select(
@@ -2207,16 +2209,26 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # terminator, so '^[ -~]*$' would admit a trailing-newline doc
     # the oracle's RE2 (end-of-text $) rejects — a latent gate
     # divergence on data this filter exists to exclude
-    scored = T.dsir_score(
-        docs.where("doc_id < 40 AND text IS NOT NULL").where(
-            F.col("text").rlike("\\A[ -~]*\\z")
-        ),
-        _DSIR_GATE_MODEL,
+    ascii_docs = docs.where("doc_id < 40 AND text IS NOT NULL").where(
+        F.col("text").rlike("\\A[ -~]*\\z")
     )
+    scored = T.dsir_score(ascii_docs, _DSIR_GATE_MODEL)
     out = out.unionByName(
         scored.select(
             F.concat(
                 F.lit("dsir:"), F.col("logw_e6").cast("string")
+            ).alias("method"),
+            "doc_id",
+        )
+    )
+    qscored = T.quality_classifier_score(ascii_docs, _QCLS_GATE_MODEL)
+    out = out.unionByName(
+        qscored.select(
+            F.concat(
+                F.lit("qcls:"),
+                F.col("qdot_e6").cast("string"),
+                F.lit(":"),
+                F.col("n_grams").cast("string"),
             ).alias("method"),
             "doc_id",
         )
@@ -2238,6 +2250,18 @@ _DSIR_GATE_MODEL = {
     ],
 }
 
+# FIXED qcls model for the classifier tier — same 32-bucket feature
+# space so the oracle's gram/crc32 computation is shared verbatim
+_QCLS_GATE_MODEL = {
+    "format": "spark-graft-qcls/v1",
+    "n": 2,
+    "buckets": 32,
+    "bias_e6": -250000,
+    "weights_e6": [
+        ((23 * i * i + 7 * i) % 3000001) - 1500000 for i in range(32)
+    ],
+}
+
 
 def _sampling_splits_oracle() -> str:
     from etl_workflow_spark.operators.sampling import _thr
@@ -2246,6 +2270,10 @@ def _sampling_splits_oracle() -> str:
     ratio_vals = ", ".join(
         f"({i}, CAST({v} AS BIGINT))"
         for i, v in enumerate(_DSIR_GATE_MODEL["log_ratio_e6"])
+    )
+    qcls_vals = ", ".join(
+        f"({i}, CAST({v} AS BIGINT))"
+        for i, v in enumerate(_QCLS_GATE_MODEL["weights_e6"])
     )
     return f"""
         SELECT 'bernoulli' AS method, doc_id
@@ -2331,13 +2359,14 @@ def _sampling_splits_oracle() -> str:
             LIMIT 500
         )
         UNION ALL
-        -- dsir_score replay under the fixed 32-bucket model: the full
-        -- featurizer in SQL — lowercase, \\s+ word split, word 1..2-
-        -- grams, zlib crc32 (recursive-CTE byte loop over the
+        -- dsir_score + quality_classifier_score replay under fixed
+        -- 32-bucket models sharing ONE featurizer computation: the
+        -- full featurizer in SQL — lowercase, \\s+ word split, word
+        -- 1..2-grams, zlib crc32 (recursive-CTE byte loop over the
         -- reflected 0xEDB88320 table; ASCII docs, so unicode(char) IS
-        -- the byte) mod 32 — summed against the constant log-ratio
-        -- list; gram-less docs score 0, exactly as the engine does
-        SELECT 'dsir:' || CAST(logw_e6 AS VARCHAR) AS method, doc_id
+        -- the byte) mod 32 — summed against each model's constant
+        -- weight list; gram-less docs score 0, exactly as the engine
+        SELECT method, doc_id
         FROM (
             WITH RECURSIVE crc_tbl(n, k, c) AS (
                 SELECT n, 0, CAST(n AS BIGINT) FROM range(256) t(n)
@@ -2389,13 +2418,29 @@ def _sampling_splits_oracle() -> str:
                 FROM crc_iter WHERE i = n
             ),
             ratio(b, v) AS (SELECT * FROM (VALUES {ratio_vals})),
+            qw(b, w) AS (SELECT * FROM (VALUES {qcls_vals})),
             scores AS (
                 SELECT doc_id, CAST(SUM(v) AS BIGINT) AS logw_e6
                 FROM bkt JOIN ratio USING (b) GROUP BY doc_id
+            ),
+            qscores AS (
+                SELECT doc_id, CAST(SUM(w) AS BIGINT) AS qdot_e6,
+                       CAST(COUNT(*) AS BIGINT) AS n_grams
+                FROM bkt JOIN qw USING (b) GROUP BY doc_id
             )
-            SELECT d.doc_id,
-                   CAST(COALESCE(s.logw_e6, 0) AS BIGINT) AS logw_e6
+            SELECT 'dsir:' || CAST(
+                       CAST(COALESCE(s.logw_e6, 0) AS BIGINT) AS VARCHAR
+                   ) AS method,
+                   d.doc_id
             FROM dsir_docs d LEFT JOIN scores s USING (doc_id)
+            UNION ALL
+            SELECT 'qcls:' || CAST(
+                       CAST(COALESCE(qs.qdot_e6, 0) AS BIGINT) AS VARCHAR
+                   ) || ':' || CAST(
+                       CAST(COALESCE(qs.n_grams, 0) AS BIGINT) AS VARCHAR
+                   ),
+                   d.doc_id
+            FROM dsir_docs d LEFT JOIN qscores qs USING (doc_id)
         )
     """
 

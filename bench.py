@@ -171,6 +171,9 @@ def main() -> None:
         # round-10: DSIR importance resampling — two featurize passes
         # (fit) + per-doc scoring pass + Gumbel top-k selection
         "dsir_select",
+        # round-11: fastText-style quality classifier — driver GD fit
+        # on a bounded two-class sample + one distributed scoring pass
+        "qcls_score",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -294,6 +297,16 @@ def main() -> None:
                 .select("text"),
             ),
             n_select=100,
+        ),
+        "qcls_score": lambda s, d: T.quality_classifier_score(
+            table(s, d, "documents"),
+            T.quality_classifier_fit(
+                table(s, d, "documents").where("doc_id % 2 = 0")
+                .select("text"),
+                table(s, d, "documents").where("doc_id % 2 = 1")
+                .select("text"),
+                buckets=1024, sample_size=512,
+            ),
         ),
     }
 

@@ -696,7 +696,9 @@ def extend_training_set(
     ``allow_interleaved_ids=True`` asserts it shares no duplicate
     groups with the corpus. (Inherent residual, documented at the
     check: a fresh union build can also link groups THROUGH docs a
-    previous epoch dropped — chains no survivor-only check can see.)
+    previous epoch dropped — chains no survivor-only check can see;
+    same-batch LEXICAL chains are handled — cross contacts spread
+    through the within-batch components.)
 
     Single-writer: a best-effort ``_extend.lock`` marker (atomic
     create) rejects concurrent extensions of the same set — two
@@ -939,18 +941,22 @@ def _batch_recipe(
     paths so the two cannot drift: insert-if-absent by id (narrow
     id-only scan of the universe), quality, decontamination, dedup
     within the batch, then the cross tiers — the UNIVERSE member
-    always wins (keep-first across epochs). Exact cross tier is one
-    narrow hash scan anti-joined (NULL-text rows pass — NULL hash
-    never equi-matches, matching dedup_corpus's null-preservation
-    contract); near-dup probes the universe-side banded index with
-    the (tiny) batch.
+    always wins (keep-first across epochs). Cross tiers run at
+    exact-tier KEEPER level (one narrow universe hash scan
+    semi-joined; the banded index probed with the tiny batch's
+    keepers) and each contact spreads through its within-batch
+    near-dup component, so a batch doc that only chains to the
+    corpus THROUGH a within-batch loser still drops — the resolution
+    a fresh union build computes. NULL-text rows pass every lexical
+    tier (NULL hash never equi-matches, matching dedup_corpus's
+    null-preservation contract).
 
     The post-within-batch frame is persisted (appended to ``cleanup``
     for the caller to unpersist after its write action): the
     interleave guard's min(), the audit counts, and the cross tiers
     each reference it, and without a cache every reference re-runs
     quality/decontamination/within-batch dedup over the batch."""
-    from .dedup import minhash_lsh_probe, normalize_text
+    from .dedup import _dedup_corpus_parts, minhash_lsh_probe, normalize_text
 
     cur = new_docs
     _audit("input", cur)
@@ -965,8 +971,17 @@ def _batch_recipe(
             col=col, id_col=id_col,
         )
         _audit("decontaminated", cur)
+    stage1 = clusters = None
     if cfg.get("dedup", True):
-        cur = dedup_corpus(
+        # pre-dedup persist: the keeper frame, the pair clustering,
+        # the survivor anti-joins, and the cross-tier probes below
+        # all re-read this point — batch-sized, caller-released
+        if cleanup is not None:
+            from pyspark import StorageLevel
+
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cleanup.append(cur)
+        cur, stage1, clusters = _dedup_corpus_parts(
             cur,
             threshold=cfg["dedup_threshold"],
             quality_col=cfg.get("keep_quality_col"),
@@ -975,11 +990,10 @@ def _batch_recipe(
         )
     # cache the surviving batch BEFORE anything acts on it: the guard's
     # min() below, the audit counts, and each cross tier's multiple
-    # references would otherwise re-run the whole batch pipeline
-    # (quality/decontamination/within-batch dedup) per reference —
-    # batch-sized, never corpus-sized, and released by the caller.
-    # Only when the caller provides the cleanup list: a persist with
-    # no owner to unpersist it would pin storage for the session
+    # references would otherwise re-run the within-batch resolution
+    # per reference — batch-sized, never corpus-sized, and released by
+    # the caller. Only when the caller provides the cleanup list: a
+    # persist with no owner to unpersist it would pin storage
     if cleanup is not None:
         from pyspark import StorageLevel
 
@@ -1006,17 +1020,19 @@ def _batch_recipe(
         # is refused. The check runs AFTER the within-batch stages so
         # low ids that quality/decontamination/within-batch dedup
         # would drop anyway cannot trigger a false refusal; replayed
-        # ids were dropped by the insert-if-absent anti-join. Known
-        # residual (documented, not detectable from the survivor-only
-        # universe): a fresh union build can link duplicate groups
-        # THROUGH docs this pipeline drops — either docs a PREVIOUS
-        # epoch dropped, or docs the within-batch stages just dropped
-        # (a within-batch loser can be the bridge tying a surviving
-        # batch doc into an existing corpus group); no check over the
-        # surviving rows can see either chain. Quality-policy sets
-        # skip (ranking is id-order-independent). Cost: one narrow
-        # min() over the (cached) surviving batch + one max() over
-        # the universe ids.
+        # ids were dropped by the insert-if-absent anti-join.
+        # Same-batch chains are CLOSED for the lexical tiers (r11):
+        # the cross tiers probe every exact-tier keeper and spread
+        # contacts through the within-batch components, so a batch
+        # loser bridging a survivor into an existing group drags the
+        # survivor down exactly as a fresh union build would. Known
+        # residuals (documented, not detectable from the survivor-
+        # only universe): chains THROUGH docs a PREVIOUS epoch
+        # dropped, and same-batch chains in the SEMANTIC tier (its
+        # within-batch stage is pairwise in-cell, not component-
+        # resolved). Quality-policy sets skip (ranking is
+        # id-order-independent). Cost: one narrow min() over the
+        # (cached) surviving batch + one max() over the universe ids.
         lo = cur.agg(F.min(id_col).alias("m")).collect()[0]["m"]
         if lo is not None:
             hi = universe.agg(F.max(id_col).alias("m")).collect()[0]["m"]
@@ -1030,25 +1046,33 @@ def _batch_recipe(
                     "keep the group's minimum id — the results could "
                     "silently diverge. (Residual even with monotone "
                     "ids: a fresh build can link groups through docs "
-                    "this pipeline drops — previous-epoch losers or "
-                    "same-batch within-batch-dedup losers bridging a "
-                    "survivor into an existing group.) Use monotone "
-                    "ids, a quality keep policy, or "
+                    "a PREVIOUS epoch dropped, or through same-batch "
+                    "SEMANTIC-tier losers.) Use monotone ids, a "
+                    "quality keep policy, or "
                     "allow_interleaved_ids=True if the batch shares "
                     "no duplicate groups with the corpus"
                 )
     if cfg.get("dedup", True):
+        # cross tiers run at KEEPER level over ALL exact-tier keepers
+        # (stage1), not just the within-batch winners: an exact loser
+        # shares its keeper's hash and shingle set, so keeper contact
+        # is complete — and probing every keeper lets a within-batch
+        # near-dup LOSER's universe contact spread through its
+        # component (below), exactly as a fresh union build would
+        # fold the whole component into the universe's group (r11,
+        # closing the lexical same-batch chain residual)
         ex_hash = universe.where(F.col(col).isNotNull()).select(
             F.sha2(normalize_text(col), 256).alias("__h")
         )
-        cur = (
-            cur.withColumn("__h", F.sha2(normalize_text(col), 256))
-            .join(ex_hash, "__h", "left_anti")
-            .drop("__h")
+        contacted_exact = (
+            stage1.withColumn("__h", F.sha2(normalize_text(col), 256))
+            .join(ex_hash, "__h", "left_semi")
+            .select(id_col)
         )
+        cur = cur.join(contacted_exact, id_col, "left_anti")
         _audit("cross_exact", cur)
         cross = minhash_lsh_probe(
-            cur,
+            stage1,
             universe,
             index=index,
             threshold=cfg["dedup_threshold"],
@@ -1056,11 +1080,26 @@ def _batch_recipe(
             id_col=id_col,
         )
         ex_ids = universe.select(F.col(id_col).alias("__ex"))
-        losers = (
+        contacted = (
             cross.join(ex_ids, cross["doc_b"] == F.col("__ex"), "left_semi")
             .select(F.col("doc_a").alias(id_col))
+            .unionByName(contacted_exact)
             .distinct()
         )
+        # spread each contact through its within-batch near-dup
+        # component: every cluster-mate of a contacted keeper loses
+        # too (the universe member wins the merged group). Pair-space
+        # frames only — no corpus re-scan
+        cl = clusters.select(id_col, "cluster_id")
+        bad_clusters = (
+            cl.join(contacted, id_col, "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        spread = cl.join(bad_clusters, "cluster_id", "left_semi").select(
+            id_col
+        )
+        losers = contacted.unionByName(spread).distinct()
         cur = cur.join(losers, id_col, "left_anti")
         _audit("cross_neardup", cur)
     sem = cfg.get("semantic_dedup")
@@ -1261,9 +1300,11 @@ def _extend_pooled(
     arbitrarily-interleaved ids can pick a different group
     representative than the fresh build would. Residual even with
     monotone ids: a fresh union build can link duplicate groups
-    through docs this pipeline drops (previous-epoch losers, or
-    same-batch within-batch-dedup losers bridging a surviving batch
-    doc into an existing group) — undetectable from survivors alone.
+    through docs a PREVIOUS epoch dropped (undetectable from
+    survivors alone), or through same-batch SEMANTIC-tier losers —
+    the lexical same-batch chains are closed (r11): cross contacts
+    spread through the within-batch components in
+    :func:`_batch_recipe`.
 
     Why a pool instead of an append-only delta: re-solved rates can
     RISE (the batch feeds the binding stratum), re-admitting rows the

@@ -1173,6 +1173,31 @@ def dedup_corpus(
     ``sha2(normalize)`` maps every NULL text to a NULL hash, silently
     collapsing all NULL-text docs into one "duplicate" group.
     """
+    survivors, _stage1, _clusters = _dedup_corpus_parts(
+        docs, threshold=threshold, quality_col=quality_col, col=col,
+        id_col=id_col, **lsh_kwargs,
+    )
+    return survivors
+
+
+def _dedup_corpus_parts(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    quality_col: str | None = None,
+    col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`dedup_corpus`, decomposed for the extension recipe:
+    returns ``(survivors, stage1, clusters)`` where ``stage1`` is the
+    exact-tier keeper rows and ``clusters`` the near-pair component
+    labels over them (keepers in no pair are absent — singletons).
+    ``corpus._batch_recipe`` consumes the parts to spread universe
+    contacts through within-batch components WITHOUT a second shingle
+    pass; :func:`dedup_corpus` wraps this and returns only the
+    survivors, so the two can never drift. Keeper-level structure is
+    complete for that purpose: an exact loser shares its keeper's
+    hash and shingle set, hence exactly its contacts and pairs."""
     nulls = docs.where(F.col(col).isNull())
     nonnull = docs.where(F.col(col).isNotNull())
     exact = exact_dedup(nonnull, col=col, id_col=id_col)
@@ -1191,4 +1216,4 @@ def dedup_corpus(
             F.col(id_col) != F.col("cluster_id")
         ).select(id_col)
         survivors = stage1.join(losers, id_col, "left_anti")
-    return survivors.unionByName(nulls)
+    return survivors.unionByName(nulls), stage1, clusters

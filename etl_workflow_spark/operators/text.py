@@ -2713,3 +2713,168 @@ def dsir_select(
         scored, "__logw", int(n_select), key=id_col, salt=salt
     ).select(id_col)
     return df.join(chosen, id_col, "left_semi")
+
+
+# ------------------------------------- linear quality classifier (qcls)
+
+
+def quality_classifier_fit(
+    pos: DataFrame,
+    neg: DataFrame,
+    col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    sample_size: int = 2048,
+    epochs: int = 150,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> dict:
+    """Train a fastText-style linear quality classifier (Joulin et
+    al. 2016, "Bag of Tricks for Efficient Text Classification"):
+    length-normalized hashed word 1..n-gram counts through logistic
+    regression — the LEARNED quality gate of the GPT-3/PaLM-era
+    pipelines (positives = curated reference text, negatives = raw
+    crawl), complementing the heuristic gate (:func:`text_quality`)
+    and DSIR (:func:`dsir_fit` matches a target DISTRIBUTION; this
+    learns a supervised decision boundary). Features come from THE
+    shared featurizer (:func:`_dsir_doc_counts`), so classifier
+    scores and importance weights live in the same hashed space.
+
+    Training is driver-side full-batch gradient descent on a bounded
+    deterministic per-class sample (the :func:`~.similarity.pq_fit`
+    convention — the smallest-content-hash ``sample_size`` rows per
+    side, zero init, fixed ``epochs``, no RNG anywhere, so the model
+    is a pure function of the inputs); scoring is the distributed
+    one-pass op (:func:`quality_classifier_score`). The model is a
+    JSON-safe dict with FIXED-POINT weights: the score's integer
+    part is exact, layout-invariant, and SQL-replayable (it rides
+    the `sampling_splits` cross-engine gate)."""
+    import numpy as np
+
+    def _sample_texts(df: DataFrame, what: str) -> list[str]:
+        src = df.select(F.col(col).alias("t")).where(F.col(col).isNotNull())
+        rows = (
+            src.orderBy(F.xxhash64(F.lit("qcls-sample"), F.col("t")), "t")
+            .limit(int(sample_size))
+            .collect()
+        )
+        texts = [r["t"] for r in rows]
+        if not texts:
+            raise ValueError(
+                f"quality_classifier_fit needs non-empty {what} text"
+            )
+        return texts
+
+    pos_t = _sample_texts(pos, "positive")
+    neg_t = _sample_texts(neg, "negative")
+    b_ = int(buckets)
+    X = np.zeros((len(pos_t) + len(neg_t), b_), dtype=np.float64)
+    kept = []
+    for i, t in enumerate(pos_t + neg_t):
+        cnt = _dsir_doc_counts(t, int(n), b_)
+        tot = sum(cnt.values())
+        if not tot:
+            continue  # gram-less rows carry no signal either way
+        for bk, k in cnt.items():
+            X[i, bk] = k / tot
+        kept.append(i)
+    y = np.array(
+        [1.0 if i < len(pos_t) else 0.0 for i in kept], dtype=np.float64
+    )
+    if not len(kept) or y.min() == y.max():
+        raise ValueError(
+            "quality_classifier_fit needs featurizable rows on BOTH "
+            "sides (a one-class fit has no boundary to learn)"
+        )
+    X = X[kept]
+    w = np.zeros(b_, dtype=np.float64)
+    bias = 0.0
+    m = float(len(y))
+    for _ in range(int(epochs)):
+        z = X @ w + bias
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / m + l2 * w)
+        bias -= lr * float(g.mean())
+    return {
+        "format": "spark-graft-qcls/v1",
+        "n": int(n),
+        "buckets": b_,
+        "bias_e6": int(math.floor(bias * 1e6)),
+        "weights_e6": [int(math.floor(x * 1e6)) for x in w],
+    }
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    model: dict,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document classifier score under a
+    :func:`quality_classifier_fit` model, one shuffle-free Arrow
+    pass: ``(id_col, qdot_e6 bigint, n_grams bigint, prob double)``
+    where ``qdot_e6 = Σ count_b · w_e6[b]`` (exact integers — the
+    cross-engine-checkable part) and ``prob`` is the calibrated
+    sigmoid of the length-normalized logit
+    ``qdot_e6/1e6/n_grams + bias``. Filter with
+    ``.where("prob >= 0.5")`` (or any threshold tuned on held-out
+    labels). NULL text scores NULL; gram-less text scores
+    ``(0, 0, sigmoid(bias))``."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if model.get("format") != "spark-graft-qcls/v1":
+        raise ValueError(
+            "not a quality_classifier_fit model (format="
+            f"{model.get('format')!r})"
+        )
+    n = int(model["n"])
+    buckets = int(model["buckets"])
+    weights = model["weights_e6"]
+    if len(weights) != buckets:
+        raise ValueError(
+            f"corrupt qcls model: {len(weights)} weights for "
+            f"{buckets} buckets"
+        )
+    bias = float(model["bias_e6"]) / 1e6
+    in_schema = df.select(id_col, col).schema
+    out_schema = StructType([
+        in_schema[0],
+        StructField("qdot_e6", LongType()),
+        StructField("n_grams", LongType()),
+        StructField("prob", DoubleType()),
+    ])
+
+    def score(batches):
+        W = weights  # plain ints: exact, no numpy boxing per gram
+        for pdf in batches:
+            ids, dots, tots, probs = [], [], [], []
+            for rid, t in zip(pdf[id_col], pdf[col]):
+                ids.append(rid)
+                if t is None:
+                    dots.append(None)
+                    tots.append(None)
+                    probs.append(None)
+                    continue
+                cnt = _dsir_doc_counts(t, n, buckets)
+                tot = sum(cnt.values())
+                dot = 0
+                for bk, k in cnt.items():
+                    dot += k * W[bk]
+                logit = (dot / 1e6 / tot if tot else 0.0) + bias
+                dots.append(dot)
+                tots.append(tot)
+                probs.append(1.0 / (1.0 + math.exp(-logit)))
+            yield pd.DataFrame({
+                id_col: ids,
+                "qdot_e6": pd.array(dots, dtype="Int64"),
+                "n_grams": pd.array(tots, dtype="Int64"),
+                "prob": pd.array(probs, dtype="Float64"),
+            })
+
+    return df.select(id_col, col).mapInPandas(score, out_schema)

@@ -1197,3 +1197,63 @@ def test_dsir_config_validation(spark, tmp_path):
             spark, docs, out,
             dsir={"model": {"format": "x"}, "n_select": 3},
         )
+
+
+def test_extension_spreads_cross_contact_through_batch_components(
+    spark, tmp_path
+):
+    """r11 (closing the ADVICE residual for the lexical tiers): a
+    batch doc that chains to the corpus only THROUGH a within-batch
+    dedup loser must still drop — the loser's universe contact
+    spreads through the within-batch component, exactly as a fresh
+    union build folds the whole component into the universe's group.
+    X ~ Y ~ U but X !~ U: the old survivor-only probe kept X."""
+    U = ("the ancient lighthouse keeper counted the ships that passed "
+         "the rocky northern headland every cold morning before dawn "
+         "and noted each hull number in the thick leather journal "
+         "that the harbor master reviewed at the end of every long "
+         "winter season")
+    uw = U.split()
+    yw = uw[:]
+    yw[10:12] = ["tall", "cliffs"]          # Y: near-dup of U (J≈0.81)
+    Y = " ".join(yw)
+    xw = yw[:]
+    xw[28:30] = ["worn", "canvas"]          # X: near-dup of Y, NOT of U
+    X = " ".join(xw)
+    base = _docs(spark, [
+        (1, U, "web"),
+        (2, T2, "web"),
+        (3, T3, "web"),
+    ])
+    out = str(tmp_path / "chain")
+    C.materialize_training_set(
+        spark, base, out, num_shards=2, dedup_threshold=0.7
+    )
+    # sanity: the chain shape is real at this threshold (X-U below,
+    # X-Y and Y-U above)
+    from etl_workflow_spark.operators.dedup import minhash_lsh_pairs
+
+    trio = _docs(spark, [(1, U, "w"), (50, X, "w"), (51, Y, "w")])
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(
+        trio, threshold=0.7
+    ).collect()}
+    assert (1, 51) in pairs and (50, 51) in pairs
+    assert (1, 50) not in pairs, "fixture drift: X must not touch U"
+
+    batch = _docs(spark, [(50, X, "web"), (51, Y, "web")])
+    m = C.extend_training_set(spark, batch, out, audit=True)
+    assert m["appended_rows"] == 0
+    ids = {r.doc_id for r in C.read_training_set(spark, out)[0].collect()}
+    assert 50 not in ids and 51 not in ids
+    # extension == fresh union build (the contract the spread exists
+    # to preserve)
+    out_b = str(tmp_path / "chain_b")
+    mb = C.materialize_training_set(
+        spark, base.unionByName(batch), out_b, num_shards=2,
+        dedup_threshold=0.7,
+    )
+    db = {r.doc_id for r in C.read_training_set(spark, out_b)[0].collect()}
+    assert db == ids and mb["rows"] == m["rows"]
+    # the audit curve shows the spread happening in the near tier
+    assert m["stage_rows"]["deduped_within_batch"] == 1   # X beat Y
+    assert m["stage_rows"]["cross_neardup"] == 0          # ...then fell

@@ -1560,3 +1560,93 @@ def test_dsir_fit_score_select(spark):
         dsir_fit(df, blank.select("text"), buckets=64)
     with pytest.raises(ValueError, match="not a dsir_fit model"):
         dsir_score(df, {"format": "nope"})
+
+
+def test_quality_classifier_fit_score(spark):
+    """fastText-style linear quality classifier (Joulin et al. 2016):
+    perfectly separates the two-domain fixture; the fixed-point dot
+    product matches an independent featurizer re-implementation
+    exactly; fit and score are deterministic and layout-invariant;
+    NULL/gram-less/one-class/corrupt-model edges behave."""
+    import json as _json
+    import math as _math
+    import re as _re
+    import zlib as _zlib
+
+    from etl_workflow_spark.operators.text import (
+        quality_classifier_fit, quality_classifier_score,
+    )
+
+    df = _dsir_corpus(spark)
+    pos = df.where("kind = 'prose'").select("text")
+    neg = df.where("kind = 'code'").select("text")
+    model = quality_classifier_fit(pos, neg, buckets=512)
+    assert _json.loads(_json.dumps(model)) == model
+    assert len(model["weights_e6"]) == 512
+
+    rows = {r["doc_id"]: r for r in
+            quality_classifier_score(df, model).collect()}
+    prose_p = [rows[i]["prob"] for i in range(50)]
+    code_p = [rows[i]["prob"] for i in range(50, 100)]
+    assert min(prose_p) > 0.5 > max(code_p)
+
+    # exact integer-part parity with an INDEPENDENT featurizer
+    def oracle_counts(text):
+        words = [w for w in _re.split(r"\s+", text.lower(), flags=_re.ASCII)
+                 if w]
+        c: dict = {}
+        for g in (1, 2):
+            for i in range(len(words) - g + 1):
+                b = _zlib.crc32(" ".join(words[i:i + g]).encode()) % 512
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    W = model["weights_e6"]
+    for r in df.collect():
+        cnt = oracle_counts(r["text"])
+        assert rows[r["doc_id"]]["qdot_e6"] == sum(
+            k * W[b] for b, k in cnt.items()
+        )
+        assert rows[r["doc_id"]]["n_grams"] == sum(cnt.values())
+
+    # deterministic + layout-invariant fit and score
+    assert quality_classifier_fit(
+        pos.repartition(7), neg.repartition(3), buckets=512
+    ) == model
+    again = {r["doc_id"]: r for r in quality_classifier_score(
+        df.repartition(13), model
+    ).collect()}
+    assert all(
+        tuple(rows[i]) == tuple(again[i]) for i in rows
+    )
+
+    # NULL text -> NULL; gram-less text -> (0, 0, sigmoid(bias))
+    edge = quality_classifier_score(
+        spark.createDataFrame(
+            [(1, None), (2, "   ")], "doc_id long, text string"
+        ),
+        model,
+    ).collect()
+    e = {r["doc_id"]: r for r in edge}
+    assert e[1]["qdot_e6"] is None and e[1]["prob"] is None
+    assert e[2]["qdot_e6"] == 0 and e[2]["n_grams"] == 0
+    want = 1.0 / (1.0 + _math.exp(-model["bias_e6"] / 1e6))
+    assert abs(e[2]["prob"] - want) < 1e-12
+
+    # refusals
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "text string")
+    with _pytest.raises(ValueError, match="non-empty positive"):
+        quality_classifier_fit(empty, neg, buckets=64)
+    with _pytest.raises(ValueError, match="non-empty negative"):
+        quality_classifier_fit(pos, empty, buckets=64)
+    blank = spark.createDataFrame([(" ",)], "text string")
+    with _pytest.raises(ValueError, match="BOTH sides"):
+        quality_classifier_fit(pos, blank, buckets=64)
+    with _pytest.raises(ValueError, match="not a quality_classifier"):
+        quality_classifier_score(df, {"format": "nope"})
+    with _pytest.raises(ValueError, match="corrupt qcls"):
+        quality_classifier_score(
+            df, dict(model, weights_e6=model["weights_e6"][:5])
+        )
