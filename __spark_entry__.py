@@ -2147,7 +2147,8 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (method, doc_id) rows for the Bernoulli sample, the stratified
     sample, the train/valid/test split assignment, the solved
     target-mixture downsample, the per-row weighted sample, the exact-k
-    Gumbel-top-k weighted sample, and the DSIR importance scores — all
+    Gumbel-top-k weighted sample, the exact-k uniform sample, the
+    k-per-group sample, and the DSIR/classifier scores — all
     pure functions of the doc id (and, for the mixture, the stratum
     counts), so the oracle replays each decision exactly. The mixture
     rows cross-check `target_mixture`'s rate-solving ARITHMETIC: the
@@ -2204,6 +2205,19 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.unionByName(
         gumbel.select(F.lit("gumbel_topk").alias("method"), "doc_id")
+    )
+    out = out.unionByName(
+        SAMP.global_sample_k(docs, 400, salt="glk").select(
+            F.lit("global_k").alias("method"), "doc_id"
+        )
+    )
+    out = out.unionByName(
+        SAMP.per_group_sample(
+            docs, ["lang"], 40, salt="pgs"
+        ).select(
+            F.concat(F.lit("pergroup:"), F.col("lang")).alias("method"),
+            "doc_id",
+        )
     )
     # \A..\z, not ^..$: Java's $ matches BEFORE a final line
     # terminator, so '^[ -~]*$' would admit a trailing-newline doc
@@ -2358,6 +2372,32 @@ def _sampling_splits_oracle() -> str:
             ORDER BY gk DESC, doc_id ASC
             LIMIT 500
         )
+        UNION ALL
+        -- global_sample_k replay: k smallest salted hashes (hex order
+        -- == numeric order), id tiebreak — no floats anywhere
+        SELECT 'global_k', doc_id
+        FROM (
+            SELECT doc_id
+            FROM documents
+            ORDER BY substr(sha256('glk' || CAST(doc_id AS VARCHAR)), 1, 8),
+                     doc_id
+            LIMIT 400
+        )
+        UNION ALL
+        -- per_group_sample replay: rank within group by the same
+        -- salted hash, first 40 survive
+        SELECT 'pergroup:' || lang, doc_id
+        FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(
+                           sha256('pgs' || CAST(doc_id AS VARCHAR)), 1, 8
+                       ), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 40
         UNION ALL
         -- dsir_score + quality_classifier_score replay under fixed
         -- 32-bucket models sharing ONE featurizer computation: the

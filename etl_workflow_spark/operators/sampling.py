@@ -315,12 +315,14 @@ def per_group_sample(
 
     One hash shuffle on the group key (the partitioned window); a
     skewed group costs its own size, never the corpus. A new ``salt``
-    draws an independent sample.
+    draws an independent sample. Ranking hashes are the module's
+    cross-engine sha256 bucket (hex ordering == numeric ordering), so
+    a SQL oracle replays the exact per-group selection.
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*group_cols).orderBy(
-        F.xxhash64(F.lit(salt), F.col(key).cast("string")), F.col(key)
+        _bucket(key, salt), F.col(key)
     )
     return (
         df.withColumn("__gs_rn", F.row_number().over(w))
@@ -356,14 +358,15 @@ def global_sample_k(
     salt: str = "ksample",
 ) -> DataFrame:
     """Exact-k uniform sample of the whole corpus, deterministically:
-    the k rows with the smallest salted content hash. Compiles to
-    TakeOrderedAndProject — a per-partition k-heap merged at the
-    driver, no global sort, no reservoir nondeterminism; a new salt
-    redraws.
+    the k rows with the smallest salted content hash (the module's
+    cross-engine sha256 bucket — hex strings order exactly like their
+    numeric values, so a SQL oracle replays the same k rows).
+    Compiles to TakeOrderedAndProject — a per-partition k-heap merged
+    at the driver, no global sort, no reservoir nondeterminism; a new
+    salt redraws.
     """
-    h = F.xxhash64(F.lit(salt), F.col(key).cast("string"))
     return (
-        df.withColumn("__ks_h", h)
+        df.withColumn("__ks_h", _bucket(key, salt))
         .orderBy("__ks_h", key)
         .limit(k)
         .drop("__ks_h")
