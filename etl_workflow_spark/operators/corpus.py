@@ -58,6 +58,7 @@ def materialize_training_set(
     out_path: str,
     *,
     quality_filter: bool = True,
+    qcls: dict | None = None,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 13,
     dedup: bool = True,
@@ -82,6 +83,22 @@ def materialize_training_set(
 
     1. **quality**: drop rows failing the C4/Gopher-style heuristic
        gate (:func:`~.text.text_quality` ``passes_quality``).
+    1b. **learned quality gate** (``qcls`` config, r11): drop rows
+       scoring below a trained linear classifier's calibrated
+       probability (:func:`~.text.quality_classifier_fit` — the
+       fastText-style gate of the GPT-3/PaLM pipelines,
+       complementing the heuristic gate above). Config keys:
+       ``min_prob`` (required, in (0, 1)), exactly ONE of ``pos`` (a
+       curated positive-sample DataFrame with column ``col``,
+       consumed at build — the FITTED model is what gets recorded)
+       or ``model`` (a pretrained fit dict); with ``pos``, optional
+       ``neg`` (negative samples; defaults to the raw input ``docs``,
+       the paper's positives-vs-crawl shape) and fit params
+       ``n``/``buckets``/``sample_size``/``epochs``/``lr``/``l2``.
+       The verdict is a pure row-local function of the text under
+       the RECORDED model, so extensions gate new batches
+       identically to a fresh rebuild by construction; NULL text is
+       dropped (NULL prob — same fate the heuristic gate deals it).
     2. **decontamination**: drop rows sharing any ``contamination_ngram``
        word n-gram with ``benchmark`` (:func:`~.text.decontaminate` —
        broadcast-probe; the corpus never shuffles).
@@ -162,6 +179,50 @@ def materialize_training_set(
                 "semantic_dedup.centroids is empty — pass a real k×dim "
                 "list or omit it to train at build time"
             )
+    qcls_cfg: dict | None = None
+    qcls_pos: DataFrame | None = None
+    qcls_neg: DataFrame | None = None
+    if qcls is not None:
+        src = dict(qcls)
+        qcls_pos = src.pop("pos", None)
+        qcls_neg = src.pop("neg", None)
+        min_prob = src.get("min_prob")
+        if (
+            not isinstance(min_prob, (int, float))
+            or isinstance(min_prob, bool)
+            or not (0.0 < float(min_prob) < 1.0)
+        ):
+            raise ValueError(
+                "qcls.min_prob must be a probability strictly inside "
+                "(0, 1) — 0 keeps everything, 1 keeps nothing"
+            )
+        qmodel = src.get("model")
+        if (qcls_pos is None) == (qmodel is None):
+            raise ValueError(
+                "qcls config needs exactly ONE of 'pos' (a curated "
+                "positive-sample DataFrame, fit at build) or 'model' "
+                "(a pretrained quality_classifier_fit dict)"
+            )
+        if qmodel is not None:
+            if qmodel.get("format") != "spark-graft-qcls/v1":
+                raise ValueError(
+                    "qcls.model is not a quality_classifier_fit model "
+                    f"(format={qmodel.get('format')!r})"
+                )
+            if qcls_neg is not None:
+                raise ValueError(
+                    "qcls.neg is only meaningful when fitting at build "
+                    "('pos' given) — a pretrained model ignores it; "
+                    "drop one"
+                )
+        # the recorded shape: only what extensions/rebuilds need —
+        # fit params live inside the model once fitted
+        qcls_cfg = {"min_prob": float(min_prob), "model": qmodel}
+        qcls_fit_params = {
+            k: src[k]
+            for k in ("n", "buckets", "sample_size", "epochs", "lr", "l2")
+            if k in src
+        }
     dsir_cfg: dict | None = None
     dsir_target: DataFrame | None = None
     if dsir is not None:
@@ -213,6 +274,28 @@ def materialize_training_set(
         # NULL-id rows)
         cur = cur.where(_passes_quality(col))
         _audit("quality", cur)
+    if qcls_cfg is not None:
+        from .text import _qcls_prob_udf, quality_classifier_fit
+
+        if qcls_cfg["model"] is None:
+            # negatives default to the RAW input (one bounded driver-
+            # side sample fit, deterministic — the paper's positives-
+            # vs-crawl shape); the FITTED model is what the manifest
+            # records, so extensions and rebuilds gate identically
+            qcls_cfg["model"] = quality_classifier_fit(
+                qcls_pos,
+                qcls_neg if qcls_neg is not None else docs,
+                col=col,
+                **qcls_fit_params,
+            )
+        # row-local predicate, same reasoning as the heuristic gate
+        # above: the verdict is a pure function of (text, model), so
+        # no join, no shuffle — only the text column crosses Arrow
+        cur = cur.where(
+            _qcls_prob_udf(qcls_cfg["model"])(F.col(col))
+            >= F.lit(qcls_cfg["min_prob"])
+        )
+        _audit("qcls", cur)
     if benchmark is not None:
         cur = decontaminate(
             cur, benchmark, n=contamination_ngram, col=col, id_col=id_col
@@ -411,6 +494,7 @@ def materialize_training_set(
             "col": col,
             "id_col": id_col,
             "quality_filter": quality_filter,
+            "qcls": qcls_cfg,
             "decontaminated": benchmark is not None,
             "contamination_ngram": (
                 contamination_ngram if benchmark is not None else None
@@ -965,6 +1049,18 @@ def _batch_recipe(
     if cfg.get("quality_filter", True):
         cur = cur.where(_passes_quality(col))
         _audit("quality", cur)
+    if cfg.get("qcls") is not None:
+        # learned gate under the RECORDED model — row-local, so the
+        # batch verdict is identical to a fresh rebuild's by
+        # construction (same text, same model, same threshold)
+        from .text import _qcls_prob_udf
+
+        q = cfg["qcls"]
+        cur = cur.where(
+            _qcls_prob_udf(q["model"])(F.col(col))
+            >= F.lit(float(q["min_prob"]))
+        )
+        _audit("qcls", cur)
     if benchmark is not None:
         cur = decontaminate(
             cur, benchmark, n=cfg["contamination_ngram"],

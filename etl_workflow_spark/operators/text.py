@@ -2805,6 +2805,74 @@ def quality_classifier_fit(
     }
 
 
+def _qcls_model_params(model: dict) -> tuple[int, int, list, float]:
+    """Validate a :func:`quality_classifier_fit` model and unpack
+    ``(n, buckets, weights_e6, bias)`` — THE one validation body, so
+    the standalone scorer, the recipe's learned quality gate
+    (:func:`_qcls_prob_udf`), and any future consumer refuse corrupt
+    models identically (and driver-side, not as an opaque executor
+    IndexError after real work is spent)."""
+    if model.get("format") != "spark-graft-qcls/v1":
+        raise ValueError(
+            "not a quality_classifier_fit model (format="
+            f"{model.get('format')!r})"
+        )
+    n = int(model["n"])
+    buckets = int(model["buckets"])
+    weights = model["weights_e6"]
+    if len(weights) != buckets:
+        raise ValueError(
+            f"corrupt qcls model: {len(weights)} weights for "
+            f"{buckets} buckets"
+        )
+    return n, buckets, weights, float(model["bias_e6"]) / 1e6
+
+
+def _qcls_doc_eval(
+    t: str, n: int, buckets: int, W: list, bias: float
+) -> tuple[int, int, float]:
+    """One document under a qcls model: ``(qdot_e6, n_grams, prob)``
+    — THE single scoring arithmetic (shared featurizer
+    :func:`_dsir_doc_counts`, integer dot against the fixed-point
+    weights, calibrated sigmoid of the length-normalized logit).
+    Both :func:`quality_classifier_score` and the recipe gate's
+    :func:`_qcls_prob_udf` call this, so the two cannot drift."""
+    cnt = _dsir_doc_counts(t, n, buckets)
+    tot = sum(cnt.values())
+    dot = 0
+    for bk, k in cnt.items():
+        dot += k * W[bk]
+    logit = (dot / 1e6 / tot if tot else 0.0) + bias
+    return dot, tot, 1.0 / (1.0 + math.exp(-logit))
+
+
+def _qcls_prob_udf(model: dict):
+    """Validate a qcls model and return the scalar Arrow UDF computing
+    a text's calibrated quality probability under it (NULL text →
+    NULL) — the thresholdable form the training-set recipe's learned
+    quality gate consumes (``corpus.materialize_training_set(
+    qcls=...)`` and its extension path both call this, so a scoring
+    drift between build and extension is structurally impossible). A
+    scalar UDF rather than ``mapInPandas`` so the recipe can filter
+    in place without a join; only the text column crosses the Arrow
+    boundary. Same arithmetic as :func:`quality_classifier_score`'s
+    ``prob`` column (:func:`_qcls_doc_eval`)."""
+    n, buckets, weights, bias = _qcls_model_params(model)
+
+    @F.pandas_udf("double")
+    def prob(ts: pd.Series) -> pd.Series:
+        W = weights  # plain ints: exact, no numpy boxing per gram
+        out = []
+        for t in ts:
+            out.append(
+                None if t is None
+                else _qcls_doc_eval(t, n, buckets, W, bias)[2]
+            )
+        return pd.Series(pd.array(out, dtype="Float64"))
+
+    return prob
+
+
 def quality_classifier_score(
     df: DataFrame,
     model: dict,
@@ -2828,20 +2896,7 @@ def quality_classifier_score(
         StructType,
     )
 
-    if model.get("format") != "spark-graft-qcls/v1":
-        raise ValueError(
-            "not a quality_classifier_fit model (format="
-            f"{model.get('format')!r})"
-        )
-    n = int(model["n"])
-    buckets = int(model["buckets"])
-    weights = model["weights_e6"]
-    if len(weights) != buckets:
-        raise ValueError(
-            f"corrupt qcls model: {len(weights)} weights for "
-            f"{buckets} buckets"
-        )
-    bias = float(model["bias_e6"]) / 1e6
+    n, buckets, weights, bias = _qcls_model_params(model)
     in_schema = df.select(id_col, col).schema
     out_schema = StructType([
         in_schema[0],
@@ -2861,15 +2916,10 @@ def quality_classifier_score(
                     tots.append(None)
                     probs.append(None)
                     continue
-                cnt = _dsir_doc_counts(t, n, buckets)
-                tot = sum(cnt.values())
-                dot = 0
-                for bk, k in cnt.items():
-                    dot += k * W[bk]
-                logit = (dot / 1e6 / tot if tot else 0.0) + bias
+                dot, tot, p = _qcls_doc_eval(t, n, buckets, W, bias)
                 dots.append(dot)
                 tots.append(tot)
-                probs.append(1.0 / (1.0 + math.exp(-logit)))
+                probs.append(p)
             yield pd.DataFrame({
                 id_col: ids,
                 "qdot_e6": pd.array(dots, dtype="Int64"),

@@ -1199,6 +1199,135 @@ def test_dsir_config_validation(spark, tmp_path):
         )
 
 
+def test_qcls_tier_in_recipe_and_extension(spark, tmp_path):
+    """r11: the training-set recipe gains a LEARNED quality gate —
+    build fits the fastText-style classifier (recorded in the
+    manifest like the DSIR model), drops rows under ``min_prob``;
+    extension gates the NEW batch under the RECORDED model; extended
+    set == fresh union build under the recorded model; drop
+    accounting gains a qcls stage; the manifest (model included)
+    survives JSON."""
+    prose = _dsir_recipe_docs(spark, 1, 10, _DSIR_PROSE_W, "web")
+    code = _dsir_recipe_docs(spark, 11, 10, _DSIR_CODE_W, "code")
+    docs = prose.unionByName(code)
+    # fit frames share the corpus sentence TEMPLATE so the filler
+    # words sit on both sides (near-zero weight) and the domain vocab
+    # carries the decision boundary
+    pos_fit = _dsir_recipe_docs(spark, 900, 8, _DSIR_PROSE_W, "pw")
+    neg_fit = _dsir_recipe_docs(spark, 950, 8, _DSIR_CODE_W, "pc")
+
+    out = str(tmp_path / "qcls")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True,
+        qcls={"pos": pos_fit, "neg": neg_fit, "min_prob": 0.5,
+              "buckets": 512},
+    )
+    cfg = m["config"]["qcls"]
+    assert cfg["model"]["format"] == "spark-graft-qcls/v1"
+    assert cfg["min_prob"] == 0.5
+    assert json.loads(json.dumps(m)) == m
+    assert m["stage_rows"]["qcls"] == 10 and m["rows"] == 10
+    data, _ = C.read_training_set(spark, out)
+    assert {r.doc_id for r in data.collect()} == set(range(1, 11))
+
+    # extension: mixed batch, gated under the RECORDED model —
+    # prose survives, code drops
+    batch = _dsir_recipe_docs(spark, 30, 3, _DSIR_PROSE_W, "web") \
+        .unionByName(_dsir_recipe_docs(spark, 33, 3, _DSIR_CODE_W, "code"))
+    m2 = C.extend_training_set(spark, batch, out, audit=True)
+    assert m2["stage_rows"]["qcls"] == 3 and m2["epochs"] == 2
+    data2, _ = C.read_training_set(spark, out, ordered=True)
+    assert {r.doc_id for r in data2.collect()} == (
+        set(range(1, 11)) | {30, 31, 32}
+    )
+
+    # fresh union build under the RECORDED model == extension
+    out_b = str(tmp_path / "qcls_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        qcls={"model": cfg["model"], "min_prob": 0.5},
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in data2.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+
+def test_qcls_with_dsir_composes(spark, tmp_path):
+    """qcls (row-local gate, stage 1b) composes with DSIR (global
+    selection, stage 3c): the classifier narrows the pool, the
+    selection then resamples within it; both models recorded; the
+    extension path replays both and equals a fresh union build."""
+    docs = _dsir_recipe_docs(
+        spark, 1, 10, _DSIR_PROSE_W, "web"
+    ).unionByName(_dsir_recipe_docs(spark, 11, 10, _DSIR_CODE_W, "code"))
+    out = str(tmp_path / "qd")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True,
+        qcls={"pos": _dsir_recipe_docs(spark, 900, 8, _DSIR_PROSE_W, "pw"),
+              "neg": _dsir_recipe_docs(spark, 950, 8, _DSIR_CODE_W, "pc"),
+              "min_prob": 0.5, "buckets": 512},
+        dsir={"target": _dsir_recipe_target(spark), "n_select": 8,
+              "buckets": 512},
+    )
+    # the gate dropped all code BEFORE the selection: 20 -> 10 -> 8
+    assert m["stage_rows"]["qcls"] == 10
+    assert m["stage_rows"]["dsir"] == 8 and m["rows"] == 8
+    kept = {r.doc_id
+            for r in C.read_training_set(spark, out)[0].collect()}
+    assert kept <= set(range(1, 11)) and len(kept) == 8
+
+    batch = _dsir_recipe_docs(spark, 30, 3, _DSIR_PROSE_W, "web")
+    C.extend_training_set(spark, batch, out)
+    da, _ = C.read_training_set(spark, out, ordered=True)
+    out_b = str(tmp_path / "qd_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        qcls={"model": m["config"]["qcls"]["model"], "min_prob": 0.5},
+        dsir={"model": m["config"]["dsir"]["model"], "n_select": 8},
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+
+def test_qcls_config_validation(spark, tmp_path):
+    docs = _dsir_recipe_docs(spark, 1, 6, _DSIR_PROSE_W, "web")
+    pos = _dsir_recipe_docs(spark, 900, 8, _DSIR_PROSE_W, "pw")
+    out = str(tmp_path / "v")
+    with pytest.raises(ValueError, match="min_prob"):
+        C.materialize_training_set(spark, docs, out, qcls={"pos": pos})
+    with pytest.raises(ValueError, match="min_prob"):
+        C.materialize_training_set(
+            spark, docs, out, qcls={"pos": pos, "min_prob": 1.0}
+        )
+    with pytest.raises(ValueError, match="min_prob"):
+        C.materialize_training_set(
+            spark, docs, out, qcls={"pos": pos, "min_prob": True}
+        )
+    with pytest.raises(ValueError, match="exactly ONE"):
+        C.materialize_training_set(
+            spark, docs, out, qcls={"min_prob": 0.5}
+        )
+    with pytest.raises(ValueError, match="exactly ONE"):
+        C.materialize_training_set(
+            spark, docs, out,
+            qcls={"pos": pos, "model": {"format": "x"}, "min_prob": 0.5},
+        )
+    with pytest.raises(ValueError, match="not a quality_classifier_fit"):
+        C.materialize_training_set(
+            spark, docs, out,
+            qcls={"model": {"format": "x"}, "min_prob": 0.5},
+        )
+    with pytest.raises(ValueError, match="only meaningful"):
+        C.materialize_training_set(
+            spark, docs, out,
+            qcls={"model": {"format": "spark-graft-qcls/v1"},
+                  "neg": docs, "min_prob": 0.5},
+        )
+
+
 def test_extension_spreads_cross_contact_through_batch_components(
     spark, tmp_path
 ):
