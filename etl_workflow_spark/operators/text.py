@@ -2610,8 +2610,27 @@ def dsir_fit(
             c[r["b"]] = r["k"]
         return c
 
-    p = _counts(target, "target") + float(smoothing)
-    q = _counts(raw, "raw") + float(smoothing)
+    return _dsir_model_from_counts(
+        _counts(target, "target"), _counts(raw, "raw"),
+        n, buckets, smoothing,
+    )
+
+
+def _dsir_model_from_counts(
+    p, q, n: int, buckets: int, smoothing: float
+) -> dict:
+    """Assemble a DSIR model from dense TARGET/RAW bucket-count
+    vectors (numpy int64, length ``buckets``) — THE single
+    model-construction arithmetic: :func:`dsir_fit` (one-shot fits)
+    and the count store's refit path
+    (:func:`~etl_workflow_spark.streaming.incremental.dsir_fit_from_stores`,
+    which reads persisted per-batch partials instead of re-scanning
+    the corpus) both call this, so identical counts produce
+    bit-identical models on either path."""
+    import numpy as np
+
+    p = p + float(smoothing)
+    q = q + float(smoothing)
     ratio = np.log(p / p.sum()) - np.log(q / q.sum())
     return {
         "format": "spark-graft-dsir/v1",

@@ -1629,3 +1629,199 @@ def compact_gram_store(
     _compact_batched_store(
         spark, store_path, before_batch_id, merge, partition_by=["batch_id"]
     )
+
+
+# ------------------------------------------------------ DSIR count store
+
+
+def dsir_counts_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    col: str = "text",
+    n: int = 2,
+    buckets: int = 10_000,
+) -> None:
+    """Write one micro-batch's hashed-n-gram bucket counts (the
+    :func:`~etl_workflow_spark.operators.text.dsir_fit` partials —
+    sparse ``(b, k)`` rows) into the count store EXACTLY-ONCE:
+    fragments land under ``batch_id=…`` partitions, so a replayed
+    batch dynamic-overwrites exactly what it wrote the first time
+    (additive counts need write-side idempotence — the vocabulary
+    store's contract). The batch's partition partials are merged
+    Spark-side first (one groupBy-sum), so a fragment is ≤ ``buckets``
+    rows regardless of batch size or partitioning. The featurizer
+    parameters travel WITH the fragments as constant RLE ``gram_n``/
+    ``buckets`` columns — counts hashed under different parameters
+    must never sum, and per-row beats footer metadata on multi-file
+    reads (the vocab-store mixed-fragment lesson).
+
+    The point at 100 TB: each document is featurized exactly once, at
+    ingest; re-fitting the importance model for a NEW target domain
+    (or after more raw data lands) reads this tiny additive store
+    (:func:`dsir_fit_from_stores`) — never the corpus."""
+    from ..operators.text import _dsir_partials
+
+    counts = (
+        _dsir_partials(batch_df, col, int(n), int(buckets))
+        .groupBy("b")
+        .agg(F.sum("k").alias("k"))
+        .withColumn("gram_n", F.lit(int(n)))
+        .withColumn("buckets", F.lit(int(buckets)))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_dsir_counts(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous DSIR count-store maintenance: each micro-batch adds
+    its bucket-count fragment (:func:`dsir_counts_batch`); importance-
+    model refits read the store, never the stream's history. Returns
+    a writeStream builder (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        dsir_counts_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def _read_dsir_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read a count store's fragments, converting the unreadable-path
+    crash into the store's own refusal: a batch whose every doc is
+    gram-less writes NO fragment (dynamic overwrite of zero rows), so
+    a never-populated store has no files to infer a schema from —
+    callers get the same actionable 'nothing to estimate from' error
+    an all-whitespace corpus gets in ``dsir_fit``."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        raise ValueError(
+            f"dsir count store at {path} is empty or missing — no "
+            "fragment has been written (a batch with no featurizable "
+            "rows writes nothing); a distribution cannot be estimated "
+            "from it"
+        ) from e
+
+
+def _dsir_store_params(store: DataFrame, path: str) -> tuple[int, int] | None:
+    """The store's single recorded featurizer setting ``(gram_n,
+    buckets)``; ``None`` for an empty store. Fragments that DISAGREE
+    are refused — bucket ids hashed under different parameters are
+    incommensurable, and summing them is silent corruption. A store
+    without the columns (not written by :func:`dsir_counts_batch`) is
+    refused with an actionable error. Column-pruned scan of two RLE
+    columns, not a data read."""
+    missing = [c for c in ("gram_n", "buckets") if c not in store.columns]
+    if missing:
+        raise ValueError(
+            f"not a dsir count store at {path}: fragments lack the "
+            f"recorded featurizer columns {missing} — write with "
+            "dsir_counts_batch"
+        )
+    pairs = sorted(
+        (int(r[0]), int(r[1]))
+        for r in store.select("gram_n", "buckets").distinct().collect()
+    )
+    if len(pairs) > 1:
+        raise ValueError(
+            "dsir count store fragments disagree on the featurizer "
+            f"parameters (gram_n, buckets): {pairs} — counts hashed "
+            "under different settings must not merge; rebuild the "
+            "store with one setting"
+        )
+    return pairs[0] if pairs else None
+
+
+def read_dsir_counts(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's current merged bucket counts ``(b, k)`` — the same
+    numbers one :func:`~etl_workflow_spark.operators.text._dsir_partials`
+    pass over the full ingested corpus would produce, via one
+    combiner-friendly merge of the fragments. Mixed-parameter stores
+    are refused HERE, the shared read path, so every consumer
+    inherits the guard."""
+    store = _read_dsir_store(spark, store_path)
+    _dsir_store_params(store, store_path)
+    return store.groupBy("b").agg(F.sum("k").alias("k"))
+
+
+def compact_dsir_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Collapse closed batches' count fragments into one row per
+    bucket under ``batch_id=-1`` — the file-count bound for a
+    long-lived store (:func:`_compact_batched_store` contract; counts
+    merge by addition, the recorded parameter columns ride along and
+    the mixed-parameter refusal still holds afterwards)."""
+    _compact_batched_store(
+        spark, store_path, before_batch_id,
+        lambda old: old.groupBy("b", "gram_n", "buckets")
+        .agg(F.sum("k").alias("k"))
+        .select("b", "k", "gram_n", "buckets"),
+        partition_by=["batch_id"],
+    )
+
+
+def dsir_fit_from_stores(
+    spark: SparkSession,
+    target_store: str,
+    raw_store: str,
+    smoothing: float = 1.0,
+) -> dict:
+    """Fit a DSIR importance model from two count stores — identical
+    result to :func:`~etl_workflow_spark.operators.text.dsir_fit`
+    over the full ingested corpora (the model construction is the
+    shared ``_dsir_model_from_counts`` body, so identical counts
+    produce bit-identical models), without re-scanning a single
+    document: both sides read their tiny additive store (≤ ``buckets``
+    rows after the merge). The two stores must record the SAME
+    featurizer setting — scores are dot products against bucket ids,
+    so a cross-parameter fit would be garbage, and it is refused.
+    Empty stores refuse (a distribution estimated from nothing would
+    silently be the uniform smoother — the :func:`dsir_fit`
+    contract)."""
+    import numpy as np
+
+    from ..operators.text import _dsir_model_from_counts
+
+    def dense(path: str, what: str):
+        store = _read_dsir_store(spark, path)
+        params = _dsir_store_params(store, path)
+        if params is None:
+            raise ValueError(
+                f"dsir count store at {path} is empty — the {what} "
+                "distribution cannot be estimated from nothing"
+            )
+        rows = store.groupBy("b").agg(F.sum("k").alias("k")).collect()
+        c = np.zeros(params[1], dtype=np.int64)
+        for r in rows:
+            c[r["b"]] = r["k"]
+        return c, params
+
+    p, t_params = dense(target_store, "target")
+    q, r_params = dense(raw_store, "raw")
+    if t_params != r_params:
+        raise ValueError(
+            "dsir count stores disagree on the featurizer parameters "
+            f"(target {t_params} vs raw {r_params}) — importance "
+            "weights require both distributions in the SAME hashed "
+            "space; rebuild one store"
+        )
+    return _dsir_model_from_counts(
+        p, q, t_params[0], t_params[1], smoothing
+    )

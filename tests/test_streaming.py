@@ -923,6 +923,140 @@ def test_train_unigram_from_store_matches_full_corpus(spark, tmp_path):
     assert json.loads(json.dumps(from_store)) == from_store
 
 
+def test_dsir_store_matches_direct_fit_and_replays(spark, tmp_path):
+    """r11 DSIR count store: fragments merge to exactly the counts one
+    featurizer pass over the full ingested corpus produces; a replayed
+    batch overwrites its own partition (additive counts, write-side
+    idempotence); and a model refit from the two stores is
+    BIT-IDENTICAL to dsir_fit over the unioned corpora (the shared
+    _dsir_model_from_counts body) — the corpus is featurized once at
+    ingest, never re-scanned per refit."""
+    from etl_workflow_spark.operators.text import _dsir_partials, dsir_fit
+
+    raw_store = str(tmp_path / "raw")
+    tgt_store = str(tmp_path / "tgt")
+    r1 = spark.createDataFrame(
+        [(1, "the parser read the buffer twice"),
+         (2, "a socket fed the kernel queue")], ["doc_id", "text"])
+    r2 = spark.createDataFrame(
+        [(3, "threads waited on the index lock")], ["doc_id", "text"])
+    t1 = spark.createDataFrame(
+        [(10, "the harbor mist hid the ferry"),
+         (11, "gulls circled the quay at dawn")], ["doc_id", "text"])
+    inc.dsir_counts_batch(r1, raw_store, 0, n=2, buckets=256)
+    inc.dsir_counts_batch(r2, raw_store, 1, n=2, buckets=256)
+    inc.dsir_counts_batch(r2, raw_store, 1, n=2, buckets=256)  # replay
+    inc.dsir_counts_batch(t1, tgt_store, 0, n=2, buckets=256)
+
+    union = r1.unionByName(r2)
+    want_counts = {
+        r["b"]: r["k"]
+        for r in _dsir_partials(union, "text", 2, 256)
+        .groupBy("b").agg(F.sum("k").alias("k")).collect()
+    }
+    got_counts = {
+        r["b"]: r["k"]
+        for r in inc.read_dsir_counts(spark, raw_store).collect()
+    }
+    assert got_counts == want_counts
+
+    got = inc.dsir_fit_from_stores(spark, tgt_store, raw_store)
+    want = dsir_fit(union, t1, n=2, buckets=256)
+    assert got == want
+
+
+def test_dsir_store_compaction_and_guards(spark, tmp_path):
+    """Compaction preserves the refit model exactly; mixed-parameter
+    fragments, cross-store parameter mismatch, empty stores, and
+    foreign parquet all refuse loudly instead of summing
+    incommensurable bucket ids."""
+    import pytest
+
+    raw_store = str(tmp_path / "raw")
+    tgt_store = str(tmp_path / "tgt")
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i, f"batch {i} wrote a shared sentence here")],
+            ["doc_id", "text"],
+        )
+        inc.dsir_counts_batch(b, raw_store, i, n=2, buckets=128)
+    t = spark.createDataFrame(
+        [(9, "a curated target sentence sits here")], ["doc_id", "text"])
+    inc.dsir_counts_batch(t, tgt_store, 0, n=2, buckets=128)
+    before = inc.dsir_fit_from_stores(spark, tgt_store, raw_store)
+    inc.compact_dsir_store(spark, raw_store, before_batch_id=3)
+    frags = spark.read.parquet(raw_store)
+    assert frags.where("batch_id = -1").count() > 0
+    assert inc.dsir_fit_from_stores(spark, tgt_store, raw_store) == before
+    # re-compaction (batch_id=-1 included) stays exact
+    inc.compact_dsir_store(spark, raw_store, before_batch_id=99)
+    assert inc.dsir_fit_from_stores(spark, tgt_store, raw_store) == before
+
+    # mixed featurizer parameters within one store refuse
+    b = spark.createDataFrame([(50, "late differently hashed batch")],
+                              ["doc_id", "text"])
+    inc.dsir_counts_batch(b, raw_store, 50, n=1, buckets=128)
+    with pytest.raises(ValueError, match="disagree"):
+        inc.read_dsir_counts(spark, raw_store)
+    with pytest.raises(ValueError, match="disagree"):
+        inc.dsir_fit_from_stores(spark, tgt_store, raw_store)
+
+    # cross-store mismatch refuses
+    other = str(tmp_path / "other")
+    inc.dsir_counts_batch(b, other, 0, n=2, buckets=64)
+    with pytest.raises(ValueError, match="SAME hashed space"):
+        inc.dsir_fit_from_stores(spark, tgt_store, other)
+
+    # a store written with only gram-less docs is empty -> refuses
+    empty = str(tmp_path / "empty")
+    blank = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    inc.dsir_counts_batch(blank, empty, 0, n=2, buckets=128)
+    with pytest.raises(ValueError, match="empty"):
+        inc.dsir_fit_from_stores(spark, tgt_store, empty)
+
+    # foreign parquet (no recorded parameters) refuses actionably
+    foreign = str(tmp_path / "foreign")
+    spark.createDataFrame([(0, 1)], "b long, k long").write.parquet(foreign)
+    with pytest.raises(ValueError, match="dsir_counts_batch"):
+        inc.read_dsir_counts(spark, foreign)
+
+
+def test_stream_dsir_counts_end_to_end(spark, tmp_path):
+    """Real availableNow stream: per-file micro-batches build the raw
+    count store; the refit model equals dsir_fit over the batch
+    union."""
+    from etl_workflow_spark.operators.text import dsir_fit
+
+    src = str(tmp_path / "dsrc")
+    store = str(tmp_path / "dstore")
+    ckpt = str(tmp_path / "dckpt")
+    d1 = spark.createDataFrame(
+        [(1, "the parser read the buffer twice")], ["doc_id", "text"])
+    d2 = spark.createDataFrame(
+        [(2, "a socket fed the kernel queue")], ["doc_id", "text"])
+    d1.coalesce(1).write.parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+    t = spark.createDataFrame(
+        [(10, "the harbor mist hid the ferry")], ["doc_id", "text"])
+    tgt_store = str(tmp_path / "dtgt")
+    inc.dsir_counts_batch(t, tgt_store, 0, n=2, buckets=256)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        inc.stream_dsir_counts(stream, store, ckpt, n=2, buckets=256)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in time"
+    got = inc.dsir_fit_from_stores(spark, tgt_store, store)
+    want = dsir_fit(d1.unionByName(d2), t, n=2, buckets=256)
+    assert got == want
+
+
 def test_pq_store_id_col_resolution_and_tiebreak(spark, sf_dir, tmp_path):
     """ADVICE r9: the last-write-wins window must key on the REAL id
     column — explicit id_col is honored, a reserved-named first column
