@@ -536,7 +536,19 @@ def _semantic_stage(
     ``train_if_needed`` (the build path) absent centroids are trained
     here via :func:`~.similarity.kmeans` and written back into ``sem``
     for the manifest. NULL embeddings pass through unexamined."""
-    from .similarity import kmeans, semdedup
+    return _semantic_stage_parts(cur, sem, id_col, train_if_needed)[0]
+
+
+def _semantic_stage_parts(
+    cur: DataFrame, sem: dict, id_col: str, train_if_needed: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`_semantic_stage` plus the within-stage near-dup
+    COMPONENTS (``(id_col, cluster_id, ...)`` over the verified
+    in-cell pairs — r11): the extension cross tier spreads a corpus
+    contact through these components, so a batch doc that chains to
+    the corpus only THROUGH a within-batch semantic loser drops
+    exactly as a fresh union build folds the component."""
+    from .similarity import _semdedup_parts, kmeans
 
     v = sem["vec_col"]
     nn = cur.where(F.col(v).isNotNull())
@@ -577,12 +589,12 @@ def _semantic_stage(
             "the set; extensions must not silently skip the semantic "
             "tier"
         )
-    kept = semdedup(
+    kept, comps = _semdedup_parts(
         nn, threshold=float(sem["threshold"]), keep=sem["keep"],
         id_col=id_col, vec_col=v, centroids=sem["centroids"],
         max_cell_size=sem.get("max_cell_size"),
     )
-    return kept.unionByName(nulls)
+    return kept.unionByName(nulls), comps
 
 
 def _dsir_select_stage(
@@ -1117,16 +1129,16 @@ def _batch_recipe(
         # low ids that quality/decontamination/within-batch dedup
         # would drop anyway cannot trigger a false refusal; replayed
         # ids were dropped by the insert-if-absent anti-join.
-        # Same-batch chains are CLOSED for the lexical tiers (r11):
-        # the cross tiers probe every exact-tier keeper and spread
-        # contacts through the within-batch components, so a batch
-        # loser bridging a survivor into an existing group drags the
-        # survivor down exactly as a fresh union build would. Known
-        # residuals (documented, not detectable from the survivor-
+        # Same-batch chains are CLOSED for the lexical AND semantic
+        # tiers (r11): each cross tier probes every within-batch
+        # member (exact-tier keepers lexically; all non-null
+        # embeddings semantically) and spreads contacts through the
+        # within-batch components, so a batch loser bridging a
+        # survivor into an existing group drags the survivor down
+        # exactly as a fresh union build would. The remaining
+        # residual (documented, not detectable from the survivor-
         # only universe): chains THROUGH docs a PREVIOUS epoch
-        # dropped, and same-batch chains in the SEMANTIC tier (its
-        # within-batch stage is pairwise in-cell, not component-
-        # resolved). Quality-policy sets skip (ranking is
+        # dropped. Quality-policy sets skip (ranking is
         # id-order-independent). Cost: one narrow min() over the
         # (cached) surviving batch + one max() over the universe ids.
         lo = cur.agg(F.min(id_col).alias("m")).collect()[0]["m"]
@@ -1142,8 +1154,7 @@ def _batch_recipe(
                     "keep the group's minimum id — the results could "
                     "silently diverge. (Residual even with monotone "
                     "ids: a fresh build can link groups through docs "
-                    "a PREVIOUS epoch dropped, or through same-batch "
-                    "SEMANTIC-tier losers.) Use monotone ids, a "
+                    "a PREVIOUS epoch dropped.) Use monotone ids, a "
                     "quality keep policy, or "
                     "allow_interleaved_ids=True if the batch shares "
                     "no duplicate groups with the corpus"
@@ -1203,11 +1214,16 @@ def _batch_recipe(
         from .similarity import semdedup_probe
 
         v = sem["vec_col"]
-        # within-batch semantic dedup under the RECORDED clustering
-        cur = _semantic_stage(cur, sem, id_col)
+        # ALL non-null batch members surviving the earlier stages —
+        # the probe set for the cross tier below: a within-batch
+        # LOSER's corpus contact must still drag its component down
+        # (r11, closing the same-batch semantic chain residual)
+        pre_nn = cur.where(F.col(v).isNotNull())
+        # within-batch semantic dedup under the RECORDED clustering,
+        # DECOMPOSED so the cross tier can reuse its components
+        cur, batch_comps = _semantic_stage_parts(cur, sem, id_col)
         _audit("semantic_within_batch", cur)
         if sem.get("centroids"):
-            batch_nn = cur.where(F.col(v).isNotNull())
             if "__semcell" in universe.columns:
                 # mixture path: the pool stored its cell assignments
                 corpus_cells = universe.where(F.col(v).isNotNull())
@@ -1220,7 +1236,7 @@ def _batch_recipe(
                     universe, sem, id_col
                 ).where(F.col(v).isNotNull())
             pairs = semdedup_probe(
-                batch_nn, corpus_cells, sem["centroids"],
+                pre_nn, corpus_cells, sem["centroids"],
                 threshold=float(sem["threshold"]),
                 id_col=id_col, vec_col=v, cluster_col="__semcell",
             )
@@ -1230,13 +1246,30 @@ def _batch_recipe(
             # pairs fail the semi-join and were already resolved by
             # the within-batch stage
             ex_ids = universe.select(F.col(id_col).alias("__ex"))
-            losers = (
+            contacted = (
                 pairs.join(
                     ex_ids, pairs["vec_a"] == F.col("__ex"), "left_semi"
                 )
                 .select(F.col("vec_b").alias(id_col))
                 .distinct()
             )
+            # spread each contact through its within-batch semantic
+            # component: a fresh union build merges the whole
+            # component into the universe member's group, and the
+            # universe wins — so every cluster-mate of a contacted
+            # member (including the within-batch KEEPER whose only
+            # corpus link ran through a dropped loser) loses too.
+            # Pair-space frames only — no corpus re-scan
+            cl = batch_comps.select(id_col, "cluster_id")
+            bad_clusters = (
+                cl.join(contacted, id_col, "left_semi")
+                .select("cluster_id")
+                .distinct()
+            )
+            spread = cl.join(
+                bad_clusters, "cluster_id", "left_semi"
+            ).select(id_col)
+            losers = contacted.unionByName(spread).distinct()
             cur = cur.join(losers, id_col, "left_anti")
         _audit("cross_semantic", cur)
     return cur
@@ -1397,10 +1430,9 @@ def _extend_pooled(
     representative than the fresh build would. Residual even with
     monotone ids: a fresh union build can link duplicate groups
     through docs a PREVIOUS epoch dropped (undetectable from
-    survivors alone), or through same-batch SEMANTIC-tier losers —
-    the lexical same-batch chains are closed (r11): cross contacts
-    spread through the within-batch components in
-    :func:`_batch_recipe`.
+    survivors alone) — same-batch chains are closed for BOTH the
+    lexical and semantic tiers (r11): cross contacts spread through
+    the within-batch components in :func:`_batch_recipe`.
 
     Why a pool instead of an append-only delta: re-solved rates can
     RISE (the batch feeds the binding stratum), re-admitting rows the

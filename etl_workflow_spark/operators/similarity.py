@@ -1178,6 +1178,38 @@ def semdedup(
     training-data pipelines; nearest hook is the trigram similarity
     index, `database-schema.sql:5,64` — lexical, not semantic).
     """
+    return _semdedup_parts(
+        emb, threshold=threshold, k=k, dim=dim, keep=keep,
+        id_col=id_col, vec_col=vec_col, max_iter=max_iter,
+        rows_per_block=rows_per_block, seed=seed,
+        max_cell_size=max_cell_size, centroids=centroids,
+    )[0]
+
+
+def _semdedup_parts(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    k: int = 16,
+    dim: int = 64,
+    keep: str = "farthest",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    rows_per_block: int = 4096,
+    seed: int = 7,
+    max_cell_size: int | None = None,
+    centroids=None,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`semdedup`'s decomposition — ``(kept, comps)`` where
+    ``comps`` is the ``(id_col, cluster_id, cluster_size)`` component
+    frame over the verified in-cell pair list (docs in no pair are
+    absent; already materialized by ``dedup_clusters``, so it stays
+    valid after the internal caches release). The training-set
+    extension tier consumes ``comps`` to spread a universe contact
+    through its within-batch semantic component
+    (``corpus._batch_recipe``) without re-assigning or re-pairing the
+    batch — the ``dedup._dedup_corpus_parts`` shape, applied to the
+    semantic tier (r11)."""
     from .dedup import dedup_clusters, keep_best_per_cluster
 
     if keep not in ("farthest", "min_id"):
@@ -1241,14 +1273,14 @@ def semdedup(
         losers = comps.where(F.col(id_col) != F.col("cluster_id")).select(
             id_col
         )
-        return emb.join(losers, id_col, "left_anti")
+        return emb.join(losers, id_col, "left_anti"), comps
     # 'farthest': every component's members share one k-means cell, so
     # their centroid distances are directly comparable
     surviving = keep_best_per_cluster(
         assign.select(id_col, "dist_e6"), comps, "dist_e6",
         id_col=id_col, higher_is_better=True,
     )
-    return emb.join(surviving.select(id_col), id_col, "left_semi")
+    return emb.join(surviving.select(id_col), id_col, "left_semi"), comps
 
 
 def semdedup_probe(

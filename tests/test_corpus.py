@@ -1386,3 +1386,59 @@ def test_extension_spreads_cross_contact_through_batch_components(
     # the audit curve shows the spread happening in the near tier
     assert m["stage_rows"]["deduped_within_batch"] == 1   # X beat Y
     assert m["stage_rows"]["cross_neardup"] == 0          # ...then fell
+
+
+def test_extension_spreads_semantic_contact_through_batch_components(
+    spark, tmp_path
+):
+    """r11: the SEMANTIC twin of the lexical chain closure — a batch
+    doc whose only corpus link runs through a within-batch SEMANTIC
+    loser must still drop. Embeddings with cos(X,Y) = cos(Y,U) ≈ 0.96
+    ≥ 0.95 but cos(X,U) ≈ 0.84: within-batch semdedup drops Y (min-id
+    keeps X), and the old survivor-only probe kept X; spreading the
+    contact through the within-batch component drops both — extension
+    == fresh union build."""
+    import math
+
+    a = math.radians(16.26)  # cos a ≈ 0.960, cos 2a ≈ 0.843
+    U = [1.0, 0.0, 0.0, 0.0]
+    Y = [math.cos(a), math.sin(a), 0.0, 0.0]
+    X = [math.cos(2 * a), math.sin(2 * a), 0.0, 0.0]
+    base = _vdocs(spark, [
+        (1, "the lighthouse keeper counted the passing ships from the "
+            "rocky northern headland each morning", "web", U),
+        (2, "a completely unrelated report about quarterly grain "
+            "shipments moving through the inland depots", "web",
+            [0.0, 0.0, 0.0, 1.0]),
+    ])
+    out = str(tmp_path / "semchain")
+    kwargs = dict(
+        num_shards=2,
+        semantic_dedup={"vec_col": "embedding",
+                        "centroids": [[1.0, 0.0, 0.0, 0.0],
+                                      [0.0, 0.0, 0.0, 1.0]]},
+    )
+    C.materialize_training_set(spark, base, out, **kwargs)
+    batch = _vdocs(spark, [
+        # X: near Y only — its corpus link runs THROUGH Y
+        (30, "fresh prose about orchard harvests and the long autumn "
+             "ladders leaning on the trees", "web", X),
+        # Y: near both X and the existing corpus doc U
+        (31, "different sentences describing the evening ferry crossing "
+             "and its patient passengers", "web", Y),
+    ])
+    m = C.extend_training_set(spark, batch, out, audit=True)
+    ids = {r.doc_id for r in C.read_training_set(spark, out)[0].collect()}
+    assert ids == {1, 2}, f"chained batch docs must both drop, got {ids}"
+    # the curve shows the spread: within-batch kept X, the cross tier
+    # then dropped it through Y's corpus contact
+    assert m["stage_rows"]["semantic_within_batch"] == 1
+    assert m["stage_rows"]["cross_semantic"] == 0
+
+    # fresh union build under the same recorded clustering agrees
+    out_b = str(tmp_path / "semchain_b")
+    mb = C.materialize_training_set(
+        spark, base.unionByName(batch), out_b, **kwargs
+    )
+    db = {r.doc_id for r in C.read_training_set(spark, out_b)[0].collect()}
+    assert db == ids and mb["rows"] == m["rows"]
