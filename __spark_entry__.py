@@ -2108,9 +2108,25 @@ _TEXT_SAFETY_ORACLE = f"""
 """
 
 
+#: Fixed BM25 gate queries — phrases built from the synthetic
+#: documents table's vocabulary so every query matches real postings
+#: (multi-term, one repeated-term bag, one term that misses).
+_BM25_QUERIES = [
+    "hash join merge",
+    "slow query filter",
+    "window sort stream",
+    "vector vector the zzzmiss",
+]
+
+
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level top-50 terms + per-document TF-IDF top-k terms,
-    union-tagged by scope (corpus rows carry NULL doc_id/score/rank)."""
+    """Corpus-level top-50 terms + per-document TF-IDF top-k terms +
+    BM25 full-text search top-10 per fixed query, union-tagged by
+    scope (corpus rows carry NULL doc_id/score/rank; bm25 rows carry
+    the query string in `term`, the matched-term count in `n`, and
+    the fixed-point integer-summed BM25 score in `score_e4` — the
+    oracle replays the identical per-term double and floor, so the
+    ranking hash-matches bit-for-bit)."""
     docs = table(spark, sf_dir, "documents")
     corpus = _q_top_terms(spark, sf_dir).select(
         F.lit("corpus").alias("scope"),
@@ -2128,7 +2144,15 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_e4",
         "rank",
     )
-    return corpus.unionByName(perdoc)
+    bm25 = T.bm25_topk(docs, _BM25_QUERIES, k=10).select(
+        F.lit("bm25").alias("scope"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("query").alias("term"),
+        F.col("n_terms").cast("bigint").alias("n"),
+        "score_e4",
+        "rank",
+    )
+    return corpus.unionByName(perdoc).unionByName(bm25)
 
 
 _TERM_STATS_ORACLE = f"""
@@ -2139,6 +2163,10 @@ _TERM_STATS_ORACLE = f"""
     UNION ALL
     SELECT 'doc', doc_id, term, CAST(tf AS BIGINT), score_e4, rank
     FROM ({T.tfidf_top_terms_oracle(k=5)})
+    UNION ALL
+    SELECT 'bm25', doc_id, query AS term, CAST(n_terms AS BIGINT),
+           score_e4, rank
+    FROM ({T.bm25_topk_oracle(_BM25_QUERIES, k=10)})
 """
 
 

@@ -174,6 +174,10 @@ def main() -> None:
         # round-11: fastText-style quality classifier — driver GD fit
         # on a bounded two-class sample + one distributed scoring pass
         "qcls_score",
+        # round-11: BM25 full-text search — inline index build (one
+        # tokenize+agg pass) + broadcast-probed scoring + windowed
+        # top-k, ×4 queries
+        "bm25_search",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -297,6 +301,16 @@ def main() -> None:
                 .select("text"),
             ),
             n_select=100,
+        ),
+        "bm25_search": lambda s, d: T.bm25_topk(
+            table(s, d, "documents"),
+            [
+                "hash join merge",
+                "slow query filter",
+                "window sort stream",
+                "vector vector the zzzmiss",
+            ],
+            k=10,
         ),
         "qcls_score": lambda s, d: T.quality_classifier_score(
             table(s, d, "documents"),

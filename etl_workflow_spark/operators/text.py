@@ -2947,3 +2947,241 @@ def quality_classifier_score(
             })
 
     return df.select(id_col, col).mapInPandas(score, out_schema)
+
+
+# --------------------------------------------------- BM25 full-text search
+
+
+def build_text_index(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted postings table for BM25 full-text search (Robertson &
+    Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+    Beyond"): one row per distinct ``(term, doc)`` with the in-doc
+    term frequency and the doc's token length denormalized onto the
+    row — ``(term string, id, tf int, dl int)``. Terms are the
+    module's whitespace tokens, lowercased (search is case-folding;
+    per-doc keyword profiles — :func:`tfidf_top_terms` — are not).
+    NULL/whitespace-only docs contribute no postings. This is the
+    Lucene shape re-expressed relationally: the postings table is the
+    index — write it partitioned (or bucketed) by ``term`` and a
+    query's broadcast-join probe prunes to exactly the query terms'
+    rows. Corpus stats (N, total tokens) are derivable from the table
+    itself (``COUNT(DISTINCT id)`` / ``SUM(tf)``), so a prebuilt index
+    answers queries without touching the raw corpus.
+
+    Capability analog in the reference: none — extension-tier corpus
+    search (slicing/exploration over the `documents` table)."""
+    from .partitioning import scale_partitions
+
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    return (
+        scale_partitions(df.where(F.col(col).isNotNull()))
+        .select(
+            F.col(id_col),
+            F.explode(toks).alias("term"),
+            F.size(toks).alias("dl"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "term",
+            id_col,
+            F.col("tf").cast("int").alias("tf"),
+            F.col("dl").cast("int").alias("dl"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame | None,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents per query under BM25, exactly and
+    deterministically: per query term,
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the Lucene form —
+    always positive) and
+    ``contrib = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``,
+    each term's contribution FIXED-POINTED (floor at e6) BEFORE the
+    per-(query, doc) sum, so the score is an integer sum — associative,
+    layout-invariant, and bit-replayable by a SQL oracle regardless of
+    either engine's summation order (the module's cross-engine
+    convention; both engines floor the identical IEEE double, built by
+    the identically-parenthesized expression). Repeated query terms
+    weight by their multiplicity (bag semantics). Ties rank by
+    ``id`` ascending.
+
+    ``queries`` is a list of strings or a DataFrame with a ``query``
+    column; ``postings`` short-circuits the index build with a
+    prebuilt :func:`build_text_index` table (the 100 TB path: the
+    postings live as a term-partitioned table and the corpus is never
+    re-tokenized per query). Plan shape: the tiny query-term frame
+    broadcasts into the postings scan (candidates = postings rows for
+    query terms only, the Lucene probe), per-term doc frequencies
+    aggregate from those candidates and broadcast back, the integer
+    sum shuffles only candidate rows, and the rank cut is a windowed
+    top-k (WindowGroupLimit pushes k into the shuffle). The postings
+    scan runs twice (once for df, once for scoring) — Lucene reads
+    postings twice for the same reason; at scale both scans are
+    broadcast-pruned to the query terms. Returns
+    ``(query, id, n_terms int, score_e4 bigint, rank int)``."""
+    if postings is None:
+        if df is None:
+            raise ValueError("bm25_topk needs df or postings")
+        postings = build_text_index(df, col=col, id_col=id_col)
+    spark = postings.sparkSession
+    if not isinstance(queries, DataFrame):
+        qlist = list(queries)
+        if not qlist:
+            raise ValueError("bm25_topk needs at least one query")
+        queries = spark.createDataFrame(
+            [(q,) for q in qlist], "query string"
+        )
+    qtoks = F.split(F.trim(F.lower(F.col("query"))), r"\s+")
+    qterms = (
+        queries.select("query", F.explode(qtoks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("query", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    # one scalar action for corpus stats (bounded driver state, the
+    # tfidf_top_terms contract): N docs + total tokens from the index
+    stats = postings.agg(
+        F.countDistinct(F.col(id_col)).alias("n"),
+        F.sum("tf").alias("total"),
+    ).collect()[0]
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        raise ValueError("bm25_topk: the postings index is empty")
+    avgdl = int(stats["total"]) / n_docs
+    hits = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+                )
+            )
+        )
+        * F.col("qtf")
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("c_e6", F.floor(contrib * F.lit(1e6)))
+        .groupBy("query", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c_e6").alias("s_e6"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query").orderBy(
+        F.col("s_e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query",
+            id_col,
+            F.col("n_terms").cast("int").alias("n_terms"),
+            F.expr("s_e6 div 100").alias("score_e4"),
+            "rank",
+        )
+    )
+
+
+def bm25_topk_oracle(
+    queries: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` (inline index build): the
+    identically-parenthesized per-term double, floored at e6, integer-
+    summed — so hashes match bit-for-bit."""
+    vals = ", ".join(
+        "('" + q.replace("'", "''") + "')" for q in queries
+    )
+    t = "string_split_regex(trim(lower(text)), '\\s+')"
+    qt = "string_split_regex(trim(lower(query)), '\\s+')"
+    return f"""
+        WITH q(query) AS (VALUES {vals}),
+        qterms AS (
+            SELECT query, term, COUNT(*) AS qtf FROM (
+                SELECT query, unnest({qt}) AS term FROM q
+            ) WHERE term <> '' GROUP BY 1, 2
+        ),
+        post AS (
+            SELECT term, doc_id, COUNT(*) AS tf, dl FROM (
+                SELECT doc_id, unnest({t}) AS term, len({t}) AS dl
+                FROM {table} WHERE text IS NOT NULL
+            ) WHERE term <> '' GROUP BY term, doc_id, dl
+        ),
+        stats AS (
+            SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                   CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id)
+                       AS avgdl
+            FROM post
+        ),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df FROM post
+            WHERE term IN (SELECT DISTINCT term FROM qterms)
+            GROUP BY 1
+        ),
+        contrib AS (
+            SELECT qterms.query, post.doc_id,
+                   CAST(floor((ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                                         / (dfreq.df + 0.5))
+                       * ((post.tf * ({k1!r} + 1.0))
+                          / (post.tf + {k1!r}
+                             * ((1.0 - {b!r})
+                                + {b!r} * (post.dl / stats.avgdl))))
+                       * qterms.qtf) * 1000000.0) AS BIGINT) AS c_e6
+            FROM post
+            JOIN qterms USING (term)
+            JOIN dfreq USING (term)
+            CROSS JOIN stats
+        ),
+        scored AS (
+            SELECT query, doc_id, COUNT(*) AS n_terms,
+                   SUM(c_e6) AS s_e6
+            FROM contrib GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query, doc_id, n_terms, s_e6,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query
+                                           ORDER BY s_e6 DESC, doc_id)
+                        AS INT) AS rank
+            FROM scored
+        )
+        SELECT query, doc_id, CAST(n_terms AS INT) AS n_terms,
+               s_e6 // 100 AS score_e4, rank
+        FROM ranked WHERE rank <= {int(k)}
+    """

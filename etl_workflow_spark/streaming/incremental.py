@@ -1825,3 +1825,139 @@ def dsir_fit_from_stores(
     return _dsir_model_from_counts(
         p, q, t_params[0], t_params[1], smoothing
     )
+
+
+# ------------------------------------------------- BM25 postings store
+
+
+def _text_store_id_col(columns: list, id_col: str | None) -> str:
+    """Id resolution for the postings store (the :func:`_pq_store_id_col`
+    rules with the postings table's reserved names)."""
+    reserved = {"term", "tf", "dl", "batch_id"}
+    if id_col is not None:
+        if id_col not in columns:
+            raise ValueError(
+                f"id_col {id_col!r} not in the store's columns {columns}"
+            )
+        return id_col
+    rest = [c for c in columns if c not in reserved]
+    if len(rest) != 1:
+        raise ValueError(
+            f"cannot infer the store's doc-id column from {columns} — "
+            "pass id_col explicitly"
+        )
+    return rest[0]
+
+
+def text_index_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Tokenize one micro-batch of documents into BM25 postings
+    (:func:`~etl_workflow_spark.operators.text.build_text_index`) and
+    land the rows EXACTLY-ONCE — the :func:`pq_index_batch` contract:
+    ``batch_id=…`` partition overwrite, so a replayed batch rewrites
+    its own fragment instead of double-counting. A doc id delivered
+    twice WITHIN a batch would double its term frequencies, so the
+    batch is first collapsed to one row per id (deterministic
+    ``max(text)`` — the store is single-writer, and which duplicate
+    survives must not depend on partition order). No model/normalizer
+    flag column: the index's normalization (lowercase + whitespace
+    split) is fixed by ``build_text_index`` itself."""
+    from ..operators.text import build_text_index
+
+    docs = (
+        batch_df.select(F.col(id_col), F.col(col))
+        .groupBy(id_col)
+        .agg(F.max(F.col(col)).alias(col))
+    )
+    rows = build_text_index(docs, col=col, id_col=id_col).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+
+
+def stream_text_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous full-text-index maintenance: each micro-batch of
+    documents tokenizes into its own postings fragment
+    (:func:`text_index_batch`); BM25 queries read the store
+    (:func:`read_text_index` → ``bm25_topk(postings=…)``), never the
+    stream's history. Returns a writeStream builder (caller adds
+    trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        text_index_batch(batch_df, index_path, batch_id, **kwargs)
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_text_index(
+    spark: SparkSession,
+    index_path: str,
+    latest_only: bool = True,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The store's current postings table, shaped for
+    :func:`~etl_workflow_spark.operators.text.bm25_topk`'s
+    ``postings=`` path. ``latest_only`` keeps a re-delivered
+    document's postings from its HIGHEST batch only — a doc's
+    postings span many rows, so last-write-wins is per-doc (all rows
+    of the doc's max ``batch_id``), not per-row; without it an
+    updated document would answer queries under both its old and new
+    term frequencies at once."""
+    idx = spark.read.parquet(index_path)
+    if latest_only and "batch_id" in idx.columns:
+        key = _text_store_id_col(idx.columns, id_col)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key)
+        idx = idx.withColumn(
+            "__mx", F.max("batch_id").over(w)
+        ).where(F.col("batch_id") == F.col("__mx")).drop("__mx")
+    return idx.drop("batch_id")
+
+
+def compact_text_index(
+    spark: SparkSession,
+    store_path: str,
+    before_batch_id: int,
+    id_col: str | None = None,
+) -> None:
+    """Collapse closed batches' postings fragments into one fragment
+    under ``batch_id=-1`` (the :func:`compact_pq_index` contract —
+    file-count bound for a long-lived store; per-doc last-write-wins
+    among the closed fragments, the same rule as the read path, so
+    the read is preserved exactly)."""
+
+    def merge(old: DataFrame) -> DataFrame:
+        key = _text_store_id_col(old.columns, id_col)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key)
+        return (
+            old.withColumn("__mx", F.max("batch_id").over(w))
+            .where(F.col("batch_id") == F.col("__mx"))
+            .drop("__mx", "batch_id")
+        )
+
+    _compact_batched_store(
+        spark, store_path, before_batch_id, merge,
+        partition_by=["batch_id"],
+    )

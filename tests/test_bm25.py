@@ -1,0 +1,140 @@
+"""BM25 full-text search: oracle parity, prebuilt-index path, plan
+shape, determinism, and edge semantics.
+
+Reference analog: none — extension-tier corpus search. The DuckDB twin
+(`bm25_topk_oracle`) replays the identically-parenthesized per-term
+double and e6 floor, so scores are compared EXACTLY, not approximately.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.operators import text as T
+
+QS = ["hash join merge", "slow query filter", "vector vector the zzzmiss"]
+
+
+def _rows(df):
+    return sorted(
+        (r["query"], r["doc_id"], r["n_terms"], r["score_e4"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def test_bm25_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = _rows(T.bm25_topk(docs, QS, k=7))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(T.bm25_topk_oracle(QS, k=7)).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bm25_prebuilt_postings_equals_inline(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inline = _rows(T.bm25_topk(docs, QS, k=5))
+    postings = T.build_text_index(docs)
+    assert _rows(T.bm25_topk(None, QS, k=5, postings=postings)) == inline
+    # the 100 TB path: postings persisted as a table, corpus never re-read
+    path = str(tmp_path / "postings")
+    postings.write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert _rows(T.bm25_topk(None, QS, k=5, postings=stored)) == inline
+
+
+def test_build_text_index_contract(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hash JOIN hash"),
+            (2, "   "),
+            (3, None),
+            (4, "merge"),
+        ],
+        "doc_id long, text string",
+    )
+    post = T.build_text_index(docs).collect()
+    by_doc = {}
+    for r in post:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # whitespace-only and NULL docs contribute no postings
+    assert set(by_doc) == {1, 4}
+    # terms are lowercased and tf-counted; dl == sum(tf) per doc
+    d1 = {r["term"]: r["tf"] for r in by_doc[1]}
+    assert d1 == {"hash": 2, "join": 1}
+    assert all(r["dl"] == 3 for r in by_doc[1])
+    assert sum(r["tf"] for r in by_doc[4]) == by_doc[4][0]["dl"] == 1
+
+
+def test_bm25_semantics_and_edges(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join fast"),
+            (2, "join slow"),
+            (3, "spark spark spark"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = T.bm25_topk(docs, ["spark join"], k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # NULL-text doc never appears; all matching docs do
+    assert set(rows) == {1, 2, 3}
+    # doc 1 matches both terms
+    assert rows[1]["n_terms"] == 2
+    assert rows[2]["n_terms"] == rows[3]["n_terms"] == 1
+    # ranks are contiguous from 1 and ordered by score desc, id asc
+    ordered = sorted(rows.values(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in ordered] == [1, 2, 3]
+    scores = [r["score_e4"] for r in ordered]
+    assert scores == sorted(scores, reverse=True)
+    # bag semantics: a repeated query term doubles its contribution
+    one = {
+        r["doc_id"]: r["score_e4"]
+        for r in T.bm25_topk(docs, ["spark"], k=10).collect()
+    }
+    two = {
+        r["doc_id"]: r["score_e4"]
+        for r in T.bm25_topk(docs, ["spark spark"], k=10).collect()
+    }
+    for d, s in one.items():
+        assert abs(two[d] - 2 * s) <= 1  # one floor at e6, scaled to e4
+    # misses and refusals
+    assert T.bm25_topk(docs, ["zzznothere"], k=5).count() == 0
+    with pytest.raises(ValueError, match="at least one query"):
+        T.bm25_topk(docs, [], k=5)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        T.bm25_topk(empty, ["spark"], k=5)
+    # whitespace-only query contributes no rows but doesn't poison others
+    mixed = T.bm25_topk(docs, ["   ", "slow"], k=5)
+    assert {r["query"] for r in mixed.collect()} == {"slow"}
+
+
+def test_bm25_layout_invariance(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _rows(T.bm25_topk(docs, QS[:2], k=5))
+    assert _rows(T.bm25_topk(docs.repartition(7), QS[:2], k=5)) == base
+    assert _rows(T.bm25_topk(docs.coalesce(1), QS[:2], k=5)) == base
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        T.bm25_topk(docs, QS, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the query-term probe and the per-term stats broadcast into the
+    # postings scan; the rank cut pushes k into the window
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan

@@ -1186,3 +1186,101 @@ def test_imi_index_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
     want4 = {(r["vec_id"], r["cell_a"], r["cell_b"])
              for r in S.imi_index(emb.where("vec_id < 120"), model).collect()}
     assert got4 == want4
+
+
+def test_text_index_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """BM25 postings store (the PQ-store contract, r11): fragments
+    merge to the one-pass index of the full corpus; a replayed batch
+    overwrites its own partition; bm25_topk over the store equals
+    bm25_topk over the corpus; a re-delivered document's OLD postings
+    disappear (per-doc last-write-wins, not per-row); within-batch
+    duplicate ids collapse deterministically; compaction preserves
+    the read; a real availableNow stream lands fragments."""
+    import pytest
+
+    from etl_workflow_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.where("doc_id < 250")
+    b2 = docs.where("doc_id >= 250")
+    store = str(tmp_path / "textstore")
+    inc.text_index_batch(b1, store, 0)
+    inc.text_index_batch(b2, store, 1)
+    inc.text_index_batch(b2, store, 1)  # replay: same partition
+    got = {tuple(r) for r in inc.read_text_index(spark, store).collect()}
+    want = {tuple(r) for r in T.build_text_index(docs).collect()}
+    assert got == want
+    # query equality over the store
+    qs = ["hash join merge", "slow query filter"]
+    direct = {
+        (r["query"], r["doc_id"], r["score_e4"], r["rank"])
+        for r in T.bm25_topk(docs, qs, k=5).collect()
+    }
+    stored = {
+        (r["query"], r["doc_id"], r["score_e4"], r["rank"])
+        for r in T.bm25_topk(
+            None, qs, k=5, postings=inc.read_text_index(spark, store)
+        ).collect()
+    }
+    assert stored == direct
+
+    # re-delivery: the doc's new text fully replaces its old postings
+    upd = spark.createDataFrame(
+        [(0, "zzznewterm only")], "doc_id long, text string"
+    )
+    inc.text_index_batch(upd, store, 2)
+    cur = inc.read_text_index(spark, store)
+    d0 = {(r["term"], r["tf"], r["dl"]) for r in cur.where(
+        "doc_id = 0").collect()}
+    assert d0 == {("zzznewterm", 1, 2), ("only", 1, 2)}
+    # every other doc is untouched
+    assert cur.count() == len(want) - sum(
+        1 for w in want if w[1] == 0
+    ) + 2
+
+    # within-batch duplicate ids collapse deterministically (max text)
+    dup = spark.createDataFrame(
+        [(7_000_000, "aaa"), (7_000_000, "bbb")],
+        "doc_id long, text string",
+    )
+    store2 = str(tmp_path / "textstore2")
+    inc.text_index_batch(dup, store2, 0)
+    rows2 = inc.read_text_index(spark, store2).collect()
+    assert {(r["term"], r["tf"]) for r in rows2} == {("bbb", 1)}
+
+    # compaction: batches 0..1 collapse; the read is unchanged
+    before = {tuple(r) for r in inc.read_text_index(spark, store).collect()}
+    inc.compact_text_index(spark, store, before_batch_id=2)
+    after = {tuple(r) for r in inc.read_text_index(spark, store).collect()}
+    assert after == before
+    frag_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(store).select("batch_id")
+        .distinct().collect()
+    }
+    assert frag_ids == {-1, 2}
+
+    # ambiguous id inference is refused
+    two_extra = spark.read.parquet(store).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="doc-id column"):
+        inc._text_store_id_col(two_extra.columns, None)
+
+    # real availableNow stream
+    src = str(tmp_path / "src")
+    docs.where("doc_id < 120").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    store4 = str(tmp_path / "textstore4")
+    qh = (
+        inc.stream_text_index(stream, store4, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    got4 = {tuple(r) for r in inc.read_text_index(spark, store4).collect()}
+    want4 = {
+        tuple(r)
+        for r in T.build_text_index(docs.where("doc_id < 120")).collect()
+    }
+    assert got4 == want4
