@@ -2842,9 +2842,119 @@ def _unigram_gate_oracle_ctes() -> str:
     )"""
 
 
+# Fixed WordPiece gate model (r11): the _UNIGRAM_GATE_MODEL pattern —
+# tiny, hand-written, shared VERBATIM by the Spark encoder and the
+# DuckDB oracle, so `wordpiece_encode(ids=True)` gets a full
+# cross-engine hash check. All 26 singles in both position classes
+# keep every ASCII word representable (the [UNK] path is pytest-
+# covered); the multi-char pieces hit real testdata vocabulary
+# ("hash", "window", "query", …) so greedy longest-match-first is
+# exercised, not just char fallback.
+_WORDPIECE_GATE_MODEL = {
+    "format": "spark-graft-wordpiece/v1",
+    "vocab": (
+        ["[UNK]"]
+        + list("abcdefghijklmnopqrstuvwxyz")
+        + ["##" + c for c in "abcdefghijklmnopqrstuvwxyz"]
+        + [
+            "ha", "##sh", "jo", "##in", "qu", "##ery", "wind", "##ow",
+            "##dow", "str", "##eam", "ta", "##ble", "th", "##he",
+            "sc", "##an",
+        ]
+    ),
+    "lowercase": True,
+    "unk": "[UNK]",
+    "max_input_chars_per_word": 100,
+}
+
+
+def _wordpiece_gate_oracle_ctes() -> str:
+    """DuckDB twin of ``wordpiece_encode(ids=True)`` under the fixed
+    gate model, ending in ``wp(doc_id, chunk_idx, chunk_text,
+    n_tokens, tier)``: ASCII-whitespace split, then per-DISTINCT-word
+    greedy longest-match-first (MaxMatch, the BERT rule) as a
+    RECURSIVE CTE — each step probes candidate lengths DESCENDING
+    against the piece→id map (continuations carry ``##``) and
+    consumes the longest hit; a position with no hit (or a word over
+    the 100-char bound, seeded directly) collapses the whole word to
+    [UNK] id 0, exactly like the Python encoder. Greedy consumption
+    is integer-only, so cross-engine agreement is structural — no
+    float anywhere."""
+    m = _WORDPIECE_GATE_MODEL
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    id_map = "MAP {" + ", ".join(
+        f"{_q(p)}: {i}" for i, p in enumerate(m["vocab"])
+    ) + "}"
+    L = max(
+        len(p[2:] if p.startswith("##") else p)
+        for p in m["vocab"]
+        if p != m["unk"]
+    )
+    maxw = int(m["max_input_chars_per_word"])
+    return f"""
+    ww0 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                  '[ \\t\\n\\x0B\\f\\r]+'), w -> w != '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ww1 AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wp
+        FROM ww0
+    ),
+    wwordpos AS (
+        SELECT doc_id, CAST(wp AS INT) AS wp, ws[wp] AS w FROM ww1
+    ),
+    wuw AS (SELECT DISTINCT w FROM wwordpos),
+    wpdp(w, pos, ids) AS (
+        SELECT w,
+               CASE WHEN length(w) > {maxw}
+                    THEN CAST(length(w) AS INT) ELSE 0 END,
+               CASE WHEN length(w) > {maxw}
+                    THEN [CAST(0 AS INT)] ELSE CAST([] AS INT[]) END
+        FROM wuw
+        UNION ALL
+        SELECT w,
+               CASE WHEN bl IS NULL THEN CAST(length(w) AS INT)
+                    ELSE pos + CAST(bl AS INT) END,
+               CASE WHEN bl IS NULL THEN [CAST(0 AS INT)]
+                    ELSE list_append(ids, CAST(({id_map}[
+                        (CASE WHEN pos > 0 THEN '##' ELSE '' END)
+                        || w[pos + 1 : pos + CAST(bl AS INT)]])[1]
+                        AS INT)) END
+        FROM (
+            SELECT w, pos, ids,
+                   (list_filter(
+                        range(least({L}, length(w) - pos), 0, -1),
+                        l -> len({id_map}[
+                            (CASE WHEN pos > 0 THEN '##' ELSE '' END)
+                            || w[pos + 1 : pos + l]]) > 0))[1] AS bl
+            FROM wpdp WHERE pos < length(w)
+        ) s1
+    ),
+    wseg AS (SELECT w, ids FROM wpdp WHERE pos = length(w)),
+    wdocids AS (
+        SELECT wwordpos.doc_id,
+               flatten(list(wseg.ids ORDER BY wwordpos.wp)) AS wids
+        FROM wwordpos JOIN wseg ON wwordpos.w = wseg.w
+        GROUP BY wwordpos.doc_id
+    ),
+    wp AS (
+        SELECT ww0.doc_id, CAST(0 AS INT) AS chunk_idx,
+               array_to_string(coalesce(wdocids.wids, []), ',')
+                   AS chunk_text,
+               CAST(coalesce(len(wdocids.wids), 0) AS INT) AS n_tokens,
+               'wordpiece' AS tier
+        FROM ww0 LEFT JOIN wdocids ON ww0.doc_id = wdocids.doc_id
+    )"""
+
+
 def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunking (row-level oracle) + sequence-packing invariants in one
-    frame, THREE hash-checked tiers: tier='text' is whitespace chunking
+    frame, FOUR hash-checked tiers: tier='text' is whitespace chunking
     (`chunk_documents`), tier='ids' is the r9 exact tokenizer-id
     chunking (`chunk_token_ids`, chunk=8/overlap=3 so the stride path
     is exercised) over a synthetic id array both engines derive
@@ -2852,7 +2962,10 @@ def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings so the tiers share one schema — and tier='unigram' (r10)
     is the REAL `unigram_encode(ids=True)` under the fixed
     `_UNIGRAM_GATE_MODEL`, hash-checked against a full Viterbi DP
-    replicated in DuckDB SQL. The packing contract (token
+    replicated in DuckDB SQL; tier='wordpiece' (r11) is the REAL
+    `wordpiece_encode(ids=True)` under the fixed
+    `_WORDPIECE_GATE_MODEL`, hash-checked against a greedy MaxMatch
+    recursion replicated in DuckDB SQL. The packing contract (token
     conservation, budget ceiling, fill floor) is appended as constant
     columns; pack ids depend on the shard hash, so only the contract
     is checkable."""
@@ -2894,8 +3007,21 @@ def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("unigram_tokens").alias("n_tokens"),
         F.lit("unigram").alias("tier"),
     )
+    wp_tier = T.wordpiece_encode(
+        docs.where(F.col("text").isNotNull()).select("doc_id", "text"),
+        _WORDPIECE_GATE_MODEL, ids=True,
+    ).select(
+        "doc_id",
+        F.lit(0).alias("chunk_idx"),
+        F.array_join(
+            F.col("wp_tokens").cast("array<string>"), ","
+        ).alias("chunk_text"),
+        F.size("wp_tokens").alias("n_tokens"),
+        F.lit("wordpiece").alias("tier"),
+    )
     return (
         text_tier.unionByName(ids_tier).unionByName(uni_tier)
+        .unionByName(wp_tier)
         .withColumn(
             "total_tokens", F.lit(inv["total_tokens"]).cast("long")
         )
@@ -2935,9 +3061,11 @@ _CHUNK_PACK_ORACLE = f"""
         FROM tid1
     ),
     {_unigram_gate_oracle_ctes()},
+    {_wordpiece_gate_oracle_ctes()},
     both_tiers AS (
         SELECT * FROM ch UNION ALL SELECT * FROM tid
         UNION ALL SELECT * FROM uni
+        UNION ALL SELECT * FROM wp
     ),
     inv AS (
         SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

@@ -178,6 +178,10 @@ def main() -> None:
         # tokenize+agg pass) + broadcast-probed scoring + windowed
         # top-k, ×4 queries
         "bm25_search",
+        # round-11: WordPiece tokenizer workflow — one vocab shuffle +
+        # driver likelihood-merge loop (run-rarely) + the shuffle-free
+        # Arrow greedy-MaxMatch encode
+        "wordpiece_tokenize",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -301,6 +305,13 @@ def main() -> None:
                 .select("text"),
             ),
             n_select=100,
+        ),
+        # train (vocab shuffle + driver likelihood merges) + encode —
+        # the WordPiece sibling of bpe_tokenize/unigram_tokenize
+        "wordpiece_tokenize": lambda s, d: T.wordpiece_encode(
+            table(s, d, "documents").select("doc_id", "text"),
+            T.train_wordpiece(table(s, d, "documents"), vocab_size=500),
+            ids=True,
         ),
         "bm25_search": lambda s, d: T.bm25_topk(
             table(s, d, "documents"),

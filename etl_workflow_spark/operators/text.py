@@ -3185,3 +3185,243 @@ def bm25_topk_oracle(
                s_e6 // 100 AS score_e4, rank
         FROM ranked WHERE rank <= {int(k)}
     """
+
+
+# ------------------------------------------------------ WordPiece tokenizer
+
+
+#: The WordPiece unknown token (BERT convention). Always id 0 in a
+#: learned model's vocab, so [UNK] rates are cheap to audit.
+_WP_UNK = "[UNK]"
+
+
+def learn_wordpiece(
+    words: list[tuple[str, int]],
+    vocab_size: int = 1000,
+    lowercase: bool = True,
+    min_pair_count: int = 2,
+) -> dict:
+    """Driver-side WordPiece vocabulary learning over an aggregated
+    ``(word, count)`` table (Schuster & Nakajima 2012; the BERT
+    tokenizer, Devlin et al. 2019) — the third tokenizer family next
+    to BPE (:func:`learn_bpe`) and unigram (:func:`train_unigram`).
+    Same two-phase shape as both: Spark's ONE corpus pass aggregates
+    the word table, this loop never touches the corpus.
+
+    WordPiece differs from BPE only in SELECTION: instead of the most
+    frequent pair, it merges the pair maximizing the likelihood gain
+    ``count(ab) / (count(a) * count(b))`` under the current
+    segmentation (the published trainer score, as in HF tokenizers).
+    The comparison is done in EXACT integer arithmetic by cross-
+    multiplication — ``c1*l2*r2 vs c2*l1*r1`` — so ties are real ties
+    (broken by (left, right) ascending) and the learned vocab can
+    never depend on float rounding. Word-internal continuation pieces
+    carry the ``##`` prefix; a merge of ``(a, ##b)`` yields ``ab``
+    and of ``(##b, ##c)`` yields ``##bc`` (the merged token keeps the
+    left side's position class). Learning stops at ``vocab_size``
+    total entries, when no pair reaches ``min_pair_count``, or when
+    no pairs remain.
+
+    Model fields: ``vocab`` (ordered — ``[UNK]`` first, then base
+    pieces sorted, then merges in learned order; index = token id),
+    ``lowercase``, ``unk``, ``max_input_chars_per_word`` (BERT's 100:
+    longer words map to [UNK] wholesale, bounding the encoder's
+    quadratic worst case). WordPiece is the LOSSY-by-design family
+    member: out-of-vocabulary words become [UNK] (the byte-exact
+    members are the byte-fallback BPE/unigram tiers).
+
+    Capability analog in the reference: none — extension tier."""
+    if lowercase:
+        folded: dict[str, int] = {}
+        for w, c in words:
+            lw = w.lower()
+            folded[lw] = folded.get(lw, 0) + int(c)
+        words = list(folded.items())
+    seqs: list[list[str]] = [
+        [w[0], *("##" + ch for ch in w[1:])] for w, _ in words
+    ]
+    wc: list[int] = [int(c) for _, c in words]
+    stats: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], dict[int, int]] = {}
+    tok_count: dict[str, int] = {}
+    for i, seq in enumerate(seqs):
+        _index_word(stats, where, i, seq, wc[i], +1)
+        for t in seq:
+            tok_count[t] = tok_count.get(t, 0) + wc[i]
+
+    base = sorted({t for seq in seqs for t in seq})
+    vocab: list[str] = [_WP_UNK, *base]
+    seen = set(vocab)
+    while len(vocab) < int(vocab_size) and stats:
+        best: tuple[str, str] | None = None
+        bc = bl = br = 0  # best pair's (count, left-count, right-count)
+        for p, c in stats.items():
+            l_, r_ = tok_count[p[0]], tok_count[p[1]]
+            if best is None:
+                better = True
+            else:
+                # exact: c/(l*r) vs bc/(bl*br), cross-multiplied
+                lhs, rhs = c * bl * br, bc * l_ * r_
+                better = lhs > rhs or (lhs == rhs and p < best)
+            if better:
+                best, bc, bl, br = p, c, l_, r_
+        if best is None or bc < int(min_pair_count):
+            break
+        merged = best[0] + best[1][2:]
+        if merged not in seen:
+            vocab.append(merged)
+            seen.add(merged)
+        for i in sorted(where.get(best, {})):
+            old = seqs[i]
+            new = _merge_word(old, best, merged)
+            _index_word(stats, where, i, old, wc[i], -1)
+            _index_word(stats, where, i, new, wc[i], +1)
+            for t in old:
+                tok_count[t] -= wc[i]
+            for t in new:
+                tok_count[t] = tok_count.get(t, 0) + wc[i]
+            seqs[i] = new
+    return {
+        "format": "spark-graft-wordpiece/v1",
+        "vocab": vocab,
+        "lowercase": bool(lowercase),
+        "unk": _WP_UNK,
+        "max_input_chars_per_word": 100,
+    }
+
+
+def train_wordpiece(
+    df: DataFrame,
+    col: str = "text",
+    vocab_size: int = 1000,
+    lowercase: bool = True,
+    min_count: int = 1,
+    max_words: int = 1_000_000,
+    min_pair_count: int = 2,
+) -> dict:
+    """Learn a WordPiece vocabulary from a corpus: the
+    :func:`train_bpe` split — :func:`vocab_counts`' one combiner-
+    friendly corpus pass down to ``(word, count)``, then the
+    :func:`learn_wordpiece` driver loop over the bounded table."""
+    vocab = vocab_counts(
+        df, col=col, lowercase=lowercase, min_count=min_count,
+        top_k=int(max_words),
+    )
+    words = [(r["token"], int(r["count"])) for r in vocab.collect()]
+    return learn_wordpiece(
+        words, vocab_size=vocab_size, lowercase=lowercase,
+        min_pair_count=min_pair_count,
+    )
+
+
+def _make_wordpiece_encoder(model: dict, ids: bool = False):
+    """The pure per-document greedy longest-match-first (MaxMatch)
+    encoder behind :func:`wordpiece_encode` — module-level so property
+    tests drive EXACTLY the code the Arrow UDF runs. BERT semantics:
+    per word, repeatedly take the LONGEST prefix present in the vocab
+    (continuation prefixes carry ``##``); if at any position no piece
+    matches — or the word exceeds ``max_input_chars_per_word`` — the
+    WHOLE word becomes ``[UNK]``. Returns ``one_doc(text) -> list``
+    with a fresh per-call word memo (per-batch cache bound, the
+    :func:`_make_bpe_encoder` convention)."""
+    if model.get("format") != "spark-graft-wordpiece/v1":
+        raise ValueError(
+            f"not a train_wordpiece model (format={model.get('format')!r})"
+        )
+    vocab = set(model["vocab"])
+    unk = model["unk"]
+    maxlen = int(model["max_input_chars_per_word"])
+    lowercase = bool(model.get("lowercase", True))
+    sym_ids = {s: i for i, s in enumerate(model["vocab"])} if ids else None
+    ws = _re_mod.compile(r"\s+", _re_mod.ASCII)
+
+    def enc_word(w: str) -> list:
+        if len(w) > maxlen:
+            return [sym_ids[unk]] if ids else [unk]
+        out = []
+        pos = 0
+        while pos < len(w):
+            end = len(w)
+            piece = None
+            while end > pos:
+                cand = ("##" if pos else "") + w[pos:end]
+                if cand in vocab:
+                    piece = cand
+                    break
+                end -= 1
+            if piece is None:
+                return [sym_ids[unk]] if ids else [unk]
+            out.append(sym_ids[piece] if ids else piece)
+            pos = end
+        return out
+
+    def one_doc(text):
+        if text is None:
+            return None
+        if lowercase:
+            text = text.lower()
+        memo: dict[str, list] = {}
+        toks: list = []
+        for w in ws.split(text):
+            if not w:
+                continue
+            enc = memo.get(w)
+            if enc is None:
+                enc = enc_word(w)
+                memo[w] = enc
+            toks.extend(enc)
+        return toks
+
+    return one_doc
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    model: dict,
+    col: str = "text",
+    out_col: str = "wp_tokens",
+    ids: bool = False,
+) -> DataFrame:
+    """Tokenize a corpus with a :func:`train_wordpiece` model: adds
+    ``out_col`` as ``array<string>`` (pieces) or ``array<int>``
+    (indexes into ``model["vocab"]``; [UNK] is id 0). NULL text stays
+    NULL; empty/whitespace text encodes to an empty array (the module
+    contract). Shuffle-free Arrow-batched encode with a per-batch
+    word memo — the :func:`bpe_encode` execution shape; id arrays
+    feed ``chunking.chunk_token_ids`` directly."""
+    ret = "array<int>" if ids else "array<string>"
+
+    @F.pandas_udf(ret)
+    def enc(texts: pd.Series) -> pd.Series:
+        one_doc = _make_wordpiece_encoder(model, ids=ids)
+        return texts.map(one_doc)
+
+    return df.withColumn(out_col, enc(F.col(col)))
+
+
+def wordpiece_decode(
+    df: DataFrame,
+    col: str = "wp_tokens",
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Reassemble WordPiece PIECE arrays (strings, not ids) into text:
+    ``##`` continuations concatenate, word-initial pieces join with a
+    single space. LOSSY by design — [UNK] words stay ``[UNK]`` and
+    inter-word whitespace normalizes to one space (WordPiece has no
+    byte fallback; exact round-trips live in the BPE/unigram tiers).
+    Pure codegen (no UDF): one ``aggregate`` over the array."""
+    joined = F.aggregate(
+        F.col(col),
+        F.lit(""),
+        lambda acc, x: F.concat(
+            acc,
+            F.when(
+                x.startswith("##"), x.substr(F.lit(3), F.length(x))
+            ).otherwise(
+                F.concat(
+                    F.when(acc == "", F.lit("")).otherwise(F.lit(" ")), x
+                )
+            ),
+        ),
+    )
+    return df.withColumn(out_col, joined)
