@@ -697,7 +697,7 @@ def _ann_recall_frame(
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole ANN family in ONE hash-checked frame, two row tiers
+    """The whole ANN family in ONE hash-checked frame, three row tiers
     plus recall-contract flag columns:
 
     - tier='exact': brute-force top-5 rows, fully oracle-checked.
@@ -706,6 +706,13 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       integer cosine, candidate cut, and exact re-rank bit-for-bit
       (`similarity.quantized_topk_oracle`), so the r8 flagship gets a
       cross-engine hash check, not only a pytest contract.
+    - tier='hybrid' (r11): sparse+dense fusion — BM25 over each query
+      doc's first-8-token text + exact cosine over its embedding,
+      combined by reciprocal-rank fusion (`ranking.rrf_fuse`,
+      Cormack et al. 2009; integer-only contributions) — fully
+      oracle-checked: the DuckDB twin derives the same query text,
+      replays both rankings, and fuses with the same integer
+      arithmetic.
 
     Flags (constant per run, TRUE in the oracle):
     - lsh_recall_ok: per-query recall@5 >= 0.6 for EVERY query.
@@ -772,11 +779,63 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         int8_rows = S.quantized_topk(
             emb, queries_df, k=5, rerank_factor=4
         ).collect()
+        # tier='hybrid' (r11): sparse+dense fusion — the "find docs
+        # like doc q" query. Each query doc's first 8 tokens are its
+        # BM25 text query (derived identically on both engines), its
+        # embedding is its dense query; the two top-20 lists fuse by
+        # reciprocal-rank (rrf_fuse — pure integer arithmetic, so the
+        # whole tier is float-free except inside the two input
+        # rankings, each already hash-checked in its own entry).
+        from etl_workflow_spark.operators.ranking import rrf_fuse
+
+        docs = table(spark, sf_dir, "documents")
+        qmap = docs.where("doc_id < 4").select(
+            F.col("doc_id").alias("qid"),
+            F.array_join(
+                F.slice(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8
+                ),
+                " ",
+            ).alias("qtext"),
+        )
+        qrows = qmap.collect()  # bounded: 4 one-line rows
+        sparse = T.bm25_topk(
+            docs, [r["qtext"] for r in qrows], k=20
+        ).select("query", "doc_id", "rank")
+        dense = S.brute_force_topk(
+            emb,
+            emb.where("vec_id < 4").withColumnRenamed(
+                "vec_id", "query_id"
+            ),
+            k=20,
+        )
+        dense_named = dense.join(
+            F.broadcast(qmap), dense["query_id"] == qmap["qid"]
+        ).select(
+            F.col("qtext").alias("query"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        fused = rrf_fuse([sparse, dense_named], k=10)
+        hybrid_rows = (
+            fused.join(F.broadcast(qmap), fused["query"] == qmap["qtext"])
+            .select(
+                "qid",
+                "doc_id",
+                F.expr("rrf_e6 div 100").alias("score_e4"),
+                "rank",
+            )
+            .collect()
+        )
         rows = [
             (r["query_id"], r["neighbor_id"], r["score_e4"], r["rank"],
              tier, lsh_ok, ivf_ok, pq_ok, imi_ok)
             for tier, res in (("exact", exact_rows), ("int8", int8_rows))
             for r in res
+        ] + [
+            (r["qid"], r["doc_id"], r["score_e4"], r["rank"],
+             "hybrid", lsh_ok, ivf_ok, pq_ok, imi_ok)
+            for r in hybrid_rows
         ]
     finally:
         exact.unpersist()
@@ -786,6 +845,47 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier string, lsh_recall_ok boolean, ivf_recall_ok boolean, "
         "pq_recall_ok boolean, imi_recall_ok boolean",
     )
+
+
+_ANN_HYBRID_ORACLE = f"""
+    WITH hq AS (
+        SELECT doc_id AS qid,
+               array_to_string(list_slice(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   1, 8), ' ') AS qtext
+        FROM documents WHERE doc_id < 4
+    ),
+    hs AS (
+        SELECT query, doc_id, rank
+        FROM ({T.bm25_topk_oracle(
+            k=20, queries_sql="SELECT qtext AS query FROM hq")})
+    ),
+    hd0 AS ({S.brute_force_topk_oracle(
+        k=20, query_predicate="vec_id < 4")}),
+    hd AS (
+        SELECT hq.qtext AS query, hd0.neighbor_id AS doc_id, hd0.rank
+        FROM hd0 JOIN hq ON hd0.query_id = hq.qid
+    ),
+    hu AS (
+        SELECT query, doc_id, 1000000 // (60 + rank) AS c
+        FROM (SELECT * FROM hs UNION ALL SELECT * FROM hd)
+    ),
+    hf AS (
+        SELECT query, doc_id, SUM(c) AS rrf_e6
+        FROM hu GROUP BY 1, 2
+    ),
+    hr AS (
+        SELECT query, doc_id, rrf_e6,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query
+                                       ORDER BY rrf_e6 DESC, doc_id)
+                    AS INT) AS rank
+        FROM hf
+    )
+    SELECT hq.qid AS query_id, hr.doc_id AS neighbor_id,
+           CAST(hr.rrf_e6 // 100 AS BIGINT) AS score_e4, hr.rank
+    FROM hr JOIN hq ON hr.query = hq.qtext
+    WHERE hr.rank <= 10
+"""
 
 
 _ANN_TOPK_ORACLE = f"""
@@ -798,6 +898,11 @@ _ANN_TOPK_ORACLE = f"""
            TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
            TRUE AS pq_recall_ok, TRUE AS imi_recall_ok
     FROM ({S.quantized_topk_oracle(k=5, rerank_factor=4)})
+    UNION ALL
+    SELECT query_id, neighbor_id, score_e4, rank, 'hybrid' AS tier,
+           TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
+           TRUE AS pq_recall_ok, TRUE AS imi_recall_ok
+    FROM ({_ANN_HYBRID_ORACLE})
 """
 
 

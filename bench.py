@@ -182,6 +182,9 @@ def main() -> None:
         # driver likelihood-merge loop (run-rarely) + the shuffle-free
         # Arrow greedy-MaxMatch encode
         "wordpiece_tokenize",
+        # round-11: hybrid retrieval — BM25 + exact-cosine top-20
+        # lists fused by integer reciprocal-rank, ×4 queries
+        "hybrid_search",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -306,6 +309,10 @@ def main() -> None:
             ),
             n_select=100,
         ),
+        # sparse+dense fusion: BM25 + brute-force cosine top-20 per
+        # query, integer reciprocal-rank fuse (the ann_topk gate's
+        # tier='hybrid' composition, timed as the production operator)
+        "hybrid_search": lambda s, d: _hybrid_search_df(s, d),
         # train (vocab shuffle + driver likelihood merges) + encode —
         # the WordPiece sibling of bpe_tokenize/unigram_tokenize
         "wordpiece_tokenize": lambda s, d: T.wordpiece_encode(
@@ -334,6 +341,38 @@ def main() -> None:
             ),
         ),
     }
+
+    def _hybrid_search_df(s, d):
+        from etl_workflow_spark.operators.ranking import rrf_fuse
+
+        docs = table(s, d, "documents")
+        emb = table(s, d, "embeddings")
+        qmap = docs.where("doc_id < 4").select(
+            F.col("doc_id").alias("qid"),
+            F.array_join(
+                F.slice(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8
+                ),
+                " ",
+            ).alias("qtext"),
+        )
+        qrows = qmap.collect()
+        sparse = T.bm25_topk(
+            docs, [r["qtext"] for r in qrows], k=20
+        ).select("query", "doc_id", "rank")
+        dense = S.brute_force_topk(
+            emb,
+            emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id"),
+            k=20,
+        )
+        dense_named = dense.join(
+            F.broadcast(qmap), dense["query_id"] == qmap["qid"]
+        ).select(
+            F.col("qtext").alias("query"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        return rrf_fuse([sparse, dense_named], k=10)
 
     def _imi_topk_df(s, d):
         emb = table(s, d, "embeddings")

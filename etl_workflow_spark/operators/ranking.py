@@ -242,3 +242,65 @@ def select_prefix_by_budget(
             yield pdf[cum <= budget]
 
     return pruned.mapInPandas(assign, schema=schema).drop(_PID)
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval result lists (Cormack,
+    Clarke & Buettcher 2009, "Reciprocal Rank Fusion outperforms
+    Condorcet and individual Rank Learning Methods"): each list
+    contributes ``1 / (rrf_k + rank)`` per (query, doc) and the fused
+    ranking is the per-(query, doc) sum — THE standard hybrid-search
+    combiner (sparse BM25 + dense ANN), robust because it only reads
+    RANKS, never the incomparable scores. Contributions are computed
+    as EXACT integers — ``1000000 div (rrf_k + rank)`` — so the fused
+    score is an integer sum: associative, layout-invariant, and
+    bit-replayable by a SQL oracle (the module's fixed-point
+    convention, with no float anywhere at all here). Ties rank by id
+    ascending.
+
+    Every input must carry ``(query_col, id_col, rank_col)``; lists
+    are unioned (one shuffle on (query, id) over k·|queries|·|lists|
+    rows — query-batch-sized, never corpus-sized) and the final cut
+    is a windowed top-k. Returns ``(query, id, n_lists int,
+    rrf_e6 bigint, rank int)`` where ``n_lists`` counts the lists
+    that ranked the doc.
+
+    Capability analog in the reference: none — extension-tier hybrid
+    retrieval over the BM25 (`text.bm25_topk`) and ANN
+    (`similarity.*_topk`) tiers."""
+    from pyspark.sql.window import Window
+
+    lists = [
+        df.select(
+            F.col(query_col).alias("query"),
+            F.col(id_col).alias(id_col),
+            F.expr(f"1000000 div ({int(rrf_k)} + {rank_col})").alias(
+                "__c"
+            ),
+        )
+        for df in ranked
+    ]
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    allr = lists[0]
+    for df in lists[1:]:
+        allr = allr.unionByName(df)
+    fused = allr.groupBy("query", id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.sum("__c").alias("rrf_e6"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf_e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select("query", id_col, "n_lists", "rrf_e6", "rank")
+    )

@@ -3029,9 +3029,11 @@ def bm25_topk(
     aggregate from those candidates and broadcast back, the integer
     sum shuffles only candidate rows, and the rank cut is a windowed
     top-k (WindowGroupLimit pushes k into the shuffle). The postings
-    scan runs twice (once for df, once for scoring) — Lucene reads
-    postings twice for the same reason; at scale both scans are
-    broadcast-pruned to the query terms. Returns
+    table evaluates three times per call (corpus stats, per-term df,
+    scoring); with a PREBUILT index that is three scans of a stored
+    table — two of them broadcast-pruned to the query terms — while
+    the inline path re-tokenizes, so batch queries and pass
+    ``postings=`` in production. Returns
     ``(query, id, n_terms int, score_e4 bigint, rank int)``."""
     if postings is None:
         if df is None:
@@ -3117,22 +3119,30 @@ def bm25_topk(
 
 
 def bm25_topk_oracle(
-    queries: list[str],
+    queries: list[str] | None = None,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     table: str = "documents",
+    queries_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` (inline index build): the
     identically-parenthesized per-term double, floored at e6, integer-
-    summed — so hashes match bit-for-bit."""
-    vals = ", ".join(
-        "('" + q.replace("'", "''") + "')" for q in queries
-    )
+    summed — so hashes match bit-for-bit. Queries come either as
+    literal strings (``queries``) or as a SQL subquery yielding a
+    ``query`` column (``queries_sql`` — for gate entries whose query
+    text is DERIVED from the data on both engines)."""
+    if queries_sql is not None:
+        qcte = f"q AS (SELECT query FROM ({queries_sql}))"
+    else:
+        vals = ", ".join(
+            "('" + q.replace("'", "''") + "')" for q in queries
+        )
+        qcte = f"q(query) AS (VALUES {vals})"
     t = "string_split_regex(trim(lower(text)), '\\s+')"
     qt = "string_split_regex(trim(lower(query)), '\\s+')"
     return f"""
-        WITH q(query) AS (VALUES {vals}),
+        WITH {qcte},
         qterms AS (
             SELECT query, term, COUNT(*) AS qtf FROM (
                 SELECT query, unnest({qt}) AS term FROM q

@@ -189,3 +189,89 @@ def test_row_number_exact_when_range_sampling_engages(spark):
     out = distributed_row_number(df, [F.desc("v"), F.asc("id")], "rn")
     rns = [r.rn for r in out.select("rn").collect()]
     assert sorted(rns) == list(range(1, 20_001))
+
+
+def test_rrf_fuse_contract(spark):
+    """Reciprocal-rank fusion (r11): hand-checked integer math,
+    n_lists accounting, tie-break by id, layout invariance, and the
+    empty-input refusal."""
+    from etl_workflow_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q2", 20, 1)],
+        "query string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 13, 2), ("q2", 20, 1)],
+        "query string, doc_id long, rank int",
+    )
+    out = {
+        (r["query"], r["doc_id"]): (r["n_lists"], r["rrf_e6"], r["rank"])
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    c = lambda r: 1_000_000 // (60 + r)  # noqa: E731
+    # doc 11 is in both lists: rank 2 in a, rank 1 in b
+    assert out[("q1", 11)] == (2, c(2) + c(1), 1)
+    assert out[("q1", 10)] == (1, c(1), 2)
+    # 12 (rank 3 in a) vs 13 (rank 2 in b): 13 scores higher
+    assert out[("q1", 13)][2] == 3 and out[("q1", 12)][2] == 4
+    assert out[("q2", 20)] == (2, 2 * c(1), 1)
+    # exact ties break by doc id ascending: two singletons at rank 1
+    t1 = spark.createDataFrame(
+        [("q", 5, 1)], "query string, doc_id long, rank int"
+    )
+    t2 = spark.createDataFrame(
+        [("q", 3, 1)], "query string, doc_id long, rank int"
+    )
+    tied = [
+        (r["doc_id"], r["rank"]) for r in rrf_fuse([t1, t2], k=2)
+        .orderBy("rank").collect()
+    ]
+    assert tied == [(3, 1), (5, 2)]
+    # k cuts; layout-invariant under repartition
+    assert rrf_fuse([a, b], k=2).count() == 3  # 2 for q1, 1 for q2
+    rep = {
+        (r["query"], r["doc_id"]): (r["n_lists"], r["rrf_e6"], r["rank"])
+        for r in rrf_fuse([a.repartition(7), b.coalesce(1)], k=10)
+        .collect()
+    }
+    assert rep == out
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], k=5)
+
+
+def test_rrf_fuse_hybrid_end_to_end(spark, sf_dir):
+    """Sparse BM25 + dense cosine fused over the same doc-id space —
+    the hybrid-search composition the ann_topk gate hash-checks; here
+    the invariants: fused ranks are contiguous per query, every fused
+    doc came from at least one input list, and a doc ranked top-1 by
+    BOTH lists is fused top-1."""
+    from etl_workflow_spark.operators.ranking import rrf_fuse
+    from etl_workflow_spark.operators.similarity import brute_force_topk
+    from etl_workflow_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sparse = bm25_topk(docs, ["hash join merge"], k=10).select(
+        F.lit("h").alias("query"), "doc_id", "rank"
+    )
+    dense = brute_force_topk(
+        emb, emb.where("vec_id = 7").withColumnRenamed("vec_id", "query_id"),
+        k=10,
+    ).select(
+        F.lit("h").alias("query"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    fused = rrf_fuse([sparse, dense], k=10).collect()
+    ranks = sorted(r["rank"] for r in fused)
+    assert ranks == list(range(1, len(fused) + 1))
+    in_lists = {r["doc_id"] for r in sparse.collect()} | {
+        r["doc_id"] for r in dense.collect()
+    }
+    assert {r["doc_id"] for r in fused} <= in_lists
+    both_top = {r["doc_id"] for r in sparse.where("rank = 1").collect()} & {
+        r["doc_id"] for r in dense.where("rank = 1").collect()
+    }
+    if both_top:
+        assert {r["doc_id"] for r in fused if r["rank"] == 1} == both_top
