@@ -185,6 +185,10 @@ def main() -> None:
         # round-11: hybrid retrieval — BM25 + exact-cosine top-20
         # lists fused by integer reciprocal-rank, ×4 queries
         "hybrid_search",
+        # round-11: signed feature-hashed TF-IDF document vectors —
+        # the text→embedding bridge (explode + two aggs + one
+        # term-keyed join + codegen densify, corpus-sized)
+        "tfidf_embed",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -308,6 +312,9 @@ def main() -> None:
                 .select("text"),
             ),
             n_select=100,
+        ),
+        "tfidf_embed": lambda s, d: T.hashed_tfidf_vectors(
+            table(s, d, "documents"), dim=128
         ),
         # sparse+dense fusion: BM25 + brute-force cosine top-20 per
         # query, integer reciprocal-rank fuse (the ann_topk gate's

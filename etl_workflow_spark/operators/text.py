@@ -3003,6 +3003,7 @@ def bm25_topk(
     col: str = "text",
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25, exactly and
     deterministically: per query term,
@@ -3033,7 +3034,13 @@ def bm25_topk(
     scoring); with a PREBUILT index that is three scans of a stored
     table — two of them broadcast-pruned to the query terms — while
     the inline path re-tokenizes, so batch queries and pass
-    ``postings=`` in production. Returns
+    ``postings=`` in production. ``max_df_ratio`` drops query terms
+    whose document frequency exceeds that fraction of the corpus
+    (query-time stopword elimination): a corpus-frequent term owns a
+    ~corpus-sized posting list — THE skew that dominates hybrid query
+    cost at scale — while contributing near-zero idf, so pruning it
+    bounds the candidate scan at almost no ranking cost; documents
+    matching ONLY pruned terms leave the result. Returns
     ``(query, id, n_terms int, score_e4 bigint, rank int)``."""
     if postings is None:
         if df is None:
@@ -3070,6 +3077,19 @@ def bm25_topk(
     dfreq = hits.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
+    if max_df_ratio is not None:
+        # stopword elimination at query time — the classic hot-term
+        # control: a term in more than max_df_ratio of the corpus has
+        # a posting list ~corpus-sized (the skew that dominates query
+        # cost at 100 TB) and near-zero idf (near-zero score signal),
+        # so dropping it from the probe prunes the candidate scan by
+        # orders of magnitude while barely moving the ranking. The cut
+        # is exact integer math (df * 1 > N * ratio avoided: compare
+        # df <= N * ratio as double — both engines would mirror it,
+        # but the pruned tier is pytest-gated, not oracle-gated).
+        dfreq = dfreq.where(
+            F.col("df") <= F.lit(float(max_df_ratio)) * F.lit(n_docs)
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
@@ -3435,3 +3455,104 @@ def wordpiece_decode(
         ),
     )
     return df.withColumn(out_col, joined)
+
+
+def hashed_tfidf_vectors(
+    df: DataFrame,
+    dim: int = 256,
+    col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Signed feature-hashed TF-IDF document vectors (Weinberger et
+    al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
+    each lowercased whitespace term hashes to a bucket
+    ``crc32(term) mod dim`` with a second-hash sign in {-1, +1} (the
+    signed trick that makes collisions cancel in expectation), weighted
+    ``tf · idf`` with the module's smoothed idf
+    (``ln((N+1)/(df+1)) + 1``, exactly :func:`tfidf_top_terms`'s form),
+    then L2-normalized — so the output ``embedding array<double>``
+    drops straight into the similarity tier (``brute_force_topk``,
+    ``semdedup``, ``kmeans``, IVF/PQ/IMI) WITHOUT an external
+    embedding model: lexical ANN, clustering, and embedding-style
+    near-dup over a text-only corpus.
+
+    Everything is JVM-side codegen (explode → two hash-partitioned
+    aggs + one term-keyed join carrying only (term, df) — the
+    :func:`tfidf_top_terms` shape — then a map lookup per coordinate;
+    no UDF). The corpus-size scalar is ONE count action (bounded
+    driver state, the module contract). NULL/whitespace-only docs
+    yield no row (they have no lexical content to embed); join back
+    to the corpus if presence is required. Deterministic and
+    layout-invariant: hashes are pure functions of the term.
+
+    Capability analog in the reference: none — extension tier."""
+    from .partitioning import scale_partitions
+
+    if dim <= 0:
+        raise ValueError(f"dim must be positive (got {dim})")
+    tf = (
+        scale_partitions(df.where(F.col(col).isNotNull()))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(col))), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.where(F.col(col).isNotNull()).select(id_col).distinct().count()
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_bin = F.encode(F.col("term"), "UTF-8")
+    sign_bin = F.encode(F.concat(F.col("term"), F.lit("#sign")), "UTF-8")
+    weighted = (
+        tf.join(docfreq, "term")
+        .select(
+            F.col(id_col),
+            F.pmod(F.crc32(term_bin), F.lit(int(dim))).cast("int")
+            .alias("bucket"),
+            (
+                F.when(
+                    F.crc32(sign_bin) % 2 == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+                * F.col("tf")
+                * (
+                    F.log(
+                        F.lit(float(n_docs + 1)) / (F.col("df") + 1)
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("w").alias("w"))
+    )
+    dense = weighted.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "w")))
+        ).alias("__m")
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )
+    if not normalize:
+        return dense
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    return dense.select(
+        F.col(id_col),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )

@@ -138,3 +138,41 @@ def test_bm25_plan_shape(spark, sf_dir):
     # postings scan; the rank cut pushes k into the window
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_max_df_ratio_prunes_stopwords(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the spark engine"),
+            (2, "the slow planner"),
+            (3, "the the the"),
+            (4, "the fast executor"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        r["doc_id"]: r for r in T.bm25_topk(docs, ["the spark"], k=10)
+        .collect()
+    }
+    pruned = {
+        r["doc_id"]: r
+        for r in T.bm25_topk(
+            docs, ["the spark"], k=10, max_df_ratio=0.5
+        ).collect()
+    }
+    # unpruned: every doc matches 'the'
+    assert set(full) == {1, 2, 3, 4}
+    # pruned: 'the' (df=4/4 > 0.5) is dropped — only the 'spark' doc
+    # survives, and its score counts one matched term
+    assert set(pruned) == {1}
+    assert pruned[1]["n_terms"] == 1 and pruned[1]["rank"] == 1
+    # a pruned-term-only query returns nothing rather than erroring
+    assert T.bm25_topk(docs, ["the"], k=5, max_df_ratio=0.5).count() == 0
+    # ratio 1.0 keeps everything (df <= N)
+    kept = {
+        r["doc_id"]
+        for r in T.bm25_topk(
+            docs, ["the spark"], k=10, max_df_ratio=1.0
+        ).collect()
+    }
+    assert kept == set(full)

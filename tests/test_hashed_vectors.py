@@ -1,0 +1,114 @@
+"""Signed feature-hashed TF-IDF document vectors: numpy-oracle parity,
+unit norm, similarity-tier composition, determinism, edges.
+
+Reference analog: none — extension-tier text→embedding bridge so the
+ANN/clustering/semdedup tiers run on text-only corpora.
+"""
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_workflow_spark.operators.text import hashed_tfidf_vectors
+
+DIM = 64
+
+
+def _oracle(texts: dict[int, str], dim: int) -> dict[int, np.ndarray]:
+    tf = {}
+    for d, t in texts.items():
+        if t is None:
+            continue
+        c: dict[str, int] = {}
+        for w in t.strip().lower().split():
+            if w:
+                c[w] = c.get(w, 0) + 1
+        if c:
+            tf[d] = c
+    n = len([t for t in texts.values() if t is not None])
+    dfreq: dict[str, int] = {}
+    for c in tf.values():
+        for w in c:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    out = {}
+    for d, c in tf.items():
+        v = np.zeros(dim)
+        for w, k in c.items():
+            b = zlib.crc32(w.encode()) % dim
+            s = 1.0 if zlib.crc32((w + "#sign").encode()) % 2 == 0 else -1.0
+            v[b] += s * k * (math.log((n + 1) / (dfreq[w] + 1)) + 1.0)
+        nm = np.linalg.norm(v)
+        out[d] = v / nm if nm > 0 else v
+    return out
+
+
+def test_hashed_tfidf_matches_numpy_oracle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    got = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in hashed_tfidf_vectors(docs, dim=DIM).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = _oracle(texts, DIM)
+    assert set(got) == set(want)
+    for d in want:
+        assert np.allclose(got[d], want[d], atol=1e-12)
+        assert abs(np.linalg.norm(got[d]) - 1.0) < 1e-9
+
+
+def test_hashed_tfidf_feeds_similarity_tier(spark):
+    """The point of the op: near-identical docs land near-identical
+    vectors, so brute-force cosine over the HASHED vectors retrieves
+    the near-dup top-1 — embedding-style near-dup without a model."""
+    from etl_workflow_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, "spark shuffles partition data across the cluster nodes"),
+        (1, "spark shuffles partition data across the cluster machines"),
+        (2, "bananas are yellow and monkeys enjoy eating them daily"),
+        (3, "the optimizer rewrites join trees using cost estimates"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_tfidf_vectors(docs, dim=128).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    q = vecs.where("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    top = brute_force_topk(vecs, q, k=1).collect()
+    assert top[0]["neighbor_id"] == 1
+    assert top[0]["score_e4"] > 7000  # near-dup cosine is high
+
+
+def test_hashed_tfidf_edges_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta Alpha"), (2, None), (3, "   "), (4, "beta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"]
+           for r in hashed_tfidf_vectors(docs, dim=16).collect()}
+    # NULL and whitespace-only docs yield no vector row
+    assert set(out) == {1, 4}
+    assert len(out[1]) == 16
+    # layout invariance
+    rep = {r["doc_id"]: r["embedding"]
+           for r in hashed_tfidf_vectors(
+               docs.repartition(5), dim=16).collect()}
+    assert rep == out
+    # unnormalized mode preserves raw weights (norm != 1 in general)
+    raw = {r["doc_id"]: np.array(r["embedding"])
+           for r in hashed_tfidf_vectors(
+               docs, dim=16, normalize=False).collect()}
+    assert abs(np.linalg.norm(raw[1]) - 1.0) > 1e-6
+    with pytest.raises(ValueError, match="dim"):
+        hashed_tfidf_vectors(docs, dim=0)
+    # pure codegen: no Python UDF in the plan
+    plan = (
+        hashed_tfidf_vectors(docs, dim=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
