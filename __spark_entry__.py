@@ -696,6 +696,54 @@ def _ann_recall_frame(
     ).orderBy("query_id")
 
 
+def _hybrid_qmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid tier's query table: ``(qid, qtext)`` where qtext is
+    each query doc's first 8 whitespace tokens, lowercased — derived
+    IDENTICALLY by the DuckDB oracle (`_ANN_HYBRID_ORACLE`'s hq CTE)."""
+    return table(spark, sf_dir, "documents").where("doc_id < 4").select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(
+            F.slice(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8
+            ),
+            " ",
+        ).alias("qtext"),
+    )
+
+
+def _hybrid_search_frame(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Sparse+dense hybrid retrieval, fused: BM25 over the derived
+    query text + exact cosine over the query doc's embedding, top-20
+    each, combined by integer reciprocal-rank fusion. ONE definition
+    shared by the `ann_topk` gate tier and the bench's
+    `hybrid_search` entry — the timed workload is exactly the
+    hash-checked one."""
+    from etl_workflow_spark.operators.ranking import rrf_fuse
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    qmap = _hybrid_qmap(spark, sf_dir)
+    qrows = qmap.collect()  # bounded: 4 one-line rows
+    sparse = T.bm25_topk(
+        docs, [r["qtext"] for r in qrows], k=20
+    ).select("query", "doc_id", "rank")
+    dense = S.brute_force_topk(
+        emb,
+        emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id"),
+        k=20,
+    )
+    dense_named = dense.join(
+        F.broadcast(qmap), dense["query_id"] == qmap["qid"]
+    ).select(
+        F.col("qtext").alias("query"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([sparse, dense_named], k=k)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole ANN family in ONE hash-checked frame, three row tiers
     plus recall-contract flag columns:
@@ -785,38 +833,11 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # embedding is its dense query; the two top-20 lists fuse by
         # reciprocal-rank (rrf_fuse — pure integer arithmetic, so the
         # whole tier is float-free except inside the two input
-        # rankings, each already hash-checked in its own entry).
-        from etl_workflow_spark.operators.ranking import rrf_fuse
-
-        docs = table(spark, sf_dir, "documents")
-        qmap = docs.where("doc_id < 4").select(
-            F.col("doc_id").alias("qid"),
-            F.array_join(
-                F.slice(
-                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8
-                ),
-                " ",
-            ).alias("qtext"),
-        )
-        qrows = qmap.collect()  # bounded: 4 one-line rows
-        sparse = T.bm25_topk(
-            docs, [r["qtext"] for r in qrows], k=20
-        ).select("query", "doc_id", "rank")
-        dense = S.brute_force_topk(
-            emb,
-            emb.where("vec_id < 4").withColumnRenamed(
-                "vec_id", "query_id"
-            ),
-            k=20,
-        )
-        dense_named = dense.join(
-            F.broadcast(qmap), dense["query_id"] == qmap["qid"]
-        ).select(
-            F.col("qtext").alias("query"),
-            F.col("neighbor_id").alias("doc_id"),
-            "rank",
-        )
-        fused = rrf_fuse([sparse, dense_named], k=10)
+        # rankings, each already hash-checked in its own entry). The
+        # composition lives in _hybrid_search_frame (shared with the
+        # bench, so the timed workload IS the gate-checked one).
+        qmap = _hybrid_qmap(spark, sf_dir)
+        fused = _hybrid_search_frame(spark, sf_dir)
         hybrid_rows = (
             fused.join(F.broadcast(qmap), fused["query"] == qmap["qtext"])
             .select(
@@ -2939,7 +2960,7 @@ def _unigram_gate_oracle_ctes() -> str:
     ),
     uni AS (
         SELECT uw0.doc_id, CAST(0 AS INT) AS chunk_idx,
-               array_to_string(coalesce(udocids.uids, []), ',')
+               coalesce(array_to_string(udocids.uids, ','), '')
                    AS chunk_text,
                CAST(coalesce(len(udocids.uids), 0) AS INT) AS n_tokens,
                'unigram' AS tier
@@ -3049,7 +3070,7 @@ def _wordpiece_gate_oracle_ctes() -> str:
     ),
     wp AS (
         SELECT ww0.doc_id, CAST(0 AS INT) AS chunk_idx,
-               array_to_string(coalesce(wdocids.wids, []), ',')
+               coalesce(array_to_string(wdocids.wids, ','), '')
                    AS chunk_text,
                CAST(coalesce(len(wdocids.wids), 0) AS INT) AS n_tokens,
                'wordpiece' AS tier

@@ -319,7 +319,7 @@ def main() -> None:
         # sparse+dense fusion: BM25 + brute-force cosine top-20 per
         # query, integer reciprocal-rank fuse (the ann_topk gate's
         # tier='hybrid' composition, timed as the production operator)
-        "hybrid_search": lambda s, d: _hybrid_search_df(s, d),
+        "hybrid_search": lambda s, d: entry_mod._hybrid_search_frame(s, d),
         # train (vocab shuffle + driver likelihood merges) + encode —
         # the WordPiece sibling of bpe_tokenize/unigram_tokenize
         "wordpiece_tokenize": lambda s, d: T.wordpiece_encode(
@@ -327,14 +327,14 @@ def main() -> None:
             T.train_wordpiece(table(s, d, "documents"), vocab_size=500),
             ids=True,
         ),
+        # queries = the gate's fixed list (one definition; a drift
+        # would silently time a different workload than is checked)
         "bm25_search": lambda s, d: T.bm25_topk(
             table(s, d, "documents"),
-            [
-                "hash join merge",
-                "slow query filter",
-                "window sort stream",
-                "vector vector the zzzmiss",
-            ],
+            getattr(
+                entry_mod, "_BM25_QUERIES",
+                ["hash join merge", "slow query filter"],
+            ),
             k=10,
         ),
         "qcls_score": lambda s, d: T.quality_classifier_score(
@@ -348,38 +348,6 @@ def main() -> None:
             ),
         ),
     }
-
-    def _hybrid_search_df(s, d):
-        from etl_workflow_spark.operators.ranking import rrf_fuse
-
-        docs = table(s, d, "documents")
-        emb = table(s, d, "embeddings")
-        qmap = docs.where("doc_id < 4").select(
-            F.col("doc_id").alias("qid"),
-            F.array_join(
-                F.slice(
-                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8
-                ),
-                " ",
-            ).alias("qtext"),
-        )
-        qrows = qmap.collect()
-        sparse = T.bm25_topk(
-            docs, [r["qtext"] for r in qrows], k=20
-        ).select("query", "doc_id", "rank")
-        dense = S.brute_force_topk(
-            emb,
-            emb.where("vec_id < 4").withColumnRenamed("vec_id", "query_id"),
-            k=20,
-        )
-        dense_named = dense.join(
-            F.broadcast(qmap), dense["query_id"] == qmap["qid"]
-        ).select(
-            F.col("qtext").alias("query"),
-            F.col("neighbor_id").alias("doc_id"),
-            "rank",
-        )
-        return rrf_fuse([sparse, dense_named], k=10)
 
     def _imi_topk_df(s, d):
         emb = table(s, d, "embeddings")

@@ -2975,12 +2975,15 @@ def build_text_index(
     from .partitioning import scale_partitions
 
     toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    # dl counts NON-EMPTY tokens: trim strips only spaces, so a
+    # tab/newline-padded doc's split carries phantom '' tokens that
+    # would silently inflate its BM25 length normalization
     return (
         scale_partitions(df.where(F.col(col).isNotNull()))
         .select(
             F.col(id_col),
             F.explode(toks).alias("term"),
-            F.size(toks).alias("dl"),
+            F.size(F.filter(toks, lambda t: t != "")).alias("dl"),
         )
         .where(F.col("term") != "")
         .groupBy("term", id_col, "dl")
@@ -3048,12 +3051,17 @@ def bm25_topk(
         postings = build_text_index(df, col=col, id_col=id_col)
     spark = postings.sparkSession
     if not isinstance(queries, DataFrame):
-        qlist = list(queries)
+        # dedupe: the query string IS the result key, and a duplicate
+        # would silently FOLD into one group with doubled qtf (wrong
+        # scores) instead of returning twice
+        qlist = list(dict.fromkeys(queries))
         if not qlist:
             raise ValueError("bm25_topk needs at least one query")
         queries = spark.createDataFrame(
             [(q,) for q in qlist], "query string"
         )
+    else:
+        queries = queries.dropDuplicates(["query"])
     qtoks = F.split(F.trim(F.lower(F.col("query"))), r"\s+")
     qterms = (
         queries.select("query", F.explode(qtoks).alias("term"))
@@ -3153,10 +3161,13 @@ def bm25_topk_oracle(
     ``query`` column (``queries_sql`` — for gate entries whose query
     text is DERIVED from the data on both engines)."""
     if queries_sql is not None:
-        qcte = f"q AS (SELECT query FROM ({queries_sql}))"
+        # DISTINCT mirrors the engine-side dedup — a duplicate query
+        # string would fold qtf on one side only
+        qcte = f"q AS (SELECT DISTINCT query FROM ({queries_sql}))"
     else:
         vals = ", ".join(
-            "('" + q.replace("'", "''") + "')" for q in queries
+            "('" + q.replace("'", "''") + "')"
+            for q in dict.fromkeys(queries)
         )
         qcte = f"q(query) AS (VALUES {vals})"
     t = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -3170,7 +3181,8 @@ def bm25_topk_oracle(
         ),
         post AS (
             SELECT term, doc_id, COUNT(*) AS tf, dl FROM (
-                SELECT doc_id, unnest({t}) AS term, len({t}) AS dl
+                SELECT doc_id, unnest({t}) AS term,
+                       len(list_filter({t}, x -> x <> '')) AS dl
                 FROM {table} WHERE text IS NOT NULL
             ) WHERE term <> '' GROUP BY term, doc_id, dl
         ),
@@ -3385,12 +3397,17 @@ def _make_wordpiece_encoder(model: dict, ids: bool = False):
             pos = end
         return out
 
+    # memo at ENCODER scope (the _make_bpe_encoder convention): the
+    # encoder is re-made per Arrow batch, so the cache is batch-bounded
+    # while every occurrence of a Zipf-frequent word across the batch's
+    # documents resolves to one MaxMatch
+    memo: dict[str, list] = {}
+
     def one_doc(text):
         if text is None:
             return None
         if lowercase:
             text = text.lower()
-        memo: dict[str, list] = {}
         toks: list = []
         for w in ws.split(text):
             if not w:
@@ -3470,8 +3487,10 @@ def hashed_tfidf_vectors(
     ``crc32(term) mod dim`` with a second-hash sign in {-1, +1} (the
     signed trick that makes collisions cancel in expectation), weighted
     ``tf · idf`` with the module's smoothed idf
-    (``ln((N+1)/(df+1)) + 1``, exactly :func:`tfidf_top_terms`'s form),
-    then L2-normalized — so the output ``embedding array<double>``
+    (``ln((N+1)/(df+1)) + 1``, exactly :func:`tfidf_top_terms`'s form;
+    each term's weight floored at e9 BEFORE the bucket sum, so bucket
+    values are integer sums — deterministic under any shuffle order,
+    the module's fixed-point convention), then L2-normalized — so the output ``embedding array<double>``
     drops straight into the similarity tier (``brute_force_topk``,
     ``semdedup``, ``kmeans``, IVF/PQ/IMI) WITHOUT an external
     embedding model: lexical ANN, clustering, and embedding-style
@@ -3507,52 +3526,69 @@ def hashed_tfidf_vectors(
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     term_bin = F.encode(F.col("term"), "UTF-8")
     sign_bin = F.encode(F.concat(F.col("term"), F.lit("#sign")), "UTF-8")
+    # per-TERM weights fixed-pointed (floor at e9) BEFORE the bucket
+    # sum, the module's floor-before-sum convention: opposite-sign
+    # collisions in one bucket would otherwise sum doubles in
+    # shuffle-fetch order, making the embedding vary in its last ulps
+    # across runs — integer sums are associative, so the vector is a
+    # pure function of the corpus
     weighted = (
         tf.join(docfreq, "term")
         .select(
             F.col(id_col),
             F.pmod(F.crc32(term_bin), F.lit(int(dim))).cast("int")
             .alias("bucket"),
-            (
-                F.when(
-                    F.crc32(sign_bin) % 2 == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
-                * F.col("tf")
-                * (
-                    F.log(
-                        F.lit(float(n_docs + 1)) / (F.col("df") + 1)
+            F.floor(
+                (
+                    F.when(
+                        F.crc32(sign_bin) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0))
+                    * F.col("tf")
+                    * (
+                        F.log(
+                            F.lit(float(n_docs + 1)) / (F.col("df") + 1)
+                        )
+                        + F.lit(1.0)
                     )
-                    + F.lit(1.0)
                 )
-            ).alias("w"),
+                * F.lit(1e9)
+            ).alias("w_e9"),
         )
         .groupBy(id_col, "bucket")
-        .agg(F.sum("w").alias("w"))
+        .agg(F.sum("w_e9").alias("w_e9"))
     )
     dense = weighted.groupBy(id_col).agg(
         F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("bucket", "w")))
+            F.sort_array(F.collect_list(F.struct("bucket", "w_e9")))
         ).alias("__m")
     ).select(
         F.col(id_col),
         F.transform(
             F.sequence(F.lit(0), F.lit(int(dim) - 1)),
             lambda i: F.coalesce(
-                F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)
-            ),
+                F.element_at(F.col("__m"), i.cast("int")), F.lit(0)
+            ).cast("double")
+            / F.lit(1e9),
         ).alias("embedding"),
     )
     if not normalize:
         return dense
+    # norm projected as a COLUMN first: an aggregate embedded in the
+    # transform lambda would re-evaluate per element — O(dim^2) adds
     norm = F.sqrt(
         F.aggregate(
             F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
         )
     )
-    return dense.select(
-        F.col(id_col),
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
-        ).alias("embedding"),
+    return (
+        dense.withColumn("__n", norm)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.when(
+                    F.col("__n") > 0, x / F.col("__n")
+                ).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
     )

@@ -36,11 +36,16 @@ def _oracle(texts: dict[int, str], dim: int) -> dict[int, np.ndarray]:
             dfreq[w] = dfreq.get(w, 0) + 1
     out = {}
     for d, c in tf.items():
-        v = np.zeros(dim)
+        v_e9 = np.zeros(dim, dtype=np.int64)
         for w, k in c.items():
             b = zlib.crc32(w.encode()) % dim
             s = 1.0 if zlib.crc32((w + "#sign").encode()) % 2 == 0 else -1.0
-            v[b] += s * k * (math.log((n + 1) / (dfreq[w] + 1)) + 1.0)
+            # per-term e9 floor before the bucket sum — the engine's
+            # fixed-point convention, mirrored exactly
+            v_e9[b] += math.floor(
+                s * k * (math.log((n + 1) / (dfreq[w] + 1)) + 1.0) * 1e9
+            )
+        v = v_e9 / 1e9
         nm = np.linalg.norm(v)
         out[d] = v / nm if nm > 0 else v
     return out
