@@ -2244,10 +2244,24 @@ _BM25_QUERIES = [
     "vector vector the zzzmiss",
 ]
 
+#: Fixed phrase-search gate queries: frequent testdata bigrams, a
+#: trigram, a repeated-term phrase (each offset must be witnessed
+#: independently), and a guaranteed miss.
+_PHRASE_QUERIES = [
+    "order fast",
+    "data slow",
+    "window join stream",
+    "order order",
+    "zzz yyy",
+]
+
 
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-50 terms + per-document TF-IDF top-k terms +
-    BM25 full-text search top-10 per fixed query, union-tagged by
+    BM25 full-text search top-10 per fixed query + exact positional
+    phrase search top-10 per fixed phrase (r11, scope='phrase':
+    integer-only adjacency join, term=the phrase, n=hit count),
+    union-tagged by
     scope (corpus rows carry NULL doc_id/score/rank; bm25 rows carry
     the query string in `term`, the matched-term count in `n`, and
     the fixed-point integer-summed BM25 score in `score_e4` — the
@@ -2278,7 +2292,17 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_e4",
         "rank",
     )
-    return corpus.unionByName(perdoc).unionByName(bm25)
+    phrase = T.phrase_topk(docs, _PHRASE_QUERIES, k=10).select(
+        F.lit("phrase").alias("scope"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("phrase").alias("term"),
+        F.col("n_hits").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("score_e4"),
+        "rank",
+    )
+    return (
+        corpus.unionByName(perdoc).unionByName(bm25).unionByName(phrase)
+    )
 
 
 _TERM_STATS_ORACLE = f"""
@@ -2293,6 +2317,10 @@ _TERM_STATS_ORACLE = f"""
     SELECT 'bm25', doc_id, query AS term, CAST(n_terms AS BIGINT),
            score_e4, rank
     FROM ({T.bm25_topk_oracle(_BM25_QUERIES, k=10)})
+    UNION ALL
+    SELECT 'phrase', doc_id, phrase AS term, CAST(n_hits AS BIGINT),
+           CAST(NULL AS BIGINT), rank
+    FROM ({T.phrase_topk_oracle(_PHRASE_QUERIES, k=10)})
 """
 
 

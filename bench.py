@@ -185,6 +185,9 @@ def main() -> None:
         # round-11: hybrid retrieval — BM25 + exact-cosine top-20
         # lists fused by integer reciprocal-rank, ×4 queries
         "hybrid_search",
+        # round-11: exact phrase search — positional index build
+        # (posexplode) + broadcast adjacency join, ×5 phrases
+        "phrase_search",
         # round-11: signed feature-hashed TF-IDF document vectors —
         # the text→embedding bridge (explode + two aggs + one
         # term-keyed join + codegen densify, corpus-sized)
@@ -312,6 +315,13 @@ def main() -> None:
                 .select("text"),
             ),
             n_select=100,
+        ),
+        "phrase_search": lambda s, d: T.phrase_topk(
+            table(s, d, "documents"),
+            getattr(
+                entry_mod, "_PHRASE_QUERIES", ["order fast", "data slow"]
+            ),
+            k=10,
         ),
         "tfidf_embed": lambda s, d: T.hashed_tfidf_vectors(
             table(s, d, "documents"), dim=128

@@ -3592,3 +3592,152 @@ def hashed_tfidf_vectors(
             ).alias("embedding"),
         )
     )
+
+
+# ------------------------------------------------------ phrase search
+
+
+def build_positional_index(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index: one row per term OCCURRENCE —
+    ``(term string, id, pos int)`` with ``pos`` the 0-based token
+    position inside the doc (the module's lowercased whitespace
+    tokens). The positional sibling of :func:`build_text_index`:
+    postings answer "which docs", positions answer "where", and exact
+    PHRASE queries become adjacency joins (:func:`phrase_topk`).
+    ~dl rows per doc instead of ~distinct-terms — write it
+    term-partitioned like the frequency index and a phrase's probe
+    broadcast-prunes to its terms' rows."""
+    from .partitioning import scale_partitions
+
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    return (
+        scale_partitions(df.where(F.col(col).isNotNull()))
+        .select(
+            F.col(id_col),
+            F.posexplode(toks).alias("pos", "term"),
+        )
+        .where(F.col("term") != "")
+        .select("term", id_col, F.col("pos").cast("int").alias("pos"))
+    )
+
+
+def phrase_topk(
+    df: DataFrame | None,
+    phrases,
+    k: int = 10,
+    col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Exact phrase search over a positional index: a phrase of m
+    terms matches at start position s iff term j sits at ``s + j``
+    for every offset j — the classic adjacency join: each phrase
+    offset's term probes the positional postings (broadcast — the
+    phrase table is tiny), every occurrence row projects its implied
+    start ``pos - j``, and a (phrase, doc, start) group with m
+    DISTINCT offsets is one hit. Repeated terms in the phrase are
+    handled exactly (each offset must be witnessed independently).
+    Docs rank by hit count (ties by id ascending), cut top-k per
+    phrase. Pure integer arithmetic end-to-end — the cross-engine
+    oracle (:func:`phrase_topk_oracle`) agrees structurally. Phrases
+    that occur nowhere return no rows. ``postings`` short-circuits
+    with a prebuilt :func:`build_positional_index` table (the
+    production path — the corpus is never re-tokenized per query).
+    Returns ``(phrase, id, n_hits int, rank int)``."""
+    if postings is None:
+        if df is None:
+            raise ValueError("phrase_topk needs df or postings")
+        postings = build_positional_index(df, col=col, id_col=id_col)
+    spark = postings.sparkSession
+    plist = list(dict.fromkeys(phrases))
+    if not plist:
+        raise ValueError("phrase_topk needs at least one phrase")
+    pq = spark.createDataFrame([(p,) for p in plist], "phrase string")
+    ptoks = F.split(F.trim(F.lower(F.col("phrase"))), r"\s+")
+    pterms = (
+        pq.select(
+            "phrase",
+            F.posexplode(F.filter(ptoks, lambda t: t != "")).alias(
+                "j", "term"
+            ),
+            F.size(F.filter(ptoks, lambda t: t != "")).alias("m"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    hits = (
+        postings.join(F.broadcast(pterms), "term")
+        .select(
+            "phrase",
+            id_col,
+            (F.col("pos") - F.col("j")).alias("start"),
+            "j",
+            "m",
+        )
+        .groupBy("phrase", id_col, "start", "m")
+        .agg(F.count_distinct(F.col("j")).alias("witnessed"))
+        .where(F.col("witnessed") == F.col("m"))
+        .groupBy("phrase", id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    w = Window.partitionBy("phrase").orderBy(
+        F.col("n_hits").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select("phrase", id_col, "n_hits", "rank")
+    )
+
+
+def phrase_topk_oracle(
+    phrases: list[str], k: int = 10, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`phrase_topk` (inline index build) —
+    integer-only, so agreement is structural."""
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "')" for p in dict.fromkeys(phrases)
+    )
+    t = "string_split_regex(trim(lower(text)), '\\s+')"
+    pt = "list_filter(string_split_regex(trim(lower(phrase)), '\\s+'), x -> x <> '')"
+    return f"""
+        WITH p(phrase) AS (VALUES {vals}),
+        pterms AS (
+            SELECT phrase,
+                   CAST(generate_subscripts({pt}, 1) - 1 AS INT) AS j,
+                   unnest({pt}) AS term,
+                   CAST(len({pt}) AS INT) AS m
+            FROM p
+        ),
+        post AS (
+            SELECT term, doc_id, pos FROM (
+                SELECT doc_id,
+                       CAST(generate_subscripts({t}, 1) - 1 AS INT)
+                           AS pos,
+                       unnest({t}) AS term
+                FROM {table} WHERE text IS NOT NULL
+            ) WHERE term <> ''
+        ),
+        starts AS (
+            SELECT pterms.phrase, post.doc_id,
+                   post.pos - pterms.j AS start, pterms.m,
+                   COUNT(DISTINCT pterms.j) AS witnessed
+            FROM post JOIN pterms USING (term)
+            GROUP BY 1, 2, 3, 4
+        ),
+        hits AS (
+            SELECT phrase, doc_id, CAST(COUNT(*) AS INT) AS n_hits
+            FROM starts WHERE witnessed = m GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT phrase, doc_id, n_hits,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY phrase
+                                           ORDER BY n_hits DESC, doc_id)
+                        AS INT) AS rank
+            FROM hits
+        )
+        SELECT phrase, doc_id, n_hits, rank
+        FROM ranked WHERE rank <= {int(k)}
+    """

@@ -176,3 +176,65 @@ def test_bm25_max_df_ratio_prunes_stopwords(spark):
         ).collect()
     }
     assert kept == set(full)
+
+
+def test_phrase_topk_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),
+            (2, "a b a b"),
+            (3, "b a"),
+            (4, "A  B"),
+            (5, None),
+            (6, "c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["phrase"], r["doc_id"]): r["n_hits"]
+        for r in T.phrase_topk(
+            docs, ["a b", "a a", "b a", "a", "zzz qqq"], k=10
+        ).collect()
+    }
+    # adjacency with case folding and multi-space split
+    assert out[("a b", 2)] == 2
+    assert out[("a b", 4)] == 1
+    # overlapping matches both count; repeated-term phrase needs each
+    # offset witnessed independently
+    assert out[("a a", 1)] == 2
+    assert ("a a", 2) not in out
+    assert out[("b a", 2)] == 1 and out[("b a", 3)] == 1
+    # single-term phrase == term frequency
+    assert out[("a", 1)] == 3 and out[("a", 2)] == 2
+    # miss phrase yields no rows
+    assert not any(p == "zzz qqq" for p, _ in out)
+    with pytest.raises(ValueError, match="at least one"):
+        T.phrase_topk(docs, [])
+
+
+def test_phrase_topk_matches_duckdb_and_prebuilt(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    PH = ["order fast", "window join stream", "order order"]
+    inline = sorted(tuple(r) for r in T.phrase_topk(docs, PH, k=6).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(T.phrase_topk_oracle(PH, k=6)).fetchall()
+    )
+    assert inline == want and len(inline) > 0
+    pos = T.build_positional_index(docs)
+    assert sorted(
+        tuple(r) for r in T.phrase_topk(None, PH, k=6, postings=pos)
+        .collect()
+    ) == inline
+    # ranks contiguous per phrase
+    by_phrase = {}
+    for ph, _d, _n, rk in inline:
+        by_phrase.setdefault(ph, []).append(rk)
+    for rks in by_phrase.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
