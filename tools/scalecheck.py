@@ -755,11 +755,73 @@ def extend_cost(sf_dir: str, ks: list[int]) -> None:
     spark.stop()
 
 
+def retrieval_cost(sf_dir: str, ks: list[int]) -> None:
+    """Retrieval-tier scaling (r11): a FIXED query batch over a K×
+    corpus. Separates the three costs the SCALE.md §17 argument makes:
+    index build (linear in corpus tokens), prebuilt-postings query
+    (candidate rows grow with K since every replica matches — the
+    constant is what pruning attacks), and max_df stopword pruning
+    (drops the hot term's corpus-sized posting list from the probe).
+    Also rows for phrase search and the hashed-vector embed pass."""
+    from etl_workflow_spark.session import get_spark
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import text as T
+
+    spark = get_spark("retrieval-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = table(spark, sf_dir, "documents")
+    d_off = (docs0.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    QS = ["the hash join", "slow query filter", "window sort stream"]
+    PH = ["order fast", "data slow", "window join stream"]
+
+    def run(name, k, fn):
+        t0 = time.time()
+        df = fn()
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+            ).alias("h"),
+        ).collect()[0]
+        print(json.dumps({"op": name, "k": k, "rows": row["n"],
+                          "sec": round(time.time() - t0, 2)}), flush=True)
+
+    T.bm25_topk(docs0, QS, k=10).count()  # warm codegen/JIT
+    for k in ks:
+        docs = replicate(docs0, k, ["doc_id"], d_off).localCheckpoint(
+            eager=True
+        )
+        run("bm25_inline", k, lambda: T.bm25_topk(docs, QS, k=10))
+        t0 = time.time()
+        post = T.build_text_index(docs).localCheckpoint(eager=True)
+        n_post = post.count()
+        print(json.dumps({"op": "postings_build", "k": k,
+                          "rows": n_post,
+                          "sec": round(time.time() - t0, 2)}), flush=True)
+        run("bm25_prebuilt", k,
+            lambda: T.bm25_topk(None, QS, k=10, postings=post))
+        run("bm25_prebuilt_pruned", k, lambda: T.bm25_topk(
+            None, QS, k=10, postings=post, max_df_ratio=0.2))
+        post.unpersist()
+        run("phrase_inline", k, lambda: T.phrase_topk(docs, PH, k=10))
+        run("hashed_tfidf", k,
+            lambda: T.hashed_tfidf_vectors(docs, dim=128))
+        run("wordpiece_tokenize", k, lambda: T.wordpiece_encode(
+            docs.select("doc_id", "text"),
+            T.train_wordpiece(docs, vocab_size=300), ids=True))
+        docs.unpersist()
+    spark.stop()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--ann-recall", "--txn-sink", "--span-skew",
                          "--corpus", "--extend", "--semdedup-skew",
-                         "--pq-store")]
+                         "--pq-store", "--retrieval")]
+    if "--retrieval" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        retrieval_cost(sf, [int(a) for a in args[1:]] or [1, 4, 16])
+        return
     if "--pq-store" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         pq_store_cost(sf, int(args[1]) if len(args) > 1 else 40)
