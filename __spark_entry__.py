@@ -2300,8 +2300,17 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("score_e4"),
         "rank",
     )
+    colloc = T.collocations(docs, k=30, min_count=5).select(
+        F.lit("colloc").alias("scope"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.concat_ws(" ", "w1", "w2").alias("term"),
+        F.col("n_pair").alias("n"),
+        F.expr("pmi_e6 div 100").alias("score_e4"),
+        "rank",
+    )
     return (
-        corpus.unionByName(perdoc).unionByName(bm25).unionByName(phrase)
+        corpus.unionByName(perdoc).unionByName(bm25)
+        .unionByName(phrase).unionByName(colloc)
     )
 
 
@@ -2321,6 +2330,10 @@ _TERM_STATS_ORACLE = f"""
     SELECT 'phrase', doc_id, phrase AS term, CAST(n_hits AS BIGINT),
            CAST(NULL AS BIGINT), rank
     FROM ({T.phrase_topk_oracle(_PHRASE_QUERIES, k=10)})
+    UNION ALL
+    SELECT 'colloc', CAST(NULL AS BIGINT), w1 || ' ' || w2, n_pair,
+           pmi_e6 // 100, rank
+    FROM ({T.collocations_oracle(k=30, min_count=5)})
 """
 
 

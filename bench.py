@@ -188,6 +188,9 @@ def main() -> None:
         # round-11: exact phrase search — positional index build
         # (posexplode) + broadcast adjacency join, ×5 phrases
         "phrase_search",
+        # round-11: PMI collocations — one tokenize pass, bigram +
+        # unigram aggs, distributed top-k
+        "collocations",
         # round-11: signed feature-hashed TF-IDF document vectors —
         # the text→embedding bridge (explode + two aggs + one
         # term-keyed join + codegen densify, corpus-sized)
@@ -315,6 +318,9 @@ def main() -> None:
                 .select("text"),
             ),
             n_select=100,
+        ),
+        "collocations": lambda s, d: T.collocations(
+            table(s, d, "documents"), k=50, min_count=5
         ),
         "phrase_search": lambda s, d: T.phrase_topk(
             table(s, d, "documents"),

@@ -3741,3 +3741,158 @@ def phrase_topk_oracle(
         SELECT phrase, doc_id, n_hits, rank
         FROM ranked WHERE rank <= {int(k)}
     """
+
+
+# ------------------------------------------------------- collocations
+
+
+def collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990, "Word Association Norms, Mutual
+    Information, and Lexicography"): the corpus-analysis op behind
+    multi-word-expression vocabularies and tokenizer seed phrases.
+    ``PMI = ln(P(ab) / (P(a)·P(b)))`` computed as the EXACT-int log
+    sum ``ln(c_ab) + ln(U) + ln(U) − ln(B) − ln(c_a) − ln(c_b)``
+    (U = corpus unigram total, B = bigram total; every operand is an
+    exact integer-valued double and the expression is parenthesized
+    identically in the SQL twin, so the e6-floored fixed point
+    hash-matches). ``min_count`` drops rare bigrams (PMI is noise at
+    low counts — the published guidance). Ranking: PMI desc, then
+    (w1, w2) asc; global top-k compiles to a distributed
+    TakeOrdered, no full sort.
+
+    Shape: one tokenize pass → adjacent-pair explode (codegen
+    arrays_zip of the shifted slices) → one (w1, w2) agg; unigram
+    counts reuse the same exploded pass. The only driver scalars are
+    U and B (one agg). Capability analog in the reference: none."""
+    from .partitioning import scale_partitions
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = scale_partitions(df.where(F.col(col).isNotNull())).select(
+        toks.alias("__t")
+    )
+    pairs = (
+        base.where(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = uni.agg(
+        F.sum("n_w").alias("u"),
+    ).collect()[0]
+    u_total = int(totals["u"] or 0)
+    if u_total == 0:
+        raise ValueError("collocations needs non-empty text")
+    b_total = int(
+        pairs.agg(F.sum("n_pair")).collect()[0][0] or 0
+    )
+    if b_total == 0:
+        raise ValueError(
+            "collocations needs at least one 2-token document"
+        )
+    pmi = (
+        F.log(F.col("n_pair").cast("double"))
+        + F.log(F.lit(float(u_total)))
+        + F.log(F.lit(float(u_total)))
+        - F.log(F.lit(float(b_total)))
+        - F.log(F.col("n_w1").cast("double"))
+        - F.log(F.col("n_w2").cast("double"))
+    )
+    scored = (
+        pairs.where(F.col("n_pair") >= int(min_count))
+        .join(uni.withColumnRenamed("w", "w1")
+              .withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("n_w", "n_w2"), "w2")
+        .withColumn("pmi_e6", F.floor(pmi * F.lit(1e6)))
+    )
+    out = (
+        scored.orderBy(
+            F.col("pmi_e6").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(int(k))
+        .select(
+            "w1", "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            "pmi_e6",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(
+        F.col("pmi_e6").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def collocations_oracle(
+    k: int = 50, min_count: int = 5, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`collocations` — identical log-sum
+    parenthesization, e6 floor."""
+    t = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
+    return f"""
+        WITH tok AS (
+            SELECT {t} AS ts FROM {table} WHERE text IS NOT NULL
+        ),
+        uni AS (
+            SELECT w, COUNT(*) AS n_w FROM (
+                SELECT unnest(ts) AS w FROM tok
+            ) GROUP BY 1
+        ),
+        pairs AS (
+            SELECT w1, w2, COUNT(*) AS n_pair FROM (
+                SELECT unnest(ts[1:len(ts)-1]) AS w1,
+                       unnest(ts[2:len(ts)]) AS w2
+                FROM tok WHERE len(ts) >= 2
+            ) GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT (SELECT SUM(n_w) FROM uni) AS u,
+                   (SELECT SUM(n_pair) FROM pairs) AS b
+        ),
+        scored AS (
+            SELECT p.w1, p.w2, p.n_pair,
+                   CAST(floor((ln(CAST(p.n_pair AS DOUBLE))
+                        + ln(CAST(tot.u AS DOUBLE))
+                        + ln(CAST(tot.u AS DOUBLE))
+                        - ln(CAST(tot.b AS DOUBLE))
+                        - ln(CAST(u1.n_w AS DOUBLE))
+                        - ln(CAST(u2.n_w AS DOUBLE))) * 1000000.0)
+                        AS BIGINT) AS pmi_e6
+            FROM pairs p
+            JOIN uni u1 ON p.w1 = u1.w
+            JOIN uni u2 ON p.w2 = u2.w
+            CROSS JOIN tot
+            WHERE p.n_pair >= {int(min_count)}
+        )
+        SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi_e6,
+               CAST(ROW_NUMBER() OVER (ORDER BY pmi_e6 DESC, w1, w2)
+                    AS INT) AS rank
+        FROM scored
+        ORDER BY pmi_e6 DESC, w1, w2
+        LIMIT {int(k)}
+    """

@@ -238,3 +238,61 @@ def test_phrase_topk_matches_duckdb_and_prebuilt(spark, sf_dir):
         by_phrase.setdefault(ph, []).append(rk)
     for rks in by_phrase.values():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_collocations_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york city"),
+            (2, "new shoes and york minster"),
+            (3, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi_e6"], r["rank"])
+        for r in T.collocations(docs, k=10, min_count=2).collect()
+    }
+    # unigram totals: new=3, york=3, city=1, shoes=1, and=1, minster=1,
+    # a=1, b=1 -> U=12; bigrams: doc1 has 4, doc2 has 4, doc3 has 1 ->
+    # B=9; ('new','york') count 2
+    assert set(out) == {("new", "york")}
+    n_pair, pmi_e6, rank = out[("new", "york")]
+    assert n_pair == 2 and rank == 1
+    want = (
+        math.log(2.0) + math.log(12.0) + math.log(12.0)
+        - math.log(9.0) - math.log(3.0) - math.log(3.0)
+    )
+    assert pmi_e6 == math.floor(want * 1e6)
+    # refusals: empty corpus / no 2-token docs
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pt.raises(ValueError, match="non-empty"):
+        T.collocations(empty)
+    singles = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    )
+    with _pt.raises(ValueError, match="2-token"):
+        T.collocations(singles)
+
+
+def test_collocations_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [tuple(r) for r in T.collocations(docs, k=20, min_count=5).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            T.collocations_oracle(k=20, min_count=5)
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 20
