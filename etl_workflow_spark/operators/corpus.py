@@ -1752,3 +1752,107 @@ def _read_manifest_text(spark: SparkSession, path: str) -> str:
 
     jvm, fs = _fs(spark, path)
     return _read_file(jvm, fs, _hpath(jvm, path))
+
+
+def training_set_report(
+    spark: SparkSession, out_path: str, markdown: bool = False
+):
+    """Data card for a materialized training set — the one-call audit
+    summary a dataset release ships (the "datasheet" practice; Gebru
+    et al. 2021): identity, size and shard balance, the FULL recipe as
+    recorded in the manifest (quality gate, classifier, benchmark
+    decontamination, lexical/semantic dedup, DSIR selection, mixture
+    rates, chunk/pack), and — when the set was built with
+    ``audit=True`` — the stage-by-stage drop accounting with per-stage
+    deltas. Everything comes from the manifest: NO data scan, so the
+    report is instant at any corpus size and reflects exactly the
+    recorded lineage (the same snapshot a concurrent reader pins).
+
+    Returns a small DataFrame ``(section, key, value string)`` for
+    programmatic access, or the rendered markdown string with
+    ``markdown=True``. Capability analog in the reference: none —
+    extension-tier release tooling."""
+    base = out_path.rstrip("/")
+    manifest = json.loads(
+        _read_manifest_text(spark, f"{base}/manifest.json")
+    )
+    cfg = manifest.get("config", {})
+    rows: list[tuple[str, str, str]] = []
+
+    def add(section: str, key: str, value) -> None:
+        rows.append((section, key, str(value)))
+
+    add("identity", "format", manifest.get("format"))
+    add("identity", "unit", manifest.get("unit"))
+    add("identity", "salt", manifest.get("salt"))
+    add("identity", "epochs", manifest.get("epochs"))
+    add("identity", "data_dir", manifest.get("data_dir", "data"))
+    add("size", "rows", manifest.get("rows"))
+    add("size", "tokens", manifest.get("tokens"))
+    add("size", "num_shards", manifest.get("num_shards"))
+    shards = manifest.get("shards") or {}
+    if shards:
+        per = sorted(int(s["rows"]) for s in shards.values())
+        add("size", "shard_rows_min", per[0])
+        add("size", "shard_rows_max", per[-1])
+        add("size", "shard_rows_median", per[len(per) // 2])
+    recipe = [
+        ("quality_filter", cfg.get("quality_filter")),
+        ("quality_classifier", bool(cfg.get("qcls")) or None),
+        ("decontaminated", cfg.get("decontaminated") or None),
+        ("contamination_ngram", cfg.get("contamination_ngram")),
+        ("lexical_dedup", cfg.get("dedup") or None),
+        ("dedup_threshold", cfg.get("dedup_threshold")),
+        ("keep_policy", cfg.get("keep_quality_col") and "best-quality"
+         or (cfg.get("dedup") and "min-id") or None),
+        ("semantic_dedup",
+         bool(cfg.get("semantic_dedup")) or None),
+        ("dsir_selection", bool(cfg.get("dsir")) or None),
+        ("mixture", cfg.get("mixture")),
+        ("strata_col", cfg.get("strata_col")),
+        ("solved_mixture_rates", cfg.get("solved_mixture_rates")),
+        ("chunk_tokens", cfg.get("chunk_tokens")),
+        ("pack_budget", cfg.get("pack_budget")),
+    ]
+    for key, val in recipe:
+        if val is not None:
+            add("recipe", key, val)
+    stage_rows = manifest.get("stage_rows") or {}
+    if stage_rows:
+        # the manifest serializes sort_keys=True, so pipeline order is
+        # re-derived from the canonical audit sequence; per-stage
+        # deltas are only meaningful in that order (unknown extra keys
+        # append with their raw count, no delta claimed)
+        pipeline = [
+            "input", "quality", "qcls", "decontaminated", "deduped",
+            "semantic_dedup", "dsir", "mixture",
+        ]
+        ordered = [s for s in pipeline if s in stage_rows] + sorted(
+            set(stage_rows) - set(pipeline)
+        )
+        prev = None
+        for name in ordered:
+            n = stage_rows[name]
+            delta = (
+                ""
+                if prev is None or name not in pipeline
+                else f" ({int(n) - prev:+d})"
+            )
+            add("stages", name, f"{n}{delta}")
+            prev = int(n)
+    add("integrity", "schema", manifest.get("schema"))
+    add("integrity", "shingleable", manifest.get("shingleable"))
+    if manifest.get("canary_ids") is not None:
+        add("integrity", "canary_ids", manifest["canary_ids"])
+    if not markdown:
+        return spark.createDataFrame(
+            rows, "section string, key string, value string"
+        )
+    lines = [f"# Training-set data card: {base.rsplit('/', 1)[-1]}", ""]
+    section = None
+    for sec, key, value in rows:
+        if sec != section:
+            lines += [f"## {sec}", ""]
+            section = sec
+        lines.append(f"- **{key}**: {value}")
+    return "\n".join(lines) + "\n"

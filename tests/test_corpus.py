@@ -1442,3 +1442,29 @@ def test_extension_spreads_semantic_contact_through_batch_components(
     )
     db = {r.doc_id for r in C.read_training_set(spark, out_b)[0].collect()}
     assert db == ids and mb["rows"] == m["rows"]
+
+
+def test_training_set_report(spark, tmp_path, base_docs, holdout):
+    """Data-card generator (r11): manifest-only (no data scan), recipe
+    and drop accounting faithfully reflected, both output modes."""
+    out = str(tmp_path / "train_report")
+    manifest = C.materialize_training_set(
+        spark, base_docs, out, benchmark=holdout, num_shards=4,
+        audit=True,
+    )
+    rep = C.training_set_report(spark, out)
+    rows = {(r["section"], r["key"]): r["value"] for r in rep.collect()}
+    assert rows[("size", "rows")] == str(manifest["rows"])
+    assert rows[("size", "tokens")] == str(manifest["tokens"])
+    assert rows[("identity", "epochs")] == "1"
+    assert rows[("recipe", "decontaminated")] == "True"
+    assert rows[("recipe", "lexical_dedup")] == "True"
+    assert ("recipe", "dsir_selection") not in rows  # not configured
+    # drop accounting with per-stage deltas
+    assert rows[("stages", "input")] == "8"
+    assert rows[("stages", "quality")].startswith("7 (-1)")
+    # markdown mode renders every section
+    md = C.training_set_report(spark, out, markdown=True)
+    for sec in ("identity", "size", "recipe", "stages", "integrity"):
+        assert f"## {sec}" in md
+    assert "**rows**: 5" in md
