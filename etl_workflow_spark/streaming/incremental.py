@@ -1832,8 +1832,9 @@ def dsir_fit_from_stores(
 
 def _text_store_id_col(columns: list, id_col: str | None) -> str:
     """Id resolution for the postings store (the :func:`_pq_store_id_col`
-    rules with the postings table's reserved names)."""
-    reserved = {"term", "tf", "dl", "batch_id"}
+    rules with the postings table's reserved names — frequency AND
+    positional layouts share it)."""
+    reserved = {"term", "tf", "dl", "pos", "batch_id"}
     if id_col is not None:
         if id_col not in columns:
             raise ValueError(
@@ -1855,6 +1856,7 @@ def text_index_batch(
     batch_id: int,
     col: str = "text",
     id_col: str = "doc_id",
+    positional: bool = False,
 ) -> None:
     """Tokenize one micro-batch of documents into BM25 postings
     (:func:`~etl_workflow_spark.operators.text.build_text_index`) and
@@ -1866,15 +1868,23 @@ def text_index_batch(
     ``max(text)`` — the store is single-writer, and which duplicate
     survives must not depend on partition order). No model/normalizer
     flag column: the index's normalization (lowercase + whitespace
-    split) is fixed by ``build_text_index`` itself."""
-    from ..operators.text import build_text_index
+    split) is fixed by ``build_text_index`` itself.
+
+    ``positional=True`` writes the POSITIONAL layout instead
+    (:func:`~etl_workflow_spark.operators.text.build_positional_index`
+    — one (term, id, pos) row per occurrence, feeding
+    ``phrase_topk(postings=…)``); keep the two layouts in separate
+    stores — the read path infers the doc-id column from the layout's
+    reserved names."""
+    from ..operators.text import build_positional_index, build_text_index
 
     docs = (
         batch_df.select(F.col(id_col), F.col(col))
         .groupBy(id_col)
         .agg(F.max(F.col(col)).alias(col))
     )
-    rows = build_text_index(docs, col=col, id_col=id_col).withColumn(
+    build = build_positional_index if positional else build_text_index
+    rows = build(docs, col=col, id_col=id_col).withColumn(
         "batch_id", F.lit(int(batch_id))
     )
     (

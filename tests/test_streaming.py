@@ -1284,3 +1284,49 @@ def test_text_index_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
         for r in T.build_text_index(docs.where("doc_id < 120")).collect()
     }
     assert got4 == want4
+
+
+def test_text_index_store_positional_layout(spark, sf_dir, tmp_path):
+    """Positional store layout (r11): fragments merge to the one-pass
+    positional index, re-delivery replaces per-doc, and phrase_topk
+    over the store equals phrase_topk over the corpus."""
+    from etl_workflow_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "posstore")
+    inc.text_index_batch(docs.where("doc_id < 250"), store, 0,
+                         positional=True)
+    inc.text_index_batch(docs.where("doc_id >= 250"), store, 1,
+                         positional=True)
+    got = {tuple(r) for r in inc.read_text_index(spark, store).collect()}
+    want = {tuple(r) for r in T.build_positional_index(docs).collect()}
+    assert got == want
+    PH = ["order fast", "window join stream"]
+    direct = sorted(
+        tuple(r) for r in T.phrase_topk(docs, PH, k=5).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in T.phrase_topk(
+            None, PH, k=5, postings=inc.read_text_index(spark, store)
+        ).collect()
+    )
+    assert stored == direct
+    # re-delivery: doc 0's new positions fully replace the old
+    inc.text_index_batch(
+        spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string"),
+        store, 2, positional=True,
+    )
+    d0 = {
+        (r["term"], r["pos"])
+        for r in inc.read_text_index(spark, store)
+        .where("doc_id = 0").collect()
+    }
+    assert d0 == {("alpha", 0), ("beta", 1)}
+    # compaction preserves the read
+    before = {tuple(r) for r in inc.read_text_index(spark, store).collect()}
+    inc.compact_text_index(spark, store, before_batch_id=3)
+    after = {tuple(r) for r in inc.read_text_index(spark, store).collect()}
+    assert after == before
