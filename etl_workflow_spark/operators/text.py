@@ -3896,3 +3896,105 @@ def collocations_oracle(
         ORDER BY pmi_e6 DESC, w1, w2
         LIMIT {int(k)}
     """
+
+
+def keyword_snippets(
+    df: DataFrame,
+    terms: list[str],
+    window: int = 3,
+    k: int = 20,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) snippets: for each search term, the
+    first ``k`` occurrences in (doc, position) order with ±``window``
+    tokens of context — the audit/search-result-display companion to
+    :func:`bm25_topk` (what a reviewer reads to judge a match). Terms
+    probe the positional occurrences by broadcast; the top-k cut
+    happens BEFORE context assembly, so token arrays are only touched
+    for the ≤ k×|terms| hit docs (the hits broadcast back into one
+    corpus join). Lowercased matching, original token order preserved
+    in the snippet. Returns ``(term, id, pos int, snippet string,
+    rank int)``; deterministic end-to-end (integer positions + string
+    joins — the DuckDB twin agrees structurally)."""
+    tlist = list(dict.fromkeys(t for t in terms if t and t.strip()))
+    if not tlist:
+        raise ValueError("keyword_snippets needs at least one term")
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(t.strip().lower(),) for t in tlist], "term string"
+    )
+    hits = build_positional_index(df, col=col, id_col=id_col).join(
+        F.broadcast(tdf), "term"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    cut = (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col))), r"\s+"), lambda t: t != ""
+    )
+    docs_t = df.where(F.col(col).isNotNull()).select(
+        F.col(id_col), toks.alias("__t")
+    )
+    start = F.greatest(F.col("pos") + 1 - F.lit(int(window)), F.lit(1))
+    end = F.least(
+        F.col("pos") + 1 + F.lit(int(window)), F.size(F.col("__t"))
+    )
+    return (
+        docs_t.join(F.broadcast(cut), id_col)
+        .select(
+            "term",
+            id_col,
+            "pos",
+            F.array_join(
+                F.slice(F.col("__t"), start, end - start + 1), " "
+            ).alias("snippet"),
+            "rank",
+        )
+    )
+
+
+def keyword_snippets_oracle(
+    terms: list[str], window: int = 3, k: int = 20,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`keyword_snippets`."""
+    vals = ", ".join(
+        "('" + t.strip().lower().replace("'", "''") + "')"
+        for t in dict.fromkeys(t for t in terms if t and t.strip())
+    )
+    t = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
+    return f"""
+        WITH q(term) AS (VALUES {vals}),
+        tok AS (
+            SELECT doc_id, {t} AS ts FROM {table} WHERE text IS NOT NULL
+        ),
+        post AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(ts, 1) - 1 AS INT) AS pos,
+                   unnest(ts) AS term
+            FROM tok
+        ),
+        cut AS (
+            SELECT term, doc_id, pos,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                           ORDER BY doc_id, pos)
+                        AS INT) AS rank
+            FROM post JOIN q USING (term)
+        )
+        SELECT cut.term, cut.doc_id, cut.pos,
+               array_to_string(tok.ts[
+                   greatest(cut.pos + 1 - {int(window)}, 1) :
+                   least(cut.pos + 1 + {int(window)}, len(tok.ts))
+               ], ' ') AS snippet,
+               cut.rank
+        FROM cut JOIN tok USING (doc_id)
+        WHERE cut.rank <= {int(k)}
+    """

@@ -296,3 +296,45 @@ def test_collocations_matches_duckdb(spark, sf_dir):
         ).fetchall()
     ]
     assert got == want and len(got) == 20
+
+
+def test_keyword_snippets(spark, sf_dir):
+    import duckdb
+
+    # hand-checked window clipping at both edges
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "beta"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["term"], r["doc_id"], r["pos"]): (r["snippet"], r["rank"])
+        for r in T.keyword_snippets(docs, ["beta", "Epsilon"], window=2)
+        .collect()
+    }
+    assert out[("beta", 1, 1)] == ("alpha beta gamma delta", 1)
+    assert out[("beta", 2, 0)] == ("beta", 2)
+    assert out[("epsilon", 1, 4)] == ("gamma delta epsilon", 1)
+    with pytest.raises(ValueError, match="at least one"):
+        T.keyword_snippets(docs, ["  "])
+
+    # DuckDB parity + top-k cut on real data
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in T.keyword_snippets(
+            real, ["hash", "window"], window=3, k=10
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            T.keyword_snippets_oracle(["hash", "window"], window=3, k=10)
+        ).fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) <= 20
