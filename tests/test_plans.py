@@ -518,3 +518,52 @@ def test_imi_topk_plan_shape(spark, sf_dir):
     composed = imi_pq_topk(fused, q, model, pq_m, emb, k=3,
                            n_probe_pairs=8)
     assert plans.count_python_evals(composed) == 2
+
+
+def test_phrase_topk_plan_shape(spark, sf_dir):
+    """Phrase search (r11): the tiny phrase-term frame broadcasts into
+    the positional scan — never a nested loop — and the per-phrase
+    rank cut pushes k into the window."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import phrase_topk
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plans.physical_plan(
+        phrase_topk(docs, ["order fast", "data slow"], k=5)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_collocations_plan_shape(spark, sf_dir):
+    """Collocations (r11): global top-k compiles to TakeOrdered (a
+    per-partition heap merged at the driver), never a full sort."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import collocations
+
+    docs = table(spark, sf_dir, "documents")
+    plan = plans.physical_plan(collocations(docs, k=20, min_count=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_fuse_plan_shape(spark, sf_dir):
+    """Hybrid fusion (r11): fusing two ranked lists shuffles only the
+    k x |queries| x |lists| result rows — never a corpus-sized side —
+    and the final cut pushes k into the window."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.ranking import rrf_fuse
+    from etl_workflow_spark.operators.text import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    a = bm25_topk(docs, ["hash join"], k=10).select(
+        "query", "doc_id", "rank"
+    )
+    b = bm25_topk(docs, ["slow filter"], k=10).select(
+        "query", "doc_id", "rank"
+    )
+    plan = plans.physical_plan(rrf_fuse([a, b], k=5))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
