@@ -3771,6 +3771,30 @@ def collocations(
     arrays_zip of the shifted slices) → one (w1, w2) agg; unigram
     counts reuse the same exploded pass. The only driver scalars are
     U and B (one agg). Capability analog in the reference: none."""
+    pairs = adjacent_bigram_counts(df, col=col)
+    uni = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    return _collocations_score(pairs, uni, k=k, min_count=min_count)
+
+
+def adjacent_bigram_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Corpus adjacent-bigram counts ``(w1, w2, n_pair)`` — THE single
+    extraction :func:`collocations` and the streaming bigram store
+    (:func:`~etl_workflow_spark.streaming.incremental.bigram_rollup_batch`)
+    share, so batch and store-fed PMI cannot drift. One tokenize pass,
+    codegen arrays_zip of the shifted slices, one combiner-friendly
+    agg."""
     from .partitioning import scale_partitions
 
     toks = F.filter(
@@ -3780,7 +3804,7 @@ def collocations(
     base = scale_partitions(df.where(F.col(col).isNotNull())).select(
         toks.alias("__t")
     )
-    pairs = (
+    return (
         base.where(F.size("__t") >= 2)
         .select(
             F.explode(
@@ -3794,11 +3818,15 @@ def collocations(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
-    uni = (
-        base.select(F.explode("__t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_w"))
-    )
+
+
+def _collocations_score(
+    pairs: DataFrame, uni: DataFrame, k: int, min_count: int
+) -> DataFrame:
+    """The PMI scoring tail shared by :func:`collocations` (inline
+    counts) and ``collocations_from_stores`` (persisted counts):
+    identical arithmetic on ``pairs (w1, w2, n_pair)`` ×
+    ``uni (w, n_w)``, so the two entry points cannot drift."""
     totals = uni.agg(
         F.sum("n_w").alias("u"),
     ).collect()[0]

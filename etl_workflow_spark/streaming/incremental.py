@@ -1971,3 +1971,116 @@ def compact_text_index(
         spark, store_path, before_batch_id, merge,
         partition_by=["batch_id"],
     )
+
+
+# ------------------------------------------------- bigram count store
+
+
+def bigram_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    col: str = "text",
+) -> None:
+    """Write one micro-batch's adjacent-bigram counts into the bigram
+    store, EXACTLY-ONCE (the :func:`vocab_rollup_batch` contract:
+    ``batch_id=…`` partition overwrite — additive counts need
+    write-side idempotence). Extraction is
+    :func:`~etl_workflow_spark.operators.text.adjacent_bigram_counts`
+    — the SAME code the batch :func:`collocations` runs, so store-fed
+    PMI cannot drift from inline PMI. Together with the vocabulary
+    store (unigram counts, same lowercase normalization) this gives
+    :func:`collocations_from_stores` everything it needs WITHOUT
+    re-scanning the corpus per refresh. No per-batch ``min_count``:
+    thresholds must see the merged counts (the vocab-store rule)."""
+    from ..operators.text import adjacent_bigram_counts
+
+    counts = adjacent_bigram_counts(batch_df, col=col).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_bigram_rollup(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous bigram-store maintenance (the
+    :func:`stream_vocab_rollup` twin). Returns a writeStream builder
+    (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bigram_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_bigram_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's current merged ``(w1, w2, n_pair)`` counts — one
+    combiner-friendly sum of the fragments."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n_pair").alias("n_pair"))
+    )
+
+
+def compact_bigram_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Collapse closed batches' fragments into one row per bigram
+    under ``batch_id=-1`` (:func:`_compact_batched_store` contract)."""
+    _compact_batched_store(
+        spark, store_path, before_batch_id,
+        lambda old: old.groupBy("w1", "w2").agg(
+            F.sum("n_pair").alias("n_pair")
+        ).select("w1", "w2", "n_pair"),
+        partition_by=["batch_id"],
+    )
+
+
+def collocations_from_stores(
+    spark: SparkSession,
+    bigram_store_path: str,
+    vocab_store_path: str,
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k PMI collocations computed from the PERSISTED count stores
+    (bigram store + vocabulary store) instead of a corpus scan — the
+    100 TB refresh path: the corpus is tokenized-and-counted exactly
+    once per document at ingest, and every PMI refresh reads two small
+    additive stores. Scoring is
+    :func:`~etl_workflow_spark.operators.text._collocations_score`,
+    the IDENTICAL arithmetic of the batch op, so on the same ingested
+    rows the two paths return byte-equal frames (pytest-enforced).
+    Refuses a vocabulary store built without lowercasing — bigram
+    extraction always lowercases, and mixing normalizations would
+    silently misalign the unigram denominators."""
+    from ..operators.text import _collocations_score
+
+    store = _read_vocab_store_raw(spark, vocab_store_path)
+    if not _vocab_store_flag(store):
+        raise ValueError(
+            "collocations_from_stores needs a LOWERCASE vocabulary "
+            "store (the bigram store always lowercases); rebuild the "
+            "vocab store with lowercase=True"
+        )
+    uni = (
+        store.groupBy("token")
+        .agg(F.sum("count").alias("n_w"))
+        .withColumnRenamed("token", "w")
+    )
+    pairs = read_bigram_store(spark, bigram_store_path)
+    return _collocations_score(pairs, uni, k=k, min_count=min_count)

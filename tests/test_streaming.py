@@ -1330,3 +1330,75 @@ def test_text_index_store_positional_layout(spark, sf_dir, tmp_path):
     inc.compact_text_index(spark, store, before_batch_id=3)
     after = {tuple(r) for r in inc.read_text_index(spark, store).collect()}
     assert after == before
+
+
+def test_bigram_store_collocations_match_batch(spark, sf_dir, tmp_path):
+    """Bigram count store (r11): store-fed PMI equals the batch
+    collocations byte-for-byte on the same ingested rows; replay
+    overwrites; compaction preserves the read; non-lowercase vocab
+    stores are refused; a real availableNow stream lands fragments."""
+    import pytest
+
+    from etl_workflow_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bstore = str(tmp_path / "bigrams")
+    vstore = str(tmp_path / "vocab")
+    for bid, part in ((0, "doc_id < 250"), (1, "doc_id >= 250")):
+        inc.bigram_rollup_batch(docs.where(part), bstore, bid)
+        inc.vocab_rollup_batch(docs.where(part), vstore, bid)
+    inc.bigram_rollup_batch(docs.where("doc_id >= 250"), bstore, 1)  # replay
+    want = [
+        tuple(r) for r in T.collocations(docs, k=25, min_count=5).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in inc.collocations_from_stores(
+            spark, bstore, vstore, k=25, min_count=5
+        ).collect()
+    ]
+    assert got == want and len(got) == 25
+    # compaction preserves the answer
+    inc.compact_bigram_store(spark, bstore, before_batch_id=2)
+    after = [
+        tuple(r)
+        for r in inc.collocations_from_stores(
+            spark, bstore, vstore, k=25, min_count=5
+        ).collect()
+    ]
+    assert after == want
+    frag_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(bstore).select("batch_id")
+        .distinct().collect()
+    }
+    assert frag_ids == {-1}
+    # non-lowercase vocab store refused
+    vstore2 = str(tmp_path / "vocab_cased")
+    inc.vocab_rollup_batch(docs, vstore2, 0, lowercase=False)
+    with pytest.raises(ValueError, match="LOWERCASE"):
+        inc.collocations_from_stores(spark, bstore, vstore2)
+    # real availableNow stream
+    src = str(tmp_path / "src_bi")
+    docs.where("doc_id < 120").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    bstore3 = str(tmp_path / "bigrams_stream")
+    qh = (
+        inc.stream_bigram_rollup(stream, bstore3, str(tmp_path / "ckpt_bi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    got3 = {
+        (r["w1"], r["w2"]): r["n_pair"]
+        for r in inc.read_bigram_store(spark, bstore3).collect()
+    }
+    want3 = {
+        (r["w1"], r["w2"]): r["n_pair"]
+        for r in T.adjacent_bigram_counts(
+            docs.where("doc_id < 120")
+        ).collect()
+    }
+    assert got3 == want3
