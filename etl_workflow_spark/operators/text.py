@@ -4026,3 +4026,89 @@ def keyword_snippets_oracle(
         FROM cut JOIN tok USING (doc_id)
         WHERE cut.rank <= {int(k)}
     """
+
+
+# ------------------------------------------------------- corpus drift
+
+
+def corpus_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    buckets: int = 512,
+    col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots via the
+    Population Stability Index over hashed term buckets — the
+    monitoring op a continuously-ingesting training pipeline runs
+    between yesterday's and today's crawl ("did the source mix
+    shift?"). Terms hash to ``crc32(term) mod buckets`` (the
+    :func:`hashed_tfidf_vectors` bucket, sign-free); per bucket,
+    ``PSI_i = (p_i − q_i) · ln(p_i / q_i)`` with additively-smoothed
+    ratios, computed as the EXACT-int log difference
+    ``(ln(c_a + s) − ln(U_a + s·B)) − (ln(c_b + s) − ln(U_b + s·B))``
+    so the SQL twin agrees bit-for-bit after the e9 floor of each
+    bucket's contribution (integer total = order-free). Standard
+    reading: PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major
+    shift. Returns one row per NONZERO bucket ``(bucket, n_a, n_b,
+    psi_e9)`` plus the ``psi_total_e9`` constant column; one pass per
+    corpus, shuffle bounded by ``buckets``. Correctness tier: the
+    zlib/numpy oracle in pytest (Spark's crc32 == zlib.crc32,
+    verified) — a DuckDB twin would need the recursive crc32 CTE at
+    per-term cost for no extra assurance.
+
+    Capability analog in the reference: none — extension-tier
+    pipeline monitoring."""
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive (got {buckets})")
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        toks = F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term")
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(toks)
+            .select(
+                F.pmod(
+                    F.crc32(F.encode(F.col("term"), "UTF-8")),
+                    F.lit(int(buckets)),
+                ).cast("int").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a = _counts(df_a, "n_a")
+    b = _counts(df_b, "n_b")
+    joined = a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("ua"), F.sum("n_b").alias("ub")
+    ).collect()[0]
+    ua, ub = int(tot["ua"] or 0), int(tot["ub"] or 0)
+    if ua == 0 or ub == 0:
+        raise ValueError("corpus_drift needs non-empty text on both sides")
+    s = float(smoothing)
+    sb = s * buckets
+    # log-ratio of smoothed proportions, identical parenthesization in
+    # the SQL twin; every operand is an exact-int-plus-constant double
+    lr = (
+        (F.log(F.col("n_a") + F.lit(s)) - F.log(F.lit(ua + sb)))
+        - (F.log(F.col("n_b") + F.lit(s)) - F.log(F.lit(ub + sb)))
+    )
+    p = (F.col("n_a") + F.lit(s)) / F.lit(ua + sb)
+    q = (F.col("n_b") + F.lit(s)) / F.lit(ub + sb)
+    per = joined.withColumn(
+        "psi_e9", F.floor(((p - q) * lr) * F.lit(1e9))
+    )
+    total = per.agg(F.sum("psi_e9")).collect()[0][0]
+    return per.withColumn(
+        "psi_total_e9", F.lit(int(total)).cast("bigint")
+    ).orderBy("bucket")

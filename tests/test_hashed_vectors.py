@@ -117,3 +117,73 @@ def test_hashed_tfidf_edges_and_determinism(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_drift_matches_numpy_oracle(spark, sf_dir):
+    """PSI drift (r11): exact parity with an independent zlib/numpy
+    oracle; identical corpora score ~0; a major injected shift scores
+    over the published 0.25 threshold; refusals."""
+    import math as _math
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a_df = docs.where("doc_id < 250")
+    b_df = docs.where("doc_id >= 250")
+    B, S = 64, 0.5
+    from etl_workflow_spark.operators.text import corpus_drift
+
+    rows = corpus_drift(a_df, b_df, buckets=B, smoothing=S).collect()
+
+    def counts(frame):
+        c = {}
+        tot = 0
+        for r in frame.collect():
+            if r["text"] is None:
+                continue
+            for w in r["text"].strip().lower().split():
+                if w:
+                    b = zlib.crc32(w.encode()) % B
+                    c[b] = c.get(b, 0) + 1
+                    tot += 1
+        return c, tot
+
+    ca, ua = counts(a_df)
+    cb, ub = counts(b_df)
+    want = {}
+    want_total = 0
+    for b in sorted(set(ca) | set(cb)):
+        na, nb = ca.get(b, 0), cb.get(b, 0)
+        lr = (
+            (_math.log(na + S) - _math.log(ua + S * B))
+            - (_math.log(nb + S) - _math.log(ub + S * B))
+        )
+        p = (na + S) / (ua + S * B)
+        q = (nb + S) / (ub + S * B)
+        e9 = _math.floor((p - q) * lr * 1e9)
+        want[b] = (na, nb, e9)
+        want_total += e9
+    got = {
+        r["bucket"]: (r["n_a"], r["n_b"], r["psi_e9"]) for r in rows
+    }
+    assert got == want
+    assert all(r["psi_total_e9"] == want_total for r in rows)
+    # two halves of the same synthetic corpus: stable (< 0.1)
+    assert want_total / 1e9 < 0.1
+    # injected major shift: replace half of B's text with a new token
+    shifted = b_df.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("zzznovel " * 60)
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    big = corpus_drift(a_df, shifted, buckets=B, smoothing=S).collect()
+    assert big[0]["psi_total_e9"] / 1e9 > 0.25
+    with pytest.raises(ValueError, match="non-empty"):
+        corpus_drift(
+            a_df,
+            spark.createDataFrame([], "doc_id long, text string"),
+            buckets=B,
+        )
+    with pytest.raises(ValueError, match="buckets"):
+        corpus_drift(a_df, b_df, buckets=0)
