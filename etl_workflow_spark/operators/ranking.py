@@ -304,3 +304,94 @@ def rrf_fuse(
         .where(F.col("rank") <= int(k))
         .select("query", id_col, "n_lists", "rrf_e6", "rank")
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Standard ranking-quality metrics per query — MRR, recall@k, and
+    nDCG@k — for tuning the retrieval tier (BM25 / ANN / hybrid
+    fusion) against labeled relevance judgments (``qrels``: one row
+    per (query, doc) with graded ``rel >= 0``; unlabeled docs count as
+    rel 0). Everything is exact or fixed-point-deterministic:
+
+    - ``mrr_e6 = 1000000 div r`` for the first relevant rank r (0 when
+      none retrieved in the top k) — pure integers;
+    - ``n_hit`` / ``n_rel`` are exact counts (recall@k = n_hit/n_rel,
+      left to the caller as a ratio of ints);
+    - DCG terms ``(2^rel − 1) / log2(i + 1)`` are each floored at e9
+      and integer-summed (order-free), and ``ndcg_e6 = (dcg_e9 *
+      1000000) div idcg_e9`` is integer division — so a SQL oracle
+      replays every value bit-for-bit. IDCG places the query's
+      relevance grades in descending order (standard ideal ranking).
+
+    Shapes: qrels join on (query, doc) — judgment sets are small; the
+    IDCG window partitions by query over qrels only. Queries with no
+    relevant docs at all are omitted (their metrics are undefined).
+    Returns ``(query, n_rel, n_hit, mrr_e6, dcg_e9, idcg_e9,
+    ndcg_e6)``."""
+    from pyspark.sql.window import Window
+
+    r = ranked.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).alias("__rank"),
+    ).where(F.col("__rank") <= int(k))
+    j = qrels.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).alias("__rel"),
+    )
+    hits = r.join(j, ["query", "__id"]).where(F.col("__rel") > 0)
+    dcg_term = F.floor(
+        (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0))
+        / F.log2(F.col("__rank") + F.lit(1))
+        * F.lit(1e9)
+    )
+    per_hit = hits.groupBy("query").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit"),
+        F.expr("1000000 div min(__rank)").alias("mrr_e6"),
+        F.sum(dcg_term).alias("dcg_e9"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    ideal = (
+        j.where(F.col("__rel") > 0)
+        .withColumn("__irank", F.row_number().over(w))
+        .where(F.col("__irank") <= int(k))
+    )
+    idcg_term = F.floor(
+        (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0))
+        / F.log2(F.col("__irank") + F.lit(1))
+        * F.lit(1e9)
+    )
+    per_ideal = ideal.groupBy("query").agg(
+        F.sum(idcg_term).alias("idcg_e9"),
+    )
+    n_rel = (
+        j.where(F.col("__rel") > 0)
+        .groupBy("query")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_rel"))
+    )
+    return (
+        n_rel.join(per_ideal, "query")
+        .join(per_hit, "query", "left")
+        .select(
+            "query",
+            "n_rel",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.coalesce(F.col("mrr_e6"), F.lit(0)).alias("mrr_e6"),
+            F.coalesce(F.col("dcg_e9"), F.lit(0)).alias("dcg_e9"),
+            "idcg_e9",
+            F.expr(
+                "coalesce(dcg_e9, 0) * 1000000 div idcg_e9"
+            ).alias("ndcg_e6"),
+        )
+    )

@@ -275,3 +275,65 @@ def test_rrf_fuse_hybrid_end_to_end(spark, sf_dir):
     }
     if both_top:
         assert {r["doc_id"] for r in fused if r["rank"] == 1} == both_top
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """MRR / recall@k / nDCG@k (r11): every value checked against a
+    hand computation with the same e9-floor-then-integer-sum rule."""
+    import math
+
+    from etl_workflow_spark.operators.ranking import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [
+            ("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+            ("q2", 20, 1), ("q2", 21, 2),
+            ("q3", 30, 1),
+        ],
+        "query string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            ("q1", 11, 2), ("q1", 12, 1), ("q1", 99, 3),  # 99 missed
+            ("q2", 21, 1),
+            ("q3", 77, 1),          # nothing retrieved is relevant
+            ("q4", 50, 2),          # query never ranked at all
+        ],
+        "query string, doc_id long, rel int",
+    )
+    out = {r["query"]: r for r in retrieval_metrics(
+        ranked, qrels, k=3).collect()}
+
+    def term(rel, pos):
+        return math.floor((2 ** rel - 1) / math.log2(pos + 1) * 1e9)
+
+    q1 = out["q1"]
+    assert (q1["n_rel"], q1["n_hit"]) == (3, 2)
+    assert q1["mrr_e6"] == 1_000_000 // 2  # first hit at rank 2
+    assert q1["dcg_e9"] == term(2, 2) + term(1, 3)
+    # ideal order: rel 3, 2, 1 at positions 1..3
+    assert q1["idcg_e9"] == term(3, 1) + term(2, 2) + term(1, 3)
+    assert q1["ndcg_e6"] == q1["dcg_e9"] * 1_000_000 // q1["idcg_e9"]
+    q2 = out["q2"]
+    assert (q2["n_rel"], q2["n_hit"], q2["mrr_e6"]) == (1, 1, 500_000)
+    assert q2["ndcg_e6"] == term(1, 2) * 1_000_000 // term(1, 1)
+    # no relevant doc retrieved: zeros, but the query still reports
+    q3 = out["q3"]
+    assert (q3["n_hit"], q3["mrr_e6"], q3["dcg_e9"], q3["ndcg_e6"]) == (
+        0, 0, 0, 0,
+    )
+    # judged-but-never-ranked query also reports (recall denominator)
+    assert out["q4"]["n_hit"] == 0 and out["q4"]["n_rel"] == 1
+    # perfect ranking scores ndcg exactly 1e6
+    perfect = retrieval_metrics(
+        spark.createDataFrame(
+            [("p", 1, 1), ("p", 2, 2)],
+            "query string, doc_id long, rank int",
+        ),
+        spark.createDataFrame(
+            [("p", 1, 2), ("p", 2, 1)],
+            "query string, doc_id long, rel int",
+        ),
+        k=5,
+    ).collect()[0]
+    assert perfect["ndcg_e6"] == 1_000_000
