@@ -208,3 +208,51 @@ def test_imi_ops_on_empty_inputs(spark, sf_dir):
     out = S.imi_topk(idx, q0, model, one, k=3)
     assert out.columns == ["query_id", "neighbor_id", "score_e4", "rank"]
     assert out.count() == 0
+
+
+def test_retrieval_tier_ops_on_empty_inputs(spark, empty_docs, sf_dir):
+    """r11 retrieval tier: empty corpora either yield empty frames
+    (index builders, snippet/metric joins) or refuse with the
+    DOCUMENTED ValueError (ops whose semantics need a non-empty
+    corpus-level denominator) — never an opaque engine error."""
+    from etl_workflow_spark.operators import text as T
+    from etl_workflow_spark.operators.ranking import (
+        retrieval_metrics, rrf_fuse,
+    )
+
+    # index builders: empty in, empty out
+    assert T.build_text_index(empty_docs).count() == 0
+    assert T.build_positional_index(empty_docs).count() == 0
+    # queries against an empty index: documented refusal (bm25 needs
+    # N > 0) / empty result (phrase, snippets — no denominators)
+    with pytest.raises(ValueError, match="empty"):
+        T.bm25_topk(empty_docs, ["spark"], k=5)
+    assert T.phrase_topk(empty_docs, ["a b"], k=5).count() == 0
+    assert T.keyword_snippets(empty_docs, ["spark"]).count() == 0
+    # statistics ops: documented refusals (corpus-level denominators)
+    with pytest.raises(ValueError, match="non-empty"):
+        T.collocations(empty_docs)
+    with pytest.raises(ValueError, match="non-empty"):
+        T.corpus_drift(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            empty_docs,
+        )
+    # vector / tokenizer builders: empty in, empty out
+    assert T.hashed_tfidf_vectors(empty_docs, dim=8).count() == 0
+    model = {
+        "format": "spark-graft-wordpiece/v1",
+        "vocab": ["[UNK]", "a", "##a"],
+        "lowercase": True,
+        "unk": "[UNK]",
+        "max_input_chars_per_word": 100,
+    }
+    assert T.wordpiece_encode(empty_docs, model).count() == 0
+    # fusion / evaluation over empty ranked lists
+    empty_ranked = spark.createDataFrame(
+        [], "query string, doc_id long, rank int"
+    )
+    assert rrf_fuse([empty_ranked, empty_ranked], k=5).count() == 0
+    empty_qrels = spark.createDataFrame(
+        [], "query string, doc_id long, rel int"
+    )
+    assert retrieval_metrics(empty_ranked, empty_qrels).count() == 0
