@@ -4112,3 +4112,112 @@ def corpus_drift(
     return per.withColumn(
         "psi_total_e9", F.lit(int(total)).cast("bigint")
     ).orderBy("bucket")
+
+
+def expand_queries(
+    df: DataFrame | None,
+    queries,
+    n_docs: int = 5,
+    n_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 recipe
+    simplified; Lavrenko & Croft 2001 relevance models, Abdul-Jaleel
+    2004 RM3): run each query through BM25, treat its top ``n_docs``
+    documents as relevant, score their terms by feedback weight
+    ``(Σ tf over feedback docs) · idf`` (idf = the BM25 form over the
+    full index), drop the query's own terms, and append the top
+    ``n_terms`` (ties by term ascending) to the query text. The
+    expanded string feeds straight back into :func:`bm25_topk` (bag
+    semantics keep the original terms' weight). One extra
+    broadcast-probed postings pass beyond the initial ranking —
+    feedback docs are k·|queries| ids, so their term lists broadcast.
+    Deterministic: tf sums are exact ints, each term's score is one
+    int × double multiply floored at e6 before ranking. Returns
+    ``(query, expanded_query, added_terms array<string>)``."""
+    if postings is None:
+        if df is None:
+            raise ValueError("expand_queries needs df or postings")
+        postings = build_text_index(df, col=col, id_col=id_col)
+    top = bm25_topk(
+        None, queries, k=int(n_docs), k1=k1, b=b, id_col=id_col,
+        postings=postings,
+    ).select("query", id_col)
+    fb = postings.join(F.broadcast(top), id_col)
+    cand = fb.groupBy("query", "term").agg(
+        F.sum("tf").alias("tfsum")
+    )
+    stats = postings.agg(
+        F.countDistinct(F.col(id_col)).alias("n"),
+    ).collect()[0]
+    n_total = int(stats["n"] or 0)
+    dfreq = postings.join(
+        F.broadcast(cand.select("term").distinct()), "term"
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qtoks = F.split(F.trim(F.lower(F.col("query"))), r"\s+")
+    spark = postings.sparkSession
+    if not isinstance(queries, DataFrame):
+        qdf = spark.createDataFrame(
+            [(q,) for q in dict.fromkeys(queries)], "query string"
+        )
+    else:
+        qdf = queries.dropDuplicates(["query"])
+    own = qdf.select(
+        "query", F.explode(qtoks).alias("term")
+    ).where(F.col("term") != "")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_total) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        cand.join(own, ["query", "term"], "left_anti")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "score_e6",
+            F.floor(F.col("tfsum").cast("double") * idf * F.lit(1e6)),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    picked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(n_terms))
+        .groupBy("query")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("rk", "term")))
+            .alias("__ts")
+        )
+        .select(
+            "query",
+            F.transform(F.col("__ts"), lambda s: s["term"]).alias(
+                "added_terms"
+            ),
+        )
+    )
+    return qdf.join(picked, "query", "left").select(
+        "query",
+        F.when(
+            F.col("added_terms").isNull()
+            | (F.size("added_terms") == 0),
+            F.col("query"),
+        )
+        .otherwise(
+            F.concat(
+                F.col("query"), F.lit(" "),
+                F.array_join("added_terms", " "),
+            )
+        )
+        .alias("expanded_query"),
+        F.coalesce(
+            F.col("added_terms"),
+            F.array().cast("array<string>"),
+        ).alias("added_terms"),
+    )

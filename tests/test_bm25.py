@@ -338,3 +338,53 @@ def test_keyword_snippets(spark, sf_dir):
     )
     assert got == want
     assert 0 < len(got) <= 20
+
+
+def test_expand_queries_prf(spark):
+    """RM3-lite expansion (r11): feedback terms come from the top
+    docs, exclude the original query's own terms, and the expanded
+    query retrieves co-occurrence neighbors the original missed."""
+    docs = spark.createDataFrame(
+        [
+            (1, "red apple fruit basket"),
+            (2, "apple orchard harvest"),
+            (3, "banana plantation yellow"),
+            (4, "red paint bucket"),
+        ],
+        "doc_id long, text string",
+    )
+    exp = {
+        r["query"]: (r["expanded_query"], r["added_terms"])
+        for r in T.expand_queries(
+            docs, ["red"], n_docs=2, n_terms=2
+        ).collect()
+    }
+    expanded, added = exp["red"]
+    # expansion keeps the original query as a prefix and never
+    # re-adds its own terms
+    assert expanded.startswith("red ")
+    assert "red" not in added and len(added) == 2
+    # every added term really occurs in the feedback docs (1 and 4)
+    fb_terms = {"apple", "fruit", "basket", "paint", "bucket"}
+    assert set(added) <= fb_terms
+    # the expanded query reaches a doc the original could not: doc 2
+    # shares no term with "red" but co-occurs with its feedback terms
+    before = {r["doc_id"] for r in T.bm25_topk(docs, ["red"], k=4)
+              .collect()}
+    after = {r["doc_id"] for r in T.bm25_topk(docs, [expanded], k=4)
+             .collect()}
+    assert 2 not in before
+    if "apple" in added:
+        assert 2 in after
+    # a query with no matches expands to itself
+    none = T.expand_queries(docs, ["zzzmiss"], n_docs=2).collect()[0]
+    assert none["expanded_query"] == "zzzmiss"
+    assert none["added_terms"] == []
+    # deterministic under repartition
+    again = {
+        r["query"]: (r["expanded_query"], r["added_terms"])
+        for r in T.expand_queries(
+            docs.repartition(5), ["red"], n_docs=2, n_terms=2
+        ).collect()
+    }
+    assert again == exp
