@@ -188,8 +188,9 @@ def main() -> None:
         # round-11: exact phrase search — positional index build
         # (posexplode) + broadcast adjacency join, ×5 phrases
         "phrase_search",
-        # round-11: PMI collocations — one tokenize pass, bigram +
-        # unigram aggs, distributed top-k
+        # round-11: PMI collocations — bigram + unigram tokenize/agg
+        # evaluations, distributed top-k (the store-fed refresh path
+        # skips both corpus scans)
         "collocations",
         # round-11: signed feature-hashed TF-IDF document vectors —
         # the text→embedding bridge (explode + two aggs + one

@@ -1820,12 +1820,17 @@ def training_set_report(
     stage_rows = manifest.get("stage_rows") or {}
     if stage_rows:
         # the manifest serializes sort_keys=True, so pipeline order is
-        # re-derived from the canonical audit sequence; per-stage
-        # deltas are only meaningful in that order (unknown extra keys
-        # append with their raw count, no delta claimed)
+        # re-derived from the canonical audit sequence — the merged
+        # order of BOTH writers (materialize_training_set's build
+        # audits and extend_training_set's extension audits, which
+        # REWRITE stage_rows on audited extensions); per-stage deltas
+        # are only meaningful in that order (unknown extra keys append
+        # with their raw count, no delta claimed)
         pipeline = [
-            "input", "quality", "qcls", "decontaminated", "deduped",
-            "semantic_dedup", "dsir", "mixture",
+            "input", "new_ids", "quality", "qcls", "decontaminated",
+            "deduped", "deduped_within_batch", "cross_exact",
+            "cross_neardup", "semantic_dedup", "semantic_within_batch",
+            "cross_semantic", "dsir", "mixture",
         ]
         ordered = [s for s in pipeline if s in stage_rows] + sorted(
             set(stage_rows) - set(pipeline)

@@ -343,10 +343,26 @@ def retrieval_metrics(
         F.col(id_col).alias("__id"),
         F.col(rank_col).alias("__rank"),
     ).where(F.col("__rank") <= int(k))
+    # graded rel is bounded so the fixed-point arithmetic cannot wrap:
+    # a rel-16 term is (2^16-1)*1e9 ~ 6.6e13 in e9, and dcg_e9 * 1e6
+    # must stay inside int64 (silent wrap under non-ANSI mode
+    # otherwise); judgment grades above 16 have no published meaning.
+    # The guard rides INSIDE the consumed column (a dropped assert
+    # column would be pruned away by the optimizer).
     j = qrels.select(
         F.col(query_col).alias("query"),
         F.col(id_col).alias("__id"),
-        F.col(rel_col).alias("__rel"),
+        F.when(
+            F.col(rel_col) > 16,
+            F.raise_error(
+                F.lit(
+                    "retrieval_metrics supports graded rel <= 16 "
+                    "(fixed-point DCG must fit int64)"
+                )
+            ),
+        )
+        .otherwise(F.col(rel_col))
+        .alias("__rel"),
     )
     hits = r.join(j, ["query", "__id"]).where(F.col("__rel") > 0)
     dcg_term = F.floor(

@@ -2997,6 +2997,18 @@ def build_text_index(
     )
 
 
+def _bm25_index_stats(postings: DataFrame, id_col: str) -> tuple[int, int]:
+    """The index's (n_docs, total_tokens) pair — ONE bounded agg,
+    shared by :func:`bm25_topk` and :func:`expand_queries` so the
+    expansion path never re-scans the index for numbers the ranking
+    pass already derived."""
+    row = postings.agg(
+        F.countDistinct(F.col(id_col)).alias("n"),
+        F.sum("tf").alias("total"),
+    ).collect()[0]
+    return int(row["n"] or 0), int(row["total"] or 0)
+
+
 def bm25_topk(
     df: DataFrame | None,
     queries,
@@ -3007,6 +3019,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     postings: DataFrame | None = None,
     max_df_ratio: float | None = None,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25, exactly and
     deterministically: per query term,
@@ -3039,7 +3052,9 @@ def bm25_topk(
     the inline path re-tokenizes, so batch queries and pass
     ``postings=`` in production. ``max_df_ratio`` drops query terms
     whose document frequency exceeds that fraction of the corpus
-    (query-time stopword elimination): a corpus-frequent term owns a
+    (query-time stopword elimination); ``stats`` injects a prebuilt
+    ``(n_docs, total_tokens)`` pair (:func:`_bm25_index_stats`) so a
+    caller ranking repeatedly over one index skips the stats agg: a corpus-frequent term owns a
     ~corpus-sized posting list — THE skew that dominates hybrid query
     cost at scale — while contributing near-zero idf, so pruning it
     bounds the candidate scan at almost no ranking cost; documents
@@ -3071,14 +3086,14 @@ def bm25_topk(
     )
     # one scalar action for corpus stats (bounded driver state, the
     # tfidf_top_terms contract): N docs + total tokens from the index
-    stats = postings.agg(
-        F.countDistinct(F.col(id_col)).alias("n"),
-        F.sum("tf").alias("total"),
-    ).collect()[0]
-    n_docs = int(stats["n"] or 0)
+    # — or reuse a caller-provided pair (expand_queries ranks and
+    # expands over the same index; re-aggregating would re-scan it)
+    if stats is None:
+        stats = _bm25_index_stats(postings, id_col)
+    n_docs, total = stats
     if n_docs == 0:
         raise ValueError("bm25_topk: the postings index is empty")
-    avgdl = int(stats["total"]) / n_docs
+    avgdl = total / n_docs
     hits = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     )
@@ -3608,17 +3623,24 @@ def build_positional_index(
     PHRASE queries become adjacency joins (:func:`phrase_topk`).
     ~dl rows per doc instead of ~distinct-terms — write it
     term-partitioned like the frequency index and a phrase's probe
-    broadcast-prunes to its terms' rows."""
+    broadcast-prunes to its terms' rows. Positions index the
+    NON-EMPTY token sequence (trim strips only spaces, so a
+    tab/newline-padded doc's raw split carries a phantom leading ''
+    token — positions over the raw split would misalign every
+    consumer that slices the filtered token array, e.g.
+    :func:`keyword_snippets`)."""
     from .partitioning import scale_partitions
 
-    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+        lambda t: t != "",
+    )
     return (
         scale_partitions(df.where(F.col(col).isNotNull()))
         .select(
             F.col(id_col),
             F.posexplode(toks).alias("pos", "term"),
         )
-        .where(F.col("term") != "")
         .select("term", id_col, F.col("pos").cast("int").alias("pos"))
     )
 
@@ -3700,7 +3722,8 @@ def phrase_topk_oracle(
     vals = ", ".join(
         "('" + p.replace("'", "''") + "')" for p in dict.fromkeys(phrases)
     )
-    t = "string_split_regex(trim(lower(text)), '\\s+')"
+    t = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
     pt = "list_filter(string_split_regex(trim(lower(phrase)), '\\s+'), x -> x <> '')"
     return f"""
         WITH p(phrase) AS (VALUES {vals}),
@@ -3712,13 +3735,10 @@ def phrase_topk_oracle(
             FROM p
         ),
         post AS (
-            SELECT term, doc_id, pos FROM (
-                SELECT doc_id,
-                       CAST(generate_subscripts({t}, 1) - 1 AS INT)
-                           AS pos,
-                       unnest({t}) AS term
-                FROM {table} WHERE text IS NOT NULL
-            ) WHERE term <> ''
+            SELECT doc_id,
+                   CAST(generate_subscripts({t}, 1) - 1 AS INT) AS pos,
+                   unnest({t}) AS term
+            FROM {table} WHERE text IS NOT NULL
         ),
         starts AS (
             SELECT pterms.phrase, post.doc_id,
@@ -3767,10 +3787,13 @@ def collocations(
     (w1, w2) asc; global top-k compiles to a distributed
     TakeOrdered, no full sort.
 
-    Shape: one tokenize pass → adjacent-pair explode (codegen
-    arrays_zip of the shifted slices) → one (w1, w2) agg; unigram
-    counts reuse the same exploded pass. The only driver scalars are
-    U and B (one agg). Capability analog in the reference: none."""
+    Shape: TWO tokenize+agg evaluations (bigrams via
+    :func:`adjacent_bigram_counts`, unigrams via a second explode —
+    Spark evaluates each aggregation's lineage independently). The
+    only driver scalars are U and B. At scale don't pay the rescans
+    per refresh: ingest through the bigram + vocabulary stores and
+    call ``collocations_from_stores`` (identical scoring tail, zero
+    corpus scans). Capability analog in the reference: none."""
     pairs = adjacent_bigram_counts(df, col=col)
     uni = (
         df.where(F.col(col).isNotNull())
@@ -4050,9 +4073,12 @@ def corpus_drift(
     so the SQL twin agrees bit-for-bit after the e9 floor of each
     bucket's contribution (integer total = order-free). Standard
     reading: PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major
-    shift. Returns one row per NONZERO bucket ``(bucket, n_a, n_b,
-    psi_e9)`` plus the ``psi_total_e9`` constant column; one pass per
-    corpus, shuffle bounded by ``buckets``. Correctness tier: the
+    shift. Returns one row per bucket 0..B-1 ``(bucket, n_a, n_b,
+    psi_e9)`` plus the ``psi_total_e9`` constant column — buckets
+    empty in BOTH corpora included (they carry nonzero smoothed mass
+    whenever the corpus sizes differ; the standard all-bins PSI).
+    One pass per corpus, shuffle bounded by ``buckets``, driver state
+    bounded by ``buckets``. Correctness tier: the
     zlib/numpy oracle in pytest (Spark's crc32 == zlib.crc32,
     verified) — a DuckDB twin would need the recursive crc32 CTE at
     per-term cost for no extra assurance.
@@ -4089,29 +4115,40 @@ def corpus_drift(
         F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
         F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
     )
-    tot = joined.agg(
-        F.sum("n_a").alias("ua"), F.sum("n_b").alias("ub")
-    ).collect()[0]
-    ua, ub = int(tot["ua"] or 0), int(tot["ub"] or 0)
+    # ONE evaluation per corpus: the joined frame is bucket-bounded
+    # (<= `buckets` rows), so it collects to the driver and the PSI
+    # arithmetic runs there over the FULL bucket spine 0..B-1 —
+    # buckets empty in BOTH corpora still carry nonzero smoothed mass
+    # whenever the corpus sizes differ (omitting them understates
+    # drift), and a driver loop cannot recompute the tokenize
+    # pipeline per downstream action the way a live lineage would.
+    got = {int(r["bucket"]): (int(r["n_a"]), int(r["n_b"]))
+           for r in joined.collect()}
+    ua = sum(na for na, _ in got.values())
+    ub = sum(nb for _, nb in got.values())
     if ua == 0 or ub == 0:
         raise ValueError("corpus_drift needs non-empty text on both sides")
     s = float(smoothing)
     sb = s * buckets
-    # log-ratio of smoothed proportions, identical parenthesization in
-    # the SQL twin; every operand is an exact-int-plus-constant double
-    lr = (
-        (F.log(F.col("n_a") + F.lit(s)) - F.log(F.lit(ua + sb)))
-        - (F.log(F.col("n_b") + F.lit(s)) - F.log(F.lit(ub + sb)))
+    rows = []
+    total = 0
+    for bkt in range(int(buckets)):
+        na, nb = got.get(bkt, (0, 0))
+        lr = (
+            (math.log(na + s) - math.log(ua + sb))
+            - (math.log(nb + s) - math.log(ub + sb))
+        )
+        p = (na + s) / (ua + sb)
+        q = (nb + s) / (ub + sb)
+        e9 = math.floor(((p - q) * lr) * 1e9)
+        total += e9
+        rows.append((bkt, na, nb, e9))
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(bkt, na, nb, e9, total) for bkt, na, nb, e9 in rows],
+        "bucket int, n_a bigint, n_b bigint, psi_e9 bigint, "
+        "psi_total_e9 bigint",
     )
-    p = (F.col("n_a") + F.lit(s)) / F.lit(ua + sb)
-    q = (F.col("n_b") + F.lit(s)) / F.lit(ub + sb)
-    per = joined.withColumn(
-        "psi_e9", F.floor(((p - q) * lr) * F.lit(1e9))
-    )
-    total = per.agg(F.sum("psi_e9")).collect()[0][0]
-    return per.withColumn(
-        "psi_total_e9", F.lit(int(total)).cast("bigint")
-    ).orderBy("bucket")
 
 
 def expand_queries(
@@ -4143,18 +4180,16 @@ def expand_queries(
         if df is None:
             raise ValueError("expand_queries needs df or postings")
         postings = build_text_index(df, col=col, id_col=id_col)
+    stats = _bm25_index_stats(postings, id_col)
     top = bm25_topk(
         None, queries, k=int(n_docs), k1=k1, b=b, id_col=id_col,
-        postings=postings,
+        postings=postings, stats=stats,
     ).select("query", id_col)
     fb = postings.join(F.broadcast(top), id_col)
     cand = fb.groupBy("query", "term").agg(
         F.sum("tf").alias("tfsum")
     )
-    stats = postings.agg(
-        F.countDistinct(F.col(id_col)).alias("n"),
-    ).collect()[0]
-    n_total = int(stats["n"] or 0)
+    n_total = stats[0]
     dfreq = postings.join(
         F.broadcast(cand.select("term").distinct()), "term"
     ).groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -152,7 +152,7 @@ def test_corpus_drift_matches_numpy_oracle(spark, sf_dir):
     cb, ub = counts(b_df)
     want = {}
     want_total = 0
-    for b in sorted(set(ca) | set(cb)):
+    for b in range(B):  # FULL spine: both-empty buckets still count
         na, nb = ca.get(b, 0), cb.get(b, 0)
         lr = (
             (_math.log(na + S) - _math.log(ua + S * B))

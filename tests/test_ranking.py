@@ -337,3 +337,16 @@ def test_retrieval_metrics_hand_computed(spark):
         k=5,
     ).collect()[0]
     assert perfect["ndcg_e6"] == 1_000_000
+
+
+def test_retrieval_metrics_rejects_oversized_grades(spark):
+    from etl_workflow_spark.operators.ranking import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 1)], "query string, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 17)], "query string, doc_id long, rel int"
+    )
+    with pytest.raises(Exception, match="rel <= 16"):
+        retrieval_metrics(ranked, qrels, k=5).collect()

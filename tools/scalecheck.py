@@ -755,6 +755,23 @@ def extend_cost(sf_dir: str, ks: list[int]) -> None:
     spark.stop()
 
 
+def _run_forced(name: str, k: int, fn) -> None:
+    """Timing harness row shared by the default loop and the focused
+    modes: force EVERY output column (count() alone lets Catalyst
+    prune the projection, timing nothing for narrow per-row
+    operators), print one JSON line."""
+    t0 = time.time()
+    df = fn()
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        ).alias("h"),
+    ).collect()[0]
+    print(json.dumps({"op": name, "k": k, "rows": row["n"],
+                      "sec": round(time.time() - t0, 2)}), flush=True)
+
+
 def retrieval_cost(sf_dir: str, ks: list[int]) -> None:
     """Retrieval-tier scaling (r11): a FIXED query batch over a K×
     corpus. Separates the three costs the SCALE.md §17 argument makes:
@@ -774,17 +791,7 @@ def retrieval_cost(sf_dir: str, ks: list[int]) -> None:
     QS = ["the hash join", "slow query filter", "window sort stream"]
     PH = ["order fast", "data slow", "window join stream"]
 
-    def run(name, k, fn):
-        t0 = time.time()
-        df = fn()
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-            ).alias("h"),
-        ).collect()[0]
-        print(json.dumps({"op": name, "k": k, "rows": row["n"],
-                          "sec": round(time.time() - t0, 2)}), flush=True)
+    run = _run_forced
 
     T.bm25_topk(docs0, QS, k=10).count()  # warm codegen/JIT
     for k in ks:
@@ -874,19 +881,7 @@ def main() -> None:
     # warm the JVM on a representative plan
     D.minhash_lsh_pairs(docs0, threshold=0.5).count()
 
-    def run(name, k, fn):
-        # force EVERY output column (count() alone lets Catalyst prune
-        # the projection, timing nothing for narrow per-row operators)
-        t0 = time.time()
-        df = fn()
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-            ).alias("h"),
-        ).collect()[0]
-        print(json.dumps({"op": name, "k": k, "rows": row["n"],
-                          "sec": round(time.time() - t0, 2)}), flush=True)
+    run = _run_forced
 
     for k in ks:
         docs = replicate(docs0, k, ["doc_id"], d_off).localCheckpoint(eager=True)
