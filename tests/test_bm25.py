@@ -388,3 +388,17 @@ def test_expand_queries_prf(spark):
         ).collect()
     }
     assert again == exp
+
+
+def test_bm25_prebuilt_stats_path(spark, sf_dir):
+    from etl_workflow_spark.operators.text import _bm25_index_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = T.build_text_index(docs)
+    stats = _bm25_index_stats(postings, "doc_id")
+    assert stats[0] > 0 and stats[1] > stats[0]
+    base = _rows(T.bm25_topk(None, QS[:2], k=5, postings=postings))
+    injected = _rows(
+        T.bm25_topk(None, QS[:2], k=5, postings=postings, stats=stats)
+    )
+    assert injected == base
