@@ -411,3 +411,93 @@ def retrieval_metrics(
             ).alias("ndcg_e6"),
         )
     )
+
+
+def mmr_rerank(
+    ranked: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    score_col: str = "score_e4",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance result diversification (Carbonell &
+    Goldstein 1998): greedily re-rank each query's candidates by
+    ``λ·rel − (1−λ)·max cos(d, already-selected)`` so near-duplicate
+    hits don't monopolize the top of the list — the standard
+    diversity pass over a BM25/hybrid ranking, with document vectors
+    from the embedding tier (or :func:`~.text.hashed_tfidf_vectors`
+    for text-only corpora). Relevance is min-max normalized to [0, 1]
+    per query (a single-candidate or all-equal query normalizes to
+    1.0), λ=1 reproduces pure relevance order.
+
+    Per-query greedy selection is inherently sequential, so it runs
+    as one ``applyInPandas`` group per query over the TOP-CANDIDATE
+    set only — candidate counts are the upstream ranking's k (tens to
+    hundreds), never corpus-sized, so each group is a trivial numpy
+    loop and queries parallelize across the cluster. Deterministic:
+    group content is a pure function of the inputs and ties break by
+    id ascending. Returns ``(query, id, mmr_e6 bigint, rank int)``
+    with ``mmr_e6`` the floor-e6 selection score (the first pick's
+    score is its normalized relevance)."""
+    import math
+
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1] (got {lam})")
+    cand = ranked.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__s"),
+    ).join(
+        vectors.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ),
+        "__id",
+    )
+    out_schema = (
+        "query string, "
+        + f"{id_col} long, mmr_e6 bigint, rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy()
+        s = pdf["__s"].to_numpy(dtype=np.float64)
+        vecs = np.array([np.asarray(v, dtype=np.float64)
+                         for v in pdf["__v"]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        lo, hi = float(s.min()), float(s.max())
+        rel = (
+            np.ones_like(s) if hi == lo else (s - lo) / (hi - lo)
+        )
+        n = len(ids)
+        picked: list[int] = []
+        scores: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(int(k), n)):
+            if picked:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            else:
+                mmr = rel.copy()
+            mmr[~remaining] = -np.inf
+            best = int(np.argmax(mmr))  # ties -> lowest index == lowest id
+            picked.append(best)
+            scores.append(math.floor(float(mmr[best]) * 1e6))
+            remaining[best] = False
+            sim = unit @ unit[best]
+            max_sim = np.maximum(max_sim, sim)
+        return pd.DataFrame({
+            "query": pdf["query"].iloc[:1].repeat(len(picked)).values,
+            id_col: ids[picked],
+            "mmr_e6": pd.array(scores, dtype="Int64"),
+            "rank": pd.array(range(1, len(picked) + 1), dtype="Int32"),
+        })
+
+    return cand.groupBy("query").applyInPandas(pick, out_schema)

@@ -350,3 +350,53 @@ def test_retrieval_metrics_rejects_oversized_grades(spark):
     )
     with pytest.raises(Exception, match="rel <= 16"):
         retrieval_metrics(ranked, qrels, k=5).collect()
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR (r11): λ=1 reproduces relevance order; a smaller λ demotes
+    the near-duplicate of the top hit; hand-checked selection scores;
+    layout invariance; λ range guard."""
+    import math
+
+    import numpy as np
+
+    from etl_workflow_spark.operators.ranking import mmr_rerank
+
+    # doc 1 and 2 near-identical vectors; doc 3 orthogonal-ish
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    ranked = spark.createDataFrame(
+        [("q", 1, 1000, 1), ("q", 2, 900, 2), ("q", 3, 500, 3)],
+        "query string, doc_id long, score_e4 long, rank int",
+    )
+    pure = [r["doc_id"] for r in mmr_rerank(
+        ranked, vecs, k=3, lam=1.0).orderBy("rank").collect()]
+    assert pure == [1, 2, 3]
+    div = {r["rank"]: r for r in mmr_rerank(
+        ranked, vecs, k=3, lam=0.5).orderBy("rank").collect()}
+    assert [div[i]["doc_id"] for i in (1, 2, 3)] == [1, 3, 2]
+    # hand-check rank-2's score: rel(3)=0, sim(3,1)=0 -> 0.5*0-0.5*0=0
+    assert div[2]["mmr_e6"] == 0
+    # rank-1 pick scores its normalized relevance (1.0)
+    assert div[1]["mmr_e6"] == 1_000_000
+    # rank-3: rel(2)=0.8, max sim to {1,3} ~ 0.9992
+    u2 = np.array([0.999, 0.04, 0.0])
+    u2 = u2 / np.linalg.norm(u2)
+    want = math.floor((0.5 * 0.8 - 0.5 * float(u2[0])) * 1e6)
+    assert div[3]["mmr_e6"] == want
+    # k cut + layout invariance
+    assert mmr_rerank(ranked, vecs, k=2, lam=0.5).count() == 2
+    again = {r["rank"]: r["doc_id"] for r in mmr_rerank(
+        ranked.repartition(5), vecs.coalesce(1), k=3, lam=0.5
+    ).collect()}
+    assert [again[i] for i in (1, 2, 3)] == [1, 3, 2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="lam"):
+        mmr_rerank(ranked, vecs, lam=1.5)
