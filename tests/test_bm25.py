@@ -402,3 +402,76 @@ def test_bm25_prebuilt_stats_path(spark, sf_dir):
         T.bm25_topk(None, QS[:2], k=5, postings=postings, stats=stats)
     )
     assert injected == base
+
+
+def test_search_pipeline_end_to_end(spark, sf_dir):
+    """The full retrieval composition a user runs: build the postings
+    index once → BM25 → PRF expansion → second BM25 pass → fuse with
+    dense cosine → MMR diversify → score against judgments. Each stage
+    is hash/oracle-checked elsewhere; this test pins the CONTRACTS
+    between them (column names, id spaces, determinism end-to-end)."""
+    from etl_workflow_spark.operators.ranking import (
+        mmr_rerank, retrieval_metrics, rrf_fuse,
+    )
+    from etl_workflow_spark.operators.text import (
+        _bm25_index_stats, build_text_index, expand_queries,
+        hashed_tfidf_vectors,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    postings = build_text_index(docs)
+    stats = _bm25_index_stats(postings, "doc_id")
+
+    def run_pipeline():
+        exp = expand_queries(
+            None, ["hash join"], n_docs=3, n_terms=3, postings=postings
+        ).collect()[0]
+        sparse = T.bm25_topk(
+            None, [exp["expanded_query"]], k=20, postings=postings,
+            stats=stats,
+        ).select(F.lit("q").alias("query"), "doc_id", "rank")
+        vecs = hashed_tfidf_vectors(docs, dim=64)
+        from etl_workflow_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        dense = brute_force_topk(
+            vecs.withColumnRenamed("doc_id", "vec_id"),
+            vecs.where("doc_id = 7").withColumnRenamed(
+                "doc_id", "query_id"
+            ),
+            k=20,
+        ).select(
+            F.lit("q").alias("query"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+        fused = rrf_fuse([sparse, dense], k=12).select(
+            "query", "doc_id",
+            F.expr("rrf_e6 div 100").alias("score_e4"), "rank",
+        )
+        final = mmr_rerank(fused, vecs, k=8, lam=0.7)
+        return exp["expanded_query"], [
+            (r["doc_id"], r["rank"]) for r in final.orderBy("rank")
+            .collect()
+        ]
+
+    q1, order1 = run_pipeline()
+    q2, order2 = run_pipeline()
+    # deterministic end to end
+    assert q1 == q2 and order1 == order2
+    assert 0 < len(order1) <= 8
+    assert [rk for _, rk in order1] == list(range(1, len(order1) + 1))
+    # the diversified list is scoreable against judgments
+    qrels = spark.createDataFrame(
+        [("q", d, 1) for d, _ in order1[:3]],
+        "query string, doc_id long, rel int",
+    )
+    final_df = spark.createDataFrame(
+        [("q", d, r) for d, r in order1],
+        "query string, doc_id long, rank int",
+    )
+    m = retrieval_metrics(final_df, qrels, k=8).collect()[0]
+    assert m["n_hit"] == 3 and m["ndcg_e6"] > 0
