@@ -343,12 +343,12 @@ def retrieval_metrics(
         F.col(id_col).alias("__id"),
         F.col(rank_col).alias("__rank"),
     ).where(F.col("__rank") <= int(k))
-    # graded rel is bounded so the fixed-point arithmetic cannot wrap:
-    # a rel-16 term is (2^16-1)*1e9 ~ 6.6e13 in e9, and dcg_e9 * 1e6
-    # must stay inside int64 (silent wrap under non-ANSI mode
-    # otherwise); judgment grades above 16 have no published meaning.
-    # The guard rides INSIDE the consumed column (a dropped assert
-    # column would be pruned away by the optimizer).
+    # graded rel is bounded so the per-term fixed points stay sane:
+    # a rel-16 term is (2^16-1)*1e9 ~ 6.6e13 in e9 — k of them sum
+    # comfortably inside int64, and the ndcg division widens its
+    # intermediate to decimal (see below); grades above 16 have no
+    # published meaning. The guard rides INSIDE the consumed column
+    # (a dropped assert column would be pruned away by the optimizer).
     j = qrels.select(
         F.col(query_col).alias("query"),
         F.col(id_col).alias("__id"),
@@ -406,8 +406,15 @@ def retrieval_metrics(
             F.coalesce(F.col("mrr_e6"), F.lit(0)).alias("mrr_e6"),
             F.coalesce(F.col("dcg_e9"), F.lit(0)).alias("dcg_e9"),
             "idcg_e9",
+            # the ×1e6 intermediate would wrap int64 for high grades
+            # (rel 14-16 terms are ~1e13-6.6e13 in e9), so it widens
+            # to DECIMAL(38,0); the RESULT always fits — dcg <= idcg
+            # termwise (each actual hit's discount position >= its
+            # ideal position and its grade <= the ideal grade at that
+            # position, and floor is monotone), so ndcg_e6 <= 1e6
             F.expr(
-                "coalesce(dcg_e9, 0) * 1000000 div idcg_e9"
+                "CAST(coalesce(dcg_e9, 0) AS DECIMAL(38,0)) * 1000000 "
+                "div idcg_e9"
             ).alias("ndcg_e6"),
         )
     )
@@ -431,7 +438,9 @@ def mmr_rerank(
     from the embedding tier (or :func:`~.text.hashed_tfidf_vectors`
     for text-only corpora). Relevance is min-max normalized to [0, 1]
     per query (a single-candidate or all-equal query normalizes to
-    1.0), λ=1 reproduces pure relevance order.
+    1.0), λ=1 reproduces pure relevance order. A ranked candidate
+    with NO vector row fails loudly (an inner join would silently
+    delete top hits — corrupting every downstream metric).
 
     Per-query greedy selection is inherently sequential, so it runs
     as one ``applyInPandas`` group per query over the TOP-CANDIDATE
@@ -448,6 +457,10 @@ def mmr_rerank(
 
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1] (got {lam})")
+    # LEFT join + loud guard: an inner join would silently DELETE any
+    # candidate without a vector row — a diversity pass that drops top
+    # hits corrupts every downstream metric; a missing vector is a
+    # pipeline bug the caller must see
     cand = ranked.select(
         F.col(query_col).alias("query"),
         F.col(id_col).alias("__id"),
@@ -457,11 +470,35 @@ def mmr_rerank(
             F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
         ),
         "__id",
+        "left",
+    ).select(
+        "query",
+        "__id",
+        "__s",
+        F.when(
+            F.col("__v").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "mmr_rerank: no vector for ranked candidate "
+                        f"{id_col}="
+                    ),
+                    F.col("__id").cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col("__v"))
+        .alias("__v"),
     )
-    out_schema = (
-        "query string, "
-        + f"{id_col} long, mmr_e6 bigint, rank int"
-    )
+    from pyspark.sql.types import IntegerType
+
+    fields = {f.name: f.dataType for f in cand.schema.fields}
+    out_schema = StructType([
+        StructField("query", fields["query"]),
+        StructField(id_col, fields["__id"]),
+        StructField("mmr_e6", LongType()),
+        StructField("rank", IntegerType()),
+    ])
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id").reset_index(drop=True)

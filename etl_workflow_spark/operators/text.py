@@ -3052,13 +3052,14 @@ def bm25_topk(
     the inline path re-tokenizes, so batch queries and pass
     ``postings=`` in production. ``max_df_ratio`` drops query terms
     whose document frequency exceeds that fraction of the corpus
-    (query-time stopword elimination); ``stats`` injects a prebuilt
-    ``(n_docs, total_tokens)`` pair (:func:`_bm25_index_stats`) so a
-    caller ranking repeatedly over one index skips the stats agg: a corpus-frequent term owns a
+    (query-time stopword elimination): a corpus-frequent term owns a
     ~corpus-sized posting list — THE skew that dominates hybrid query
     cost at scale — while contributing near-zero idf, so pruning it
     bounds the candidate scan at almost no ranking cost; documents
-    matching ONLY pruned terms leave the result. Returns
+    matching ONLY pruned terms leave the result. ``stats`` injects a
+    prebuilt ``(n_docs, total_tokens)`` pair
+    (:func:`_bm25_index_stats`) so a caller ranking repeatedly over
+    one index skips the stats agg. Returns
     ``(query, id, n_terms int, score_e4 bigint, rank int)``."""
     if postings is None:
         if df is None:
@@ -4068,10 +4069,12 @@ def corpus_drift(
     shift?"). Terms hash to ``crc32(term) mod buckets`` (the
     :func:`hashed_tfidf_vectors` bucket, sign-free); per bucket,
     ``PSI_i = (p_i − q_i) · ln(p_i / q_i)`` with additively-smoothed
-    ratios, computed as the EXACT-int log difference
+    ratios, computed as the exact-int log difference
     ``(ln(c_a + s) − ln(U_a + s·B)) − (ln(c_b + s) − ln(U_b + s·B))``
-    so the SQL twin agrees bit-for-bit after the e9 floor of each
-    bucket's contribution (integer total = order-free). Standard
+    floored at e9 per bucket. The arithmetic runs DRIVER-side over
+    the bucket-bounded count table (Spark only aggregates the
+    counts), so the independent pytest oracle replays it as the same
+    IEEE ops on the same exact-int operands. Standard
     reading: PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major
     shift. Returns one row per bucket 0..B-1 ``(bucket, n_a, n_b,
     psi_e9)`` plus the ``psi_total_e9`` constant column — buckets

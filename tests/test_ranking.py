@@ -400,3 +400,51 @@ def test_mmr_rerank_diversifies(spark):
 
     with _pt.raises(ValueError, match="lam"):
         mmr_rerank(ranked, vecs, lam=1.5)
+
+
+def test_retrieval_metrics_high_grade_no_overflow(spark):
+    """rel up to 16 must produce a sane ndcg (the ×1e6 intermediate
+    widens to decimal — previously it wrapped int64)."""
+    from etl_workflow_spark.operators.ranking import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query string, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q", 1, 16), ("q", 2, 16)],
+        "query string, doc_id long, rel int",
+    )
+    m = retrieval_metrics(ranked, qrels, k=5).collect()[0]
+    assert m["ndcg_e6"] == 1_000_000  # perfect order, no wrap
+
+
+def test_mmr_rerank_missing_vector_fails_loudly(spark):
+    from etl_workflow_spark.operators.ranking import mmr_rerank
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 900, 1), ("q", 2, 100, 2)],
+        "query string, doc_id long, score_e4 long, rank int",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="no vector for ranked candidate"):
+        mmr_rerank(ranked, vecs, k=2).collect()
+
+
+def test_mmr_rerank_string_ids(spark):
+    """The output schema derives from the input id/query types —
+    string doc ids must work (previously pinned to long)."""
+    from etl_workflow_spark.operators.ranking import mmr_rerank
+
+    ranked = spark.createDataFrame(
+        [("q", "a", 900, 1), ("q", "b", 100, 2)],
+        "query string, doc_id string, score_e4 long, rank int",
+    )
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "doc_id string, embedding array<double>",
+    )
+    out = {r["rank"]: r["doc_id"]
+           for r in mmr_rerank(ranked, vecs, k=2, lam=0.5).collect()}
+    assert out == {1: "a", 2: "b"}
