@@ -1861,3 +1861,37 @@ def training_set_report(
             section = sec
         lines.append(f"- **{key}**: {value}")
     return "\n".join(lines) + "\n"
+
+
+def diff_training_sets(
+    spark: SparkSession, path_a: str, path_b: str
+) -> DataFrame:
+    """Membership diff between two materialized training sets — the
+    release-audit companion to :func:`training_set_report`: which unit
+    ids entered and which left between snapshot A and snapshot B
+    (e.g. yesterday's set vs today's extension, or two recipe
+    variants). Two anti-joins on the recorded id column, nothing else
+    — no text comparison, no full sort. Refuses sets whose recorded
+    UNIT differs (document ids and packed-chunk ids live in different
+    id spaces; diffing them would be meaningless). Returns
+    ``(id, status)`` with status ``added`` (in B only) or ``removed``
+    (in A only); unchanged ids are omitted (the common case is
+    almost-everything-unchanged — emitting it would dwarf the
+    signal)."""
+    data_a, man_a = read_training_set(spark, path_a)
+    data_b, man_b = read_training_set(spark, path_b)
+    if man_a.get("unit") != man_b.get("unit"):
+        raise ValueError(
+            f"cannot diff training sets of different units "
+            f"({man_a.get('unit')!r} vs {man_b.get('unit')!r})"
+        )
+    id_col = man_a.get("config", {}).get("id_col", "doc_id")
+    a_ids = data_a.select(F.col(id_col).alias("id")).distinct()
+    b_ids = data_b.select(F.col(id_col).alias("id")).distinct()
+    added = b_ids.join(a_ids, "id", "left_anti").select(
+        "id", F.lit("added").alias("status")
+    )
+    removed = a_ids.join(b_ids, "id", "left_anti").select(
+        "id", F.lit("removed").alias("status")
+    )
+    return added.unionByName(removed)

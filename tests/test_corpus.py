@@ -1468,3 +1468,35 @@ def test_training_set_report(spark, tmp_path, base_docs, holdout):
     for sec in ("identity", "size", "recipe", "stages", "integrity"):
         assert f"## {sec}" in md
     assert "**rows**: 5" in md
+
+
+def test_diff_training_sets(spark, tmp_path, base_docs, holdout):
+    """Snapshot membership diff (r11): extension survivors show as
+    'added', a rebuilt subset shows its drops as 'removed', identical
+    sets diff empty, mismatched units are refused."""
+    out_a = str(tmp_path / "diff_a")
+    C.materialize_training_set(
+        spark, base_docs, out_a, benchmark=holdout, num_shards=4
+    )
+    # a second set missing docs 4 and 5, plus a new doc 9
+    docs_b = base_docs.where("doc_id not in (4, 5)").unionByName(
+        _docs(spark, [(9, "a perfectly ordinary fresh document about "
+                          "the engine", "web")])
+    )
+    out_b = str(tmp_path / "diff_b")
+    C.materialize_training_set(
+        spark, docs_b, out_b, benchmark=holdout, num_shards=4
+    )
+    got = {(r["id"], r["status"])
+           for r in C.diff_training_sets(spark, out_a, out_b).collect()}
+    assert got == {(9, "added"), (4, "removed"), (5, "removed")}
+    # identical sets: empty diff
+    assert C.diff_training_sets(spark, out_a, out_a).count() == 0
+    # unit mismatch refused (packed-chunk set vs document set)
+    out_c = str(tmp_path / "diff_c")
+    C.materialize_training_set(
+        spark, base_docs, out_c, benchmark=holdout, num_shards=4,
+        chunk_tokens=16, pack_budget=64,
+    )
+    with pytest.raises(ValueError, match="different units"):
+        C.diff_training_sets(spark, out_a, out_c)
