@@ -318,8 +318,10 @@ def retrieval_metrics(
     """Standard ranking-quality metrics per query — MRR, recall@k, and
     nDCG@k — for tuning the retrieval tier (BM25 / ANN / hybrid
     fusion) against labeled relevance judgments (``qrels``: one row
-    per (query, doc) with graded ``rel >= 0``; unlabeled docs count as
-    rel 0). Everything is exact or fixed-point-deterministic:
+    per (query, doc) with graded ``rel >= 0``; duplicate judgment rows
+    are collapsed to ``max(rel)`` before any counting, so a noisy
+    qrels file cannot double-count; unlabeled docs count as rel 0).
+    Everything is exact or fixed-point-deterministic:
 
     - ``mrr_e6 = 1000000 div r`` for the first relevant rank r (0 when
       none retrieved in the top k) — pure integers;
@@ -364,6 +366,11 @@ def retrieval_metrics(
         .otherwise(F.col(rel_col))
         .alias("__rel"),
     )
+    # Dedupe judgments: duplicate (query, doc) qrel rows would
+    # double-count n_rel/n_hit and inflate DCG and IDCG (each dup
+    # joins every matching hit and contributes its own ideal term).
+    # max(rel) is the standard resolution for conflicting grades.
+    j = j.groupBy("query", "__id").agg(F.max("__rel").alias("__rel"))
     hits = r.join(j, ["query", "__id"]).where(F.col("__rel") > 0)
     dcg_term = F.floor(
         (F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0))
@@ -457,6 +464,20 @@ def mmr_rerank(
 
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1] (got {lam})")
+    # Fetch shape (the 100 TB story): `vectors` is corpus-sized, the
+    # candidate set is k·|queries| rows. A direct left-join would make
+    # Spark shuffle the ENTIRE vectors table (the preserved left side
+    # of a left-outer join can't be broadcast, and the right side is
+    # too big to) — confirmed SortMergeJoin at r11. Instead, prune
+    # vectors first with a broadcast LEFT-SEMI join on the candidate
+    # ids: the tiny id set broadcasts into the vectors scan (a
+    # scan-side filter, zero shuffle of vectors), leaving a
+    # k·|queries|-sized pruned set that itself broadcasts into the
+    # left-join below.
+    cand_ids = ranked.select(F.col(id_col).alias("__id")).distinct()
+    pruned = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).join(F.broadcast(cand_ids), "__id", "left_semi")
     # LEFT join + loud guard: an inner join would silently DELETE any
     # candidate without a vector row — a diversity pass that drops top
     # hits corrupts every downstream metric; a missing vector is a
@@ -466,9 +487,7 @@ def mmr_rerank(
         F.col(id_col).alias("__id"),
         F.col(score_col).cast("double").alias("__s"),
     ).join(
-        vectors.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-        ),
+        F.broadcast(pruned),
         "__id",
         "left",
     ).select(

@@ -3064,7 +3064,19 @@ def bm25_topk(
     if postings is None:
         if df is None:
             raise ValueError("bm25_topk needs df or postings")
-        postings = build_text_index(df, col=col, id_col=id_col)
+        # One call evaluates the postings lineage three times (corpus
+        # stats, per-term df, scoring) — with an INLINE build each
+        # evaluation would re-tokenize the corpus. Materialize the
+        # built index once: localCheckpoint stores the blocks
+        # executor-side (memory-and-disk) and truncates the lineage,
+        # and the blocks are context-cleaned when the result is
+        # dropped — unlike persist(), nothing leaks in the cache
+        # manager. The production path (postings=, the stored
+        # term-clustered table) is untouched: a stored table re-scan
+        # is already broadcast-pruned to the query terms.
+        postings = build_text_index(
+            df, col=col, id_col=id_col
+        ).localCheckpoint(eager=True)
     spark = postings.sparkSession
     if not isinstance(queries, DataFrame):
         # dedupe: the query string IS the result key, and a duplicate
@@ -3314,6 +3326,15 @@ def learn_wordpiece(
         best: tuple[str, str] | None = None
         bc = bl = br = 0  # best pair's (count, left-count, right-count)
         for p, c in stats.items():
+            # Eligibility is a FILTER, not a stop condition: the
+            # WordPiece score c/(l·r) <= 1/c is MAXIMIZED by rare
+            # pairs, so breaking when the single best-scoring pair is
+            # below min_pair_count would halt training on the first
+            # hapax pair (r11 bug: realistic corpora degenerated to a
+            # char-level vocab). Skip ineligible pairs and keep
+            # selecting among the rest — HF's trainer semantics.
+            if c < int(min_pair_count):
+                continue
             l_, r_ = tok_count[p[0]], tok_count[p[1]]
             if best is None:
                 better = True
@@ -3323,7 +3344,7 @@ def learn_wordpiece(
                 better = lhs > rhs or (lhs == rhs and p < best)
             if better:
                 best, bc, bl, br = p, c, l_, r_
-        if best is None or bc < int(min_pair_count):
+        if best is None:
             break
         merged = best[0] + best[1][2:]
         if merged not in seen:

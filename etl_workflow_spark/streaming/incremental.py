@@ -1887,6 +1887,20 @@ def text_index_batch(
     rows = build(docs, col=col, id_col=id_col).withColumn(
         "batch_id", F.lit(int(batch_id))
     )
+    # Term-clustered fragment layout: a bm25/phrase probe touches ~10
+    # query terms, and parquet can only SKIP a file/row group whose
+    # term min/max excludes them if rows arrive term-clustered — an
+    # unsorted fragment makes every probe a full store scan at 100 TB.
+    # repartitionByRange gives files with DISJOINT term ranges (a term
+    # lives in exactly one range; the id tiebreak splits a hot term's
+    # huge posting list across files instead of one skewed file), and
+    # the within-partition sort makes every row group inside a file a
+    # narrow run — so min/max stats prune at both granularities. Cost:
+    # one batch-sized shuffle per micro-batch write, never store- or
+    # corpus-sized.
+    rows = rows.repartitionByRange(
+        F.col("term"), F.col(id_col)
+    ).sortWithinPartitions("term", id_col)
     (
         rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1965,6 +1979,12 @@ def compact_text_index(
             old.withColumn("__mx", F.max("batch_id").over(w))
             .where(F.col("batch_id") == F.col("__mx"))
             .drop("__mx", "batch_id")
+            # re-establish the term-clustered layout: the window
+            # above shuffled by doc id, which would otherwise leave
+            # the compacted fragment term-random and kill the
+            # file/row-group pruning the batch writer set up
+            .repartitionByRange(F.col("term"), F.col(key))
+            .sortWithinPartitions("term", key)
         )
 
     _compact_batched_store(

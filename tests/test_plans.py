@@ -567,3 +567,37 @@ def test_rrf_fuse_plan_shape(spark, sf_dir):
     plan = plans.physical_plan(rrf_fuse([a, b], k=5))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_rerank_plan_shape(spark, sf_dir):
+    """MMR vector fetch (r12 fix): the corpus-sized vectors table must
+    NEVER shuffle — the candidate ids broadcast into the vectors scan
+    as a left-semi probe, and the pruned (k x |queries|-sized) vector
+    set broadcasts into the guard left-join. r11 shipped this as a
+    SortMergeJoin with a full Exchange of the vectors side; this test
+    pins the fixed shape (the only shuffles left are the tiny
+    candidate-id distinct and the per-query applyInPandas group)."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.ranking import mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        emb.vec_id.alias("doc_id"), emb.embedding
+    )
+    ranked = (
+        emb.where(emb.vec_id < 8)
+        .select(
+            F.lit("q0").alias("query"),
+            emb.vec_id.alias("doc_id"),
+            (emb.vec_id * 10).alias("score_e4"),
+        )
+    )
+    out = mmr_rerank(ranked, vecs, k=4, lam=0.6)
+    plan = plans.physical_plan(out)
+    # both the prune and the fetch are broadcast joins — a
+    # SortMergeJoin/ShuffledHashJoin here means the corpus moved
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # and the result still computes (guard path intact)
+    assert out.count() == 4

@@ -448,3 +448,36 @@ def test_mmr_rerank_string_ids(spark):
     out = {r["rank"]: r["doc_id"]
            for r in mmr_rerank(ranked, vecs, k=2, lam=0.5).collect()}
     assert out == {1: "a", 2: "b"}
+
+
+def test_retrieval_metrics_dedupes_qrels(spark):
+    """Duplicate (query, doc) judgment rows (r12 fix): collapsed to
+    max(rel) before counting — previously each dup double-counted
+    n_rel/n_hit and inflated DCG and IDCG."""
+    import math
+
+    from etl_workflow_spark.operators.ranking import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)],
+        "query string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        # doc 1 judged THREE times with conflicting grades; doc 2 twice
+        [("q", 1, 1), ("q", 1, 3), ("q", 1, 2),
+         ("q", 2, 1), ("q", 2, 1)],
+        "query string, doc_id long, rel int",
+    )
+    out = retrieval_metrics(ranked, qrels, k=5).collect()
+    assert len(out) == 1
+    row = out[0]
+
+    def term(rel, pos):
+        return math.floor((2 ** rel - 1) / math.log2(pos + 1) * 1e9)
+
+    # 2 distinct judged docs, both retrieved; grades resolve to 3 and 1
+    assert (row["n_rel"], row["n_hit"]) == (2, 2)
+    assert row["mrr_e6"] == 1_000_000
+    assert row["dcg_e9"] == term(3, 1) + term(1, 2)
+    assert row["idcg_e9"] == term(3, 1) + term(1, 2)
+    assert row["ndcg_e6"] == 1_000_000

@@ -49,10 +49,18 @@ def _naive_wordpiece(words, vocab_size, lowercase=True, min_pair_count=2):
             break
         best, bs = None, None
         for p, c in pairs.items():
+            # filter-and-continue, NOT break-on-rare-best: the score
+            # c/(l*r) is maximized by rare pairs, so min_pair_count is
+            # an eligibility filter (published semantics), never a
+            # stopping rule (r11 bug: the first hapax pair halted
+            # training; this oracle replicated it and so couldn't see
+            # it)
+            if c < min_pair_count:
+                continue
             s = Fraction(c, toks[p[0]] * toks[p[1]])
             if best is None or s > bs or (s == bs and p < best):
                 best, bs = p, s
-        if pairs[best] < min_pair_count:
+        if best is None:
             break
         merged = best[0] + best[1][2:]
         if merged not in seen:
@@ -101,9 +109,36 @@ def test_learn_wordpiece_matches_naive_oracle():
     )
 )
 def test_learn_wordpiece_matches_naive_oracle_random(words):
-    got = learn_wordpiece(words, vocab_size=30, min_pair_count=1)
+    for mpc in (1, 2):
+        got = learn_wordpiece(words, vocab_size=30, min_pair_count=mpc)
+        assert got["vocab"] == _naive_wordpiece(
+            words, vocab_size=30, min_pair_count=mpc
+        )
+
+
+def test_learn_wordpiece_hapax_pairs_do_not_halt_training():
+    """r12 regression (ADVICE): the hapax pairs ('zq', 'xv') have the
+    best score c/(l*r) = 1/1, so the r11 trainer broke out of the
+    merge loop immediately and learned ZERO merges under the default
+    min_pair_count=2. With the filter-and-continue fix the frequent
+    'hash*' family still merges."""
+    words = [
+        ("hashing", 50), ("hashed", 40), ("hash", 100),
+        ("zq", 1), ("xv", 1),
+    ]
+    got = learn_wordpiece(words, vocab_size=40, min_pair_count=2)
+    base = {"[UNK]"} | {
+        t
+        for w, _ in words
+        for t in [w[0], *("##" + ch for ch in w[1:])]
+    }
+    merges = [t for t in got["vocab"] if t not in base]
+    assert merges, "no merges learned — hapax pair halted training"
+    # the hapax pairs themselves must never merge
+    assert "zq" not in merges and "xv" not in merges
+    # and the trainer agrees with the independently-fixed oracle
     assert got["vocab"] == _naive_wordpiece(
-        words, vocab_size=30, min_pair_count=1
+        words, vocab_size=40, min_pair_count=2
     )
 
 
