@@ -23,6 +23,7 @@ from etl_workflow_spark.operators import dedup as D
 from etl_workflow_spark.operators import etl as E
 from etl_workflow_spark.operators import multimodal as M
 from etl_workflow_spark.operators import quality as QL
+from etl_workflow_spark.operators import ranking as RK
 from etl_workflow_spark.operators import sampling as SAMP
 from etl_workflow_spark.operators import similarity as S
 from etl_workflow_spark.operators import text as T
@@ -2308,9 +2309,68 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("pmi_e6 div 100").alias("score_e4"),
         "rank",
     )
+    # scope='metrics' (r12): the retrieval-evaluation family gated
+    # cross-engine — retrieval_metrics over the SAME bm25 ranking the
+    # 'bm25' scope hash-checks, against synthetic-but-deterministic
+    # qrels derived from doc_id arithmetic (query i judges docs with
+    # doc_id % 17 == i at grade 1 + doc_id % 3 — replayed identically
+    # in the oracle). All six metric values are exact ints or
+    # fixed-point by construction; rows un-pivot to one (query,
+    # metric) pair per row so the consolidated shape holds.
+    qidx = docs.sparkSession.createDataFrame(
+        [(q, i) for i, q in enumerate(_BM25_QUERIES)],
+        "query string, idx int",
+    )
+    qrels = (
+        docs.withColumn("idx", (F.col("doc_id") % 17).cast("int"))
+        .join(F.broadcast(qidx), "idx")
+        .select(
+            "query",
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("rel"),
+        )
+    )
+    met = RK.retrieval_metrics(
+        T.bm25_topk(docs, _BM25_QUERIES, k=10), qrels, k=10
+    )
+    metrics = met.select(
+        "query",
+        F.explode(
+            F.create_map(
+                F.lit("n_rel"), F.col("n_rel").cast("bigint"),
+                F.lit("n_hit"), F.col("n_hit").cast("bigint"),
+                F.lit("mrr_e6"), F.col("mrr_e6").cast("bigint"),
+                F.lit("dcg_e9"), F.col("dcg_e9").cast("bigint"),
+                F.lit("idcg_e9"), F.col("idcg_e9").cast("bigint"),
+                F.lit("ndcg_e6"), F.col("ndcg_e6").cast("bigint"),
+            )
+        ).alias("metric", "val"),
+    ).select(
+        F.lit("metrics").alias("scope"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.concat_ws("::", "query", "metric").alias("term"),
+        F.col("val").alias("n"),
+        F.lit(None).cast("bigint").alias("score_e4"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    # scope='rm3' (r12): pseudo-relevance-feedback expansion gated by
+    # its full expanded string (order + content in one value) — the
+    # oracle replays the bm25 feedback ranking, the (tfsum·idf)
+    # fixed-point term scores, and the rank-ordered concatenation.
+    rm3 = T.expand_queries(
+        docs, _BM25_QUERIES, n_docs=5, n_terms=5
+    ).select(
+        F.lit("rm3").alias("scope"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("expanded_query").alias("term"),
+        F.size("added_terms").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("score_e4"),
+        F.lit(None).cast("int").alias("rank"),
+    )
     return (
         corpus.unionByName(perdoc).unionByName(bm25)
         .unionByName(phrase).unionByName(colloc)
+        .unionByName(metrics).unionByName(rm3)
     )
 
 
@@ -2334,7 +2394,46 @@ _TERM_STATS_ORACLE = f"""
     SELECT 'colloc', CAST(NULL AS BIGINT), w1 || ' ' || w2, n_pair,
            pmi_e6 // 100, rank
     FROM ({T.collocations_oracle(k=30, min_count=5)})
+    UNION ALL
+    SELECT 'metrics', CAST(NULL AS BIGINT), query || '::' || m, v,
+           CAST(NULL AS BIGINT), CAST(NULL AS INT)
+    FROM (
+        WITH mtr AS ({{METRICS_ORACLE}})
+        SELECT query, 'n_rel' AS m, CAST(n_rel AS BIGINT) AS v FROM mtr
+        UNION ALL
+        SELECT query, 'n_hit', CAST(n_hit AS BIGINT) FROM mtr
+        UNION ALL
+        SELECT query, 'mrr_e6', CAST(mrr_e6 AS BIGINT) FROM mtr
+        UNION ALL
+        SELECT query, 'dcg_e9', CAST(dcg_e9 AS BIGINT) FROM mtr
+        UNION ALL
+        SELECT query, 'idcg_e9', CAST(idcg_e9 AS BIGINT) FROM mtr
+        UNION ALL
+        SELECT query, 'ndcg_e6', CAST(ndcg_e6 AS BIGINT) FROM mtr
+    )
+    UNION ALL
+    SELECT 'rm3', CAST(NULL AS BIGINT), expanded_query,
+           CAST(n_added AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INT)
+    FROM ({T.expand_queries_oracle(_BM25_QUERIES, n_docs=5, n_terms=5)})
 """
+
+_QRELS_ORACLE = (
+    "SELECT v.query, d.doc_id, CAST(1 + d.doc_id % 3 AS INT) AS rel "
+    "FROM (VALUES "
+    + ", ".join(
+        "('" + q.replace("'", "''") + f"', {i})"
+        for i, q in enumerate(_BM25_QUERIES)
+    )
+    + ") v(query, idx) JOIN documents d ON d.doc_id % 17 = v.idx"
+)
+
+_TERM_STATS_ORACLE = _TERM_STATS_ORACLE.replace(
+    "{METRICS_ORACLE}",
+    RK.retrieval_metrics_oracle(
+        T.bm25_topk_oracle(_BM25_QUERIES, k=10), _QRELS_ORACLE, k=10
+    ),
+)
 
 
 def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:

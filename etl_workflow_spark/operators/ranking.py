@@ -427,6 +427,73 @@ def retrieval_metrics(
     )
 
 
+def retrieval_metrics_oracle(
+    ranked_sql: str, qrels_sql: str, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`retrieval_metrics`: every value is either
+    an exact integer or the identically-parenthesized IEEE double
+    floored at a fixed point, so hashes match bit-for-bit. The one
+    trap: Spark's ``log2(x)`` is ``ln(x)/ln(2)`` (1 ulp off DuckDB's
+    native ``log2`` at x in {9, 10, 11, 12, 14, 17, ...} — exactly the
+    rank+1 values a k=10 ranking produces), so the discount here
+    spells out the quotient. ``ranked_sql`` yields (query, doc_id,
+    rank); ``qrels_sql`` yields (query, doc_id, rel). The nDCG
+    intermediate here is plain BIGINT, which holds for graded
+    ``rel <= 9`` at k=10 (dcg_e9·1e6 < 2^63); the engine side widens
+    to DECIMAL for the 10..16 range — mirror with HUGEINT if a gate
+    ever uses grades that high."""
+    dcg = (
+        "CAST(floor(((pow(2.0, rel) - 1.0)"
+        " / (ln(CAST({r} + 1 AS DOUBLE)) / ln(2.0)))"
+        " * 1000000000.0) AS BIGINT)"
+    )
+    return f"""
+        WITH r AS (
+            SELECT query, doc_id, rank FROM ({ranked_sql})
+            WHERE rank <= {int(k)}
+        ),
+        j AS (
+            SELECT query, doc_id, MAX(rel) AS rel
+            FROM ({qrels_sql}) GROUP BY 1, 2
+        ),
+        hits AS (
+            SELECT r.query, r.doc_id, r.rank, j.rel
+            FROM r JOIN j USING (query, doc_id) WHERE j.rel > 0
+        ),
+        per_hit AS (
+            SELECT query, CAST(COUNT(*) AS INT) AS n_hit,
+                   CAST(1000000 // MIN(rank) AS BIGINT) AS mrr_e6,
+                   CAST(SUM({dcg.format(r='rank')}) AS BIGINT) AS dcg_e9
+            FROM hits GROUP BY 1
+        ),
+        ideal AS (
+            SELECT query, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query
+                                      ORDER BY rel DESC, doc_id) AS irank
+            FROM j WHERE rel > 0
+        ),
+        per_ideal AS (
+            SELECT query,
+                   CAST(SUM({dcg.format(r='irank')}) AS BIGINT) AS idcg_e9
+            FROM ideal WHERE irank <= {int(k)} GROUP BY 1
+        ),
+        n_rel AS (
+            SELECT query, CAST(COUNT(*) AS INT) AS n_rel
+            FROM j WHERE rel > 0 GROUP BY 1
+        )
+        SELECT n_rel.query, n_rel.n_rel,
+               COALESCE(per_hit.n_hit, 0) AS n_hit,
+               CAST(COALESCE(per_hit.mrr_e6, 0) AS BIGINT) AS mrr_e6,
+               CAST(COALESCE(per_hit.dcg_e9, 0) AS BIGINT) AS dcg_e9,
+               per_ideal.idcg_e9,
+               CAST((COALESCE(per_hit.dcg_e9, 0) * 1000000)
+                    // per_ideal.idcg_e9 AS BIGINT) AS ndcg_e6
+        FROM n_rel
+        JOIN per_ideal USING (query)
+        LEFT JOIN per_hit USING (query)
+    """
+
+
 def mmr_rerank(
     ranked: DataFrame,
     vectors: DataFrame,

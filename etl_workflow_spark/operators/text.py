@@ -4280,3 +4280,91 @@ def expand_queries(
             F.array().cast("array<string>"),
         ).alias("added_terms"),
     )
+
+
+def expand_queries_oracle(
+    queries: list[str],
+    n_docs: int = 5,
+    n_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`expand_queries`: the feedback ranking is
+    :func:`bm25_topk_oracle` verbatim, the feedback-term score is the
+    identically-parenthesized ``(tfsum_double * idf) * 1e6`` floored
+    to an integer, ties break by term ascending, and the expanded
+    string concatenates in rank order — so ``expanded_query`` matches
+    byte-for-byte. Returns ``(query, expanded_query, n_added)``."""
+    vals = ", ".join(
+        "('" + q.replace("'", "''") + "')"
+        for q in dict.fromkeys(queries)
+    )
+    t = "string_split_regex(trim(lower(text)), '\\s+')"
+    qt = "string_split_regex(trim(lower(query)), '\\s+')"
+    ranked = bm25_topk_oracle(
+        queries, k=int(n_docs), k1=k1, b=b, table=table
+    )
+    return f"""
+        WITH q(query) AS (VALUES {vals}),
+        post AS (
+            SELECT term, doc_id, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest({t}) AS term
+                FROM {table} WHERE text IS NOT NULL
+            ) WHERE term <> '' GROUP BY term, doc_id
+        ),
+        stats AS (
+            SELECT COUNT(DISTINCT doc_id) AS n_docs FROM post
+        ),
+        top AS (
+            SELECT query, doc_id FROM ({ranked})
+        ),
+        cand AS (
+            SELECT top.query, post.term, SUM(post.tf) AS tfsum
+            FROM post JOIN top USING (doc_id)
+            GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df FROM post
+            WHERE term IN (SELECT DISTINCT term FROM cand)
+            GROUP BY 1
+        ),
+        own AS (
+            SELECT DISTINCT query, term FROM (
+                SELECT query, unnest({qt}) AS term FROM q
+            ) WHERE term <> ''
+        ),
+        scored AS (
+            SELECT cand.query, cand.term,
+                   CAST(floor((CAST(cand.tfsum AS DOUBLE)
+                       * ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                                    / (dfreq.df + 0.5)))
+                       * 1000000.0) AS BIGINT) AS score_e6
+            FROM cand
+            JOIN dfreq USING (term)
+            CROSS JOIN stats
+            WHERE NOT EXISTS (
+                SELECT 1 FROM own
+                WHERE own.query = cand.query AND own.term = cand.term
+            )
+        ),
+        picked AS (
+            SELECT query, term,
+                   ROW_NUMBER() OVER (PARTITION BY query
+                                      ORDER BY score_e6 DESC, term)
+                       AS rk
+            FROM scored
+        ),
+        agg AS (
+            SELECT query, string_agg(term, ' ' ORDER BY rk) AS add_str,
+                   CAST(COUNT(*) AS BIGINT) AS n_added
+            FROM picked WHERE rk <= {int(n_terms)} GROUP BY 1
+        )
+        SELECT q.query,
+               CASE WHEN agg.add_str IS NULL OR agg.n_added = 0
+                    THEN q.query
+                    ELSE q.query || ' ' || agg.add_str END
+                   AS expanded_query,
+               COALESCE(agg.n_added, 0) AS n_added
+        FROM q LEFT JOIN agg USING (query)
+    """
