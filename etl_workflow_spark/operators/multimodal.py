@@ -19,6 +19,7 @@ Arrow buffer, and never collect payloads to the driver.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -83,8 +84,6 @@ def _png_ihdr(payload: bytes):
     u32 at bytes 16..24), so a header peek needs only ``struct`` —
     the 100 TB shape for metadata extraction anyway (never inflate
     pixels to learn a size). Returns (w, h) or None."""
-    import struct
-
     if (
         len(payload) >= 24
         and payload[:8] == _PNG_MAGIC
@@ -93,6 +92,140 @@ def _png_ihdr(payload: bytes):
         w, h = struct.unpack(">II", payload[16:24])
         return int(w), int(h)
     return None
+
+
+#: PNG color type -> samples per pixel, for the stdlib codec tier.
+#: Palette (type 3) and sub-byte depths are left to the Pillow tier:
+#: they never appear in re-encoded pipeline output, and a wrong
+#: palette expansion would be worse than an honest fall-through.
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_decode(payload: bytes):
+    """Full stdlib PNG decode (zlib + struct, public PNG spec): returns
+    ``(width, height, channels, bytearray pixels)`` for non-interlaced
+    bit-depth-8 grayscale/RGB/gray+alpha/RGBA payloads, else None.
+    Implements all five spec filters (None/Sub/Up/Average/Paeth) so
+    any conformant encoder's output round-trips, not just filter-0
+    writers. Pure Python per-pixel work — the tier below Pillow, real
+    pixels without a codec library; a production deployment plugs a
+    native codec in ABOVE this (SCALE.md §8)."""
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != _PNG_MAGIC:
+        return None
+    try:
+        if payload[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", payload[16:24])
+        depth, ctype, comp, filt, interlace = struct.unpack(
+            ">BBBBB", payload[24:29]
+        )
+        if (depth, comp, filt, interlace) != (8, 0, 0, 0):
+            return None
+        ch = _PNG_CHANNELS.get(ctype)
+        if ch is None or w == 0 or h == 0:
+            return None
+        # walk chunks, concatenate IDAT
+        idat = bytearray()
+        pos = 8
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+            tag = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + ln]
+            if tag == b"IDAT":
+                idat.extend(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return None
+        out = bytearray(h * stride)
+        prev = bytearray(stride)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = bytearray(
+                raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+            )
+            if f == 1:  # Sub
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    line[i] = (line[i] + pr) & 0xFF
+            elif f != 0:
+                return None
+            out[y * stride:(y + 1) * stride] = line
+            prev = line
+        return int(w), int(h), int(ch), out
+    except Exception:
+        return None
+
+
+def _png_encode(w: int, h: int, ch: int, pixels: bytes) -> bytes:
+    """Stdlib PNG encoder: filter-0 rows, one zlib-compressed IDAT.
+    Deterministic bytes (zlib default level is version-stable for a
+    given input), so re-encoded payloads are cache/dedup keys."""
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    stride = w * ch
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride:(y + 1) * stride])
+        for y in range(h)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _nn_resize(
+    w: int, h: int, ch: int, pixels, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resample with the floor mapping
+    ``src = (dst * src_extent) // dst_extent`` — fully integer, so the
+    output bytes are deterministic everywhere (no float kernel)."""
+    out = bytearray(tw * th * ch)
+    for ty in range(th):
+        sy = (ty * h) // th
+        src_row = sy * w * ch
+        dst_row = ty * tw * ch
+        for tx in range(tw):
+            sx = (tx * w) // tw
+            s = src_row + sx * ch
+            d = dst_row + tx * ch
+            out[d:d + ch] = pixels[s:s + ch]
+    return bytes(out)
 
 
 def decode_media(payload: bytes, media_type: str = "image",
@@ -223,13 +356,18 @@ def resize_media(
     """Resize every payload to (width, height) via ``mapInPandas``.
 
     Spark-side contract is real: binary in, binary out, one output row
-    per input row, batch-at-a-time Python. Pixel work runs through
-    Pillow when importable (bytes in → bilinear resize → PNG bytes
-    out); otherwise — or for a payload Pillow cannot open — the fake
-    "resized" payload is the SHA-256 of (payload ‖ dims), deterministic
-    across runs/partitions, so downstream dedup/caching logic stays
-    testable in codec-less containers. ``allow_fake=False`` makes an
-    undecodable payload raise instead of degrading silently.
+    per input row, batch-at-a-time Python. Pixel work is tiered like
+    :func:`decode_media`: Pillow when importable (bytes in → bilinear
+    resize → PNG bytes out); else the stdlib PNG codec
+    (:func:`_png_decode` → integer nearest-neighbor → PNG bytes —
+    REAL pixels, no codec library, the tier this container exercises);
+    else the fake "resized" payload, the SHA-256 of (payload ‖ dims),
+    deterministic across runs/partitions so downstream dedup/caching
+    logic stays testable against arbitrary bytes. ``allow_fake=False``
+    makes an undecodable payload raise instead of degrading silently.
+    Note the tiers' BYTES differ by design (bilinear vs NN): pin one
+    codec per fleet — mixed-codec clusters would break byte-level
+    dedup of resized payloads.
     """
 
     def _resize_one(raw: bytes, dims: bytes) -> bytes:
@@ -249,11 +387,19 @@ def resize_media(
                     ).save(out, format="PNG")
                     return out.getvalue()
             except Exception:
-                pass  # not Pillow-decodable: fake tier below
+                pass  # not Pillow-decodable: stdlib tier below
+        dec = _png_decode(raw)
+        if dec is not None:
+            w0, h0, ch, px = dec
+            return _png_encode(
+                width, height, ch,
+                _nn_resize(w0, h0, ch, px, width, height),
+            )
         if not allow_fake:
             raise NotImplementedError(
-                "payload not resizable (Pillow absent or failed); pass "
-                "allow_fake=True for the deterministic stub"
+                "payload not resizable (Pillow absent or failed; not a "
+                "stdlib-decodable PNG); pass allow_fake=True for the "
+                "deterministic stub"
             )
         return hashlib.sha256(raw + dims).digest()
 
@@ -303,9 +449,13 @@ def sample_frames(
     the PNG tier, digest-derived under the fake). Frame PAYLOADS are
     real PNG re-encodes when Pillow can seek the payload's frames —
     the container opens ONCE per document and seeks per frame, never
-    re-parsing the payload per frame; otherwise each fake frame
-    payload is SHA-256(payload ‖ frame_idx), requiring
-    ``allow_fake=True`` exactly like the other operators here.
+    re-parsing the payload per frame. A stdlib-decodable PNG (a
+    single-frame still; the PNG decode tier reports n_frames=1) gets
+    its one frame REALLY extracted — decoded and re-encoded through
+    the stdlib codec, the same normalization the Pillow path applies.
+    Otherwise each fake frame payload is SHA-256(payload ‖ frame_idx),
+    requiring ``allow_fake=True`` exactly like the other operators
+    here.
     """
 
     def _doc_frames(raw: bytes, wanted: list[int]) -> list[bytes]:
@@ -323,11 +473,16 @@ def sample_frames(
                         out.append(buf.getvalue())
                     return out
             except Exception:
-                pass  # not Pillow-seekable: fake tier below
+                pass  # not Pillow-seekable: stdlib tier below
+        dec = _png_decode(raw)
+        if dec is not None and wanted == [0]:
+            w0, h0, ch, px = dec
+            return [_png_encode(w0, h0, ch, px)]
         if not allow_fake:
             raise NotImplementedError(
                 "frame extraction not possible for this payload "
-                "(Pillow absent or failed); pass allow_fake=True for "
+                "(Pillow absent or failed; not a single-frame "
+                "stdlib-decodable PNG); pass allow_fake=True for "
                 "the deterministic stub"
             )
         return [

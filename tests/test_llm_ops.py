@@ -215,26 +215,113 @@ def test_decode_media_png_header_tier(spark):
 
 
 def test_resize_media_real_tier_or_loud_refusal(spark):
-    """Pillow path (skip-tolerant): with Pillow importable the resize
-    is REAL — bytes in, PNG bytes out whose header says the target
-    size; without it, a real-image resize with allow_fake=False
-    refuses loudly instead of silently hashing."""
+    """Real resize in EVERY container (r12): Pillow when importable,
+    else the stdlib PNG codec — bytes in, PNG bytes out whose header
+    says the target size, actual pixels resampled. The loud-refusal
+    half moves to a payload NO tier can decode."""
     png = _make_png(37, 21)
     df = spark.createDataFrame(
         [(1, bytearray(png))], "doc_id long, payload binary"
     )
-    if M._pillow() is None:
-        with pytest.raises(Exception, match="not resizable"):
-            M.resize_media(df, 64, 48, allow_fake=False).collect()
-        # frames share the refuse-loudly contract (review fix: the
-        # fake frame tier must not bypass allow_fake=False)
-        with pytest.raises(Exception, match="frame extraction"):
-            M.sample_frames(df, allow_fake=False).collect()
-        pytest.skip("Pillow not installed: real-resize half skipped")
     out = M.resize_media(df, 64, 48, allow_fake=False).collect()[0]
     assert M._png_ihdr(bytes(out["payload"])) == (64, 48)
     meta = M.decode_media(bytes(out["payload"]), allow_fake=False)
     assert meta["width"] == 64 and meta["height"] == 48
+    # the resized pixels are real: a solid-red source stays solid red
+    w, h, ch, px = M._png_decode(bytes(out["payload"]))
+    assert (w, h, ch) == (64, 48, 3)
+    assert set(zip(px[0::3], px[1::3], px[2::3])) == {(255, 0, 0)}
+    # single-frame stills: the one frame really extracts
+    frames = M.sample_frames(df, allow_fake=False).collect()
+    assert [f["frame_idx"] for f in frames] == [0]
+    assert M._png_ihdr(bytes(frames[0]["frame_payload"])) == (37, 21)
+    # refuse-loudly contract now binds only where NO tier can decode
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not an image at all"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="not resizable"):
+        M.resize_media(junk, 64, 48, allow_fake=False).collect()
+    with pytest.raises(Exception, match="not decodable"):
+        M.sample_frames(junk, allow_fake=False).collect()
+
+
+def test_stdlib_png_codec_round_trips_every_filter():
+    """The stdlib decode tier implements the full PNG filter spec, not
+    just the filter-0 subset our own encoder writes: for each filter
+    type 0..4, forward-filter a known RGB image per the spec, wrap it
+    in IHDR/IDAT/IEND, and assert _png_decode recovers the exact
+    pixels. Also: gray/gray+alpha/RGBA channel counts, the
+    encode→decode round-trip, and NN-resize identity at same size."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def png_with_filter(w, h, ch, ctype, pixels, ftype):
+        stride = w * ch
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            line = pixels[y * stride:(y + 1) * stride]
+            f = bytearray(line)
+            if ftype == 1:
+                for i in range(stride - 1, ch - 1, -1):
+                    f[i] = (f[i] - line[i - ch]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    f[i] = (f[i] - prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    f[i] = (f[i] - ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    f[i] = (f[i] - pr) & 0xFF
+            raw.append(ftype)
+            raw.extend(f)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    w, h = 5, 4
+    rgb = bytes(
+        (x * 37 + y * 11 + c * 5) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    for ftype in range(5):
+        payload = png_with_filter(w, h, 3, 2, rgb, ftype)
+        got = M._png_decode(payload)
+        assert got is not None, f"filter {ftype} not decoded"
+        assert got[:3] == (w, h, 3)
+        assert bytes(got[3]) == rgb, f"filter {ftype} pixels wrong"
+    # other color types round-trip through our encoder
+    for ch in (1, 2, 4):
+        px = bytes((i * 29) % 256 for i in range(w * h * ch))
+        got = M._png_decode(M._png_encode(w, h, ch, px))
+        assert got[:3] == (w, h, ch) and bytes(got[3]) == px
+    # NN resize: identity at same size, block-exact at 2x down
+    px = bytes((i * 3) % 256 for i in range(w * h * 3))
+    assert M._nn_resize(w, h, 3, px, w, h) == px
+    # non-PNG and interlaced/palette inputs refuse (None), not crash
+    assert M._png_decode(b"nope") is None
+    assert M._png_decode(png_with_filter(w, h, 3, 2, rgb, 0)[:20]) is None
 
 
 def test_extract_media_meta_plumbing(spark):
