@@ -2367,10 +2367,44 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("score_e4"),
         F.lit(None).cast("int").alias("rank"),
     )
+    # scope='kwic' (r12): keyword-in-context snippets — integer
+    # positions + string slicing end-to-end, so the assembled snippet
+    # strings hash-check (the term and its snippet pack into `term`,
+    # the 0-based token position rides in `n`).
+    kwic = T.keyword_snippets(
+        docs, _KWIC_TERMS, window=3, k=15
+    ).select(
+        F.lit("kwic").alias("scope"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat_ws("::", "term", "snippet").alias("term"),
+        F.col("pos").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("score_e4"),
+        "rank",
+    )
+    # scope='drift' (r12): corpus-drift PSI between the full corpus
+    # and a deterministic "yesterday" subset (doc_id % 3 != 0), both
+    # restricted to ASCII text so the oracle's per-character crc32
+    # replay consumes the same bytes. Bucket counts ride in `term`,
+    # the per-bucket fixed-point PSI in `n`, the corpus total in
+    # `score_e4` (a constant column — also hash-checked).
+    adocs = docs.where(
+        F.col("text").isNotNull() & F.col("text").rlike("^[ -~]*$")
+    )
+    drift = T.corpus_drift(
+        adocs, adocs.where("doc_id % 3 != 0"), buckets=64
+    ).select(
+        F.lit("drift").alias("scope"),
+        F.col("bucket").cast("bigint").alias("doc_id"),
+        F.concat_ws(":", F.lit("b"), "n_a", "n_b").alias("term"),
+        F.col("psi_e9").alias("n"),
+        F.col("psi_total_e9").alias("score_e4"),
+        F.lit(None).cast("int").alias("rank"),
+    )
     return (
         corpus.unionByName(perdoc).unionByName(bm25)
         .unionByName(phrase).unionByName(colloc)
-        .unionByName(metrics).unionByName(rm3)
+        .unionByName(metrics).unionByName(rm3).unionByName(kwic)
+        .unionByName(drift)
     )
 
 
@@ -2416,6 +2450,10 @@ _TERM_STATS_ORACLE = f"""
            CAST(n_added AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS INT)
     FROM ({T.expand_queries_oracle(_BM25_QUERIES, n_docs=5, n_terms=5)})
+    UNION ALL
+    SELECT 'kwic', doc_id, term || '::' || snippet,
+           CAST(pos AS BIGINT), CAST(NULL AS BIGINT), rank
+    FROM ({{KWIC_ORACLE}})
 """
 
 _QRELS_ORACLE = (
@@ -2428,12 +2466,30 @@ _QRELS_ORACLE = (
     + ") v(query, idx) JOIN documents d ON d.doc_id % 17 = v.idx"
 )
 
+#: Fixed KWIC gate terms: two frequent testdata terms plus one absent
+#: (the no-hit path must stay a no-op, not an error, on both engines).
+_KWIC_TERMS = ["hash", "customer", "zzznothere"]
+
 _TERM_STATS_ORACLE = _TERM_STATS_ORACLE.replace(
     "{METRICS_ORACLE}",
     RK.retrieval_metrics_oracle(
         T.bm25_topk_oracle(_BM25_QUERIES, k=10), _QRELS_ORACLE, k=10
     ),
+).replace(
+    "{KWIC_ORACLE}",
+    T.keyword_snippets_oracle(_KWIC_TERMS, window=3, k=15),
 )
+
+_ASCII_DOCS = "regexp_matches(text, '^[ -~]*$')"
+_TERM_STATS_ORACLE += f"""
+    UNION ALL
+    SELECT 'drift', CAST(bucket AS BIGINT),
+           'b:' || CAST(n_a AS VARCHAR) || ':' || CAST(n_b AS VARCHAR),
+           psi_e9, psi_total_e9, CAST(NULL AS INT)
+    FROM ({T.corpus_drift_oracle(
+        _ASCII_DOCS, _ASCII_DOCS + " AND doc_id % 3 != 0", buckets=64,
+    )})
+"""
 
 
 def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4102,10 +4102,11 @@ def corpus_drift(
     empty in BOTH corpora included (they carry nonzero smoothed mass
     whenever the corpus sizes differ; the standard all-bins PSI).
     One pass per corpus, shuffle bounded by ``buckets``, driver state
-    bounded by ``buckets``. Correctness tier: the
-    zlib/numpy oracle in pytest (Spark's crc32 == zlib.crc32,
-    verified) — a DuckDB twin would need the recursive crc32 CTE at
-    per-term cost for no extra assurance.
+    bounded by ``buckets``. Correctness tiers: the zlib/numpy oracle
+    in pytest (Spark's crc32 == zlib.crc32, verified) AND the
+    hash-checked driver gate via :func:`corpus_drift_oracle` (r12) —
+    the crc32 recursive CTE there runs over DISTINCT terms only, so
+    the replay is vocabulary-bounded, not occurrence-bounded.
 
     Capability analog in the reference: none — extension-tier
     pipeline monitoring."""
@@ -4367,4 +4368,112 @@ def expand_queries_oracle(
                    AS expanded_query,
                COALESCE(agg.n_added, 0) AS n_added
         FROM q LEFT JOIN agg USING (query)
+    """
+
+
+def corpus_drift_oracle(
+    where_a: str,
+    where_b: str,
+    buckets: int = 64,
+    smoothing: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`corpus_drift` for gate subsets defined by
+    SQL predicates (``where_a`` / ``where_b`` select the two corpus
+    snapshots from ``table``; restrict both to ASCII text — e.g.
+    ``regexp_matches(text, '^[ -~]*$')`` — so ``unicode(char)`` IS the
+    UTF-8 byte the engine's crc32 consumes). The crc32 recursive CTE
+    runs over DISTINCT terms only (vocabulary-bounded, the same
+    reflected-0xEDB88320 byte loop as the dsir gate replay); the PSI
+    row arithmetic repeats the driver's exact operation order with
+    every float literal CAST to DOUBLE (DuckDB decimal-literal
+    arithmetic would otherwise diverge from Python floats). Returns
+    ``(bucket, n_a, n_b, psi_e9, psi_total_e9)`` over the full
+    0..buckets-1 spine."""
+    t = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
+    s = f"CAST({float(smoothing)!r} AS DOUBLE)"
+    sb = f"CAST({float(smoothing) * int(buckets)!r} AS DOUBLE)"
+    return f"""
+        WITH RECURSIVE crc_tbl(n, k, c) AS (
+            SELECT n, 0, CAST(n AS BIGINT) FROM range(256) t(n)
+            UNION ALL
+            SELECT n, k + 1,
+                   CASE WHEN c & 1 = 1
+                        THEN xor(3988292384, c >> 1)
+                        ELSE c >> 1 END
+            FROM crc_tbl WHERE k < 8
+        ),
+        tbl AS (SELECT n, c FROM crc_tbl WHERE k = 8),
+        terms_a AS (
+            SELECT unnest({t}) AS term FROM {table}
+            WHERE text IS NOT NULL AND ({where_a})
+        ),
+        terms_b AS (
+            SELECT unnest({t}) AS term FROM {table}
+            WHERE text IS NOT NULL AND ({where_b})
+        ),
+        vocab AS (
+            SELECT DISTINCT term FROM (
+                SELECT term FROM terms_a
+                UNION ALL SELECT term FROM terms_b
+            )
+        ),
+        crc_iter(term, i, n, c) AS (
+            SELECT term, 0, length(term), CAST(4294967295 AS BIGINT)
+            FROM vocab
+            UNION ALL
+            SELECT ci.term, ci.i + 1, ci.n, xor(t.c, ci.c >> 8)
+            FROM crc_iter ci
+            JOIN tbl t
+              ON t.n = xor(
+                     ci.c & 255, unicode(substr(ci.term, ci.i + 1, 1))
+                 )
+            WHERE ci.i < ci.n
+        ),
+        bkt AS (
+            SELECT term,
+                   CAST(xor(c, 4294967295) % {int(buckets)} AS INT)
+                       AS bucket
+            FROM crc_iter WHERE i = n
+        ),
+        ca AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a
+            FROM terms_a JOIN bkt USING (term) GROUP BY 1
+        ),
+        cb AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+            FROM terms_b JOIN bkt USING (term) GROUP BY 1
+        ),
+        spine AS (
+            SELECT CAST(range AS INT) AS bucket
+            FROM range({int(buckets)})
+        ),
+        joined AS (
+            SELECT spine.bucket,
+                   COALESCE(ca.n_a, 0) AS n_a,
+                   COALESCE(cb.n_b, 0) AS n_b
+            FROM spine
+            LEFT JOIN ca USING (bucket)
+            LEFT JOIN cb USING (bucket)
+        ),
+        tots AS (
+            SELECT CAST(SUM(n_a) AS BIGINT) AS ua,
+                   CAST(SUM(n_b) AS BIGINT) AS ub
+            FROM joined
+        ),
+        psi AS (
+            SELECT bucket, n_a, n_b,
+                   CAST(FLOOR(
+                       ((((n_a + {s}) / (ua + {sb}))
+                         - ((n_b + {s}) / (ub + {sb})))
+                        * ((ln(n_a + {s}) - ln(ua + {sb}))
+                           - (ln(n_b + {s}) - ln(ub + {sb}))))
+                       * CAST(1000000000.0 AS DOUBLE)
+                   ) AS BIGINT) AS psi_e9
+            FROM joined CROSS JOIN tots
+        )
+        SELECT bucket, n_a, n_b, psi_e9,
+               CAST(SUM(psi_e9) OVER () AS BIGINT) AS psi_total_e9
+        FROM psi
     """
