@@ -2400,11 +2400,34 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psi_total_e9").alias("score_e4"),
         F.lit(None).cast("int").alias("rank"),
     )
+    # scope='mmr' (r12): the MMR diversity pass gated bit-for-bit —
+    # possible because the r12 quantized-cosine path makes every
+    # similarity an order-free integer dot. Candidates are the gated
+    # bm25 ranking; vectors are exact small-integer arrays derived
+    # from doc_id arithmetic (so norms are square roots of exact sums
+    # and both engines feed libm identical operands).
+    vdf = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 15), j -> "
+            "CAST((doc_id * (j + 3) + j * j) % 17 - 8 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    mmr = RK.mmr_rerank(
+        T.bm25_topk(docs, _BM25_QUERIES, k=8), vdf, k=5, lam=0.7
+    ).select(
+        F.lit("mmr").alias("scope"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("query").alias("term"),
+        F.col("mmr_e6").alias("n"),
+        F.lit(None).cast("bigint").alias("score_e4"),
+        "rank",
+    )
     return (
         corpus.unionByName(perdoc).unionByName(bm25)
         .unionByName(phrase).unionByName(colloc)
         .unionByName(metrics).unionByName(rm3).unionByName(kwic)
-        .unionByName(drift)
+        .unionByName(drift).unionByName(mmr)
     )
 
 
@@ -2481,6 +2504,10 @@ _TERM_STATS_ORACLE = _TERM_STATS_ORACLE.replace(
 )
 
 _ASCII_DOCS = "regexp_matches(text, '^[ -~]*$')"
+_MMR_VECTORS_SQL = (
+    "SELECT doc_id, [CAST((doc_id * (j + 3) + j * j) % 17 - 8 "
+    "AS DOUBLE) for j in generate_series(0, 15)] AS v FROM documents"
+)
 _TERM_STATS_ORACLE += f"""
     UNION ALL
     SELECT 'drift', CAST(bucket AS BIGINT),
@@ -2488,6 +2515,12 @@ _TERM_STATS_ORACLE += f"""
            psi_e9, psi_total_e9, CAST(NULL AS INT)
     FROM ({T.corpus_drift_oracle(
         _ASCII_DOCS, _ASCII_DOCS + " AND doc_id % 3 != 0", buckets=64,
+    )})
+    UNION ALL
+    SELECT 'mmr', doc_id, query, mmr_e6, CAST(NULL AS BIGINT), rank
+    FROM ({RK.mmr_rerank_oracle(
+        T.bm25_topk_oracle(_BM25_QUERIES, k=8), _MMR_VECTORS_SQL,
+        k=5, lam=0.7,
     )})
 """
 

@@ -520,11 +520,16 @@ def mmr_rerank(
     as one ``applyInPandas`` group per query over the TOP-CANDIDATE
     set only — candidate counts are the upstream ranking's k (tens to
     hundreds), never corpus-sized, so each group is a trivial numpy
-    loop and queries parallelize across the cluster. Deterministic:
-    group content is a pure function of the inputs and ties break by
-    id ascending. Returns ``(query, id, mmr_e6 bigint, rank int)``
-    with ``mmr_e6`` the floor-e6 selection score (the first pick's
-    score is its normalized relevance)."""
+    loop and queries parallelize across the cluster. Deterministic
+    BIT-FOR-BIT (r12): unit vectors quantize to the 2^-20 grid before
+    the similarity dot, so every pairwise similarity is an order-free
+    integer sum closed by one correctly-rounded division — identical
+    on any executor architecture, and replayable by a SQL oracle
+    (:func:`mmr_rerank_oracle`) when the input vectors are exact
+    small-integer arrays. Ties break by id ascending. Returns
+    ``(query, id, mmr_e6 bigint, rank int)`` with ``mmr_e6`` the
+    floor-e6 selection score (the first pick's score is its
+    normalized relevance)."""
     import math
 
     import numpy as np
@@ -594,7 +599,20 @@ def mmr_rerank(
                          for v in pdf["__v"]])
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
+        # Quantize unit vectors to the 2^-20 grid BEFORE any dot
+        # product (r12): a float dot's value depends on numpy's
+        # summation order (pairwise/SIMD blocking), which varies with
+        # build and architecture — on a heterogeneous 100 TB cluster
+        # two executors could rank the same group differently, and no
+        # SQL oracle could replay it. Integer dots are order-free and
+        # exact (|dot| <= dim * 2^40 < 2^63 for any real dim), and the
+        # single closing division is one correctly-rounded IEEE op —
+        # so mmr_e6 is bit-deterministic everywhere. The 2^-20
+        # similarity granularity (~1e-6) is far below any meaningful
+        # diversity signal.
+        unit = np.floor(
+            (vecs / norms[:, None]) * 2.0**20
+        ).astype(np.int64)
         lo, hi = float(s.min()), float(s.max())
         rel = (
             np.ones_like(s) if hi == lo else (s - lo) / (hi - lo)
@@ -614,7 +632,7 @@ def mmr_rerank(
             picked.append(best)
             scores.append(math.floor(float(mmr[best]) * 1e6))
             remaining[best] = False
-            sim = unit @ unit[best]
+            sim = (unit @ unit[best]) / 2.0**40
             max_sim = np.maximum(max_sim, sim)
         return pd.DataFrame({
             "query": pdf["query"].iloc[:1].repeat(len(picked)).values,
@@ -624,3 +642,147 @@ def mmr_rerank(
         })
 
     return cand.groupBy("query").applyInPandas(pick, out_schema)
+
+
+def mmr_rerank_oracle(
+    ranked_sql: str,
+    vectors_sql: str,
+    k: int = 5,
+    lam: float = 0.7,
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank`, enabled by the r12
+    quantized-cosine path: because every pairwise similarity is an
+    order-free integer dot closed by one division, the greedy loop
+    replays exactly as ``k`` unrolled pick/update CTE stages (a
+    recursive CTE cannot aggregate over its own frontier; unrolling
+    can, and k is a small constant). ``ranked_sql`` yields (query,
+    doc_id, score_e4); ``vectors_sql`` yields (doc_id, v LIST(DOUBLE))
+    whose elements must be EXACT small integers (so norms are square
+    roots of exact sums — the gate derives them from doc_id
+    arithmetic). Every float literal is CAST to DOUBLE, and the
+    (1 - λ) complement is computed, not written as a literal — Python
+    1.0-0.7 is 0.30000000000000004 and the oracle must feed libm the
+    same bits. The shared CTEs are MATERIALIZED: DuckDB inlines CTEs
+    by default, and the k unrolled stages reference ``rel``/``sims``
+    ~3k times total — inlined, every reference re-evaluates
+    ``ranked_sql`` (a 5x gate slowdown, measured). Returns ``(query,
+    doc_id, mmr_e6, rank)``."""
+    lam_sql = f"CAST({float(lam)!r} AS DOUBLE)"
+    one_minus = f"(CAST(1.0 AS DOUBLE) - {lam_sql})"
+    q20 = "CAST(1048576.0 AS DOUBLE)"     # 2^20
+    q40 = "CAST(1099511627776.0 AS DOUBLE)"  # 2^40
+    parts = [f"""
+        cand AS MATERIALIZED (
+            SELECT query, doc_id,
+                   CAST(score_e4 AS DOUBLE) AS s
+            FROM ({ranked_sql})
+        ),
+        rel AS MATERIALIZED (
+            SELECT query, doc_id,
+                   CASE WHEN hi = lo THEN CAST(1.0 AS DOUBLE)
+                        ELSE (s - lo) / (hi - lo) END AS rel
+            FROM (
+                SELECT query, doc_id, s,
+                       MIN(s) OVER (PARTITION BY query) AS lo,
+                       MAX(s) OVER (PARTITION BY query) AS hi
+                FROM cand
+            )
+        ),
+        vx AS (
+            SELECT v.doc_id, v.v
+            FROM ({vectors_sql}) v
+            JOIN (SELECT DISTINCT doc_id FROM cand) c USING (doc_id)
+        ),
+        uqv AS (
+            SELECT doc_id,
+                   list_transform(
+                       v, x -> FLOOR((x / nrm) * {q20})
+                   ) AS uq
+            FROM (
+                SELECT doc_id, v,
+                       CASE WHEN nrm0 = 0 THEN CAST(1.0 AS DOUBLE)
+                            ELSE nrm0 END AS nrm
+                FROM (
+                    SELECT doc_id, v,
+                           sqrt(list_sum(
+                               list_transform(v, x -> x * x)
+                           )) AS nrm0
+                    FROM vx
+                )
+            )
+        ),
+        uqr AS (
+            SELECT doc_id, generate_subscripts(uq, 1) AS j,
+                   CAST(unnest(uq) AS BIGINT) AS u
+            FROM uqv
+        ),
+        sims AS MATERIALIZED (
+            SELECT a.doc_id AS ad, b.doc_id AS bd,
+                   CAST(SUM(a.u * b.u) AS DOUBLE) / {q40} AS sim
+            FROM uqr a JOIN uqr b USING (j)
+            GROUP BY 1, 2
+        ),
+        p1 AS (
+            SELECT query, doc_id, rel AS mmr, 1 AS rank
+            FROM (
+                SELECT query, doc_id, rel,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query
+                           ORDER BY rel DESC, doc_id ASC
+                       ) AS rn
+                FROM rel
+            ) WHERE rn = 1
+        ),
+        m1 AS (
+            SELECT r.query, r.doc_id, s.sim AS ms
+            FROM rel r
+            JOIN p1 p USING (query)
+            JOIN sims s ON s.ad = r.doc_id AND s.bd = p.doc_id
+        )"""]
+    for t in range(2, int(k) + 1):
+        prev_picks = " UNION ALL ".join(
+            f"SELECT query, doc_id FROM p{i}" for i in range(1, t)
+        )
+        parts.append(f"""
+        sc{t} AS (
+            SELECT r.query, r.doc_id,
+                   {lam_sql} * r.rel - {one_minus} * m.ms AS mmr
+            FROM rel r
+            JOIN m{t - 1} m
+              ON m.query = r.query AND m.doc_id = r.doc_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ({prev_picks}) pk
+                WHERE pk.query = r.query AND pk.doc_id = r.doc_id
+            )
+        ),
+        p{t} AS (
+            SELECT query, doc_id, mmr, {t} AS rank
+            FROM (
+                SELECT query, doc_id, mmr,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query
+                           ORDER BY mmr DESC, doc_id ASC
+                       ) AS rn
+                FROM sc{t}
+            ) WHERE rn = 1
+        ),
+        m{t} AS (
+            SELECT m.query, m.doc_id,
+                   GREATEST(m.ms, s.sim) AS ms
+            FROM m{t - 1} m
+            JOIN p{t} p USING (query)
+            JOIN sims s ON s.ad = m.doc_id AND s.bd = p.doc_id
+        )""")
+    final = " UNION ALL ".join(
+        f"SELECT query, doc_id, mmr, rank FROM p{i}"
+        for i in range(1, int(k) + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT query, doc_id,
+               CAST(FLOOR(mmr * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+                   AS mmr_e6,
+               CAST(rank AS INT) AS rank
+        FROM ({final})
+    """
+    )

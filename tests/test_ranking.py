@@ -385,10 +385,14 @@ def test_mmr_rerank_diversifies(spark):
     assert div[2]["mmr_e6"] == 0
     # rank-1 pick scores its normalized relevance (1.0)
     assert div[1]["mmr_e6"] == 1_000_000
-    # rank-3: rel(2)=0.8, max sim to {1,3} ~ 0.9992
+    # rank-3: rel(2)=0.8, max sim to {1,3} ~ 0.9992 — recomputed
+    # through the r12 quantized-cosine path (floor to the 2^-20 grid,
+    # integer dot, one closing division)
     u2 = np.array([0.999, 0.04, 0.0])
-    u2 = u2 / np.linalg.norm(u2)
-    want = math.floor((0.5 * 0.8 - 0.5 * float(u2[0])) * 1e6)
+    u2q = np.floor(u2 / np.linalg.norm(u2) * 2.0**20)
+    u1q = np.floor(np.array([1.0, 0.0, 0.0]) * 2.0**20)
+    sim = float(u2q @ u1q) / 2.0**40
+    want = math.floor((0.5 * 0.8 - 0.5 * sim) * 1e6)
     assert div[3]["mmr_e6"] == want
     # k cut + layout invariance
     assert mmr_rerank(ranked, vecs, k=2, lam=0.5).count() == 2
