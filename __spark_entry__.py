@@ -2197,17 +2197,89 @@ _TOP_SELLING_ORACLE = f"""
 """
 
 
+#: Crafted probe documents for the page-filter gate: the synthetic
+#: corpus is single-line stop-word-poor text, so EVERY testdata doc
+#: fails Gopher and C4 — these exercise the pass paths (a clean
+#: multi-line prose page), the bullet/ellipsis line rules, and the
+#: lorem-ipsum page drop, identically on both engines. No apostrophes
+#: (SQL literal escaping stays trivial); ids far above the corpus.
+_QUALITY_PROBE_DOCS = [
+    (9_000_001, [
+        "The old system and the new system have to work with the data.",
+        "We keep the fast path and the slow path of the plan in sync.",
+        "Each stage of the scan must have a sort that holds the order.",
+        "The rows that we keep have to be part of the final output.",
+        "That rule is the core of the design and we test it with care.",
+    ]),
+    (9_000_002, [
+        "- first bullet item in the list",
+        "- second bullet item in the list",
+        "the line that trails off without an ending...",
+    ]),
+    (9_000_003, [
+        "This page looks like prose but it is lorem ipsum filler.",
+        "The body repeats the lorem ipsum block with the same text.",
+        "The filter must drop the page and keep the counts intact.",
+    ]),
+    (9_000_004, ["Tiny doc."]),
+]
+
+
+def _quality_probe_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in _QUALITY_PROBE_DOCS],
+        "doc_id long, text string",
+    )
+
+
+_QUALITY_PROBE_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL SELECT * FROM "
+    "(VALUES "
+    + ", ".join(
+        f"({i}, " + " || chr(10) || ".join(
+            "'" + ln + "'" for ln in lines
+        ) + ")"
+        for i, lines in _QUALITY_PROBE_DOCS
+    )
+    + ") v(doc_id, text))"
+)
+
+
 def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """token_count + text_quality joined per document — both operators'
-    full column sets, one gate entry (shuffle-free projections joined
-    on the id they were derived from)."""
-    docs = table(spark, sf_dir, "documents")
-    return T.token_count(docs).join(T.text_quality(docs), "doc_id")
+    """token_count + text_quality + the published page filters (r12:
+    Gopher rules and the C4 line filter, every ratio fixed-point and
+    the rebuilt kept_text hash-checked) joined per document — all
+    shuffle-free projections joined on the id they were derived from.
+    The corpus is augmented with the crafted probe pages so both
+    verdict polarities hash-check."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).unionByName(_quality_probe_frame(spark))
+    return (
+        T.token_count(docs)
+        .join(T.text_quality(docs), "doc_id")
+        .join(
+            T.gopher_quality_flags(docs).withColumnRenamed(
+                "n_words", "g_n_words"
+            ),
+            "doc_id",
+        )
+        .join(T.c4_line_filter(docs), "doc_id")
+    )
 
 
 _TEXT_METRICS_ORACLE = f"""
-    SELECT * FROM ({T.token_count_oracle()}) tc
-    JOIN ({T.text_quality_oracle()}) tq USING (doc_id)
+    SELECT tc.*, tq.* EXCLUDE (doc_id),
+           gq.n_words AS g_n_words,
+           gq.* EXCLUDE (doc_id, n_words),
+           c4.* EXCLUDE (doc_id)
+    FROM ({T.token_count_oracle(table=_QUALITY_PROBE_SQL)}) tc
+    JOIN ({T.text_quality_oracle(table=_QUALITY_PROBE_SQL)}) tq
+        USING (doc_id)
+    JOIN ({T.gopher_quality_flags_oracle(table=_QUALITY_PROBE_SQL)}) gq
+        USING (doc_id)
+    JOIN ({T.c4_line_filter_oracle(table=_QUALITY_PROBE_SQL)}) c4
+        USING (doc_id)
 """
 
 

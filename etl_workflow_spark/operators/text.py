@@ -229,6 +229,267 @@ def text_quality_oracle(table: str = "documents") -> str:
     """
 
 
+#: The Gopher required-stopword set (Rae et al. 2021, A1.1): a page
+#: must contain at least two of these to look like running English
+#: prose rather than boilerplate or listings.
+GOPHER_REQUIRED_STOPS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1) as one shuffle-free
+    projection: word-count bounds, mean word length bounds,
+    symbol-to-word ratio (# and ellipses), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and the
+    required-stopword test — the standard pre-training page filter
+    between raw crawl and tokenization.
+
+    All ratios are BIGINT fixed-point in 1e-4 units from truncating
+    integer division of exact counts (the module's cross-engine
+    convention), and every threshold compares integers — so
+    ``passes_gopher`` replays bit-for-bit in SQL. NULL text yields
+    NULL metrics and a NULL verdict (unknown, not false) on both
+    engines. Thresholds follow the paper: 50 <= words <= 100000,
+    3 <= mean word length <= 10, symbol ratio <= 0.1, bullet lines
+    <= 0.9, ellipsis lines <= 0.3, alpha words >= 0.8, >= 2 required
+    stopwords.
+
+    Capability analog in the reference: none — extension tier."""
+    toks = tokens(col)
+    # size(NULL) is -1 in non-ANSI Spark (legacy sizeOfNull), so every
+    # array-size-derived count is explicitly NULL-guarded — a -1 count
+    # would turn the NULL-text verdict into a hard false (and 10000
+    # ratios) instead of the contracted NULL = unknown
+    nn = F.col(col).isNotNull()
+
+    def _guard(c):
+        return F.when(nn, c).cast("bigint")
+
+    n_words = _guard(_n_tokens(col))
+    n_nospace = F.length(
+        F.regexp_replace(F.col(col), r"\s+", "")
+    ).cast("bigint")
+    n_hash = F.length(
+        F.regexp_replace(F.col(col), r"[^#]", "")
+    ).cast("bigint")
+    n_ellipsis = _guard(
+        F.size(F.split(F.col(col), r"\.\.\.")) - F.lit(1)
+    )
+    lines = F.filter(
+        F.split(F.col(col), "\n"), lambda ln: F.trim(ln) != ""
+    )
+    n_lines = _guard(F.size(lines))
+    n_bullet = _guard(
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike("^[-•*]")))
+    )
+    n_ell_lines = _guard(
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+    )
+    n_alpha_words = _guard(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    )
+    lws = F.transform(toks, F.lower)
+    n_req = sum(
+        (
+            F.array_contains(lws, w).cast("int")
+            for w in GOPHER_REQUIRED_STOPS
+        ),
+        F.lit(0),
+    ).cast("int")
+    d = df.select(
+        F.col(id_col),
+        n_words.alias("_nw"),
+        n_nospace.alias("_ns"),
+        (n_hash + n_ellipsis).alias("_sym"),
+        n_lines.alias("_nl"),
+        n_bullet.alias("_nb"),
+        n_ell_lines.alias("_ne"),
+        n_alpha_words.alias("_naw"),
+        n_req.alias("n_required_stops"),
+    )
+    return d.select(
+        id_col,
+        F.col("_nw").cast("int").alias("n_words"),
+        F.expr("(_ns * 10000) DIV NULLIF(_nw, 0)").alias(
+            "mean_word_len_e4"
+        ),
+        F.expr("(_sym * 10000) DIV NULLIF(_nw, 0)").alias(
+            "symbol_word_ratio_e4"
+        ),
+        F.expr("(_nb * 10000) DIV NULLIF(_nl, 0)").alias(
+            "bullet_line_ratio_e4"
+        ),
+        F.expr("(_ne * 10000) DIV NULLIF(_nl, 0)").alias(
+            "ellipsis_line_ratio_e4"
+        ),
+        F.expr("(_naw * 10000) DIV NULLIF(_nw, 0)").alias(
+            "alpha_word_ratio_e4"
+        ),
+        "n_required_stops",
+        F.expr(
+            "_nw BETWEEN 50 AND 100000"
+            " AND (_ns * 10000) DIV NULLIF(_nw, 0)"
+            "     BETWEEN 30000 AND 100000"
+            " AND (_sym * 10000) DIV NULLIF(_nw, 0) <= 1000"
+            " AND (_nb * 10000) DIV NULLIF(_nl, 0) <= 9000"
+            " AND (_ne * 10000) DIV NULLIF(_nl, 0) <= 3000"
+            " AND (_naw * 10000) DIV NULLIF(_nw, 0) >= 8000"
+            " AND n_required_stops >= 2"
+        ).alias("passes_gopher"),
+    )
+
+
+def gopher_quality_flags_oracle(table: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_quality_flags` — the same exact
+    counts and truncating integer divisions."""
+    t = _sql_tokens("text")
+    req = " + ".join(
+        "(CASE WHEN list_contains(lws, '" + w + "') THEN 1 ELSE 0 END)"
+        for w in GOPHER_REQUIRED_STOPS
+    )
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len({t}) END AS BIGINT) AS nw,
+                   CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                        AS BIGINT) AS ns,
+                   CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+                        + (len(string_split(text, '...')) - 1)
+                        AS BIGINT) AS sym,
+                   list_filter(string_split(text, chr(10)),
+                               l -> trim(l) <> '') AS lines,
+                   list_transform({t}, w -> lower(w)) AS lws,
+                   CAST(len(list_filter({t},
+                        w -> regexp_matches(w, '[A-Za-z]')))
+                        AS BIGINT) AS naw
+            FROM {table}
+        ),
+        h AS (
+            SELECT doc_id, nw, ns, sym, naw,
+                   CAST(len(lines) AS BIGINT) AS nl,
+                   CAST(len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '^[-•*]')))
+                        AS BIGINT) AS nb,
+                   CAST(len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '\.\.\.$')))
+                        AS BIGINT) AS ne,
+                   -- NULL text must stay NULL (unknown), but
+                   -- list_contains(NULL) -> NULL would fold to 0
+                   -- through the CASE sum while the engine keeps NULL
+                   CAST(CASE WHEN lws IS NULL THEN NULL
+                             ELSE ({req}) END AS INT)
+                       AS n_required_stops
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(nw AS INT) AS n_words,
+               (ns * 10000) // NULLIF(nw, 0) AS mean_word_len_e4,
+               (sym * 10000) // NULLIF(nw, 0) AS symbol_word_ratio_e4,
+               (nb * 10000) // NULLIF(nl, 0) AS bullet_line_ratio_e4,
+               (ne * 10000) // NULLIF(nl, 0) AS ellipsis_line_ratio_e4,
+               (naw * 10000) // NULLIF(nw, 0) AS alpha_word_ratio_e4,
+               n_required_stops,
+               (nw BETWEEN 50 AND 100000
+                AND (ns * 10000) // NULLIF(nw, 0)
+                    BETWEEN 30000 AND 100000
+                AND (sym * 10000) // NULLIF(nw, 0) <= 1000
+                AND (nb * 10000) // NULLIF(nl, 0) <= 9000
+                AND (ne * 10000) // NULLIF(nl, 0) <= 3000
+                AND (naw * 10000) // NULLIF(nw, 0) >= 8000
+                AND n_required_stops >= 2) AS passes_gopher
+        FROM h
+    """
+
+
+def c4_line_filter(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 line-and-page cleanup (Raffel et al. 2020, §2.2) as one
+    shuffle-free projection: keep only lines that end in terminal
+    punctuation (``. ! ? "``), contain at least 3 words, and do not
+    mention "javascript"; drop the whole page when it contains
+    "lorem ipsum" or a ``{`` (code), or when fewer than 3 lines
+    survive. Returns ``(id, n_lines, n_kept, kept_text, dropped)``
+    with ``kept_text`` NULL for dropped pages — pure string/array
+    built-ins, so the rebuilt text hash-checks cross-engine. NULL
+    text propagates NULLs (unknown, not dropped).
+
+    Capability analog in the reference: none — extension tier."""
+
+    def _keep(ln):
+        lt = F.trim(ln)
+        words = F.filter(
+            F.split(lt, r"\s+"), lambda w: w != ""
+        )
+        return (
+            (lt != "")
+            & lt.rlike('[.!?"]$')
+            & (F.size(words) >= 3)
+            & ~F.lower(lt).contains("javascript")
+        )
+
+    lines = F.split(F.col(col), "\n")
+    kept = F.filter(lines, _keep)
+    dropped = (
+        F.lower(F.col(col)).contains("lorem ipsum")
+        | F.col(col).contains("{")
+    )
+    # size(NULL) = -1 in non-ANSI Spark: guard so NULL text reports
+    # NULL counts and a NULL verdict, matching the SQL twin
+    nn = F.col(col).isNotNull()
+    d = df.select(
+        F.col(id_col),
+        F.when(nn, F.size(lines)).cast("int").alias("n_lines"),
+        F.when(nn, F.size(kept)).cast("int").alias("n_kept"),
+        kept.alias("_k"),
+        dropped.alias("_d"),
+    )
+    return d.select(
+        id_col,
+        "n_lines",
+        "n_kept",
+        F.when(
+            F.col("_d") | (F.col("n_kept") < 3), F.lit(None)
+        ).otherwise(F.array_join(F.col("_k"), "\n")).alias("kept_text"),
+        (F.col("_d") | (F.col("n_kept") < 3)).alias("dropped"),
+    )
+
+
+def c4_line_filter_oracle(table: str = "documents") -> str:
+    """DuckDB twin of :func:`c4_line_filter` — identical per-line
+    predicate and page verdict."""
+    keep = (
+        "l -> trim(l) <> '' "
+        "AND regexp_matches(trim(l), '[.!?\"]$') "
+        "AND len(list_filter(string_split_regex(trim(l), '\s+'), "
+        "w -> w <> '')) >= 3 "
+        "AND NOT contains(lower(trim(l)), 'javascript')"
+    )
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   string_split(text, chr(10)) AS lines,
+                   list_filter(string_split(text, chr(10)), {keep})
+                       AS kept,
+                   (contains(lower(text), 'lorem ipsum')
+                    OR contains(text, '{{')) AS d
+            FROM {table}
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept,
+               CASE WHEN d OR len(kept) < 3 THEN NULL
+                    ELSE array_to_string(kept, chr(10)) END AS kept_text,
+               (d OR len(kept) < 3) AS dropped
+        FROM c
+    """
+
+
 def lang_id(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language ID: count marker-word hits per language,
     predict the argmax (ties broken by language code order), 'und' when

@@ -256,3 +256,121 @@ def test_dedup_spans_fully_removed_doc_keeps_empty_text(spark):
     }
     assert got[1] == ("a b c", 0)
     assert got[2] == ("", 3)
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Published Gopher page rules (r12): each rule is exercised in
+    both directions with hand-built pages; NULL text yields NULL
+    metrics and a NULL verdict (unknown, not false)."""
+    from etl_workflow_spark.operators.text import gopher_quality_flags
+
+    good_line = (
+        "The old system and the new system have to work with the data."
+    )
+    pages = [
+        (1, "\n".join([good_line] * 5)),           # passes everything
+        (2, "word " * 30),                          # too few words < 50
+        (3, "\n".join(["- item one of the list"] * 60)),  # all bullets
+        (4, "\n".join([good_line] * 4 + ["trails off the page..."] * 4)),
+        (5, "#### #### " * 30),                     # symbol-heavy
+        (6, None),                                  # NULL text
+        (7, ""),                                    # empty text
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[1]["n_required_stops"] >= 2
+    # 65 words, 5 non-empty lines, no bullets/ellipses
+    assert out[1]["n_words"] == 65
+    assert out[1]["bullet_line_ratio_e4"] == 0
+    assert out[2]["passes_gopher"] is False          # word count
+    assert out[3]["passes_gopher"] is False          # bullet ratio
+    assert out[3]["bullet_line_ratio_e4"] == 10000
+    assert out[4]["passes_gopher"] is False          # ellipsis lines
+    assert out[4]["ellipsis_line_ratio_e4"] == 5000
+    assert out[5]["passes_gopher"] is False          # symbols + stops
+    assert out[5]["alpha_word_ratio_e4"] == 0
+    assert out[6]["passes_gopher"] is None
+    assert out[6]["n_words"] is None
+    assert out[7]["n_words"] == 0
+    assert out[7]["passes_gopher"] is False
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 line/page cleanup (r12): terminal-punctuation and min-words
+    line rules, the javascript line rule, lorem-ipsum / brace page
+    drops, the >= 3 surviving-lines page rule, and NULL propagation."""
+    from etl_workflow_spark.operators.text import c4_line_filter
+
+    keep1 = "This line ends with a period and has many words."
+    keep2 = "Does this line survive the filter?"
+    keep3 = 'He said the quote ends here: "done."'
+    pages = [
+        (1, "\n".join([
+            keep1,
+            "no terminal punctuation here",
+            "Too few.",
+            "This one mentions javascript libraries everywhere.",
+            keep2,
+            keep3,
+        ])),
+        (2, f"{keep1}\n{keep2}"),                    # only 2 survive
+        (3, f"{keep1}\n{keep2}\n{keep3}\nlorem ipsum dolor."),
+        (4, keep1 + " {code block}\n" + keep2 + "\n" + keep3),
+        (5, None),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert out[1]["dropped"] is False
+    assert out[1]["n_lines"] == 6 and out[1]["n_kept"] == 3
+    assert out[1]["kept_text"] == "\n".join([keep1, keep2, keep3])
+    assert out[2]["dropped"] is True                 # < 3 kept lines
+    assert out[2]["kept_text"] is None
+    assert out[3]["dropped"] is True                 # lorem ipsum
+    assert out[4]["dropped"] is True                 # brace
+    assert out[5]["dropped"] is None
+    assert out[5]["kept_text"] is None
+
+
+def test_page_filters_match_duckdb_oracle(spark):
+    """The crafted edge pages replay bit-for-bit through the DuckDB
+    twins (the driver gate only sees the corpus + probe docs; this
+    pins the rule edges)."""
+    import duckdb
+
+    from etl_workflow_spark.operators.text import (
+        c4_line_filter,
+        c4_line_filter_oracle,
+        gopher_quality_flags,
+        gopher_quality_flags_oracle,
+    )
+
+    pages = [
+        (1, "The old system and the new system have to work.\n" * 60),
+        (2, "- bullet\n- bullet\nProse line with the usual words."),
+        (3, "ends with dots...\nstill counts the line.\nThird one."),
+        (4, None),
+        (5, ""),
+        (6, "word " * 55 + "the of and."),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pages AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in pages)
+        + ") v(doc_id, text)",
+        [x for row in pages for x in row],
+    )
+    for op, oracle in (
+        (gopher_quality_flags, gopher_quality_flags_oracle),
+        (c4_line_filter, c4_line_filter_oracle),
+    ):
+        got = {
+            r["doc_id"]: tuple(r)
+            for r in op(df).collect()
+        }
+        want = {
+            r[0]: tuple(r)
+            for r in con.execute(oracle(table="pages")).fetchall()
+        }
+        assert got == want, op.__name__
