@@ -2643,6 +2643,15 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(
         mixed.select(F.lit("mixture").alias("method"), "doc_id")
     )
+    # r12: temperature sampling (p_i ∝ (n_i/N)^alpha) — the weights
+    # fixed-point at e12 before the normalizing sum, so the solved
+    # rates replay exactly in the oracle
+    tempered, _trates = SAMP.temperature_mixture(
+        docs, "lang", alpha=0.7, salt="temp"
+    )
+    out = out.unionByName(
+        tempered.select(F.lit("temperature").alias("method"), "doc_id")
+    )
     weighted = SAMP.weighted_sample(
         docs.withColumn(
             "w_rate", (F.col("doc_id") % 10).cast("double") / F.lit(10.0)
@@ -2797,6 +2806,48 @@ def _sampling_splits_oracle() -> str:
             )
         ) r ON d.lang = r.lang
         WHERE substr(sha256('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+              < r.thr
+        UNION ALL
+        -- temperature_mixture replay (r12): weight = pow(n/N, alpha)
+        -- FIXED-POINTED at e12 before the normalizing sum (exact
+        -- integer, order-free), then share / feasible-output / rate /
+        -- threshold re-derived with the exact double operation order
+        -- of sampling.temperature_mixture; same _thr() truncation as
+        -- the mixture tier
+        SELECT 'temperature', d.doc_id
+        FROM documents d
+        JOIN (
+            SELECT lang,
+                   printf('%08x', LEAST(GREATEST(CAST(FLOOR(
+                       LEAST(CAST(1.0 AS DOUBLE),
+                             (p * t_out) / n) * 4294967296.0
+                   ) AS BIGINT), 0), 4294967295)) AS thr
+            FROM (
+                SELECT lang, n, p,
+                       MIN(CASE WHEN p > 0 THEN n / p END) OVER ()
+                           AS t_out
+                FROM (
+                    SELECT lang, n,
+                           CAST(we12 AS DOUBLE)
+                               / CAST(SUM(we12) OVER () AS DOUBLE) AS p
+                    FROM (
+                        SELECT lang, CAST(n AS DOUBLE) AS n,
+                               CAST(FLOOR(pow(
+                                   CAST(n AS DOUBLE)
+                                       / CAST(SUM(n) OVER () AS DOUBLE),
+                                   CAST(0.7 AS DOUBLE)
+                               ) * CAST(1000000000000.0 AS DOUBLE))
+                               AS BIGINT) AS we12
+                        FROM (
+                            SELECT lang, COUNT(*) AS n FROM documents
+                            WHERE lang IS NOT NULL GROUP BY 1
+                        )
+                    )
+                )
+            )
+        ) r ON d.lang = r.lang
+        WHERE d.lang IS NOT NULL
+          AND substr(sha256('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8)
               < r.thr
         UNION ALL
         -- weighted_sample replay: u = first-32-bits(sha)/2^32 < rate,

@@ -153,6 +153,66 @@ def target_mixture(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.7,
+    key: str = "doc_id",
+    salt: str = "temp",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-based stratum rebalancing (the multilingual
+    sampling recipe of XLM-R / mT5: Conneau et al. 2020 §3.1, Xue et
+    al. 2021 — sample strata with probability proportional to
+    ``(n_i/N)^alpha``): flattens the head of a skewed stratum
+    distribution (common languages / domains) without an explicit
+    target dict — ``alpha=1`` keeps the natural mixture, ``alpha→0``
+    approaches uniform. Solves the largest no-upsampling output that
+    realizes the exponentiated shares (the :func:`target_mixture`
+    solve), then hash-downsamples shuffle-free.
+
+    Cross-engine determinism: each stratum weight ``(n_i/N)^alpha``
+    is FIXED-POINTED at e12 before the normalizing sum, so the sum is
+    an exact integer (order-free) and every downstream double — the
+    share, the feasible output size, the keep rate, the 2^32 hash
+    threshold — is a pure function of exact operands; the SQL twin in
+    the driver gate replays the kept set row-for-row. NULL strata are
+    excluded. Returns ``(sampled_df, rates)``.
+
+    Capability analog in the reference: none — extension tier."""
+    import math
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1] (got {alpha})")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        raise ValueError("temperature_mixture needs non-null strata")
+    total = sum(counts.values())
+    w_e12 = {
+        s: math.floor((n / total) ** alpha * 1e12)
+        for s, n in counts.items()
+    }
+    wsum = sum(w_e12.values())
+    p = {s: w_e12[s] / wsum for s in counts}
+    t_out = min(counts[s] / p[s] for s in counts if p[s] > 0)
+    rates = {
+        s: min(1.0, (p[s] * t_out) / counts[s]) if p[s] > 0 else 0.0
+        for s in counts
+    }
+    return (
+        stratified_sample(
+            df.where(F.col(strata_col).isNotNull()), rates, strata_col,
+            key=key, salt=salt, default_rate=0.0,
+        ),
+        rates,
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key: str = "doc_id",

@@ -316,3 +316,62 @@ def test_weighted_sample_k_contract(spark):
         with_null_keys, "logw", 20, key="doc_id", salt="a"
     ).collect()}
     assert nk == ids and None not in nk
+
+
+def test_temperature_mixture_flattens_skew(spark):
+    """Temperature sampling (r12): alpha=1 keeps the natural mixture
+    (every stratum whole); smaller alpha flattens the head — the
+    dominant stratum is downsampled hardest; alpha near 0 approaches
+    uniform; the kept set is layout-invariant and salt-dependent;
+    rates replay the documented closed form."""
+    import math
+
+    from etl_workflow_spark.operators.sampling import temperature_mixture
+
+    rows = (
+        [(i, "en") for i in range(900)]
+        + [(i + 1000, "fr") for i in range(90)]
+        + [(i + 2000, "is") for i in range(10)]
+        + [(9999, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    full, rates1 = temperature_mixture(df, "lang", alpha=1.0)
+    assert rates1 == {"en": 1.0, "fr": 1.0, "is": 1.0}
+    assert full.count() == 1000  # NULL stratum excluded, rest whole
+
+    samp, rates = temperature_mixture(df, "lang", alpha=0.5)
+    # rarest stratum binds: kept whole; head downsampled hardest
+    assert rates["is"] == 1.0
+    assert rates["en"] < rates["fr"] < 1.0
+    # replay the closed form: e12 fixed-point weights -> exact shares
+    w = {s: math.floor((n / 1000) ** 0.5 * 1e12)
+         for s, n in (("en", 900), ("fr", 90), ("is", 10))}
+    ws = sum(w.values())
+    p = {s: w[s] / ws for s in w}
+    t_out = min(n / p[s] for s, n in (("en", 900), ("fr", 90), ("is", 10)))
+    for s, n in (("en", 900), ("fr", 90), ("is", 10)):
+        assert rates[s] == min(1.0, (p[s] * t_out) / n)
+    # layout invariance + different salt -> different draw
+    a = {r["doc_id"] for r in samp.collect()}
+    b = {r["doc_id"] for r in temperature_mixture(
+        df.repartition(7), "lang", alpha=0.5)[0].collect()}
+    assert a == b
+    c = {r["doc_id"] for r in temperature_mixture(
+        df, "lang", alpha=0.5, salt="other")[0].collect()}
+    assert c != a
+    # observed mixture is flatter than natural (en share drops)
+    from collections import Counter
+
+    got = Counter(r["lang"] for r in samp.collect())
+    assert got["en"] / sum(got.values()) < 0.9
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_mixture(df, "lang", alpha=0.0)
+    with _pt.raises(ValueError, match="non-null"):
+        temperature_mixture(
+            spark.createDataFrame([(1, None)], "doc_id long, lang string"),
+            "lang",
+        )
