@@ -2652,6 +2652,38 @@ def _q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(
         tempered.select(F.lit("temperature").alias("method"), "doc_id")
     )
+    # r12: the streaming sample STORE under the gate — two fragment
+    # writes + a compaction + the store read must equal the k
+    # smallest salted hashes of the whole corpus (min-k merging is
+    # associative, so the store mechanics are what is being checked;
+    # the oracle replays the plain global_sample_k SQL)
+    import shutil
+    import tempfile
+
+    from etl_workflow_spark.streaming import incremental as _inc
+
+    tmp = tempfile.mkdtemp(prefix="sample_store_gate_")
+    try:
+        st = os.path.join(tmp, "store")
+        _inc.sample_rollup_batch(
+            docs.where("doc_id % 2 = 0"), st, 0, k=120, salt="sgate"
+        )
+        _inc.sample_rollup_batch(
+            docs.where("doc_id % 2 != 0"), st, 1, k=120, salt="sgate"
+        )
+        _inc.compact_sample_store(spark, st, before_batch_id=1)
+        stored = [
+            (r["doc_id"],)
+            for r in _inc.read_sample_store(spark, st)
+            .select("doc_id").collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = out.unionByName(
+        spark.createDataFrame(stored, "doc_id bigint").select(
+            F.lit("store_sample").alias("method"), "doc_id"
+        )
+    )
     weighted = SAMP.weighted_sample(
         docs.withColumn(
             "w_rate", (F.col("doc_id") % 10).cast("double") / F.lit(10.0)
@@ -2877,6 +2909,18 @@ def _sampling_splits_oracle() -> str:
             FROM documents
             ORDER BY gk DESC, doc_id ASC
             LIMIT 500
+        )
+        UNION ALL
+        -- sample-store replay (r12): the store's fragment merge +
+        -- compaction + read must equal the plain k-smallest-salted-
+        -- hashes query over the whole corpus
+        SELECT 'store_sample', doc_id
+        FROM (
+            SELECT doc_id
+            FROM documents
+            ORDER BY substr(sha256('sgate' || CAST(doc_id AS VARCHAR)), 1, 8),
+                     doc_id
+            LIMIT 120
         )
         UNION ALL
         -- global_sample_k replay: k smallest salted hashes (hex order

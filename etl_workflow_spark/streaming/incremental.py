@@ -2104,3 +2104,156 @@ def collocations_from_stores(
     )
     pairs = read_bigram_store(spark, bigram_store_path)
     return _collocations_score(pairs, uni, k=k, min_count=min_count)
+
+
+# --------------------------------------------- uniform sample store
+
+
+def sample_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "ksample",
+) -> None:
+    """Maintain a deterministic exact-k uniform corpus sample under
+    continuous ingest: each micro-batch lands only its LOCAL top-k
+    candidates (the k smallest salted content hashes —
+    :func:`~etl_workflow_spark.operators.sampling.global_sample_k`'s
+    order) as an exactly-once ``batch_id=…`` fragment. Min-k is a
+    mergeable aggregate — the global k smallest hashes are always
+    among each batch's k smallest — so the store read re-cuts the
+    union of fragments and equals ``global_sample_k`` over everything
+    ever delivered, while each fragment is at most k rows (the store
+    is k × open-batches bounded, never corpus-sized: the whole point
+    at 100 TB — a forever-uniform sample without ever re-scanning
+    history). The (k, salt) the fragments were cut under travel as
+    constant columns so the read can VALIDATE instead of trusting
+    convention.
+
+    Membership is exact under re-delivery (the hash is a pure
+    function of the key); the PAYLOAD of a re-delivered key refreshes
+    only if the new delivery also lands in its own batch's local
+    top-k — otherwise the first-seen payload survives (documented
+    staleness; keys-only callers are unaffected)."""
+    from ..operators.sampling import _bucket
+
+    frag = (
+        batch_df.withColumn("__ks_h", _bucket(key, salt))
+        .orderBy("__ks_h", F.col(key))
+        .limit(int(k))
+        .withColumn("__ks_k", F.lit(int(k)))
+        .withColumn("__ks_salt", F.lit(salt))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        frag.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_sample_rollup(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    k: int,
+    **kwargs,
+):
+    """Continuous sample-store maintenance: each micro-batch lands its
+    local top-k fragment (:func:`sample_rollup_batch`); readers get
+    the exact global sample from :func:`read_sample_store`. Returns a
+    writeStream builder (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sample_rollup_batch(batch_df, store_path, batch_id, k, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_sample_store(
+    spark: SparkSession,
+    store_path: str,
+    k: int | None = None,
+    key: str = "doc_id",
+) -> DataFrame:
+    """The store's current exact-k sample: per-key last-write-wins
+    across fragments (a re-delivered key must not appear twice), then
+    the global re-cut by (hash, key). ``k`` defaults to the k the
+    fragments were written under; a LARGER k is refused — fragments
+    were already cut at write-k, so rows beyond it were never kept
+    and a bigger ask would silently under-sample."""
+    idx = spark.read.parquet(store_path)
+    wrote = [
+        int(r["__ks_k"])
+        for r in idx.select("__ks_k").distinct().collect()
+    ]
+    if len(set(wrote)) != 1:
+        raise ValueError(
+            f"sample store has fragments cut at different k: {sorted(set(wrote))}"
+        )
+    wrote_k = wrote[0]
+    if k is None:
+        k = wrote_k
+    if int(k) > wrote_k:
+        raise ValueError(
+            f"read k={k} exceeds the store's write-time k={wrote_k} — "
+            "rows beyond it were never kept"
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key)
+    return (
+        idx.withColumn("__mx", F.max("batch_id").over(w))
+        .where(F.col("batch_id") == F.col("__mx"))
+        .drop("__mx", "batch_id", "__ks_k", "__ks_salt")
+        .orderBy("__ks_h", F.col(key))
+        .limit(int(k))
+        .drop("__ks_h")
+    )
+
+
+def compact_sample_store(
+    spark: SparkSession,
+    store_path: str,
+    before_batch_id: int,
+    key: str = "doc_id",
+) -> None:
+    """Collapse closed batches' fragments into one ``batch_id=-1``
+    fragment holding just the merged top-k (per-key last-write-wins,
+    then the (hash, key) cut at the store's write-k) — the file-count
+    AND row-count bound for a long-lived store; the read is preserved
+    exactly because min-k merging is associative."""
+
+    def merge(old: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        wrote = [
+            int(r["__ks_k"])
+            for r in old.select("__ks_k").distinct().collect()
+        ]
+        if not wrote:  # no closed fragments: nothing to collapse
+            return old.drop("batch_id")
+        if len(set(wrote)) != 1:
+            raise ValueError(
+                f"sample store has fragments cut at different k: {sorted(set(wrote))}"
+            )
+        w = Window.partitionBy(key)
+        return (
+            old.withColumn("__mx", F.max("batch_id").over(w))
+            .where(F.col("batch_id") == F.col("__mx"))
+            .drop("__mx", "batch_id")
+            .orderBy("__ks_h", F.col(key))
+            .limit(wrote[0])
+        )
+
+    _compact_batched_store(
+        spark, store_path, before_batch_id, merge,
+        partition_by=["batch_id"],
+    )

@@ -1523,3 +1523,81 @@ def test_text_index_store_term_pruned_layout(spark, sf_dir, tmp_path):
     pgot = {tuple(r) for r in inc.read_text_index(spark, pstore).collect()}
     pwant = {tuple(r) for r in T.build_positional_index(docs).collect()}
     assert pgot == pwant
+
+
+def test_sample_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """Uniform sample store (r12): per-batch local top-k fragments
+    re-cut to the exact global_sample_k of everything delivered;
+    replayed batches overwrite their own fragment; re-delivered keys
+    never duplicate; a larger read-k than write-k is refused;
+    compaction preserves the read and bounds rows; a real availableNow
+    stream lands fragments."""
+    import pytest
+
+    from etl_workflow_spark.operators import sampling as SAMP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = str(tmp_path / "samplestore")
+    inc.sample_rollup_batch(docs.where("doc_id < 200"), store, 0, k=50)
+    inc.sample_rollup_batch(docs.where("doc_id >= 200"), store, 1, k=50)
+    inc.sample_rollup_batch(docs.where("doc_id >= 200"), store, 1, k=50)
+    got = {r["doc_id"] for r in inc.read_sample_store(spark, store).collect()}
+    want = {r["doc_id"] for r in SAMP.global_sample_k(docs, 50).collect()}
+    assert got == want and len(got) == 50
+    # smaller read-k is the global prefix; larger is refused
+    got10 = {r["doc_id"]
+             for r in inc.read_sample_store(spark, store, k=10).collect()}
+    want10 = {r["doc_id"] for r in SAMP.global_sample_k(docs, 10).collect()}
+    assert got10 == want10
+    with pytest.raises(ValueError, match="exceeds the store's"):
+        inc.read_sample_store(spark, store, k=51)
+    # re-delivered key: membership exact, no duplicate rows
+    sampled_id = sorted(got)[0]
+    upd = spark.createDataFrame(
+        [(sampled_id, "fresh text")], "doc_id long, text string"
+    )
+    inc.sample_rollup_batch(upd, store, 2, k=50)
+    cur = inc.read_sample_store(spark, store).collect()
+    assert {r["doc_id"] for r in cur} == want
+    assert sum(1 for r in cur if r["doc_id"] == sampled_id) == 1
+    # the re-delivered key's payload refreshed (it made batch 2's top-k
+    # trivially — it was the only row)
+    assert next(
+        r["text"] for r in cur if r["doc_id"] == sampled_id
+    ) == "fresh text"
+    # mixed write-k stores are refused loudly
+    store_bad = str(tmp_path / "badstore")
+    inc.sample_rollup_batch(docs.where("doc_id < 100"), store_bad, 0, k=10)
+    inc.sample_rollup_batch(docs.where("doc_id >= 100"), store_bad, 1, k=20)
+    with pytest.raises(ValueError, match="different k"):
+        inc.read_sample_store(spark, store_bad)
+    # compaction: closed fragments collapse to ONE k-row fragment
+    before = {r["doc_id"]
+              for r in inc.read_sample_store(spark, store).collect()}
+    inc.compact_sample_store(spark, store, before_batch_id=2)
+    after = {r["doc_id"]
+             for r in inc.read_sample_store(spark, store).collect()}
+    assert after == before
+    frag = spark.read.parquet(store)
+    assert frag.where("batch_id = -1").count() <= 50
+    assert {r["batch_id"] for r in
+            frag.select("batch_id").distinct().collect()} == {-1, 2}
+    # real availableNow stream
+    src = str(tmp_path / "ssrc")
+    docs.where("doc_id < 150").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    store4 = str(tmp_path / "samplestore4")
+    qh = (
+        inc.stream_sample_rollup(stream, store4, str(tmp_path / "ckpt"),
+                                 k=25)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    got4 = {r["doc_id"]
+            for r in inc.read_sample_store(spark, store4).collect()}
+    want4 = {r["doc_id"] for r in SAMP.global_sample_k(
+        docs.where("doc_id < 150"), 25).collect()}
+    assert got4 == want4
