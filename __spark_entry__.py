@@ -2283,15 +2283,58 @@ _TEXT_METRICS_ORACLE = f"""
 """
 
 
-def _q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lang_id + doc fingerprint joined per document."""
-    docs = table(spark, sf_dir, "documents")
-    return T.lang_id(docs).join(T.fingerprint(docs), "doc_id")
+#: Unicode probe pages for the normalize_text gate: the synthetic
+#: corpus is plain ASCII (NFC is a no-op there), so these exercise
+#: real recomposition (e + combining acute), control stripping,
+#: run collapsing, and paragraph preservation on both engines. The
+#: decomposed accent is spelled with an explicit escape so the source
+#: file itself stays NFC-clean.
+_UNICODE_PROBE_DOCS = [
+    (9_100_001, "café becomes composed under NFC"),
+    (9_100_002, "tabs\tand   runs \t collapse"),
+    (9_100_003, "ctlcharsdie but text lives"),
+    (9_100_004, "para one\n\n\n\n\npara two"),
+]
 
+
+def _q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id + doc fingerprint + unicode/whitespace normalization
+    (r12: `normalize_text` — the NFC step runs as an Arrow batch, the
+    cleanup chain is codegen; the normalized string and the changed
+    flag hash-check against utf8proc's nfc_normalize) joined per
+    document, with unicode probe pages appended so recomposition is
+    exercised on an otherwise-ASCII corpus."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).unionByName(
+        spark.createDataFrame(
+            _UNICODE_PROBE_DOCS, "doc_id long, text string"
+        )
+    )
+    return (
+        T.lang_id(docs)
+        .join(T.fingerprint(docs), "doc_id")
+        .join(T.normalize_text(docs), "doc_id")
+    )
+
+
+_UNICODE_PROBE_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL SELECT * FROM "
+    "(VALUES "
+    + ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')"
+        for i, t in _UNICODE_PROBE_DOCS
+    )
+    + ") v(doc_id, text))"
+)
 
 _TEXT_IDENTITY_ORACLE = f"""
-    SELECT * FROM ({T.lang_id_oracle()}) li
-    JOIN ({T.fingerprint_oracle()}) fp USING (doc_id)
+    SELECT li.*, fp.* EXCLUDE (doc_id), nt.* EXCLUDE (doc_id)
+    FROM ({T.lang_id_oracle(table=_UNICODE_PROBE_SQL)}) li
+    JOIN ({T.fingerprint_oracle(table=_UNICODE_PROBE_SQL)}) fp
+        USING (doc_id)
+    JOIN ({T.normalize_text_oracle(table=_UNICODE_PROBE_SQL)}) nt
+        USING (doc_id)
 """
 
 

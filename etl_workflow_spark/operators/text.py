@@ -229,6 +229,94 @@ def text_quality_oracle(table: str = "documents") -> str:
     """
 
 
+def normalize_text(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode + whitespace normalization — the canonical first step
+    of a text pipeline (one representation per grapheme before any
+    hashing, dedup, or tokenization; NFC is the W3C/WHATWG default):
+
+    1. Unicode-normalize to ``form`` (NFC/NFKC/NFD/NFKD) — the ONE
+       Python step (Arrow-batched ``pandas_udf`` over stdlib
+       ``unicodedata``; Spark has no built-in normalizer), everything
+       else is JVM codegen;
+    2. strip C0/C1 control characters (keeping tab + newline);
+    3. collapse space/tab runs to one space;
+    4. collapse 3+ newline runs to exactly two (paragraph breaks
+       survive, vertical noise dies);
+    5. trim outer whitespace.
+
+    Returns ``(id, text_norm, changed)`` with NULL-propagating
+    ``changed`` (NULL text → NULL, not false). The DuckDB twin
+    (:func:`normalize_text_oracle`) replays NFC via utf8proc's
+    ``nfc_normalize`` — parity across the unicodedata/utf8proc pair
+    is pinned by pytest fixtures (composed/decomposed é, combining
+    marks, ligatures untouched under NFC); only NFC has a DuckDB
+    replay, the other forms are pytest-tier.
+
+    Capability analog in the reference: none — extension tier."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def _unorm(sr: "pd.Series") -> "pd.Series":
+        return sr.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    _unorm(F.col(col)),
+                    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+                    "\x80-\x9f]",
+                    "",
+                ),
+                "[ \t]+",
+                " ",
+            ),
+            "\n{3,}",
+            "\n\n",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text_norm"),
+        F.when(F.col(col).isNull(), F.lit(None).cast("boolean"))
+        .otherwise(~cleaned.eqNullSafe(F.col(col)))
+        .alias("changed"),
+    )
+
+
+def normalize_text_oracle(table: str = "documents") -> str:
+    """DuckDB twin of :func:`normalize_text` (NFC form): utf8proc
+    ``nfc_normalize`` + the identical regex cleanup chain."""
+    return f"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                   nfc_normalize(text),
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]',
+                   '', 'g'),
+                   '[ \\t]+', ' ', 'g'),
+                   '\\n{{3,}}', chr(10) || chr(10), 'g')) AS text_norm,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE trim(regexp_replace(regexp_replace(regexp_replace(
+                        nfc_normalize(text),
+                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]',
+                        '', 'g'),
+                        '[ \\t]+', ' ', 'g'),
+                        '\\n{{3,}}', chr(10) || chr(10), 'g'))
+                        IS DISTINCT FROM text END AS changed
+        FROM {table}
+    """
+
+
 #: The Gopher required-stopword set (Rae et al. 2021, A1.1): a page
 #: must contain at least two of these to look like running English
 #: prose rather than boilerplate or listings.

@@ -1737,3 +1737,71 @@ def test_quality_classifier_fit_score(spark):
         quality_classifier_score(
             df, dict(model, weights_e6=model["weights_e6"][:5])
         )
+
+
+def test_normalize_text_unicode_and_cleanup(spark):
+    """normalize_text (r12): NFC recomposition (decomposed accent →
+    composed), control stripping (tab/newline survive), space/tab run
+    collapsing, paragraph preservation, trim, NULL propagation — and
+    bit-parity with the DuckDB utf8proc twin across the unicodedata/
+    utf8proc pair."""
+    import unicodedata
+
+    import duckdb
+    import pytest
+
+    from etl_workflow_spark.operators.text import (
+        normalize_text,
+        normalize_text_oracle,
+    )
+
+    decomposed = "café latte"
+    rows = [
+        (1, decomposed),
+        (2, "tabs\tand   runs \t here"),
+        # NUL is asserted Spark-side only below: DuckDB VARCHAR
+        # truncates at embedded NUL (a storage-layer property, not an
+        # operator divergence), so the parity fixture stays NUL-free
+        (3, "a\x01b\x1fc\x7fd\x9fe"),
+        (4, "p1\n\n\n\n\np2\nkept\tline"),
+        (5, None),
+        (6, "  outer trim  "),
+        (7, "ligature ﬁle stays under NFC"),
+        (8, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert got[1]["text_norm"] == unicodedata.normalize("NFC", decomposed)
+    assert got[1]["text_norm"] != decomposed and got[1]["changed"] is True
+    assert got[2]["text_norm"] == "tabs and runs here"
+    assert got[3]["text_norm"] == "abcde"
+    nul = spark.createDataFrame(
+        [(9, "a\x00b")], "doc_id long, text string"
+    )
+    assert normalize_text(nul).collect()[0]["text_norm"] == "ab"
+    assert got[4]["text_norm"] == "p1\n\np2\nkept line"
+    assert got[5]["text_norm"] is None and got[5]["changed"] is None
+    assert got[6]["text_norm"] == "outer trim"
+    # NFC does NOT decompose ligatures (that is NFKC's job)
+    assert got[7]["changed"] is False
+    assert got[8]["changed"] is False
+    # NFKC form goes further (pytest-tier only; no DuckDB twin)
+    nfkc = {r["doc_id"]: r["text_norm"]
+            for r in normalize_text(df, form="NFKC").collect()}
+    assert nfkc[7] == "ligature file stays under NFC"
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(df, form="NFX")
+    # cross-engine: utf8proc must agree with unicodedata on all rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in rows)
+        + ") v(doc_id, text)",
+        [x for row in rows for x in row],
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(normalize_text_oracle(table="t")).fetchall()
+    }
+    assert {k: (r["text_norm"], r["changed"])
+            for k, r in got.items()} == want
