@@ -317,6 +317,51 @@ def normalize_text_oracle(table: str = "documents") -> str:
     """
 
 
+def compression_ratio(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Deflate compression ratio as a repetitiveness/quality signal
+    (the CCNet / RefinedWeb proxy: highly-compressible pages are
+    boilerplate, templates, or keyword stuffing; near-incompressible
+    ones are often encoded junk): ``ratio_e4 = compressed_bytes *
+    10000 div raw_bytes`` with zlib at a PINNED level, computed in an
+    Arrow-batched pandas UDF (compression is inherently Python-side
+    here; one corpus pass, no shuffle). Deterministic for a fixed
+    zlib build — the pytest oracle replays the same stdlib call;
+    there is deliberately NO DuckDB twin (no SQL compress function),
+    so this operator is pytest-tier, stated honestly. Typical prose
+    lands ~3000-6000; below ~1500 is heavily templated; 10000+ means
+    incompressible (already-compressed or random bytes). NULL text →
+    NULL ratio; empty text → NULL (no bytes to measure).
+
+    Capability analog in the reference: none — extension tier."""
+    import zlib
+
+    lv = int(level)
+
+    @F.pandas_udf("bigint")
+    def _clen(sr: "pd.Series") -> "pd.Series":
+        return sr.map(
+            lambda x: None if x is None
+            else len(zlib.compress(x.encode("utf-8"), lv))
+        )
+
+    raw_len = F.length(F.encode(F.col(col), "UTF-8")).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        raw_len.alias("raw_bytes"),
+        _clen(F.col(col)).alias("compressed_bytes"),
+    ).select(
+        id_col,
+        "raw_bytes",
+        "compressed_bytes",
+        F.expr(
+            "(compressed_bytes * 10000) DIV NULLIF(raw_bytes, 0)"
+        ).alias("compression_ratio_e4"),
+    )
+
+
 #: The Gopher required-stopword set (Rae et al. 2021, A1.1): a page
 #: must contain at least two of these to look like running English
 #: prose rather than boilerplate or listings.

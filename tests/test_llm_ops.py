@@ -1805,3 +1805,44 @@ def test_normalize_text_unicode_and_cleanup(spark):
     }
     assert {k: (r["text_norm"], r["changed"])
             for k, r in got.items()} == want
+
+
+def test_compression_ratio_signal(spark):
+    """compression_ratio (r12): exact zlib replay per row, repetitive
+    text compresses far below varied text, NULL/empty -> NULL ratio,
+    level is pinned and honored."""
+    import zlib
+
+    from etl_workflow_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 400),
+        (2, "The quick brown fox jumps over the lazy dog and then "
+            "wanders across seventeen distinct meadows naming each."),
+        (3, None),
+        (4, ""),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for i, t in rows:
+        if t is None:
+            assert out[i]["compressed_bytes"] is None
+            assert out[i]["compression_ratio_e4"] is None
+            continue
+        raw = t.encode("utf-8")
+        assert out[i]["raw_bytes"] == len(raw)
+        assert out[i]["compressed_bytes"] == len(zlib.compress(raw, 6))
+        if raw:
+            assert out[i]["compression_ratio_e4"] == (
+                len(zlib.compress(raw, 6)) * 10000
+            ) // len(raw)
+        else:
+            assert out[i]["compression_ratio_e4"] is None
+    # the signal separates: heavy repetition compresses much harder
+    assert out[1]["compression_ratio_e4"] < 500
+    assert out[2]["compression_ratio_e4"] > 5000
+    # pinned level is honored (level 1 compresses worse than 9)
+    l1 = compression_ratio(df.where("doc_id = 1"), level=1).collect()[0]
+    l9 = compression_ratio(df.where("doc_id = 1"), level=9).collect()[0]
+    assert l1["compressed_bytes"] >= l9["compressed_bytes"]
