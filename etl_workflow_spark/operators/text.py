@@ -4506,29 +4506,8 @@ def corpus_drift(
     pipeline monitoring."""
     if buckets <= 0:
         raise ValueError(f"buckets must be positive (got {buckets})")
-
-    def _counts(df: DataFrame, name: str) -> DataFrame:
-        toks = F.explode(
-            F.filter(
-                F.split(F.trim(F.lower(F.col(col))), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("term")
-        return (
-            df.where(F.col(col).isNotNull())
-            .select(toks)
-            .select(
-                F.pmod(
-                    F.crc32(F.encode(F.col("term"), "UTF-8")),
-                    F.lit(int(buckets)),
-                ).cast("int").alias("bucket")
-            )
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    a = _counts(df_a, "n_a")
-    b = _counts(df_b, "n_b")
+    a = _term_bucket_counts(df_a, col, int(buckets), "n_a")
+    b = _term_bucket_counts(df_b, col, int(buckets), "n_b")
     joined = a.join(b, "bucket", "full_outer").select(
         "bucket",
         F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
@@ -4543,6 +4522,43 @@ def corpus_drift(
     # pipeline per downstream action the way a live lineage would.
     got = {int(r["bucket"]): (int(r["n_a"]), int(r["n_b"]))
            for r in joined.collect()}
+    return _psi_frame(df_a.sparkSession, got, int(buckets), smoothing)
+
+
+def _term_bucket_counts(
+    df: DataFrame, col: str, buckets: int, name: str
+) -> DataFrame:
+    """Hashed-term bucket occupancy (crc32 mod buckets — the
+    :func:`hashed_tfidf_vectors` bucket, sign-free) — the ONE
+    tokenize+bucket expression shared by :func:`corpus_drift` and the
+    streaming drift store, so persisted counts are byte-compatible
+    with inline ones by construction."""
+    toks = F.explode(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).alias("term")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(toks)
+        .select(
+            F.pmod(
+                F.crc32(F.encode(F.col("term"), "UTF-8")),
+                F.lit(int(buckets)),
+            ).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
+
+
+def _psi_frame(spark, got: dict, buckets: int, smoothing: float):
+    """The driver-side PSI arithmetic over a bucket→(n_a, n_b) count
+    table — shared verbatim by :func:`corpus_drift` (inline corpora)
+    and :func:`~etl_workflow_spark.streaming.incremental
+    .corpus_drift_from_store` (persisted bucket counts), so the two
+    paths cannot drift from each other or from the SQL twin."""
     ua = sum(na for na, _ in got.values())
     ub = sum(nb for _, nb in got.values())
     if ua == 0 or ub == 0:
@@ -4562,7 +4578,6 @@ def corpus_drift(
         e9 = math.floor(((p - q) * lr) * 1e9)
         total += e9
         rows.append((bkt, na, nb, e9))
-    spark = df_a.sparkSession
     return spark.createDataFrame(
         [(bkt, na, nb, e9, total) for bkt, na, nb, e9 in rows],
         "bucket int, n_a bigint, n_b bigint, psi_e9 bigint, "

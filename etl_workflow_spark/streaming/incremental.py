@@ -2257,3 +2257,137 @@ def compact_sample_store(
         spark, store_path, before_batch_id, merge,
         partition_by=["batch_id"],
     )
+
+
+# ----------------------------------------------- drift bucket store
+
+
+def drift_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    buckets: int = 512,
+    col: str = "text",
+) -> None:
+    """Write one micro-batch's hashed-term bucket counts into the
+    drift store, EXACTLY-ONCE (the :func:`vocab_rollup_batch`
+    contract: ``batch_id=…`` partition overwrite — additive counts
+    need write-side idempotence). Bucketing is
+    :func:`~etl_workflow_spark.operators.text._term_bucket_counts` —
+    the SAME expression :func:`~etl_workflow_spark.operators.text
+    .corpus_drift` scans inline — so store-fed PSI is byte-compatible
+    by construction. The bucket modulus travels as a constant column;
+    mixed-modulus stores are refused at read.
+
+    The point at 100 TB: day-over-day drift monitoring
+    (:func:`corpus_drift_from_store`) reads two bucket-bounded count
+    slices — each corpus window is tokenized ONCE, at ingest, and the
+    monitor never re-scans text."""
+    from ..operators.text import _term_bucket_counts
+
+    counts = (
+        _term_bucket_counts(batch_df, col, int(buckets), "n")
+        .withColumn("buckets", F.lit(int(buckets)))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_drift_rollup(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous drift-store maintenance: each micro-batch adds its
+    bucket-count fragment (:func:`drift_rollup_batch`); PSI monitors
+    read the store, never the stream's history. Returns a writeStream
+    builder (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        drift_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def corpus_drift_from_store(
+    spark: SparkSession,
+    store_path: str,
+    where_a: str,
+    where_b: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI drift between two batch windows of the persisted store —
+    ``where_a`` / ``where_b`` are SQL predicates over ``batch_id``
+    (e.g. ``"batch_id < 7"`` vs ``"batch_id >= 7"`` for
+    yesterday-vs-today): sum each window's additive fragments to
+    bucket counts, then run the EXACT driver arithmetic
+    (:func:`~etl_workflow_spark.operators.text._psi_frame`) the
+    inline operator uses — store-fed PSI equals
+    ``corpus_drift(window_a_docs, window_b_docs)`` byte-for-byte.
+    Refuses a store whose fragments disagree on the bucket modulus
+    (counts under different moduli cannot be compared)."""
+    from ..operators.text import _psi_frame
+
+    store = spark.read.parquet(store_path)
+    moduli = [
+        int(r["buckets"])
+        for r in store.select("buckets").distinct().collect()
+    ]
+    if len(set(moduli)) != 1:
+        raise ValueError(
+            f"drift store has fragments under different bucket moduli: "
+            f"{sorted(set(moduli))}"
+        )
+    buckets = moduli[0]
+
+    def _win(pred: str, name: str) -> DataFrame:
+        return (
+            store.where(pred)
+            .groupBy("bucket")
+            .agg(F.sum("n").alias(name))
+        )
+
+    joined = (
+        _win(where_a, "n_a")
+        .join(_win(where_b, "n_b"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        )
+    )
+    got = {int(r["bucket"]): (int(r["n_a"]), int(r["n_b"]))
+           for r in joined.collect()}
+    return _psi_frame(spark, got, buckets, smoothing)
+
+
+def compact_drift_store(
+    spark: SparkSession,
+    store_path: str,
+    before_batch_id: int,
+) -> None:
+    """Collapse closed batches' bucket-count fragments additively
+    under ``batch_id=-1`` (the vocab-store contract) — NOTE the usual
+    caveat inverted: compaction merges windows, so day-over-day
+    comparisons need the fragments they compare still uncompacted (or
+    compact at window boundaries); the store stays correct for any
+    predicate that treats the compacted block as one window."""
+    _compact_batched_store(
+        spark, store_path, before_batch_id,
+        lambda old: (
+            old.groupBy("bucket", "buckets")
+            .agg(F.sum("n").alias("n"))
+            .select("bucket", "n", "buckets")
+        ),
+        partition_by=["batch_id"],
+    )

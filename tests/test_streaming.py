@@ -1601,3 +1601,72 @@ def test_sample_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
     want4 = {r["doc_id"] for r in SAMP.global_sample_k(
         docs.where("doc_id < 150"), 25).collect()}
     assert got4 == want4
+
+
+def test_drift_store_matches_inline_corpus_drift(spark, sf_dir, tmp_path):
+    """Drift bucket store (r12): store-fed PSI between two batch
+    windows equals the inline corpus_drift over the same document
+    windows byte-for-byte (shared bucketing expression + shared
+    driver arithmetic); replayed batches overwrite their fragment;
+    mixed-modulus stores are refused; compaction preserves any
+    reading that treats the compacted block as one window; a real
+    availableNow stream lands fragments."""
+    import pytest
+
+    from etl_workflow_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w_a = docs.where("doc_id % 3 = 0")
+    w_b = docs.where("doc_id % 3 != 0")
+    store = str(tmp_path / "driftstore")
+    # window A = batches 0-1, window B = batches 2-3
+    inc.drift_rollup_batch(w_a.where("doc_id < 300"), store, 0, buckets=64)
+    inc.drift_rollup_batch(w_a.where("doc_id >= 300"), store, 1, buckets=64)
+    inc.drift_rollup_batch(w_b.where("doc_id < 300"), store, 2, buckets=64)
+    inc.drift_rollup_batch(w_b.where("doc_id >= 300"), store, 3, buckets=64)
+    inc.drift_rollup_batch(w_b.where("doc_id >= 300"), store, 3, buckets=64)
+    got = inc.corpus_drift_from_store(
+        spark, store, "batch_id <= 1", "batch_id >= 2"
+    ).collect()
+    want = T.corpus_drift(w_a, w_b, buckets=64).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # compaction: batches 0..1 collapse; the same split still reads
+    # (the compacted block IS window A)
+    inc.compact_drift_store(spark, store, before_batch_id=2)
+    got2 = inc.corpus_drift_from_store(
+        spark, store, "batch_id = -1", "batch_id >= 2"
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want))
+    # mixed bucket moduli refuse
+    inc.drift_rollup_batch(docs.limit(10), store, 9, buckets=32)
+    with pytest.raises(ValueError, match="bucket moduli"):
+        inc.corpus_drift_from_store(spark, store, "batch_id < 9",
+                                    "batch_id = 9")
+    # real availableNow stream
+    src = str(tmp_path / "dsrc")
+    docs.where("doc_id < 120").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    store4 = str(tmp_path / "driftstore4")
+    qh = (
+        inc.stream_drift_rollup(stream, store4, str(tmp_path / "ckpt"),
+                                buckets=64)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    frag = spark.read.parquet(store4)
+    merged = {
+        (r["bucket"], r["n"])
+        for r in frag.groupBy("bucket").agg(
+            F.sum("n").alias("n")).collect()
+    }
+    from etl_workflow_spark.operators.text import _term_bucket_counts
+
+    direct = {
+        (r["bucket"], r["n"])
+        for r in _term_bucket_counts(
+            docs.where("doc_id < 120"), "text", 64, "n").collect()
+    }
+    assert merged == direct
