@@ -196,6 +196,12 @@ def main() -> None:
         # the text→embedding bridge (explode + two aggs + one
         # term-keyed join + codegen densify, corpus-sized)
         "tfidf_embed",
+        # round-12: published page filters (Gopher rules + C4 line
+        # filter, one shuffle-free codegen pass each) and unicode
+        # normalization (the one Arrow-batched Python step + codegen
+        # cleanup — times the pandas-UDF boundary honestly)
+        "page_filters",
+        "normalize_text",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -220,6 +226,14 @@ def main() -> None:
             table(s, d, "documents"), threshold=0.5
         ),
         "text_quality": lambda s, d: T.text_quality(table(s, d, "documents")),
+        "page_filters": lambda s, d: T.gopher_quality_flags(
+            table(s, d, "documents")
+        ).join(
+            T.c4_line_filter(table(s, d, "documents")), "doc_id"
+        ),
+        "normalize_text": lambda s, d: T.normalize_text(
+            table(s, d, "documents")
+        ),
         "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
         "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
         "repetition_signals": lambda s, d: T.repetition_signals(
