@@ -2265,6 +2265,10 @@ def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         .join(T.c4_line_filter(docs), "doc_id")
+        # r12: the bigram-LM perplexity filter, self-fit on the same
+        # augmented corpus — every pair contribution e9-floored before
+        # the integer sum, so all three columns hash-check
+        .join(T.lm_score(docs), "doc_id")
     )
 
 
@@ -2272,13 +2276,16 @@ _TEXT_METRICS_ORACLE = f"""
     SELECT tc.*, tq.* EXCLUDE (doc_id),
            gq.n_words AS g_n_words,
            gq.* EXCLUDE (doc_id, n_words),
-           c4.* EXCLUDE (doc_id)
+           c4.* EXCLUDE (doc_id),
+           lm.* EXCLUDE (doc_id)
     FROM ({T.token_count_oracle(table=_QUALITY_PROBE_SQL)}) tc
     JOIN ({T.text_quality_oracle(table=_QUALITY_PROBE_SQL)}) tq
         USING (doc_id)
     JOIN ({T.gopher_quality_flags_oracle(table=_QUALITY_PROBE_SQL)}) gq
         USING (doc_id)
     JOIN ({T.c4_line_filter_oracle(table=_QUALITY_PROBE_SQL)}) c4
+        USING (doc_id)
+    JOIN ({T.lm_score_oracle(table=_QUALITY_PROBE_SQL)}) lm
         USING (doc_id)
 """
 

@@ -362,6 +362,180 @@ def compression_ratio(
     )
 
 
+def lm_score(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    unigrams: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram language-model scoring — the CCNet-style perplexity
+    quality filter (Wenzek et al. 2020: score pages under a reference
+    LM, drop the worst tail), fully relational: per adjacent token
+    pair, Laplace-smoothed ``log P(w2|w1) = ln((B(w1,w2) + 1) /
+    (U(w1) + V))`` with each pair's contribution e9-floored BEFORE the
+    per-document integer sum (the module's order-free cross-engine
+    convention), so scores are shuffle-proof and SQL-replayable.
+
+    ``unigrams``/``bigrams`` default to one fit pass over ``df``
+    itself (:func:`vocab_counts` + :func:`adjacent_bigram_counts` —
+    the SAME extraction the tokenizer/collocation tiers use); pass
+    the reference-corpus tables (or the persisted vocab/bigram stores
+    via :func:`~etl_workflow_spark.streaming.incremental
+    .lm_score_from_stores`) to score one corpus under ANOTHER
+    corpus's model — the actual CCNet shape, with zero re-scan of the
+    reference. Shapes at 100 TB: document pairs group per (id, w1,
+    w2) before joining the count tables (distinct-pair-bounded
+    joins); V is one scalar count action (bounded driver state).
+
+    Returns one row per document: ``(id, n_pairs int,
+    logprob_e9_sum bigint, avg_nll_e6 bigint)`` — ``avg_nll_e6`` is
+    truncating integer division of non-negative operands (identical
+    in Spark DIV and DuckDB //); documents with fewer than two tokens
+    report ``n_pairs 0`` and NULL scores (nothing to measure).
+
+    Capability analog in the reference: none — extension tier."""
+    if unigrams is None:
+        unigrams = vocab_counts(df, col=col, lowercase=True)
+    if bigrams is None:
+        bigrams = adjacent_bigram_counts(df, col=col)
+    v_size = unigrams.count()
+    if v_size == 0:
+        raise ValueError("lm_score needs a non-empty unigram table")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+        lambda t: t != "",
+    )
+    pairs = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1)
+                    .alias("w1"),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1)
+                    .alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            id_col,
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("__cu"), F.lit(0)) + F.lit(int(v_size)))
+    )
+    scored = (
+        pairs.join(
+            bigrams.select(
+                "w1", "w2", F.col("n_pair").alias("__cb")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            unigrams.select(
+                F.col("token").alias("w1"), F.col("count").alias("__cu")
+            ),
+            "w1",
+            "left",
+        )
+        .withColumn(
+            "__e9",
+            F.floor(logp * F.lit(1e9)) * F.col("__m"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").cast("int").alias("n_pairs"),
+            F.sum("__e9").alias("logprob_e9_sum"),
+        )
+    )
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            "logprob_e9_sum",
+            F.expr(
+                "((-logprob_e9_sum) DIV NULLIF(n_pairs, 0)) DIV 1000"
+            ).alias("avg_nll_e6"),
+        )
+    )
+
+
+def lm_score_oracle(table: str = "documents") -> str:
+    """DuckDB twin of :func:`lm_score` (self-fit form): identical
+    extraction, identically-parenthesized smoothed log, e9 floor
+    before the integer sum, truncating division of non-negative
+    operands."""
+    t = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {t} AS ts FROM {table}
+            WHERE text IS NOT NULL
+        ),
+        uni AS (
+            SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+        ),
+        vstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        big AS (
+            SELECT pr['a'] AS w1, pr['b'] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                               for i in generate_series(1, len(ts) - 1)])
+                           AS pr
+                FROM toks WHERE len(ts) >= 2
+            ) GROUP BY 1, 2
+        ),
+        dpc AS (
+            SELECT doc_id, pr['a'] AS w1, pr['b'] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                               for i in generate_series(1, len(ts) - 1)])
+                           AS pr
+                FROM toks WHERE len(ts) >= 2
+            ) GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT dpc.doc_id,
+                   CAST(SUM(dpc.m) AS INT) AS n_pairs,
+                   CAST(SUM(
+                       CAST(FLOOR(ln(
+                           (COALESCE(big.c, 0) + CAST(1.0 AS DOUBLE))
+                           / (COALESCE(uni.c, 0) + vstat.v)
+                       ) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)
+                       * dpc.m
+                   ) AS BIGINT) AS logprob_e9_sum
+            FROM dpc
+            LEFT JOIN big USING (w1, w2)
+            LEFT JOIN uni ON uni.token = dpc.w1
+            CROSS JOIN vstat
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_pairs, 0) AS n_pairs,
+               s.logprob_e9_sum,
+               CAST(((-s.logprob_e9_sum) // NULLIF(s.n_pairs, 0))
+                    // 1000 AS BIGINT) AS avg_nll_e6
+        FROM (SELECT DISTINCT doc_id FROM {table}) d
+        LEFT JOIN scored s USING (doc_id)
+    """
+
+
 #: The Gopher required-stopword set (Rae et al. 2021, A1.1): a page
 #: must contain at least two of these to look like running English
 #: prose rather than boilerplate or listings.

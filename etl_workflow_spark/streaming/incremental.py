@@ -2391,3 +2391,37 @@ def compact_drift_store(
         ),
         partition_by=["batch_id"],
     )
+
+
+def lm_score_from_stores(
+    spark: SparkSession,
+    df: DataFrame,
+    vocab_store_path: str,
+    bigram_store_path: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a REFERENCE corpus's bigram LM whose
+    counts live in the persisted vocab + bigram stores — the actual
+    CCNet shape (score the crawl under the Wikipedia-quality model)
+    with zero re-scan of the reference: the model is two
+    vocabulary-bounded store reads, and only ``df`` is tokenized.
+    Count semantics are the stores' own (same extraction as
+    :func:`~etl_workflow_spark.operators.text.lm_score`'s self-fit),
+    so store-fed equals inline when the store holds the same corpus.
+    Refuses a non-lowercase vocab store — the scorer lowercases, so
+    mixed normalization would silently score every token as OOV."""
+    from ..operators.text import lm_score
+
+    raw = _read_vocab_store_raw(spark, vocab_store_path)
+    if not _vocab_store_flag(raw):
+        raise ValueError(
+            "lm_score_from_stores needs a lowercase vocab store (the "
+            "scorer lowercases; a case-sensitive store would score "
+            "every token as out-of-vocabulary)"
+        )
+    uni = read_vocab_store(spark, vocab_store_path)
+    pairs = read_bigram_store(spark, bigram_store_path)
+    return lm_score(
+        df, col=col, id_col=id_col, unigrams=uni, bigrams=pairs
+    )

@@ -1846,3 +1846,71 @@ def test_compression_ratio_signal(spark):
     l1 = compression_ratio(df.where("doc_id = 1"), level=1).collect()[0]
     l9 = compression_ratio(df.where("doc_id = 1"), level=9).collect()[0]
     assert l1["compressed_bytes"] >= l9["compressed_bytes"]
+
+
+def test_lm_score_bigram_model(spark):
+    """lm_score (r12): hand-computed Laplace-smoothed bigram log
+    probs, fixed-point accounting (floor BEFORE sum, multiplicity
+    AFTER floor), OOV under a foreign model, degenerate docs."""
+    import math
+
+    from etl_workflow_spark.operators.text import lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a a"),
+            (3, "z"),           # one token: nothing to measure
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    # corpus: tokens a×5(?) compute: doc1 a,b,a,b doc2 a,a doc3 z
+    # U: a=4, b=2, z=1 -> V=3
+    # bigrams: (a,b)=2, (b,a)=1, (a,a)=1
+    def lp(cb, cu):
+        return math.floor(math.log((cb + 1.0) / (cu + 3)) * 1e9)
+
+    # doc1 pairs: (a,b)x2, (b,a)x1
+    want1 = lp(2, 4) * 2 + lp(1, 2) * 1
+    assert out[1]["n_pairs"] == 3
+    assert out[1]["logprob_e9_sum"] == want1
+    assert out[1]["avg_nll_e6"] == ((-want1) // 3) // 1000
+    # doc2: (a,a)x1
+    assert (out[2]["n_pairs"], out[2]["logprob_e9_sum"]) == (1, lp(1, 4))
+    for d in (3, 4, 5):
+        assert out[d]["n_pairs"] == 0
+        assert out[d]["logprob_e9_sum"] is None
+        assert out[d]["avg_nll_e6"] is None
+    # foreign model: score under counts that know nothing about 'a b'
+    uni = spark.createDataFrame(
+        [("x", 10), ("y", 5)], "token string, count long"
+    )
+    big = spark.createDataFrame(
+        [("x", "y", 4)], "w1 string, w2 string, n_pair long"
+    )
+    oov = {r["doc_id"]: r for r in lm_score(
+        docs, unigrams=uni, bigrams=big).collect()}
+    # every pair is OOV: logp = ln(1 / (0 + 2)) per pair
+    per = math.floor(math.log(1.0 / 2) * 1e9)
+    assert oov[1]["logprob_e9_sum"] == per * 3
+    assert oov[1]["avg_nll_e6"] == ((-per * 3) // 3) // 1000
+    # a high-probability in-model bigram scores better than an unseen
+    # one UNDER THE SAME HISTORY token (apples-to-apples smoothing:
+    # ln((4+1)/(10+2)) vs ln((0+1)/(10+2)))
+    known = spark.createDataFrame(
+        [(9, "x y"), (10, "x z")], "doc_id long, text string"
+    )
+    k = {r["doc_id"]: r for r in lm_score(
+        known, unigrams=uni, bigrams=big).collect()}
+    assert k[9]["avg_nll_e6"] < k[10]["avg_nll_e6"]
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty unigram"):
+        lm_score(
+            docs,
+            unigrams=uni.where("token = 'nope'"),
+            bigrams=big,
+        ).collect()

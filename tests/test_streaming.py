@@ -1670,3 +1670,41 @@ def test_drift_store_matches_inline_corpus_drift(spark, sf_dir, tmp_path):
             docs.where("doc_id < 120"), "text", 64, "n").collect()
     }
     assert merged == direct
+
+
+def test_lm_score_from_stores_matches_inline(spark, sf_dir, tmp_path):
+    """Store-fed LM scoring (r12): scoring under the persisted
+    vocab + bigram stores of the SAME corpus equals the self-fit
+    inline lm_score byte-for-byte; a case-sensitive vocab store is
+    refused (every token would silently go OOV)."""
+    import pytest
+
+    from etl_workflow_spark.operators.text import lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vstore = str(tmp_path / "vstore")
+    bstore = str(tmp_path / "bstore")
+    inc.vocab_rollup_batch(docs.where("doc_id < 250"), vstore, 0)
+    inc.vocab_rollup_batch(docs.where("doc_id >= 250"), vstore, 1)
+    inc.bigram_rollup_batch(docs.where("doc_id < 250"), bstore, 0)
+    inc.bigram_rollup_batch(docs.where("doc_id >= 250"), bstore, 1)
+    got = {tuple(r) for r in inc.lm_score_from_stores(
+        spark, docs, vstore, bstore).collect()}
+    want = {tuple(r) for r in lm_score(docs).collect()}
+    assert got == want
+    # scoring a DIFFERENT corpus under the stored model runs (the
+    # CCNet shape) and reports every doc
+    other = spark.createDataFrame(
+        [(900001, "zzz unseen words only"), (900002, None)],
+        "doc_id long, text string",
+    )
+    o = {r["doc_id"]: r for r in inc.lm_score_from_stores(
+        spark, other, vstore, bstore).collect()}
+    assert o[900001]["n_pairs"] == 3 and o[900002]["n_pairs"] == 0
+    # case-sensitive store refused
+    vbad = str(tmp_path / "vbad")
+    inc.vocab_rollup_batch(docs.limit(50), vbad, 0, lowercase=False)
+    with pytest.raises(ValueError, match="lowercase vocab store"):
+        inc.lm_score_from_stores(spark, docs, vbad, bstore)
