@@ -202,6 +202,9 @@ def main() -> None:
         # cleanup — times the pandas-UDF boundary honestly)
         "page_filters",
         "normalize_text",
+        # round-12: CCNet-style bigram-LM perplexity (self-fit: two
+        # count passes + distinct-pair-bounded joins)
+        "lm_score",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -234,6 +237,7 @@ def main() -> None:
         "normalize_text": lambda s, d: T.normalize_text(
             table(s, d, "documents")
         ),
+        "lm_score": lambda s, d: T.lm_score(table(s, d, "documents")),
         "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
         "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
         "repetition_signals": lambda s, d: T.repetition_signals(

@@ -394,6 +394,12 @@ def lm_score(
     in Spark DIV and DuckDB //); documents with fewer than two tokens
     report ``n_pairs 0`` and NULL scores (nothing to measure).
 
+    Distinct from :func:`unigram_logprob`, which scores documents
+    under a TRAINED subword tokenizer's piece distribution (how well
+    does my tokenizer fit this text); this operator scores WORD
+    transitions under a (possibly foreign) corpus's raw counts — the
+    domain/quality signal.
+
     Capability analog in the reference: none — extension tier."""
     if unigrams is None:
         unigrams = vocab_counts(df, col=col, lowercase=True)
