@@ -601,3 +601,38 @@ def test_mmr_rerank_plan_shape(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     # and the result still computes (guard path intact)
     assert out.count() == 4
+
+
+def test_page_filters_and_normalize_plan_shape(spark, sf_dir):
+    """r12 text additions: the page filters are single-projection
+    codegen (ZERO exchanges — a filter that shuffles would be wrong at
+    any scale); normalize_text's only Python is the one Arrow batch."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import (
+        c4_line_filter, gopher_quality_flags, normalize_text,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    for op in (gopher_quality_flags, c4_line_filter):
+        df = op(docs)
+        assert plans.count_exchanges(df) == 0, op.__name__
+        assert plans.count_python_evals(df) == 0, op.__name__
+    norm = normalize_text(docs)
+    assert plans.count_exchanges(norm) == 0
+    assert plans.count_python_evals(norm) == 1  # the NFC Arrow batch
+    assert "BatchEvalPython" not in plans.physical_plan(norm)
+
+
+def test_lm_score_plan_shape(spark, sf_dir):
+    """r12 LM filter: document pairs GROUP (distinct-pair-bounded)
+    before probing the count tables — never a nested loop or
+    cartesian — and scoring stays JVM-side (no Python evals)."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import lm_score
+
+    docs = table(spark, sf_dir, "documents")
+    df = lm_score(docs)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.count_python_evals(df) == 0
