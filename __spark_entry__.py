@@ -26,6 +26,7 @@ from etl_workflow_spark.operators import quality as QL
 from etl_workflow_spark.operators import ranking as RK
 from etl_workflow_spark.operators import sampling as SAMP
 from etl_workflow_spark.operators import similarity as S
+from etl_workflow_spark.operators import sketches as SK
 from etl_workflow_spark.operators import text as T
 from etl_workflow_spark.operators.dimtime import dim_time_frame, dim_time_oracle
 
@@ -2545,11 +2546,40 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("score_e4"),
         "rank",
     )
+    # scope='vdrift' (r12): NUMERIC drift — PSI between two event-value
+    # windows through the histogram-sketch path (build two sketches,
+    # merge, dense counts, the shared _psi_frame arithmetic); the
+    # oracle replays the geometric binning with the engine's exact
+    # operand bits (the log-growth divisor ships as the same Python
+    # repr literal F.lit embeds) and the PSI block.
+    from etl_workflow_spark.catalog import events_table
+    from etl_workflow_spark.operators.sketches import (
+        histogram_drift, value_histogram_sketch,
+    )
+
+    ev = events_table(spark, sf_dir)
+    vdrift = histogram_drift(
+        value_histogram_sketch(
+            ev.where("user_id % 2 = 0"), "value",
+            lo=0.01, hi=1e6, growth=1.5,
+        ),
+        value_histogram_sketch(
+            ev.where("user_id % 2 != 0"), "value",
+            lo=0.01, hi=1e6, growth=1.5,
+        ),
+    ).select(
+        F.lit("vdrift").alias("scope"),
+        F.col("bucket").cast("bigint").alias("doc_id"),
+        F.concat_ws(":", F.lit("b"), "n_a", "n_b").alias("term"),
+        F.col("psi_e9").alias("n"),
+        F.col("psi_total_e9").alias("score_e4"),
+        F.lit(None).cast("int").alias("rank"),
+    )
     return (
         corpus.unionByName(perdoc).unionByName(bm25)
         .unionByName(phrase).unionByName(colloc)
         .unionByName(metrics).unionByName(rm3).unionByName(kwic)
-        .unionByName(drift).unionByName(mmr)
+        .unionByName(drift).unionByName(mmr).unionByName(vdrift)
     )
 
 
@@ -2643,6 +2673,14 @@ _TERM_STATS_ORACLE += f"""
     FROM ({RK.mmr_rerank_oracle(
         T.bm25_topk_oracle(_BM25_QUERIES, k=8), _MMR_VECTORS_SQL,
         k=5, lam=0.7,
+    )})
+    UNION ALL
+    SELECT 'vdrift', CAST(bucket AS BIGINT),
+           'b:' || CAST(n_a AS VARCHAR) || ':' || CAST(n_b AS VARCHAR),
+           psi_e9, psi_total_e9, CAST(NULL AS INT)
+    FROM ({SK.histogram_drift_oracle(
+        "user_id % 2 = 0", "user_id % 2 != 0",
+        lo=0.01, hi=1e6, growth=1.5,
     )})
 """
 

@@ -414,3 +414,128 @@ def histogram_quantiles(
             est = lo_edge * math.exp(frac * math.log(hi_edge / lo_edge))
         out.append((q, min(max(est, vmin), vmax)))
     return out
+
+
+def histogram_drift(
+    sketches_a: DataFrame,
+    sketches_b: DataFrame,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Numeric-distribution drift between two histogram-sketch sets —
+    the value-column twin of
+    :func:`~etl_workflow_spark.operators.text.corpus_drift` (did
+    document lengths / quality scores / order values shift between
+    yesterday's and today's ingest?): merge each side
+    (:func:`merge_histogram_sketches`, bin-wise exact addition), then
+    run THE SAME driver-side PSI arithmetic over the dense bin counts
+    (:func:`~etl_workflow_spark.operators.text._psi_frame` — one PSI
+    implementation in the engine, so text and numeric drift cannot
+    diverge). Standard reading applies: < 0.1 stable, 0.1-0.25
+    moderate, > 0.25 major shift.
+
+    Sides must share one (lo, hi, growth, nbins) config — bins are
+    only comparable within a config; mismatches are refused. Cost:
+    two sketch merges (cells-bounded) + nbins driver rows. With the
+    histogram STORE maintaining per-day sketch rows, day-over-day
+    numeric drift never re-scans facts — the same zero-re-scan
+    contract as the term-drift bucket store. Returns ``(bucket, n_a,
+    n_b, psi_e9, psi_total_e9)`` over the full bin spine."""
+    from .text import _psi_frame
+
+    ma = merge_histogram_sketches(sketches_a).collect()[0]
+    mb = merge_histogram_sketches(sketches_b).collect()[0]
+    cfg_a = (ma["lo"], ma["hi"], ma["growth"], ma["nbins"])
+    cfg_b = (mb["lo"], mb["hi"], mb["growth"], mb["nbins"])
+    if cfg_a != cfg_b:
+        raise ValueError(
+            "histogram_drift needs both sides under one (lo, hi, "
+            f"growth, nbins) config (got {cfg_a} vs {cfg_b})"
+        )
+    got = {
+        i: (int(a), int(b))
+        for i, (a, b) in enumerate(zip(ma["counts"], mb["counts"]))
+    }
+    return _psi_frame(
+        sketches_a.sparkSession, got, int(ma["nbins"]), smoothing
+    )
+
+
+def histogram_drift_oracle(
+    where_a: str,
+    where_b: str,
+    value_col: str = "value",
+    table: str = "events",
+    lo: float = 0.01,
+    hi: float = 1e9,
+    growth: float = 1.05,
+    smoothing: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`value_histogram_sketch` →
+    :func:`histogram_drift` for gate windows defined by SQL
+    predicates: the geometric binning replays with the engine's exact
+    operand bits — the log-growth divisor is the PYTHON-computed
+    ``math.log(growth)`` embedded as a repr literal, exactly the
+    ``F.lit`` the sketch builder ships — and the PSI block repeats
+    the driver arithmetic with every float literal CAST to DOUBLE
+    (the :func:`~etl_workflow_spark.operators.text
+    .corpus_drift_oracle` convention)."""
+    import math
+
+    inner = math.ceil(math.log(hi / lo) / math.log(growth))
+    nbins = inner + 2
+    lo_s = f"CAST({float(lo)!r} AS DOUBLE)"
+    hi_s = f"CAST({float(hi)!r} AS DOUBLE)"
+    lng = f"CAST({math.log(growth)!r} AS DOUBLE)"
+    s = f"CAST({float(smoothing)!r} AS DOUBLE)"
+    sb = f"CAST({float(smoothing) * nbins!r} AS DOUBLE)"
+    bucket = (
+        f"CASE WHEN v <= {lo_s} THEN 0 "
+        f"WHEN v >= {hi_s} THEN {nbins - 1} "
+        f"ELSE CAST(FLOOR(ln(v / {lo_s}) / {lng}) + 1 AS INT) END"
+    )
+
+    def win(pred: str, name: str) -> str:
+        return f"""
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS {name} FROM (
+                SELECT {bucket} AS bucket FROM (
+                    SELECT CAST({value_col} AS DOUBLE) AS v
+                    FROM {table}
+                    WHERE {value_col} IS NOT NULL AND ({pred})
+                )
+            ) GROUP BY 1
+        """
+
+    return f"""
+        WITH ca AS ({win(where_a, "n_a")}),
+        cb AS ({win(where_b, "n_b")}),
+        spine AS (
+            SELECT CAST(range AS INT) AS bucket FROM range({nbins})
+        ),
+        joined AS (
+            SELECT spine.bucket,
+                   COALESCE(ca.n_a, 0) AS n_a,
+                   COALESCE(cb.n_b, 0) AS n_b
+            FROM spine
+            LEFT JOIN ca USING (bucket)
+            LEFT JOIN cb USING (bucket)
+        ),
+        tots AS (
+            SELECT CAST(SUM(n_a) AS BIGINT) AS ua,
+                   CAST(SUM(n_b) AS BIGINT) AS ub
+            FROM joined
+        ),
+        psi AS (
+            SELECT bucket, n_a, n_b,
+                   CAST(FLOOR(
+                       ((((n_a + {s}) / (ua + {sb}))
+                         - ((n_b + {s}) / (ub + {sb})))
+                        * ((ln(n_a + {s}) - ln(ua + {sb}))
+                           - (ln(n_b + {s}) - ln(ub + {sb}))))
+                       * CAST(1000000000.0 AS DOUBLE)
+                   ) AS BIGINT) AS psi_e9
+            FROM joined CROSS JOIN tots
+        )
+        SELECT bucket, n_a, n_b, psi_e9,
+               CAST(SUM(psi_e9) OVER () AS BIGINT) AS psi_total_e9
+        FROM psi
+    """

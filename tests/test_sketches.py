@@ -466,3 +466,49 @@ def test_monthly_store_materializes_and_answers_tiered(spark, sf_dir, tmp_path):
     flat2 = distinct_over_range(day2, str(lo), str(hi)).collect()[0]
     assert tiered2.distinct_est == flat2.distinct_est
     assert tiered2.distinct_est >= tiered.distinct_est
+
+
+def test_histogram_drift_reads_numeric_shift(spark):
+    """Numeric PSI drift (r12): near-identical windows read stable
+    (< 0.1), a shifted distribution reads major (> 0.25), bins line
+    up on the shared spine, config mismatches refuse, and store-style
+    multi-row sketch sets merge before comparing."""
+    import pytest
+
+    from etl_workflow_spark.operators.sketches import (
+        histogram_drift,
+        value_histogram_sketch,
+    )
+
+    base = spark.range(0, 4000).selectExpr(
+        "id", "CAST(1.0 + (id % 100) AS DOUBLE) AS v"
+    )
+    same = spark.range(4000, 8000).selectExpr(
+        "id", "CAST(1.0 + (id % 100) AS DOUBLE) AS v"
+    )
+    shifted = spark.range(0, 4000).selectExpr(
+        "id", "CAST(1000.0 + (id % 100) AS DOUBLE) AS v"
+    )
+    cfg = dict(lo=0.5, hi=1e5, growth=1.5)
+    sk = lambda df: value_histogram_sketch(df, "v", **cfg)
+    stable = histogram_drift(sk(base), sk(same)).collect()
+    assert stable[0]["psi_total_e9"] < 100_000_000  # < 0.1
+    major = histogram_drift(sk(base), sk(shifted)).collect()
+    assert major[0]["psi_total_e9"] > 250_000_000   # > 0.25
+    # full spine (every bin reported, even empty), counts conserved
+    assert len(stable) == sk(base).first()["nbins"]
+    assert sum(r["n_a"] for r in stable) == 4000
+    assert sum(r["n_b"] for r in stable) == 4000
+    # multi-row sketch sets (per-day store rows) merge before PSI
+    parts = sk(base.where("id % 2 = 0")).unionByName(
+        sk(base.where("id % 2 != 0"))
+    )
+    merged = histogram_drift(parts, sk(base)).collect()
+    assert merged[0]["psi_total_e9"] == histogram_drift(
+        sk(base), sk(base)).collect()[0]["psi_total_e9"]
+    # config mismatch refuses
+    with pytest.raises(ValueError, match="one \\(lo, hi"):
+        histogram_drift(
+            sk(base), value_histogram_sketch(base, "v", lo=0.5,
+                                             hi=1e5, growth=2.0),
+        )
