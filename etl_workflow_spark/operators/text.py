@@ -394,11 +394,16 @@ def lm_score(
     in Spark DIV and DuckDB //); documents with fewer than two tokens
     report ``n_pairs 0`` and NULL scores (nothing to measure).
 
-    Distinct from :func:`unigram_logprob`, which scores documents
-    under a TRAINED subword tokenizer's piece distribution (how well
-    does my tokenizer fit this text); this operator scores WORD
-    transitions under a (possibly foreign) corpus's raw counts — the
-    domain/quality signal.
+    Position in the LM-signal family (three tiers, deliberately
+    distinct): :func:`ngram_lm_score` is the cheap PROXY (mean
+    unconditional log-frequency of hashed grams + OOV ratio — no
+    probabilities, no smoothing); THIS operator is the proper
+    conditional model (normalized, smoothed P(w2|w1) — actual
+    per-token NLL you can threshold like CCNet does, cross-engine
+    hash-checked); :func:`unigram_logprob` scores under a TRAINED
+    subword tokenizer's piece distribution (how well does my
+    tokenizer fit this text). Reach for the proxy when you only need
+    a ranking, this one when the threshold must mean something.
 
     Capability analog in the reference: none — extension tier."""
     if unigrams is None:

@@ -256,3 +256,50 @@ def test_retrieval_tier_ops_on_empty_inputs(spark, empty_docs, sf_dir):
         [], "query string, doc_id long, rel int"
     )
     assert retrieval_metrics(empty_ranked, empty_qrels).count() == 0
+
+
+def test_r12_text_ops_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import text as T
+
+    assert T.gopher_quality_flags(empty_docs).count() == 0
+    assert T.c4_line_filter(empty_docs).count() == 0
+    assert T.normalize_text(empty_docs).count() == 0
+    assert T.compression_ratio(empty_docs).count() == 0
+    # lm_score with a usable model but an empty scored corpus
+    uni = spark.createDataFrame([("a", 1)], "token string, count long")
+    big = spark.createDataFrame(
+        [("a", "a", 1)], "w1 string, w2 string, n_pair long"
+    )
+    assert T.lm_score(empty_docs, unigrams=uni, bigrams=big).count() == 0
+    # keyword snippets / drift need non-empty semantics checks
+    assert T.keyword_snippets(empty_docs, ["x"]).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        T.corpus_drift(empty_docs, empty_docs, buckets=8)
+    with _pt.raises(ValueError, match="non-empty unigram"):
+        T.lm_score(empty_docs)
+
+
+def test_r12_sampling_and_sketch_ops_on_empty(spark, empty_docs):
+    import pytest as _pt
+
+    from etl_workflow_spark.operators import sampling as S
+    from etl_workflow_spark.operators.sketches import (
+        histogram_drift, value_histogram_sketch,
+    )
+
+    lang_docs = spark.createDataFrame([], "doc_id long, lang string")
+    with _pt.raises(ValueError, match="non-null"):
+        S.temperature_mixture(lang_docs, "lang")
+    # empty numeric side: the ungrouped sketch is one degenerate row
+    # (global agg of nothing — n reports empty), and drift refuses on
+    # the zero totals rather than emitting garbage
+    vals = spark.createDataFrame([], "id long, v double")
+    row = value_histogram_sketch(vals, "v").collect()
+    assert len(row) == 1 and not row[0]["n"]
+    with _pt.raises(ValueError, match="non-empty"):
+        histogram_drift(
+            value_histogram_sketch(vals, "v"),
+            value_histogram_sketch(vals, "v"),
+        )
