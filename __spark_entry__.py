@@ -2298,7 +2298,7 @@ _TEXT_METRICS_ORACLE = f"""
 #: decomposed accent is spelled with an explicit escape so the source
 #: file itself stays NFC-clean.
 _UNICODE_PROBE_DOCS = [
-    (9_100_001, "café becomes composed under NFC"),
+    (9_100_001, "cafe\u0301 becomes composed under NFC"),
     (9_100_002, "tabs\tand   runs \t collapse"),
     (9_100_003, "ctlcharsdie but text lives"),
     (9_100_004, "para one\n\n\n\n\npara two"),
@@ -2408,7 +2408,12 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_e4",
         "rank",
     )
-    bm25 = T.bm25_topk(docs, _BM25_QUERIES, k=10).select(
+    # ONE bm25 call feeds three scopes (bm25/metrics/mmr): each
+    # df-path call eagerly builds + localCheckpoints the text index
+    # (r12), so duplicate calls would tokenize and materialize the
+    # corpus index once per scope
+    ranked10 = T.bm25_topk(docs, _BM25_QUERIES, k=10)
+    bm25 = ranked10.select(
         F.lit("bm25").alias("scope"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("query").alias("term"),
@@ -2453,9 +2458,7 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("rel"),
         )
     )
-    met = RK.retrieval_metrics(
-        T.bm25_topk(docs, _BM25_QUERIES, k=10), qrels, k=10
-    )
+    met = RK.retrieval_metrics(ranked10, qrels, k=10)
     metrics = met.select(
         "query",
         F.explode(
@@ -2536,8 +2539,10 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((doc_id * (j + 3) + j * j) % 17 - 8 AS DOUBLE))"
         ).alias("embedding"),
     )
+    # k=8 candidates are the rank<=8 PREFIX of the k=10 ranking (the
+    # window rank is computed before the cut), so no third index build
     mmr = RK.mmr_rerank(
-        T.bm25_topk(docs, _BM25_QUERIES, k=8), vdf, k=5, lam=0.7
+        ranked10.where("rank <= 8"), vdf, k=5, lam=0.7
     ).select(
         F.lit("mmr").alias("scope"),
         F.col("doc_id").cast("bigint").alias("doc_id"),

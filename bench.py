@@ -229,10 +229,10 @@ def main() -> None:
             table(s, d, "documents"), threshold=0.5
         ),
         "text_quality": lambda s, d: T.text_quality(table(s, d, "documents")),
-        "page_filters": lambda s, d: T.gopher_quality_flags(
+        "page_filters": lambda s, d: (lambda docs: T.gopher_quality_flags(
+            docs
+        ).join(T.c4_line_filter(docs), "doc_id"))(
             table(s, d, "documents")
-        ).join(
-            T.c4_line_filter(table(s, d, "documents")), "doc_id"
         ),
         "normalize_text": lambda s, d: T.normalize_text(
             table(s, d, "documents")

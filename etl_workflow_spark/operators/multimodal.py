@@ -138,9 +138,21 @@ def _png_decode(payload: bytes):
             elif tag == b"IEND":
                 break
             pos += 12 + ln
-        raw = zlib.decompress(bytes(idat))
         stride = w * ch
-        if len(raw) != h * (stride + 1):
+        expect = h * (stride + 1)
+        # Bound the inflation BEFORE it happens: the expected size is
+        # known from IHDR, and a crafted small payload declaring huge
+        # dimensions (or a deflate bomb inside honest dimensions)
+        # must fall through to the next tier, not OOM the executor.
+        # 64 MB of raw pixels is far beyond any honest test-tier
+        # still; production codecs sit in the Pillow tier above.
+        if expect > 64 * 1024 * 1024:
+            return None
+        # max_length caps the output: a bomb yields expect+1 bytes
+        # (!= expect, refused) after inflating only expect+1 — never
+        # the declared-size allocation
+        raw = zlib.decompressobj().decompress(bytes(idat), expect + 1)
+        if len(raw) != expect:
             return None
         out = bytearray(h * stride)
         prev = bytearray(stride)

@@ -444,6 +444,13 @@ def histogram_drift(
 
     ma = merge_histogram_sketches(sketches_a).collect()[0]
     mb = merge_histogram_sketches(sketches_b).collect()[0]
+    # zero sketch ROWS merge to an all-NULL row (first()/collect_list
+    # over nothing) — both configs would "match" as (None,)*4 and the
+    # zip below would crash illegibly
+    if ma["counts"] is None or mb["counts"] is None:
+        raise ValueError(
+            "histogram_drift needs at least one sketch row per side"
+        )
     cfg_a = (ma["lo"], ma["hi"], ma["growth"], ma["nbins"])
     cfg_b = (mb["lo"], mb["hi"], mb["growth"], mb["nbins"])
     if cfg_a != cfg_b:

@@ -4798,7 +4798,13 @@ def expand_queries(
     if postings is None:
         if df is None:
             raise ValueError("expand_queries needs df or postings")
-        postings = build_text_index(df, col=col, id_col=id_col)
+        # one call consumes the postings ~5 times (stats, the ranking's
+        # three evaluations, the feedback join, df) — materialize the
+        # inline build once, the bm25_topk contract (a PASSED postings
+        # table is left alone: stored tables are broadcast-pruned)
+        postings = build_text_index(
+            df, col=col, id_col=id_col
+        ).localCheckpoint(eager=True)
     stats = _bm25_index_stats(postings, id_col)
     top = bm25_topk(
         None, queries, k=int(n_docs), k1=k1, b=b, id_col=id_col,

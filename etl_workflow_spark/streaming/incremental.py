@@ -2190,15 +2190,27 @@ def read_sample_store(
     were already cut at write-k, so rows beyond it were never kept
     and a bigger ask would silently under-sample."""
     idx = spark.read.parquet(store_path)
-    wrote = [
-        int(r["__ks_k"])
-        for r in idx.select("__ks_k").distinct().collect()
-    ]
-    if len(set(wrote)) != 1:
+    wrote = {
+        (int(r["__ks_k"]), r["__ks_salt"])
+        for r in idx.select("__ks_k", "__ks_salt").distinct().collect()
+    }
+    if not wrote:
+        raise ValueError(f"sample store at {store_path} has no fragments")
+    if len({k for k, _ in wrote}) != 1:
         raise ValueError(
-            f"sample store has fragments cut at different k: {sorted(set(wrote))}"
+            "sample store has fragments cut at different k: "
+            f"{sorted({k for k, _ in wrote})}"
         )
-    wrote_k = wrote[0]
+    # hashes from different salts are incomparable draws — a mixed
+    # union re-cut by hash would be silently biased toward whichever
+    # salt yields smaller hex prefixes (the drift store's modulus
+    # guard, applied to the salt)
+    if len({s for _, s in wrote}) != 1:
+        raise ValueError(
+            "sample store has fragments drawn under different salts: "
+            f"{sorted({s for _, s in wrote})}"
+        )
+    wrote_k = next(iter(wrote))[0]
     if k is None:
         k = wrote_k
     if int(k) > wrote_k:
@@ -2234,15 +2246,22 @@ def compact_sample_store(
     def merge(old: DataFrame) -> DataFrame:
         from pyspark.sql.window import Window
 
-        wrote = [
-            int(r["__ks_k"])
-            for r in old.select("__ks_k").distinct().collect()
-        ]
+        wrote = {
+            (int(r["__ks_k"]), r["__ks_salt"])
+            for r in old.select("__ks_k", "__ks_salt")
+            .distinct().collect()
+        }
         if not wrote:  # no closed fragments: nothing to collapse
             return old.drop("batch_id")
-        if len(set(wrote)) != 1:
+        if len({k for k, _ in wrote}) != 1:
             raise ValueError(
-                f"sample store has fragments cut at different k: {sorted(set(wrote))}"
+                "sample store has fragments cut at different k: "
+                f"{sorted({k for k, _ in wrote})}"
+            )
+        if len({s for _, s in wrote}) != 1:
+            raise ValueError(
+                "sample store has fragments drawn under different "
+                f"salts: {sorted({s for _, s in wrote})}"
             )
         w = Window.partitionBy(key)
         return (
@@ -2250,7 +2269,7 @@ def compact_sample_store(
             .where(F.col("batch_id") == F.col("__mx"))
             .drop("__mx", "batch_id")
             .orderBy("__ks_h", F.col(key))
-            .limit(wrote[0])
+            .limit(next(iter(wrote))[0])
         )
 
     _compact_batched_store(

@@ -1573,6 +1573,15 @@ def test_sample_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
     inc.sample_rollup_batch(docs.where("doc_id >= 100"), store_bad, 1, k=20)
     with pytest.raises(ValueError, match="different k"):
         inc.read_sample_store(spark, store_bad)
+    # mixed salts too (r12 review fix): hashes from different salts
+    # are incomparable draws — a silent union re-cut would be biased
+    store_salt = str(tmp_path / "saltstore")
+    inc.sample_rollup_batch(docs.where("doc_id < 100"), store_salt, 0,
+                            k=10, salt="a")
+    inc.sample_rollup_batch(docs.where("doc_id >= 100"), store_salt, 1,
+                            k=10, salt="b")
+    with pytest.raises(ValueError, match="different salts"):
+        inc.read_sample_store(spark, store_salt)
     # compaction: closed fragments collapse to ONE k-row fragment
     before = {r["doc_id"]
               for r in inc.read_sample_store(spark, store).collect()}
