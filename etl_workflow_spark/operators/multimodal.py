@@ -196,8 +196,12 @@ def _png_decode(payload: bytes):
 
 def _png_encode(w: int, h: int, ch: int, pixels: bytes) -> bytes:
     """Stdlib PNG encoder: filter-0 rows, one zlib-compressed IDAT.
-    Deterministic bytes (zlib default level is version-stable for a
-    given input), so re-encoded payloads are cache/dedup keys."""
+    Deterministic bytes for a PINNED zlib build — compressed output
+    differs across zlib implementations (zlib vs zlib-ng) and can
+    change between versions, so re-encoded payloads are safe
+    cache/dedup keys only within one pinned codec build (the same
+    pin-one-codec-per-fleet rule :func:`compression_ratio` states:
+    never mix builds across a fleet or across re-runs you diff)."""
     import zlib
 
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]

@@ -674,7 +674,7 @@ def gopher_quality_flags_oracle(table: str = "documents") -> str:
             SELECT doc_id,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                              ELSE len({t}) END AS BIGINT) AS nw,
-                   CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                   CAST(length(regexp_replace(text, '\\s+', '', 'g'))
                         AS BIGINT) AS ns,
                    CAST(length(regexp_replace(text, '[^#]', '', 'g'))
                         + (len(string_split(text, '...')) - 1)
@@ -694,7 +694,7 @@ def gopher_quality_flags_oracle(table: str = "documents") -> str:
                         l -> regexp_matches(trim(l), '^[-•*]')))
                         AS BIGINT) AS nb,
                    CAST(len(list_filter(lines,
-                        l -> regexp_matches(trim(l), '\.\.\.$')))
+                        l -> regexp_matches(trim(l), '\\.\\.\\.$')))
                         AS BIGINT) AS ne,
                    -- NULL text must stay NULL (unknown), but
                    -- list_contains(NULL) -> NULL would fold to 0
@@ -725,19 +725,25 @@ def gopher_quality_flags_oracle(table: str = "documents") -> str:
 
 
 def c4_line_filter(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, col: str = "text", id_col: str = "doc_id",
+    min_words: int = 5, min_lines: int = 3,
 ) -> DataFrame:
     """The C4 line-and-page cleanup (Raffel et al. 2020, §2.2) as one
     shuffle-free projection: keep only lines that end in terminal
-    punctuation (``. ! ? "``), contain at least 3 words, and do not
-    mention "javascript"; drop the whole page when it contains
-    "lorem ipsum" or a ``{`` (code), or when fewer than 3 lines
-    survive. Returns ``(id, n_lines, n_kept, kept_text, dropped)``
-    with ``kept_text`` NULL for dropped pages — pure string/array
-    built-ins, so the rebuilt text hash-checks cross-engine. NULL
-    text propagates NULLs (unknown, not dropped).
+    punctuation (``. ! ? "``), contain at least ``min_words`` words
+    (paper default 5), and do not mention "javascript"; drop the whole
+    page when it contains "lorem ipsum" or a ``{`` (code), or when
+    fewer than ``min_lines`` lines survive. Deliberate deviation from
+    the paper, stated: the paper's page rule counts SENTENCES ("fewer
+    than 3 sentences"); this operator uses surviving LINES as the
+    sentence proxy (no sentence segmenter in the relational tier) —
+    ``min_lines`` parameterizes it. Returns ``(id, n_lines, n_kept,
+    kept_text, dropped)`` with ``kept_text`` NULL for dropped pages —
+    pure string/array built-ins, so the rebuilt text hash-checks
+    cross-engine. NULL text propagates NULLs (unknown, not dropped).
 
     Capability analog in the reference: none — extension tier."""
+    mw, ml = int(min_words), int(min_lines)
 
     def _keep(ln):
         lt = F.trim(ln)
@@ -747,7 +753,7 @@ def c4_line_filter(
         return (
             (lt != "")
             & lt.rlike('[.!?"]$')
-            & (F.size(words) >= 3)
+            & (F.size(words) >= mw)
             & ~F.lower(lt).contains("javascript")
         )
 
@@ -772,20 +778,23 @@ def c4_line_filter(
         "n_lines",
         "n_kept",
         F.when(
-            F.col("_d") | (F.col("n_kept") < 3), F.lit(None)
+            F.col("_d") | (F.col("n_kept") < ml), F.lit(None)
         ).otherwise(F.array_join(F.col("_k"), "\n")).alias("kept_text"),
-        (F.col("_d") | (F.col("n_kept") < 3)).alias("dropped"),
+        (F.col("_d") | (F.col("n_kept") < ml)).alias("dropped"),
     )
 
 
-def c4_line_filter_oracle(table: str = "documents") -> str:
+def c4_line_filter_oracle(
+    table: str = "documents", min_words: int = 5, min_lines: int = 3,
+) -> str:
     """DuckDB twin of :func:`c4_line_filter` — identical per-line
-    predicate and page verdict."""
+    predicate and page verdict (same threshold parameters)."""
+    mw, ml = int(min_words), int(min_lines)
     keep = (
         "l -> trim(l) <> '' "
         "AND regexp_matches(trim(l), '[.!?\"]$') "
-        "AND len(list_filter(string_split_regex(trim(l), '\s+'), "
-        "w -> w <> '')) >= 3 "
+        "AND len(list_filter(string_split_regex(trim(l), '\\s+'), "
+        f"w -> w <> '')) >= {mw} "
         "AND NOT contains(lower(trim(l)), 'javascript')"
     )
     return f"""
@@ -801,9 +810,9 @@ def c4_line_filter_oracle(table: str = "documents") -> str:
         SELECT doc_id,
                CAST(len(lines) AS INT) AS n_lines,
                CAST(len(kept) AS INT) AS n_kept,
-               CASE WHEN d OR len(kept) < 3 THEN NULL
+               CASE WHEN d OR len(kept) < {ml} THEN NULL
                     ELSE array_to_string(kept, chr(10)) END AS kept_text,
-               (d OR len(kept) < 3) AS dropped
+               (d OR len(kept) < {ml}) AS dropped
         FROM c
     """
 

@@ -2136,11 +2136,18 @@ def sample_rollup_batch(
     function of the key); the PAYLOAD of a re-delivered key refreshes
     only if the new delivery also lands in its own batch's local
     top-k — otherwise the first-seen payload survives (documented
-    staleness; keys-only callers are unaffected)."""
+    staleness; keys-only callers are unaffected). A key delivered
+    twice WITHIN one micro-batch is deduped here, before the local
+    top-k cut — without that, both copies share the same hash, both
+    survive the cut, and the read's max(batch_id) tiebreak cannot
+    separate them, so the duplicate would consume two of the k slots
+    (which of the duplicate payloads survives is unspecified, same as
+    the cross-batch staleness contract above)."""
     from ..operators.sampling import _bucket
 
     frag = (
-        batch_df.withColumn("__ks_h", _bucket(key, salt))
+        batch_df.dropDuplicates([key])
+        .withColumn("__ks_h", _bucket(key, salt))
         .orderBy("__ks_h", F.col(key))
         .limit(int(k))
         .withColumn("__ks_k", F.lit(int(k)))

@@ -298,18 +298,21 @@ def test_gopher_quality_flags_rules(spark):
 
 def test_c4_line_filter_rules(spark):
     """C4 line/page cleanup (r12): terminal-punctuation and min-words
-    line rules, the javascript line rule, lorem-ipsum / brace page
-    drops, the >= 3 surviving-lines page rule, and NULL propagation."""
+    line rules (paper default: 5 words — r13 ADVICE fix), the
+    javascript line rule, lorem-ipsum / brace page drops, the >= 3
+    surviving-lines page rule, NULL propagation, and the threshold
+    parameters."""
     from etl_workflow_spark.operators.text import c4_line_filter
 
     keep1 = "This line ends with a period and has many words."
     keep2 = "Does this line survive the filter?"
     keep3 = 'He said the quote ends here: "done."'
+    four = "Just four terminated words."              # < paper's 5
     pages = [
         (1, "\n".join([
             keep1,
             "no terminal punctuation here",
-            "Too few.",
+            four,
             "This one mentions javascript libraries everywhere.",
             keep2,
             keep3,
@@ -330,6 +333,19 @@ def test_c4_line_filter_rules(spark):
     assert out[4]["dropped"] is True                 # brace
     assert out[5]["dropped"] is None
     assert out[5]["kept_text"] is None
+    # parameterized thresholds: at min_words=3 (the pre-r13 value) the
+    # 4-word line survives page 1's cut; at min_lines=4 page 1 drops
+    relaxed = {
+        r["doc_id"]: r
+        for r in c4_line_filter(df, min_words=3).collect()
+    }
+    assert relaxed[1]["n_kept"] == 4
+    assert four in relaxed[1]["kept_text"]
+    strict = {
+        r["doc_id"]: r
+        for r in c4_line_filter(df, min_lines=4).collect()
+    }
+    assert strict[1]["dropped"] is True
 
 
 def test_page_filters_match_duckdb_oracle(spark):
@@ -374,3 +390,15 @@ def test_page_filters_match_duckdb_oracle(spark):
             for r in con.execute(oracle(table="pages")).fetchall()
         }
         assert got == want, op.__name__
+    # non-default thresholds travel to BOTH engines (r13)
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in c4_line_filter(df, min_words=3, min_lines=2).collect()
+    }
+    want = {
+        r[0]: tuple(r)
+        for r in con.execute(
+            c4_line_filter_oracle(table="pages", min_words=3, min_lines=2)
+        ).fetchall()
+    }
+    assert got == want

@@ -1567,6 +1567,22 @@ def test_sample_store_matches_batch_and_replays(spark, sf_dir, tmp_path):
     assert next(
         r["text"] for r in cur if r["doc_id"] == sampled_id
     ) == "fresh text"
+    # a key delivered twice WITHIN one micro-batch (r12 ADVICE): it
+    # must neither appear twice in the read sample nor consume two of
+    # the k slots — the fragment dedups by key before its local cut
+    store_dup = str(tmp_path / "dupstore")
+    dup_batch = spark.createDataFrame(
+        [(1, "first copy"), (1, "second copy"), (2, "b"), (3, "c"),
+         (4, "d")],
+        "doc_id long, text string",
+    )
+    inc.sample_rollup_batch(dup_batch, store_dup, 0, k=3)
+    dup_read = inc.read_sample_store(spark, store_dup).collect()
+    dup_keys = [r["doc_id"] for r in dup_read]
+    assert len(dup_keys) == 3 and len(set(dup_keys)) == 3
+    want_dup = {r["doc_id"] for r in SAMP.global_sample_k(
+        dup_batch.dropDuplicates(["doc_id"]), 3).collect()}
+    assert set(dup_keys) == want_dup
     # mixed write-k stores are refused loudly
     store_bad = str(tmp_path / "badstore")
     inc.sample_rollup_batch(docs.where("doc_id < 100"), store_bad, 0, k=10)
