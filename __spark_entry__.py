@@ -950,7 +950,14 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames_sampled"),
         F.max("frame_idx").alias("max_frame_idx"),
     )
-    return meta.join(rez, "doc_id").join(frames, "doc_id")
+    # perceptual dHash (r13): text payloads are not PNGs, so the fake
+    # tier's 60-bit digest fingerprint is what runs here — SQL-castable
+    # by design, so even the stub tier stays hash-gated; the pixel
+    # tiers are pytest-tier (exact replay in test_llm_ops)
+    dh = M.dhash_media(docs)
+    return (
+        meta.join(rez, "doc_id").join(frames, "doc_id").join(dh, "doc_id")
+    )
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,10 +1104,17 @@ _MULTIMODAL_ORACLE = f"""
         SELECT doc_id, COUNT(*) AS n_frames_sampled,
                CAST(MAX(frame_idx) AS INT) AS max_frame_idx
         FROM fr GROUP BY 1
+    ),
+    dh AS (
+        SELECT doc_id,
+               ('0x' || substr(sha256(text || ':dhash64'), 1, 15))::BIGINT
+                   AS dhash
+        FROM documents
     )
     SELECT m.*, r.resized_hex, r.width, r.height,
-           f.n_frames_sampled, f.max_frame_idx
+           f.n_frames_sampled, f.max_frame_idx, dh.dhash
     FROM m JOIN r USING (doc_id) JOIN f USING (doc_id)
+    JOIN dh USING (doc_id)
 """
 
 
@@ -2270,6 +2284,15 @@ def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # augmented corpus — every pair contribution e9-floored before
         # the integer sum, so all three columns hash-check
         .join(T.lm_score(docs), "doc_id")
+        # r13: the stupid-backoff trigram tier, same fixed-point
+        # convention one order up (columns disambiguated from the
+        # bigram model's)
+        .join(
+            T.lm_score_backoff(docs)
+            .withColumnRenamed("logprob_e9_sum", "bo_logprob_e9_sum")
+            .withColumnRenamed("avg_nll_e6", "bo_avg_nll_e6"),
+            "doc_id",
+        )
     )
 
 
@@ -2278,7 +2301,10 @@ _TEXT_METRICS_ORACLE = f"""
            gq.n_words AS g_n_words,
            gq.* EXCLUDE (doc_id, n_words),
            c4.* EXCLUDE (doc_id),
-           lm.* EXCLUDE (doc_id)
+           lm.* EXCLUDE (doc_id),
+           bo.n_ctx,
+           bo.logprob_e9_sum AS bo_logprob_e9_sum,
+           bo.avg_nll_e6 AS bo_avg_nll_e6
     FROM ({T.token_count_oracle(table=_QUALITY_PROBE_SQL)}) tc
     JOIN ({T.text_quality_oracle(table=_QUALITY_PROBE_SQL)}) tq
         USING (doc_id)
@@ -2287,6 +2313,8 @@ _TEXT_METRICS_ORACLE = f"""
     JOIN ({T.c4_line_filter_oracle(table=_QUALITY_PROBE_SQL)}) c4
         USING (doc_id)
     JOIN ({T.lm_score_oracle(table=_QUALITY_PROBE_SQL)}) lm
+        USING (doc_id)
+    JOIN ({T.lm_score_backoff_oracle(table=_QUALITY_PROBE_SQL)}) bo
         USING (doc_id)
 """
 

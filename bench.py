@@ -215,6 +215,7 @@ def main() -> None:
     from etl_workflow_spark.catalog import table
     from etl_workflow_spark.operators import chunking as CH
     from etl_workflow_spark.operators import dedup as D
+    from etl_workflow_spark.operators import multimodal as MM
     from etl_workflow_spark.operators import ranking as R
     from etl_workflow_spark.operators import similarity as S
     from etl_workflow_spark.operators import text as T
@@ -237,7 +238,15 @@ def main() -> None:
         "normalize_text": lambda s, d: T.normalize_text(
             table(s, d, "documents")
         ),
+        # payload scan + 8-byte fingerprint banding; the fake hash tier
+        # runs here (text payloads), timing the mapInPandas + join shape
+        "image_neardup": lambda s, d: MM.image_neardup_pairs(
+            MM.with_binary_payload(table(s, d, "documents"))
+        ),
         "lm_score": lambda s, d: T.lm_score(table(s, d, "documents")),
+        "lm_backoff": lambda s, d: T.lm_score_backoff(
+            table(s, d, "documents")
+        ),
         "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
         "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
         "repetition_signals": lambda s, d: T.repetition_signals(

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from .chunking import chunk_documents, pack_sequences
 from .dedup import dedup_corpus
-from .sampling import deterministic_shuffle, target_mixture
+from .sampling import deterministic_shuffle, target_mixture, temperature_mixture
 from .text import _n_tokens, _passes_quality, decontaminate
 
 
@@ -59,6 +59,7 @@ def materialize_training_set(
     *,
     quality_filter: bool = True,
     qcls: dict | None = None,
+    page_filters: dict | None = None,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 13,
     dedup: bool = True,
@@ -67,6 +68,7 @@ def materialize_training_set(
     semantic_dedup: dict | None = None,
     dsir: dict | None = None,
     mixture: dict[str, float] | None = None,
+    temperature: float | None = None,
     strata_col: str | None = None,
     chunk_tokens: int | None = None,
     pack_budget: int | None = None,
@@ -99,6 +101,42 @@ def materialize_training_set(
        the RECORDED model, so extensions gate new batches
        identically to a fresh rebuild by construction; NULL text is
        dropped (NULL prob — same fate the heuristic gate deals it).
+    1c. **published page filters** (``page_filters`` config, r13): the
+       gated standalone page-quality operators as recorded,
+       drop-accounted recipe tiers, applied in the FIXED order
+       c4 → gopher → compression → lm (each optional; every tier
+       drops rows it cannot judge — NULL text, unscoreable pages):
+
+       - ``"c4"``: ``True`` or ``{"min_words", "min_lines",
+         "rewrite"}`` — :func:`~.text.c4_line_filter` (Raffel 2020);
+         drops C4-dropped pages, and with ``rewrite`` (default True,
+         the paper's behavior) REPLACES ``col`` with the surviving
+         lines, so every later stage (decontamination, dedup, the
+         written set) sees the cleaned page.
+       - ``"gopher"``: ``True`` — require
+         :func:`~.text.gopher_quality_flags` ``passes_gopher``
+         (Rae 2021 A1.1).
+       - ``"compression"``: ``{"min_ratio_e4" and/or "max_ratio_e4",
+         optional "level"}`` — bound
+         :func:`~.text.compression_ratio`'s deflate signal. The
+         manifest records the zlib runtime version; extensions REFUSE
+         under a different zlib build (compressed sizes differ across
+         builds, so the gate would silently drift).
+       - ``"lm"``: ``{"max_avg_nll_e6", and exactly one model source:
+         ("unigrams" + "bigrams" count DataFrames) or ("vocab_store" +
+         "bigram_store" persisted-store paths)}`` — drop pages whose
+         :func:`~.text.lm_score` ``avg_nll_e6`` under the REFERENCE
+         model exceeds the bound (the CCNet shape, Wenzek 2020). The
+         resolved counts are SNAPSHOTTED into ``out_path/lm_model/``
+         at build and the manifest records that directory — extensions
+         and rebuilds score under the identical frozen counts even if
+         the source store keeps ingesting (same reasoning as the
+         recorded qcls/dsir models, for a model too big to inline).
+
+       All gates are row-local predicates (no join back on ids —
+       the shared ``_*_frame`` builders in :mod:`~.text` append the
+       verdict columns in place) except lm, whose count-table join is
+       inherent; it runs LAST over the already-thinned pool.
     2. **decontamination**: drop rows sharing any ``contamination_ngram``
        word n-gram with ``benchmark`` (:func:`~.text.decontaminate` —
        broadcast-probe; the corpus never shuffles).
@@ -142,6 +180,13 @@ def materialize_training_set(
     4. **mixture**: :func:`~.sampling.target_mixture` solves per-stratum
        keep rates for ``mixture`` shares over ``strata_col`` (largest
        feasible output, no upsampling) and hash-downsamples.
+       Alternatively ``temperature`` (r13, mutually exclusive with
+       ``mixture``): :func:`~.sampling.temperature_mixture` —
+       α-tempered shares ``(n_i/N)^alpha`` (the XLM-R/mT5 multilingual
+       rebalancing) instead of an explicit target dict; the alpha is
+       recorded in the manifest and extensions RE-SOLVE the tempered
+       shares from the grown pool under the original salt, exactly the
+       mixture path's snapshot-versioned re-derive.
     5. **chunk/pack**: with ``chunk_tokens``, documents become
        fixed-size token chunks; with ``pack_budget`` additionally,
        each chunk gets a ``pack_id`` under the token budget
@@ -160,6 +205,19 @@ def materialize_training_set(
     """
     if mixture is not None and strata_col is None:
         raise ValueError("mixture targets require strata_col")
+    if temperature is not None:
+        if mixture is not None:
+            raise ValueError(
+                "mixture and temperature are two solvers for the same "
+                "stage — pass one"
+            )
+        if strata_col is None:
+            raise ValueError("temperature rebalancing requires strata_col")
+        if not (0.0 < float(temperature) <= 1.0):
+            raise ValueError(
+                f"temperature must be in (0, 1] (got {temperature})"
+            )
+        temperature = float(temperature)
     if pack_budget is not None and chunk_tokens is None:
         raise ValueError("pack_budget requires chunk_tokens")
     sem: dict | None = None
@@ -223,6 +281,10 @@ def materialize_training_set(
             for k in ("n", "buckets", "sample_size", "epochs", "lr", "l2")
             if k in src
         }
+    pf_cfg: dict | None = None
+    pf_lm_inputs = None
+    if page_filters is not None:
+        pf_cfg, pf_lm_inputs = _norm_page_filters(page_filters)
     dsir_cfg: dict | None = None
     dsir_target: DataFrame | None = None
     if dsir is not None:
@@ -296,6 +358,18 @@ def materialize_training_set(
             >= F.lit(qcls_cfg["min_prob"])
         )
         _audit("qcls", cur)
+    if pf_cfg is not None:
+        lm_frames = None
+        if pf_cfg.get("lm") is not None:
+            # snapshot the resolved reference counts INSIDE the set and
+            # score from the re-read snapshot — the build and every
+            # later extension read the same frozen files, so the gate
+            # cannot drift even if the source store keeps ingesting
+            _write_lm_model(
+                spark, out_path, pf_cfg["lm"]["model_dir"], pf_lm_inputs
+            )
+            lm_frames = _read_lm_model(spark, out_path, pf_cfg["lm"])
+        cur = _apply_page_filters(cur, pf_cfg, col, id_col, lm_frames, _audit)
     if benchmark is not None:
         cur = decontaminate(
             cur, benchmark, n=contamination_ngram, col=col, id_col=id_col
@@ -333,7 +407,8 @@ def materialize_training_set(
         )
     rates: dict[str, float] = {}
     premix_schema: str | None = None
-    if mixture is not None or dsir_cfg is not None:
+    if mixture is not None or temperature is not None \
+            or dsir_cfg is not None:
         if chunk_tokens is None:
             # r9 (mixture) / r11 (dsir): persist the PRE-selection
             # survivor pool — the extension state that makes globally-
@@ -368,6 +443,12 @@ def materialize_training_set(
         if mixture is not None:
             cur, rates = target_mixture(
                 cur, mixture, strata_col, key=id_col, salt=f"{salt}:mix"
+            )
+            _audit("mixture", cur)
+        elif temperature is not None:
+            cur, rates = temperature_mixture(
+                cur, strata_col, alpha=temperature, key=id_col,
+                salt=f"{salt}:mix",
             )
             _audit("mixture", cur)
 
@@ -495,6 +576,7 @@ def materialize_training_set(
             "id_col": id_col,
             "quality_filter": quality_filter,
             "qcls": qcls_cfg,
+            "page_filters": pf_cfg,
             "decontaminated": benchmark is not None,
             "contamination_ngram": (
                 contamination_ngram if benchmark is not None else None
@@ -505,6 +587,7 @@ def materialize_training_set(
             "semantic_dedup": sem,
             "dsir": dsir_cfg,
             "mixture": mixture,
+            "temperature": temperature,
             "strata_col": strata_col,
             "solved_mixture_rates": rates or None,
             "premix_schema": premix_schema,
@@ -524,6 +607,281 @@ def materialize_training_set(
         manifest["stage_rows"] = dict(stages)
     _write_manifest(spark, f"{out_path.rstrip('/')}/manifest.json", manifest)
     return manifest
+
+
+def _norm_page_filters(page_filters: dict):
+    """Validate the ``page_filters`` config and split it into the
+    RECORDED shape (JSON-safe, what the manifest stores and every
+    extension replays) plus the build-only lm model inputs (frames or
+    store paths, consumed at build into the snapshot). Raises
+    ``ValueError`` on anything ambiguous — a half-validated filter
+    config recorded in a manifest would gate every future extension
+    wrong."""
+    import zlib
+
+    src = dict(page_filters)
+    unknown = set(src) - {"c4", "gopher", "lm", "compression"}
+    if unknown:
+        raise ValueError(
+            f"unknown page_filters keys {sorted(unknown)}; known: "
+            "c4, gopher, lm, compression"
+        )
+    cfg: dict = {}
+    c4 = src.get("c4")
+    if c4:
+        c4 = {} if c4 is True else dict(c4)
+        extra = set(c4) - {"min_words", "min_lines", "rewrite"}
+        if extra:
+            raise ValueError(f"unknown page_filters.c4 keys {sorted(extra)}")
+        mw = int(c4.get("min_words", 5))
+        ml = int(c4.get("min_lines", 3))
+        if mw < 1 or ml < 1:
+            raise ValueError(
+                "page_filters.c4 thresholds must be positive "
+                f"(min_words={mw}, min_lines={ml})"
+            )
+        cfg["c4"] = {
+            "min_words": mw,
+            "min_lines": ml,
+            "rewrite": bool(c4.get("rewrite", True)),
+        }
+    if src.get("gopher"):
+        if src["gopher"] is not True:
+            raise ValueError(
+                "page_filters.gopher takes no parameters — pass True "
+                "(the published thresholds are the rule set)"
+            )
+        cfg["gopher"] = True
+    comp = src.get("compression")
+    if comp:
+        comp = dict(comp)
+        extra = set(comp) - {"min_ratio_e4", "max_ratio_e4", "level"}
+        if extra:
+            raise ValueError(
+                f"unknown page_filters.compression keys {sorted(extra)}"
+            )
+        lo = comp.get("min_ratio_e4")
+        hi = comp.get("max_ratio_e4")
+        if lo is None and hi is None:
+            raise ValueError(
+                "page_filters.compression needs min_ratio_e4 and/or "
+                "max_ratio_e4 — with neither it gates nothing"
+            )
+        lo = None if lo is None else int(lo)
+        hi = None if hi is None else int(hi)
+        if lo is not None and hi is not None and lo > hi:
+            raise ValueError(
+                f"page_filters.compression bounds cross ({lo} > {hi})"
+            )
+        cfg["compression"] = {
+            "min_ratio_e4": lo,
+            "max_ratio_e4": hi,
+            "level": int(comp.get("level", 6)),
+            # compressed sizes differ across zlib builds — record the
+            # build's, so extensions refuse instead of silently
+            # gating differently (the pin-one-codec-per-fleet rule)
+            "zlib_version": zlib.ZLIB_RUNTIME_VERSION,
+        }
+    lm_inputs = None
+    lm = src.get("lm")
+    if lm:
+        lm = dict(lm)
+        extra = set(lm) - {
+            "max_avg_nll_e6", "unigrams", "bigrams",
+            "vocab_store", "bigram_store",
+        }
+        if extra:
+            raise ValueError(f"unknown page_filters.lm keys {sorted(extra)}")
+        thr = lm.get("max_avg_nll_e6")
+        if (
+            not isinstance(thr, int) or isinstance(thr, bool) or thr <= 0
+        ):
+            raise ValueError(
+                "page_filters.lm.max_avg_nll_e6 must be a positive "
+                "int (per-pair negative log-likelihood in 1e-6 nats)"
+            )
+        frames = ("unigrams" in lm) or ("bigrams" in lm)
+        stores = ("vocab_store" in lm) or ("bigram_store" in lm)
+        if frames == stores:
+            raise ValueError(
+                "page_filters.lm needs exactly ONE model source: "
+                "unigrams+bigrams count DataFrames, or "
+                "vocab_store+bigram_store persisted-store paths"
+            )
+        if frames:
+            if lm.get("unigrams") is None or lm.get("bigrams") is None:
+                raise ValueError(
+                    "page_filters.lm frames mode needs BOTH unigrams "
+                    "and bigrams"
+                )
+            lm_inputs = ("frames", lm["unigrams"], lm["bigrams"])
+        else:
+            if not lm.get("vocab_store") or not lm.get("bigram_store"):
+                raise ValueError(
+                    "page_filters.lm store mode needs BOTH vocab_store "
+                    "and bigram_store paths"
+                )
+            lm_inputs = (
+                "stores", str(lm["vocab_store"]), str(lm["bigram_store"])
+            )
+        cfg["lm"] = {
+            "max_avg_nll_e6": int(thr),
+            "model_dir": "lm_model",
+        }
+    if not cfg:
+        raise ValueError(
+            "page_filters configured but selects no filter — drop the "
+            "argument or enable at least one of c4/gopher/lm/compression"
+        )
+    return cfg, lm_inputs
+
+
+def _write_lm_model(
+    spark: SparkSession, out_path: str, model_dir: str, lm_inputs
+) -> None:
+    """Freeze the lm filter's reference counts inside the training set
+    (``out_path/<model_dir>/{unigrams,bigrams}`` parquet): resolve the
+    build inputs — direct count frames, or the persisted stores'
+    current merged counts — and write the snapshot every later scoring
+    pass (build AND extensions) reads. Vocabulary-bounded, one narrow
+    copy; ``errorifexists`` so a racing second build fails loudly."""
+    kind = lm_inputs[0]
+    if kind == "frames":
+        uni = lm_inputs[1].select(
+            F.col("token").cast("string").alias("token"),
+            F.col("count").cast("bigint").alias("count"),
+        )
+        big = lm_inputs[2].select(
+            F.col("w1").cast("string").alias("w1"),
+            F.col("w2").cast("string").alias("w2"),
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+        )
+    else:
+        from ..streaming.incremental import (
+            _read_vocab_store_raw,
+            _vocab_store_flag,
+            read_bigram_store,
+            read_vocab_store,
+        )
+
+        if not _vocab_store_flag(_read_vocab_store_raw(spark, lm_inputs[1])):
+            raise ValueError(
+                "page_filters.lm needs a LOWERCASE vocab store (the "
+                "scorer lowercases; a case-sensitive store would score "
+                "every token as out-of-vocabulary)"
+            )
+        uni = read_vocab_store(spark, lm_inputs[1])
+        big = read_bigram_store(spark, lm_inputs[2])
+    base = out_path.rstrip("/")
+    uni.write.mode("errorifexists").parquet(f"{base}/{model_dir}/unigrams")
+    big.write.mode("errorifexists").parquet(f"{base}/{model_dir}/bigrams")
+
+
+def _read_lm_model(
+    spark: SparkSession, out_path: str, lm_cfg: dict
+) -> tuple[DataFrame, DataFrame]:
+    """The frozen lm-model snapshot, under explicit schemas (an
+    empty-but-valid snapshot must stay readable)."""
+    d = f"{out_path.rstrip('/')}/{lm_cfg.get('model_dir', 'lm_model')}"
+    uni = spark.read.schema("token string, count bigint").parquet(
+        f"{d}/unigrams"
+    )
+    big = spark.read.schema(
+        "w1 string, w2 string, n_pair bigint"
+    ).parquet(f"{d}/bigrams")
+    return uni, big
+
+
+def _apply_page_filters(
+    cur: DataFrame,
+    pf: dict,
+    col: str,
+    id_col: str,
+    lm_frames,
+    _audit,
+) -> DataFrame:
+    """The recipe's published page-filter tier (stage 1c), shared
+    VERBATIM by build and extension so the two cannot drift. Fixed
+    order c4 → gopher → compression → lm: the row-local gates thin the
+    pool before the one join-shaped gate. Every tier drops rows it
+    cannot judge (NULL text, unmeasurable or unscoreable pages) — the
+    same fate the heuristic and learned quality gates deal NULLs."""
+    from .text import (
+        _c4_frame,
+        _compression_frame,
+        _gopher_frame,
+        lm_score,
+    )
+
+    c4 = pf.get("c4")
+    if c4:
+        g = _c4_frame(cur, col, int(c4["min_words"]), int(c4["min_lines"]))
+        g = g.where(~F.col("__c4_dropped"))
+        if c4.get("rewrite", True):
+            g = g.withColumn(col, F.col("__c4_kept_text"))
+        cur = g.drop(*[c for c in g.columns if c.startswith("__c4_")])
+        _audit("c4", cur)
+    if pf.get("gopher"):
+        g = _gopher_frame(cur, col)
+        cur = g.where(F.col("__gq_passes")).drop(
+            *[c for c in g.columns if c.startswith("__gq_")]
+        )
+        _audit("gopher", cur)
+    comp = pf.get("compression")
+    if comp:
+        g = _compression_frame(cur, col, int(comp["level"]))
+        cond = None
+        if comp.get("min_ratio_e4") is not None:
+            cond = F.col("__cr_e4") >= F.lit(int(comp["min_ratio_e4"]))
+        if comp.get("max_ratio_e4") is not None:
+            hi = F.col("__cr_e4") <= F.lit(int(comp["max_ratio_e4"]))
+            cond = hi if cond is None else (cond & hi)
+        cur = g.where(cond).drop(
+            *[c for c in g.columns if c.startswith("__cr_")]
+        )
+        _audit("compression", cur)
+    lm = pf.get("lm")
+    if lm:
+        uni, big = lm_frames
+        ok = (
+            lm_score(cur, col=col, id_col=id_col, unigrams=uni, bigrams=big)
+            .where(
+                F.col("avg_nll_e6") <= F.lit(int(lm["max_avg_nll_e6"]))
+            )
+            .select(id_col)
+        )
+        # the one join-shaped gate (scores group per doc id) — NULL
+        # scores (NULL text, < 2 tokens) never match, so unscoreable
+        # pages drop, consistent with the other tiers
+        cur = cur.join(ok, id_col, "left_semi")
+        _audit("lm_filter", cur)
+    return cur
+
+
+def _page_filter_ext_inputs(spark: SparkSession, base: str, cfg: dict):
+    """Extension-side resolution of the recorded page filters: refuse
+    a zlib build different from the one the compression bounds were
+    recorded under (compressed sizes differ across builds — the gate
+    would silently drift), and load the frozen lm-model snapshot.
+    Returns the lm frames (or None)."""
+    import zlib
+
+    pf = cfg.get("page_filters")
+    if not pf:
+        return None
+    comp = pf.get("compression")
+    if comp and comp.get("zlib_version") != zlib.ZLIB_RUNTIME_VERSION:
+        raise ValueError(
+            "this set's compression page filter was recorded under "
+            f"zlib {comp.get('zlib_version')!r} but this runtime has "
+            f"{zlib.ZLIB_RUNTIME_VERSION!r} — compressed sizes differ "
+            "across zlib builds, so extending here would gate "
+            "differently than the build. Pin the original zlib build "
+            "or re-materialize under this one"
+        )
+    if pf.get("lm") is not None:
+        return _read_lm_model(spark, base, pf["lm"])
+    return None
 
 
 def _semantic_stage(
@@ -1032,6 +1390,7 @@ def _batch_recipe(
     _audit,
     allow_interleaved_ids: bool = False,
     cleanup: list | None = None,
+    lm_frames=None,
 ) -> DataFrame:
     """The recorded recipe over a NEW batch, shared by both extension
     paths so the two cannot drift: insert-if-absent by id (narrow
@@ -1073,6 +1432,13 @@ def _batch_recipe(
             >= F.lit(float(q["min_prob"]))
         )
         _audit("qcls", cur)
+    if cfg.get("page_filters"):
+        # published page filters under the RECORDED thresholds and the
+        # frozen lm snapshot — the identical stage function the build
+        # ran, so the batch verdict equals a fresh rebuild's
+        cur = _apply_page_filters(
+            cur, cfg["page_filters"], col, id_col, lm_frames, _audit
+        )
     if benchmark is not None:
         cur = decontaminate(
             cur, benchmark, n=cfg["contamination_ngram"],
@@ -1339,10 +1705,15 @@ def _extend_locked(
             "this set was built WITHOUT decontamination; extending "
             "with a benchmark would leave it half-decontaminated"
         )
-    if cfg.get("mixture") is not None or cfg.get("dsir") is not None:
-        # globally-selected sets (mixture rates and/or DSIR top-n):
-        # a new batch can change which OLD rows are kept, so the kept
-        # set re-derives from the premix pool instead of appending
+    if (
+        cfg.get("mixture") is not None
+        or cfg.get("temperature") is not None
+        or cfg.get("dsir") is not None
+    ):
+        # globally-selected sets (mixture/temperature rates and/or
+        # DSIR top-n): a new batch can change which OLD rows are kept,
+        # so the kept set re-derives from the premix pool instead of
+        # appending
         return _extend_pooled(
             spark, new_docs, base, benchmark, index, audit, manifest,
             allow_interleaved_ids,
@@ -1372,6 +1743,7 @@ def _extend_locked(
         cur = _batch_recipe(
             new_docs, existing, cfg, benchmark, col, id_col, index, _audit,
             allow_interleaved_ids=allow_interleaved_ids, cleanup=cleanup,
+            lm_frames=_page_filter_ext_inputs(spark, base, cfg),
         )
         out = deterministic_shuffle(
             cur,
@@ -1496,6 +1868,7 @@ def _extend_pooled(
         cur = _batch_recipe(
             new_docs, pool, cfg, benchmark, col, id_col, index, _audit,
             allow_interleaved_ids=allow_interleaved_ids, cleanup=cleanup,
+            lm_frames=_page_filter_ext_inputs(spark, base, cfg),
         )
 
         # pool append FIRST (see crash-safety note above), then
@@ -1533,6 +1906,15 @@ def _extend_pooled(
             salt=f"{manifest['salt']}:mix",
         )
         _audit("mixture", kept)
+    elif cfg.get("temperature") is not None:
+        # re-solve the tempered shares from the GROWN pool under the
+        # recorded alpha + original salt — the same pure-function-of-
+        # pool shape as the target-mixture re-solve
+        kept, rates = temperature_mixture(
+            kept_src, cfg["strata_col"], alpha=float(cfg["temperature"]),
+            key=id_col, salt=f"{manifest['salt']}:mix",
+        )
+        _audit("mixture", kept)
     else:
         kept = kept_src
     out = deterministic_shuffle(
@@ -1553,7 +1935,10 @@ def _extend_pooled(
         f"{base}/{new_rel}"
     )
     manifest["data_dir"] = new_rel
-    if cfg.get("mixture") is not None:
+    if (
+        cfg.get("mixture") is not None
+        or cfg.get("temperature") is not None
+    ):
         cfg["solved_mixture_rates"] = rates or None
     return _refresh_manifest_stats(
         spark, manifest, base, out.schema, col, id_col, audit, stages
@@ -1799,6 +2184,7 @@ def training_set_report(
     recipe = [
         ("quality_filter", cfg.get("quality_filter")),
         ("quality_classifier", bool(cfg.get("qcls")) or None),
+        ("page_filters", cfg.get("page_filters")),
         ("decontaminated", cfg.get("decontaminated") or None),
         ("contamination_ngram", cfg.get("contamination_ngram")),
         ("lexical_dedup", cfg.get("dedup") or None),
@@ -1809,6 +2195,7 @@ def training_set_report(
          bool(cfg.get("semantic_dedup")) or None),
         ("dsir_selection", bool(cfg.get("dsir")) or None),
         ("mixture", cfg.get("mixture")),
+        ("temperature", cfg.get("temperature")),
         ("strata_col", cfg.get("strata_col")),
         ("solved_mixture_rates", cfg.get("solved_mixture_rates")),
         ("chunk_tokens", cfg.get("chunk_tokens")),
@@ -1827,7 +2214,9 @@ def training_set_report(
         # are only meaningful in that order (unknown extra keys append
         # with their raw count, no delta claimed)
         pipeline = [
-            "input", "new_ids", "quality", "qcls", "decontaminated",
+            "input", "new_ids", "quality", "qcls",
+            "c4", "gopher", "compression", "lm_filter",
+            "decontaminated",
             "deduped", "deduped_within_batch", "cross_exact",
             "cross_neardup", "semantic_dedup", "semantic_within_batch",
             "cross_semantic", "dsir", "mixture",

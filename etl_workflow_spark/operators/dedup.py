@@ -531,33 +531,56 @@ def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id",
 
 
 def hamming_pairs(fps: DataFrame, max_distance: int = 3,
-                  id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+                  id_col: str = "doc_id", fp_col: str = "simhash",
+                  bits: int = 64) -> DataFrame:
+    """Near-dup pairs by Hamming distance over 64-bit-packed
+    fingerprints — SimHash by default; any other long-packed
+    perceptual hash (e.g. the image dHash,
+    :func:`~etl_workflow_spark.operators.multimodal.dhash_media`) via
+    ``fp_col``/``bits``.
 
-    Blocked self-join: split the 64-bit fingerprint into
+    Blocked self-join: split the ``bits``-bit fingerprint into
     ``max_distance+1`` segments — any pair within the distance budget
     shares at least one exact segment (pigeonhole), so the join is
-    segment-equality, never all-pairs.
+    segment-equality, never all-pairs. ``bits`` below 64 segments only
+    the populated low bits, keeping each segment discriminative
+    (segmenting guaranteed-zero high bits would put every row in one
+    bucket for those segments).
     """
     nseg = max_distance + 1
-    seg_bits = 64 // nseg
+    if bits < nseg:
+        raise ValueError(
+            f"cannot split {bits} fingerprint bits into {nseg} "
+            "pigeonhole segments (max_distance too large)"
+        )
+    seg_bits = bits // nseg
+    fp = F.col(fp_col)
     segs = fps.select(
         F.col(id_col).alias("id"),
-        F.col("simhash"),
+        fp.alias("__fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(s).alias("seg"),
-                        F.shiftrightunsigned(F.col("simhash"), s * seg_bits)
-                        .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                        F.shiftrightunsigned(fp, s * seg_bits)
+                        .bitwiseAND(
+                            F.lit(
+                                # the LAST segment absorbs the
+                                # remainder bits so all `bits` are
+                                # covered by some segment
+                                (1 << (bits - s * seg_bits)) - 1
+                                if s == nseg - 1
+                                else (1 << seg_bits) - 1
+                            )
+                        )
                         .alias("segval"),
                     )
                     for s in range(nseg)
                 ]
             )
         ).alias("sv"),
-    ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"))
+    ).select("id", "__fp", F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"))
     cand = (
         segs.alias("x")
         .join(segs.alias("y"), on=["seg", "segval"])
@@ -565,7 +588,7 @@ def hamming_pairs(fps: DataFrame, max_distance: int = 3,
         .select(
             F.col("x.id").alias("doc_a"),
             F.col("y.id").alias("doc_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias(
+            F.bit_count(F.col("x.__fp").bitwiseXOR(F.col("y.__fp"))).alias(
                 "hamming"
             ),
         )

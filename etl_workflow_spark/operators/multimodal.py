@@ -527,3 +527,180 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+# ------------------------------------------------------- perceptual hash
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def _gray_row_major(w: int, h: int, ch: int, px) -> list[int]:
+    """Integer grayscale of a row-major pixel buffer: ITU-R BT.601 luma
+    in fixed point (``(299 R + 587 G + 114 B) // 1000``) for color,
+    the sample itself for grayscale, alpha ignored — integer-only so
+    the result is bit-identical everywhere."""
+    if ch in (1, 2):
+        return [px[i * ch] for i in range(w * h)]
+    return [
+        (299 * px[i * ch] + 587 * px[i * ch + 1] + 114 * px[i * ch + 2])
+        // 1000
+        for i in range(w * h)
+    ]
+
+
+def _dhash_from_pixels(
+    w: int, h: int, ch: int, px, hash_size: int
+) -> int:
+    """dHash (difference hash, Krawetz 2013) over decoded pixels:
+    nearest-neighbor resample to ``(hash_size+1) × hash_size``,
+    integer grayscale, then bit ``y*hash_size + x`` is 1 iff the pixel
+    is BRIGHTER than its right neighbor — the published
+    gradient-direction fingerprint. Integer-only end to end (NN floor
+    mapping + fixed-point luma), so the hash replays bit-for-bit in
+    the pytest oracle. Returned as a SIGNED 64-bit value (bit 63 set
+    wraps negative) so it lands in a Spark ``long``."""
+    tw, th = hash_size + 1, hash_size
+    small = _nn_resize(w, h, ch, px, tw, th)
+    g = _gray_row_major(tw, th, ch, small)
+    fp = 0
+    for y in range(th):
+        row = y * tw
+        for x in range(hash_size):
+            if g[row + x] > g[row + x + 1]:
+                fp |= 1 << (y * hash_size + x)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def _fake_dhash(raw: bytes) -> int:
+    """The deterministic fake tier's fingerprint: the first 60 bits
+    (15 hex chars) of SHA-256(payload ‖ ':dhash64') — 60 so the
+    unsigned value always fits a signed BIGINT, and hex-prefix-castable
+    so the driver gate's DuckDB twin replays it exactly:
+    ``('0x' || substr(sha256(text || ':dhash64'), 1, 15))::BIGINT``."""
+    digest = hashlib.sha256(raw + b":dhash64").digest()
+    return int.from_bytes(digest[:8], "big") >> 4
+
+
+def dhash_media(
+    df: DataFrame,
+    hash_size: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Perceptual difference hash per image payload — the standard
+    image near-duplicate fingerprint (dHash: resampling kills size /
+    compression / small-noise differences; the gradient-direction bits
+    survive, so near-identical images land within a small Hamming
+    distance). Returns ``(id, dhash long)``.
+
+    Pixel tiers follow :func:`decode_media`: Pillow when importable
+    (grayscale + BILINEAR resample, the classic recipe); else the
+    stdlib PNG codec (:func:`_png_decode` → integer NN resample →
+    fixed-point luma — REAL pixels, deterministic bytes, the tier this
+    container exercises); else the deterministic fake
+    (:func:`_fake_dhash` — exercises the distributed plumbing and is
+    SQL-replayable for the driver gate). Tier note: Pillow and stdlib
+    hashes differ on the same payload (bilinear vs NN) — pin one codec
+    per fleet, exactly like :func:`resize_media`.
+
+    ``hash_size`` must be in 2..8 (the fingerprint packs hash_size²
+    bits into one 64-bit long; bigger hashes would need a binary
+    column and a different bander). The fake tier always emits its
+    60-bit digest regardless of hash_size (documented: fakes are
+    plumbing, not pixels).
+
+    Capability analog in the reference: the trigram GIN fuzzy index
+    (database-schema.sql:5,64) is the text analog of
+    fingerprint-then-band; extension tier."""
+    hs = int(hash_size)
+    if not (2 <= hs <= 8):
+        raise ValueError(
+            f"hash_size must be in 2..8 (got {hs}): hash_size² bits "
+            "must pack into one 64-bit long"
+        )
+
+    def _dhash_one(raw: bytes) -> int:
+        Image = _pillow()
+        if Image is not None:
+            import io
+
+            try:
+                with Image.open(io.BytesIO(raw)) as img:
+                    small = img.convert("L").resize(
+                        (hs + 1, hs), Image.Resampling.BILINEAR
+                    )
+                    g = list(small.getdata())
+                    fp = 0
+                    for y in range(hs):
+                        row = y * (hs + 1)
+                        for x in range(hs):
+                            if g[row + x] > g[row + x + 1]:
+                                fp |= 1 << (y * hs + x)
+                    return fp - (1 << 64) if fp >= (1 << 63) else fp
+            except Exception:
+                pass  # not Pillow-decodable: stdlib tier below
+        dec = _png_decode(raw)
+        if dec is not None:
+            return _dhash_from_pixels(*dec, hs)
+        if not allow_fake:
+            raise NotImplementedError(
+                "payload not hashable by any pixel tier (Pillow absent "
+                "or failed; not a stdlib-decodable PNG); pass "
+                "allow_fake=True for the deterministic stub"
+            )
+        return _fake_dhash(raw)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "dhash": pd.array(
+                        [_dhash_one(bytes(p)) for p in pdf[payload_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_distance: int = 3,
+    hash_size: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Image near-duplicate candidate pairs: :func:`dhash_media`
+    fingerprints banded through the SimHash Hamming pigeonhole
+    machinery (:func:`~etl_workflow_spark.operators.dedup
+    .hamming_pairs` — any pair within ``max_distance`` shares at least
+    one exact fingerprint segment, so the join is segment-equality,
+    never all-pairs; the payload column never enters the join).
+    Returns ``(doc_a, doc_b, hamming)``; feed into
+    :func:`~etl_workflow_spark.operators.dedup.dedup_clusters` +
+    keep-policy exactly like the text near-dup tiers. At 100 TB the
+    hash pass is one payload scan (the only stage that touches bytes);
+    everything after is 8-byte fingerprints."""
+    from .dedup import hamming_pairs
+
+    fps = dhash_media(
+        df, hash_size=hash_size, id_col=id_col,
+        payload_col=payload_col, allow_fake=allow_fake,
+    )
+    return hamming_pairs(
+        fps, max_distance=max_distance, id_col=id_col, fp_col="dhash",
+        bits=int(hash_size) ** 2,
+    )

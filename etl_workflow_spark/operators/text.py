@@ -336,6 +336,20 @@ def compression_ratio(
     NULL ratio; empty text → NULL (no bytes to measure).
 
     Capability analog in the reference: none — extension tier."""
+    return _compression_frame(df, col, int(level)).select(
+        F.col(id_col),
+        F.col("__cr_raw").alias("raw_bytes"),
+        F.col("__cr_comp").alias("compressed_bytes"),
+        F.col("__cr_e4").alias("compression_ratio_e4"),
+    )
+
+
+def _compression_frame(df: DataFrame, col: str, level: int) -> DataFrame:
+    """:func:`compression_ratio`'s metrics APPENDED to ``df`` as
+    ``__cr_``-prefixed columns, original columns intact — shared by
+    the public operator (a projection of this) and the training-set
+    recipe's page-filter tier, which gates on ``__cr_e4`` in place
+    (row-local predicate, no join back on ids)."""
     import zlib
 
     lv = int(level)
@@ -347,18 +361,62 @@ def compression_ratio(
             else len(zlib.compress(x.encode("utf-8"), lv))
         )
 
-    raw_len = F.length(F.encode(F.col(col), "UTF-8")).cast("bigint")
-    return df.select(
-        F.col(id_col),
-        raw_len.alias("raw_bytes"),
-        _clen(F.col(col)).alias("compressed_bytes"),
-    ).select(
-        id_col,
-        "raw_bytes",
-        "compressed_bytes",
-        F.expr(
-            "(compressed_bytes * 10000) DIV NULLIF(raw_bytes, 0)"
-        ).alias("compression_ratio_e4"),
+    return df.withColumns(
+        {
+            "__cr_raw": F.length(F.encode(F.col(col), "UTF-8"))
+            .cast("bigint"),
+            "__cr_comp": _clen(F.col(col)),
+        }
+    ).withColumn(
+        "__cr_e4",
+        F.expr("(__cr_comp * 10000) DIV NULLIF(__cr_raw, 0)"),
+    )
+
+
+def _lm_token_frame(
+    df: DataFrame, col: str, id_col: str | None, checkpoint: bool
+) -> DataFrame:
+    """The LM scorers' shared tokenized corpus ``(id, __t array)`` —
+    the exact extraction of :func:`vocab_counts` (lowercase) /
+    :func:`adjacent_bigram_counts`. With ``checkpoint`` (the self-fit
+    path, where the count fit(s) AND the scoring pass all consume it)
+    the frame is localCheckpointed so one call tokenizes the corpus
+    ONCE, not once per consumer (r12 verdict note; the same treatment
+    ``bm25_topk``/``expand_queries`` got) — blocks live
+    executor-side memory-and-disk and are context-cleaned with the
+    result, unlike persist()."""
+    from .partitioning import scale_partitions
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col))), r"\s+"),
+        lambda t: t != "",
+    )
+    keep = [F.col(id_col)] if id_col is not None else []
+    out = scale_partitions(df.where(F.col(col).isNotNull())).select(
+        *keep, toks.alias("__t")
+    )
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
+def _lm_ngram_explode(
+    tok_src: DataFrame, n: int, id_col: str | None = None
+) -> DataFrame:
+    """Adjacent word n-grams from the shared tokenized frame: one
+    codegen ``arrays_zip`` of the ``n`` shifted slices, exploded to
+    ``(w1..wn)`` rows (plus the id when requested — the per-document
+    scoring shape; without it, the corpus-count shape)."""
+    t = F.col("__t")
+    span = F.size(t) - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(t, i + 1, span).alias(f"w{i + 1}") for i in range(n)]
+    )
+    keep = [F.col(id_col)] if id_col else []
+    return (
+        tok_src.where(F.size(t) >= n)
+        .select(*keep, F.explode(zipped).alias("p"))
+        .select(
+            *keep, *[F.col(f"p.w{i + 1}").alias(f"w{i + 1}") for i in range(n)]
+        )
     )
 
 
@@ -378,8 +436,11 @@ def lm_score(
     convention), so scores are shuffle-proof and SQL-replayable.
 
     ``unigrams``/``bigrams`` default to one fit pass over ``df``
-    itself (:func:`vocab_counts` + :func:`adjacent_bigram_counts` —
-    the SAME extraction the tokenizer/collocation tiers use); pass
+    itself (the exact :func:`vocab_counts` +
+    :func:`adjacent_bigram_counts` extraction the tokenizer/
+    collocation tiers use, read from ONE localCheckpointed tokenized
+    frame so the self-fit call tokenizes the corpus once, not three
+    times — r13); pass
     the reference-corpus tables (or the persisted vocab/bigram stores
     via :func:`~etl_workflow_spark.streaming.incremental
     .lm_score_from_stores`) to score one corpus under ANOTHER
@@ -406,37 +467,29 @@ def lm_score(
     a ranking, this one when the threshold must mean something.
 
     Capability analog in the reference: none — extension tier."""
+    tok_src = _lm_token_frame(
+        df, col, id_col, checkpoint=unigrams is None or bigrams is None
+    )
     if unigrams is None:
-        unigrams = vocab_counts(df, col=col, lowercase=True)
+        # identical extraction to vocab_counts(lowercase=True), read
+        # from the shared tokenized frame instead of re-tokenizing
+        unigrams = (
+            tok_src.select(F.explode("__t").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
     if bigrams is None:
-        bigrams = adjacent_bigram_counts(df, col=col)
+        # identical extraction to adjacent_bigram_counts, same source
+        bigrams = (
+            _lm_ngram_explode(tok_src, 2)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n_pair"))
+        )
     v_size = unigrams.count()
     if v_size == 0:
         raise ValueError("lm_score needs a non-empty unigram table")
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(col))), r"\s+"),
-        lambda t: t != "",
-    )
     pairs = (
-        df.where(F.col(col).isNotNull())
-        .select(F.col(id_col), toks.alias("__t"))
-        .where(F.size("__t") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("__t"), 1, F.size("__t") - 1)
-                    .alias("w1"),
-                    F.slice(F.col("__t"), 2, F.size("__t") - 1)
-                    .alias("w2"),
-                )
-            ).alias("p"),
-        )
-        .select(
-            id_col,
-            F.col("p.w1").alias("w1"),
-            F.col("p.w2").alias("w2"),
-        )
+        _lm_ngram_explode(tok_src, 2, id_col=id_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("__m"))
     )
@@ -547,6 +600,255 @@ def lm_score_oracle(table: str = "documents") -> str:
     """
 
 
+def lm_score_backoff(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    unigrams: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+    trigrams: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the higher-order tier
+    above :func:`lm_score`'s bigram-Laplace model, one step toward the
+    CCNet 5-gram shape while staying fully relational. Per trigram
+    position, the published backoff chain with the paper's
+    ``alpha = 0.4``::
+
+        S(w3|w1,w2) = c(w1w2w3)/c(w1w2)          if c(w1w2w3) > 0
+                    = alpha * c(w2w3)/c(w2)       elif c(w2w3) > 0
+                    = alpha^2 * (c(w3)+1)/(N+V)   otherwise
+
+    The unigram leaf is Laplace-floored — a deliberate, documented
+    deviation from the paper (which assumes a closed vocabulary and
+    scores the leaf c(w3)/N): an OOV token must score finite for the
+    filter to rank junk pages at all. Each position's ``ln S`` is
+    e9-floored BEFORE the per-document integer sum (the module's
+    order-free cross-engine convention), so the score is shuffle-proof
+    and the DuckDB twin replays it bit-for-bit.
+
+    ``unigrams``/``bigrams``/``trigrams`` default to one fit pass over
+    ``df`` itself, all three read from ONE localCheckpointed tokenized
+    frame (tokenize once, not four times); pass reference-corpus
+    tables — or the persisted stores via
+    :func:`~etl_workflow_spark.streaming.incremental
+    .lm_score_backoff_from_stores` — to score under another corpus's
+    model with zero re-scan of the reference. Scale shape matches
+    :func:`lm_score`: document trigrams group per (id, w1, w2, w3)
+    before probing the count tables (distinct-trigram-bounded joins);
+    N and V are two scalar actions over the vocabulary table.
+
+    Returns ``(id, n_ctx int, logprob_e9_sum bigint, avg_nll_e6
+    bigint)`` — documents with fewer than three tokens report
+    ``n_ctx 0`` and NULL scores.
+
+    Capability analog in the reference: none — extension tier."""
+    a = float(alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1] (got {alpha})")
+    fit_any = unigrams is None or bigrams is None or trigrams is None
+    tok_src = _lm_token_frame(df, col, id_col, checkpoint=fit_any)
+    if unigrams is None:
+        unigrams = (
+            tok_src.select(F.explode("__t").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+    if bigrams is None:
+        bigrams = (
+            _lm_ngram_explode(tok_src, 2)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n_pair"))
+        )
+    if trigrams is None:
+        trigrams = (
+            _lm_ngram_explode(tok_src, 3)
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).alias("n_tri"))
+        )
+    tot = unigrams.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("count").alias("n")
+    ).collect()[0]
+    v_size, n_total = int(tot["v"]), int(tot["n"] or 0)
+    if v_size == 0:
+        raise ValueError("lm_score_backoff needs a non-empty unigram table")
+    tris = (
+        _lm_ngram_explode(tok_src, 3, id_col=id_col)
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    c3 = F.coalesce(F.col("__c3"), F.lit(0)).cast("double")
+    c2ctx = F.coalesce(F.col("__c2ctx"), F.lit(0)).cast("double")
+    c23 = F.coalesce(F.col("__c23"), F.lit(0)).cast("double")
+    cu2 = F.coalesce(F.col("__cu2"), F.lit(0)).cast("double")
+    cu3 = F.coalesce(F.col("__cu3"), F.lit(0)).cast("double")
+    s = (
+        F.when((c3 > 0) & (c2ctx > 0), c3 / c2ctx)
+        .when((c23 > 0) & (cu2 > 0), F.lit(a) * (c23 / cu2))
+        .otherwise(
+            F.lit(a) * F.lit(a)
+            * ((cu3 + F.lit(1.0)) / F.lit(float(n_total + v_size)))
+        )
+    )
+    scored = (
+        tris.join(
+            trigrams.select(
+                "w1", "w2", "w3", F.col("n_tri").alias("__c3")
+            ),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            bigrams.select(
+                "w1", "w2", F.col("n_pair").alias("__c2ctx")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bigrams.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("n_pair").alias("__c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            unigrams.select(
+                F.col("token").alias("w2"), F.col("count").alias("__cu2")
+            ),
+            "w2",
+            "left",
+        )
+        .join(
+            unigrams.select(
+                F.col("token").alias("w3"), F.col("count").alias("__cu3")
+            ),
+            "w3",
+            "left",
+        )
+        .withColumn("__e9", F.floor(F.log(s) * F.lit(1e9)) * F.col("__m"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").cast("int").alias("n_ctx"),
+            F.sum("__e9").alias("logprob_e9_sum"),
+        )
+    )
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_ctx"), F.lit(0)).alias("n_ctx"),
+            "logprob_e9_sum",
+            F.expr(
+                "((-logprob_e9_sum) DIV NULLIF(n_ctx, 0)) DIV 1000"
+            ).alias("avg_nll_e6"),
+        )
+    )
+
+
+def lm_score_backoff_oracle(
+    table: str = "documents", alpha: float = 0.4
+) -> str:
+    """DuckDB twin of :func:`lm_score_backoff` (self-fit form):
+    identical extraction, the identically-parenthesized backoff chain,
+    e9 floor before the integer sum."""
+    a = repr(float(alpha))
+    t = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {t} AS ts FROM {table}
+            WHERE text IS NOT NULL
+        ),
+        uni AS (
+            SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+        ),
+        vstat AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM uni
+        ),
+        big AS (
+            SELECT pr['a'] AS w1, pr['b'] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                               for i in generate_series(1, len(ts) - 1)])
+                           AS pr
+                FROM toks WHERE len(ts) >= 2
+            ) GROUP BY 1, 2
+        ),
+        tri AS (
+            SELECT pr['a'] AS w1, pr['b'] AS w2, pr['c'] AS w3,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT unnest([struct_pack(a := ts[i], b := ts[i + 1],
+                                           c := ts[i + 2])
+                               for i in generate_series(1, len(ts) - 2)])
+                           AS pr
+                FROM toks WHERE len(ts) >= 3
+            ) GROUP BY 1, 2, 3
+        ),
+        dtc AS (
+            SELECT doc_id, pr['a'] AS w1, pr['b'] AS w2, pr['c'] AS w3,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(a := ts[i], b := ts[i + 1],
+                                           c := ts[i + 2])
+                               for i in generate_series(1, len(ts) - 2)])
+                           AS pr
+                FROM toks WHERE len(ts) >= 3
+            ) GROUP BY 1, 2, 3, 4
+        ),
+        scored AS (
+            SELECT dtc.doc_id,
+                   CAST(SUM(dtc.m) AS INT) AS n_ctx,
+                   CAST(SUM(
+                       CAST(FLOOR(ln(
+                           CASE
+                             WHEN COALESCE(tri.c, 0) > 0
+                                  AND COALESCE(bctx.c, 0) > 0
+                             THEN CAST(COALESCE(tri.c, 0) AS DOUBLE)
+                                  / CAST(COALESCE(bctx.c, 0) AS DOUBLE)
+                             WHEN COALESCE(b23.c, 0) > 0
+                                  AND COALESCE(u2.c, 0) > 0
+                             THEN {a} * (
+                                  CAST(COALESCE(b23.c, 0) AS DOUBLE)
+                                  / CAST(COALESCE(u2.c, 0) AS DOUBLE))
+                             ELSE {a} * {a} * (
+                                  (CAST(COALESCE(u3.c, 0) AS DOUBLE)
+                                   + CAST(1.0 AS DOUBLE))
+                                  / CAST(vstat.n + vstat.v AS DOUBLE))
+                           END
+                       ) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)
+                       * dtc.m
+                   ) AS BIGINT) AS logprob_e9_sum
+            FROM dtc
+            LEFT JOIN tri ON tri.w1 = dtc.w1 AND tri.w2 = dtc.w2
+                          AND tri.w3 = dtc.w3
+            LEFT JOIN big bctx ON bctx.w1 = dtc.w1 AND bctx.w2 = dtc.w2
+            LEFT JOIN big b23 ON b23.w1 = dtc.w2 AND b23.w2 = dtc.w3
+            LEFT JOIN uni u2 ON u2.token = dtc.w2
+            LEFT JOIN uni u3 ON u3.token = dtc.w3
+            CROSS JOIN vstat
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_ctx, 0) AS n_ctx,
+               s.logprob_e9_sum,
+               CAST(((-s.logprob_e9_sum) // NULLIF(s.n_ctx, 0))
+                    // 1000 AS BIGINT) AS avg_nll_e6
+        FROM (SELECT DISTINCT doc_id FROM {table}) d
+        LEFT JOIN scored s USING (doc_id)
+    """
+
+
 #: The Gopher required-stopword set (Rae et al. 2021, A1.1): a page
 #: must contain at least two of these to look like running English
 #: prose rather than boilerplate or listings.
@@ -577,6 +879,26 @@ def gopher_quality_flags(
     stopwords.
 
     Capability analog in the reference: none — extension tier."""
+    return _gopher_frame(df, col).select(
+        F.col(id_col),
+        F.col("__gq_nw").cast("int").alias("n_words"),
+        F.col("__gq_mwl").alias("mean_word_len_e4"),
+        F.col("__gq_swr").alias("symbol_word_ratio_e4"),
+        F.col("__gq_blr").alias("bullet_line_ratio_e4"),
+        F.col("__gq_elr").alias("ellipsis_line_ratio_e4"),
+        F.col("__gq_awr").alias("alpha_word_ratio_e4"),
+        F.col("__gq_req").alias("n_required_stops"),
+        F.col("__gq_passes").alias("passes_gopher"),
+    )
+
+
+def _gopher_frame(df: DataFrame, col: str) -> DataFrame:
+    """:func:`gopher_quality_flags`'s counts, ratios, and verdict
+    APPENDED to ``df`` as ``__gq_``-prefixed columns, original columns
+    intact — shared by the public operator (a projection of this) and
+    the training-set recipe's page-filter tier, which gates on
+    ``__gq_passes`` in place (row-local predicate, no join back on
+    ids). Still one shuffle-free codegen projection."""
     toks = tokens(col)
     # size(NULL) is -1 in non-ANSI Spark (legacy sizeOfNull), so every
     # array-size-derived count is explicitly NULL-guarded — a -1 count
@@ -587,10 +909,6 @@ def gopher_quality_flags(
     def _guard(c):
         return F.when(nn, c).cast("bigint")
 
-    n_words = _guard(_n_tokens(col))
-    n_nospace = F.length(
-        F.regexp_replace(F.col(col), r"\s+", "")
-    ).cast("bigint")
     n_hash = F.length(
         F.regexp_replace(F.col(col), r"[^#]", "")
     ).cast("bigint")
@@ -600,16 +918,6 @@ def gopher_quality_flags(
     lines = F.filter(
         F.split(F.col(col), "\n"), lambda ln: F.trim(ln) != ""
     )
-    n_lines = _guard(F.size(lines))
-    n_bullet = _guard(
-        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike("^[-•*]")))
-    )
-    n_ell_lines = _guard(
-        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
-    )
-    n_alpha_words = _guard(
-        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
-    )
     lws = F.transform(toks, F.lower)
     n_req = sum(
         (
@@ -618,46 +926,67 @@ def gopher_quality_flags(
         ),
         F.lit(0),
     ).cast("int")
-    d = df.select(
-        F.col(id_col),
-        n_words.alias("_nw"),
-        n_nospace.alias("_ns"),
-        (n_hash + n_ellipsis).alias("_sym"),
-        n_lines.alias("_nl"),
-        n_bullet.alias("_nb"),
-        n_ell_lines.alias("_ne"),
-        n_alpha_words.alias("_naw"),
-        n_req.alias("n_required_stops"),
-    )
-    return d.select(
-        id_col,
-        F.col("_nw").cast("int").alias("n_words"),
-        F.expr("(_ns * 10000) DIV NULLIF(_nw, 0)").alias(
-            "mean_word_len_e4"
-        ),
-        F.expr("(_sym * 10000) DIV NULLIF(_nw, 0)").alias(
-            "symbol_word_ratio_e4"
-        ),
-        F.expr("(_nb * 10000) DIV NULLIF(_nl, 0)").alias(
-            "bullet_line_ratio_e4"
-        ),
-        F.expr("(_ne * 10000) DIV NULLIF(_nl, 0)").alias(
-            "ellipsis_line_ratio_e4"
-        ),
-        F.expr("(_naw * 10000) DIV NULLIF(_nw, 0)").alias(
-            "alpha_word_ratio_e4"
-        ),
-        "n_required_stops",
-        F.expr(
-            "_nw BETWEEN 50 AND 100000"
-            " AND (_ns * 10000) DIV NULLIF(_nw, 0)"
-            "     BETWEEN 30000 AND 100000"
-            " AND (_sym * 10000) DIV NULLIF(_nw, 0) <= 1000"
-            " AND (_nb * 10000) DIV NULLIF(_nl, 0) <= 9000"
-            " AND (_ne * 10000) DIV NULLIF(_nl, 0) <= 3000"
-            " AND (_naw * 10000) DIV NULLIF(_nw, 0) >= 8000"
-            " AND n_required_stops >= 2"
-        ).alias("passes_gopher"),
+    return (
+        df.withColumns(
+            {
+                "__gq_nw": _guard(_n_tokens(col)),
+                "__gq_ns": F.length(
+                    F.regexp_replace(F.col(col), r"\s+", "")
+                ).cast("bigint"),
+                "__gq_sym": n_hash + n_ellipsis,
+                "__gq_nl": _guard(F.size(lines)),
+                "__gq_nb": _guard(
+                    F.size(
+                        F.filter(
+                            lines, lambda ln: F.trim(ln).rlike("^[-•*]")
+                        )
+                    )
+                ),
+                "__gq_ne": _guard(
+                    F.size(
+                        F.filter(
+                            lines,
+                            lambda ln: F.trim(ln).rlike(r"\.\.\.$"),
+                        )
+                    )
+                ),
+                "__gq_naw": _guard(
+                    F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+                ),
+                "__gq_req": n_req,
+            }
+        )
+        .withColumns(
+            {
+                "__gq_mwl": F.expr(
+                    "(__gq_ns * 10000) DIV NULLIF(__gq_nw, 0)"
+                ),
+                "__gq_swr": F.expr(
+                    "(__gq_sym * 10000) DIV NULLIF(__gq_nw, 0)"
+                ),
+                "__gq_blr": F.expr(
+                    "(__gq_nb * 10000) DIV NULLIF(__gq_nl, 0)"
+                ),
+                "__gq_elr": F.expr(
+                    "(__gq_ne * 10000) DIV NULLIF(__gq_nl, 0)"
+                ),
+                "__gq_awr": F.expr(
+                    "(__gq_naw * 10000) DIV NULLIF(__gq_nw, 0)"
+                ),
+            }
+        )
+        .withColumn(
+            "__gq_passes",
+            F.expr(
+                "__gq_nw BETWEEN 50 AND 100000"
+                " AND __gq_mwl BETWEEN 30000 AND 100000"
+                " AND __gq_swr <= 1000"
+                " AND __gq_blr <= 9000"
+                " AND __gq_elr <= 3000"
+                " AND __gq_awr >= 8000"
+                " AND __gq_req >= 2"
+            ),
+        )
     )
 
 
@@ -743,7 +1072,22 @@ def c4_line_filter(
     cross-engine. NULL text propagates NULLs (unknown, not dropped).
 
     Capability analog in the reference: none — extension tier."""
-    mw, ml = int(min_words), int(min_lines)
+    return _c4_frame(df, col, int(min_words), int(min_lines)).select(
+        F.col(id_col),
+        F.col("__c4_nl").alias("n_lines"),
+        F.col("__c4_nk").alias("n_kept"),
+        F.col("__c4_kept_text").alias("kept_text"),
+        F.col("__c4_dropped").alias("dropped"),
+    )
+
+
+def _c4_frame(df: DataFrame, col: str, mw: int, ml: int) -> DataFrame:
+    """:func:`c4_line_filter`'s counts, rebuilt page, and verdict
+    APPENDED to ``df`` as ``__c4_``-prefixed columns, original columns
+    intact — shared by the public operator (a projection of this) and
+    the training-set recipe's page-filter tier, which gates on
+    ``__c4_dropped`` and optionally rewrites the text column to
+    ``__c4_kept_text`` in place (row-local, no join back on ids)."""
 
     def _keep(ln):
         lt = F.trim(ln)
@@ -759,28 +1103,27 @@ def c4_line_filter(
 
     lines = F.split(F.col(col), "\n")
     kept = F.filter(lines, _keep)
-    dropped = (
+    page_drop = (
         F.lower(F.col(col)).contains("lorem ipsum")
         | F.col(col).contains("{")
     )
     # size(NULL) = -1 in non-ANSI Spark: guard so NULL text reports
     # NULL counts and a NULL verdict, matching the SQL twin
     nn = F.col(col).isNotNull()
-    d = df.select(
-        F.col(id_col),
-        F.when(nn, F.size(lines)).cast("int").alias("n_lines"),
-        F.when(nn, F.size(kept)).cast("int").alias("n_kept"),
-        kept.alias("_k"),
-        dropped.alias("_d"),
-    )
-    return d.select(
-        id_col,
-        "n_lines",
-        "n_kept",
-        F.when(
-            F.col("_d") | (F.col("n_kept") < ml), F.lit(None)
-        ).otherwise(F.array_join(F.col("_k"), "\n")).alias("kept_text"),
-        (F.col("_d") | (F.col("n_kept") < ml)).alias("dropped"),
+    return df.withColumns(
+        {
+            "__c4_nl": F.when(nn, F.size(lines)).cast("int"),
+            "__c4_nk": F.when(nn, F.size(kept)).cast("int"),
+            "__c4_karr": kept,
+            "__c4_pd": page_drop,
+        }
+    ).withColumns(
+        {
+            "__c4_kept_text": F.when(
+                F.col("__c4_pd") | (F.col("__c4_nk") < ml), F.lit(None)
+            ).otherwise(F.array_join(F.col("__c4_karr"), "\n")),
+            "__c4_dropped": F.col("__c4_pd") | (F.col("__c4_nk") < ml),
+        }
     )
 
 
@@ -4450,6 +4793,22 @@ def adjacent_bigram_counts(df: DataFrame, col: str = "text") -> DataFrame:
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+
+
+def adjacent_trigram_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Corpus adjacent-trigram counts ``(w1, w2, w3, n_tri)`` — the
+    same extraction :func:`lm_score_backoff`'s self-fit runs and the
+    streaming trigram store (:func:`~etl_workflow_spark.streaming
+    .incremental.trigram_rollup_batch`) persists, so store-fed and
+    inline backoff scoring cannot drift. One tokenize pass, codegen
+    arrays_zip of the three shifted slices, one combiner-friendly
+    agg."""
+    tok_src = _lm_token_frame(df, col, None, checkpoint=False)
+    return (
+        _lm_ngram_explode(tok_src, 3)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
     )
 
 

@@ -2070,6 +2070,116 @@ def compact_bigram_store(
     )
 
 
+def trigram_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    col: str = "text",
+) -> None:
+    """Write one micro-batch's adjacent-trigram counts into the
+    trigram store, EXACTLY-ONCE (the :func:`vocab_rollup_batch`
+    contract: ``batch_id=…`` partition overwrite). Extraction is
+    :func:`~etl_workflow_spark.operators.text.adjacent_trigram_counts`
+    — the SAME extraction :func:`~etl_workflow_spark.operators.text
+    .lm_score_backoff` self-fits, so store-fed backoff scoring cannot
+    drift from inline. Together with the vocab + bigram stores this
+    gives :func:`lm_score_backoff_from_stores` the full model with
+    zero corpus re-scan per refresh."""
+    from ..operators.text import adjacent_trigram_counts
+
+    counts = adjacent_trigram_counts(batch_df, col=col).withColumn(
+        "batch_id", F.lit(int(batch_id))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_trigram_rollup(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous trigram-store maintenance (the
+    :func:`stream_bigram_rollup` twin). Returns a writeStream builder
+    (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        trigram_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_trigram_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's current merged ``(w1, w2, w3, n_tri)`` counts — one
+    combiner-friendly sum of the fragments."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("n_tri").alias("n_tri"))
+    )
+
+
+def compact_trigram_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Collapse closed batches' fragments into one row per trigram
+    under ``batch_id=-1`` (:func:`_compact_batched_store` contract)."""
+    _compact_batched_store(
+        spark, store_path, before_batch_id,
+        lambda old: old.groupBy("w1", "w2", "w3").agg(
+            F.sum("n_tri").alias("n_tri")
+        ).select("w1", "w2", "w3", "n_tri"),
+        partition_by=["batch_id"],
+    )
+
+
+def lm_score_backoff_from_stores(
+    spark: SparkSession,
+    df: DataFrame,
+    vocab_store_path: str,
+    bigram_store_path: str,
+    trigram_store_path: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score documents with stupid-backoff trigrams under a REFERENCE
+    corpus whose counts live in the persisted vocab + bigram + trigram
+    stores (the :func:`lm_score_from_stores` twin one order up — the
+    step toward CCNet's 5-gram shape with zero re-scan of the
+    reference). Count semantics are the stores' own (the same
+    extractions the inline self-fit runs), so store-fed equals inline
+    byte-for-byte when the stores hold the same corpus
+    (pytest-enforced). Refuses a non-lowercase vocab store — the
+    scorer lowercases, so mixed normalization would silently score
+    every token as OOV."""
+    from ..operators.text import lm_score_backoff
+
+    raw = _read_vocab_store_raw(spark, vocab_store_path)
+    if not _vocab_store_flag(raw):
+        raise ValueError(
+            "lm_score_backoff_from_stores needs a lowercase vocab "
+            "store (the scorer lowercases; a case-sensitive store "
+            "would score every token as out-of-vocabulary)"
+        )
+    return lm_score_backoff(
+        df, col=col, id_col=id_col,
+        unigrams=read_vocab_store(spark, vocab_store_path),
+        bigrams=read_bigram_store(spark, bigram_store_path),
+        trigrams=read_trigram_store(spark, trigram_store_path),
+        alpha=alpha,
+    )
+
+
 def collocations_from_stores(
     spark: SparkSession,
     bigram_store_path: str,

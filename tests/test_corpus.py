@@ -1500,3 +1500,397 @@ def test_diff_training_sets(spark, tmp_path, base_docs, holdout):
     )
     with pytest.raises(ValueError, match="different units"):
         C.diff_training_sets(spark, out_a, out_c)
+
+
+# ------------------------------------------ published page filters (r13)
+
+_PF_WORDS = (
+    "meadow", "harbor", "signal", "lantern", "granite", "willow",
+    "copper", "thicket", "breeze", "saddle", "timber", "anchor",
+)
+
+_PF_JUNK_LINE = "this junk line has no terminal punctuation at all"
+
+
+def _pf_line(i, j):
+    w = _PF_WORDS
+    a = w[(i + j) % 12]
+    b = w[(i + 2 * j + 3) % 12]
+    c = w[(i * 5 + j * 7 + 1) % 12]
+    return (
+        f"the {a} and the {b} have kept p{i}x{j} beside {c} "
+        "to fill one more line of page text."
+    )
+
+
+def _pf_good_page(i):
+    """Passes every tier; carries one junk line the c4 rewrite strips."""
+    return "\n".join([_pf_line(i, j) for j in range(6)] + [_PF_JUNK_LINE])
+
+
+def _pf_short_page(i):
+    """Gopher-fail (32 words < 50) but c4-pass (4 lines of 8 words)."""
+    w = _PF_WORDS
+    return "\n".join(
+        f"the {w[(i + j) % 12]} and {w[(i + j + 5) % 12]} have kept "
+        f"w{j} steady."
+        for j in range(4)
+    )
+
+
+def _pf_brace_page(i):
+    """C4 page-drop: a brace line on an otherwise good page."""
+    return _pf_good_page(i) + "\ncode { sample }"
+
+
+def _pf_spam_page(word):
+    """Compression-fail: 120 identical lines deflate to almost nothing."""
+    return "\n".join(
+        [f"the {word} and the {word} have kept {word} steady again."] * 120
+    )
+
+
+def _pf_gibberish_page(i):
+    """LM-fail: stopword scaffolding around out-of-vocabulary tokens."""
+    return "\n".join(
+        f"the zyx{i}v{j}q and gru{i}b{j}x have nil{i}k{j}w kept "
+        f"voz{i}m{j}r beside qof{i}t{j}d to end."
+        for j in range(6)
+    )
+
+
+def _pf_reference_frames(spark):
+    """The lm filter's reference corpus counts: the good-page template
+    over ids 900-919, so good pages' bigrams are in-model and
+    gibberish is OOV."""
+    from etl_workflow_spark.operators import text as T
+
+    ref = _docs(
+        spark,
+        [(i, "\n".join(_pf_line(i, j) for j in range(6)), "web")
+         for i in range(900, 920)],
+    )
+    return (
+        ref,
+        T.vocab_counts(ref, lowercase=True),
+        T.adjacent_bigram_counts(ref),
+    )
+
+
+def _pf_thresholds(spark, pages, uni, big):
+    """Derive the lm/compression bounds from the REWRITTEN pages (the
+    recipe scores after the c4 rewrite) and assert the separation the
+    fixtures are built for, so a template drift fails here loudly."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.operators import text as T
+
+    rewritten = T.c4_line_filter(pages).where("NOT dropped").select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    nll = {
+        r["doc_id"]: r["avg_nll_e6"]
+        for r in T.lm_score(
+            rewritten, unigrams=uni, bigrams=big
+        ).collect()
+    }
+    ratio = {
+        r["doc_id"]: r["compression_ratio_e4"]
+        for r in T.compression_ratio(rewritten).collect()
+    }
+    good = [d for d in nll if d not in (13, 14, 34, 35)]
+    lm_thr = int((max(nll[d] for d in good) + min(
+        nll[d] for d in nll if d in (14, 35)
+    )) // 2)
+    assert all(nll[d] <= lm_thr for d in good)
+    assert all(nll[d] > lm_thr for d in nll if d in (14, 35))
+    spam = [d for d in ratio if d in (13, 34)]
+    if not spam:
+        return lm_thr, None
+    comp_thr = int((max(ratio[d] for d in spam)
+                    + min(ratio[d] for d in good)) // 2)
+    assert all(ratio[d] >= comp_thr for d in good)
+    assert all(ratio[d] < comp_thr for d in spam)
+    return lm_thr, comp_thr
+
+
+def test_page_filters_in_recipe_and_extension(spark, tmp_path):
+    """r13: the published page filters (c4 rewrite, gopher,
+    compression bounds, lm threshold under a frozen reference model)
+    run as recorded, drop-accounted recipe tiers; extension gates the
+    new batch under the RECORDED config + snapshot; extended set ==
+    fresh union rebuild; the c4 rewrite reaches the written text."""
+    import zlib
+
+    build_rows = [
+        (1, _pf_good_page(1), "web"),
+        (2, _pf_good_page(2), "web"),
+        (3, _pf_good_page(3), "web"),
+        (4, _pf_good_page(4), "web"),
+        (11, _pf_short_page(11), "web"),        # gopher-fail
+        (12, _pf_brace_page(12), "web"),        # c4-fail
+        (13, _pf_spam_page("spam"), "web"),     # compression-fail
+        (14, _pf_gibberish_page(14), "web"),    # lm-fail
+    ]
+    batch_rows = [
+        (30, _pf_good_page(30), "web"),
+        (31, _pf_good_page(31), "web"),
+        (32, _pf_brace_page(32), "web"),        # c4-fail
+        (33, _pf_short_page(33), "web"),        # gopher-fail
+        (34, _pf_spam_page("eggs"), "web"),     # compression-fail
+        (35, _pf_gibberish_page(35), "web"),    # lm-fail
+    ]
+    docs = _docs(spark, build_rows)
+    batch = _docs(spark, batch_rows)
+    _, uni, big = _pf_reference_frames(spark)
+    lm_thr, comp_thr = _pf_thresholds(
+        spark, docs.unionByName(batch), uni, big
+    )
+    pf = {
+        "c4": True,
+        "gopher": True,
+        "compression": {"min_ratio_e4": comp_thr},
+        "lm": {"max_avg_nll_e6": lm_thr, "unigrams": uni, "bigrams": big},
+    }
+
+    out = str(tmp_path / "pf")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True, page_filters=pf
+    )
+    cfg = m["config"]["page_filters"]
+    assert cfg["c4"] == {"min_words": 5, "min_lines": 3, "rewrite": True}
+    assert cfg["gopher"] is True
+    assert cfg["compression"]["min_ratio_e4"] == comp_thr
+    assert cfg["compression"]["zlib_version"] == zlib.ZLIB_RUNTIME_VERSION
+    assert cfg["lm"] == {"max_avg_nll_e6": lm_thr, "model_dir": "lm_model"}
+    assert json.loads(json.dumps(m)) == m
+    # drop accounting: one page per tier
+    sr = m["stage_rows"]
+    assert sr["input"] == 8 and sr["quality"] == 8
+    assert sr["c4"] == 7 and sr["gopher"] == 6
+    assert sr["compression"] == 5 and sr["lm_filter"] == 4
+    assert m["rows"] == 4
+    data, _ = C.read_training_set(spark, out)
+    rows = data.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3, 4}
+    # the c4 rewrite reached the WRITTEN corpus
+    assert all(_PF_JUNK_LINE not in r["text"] for r in rows)
+    assert all(r["text"] == "\n".join(
+        _pf_line(r["doc_id"], j) for j in range(6)
+    ) for r in rows)
+    # the frozen model snapshot exists inside the set
+    assert spark.read.parquet(f"{out}/lm_model/unigrams").count() > 0
+
+    # extension: each tier drops its page under the recorded config
+    m2 = C.extend_training_set(spark, batch, out, audit=True)
+    sr2 = m2["stage_rows"]
+    assert sr2["c4"] == 5 and sr2["gopher"] == 4
+    assert sr2["compression"] == 3 and sr2["lm_filter"] == 2
+    data2, _ = C.read_training_set(spark, out, ordered=True)
+    assert {r["doc_id"] for r in data2.collect()} == {1, 2, 3, 4, 30, 31}
+
+    # fresh union rebuild under the SAME config == extension
+    out_b = str(tmp_path / "pf_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        page_filters=pf,
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in data2.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+    # the data card surfaces the recorded filters
+    report = C.training_set_report(spark, out, markdown=True)
+    assert "page_filters" in report and "lm_filter" in report
+
+
+def test_page_filters_store_mode_snapshot_and_guards(
+    spark, tmp_path, monkeypatch
+):
+    """r13: store-mode lm filters snapshot the stores' CURRENT merged
+    counts at build — later store ingest does not drift the recorded
+    gate; extensions refuse a different zlib build when compression
+    bounds are recorded; config validation refuses ambiguous shapes."""
+    import zlib
+
+    from etl_workflow_spark.streaming import incremental as inc
+
+    docs = _docs(spark, [
+        (1, _pf_good_page(1), "web"),
+        (2, _pf_good_page(2), "web"),
+        (14, _pf_gibberish_page(14), "web"),
+    ])
+    ref, uni, big = _pf_reference_frames(spark)
+    lm_thr, _ = _pf_thresholds(
+        spark,
+        docs.unionByName(_docs(spark, [(35, _pf_gibberish_page(35),
+                                        "web")])),
+        uni, big,
+    )
+    vstore = str(tmp_path / "vstore")
+    bstore = str(tmp_path / "bstore")
+    inc.vocab_rollup_batch(ref, vstore, 0)
+    inc.bigram_rollup_batch(ref, bstore, 0)
+
+    out = str(tmp_path / "pf_store")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2,
+        page_filters={"lm": {"max_avg_nll_e6": lm_thr,
+                             "vocab_store": vstore,
+                             "bigram_store": bstore}},
+    )
+    assert m["config"]["page_filters"]["lm"]["model_dir"] == "lm_model"
+    data, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in data.collect()} == {1, 2}
+
+    # poison the source store AFTER the build: the gibberish corpus
+    # ingests, which would legitimize id-35 pairs — but the recipe
+    # scores under the FROZEN snapshot, so the extension still drops it
+    inc.vocab_rollup_batch(
+        _docs(spark, [(i, _pf_gibberish_page(35), "web")
+                      for i in range(700, 720)]), vstore, 1,
+    )
+    inc.bigram_rollup_batch(
+        _docs(spark, [(i, _pf_gibberish_page(35), "web")
+                      for i in range(700, 720)]), bstore, 1,
+    )
+    C.extend_training_set(
+        spark,
+        _docs(spark, [(30, _pf_good_page(30), "web"),
+                      (35, _pf_gibberish_page(35), "web")]),
+        out,
+    )
+    data2, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in data2.collect()} == {1, 2, 30}
+
+    # zlib build mismatch on a compression-configured set: refused
+    out2 = str(tmp_path / "pf_zlib")
+    C.materialize_training_set(
+        spark, docs.where("doc_id < 10"), out2, num_shards=2,
+        page_filters={"compression": {"min_ratio_e4": 100}},
+    )
+    monkeypatch.setattr(zlib, "ZLIB_RUNTIME_VERSION", "0.0-test")
+    with pytest.raises(ValueError, match="zlib"):
+        C.extend_training_set(
+            spark, _docs(spark, [(40, _pf_good_page(40), "web")]), out2
+        )
+    monkeypatch.undo()
+
+    # config validation
+    bad = [
+        ({"nope": True}, "unknown page_filters keys"),
+        ({"gopher": {"n_words": 1}}, "takes no parameters"),
+        ({"c4": {"min_words": 0}}, "must be positive"),
+        ({"compression": {"level": 6}}, "gates nothing"),
+        ({"compression": {}}, "selects no filter"),
+        ({"compression": {"min_ratio_e4": 9, "max_ratio_e4": 1}},
+         "bounds cross"),
+        ({"lm": {"max_avg_nll_e6": lm_thr}}, "exactly ONE"),
+        ({"lm": {"max_avg_nll_e6": lm_thr, "unigrams": uni,
+                 "bigrams": big, "vocab_store": vstore,
+                 "bigram_store": bstore}}, "exactly ONE"),
+        ({"lm": {"max_avg_nll_e6": 0, "unigrams": uni, "bigrams": big}},
+         "positive"),
+        ({}, "selects no filter"),
+    ]
+    for pf_bad, msg in bad:
+        with pytest.raises(ValueError, match=msg):
+            C.materialize_training_set(
+                spark, docs, str(tmp_path / "never"), page_filters=pf_bad
+            )
+
+
+def test_page_filters_compose_with_mixture_pool(spark, tmp_path):
+    """r13: page filters compose with the globally-selected (mixture)
+    path — the batch gates through the pooled extension's recipe
+    prefix, and the re-derived kept set equals a fresh union build."""
+    rows = [(i, _pf_good_page(i), "web" if i % 2 else "code")
+            for i in range(1, 9)]
+    docs = _docs(spark, rows)
+    out = str(tmp_path / "pf_mix")
+    C.materialize_training_set(
+        spark, docs, out, num_shards=2,
+        page_filters={"c4": True, "gopher": True},
+        mixture={"web": 0.5, "code": 0.5}, strata_col="source",
+    )
+    batch = _docs(spark, [
+        (30, _pf_good_page(30), "web"),
+        (31, _pf_short_page(31), "code"),       # gopher-fail
+    ])
+    C.extend_training_set(spark, batch, out)
+    da, _ = C.read_training_set(spark, out, ordered=True)
+    got = {r["doc_id"] for r in da.collect()}
+    # 31 fails gopher under the recorded recipe; whether 30 survives
+    # is the mixture's call — equality with the fresh build (below)
+    # pins that decision either way
+    assert 31 not in got
+    out_b = str(tmp_path / "pf_mix_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        page_filters={"c4": True, "gopher": True},
+        mixture={"web": 0.5, "code": 0.5}, strata_col="source",
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+
+def test_temperature_tier_in_recipe_and_extension(spark, tmp_path):
+    """r13: α-tempered stratum rebalancing (XLM-R/mT5) as a recorded
+    recipe stage — mutually exclusive with explicit mixture targets;
+    the alpha and solved rates land in the manifest; extensions
+    re-solve the tempered shares from the grown pool and equal a
+    fresh union rebuild; config validation refuses ambiguous shapes."""
+    docs = _dsir_recipe_docs(spark, 1, 16, _DSIR_PROSE_W, "web") \
+        .unionByName(_dsir_recipe_docs(spark, 21, 4, _DSIR_CODE_W, "code"))
+    out = str(tmp_path / "temp")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True,
+        temperature=0.5, strata_col="source",
+    )
+    assert m["config"]["temperature"] == 0.5
+    rates = m["config"]["solved_mixture_rates"]
+    assert set(rates) == {"web", "code"}
+    # 16/4 skew at alpha=0.5 -> code is the binding stratum (kept
+    # whole), web downsamples toward the flattened share
+    assert rates["code"] >= 0.999 and 0.0 < rates["web"] < 1.0
+    assert json.loads(json.dumps(m)) == m
+    data, _ = C.read_training_set(spark, out)
+    rows = data.collect()
+    assert {r.doc_id for r in rows if r.source == "code"} == {
+        21, 22, 23, 24
+    }
+    assert 0 < sum(1 for r in rows if r.source == "web") < 16
+
+    # extension: code batch grows the small stratum, the rates
+    # re-solve from the pool, and the kept set equals a fresh rebuild
+    batch = _dsir_recipe_docs(spark, 41, 6, _DSIR_CODE_W, "code")
+    m2 = C.extend_training_set(spark, batch, out)
+    assert m2["config"]["temperature"] == 0.5
+    da, _ = C.read_training_set(spark, out, ordered=True)
+    out_b = str(tmp_path / "temp_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        temperature=0.5, strata_col="source",
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+    # validation
+    with pytest.raises(ValueError, match="pass one"):
+        C.materialize_training_set(
+            spark, docs, str(tmp_path / "never"),
+            mixture={"web": 1.0}, temperature=0.5, strata_col="source",
+        )
+    with pytest.raises(ValueError, match="strata_col"):
+        C.materialize_training_set(
+            spark, docs, str(tmp_path / "never"), temperature=0.5
+        )
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        C.materialize_training_set(
+            spark, docs, str(tmp_path / "never"),
+            temperature=1.5, strata_col="source",
+        )

@@ -303,3 +303,27 @@ def test_r12_sampling_and_sketch_ops_on_empty(spark, empty_docs):
             value_histogram_sketch(vals, "v"),
             value_histogram_sketch(vals, "v"),
         )
+
+
+def test_r13_image_neardup_on_empty_payloads(spark):
+    from etl_workflow_spark.operators import multimodal as M
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert M.dhash_media(empty).count() == 0
+    assert M.image_neardup_pairs(empty).count() == 0
+
+
+def test_r13_backoff_lm_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import text as T
+
+    uni = spark.createDataFrame([("a", 1)], "token string, count long")
+    big = spark.createDataFrame(
+        [("a", "a", 1)], "w1 string, w2 string, n_pair long"
+    )
+    tri = spark.createDataFrame(
+        [], "w1 string, w2 string, w3 string, n_tri long"
+    )
+    assert T.adjacent_trigram_counts(empty_docs).count() == 0
+    assert T.lm_score_backoff(
+        empty_docs, unigrams=uni, bigrams=big, trigrams=tri
+    ).count() == 0

@@ -324,6 +324,92 @@ def test_stdlib_png_codec_round_trips_every_filter():
     assert M._png_decode(png_with_filter(w, h, 3, 2, rgb, 0)[:20]) is None
 
 
+def test_dhash_media_exact_replay_and_tiers(spark):
+    """r13: perceptual dHash — exact per-row replay of the documented
+    convention (bit y*8+x set iff the pixel outshines its right
+    neighbor on the (9×8)-resampled grayscale) on a 9×8 gray-as-RGB
+    image where EVERY tier's resample is the identity and luma is
+    exact; the fake tier replays its SQL-castable 60-bit digest; no
+    tier raises loudly."""
+    import hashlib as hl
+
+    w, h = 9, 8
+    vals = [[(13 * (x * x + 7 * y)) % 256 for x in range(w)]
+            for y in range(h)]
+    px = bytes(
+        b for y in range(h) for x in range(w)
+        for b in (vals[y][x],) * 3
+    )
+    png = M._png_encode(w, h, 3, px)
+    expected = 0
+    for y in range(8):
+        for x in range(8):
+            if vals[y][x] > vals[y][x + 1]:
+                expected |= 1 << (y * 8 + x)
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    got = M.dhash_media(df, allow_fake=False).collect()[0]
+    assert got["dhash"] == expected
+    # fake tier: the 60-bit sha digest prefix, exactly as the driver
+    # gate's DuckDB twin recomputes it
+    junk = b"not an image at all"
+    jdf = spark.createDataFrame(
+        [(2, bytearray(junk))], "doc_id long, payload binary"
+    )
+    fake = M.dhash_media(jdf).collect()[0]["dhash"]
+    want = int.from_bytes(
+        hl.sha256(junk + b":dhash64").digest()[:8], "big"
+    ) >> 4
+    assert fake == want == M._fake_dhash(junk)
+    with pytest.raises(Exception, match="not hashable"):
+        M.dhash_media(jdf, allow_fake=False).collect()
+    with pytest.raises(ValueError, match="hash_size"):
+        M.dhash_media(df, hash_size=9)
+
+
+def test_image_neardup_pairs_planted_recall(spark):
+    """r13: a one-pixel perturbation of a high-contrast image lands
+    within Hamming distance of its source (planted near-dup recall
+    through the pigeonhole bander); the inverted image — every
+    gradient flipped — does not pair with either."""
+
+    def block_png(invert: bool, poke: bool) -> bytes:
+        w, h = 36, 32
+        buf = bytearray()
+        for py in range(h):
+            for pxx in range(w):
+                v = 200 if ((pxx // 4 + py // 4) % 2) else 40
+                if invert:
+                    v = 240 - v
+                buf += bytes((v, v, v))
+        if poke:  # one off-grid pixel, far below the 160 contrast
+            i = (1 * 36 + 1) * 3
+            buf[i:i + 3] = bytes((buf[i] + 1,) * 3)
+        return M._png_encode(w, h, 3, bytes(buf))
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(block_png(False, False))),
+            (2, bytearray(block_png(False, True))),
+            (3, bytearray(block_png(True, False))),
+        ],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.image_neardup_pairs(df, max_distance=3).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] <= 3
+    # the fingerprints really differ between original and inverse
+    fps = {r["doc_id"]: r["dhash"]
+           for r in M.dhash_media(df, allow_fake=False).collect()}
+    assert bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1") > 3
+
+
 def test_extract_media_meta_plumbing(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="x")])
     out = {r["doc_id"]: r for r in
@@ -1913,4 +1999,77 @@ def test_lm_score_bigram_model(spark):
             docs,
             unigrams=uni.where("token = 'nope'"),
             bigrams=big,
+        ).collect()
+
+
+def test_lm_score_backoff_trigram_model(spark):
+    """lm_score_backoff (r13): hand-computed stupid-backoff chain —
+    trigram MLE when seen, alpha-discounted bigram when only the
+    (w2,w3) bigram is seen, alpha²-discounted Laplace unigram leaf
+    otherwise — with the module's fixed-point accounting (floor
+    BEFORE the sum, multiplicity AFTER the floor) and degenerate
+    docs."""
+    import math
+
+    from etl_workflow_spark.operators.text import lm_score_backoff
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),
+            (2, "a b d"),
+            (3, "x y"),         # two tokens: no trigram context
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score_backoff(docs).collect()}
+    # corpus trigrams: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1;
+    # bigrams: (a,b)=3 (b,c)=2 (c,a)=1 (b,d)=1 (x,y)=1 — every doc-1
+    # and doc-2 trigram is seen, so all score at the trigram tier
+    def e9(x):
+        return math.floor(math.log(x) * 1e9)
+
+    want1 = e9(2 / 3) * 2 + e9(1 / 2) * 1 + e9(1 / 1) * 1
+    assert out[1]["n_ctx"] == 4
+    assert out[1]["logprob_e9_sum"] == want1
+    assert out[1]["avg_nll_e6"] == ((-want1) // 4) // 1000
+    assert (out[2]["n_ctx"], out[2]["logprob_e9_sum"]) == (1, e9(1 / 3))
+    for d in (3, 4, 5):
+        assert out[d]["n_ctx"] == 0
+        assert out[d]["logprob_e9_sum"] is None
+        assert out[d]["avg_nll_e6"] is None
+    # foreign model exercising the two backoff branches: trigram table
+    # empty, bigram knows (x,y), unigrams know x,y only (N=15, V=2)
+    uni = spark.createDataFrame(
+        [("x", 10), ("y", 5)], "token string, count long"
+    )
+    big = spark.createDataFrame(
+        [("x", "y", 4)], "w1 string, w2 string, n_pair long"
+    )
+    tri = spark.createDataFrame(
+        [], "w1 string, w2 string, w3 string, n_tri long"
+    )
+    bo = {r["doc_id"]: r for r in lm_score_backoff(
+        spark.createDataFrame(
+            [(9, "x y z"), (10, "q x y")], "doc_id long, text string"
+        ),
+        unigrams=uni, bigrams=big, trigrams=tri,
+    ).collect()}
+    # (x,y,z): (y,z) unseen -> leaf: 0.4*0.4*((0+1)/(15+2))
+    assert bo[9]["logprob_e9_sum"] == math.floor(
+        math.log(0.4 * 0.4 * (1.0 / 17.0)) * 1e9
+    )
+    # (q,x,y): (x,y)=4 seen, c(x)=10 -> alpha tier: 0.4*(4/10)
+    assert bo[10]["logprob_e9_sum"] == math.floor(
+        math.log(0.4 * (4.0 / 10.0)) * 1e9
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        lm_score_backoff(docs, alpha=0.0)
+    with pytest.raises(ValueError, match="non-empty unigram"):
+        lm_score_backoff(
+            docs, unigrams=uni.where("token = 'nope'"),
+            bigrams=big, trigrams=tri,
         ).collect()

@@ -1733,3 +1733,53 @@ def test_lm_score_from_stores_matches_inline(spark, sf_dir, tmp_path):
     inc.vocab_rollup_batch(docs.limit(50), vbad, 0, lowercase=False)
     with pytest.raises(ValueError, match="lowercase vocab store"):
         inc.lm_score_from_stores(spark, docs, vbad, bstore)
+
+
+def test_lm_score_backoff_from_stores_matches_inline(
+    spark, sf_dir, tmp_path
+):
+    """Store-fed stupid-backoff scoring (r13): scoring under the
+    persisted vocab + bigram + trigram stores of the SAME corpus
+    equals the self-fit inline lm_score_backoff byte-for-byte;
+    trigram-store compaction preserves the merged counts; a
+    case-sensitive vocab store is refused."""
+    import pytest
+
+    from etl_workflow_spark.operators.text import (
+        adjacent_trigram_counts,
+        lm_score_backoff,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vstore = str(tmp_path / "vstore")
+    bstore = str(tmp_path / "bstore")
+    tstore = str(tmp_path / "tstore")
+    for lo, hi, b in ((0, 250, 0), (250, 10**9, 1)):
+        part = docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
+        inc.vocab_rollup_batch(part, vstore, b)
+        inc.bigram_rollup_batch(part, bstore, b)
+        inc.trigram_rollup_batch(part, tstore, b)
+    got = {tuple(r) for r in inc.lm_score_backoff_from_stores(
+        spark, docs, vstore, bstore, tstore).collect()}
+    want = {tuple(r) for r in lm_score_backoff(docs).collect()}
+    assert got == want
+    # compaction: merged counts unchanged, fragments collapse
+    before = {tuple(r)
+              for r in inc.read_trigram_store(spark, tstore).collect()}
+    inc.compact_trigram_store(spark, tstore, before_batch_id=2)
+    after = {tuple(r)
+             for r in inc.read_trigram_store(spark, tstore).collect()}
+    assert after == before
+    assert {r["batch_id"] for r in spark.read.parquet(tstore)
+            .select("batch_id").distinct().collect()} == {-1}
+    # the store holds exactly the inline extraction
+    assert before == {
+        tuple(r) for r in adjacent_trigram_counts(docs).collect()
+    }
+    # case-sensitive store refused
+    vbad = str(tmp_path / "vbad")
+    inc.vocab_rollup_batch(docs.limit(50), vbad, 0, lowercase=False)
+    with pytest.raises(ValueError, match="lowercase vocab"):
+        inc.lm_score_backoff_from_stores(spark, docs, vbad, bstore, tstore)

@@ -820,11 +820,91 @@ def retrieval_cost(sf_dir: str, ks: list[int]) -> None:
     spark.stop()
 
 
+def index_probe_bytes(sf_dir: str, ks: list[int]) -> None:
+    """Text-index store prunability (r13): the quantitative version of
+    the pytest layout claim (tests/test_streaming.py, term-clustered
+    fragments). Writes the term-clustered postings store over a K×
+    corpus, then — from parquet FOOTERS alone, the same min/max stats
+    the scan planner prunes on — measures how many bytes a
+    single-term probe must touch for (a) the rarest and (b) the
+    hottest term, against the store total. The rare-term fraction is
+    the claim that must stay small as K grows: a term-random layout
+    would probe ~100% regardless of term frequency. AQE partition
+    coalescing is disabled exactly like the pytest, so test-scale
+    fragments reproduce the many-disjoint-files layout production
+    sizes force anyway."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.session import get_spark
+    from etl_workflow_spark.streaming import incremental as inc
+
+    spark = get_spark("index-bytes")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    docs0 = table(spark, sf_dir, "documents")
+    d_off = (docs0.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    for k in ks:
+        docs = replicate(docs0, k, ["doc_id"], d_off)
+        store = tempfile.mkdtemp(prefix="idxbytes_")
+        try:
+            t0 = time.time()
+            inc.text_index_batch(docs, store, 0)
+            build_sec = round(time.time() - t0, 2)
+            post = spark.read.parquet(store)
+            idc = "id" if "id" in post.columns else "doc_id"
+            df_by_term = post.groupBy("term").agg(
+                F.countDistinct(idc).alias("df")
+            )
+            hot = df_by_term.orderBy(
+                F.col("df").desc(), F.col("term").asc()
+            ).first()
+            rare = df_by_term.orderBy(
+                F.col("df").asc(), F.col("term").asc()
+            ).first()
+            rgs = []
+            for f in sorted(glob.glob(f"{store}/batch_id=*/*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                ti = md.schema.names.index("term")
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    st = rg.column(ti).statistics
+                    rgs.append((f, rg.total_byte_size, st.min, st.max))
+            total = sum(b for _, b, _, _ in rgs)
+            for kind, row in (("rare", rare), ("hot", hot)):
+                term = row["term"]
+                hit = [(f, b) for f, b, lo, hi in rgs if lo <= term <= hi]
+                probed = sum(b for _, b in hit)
+                print(json.dumps({
+                    "op": "index_probe_bytes", "k": k,
+                    "term_kind": kind, "df": int(row["df"]),
+                    "probed_bytes": int(probed),
+                    "store_bytes": int(total),
+                    "probed_fraction": round(probed / total, 4),
+                    "row_groups_hit": len(hit),
+                    "row_groups_total": len(rgs),
+                    "files_hit": len({f for f, _ in hit}),
+                    "files_total": len({f for f, *_ in rgs}),
+                    "build_sec": build_sec,
+                }), flush=True)
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--ann-recall", "--txn-sink", "--span-skew",
                          "--corpus", "--extend", "--semdedup-skew",
-                         "--pq-store", "--retrieval")]
+                         "--pq-store", "--retrieval", "--index-bytes")]
+    if "--index-bytes" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        index_probe_bytes(sf, [int(a) for a in args[1:]] or [1, 4])
+        return
     if "--retrieval" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         retrieval_cost(sf, [int(a) for a in args[1:]] or [1, 4, 16])
