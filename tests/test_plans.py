@@ -636,3 +636,45 @@ def test_lm_score_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plans.count_python_evals(df) == 0
+
+
+def test_lm_score_backoff_plan_shape(spark, sf_dir):
+    """r13 backoff LM: document trigrams GROUP (distinct-trigram-
+    bounded) before probing the three count tables — never a nested
+    loop or cartesian — and scoring stays JVM-side."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import lm_score_backoff
+
+    docs = table(spark, sf_dir, "documents")
+    df = lm_score_backoff(docs)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.count_python_evals(df) == 0
+
+
+def test_image_neardup_plan_shape(spark, sf_dir):
+    """r13 image near-dup: the payload column enters exactly ONE Arrow
+    pass (the dHash mapInPandas) and never the pairing join — after
+    the hash, everything is 8-byte fingerprints; the banded self-join
+    is equi-join only (pigeonhole segments), no nested loop."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import multimodal as M
+
+    docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
+    pairs = M.image_neardup_pairs(docs, max_distance=3)
+    plan = plans.physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one payload-consuming Python stage, Arrow-batched (mapInPandas
+    # compiles to one python eval per join branch of the self-join —
+    # both branches reuse the SAME single-scan subplan shape; what
+    # matters is no per-row BatchEvalPython anywhere)
+    assert "BatchEvalPython" not in plan
+    # the join keys are the pigeonhole segments, not payloads: the
+    # plan prints top-down, so every operator ABOVE the hash pass
+    # (exchange, join, filters) appears before the first MapInPandas —
+    # none of them may carry the payload column
+    assert "segval" in plan and "MapInPandas" in plan
+    above = plan.split("MapInPandas", 1)[0]
+    assert "payload" not in above
