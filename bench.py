@@ -205,6 +205,12 @@ def main() -> None:
         # round-12: CCNet-style bigram-LM perplexity (self-fit: two
         # count passes + distinct-pair-bounded joins)
         "lm_score",
+        # round-13: stupid-backoff trigram tier (three count fits off
+        # one checkpointed token frame + distinct-trigram joins)
+        "lm_backoff",
+        # round-13: perceptual-hash near-dup (one payload Arrow pass +
+        # pigeonhole-banded fingerprint self-join; fake hash tier here)
+        "image_neardup",
     ]
 
     # Operator-tier callables for headline names whose gate entries were

@@ -682,6 +682,7 @@ def image_neardup_pairs(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     allow_fake: bool = True,
+    method: str = "dhash",
 ) -> DataFrame:
     """Image near-duplicate candidate pairs: :func:`dhash_media`
     fingerprints banded through the SimHash Hamming pigeonhole
@@ -693,14 +694,211 @@ def image_neardup_pairs(
     :func:`~etl_workflow_spark.operators.dedup.dedup_clusters` +
     keep-policy exactly like the text near-dup tiers. At 100 TB the
     hash pass is one payload scan (the only stage that touches bytes);
-    everything after is 8-byte fingerprints."""
+    everything after is 8-byte fingerprints. ``method`` picks the
+    fingerprint: ``"dhash"`` (gradient hash — crops/recompression) or
+    ``"phash"`` (DCT hash — brightness/contrast/blur edits)."""
     from .dedup import hamming_pairs
 
-    fps = dhash_media(
-        df, hash_size=hash_size, id_col=id_col,
-        payload_col=payload_col, allow_fake=allow_fake,
-    )
+    if method == "dhash":
+        fps = dhash_media(
+            df, hash_size=hash_size, id_col=id_col,
+            payload_col=payload_col, allow_fake=allow_fake,
+        )
+    elif method == "phash":
+        fps = phash_media(
+            df, hash_size=hash_size, id_col=id_col,
+            payload_col=payload_col, allow_fake=allow_fake,
+        )
+    else:
+        raise ValueError(
+            f"unknown method {method!r}: expected 'dhash' or 'phash'"
+        )
     return hamming_pairs(
-        fps, max_distance=max_distance, id_col=id_col, fp_col="dhash",
+        fps, max_distance=max_distance, id_col=id_col, fp_col=method,
         bits=int(hash_size) ** 2,
+    )
+
+
+def dedup_images(
+    df: DataFrame,
+    max_distance: int = 3,
+    hash_size: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    quality_col: str | None = None,
+    allow_fake: bool = True,
+    method: str = "dhash",
+) -> DataFrame:
+    """Keep one image per perceptual near-duplicate cluster — the
+    end-to-end image twin of :func:`~etl_workflow_spark.operators
+    .dedup.dedup_corpus`'s near-dup tier: :func:`image_neardup_pairs`
+    (one payload scan → 8-byte fingerprints → pigeonhole-banded
+    pairing) → :func:`~etl_workflow_spark.operators.dedup
+    .dedup_clusters` connected components → keep policy. Default
+    keep is the cluster-minimum id (deterministic, epoch-stable);
+    pass ``quality_col`` to survive the best-scoring copy instead
+    (:func:`~etl_workflow_spark.operators.dedup
+    .keep_best_per_cluster` — the RefinedWeb-style policy). Images in
+    no cluster pass through untouched; the full rows only ever
+    anti-join the loser-id list, so payloads never shuffle."""
+    from .dedup import dedup_clusters, keep_best_per_cluster
+
+    pairs = image_neardup_pairs(
+        df, max_distance=max_distance, hash_size=hash_size,
+        id_col=id_col, payload_col=payload_col, allow_fake=allow_fake,
+        method=method,
+    )
+    clusters = dedup_clusters(pairs, id_col=id_col)
+    if quality_col is not None:
+        return keep_best_per_cluster(df, clusters, quality_col, id_col)
+    losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(
+        id_col
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def _dct_matrix(n: int) -> "list[list[float]]":
+    """Orthonormal DCT-II basis matrix (pure-Python floats — IEEE
+    doubles, deterministic given a fixed evaluation order)."""
+    import math
+
+    return [
+        [
+            (math.sqrt(1.0 / n) if k == 0 else math.sqrt(2.0 / n))
+            * math.cos(math.pi * (2 * i + 1) * k / (2.0 * n))
+            for i in range(n)
+        ]
+        for k in range(n)
+    ]
+
+
+def _phash_from_pixels(
+    w: int, h: int, ch: int, px, hash_size: int, dct_dim: int
+) -> int:
+    """pHash (DCT perceptual hash, Krawetz 2011): NN-resample to
+    ``dct_dim²`` grayscale, 2-D orthonormal DCT-II, keep the top-left
+    ``hash_size²`` low-frequency block, threshold each coefficient
+    against the block's median EXCLUDING the DC term (bit y*hs+x = 1
+    iff coeff > median). Float math in a FIXED summation order (plain
+    Python loops, no BLAS), so the hash is reproducible across
+    machines for a given pixel tier; signed-64 packing like dHash."""
+    small = _nn_resize(w, h, ch, px, dct_dim, dct_dim)
+    g = _gray_row_major(dct_dim, dct_dim, ch, small)
+    d = _dct_matrix(dct_dim)
+    # rows = D @ G (only the first hash_size output rows are needed)
+    rows = [
+        [
+            sum(d[k][i] * g[i * dct_dim + j] for i in range(dct_dim))
+            for j in range(dct_dim)
+        ]
+        for k in range(hash_size)
+    ]
+    # block = rows @ D.T, top-left hash_size × hash_size
+    block = [
+        [
+            sum(rows[k][j] * d[m][j] for j in range(dct_dim))
+            for m in range(hash_size)
+        ]
+        for k in range(hash_size)
+    ]
+    flat = [block[y][x] for y in range(hash_size) for x in range(hash_size)]
+    ac = sorted(flat[1:])  # DC excluded from the median, per the recipe
+    mid = len(ac) // 2
+    med = (
+        ac[mid]
+        if len(ac) % 2 == 1
+        else (ac[mid - 1] + ac[mid]) / 2.0
+    )
+    fp = 0
+    for i, v in enumerate(flat):
+        if v > med:
+            fp |= 1 << i
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def phash_media(
+    df: DataFrame,
+    hash_size: int = 8,
+    dct_dim: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """DCT perceptual hash per image payload — :func:`dhash_media`'s
+    sibling, robust to the global/low-frequency edits dHash's local
+    gradients miss (brightness/contrast shifts, mild blur): threshold
+    the top-left ``hash_size²`` DCT coefficients of the
+    ``dct_dim``-square grayscale against their median. Returns
+    ``(id, phash long)``; pairs band through the same
+    :func:`~etl_workflow_spark.operators.dedup.hamming_pairs`
+    machinery (``fp_col="phash"``). Pixel tiers follow
+    :func:`dhash_media` exactly — Pillow, stdlib PNG codec, then the
+    SAME sha-derived fake (a payload no tier decodes hashes
+    identically under both operators by design: fakes are plumbing,
+    not pixels; pixel-tier dhash/phash values differ, as they must).
+    Per-tier determinism note: the DCT runs in fixed-order pure-Python
+    float loops (no BLAS reduction reordering), so a given pixel tier
+    reproduces bit-for-bit across machines.
+
+    Capability analog in the reference: none — extension tier."""
+    hs = int(hash_size)
+    dd = int(dct_dim)
+    if not (2 <= hs <= 8):
+        raise ValueError(
+            f"hash_size must be in 2..8 (got {hs}): hash_size² bits "
+            "must pack into one 64-bit long"
+        )
+    if dd < hs:
+        raise ValueError(
+            f"dct_dim {dd} must be >= hash_size {hs} (the kept block "
+            "is the DCT's top-left corner)"
+        )
+
+    def _phash_one(raw: bytes) -> int:
+        Image = _pillow()
+        if Image is not None:
+            import io
+
+            try:
+                with Image.open(io.BytesIO(raw)) as img:
+                    small = img.convert("L").resize(
+                        (dd, dd), Image.Resampling.BILINEAR
+                    )
+                    g = list(small.getdata())
+                    return _phash_from_pixels(dd, dd, 1, g, hs, dd)
+            except Exception:
+                pass  # not Pillow-decodable: stdlib tier below
+        dec = _png_decode(raw)
+        if dec is not None:
+            return _phash_from_pixels(*dec, hs, dd)
+        if not allow_fake:
+            raise NotImplementedError(
+                "payload not hashable by any pixel tier (Pillow absent "
+                "or failed; not a stdlib-decodable PNG); pass "
+                "allow_fake=True for the deterministic stub"
+            )
+        return _fake_dhash(raw)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "phash": pd.array(
+                        [_phash_one(bytes(p)) for p in pdf[payload_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("phash", LongType(), True),
+            ]
+        ),
     )

@@ -327,3 +327,18 @@ def test_r13_backoff_lm_on_empty_corpus(spark, empty_docs):
     assert T.lm_score_backoff(
         empty_docs, unigrams=uni, bigrams=big, trigrams=tri
     ).count() == 0
+
+
+def test_r13_dedup_images_on_empty_payloads(spark):
+    from etl_workflow_spark.operators import multimodal as M
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert M.dedup_images(empty).count() == 0
+
+
+def test_r13_phash_on_empty_payloads(spark):
+    from etl_workflow_spark.operators import multimodal as M
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert M.phash_media(empty).count() == 0
+    assert M.image_neardup_pairs(empty, method="phash").count() == 0

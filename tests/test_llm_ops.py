@@ -7,6 +7,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from etl_workflow_spark.operators import dedup as D
 from etl_workflow_spark.operators import multimodal as M
@@ -408,6 +409,17 @@ def test_image_neardup_pairs_planted_recall(spark):
     fps = {r["doc_id"]: r["dhash"]
            for r in M.dhash_media(df, allow_fake=False).collect()}
     assert bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1") > 3
+    # end-to-end keep policy: min-id keeps 1, drops 2, passes 3
+    kept = {r["doc_id"] for r in M.dedup_images(df).collect()}
+    assert kept == {1, 3}
+    # quality policy: the perturbed copy outscores the original
+    scored = df.withColumn(
+        "quality", F.when(F.col("doc_id") == 2, 9.0).otherwise(1.0)
+    )
+    kept_q = {r["doc_id"]
+              for r in M.dedup_images(scored, quality_col="quality")
+              .collect()}
+    assert kept_q == {2, 3}
 
 
 def test_extract_media_meta_plumbing(spark):
@@ -2073,3 +2085,80 @@ def test_lm_score_backoff_trigram_model(spark):
             docs, unigrams=uni.where("token = 'nope'"),
             bigrams=big, trigrams=tri,
         ).collect()
+
+
+def test_phash_media_robustness_and_tiers(spark):
+    """r13: the DCT perceptual hash — DCT linearity makes the
+    structural contracts exact: a global brightness shift moves only
+    the DC coefficient (hamming <= 1), a contrast scale preserves
+    every coefficient-vs-median comparison (hamming <= 1), inversion
+    flips the gradient structure (large hamming); the distributed
+    operator equals the in-process helper on the raw pixels; the fake
+    tier replays the shared sha digest; phash pairs flow through the
+    banding method switch."""
+    import hashlib as hl
+
+    w = h = 32
+    base = [
+        ((7 * x + 13 * y + (x * y) % 9) % 161) + 40  # 40..200
+        for y in range(h) for x in range(w)
+    ]
+
+    def png_of(vals):
+        return M._png_encode(w, h, 1, bytes(vals))
+
+    bright = [v + 30 for v in base]                  # stays <= 230
+    contrast = [round(v * 1.1) for v in base]        # stays <= 220
+    inverse = [240 - v for v in base]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png_of(base))),
+            (2, bytearray(png_of(bright))),
+            (3, bytearray(png_of(contrast))),
+            (4, bytearray(png_of(inverse))),
+        ],
+        "doc_id long, payload binary",
+    )
+    fps = {r["doc_id"]: r["phash"]
+           for r in M.phash_media(df, allow_fake=False).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(fps[1], fps[2]) <= 1          # brightness: DC bit only
+    assert ham(fps[1], fps[3]) <= 1          # contrast: DC bit only
+    assert ham(fps[1], fps[4]) > 8           # inversion: structure flips
+    # distributed == in-process helper on the same pixels
+    assert fps[1] == M._phash_from_pixels(w, h, 1, bytes(base), 8, 32)
+    # dHash, by contrast, is gradient-local: brightness shift is also
+    # invisible to it (comparisons shift together) — both hashes agree
+    # the pair is a near-dup, by different mechanisms
+    dfp = {r["doc_id"]: r["dhash"]
+           for r in M.dhash_media(df, allow_fake=False).collect()}
+    assert ham(dfp[1], dfp[2]) == 0
+    # fake tier: the SAME sha digest as dhash (fakes are plumbing)
+    junk = b"no pixels here"
+    jdf = spark.createDataFrame(
+        [(9, bytearray(junk))], "doc_id long, payload binary"
+    )
+    assert M.phash_media(jdf).collect()[0]["phash"] == (
+        int.from_bytes(
+            hl.sha256(junk + b":dhash64").digest()[:8], "big"
+        ) >> 4
+    )
+    with pytest.raises(Exception, match="not hashable"):
+        M.phash_media(jdf, allow_fake=False).collect()
+    with pytest.raises(ValueError, match="dct_dim"):
+        M.phash_media(df, hash_size=8, dct_dim=4)
+    # pairing through the method switch: brightness/contrast variants
+    # band into the base image's cluster; inverse stays out
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in M.image_neardup_pairs(
+            df, max_distance=2, method="phash"
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    with pytest.raises(ValueError, match="unknown method"):
+        M.image_neardup_pairs(df, method="ahash")
