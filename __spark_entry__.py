@@ -2293,6 +2293,15 @@ def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("avg_nll_e6", "bo_avg_nll_e6"),
             "doc_id",
         )
+        # r13: interpolated Kneser-Ney, the third smoothing regime —
+        # continuation counts derived from the same bigram table
+        .join(
+            T.lm_score_kn(docs)
+            .withColumnRenamed("n_pairs", "kn_n_pairs")
+            .withColumnRenamed("logprob_e9_sum", "kn_logprob_e9_sum")
+            .withColumnRenamed("avg_nll_e6", "kn_avg_nll_e6"),
+            "doc_id",
+        )
     )
 
 
@@ -2304,7 +2313,8 @@ _TEXT_METRICS_ORACLE = f"""
            lm.* EXCLUDE (doc_id),
            bo.n_ctx,
            bo.logprob_e9_sum AS bo_logprob_e9_sum,
-           bo.avg_nll_e6 AS bo_avg_nll_e6
+           bo.avg_nll_e6 AS bo_avg_nll_e6,
+           kn.* EXCLUDE (doc_id)
     FROM ({T.token_count_oracle(table=_QUALITY_PROBE_SQL)}) tc
     JOIN ({T.text_quality_oracle(table=_QUALITY_PROBE_SQL)}) tq
         USING (doc_id)
@@ -2315,6 +2325,11 @@ _TEXT_METRICS_ORACLE = f"""
     JOIN ({T.lm_score_oracle(table=_QUALITY_PROBE_SQL)}) lm
         USING (doc_id)
     JOIN ({T.lm_score_backoff_oracle(table=_QUALITY_PROBE_SQL)}) bo
+        USING (doc_id)
+    JOIN (SELECT doc_id, n_pairs AS kn_n_pairs,
+                 logprob_e9_sum AS kn_logprob_e9_sum,
+                 avg_nll_e6 AS kn_avg_nll_e6
+          FROM ({T.lm_score_kn_oracle(table=_QUALITY_PROBE_SQL)})) kn
         USING (doc_id)
 """
 

@@ -208,6 +208,9 @@ def main() -> None:
         # round-13: stupid-backoff trigram tier (three count fits off
         # one checkpointed token frame + distinct-trigram joins)
         "lm_backoff",
+        # round-13: interpolated Kneser-Ney (continuation counts from
+        # the bigram table itself — no third count table)
+        "lm_kn",
         # round-13: perceptual-hash near-dup (one payload Arrow pass +
         # pigeonhole-banded fingerprint self-join; fake hash tier here)
         "image_neardup",
@@ -253,6 +256,7 @@ def main() -> None:
         "lm_backoff": lambda s, d: T.lm_score_backoff(
             table(s, d, "documents")
         ),
+        "lm_kn": lambda s, d: T.lm_score_kn(table(s, d, "documents")),
         "token_count": lambda s, d: T.token_count(table(s, d, "documents")),
         "lang_id": lambda s, d: T.lang_id(table(s, d, "documents")),
         "repetition_signals": lambda s, d: T.repetition_signals(

@@ -1096,9 +1096,13 @@ def extend_training_set(
     1. **insert-if-absent by id**: rows whose id already exists in the
        set are skipped (the ``txn_append`` contract) — re-running the
        same extension after a partial failure appends nothing twice.
-    2. **quality / decontamination**: per the recorded config. A set
-       built with decontamination REQUIRES ``benchmark`` here (silent
-       skip would contaminate); a set built without REFUSES one
+    2. **quality / page filters / decontamination**: per the recorded
+       config — the learned (qcls) and published page-filter tiers
+       replay under the RECORDED models/thresholds (the lm filter
+       reads the frozen ``lm_model`` snapshot; compression bounds
+       refuse a different zlib build). A set built with
+       decontamination REQUIRES ``benchmark`` here (silent skip would
+       contaminate); a set built without REFUSES one
        (half-decontaminated corpora are recipe drift).
     3. **within-batch dedup**: :func:`~.dedup.dedup_corpus` at the
        recorded threshold/keep policy.

@@ -849,6 +849,221 @@ def lm_score_backoff_oracle(
     """
 
 
+def lm_score_kn(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    unigrams: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated form with a fixed absolute
+    discount) — the smoothing the KenLM/CCNet lineage actually uses,
+    completing the LM-filter family's third smoothing regime
+    (Laplace: :func:`lm_score`; stupid backoff:
+    :func:`lm_score_backoff`; KN: this). Per adjacent pair::
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                   + D·N1+(w1·)/c(w1) · Pcont(w2)
+        Pcont(w2) = (N1+(·w2) + 1) / (N1+(··) + V)
+
+    where the continuation counts N1+ are DISTINCT-neighbor counts
+    derived from the bigram table itself — no third table, so the
+    persisted vocab + bigram stores already hold the full model
+    (:func:`~etl_workflow_spark.streaming.incremental
+    .lm_score_kn_from_stores`). Two documented deviations from the
+    closed-vocabulary paper, both needed for a filter that must score
+    arbitrary pages finitely: the continuation distribution is
+    Laplace-floored (an unseen continuation word scores > 0), and a
+    history with no observed continuations (c(w1) = 0, OR w1 seen
+    only document-finally so N1+(w1·) = 0 while c(w1w2) = 0) falls
+    back to Pcont(w2) alone.
+
+    Fixed-point convention as the siblings: each pair's ``ln P``
+    e9-floored BEFORE the per-document integer sum; truncating
+    ``avg_nll_e6``; documents with fewer than two tokens report
+    ``n_pairs 0`` and NULL scores. Self-fit reads both counts and the
+    scoring pass from one localCheckpointed tokenized frame.
+
+    Capability analog in the reference: none — extension tier."""
+    d_disc = float(discount)
+    if not (0.0 < d_disc < 1.0):
+        raise ValueError(f"discount must be in (0, 1) (got {discount})")
+    fit_any = unigrams is None or bigrams is None
+    tok_src = _lm_token_frame(df, col, id_col, checkpoint=fit_any)
+    if unigrams is None:
+        unigrams = (
+            tok_src.select(F.explode("__t").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+    if bigrams is None:
+        bigrams = (
+            _lm_ngram_explode(tok_src, 2)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n_pair"))
+        )
+    v_size = unigrams.count()
+    if v_size == 0:
+        raise ValueError("lm_score_kn needs a non-empty unigram table")
+    # continuation statistics from the bigram table alone: distinct
+    # successors per history, distinct predecessors per continuation,
+    # and the total distinct-pair count (one scalar action)
+    fanout = bigrams.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("__n1f")
+    )
+    contin = bigrams.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("__n1b")
+    )
+    n_types = int(bigrams.count())
+    pairs = (
+        _lm_ngram_explode(tok_src, 2, id_col=id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    c12 = F.coalesce(F.col("__c12"), F.lit(0)).cast("double")
+    c1 = F.coalesce(F.col("__c1"), F.lit(0)).cast("double")
+    n1f = F.coalesce(F.col("__n1f"), F.lit(0)).cast("double")
+    n1b = F.coalesce(F.col("__n1b"), F.lit(0)).cast("double")
+    pcont = (n1b + F.lit(1.0)) / F.lit(float(n_types + v_size))
+    interp = (
+        F.greatest(c12 - F.lit(d_disc), F.lit(0.0)) / c1
+        + (F.lit(d_disc) * n1f / c1) * pcont
+    )
+    p = F.when((c12 > 0) | ((c1 > 0) & (n1f > 0)), interp).otherwise(
+        pcont
+    )
+    scored = (
+        pairs.join(
+            bigrams.select("w1", "w2", F.col("n_pair").alias("__c12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            unigrams.select(
+                F.col("token").alias("w1"), F.col("count").alias("__c1")
+            ),
+            "w1",
+            "left",
+        )
+        .join(fanout, "w1", "left")
+        .join(contin, "w2", "left")
+        .withColumn("__e9", F.floor(F.log(p) * F.lit(1e9)) * F.col("__m"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").cast("int").alias("n_pairs"),
+            F.sum("__e9").alias("logprob_e9_sum"),
+        )
+    )
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            "logprob_e9_sum",
+            F.expr(
+                "((-logprob_e9_sum) DIV NULLIF(n_pairs, 0)) DIV 1000"
+            ).alias("avg_nll_e6"),
+        )
+    )
+
+
+def lm_score_kn_oracle(
+    table: str = "documents", discount: float = 0.75
+) -> str:
+    """DuckDB twin of :func:`lm_score_kn` (self-fit form): identical
+    extraction, continuation counts from the same bigram table, the
+    identically-parenthesized interpolation, e9 floor before the
+    integer sum."""
+    dd = repr(float(discount))
+    t = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {t} AS ts FROM {table}
+            WHERE text IS NOT NULL
+        ),
+        uni AS (
+            SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+        ),
+        big AS (
+            SELECT pr['a'] AS w1, pr['b'] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                               for i in generate_series(1, len(ts) - 1)])
+                           AS pr
+                FROM toks WHERE len(ts) >= 2
+            ) GROUP BY 1, 2
+        ),
+        fanout AS (
+            SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f FROM big GROUP BY 1
+        ),
+        contin AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM big GROUP BY 1
+        ),
+        gstat AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM big)
+                   + (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS nv
+        ),
+        dpc AS (
+            SELECT doc_id, pr['a'] AS w1, pr['b'] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(a := ts[i], b := ts[i + 1])
+                               for i in generate_series(1, len(ts) - 1)])
+                           AS pr
+                FROM toks WHERE len(ts) >= 2
+            ) GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT dpc.doc_id,
+                   CAST(SUM(dpc.m) AS INT) AS n_pairs,
+                   CAST(SUM(
+                       CAST(FLOOR(ln(
+                           CASE WHEN COALESCE(big.c, 0) > 0
+                                  OR (COALESCE(uni.c, 0) > 0
+                                      AND COALESCE(fanout.n1f, 0) > 0)
+                           THEN
+                             GREATEST(CAST(COALESCE(big.c, 0) AS DOUBLE)
+                                      - {dd}, CAST(0.0 AS DOUBLE))
+                             / CAST(COALESCE(uni.c, 0) AS DOUBLE)
+                             + ({dd}
+                                * CAST(COALESCE(fanout.n1f, 0) AS DOUBLE)
+                                / CAST(COALESCE(uni.c, 0) AS DOUBLE))
+                               * ((CAST(COALESCE(contin.n1b, 0) AS DOUBLE)
+                                   + CAST(1.0 AS DOUBLE))
+                                  / CAST(gstat.nv AS DOUBLE))
+                           ELSE
+                             (CAST(COALESCE(contin.n1b, 0) AS DOUBLE)
+                              + CAST(1.0 AS DOUBLE))
+                             / CAST(gstat.nv AS DOUBLE)
+                           END
+                       ) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)
+                       * dpc.m
+                   ) AS BIGINT) AS logprob_e9_sum
+            FROM dpc
+            LEFT JOIN big USING (w1, w2)
+            LEFT JOIN uni ON uni.token = dpc.w1
+            LEFT JOIN fanout ON fanout.w1 = dpc.w1
+            LEFT JOIN contin ON contin.w2 = dpc.w2
+            CROSS JOIN gstat
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_pairs, 0) AS n_pairs,
+               s.logprob_e9_sum,
+               CAST(((-s.logprob_e9_sum) // NULLIF(s.n_pairs, 0))
+                    // 1000 AS BIGINT) AS avg_nll_e6
+        FROM (SELECT DISTINCT doc_id FROM {table}) d
+        LEFT JOIN scored s USING (doc_id)
+    """
+
+
 #: The Gopher required-stopword set (Rae et al. 2021, A1.1): a page
 #: must contain at least two of these to look like running English
 #: prose rather than boilerplate or listings.

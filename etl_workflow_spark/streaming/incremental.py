@@ -2180,6 +2180,39 @@ def lm_score_backoff_from_stores(
     )
 
 
+def lm_score_kn_from_stores(
+    spark: SparkSession,
+    df: DataFrame,
+    vocab_store_path: str,
+    bigram_store_path: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney scoring under a REFERENCE corpus whose
+    counts live in the persisted vocab + bigram stores — NO extra
+    store: KN's continuation statistics are distinct-neighbor counts
+    over the bigram table itself, so the same two stores that feed
+    :func:`lm_score_from_stores` already hold the full KN model.
+    Store-fed equals inline byte-for-byte on the same corpus
+    (pytest-enforced); non-lowercase vocab stores refused."""
+    from ..operators.text import lm_score_kn
+
+    raw = _read_vocab_store_raw(spark, vocab_store_path)
+    if not _vocab_store_flag(raw):
+        raise ValueError(
+            "lm_score_kn_from_stores needs a lowercase vocab store "
+            "(the scorer lowercases; a case-sensitive store would "
+            "score every token as out-of-vocabulary)"
+        )
+    return lm_score_kn(
+        df, col=col, id_col=id_col,
+        unigrams=read_vocab_store(spark, vocab_store_path),
+        bigrams=read_bigram_store(spark, bigram_store_path),
+        discount=discount,
+    )
+
+
 def collocations_from_stores(
     spark: SparkSession,
     bigram_store_path: str,

@@ -342,3 +342,15 @@ def test_r13_phash_on_empty_payloads(spark):
     empty = spark.createDataFrame([], "doc_id long, payload binary")
     assert M.phash_media(empty).count() == 0
     assert M.image_neardup_pairs(empty, method="phash").count() == 0
+
+
+def test_r13_kn_lm_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import text as T
+
+    uni = spark.createDataFrame([("a", 1)], "token string, count long")
+    big = spark.createDataFrame(
+        [("a", "a", 1)], "w1 string, w2 string, n_pair long"
+    )
+    assert T.lm_score_kn(
+        empty_docs, unigrams=uni, bigrams=big
+    ).count() == 0

@@ -2162,3 +2162,67 @@ def test_phash_media_robustness_and_tiers(spark):
     assert not any(4 in p for p in pairs)
     with pytest.raises(ValueError, match="unknown method"):
         M.image_neardup_pairs(df, method="ahash")
+
+
+def test_lm_score_kn_interpolated_model(spark):
+    """lm_score_kn (r13): hand-computed interpolated Kneser-Ney —
+    discounted bigram MLE + continuation-weighted back-off mass, the
+    continuation counts derived from the bigram table itself; the
+    Laplace-floored continuation and the no-observed-continuation
+    fallback (document-final histories) both exercised; fixed-point
+    accounting as the sibling scorers."""
+    import math
+
+    from etl_workflow_spark.operators.text import lm_score_kn
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "z"), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score_kn(docs).collect()}
+
+    # corpus: uni a=4 b=2 z=1 (V=3); big (a,b)=2 (b,a)=1 (a,a)=1
+    # (3 types); fanout a->2 b->1; contin b->1 a->2; nv = 3+3 = 6
+    def kn(c12, c1, n1f, n1b, nv=6.0):
+        p = (
+            max(c12 - 0.75, 0.0) / c1
+            + (0.75 * n1f / c1) * ((n1b + 1.0) / nv)
+        )
+        return math.floor(math.log(p) * 1e9)
+
+    want1 = kn(2, 4, 2, 1) * 2 + kn(1, 2, 1, 2)
+    assert out[1]["n_pairs"] == 3
+    assert out[1]["logprob_e9_sum"] == want1
+    assert out[1]["avg_nll_e6"] == ((-want1) // 3) // 1000
+    assert out[2]["logprob_e9_sum"] == kn(1, 4, 2, 2)
+    for d in (3, 4, 5):
+        assert out[d]["n_pairs"] == 0
+        assert out[d]["logprob_e9_sum"] is None
+    # foreign model: uni x=10 y=5 (V=2); big (x,y)=4 (1 type); nv=3;
+    # fanout x->1; contin y->1
+    uni = spark.createDataFrame(
+        [("x", 10), ("y", 5)], "token string, count long"
+    )
+    big = spark.createDataFrame(
+        [("x", "y", 4)], "w1 string, w2 string, n_pair long"
+    )
+    probe = spark.createDataFrame(
+        [(9, "x y"), (10, "x z"), (11, "q x"), (12, "y y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["logprob_e9_sum"] for r in lm_score_kn(
+        probe, unigrams=uni, bigrams=big).collect()}
+    assert got[9] == kn(4, 10, 1, 1, nv=3.0)      # seen bigram
+    assert got[10] == kn(0, 10, 1, 0, nv=3.0)     # unseen continuation
+    # unseen history q -> pure continuation prob (x never continues)
+    assert got[11] == math.floor(math.log((0 + 1.0) / 3.0) * 1e9)
+    # history y seen but never starts a bigram -> same fallback
+    assert got[12] == math.floor(math.log((1 + 1.0) / 3.0) * 1e9)
+    import pytest
+
+    with pytest.raises(ValueError, match="discount"):
+        lm_score_kn(docs, discount=1.0)
+    with pytest.raises(ValueError, match="non-empty unigram"):
+        lm_score_kn(
+            docs, unigrams=uni.where("token = 'nope'"), bigrams=big
+        ).collect()

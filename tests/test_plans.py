@@ -653,6 +653,21 @@ def test_lm_score_backoff_plan_shape(spark, sf_dir):
     assert plans.count_python_evals(df) == 0
 
 
+def test_lm_score_kn_plan_shape(spark, sf_dir):
+    """r13 KN LM: same contract as the sibling scorers — grouped
+    pairs probe the count/continuation tables via equi-joins only,
+    scoring JVM-side."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators.text import lm_score_kn
+
+    docs = table(spark, sf_dir, "documents")
+    df = lm_score_kn(docs)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.count_python_evals(df) == 0
+
+
 def test_image_neardup_plan_shape(spark, sf_dir):
     """r13 image near-dup: the payload column enters exactly ONE Arrow
     pass (the dHash mapInPandas) and never the pairing join — after

@@ -1783,3 +1783,32 @@ def test_lm_score_backoff_from_stores_matches_inline(
     inc.vocab_rollup_batch(docs.limit(50), vbad, 0, lowercase=False)
     with pytest.raises(ValueError, match="lowercase vocab"):
         inc.lm_score_backoff_from_stores(spark, docs, vbad, bstore, tstore)
+
+
+def test_lm_score_kn_from_stores_matches_inline(spark, sf_dir, tmp_path):
+    """Store-fed Kneser-Ney scoring (r13): the SAME two stores that
+    feed the Laplace scorer hold the full KN model (continuation
+    counts are distinct-neighbor counts over the bigram table), and
+    store-fed equals the self-fit inline lm_score_kn byte-for-byte;
+    case-sensitive vocab stores refused."""
+    import pytest
+
+    from etl_workflow_spark.operators.text import lm_score_kn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vstore = str(tmp_path / "vstore")
+    bstore = str(tmp_path / "bstore")
+    for lo, hi, b in ((0, 250, 0), (250, 10**9, 1)):
+        part = docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
+        inc.vocab_rollup_batch(part, vstore, b)
+        inc.bigram_rollup_batch(part, bstore, b)
+    got = {tuple(r) for r in inc.lm_score_kn_from_stores(
+        spark, docs, vstore, bstore).collect()}
+    want = {tuple(r) for r in lm_score_kn(docs).collect()}
+    assert got == want
+    vbad = str(tmp_path / "vbad")
+    inc.vocab_rollup_batch(docs.limit(50), vbad, 0, lowercase=False)
+    with pytest.raises(ValueError, match="lowercase vocab"):
+        inc.lm_score_kn_from_stores(spark, docs, vbad, bstore)
