@@ -2302,6 +2302,16 @@ def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("avg_nll_e6", "kn_avg_nll_e6"),
             "doc_id",
         )
+        # r13: the GENERALIZED backoff machinery hash-checked at an
+        # order the hand-written trigram tier doesn't cover (the
+        # generated DuckDB twin replays the same order-4 chain)
+        .join(
+            T.lm_score_backoff_n(docs, order=4)
+            .withColumnRenamed("n_ctx", "bo4_n_ctx")
+            .withColumnRenamed("logprob_e9_sum", "bo4_logprob_e9_sum")
+            .withColumnRenamed("avg_nll_e6", "bo4_avg_nll_e6"),
+            "doc_id",
+        )
     )
 
 
@@ -2314,7 +2324,8 @@ _TEXT_METRICS_ORACLE = f"""
            bo.n_ctx,
            bo.logprob_e9_sum AS bo_logprob_e9_sum,
            bo.avg_nll_e6 AS bo_avg_nll_e6,
-           kn.* EXCLUDE (doc_id)
+           kn.* EXCLUDE (doc_id),
+           bo4.* EXCLUDE (doc_id)
     FROM ({T.token_count_oracle(table=_QUALITY_PROBE_SQL)}) tc
     JOIN ({T.text_quality_oracle(table=_QUALITY_PROBE_SQL)}) tq
         USING (doc_id)
@@ -2330,6 +2341,12 @@ _TEXT_METRICS_ORACLE = f"""
                  logprob_e9_sum AS kn_logprob_e9_sum,
                  avg_nll_e6 AS kn_avg_nll_e6
           FROM ({T.lm_score_kn_oracle(table=_QUALITY_PROBE_SQL)})) kn
+        USING (doc_id)
+    JOIN (SELECT doc_id, n_ctx AS bo4_n_ctx,
+                 logprob_e9_sum AS bo4_logprob_e9_sum,
+                 avg_nll_e6 AS bo4_avg_nll_e6
+          FROM ({T.lm_score_backoff_n_oracle(
+              table=_QUALITY_PROBE_SQL, order=4)})) bo4
         USING (doc_id)
 """
 

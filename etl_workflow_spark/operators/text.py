@@ -643,93 +643,186 @@ def lm_score_backoff(
     bigint)`` — documents with fewer than three tokens report
     ``n_ctx 0`` and NULL scores.
 
+    r13: this is the ``order=3`` instance of
+    :func:`lm_score_backoff_n` (delegated, so the two cannot drift);
+    the generalized form reaches the actual CCNet 5-gram shape.
+
+    Capability analog in the reference: none — extension tier."""
+    counts: dict[int, DataFrame] = {}
+    if unigrams is not None:
+        counts[1] = unigrams
+    if bigrams is not None:
+        counts[2] = bigrams.select(
+            "w1", "w2", F.col("n_pair").alias("n_gram")
+        )
+    if trigrams is not None:
+        counts[3] = trigrams.select(
+            "w1", "w2", "w3", F.col("n_tri").alias("n_gram")
+        )
+    return lm_score_backoff_n(
+        df, order=3, col=col, id_col=id_col,
+        counts=counts or None, alpha=alpha,
+    )
+
+
+def adjacent_ngram_counts(
+    df: DataFrame, n: int, col: str = "text"
+) -> DataFrame:
+    """Corpus adjacent word n-gram counts ``(w1..wn, n_gram)`` for any
+    order — the generic extraction behind the 4/5-gram stores feeding
+    :func:`lm_score_backoff_n` (orders 2 and 3 keep their named
+    public twins for the store writers' column contracts)."""
+    k = int(n)
+    if k < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    tok_src = _lm_token_frame(df, col, None, checkpoint=False)
+    if k == 1:
+        return (
+            tok_src.select(F.explode("__t").alias("w1"))
+            .groupBy("w1")
+            .agg(F.count(F.lit(1)).alias("n_gram"))
+        )
+    return (
+        _lm_ngram_explode(tok_src, k)
+        .groupBy(*[f"w{i + 1}" for i in range(k)])
+        .agg(F.count(F.lit(1)).alias("n_gram"))
+    )
+
+
+def lm_score_backoff_n(
+    df: DataFrame,
+    order: int = 5,
+    col: str = "text",
+    id_col: str = "doc_id",
+    counts: dict[int, DataFrame] | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid backoff at ARBITRARY order (Brants et al. 2007) — the
+    actual CCNet shape at ``order=5``: per full-context position, the
+    highest-order n-gram with a nonzero count scores as its MLE,
+    discounted by ``alpha`` per backed-off order, with the
+    alpha^(order-1)-discounted Laplace unigram leaf for the
+    never-seen tail (same documented deviation as the trigram
+    instance). Each position's ``ln S`` e9-floors BEFORE the
+    per-document integer sum, so any order is shuffle-proof and
+    SQL-replayable (:func:`lm_score_backoff_n_oracle` generates the
+    DuckDB twin for the same order).
+
+    ``counts`` maps each order to its count table — ``1`` as
+    ``(token, count)`` (or ``(w1, n_gram)``), ``k >= 2`` as
+    ``(w1..wk, n_gram)``; missing orders self-fit from ``df``, all
+    fits AND the scoring pass reading one localCheckpointed tokenized
+    frame. Scale shape: document n-grams group per (id, w1..wn)
+    before the 2(order−1)+1 count-table probes — every join is
+    equi-join on distinct-n-gram-bounded frames; N and V are one
+    scalar action. Documents with fewer than ``order`` tokens report
+    ``n_ctx 0`` and NULL scores (the trigram instance's convention:
+    only full-context positions score).
+
     Capability analog in the reference: none — extension tier."""
     a = float(alpha)
     if not (0.0 < a <= 1.0):
         raise ValueError(f"alpha must be in (0, 1] (got {alpha})")
-    fit_any = unigrams is None or bigrams is None or trigrams is None
+    n = int(order)
+    if not (2 <= n <= 8):
+        raise ValueError(f"order must be in 2..8 (got {order})")
+    given = dict(counts or {})
+    bad_orders = [k for k in given if not (1 <= int(k) <= n)]
+    if bad_orders:
+        raise ValueError(
+            f"counts keys {sorted(bad_orders)} outside 1..{n}"
+        )
+    fit_any = any(k not in given for k in range(1, n + 1))
     tok_src = _lm_token_frame(df, col, id_col, checkpoint=fit_any)
-    if unigrams is None:
-        unigrams = (
-            tok_src.select(F.explode("__t").alias("token"))
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("count"))
-        )
-    if bigrams is None:
-        bigrams = (
-            _lm_ngram_explode(tok_src, 2)
-            .groupBy("w1", "w2")
-            .agg(F.count(F.lit(1)).alias("n_pair"))
-        )
-    if trigrams is None:
-        trigrams = (
-            _lm_ngram_explode(tok_src, 3)
-            .groupBy("w1", "w2", "w3")
-            .agg(F.count(F.lit(1)).alias("n_tri"))
-        )
-    tot = unigrams.agg(
-        F.count(F.lit(1)).alias("v"), F.sum("count").alias("n")
+    tabs: dict[int, DataFrame] = {}
+    for k in range(1, n + 1):
+        if k in given:
+            if k == 1:
+                uni = given[1]
+                if "token" in uni.columns:
+                    uni = uni.select(
+                        F.col("token").alias("w1"),
+                        F.col("count").alias("n_gram"),
+                    )
+                tabs[1] = uni
+            else:
+                tabs[k] = given[k]
+        elif k == 1:
+            tabs[1] = (
+                tok_src.select(F.explode("__t").alias("w1"))
+                .groupBy("w1")
+                .agg(F.count(F.lit(1)).alias("n_gram"))
+            )
+        else:
+            tabs[k] = (
+                _lm_ngram_explode(tok_src, k)
+                .groupBy(*[f"w{i + 1}" for i in range(k)])
+                .agg(F.count(F.lit(1)).alias("n_gram"))
+            )
+    tot = tabs[1].agg(
+        F.count(F.lit(1)).alias("v"), F.sum("n_gram").alias("n")
     ).collect()[0]
     v_size, n_total = int(tot["v"]), int(tot["n"] or 0)
     if v_size == 0:
-        raise ValueError("lm_score_backoff needs a non-empty unigram table")
-    tris = (
-        _lm_ngram_explode(tok_src, 3, id_col=id_col)
-        .groupBy(id_col, "w1", "w2", "w3")
+        raise ValueError(
+            "lm_score_backoff_n needs a non-empty unigram table"
+        )
+    grams = (
+        _lm_ngram_explode(tok_src, n, id_col=id_col)
+        .groupBy(id_col, *[f"w{i + 1}" for i in range(n)])
         .agg(F.count(F.lit(1)).alias("__m"))
     )
-    c3 = F.coalesce(F.col("__c3"), F.lit(0)).cast("double")
-    c2ctx = F.coalesce(F.col("__c2ctx"), F.lit(0)).cast("double")
-    c23 = F.coalesce(F.col("__c23"), F.lit(0)).cast("double")
-    cu2 = F.coalesce(F.col("__cu2"), F.lit(0)).cast("double")
-    cu3 = F.coalesce(F.col("__cu3"), F.lit(0)).cast("double")
-    s = (
-        F.when((c3 > 0) & (c2ctx > 0), c3 / c2ctx)
-        .when((c23 > 0) & (cu2 > 0), F.lit(a) * (c23 / cu2))
-        .otherwise(
-            F.lit(a) * F.lit(a)
-            * ((cu3 + F.lit(1.0)) / F.lit(float(n_total + v_size)))
+    scored = grams
+    for k in range(n, 1, -1):
+        lo = n - k
+        keys = [f"w{lo + i + 1}" for i in range(k)]
+        gk = tabs[k].select(
+            *[F.col(f"w{i + 1}").alias(keys[i]) for i in range(k)],
+            F.col("n_gram").alias(f"__g{k}"),
         )
+        scored = scored.join(gk, keys, "left")
+        ctx_keys = keys[:-1]
+        xk = tabs[k - 1].select(
+            *[
+                F.col(f"w{i + 1}").alias(ctx_keys[i])
+                for i in range(k - 1)
+            ],
+            F.col("n_gram").alias(f"__x{k}"),
+        )
+        scored = scored.join(xk, ctx_keys, "left")
+    scored = scored.join(
+        tabs[1].select(
+            F.col("w1").alias(f"w{n}"), F.col("n_gram").alias("__leaf")
+        ),
+        f"w{n}",
+        "left",
     )
+    s = None
+    for k in range(n, 1, -1):
+        g = F.coalesce(F.col(f"__g{k}"), F.lit(0)).cast("double")
+        x = F.coalesce(F.col(f"__x{k}"), F.lit(0)).cast("double")
+        ratio = g / x
+        if k == n:
+            tier = ratio
+        else:
+            coeff = F.lit(a)
+            for _ in range(n - k - 1):
+                coeff = coeff * F.lit(a)
+            tier = coeff * ratio
+        cond = (g > 0) & (x > 0)
+        s = F.when(cond, tier) if s is None else s.when(cond, tier)
+    leaf_coeff = F.lit(a)
+    for _ in range(n - 2):
+        leaf_coeff = leaf_coeff * F.lit(a)
+    leaf = leaf_coeff * (
+        (F.coalesce(F.col("__leaf"), F.lit(0)).cast("double") + F.lit(1.0))
+        / F.lit(float(n_total + v_size))
+    )
+    s = s.otherwise(leaf)
     scored = (
-        tris.join(
-            trigrams.select(
-                "w1", "w2", "w3", F.col("n_tri").alias("__c3")
-            ),
-            ["w1", "w2", "w3"],
-            "left",
+        scored.withColumn(
+            "__e9", F.floor(F.log(s) * F.lit(1e9)) * F.col("__m")
         )
-        .join(
-            bigrams.select(
-                "w1", "w2", F.col("n_pair").alias("__c2ctx")
-            ),
-            ["w1", "w2"],
-            "left",
-        )
-        .join(
-            bigrams.select(
-                F.col("w1").alias("w2"),
-                F.col("w2").alias("w3"),
-                F.col("n_pair").alias("__c23"),
-            ),
-            ["w2", "w3"],
-            "left",
-        )
-        .join(
-            unigrams.select(
-                F.col("token").alias("w2"), F.col("count").alias("__cu2")
-            ),
-            "w2",
-            "left",
-        )
-        .join(
-            unigrams.select(
-                F.col("token").alias("w3"), F.col("count").alias("__cu3")
-            ),
-            "w3",
-            "left",
-        )
-        .withColumn("__e9", F.floor(F.log(s) * F.lit(1e9)) * F.col("__m"))
         .groupBy(id_col)
         .agg(
             F.sum("__m").cast("int").alias("n_ctx"),
@@ -836,6 +929,123 @@ def lm_score_backoff_oracle(
             LEFT JOIN big b23 ON b23.w1 = dtc.w2 AND b23.w2 = dtc.w3
             LEFT JOIN uni u2 ON u2.token = dtc.w2
             LEFT JOIN uni u3 ON u3.token = dtc.w3
+            CROSS JOIN vstat
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_ctx, 0) AS n_ctx,
+               s.logprob_e9_sum,
+               CAST(((-s.logprob_e9_sum) // NULLIF(s.n_ctx, 0))
+                    // 1000 AS BIGINT) AS avg_nll_e6
+        FROM (SELECT DISTINCT doc_id FROM {table}) d
+        LEFT JOIN scored s USING (doc_id)
+    """
+
+
+def lm_score_backoff_n_oracle(
+    table: str = "documents", order: int = 5, alpha: float = 0.4
+) -> str:
+    """DuckDB twin GENERATOR for :func:`lm_score_backoff_n` at any
+    order: emits the CTE chain (one n-gram count table per order),
+    the identical join sequence, the identically-parenthesized
+    backoff CASE, and the e9-floor-before-sum accounting. At
+    ``order=3`` it is semantically identical to the hand-written
+    :func:`lm_score_backoff_oracle` (pytest-pinned)."""
+    a = repr(float(alpha))
+    n = int(order)
+    if not (2 <= n <= 8):
+        raise ValueError(f"order must be in 2..8 (got {order})")
+    t = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+         "x -> x <> '')")
+
+    def gram_cte(k: int, name: str, with_doc: bool) -> str:
+        fields = ", ".join(
+            f"a{i + 1} := ts[i + {i}]" for i in range(k)
+        )
+        sel = ", ".join(f"pr['a{i + 1}'] AS w{i + 1}" for i in range(k))
+        doc = "doc_id, " if with_doc else ""
+        groups = ", ".join(
+            str(i + 1) for i in range((1 if with_doc else 0) + k)
+        )
+        cnt = "m" if with_doc else "c"
+        return f"""{name} AS (
+            SELECT {doc}{sel}, CAST(COUNT(*) AS BIGINT) AS {cnt}
+            FROM (
+                SELECT {doc}
+                       unnest([struct_pack({fields})
+                               for i in generate_series(1,
+                                   len(ts) - {k - 1})]) AS pr
+                FROM toks WHERE len(ts) >= {k}
+            ) GROUP BY {groups}
+        )"""
+
+    ctes = [
+        f"""toks AS (
+            SELECT doc_id, {t} AS ts FROM {table}
+            WHERE text IS NOT NULL
+        )""",
+        """uni AS (
+            SELECT t AS w1, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+        )""",
+        """vstat AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM uni
+        )""",
+    ]
+    for k in range(2, n + 1):
+        ctes.append(gram_cte(k, f"g{k}", False))
+    ctes.append(gram_cte(n, "dtc", True))
+
+    joins, cases = [], []
+    for k in range(n, 1, -1):
+        lo = n - k
+        keys = [f"w{lo + i + 1}" for i in range(k)]
+        on_g = " AND ".join(
+            f"gj{k}.w{i + 1} = dtc.{keys[i]}" for i in range(k)
+        )
+        joins.append(f"LEFT JOIN g{k} gj{k} ON {on_g}")
+        ctx_keys = keys[:-1]
+        if k - 1 == 1:
+            joins.append(
+                f"LEFT JOIN uni xj{k} ON xj{k}.w1 = dtc.{ctx_keys[0]}"
+            )
+        else:
+            on_x = " AND ".join(
+                f"xj{k}.w{i + 1} = dtc.{ctx_keys[i]}"
+                for i in range(k - 1)
+            )
+            joins.append(f"LEFT JOIN g{k - 1} xj{k} ON {on_x}")
+        coeff = "" if k == n else (f"{a} * " * (n - k))
+        cases.append(
+            f"WHEN COALESCE(gj{k}.c, 0) > 0"
+            f" AND COALESCE(xj{k}.c, 0) > 0"
+            f" THEN {coeff}(CAST(COALESCE(gj{k}.c, 0) AS DOUBLE)"
+            f" / CAST(COALESCE(xj{k}.c, 0) AS DOUBLE))"
+        )
+    joins.append(f"LEFT JOIN uni leafu ON leafu.w1 = dtc.w{n}")
+    leaf_coeff = f"{a} * " * (n - 1)
+    leaf = (
+        f"{leaf_coeff}((CAST(COALESCE(leafu.c, 0) AS DOUBLE)"
+        " + CAST(1.0 AS DOUBLE))"
+        " / CAST(vstat.n + vstat.v AS DOUBLE))"
+    )
+    nl = "\n            "
+    return f"""
+        WITH {(',' + nl).join(ctes)},
+        scored AS (
+            SELECT dtc.doc_id,
+                   CAST(SUM(dtc.m) AS INT) AS n_ctx,
+                   CAST(SUM(
+                       CAST(FLOOR(ln(
+                           CASE {' '.join(cases)}
+                           ELSE {leaf} END
+                       ) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)
+                       * dtc.m
+                   ) AS BIGINT) AS logprob_e9_sum
+            FROM dtc
+            {nl.join(joins)}
             CROSS JOIN vstat
             GROUP BY 1
         )

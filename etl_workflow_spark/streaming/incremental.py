@@ -2180,6 +2180,131 @@ def lm_score_backoff_from_stores(
     )
 
 
+def ngram_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    n: int,
+    col: str = "text",
+) -> None:
+    """Write one micro-batch's adjacent word n-gram counts (any
+    order) into an n-gram store, EXACTLY-ONCE (the
+    :func:`vocab_rollup_batch` contract). Extraction is
+    :func:`~etl_workflow_spark.operators.text.adjacent_ngram_counts`
+    — the same extraction :func:`~etl_workflow_spark.operators.text
+    .lm_score_backoff_n` self-fits. The order travels as a constant
+    column so the read refuses a mixed-order store (summing 4-gram
+    and 5-gram fragments would silently corrupt every count)."""
+    from ..operators.text import adjacent_ngram_counts
+
+    counts = (
+        adjacent_ngram_counts(batch_df, int(n), col=col)
+        .withColumn("__order", F.lit(int(n)))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def read_ngram_store(
+    spark: SparkSession, store_path: str, n: int
+) -> DataFrame:
+    """The n-gram store's current merged ``(w1..wn, n_gram)`` counts;
+    refuses a store written at a different order."""
+    k = int(n)
+    store = spark.read.parquet(store_path)
+    orders = sorted(
+        int(r[0])
+        for r in store.select("__order").distinct().collect()
+    )
+    if orders != [k]:
+        raise ValueError(
+            f"ngram store at {store_path} holds order(s) {orders}, "
+            f"not the requested {k} — one store per order"
+        )
+    keys = [f"w{i + 1}" for i in range(k)]
+    return store.groupBy(*keys).agg(F.sum("n_gram").alias("n_gram"))
+
+
+def compact_ngram_store(
+    spark: SparkSession, store_path: str, before_batch_id: int, n: int
+) -> None:
+    """Collapse closed batches' fragments into one row per n-gram
+    under ``batch_id=-1`` (:func:`_compact_batched_store` contract)."""
+    keys = [f"w{i + 1}" for i in range(int(n))]
+    _compact_batched_store(
+        spark, store_path, before_batch_id,
+        lambda old: old.groupBy(*keys, "__order").agg(
+            F.sum("n_gram").alias("n_gram")
+        ).select(*keys, "n_gram", "__order"),
+        partition_by=["batch_id"],
+    )
+
+
+def lm_score_backoff_n_from_stores(
+    spark: SparkSession,
+    df: DataFrame,
+    order: int,
+    vocab_store_path: str,
+    ngram_store_paths: dict[int, str],
+    col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Arbitrary-order stupid-backoff scoring under persisted stores —
+    the full CCNet shape at ``order=5`` with zero re-scan of the
+    reference corpus: the vocab store supplies order 1,
+    ``ngram_store_paths`` maps each order 2..n to its store
+    (:func:`ngram_rollup_batch` for any order; the bigram/trigram
+    stores' named writers also qualify — their column contracts adapt
+    here). Store-fed equals inline byte-for-byte on the same corpus
+    (pytest-enforced); non-lowercase vocab stores refused."""
+    from ..operators.text import lm_score_backoff_n
+
+    k = int(order)
+    missing = [o for o in range(2, k + 1) if o not in ngram_store_paths]
+    if missing:
+        raise ValueError(
+            f"lm_score_backoff_n_from_stores(order={k}) needs a store "
+            f"for every order 2..{k}; missing {missing}"
+        )
+    raw = _read_vocab_store_raw(spark, vocab_store_path)
+    if not _vocab_store_flag(raw):
+        raise ValueError(
+            "lm_score_backoff_n_from_stores needs a lowercase vocab "
+            "store (the scorer lowercases; a case-sensitive store "
+            "would score every token as out-of-vocabulary)"
+        )
+    counts: dict[int, DataFrame] = {
+        1: read_vocab_store(spark, vocab_store_path)
+    }
+    for o in range(2, k + 1):
+        path = ngram_store_paths[o]
+        cols = spark.read.parquet(path).columns
+        if "__order" in cols:
+            counts[o] = read_ngram_store(spark, path, o)
+        elif o == 2 and "n_pair" in cols:
+            counts[2] = read_bigram_store(spark, path).select(
+                "w1", "w2", F.col("n_pair").alias("n_gram")
+            )
+        elif o == 3 and "n_tri" in cols:
+            counts[3] = read_trigram_store(spark, path).select(
+                "w1", "w2", "w3", F.col("n_tri").alias("n_gram")
+            )
+        else:
+            raise ValueError(
+                f"store at {path} is not an order-{o} count store "
+                f"(columns {cols})"
+            )
+    return lm_score_backoff_n(
+        df, order=k, col=col, id_col=id_col, counts=counts, alpha=alpha
+    )
+
+
 def lm_score_kn_from_stores(
     spark: SparkSession,
     df: DataFrame,

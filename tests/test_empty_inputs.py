@@ -354,3 +354,25 @@ def test_r13_kn_lm_on_empty_corpus(spark, empty_docs):
     assert T.lm_score_kn(
         empty_docs, unigrams=uni, bigrams=big
     ).count() == 0
+
+
+def test_r13_backoff_n_on_empty_corpus(spark, empty_docs):
+    from etl_workflow_spark.operators import text as T
+
+    counts = {
+        1: spark.createDataFrame([("a", 1)], "token string, count long"),
+        2: spark.createDataFrame(
+            [("a", "a", 1)], "w1 string, w2 string, n_gram long"
+        ),
+        3: spark.createDataFrame(
+            [], "w1 string, w2 string, w3 string, n_gram long"
+        ),
+        4: spark.createDataFrame(
+            [],
+            "w1 string, w2 string, w3 string, w4 string, n_gram long",
+        ),
+    }
+    assert T.adjacent_ngram_counts(empty_docs, 4).count() == 0
+    assert T.lm_score_backoff_n(
+        empty_docs, order=4, counts=counts
+    ).count() == 0

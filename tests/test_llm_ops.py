@@ -2226,3 +2226,112 @@ def test_lm_score_kn_interpolated_model(spark):
         lm_score_kn(
             docs, unigrams=uni.where("token = 'nope'"), bigrams=big
         ).collect()
+
+
+def test_lm_score_backoff_n_arbitrary_order(spark):
+    """lm_score_backoff_n (r13): order-4 scoring vs an independent
+    python oracle over a foreign model, exercising every tier of the
+    backoff chain (full 4-gram hit, 3-gram backoff, 2-gram backoff,
+    Laplace leaf); order=3 delegation equals the trigram operator
+    byte-for-byte; the generated DuckDB oracle at order 3 equals the
+    hand-written trigram oracle; validation guards."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from etl_workflow_spark.operators.text import (
+        adjacent_ngram_counts,
+        lm_score_backoff,
+        lm_score_backoff_n,
+        lm_score_backoff_n_oracle,
+        lm_score_backoff_oracle,
+    )
+
+    ref_rows = [(100, "a b c d e"), (101, "a b c x y")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    counts = {k: adjacent_ngram_counts(ref, k) for k in (1, 2, 3, 4)}
+    probes = [
+        (1, "a b c d"),    # full 4-gram hit
+        (2, "q b c d"),    # -> trigram tier
+        (3, "q q c d"),    # -> bigram tier
+        (4, "q q q d"),    # -> Laplace leaf
+        (5, "a b"),        # too short: n_ctx 0
+    ]
+    pdf = spark.createDataFrame(probes, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_score_backoff_n(
+        pdf, order=4, counts=counts).collect()}
+
+    # independent python oracle over the reference token streams
+    gram = {k: Counter() for k in (1, 2, 3, 4)}
+    for _, text in ref_rows:
+        ts = text.split()
+        for k in (1, 2, 3, 4):
+            for i in range(len(ts) - k + 1):
+                gram[k][tuple(ts[i:i + k])] += 1
+    V, N = len(gram[1]), sum(gram[1].values())
+
+    def py_score(ts):
+        tot = 0
+        for i in range(len(ts) - 3):
+            win = tuple(ts[i:i + 4])
+            p = None
+            for k in (4, 3, 2):
+                g = gram[k][win[-k:]]
+                x = gram[k - 1][win[-k:-1]]
+                if g > 0 and x > 0:
+                    coeff = 1.0
+                    for _ in range(4 - k):
+                        coeff = coeff * 0.4 if coeff != 1.0 else 0.4
+                    p = g / x if k == 4 else coeff * (g / x)
+                    break
+            if p is None:
+                coeff = 0.4
+                for _ in range(2):
+                    coeff = coeff * 0.4
+                p = coeff * ((gram[1][win[-1:]] + 1.0) / float(N + V))
+            tot += math.floor(math.log(p) * 1e9)
+        return tot
+
+    for doc_id, text in probes[:4]:
+        assert got[doc_id]["logprob_e9_sum"] == py_score(text.split()), (
+            doc_id
+        )
+    assert got[5]["n_ctx"] == 0 and got[5]["logprob_e9_sum"] is None
+
+    # order=3 delegation: the named trigram operator IS the generic one
+    tri_counts = {k: adjacent_ngram_counts(ref, k) for k in (1, 2, 3)}
+    a = {tuple(r) for r in lm_score_backoff_n(
+        pdf, order=3, counts=tri_counts).collect()}
+    b = {tuple(r) for r in lm_score_backoff(
+        pdf,
+        unigrams=tri_counts[1].selectExpr(
+            "w1 AS token", "n_gram AS count"
+        ),
+        bigrams=tri_counts[2].selectExpr("w1", "w2", "n_gram AS n_pair"),
+        trigrams=tri_counts[3].selectExpr(
+            "w1", "w2", "w3", "n_gram AS n_tri"
+        ),
+    ).collect()}
+    assert a == b
+
+    # generated order-3 oracle == hand-written trigram oracle (DuckDB)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pages AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in probes)
+        + ") v(doc_id, text)",
+        [x for row in probes for x in row],
+    )
+    gen = con.execute(
+        lm_score_backoff_n_oracle(table="pages", order=3)
+    ).fetchall()
+    hand = con.execute(lm_score_backoff_oracle(table="pages")).fetchall()
+    assert sorted(gen) == sorted(hand)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="order"):
+        lm_score_backoff_n(pdf, order=1)
+    with pytest.raises(ValueError, match="outside"):
+        lm_score_backoff_n(pdf, order=3, counts={5: counts[4]})

@@ -1812,3 +1812,62 @@ def test_lm_score_kn_from_stores_matches_inline(spark, sf_dir, tmp_path):
     inc.vocab_rollup_batch(docs.limit(50), vbad, 0, lowercase=False)
     with pytest.raises(ValueError, match="lowercase vocab"):
         inc.lm_score_kn_from_stores(spark, docs, vbad, bstore)
+
+
+def test_ngram_store_and_backoff_n_from_stores(spark, sf_dir, tmp_path):
+    """Generic n-gram stores (r13): order-4/5 rollups merge
+    additively and feed lm_score_backoff_n_from_stores byte-equal to
+    the inline self-fit; the named bigram/trigram stores plug into
+    the same scorer (schema-detected); mixed-order stores and missing
+    orders refuse loudly; compaction preserves the merged counts."""
+    import pytest
+
+    from etl_workflow_spark.operators.text import lm_score_backoff_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).where("doc_id < 300")
+    vstore = str(tmp_path / "vstore")
+    bstore = str(tmp_path / "bstore")
+    tstore = str(tmp_path / "tstore")
+    g4 = str(tmp_path / "g4store")
+    g5 = str(tmp_path / "g5store")
+    for lo, hi, b in ((0, 150, 0), (150, 10**9, 1)):
+        part = docs.where(f"doc_id >= {lo} AND doc_id < {hi}")
+        inc.vocab_rollup_batch(part, vstore, b)
+        inc.bigram_rollup_batch(part, bstore, b)
+        inc.trigram_rollup_batch(part, tstore, b)
+        inc.ngram_rollup_batch(part, g4, b, n=4)
+        inc.ngram_rollup_batch(part, g5, b, n=5)
+    # order 5, all-generic stores above order 3 + legacy 2/3 stores
+    got = {tuple(r) for r in inc.lm_score_backoff_n_from_stores(
+        spark, docs, 5, vstore,
+        {2: bstore, 3: tstore, 4: g4, 5: g5},
+    ).collect()}
+    want = {tuple(r) for r in lm_score_backoff_n(docs, order=5).collect()}
+    assert got == want
+    # compaction preserves the merged counts
+    before = {tuple(r)
+              for r in inc.read_ngram_store(spark, g4, 4).collect()}
+    inc.compact_ngram_store(spark, g4, before_batch_id=2, n=4)
+    after = {tuple(r)
+             for r in inc.read_ngram_store(spark, g4, 4).collect()}
+    assert after == before
+    # wrong-order read refused; mixed-order store refused
+    with pytest.raises(ValueError, match="order"):
+        inc.read_ngram_store(spark, g4, 5)
+    mixed = str(tmp_path / "mixed")
+    inc.ngram_rollup_batch(docs, mixed, 0, n=4)
+    inc.ngram_rollup_batch(docs, mixed, 1, n=5)
+    with pytest.raises(ValueError, match="order"):
+        inc.read_ngram_store(spark, mixed, 4)
+    # missing order refused before any work
+    with pytest.raises(ValueError, match="missing"):
+        inc.lm_score_backoff_n_from_stores(
+            spark, docs, 5, vstore, {2: bstore, 3: tstore, 5: g5}
+        )
+    # a non-count store refused by schema detection
+    with pytest.raises(ValueError, match="not an order"):
+        inc.lm_score_backoff_n_from_stores(
+            spark, docs, 2, vstore, {2: vstore}
+        )
