@@ -122,7 +122,10 @@ def materialize_training_set(
          manifest records the zlib runtime version; extensions REFUSE
          under a different zlib build (compressed sizes differ across
          builds, so the gate would silently drift).
-       - ``"lm"``: ``{"max_avg_nll_e6", and exactly one model source:
+       - ``"lm"``: ``{"max_avg_nll_e6", optional "smoothing"
+         ("laplace" default, or "kn" — interpolated Kneser–Ney via
+         :func:`~.text.lm_score_kn`, same two snapshot tables), and
+         exactly one model source:
          ("unigrams" + "bigrams" count DataFrames) or ("vocab_store" +
          "bigram_store" persisted-store paths)}`` — drop pages whose
          :func:`~.text.lm_score` ``avg_nll_e6`` under the REFERENCE
@@ -688,10 +691,17 @@ def _norm_page_filters(page_filters: dict):
         lm = dict(lm)
         extra = set(lm) - {
             "max_avg_nll_e6", "unigrams", "bigrams",
-            "vocab_store", "bigram_store",
+            "vocab_store", "bigram_store", "smoothing",
         }
         if extra:
             raise ValueError(f"unknown page_filters.lm keys {sorted(extra)}")
+        smoothing = str(lm.get("smoothing", "laplace"))
+        if smoothing not in ("laplace", "kn"):
+            raise ValueError(
+                "page_filters.lm.smoothing must be 'laplace' "
+                "(lm_score) or 'kn' (lm_score_kn) — both run off the "
+                f"same snapshot tables (got {smoothing!r})"
+            )
         thr = lm.get("max_avg_nll_e6")
         if (
             not isinstance(thr, int) or isinstance(thr, bool) or thr <= 0
@@ -727,6 +737,7 @@ def _norm_page_filters(page_filters: dict):
         cfg["lm"] = {
             "max_avg_nll_e6": int(thr),
             "model_dir": "lm_model",
+            "smoothing": smoothing,
         }
     if not cfg:
         raise ValueError(
@@ -842,9 +853,16 @@ def _apply_page_filters(
         _audit("compression", cur)
     lm = pf.get("lm")
     if lm:
+        from .text import lm_score_kn
+
         uni, big = lm_frames
+        scorer = (
+            lm_score_kn
+            if lm.get("smoothing", "laplace") == "kn"
+            else lm_score
+        )
         ok = (
-            lm_score(cur, col=col, id_col=id_col, unigrams=uni, bigrams=big)
+            scorer(cur, col=col, id_col=id_col, unigrams=uni, bigrams=big)
             .where(
                 F.col("avg_nll_e6") <= F.lit(int(lm["max_avg_nll_e6"]))
             )

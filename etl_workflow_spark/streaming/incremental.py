@@ -2211,10 +2211,14 @@ def ngram_rollup_batch(
 
 
 def read_ngram_store(
-    spark: SparkSession, store_path: str, n: int
+    spark: SparkSession, store_path: str, n: int, min_count: int = 1
 ) -> DataFrame:
     """The n-gram store's current merged ``(w1..wn, n_gram)`` counts;
-    refuses a store written at a different order."""
+    refuses a store written at a different order. ``min_count``
+    prunes AFTER the merge (the vocab-store rule: a per-fragment
+    threshold would drop grams that only clear it globally) — the
+    knob that keeps a 100 TB corpus's 5-gram table bounded, exactly
+    where CCNet prunes its model."""
     k = int(n)
     store = spark.read.parquet(store_path)
     orders = sorted(
@@ -2227,7 +2231,11 @@ def read_ngram_store(
             f"not the requested {k} — one store per order"
         )
     keys = [f"w{i + 1}" for i in range(k)]
-    return store.groupBy(*keys).agg(F.sum("n_gram").alias("n_gram"))
+    return (
+        store.groupBy(*keys)
+        .agg(F.sum("n_gram").alias("n_gram"))
+        .where(F.col("n_gram") >= F.lit(int(min_count)))
+    )
 
 
 def compact_ngram_store(

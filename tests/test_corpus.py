@@ -1662,7 +1662,11 @@ def test_page_filters_in_recipe_and_extension(spark, tmp_path):
     assert cfg["gopher"] is True
     assert cfg["compression"]["min_ratio_e4"] == comp_thr
     assert cfg["compression"]["zlib_version"] == zlib.ZLIB_RUNTIME_VERSION
-    assert cfg["lm"] == {"max_avg_nll_e6": lm_thr, "model_dir": "lm_model"}
+    assert cfg["lm"] == {
+        "max_avg_nll_e6": lm_thr,
+        "model_dir": "lm_model",
+        "smoothing": "laplace",
+    }
     assert json.loads(json.dumps(m)) == m
     # drop accounting: one page per tier
     sr = m["stage_rows"]
@@ -1893,4 +1897,56 @@ def test_temperature_tier_in_recipe_and_extension(spark, tmp_path):
         C.materialize_training_set(
             spark, docs, str(tmp_path / "never"),
             temperature=1.5, strata_col="source",
+        )
+
+
+def test_page_filters_kn_smoothing_tier(spark, tmp_path):
+    """r13: the recipe's lm filter can gate under interpolated
+    Kneser-Ney instead of Laplace — same snapshot tables, the choice
+    recorded in the manifest and replayed on extension; unknown
+    smoothings refused."""
+    from pyspark.sql import functions as F
+
+    from etl_workflow_spark.operators import text as T
+
+    docs = _docs(spark, [
+        (1, _pf_good_page(1), "web"),
+        (2, _pf_good_page(2), "web"),
+        (14, _pf_gibberish_page(14), "web"),
+    ])
+    _, uni, big = _pf_reference_frames(spark)
+    nll = {
+        r["doc_id"]: r["avg_nll_e6"]
+        for r in T.lm_score_kn(
+            docs, unigrams=uni, bigrams=big
+        ).collect()
+    }
+    thr = int((max(nll[1], nll[2]) + nll[14]) // 2)
+    assert nll[1] <= thr and nll[2] <= thr and nll[14] > thr
+    out = str(tmp_path / "pf_kn")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2,
+        page_filters={"lm": {"max_avg_nll_e6": thr, "smoothing": "kn",
+                             "unigrams": uni, "bigrams": big}},
+    )
+    assert m["config"]["page_filters"]["lm"]["smoothing"] == "kn"
+    data, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in data.collect()} == {1, 2}
+    # extension replays the recorded KN gate from the frozen snapshot
+    C.extend_training_set(
+        spark,
+        _docs(spark, [(30, _pf_good_page(30), "web"),
+                      (35, _pf_gibberish_page(35), "web")]),
+        out,
+    )
+    data2, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in data2.collect()} == {1, 2, 30}
+    import pytest
+
+    with pytest.raises(ValueError, match="smoothing"):
+        C.materialize_training_set(
+            spark, docs, str(tmp_path / "never"),
+            page_filters={"lm": {"max_avg_nll_e6": thr,
+                                 "smoothing": "backoff5",
+                                 "unigrams": uni, "bigrams": big}},
         )

@@ -1853,6 +1853,13 @@ def test_ngram_store_and_backoff_n_from_stores(spark, sf_dir, tmp_path):
     after = {tuple(r)
              for r in inc.read_ngram_store(spark, g4, 4).collect()}
     assert after == before
+    # min_count prunes AFTER the merge (global threshold, the
+    # vocab-store rule) — the CCNet model-pruning knob
+    pruned = inc.read_ngram_store(spark, g4, 4, min_count=2)
+    assert pruned.where("n_gram < 2").count() == 0
+    assert pruned.count() < len(before)
+    merged_ge2 = {t for t in before if t[-1] >= 2}
+    assert {tuple(r) for r in pruned.collect()} == merged_ge2
     # wrong-order read refused; mixed-order store refused
     with pytest.raises(ValueError, match="order"):
         inc.read_ngram_store(spark, g4, 5)
