@@ -943,6 +943,7 @@ def main() -> None:
     from etl_workflow_spark.session import get_spark
     from etl_workflow_spark.catalog import table, events_table
     from etl_workflow_spark.operators import dedup as D
+    from etl_workflow_spark.operators import multimodal as MM
     from etl_workflow_spark.operators import sessions as SES
     from etl_workflow_spark.operators import ranking as R
     from etl_workflow_spark.operators import similarity as S
@@ -975,6 +976,10 @@ def main() -> None:
             lambda: D.hamming_pairs(D.simhash(docs), max_distance=3))
         run("text_quality", k, lambda: T.text_quality(docs))
         run("tfidf_top_terms", k, lambda: T.tfidf_top_terms(docs, k=5))
+        run("image_neardup", k, lambda: MM.image_neardup_pairs(
+            MM.with_binary_payload(docs)))
+        run("lm_backoff3", k, lambda: T.lm_score_backoff(docs))
+        run("lm_kn", k, lambda: T.lm_score_kn(docs))
         run("ann_bruteforce", k, lambda: S.brute_force_topk(
             emb,
             emb.where("vec_id < 8").withColumnRenamed("vec_id", "query_id"),
