@@ -597,6 +597,71 @@ def hamming_pairs(fps: DataFrame, max_distance: int = 3,
     return cand.where(F.col("hamming") <= F.lit(max_distance))
 
 
+def hamming_probe(new_fps: DataFrame, corpus_fps: DataFrame,
+                  max_distance: int = 3, id_col: str = "doc_id",
+                  fp_col: str = "simhash", bits: int = 64) -> DataFrame:
+    """Cross-corpus Hamming pairing: each NEW fingerprint against an
+    EXISTING corpus's fingerprints — the incremental-ingest twin of
+    :func:`hamming_pairs` (which self-pairs one frame), mirroring
+    :func:`minhash_lsh_probe`'s shape: the (small) batch side's
+    pigeonhole segments broadcast-join the corpus side's, so the
+    corpus fingerprints never self-pair and never shuffle against
+    each other. Returns ``(doc_a=new id, doc_b=corpus id, hamming)``
+    with the distance filter applied; within-batch pairs are NOT
+    reported (run :func:`hamming_pairs` on the batch for those)."""
+    nseg = max_distance + 1
+    if bits < nseg:
+        raise ValueError(
+            f"cannot split {bits} fingerprint bits into {nseg} "
+            "pigeonhole segments (max_distance too large)"
+        )
+    seg_bits = bits // nseg
+
+    def _segs(fps: DataFrame) -> DataFrame:
+        fp = F.col(fp_col)
+        return fps.select(
+            F.col(id_col).alias("id"),
+            fp.alias("__fp"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("seg"),
+                            F.shiftrightunsigned(fp, s * seg_bits)
+                            .bitwiseAND(
+                                F.lit(
+                                    (1 << (bits - s * seg_bits)) - 1
+                                    if s == nseg - 1
+                                    else (1 << seg_bits) - 1
+                                )
+                            )
+                            .alias("segval"),
+                        )
+                        for s in range(nseg)
+                    ]
+                )
+            ).alias("sv"),
+        ).select(
+            "id", "__fp",
+            F.col("sv.seg").alias("seg"),
+            F.col("sv.segval").alias("segval"),
+        )
+
+    cand = (
+        F.broadcast(_segs(new_fps)).alias("x")
+        .join(_segs(corpus_fps).alias("y"), on=["seg", "segval"])
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.__fp").bitwiseXOR(F.col("y.__fp"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= F.lit(max_distance))
+
+
 # ------------------------------------------------------------ clustering
 
 

@@ -2561,6 +2561,151 @@ def compact_sample_store(
     )
 
 
+# ------------------------------------------ image fingerprint store
+
+
+def dhash_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    method: str = "dhash",
+    hash_size: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> None:
+    """Write one micro-batch's perceptual image fingerprints into the
+    fingerprint store, EXACTLY-ONCE (``batch_id=…`` partition
+    overwrite — a replayed batch rewrites its own fragment). Hashing
+    is :func:`~etl_workflow_spark.operators.multimodal.dhash_media` /
+    ``phash_media`` — the SAME operators the batch pairing runs, so
+    store-fed probes cannot drift. The method and hash size travel as
+    constant columns; the read refuses mixed stores (fingerprints
+    from different hash functions are incomparable bit patterns).
+    This is the tokenize-once-at-ingest shape for images: each
+    payload is decoded exactly once, at arrival; every later near-dup
+    probe touches only 8-byte fingerprints."""
+    from ..operators.multimodal import dhash_media, phash_media
+
+    if method not in ("dhash", "phash"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'dhash' or 'phash'"
+        )
+    hasher = dhash_media if method == "dhash" else phash_media
+    fps = (
+        hasher(
+            batch_df.groupBy(id_col).agg(
+                F.max(payload_col).alias(payload_col)
+            ),
+            hash_size=hash_size, id_col=id_col,
+            payload_col=payload_col, allow_fake=allow_fake,
+        )
+        .withColumnRenamed(method, "fp")
+        .withColumn("__method", F.lit(method))
+        .withColumn("__hash_size", F.lit(int(hash_size)))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
+    (
+        fps.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def stream_dhash_rollup(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous fingerprint-store maintenance (the
+    :func:`stream_vocab_rollup` twin). Returns a writeStream builder
+    (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        dhash_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_fingerprint_store(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame, str, int]:
+    """The store's current ``(doc_id, fp)`` fingerprints (per-key
+    last-write-wins across fragments — a re-ingested image's LATEST
+    hash is the live one) plus the recorded (method, hash_size).
+    Mixed-method or mixed-size stores are refused — their bit
+    patterns are incomparable, and a silent union would band garbage."""
+    from pyspark.sql.window import Window
+
+    idx = spark.read.parquet(store_path)
+    wrote = {
+        (r["__method"], int(r["__hash_size"]))
+        for r in idx.select("__method", "__hash_size")
+        .distinct().collect()
+    }
+    if not wrote:
+        raise ValueError(
+            f"fingerprint store at {store_path} has no fragments"
+        )
+    if len(wrote) != 1:
+        raise ValueError(
+            "fingerprint store mixes hash configurations "
+            f"{sorted(wrote)} — one store per (method, hash_size)"
+        )
+    method, hash_size = next(iter(wrote))
+    w = Window.partitionBy("doc_id")
+    fps = (
+        idx.withColumn("__mx", F.max("batch_id").over(w))
+        .where(F.col("batch_id") == F.col("__mx"))
+        .select("doc_id", "fp")
+    )
+    return fps, method, hash_size
+
+
+def image_neardup_probe(
+    spark: SparkSession,
+    new_df: DataFrame,
+    store_path: str,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Probe a NEW image batch against the ingested corpus's
+    fingerprint store: hash the batch under the store's RECORDED
+    (method, hash_size) — a caller cannot accidentally band dHash
+    bits against pHash bits — then
+    :func:`~etl_workflow_spark.operators.dedup.hamming_probe` (batch
+    segments broadcast; the corpus fingerprints never self-pair and
+    the corpus payloads are never re-decoded). Returns
+    ``(doc_a=batch id, doc_b=corpus id, hamming)`` — anti-join the
+    batch on ``doc_a`` for the keep-first-ingest dedup decision;
+    within-batch pairs come from the batch-side
+    :func:`~etl_workflow_spark.operators.multimodal
+    .image_neardup_pairs`."""
+    from ..operators.dedup import hamming_probe
+    from ..operators.multimodal import dhash_media, phash_media
+
+    corpus_fps, method, hash_size = read_fingerprint_store(
+        spark, store_path
+    )
+    hasher = dhash_media if method == "dhash" else phash_media
+    new_fps = hasher(
+        new_df, hash_size=hash_size, id_col=id_col,
+        payload_col=payload_col, allow_fake=allow_fake,
+    ).withColumnRenamed(method, "fp")
+    return hamming_probe(
+        new_fps, corpus_fps, max_distance=max_distance,
+        id_col=id_col, fp_col="fp", bits=hash_size ** 2,
+    )
+
+
 # ----------------------------------------------- drift bucket store
 
 

@@ -1878,3 +1878,85 @@ def test_ngram_store_and_backoff_n_from_stores(spark, sf_dir, tmp_path):
         inc.lm_score_backoff_n_from_stores(
             spark, docs, 2, vstore, {2: vstore}
         )
+
+
+def test_image_fingerprint_store_and_probe(spark, tmp_path):
+    """Image fingerprint store (r13): per-batch exactly-once
+    fragments of perceptual hashes; the probe hashes a NEW batch
+    under the store's RECORDED config and bands it against the
+    corpus fingerprints (payloads decoded once, at ingest); replays
+    overwrite; re-ingested keys are last-write-wins; mixed-config
+    stores refuse; a real availableNow stream lands fragments."""
+    import pytest
+
+    from etl_workflow_spark.operators import multimodal as M
+
+    def block_png(i, poke=False):
+        w, h = 36, 32
+        buf = bytearray()
+        for py in range(h):
+            for px in range(w):
+                v = 200 if ((px // 4 + py // 4 + i) % 2) else 40
+                buf += bytes((v, v, v))
+        if poke:
+            j = (1 * 36 + 1) * 3
+            buf[j:j + 3] = bytes((buf[j] + 1,) * 3)
+        return bytearray(M._png_encode(w, h, 3, bytes(buf)))
+
+    corpus = spark.createDataFrame(
+        [(1, block_png(0)), (2, block_png(1))],
+        "doc_id long, payload binary",
+    )
+    store = str(tmp_path / "fpstore")
+    inc.dhash_rollup_batch(corpus.where("doc_id = 1"), store, 0)
+    inc.dhash_rollup_batch(corpus.where("doc_id = 2"), store, 1)
+    inc.dhash_rollup_batch(corpus.where("doc_id = 2"), store, 1)  # replay
+    fps, method, hs = inc.read_fingerprint_store(spark, store)
+    assert (method, hs) == ("dhash", 8)
+    want = {(r["doc_id"], r["dhash"])
+            for r in M.dhash_media(corpus, allow_fake=False).collect()}
+    assert {(r["doc_id"], r["fp"]) for r in fps.collect()} == want
+    # probe: a near-dup of doc 1 hits it; a fresh pattern misses
+    grad = bytearray(M._png_encode(36, 32, 3, bytes(
+        b for py in range(32) for px in range(36)
+        for b in (((7 * px + 13 * py) % 161 + 40),) * 3
+    )))
+    batch = spark.createDataFrame(
+        [(30, block_png(0, poke=True)), (31, grad)],
+        "doc_id long, payload binary",
+    )
+    hits = {(r["doc_a"], r["doc_b"])
+            for r in inc.image_neardup_probe(spark, batch, store).collect()}
+    assert (30, 1) in hits
+    assert not any(a == 31 for a, _ in hits)
+    # keep-first-ingest dedup decision: anti-join drops the near-dup
+    losers = inc.image_neardup_probe(spark, batch, store).select(
+        F.col("doc_a").alias("doc_id")
+    )
+    kept = {r["doc_id"]
+            for r in batch.join(losers, "doc_id", "left_anti").collect()}
+    assert kept == {31}
+    # mixed-config store refused
+    inc.dhash_rollup_batch(corpus, store, 2, method="phash")
+    with pytest.raises(ValueError, match="mixes hash"):
+        inc.read_fingerprint_store(spark, store)
+    # empty store refused loudly
+    with pytest.raises(Exception):
+        inc.image_neardup_probe(
+            spark, batch, str(tmp_path / "nostore")
+        )
+    # real availableNow stream
+    src = str(tmp_path / "imgsrc")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, payload binary"
+    ).parquet(src)
+    store2 = str(tmp_path / "fpstore2")
+    qh = (
+        inc.stream_dhash_rollup(stream, store2, str(tmp_path / "ickpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    fps2, _, _ = inc.read_fingerprint_store(spark, store2)
+    assert {(r["doc_id"], r["fp"]) for r in fps2.collect()} == want
