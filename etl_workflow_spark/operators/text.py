@@ -1141,7 +1141,13 @@ def lm_score_kn(
         F.greatest(c12 - F.lit(d_disc), F.lit(0.0)) / c1
         + (F.lit(d_disc) * n1f / c1) * pcont
     )
-    p = F.when((c12 > 0) | ((c1 > 0) & (n1f > 0)), interp).otherwise(
+    # the interpolated branch divides by c(w1), so it requires c1 > 0
+    # even when c12 > 0: a caller-supplied bigram table can contain a
+    # pair whose w1 is missing from the caller's unigram table
+    # (impossible under self-fit / the store path, where both tables
+    # derive from one source) — such rows route to the pcont fallback
+    # instead of dividing by zero
+    p = F.when((c1 > 0) & ((c12 > 0) | (n1f > 0)), interp).otherwise(
         pcont
     )
     scored = (
@@ -1235,9 +1241,9 @@ def lm_score_kn_oracle(
                    CAST(SUM(dpc.m) AS INT) AS n_pairs,
                    CAST(SUM(
                        CAST(FLOOR(ln(
-                           CASE WHEN COALESCE(big.c, 0) > 0
-                                  OR (COALESCE(uni.c, 0) > 0
-                                      AND COALESCE(fanout.n1f, 0) > 0)
+                           CASE WHEN COALESCE(uni.c, 0) > 0
+                                  AND (COALESCE(big.c, 0) > 0
+                                       OR COALESCE(fanout.n1f, 0) > 0)
                            THEN
                              GREATEST(CAST(COALESCE(big.c, 0) AS DOUBLE)
                                       - {dd}, CAST(0.0 AS DOUBLE))

@@ -2600,6 +2600,9 @@ def dhash_rollup_batch(
             hash_size=hash_size, id_col=id_col,
             payload_col=payload_col, allow_fake=allow_fake,
         )
+        # the store's canonical id column is doc_id regardless of the
+        # caller's id_col (the hashers preserve the input name)
+        .withColumnRenamed(id_col, "doc_id")
         .withColumnRenamed(method, "fp")
         .withColumn("__method", F.lit(method))
         .withColumn("__hash_size", F.lit(int(hash_size)))
@@ -2696,13 +2699,18 @@ def image_neardup_probe(
         spark, store_path
     )
     hasher = dhash_media if method == "dhash" else phash_media
-    new_fps = hasher(
-        new_df, hash_size=hash_size, id_col=id_col,
-        payload_col=payload_col, allow_fake=allow_fake,
-    ).withColumnRenamed(method, "fp")
+    new_fps = (
+        hasher(
+            new_df, hash_size=hash_size, id_col=id_col,
+            payload_col=payload_col, allow_fake=allow_fake,
+        )
+        # align on the store's canonical id column before banding
+        .withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed(method, "fp")
+    )
     return hamming_probe(
         new_fps, corpus_fps, max_distance=max_distance,
-        id_col=id_col, fp_col="fp", bits=hash_size ** 2,
+        id_col="doc_id", fp_col="fp", bits=hash_size ** 2,
     )
 
 

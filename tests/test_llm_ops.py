@@ -422,6 +422,41 @@ def test_image_neardup_pairs_planted_recall(spark):
     assert kept_q == {2, 3}
 
 
+def test_image_hashers_honor_string_id_col(spark):
+    """r14 (verdict note #1): ``dhash_media``/``phash_media`` must
+    emit the CALLER'S id column — name AND type preserved (string ids
+    are common for image corpora), not a silently-renamed int64
+    ``doc_id`` — and the pairing/dedup path must run end-to-end on a
+    string-keyed frame."""
+    junk_a = b"payload alpha, not an image"
+    junk_b = b"payload beta, also not an image"
+    df = spark.createDataFrame(
+        [
+            ("img-a", bytearray(junk_a)),
+            ("img-b", bytearray(junk_a)),  # exact dup -> hamming 0
+            ("img-c", bytearray(junk_b)),
+        ],
+        "image_id string, payload binary",
+    )
+    fps = M.dhash_media(df, id_col="image_id")
+    assert fps.columns == ["image_id", "dhash"]
+    assert dict(fps.dtypes)["image_id"] == "string"
+    vals = {r["image_id"]: r["dhash"] for r in fps.collect()}
+    assert vals["img-a"] == vals["img-b"] != vals["img-c"]
+    pfs = M.phash_media(df, id_col="image_id")
+    assert pfs.columns == ["image_id", "phash"]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.image_neardup_pairs(
+            df, max_distance=3, id_col="image_id"
+        ).collect()
+    }
+    assert pairs == {("img-a", "img-b"): 0}
+    kept = {r["image_id"]
+            for r in M.dedup_images(df, id_col="image_id").collect()}
+    assert kept == {"img-a", "img-c"}
+
+
 def test_extract_media_meta_plumbing(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="x")])
     out = {r["doc_id"]: r for r in
@@ -2226,6 +2261,40 @@ def test_lm_score_kn_interpolated_model(spark):
         lm_score_kn(
             docs, unigrams=uni.where("token = 'nope'"), bigrams=big
         ).collect()
+
+
+def test_lm_score_kn_inconsistent_foreign_tables_stay_finite(spark):
+    """r14 (verdict note #2): a caller-supplied bigram table may
+    contain a pair whose w1 is MISSING from the caller's unigram
+    table (c12 > 0 while c1 = 0 — impossible under self-fit or the
+    store path). The interpolated branch would divide by zero; the
+    guard routes such rows to the pure-continuation fallback, so the
+    score stays finite and matches the pcont hand computation."""
+    import math
+
+    from etl_workflow_spark.operators.text import lm_score_kn
+
+    uni = spark.createDataFrame(
+        [("x", 10), ("y", 5)], "token string, count long"
+    )
+    # (ghost, y) has n_pair > 0 but 'ghost' is absent from unigrams
+    big = spark.createDataFrame(
+        [("x", "y", 4), ("ghost", "y", 7)],
+        "w1 string, w2 string, n_pair long",
+    )
+    probe = spark.createDataFrame(
+        [(1, "ghost y"), (2, "x y")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["logprob_e9_sum"] for r in lm_score_kn(
+        probe, unigrams=uni, bigrams=big).collect()}
+    # nv = 2 bigram types + 2 vocab = 4; contin y <- {x, ghost} = 2
+    pcont_y = math.floor(math.log((2 + 1.0) / 4.0) * 1e9)
+    assert got[1] == pcont_y  # finite, via the fallback — not -inf/NaN
+    # consistent rows still take the interpolated branch
+    want2 = math.floor(math.log(
+        max(4 - 0.75, 0.0) / 10.0 + (0.75 * 1 / 10.0) * ((2 + 1.0) / 4.0)
+    ) * 1e9)
+    assert got[2] == want2
 
 
 def test_lm_score_backoff_n_arbitrary_order(spark):
