@@ -66,6 +66,7 @@ def materialize_training_set(
     dedup_threshold: float = 0.8,
     keep_quality_col: str | None = None,
     semantic_dedup: dict | None = None,
+    image_dedup: dict | None = None,
     dsir: dict | None = None,
     mixture: dict[str, float] | None = None,
     temperature: float | None = None,
@@ -123,15 +124,22 @@ def materialize_training_set(
          under a different zlib build (compressed sizes differ across
          builds, so the gate would silently drift).
        - ``"lm"``: ``{"max_avg_nll_e6", optional "smoothing"
-         ("laplace" default, or "kn" — interpolated Kneser–Ney via
-         :func:`~.text.lm_score_kn`, same two snapshot tables), and
-         exactly one model source:
-         ("unigrams" + "bigrams" count DataFrames) or ("vocab_store" +
-         "bigram_store" persisted-store paths)}`` — drop pages whose
+         ("laplace" default, "kn" — interpolated Kneser–Ney via
+         :func:`~.text.lm_score_kn`, same two snapshot tables — or
+         "backoff", r14: stupid backoff at an explicit ``"order"``
+         2..8 via :func:`~.text.lm_score_backoff_n`, the actual CCNet
+         5-gram gate, with optional ``"alpha"`` and store-prune
+         ``"min_count"``), and exactly one model source: for the
+         bigram smoothings ("unigrams" + "bigrams" count DataFrames)
+         or ("vocab_store" + "bigram_store" persisted-store paths);
+         for backoff ("counts": order→DataFrame for every order
+         1..order) or ("vocab_store" + "ngram_stores": order→path for
+         every order 2..order)}`` — drop pages whose
          :func:`~.text.lm_score` ``avg_nll_e6`` under the REFERENCE
          model exceeds the bound (the CCNet shape, Wenzek 2020). The
          resolved counts are SNAPSHOTTED into ``out_path/lm_model/``
-         at build and the manifest records that directory — extensions
+         at build (higher orders as order-tagged ``ngrams_<k>``
+         slices) and the manifest records that directory — extensions
          and rebuilds score under the identical frozen counts even if
          the source store keeps ingesting (same reasoning as the
          recorded qcls/dsir models, for a model too big to inline).
@@ -159,7 +167,24 @@ def materialize_training_set(
        rebuilds dedup under the IDENTICAL cell structure). NULL
        embeddings pass through unexamined (the module's
        null-preservation contract).
-    3c. **DSIR selection** (``dsir`` config, r11): importance-resample
+    3c. **image perceptual dedup** (``image_dedup`` config, r14): keep
+       one image per perceptual near-duplicate cluster over an opaque
+       binary ``payload_col``, AFTER the lexical and semantic tiers —
+       dHash/pHash fingerprints (:mod:`~.multimodal`), Hamming
+       pigeonhole pairing, connected components, keep policy (cluster-
+       min id, or best ``quality_col``). Config keys: ``payload_col``
+       (default "payload"), ``method`` ("dhash" default or "phash"),
+       ``hash_size`` (8), ``max_distance`` (3), ``quality_col``
+       (optional), ``allow_fake`` (True). Every payload is decoded
+       exactly ONCE: the fingerprints persist into
+       ``out_path/image_fps/`` (the fingerprint-store layout of
+       :mod:`~..streaming.incremental`) and the pairing, the manifest,
+       and every later extension's cross probe read 8-byte
+       fingerprints from those files. The manifest records the build's
+       pixel-tier availability (Pillow or not); extensions refuse a
+       runtime that would hash the same payload differently — the
+       zlib-pin reasoning. NULL payloads pass through unexamined.
+    3d. **DSIR selection** (``dsir`` config, r11): importance-resample
        toward a target domain (:func:`~.text.dsir_select` semantics,
        Xie et al. 2023) AFTER the dedup tiers and BEFORE mixture —
        the mixture's solved proportions are the output composition
@@ -288,6 +313,9 @@ def materialize_training_set(
     pf_lm_inputs = None
     if page_filters is not None:
         pf_cfg, pf_lm_inputs = _norm_page_filters(page_filters)
+    img_cfg: dict | None = None
+    if image_dedup is not None:
+        img_cfg = _norm_image_dedup(image_dedup, docs)
     dsir_cfg: dict | None = None
     dsir_target: DataFrame | None = None
     if dsir is not None:
@@ -390,6 +418,12 @@ def materialize_training_set(
     if sem is not None:
         cur = _semantic_stage(cur, sem, id_col, train_if_needed=True)
         _audit("semantic_dedup", cur)
+    if img_cfg is not None:
+        cur = _image_dedup_stage(
+            cur, img_cfg,
+            f"{out_path.rstrip('/')}/{img_cfg['store_dir']}",
+            id_col, _audit, batch_id=0,
+        )
     if dsir_cfg is not None:
         from .text import _dsir_logw_udf, dsir_fit
 
@@ -588,6 +622,7 @@ def materialize_training_set(
             "dedup_threshold": dedup_threshold if dedup else None,
             "keep_quality_col": keep_quality_col,
             "semantic_dedup": sem,
+            "image_dedup": img_cfg,
             "dsir": dsir_cfg,
             "mixture": mixture,
             "temperature": temperature,
@@ -692,15 +727,17 @@ def _norm_page_filters(page_filters: dict):
         extra = set(lm) - {
             "max_avg_nll_e6", "unigrams", "bigrams",
             "vocab_store", "bigram_store", "smoothing",
+            "order", "alpha", "counts", "ngram_stores", "min_count",
         }
         if extra:
             raise ValueError(f"unknown page_filters.lm keys {sorted(extra)}")
         smoothing = str(lm.get("smoothing", "laplace"))
-        if smoothing not in ("laplace", "kn"):
+        if smoothing not in ("laplace", "kn", "backoff"):
             raise ValueError(
                 "page_filters.lm.smoothing must be 'laplace' "
-                "(lm_score) or 'kn' (lm_score_kn) — both run off the "
-                f"same snapshot tables (got {smoothing!r})"
+                "(lm_score), 'kn' (lm_score_kn — same two snapshot "
+                "tables), or 'backoff' (lm_score_backoff_n at the "
+                f"configured order) (got {smoothing!r})"
             )
         thr = lm.get("max_avg_nll_e6")
         if (
@@ -710,6 +747,94 @@ def _norm_page_filters(page_filters: dict):
                 "page_filters.lm.max_avg_nll_e6 must be a positive "
                 "int (per-pair negative log-likelihood in 1e-6 nats)"
             )
+        if smoothing == "backoff":
+            for k in ("unigrams", "bigrams", "bigram_store"):
+                if k in lm:
+                    raise ValueError(
+                        f"page_filters.lm.{k} is the bigram-model "
+                        "source — backoff smoothing takes 'counts' "
+                        "(order->DataFrame) or 'vocab_store'+"
+                        "'ngram_stores' (order->path)"
+                    )
+            order = lm.get("order")
+            if (
+                not isinstance(order, int) or isinstance(order, bool)
+                or not (2 <= order <= 8)
+            ):
+                raise ValueError(
+                    "page_filters.lm backoff smoothing needs an "
+                    "explicit 'order' in 2..8 (the CCNet gate is 5); "
+                    f"got {order!r}"
+                )
+            alpha = float(lm.get("alpha", 0.4))
+            if not (0.0 < alpha <= 1.0):
+                raise ValueError(
+                    f"page_filters.lm.alpha must be in (0, 1] "
+                    f"(got {alpha})"
+                )
+            min_count = int(lm.get("min_count", 1))
+            if min_count < 1:
+                raise ValueError(
+                    f"page_filters.lm.min_count must be >= 1 "
+                    f"(got {min_count})"
+                )
+            frames_n = "counts" in lm
+            stores_n = ("vocab_store" in lm) or ("ngram_stores" in lm)
+            if frames_n == stores_n:
+                raise ValueError(
+                    "page_filters.lm backoff needs exactly ONE model "
+                    "source: 'counts' (order->count DataFrames, all "
+                    "orders 1..order), or 'vocab_store'+'ngram_stores' "
+                    "(order->store path for every order 2..order)"
+                )
+            if frames_n:
+                counts = dict(lm["counts"])
+                missing = [k for k in range(1, order + 1)
+                           if k not in counts]
+                if missing:
+                    raise ValueError(
+                        "page_filters.lm.counts must cover every "
+                        f"order 1..{order} (a page filter scores "
+                        "under a REFERENCE model — nothing self-fits "
+                        f"here); missing {missing}"
+                    )
+                lm_inputs = ("frames_n", counts, order)
+            else:
+                if not lm.get("vocab_store") or not lm.get("ngram_stores"):
+                    raise ValueError(
+                        "page_filters.lm backoff store mode needs "
+                        "BOTH vocab_store and ngram_stores"
+                    )
+                npaths = {int(k): str(v)
+                          for k, v in dict(lm["ngram_stores"]).items()}
+                missing = [k for k in range(2, order + 1)
+                           if k not in npaths]
+                if missing:
+                    raise ValueError(
+                        "page_filters.lm.ngram_stores must cover every "
+                        f"order 2..{order}; missing {missing}"
+                    )
+                lm_inputs = (
+                    "stores_n", str(lm["vocab_store"]), npaths,
+                    order, min_count,
+                )
+            cfg["lm"] = {
+                "max_avg_nll_e6": int(thr),
+                "model_dir": "lm_model",
+                "smoothing": smoothing,
+                "order": int(order),
+                "alpha": alpha,
+                "min_count": min_count,
+            }
+            return cfg, lm_inputs
+        for k in ("counts", "ngram_stores", "order", "alpha", "min_count"):
+            if k in lm:
+                raise ValueError(
+                    f"page_filters.lm.{k} is backoff-smoothing "
+                    "configuration — the laplace/kn gates are "
+                    "bigram-model filters (pass smoothing='backoff' "
+                    "for higher orders)"
+                )
         frames = ("unigrams" in lm) or ("bigrams" in lm)
         stores = ("vocab_store" in lm) or ("bigram_store" in lm)
         if frames == stores:
@@ -757,6 +882,67 @@ def _write_lm_model(
     pass (build AND extensions) reads. Vocabulary-bounded, one narrow
     copy; ``errorifexists`` so a racing second build fails loudly."""
     kind = lm_inputs[0]
+    base = out_path.rstrip("/")
+    if kind in ("frames_n", "stores_n"):
+        # backoff model at arbitrary order (r14): unigrams under the
+        # bigram layout's (token, count) contract, each higher order
+        # as ngrams_<k>/(w1..wk, n_gram) — the order-tagged store
+        # slices, frozen exactly like the bigram tables
+        from ..streaming.incremental import read_ngram_counts_any
+
+        if kind == "frames_n":
+            counts, order = dict(lm_inputs[1]), int(lm_inputs[2])
+            uni = counts[1]
+            if "w1" in uni.columns and "token" not in uni.columns:
+                uni = uni.select(
+                    F.col("w1").alias("token"),
+                    F.col("n_gram").alias("count"),
+                )
+            tabs = {
+                k: counts[k].select(
+                    *[
+                        F.col(f"w{i + 1}").cast("string").alias(f"w{i + 1}")
+                        for i in range(k)
+                    ],
+                    F.col("n_gram").cast("bigint").alias("n_gram"),
+                )
+                for k in range(2, order + 1)
+            }
+        else:
+            vpath, npaths, order, min_count = (
+                str(lm_inputs[1]), dict(lm_inputs[2]),
+                int(lm_inputs[3]), int(lm_inputs[4]),
+            )
+            from ..streaming.incremental import (
+                _read_vocab_store_raw,
+                _vocab_store_flag,
+                read_vocab_store,
+            )
+
+            if not _vocab_store_flag(_read_vocab_store_raw(spark, vpath)):
+                raise ValueError(
+                    "page_filters.lm needs a LOWERCASE vocab store "
+                    "(the scorer lowercases; a case-sensitive store "
+                    "would score every token as out-of-vocabulary)"
+                )
+            uni = read_vocab_store(spark, vpath)
+            tabs = {
+                k: read_ngram_counts_any(
+                    spark, npaths[k], k, min_count=min_count
+                )
+                for k in range(2, order + 1)
+            }
+        uni.select(
+            F.col("token").cast("string").alias("token"),
+            F.col("count").cast("bigint").alias("count"),
+        ).write.mode("errorifexists").parquet(
+            f"{base}/{model_dir}/unigrams"
+        )
+        for k, tab in tabs.items():
+            tab.write.mode("errorifexists").parquet(
+                f"{base}/{model_dir}/ngrams_{k}"
+            )
+        return
     if kind == "frames":
         uni = lm_inputs[1].select(
             F.col("token").cast("string").alias("token"),
@@ -790,13 +976,28 @@ def _write_lm_model(
 
 def _read_lm_model(
     spark: SparkSession, out_path: str, lm_cfg: dict
-) -> tuple[DataFrame, DataFrame]:
+):
     """The frozen lm-model snapshot, under explicit schemas (an
-    empty-but-valid snapshot must stay readable)."""
+    empty-but-valid snapshot must stay readable). Bigram smoothings
+    (laplace/kn) return ``(unigrams, bigrams)``; backoff returns the
+    ``{order: counts}`` dict :func:`~.text.lm_score_backoff_n`
+    consumes, read from the order-tagged ``ngrams_<k>`` snapshot
+    directories."""
     d = f"{out_path.rstrip('/')}/{lm_cfg.get('model_dir', 'lm_model')}"
     uni = spark.read.schema("token string, count bigint").parquet(
         f"{d}/unigrams"
     )
+    if lm_cfg.get("smoothing") == "backoff":
+        order = int(lm_cfg["order"])
+        counts: dict[int, DataFrame] = {1: uni}
+        for k in range(2, order + 1):
+            schema = ", ".join(
+                [f"w{i + 1} string" for i in range(k)] + ["n_gram bigint"]
+            )
+            counts[k] = spark.read.schema(schema).parquet(
+                f"{d}/ngrams_{k}"
+            )
+        return counts
     big = spark.read.schema(
         "w1 string, w2 string, n_pair bigint"
     ).parquet(f"{d}/bigrams")
@@ -853,17 +1054,28 @@ def _apply_page_filters(
         _audit("compression", cur)
     lm = pf.get("lm")
     if lm:
-        from .text import lm_score_kn
+        from .text import lm_score_backoff_n, lm_score_kn
 
-        uni, big = lm_frames
-        scorer = (
-            lm_score_kn
-            if lm.get("smoothing", "laplace") == "kn"
-            else lm_score
-        )
+        if lm.get("smoothing", "laplace") == "backoff":
+            # higher-order gate (r14): stupid backoff at the recorded
+            # order under the frozen order-tagged count snapshot — the
+            # actual CCNet 5-gram shape as a recipe tier
+            scored = lm_score_backoff_n(
+                cur, order=int(lm["order"]), col=col, id_col=id_col,
+                counts=lm_frames, alpha=float(lm.get("alpha", 0.4)),
+            )
+        else:
+            uni, big = lm_frames
+            scorer = (
+                lm_score_kn
+                if lm.get("smoothing", "laplace") == "kn"
+                else lm_score
+            )
+            scored = scorer(
+                cur, col=col, id_col=id_col, unigrams=uni, bigrams=big
+            )
         ok = (
-            scorer(cur, col=col, id_col=id_col, unigrams=uni, bigrams=big)
-            .where(
+            scored.where(
                 F.col("avg_nll_e6") <= F.lit(int(lm["max_avg_nll_e6"]))
             )
             .select(id_col)
@@ -900,6 +1112,226 @@ def _page_filter_ext_inputs(spark: SparkSession, base: str, cfg: dict):
     if pf.get("lm") is not None:
         return _read_lm_model(spark, base, pf["lm"])
     return None
+
+
+def _norm_image_dedup(image_dedup: dict, docs: DataFrame) -> dict:
+    """Validate the ``image_dedup`` config into its RECORDED shape
+    (JSON-safe — what the manifest stores and every extension
+    replays). Raises ``ValueError`` on anything ambiguous; records the
+    build's pixel-tier availability (Pillow present or not) so
+    extensions refuse a runtime that would hash the same payload to
+    different bits (the pin-one-codec-per-fleet rule, same reasoning
+    as the compression filter's zlib pin)."""
+    from .multimodal import _pillow
+
+    src = dict(image_dedup)
+    unknown = set(src) - {
+        "payload_col", "method", "hash_size", "max_distance",
+        "quality_col", "allow_fake",
+    }
+    if unknown:
+        raise ValueError(
+            f"unknown image_dedup keys {sorted(unknown)}; known: "
+            "payload_col, method, hash_size, max_distance, "
+            "quality_col, allow_fake"
+        )
+    pcol = str(src.get("payload_col", "payload"))
+    if pcol not in docs.columns:
+        raise ValueError(
+            f"image_dedup.payload_col {pcol!r} not in the input "
+            f"columns {docs.columns}"
+        )
+    method = str(src.get("method", "dhash"))
+    if method not in ("dhash", "phash"):
+        raise ValueError(
+            f"image_dedup.method must be 'dhash' or 'phash' "
+            f"(got {method!r})"
+        )
+    hs = int(src.get("hash_size", 8))
+    if not (2 <= hs <= 8):
+        raise ValueError(
+            f"image_dedup.hash_size must be in 2..8 (got {hs}): "
+            "hash_size² bits must pack into one 64-bit long"
+        )
+    md = int(src.get("max_distance", 3))
+    if md < 1:
+        raise ValueError(
+            f"image_dedup.max_distance must be >= 1 (got {md}) — 0 "
+            "would be exact dedup, which the lexical tier already does"
+        )
+    if hs * hs < md + 1:
+        raise ValueError(
+            f"image_dedup: cannot split {hs * hs} fingerprint bits "
+            f"into {md + 1} pigeonhole segments — lower max_distance "
+            "or raise hash_size"
+        )
+    qcol = src.get("quality_col")
+    if qcol is not None:
+        qcol = str(qcol)
+        if qcol not in docs.columns:
+            raise ValueError(
+                f"image_dedup.quality_col {qcol!r} not in the input "
+                f"columns {docs.columns}"
+            )
+    return {
+        "payload_col": pcol,
+        "method": method,
+        "hash_size": hs,
+        "max_distance": md,
+        "quality_col": qcol,
+        "allow_fake": bool(src.get("allow_fake", True)),
+        "store_dir": "image_fps",
+        "pillow": _pillow() is not None,
+    }
+
+
+def _image_ext_inputs(spark: SparkSession, base: str, cfg: dict):
+    """Extension-side resolution of the recorded image-dedup tier:
+    the fingerprint store written by the build (and every prior
+    extension) must exist — without it the cross probe would silently
+    admit near-dups of the whole corpus. Returns the store path (or
+    None when the set has no image tier)."""
+    img = cfg.get("image_dedup")
+    if not img:
+        return None
+    from ..sources.txn import _fs, _hpath
+
+    rel = img.get("store_dir", "image_fps")
+    jvm, fs = _fs(spark, base)
+    if not fs.exists(_hpath(jvm, base, rel)):
+        raise ValueError(
+            f"this set's image_dedup fingerprint store ({base}/{rel}) "
+            "is missing — it is written at build and appended by every "
+            "extension; without it new batches cannot be probed "
+            "against the corpus fingerprints. Re-materialize the set"
+        )
+    return f"{base}/{rel}"
+
+
+def _image_dedup_stage(
+    cur: DataFrame,
+    img: dict,
+    store_path: str,
+    id_col: str,
+    _audit,
+    batch_id: int,
+    universe: DataFrame | None = None,
+) -> DataFrame:
+    """The recipe's image perceptual near-dup tier (r14), shared
+    VERBATIM by build and extension so the two cannot drift.
+
+    Decode-once contract: every row reaching this stage has its
+    payload hashed exactly ONCE (one Arrow pass), and the fingerprints
+    are persisted as this epoch's fragment of the set's fingerprint
+    store BEFORE any pairing — the pairing, the keep policy, and every
+    later extension's cross probe read 8-byte fingerprints from the
+    store files; payload bytes never enter a join or a shuffle. The
+    store may retain fingerprints of rows a later stage (or this keep
+    policy) dropped — harmless: cross contacts are restricted to live
+    universe members by the semi-join below, exactly the lexical cross
+    tier's shape.
+
+    Build (``universe=None``): within-corpus pairing
+    (:func:`~.dedup.hamming_pairs` pigeonhole banding, never
+    all-pairs) → connected components → keep policy (cluster-min id,
+    or best ``quality_col`` — the RefinedWeb policy). NULL payloads
+    pass through unexamined (the multimodal module's null-preservation
+    contract).
+
+    Extension (``universe`` given): within-batch pairing + keep policy
+    as above, then the cross tier — batch fingerprints
+    :func:`~.dedup.hamming_probe` the store's PRIOR fragments (batch
+    side broadcasts; the corpus never re-decodes, never self-pairs),
+    contacts are restricted to universe members (keep-first across
+    epochs: the universe member always wins) and spread through the
+    within-batch components (the r11 closure: a batch doc whose only
+    corpus link runs through a within-batch loser still drops, as a
+    fresh union build would fold the component).
+    """
+    from ..streaming.incremental import write_fingerprint_fragment
+    from .dedup import (
+        dedup_clusters,
+        hamming_pairs,
+        hamming_probe,
+        keep_best_per_cluster,
+    )
+    from .multimodal import _pillow, dhash_media, phash_media
+
+    if bool(img.get("pillow")) != (_pillow() is not None):
+        raise ValueError(
+            "this set's image_dedup fingerprints were computed with "
+            f"Pillow {'present' if img.get('pillow') else 'absent'} "
+            "but this runtime has it "
+            f"{'present' if _pillow() is not None else 'absent'} — "
+            "the pixel tiers hash the same payload to different bits "
+            "(bilinear vs integer-NN resample), so extending here "
+            "would band incomparable fingerprints. Pin one codec "
+            "tier per fleet, or re-materialize under this one"
+        )
+    pcol = img["payload_col"]
+    method = img["method"]
+    hs = int(img["hash_size"])
+    bits = hs * hs
+    md = int(img["max_distance"])
+    hasher = dhash_media if method == "dhash" else phash_media
+    spark = cur.sparkSession
+    fps = (
+        hasher(
+            cur.where(F.col(pcol).isNotNull()),
+            hash_size=hs, id_col=id_col, payload_col=pcol,
+            allow_fake=bool(img.get("allow_fake", True)),
+        )
+        .withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed(method, "fp")
+    )
+    # the ONE action that touches payload bytes for this epoch
+    write_fingerprint_fragment(fps, store_path, batch_id, method, hs)
+    id_type = cur.schema[id_col].dataType.simpleString()
+    store = spark.read.schema(
+        f"`doc_id` {id_type}, `fp` bigint, `__method` string, "
+        "`__hash_size` int, `batch_id` int"
+    ).parquet(store_path)
+    frag = store.where(F.col("batch_id") == F.lit(int(batch_id))).select(
+        "doc_id", "fp"
+    )
+    pairs = hamming_pairs(
+        frag, max_distance=md, id_col="doc_id", fp_col="fp", bits=bits
+    )
+    comps = dedup_clusters(pairs, id_col=id_col)
+    if img.get("quality_col"):
+        cur = keep_best_per_cluster(cur, comps, img["quality_col"], id_col)
+    else:
+        losers_in = comps.where(
+            F.col(id_col) != F.col("cluster_id")
+        ).select(id_col)
+        cur = cur.join(losers_in, id_col, "left_anti")
+    _audit("image_dedup" if universe is None else "image_within_batch", cur)
+    if universe is None:
+        return cur
+    corpus_fps = store.where(F.col("batch_id") < F.lit(int(batch_id))).select(
+        "doc_id", "fp"
+    )
+    cross = hamming_probe(
+        frag, corpus_fps, max_distance=md,
+        id_col="doc_id", fp_col="fp", bits=bits,
+    )
+    ex_ids = universe.select(F.col(id_col).alias("__ex"))
+    contacted = (
+        cross.join(ex_ids, cross["doc_b"] == F.col("__ex"), "left_semi")
+        .select(F.col("doc_a").alias(id_col))
+        .distinct()
+    )
+    cl = comps.select(id_col, "cluster_id")
+    bad_clusters = (
+        cl.join(contacted, id_col, "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    spread = cl.join(bad_clusters, "cluster_id", "left_semi").select(id_col)
+    losers = contacted.unionByName(spread).distinct()
+    cur = cur.join(losers, id_col, "left_anti")
+    _audit("cross_image", cur)
+    return cur
 
 
 def _semantic_stage(
@@ -1138,6 +1570,13 @@ def extend_training_set(
        coverage against the live snapshot and refuses a stale or
        differently-banded index rather than silently admitting
        near-dups of recently appended docs.
+    4a'. **image tier (``image_dedup`` sets, r14)**: the batch's
+       payloads hash ONCE into the set's fingerprint store
+       (``out_path/image_fps``), dedup within the batch, then
+       cross-probe the store's prior fragments — the corpus is never
+       re-decoded; contacts spread through within-batch components
+       like the lexical/semantic closures. Refuses a runtime whose
+       pixel tier differs from the recorded one (Pillow presence).
     4b. **global re-derive (mixture and/or DSIR sets)**: batch
        survivors append to the premix pool — DSIR-configured sets
        score them under the RECORDED model first (only the batch is
@@ -1413,6 +1852,8 @@ def _batch_recipe(
     allow_interleaved_ids: bool = False,
     cleanup: list | None = None,
     lm_frames=None,
+    image_store_path: str | None = None,
+    image_batch_id: int = 1,
 ) -> DataFrame:
     """The recorded recipe over a NEW batch, shared by both extension
     paths so the two cannot drift: insert-if-absent by id (narrow
@@ -1504,7 +1945,11 @@ def _batch_recipe(
     min_id_semantic = (
         bool(sem_cfg) and sem_cfg.get("keep", "min_id") == "min_id"
     )
-    if (min_id_lexical or min_id_semantic) and not allow_interleaved_ids:
+    img_cfg = cfg.get("image_dedup")
+    min_id_image = bool(img_cfg) and img_cfg.get("quality_col") is None
+    if (
+        min_id_lexical or min_id_semantic or min_id_image
+    ) and not allow_interleaved_ids:
         # equality precondition made LOUD (r9 verdict): under a min-id
         # keep policy the cross tiers below keep-first across epochs
         # (the universe member always wins), while a fresh union build
@@ -1660,6 +2105,27 @@ def _batch_recipe(
             losers = contacted.unionByName(spread).distinct()
             cur = cur.join(losers, id_col, "left_anti")
         _audit("cross_semantic", cur)
+    if img_cfg:
+        # image perceptual tier under the RECORDED config: hash the
+        # batch ONCE into the store's next fragment, within-batch
+        # pairing + keep policy, then the cross probe against the
+        # store's prior fragments with contacts restricted to universe
+        # members and spread through the within-batch components —
+        # the shared stage function, so build and extension cannot
+        # drift (see _image_dedup_stage). Persist first: the stage's
+        # fragment write is an action, and without a cache here it and
+        # the caller's final write would EACH evaluate the lexical/
+        # semantic cross-tier plan above (a universe probe per
+        # evaluation) — batch-sized, caller-released
+        if cleanup is not None:
+            from pyspark import StorageLevel
+
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cleanup.append(cur)
+        cur = _image_dedup_stage(
+            cur, img_cfg, image_store_path, id_col, _audit,
+            batch_id=int(image_batch_id), universe=universe,
+        )
     return cur
 
 
@@ -1766,6 +2232,8 @@ def _extend_locked(
             new_docs, existing, cfg, benchmark, col, id_col, index, _audit,
             allow_interleaved_ids=allow_interleaved_ids, cleanup=cleanup,
             lm_frames=_page_filter_ext_inputs(spark, base, cfg),
+            image_store_path=_image_ext_inputs(spark, base, cfg),
+            image_batch_id=int(manifest.get("epochs", 1)),
         )
         out = deterministic_shuffle(
             cur,
@@ -1891,6 +2359,8 @@ def _extend_pooled(
             new_docs, pool, cfg, benchmark, col, id_col, index, _audit,
             allow_interleaved_ids=allow_interleaved_ids, cleanup=cleanup,
             lm_frames=_page_filter_ext_inputs(spark, base, cfg),
+            image_store_path=_image_ext_inputs(spark, base, cfg),
+            image_batch_id=int(manifest.get("epochs", 1)),
         )
 
         # pool append FIRST (see crash-safety note above), then
@@ -2215,6 +2685,7 @@ def training_set_report(
          or (cfg.get("dedup") and "min-id") or None),
         ("semantic_dedup",
          bool(cfg.get("semantic_dedup")) or None),
+        ("image_dedup", cfg.get("image_dedup")),
         ("dsir_selection", bool(cfg.get("dsir")) or None),
         ("mixture", cfg.get("mixture")),
         ("temperature", cfg.get("temperature")),
@@ -2241,7 +2712,8 @@ def training_set_report(
             "decontaminated",
             "deduped", "deduped_within_batch", "cross_exact",
             "cross_neardup", "semantic_dedup", "semantic_within_batch",
-            "cross_semantic", "dsir", "mixture",
+            "cross_semantic", "image_dedup", "image_within_batch",
+            "cross_image", "dsir", "mixture",
         ]
         ordered = [s for s in pipeline if s in stage_rows] + sorted(
             set(stage_rows) - set(pipeline)

@@ -2291,26 +2291,44 @@ def lm_score_backoff_n_from_stores(
         1: read_vocab_store(spark, vocab_store_path)
     }
     for o in range(2, k + 1):
-        path = ngram_store_paths[o]
-        cols = spark.read.parquet(path).columns
-        if "__order" in cols:
-            counts[o] = read_ngram_store(spark, path, o)
-        elif o == 2 and "n_pair" in cols:
-            counts[2] = read_bigram_store(spark, path).select(
-                "w1", "w2", F.col("n_pair").alias("n_gram")
-            )
-        elif o == 3 and "n_tri" in cols:
-            counts[3] = read_trigram_store(spark, path).select(
-                "w1", "w2", "w3", F.col("n_tri").alias("n_gram")
-            )
-        else:
-            raise ValueError(
-                f"store at {path} is not an order-{o} count store "
-                f"(columns {cols})"
-            )
+        counts[o] = read_ngram_counts_any(
+            spark, ngram_store_paths[o], o
+        )
     return lm_score_backoff_n(
         df, order=k, col=col, id_col=id_col, counts=counts, alpha=alpha
     )
+
+
+def read_ngram_counts_any(
+    spark: SparkSession, store_path: str, n: int, min_count: int = 1
+) -> DataFrame:
+    """Order-``n`` merged counts ``(w1..wn, n_gram)`` from whichever
+    store layout holds them: a generic n-gram store (order-tagged,
+    :func:`ngram_rollup_batch`), or — for orders 2/3 — the named
+    bigram/trigram stores, whose column contracts adapt here. The ONE
+    resolver behind :func:`lm_score_backoff_n_from_stores` and the
+    recipe's higher-order lm page filter (r14), so the two cannot
+    drift. ``min_count`` prunes AFTER the merge (the CCNet model-
+    pruning knob; a per-fragment threshold would drop grams that only
+    clear it globally)."""
+    o = int(n)
+    cols = spark.read.parquet(store_path).columns
+    if "__order" in cols:
+        return read_ngram_store(spark, store_path, o, min_count=min_count)
+    if o == 2 and "n_pair" in cols:
+        out = read_bigram_store(spark, store_path).select(
+            "w1", "w2", F.col("n_pair").alias("n_gram")
+        )
+    elif o == 3 and "n_tri" in cols:
+        out = read_trigram_store(spark, store_path).select(
+            "w1", "w2", "w3", F.col("n_tri").alias("n_gram")
+        )
+    else:
+        raise ValueError(
+            f"store at {store_path} is not an order-{o} count store "
+            f"(columns {cols})"
+        )
+    return out.where(F.col("n_gram") >= F.lit(int(min_count)))
 
 
 def lm_score_kn_from_stores(
@@ -2564,6 +2582,32 @@ def compact_sample_store(
 # ------------------------------------------ image fingerprint store
 
 
+def write_fingerprint_fragment(
+    fps: DataFrame,
+    store_path: str,
+    batch_id: int,
+    method: str,
+    hash_size: int,
+) -> None:
+    """Write one ``(doc_id, fp)`` frame into the fingerprint store as
+    the ``batch_id=…`` fragment, EXACTLY-ONCE (dynamic partition
+    overwrite — a replayed batch rewrites its own fragment and nothing
+    else). The hash configuration travels as constant columns so the
+    read can refuse mixed stores. Shared by :func:`dhash_rollup_batch`
+    and the training-set recipe's image-dedup tier (r14), so the two
+    cannot write drifting layouts."""
+    (
+        fps.select("doc_id", "fp")
+        .withColumn("__method", F.lit(str(method)))
+        .withColumn("__hash_size", F.lit(int(hash_size)))
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
 def dhash_rollup_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -2604,16 +2648,8 @@ def dhash_rollup_batch(
         # caller's id_col (the hashers preserve the input name)
         .withColumnRenamed(id_col, "doc_id")
         .withColumnRenamed(method, "fp")
-        .withColumn("__method", F.lit(method))
-        .withColumn("__hash_size", F.lit(int(hash_size)))
-        .withColumn("batch_id", F.lit(int(batch_id)))
     )
-    (
-        fps.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(store_path)
-    )
+    write_fingerprint_fragment(fps, store_path, batch_id, method, hash_size)
 
 
 def stream_dhash_rollup(

@@ -1950,3 +1950,391 @@ def test_page_filters_kn_smoothing_tier(spark, tmp_path):
                                  "smoothing": "backoff5",
                                  "unigrams": uni, "bigrams": big}},
         )
+
+
+# ------------------------------------------ image perceptual dedup (r14)
+
+
+def _bits_png(bits):
+    """A 9×8 PNG whose stdlib-tier dHash is EXACTLY the given bit set:
+    the 9×8 canvas makes the (hash_size+1)×hash_size resample the
+    identity and the gray-as-RGB luma exact, so bit y*8+x is planted
+    by making pixel (y,x) brighter (bit=1) or darker (bit=0) than its
+    right neighbor. Full control of pairwise Hamming distances."""
+    from etl_workflow_spark.operators import multimodal as M
+
+    px = bytearray()
+    for y in range(8):
+        row = [100]
+        for x in range(8):
+            row.append(row[-1] - 10 if (y * 8 + x) in bits else row[-1] + 10)
+        for v in row:
+            px += bytes((v, v, v))
+    return M._png_encode(9, 8, 3, bytes(px))
+
+
+def _img_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, _pf_good_page(i), src, bytearray(p) if p is not None else None)
+         for (i, src, p) in rows],
+        "doc_id long, text string, source string, payload binary",
+    )
+
+
+_IMG_BASE = frozenset(range(0, 10))          # the corpus image
+_IMG_NEAR = _IMG_BASE ^ {20, 21}             # distance 2 from base
+_IMG_B = frozenset(range(30, 46))            # distinct image
+_IMG_C = frozenset(range(50, 60))            # distinct image
+
+
+def test_image_dedup_tier_in_recipe_and_extension(spark, tmp_path):
+    """r14: image perceptual near-dup as a recorded, drop-accounted
+    recipe tier — the build decodes each payload once into the set's
+    fingerprint store and keeps one image per Hamming cluster;
+    extensions hash only the batch, dedup within it, probe the stored
+    corpus fingerprints, and equal a fresh union rebuild."""
+    docs = _img_docs(spark, [
+        (1, "web", _bits_png(_IMG_BASE)),
+        (2, "web", _bits_png(_IMG_NEAR)),    # near-dup of 1 -> dropped
+        (3, "web", _bits_png(_IMG_B)),
+        (4, "web", _bits_png(_IMG_C)),
+        (5, "web", None),                     # NULL payload passes
+    ])
+    out = str(tmp_path / "img")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True,
+        image_dedup={"max_distance": 3},
+    )
+    cfg = m["config"]["image_dedup"]
+    assert cfg == {
+        "payload_col": "payload", "method": "dhash", "hash_size": 8,
+        "max_distance": 3, "quality_col": None, "allow_fake": True,
+        "store_dir": "image_fps", "pillow": False,
+    }
+    assert json.loads(json.dumps(m)) == m
+    sr = m["stage_rows"]
+    assert sr["input"] == 5 and sr["deduped"] == 5
+    assert sr["image_dedup"] == 4
+    assert m["rows"] == 4
+    data, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in data.collect()} == {1, 3, 4, 5}
+    # the fingerprint store holds the build's decode-once fragment
+    store = spark.read.parquet(f"{out}/image_fps")
+    srows = store.collect()
+    assert {r["doc_id"] for r in srows} == {1, 2, 3, 4}
+    assert all(r["batch_id"] == 0 and r["__method"] == "dhash"
+               and r["__hash_size"] == 8 for r in srows)
+
+    # extension: within-batch dedup + cross probe of the stored
+    # fingerprints, each drop accounted
+    batch = _img_docs(spark, [
+        (10, "web", _bits_png(_IMG_BASE ^ {22, 23})),  # near corpus 1
+        (11, "web", _bits_png(_IMG_B)),                # exact of corpus 3
+        (12, "web", _bits_png(frozenset(range(40, 52)))),
+        (13, "web", _bits_png(frozenset(range(40, 52)))),  # dup of 12
+        (14, "web", None),
+    ])
+    m2 = C.extend_training_set(spark, batch, out, audit=True)
+    sr2 = m2["stage_rows"]
+    assert sr2["image_within_batch"] == 4      # 13 lost to 12
+    assert sr2["cross_image"] == 2             # 10, 11 lost to corpus
+    da, _ = C.read_training_set(spark, out, ordered=True)
+    assert {r["doc_id"] for r in da.collect()} == {1, 3, 4, 5, 12, 14}
+    # batch fingerprints appended as the next fragment (epoch 1)
+    store2 = spark.read.parquet(f"{out}/image_fps")
+    assert {r["doc_id"] for r in store2.where("batch_id = 1").collect()} \
+        == {10, 11, 12, 13}
+
+    # fresh union rebuild under the same config == extension
+    out_b = str(tmp_path / "img_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        image_dedup={"max_distance": 3},
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+    # the data card surfaces the recorded tier
+    report = C.training_set_report(spark, out, markdown=True)
+    assert "image_dedup" in report
+
+
+def test_image_dedup_chain_guards_and_validation(spark, tmp_path):
+    """r14: a batch doc whose only corpus link runs THROUGH a
+    within-batch image loser still drops (component spread, the r11
+    closure); empty batches and all-NULL-payload builds are no-ops;
+    extensions refuse a drifted pixel tier and a missing store; the
+    config validator refuses ambiguous shapes; quality keep policy
+    survives the best-scoring copy."""
+    import shutil
+
+    from etl_workflow_spark.operators import multimodal as M
+
+    # planted chain: B1(id 10) -- 2 bits -- B2(id 11) -- 2 bits -- U(1)
+    # but B1 -- U = 4 bits > max_distance 3
+    u_bits = _IMG_BASE
+    b2_bits = _IMG_BASE ^ {20, 21}
+    b1_bits = _IMG_BASE ^ {20, 21, 22, 23}
+    docs = _img_docs(spark, [(1, "web", _bits_png(u_bits)),
+                             (2, "web", _bits_png(_IMG_B))])
+    out = str(tmp_path / "chain")
+    C.materialize_training_set(
+        spark, docs, out, num_shards=2, image_dedup={"max_distance": 3},
+    )
+    batch = _img_docs(spark, [(10, "web", _bits_png(b1_bits)),
+                              (11, "web", _bits_png(b2_bits))])
+    C.extend_training_set(spark, batch, out)
+    da, _ = C.read_training_set(spark, out)
+    # 11 contacts corpus 1; 10 is dragged down through the {10,11}
+    # within-batch component even though 10 alone is 4 bits from 1
+    assert {r["doc_id"] for r in da.collect()} == {1, 2}
+    out_b = str(tmp_path / "chain_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        image_dedup={"max_distance": 3},
+    )
+    db, _ = C.read_training_set(spark, out_b)
+    assert {r["doc_id"] for r in db.collect()} == {1, 2}
+
+    # empty extension batch: no-op, store gains an empty fragment
+    C.extend_training_set(spark, _img_docs(spark, []), out)
+    da2, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in da2.collect()} == {1, 2}
+
+    # all-NULL-payload build: the tier is a recorded no-op
+    out_n = str(tmp_path / "nullpay")
+    mn = C.materialize_training_set(
+        spark, _img_docs(spark, [(1, "web", None), (2, "web", None)]),
+        out_n, num_shards=2, image_dedup={},
+    )
+    assert mn["rows"] == 2
+    C.extend_training_set(
+        spark, _img_docs(spark, [(3, "web", _bits_png(_IMG_B))]), out_n
+    )
+    dn, _ = C.read_training_set(spark, out_n)
+    assert {r["doc_id"] for r in dn.collect()} == {1, 2, 3}
+
+    # pixel-tier drift: a runtime where Pillow "appears" must refuse
+    import pytest as _pytest
+
+    orig = M._PIL_IMAGE
+    M._PIL_IMAGE = object()
+    try:
+        with _pytest.raises(ValueError, match="[Pp]illow"):
+            C.extend_training_set(
+                spark,
+                _img_docs(spark, [(20, "web", _bits_png(_IMG_C))]),
+                out,
+            )
+    finally:
+        M._PIL_IMAGE = orig
+
+    # missing store: refused loudly
+    shutil.rmtree(f"{out}/image_fps")
+    with _pytest.raises(ValueError, match="fingerprint store"):
+        C.extend_training_set(
+            spark, _img_docs(spark, [(21, "web", _bits_png(_IMG_C))]), out
+        )
+
+    # quality keep policy: the better-scoring near-dup survives
+    from pyspark.sql import functions as F
+
+    scored = _img_docs(spark, [
+        (1, "web", _bits_png(u_bits)),
+        (2, "web", _bits_png(b2_bits)),
+    ]).withColumn(
+        "quality", F.when(F.col("doc_id") == 2, 9.0).otherwise(1.0)
+    )
+    out_q = str(tmp_path / "imgq")
+    mq = C.materialize_training_set(
+        spark, scored, out_q, num_shards=2,
+        image_dedup={"quality_col": "quality"},
+    )
+    assert mq["config"]["image_dedup"]["quality_col"] == "quality"
+    dq, _ = C.read_training_set(spark, out_q)
+    assert {r["doc_id"] for r in dq.collect()} == {2}
+
+    # config validation
+    docs_v = _img_docs(spark, [(1, "web", _bits_png(u_bits))])
+    bad = [
+        ({"nope": 1}, "unknown image_dedup keys"),
+        ({"method": "ahash"}, "must be 'dhash' or 'phash'"),
+        ({"hash_size": 9}, "hash_size"),
+        ({"max_distance": 0}, "max_distance"),
+        ({"payload_col": "missing"}, "payload_col"),
+        ({"quality_col": "missing"}, "quality_col"),
+        ({"hash_size": 2, "max_distance": 4}, "pigeonhole"),
+    ]
+    for cfg_bad, msg in bad:
+        with _pytest.raises(ValueError, match=msg):
+            C.materialize_training_set(
+                spark, docs_v, str(tmp_path / "never"),
+                image_dedup=cfg_bad,
+            )
+
+
+def test_image_dedup_composes_with_mixture_pool(spark, tmp_path):
+    """r14: the image tier composes with the globally-selected
+    (mixture) path — fingerprints land beside the premix pool, batch
+    survivors enter the pool post-image-dedup, and the re-derived kept
+    set equals a fresh union rebuild."""
+    docs = _img_docs(spark, [
+        (1, "web", _bits_png(_IMG_BASE)),
+        (2, "web", _bits_png(_IMG_NEAR)),    # image loser pre-pool
+        (3, "web", _bits_png(_IMG_B)),
+        (4, "code", _bits_png(_IMG_C)),
+        (5, "code", None),
+        (6, "code", _bits_png(frozenset(range(10, 24)))),
+    ])
+    out = str(tmp_path / "img_mix")
+    C.materialize_training_set(
+        spark, docs, out, num_shards=2,
+        image_dedup={"max_distance": 3},
+        mixture={"web": 0.5, "code": 0.5}, strata_col="source",
+    )
+    # the image loser never reached the pool
+    pool = spark.read.parquet(f"{out}/premix")
+    assert 2 not in {r["doc_id"] for r in pool.select("doc_id").collect()}
+
+    batch = _img_docs(spark, [
+        (10, "web", _bits_png(_IMG_BASE ^ {30, 31})),  # near corpus 1
+        (11, "web", _bits_png(frozenset(range(33, 47)))),
+        (12, "code", _bits_png(frozenset(range(5, 17)))),
+    ])
+    C.extend_training_set(spark, batch, out)
+    da, _ = C.read_training_set(spark, out, ordered=True)
+    out_b = str(tmp_path / "img_mix_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        image_dedup={"max_distance": 3},
+        mixture={"web": 0.5, "code": 0.5}, strata_col="source",
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+
+def test_page_filters_backoff_order3_tier(spark, tmp_path):
+    """r14: the recipe's lm filter gates under stupid backoff at an
+    explicit higher order (the CCNet 5-gram shape; order 3 here) —
+    the full order-tagged count set snapshots into ngrams_<k> slices,
+    extensions replay the frozen gate, extended set == fresh union
+    rebuild; store mode freezes the stores' build-time counts; config
+    validation refuses ambiguous shapes."""
+    from etl_workflow_spark.operators import text as T
+    from etl_workflow_spark.streaming import incremental as inc
+
+    docs = _docs(spark, [
+        (1, _pf_good_page(1), "web"),
+        (2, _pf_good_page(2), "web"),
+        (14, _pf_gibberish_page(14), "web"),
+    ])
+    ref, _, _ = _pf_reference_frames(spark)
+    counts = {k: T.adjacent_ngram_counts(ref, k) for k in (1, 2, 3)}
+    nll = {
+        r["doc_id"]: r["avg_nll_e6"]
+        for r in T.lm_score_backoff_n(docs, order=3, counts=counts)
+        .collect()
+    }
+    thr = int((max(nll[1], nll[2]) + nll[14]) // 2)
+    assert nll[1] <= thr and nll[2] <= thr and nll[14] > thr
+
+    out = str(tmp_path / "pf_bo3")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2,
+        page_filters={"lm": {"max_avg_nll_e6": thr,
+                             "smoothing": "backoff", "order": 3,
+                             "counts": counts}},
+    )
+    lmc = m["config"]["page_filters"]["lm"]
+    assert lmc == {
+        "max_avg_nll_e6": thr, "model_dir": "lm_model",
+        "smoothing": "backoff", "order": 3, "alpha": 0.4,
+        "min_count": 1,
+    }
+    assert json.loads(json.dumps(m)) == m
+    data, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in data.collect()} == {1, 2}
+    # the snapshot holds every order's slice
+    assert spark.read.parquet(f"{out}/lm_model/unigrams").count() > 0
+    assert spark.read.parquet(f"{out}/lm_model/ngrams_2").count() > 0
+    assert spark.read.parquet(f"{out}/lm_model/ngrams_3").count() > 0
+
+    # extension replays the recorded order-3 gate from the snapshot
+    batch = _docs(spark, [(30, _pf_good_page(30), "web"),
+                          (35, _pf_gibberish_page(35), "web")])
+    C.extend_training_set(spark, batch, out)
+    data2, _ = C.read_training_set(spark, out, ordered=True)
+    assert {r["doc_id"] for r in data2.collect()} == {1, 2, 30}
+    # fresh union rebuild under the same config == extension
+    out_b = str(tmp_path / "pf_bo3_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        page_filters={"lm": {"max_avg_nll_e6": thr,
+                             "smoothing": "backoff", "order": 3,
+                             "counts": counts}},
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in data2.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+    # store mode: snapshot freezes the stores' CURRENT merged counts —
+    # poisoning the source stores after the build cannot drift the gate
+    vstore = str(tmp_path / "bo3_vstore")
+    n2store = str(tmp_path / "bo3_n2store")
+    n3store = str(tmp_path / "bo3_n3store")
+    inc.vocab_rollup_batch(ref, vstore, 0)
+    inc.ngram_rollup_batch(ref, n2store, 0, n=2)
+    inc.ngram_rollup_batch(ref, n3store, 0, n=3)
+    out_s = str(tmp_path / "pf_bo3_store")
+    C.materialize_training_set(
+        spark, docs, out_s, num_shards=2,
+        page_filters={"lm": {"max_avg_nll_e6": thr,
+                             "smoothing": "backoff", "order": 3,
+                             "vocab_store": vstore,
+                             "ngram_stores": {2: n2store, 3: n3store}}},
+    )
+    gib = _docs(spark, [(i, _pf_gibberish_page(35), "web")
+                        for i in range(700, 720)])
+    inc.vocab_rollup_batch(gib, vstore, 1)
+    inc.ngram_rollup_batch(gib, n2store, 1, n=2)
+    inc.ngram_rollup_batch(gib, n3store, 1, n=3)
+    C.extend_training_set(
+        spark,
+        _docs(spark, [(30, _pf_good_page(30), "web"),
+                      (35, _pf_gibberish_page(35), "web")]),
+        out_s,
+    )
+    ds, _ = C.read_training_set(spark, out_s)
+    assert {r["doc_id"] for r in ds.collect()} == {1, 2, 30}
+
+    # validation
+    bad = [
+        ({"max_avg_nll_e6": thr, "smoothing": "backoff",
+          "counts": counts}, "explicit 'order'"),
+        ({"max_avg_nll_e6": thr, "smoothing": "backoff", "order": 3,
+          "counts": {1: counts[1], 3: counts[3]}}, "missing \\[2\\]"),
+        ({"max_avg_nll_e6": thr, "smoothing": "backoff", "order": 3},
+         "exactly ONE model source"),
+        ({"max_avg_nll_e6": thr, "smoothing": "backoff", "order": 3,
+          "counts": counts, "vocab_store": vstore}, "exactly ONE"),
+        ({"max_avg_nll_e6": thr, "smoothing": "backoff", "order": 3,
+          "unigrams": counts[1], "bigrams": counts[2]},
+         "bigram-model source"),
+        ({"max_avg_nll_e6": thr, "smoothing": "backoff", "order": 3,
+          "vocab_store": vstore, "ngram_stores": {2: n2store}},
+         "missing \\[3\\]"),
+        ({"max_avg_nll_e6": thr, "smoothing": "backoff", "order": 3,
+          "counts": counts, "alpha": 1.5}, "alpha"),
+        ({"max_avg_nll_e6": thr, "order": 3, "unigrams": counts[1],
+          "bigrams": counts[2]}, "backoff-smoothing configuration"),
+    ]
+    for lm_bad, msg in bad:
+        with pytest.raises(ValueError, match=msg):
+            C.materialize_training_set(
+                spark, docs, str(tmp_path / "never"),
+                page_filters={"lm": lm_bad},
+            )
