@@ -214,6 +214,10 @@ def main() -> None:
         # round-13: perceptual-hash near-dup (one payload Arrow pass +
         # pigeonhole-banded fingerprint self-join; fake hash tier here)
         "image_neardup",
+        # round-14: video near-dup via frame fingerprints — frame
+        # fan-out + hash in one Arrow pass, then frame-level banding
+        # and per-video-pair aggregation
+        "video_neardup",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -250,6 +254,12 @@ def main() -> None:
         # payload scan + 8-byte fingerprint banding; the fake hash tier
         # runs here (text payloads), timing the mapInPandas + join shape
         "image_neardup": lambda s, d: MM.image_neardup_pairs(
+            MM.with_binary_payload(table(s, d, "documents"))
+        ),
+        # r14: frame sampling fan-out + per-frame hashing (one fused
+        # Arrow pass) + frame-level pigeonhole banding + per-video-pair
+        # aggregation (fake frame chain on text payloads)
+        "video_neardup": lambda s, d: MM.video_neardup_pairs(
             MM.with_binary_payload(table(s, d, "documents"))
         ),
         "lm_score": lambda s, d: T.lm_score(table(s, d, "documents")),

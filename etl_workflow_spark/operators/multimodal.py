@@ -322,7 +322,7 @@ def extract_media_meta(
                     for p in payloads]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "payload_bytes": payloads.map(len).astype("int32"),
                     "checksum_sha256": payloads.map(
                         lambda p: hashlib.sha256(bytes(p)).hexdigest()
@@ -334,8 +334,15 @@ def extract_media_meta(
                 }
             )
 
+    # caller's id field preserved in name AND type (r14 contract)
+    id_field = df.schema[id_col]
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        run, schema=MEDIA_META_SCHEMA
+        run,
+        schema=StructType(
+            [StructField(id_field.name, id_field.dataType,
+                         id_field.nullable)]
+            + MEDIA_META_SCHEMA.fields[1:]
+        ),
     )
 
 
@@ -426,7 +433,7 @@ def resize_media(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "payload": pdf[payload_col].map(
                         lambda p: _resize_one(bytes(p), dims)
                     ),
@@ -435,18 +442,16 @@ def resize_media(
                 }
             )
 
+    # caller's id field preserved in name AND type (r14 contract)
+    id_field = df.schema[id_col]
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        run, schema=RESIZED_SCHEMA
+        run,
+        schema=StructType(
+            [StructField(id_field.name, id_field.dataType,
+                         id_field.nullable)]
+            + RESIZED_SCHEMA.fields[1:]
+        ),
     )
-
-
-FRAME_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), False),
-        StructField("frame_idx", IntegerType(), False),
-        StructField("frame_payload", BinaryType(), False),
-    ]
-)
 
 
 def sample_frames(
@@ -469,9 +474,10 @@ def sample_frames(
     single-frame still; the PNG decode tier reports n_frames=1) gets
     its one frame REALLY extracted — decoded and re-encoded through
     the stdlib codec, the same normalization the Pillow path applies.
-    Otherwise each fake frame payload is SHA-256(payload ‖ frame_idx),
-    requiring ``allow_fake=True`` exactly like the other operators
-    here.
+    Otherwise each fake frame payload is the ASCII hex digest of
+    SHA-256(payload ‖ ':frame:' ‖ idx) — hex-string bytes by design,
+    so the whole fake fingerprint chain is SQL-replayable — requiring
+    ``allow_fake=True`` exactly like the other operators here.
     """
 
     def _doc_frames(raw: bytes, wanted: list[int]) -> list[bytes]:
@@ -501,8 +507,14 @@ def sample_frames(
                 "stdlib-decodable PNG); pass allow_fake=True for "
                 "the deterministic stub"
             )
+        # ASCII-hex digest bytes (not the raw 32-byte digest): the fake
+        # chain stays VARCHAR-expressible end to end, so the driver
+        # gate's DuckDB twin — whose sha256 takes VARCHAR only — can
+        # replay frame-level fingerprints (r14 video near-dup tier)
         return [
-            hashlib.sha256(raw + i.to_bytes(4, "big")).digest()
+            hashlib.sha256(raw + b":frame:" + str(i).encode())
+            .hexdigest()
+            .encode()
             for i in wanted
         ]
 
@@ -515,28 +527,32 @@ def sample_frames(
                 raw = bytes(payload)
                 meta = decode_media(raw, "video", allow_fake=allow_fake)
                 wanted = list(range(0, meta["n_frames"], every_n))
-                ids.extend([int(doc_id)] * len(wanted))
+                ids.extend([doc_id] * len(wanted))
                 idxs.extend(wanted)
                 frames.extend(_doc_frames(raw, wanted))
             yield pd.DataFrame(
-                {"doc_id": pd.array(ids, dtype="int64"),
+                {id_col: pd.array(ids),
                  "frame_idx": pd.array(idxs, dtype="int32"),
                  "frame_payload": frames}
             )
 
+    # caller's id field preserved in name AND type (r14, the same
+    # contract as the perceptual hashers)
+    id_field = df.schema[id_col]
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        run, schema=FRAME_SCHEMA
+        run,
+        schema=StructType(
+            [
+                StructField(
+                    id_field.name, id_field.dataType, id_field.nullable
+                ),
+                StructField("frame_idx", IntegerType(), False),
+                StructField("frame_payload", BinaryType(), False),
+            ]
+        ),
     )
 
 # ------------------------------------------------------- perceptual hash
-
-
-DHASH_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), False),
-        StructField("dhash", LongType(), True),
-    ]
-)
 
 
 def _fp_schema(df: DataFrame, id_col: str, fp_name: str) -> StructType:
@@ -910,3 +926,146 @@ def phash_media(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=_fp_schema(df, id_col, "phash")
     )
+
+
+# ------------------------------------------------------ video near-dup
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    every_n: int = 2,
+    max_distance: int = 3,
+    hash_size: int = 8,
+    min_matching_frames: int = 1,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+    method: str = "dhash",
+) -> DataFrame:
+    """Video near-duplicate candidate pairs via frame fingerprints —
+    the composition the image tier was built for (r14):
+    :func:`sample_frames` (every ``every_n``-th frame, decoded once)
+    → :func:`dhash_media`/:func:`phash_media` per frame → the SAME
+    Hamming pigeonhole banding as the image tier over the frame
+    fingerprints, aggregated per video pair. Two videos pair when at
+    least ``min_matching_frames`` frame pairs land within
+    ``max_distance`` — a re-encoded copy matches on nearly every
+    sampled frame; a trimmed copy on the surviving ones; unrelated
+    videos share nothing (8-byte fingerprints make chance collisions
+    negligible).
+
+    Returns ``(doc_a, doc_b, n_matching_frames, min_hamming)`` with
+    ``doc_a < doc_b`` in the id column's own ordering; feed a
+    thresholded pair list into :func:`~etl_workflow_spark.operators
+    .dedup.dedup_clusters` (or use :func:`dedup_videos`).
+
+    Scale shape: the payload column enters exactly ONE Arrow pass
+    (frame sampling + hashing fuse into one stage); everything
+    downstream is 8-byte frame fingerprints banded by segment equality
+    — never all-pairs, never a payload shuffle. Frame fingerprints are
+    keyed by a composite ``id#frame_idx`` string only inside the
+    pairing; the output carries the original id type.
+
+    Pixel tiers follow :func:`sample_frames`/:func:`dhash_media`: with
+    Pillow, real frame seeks; a stdlib-decodable PNG is a 1-frame
+    still, really re-encoded; anything else falls to the deterministic
+    fake chain (frame payload = SHA-256(payload ‖ frame_idx), frame
+    hash = the 60-bit fake dhash) — fully SQL-replayable, so the
+    plumbing stays hash-gated end to end.
+
+    Capability analog in the reference: none — extension tier."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'dhash' or 'phash'"
+        )
+    if int(min_matching_frames) < 1:
+        raise ValueError(
+            f"min_matching_frames must be >= 1 (got {min_matching_frames})"
+        )
+    from .dedup import hamming_pairs
+
+    id_type = df.schema[id_col].dataType
+    frames = sample_frames(
+        df, every_n=every_n, id_col=id_col, payload_col=payload_col,
+        allow_fake=allow_fake,
+    )
+    keyed = frames.select(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("frame_idx")
+        ).alias("__fkey"),
+        F.col("frame_payload"),
+    )
+    hasher = dhash_media if method == "dhash" else phash_media
+    fps = hasher(
+        keyed, hash_size=hash_size, id_col="__fkey",
+        payload_col="frame_payload", allow_fake=allow_fake,
+    ).withColumnRenamed(method, "__h")
+    fpairs = hamming_pairs(
+        fps, max_distance=max_distance, id_col="__fkey", fp_col="__h",
+        bits=int(hash_size) ** 2,
+    )
+    # parse the video id back off the composite key: the frame index is
+    # the LAST '#' segment (ids may themselves contain '#'), everything
+    # before it is the id, restored to its original type
+    def _vid(col: str):
+        return F.expr(
+            f"substring({col}, 1, length({col}) - "
+            f"length(substring_index({col}, '#', -1)) - 1)"
+        ).cast(id_type)
+
+    va, vb = _vid("doc_a"), _vid("doc_b")
+    return (
+        fpairs.select(
+            F.least(va, vb).alias("doc_a"),
+            F.greatest(va, vb).alias("doc_b"),
+            (va != vb).alias("__cross"),
+            "hamming",
+        )
+        .where(F.col("__cross"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matching_frames"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+        .where(
+            F.col("n_matching_frames") >= F.lit(int(min_matching_frames))
+        )
+    )
+
+
+def dedup_videos(
+    df: DataFrame,
+    every_n: int = 2,
+    max_distance: int = 3,
+    hash_size: int = 8,
+    min_matching_frames: int = 1,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    quality_col: str | None = None,
+    allow_fake: bool = True,
+    method: str = "dhash",
+) -> DataFrame:
+    """Keep one video per frame-fingerprint near-duplicate cluster —
+    :func:`dedup_images`'s video twin: :func:`video_neardup_pairs`
+    (one payload pass → frame fingerprints → pigeonhole-banded frame
+    pairing → per-video-pair aggregation) →
+    :func:`~etl_workflow_spark.operators.dedup.dedup_clusters`
+    connected components → keep policy (cluster-min id, or best
+    ``quality_col``). Videos in no cluster pass through untouched; the
+    full rows only anti-join the loser list, so payloads never
+    shuffle."""
+    from .dedup import dedup_clusters, keep_best_per_cluster
+
+    pairs = video_neardup_pairs(
+        df, every_n=every_n, max_distance=max_distance,
+        hash_size=hash_size, min_matching_frames=min_matching_frames,
+        id_col=id_col, payload_col=payload_col, allow_fake=allow_fake,
+        method=method,
+    )
+    clusters = dedup_clusters(pairs, id_col=id_col)
+    if quality_col is not None:
+        return keep_best_per_cluster(df, clusters, quality_col, id_col)
+    losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(
+        id_col
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -376,3 +376,11 @@ def test_r13_backoff_n_on_empty_corpus(spark, empty_docs):
     assert T.lm_score_backoff_n(
         empty_docs, order=4, counts=counts
     ).count() == 0
+
+
+def test_r14_video_neardup_on_empty_payloads(spark):
+    from etl_workflow_spark.operators import multimodal as M
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert M.video_neardup_pairs(empty).count() == 0
+    assert M.dedup_videos(empty).count() == 0

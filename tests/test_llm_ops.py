@@ -455,6 +455,18 @@ def test_image_hashers_honor_string_id_col(spark):
     kept = {r["image_id"]
             for r in M.dedup_images(df, id_col="image_id").collect()}
     assert kept == {"img-a", "img-c"}
+    # the id contract extends to the other multimodal stages (r14)
+    meta = M.extract_media_meta(df, id_col="image_id")
+    assert meta.columns[0] == "image_id"
+    assert dict(meta.dtypes)["image_id"] == "string"
+    assert meta.count() == 3
+    rez = M.resize_media(df, 32, 32, id_col="image_id")
+    assert rez.columns[0] == "image_id"
+    assert rez.count() == 3
+    fr = M.sample_frames(df, id_col="image_id")
+    assert fr.columns[0] == "image_id"
+    assert dict(fr.dtypes)["image_id"] == "string"
+    assert fr.count() >= 3
 
 
 def test_extract_media_meta_plumbing(spark):
@@ -2404,3 +2416,92 @@ def test_lm_score_backoff_n_arbitrary_order(spark):
         lm_score_backoff_n(pdf, order=1)
     with pytest.raises(ValueError, match="outside"):
         lm_score_backoff_n(pdf, order=3, counts={5: counts[4]})
+
+
+def test_video_neardup_planted_recall_and_fake_chain(spark):
+    """r14: video near-dup via frame fingerprints. Pixel tier: two
+    1-frame PNG 'videos' whose frames sit 2 dHash bits apart pair
+    with (n_matching_frames=1, min_hamming=2); an inverted video does
+    not. Fake tier: duplicate payloads match on EVERY sampled frame —
+    the count replays the documented sha chain exactly (n_frames from
+    the payload digest, frame payload = sha256(payload ‖ idx), frame
+    hash = the 60-bit fake dhash) — and min_matching_frames
+    thresholds on that count; distinct payloads never pair."""
+    import hashlib as hl
+
+    def bits_png(bits):
+        px = bytearray()
+        for y in range(8):
+            row = [100]
+            for x in range(8):
+                row.append(
+                    row[-1] - 10 if (y * 8 + x) in bits else row[-1] + 10
+                )
+            for v in row:
+                px += bytes((v, v, v))
+        return M._png_encode(9, 8, 3, bytes(px))
+
+    base = frozenset(range(0, 12))
+    near = base ^ {20, 21}
+    far = frozenset(range(30, 50))
+    df = spark.createDataFrame(
+        [(1, bytearray(bits_png(base))),
+         (2, bytearray(bits_png(near))),
+         (3, bytearray(bits_png(far)))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["n_matching_frames"], r["min_hamming"])
+        for r in M.video_neardup_pairs(df, max_distance=3).collect()
+    }
+    assert pairs == {(1, 2): (1, 2)}
+    kept = {r["doc_id"] for r in M.dedup_videos(df).collect()}
+    assert kept == {1, 3}
+
+    # fake tier: the documented chain, replayed by hand
+    vid_a = b"not a decodable video payload A"
+    vid_b = b"some other opaque payload B"
+    nf = 1 + hl.sha256(vid_a).digest()[2] % 8
+    k = len(range(0, nf, 2))
+    fdf = spark.createDataFrame(
+        [(10, bytearray(vid_a)), (11, bytearray(vid_a)),
+         (12, bytearray(vid_b))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_matching_frames"], r["min_hamming"])
+        for r in M.video_neardup_pairs(fdf).collect()
+    }
+    assert got == {(10, 11): (k, 0)}
+    # per-frame hash replay: frame i's fingerprint is the fake dhash
+    # of the ASCII-hex SHA-256(payload ‖ ':frame:' ‖ i)
+    f0 = hl.sha256(vid_a + b":frame:0").hexdigest().encode()
+    want0 = int.from_bytes(
+        hl.sha256(f0 + b":dhash64").digest()[:8], "big"
+    ) >> 4
+    frames = M.sample_frames(fdf.where("doc_id = 10"))
+    fps = M.dhash_media(
+        frames.select("doc_id", F.col("frame_payload").alias("payload"))
+    ).collect()
+    assert want0 in {r["dhash"] for r in fps}
+    # threshold: requiring more shared frames than exist drops the pair
+    assert M.video_neardup_pairs(
+        fdf, min_matching_frames=k + 1
+    ).count() == 0
+    assert M.video_neardup_pairs(
+        fdf, min_matching_frames=k
+    ).count() == 1
+
+    # string ids — even ones containing the separator — survive the
+    # composite frame key round-trip
+    sdf = spark.createDataFrame(
+        [("vid#a", bytearray(vid_a)), ("vid#b", bytearray(vid_a))],
+        "doc_id string, payload binary",
+    )
+    sp = M.video_neardup_pairs(sdf).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in sp] == [("vid#a", "vid#b")]
+
+    with pytest.raises(ValueError, match="unknown method"):
+        M.video_neardup_pairs(df, method="ahash")
+    with pytest.raises(ValueError, match="min_matching_frames"):
+        M.video_neardup_pairs(df, min_matching_frames=0)
