@@ -4536,6 +4536,220 @@ def bm25_topk(
     )
 
 
+def bm25_topk_pruned(
+    df: DataFrame | None,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    max_df_ratio: float | None = None,
+    stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """:func:`bm25_topk` with MaxScore-style candidate pruning (Turtle
+    & Flood 1995; the block-max/WAND family's Spark-shaped member) —
+    RESULT-IDENTICAL to the exhaustive ranker (pytest-enforced row
+    equality), but documents that provably cannot enter the top-k are
+    dropped BEFORE the scoring aggregation, so the per-(query, doc)
+    shuffle carries the candidates a hot term would otherwise flood:
+
+    1. **Per-term upper bound**: ``ub_t = idf_t · max_doc(tf_part) ·
+       qtf`` — the max over the term's postings of the SAME double
+       expression the exact scorer uses (double multiplication is
+       monotone, so every posting's contribution ≤ its term's bound),
+       e6-floored into the exact scorer's own fixed point. Computed in
+       the one aggregation pass that already derives per-term document
+       frequencies.
+    2. **Threshold seed**: each query's highest-bound term (typically
+       its rarest) has its postings scored EXACTLY; the k-th best
+       partial score is a LOWER bound θ on the final k-th best full
+       score (partial ≤ full, contributions are nonnegative). Fewer
+       than k postings → no θ → no pruning (still exact).
+    3. **Essential terms (MaxScore)**: terms sorted by bound
+       ascending; the maximal prefix whose cumulative bound sum stays
+       < θ is "non-essential" — a document containing ONLY those
+       terms scores < θ and cannot rank. Candidate rows prune to
+       documents touching ≥ 1 essential term, then score through the
+       IDENTICAL fixed-point pipeline.
+
+    On a hot-term query (one corpus-frequent + one rare term) the hot
+    term's bound falls below θ, its ~corpus-sized posting list becomes
+    non-essential, and the scored candidates collapse to ~the rare
+    term's document frequency (tools/scalecheck.py ``--bm25-pruning``
+    measures the reduction). Single-hot-term queries gain nothing
+    (their one term is always essential) and pay one extra pruned
+    scan — the same trade the published algorithms make. Composes
+    with ``max_df_ratio`` (applied first, exactly as the exhaustive
+    path). At 100 TB pair with a term-partitioned prebuilt
+    ``postings`` table: every pass here is broadcast-pruned to query
+    terms, and the pruning bounds the one remaining corpus-shaped
+    cost — the candidate shuffle.
+
+    Capability analog in the reference: none — extension tier
+    (SCALE.md §17's named residual, closed)."""
+    return _bm25_pruned_parts(
+        df, queries, k=k, k1=k1, b=b, col=col, id_col=id_col,
+        postings=postings, max_df_ratio=max_df_ratio, stats=stats,
+    )[0]
+
+
+def _bm25_pruned_parts(
+    df: DataFrame | None,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    col: str = "text",
+    id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    max_df_ratio: float | None = None,
+    stats: tuple[int, int] | None = None,
+):
+    """:func:`bm25_topk_pruned` decomposed: returns ``(result,
+    candidate_docs, kept_docs)`` so tools/scalecheck.py can measure
+    the scored-candidate reduction with the OPERATOR'S OWN pruning
+    decisions rather than a re-implementation that could drift."""
+    if postings is None:
+        if df is None:
+            raise ValueError("bm25_topk_pruned needs df or postings")
+        postings = build_text_index(
+            df, col=col, id_col=id_col
+        ).localCheckpoint(eager=True)
+    spark = postings.sparkSession
+    if not isinstance(queries, DataFrame):
+        qlist = list(dict.fromkeys(queries))
+        if not qlist:
+            raise ValueError("bm25_topk_pruned needs at least one query")
+        queries = spark.createDataFrame(
+            [(q,) for q in qlist], "query string"
+        )
+    else:
+        queries = queries.dropDuplicates(["query"])
+    qtoks = F.split(F.trim(F.lower(F.col("query"))), r"\s+")
+    qterms = (
+        queries.select("query", F.explode(qtoks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("query", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    if stats is None:
+        stats = _bm25_index_stats(postings, id_col)
+    n_docs, total = stats
+    if n_docs == 0:
+        raise ValueError("bm25_topk_pruned: the postings index is empty")
+    avgdl = total / n_docs
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    )
+    hits = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    # ONE pass over the query terms' postings: document frequency AND
+    # the per-term max of the exact scorer's tf expression
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.max(tf_part).alias("__mx"),
+    )
+    if max_df_ratio is not None:
+        dfreq = dfreq.where(
+            F.col("df") <= F.lit(float(max_df_ratio)) * F.lit(n_docs)
+        )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    # per-(query, term) upper bound in the scorer's own fixed point:
+    # floor is safe because every posting's floored contribution is
+    # <= the unfloored bound, and integer sums compare exactly
+    qub = (
+        qterms.join(dfreq, "term")
+        .withColumn(
+            "__ub_e6",
+            F.floor(idf * F.col("__mx") * F.col("qtf") * F.lit(1e6)),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wq = Window.partitionBy("query")
+    best = (
+        qub.withColumn(
+            "__r",
+            F.row_number().over(
+                wq.orderBy(F.col("__ub_e6").desc(), F.col("term").asc())
+            ),
+        )
+        .where(F.col("__r") == 1)
+        .select("query", "term", "qtf")
+    )
+    contrib = idf * tf_part * F.col("qtf")
+    # θ: the k-th best EXACT partial score on the best term's postings
+    theta = (
+        postings.join(F.broadcast(best), "term")
+        .join(F.broadcast(dfreq.select("term", "df")), "term")
+        .withColumn("__p_e6", F.floor(contrib * F.lit(1e6)))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                wq.orderBy(F.col("__p_e6").desc(), F.col(id_col).asc())
+            ),
+        )
+        .where(F.col("__r") == F.lit(int(k)))
+        .select("query", F.col("__p_e6").alias("__theta_e6"))
+    )
+    # MaxScore split: ascending cumulative bound sum; a term whose
+    # inclusive prefix sum stays under θ is non-essential
+    cum = F.sum("__ub_e6").over(
+        wq.orderBy(F.col("__ub_e6").asc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    essential = (
+        qub.join(theta, "query", "left")
+        .withColumn("__cum", cum)
+        .where(
+            F.col("__theta_e6").isNull()
+            | (F.col("__cum") >= F.col("__theta_e6"))
+        )
+        .select("query", "term")
+    )
+    cand = postings.join(F.broadcast(qterms), "term")
+    keep_docs = (
+        cand.join(F.broadcast(essential), ["query", "term"], "left_semi")
+        .select("query", id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(keep_docs, ["query", id_col], "left_semi")
+        .join(F.broadcast(dfreq.select("term", "df")), "term")
+        .withColumn("c_e6", F.floor(contrib * F.lit(1e6)))
+        .groupBy("query", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c_e6").alias("s_e6"),
+        )
+    )
+    w = wq.orderBy(F.col("s_e6").desc(), F.col(id_col).asc())
+    result = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query",
+            id_col,
+            F.col("n_terms").cast("int").alias("n_terms"),
+            F.expr("s_e6 div 100").alias("score_e4"),
+            "rank",
+        )
+    )
+    cand_docs = cand.join(
+        F.broadcast(dfreq.select("term")), "term"
+    ).select("query", id_col).distinct()
+    return result, cand_docs, keep_docs
+
+
 def bm25_topk_oracle(
     queries: list[str] | None = None,
     k: int = 10,

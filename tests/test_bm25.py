@@ -475,3 +475,48 @@ def test_search_pipeline_end_to_end(spark, sf_dir):
     )
     m = retrieval_metrics(final_df, qrels, k=8).collect()[0]
     assert m["n_hit"] == 3 and m["ndcg_e6"] > 0
+
+
+def test_bm25_pruned_equals_exhaustive(spark, sf_dir):
+    """r14 MaxScore pruning: bm25_topk_pruned returns ROW-IDENTICAL
+    results to the exhaustive ranker — on the testdata corpus across
+    multi-term / rare-term / hot-term queries, at small and large k,
+    with and without max_df_ratio, and on a hand-built hot-term corpus
+    where the pruning provably collapses the candidate set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # include a corpus-hot term alongside rare ones: 'the' floods,
+    # the rare terms seed a high threshold
+    qs = QS + ["the zzzmiss", "the"]
+    for kk in (3, 10):
+        assert _rows(T.bm25_topk_pruned(docs, qs, k=kk)) == _rows(
+            T.bm25_topk(docs, qs, k=kk)
+        )
+    assert _rows(
+        T.bm25_topk_pruned(docs, qs, k=5, max_df_ratio=0.5)
+    ) == _rows(T.bm25_topk(docs, qs, k=5, max_df_ratio=0.5))
+    # prebuilt postings path
+    postings = T.build_text_index(docs)
+    assert _rows(
+        T.bm25_topk_pruned(None, QS, k=5, postings=postings)
+    ) == _rows(T.bm25_topk(docs, QS, k=5))
+
+    # hand-built hot-term corpus: 'common' in every doc, 'rare' in 3;
+    # with k=2 the rare-term partial threshold makes 'common'
+    # non-essential, so common-only docs cannot rank — and the pruned
+    # results still equal the exhaustive ones exactly
+    rows = [(i, "common filler number %d" % i) for i in range(1, 98)]
+    rows += [(101, "rare common topic"), (102, "rare common subject"),
+             (103, "rare common matter")]
+    hot = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _rows(T.bm25_topk_pruned(hot, ["rare common"], k=2)) == _rows(
+        T.bm25_topk(hot, ["rare common"], k=2)
+    )
+    # single-hot-term query: its one term is always essential — no
+    # pruning possible, results still exact
+    assert _rows(T.bm25_topk_pruned(hot, ["common"], k=4)) == _rows(
+        T.bm25_topk(hot, ["common"], k=4)
+    )
+    with pytest.raises(ValueError, match="at least one query"):
+        T.bm25_topk_pruned(hot, [])
+    with pytest.raises(ValueError, match="needs df or postings"):
+        T.bm25_topk_pruned(None, ["x"])

@@ -896,11 +896,71 @@ def index_probe_bytes(sf_dir: str, ks: list[int]) -> None:
     spark.stop()
 
 
+def bm25_pruning(sf_dir: str, ks: list[int]) -> None:
+    """Scored-candidate reduction of the MaxScore-pruned BM25 ranker
+    (r14) on a hot-term query: candidate docs (any query term) vs
+    docs the pruning actually scores, using the OPERATOR'S OWN parts
+    (`text._bm25_pruned_parts`), plus result-equality and wall times
+    for both rankers. One JSON row per (replication k, query kind)."""
+    import time
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import text as T
+    from etl_workflow_spark.session import get_spark
+
+    spark = get_spark("scalecheck-bm25")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = table(spark, sf_dir, "documents")
+    d_off = (docs0.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    for k in ks:
+        docs = replicate(docs0, k, ["doc_id"], d_off).localCheckpoint(
+            eager=True
+        )
+        post = T.build_text_index(docs).localCheckpoint(eager=True)
+        dft = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        hot = dft.orderBy(F.col("df").desc(), F.col("term").asc()).first()
+        rare = dft.where(F.col("df") >= 3).orderBy(
+            F.col("df").asc(), F.col("term").asc()
+        ).first()
+        for kind, q in (
+            ("hot+rare", f"{hot['term']} {rare['term']}"),
+            ("hot_only", hot["term"]),
+        ):
+            res, cand, kept = T._bm25_pruned_parts(
+                None, [q], k=10, postings=post
+            )
+            n_cand, n_kept = cand.count(), kept.count()
+            t0 = time.time()
+            pruned_rows = sorted(map(tuple, res.collect()))
+            t_pruned = time.time() - t0
+            t0 = time.time()
+            full_rows = sorted(map(tuple, T.bm25_topk(
+                None, [q], k=10, postings=post
+            ).collect()))
+            t_full = time.time() - t0
+            print(json.dumps({
+                "op": "bm25_pruning", "k": k, "query_kind": kind,
+                "hot_df": int(hot["df"]), "rare_df": int(rare["df"]),
+                "candidate_docs": int(n_cand),
+                "scored_docs": int(n_kept),
+                "scored_fraction": round(n_kept / max(n_cand, 1), 4),
+                "results_equal": pruned_rows == full_rows,
+                "pruned_sec": round(t_pruned, 3),
+                "exhaustive_sec": round(t_full, 3),
+            }), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]
             if a not in ("--ann-recall", "--txn-sink", "--span-skew",
                          "--corpus", "--extend", "--semdedup-skew",
-                         "--pq-store", "--retrieval", "--index-bytes")]
+                         "--pq-store", "--retrieval", "--index-bytes",
+                         "--bm25-pruning")]
+    if "--bm25-pruning" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        bm25_pruning(sf, [int(a) for a in args[1:]] or [1, 4])
+        return
     if "--index-bytes" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         index_probe_bytes(sf, [int(a) for a in args[1:]] or [1, 4])
