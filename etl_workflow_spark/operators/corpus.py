@@ -67,6 +67,7 @@ def materialize_training_set(
     keep_quality_col: str | None = None,
     semantic_dedup: dict | None = None,
     image_dedup: dict | None = None,
+    video_dedup: dict | None = None,
     dsir: dict | None = None,
     mixture: dict[str, float] | None = None,
     temperature: float | None = None,
@@ -184,6 +185,15 @@ def materialize_training_set(
        pixel-tier availability (Pillow or not); extensions refuse a
        runtime that would hash the same payload differently — the
        zlib-pin reasoning. NULL payloads pass through unexamined.
+    3c'. **video perceptual dedup** (``video_dedup`` config, r14): the
+       image tier one fan-out up — every payload frame-samples and
+       hashes ONCE (``every_n`` stride) into a per-frame fingerprint
+       store (``out_path/video_fps``: ``(doc_id, frame_idx, fp)``);
+       two videos cluster when at least ``min_matching_frames`` frame
+       pairs land within ``max_distance``
+       (:func:`~.multimodal.video_neardup_pairs` semantics); same
+       keep policies, pixel-tier pin, extension cross-probe, and
+       component spread as the image tier.
     3d. **DSIR selection** (``dsir`` config, r11): importance-resample
        toward a target domain (:func:`~.text.dsir_select` semantics,
        Xie et al. 2023) AFTER the dedup tiers and BEFORE mixture —
@@ -316,6 +326,9 @@ def materialize_training_set(
     img_cfg: dict | None = None
     if image_dedup is not None:
         img_cfg = _norm_image_dedup(image_dedup, docs)
+    vid_cfg: dict | None = None
+    if video_dedup is not None:
+        vid_cfg = _norm_video_dedup(video_dedup, docs)
     dsir_cfg: dict | None = None
     dsir_target: DataFrame | None = None
     if dsir is not None:
@@ -422,6 +435,12 @@ def materialize_training_set(
         cur = _image_dedup_stage(
             cur, img_cfg,
             f"{out_path.rstrip('/')}/{img_cfg['store_dir']}",
+            id_col, _audit, batch_id=0,
+        )
+    if vid_cfg is not None:
+        cur = _video_dedup_stage(
+            cur, vid_cfg,
+            f"{out_path.rstrip('/')}/{vid_cfg['store_dir']}",
             id_col, _audit, batch_id=0,
         )
     if dsir_cfg is not None:
@@ -623,6 +642,7 @@ def materialize_training_set(
             "keep_quality_col": keep_quality_col,
             "semantic_dedup": sem,
             "image_dedup": img_cfg,
+            "video_dedup": vid_cfg,
             "dsir": dsir_cfg,
             "mixture": mixture,
             "temperature": temperature,
@@ -1185,27 +1205,294 @@ def _norm_image_dedup(image_dedup: dict, docs: DataFrame) -> dict:
     }
 
 
-def _image_ext_inputs(spark: SparkSession, base: str, cfg: dict):
-    """Extension-side resolution of the recorded image-dedup tier:
-    the fingerprint store written by the build (and every prior
-    extension) must exist — without it the cross probe would silently
-    admit near-dups of the whole corpus. Returns the store path (or
-    None when the set has no image tier)."""
-    img = cfg.get("image_dedup")
-    if not img:
+def _media_store_ext_inputs(
+    spark: SparkSession, base: str, cfg: dict, key: str, default_dir: str
+):
+    """Extension-side resolution of a recorded media-dedup tier
+    (image or video): the fingerprint store written by the build (and
+    every prior extension) must exist — without it the cross probe
+    would silently admit near-dups of the whole corpus. Returns the
+    store path (or None when the set has no such tier)."""
+    media = cfg.get(key)
+    if not media:
         return None
     from ..sources.txn import _fs, _hpath
 
-    rel = img.get("store_dir", "image_fps")
+    rel = media.get("store_dir", default_dir)
     jvm, fs = _fs(spark, base)
     if not fs.exists(_hpath(jvm, base, rel)):
         raise ValueError(
-            f"this set's image_dedup fingerprint store ({base}/{rel}) "
+            f"this set's {key} fingerprint store ({base}/{rel}) "
             "is missing — it is written at build and appended by every "
             "extension; without it new batches cannot be probed "
             "against the corpus fingerprints. Re-materialize the set"
         )
     return f"{base}/{rel}"
+
+
+def _image_ext_inputs(spark: SparkSession, base: str, cfg: dict):
+    return _media_store_ext_inputs(
+        spark, base, cfg, "image_dedup", "image_fps"
+    )
+
+
+def _video_ext_inputs(spark: SparkSession, base: str, cfg: dict):
+    return _media_store_ext_inputs(
+        spark, base, cfg, "video_dedup", "video_fps"
+    )
+
+
+def _norm_video_dedup(video_dedup: dict, docs: DataFrame) -> dict:
+    """Validate the ``video_dedup`` config into its RECORDED JSON-safe
+    shape — the :func:`_norm_image_dedup` twin plus the frame-level
+    knobs (``every_n`` sampling stride, ``min_matching_frames`` pair
+    threshold)."""
+    from .multimodal import _pillow
+
+    src = dict(video_dedup)
+    unknown = set(src) - {
+        "payload_col", "method", "hash_size", "max_distance",
+        "quality_col", "allow_fake", "every_n", "min_matching_frames",
+    }
+    if unknown:
+        raise ValueError(
+            f"unknown video_dedup keys {sorted(unknown)}; known: "
+            "payload_col, method, hash_size, max_distance, "
+            "quality_col, allow_fake, every_n, min_matching_frames"
+        )
+    pcol = str(src.get("payload_col", "payload"))
+    if pcol not in docs.columns:
+        raise ValueError(
+            f"video_dedup.payload_col {pcol!r} not in the input "
+            f"columns {docs.columns}"
+        )
+    method = str(src.get("method", "dhash"))
+    if method not in ("dhash", "phash"):
+        raise ValueError(
+            f"video_dedup.method must be 'dhash' or 'phash' "
+            f"(got {method!r})"
+        )
+    hs = int(src.get("hash_size", 8))
+    if not (2 <= hs <= 8):
+        raise ValueError(
+            f"video_dedup.hash_size must be in 2..8 (got {hs})"
+        )
+    md = int(src.get("max_distance", 3))
+    if md < 1:
+        raise ValueError(
+            f"video_dedup.max_distance must be >= 1 (got {md})"
+        )
+    if hs * hs < md + 1:
+        raise ValueError(
+            f"video_dedup: cannot split {hs * hs} fingerprint bits "
+            f"into {md + 1} pigeonhole segments"
+        )
+    every_n = int(src.get("every_n", 2))
+    if every_n < 1:
+        raise ValueError(
+            f"video_dedup.every_n must be >= 1 (got {every_n})"
+        )
+    mmf = int(src.get("min_matching_frames", 1))
+    if mmf < 1:
+        raise ValueError(
+            f"video_dedup.min_matching_frames must be >= 1 (got {mmf})"
+        )
+    qcol = src.get("quality_col")
+    if qcol is not None:
+        qcol = str(qcol)
+        if qcol not in docs.columns:
+            raise ValueError(
+                f"video_dedup.quality_col {qcol!r} not in the input "
+                f"columns {docs.columns}"
+            )
+    return {
+        "payload_col": pcol,
+        "method": method,
+        "hash_size": hs,
+        "max_distance": md,
+        "every_n": every_n,
+        "min_matching_frames": mmf,
+        "quality_col": qcol,
+        "allow_fake": bool(src.get("allow_fake", True)),
+        "store_dir": "video_fps",
+        "pillow": _pillow() is not None,
+    }
+
+
+def _pixel_tier_guard(media: dict, key: str) -> None:
+    """Refuse a runtime whose pixel-tier availability differs from the
+    one the fingerprints were computed under — the zlib-pin reasoning
+    applied to pixels (bilinear vs integer-NN resample hash the same
+    payload to different bits), shared by the image and video tiers."""
+    from .multimodal import _pillow
+
+    if bool(media.get("pillow")) != (_pillow() is not None):
+        raise ValueError(
+            f"this set's {key} fingerprints were computed with "
+            f"Pillow {'present' if media.get('pillow') else 'absent'} "
+            "but this runtime has it "
+            f"{'present' if _pillow() is not None else 'absent'} — "
+            "the pixel tiers hash the same payload to different bits, "
+            "so extending here would band incomparable fingerprints. "
+            "Pin one codec tier per fleet, or re-materialize under "
+            "this one"
+        )
+
+
+def _video_dedup_stage(
+    cur: DataFrame,
+    vid: dict,
+    store_path: str,
+    id_col: str,
+    _audit,
+    batch_id: int,
+    universe: DataFrame | None = None,
+) -> DataFrame:
+    """The recipe's VIDEO near-dup tier (r14) — the
+    :func:`_image_dedup_stage` twin one fan-out up, shared verbatim by
+    build and extension. Decode-once: every row reaching the stage has
+    its payload frame-sampled and hashed exactly ONCE (one fused Arrow
+    pass), and the per-frame fingerprints persist as this epoch's
+    store fragment (``(doc_id, frame_idx, fp)``) — pairing, keep
+    policy, and every later extension's cross probe read 8-byte frame
+    fingerprints from the files. Two videos pair when at least
+    ``min_matching_frames`` frame pairs land within ``max_distance``
+    (:func:`~.multimodal.video_neardup_pairs` semantics over the
+    stored fingerprints); contacts restrict to universe members and
+    spread through within-batch components exactly like the image
+    tier."""
+    from ..streaming.incremental import write_fingerprint_fragment
+    from .dedup import (
+        dedup_clusters,
+        hamming_pairs,
+        hamming_probe,
+        keep_best_per_cluster,
+    )
+    from .multimodal import dhash_media, phash_media, sample_frames
+
+    _pixel_tier_guard(vid, "video_dedup")
+    pcol = vid["payload_col"]
+    method = vid["method"]
+    hs = int(vid["hash_size"])
+    bits = hs * hs
+    md = int(vid["max_distance"])
+    mmf = int(vid["min_matching_frames"])
+    hasher = dhash_media if method == "dhash" else phash_media
+    spark = cur.sparkSession
+    id_type = cur.schema[id_col].dataType
+
+    def _vidof(c: str):
+        # the frame index is the LAST '#' segment; everything before
+        # it is the video id, restored to its original type
+        return F.expr(
+            f"substring({c}, 1, length({c}) - "
+            f"length(substring_index({c}, '#', -1)) - 1)"
+        ).cast(id_type)
+
+    frames = sample_frames(
+        cur.where(F.col(pcol).isNotNull()), every_n=int(vid["every_n"]),
+        id_col=id_col, payload_col=pcol,
+        allow_fake=bool(vid.get("allow_fake", True)),
+    )
+    keyed = frames.select(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("frame_idx")
+        ).alias("__fkey"),
+        F.col("frame_payload"),
+    )
+    fps = hasher(
+        keyed, hash_size=hs, id_col="__fkey",
+        payload_col="frame_payload",
+        allow_fake=bool(vid.get("allow_fake", True)),
+    ).withColumnRenamed(method, "fp")
+    frag_rows = fps.select(
+        _vidof("__fkey").alias("doc_id"),
+        F.expr(
+            "CAST(substring_index(__fkey, '#', -1) AS INT)"
+        ).alias("frame_idx"),
+        "fp",
+    )
+    # the ONE action that touches payload bytes for this epoch
+    write_fingerprint_fragment(
+        frag_rows, store_path, batch_id, method, hs, extra=("frame_idx",)
+    )
+    store = spark.read.schema(
+        f"`doc_id` {id_type.simpleString()}, `frame_idx` int, "
+        "`fp` bigint, `__method` string, `__hash_size` int, "
+        "`batch_id` int"
+    ).parquet(store_path)
+
+    def _fkeys(dfx: DataFrame) -> DataFrame:
+        return dfx.select(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.col("frame_idx")
+            ).alias("__fkey"),
+            "fp",
+        )
+
+    def _vpairs(frame_pairs: DataFrame) -> DataFrame:
+        va, vb = _vidof("doc_a"), _vidof("doc_b")
+        return (
+            frame_pairs.select(
+                F.least(va, vb).alias("doc_a"),
+                F.greatest(va, vb).alias("doc_b"),
+                (va != vb).alias("__cross"),
+            )
+            .where(F.col("__cross"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") >= F.lit(mmf))
+            .select("doc_a", "doc_b")
+        )
+
+    frag = store.where(F.col("batch_id") == F.lit(int(batch_id)))
+    fpairs = hamming_pairs(
+        _fkeys(frag), max_distance=md, id_col="__fkey", fp_col="fp",
+        bits=bits,
+    )
+    comps = dedup_clusters(_vpairs(fpairs), id_col=id_col)
+    if vid.get("quality_col"):
+        cur = keep_best_per_cluster(cur, comps, vid["quality_col"], id_col)
+    else:
+        losers_in = comps.where(
+            F.col(id_col) != F.col("cluster_id")
+        ).select(id_col)
+        cur = cur.join(losers_in, id_col, "left_anti")
+    _audit("video_dedup" if universe is None else "video_within_batch", cur)
+    if universe is None:
+        return cur
+    corpus_fps = store.where(F.col("batch_id") < F.lit(int(batch_id)))
+    cross_f = hamming_probe(
+        _fkeys(frag), _fkeys(corpus_fps), max_distance=md,
+        id_col="__fkey", fp_col="fp", bits=bits,
+    )
+    # probe output: doc_a = batch frame key, doc_b = corpus frame key;
+    # aggregate frame matches per (batch video, corpus video) pair
+    cpairs = (
+        cross_f.select(
+            _vidof("doc_a").alias("__bv"), _vidof("doc_b").alias("__cv")
+        )
+        .groupBy("__bv", "__cv")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= F.lit(mmf))
+    )
+    ex_ids = universe.select(F.col(id_col).alias("__ex"))
+    contacted = (
+        cpairs.join(ex_ids, cpairs["__cv"] == F.col("__ex"), "left_semi")
+        .select(F.col("__bv").alias(id_col))
+        .distinct()
+    )
+    cl = comps.select(id_col, "cluster_id")
+    bad_clusters = (
+        cl.join(contacted, id_col, "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    spread = cl.join(bad_clusters, "cluster_id", "left_semi").select(id_col)
+    losers = contacted.unionByName(spread).distinct()
+    cur = cur.join(losers, id_col, "left_anti")
+    _audit("cross_video", cur)
+    return cur
 
 
 def _image_dedup_stage(
@@ -1255,19 +1542,9 @@ def _image_dedup_stage(
         hamming_probe,
         keep_best_per_cluster,
     )
-    from .multimodal import _pillow, dhash_media, phash_media
+    from .multimodal import dhash_media, phash_media
 
-    if bool(img.get("pillow")) != (_pillow() is not None):
-        raise ValueError(
-            "this set's image_dedup fingerprints were computed with "
-            f"Pillow {'present' if img.get('pillow') else 'absent'} "
-            "but this runtime has it "
-            f"{'present' if _pillow() is not None else 'absent'} — "
-            "the pixel tiers hash the same payload to different bits "
-            "(bilinear vs integer-NN resample), so extending here "
-            "would band incomparable fingerprints. Pin one codec "
-            "tier per fleet, or re-materialize under this one"
-        )
+    _pixel_tier_guard(img, "image_dedup")
     pcol = img["payload_col"]
     method = img["method"]
     hs = int(img["hash_size"])
@@ -1570,13 +1847,15 @@ def extend_training_set(
        coverage against the live snapshot and refuses a stale or
        differently-banded index rather than silently admitting
        near-dups of recently appended docs.
-    4a'. **image tier (``image_dedup`` sets, r14)**: the batch's
-       payloads hash ONCE into the set's fingerprint store
-       (``out_path/image_fps``), dedup within the batch, then
-       cross-probe the store's prior fragments — the corpus is never
-       re-decoded; contacts spread through within-batch components
-       like the lexical/semantic closures. Refuses a runtime whose
-       pixel tier differs from the recorded one (Pillow presence).
+    4a'. **media tiers (``image_dedup`` / ``video_dedup`` sets,
+       r14)**: the batch's payloads hash ONCE into the set's
+       fingerprint store (``out_path/image_fps`` per-payload;
+       ``out_path/video_fps`` per-frame), dedup within the batch,
+       then cross-probe the store's prior fragments — the corpus is
+       never re-decoded; contacts spread through within-batch
+       components like the lexical/semantic closures. Refuses a
+       runtime whose pixel tier differs from the recorded one
+       (Pillow presence).
     4b. **global re-derive (mixture and/or DSIR sets)**: batch
        survivors append to the premix pool — DSIR-configured sets
        score them under the RECORDED model first (only the batch is
@@ -1853,6 +2132,7 @@ def _batch_recipe(
     cleanup: list | None = None,
     lm_frames=None,
     image_store_path: str | None = None,
+    video_store_path: str | None = None,
     image_batch_id: int = 1,
 ) -> DataFrame:
     """The recorded recipe over a NEW batch, shared by both extension
@@ -1947,8 +2227,10 @@ def _batch_recipe(
     )
     img_cfg = cfg.get("image_dedup")
     min_id_image = bool(img_cfg) and img_cfg.get("quality_col") is None
+    vid_cfg = cfg.get("video_dedup")
+    min_id_video = bool(vid_cfg) and vid_cfg.get("quality_col") is None
     if (
-        min_id_lexical or min_id_semantic or min_id_image
+        min_id_lexical or min_id_semantic or min_id_image or min_id_video
     ) and not allow_interleaved_ids:
         # equality precondition made LOUD (r9 verdict): under a min-id
         # keep policy the cross tiers below keep-first across epochs
@@ -2105,25 +2387,31 @@ def _batch_recipe(
             losers = contacted.unionByName(spread).distinct()
             cur = cur.join(losers, id_col, "left_anti")
         _audit("cross_semantic", cur)
-    if img_cfg:
-        # image perceptual tier under the RECORDED config: hash the
-        # batch ONCE into the store's next fragment, within-batch
+    if img_cfg or vid_cfg:
+        # media perceptual tiers under the RECORDED configs: hash the
+        # batch ONCE into each store's next fragment, within-batch
         # pairing + keep policy, then the cross probe against the
         # store's prior fragments with contacts restricted to universe
         # members and spread through the within-batch components —
-        # the shared stage function, so build and extension cannot
-        # drift (see _image_dedup_stage). Persist first: the stage's
-        # fragment write is an action, and without a cache here it and
-        # the caller's final write would EACH evaluate the lexical/
-        # semantic cross-tier plan above (a universe probe per
-        # evaluation) — batch-sized, caller-released
+        # the shared stage functions, so build and extension cannot
+        # drift (see _image_dedup_stage / _video_dedup_stage). Persist
+        # first: each stage's fragment write is an action, and without
+        # a cache here it and the caller's final write would EACH
+        # evaluate the lexical/semantic cross-tier plan above (a
+        # universe probe per evaluation) — batch-sized, caller-released
         if cleanup is not None:
             from pyspark import StorageLevel
 
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
             cleanup.append(cur)
+    if img_cfg:
         cur = _image_dedup_stage(
             cur, img_cfg, image_store_path, id_col, _audit,
+            batch_id=int(image_batch_id), universe=universe,
+        )
+    if vid_cfg:
+        cur = _video_dedup_stage(
+            cur, vid_cfg, video_store_path, id_col, _audit,
             batch_id=int(image_batch_id), universe=universe,
         )
     return cur
@@ -2233,6 +2521,7 @@ def _extend_locked(
             allow_interleaved_ids=allow_interleaved_ids, cleanup=cleanup,
             lm_frames=_page_filter_ext_inputs(spark, base, cfg),
             image_store_path=_image_ext_inputs(spark, base, cfg),
+            video_store_path=_video_ext_inputs(spark, base, cfg),
             image_batch_id=int(manifest.get("epochs", 1)),
         )
         out = deterministic_shuffle(
@@ -2360,6 +2649,7 @@ def _extend_pooled(
             allow_interleaved_ids=allow_interleaved_ids, cleanup=cleanup,
             lm_frames=_page_filter_ext_inputs(spark, base, cfg),
             image_store_path=_image_ext_inputs(spark, base, cfg),
+            video_store_path=_video_ext_inputs(spark, base, cfg),
             image_batch_id=int(manifest.get("epochs", 1)),
         )
 
@@ -2686,6 +2976,7 @@ def training_set_report(
         ("semantic_dedup",
          bool(cfg.get("semantic_dedup")) or None),
         ("image_dedup", cfg.get("image_dedup")),
+        ("video_dedup", cfg.get("video_dedup")),
         ("dsir_selection", bool(cfg.get("dsir")) or None),
         ("mixture", cfg.get("mixture")),
         ("temperature", cfg.get("temperature")),
@@ -2713,7 +3004,8 @@ def training_set_report(
             "deduped", "deduped_within_batch", "cross_exact",
             "cross_neardup", "semantic_dedup", "semantic_within_batch",
             "cross_semantic", "image_dedup", "image_within_batch",
-            "cross_image", "dsir", "mixture",
+            "cross_image", "video_dedup", "video_within_batch",
+            "cross_video", "dsir", "mixture",
         ]
         ordered = [s for s in pipeline if s in stage_rows] + sorted(
             set(stage_rows) - set(pipeline)

@@ -2588,16 +2588,19 @@ def write_fingerprint_fragment(
     batch_id: int,
     method: str,
     hash_size: int,
+    extra: tuple = (),
 ) -> None:
     """Write one ``(doc_id, fp)`` frame into the fingerprint store as
     the ``batch_id=…`` fragment, EXACTLY-ONCE (dynamic partition
     overwrite — a replayed batch rewrites its own fragment and nothing
     else). The hash configuration travels as constant columns so the
-    read can refuse mixed stores. Shared by :func:`dhash_rollup_batch`
-    and the training-set recipe's image-dedup tier (r14), so the two
+    read can refuse mixed stores. ``extra`` names passthrough columns
+    (the recipe's video tier stores ``frame_idx`` next to each frame
+    fingerprint). Shared by :func:`dhash_rollup_batch` and the
+    training-set recipe's image/video dedup tiers (r14), so they
     cannot write drifting layouts."""
     (
-        fps.select("doc_id", "fp")
+        fps.select("doc_id", "fp", *extra)
         .withColumn("__method", F.lit(str(method)))
         .withColumn("__hash_size", F.lit(int(hash_size)))
         .withColumn("batch_id", F.lit(int(batch_id)))

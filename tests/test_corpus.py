@@ -2338,3 +2338,101 @@ def test_page_filters_backoff_order3_tier(spark, tmp_path):
                 spark, docs, str(tmp_path / "never"),
                 page_filters={"lm": lm_bad},
             )
+
+
+def test_video_dedup_tier_in_recipe_and_extension(spark, tmp_path):
+    """r14: video near-dup as a recorded recipe tier — per-frame
+    fingerprints persist once into the set's video_fps store, videos
+    cluster on >= min_matching_frames near frames, extensions probe
+    the stored frame fingerprints and equal a fresh union rebuild;
+    the frame threshold is recorded and effective; validation."""
+    vid_a = b"video payload AAA"      # fake tier: 2 sampled frames
+    vid_b = b"video payload BBB"      # 4 sampled frames
+    docs = _img_docs(spark, [
+        (1, "web", _bits_png(_IMG_BASE)),          # 1-frame still
+        (2, "web", _bits_png(_IMG_NEAR)),          # near frame of 1
+        (3, "web", vid_a),
+        (4, "web", vid_a),                          # all frames match 3
+        (5, "web", None),
+    ])
+    out = str(tmp_path / "vid")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True,
+        video_dedup={"max_distance": 3},
+    )
+    cfg = m["config"]["video_dedup"]
+    assert cfg == {
+        "payload_col": "payload", "method": "dhash", "hash_size": 8,
+        "max_distance": 3, "every_n": 2, "min_matching_frames": 1,
+        "quality_col": None, "allow_fake": True,
+        "store_dir": "video_fps", "pillow": False,
+    }
+    assert json.loads(json.dumps(m)) == m
+    assert m["stage_rows"]["video_dedup"] == 3
+    data, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in data.collect()} == {1, 3, 5}
+    store = spark.read.parquet(f"{out}/video_fps")
+    # per-frame rows: 1 each for the stills, 2 each for the fakes
+    assert store.count() == 1 + 1 + 2 + 2
+    assert {r["frame_idx"] for r in store.where("doc_id = 3").collect()} \
+        == {0, 2}
+
+    batch = _img_docs(spark, [
+        (10, "web", _bits_png(_IMG_BASE ^ {22, 23})),  # near corpus 1
+        (11, "web", vid_a),                             # matches corpus 3
+        (12, "web", vid_b),
+        (13, "web", vid_b),                             # in-batch dup
+        (14, "web", None),
+    ])
+    m2 = C.extend_training_set(spark, batch, out, audit=True)
+    sr2 = m2["stage_rows"]
+    assert sr2["video_within_batch"] == 4 and sr2["cross_video"] == 2
+    da, _ = C.read_training_set(spark, out, ordered=True)
+    assert {r["doc_id"] for r in da.collect()} == {1, 3, 5, 12, 14}
+    out_b = str(tmp_path / "vid_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        video_dedup={"max_distance": 3},
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+    # min_matching_frames is recorded AND effective: at 2, the stills'
+    # single shared frame no longer pairs, the 2-frame fake dup does
+    out2 = str(tmp_path / "vid_mmf")
+    m3 = C.materialize_training_set(
+        spark, docs, out2, num_shards=2,
+        video_dedup={"max_distance": 3, "min_matching_frames": 2},
+    )
+    assert m3["config"]["video_dedup"]["min_matching_frames"] == 2
+    d3, _ = C.read_training_set(spark, out2)
+    assert {r["doc_id"] for r in d3.collect()} == {1, 2, 3, 5}
+
+    # image + video tiers compose in one build
+    out3 = str(tmp_path / "vid_both")
+    C.materialize_training_set(
+        spark, docs, out3, num_shards=2, audit=True,
+        image_dedup={"max_distance": 3},
+        video_dedup={"max_distance": 3, "min_matching_frames": 2},
+    )
+    d4, _ = C.read_training_set(spark, out3)
+    # image tier drops 2 (near still) AND 4 (exact payload); the video
+    # tier then finds nothing new at threshold 2
+    assert {r["doc_id"] for r in d4.collect()} == {1, 3, 5}
+
+    # validation
+    for bad_cfg, msg in [
+        ({"every_n": 0}, "every_n"),
+        ({"min_matching_frames": 0}, "min_matching_frames"),
+        ({"nope": 1}, "unknown video_dedup keys"),
+        ({"method": "ahash"}, "must be 'dhash' or 'phash'"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            C.materialize_training_set(
+                spark, docs, str(tmp_path / "never"), video_dedup=bad_cfg
+            )
+    # data card surfaces the tier
+    report = C.training_set_report(spark, out, markdown=True)
+    assert "video_dedup" in report
