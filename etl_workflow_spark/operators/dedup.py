@@ -530,6 +530,16 @@ def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     return agg.selectExpr(f"id AS {id_col}", f"({fp}) AS simhash")
 
 
+def _seg_mask(width: int) -> int:
+    """Signed-64 pigeonhole segment mask for ``width`` bits: the
+    unsigned ``(1 << width) - 1`` wrapped into the two's-complement
+    value a Spark ``long`` literal can hold (width 64 → -1, identity
+    under AND) — a single-segment split of a full 64-bit fingerprint
+    (``max_distance=0``) would otherwise overflow the literal."""
+    m = (1 << width) - 1
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
 def hamming_pairs(fps: DataFrame, max_distance: int = 3,
                   id_col: str = "doc_id", fp_col: str = "simhash",
                   bits: int = 64) -> DataFrame:
@@ -568,10 +578,16 @@ def hamming_pairs(fps: DataFrame, max_distance: int = 3,
                             F.lit(
                                 # the LAST segment absorbs the
                                 # remainder bits so all `bits` are
-                                # covered by some segment
-                                (1 << (bits - s * seg_bits)) - 1
-                                if s == nseg - 1
-                                else (1 << seg_bits) - 1
+                                # covered by some segment; masks of
+                                # 63+ bits wrap to their signed-long
+                                # two's complement (a 64-bit mask is
+                                # -1 — identity under AND), or the
+                                # literal would overflow
+                                _seg_mask(
+                                    bits - s * seg_bits
+                                    if s == nseg - 1
+                                    else seg_bits
+                                )
                             )
                         )
                         .alias("segval"),
@@ -630,9 +646,11 @@ def hamming_probe(new_fps: DataFrame, corpus_fps: DataFrame,
                             F.shiftrightunsigned(fp, s * seg_bits)
                             .bitwiseAND(
                                 F.lit(
-                                    (1 << (bits - s * seg_bits)) - 1
-                                    if s == nseg - 1
-                                    else (1 << seg_bits) - 1
+                                    _seg_mask(
+                                        bits - s * seg_bits
+                                        if s == nseg - 1
+                                        else seg_bits
+                                    )
                                 )
                             )
                             .alias("segval"),

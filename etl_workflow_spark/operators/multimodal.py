@@ -1069,3 +1069,66 @@ def dedup_videos(
         id_col
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def decontaminate_media(
+    df: DataFrame,
+    benchmark: DataFrame,
+    max_distance: int = 0,
+    hash_size: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    bench_payload_col: str | None = None,
+    allow_fake: bool = True,
+    method: str = "dhash",
+) -> DataFrame:
+    """Benchmark decontamination for media corpora — the image twin
+    of :func:`~etl_workflow_spark.operators.text.decontaminate`
+    (which drops pages sharing n-grams with an eval set): drop every
+    row whose payload perceptually matches ANY benchmark payload
+    within ``max_distance`` (default 0 — exact perceptual match, the
+    conservative eval-leakage cut; raise it to catch re-encoded or
+    lightly edited benchmark images).
+
+    Scale shape mirrors the text operator: both sides hash ONCE
+    (:func:`dhash_media`/:func:`phash_media`, one Arrow pass each);
+    the (small) benchmark side's pigeonhole segments BROADCAST through
+    :func:`~etl_workflow_spark.operators.dedup.hamming_probe`'s
+    segment-equality join, so the corpus fingerprints never self-pair
+    and never shuffle; the full corpus rows only ever anti-join the
+    contaminated-id list. NULL payloads pass through (nothing to
+    match). Benchmark rows need no ids — an internal synthetic id
+    keys the probe and never reaches the output.
+
+    Capability analog in the reference: none — extension tier."""
+    from .dedup import hamming_probe
+
+    if method not in ("dhash", "phash"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'dhash' or 'phash'"
+        )
+    hasher = dhash_media if method == "dhash" else phash_media
+    bcol = bench_payload_col or payload_col
+    bench = benchmark.where(F.col(bcol).isNotNull()).select(
+        F.monotonically_increasing_id().alias("__bid"),
+        F.col(bcol).alias("__bp"),
+    )
+    bench_fps = hasher(
+        bench, hash_size=hash_size, id_col="__bid",
+        payload_col="__bp", allow_fake=allow_fake,
+    ).withColumnRenamed(method, "fp").withColumnRenamed("__bid", "doc_id")
+    corpus_fps = (
+        hasher(
+            df.where(F.col(payload_col).isNotNull()),
+            hash_size=hash_size, id_col=id_col,
+            payload_col=payload_col, allow_fake=allow_fake,
+        )
+        .withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed(method, "fp")
+    )
+    contacts = hamming_probe(
+        bench_fps, corpus_fps, max_distance=max_distance,
+        id_col="doc_id", fp_col="fp", bits=int(hash_size) ** 2,
+    )
+    contaminated = contacts.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(contaminated, id_col, "left_anti")

@@ -2505,3 +2505,74 @@ def test_video_neardup_planted_recall_and_fake_chain(spark):
         M.video_neardup_pairs(df, method="ahash")
     with pytest.raises(ValueError, match="min_matching_frames"):
         M.video_neardup_pairs(df, min_matching_frames=0)
+
+
+def test_decontaminate_media_exact_and_near(spark):
+    """r14: image benchmark decontamination — exact perceptual match
+    (max_distance=0) drops only byte/near-identical fingerprints;
+    raising the distance catches the re-encoded/perturbed benchmark
+    copy; NULL payloads and unrelated images pass; benchmark rows need
+    no ids."""
+
+    def bits_png(bits):
+        px = bytearray()
+        for y in range(8):
+            row = [100]
+            for x in range(8):
+                row.append(
+                    row[-1] - 10 if (y * 8 + x) in bits else row[-1] + 10
+                )
+            for v in row:
+                px += bytes((v, v, v))
+        return M._png_encode(9, 8, 3, bytes(px))
+
+    base = frozenset(range(0, 12))
+    near = base ^ {20, 21}          # 2 bits from the benchmark image
+    far = frozenset(range(30, 50))
+    bench = spark.createDataFrame(
+        [(bytearray(bits_png(base)),), (bytearray(b"benchmark junk X"),)],
+        "payload binary",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, bytearray(bits_png(base))),       # exact benchmark hit
+            (2, bytearray(bits_png(near))),        # near-dup of it
+            (3, bytearray(b"benchmark junk X")),   # fake-tier exact hit
+            (4, bytearray(bits_png(far))),
+            (5, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    strict = {r["doc_id"]
+              for r in M.decontaminate_media(docs, bench).collect()}
+    assert strict == {2, 4, 5}
+    loose = {r["doc_id"]
+             for r in M.decontaminate_media(
+                 docs, bench, max_distance=3
+             ).collect()}
+    assert loose == {4, 5}
+    # empty benchmark: nothing drops
+    empty_bench = spark.createDataFrame([], "payload binary")
+    assert M.decontaminate_media(docs, empty_bench).count() == 5
+    with pytest.raises(ValueError, match="unknown method"):
+        M.decontaminate_media(docs, bench, method="ahash")
+
+
+def test_hamming_single_segment_full_width_mask(spark):
+    """r14: max_distance=0 over a 64-bit fingerprint makes the ONE
+    pigeonhole segment cover all 64 bits — the mask must wrap to the
+    signed-long -1 instead of overflowing the literal; exact matches
+    (including negative fingerprints, bit 63 set) still pair."""
+    from etl_workflow_spark.operators.dedup import hamming_pairs
+
+    fps = spark.createDataFrame(
+        [(1, -42), (2, -42), (3, 7), (4, 7), (5, -1)],
+        "doc_id long, fp long",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_pairs(
+            fps, max_distance=0, fp_col="fp", bits=64
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0, (3, 4): 0}
