@@ -2710,6 +2710,38 @@ def read_fingerprint_store(
     return fps, method, hash_size
 
 
+def compact_fingerprint_store(
+    spark: SparkSession, store_path: str, before_batch_id: int
+) -> None:
+    """Collapse closed batches' fragments into one row per key under
+    ``batch_id=-1`` (:func:`_compact_batched_store` contract — the
+    file-count bound every long-lived store family gets, r14 closing
+    the fingerprint store's gap). The read's per-key LAST-WRITE-WINS
+    is applied AT compaction (max batch id per key among the closed
+    fragments), so the collapsed fragment preserves read semantics;
+    new fragments (batch_id > -1) still override compacted rows at
+    read time. Handles both fingerprint layouts: the image store's
+    ``(doc_id, fp)`` and the recipe video store's
+    ``(doc_id, frame_idx, fp)``."""
+    from pyspark.sql.window import Window
+
+    def merge(old: DataFrame) -> DataFrame:
+        keys = ["doc_id"] + (
+            ["frame_idx"] if "frame_idx" in old.columns else []
+        )
+        w = Window.partitionBy(*keys)
+        return (
+            old.withColumn("__mx", F.max("batch_id").over(w))
+            .where(F.col("batch_id") == F.col("__mx"))
+            .select(*keys, "fp", "__method", "__hash_size")
+        )
+
+    _compact_batched_store(
+        spark, store_path, before_batch_id, merge,
+        partition_by=["batch_id"],
+    )
+
+
 def image_neardup_probe(
     spark: SparkSession,
     new_df: DataFrame,

@@ -1960,3 +1960,52 @@ def test_image_fingerprint_store_and_probe(spark, tmp_path):
     qh.awaitTermination(120)
     fps2, _, _ = inc.read_fingerprint_store(spark, store2)
     assert {(r["doc_id"], r["fp"]) for r in fps2.collect()} == want
+
+
+def test_compact_fingerprint_store_preserves_reads(spark, tmp_path):
+    """r14: fingerprint-store compaction collapses closed fragments to
+    batch_id=-1 with per-key last-write-wins applied at compaction —
+    read_fingerprint_store and the probe return byte-identical results
+    before and after; open fragments stay; the video layout's
+    (doc_id, frame_idx) keys compact per frame."""
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"img one")), (2, bytearray(b"img two"))],
+        "doc_id long, payload binary",
+    )
+    store = str(tmp_path / "cstore")
+    inc.dhash_rollup_batch(docs.where("doc_id = 1"), store, 0)
+    # re-ingest doc 1 (last-write-wins target) + doc 2, then an OPEN batch
+    inc.dhash_rollup_batch(docs, store, 1)
+    inc.dhash_rollup_batch(
+        spark.createDataFrame(
+            [(3, bytearray(b"img three"))], "doc_id long, payload binary"
+        ),
+        store, 2,
+    )
+    before_fps, method, hs = inc.read_fingerprint_store(spark, store)
+    before = sorted(map(tuple, before_fps.collect()))
+    inc.compact_fingerprint_store(spark, store, before_batch_id=2)
+    after_fps, method2, hs2 = inc.read_fingerprint_store(spark, store)
+    assert sorted(map(tuple, after_fps.collect())) == before
+    assert (method2, hs2) == (method, hs)
+    # closed fragments collapsed, the open one kept
+    bids = {r["batch_id"] for r in spark.read.parquet(store)
+            .select("batch_id").distinct().collect()}
+    assert bids == {-1, 2}
+    # video layout: per-(doc, frame) keys survive compaction
+    vstore = str(tmp_path / "cvstore")
+    frames = spark.createDataFrame(
+        [(10, 0, 111), (10, 2, 222)],
+        "doc_id long, frame_idx int, fp long",
+    )
+    inc.write_fingerprint_fragment(
+        frames, vstore, 0, "dhash", 8, extra=("frame_idx",)
+    )
+    inc.write_fingerprint_fragment(
+        frames.where("frame_idx = 0").withColumn("fp", F.lit(999)),
+        vstore, 1, "dhash", 8, extra=("frame_idx",),
+    )
+    inc.compact_fingerprint_store(spark, vstore, before_batch_id=2)
+    rows = {(r["doc_id"], r["frame_idx"]): r["fp"]
+            for r in spark.read.parquet(vstore).collect()}
+    assert rows == {(10, 0): 999, (10, 2): 222}
