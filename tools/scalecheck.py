@@ -896,6 +896,112 @@ def index_probe_bytes(sf_dir: str, ks: list[int]) -> None:
     spark.stop()
 
 
+def media_extend_cost(sf_dir: str, ks: list[int]) -> None:
+    """Image-tier recipe extension vs full re-materialization as the
+    corpus grows K× (r14), isolated from the lexical tiers
+    (quality_filter=False, dedup=False, image_dedup only). Claims
+    measured: (a) re-materialization re-hashes the K×-growing corpus
+    (its wall time grows with K at the ACTIVE DECODE TIER's unit cost
+    — in this container that's the fake tier's sha256 floor, so the
+    slope is shallow; a real decoder's ms-per-image steepens it
+    ~1000× while the extension side is unchanged) whereas extension
+    hashes only the ~200-doc batch and probes the fingerprint store
+    (8-byte rows), paying a K-independent fixed overhead (store read
+    + manifest + batch persist); (b) the cross probe really drops the
+    planted payload duplicates (rows_new < batch size)."""
+    import tempfile
+
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import corpus as C
+    from etl_workflow_spark.operators import multimodal as MM
+    from etl_workflow_spark.session import get_spark
+
+    spark = get_spark("scalecheck-media")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0t = table(spark, sf_dir, "documents")
+    d_off = (docs0t.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    img = {"max_distance": 3}
+    for k in ks:
+        # per-replica DISTINCT payloads (suffixed text — replicate()
+        # would clone identical payloads K times and the build's own
+        # image tier would dedup the growth away)
+        reps = []
+        for i in range(k):
+            reps.append(
+                docs0t.withColumn(
+                    "doc_id",
+                    (F.col("doc_id") + F.lit(i * d_off)).cast("long"),
+                ).withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f"~rep{i}")),
+                )
+            )
+        base_docs = reps[0]
+        for r in reps[1:]:
+            base_docs = base_docs.unionByName(r)
+        docs = MM.with_binary_payload(base_docs).localCheckpoint(
+            eager=True
+        )
+        # 200 fresh docs; the first 20 reuse CORPUS (replica-0)
+        # payloads, so the cross probe must drop them
+        fresh = (
+            MM.with_binary_payload(
+                docs0t.orderBy("doc_id").limit(200).withColumn(
+                    "text", F.concat(F.col("text"), F.lit("~rep0"))
+                )
+            )
+            .withColumn(
+                "doc_id",
+                (F.col("doc_id") + F.lit(1000 * d_off)).cast("long"),
+            )
+            .withColumn(
+                "payload",
+                F.when(
+                    F.col("doc_id") < F.lit(1000 * d_off + 20),
+                    F.col("payload"),
+                ).otherwise(
+                    F.concat(
+                        F.col("payload"), F.lit(b"~new-epoch-bytes")
+                    )
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        base = tempfile.mkdtemp(prefix=f"mediaext-k{k}-")
+        m0 = C.materialize_training_set(
+            spark, docs, base + "/t", num_shards=8,
+            quality_filter=False, dedup=False, image_dedup=img,
+        )
+        base_rows = m0["rows"]
+        for mode in ("rematerialize", "extend"):
+            best = best_m = None
+            for _ in range(2):
+                out2 = tempfile.mkdtemp(prefix=f"mediaext-{mode}-k{k}-")
+                if mode == "extend":
+                    shutil.copytree(base + "/t", out2 + "/t")
+                t0 = time.time()
+                if mode == "rematerialize":
+                    m = C.materialize_training_set(
+                        spark, docs.unionByName(fresh), out2 + "/t",
+                        num_shards=8, quality_filter=False,
+                        dedup=False, image_dedup=img,
+                    )
+                else:
+                    m = C.extend_training_set(spark, fresh, out2 + "/t")
+                sec = time.time() - t0
+                if best is None or sec < best:
+                    best, best_m = sec, m
+                shutil.rmtree(out2, ignore_errors=True)
+            print(json.dumps({
+                "op": "media_extend", "k": k, "mode": mode,
+                "rows_total": best_m["rows"],
+                "rows_new": best_m["rows"] - base_rows,
+                "sec": round(best, 2),
+            }), flush=True)
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
 def bm25_pruning(sf_dir: str, ks: list[int]) -> None:
     """Scored-candidate reduction of the MaxScore-pruned BM25 ranker
     (r14) on a hot-term query: candidate docs (any query term) vs
@@ -956,7 +1062,11 @@ def main() -> None:
             if a not in ("--ann-recall", "--txn-sink", "--span-skew",
                          "--corpus", "--extend", "--semdedup-skew",
                          "--pq-store", "--retrieval", "--index-bytes",
-                         "--bm25-pruning")]
+                         "--bm25-pruning", "--media-extend")]
+    if "--media-extend" in sys.argv[1:]:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+        media_extend_cost(sf, [int(a) for a in args[1:]] or [1, 4])
+        return
     if "--bm25-pruning" in sys.argv[1:]:
         sf = args[0] if args else "/root/testdata/sf0.1"
         bm25_pruning(sf, [int(a) for a in args[1:]] or [1, 4])
