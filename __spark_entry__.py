@@ -982,9 +982,36 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_hamming").cast("int").alias("video_min_hamming"),
         )
     )
+    # audio near-dup (r14), folded per-doc the same way: the full
+    # Haitsma–Kalker frame-fingerprint pairing runs (text payloads are
+    # not WAVs, so the fake chain the oracle replays — see
+    # _q_audio_neardup); the pair-level frame is the bench's
+    # `audio_neardup` entry and the WAV tier is pytest-tier.
+    ap = _q_audio_neardup(spark, sf_dir)
+    astats = (
+        ap.select(
+            F.col("doc_a").alias("doc_id"), "n_matching_frames",
+            "min_hamming",
+        )
+        .unionByName(
+            ap.select(
+                F.col("doc_b").alias("doc_id"), "n_matching_frames",
+                "min_hamming",
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_audio_matches"),
+            F.sum("n_matching_frames").cast("int").alias(
+                "audio_matched_frames"
+            ),
+            F.min("min_hamming").cast("int").alias("audio_min_hamming"),
+        )
+    )
     return (
         meta.join(rez, "doc_id").join(frames, "doc_id").join(dh, "doc_id")
         .join(vstats, "doc_id", "left")
+        .join(astats, "doc_id", "left")
         .withColumn(
             "n_video_matches",
             F.coalesce(F.col("n_video_matches"), F.lit(0)),
@@ -992,6 +1019,14 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "video_matched_frames",
             F.coalesce(F.col("video_matched_frames"), F.lit(0)),
+        )
+        .withColumn(
+            "n_audio_matches",
+            F.coalesce(F.col("n_audio_matches"), F.lit(0)),
+        )
+        .withColumn(
+            "audio_matched_frames",
+            F.coalesce(F.col("audio_matched_frames"), F.lit(0)),
         )
     )
 
@@ -1042,6 +1077,74 @@ _VIDEO_NEARDUP_ORACLE = """
     ),
     segs AS (
         SELECT doc_id, fidx, h, s, (h >> (s * 16)) & 65535 AS segval
+        FROM fh, (SELECT unnest(range(4)) AS s)
+    ),
+    cand AS (
+        SELECT DISTINCT
+               x.doc_id AS va, x.fidx AS fa,
+               y.doc_id AS vb, y.fidx AS fb,
+               bit_count(xor(x.h, y.h)) AS hamming
+        FROM segs x JOIN segs y
+          ON x.s = y.s AND x.segval = y.segval
+        WHERE (x.doc_id, x.fidx) < (y.doc_id, y.fidx)
+    )
+    SELECT LEAST(va, vb) AS doc_a,
+           GREATEST(va, vb) AS doc_b,
+           CAST(COUNT(*) AS INT) AS n_matching_frames,
+           CAST(MIN(hamming) AS INT) AS min_hamming
+    FROM cand
+    WHERE va <> vb AND hamming <= 3
+    GROUP BY 1, 2
+"""
+
+
+def _q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via Haitsma–Kalker frame fingerprints (r14):
+    audio_fingerprint → Hamming pigeonhole over the 32-bit
+    sub-fingerprints → per-clip-pair aggregation
+    (multimodal.audio_neardup_pairs). Text payloads are not WAVs, so
+    the deterministic fake chain runs here — frame count = 1 +
+    digest[2] % 8 of SHA-256(payload), sub-fingerprint i = the first
+    15 hex chars of SHA-256(payload ‖ ':aframe:' ‖ i) masked to 32
+    bits — every step SQL-derivable, so the DuckDB twin replays the
+    pairing bit-for-bit (duplicate-text documents share every frame).
+    The WAV tier (real band-sign fingerprints, planted-recall,
+    gain/stereo invariance) is pytest-tier (tests/test_llm_ops.py)."""
+    docs = M.with_binary_payload(
+        table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
+    return M.audio_neardup_pairs(docs, max_distance=3)
+
+
+# The fake chain, replayed in SQL: n_frames = 1 + digest[2] % 8 of
+# SHA-256(payload) (hex digit 6 mod 8 — the same digest-derived count
+# as the video tier); sub-fingerprint i = first 15 hex chars of
+# SHA-256(payload ‖ ':aframe:' ‖ i) masked to the low 32 bits — then
+# the SAME pigeonhole banding as dedup.hamming_pairs(bits=32,
+# max_distance=3): 4 segments of 8 bits, and the per-clip-pair
+# aggregation.
+_AUDIO_NEARDUP_ORACLE = """
+    WITH nf AS (
+        SELECT doc_id, text,
+               1 + ((strpos('0123456789abcdef',
+                            substr(sha256(text), 6, 1)) - 1) % 8)
+                   AS n_frames
+        FROM documents WHERE text IS NOT NULL
+    ),
+    fr AS (
+        SELECT doc_id, text,
+               CAST(unnest(range(0, n_frames)) AS INT) AS fidx
+        FROM nf
+    ),
+    fh AS (
+        SELECT doc_id, fidx,
+               ('0x' || substr(sha256(
+                   text || ':aframe:' || CAST(fidx AS VARCHAR)),
+                   1, 15))::BIGINT & 4294967295 AS h
+        FROM fr
+    ),
+    segs AS (
+        SELECT doc_id, fidx, h, s, (h >> (s * 8)) & 255 AS segval
         FROM fh, (SELECT unnest(range(4)) AS s)
     ),
     cand AS (
@@ -1227,15 +1330,33 @@ _MULTIMODAL_ORACLE = f"""
             SELECT doc_b AS doc_id, n_matching_frames, min_hamming
             FROM vpairs
         ) GROUP BY 1
+    ),
+    apairs AS (SELECT * FROM ({_AUDIO_NEARDUP_ORACLE}) aq),
+    astats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_audio_matches,
+               CAST(SUM(n_matching_frames) AS INT) AS audio_matched_frames,
+               CAST(MIN(min_hamming) AS INT) AS audio_min_hamming
+        FROM (
+            SELECT doc_a AS doc_id, n_matching_frames, min_hamming
+            FROM apairs
+            UNION ALL
+            SELECT doc_b AS doc_id, n_matching_frames, min_hamming
+            FROM apairs
+        ) GROUP BY 1
     )
     SELECT m.*, r.resized_hex, r.width, r.height,
            f.n_frames_sampled, f.max_frame_idx, dh.dhash,
            COALESCE(v.n_video_matches, 0) AS n_video_matches,
            COALESCE(v.video_matched_frames, 0) AS video_matched_frames,
-           v.video_min_hamming
+           v.video_min_hamming,
+           COALESCE(a.n_audio_matches, 0) AS n_audio_matches,
+           COALESCE(a.audio_matched_frames, 0) AS audio_matched_frames,
+           a.audio_min_hamming
     FROM m JOIN r USING (doc_id) JOIN f USING (doc_id)
     JOIN dh USING (doc_id)
     LEFT JOIN vstats v USING (doc_id)
+    LEFT JOIN astats a USING (doc_id)
 """
 
 

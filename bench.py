@@ -218,6 +218,11 @@ def main() -> None:
         # fan-out + hash in one Arrow pass, then frame-level banding
         # and per-video-pair aggregation
         "video_neardup",
+        # round-14: audio near-dup via Haitsma–Kalker frame
+        # fingerprints — per-frame fan-out + fingerprint in one Arrow
+        # pass, then 32-bit pigeonhole banding and per-clip-pair
+        # aggregation (fake chain on text payloads)
+        "audio_neardup",
     ]
 
     # Operator-tier callables for headline names whose gate entries were
@@ -260,6 +265,9 @@ def main() -> None:
         # Arrow pass) + frame-level pigeonhole banding + per-video-pair
         # aggregation (fake frame chain on text payloads)
         "video_neardup": lambda s, d: MM.video_neardup_pairs(
+            MM.with_binary_payload(table(s, d, "documents"))
+        ),
+        "audio_neardup": lambda s, d: MM.audio_neardup_pairs(
             MM.with_binary_payload(table(s, d, "documents"))
         ),
         "lm_score": lambda s, d: T.lm_score(table(s, d, "documents")),

@@ -982,8 +982,6 @@ def video_neardup_pairs(
         raise ValueError(
             f"min_matching_frames must be >= 1 (got {min_matching_frames})"
         )
-    from .dedup import hamming_pairs
-
     id_type = df.schema[id_col].dataType
     frames = sample_frames(
         df, every_n=every_n, id_col=id_col, payload_col=payload_col,
@@ -1000,20 +998,41 @@ def video_neardup_pairs(
         keyed, hash_size=hash_size, id_col="__fkey",
         payload_col="frame_payload", allow_fake=allow_fake,
     ).withColumnRenamed(method, "__h")
+    return _framewise_pair_rollup(
+        fps, id_type, bits=int(hash_size) ** 2,
+        max_distance=max_distance,
+        min_matching_frames=min_matching_frames,
+    )
+
+
+def _framewise_pair_rollup(
+    fps: DataFrame,
+    id_type,
+    bits: int,
+    max_distance: int,
+    min_matching_frames: int,
+) -> DataFrame:
+    """Shared tail of the frame-fingerprint near-dup family (video and
+    audio, r14): pigeonhole-band the composite-keyed frame
+    fingerprints (``__fkey`` = ``id#frame_idx``, ``__h`` = packed
+    long), parse the media id back off the composite key — the frame
+    index is the LAST ``#`` segment (ids may themselves contain
+    ``#``), everything before it is the id, restored to its original
+    type — and aggregate per media pair."""
+    from .dedup import hamming_pairs
+
     fpairs = hamming_pairs(
         fps, max_distance=max_distance, id_col="__fkey", fp_col="__h",
-        bits=int(hash_size) ** 2,
+        bits=bits,
     )
-    # parse the video id back off the composite key: the frame index is
-    # the LAST '#' segment (ids may themselves contain '#'), everything
-    # before it is the id, restored to its original type
-    def _vid(col: str):
+
+    def _mid(col: str):
         return F.expr(
             f"substring({col}, 1, length({col}) - "
             f"length(substring_index({col}, '#', -1)) - 1)"
         ).cast(id_type)
 
-    va, vb = _vid("doc_a"), _vid("doc_b")
+    va, vb = _mid("doc_a"), _mid("doc_b")
     return (
         fpairs.select(
             F.least(va, vb).alias("doc_a"),
@@ -1132,3 +1151,326 @@ def decontaminate_media(
     )
     contaminated = contacts.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(contaminated, id_col, "left_anti")
+
+
+# -------------------------------------------------------------- audio
+
+_RIFF_MAGIC = b"RIFF"
+
+
+def _wav_decode(payload: bytes):
+    """Real, dependency-free WAV decode (stdlib ``struct`` + numpy
+    over the public RIFF/WAVE layout — the audio twin of
+    :func:`_png_decode`): walks the chunk list (chunks are
+    word-aligned; unknown chunks skip cleanly), accepts uncompressed
+    16-bit PCM (format code 1) at any channel count, and returns
+    ``(sample_rate, mono float64 ndarray)`` with channels mean-mixed,
+    else None. No resampling — the fingerprint's band layout is
+    derived from the recorded rate, so same-rate near-duplicates
+    compare correctly and cross-rate comparison is a deployment
+    concern (resample at ingest), exactly like the image tier's
+    pin-one-codec note."""
+    if (
+        len(payload) < 44
+        or payload[:4] != _RIFF_MAGIC
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    import numpy as np
+
+    fmt = data = None
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_ch, rate, _brate, _balign, bits = fmt
+    if audio_fmt != 1 or bits != 16 or n_ch < 1 or rate <= 0:
+        return None
+    usable = len(data) - (len(data) % (2 * n_ch))
+    samples = np.frombuffer(data[:usable], dtype="<i2").astype("float64")
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return int(rate), samples
+
+
+def _hk_subfingerprints(
+    rate: int,
+    mono,
+    frame_size: int,
+    hop: int,
+    n_bands: int,
+    f_lo: float = 300.0,
+    f_hi: float = 3000.0,
+):
+    """Haitsma–Kalker sub-fingerprints (the published Philips audio
+    fingerprint, ISMIR 2002) over decoded mono samples: overlapping
+    Hann-windowed frames → power spectrum → ``n_bands + 1``
+    log-spaced band energies in [f_lo, min(f_hi, Nyquist)] → bit
+    ``b`` of frame ``t`` is the sign of the band-energy difference
+    differentiated in BOTH frequency and time,
+    ``(E[t,b] − E[t,b+1]) − (E[t−1,b] − E[t−1,b+1]) > 0``. One packed
+    long per frame ``t ≥ 1`` (the first frame only seeds the time
+    difference). Global gain cancels exactly (every energy scales by
+    the same positive factor, signs unchanged) — the property the
+    pytest contract pins.
+
+    Returns ``list[(frame_idx, fp)]`` — empty when the clip is
+    shorter than one frame — or None when the band layout cannot fit
+    the rate (fewer usable spectrum bins than bands), which callers
+    treat as not-fingerprintable-by-this-tier."""
+    import numpy as np
+
+    f_hi = min(float(f_hi), rate / 2.0)
+    if f_lo <= 0 or f_lo >= f_hi:
+        return None
+    edges = np.geomspace(f_lo, f_hi, n_bands + 2)
+    bins = np.maximum(np.round(edges * frame_size / rate).astype(int), 1)
+    for i in range(1, len(bins)):
+        if bins[i] <= bins[i - 1]:
+            bins[i] = bins[i - 1] + 1
+    if bins[-1] > frame_size // 2 + 1:
+        return None
+    if len(mono) < frame_size:
+        return []
+    n_frames = 1 + (len(mono) - frame_size) // hop
+    win = np.hanning(frame_size)
+    prev = None
+    out = []
+    for t in range(n_frames):
+        seg = mono[t * hop:t * hop + frame_size] * win
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        eng = np.array(
+            [spec[bins[b]:bins[b + 1]].sum() for b in range(n_bands + 1)]
+        )
+        if prev is not None:
+            diff = (eng[:-1] - eng[1:]) - (prev[:-1] - prev[1:])
+            fp = 0
+            for b in range(n_bands):
+                if diff[b] > 0:
+                    fp |= 1 << b
+            out.append((t, fp))
+        prev = eng
+    return out
+
+
+def _fake_audio_fps(raw: bytes, n_bands: int):
+    """The deterministic fake tier's audio sub-fingerprint chain,
+    VARCHAR-expressible end to end so the driver gate's DuckDB twin
+    replays it exactly: frame count = ``1 + byte2(SHA-256(payload))
+    % 8`` (the same digest-derived count as :func:`decode_media`'s
+    fake), sub-fingerprint ``i`` = the first 15 hex chars of
+    SHA-256(payload ‖ ':aframe:' ‖ i) masked to the low ``n_bands``
+    bits — masked so fake and real fingerprints occupy the same bit
+    width and one pigeonhole layout serves both
+    (``('0x' || substr(sha256(text || ':aframe:' || i), 1, 15))
+    ::BIGINT & ((1 << n_bands) - 1)`` in DuckDB)."""
+    n = 1 + hashlib.sha256(raw).digest()[2] % 8
+    mask = (1 << n_bands) - 1
+    return [
+        (
+            i,
+            int(
+                hashlib.sha256(
+                    raw + b":aframe:" + str(i).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            & mask,
+        )
+        for i in range(n)
+    ]
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    frame_size: int = 2048,
+    hop: int = 1024,
+    n_bands: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Per-frame audio fingerprints — the audio modality's
+    :func:`dhash_media` (one fan-out row per analysis frame, the
+    :func:`sample_frames` shape): ``(id, frame_idx int, afp long)``.
+
+    Decode tiers, most-real-first, per payload: uncompressed 16-bit
+    PCM WAV through the stdlib RIFF parse (:func:`_wav_decode`) →
+    REAL Haitsma–Kalker band-sign sub-fingerprints
+    (:func:`_hk_subfingerprints`; a clip shorter than one frame
+    yields no rows); anything else — or a rate the band layout
+    cannot fit — falls to the deterministic digest chain
+    (:func:`_fake_audio_fps`) under ``allow_fake=True``, else raises
+    ``NotImplementedError``. Compressed-codec choice (mp3/aac/opus
+    decoders, GPU resampling) stays a deployment concern exactly like
+    the image tier (SCALE.md §8): plug a decoder in front and the
+    distributed plumbing — schema, Arrow batch shape, banding —
+    is already tested.
+
+    Scale shape: the payload column enters exactly ONE Arrow pass;
+    every downstream consumer sees ``n_bands``-bit packed longs.
+    ``n_bands`` (sub-fingerprint width, classic H-K = 32) must leave
+    pigeonhole segments discriminative: width / (max_distance + 1)
+    ≥ ~8 bits for the pairing stage.
+
+    Degenerate-input note (the published recipe's own domain caveat):
+    stationary pure tones carry almost no band-sign structure — the
+    time-difference term hovers at numerical noise, so unrelated
+    steady tones can land within small Hamming distances.
+    Discrimination comes from broadband TEMPORAL variation (music,
+    speech, ambient audio — the H-K evaluation domain); threshold
+    with ``min_matching_frames`` accordingly.
+
+    Capability analog in the reference: none — extension tier."""
+    fs, hp, nb = int(frame_size), int(hop), int(n_bands)
+    if fs < 16:
+        raise ValueError(f"frame_size must be >= 16 (got {fs})")
+    if hp < 1:
+        raise ValueError(f"hop must be >= 1 (got {hp})")
+    if not (2 <= nb <= 60):
+        raise ValueError(
+            f"n_bands must be in 2..60 (got {nb}): sub-fingerprints "
+            "pack into one signed 64-bit long"
+        )
+
+    def _doc_fps(raw: bytes):
+        dec = _wav_decode(raw)
+        if dec is not None:
+            fps = _hk_subfingerprints(dec[0], dec[1], fs, hp, nb)
+            if fps is not None:
+                return fps
+        if not allow_fake:
+            raise NotImplementedError(
+                "payload not fingerprintable by the WAV tier (not "
+                "uncompressed 16-bit PCM, or the band layout cannot "
+                "fit its sample rate); pass allow_fake=True for the "
+                "deterministic stub"
+            )
+        return _fake_audio_fps(raw, nb)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, fp in _doc_fps(bytes(payload)):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "afp": pd.array(fps, dtype="Int64"),
+                }
+            )
+
+    id_field = df.schema[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField(
+                    id_field.name, id_field.dataType, id_field.nullable
+                ),
+                StructField("frame_idx", IntegerType(), False),
+                StructField("afp", LongType(), False),
+            ]
+        ),
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    max_distance: int = 3,
+    min_matching_frames: int = 1,
+    frame_size: int = 2048,
+    hop: int = 1024,
+    n_bands: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Audio near-duplicate candidate pairs — the audio twin of
+    :func:`video_neardup_pairs`, over Haitsma–Kalker frame
+    fingerprints instead of frame dHashes: :func:`audio_fingerprint`
+    (one payload pass) → the SAME Hamming pigeonhole banding over the
+    ``n_bands``-bit sub-fingerprints → per-clip-pair aggregation
+    ``(doc_a, doc_b, n_matching_frames, min_hamming)`` with a
+    ``min_matching_frames`` threshold. A re-encoded copy matches on
+    nearly every frame, a trimmed copy on the surviving ones (frame
+    indexes are NOT compared — H-K matching is positional-free at the
+    sub-fingerprint level, so an offset copy still pairs wherever its
+    frame grid realigns).
+
+    Scale shape: payloads enter one Arrow pass; the pairing joins
+    packed longs on segment equality — never all-pairs, never a
+    payload shuffle (plan-pinned like the video tier). Composite
+    ``id#frame_idx`` keys exist only inside the pairing; outputs
+    carry the original id type.
+
+    Capability analog in the reference: none — extension tier."""
+    if int(min_matching_frames) < 1:
+        raise ValueError(
+            f"min_matching_frames must be >= 1 (got {min_matching_frames})"
+        )
+    fps = audio_fingerprint(
+        df, frame_size=frame_size, hop=hop, n_bands=n_bands,
+        id_col=id_col, payload_col=payload_col, allow_fake=allow_fake,
+    )
+    keyed = fps.select(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("frame_idx")
+        ).alias("__fkey"),
+        F.col("afp").alias("__h"),
+    )
+    return _framewise_pair_rollup(
+        keyed, df.schema[id_col].dataType, bits=int(n_bands),
+        max_distance=max_distance,
+        min_matching_frames=min_matching_frames,
+    )
+
+
+def dedup_audio(
+    df: DataFrame,
+    max_distance: int = 3,
+    min_matching_frames: int = 1,
+    frame_size: int = 2048,
+    hop: int = 1024,
+    n_bands: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    quality_col: str | None = None,
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Keep one clip per audio near-duplicate cluster —
+    :func:`dedup_videos`' audio twin: :func:`audio_neardup_pairs` →
+    :func:`~etl_workflow_spark.operators.dedup.dedup_clusters`
+    connected components → keep policy (cluster-min id, or best
+    ``quality_col``). Clips in no cluster pass through untouched; the
+    full rows only anti-join the loser list, so payloads never
+    shuffle."""
+    from .dedup import dedup_clusters, keep_best_per_cluster
+
+    pairs = audio_neardup_pairs(
+        df, max_distance=max_distance,
+        min_matching_frames=min_matching_frames, frame_size=frame_size,
+        hop=hop, n_bands=n_bands, id_col=id_col,
+        payload_col=payload_col, allow_fake=allow_fake,
+    )
+    clusters = dedup_clusters(pairs, id_col=id_col)
+    if quality_col is not None:
+        return keep_best_per_cluster(df, clusters, quality_col, id_col)
+    losers = clusters.where(F.col(id_col) != F.col("cluster_id")).select(
+        id_col
+    )
+    return df.join(losers, id_col, "left_anti")

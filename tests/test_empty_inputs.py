@@ -384,3 +384,12 @@ def test_r14_video_neardup_on_empty_payloads(spark):
     empty = spark.createDataFrame([], "doc_id long, payload binary")
     assert M.video_neardup_pairs(empty).count() == 0
     assert M.dedup_videos(empty).count() == 0
+
+
+def test_r14_audio_fingerprint_on_empty_payloads(spark):
+    from etl_workflow_spark.operators import multimodal as M
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert M.audio_fingerprint(empty).count() == 0
+    assert M.audio_neardup_pairs(empty).count() == 0
+    assert M.dedup_audio(empty).count() == 0

@@ -2576,3 +2576,219 @@ def test_hamming_single_segment_full_width_mask(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 0, (3, 4): 0}
+
+
+# ------------------------------------------------------------- audio
+
+
+def _wav_bytes(samples, rate=8000, n_ch=1):
+    """Uncompressed 16-bit PCM WAV from an int iterable (stdlib
+    ``wave`` — an encoder independent of the operator's RIFF parser)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(n_ch)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(
+        b"".join(
+            struct.pack("<h", max(-32768, min(32767, int(v))))
+            for v in samples
+        )
+    )
+    w.close()
+    return buf.getvalue()
+
+
+def _noise_samples(seed, n=8000, amp=12000, extra=0, extra_seed=99):
+    """Seeded broadband pseudo-random 'audio' — the H-K paper's
+    discriminative regime (stationary pure tones are its documented
+    degenerate case)."""
+    import random
+
+    rnd = random.Random(seed)
+    xr = random.Random(extra_seed)
+    return [
+        rnd.randint(-amp, amp) + (xr.randint(-extra, extra) if extra else 0)
+        for _ in range(n)
+    ]
+
+
+def test_audio_fingerprint_real_tier_contracts(spark):
+    """r14 Haitsma–Kalker audio fingerprints, WAV tier. Contracts:
+    (a) one frame pair's fingerprint replays under an INDEPENDENT
+    spectrum computation (full FFT + direct band sums vs the
+    operator's rfft path); (b) global gain and stereo mean-mix leave
+    every fingerprint bit-identical (the published invariance — band
+    energies scale uniformly, signs cannot flip); (c) a clip shorter
+    than one frame yields no rows; (d) sub-fingerprints start at
+    frame_idx 1 (frame 0 only seeds the time difference)."""
+    import numpy as np
+
+    base = _noise_samples(1)
+    rate, mono = M._wav_decode(_wav_bytes(base))
+    assert rate == 8000 and len(mono) == 8000
+
+    fps = M._hk_subfingerprints(rate, mono, 256, 128, 16)
+    assert fps[0][0] == 1 and len(fps) == 1 + (8000 - 256) // 128 - 1
+
+    # (a) independent replay of frame pair (0, 1): full complex FFT,
+    # explicit Hann, direct band-edge arithmetic
+    edges = np.geomspace(300.0, 3000.0, 18)
+    bins = np.maximum(np.round(edges * 256 / rate).astype(int), 1)
+    for i in range(1, len(bins)):
+        if bins[i] <= bins[i - 1]:
+            bins[i] = bins[i - 1] + 1
+    win = np.hanning(256)
+    eng = []
+    for t in (0, 1):
+        spec = np.abs(np.fft.fft(mono[t * 128:t * 128 + 256] * win)) ** 2
+        eng.append(
+            [spec[bins[b]:bins[b + 1]].sum() for b in range(17)]
+        )
+    want = 0
+    for b in range(16):
+        if (eng[1][b] - eng[1][b + 1]) - (eng[0][b] - eng[0][b + 1]) > 0:
+            want |= 1 << b
+    assert fps[0][1] == want
+
+    # (b) gain + stereo invariance through the full operator
+    half_stereo = [v for s in base for v in (s * 0.5, s * 0.5)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(base))),
+         (2, bytearray(_wav_bytes(half_stereo, n_ch=2)))],
+        "doc_id long, payload binary",
+    )
+    rows = M.audio_fingerprint(
+        df, frame_size=256, hop=128, n_bands=32
+    ).collect()
+    a = sorted((r["frame_idx"], r["afp"]) for r in rows if r["doc_id"] == 1)
+    b = sorted((r["frame_idx"], r["afp"]) for r in rows if r["doc_id"] == 2)
+    assert a == b and len(a) == 60
+
+    # (c) shorter than one frame: zero rows, not an error
+    short = spark.createDataFrame(
+        [(9, bytearray(_wav_bytes(base[:100])))],
+        "doc_id long, payload binary",
+    )
+    assert M.audio_fingerprint(
+        short, frame_size=256, hop=128
+    ).count() == 0
+
+    with pytest.raises(ValueError, match="n_bands"):
+        M.audio_fingerprint(df, n_bands=61)
+    with pytest.raises(ValueError, match="frame_size"):
+        M.audio_fingerprint(df, frame_size=8)
+    with pytest.raises(ValueError, match="hop"):
+        M.audio_fingerprint(df, hop=0)
+
+
+def test_audio_fingerprint_fake_chain_replay(spark):
+    """r14 fake tier: non-WAV payloads emit the documented
+    SQL-replayable chain — frame count = 1 + byte2(SHA-256(payload))
+    % 8, sub-fingerprint i = first 15 hex chars of SHA-256(payload ‖
+    ':aframe:' ‖ i) masked to n_bands bits — and a WAV whose RATE the
+    band layout cannot fit falls to the same chain; allow_fake=False
+    refuses both."""
+    import hashlib as hl
+
+    raw = b"not audio at all"
+    n = 1 + hl.sha256(raw).digest()[2] % 8
+    want = {
+        (
+            i,
+            int(
+                hl.sha256(raw + b":aframe:" + str(i).encode())
+                .hexdigest()[:15],
+                16,
+            )
+            & ((1 << 32) - 1),
+        )
+        for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(1, bytearray(raw))], "doc_id long, payload binary"
+    )
+    got = {
+        (r["frame_idx"], r["afp"])
+        for r in M.audio_fingerprint(df).collect()
+    }
+    assert got == want
+
+    # rate-unfit WAV (100 Hz: Nyquist 50 < f_lo 300) → fake tier
+    lowrate = _wav_bytes(_noise_samples(5, n=400), rate=100)
+    ldf = spark.createDataFrame(
+        [(2, bytearray(lowrate))], "doc_id long, payload binary"
+    )
+    nlow = 1 + hl.sha256(lowrate).digest()[2] % 8
+    assert M.audio_fingerprint(ldf).count() == nlow
+    with pytest.raises(Exception, match="NotImplementedError|not fingerprintable"):
+        M.audio_fingerprint(ldf, allow_fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|not fingerprintable"):
+        M.audio_fingerprint(df, allow_fake=False).collect()
+
+
+def test_audio_neardup_planted_recall_and_dedup(spark):
+    """r14 audio near-dup: a noisy re-take pairs with its original on
+    nearly every frame at Hamming ~0; an unrelated clip pairs with
+    nothing; a clip trimmed by a whole number of hops re-pairs where
+    its frame grid realigns; min_matching_frames thresholds the pair;
+    dedup_audio keeps one clip per cluster (min id, or best quality);
+    string ids containing '#' survive the composite frame key."""
+    base = _noise_samples(1)
+    retake = _noise_samples(1, extra=400)
+    other = _noise_samples(2)
+    kw = dict(frame_size=256, hop=128, n_bands=32, max_distance=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(base))),
+         (2, bytearray(_wav_bytes(retake))),
+         (3, bytearray(_wav_bytes(other)))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["n_matching_frames"], r["min_hamming"])
+        for r in M.audio_neardup_pairs(df, **kw).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    n_match, min_ham = pairs[(1, 2)]
+    assert n_match >= 50 and min_ham == 0
+
+    # trim by 16 hops: the realigned tail still pairs
+    trim = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(base))),
+         (4, bytearray(_wav_bytes(base[2048:])))],
+        "doc_id long, payload binary",
+    )
+    tp = M.audio_neardup_pairs(trim, **kw).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in tp] == [(1, 4)]
+    assert tp[0]["n_matching_frames"] >= 30
+
+    # threshold: more shared frames than exist drops the pair
+    assert M.audio_neardup_pairs(
+        df, min_matching_frames=n_match + 1, **kw
+    ).count() == 0
+
+    kept = {r["doc_id"] for r in M.dedup_audio(df, **kw).collect()}
+    assert kept == {1, 3}
+    qdf = df.withColumn(
+        "q", F.when(F.col("doc_id") == 2, 9.0).otherwise(1.0)
+    )
+    kept_q = {
+        r["doc_id"]
+        for r in M.dedup_audio(qdf, quality_col="q", **kw).collect()
+    }
+    assert kept_q == {2, 3}
+
+    sdf = spark.createDataFrame(
+        [("clip#a", bytearray(_wav_bytes(base))),
+         ("clip#b", bytearray(_wav_bytes(retake)))],
+        "doc_id string, payload binary",
+    )
+    sp = M.audio_neardup_pairs(sdf, **kw).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in sp] == [("clip#a", "clip#b")]
+
+    with pytest.raises(ValueError, match="min_matching_frames"):
+        M.audio_neardup_pairs(df, min_matching_frames=0)

@@ -713,3 +713,22 @@ def test_video_neardup_plan_shape(spark, sf_dir):
     assert "segval" in plan and "MapInPandas" in plan
     above = plan.split("MapInPandas", 1)[0]
     assert "payload" not in above
+
+
+def test_audio_neardup_plan_shape(spark, sf_dir):
+    """r14 audio near-dup: payloads enter the fingerprint Arrow pass
+    only — never the frame-pair join, which is equi-join on pigeonhole
+    segments (no cartesian, no nested loop, no per-row Python); no
+    operator above the Arrow stage carries the payload column."""
+    from etl_workflow_spark.catalog import table
+    from etl_workflow_spark.operators import multimodal as M
+
+    docs = M.with_binary_payload(table(spark, sf_dir, "documents"))
+    pairs = M.audio_neardup_pairs(docs, max_distance=3)
+    plan = plans.physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "segval" in plan and "MapInPandas" in plan
+    above = plan.split("MapInPandas", 1)[0]
+    assert "payload" not in above
