@@ -68,6 +68,7 @@ def materialize_training_set(
     semantic_dedup: dict | None = None,
     image_dedup: dict | None = None,
     video_dedup: dict | None = None,
+    audio_dedup: dict | None = None,
     dsir: dict | None = None,
     mixture: dict[str, float] | None = None,
     temperature: float | None = None,
@@ -194,6 +195,16 @@ def materialize_training_set(
        (:func:`~.multimodal.video_neardup_pairs` semantics); same
        keep policies, pixel-tier pin, extension cross-probe, and
        component spread as the image tier.
+    3c''. **audio perceptual dedup** (``audio_dedup`` config, r14):
+       the video tier's audio twin over Haitsma–Kalker band-sign
+       sub-fingerprints (:func:`~.multimodal.audio_fingerprint`:
+       stdlib WAV parse → per-frame ``n_bands``-bit packed longs;
+       non-WAV payloads fall to the digest chain at the same width) —
+       fingerprints persist into ``out_path/audio_fps``, clips
+       cluster on ≥ ``min_matching_frames`` frame pairs within
+       ``max_distance``; same keep policies, extension cross-probe,
+       and component spread, with a NUMPY-version pin standing in for
+       the pixel pin (FFT reduction order is the tier's codec).
     3d. **DSIR selection** (``dsir`` config, r11): importance-resample
        toward a target domain (:func:`~.text.dsir_select` semantics,
        Xie et al. 2023) AFTER the dedup tiers and BEFORE mixture —
@@ -329,6 +340,9 @@ def materialize_training_set(
     vid_cfg: dict | None = None
     if video_dedup is not None:
         vid_cfg = _norm_video_dedup(video_dedup, docs)
+    aud_cfg: dict | None = None
+    if audio_dedup is not None:
+        aud_cfg = _norm_audio_dedup(audio_dedup, docs)
     dsir_cfg: dict | None = None
     dsir_target: DataFrame | None = None
     if dsir is not None:
@@ -441,6 +455,12 @@ def materialize_training_set(
         cur = _video_dedup_stage(
             cur, vid_cfg,
             f"{out_path.rstrip('/')}/{vid_cfg['store_dir']}",
+            id_col, _audit, batch_id=0,
+        )
+    if aud_cfg is not None:
+        cur = _audio_dedup_stage(
+            cur, aud_cfg,
+            f"{out_path.rstrip('/')}/{aud_cfg['store_dir']}",
             id_col, _audit, batch_id=0,
         )
     if dsir_cfg is not None:
@@ -643,6 +663,7 @@ def materialize_training_set(
             "semantic_dedup": sem,
             "image_dedup": img_cfg,
             "video_dedup": vid_cfg,
+            "audio_dedup": aud_cfg,
             "dsir": dsir_cfg,
             "mixture": mixture,
             "temperature": temperature,
@@ -1242,6 +1263,12 @@ def _video_ext_inputs(spark: SparkSession, base: str, cfg: dict):
     )
 
 
+def _audio_ext_inputs(spark: SparkSession, base: str, cfg: dict):
+    return _media_store_ext_inputs(
+        spark, base, cfg, "audio_dedup", "audio_fps"
+    )
+
+
 def _norm_video_dedup(video_dedup: dict, docs: DataFrame) -> dict:
     """Validate the ``video_dedup`` config into its RECORDED JSON-safe
     shape — the :func:`_norm_image_dedup` twin plus the frame-level
@@ -1339,6 +1366,101 @@ def _pixel_tier_guard(media: dict, key: str) -> None:
         )
 
 
+def _norm_audio_dedup(audio_dedup: dict, docs: DataFrame) -> dict:
+    """Validate the ``audio_dedup`` config into its RECORDED JSON-safe
+    shape — the :func:`_norm_video_dedup` twin for Haitsma–Kalker
+    frame fingerprints (``frame_size``/``hop`` analysis grid,
+    ``n_bands`` sub-fingerprint width, ``min_matching_frames`` pair
+    threshold). Records the numpy version the WAV-tier FFT ran under
+    (:func:`_audio_tier_guard`)."""
+    import numpy as np
+
+    src = dict(audio_dedup)
+    unknown = set(src) - {
+        "payload_col", "frame_size", "hop", "n_bands", "max_distance",
+        "quality_col", "allow_fake", "min_matching_frames",
+    }
+    if unknown:
+        raise ValueError(
+            f"unknown audio_dedup keys {sorted(unknown)}; known: "
+            "payload_col, frame_size, hop, n_bands, max_distance, "
+            "quality_col, allow_fake, min_matching_frames"
+        )
+    pcol = str(src.get("payload_col", "payload"))
+    if pcol not in docs.columns:
+        raise ValueError(
+            f"audio_dedup.payload_col {pcol!r} not in the input "
+            f"columns {docs.columns}"
+        )
+    fs = int(src.get("frame_size", 2048))
+    if fs < 16:
+        raise ValueError(
+            f"audio_dedup.frame_size must be >= 16 (got {fs})"
+        )
+    hop = int(src.get("hop", 1024))
+    if hop < 1:
+        raise ValueError(f"audio_dedup.hop must be >= 1 (got {hop})")
+    nb = int(src.get("n_bands", 32))
+    if not (2 <= nb <= 60):
+        raise ValueError(
+            f"audio_dedup.n_bands must be in 2..60 (got {nb})"
+        )
+    md = int(src.get("max_distance", 3))
+    if md < 1:
+        raise ValueError(
+            f"audio_dedup.max_distance must be >= 1 (got {md})"
+        )
+    if nb < md + 1:
+        raise ValueError(
+            f"audio_dedup: cannot split {nb} fingerprint bits into "
+            f"{md + 1} pigeonhole segments"
+        )
+    mmf = int(src.get("min_matching_frames", 1))
+    if mmf < 1:
+        raise ValueError(
+            f"audio_dedup.min_matching_frames must be >= 1 (got {mmf})"
+        )
+    qcol = src.get("quality_col")
+    if qcol is not None:
+        qcol = str(qcol)
+        if qcol not in docs.columns:
+            raise ValueError(
+                f"audio_dedup.quality_col {qcol!r} not in the input "
+                f"columns {docs.columns}"
+            )
+    return {
+        "payload_col": pcol,
+        "frame_size": fs,
+        "hop": hop,
+        "n_bands": nb,
+        "max_distance": md,
+        "min_matching_frames": mmf,
+        "quality_col": qcol,
+        "allow_fake": bool(src.get("allow_fake", True)),
+        "store_dir": "audio_fps",
+        "numpy": str(np.__version__),
+    }
+
+
+def _audio_tier_guard(aud: dict) -> None:
+    """Refuse a runtime whose numpy build differs from the one the
+    WAV-tier fingerprints were computed under — the zlib/pixel-pin
+    reasoning applied to FFT arithmetic: a different numpy may
+    reorder the rfft's floating-point reductions, flipping borderline
+    band-sign bits on the SAME payload, which would band incomparable
+    fingerprints across epochs."""
+    import numpy as np
+
+    if str(aud.get("numpy")) != str(np.__version__):
+        raise ValueError(
+            f"this set's audio_dedup fingerprints were computed under "
+            f"numpy {aud.get('numpy')} but this runtime has "
+            f"{np.__version__} — FFT reduction order may differ, "
+            "flipping borderline band-sign bits. Pin one numpy per "
+            "fleet, or re-materialize under this one"
+        )
+
+
 def _video_dedup_stage(
     cur: DataFrame,
     vid: dict,
@@ -1361,13 +1483,6 @@ def _video_dedup_stage(
     stored fingerprints); contacts restrict to universe members and
     spread through within-batch components exactly like the image
     tier."""
-    from ..streaming.incremental import write_fingerprint_fragment
-    from .dedup import (
-        dedup_clusters,
-        hamming_pairs,
-        hamming_probe,
-        keep_best_per_cluster,
-    )
     from .multimodal import dhash_media, phash_media, sample_frames
 
     _pixel_tier_guard(vid, "video_dedup")
@@ -1375,10 +1490,7 @@ def _video_dedup_stage(
     method = vid["method"]
     hs = int(vid["hash_size"])
     bits = hs * hs
-    md = int(vid["max_distance"])
-    mmf = int(vid["min_matching_frames"])
     hasher = dhash_media if method == "dhash" else phash_media
-    spark = cur.sparkSession
     id_type = cur.schema[id_col].dataType
 
     def _vidof(c: str):
@@ -1412,9 +1524,59 @@ def _video_dedup_stage(
         ).alias("frame_idx"),
         "fp",
     )
-    # the ONE action that touches payload bytes for this epoch
+    return _frame_store_dedup_core(
+        cur, vid, store_path, id_col, _audit, batch_id, universe,
+        frag_rows, bits=bits, method_tag=method, tier="video",
+    )
+
+
+def _frame_store_dedup_core(
+    cur: DataFrame,
+    cfg: dict,
+    store_path: str,
+    id_col: str,
+    _audit,
+    batch_id: int,
+    universe: DataFrame | None,
+    frag_rows: DataFrame,
+    bits: int,
+    method_tag: str,
+    tier: str,
+) -> DataFrame:
+    """Shared tail of the frame-fingerprint recipe tiers (video and
+    audio, r14): persist this epoch's ``(doc_id, frame_idx, fp)``
+    store fragment (the ONE action that touches payload bytes),
+    pigeonhole-pair the fragment's frames within the batch, cluster
+    media on ≥ ``min_matching_frames`` matching frames, apply the
+    keep policy, and — on extension — cross-probe the store's PRIOR
+    fragments with contacts restricted to universe members and
+    spread through the within-batch components. One implementation,
+    so the two modalities (and build vs extension) cannot drift."""
+    from ..streaming.incremental import write_fingerprint_fragment
+    from .dedup import (
+        dedup_clusters,
+        hamming_pairs,
+        hamming_probe,
+        keep_best_per_cluster,
+    )
+
+    md = int(cfg["max_distance"])
+    mmf = int(cfg["min_matching_frames"])
+    spark = cur.sparkSession
+    id_type = cur.schema[id_col].dataType
+
+    def _midof(c: str):
+        # the frame index is the LAST '#' segment; everything before
+        # it is the media id, restored to its original type
+        return F.expr(
+            f"substring({c}, 1, length({c}) - "
+            f"length(substring_index({c}, '#', -1)) - 1)"
+        ).cast(id_type)
+
     write_fingerprint_fragment(
-        frag_rows, store_path, batch_id, method, hs, extra=("frame_idx",)
+        frag_rows, store_path, batch_id, method_tag,
+        int(cfg.get("hash_size", cfg.get("n_bands"))),
+        extra=("frame_idx",),
     )
     store = spark.read.schema(
         f"`doc_id` {id_type.simpleString()}, `frame_idx` int, "
@@ -1430,8 +1592,8 @@ def _video_dedup_stage(
             "fp",
         )
 
-    def _vpairs(frame_pairs: DataFrame) -> DataFrame:
-        va, vb = _vidof("doc_a"), _vidof("doc_b")
+    def _mpairs(frame_pairs: DataFrame) -> DataFrame:
+        va, vb = _midof("doc_a"), _midof("doc_b")
         return (
             frame_pairs.select(
                 F.least(va, vb).alias("doc_a"),
@@ -1450,15 +1612,18 @@ def _video_dedup_stage(
         _fkeys(frag), max_distance=md, id_col="__fkey", fp_col="fp",
         bits=bits,
     )
-    comps = dedup_clusters(_vpairs(fpairs), id_col=id_col)
-    if vid.get("quality_col"):
-        cur = keep_best_per_cluster(cur, comps, vid["quality_col"], id_col)
+    comps = dedup_clusters(_mpairs(fpairs), id_col=id_col)
+    if cfg.get("quality_col"):
+        cur = keep_best_per_cluster(cur, comps, cfg["quality_col"], id_col)
     else:
         losers_in = comps.where(
             F.col(id_col) != F.col("cluster_id")
         ).select(id_col)
         cur = cur.join(losers_in, id_col, "left_anti")
-    _audit("video_dedup" if universe is None else "video_within_batch", cur)
+    _audit(
+        f"{tier}_dedup" if universe is None else f"{tier}_within_batch",
+        cur,
+    )
     if universe is None:
         return cur
     corpus_fps = store.where(F.col("batch_id") < F.lit(int(batch_id)))
@@ -1467,10 +1632,10 @@ def _video_dedup_stage(
         id_col="__fkey", fp_col="fp", bits=bits,
     )
     # probe output: doc_a = batch frame key, doc_b = corpus frame key;
-    # aggregate frame matches per (batch video, corpus video) pair
+    # aggregate frame matches per (batch media, corpus media) pair
     cpairs = (
         cross_f.select(
-            _vidof("doc_a").alias("__bv"), _vidof("doc_b").alias("__cv")
+            _midof("doc_a").alias("__bv"), _midof("doc_b").alias("__cv")
         )
         .groupBy("__bv", "__cv")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1491,8 +1656,49 @@ def _video_dedup_stage(
     spread = cl.join(bad_clusters, "cluster_id", "left_semi").select(id_col)
     losers = contacted.unionByName(spread).distinct()
     cur = cur.join(losers, id_col, "left_anti")
-    _audit("cross_video", cur)
+    _audit(f"cross_{tier}", cur)
     return cur
+
+
+def _audio_dedup_stage(
+    cur: DataFrame,
+    aud: dict,
+    store_path: str,
+    id_col: str,
+    _audit,
+    batch_id: int,
+    universe: DataFrame | None = None,
+) -> DataFrame:
+    """The recipe's AUDIO near-dup tier (r14) — the
+    :func:`_video_dedup_stage` twin over Haitsma–Kalker band-sign
+    sub-fingerprints (:func:`~.multimodal.audio_fingerprint`: stdlib
+    WAV parse → per-frame packed longs; non-WAV payloads fall to the
+    digest chain masked to the same ``n_bands`` width). Decode-once:
+    every row reaching the stage has its payload fingerprinted
+    exactly ONCE, the per-frame fingerprints persist as this epoch's
+    ``audio_fps`` store fragment, and pairing / keep policy / every
+    later extension's cross probe run off the stored longs through
+    the shared :func:`_frame_store_dedup_core`."""
+    from .multimodal import audio_fingerprint
+
+    _audio_tier_guard(aud)
+    pcol = aud["payload_col"]
+    afps = audio_fingerprint(
+        cur.where(F.col(pcol).isNotNull()),
+        frame_size=int(aud["frame_size"]), hop=int(aud["hop"]),
+        n_bands=int(aud["n_bands"]), id_col=id_col, payload_col=pcol,
+        allow_fake=bool(aud.get("allow_fake", True)),
+    )
+    frag_rows = afps.select(
+        F.col(id_col).alias("doc_id"), "frame_idx",
+        F.col("afp").alias("fp"),
+    )
+    return _frame_store_dedup_core(
+        cur, aud, store_path, id_col, _audit, batch_id, universe,
+        frag_rows, bits=int(aud["n_bands"]),
+        method_tag=f"hk:{int(aud['frame_size'])}:{int(aud['hop'])}",
+        tier="audio",
+    )
 
 
 def _image_dedup_stage(
@@ -2133,6 +2339,7 @@ def _batch_recipe(
     lm_frames=None,
     image_store_path: str | None = None,
     video_store_path: str | None = None,
+    audio_store_path: str | None = None,
     image_batch_id: int = 1,
 ) -> DataFrame:
     """The recorded recipe over a NEW batch, shared by both extension
@@ -2229,8 +2436,11 @@ def _batch_recipe(
     min_id_image = bool(img_cfg) and img_cfg.get("quality_col") is None
     vid_cfg = cfg.get("video_dedup")
     min_id_video = bool(vid_cfg) and vid_cfg.get("quality_col") is None
+    aud_cfg = cfg.get("audio_dedup")
+    min_id_audio = bool(aud_cfg) and aud_cfg.get("quality_col") is None
     if (
-        min_id_lexical or min_id_semantic or min_id_image or min_id_video
+        min_id_lexical or min_id_semantic or min_id_image
+        or min_id_video or min_id_audio
     ) and not allow_interleaved_ids:
         # equality precondition made LOUD (r9 verdict): under a min-id
         # keep policy the cross tiers below keep-first across epochs
@@ -2387,7 +2597,7 @@ def _batch_recipe(
             losers = contacted.unionByName(spread).distinct()
             cur = cur.join(losers, id_col, "left_anti")
         _audit("cross_semantic", cur)
-    if img_cfg or vid_cfg:
+    if img_cfg or vid_cfg or aud_cfg:
         # media perceptual tiers under the RECORDED configs: hash the
         # batch ONCE into each store's next fragment, within-batch
         # pairing + keep policy, then the cross probe against the
@@ -2412,6 +2622,11 @@ def _batch_recipe(
     if vid_cfg:
         cur = _video_dedup_stage(
             cur, vid_cfg, video_store_path, id_col, _audit,
+            batch_id=int(image_batch_id), universe=universe,
+        )
+    if aud_cfg:
+        cur = _audio_dedup_stage(
+            cur, aud_cfg, audio_store_path, id_col, _audit,
             batch_id=int(image_batch_id), universe=universe,
         )
     return cur
@@ -2522,6 +2737,7 @@ def _extend_locked(
             lm_frames=_page_filter_ext_inputs(spark, base, cfg),
             image_store_path=_image_ext_inputs(spark, base, cfg),
             video_store_path=_video_ext_inputs(spark, base, cfg),
+            audio_store_path=_audio_ext_inputs(spark, base, cfg),
             image_batch_id=int(manifest.get("epochs", 1)),
         )
         out = deterministic_shuffle(
@@ -2650,6 +2866,7 @@ def _extend_pooled(
             lm_frames=_page_filter_ext_inputs(spark, base, cfg),
             image_store_path=_image_ext_inputs(spark, base, cfg),
             video_store_path=_video_ext_inputs(spark, base, cfg),
+            audio_store_path=_audio_ext_inputs(spark, base, cfg),
             image_batch_id=int(manifest.get("epochs", 1)),
         )
 
@@ -2977,6 +3194,7 @@ def training_set_report(
          bool(cfg.get("semantic_dedup")) or None),
         ("image_dedup", cfg.get("image_dedup")),
         ("video_dedup", cfg.get("video_dedup")),
+        ("audio_dedup", cfg.get("audio_dedup")),
         ("dsir_selection", bool(cfg.get("dsir")) or None),
         ("mixture", cfg.get("mixture")),
         ("temperature", cfg.get("temperature")),
@@ -3005,7 +3223,8 @@ def training_set_report(
             "cross_neardup", "semantic_dedup", "semantic_within_batch",
             "cross_semantic", "image_dedup", "image_within_batch",
             "cross_image", "video_dedup", "video_within_batch",
-            "cross_video", "dsir", "mixture",
+            "cross_video", "audio_dedup", "audio_within_batch",
+            "cross_audio", "dsir", "mixture",
         ]
         ordered = [s for s in pipeline if s in stage_rows] + sorted(
             set(stage_rows) - set(pipeline)

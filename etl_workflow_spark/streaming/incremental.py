@@ -2721,8 +2721,8 @@ def compact_fingerprint_store(
     fragments), so the collapsed fragment preserves read semantics;
     new fragments (batch_id > -1) still override compacted rows at
     read time. Handles both fingerprint layouts: the image store's
-    ``(doc_id, fp)`` and the recipe video store's
-    ``(doc_id, frame_idx, fp)``."""
+    ``(doc_id, fp)`` and the per-frame ``(doc_id, frame_idx, fp)``
+    of the recipe's video and audio stores."""
     from pyspark.sql.window import Window
 
     def merge(old: DataFrame) -> DataFrame:
@@ -2782,6 +2782,209 @@ def image_neardup_probe(
     return hamming_probe(
         new_fps, corpus_fps, max_distance=max_distance,
         id_col="doc_id", fp_col="fp", bits=hash_size ** 2,
+    )
+
+
+def audio_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    frame_size: int = 2048,
+    hop: int = 1024,
+    n_bands: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> None:
+    """Write one micro-batch's Haitsma–Kalker audio frame
+    fingerprints into a per-frame fingerprint store, EXACTLY-ONCE
+    (``batch_id=…`` partition overwrite) — the
+    :func:`dhash_rollup_batch` twin for the audio modality.
+    Fingerprinting is :func:`~etl_workflow_spark.operators.multimodal
+    .audio_fingerprint` — the SAME operator the batch pairing runs,
+    so store-fed probes cannot drift. The full analysis grid travels
+    in the config columns (``__method`` = ``hk:<frame_size>:<hop>``,
+    ``__hash_size`` = ``n_bands``); the read refuses mixed stores
+    (fingerprints from different grids are incomparable). This is the
+    decode-once-at-ingest shape: each payload is parsed exactly once,
+    at arrival; every later near-dup probe touches only packed longs.
+
+    Per-frame caveat (the store's established LWW key, shared with
+    the recipe's video/audio layouts): a re-ingested clip whose frame
+    count SHRANK keeps its stale high-index frames live — that errs
+    toward extra match candidates, never misses; re-ingest trimmed
+    audio under a new clip id when that matters."""
+    from ..operators.multimodal import audio_fingerprint
+
+    fps = (
+        audio_fingerprint(
+            batch_df.groupBy(id_col).agg(
+                F.max(payload_col).alias(payload_col)
+            ),
+            frame_size=frame_size, hop=hop, n_bands=n_bands,
+            id_col=id_col, payload_col=payload_col,
+            allow_fake=allow_fake,
+        )
+        # the store's canonical id column is doc_id regardless of the
+        # caller's id_col (the operator preserves the input name)
+        .withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed("afp", "fp")
+    )
+    write_fingerprint_fragment(
+        fps, store_path, batch_id, f"hk:{int(frame_size)}:{int(hop)}",
+        n_bands, extra=("frame_idx",),
+    )
+
+
+def stream_audio_rollup(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous audio-fingerprint-store maintenance (the
+    :func:`stream_dhash_rollup` twin). Returns a writeStream builder
+    (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        audio_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_audio_fingerprint_store(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame, int, int, int]:
+    """The store's current ``(doc_id, frame_idx, fp)`` fingerprints
+    (per-(clip, frame) last-write-wins across fragments) plus the
+    recorded analysis grid ``(frame_size, hop, n_bands)`` parsed back
+    off the config columns. Mixed-grid stores are refused — their bit
+    patterns are incomparable, and a silent union would band
+    garbage."""
+    from pyspark.sql.window import Window
+
+    idx = spark.read.parquet(store_path)
+    wrote = {
+        (r["__method"], int(r["__hash_size"]))
+        for r in idx.select("__method", "__hash_size")
+        .distinct().collect()
+    }
+    if not wrote:
+        raise ValueError(
+            f"audio fingerprint store at {store_path} has no fragments"
+        )
+    if len(wrote) != 1:
+        raise ValueError(
+            "audio fingerprint store mixes analysis grids "
+            f"{sorted(wrote)} — one store per (frame_size, hop, "
+            "n_bands)"
+        )
+    method, n_bands = next(iter(wrote))
+    parts = str(method).split(":")
+    if len(parts) != 3 or parts[0] != "hk":
+        raise ValueError(
+            f"store at {store_path} is not an audio fingerprint store "
+            f"(method {method!r}; expected 'hk:<frame_size>:<hop>')"
+        )
+    frame_size, hop = int(parts[1]), int(parts[2])
+    w = Window.partitionBy("doc_id", "frame_idx")
+    fps = (
+        idx.withColumn("__mx", F.max("batch_id").over(w))
+        .where(F.col("batch_id") == F.col("__mx"))
+        .select("doc_id", "frame_idx", "fp")
+    )
+    return fps, frame_size, hop, n_bands
+
+
+def audio_neardup_probe(
+    spark: SparkSession,
+    new_df: DataFrame,
+    store_path: str,
+    max_distance: int = 3,
+    min_matching_frames: int = 1,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Probe a NEW audio batch against the ingested corpus's
+    fingerprint store: fingerprint the batch under the store's
+    RECORDED analysis grid — a caller cannot accidentally band
+    fingerprints from different frame layouts — then
+    :func:`~etl_workflow_spark.operators.dedup.hamming_probe` over
+    composite ``id#frame_idx`` keys (batch segments broadcast; the
+    corpus fingerprints never self-pair and the corpus payloads are
+    never re-parsed), aggregated per (batch clip, corpus clip) pair
+    with the ``min_matching_frames`` threshold. Returns
+    ``(doc_a=batch id, doc_b=corpus id, n_matching_frames,
+    min_hamming)`` — anti-join the batch on ``doc_a`` for the
+    keep-first-ingest dedup decision; within-batch pairs come from
+    the batch-side :func:`~etl_workflow_spark.operators.multimodal
+    .audio_neardup_pairs`. WAV-tier fleets pin one numpy build (the
+    recipe tier's recorded pin, applied as an operational rule
+    here)."""
+    from ..operators.dedup import hamming_probe
+    from ..operators.multimodal import audio_fingerprint
+
+    if int(min_matching_frames) < 1:
+        raise ValueError(
+            f"min_matching_frames must be >= 1 (got {min_matching_frames})"
+        )
+    corpus_fps, frame_size, hop, n_bands = read_audio_fingerprint_store(
+        spark, store_path
+    )
+    new_fps = (
+        audio_fingerprint(
+            new_df, frame_size=frame_size, hop=hop, n_bands=n_bands,
+            id_col=id_col, payload_col=payload_col,
+            allow_fake=allow_fake,
+        )
+        # align on the store's canonical id column before banding
+        .withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed("afp", "fp")
+    )
+
+    def _fkeys(dfx: DataFrame) -> DataFrame:
+        return dfx.select(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.col("frame_idx")
+            ).alias("doc_id"),
+            "fp",
+        )
+
+    contacts = hamming_probe(
+        _fkeys(new_fps), _fkeys(corpus_fps), max_distance=max_distance,
+        id_col="doc_id", fp_col="fp", bits=n_bands,
+    )
+
+    def _cid(c: str, typ):
+        # the frame index is the LAST '#' segment; everything before
+        # it is the clip id, restored to its side's original type
+        return F.expr(
+            f"substring({c}, 1, length({c}) - "
+            f"length(substring_index({c}, '#', -1)) - 1)"
+        ).cast(typ)
+
+    batch_t = new_df.schema[id_col].dataType
+    corpus_t = corpus_fps.schema["doc_id"].dataType
+    return (
+        contacts.select(
+            _cid("doc_a", batch_t).alias("doc_a"),
+            _cid("doc_b", corpus_t).alias("doc_b"),
+            "hamming",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matching_frames"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+        .where(
+            F.col("n_matching_frames")
+            >= F.lit(int(min_matching_frames))
+        )
     )
 
 

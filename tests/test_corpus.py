@@ -2436,3 +2436,159 @@ def test_video_dedup_tier_in_recipe_and_extension(spark, tmp_path):
     # data card surfaces the tier
     report = C.training_set_report(spark, out, markdown=True)
     assert "video_dedup" in report
+
+
+def _wav_payload(seed, n=8000, extra=0):
+    """Seeded broadband 16-bit PCM WAV via stdlib wave (the
+    test_llm_ops audio helpers, inlined)."""
+    import io
+    import random
+    import struct
+    import wave
+
+    rnd = random.Random(seed)
+    xr = random.Random(99)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(
+        b"".join(
+            struct.pack(
+                "<h",
+                max(
+                    -32768,
+                    min(
+                        32767,
+                        rnd.randint(-12000, 12000)
+                        + (xr.randint(-extra, extra) if extra else 0),
+                    ),
+                ),
+            )
+            for _ in range(n)
+        )
+    )
+    w.close()
+    return buf.getvalue()
+
+
+def test_audio_dedup_tier_in_recipe_and_extension(spark, tmp_path):
+    """r14: audio near-dup as a recorded recipe tier — per-frame H-K
+    fingerprints persist once into the set's audio_fps store, clips
+    cluster on >= min_matching_frames near frames (fake digest tier
+    for opaque payloads AND the real WAV tier in one build),
+    extensions probe the stored fingerprints and equal a fresh union
+    rebuild; the numpy pin refuses a poisoned manifest; validation."""
+    import hashlib as hl
+
+    import numpy as np
+
+    aud_a = b"audio payload AAA"
+    aud_b = b"audio payload BBB"
+    n_a = 1 + hl.sha256(aud_a).digest()[2] % 8
+    n_b = 1 + hl.sha256(aud_b).digest()[2] % 8
+    wav_a = _wav_payload(1)
+    wav_a2 = _wav_payload(1, extra=400)       # noisy re-take of wav_a
+    # default 2048/1024 grid on 8000 samples -> 6 frames, 5 sub-fps
+    docs = _img_docs(spark, [
+        (1, "web", aud_a),
+        (2, "web", aud_a),                     # all frames match 1
+        (3, "web", aud_b),
+        (4, "web", None),
+        (5, "web", wav_a),
+        (6, "web", wav_a2),                    # WAV tier near-dup of 5
+    ])
+    out = str(tmp_path / "aud")
+    m = C.materialize_training_set(
+        spark, docs, out, num_shards=2, audit=True,
+        audio_dedup={"max_distance": 3},
+    )
+    cfg = m["config"]["audio_dedup"]
+    assert cfg == {
+        "payload_col": "payload", "frame_size": 2048, "hop": 1024,
+        "n_bands": 32, "max_distance": 3, "min_matching_frames": 1,
+        "quality_col": None, "allow_fake": True,
+        "store_dir": "audio_fps", "numpy": str(np.__version__),
+    }
+    assert json.loads(json.dumps(m)) == m
+    assert m["stage_rows"]["audio_dedup"] == 4
+    data, _ = C.read_training_set(spark, out)
+    assert {r["doc_id"] for r in data.collect()} == {1, 3, 4, 5}
+    store = spark.read.parquet(f"{out}/audio_fps")
+    assert store.count() == n_a + n_a + n_b + 5 + 5
+    assert {r["frame_idx"] for r in store.where("doc_id = 5").collect()} \
+        == {1, 2, 3, 4, 5}
+
+    aud_c = b"audio payload CCC"
+    batch = _img_docs(spark, [
+        (10, "web", aud_a),                    # matches corpus 1
+        (11, "web", aud_c),
+        (12, "web", aud_c),                    # in-batch dup of 11
+        (13, "web", None),
+    ])
+    m2 = C.extend_training_set(spark, batch, out, audit=True)
+    sr2 = m2["stage_rows"]
+    assert sr2["audio_within_batch"] == 3 and sr2["cross_audio"] == 2
+    da, _ = C.read_training_set(spark, out, ordered=True)
+    assert {r["doc_id"] for r in da.collect()} == {1, 3, 4, 5, 11, 13}
+    out_b = str(tmp_path / "aud_b")
+    C.materialize_training_set(
+        spark, docs.unionByName(batch), out_b, num_shards=2,
+        audio_dedup={"max_distance": 3},
+    )
+    db, _ = C.read_training_set(spark, out_b, ordered=True)
+    assert [tuple(r) for r in da.collect()] == [
+        tuple(r) for r in db.collect()
+    ]
+
+    # min_matching_frames is recorded AND effective: requiring more
+    # shared frames than the fake clips have un-pairs them, while the
+    # 5-frame WAV re-take still clusters
+    out2 = str(tmp_path / "aud_mmf")
+    m3 = C.materialize_training_set(
+        spark, docs, out2, num_shards=2,
+        audio_dedup={"max_distance": 3,
+                     "min_matching_frames": n_a + 1},
+    )
+    assert (
+        m3["config"]["audio_dedup"]["min_matching_frames"] == n_a + 1
+    )
+    d3, _ = C.read_training_set(spark, out2)
+    kept3 = {r["doc_id"] for r in d3.collect()}
+    assert {1, 2, 3, 4} <= kept3
+    if n_a + 1 <= 5:
+        assert 6 not in kept3            # WAV re-take still pairs
+
+    # numpy pin: a manifest recorded under a different numpy refuses
+    with open(os.path.join(out, "manifest.json")) as fh:
+        man = json.load(fh)
+    man["config"]["audio_dedup"]["numpy"] = "0.0.0-poisoned"
+    with open(os.path.join(out, "manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    crc = os.path.join(out, ".manifest.json.crc")
+    if os.path.exists(crc):      # hadoop local-FS checksum sidecar
+        os.remove(crc)
+    with pytest.raises(ValueError, match="numpy"):
+        C.extend_training_set(
+            spark,
+            _img_docs(spark, [(20, "web", aud_b)]),
+            out,
+        )
+
+    # validation
+    for bad_cfg, msg in [
+        ({"n_bands": 61}, "n_bands"),
+        ({"frame_size": 8}, "frame_size"),
+        ({"hop": 0}, "hop"),
+        ({"min_matching_frames": 0}, "min_matching_frames"),
+        ({"nope": 1}, "unknown audio_dedup keys"),
+        ({"n_bands": 3, "max_distance": 3}, "pigeonhole"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            C.materialize_training_set(
+                spark, docs, str(tmp_path / "never"), audio_dedup=bad_cfg
+            )
+    # data card surfaces the tier
+    report = C.training_set_report(spark, out_b, markdown=True)
+    assert "audio_dedup" in report

@@ -2009,3 +2009,122 @@ def test_compact_fingerprint_store_preserves_reads(spark, tmp_path):
     rows = {(r["doc_id"], r["frame_idx"]): r["fp"]
             for r in spark.read.parquet(vstore).collect()}
     assert rows == {(10, 0): 999, (10, 2): 222}
+
+
+def test_audio_fingerprint_store_and_probe(spark, tmp_path):
+    """Audio fingerprint store (r14): per-batch exactly-once fragments
+    of Haitsma–Kalker frame fingerprints with the analysis grid
+    recorded in the config columns; the probe fingerprints a NEW
+    batch under the store's RECORDED grid and bands it against the
+    corpus frames (payloads parsed once, at ingest), aggregated per
+    clip pair; replays overwrite; mixed-grid and non-audio stores
+    refuse; a real availableNow stream lands fragments."""
+    import io
+    import random
+    import struct
+    import wave
+
+    import pytest
+
+    from etl_workflow_spark.operators import multimodal as M
+
+    def wav(seed, extra=0):
+        rnd, xr = random.Random(seed), random.Random(99)
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(
+            struct.pack("<h", max(-32768, min(
+                32767,
+                rnd.randint(-12000, 12000)
+                + (xr.randint(-extra, extra) if extra else 0),
+            )))
+            for _ in range(8000)
+        ))
+        w.close()
+        return bytearray(buf.getvalue())
+
+    grid = dict(frame_size=256, hop=128, n_bands=32)
+    corpus = spark.createDataFrame(
+        [(1, wav(1)), (2, wav(2))], "doc_id long, payload binary"
+    )
+    store = str(tmp_path / "astore")
+    inc.audio_rollup_batch(corpus.where("doc_id = 1"), store, 0, **grid)
+    inc.audio_rollup_batch(corpus.where("doc_id = 2"), store, 1, **grid)
+    inc.audio_rollup_batch(  # replay overwrites its own fragment
+        corpus.where("doc_id = 2"), store, 1, **grid
+    )
+    fps, fs_, hop_, nb_ = inc.read_audio_fingerprint_store(spark, store)
+    assert (fs_, hop_, nb_) == (256, 128, 32)
+    want = {
+        (r["doc_id"], r["frame_idx"], r["afp"])
+        for r in M.audio_fingerprint(
+            corpus, allow_fake=False, **grid
+        ).collect()
+    }
+    assert {
+        (r["doc_id"], r["frame_idx"], r["fp"]) for r in fps.collect()
+    } == want
+
+    # probe: a noisy re-take of clip 1 hits it on ~every frame; a
+    # fresh clip misses; the threshold gates the pair
+    batch = spark.createDataFrame(
+        [(30, wav(1, extra=400)), (31, wav(3))],
+        "doc_id long, payload binary",
+    )
+    hits = {
+        (r["doc_a"], r["doc_b"]): r["n_matching_frames"]
+        for r in inc.audio_neardup_probe(spark, batch, store).collect()
+    }
+    assert set(hits) == {(30, 1)} and hits[(30, 1)] >= 50
+    assert inc.audio_neardup_probe(
+        spark, batch, store, min_matching_frames=hits[(30, 1)] + 1
+    ).count() == 0
+    # keep-first-ingest decision: anti-join drops the near-dup
+    losers = inc.audio_neardup_probe(spark, batch, store).select(
+        F.col("doc_a").alias("doc_id")
+    )
+    kept = {r["doc_id"]
+            for r in batch.join(losers, "doc_id", "left_anti").collect()}
+    assert kept == {31}
+
+    # mixed-grid store refused; image stores are not audio stores
+    inc.audio_rollup_batch(
+        corpus, store, 2, frame_size=256, hop=64, n_bands=32
+    )
+    with pytest.raises(ValueError, match="mixes analysis grids"):
+        inc.read_audio_fingerprint_store(spark, store)
+    imgstore = str(tmp_path / "imgstore")
+    inc.dhash_rollup_batch(corpus, imgstore, 0)
+    with pytest.raises(ValueError, match="not an audio fingerprint"):
+        inc.read_audio_fingerprint_store(spark, imgstore)
+    with pytest.raises(Exception):
+        inc.audio_neardup_probe(
+            spark, batch, str(tmp_path / "nostore")
+        )
+    with pytest.raises(ValueError, match="min_matching_frames"):
+        inc.audio_neardup_probe(
+            spark, batch, store, min_matching_frames=0
+        )
+
+    # real availableNow stream
+    srcdir = str(tmp_path / "audsrc")
+    corpus.write.parquet(srcdir)
+    stream = spark.readStream.schema(
+        "doc_id long, payload binary"
+    ).parquet(srcdir)
+    store2 = str(tmp_path / "astore2")
+    qh = (
+        inc.stream_audio_rollup(
+            stream, store2, str(tmp_path / "ackpt"), **grid
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    fps2, _, _, _ = inc.read_audio_fingerprint_store(spark, store2)
+    assert {
+        (r["doc_id"], r["frame_idx"], r["fp"]) for r in fps2.collect()
+    } == want

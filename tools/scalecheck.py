@@ -1148,6 +1148,8 @@ def main() -> None:
         run("tfidf_top_terms", k, lambda: T.tfidf_top_terms(docs, k=5))
         run("image_neardup", k, lambda: MM.image_neardup_pairs(
             MM.with_binary_payload(docs)))
+        run("audio_neardup", k, lambda: MM.audio_neardup_pairs(
+            MM.with_binary_payload(docs)))
         run("lm_backoff3", k, lambda: T.lm_score_backoff(docs))
         run("lm_kn", k, lambda: T.lm_score_kn(docs))
         run("ann_bruteforce", k, lambda: S.brute_force_topk(
