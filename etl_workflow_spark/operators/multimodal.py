@@ -1474,3 +1474,171 @@ def dedup_audio(
         id_col
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def _decontaminate_frames(
+    df: DataFrame,
+    corpus_fps: DataFrame,
+    bench_fps: DataFrame,
+    max_distance: int,
+    min_matching_frames: int,
+    bits: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared tail of the frame-modality decontamination pair (video
+    and audio, r14): band the (small) benchmark side's composite
+    frame keys against the corpus frames via
+    :func:`~etl_workflow_spark.operators.dedup.hamming_probe`
+    (benchmark segments broadcast; the corpus never self-pairs),
+    aggregate frame matches per (benchmark clip, corpus clip), and
+    anti-join corpus rows contacted on ≥ ``min_matching_frames``
+    frames. Both fingerprint frames carry ``__fkey`` = composite
+    ``id#frame_idx`` and ``__h``."""
+    from .dedup import hamming_probe
+
+    contacts = hamming_probe(
+        bench_fps, corpus_fps, max_distance=max_distance,
+        id_col="__fkey", fp_col="__h", bits=bits,
+    )
+
+    def _cid(c: str):
+        return F.expr(
+            f"substring({c}, 1, length({c}) - "
+            f"length(substring_index({c}, '#', -1)) - 1)"
+        )
+
+    contaminated = (
+        contacts.select(
+            _cid("doc_a").alias("__bc"), _cid("doc_b").alias("__cc")
+        )
+        .groupBy("__bc", "__cc")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= F.lit(int(min_matching_frames)))
+        .select(
+            F.col("__cc").cast(df.schema[id_col].dataType).alias(id_col)
+        )
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
+def decontaminate_videos(
+    df: DataFrame,
+    benchmark: DataFrame,
+    max_distance: int = 0,
+    min_matching_frames: int = 1,
+    every_n: int = 2,
+    hash_size: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    bench_payload_col: str | None = None,
+    allow_fake: bool = True,
+    method: str = "dhash",
+) -> DataFrame:
+    """Benchmark decontamination for video corpora — the frame-level
+    twin of :func:`decontaminate_media`: drop every video sharing at
+    least ``min_matching_frames`` sampled frames (within
+    ``max_distance``; default 0 = exact perceptual frame match) with
+    ANY benchmark clip. A benchmark video re-encoded or trimmed into
+    a training corpus still matches on its surviving frames — the
+    eval-leakage shape frame sampling exists to catch.
+
+    Scale shape: both sides frame-sample and hash ONCE; the (small)
+    benchmark side's pigeonhole segments broadcast through the
+    frame-level probe; corpus rows only ever anti-join the
+    contaminated-id list. NULL payloads pass. Benchmark rows need no
+    ids — an internal synthetic id keys the probe.
+
+    Capability analog in the reference: none — extension tier."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'dhash' or 'phash'"
+        )
+    if int(min_matching_frames) < 1:
+        raise ValueError(
+            f"min_matching_frames must be >= 1 (got {min_matching_frames})"
+        )
+    hasher = dhash_media if method == "dhash" else phash_media
+
+    def _vid_fps(src: DataFrame, icol: str, pcol: str) -> DataFrame:
+        frames = sample_frames(
+            src.where(F.col(pcol).isNotNull()), every_n=every_n,
+            id_col=icol, payload_col=pcol, allow_fake=allow_fake,
+        )
+        keyed = frames.select(
+            F.concat_ws(
+                "#", F.col(icol).cast("string"), F.col("frame_idx")
+            ).alias("__fkey"),
+            F.col("frame_payload"),
+        )
+        return hasher(
+            keyed, hash_size=hash_size, id_col="__fkey",
+            payload_col="frame_payload", allow_fake=allow_fake,
+        ).withColumnRenamed(method, "__h")
+
+    bcol = bench_payload_col or payload_col
+    bench = benchmark.where(F.col(bcol).isNotNull()).select(
+        F.monotonically_increasing_id().alias("__bid"),
+        F.col(bcol).alias("__bp"),
+    )
+    return _decontaminate_frames(
+        df,
+        _vid_fps(df, id_col, payload_col),
+        _vid_fps(bench, "__bid", "__bp"),
+        max_distance, min_matching_frames,
+        bits=int(hash_size) ** 2, id_col=id_col,
+    )
+
+
+def decontaminate_audio(
+    df: DataFrame,
+    benchmark: DataFrame,
+    max_distance: int = 0,
+    min_matching_frames: int = 1,
+    frame_size: int = 2048,
+    hop: int = 1024,
+    n_bands: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    bench_payload_col: str | None = None,
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination for audio corpora — the audio twin
+    of :func:`decontaminate_videos` over Haitsma–Kalker frame
+    fingerprints: drop every clip sharing at least
+    ``min_matching_frames`` analysis frames (within ``max_distance``)
+    with ANY benchmark clip. Same broadcast-probe scale shape; same
+    degenerate-input caveat as :func:`audio_fingerprint` (stationary
+    pure tones — threshold accordingly).
+
+    Capability analog in the reference: none — extension tier."""
+    if int(min_matching_frames) < 1:
+        raise ValueError(
+            f"min_matching_frames must be >= 1 (got {min_matching_frames})"
+        )
+
+    def _aud_fps(src: DataFrame, icol: str, pcol: str) -> DataFrame:
+        fps = audio_fingerprint(
+            src.where(F.col(pcol).isNotNull()), frame_size=frame_size,
+            hop=hop, n_bands=n_bands, id_col=icol, payload_col=pcol,
+            allow_fake=allow_fake,
+        )
+        return fps.select(
+            F.concat_ws(
+                "#", F.col(icol).cast("string"), F.col("frame_idx")
+            ).alias("__fkey"),
+            F.col("afp").alias("__h"),
+        )
+
+    bcol = bench_payload_col or payload_col
+    bench = benchmark.where(F.col(bcol).isNotNull()).select(
+        F.monotonically_increasing_id().alias("__bid"),
+        F.col(bcol).alias("__bp"),
+    )
+    return _decontaminate_frames(
+        df,
+        _aud_fps(df, id_col, payload_col),
+        _aud_fps(bench, "__bid", "__bp"),
+        max_distance, min_matching_frames,
+        bits=int(n_bands), id_col=id_col,
+    )

@@ -393,3 +393,21 @@ def test_r14_audio_fingerprint_on_empty_payloads(spark):
     assert M.audio_fingerprint(empty).count() == 0
     assert M.audio_neardup_pairs(empty).count() == 0
     assert M.dedup_audio(empty).count() == 0
+
+
+def test_r14_frame_decontamination_on_empty_inputs(spark):
+    from etl_workflow_spark.operators import multimodal as M
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    bench = spark.createDataFrame(
+        [(bytearray(b"clip"),)], "payload binary"
+    )
+    assert M.decontaminate_videos(empty, bench).count() == 0
+    assert M.decontaminate_audio(empty, bench).count() == 0
+    # empty BENCHMARK drops nothing
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"clip"))], "doc_id long, payload binary"
+    )
+    ebench = spark.createDataFrame([], "payload binary")
+    assert M.decontaminate_videos(docs, ebench).count() == 1
+    assert M.decontaminate_audio(docs, ebench).count() == 1

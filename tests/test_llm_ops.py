@@ -2792,3 +2792,77 @@ def test_audio_neardup_planted_recall_and_dedup(spark):
 
     with pytest.raises(ValueError, match="min_matching_frames"):
         M.audio_neardup_pairs(df, min_matching_frames=0)
+
+
+def test_decontaminate_frame_media_video_and_audio(spark):
+    """r14: frame-level benchmark decontamination. Video: a corpus
+    copy of a benchmark clip (fake chain: same payload -> every
+    sampled frame matches) drops; unrelated clips and NULL payloads
+    pass; min_matching_frames gates the drop (hand-replayed frame
+    count). Audio: a noisy WAV re-take of a benchmark clip drops at
+    max_distance 3; a fresh clip passes; thresholding works."""
+    import hashlib as hl
+
+    vid_a = b"benchmark video payload"
+    vid_b = b"clean corpus video payload"
+    n_shared = len(range(0, 1 + hl.sha256(vid_a).digest()[2] % 8, 2))
+    df = spark.createDataFrame(
+        [(1, bytearray(vid_a)), (2, bytearray(vid_b)), (3, None)],
+        "doc_id long, payload binary",
+    )
+    bench = spark.createDataFrame(
+        [(bytearray(vid_a),)], "payload binary"
+    )
+    kept = {r["doc_id"]
+            for r in M.decontaminate_videos(df, bench).collect()}
+    assert kept == {2, 3}
+    # more shared frames than the clip has -> nothing drops
+    assert {
+        r["doc_id"]
+        for r in M.decontaminate_videos(
+            df, bench, min_matching_frames=n_shared + 1
+        ).collect()
+    } == {1, 2, 3}
+    assert {
+        r["doc_id"]
+        for r in M.decontaminate_videos(
+            df, bench, min_matching_frames=n_shared
+        ).collect()
+    } == {2, 3}
+    with pytest.raises(ValueError, match="min_matching_frames"):
+        M.decontaminate_videos(df, bench, min_matching_frames=0)
+    with pytest.raises(ValueError, match="unknown method"):
+        M.decontaminate_videos(df, bench, method="ahash")
+
+    # audio: WAV tier end to end
+    base = _noise_samples(1)
+    retake = _noise_samples(1, extra=400)
+    other = _noise_samples(2)
+    adf = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(retake))),
+         (2, bytearray(_wav_bytes(other))),
+         (3, None)],
+        "doc_id long, payload binary",
+    )
+    abench = spark.createDataFrame(
+        [(bytearray(_wav_bytes(base)),)], "payload binary"
+    )
+    akw = dict(frame_size=256, hop=128, n_bands=32)
+    akept = {
+        r["doc_id"]
+        for r in M.decontaminate_audio(
+            adf, abench, max_distance=3, **akw
+        ).collect()
+    }
+    assert akept == {2, 3}
+    # exact-only (distance 0) still catches most re-take frames; a
+    # high threshold lets the clip through
+    assert {
+        r["doc_id"]
+        for r in M.decontaminate_audio(
+            adf, abench, max_distance=3, min_matching_frames=1000,
+            **akw
+        ).collect()
+    } == {1, 2, 3}
+    with pytest.raises(ValueError, match="min_matching_frames"):
+        M.decontaminate_audio(adf, abench, min_matching_frames=0)
