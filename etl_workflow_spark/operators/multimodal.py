@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -1641,4 +1642,139 @@ def decontaminate_audio(
         _aud_fps(bench, "__bid", "__bp"),
         max_distance, min_matching_frames,
         bits=int(n_bands), id_col=id_col,
+    )
+
+
+def audio_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    silence_floor: int = 328,
+    clip_ceiling: int = 32760,
+) -> DataFrame:
+    """Per-clip audio quality signals — the audio modality's
+    :func:`~etl_workflow_spark.operators.text.text_quality` (the
+    row-local stats a speech/audio corpus thresholds on before
+    training): format metadata (``sample_rate``, ``n_channels``,
+    ``n_samples`` per channel, ``duration_ms``) and signal statistics
+    (``peak`` — max absolute RAW sample across channels, BEFORE any
+    mixdown, so one clipped channel cannot hide behind a quiet one;
+    ``rms_e2`` — mean-mixed RMS level in raw 16-bit units ×100;
+    ``clipping_e6`` — fraction of raw samples at ≥ ``clip_ceiling``
+    ×1e6, the digital-clipping detector; ``silence_e6`` — fraction of
+    mono samples below ``silence_floor`` (~1% full scale) ×1e6, the
+    dead-air detector). Fixed-point integers by design — stable
+    hashing, no float-compare flake.
+
+    Payloads the WAV tier cannot parse get ``parsed=false`` and NULL
+    stats — quality signals are genuinely undefined for an opaque
+    payload, so there is NO fake tier here (unlike the fingerprint
+    operators, where the fake exercises banding plumbing); gate on
+    ``parsed`` explicitly. One Arrow pass; no shuffle.
+
+    Capability analog in the reference: none — extension tier."""
+    import math
+
+    def _stats(raw: bytes):
+        if (
+            len(raw) < 44
+            or raw[:4] != _RIFF_MAGIC
+            or raw[8:12] != b"WAVE"
+        ):
+            return None
+        dec = _wav_decode(raw)
+        if dec is None:
+            return None
+        rate, mono = dec
+        import numpy as np
+
+        # raw per-channel samples for peak/clipping (re-parse the data
+        # chunk cheaply: _wav_decode already validated the layout)
+        pos, n = 12, len(raw)
+        n_ch = 1
+        data = b""
+        while pos + 8 <= n:
+            tag = raw[pos:pos + 4]
+            (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+            body = raw[pos + 8:pos + 8 + size]
+            if tag == b"fmt " and len(body) >= 16:
+                n_ch = struct.unpack("<HHIIHH", body[:16])[1]
+            elif tag == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        usable = len(data) - (len(data) % (2 * n_ch))
+        chans = np.abs(
+            np.frombuffer(data[:usable], dtype="<i2").astype("int32")
+        )
+        n_samples = int(len(mono))
+        peak = int(chans.max()) if len(chans) else 0
+        clipping = (
+            float((chans >= int(clip_ceiling)).mean()) if len(chans)
+            else 0.0
+        )
+        amono = np.abs(mono)
+        silence = (
+            float((amono < float(silence_floor)).mean())
+            if n_samples else 0.0
+        )
+        rms = (
+            math.sqrt(float((mono * mono).mean())) if n_samples else 0.0
+        )
+        return (
+            int(rate), int(n_ch), n_samples,
+            int(round(1000.0 * n_samples / rate)),
+            peak, int(round(rms * 100)),
+            int(round(clipping * 1e6)), int(round(silence * 1e6)),
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "sample_rate", "n_channels", "n_samples", "duration_ms",
+            "peak", "rms_e2", "clipping_e6", "silence_e6",
+        )
+        for pdf in batches:
+            out = {id_col: pdf[id_col], "parsed": [], }
+            vals = {c: [] for c in cols}
+            for payload in pdf[payload_col]:
+                st = (
+                    _stats(bytes(payload)) if payload is not None
+                    else None
+                )
+                out["parsed"].append(st is not None)
+                for c, v in zip(
+                    cols, st if st is not None else (None,) * len(cols)
+                ):
+                    vals[c].append(v)
+            frame = {
+                id_col: out[id_col],
+                "parsed": pd.array(out["parsed"], dtype="boolean"),
+            }
+            for c in cols:
+                frame[c] = pd.array(
+                    vals[c],
+                    dtype="Int32" if c != "n_samples" else "Int64",
+                )
+            yield pd.DataFrame(frame)
+
+    id_field = df.schema[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run,
+        schema=StructType(
+            [
+                StructField(
+                    id_field.name, id_field.dataType, id_field.nullable
+                ),
+                StructField("parsed", BooleanType(), False),
+                StructField("sample_rate", IntegerType(), True),
+                StructField("n_channels", IntegerType(), True),
+                StructField("n_samples", LongType(), True),
+                StructField("duration_ms", IntegerType(), True),
+                StructField("peak", IntegerType(), True),
+                StructField("rms_e2", IntegerType(), True),
+                StructField("clipping_e6", IntegerType(), True),
+                StructField("silence_e6", IntegerType(), True),
+            ]
+        ),
     )

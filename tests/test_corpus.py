@@ -2560,6 +2560,26 @@ def test_audio_dedup_tier_in_recipe_and_extension(spark, tmp_path):
     if n_a + 1 <= 5:
         assert 6 not in kept3            # WAV re-take still pairs
 
+    # all three media tiers compose in one build: the image tier sees
+    # no PNGs here (opaque/WAV payloads fake-hash; only byte-identical
+    # payloads collide), video's fake frame chain drops the payload
+    # dup 2, audio then finds nothing new; the WAV near-pair 5/6 is
+    # audio-tier-only (image/video fake hashes of different bytes
+    # never band together)
+    out4 = str(tmp_path / "aud_all3")
+    m4 = C.materialize_training_set(
+        spark, docs, out4, num_shards=2, audit=True,
+        image_dedup={"max_distance": 3},
+        video_dedup={"max_distance": 3},
+        audio_dedup={"max_distance": 3},
+    )
+    assert all(
+        m4["config"][k] for k in
+        ("image_dedup", "video_dedup", "audio_dedup")
+    )
+    d4, _ = C.read_training_set(spark, out4)
+    assert {r["doc_id"] for r in d4.collect()} == {1, 3, 4, 5}
+
     # numpy pin: a manifest recorded under a different numpy refuses
     with open(os.path.join(out, "manifest.json")) as fh:
         man = json.load(fh)

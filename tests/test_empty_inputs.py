@@ -411,3 +411,10 @@ def test_r14_frame_decontamination_on_empty_inputs(spark):
     ebench = spark.createDataFrame([], "payload binary")
     assert M.decontaminate_videos(docs, ebench).count() == 1
     assert M.decontaminate_audio(docs, ebench).count() == 1
+
+
+def test_r14_audio_quality_on_empty_payloads(spark):
+    from etl_workflow_spark.operators import multimodal as M
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert M.audio_quality(empty).count() == 0

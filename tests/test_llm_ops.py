@@ -2866,3 +2866,65 @@ def test_decontaminate_frame_media_video_and_audio(spark):
     } == {1, 2, 3}
     with pytest.raises(ValueError, match="min_matching_frames"):
         M.decontaminate_audio(adf, abench, min_matching_frames=0)
+
+
+def test_audio_quality_stats_and_unparsed(spark):
+    """r14 audio_quality: format metadata and fixed-point signal
+    stats replay against an independent hand computation (stereo clip
+    with one clipped channel: peak reads the RAW channel before
+    mixdown; planted leading silence lands in silence_e6; duration
+    from rate); opaque payloads get parsed=false with NULL stats —
+    no fake tier by design; NULL payloads likewise."""
+    import math
+
+    # left channel: half-scale tone-ish ramp with a clipped plateau;
+    # right channel: quiet (drags the mono mix down, hiding nothing
+    # because peak/clipping read raw channels)
+    n = 4000
+    left, right = [], []
+    for i in range(n):
+        if i < 400:
+            left.append(0)            # leading silence (mono too)
+            right.append(0)
+        elif i < 500:
+            left.append(32767)        # clipped plateau on ONE channel
+            right.append(100)
+        else:
+            left.append(8000 if i % 2 else -8000)
+            right.append(100)
+    inter = [v for pair in zip(left, right) for v in pair]
+    wavb = _wav_bytes(inter, rate=8000, n_ch=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(wavb)), (2, bytearray(b"not audio")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in M.audio_quality(df).collect()}
+    r1 = rows[1]
+    assert r1["parsed"]
+    assert r1["sample_rate"] == 8000 and r1["n_channels"] == 2
+    assert r1["n_samples"] == n
+    assert r1["duration_ms"] == 500
+    assert r1["peak"] == 32767
+    # clipping over RAW samples (2n of them): 100 clipped
+    assert r1["clipping_e6"] == round(100 / (2 * n) * 1e6)
+    # mono mix: silence where |mean(l,r)| < 328 -> the 400 leading
+    # pairs plus the plateau/tone regions are loud; mono of
+    # (8000,100)/2 = 4050 or (-8000+100)/2=-3950: loud. plateau
+    # (32767+100)/2: loud. so exactly 400.
+    assert r1["silence_e6"] == round(400 / n * 1e6)
+    mono = [(lv + rv) / 2.0 for lv, rv in zip(left, right)]
+    want_rms = math.sqrt(sum(v * v for v in mono) / n)
+    assert r1["rms_e2"] == round(want_rms * 100)
+    for did in (2, 3):
+        r = rows[did]
+        assert not r["parsed"]
+        assert r["sample_rate"] is None and r["rms_e2"] is None
+    # threshold knobs are honored
+    strict = {
+        r["doc_id"]: r
+        for r in M.audio_quality(
+            df, silence_floor=10000, clip_ceiling=8000
+        ).collect()
+    }
+    assert strict[1]["silence_e6"] > r1["silence_e6"]
+    assert strict[1]["clipping_e6"] > r1["clipping_e6"]
