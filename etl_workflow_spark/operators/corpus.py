@@ -1526,7 +1526,8 @@ def _video_dedup_stage(
     )
     return _frame_store_dedup_core(
         cur, vid, store_path, id_col, _audit, batch_id, universe,
-        frag_rows, bits=bits, method_tag=method, tier="video",
+        frag_rows, bits=bits,
+        method_tag=f"{method}@{int(vid['every_n'])}", tier="video",
     )
 
 

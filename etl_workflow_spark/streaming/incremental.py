@@ -2769,6 +2769,12 @@ def image_neardup_probe(
     corpus_fps, method, hash_size = read_fingerprint_store(
         spark, store_path
     )
+    if method not in ("dhash", "phash"):
+        raise ValueError(
+            f"store at {store_path} records method {method!r} — not an "
+            "image fingerprint store (video/audio stores carry their "
+            "own tags; use their probe functions)"
+        )
     hasher = dhash_media if method == "dhash" else phash_media
     new_fps = (
         hasher(
@@ -2926,7 +2932,6 @@ def audio_neardup_probe(
     .audio_neardup_pairs`. WAV-tier fleets pin one numpy build (the
     recipe tier's recorded pin, applied as an operational rule
     here)."""
-    from ..operators.dedup import hamming_probe
     from ..operators.multimodal import audio_fingerprint
 
     if int(min_matching_frames) < 1:
@@ -2946,6 +2951,30 @@ def audio_neardup_probe(
         .withColumnRenamed(id_col, "doc_id")
         .withColumnRenamed("afp", "fp")
     )
+    return _frame_store_probe(
+        new_fps, corpus_fps, bits=n_bands, max_distance=max_distance,
+        min_matching_frames=min_matching_frames,
+        batch_t=new_df.schema[id_col].dataType,
+    )
+
+
+def _frame_store_probe(
+    new_fps: DataFrame,
+    corpus_fps: DataFrame,
+    bits: int,
+    max_distance: int,
+    min_matching_frames: int,
+    batch_t,
+) -> DataFrame:
+    """Shared tail of the frame-store probes (audio and video, r14):
+    band the NEW batch's ``(doc_id, frame_idx, fp)`` frames against
+    the corpus frames over composite ``id#frame_idx`` keys
+    (:func:`~etl_workflow_spark.operators.dedup.hamming_probe` —
+    batch segments broadcast, corpus never self-pairs), then
+    aggregate per (batch clip, corpus clip) pair under the
+    ``min_matching_frames`` threshold, restoring each side's original
+    id type."""
+    from ..operators.dedup import hamming_probe
 
     def _fkeys(dfx: DataFrame) -> DataFrame:
         return dfx.select(
@@ -2957,7 +2986,7 @@ def audio_neardup_probe(
 
     contacts = hamming_probe(
         _fkeys(new_fps), _fkeys(corpus_fps), max_distance=max_distance,
-        id_col="doc_id", fp_col="fp", bits=n_bands,
+        id_col="doc_id", fp_col="fp", bits=bits,
     )
 
     def _cid(c: str, typ):
@@ -2968,7 +2997,6 @@ def audio_neardup_probe(
             f"length(substring_index({c}, '#', -1)) - 1)"
         ).cast(typ)
 
-    batch_t = new_df.schema[id_col].dataType
     corpus_t = corpus_fps.schema["doc_id"].dataType
     return (
         contacts.select(
@@ -2985,6 +3013,202 @@ def audio_neardup_probe(
             F.col("n_matching_frames")
             >= F.lit(int(min_matching_frames))
         )
+    )
+
+
+def video_rollup_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    method: str = "dhash",
+    hash_size: int = 8,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> None:
+    """Write one micro-batch's per-frame video fingerprints into a
+    fingerprint store, EXACTLY-ONCE — the :func:`audio_rollup_batch`
+    twin for the video modality, completing the store matrix
+    (image/video/audio × batch/stream/probe). Frame sampling + per-
+    frame hashing are the SAME operators the batch pairing runs
+    (:func:`~etl_workflow_spark.operators.multimodal.sample_frames` →
+    ``dhash_media``/``phash_media``), so store-fed probes cannot
+    drift. The full config travels in the config columns
+    (``__method`` = ``<method>@<every_n>``, ``__hash_size``); the
+    read refuses mixed stores. Same per-frame LWW caveat as the audio
+    store (a shrunk re-ingest keeps stale high-index frames — extra
+    candidates, never misses)."""
+    from ..operators.multimodal import (
+        dhash_media,
+        phash_media,
+        sample_frames,
+    )
+
+    if method not in ("dhash", "phash"):
+        raise ValueError(
+            f"unknown method {method!r}: expected 'dhash' or 'phash'"
+        )
+    hasher = dhash_media if method == "dhash" else phash_media
+    frames = sample_frames(
+        batch_df.groupBy(id_col).agg(
+            F.max(payload_col).alias(payload_col)
+        ),
+        every_n=every_n, id_col=id_col, payload_col=payload_col,
+        allow_fake=allow_fake,
+    )
+    keyed = frames.select(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("frame_idx")
+        ).alias("__fkey"),
+        F.col("frame_payload"),
+    )
+    fps = hasher(
+        keyed, hash_size=hash_size, id_col="__fkey",
+        payload_col="frame_payload", allow_fake=allow_fake,
+    ).withColumnRenamed(method, "fp")
+    frag = fps.select(
+        F.expr(
+            "substring(__fkey, 1, length(__fkey) - "
+            "length(substring_index(__fkey, '#', -1)) - 1)"
+        ).cast(batch_df.schema[id_col].dataType).alias("doc_id"),
+        F.expr(
+            "CAST(substring_index(__fkey, '#', -1) AS INT)"
+        ).alias("frame_idx"),
+        "fp",
+    )
+    write_fingerprint_fragment(
+        frag, store_path, batch_id, f"{method}@{int(every_n)}",
+        hash_size, extra=("frame_idx",),
+    )
+
+
+def stream_video_rollup(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    **kwargs,
+):
+    """Continuous video-fingerprint-store maintenance (the
+    :func:`stream_audio_rollup` twin). Returns a writeStream builder
+    (caller adds trigger/start)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        video_rollup_batch(batch_df, store_path, batch_id, **kwargs)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+    )
+
+
+def read_video_fingerprint_store(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame, str, int, int]:
+    """The store's current ``(doc_id, frame_idx, fp)`` frame
+    fingerprints (per-(clip, frame) last-write-wins) plus the
+    recorded ``(method, hash_size, every_n)`` parsed back off the
+    config columns. Mixed-config and non-video stores are refused."""
+    from pyspark.sql.window import Window
+
+    idx = spark.read.parquet(store_path)
+    wrote = {
+        (r["__method"], int(r["__hash_size"]))
+        for r in idx.select("__method", "__hash_size")
+        .distinct().collect()
+    }
+    if not wrote:
+        raise ValueError(
+            f"video fingerprint store at {store_path} has no fragments"
+        )
+    if len(wrote) != 1:
+        raise ValueError(
+            "video fingerprint store mixes configurations "
+            f"{sorted(wrote)} — one store per (method, hash_size, "
+            "every_n)"
+        )
+    tag, hash_size = next(iter(wrote))
+    parts = str(tag).split("@")
+    if len(parts) != 2 or parts[0] not in ("dhash", "phash"):
+        raise ValueError(
+            f"store at {store_path} is not a video fingerprint store "
+            f"(method {tag!r}; expected '<dhash|phash>@<every_n>')"
+        )
+    method, every_n = parts[0], int(parts[1])
+    w = Window.partitionBy("doc_id", "frame_idx")
+    fps = (
+        idx.withColumn("__mx", F.max("batch_id").over(w))
+        .where(F.col("batch_id") == F.col("__mx"))
+        .select("doc_id", "frame_idx", "fp")
+    )
+    return fps, method, hash_size, every_n
+
+
+def video_neardup_probe(
+    spark: SparkSession,
+    new_df: DataFrame,
+    store_path: str,
+    max_distance: int = 3,
+    min_matching_frames: int = 1,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Probe a NEW video batch against the ingested corpus's frame
+    fingerprint store under the store's RECORDED (method, hash_size,
+    every_n) — the :func:`audio_neardup_probe` twin through the same
+    :func:`_frame_store_probe` tail. Returns ``(doc_a=batch id,
+    doc_b=corpus id, n_matching_frames, min_hamming)``; anti-join the
+    batch on ``doc_a`` for keep-first-ingest. Pixel-tier fleets pin
+    one codec (the recipe tier's recorded Pillow pin, applied as an
+    operational rule here)."""
+    from ..operators.multimodal import (
+        dhash_media,
+        phash_media,
+        sample_frames,
+    )
+
+    if int(min_matching_frames) < 1:
+        raise ValueError(
+            f"min_matching_frames must be >= 1 (got {min_matching_frames})"
+        )
+    corpus_fps, method, hash_size, every_n = read_video_fingerprint_store(
+        spark, store_path
+    )
+    hasher = dhash_media if method == "dhash" else phash_media
+    frames = sample_frames(
+        new_df, every_n=every_n, id_col=id_col,
+        payload_col=payload_col, allow_fake=allow_fake,
+    )
+    keyed = frames.select(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("frame_idx")
+        ).alias("__fkey"),
+        F.col("frame_payload"),
+    )
+    new_fps = (
+        hasher(
+            keyed, hash_size=hash_size, id_col="__fkey",
+            payload_col="frame_payload", allow_fake=allow_fake,
+        )
+        .withColumnRenamed(method, "fp")
+        .select(
+            F.expr(
+                "substring(__fkey, 1, length(__fkey) - "
+                "length(substring_index(__fkey, '#', -1)) - 1)"
+            ).alias("doc_id"),
+            F.expr(
+                "CAST(substring_index(__fkey, '#', -1) AS INT)"
+            ).alias("frame_idx"),
+            "fp",
+        )
+    )
+    return _frame_store_probe(
+        new_fps, corpus_fps, bits=int(hash_size) ** 2,
+        max_distance=max_distance,
+        min_matching_frames=min_matching_frames,
+        batch_t=new_df.schema[id_col].dataType,
     )
 
 

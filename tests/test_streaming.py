@@ -2128,3 +2128,106 @@ def test_audio_fingerprint_store_and_probe(spark, tmp_path):
     assert {
         (r["doc_id"], r["frame_idx"], r["fp"]) for r in fps2.collect()
     } == want
+
+
+def test_video_fingerprint_store_and_probe(spark, tmp_path):
+    """Video fingerprint store (r14): per-batch exactly-once
+    per-frame fragments with (method, hash_size, every_n) recorded as
+    '<method>@<every_n>'; the probe frame-samples + hashes a NEW
+    batch under the store's RECORDED config and bands frame keys
+    against the corpus, aggregated per clip pair; replays overwrite;
+    mixed/non-video stores refuse; image probes refuse video stores;
+    a real availableNow stream lands fragments."""
+    import pytest
+
+    from etl_workflow_spark.operators import multimodal as M
+
+    vid_a = b"opaque video payload A"
+    vid_b = b"opaque video payload B"
+    corpus = spark.createDataFrame(
+        [(1, bytearray(vid_a)), (2, bytearray(vid_b))],
+        "doc_id long, payload binary",
+    )
+    store = str(tmp_path / "vstore")
+    inc.video_rollup_batch(corpus.where("doc_id = 1"), store, 0)
+    inc.video_rollup_batch(corpus.where("doc_id = 2"), store, 1)
+    inc.video_rollup_batch(  # replay overwrites its own fragment
+        corpus.where("doc_id = 2"), store, 1
+    )
+    fps, method, hs, every_n = inc.read_video_fingerprint_store(
+        spark, store
+    )
+    assert (method, hs, every_n) == ("dhash", 8, 2)
+    # store == inline pairing-chain fingerprints (fake chain)
+    frames = M.sample_frames(corpus)
+    keyed = frames.select(
+        F.concat_ws("#", "doc_id", "frame_idx").alias("k"),
+        F.col("frame_payload").alias("payload"),
+    )
+    want = {
+        (int(r["k"].split("#")[0]), int(r["k"].split("#")[1]),
+         r["dhash"])
+        for r in M.dhash_media(keyed, id_col="k").collect()
+    }
+    assert {
+        (r["doc_id"], r["frame_idx"], r["fp"]) for r in fps.collect()
+    } == want
+
+    # probe: a copy of clip 1 matches every sampled frame; fresh misses
+    import hashlib as hl
+
+    k = len(range(0, 1 + hl.sha256(vid_a).digest()[2] % 8, 2))
+    batch = spark.createDataFrame(
+        [(30, bytearray(vid_a)), (31, bytearray(b"fresh clip"))],
+        "doc_id long, payload binary",
+    )
+    hits = {
+        (r["doc_a"], r["doc_b"]): r["n_matching_frames"]
+        for r in inc.video_neardup_probe(spark, batch, store).collect()
+    }
+    assert hits == {(30, 1): k}
+    assert inc.video_neardup_probe(
+        spark, batch, store, min_matching_frames=k + 1
+    ).count() == 0
+    losers = inc.video_neardup_probe(spark, batch, store).select(
+        F.col("doc_a").alias("doc_id")
+    )
+    kept = {r["doc_id"]
+            for r in batch.join(losers, "doc_id", "left_anti").collect()}
+    assert kept == {31}
+
+    # mixed-config refused; audio/image stores are not video stores;
+    # the image probe refuses a video store rather than mis-dispatch
+    inc.video_rollup_batch(corpus, store, 2, every_n=1)
+    with pytest.raises(ValueError, match="mixes configurations"):
+        inc.read_video_fingerprint_store(spark, store)
+    imgstore = str(tmp_path / "vimgstore")
+    inc.dhash_rollup_batch(corpus, imgstore, 0)
+    with pytest.raises(ValueError, match="not a video fingerprint"):
+        inc.read_video_fingerprint_store(spark, imgstore)
+    vstore2 = str(tmp_path / "vonly")
+    inc.video_rollup_batch(corpus, vstore2, 0)
+    with pytest.raises(ValueError, match="not an image fingerprint"):
+        inc.image_neardup_probe(spark, batch, vstore2)
+    with pytest.raises(ValueError, match="min_matching_frames"):
+        inc.video_neardup_probe(
+            spark, batch, vstore2, min_matching_frames=0
+        )
+
+    # real availableNow stream
+    srcdir = str(tmp_path / "vidsrc")
+    corpus.write.parquet(srcdir)
+    stream = spark.readStream.schema(
+        "doc_id long, payload binary"
+    ).parquet(srcdir)
+    store3 = str(tmp_path / "vstore3")
+    qh = (
+        inc.stream_video_rollup(stream, store3, str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+    fps3, _, _, _ = inc.read_video_fingerprint_store(spark, store3)
+    assert {
+        (r["doc_id"], r["frame_idx"], r["fp"]) for r in fps3.collect()
+    } == want
