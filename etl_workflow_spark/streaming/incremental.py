@@ -2791,6 +2791,35 @@ def image_neardup_probe(
     )
 
 
+def _bottom_k_frames(frag: DataFrame, min_k: int | None) -> DataFrame:
+    """Optional per-clip bottom-k frame-sketch retention for the
+    frame-fingerprint stores (r14): keep each clip's ``min_k`` frames
+    with the SMALLEST fingerprint values (ties broken by frame_idx) —
+    the mergeable bottom-k MinHash pattern. Bottom-k of a hash SET is
+    a uniform sample of it, so two clips sharing a fraction J of
+    their frames still collide on ~J of their retained sketch rows:
+    near-dup probes keep working, ``n_matching_frames`` becomes an
+    overlap ESTIMATE scaled to the sketch (threshold accordingly),
+    and a 2-hour video stores ``min_k`` rows instead of thousands —
+    the store-size bound long media needs. ``None`` retains every
+    frame (the exact tier)."""
+    if min_k is None:
+        return frag
+    k = int(min_k)
+    if k < 1:
+        raise ValueError(f"min_k must be >= 1 (got {min_k})")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("fp").asc(), F.col("frame_idx").asc()
+    )
+    return (
+        frag.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.lit(k))
+        .drop("__rk")
+    )
+
+
 def audio_rollup_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -2801,6 +2830,7 @@ def audio_rollup_batch(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     allow_fake: bool = True,
+    min_k: int | None = None,
 ) -> None:
     """Write one micro-batch's Haitsma–Kalker audio frame
     fingerprints into a per-frame fingerprint store, EXACTLY-ONCE
@@ -2819,7 +2849,10 @@ def audio_rollup_batch(
     the recipe's video/audio layouts): a re-ingested clip whose frame
     count SHRANK keeps its stale high-index frames live — that errs
     toward extra match candidates, never misses; re-ingest trimmed
-    audio under a new clip id when that matters."""
+    audio under a new clip id when that matters. ``min_k`` retains a
+    per-clip bottom-k frame sketch instead of every frame
+    (:func:`_bottom_k_frames` — the store-size bound for long
+    clips)."""
     from ..operators.multimodal import audio_fingerprint
 
     fps = (
@@ -2837,8 +2870,9 @@ def audio_rollup_batch(
         .withColumnRenamed("afp", "fp")
     )
     write_fingerprint_fragment(
-        fps, store_path, batch_id, f"hk:{int(frame_size)}:{int(hop)}",
-        n_bands, extra=("frame_idx",),
+        _bottom_k_frames(fps, min_k), store_path, batch_id,
+        f"hk:{int(frame_size)}:{int(hop)}", n_bands,
+        extra=("frame_idx",),
     )
 
 
@@ -3026,6 +3060,7 @@ def video_rollup_batch(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     allow_fake: bool = True,
+    min_k: int | None = None,
 ) -> None:
     """Write one micro-batch's per-frame video fingerprints into a
     fingerprint store, EXACTLY-ONCE — the :func:`audio_rollup_batch`
@@ -3038,7 +3073,9 @@ def video_rollup_batch(
     (``__method`` = ``<method>@<every_n>``, ``__hash_size``); the
     read refuses mixed stores. Same per-frame LWW caveat as the audio
     store (a shrunk re-ingest keeps stale high-index frames — extra
-    candidates, never misses)."""
+    candidates, never misses); ``min_k`` retains a per-clip bottom-k
+    frame sketch instead of every frame (:func:`_bottom_k_frames` —
+    the store-size bound for long videos)."""
     from ..operators.multimodal import (
         dhash_media,
         phash_media,
@@ -3078,8 +3115,8 @@ def video_rollup_batch(
         "fp",
     )
     write_fingerprint_fragment(
-        frag, store_path, batch_id, f"{method}@{int(every_n)}",
-        hash_size, extra=("frame_idx",),
+        _bottom_k_frames(frag, min_k), store_path, batch_id,
+        f"{method}@{int(every_n)}", hash_size, extra=("frame_idx",),
     )
 
 

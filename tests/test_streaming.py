@@ -2231,3 +2231,78 @@ def test_video_fingerprint_store_and_probe(spark, tmp_path):
     assert {
         (r["doc_id"], r["frame_idx"], r["fp"]) for r in fps3.collect()
     } == want
+
+
+def test_frame_store_bottom_k_sketch(spark, tmp_path):
+    """r14: min_k bottom-k frame-sketch retention bounds the store to
+    k rows per clip — the k SMALLEST fingerprints (deterministic,
+    mergeable) — while a full copy probed against the sketched corpus
+    still pairs on every retained frame; min_k=0 refuses."""
+    import io
+    import pytest
+    import random
+    import struct
+    import wave
+
+    def wav(seed):
+        rnd = random.Random(seed)
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(
+            struct.pack("<h", rnd.randint(-12000, 12000))
+            for _ in range(8000)
+        ))
+        w.close()
+        return bytearray(buf.getvalue())
+
+    grid = dict(frame_size=256, hop=128, n_bands=32)
+    corpus = spark.createDataFrame(
+        [(1, wav(1)), (2, wav(2))], "doc_id long, payload binary"
+    )
+    store = str(tmp_path / "skstore")
+    inc.audio_rollup_batch(corpus, store, 0, min_k=3, **grid)
+    fps, _, _, _ = inc.read_audio_fingerprint_store(spark, store)
+    rows = fps.collect()
+    assert len(rows) == 6          # 3 per clip, not 60
+    # the retained rows ARE the 3 smallest fingerprints per clip
+    from etl_workflow_spark.operators import multimodal as M
+
+    full = M.audio_fingerprint(corpus, allow_fake=False, **grid)
+    for did in (1, 2):
+        want = sorted(
+            r["afp"] for r in full.where(f"doc_id = {did}").collect()
+        )[:3]
+        got = sorted(
+            r["fp"] for r in rows if r["doc_id"] == did
+        )
+        assert got == want
+    # a full (unsketched) copy probes in on all retained frames
+    batch = spark.createDataFrame(
+        [(30, wav(1))], "doc_id long, payload binary"
+    )
+    hits = {
+        (r["doc_a"], r["doc_b"]): r["n_matching_frames"]
+        for r in inc.audio_neardup_probe(spark, batch, store).collect()
+    }
+    assert hits[(30, 1)] >= 3 and (30, 2) not in hits
+    with pytest.raises(ValueError, match="min_k"):
+        inc.audio_rollup_batch(corpus, store, 1, min_k=0, **grid)
+    # video twin: bounded rows, copy still pairs
+    vid = spark.createDataFrame(
+        [(5, bytearray(b"long opaque video payload"))],
+        "doc_id long, payload binary",
+    )
+    vstore = str(tmp_path / "vskstore")
+    inc.video_rollup_batch(vid, vstore, 0, min_k=1)
+    vfps, _, _, _ = inc.read_video_fingerprint_store(spark, vstore)
+    assert vfps.count() == 1
+    vhits = inc.video_neardup_probe(
+        spark,
+        vid.withColumn("doc_id", F.lit(50).cast("long")),
+        vstore,
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_matching_frames"])
+            for r in vhits] == [(50, 5, 1)]
