@@ -22,66 +22,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
-    from etl_workflow_spark.session import get_spark
+def build_headline():
+    """The headline query list and name → callable map — ONE definition
+    shared by :func:`main` and the optimization tooling
+    (``tools/optharness.py``), so plan captures and isolated timings
+    always exercise exactly the benched workloads. Returns
+    ``(headline, qs)`` where ``qs`` maps every headline name (plus the
+    gate entries) to a ``(spark, sf_dir) -> DataFrame`` callable."""
     import __spark_entry__ as entry_mod
-
-    # The status store retains 1000 SQL executions (plan graphs +
-    # metrics) by default even with the UI off; a bench run issues
-    # ~150 executions with wide plans, and that accumulation is a
-    # plausible driver of the measured late-session slowdown (queries
-    # timing several-x slower at the tail of a long JVM session).
-    # Retain a handful, nothing else reads them here.
-    spark = get_spark(
-        "bench",
-        extra_conf={
-            "spark.sql.ui.retainedExecutions": "8",
-            "spark.ui.retainedJobs": "100",
-            "spark.ui.retainedStages": "200",
-            "spark.ui.retainedTasks": "2000",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm up the JVM with a representative join+agg plan, not just a
-    # trivial scan: whole-stage codegen compilation, AQE machinery, and
-    # the shuffle paths JIT on first use and cost seconds — measured on
-    # the FIRST query otherwise (product_sales read 8.2s cold vs 1.1s
-    # warm at sf0.1), which misattributes fixed session cost to
-    # whichever query happens to run first.
-    from etl_workflow_spark import queries as _warm_q
-
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
-    _warm_q.product_sales(spark, sf_dir).count()
-
-    # Calibration probe: a fixed synthetic workload (codegen agg + a
-    # 1000-key shuffle) that never touches repo code or testdata. Its
-    # time moves with the HOST (CPU contention, VM generation, JIT),
-    # not with this round's changes — divide headline totals by the
-    # calibration ratio before reading round-over-round deltas.
-    # Measured spread on one box: identical code varied 25.9s -> 30.8s
-    # total across back-to-back runs (~19%), swamping real deltas.
-    from pyspark.sql import functions as _CF
-
-    def _calibrate() -> float:
-        t0 = time.time()
-        spark.range(100_000_000).select(
-            _CF.sum(_CF.col("id") % 7)
-        ).collect()
-        (
-            spark.range(20_000_000)
-            .groupBy((_CF.col("id") % 1000).alias("k"))
-            .count()
-            .count()
-        )
-        return time.time() - t0
-
-    _calibrate()  # warm the probe's own codegen
-    calibration = round(min(_calibrate(), _calibrate()), 3)
 
     # Headline set: the queries a reference user runs all day, weighted
     # toward the shuffle/join-heavy paths that dominate at scale.
@@ -470,7 +418,70 @@ def main() -> None:
         if fn is not None:
             ops[bench_name] = fn
 
-    qs = {**entry_mod.queries(), **ops}
+    return headline, {**entry_mod.queries(), **ops}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from etl_workflow_spark.session import get_spark
+
+    # The status store retains 1000 SQL executions (plan graphs +
+    # metrics) by default even with the UI off; a bench run issues
+    # ~150 executions with wide plans, and that accumulation is a
+    # plausible driver of the measured late-session slowdown (queries
+    # timing several-x slower at the tail of a long JVM session).
+    # Retain a handful, nothing else reads them here.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.sql.ui.retainedExecutions": "8",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "200",
+            "spark.ui.retainedTasks": "2000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM with a representative join+agg plan, not just a
+    # trivial scan: whole-stage codegen compilation, AQE machinery, and
+    # the shuffle paths JIT on first use and cost seconds — measured on
+    # the FIRST query otherwise (product_sales read 8.2s cold vs 1.1s
+    # warm at sf0.1), which misattributes fixed session cost to
+    # whichever query happens to run first.
+    from etl_workflow_spark import queries as _warm_q
+
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    _warm_q.product_sales(spark, sf_dir).count()
+
+    # Calibration probe: a fixed synthetic workload (codegen agg + a
+    # 1000-key shuffle) that never touches repo code or testdata. Its
+    # time moves with the HOST (CPU contention, VM generation, JIT),
+    # not with this round's changes — divide headline totals by the
+    # calibration ratio before reading round-over-round deltas.
+    # Measured spread on one box: identical code varied 25.9s -> 30.8s
+    # total across back-to-back runs (~19%), swamping real deltas.
+    from pyspark.sql import functions as _CF
+
+    def _calibrate() -> float:
+        t0 = time.time()
+        spark.range(100_000_000).select(
+            _CF.sum(_CF.col("id") % 7)
+        ).collect()
+        (
+            spark.range(20_000_000)
+            .groupBy((_CF.col("id") % 1000).alias("k"))
+            .count()
+            .count()
+        )
+        return time.time() - t0
+
+    _calibrate()  # warm the probe's own codegen
+    calibration = round(min(_calibrate(), _calibrate()), 3)
+
+    headline, qs = build_headline()
 
     def _prev_record() -> tuple[str | None, dict]:
         """Previous full record for deltas. Prefer BENCH_LOCAL.json —
