@@ -472,12 +472,17 @@ def lm_score(
     )
     if unigrams is None:
         # identical extraction to vocab_counts(lowercase=True), read
-        # from the shared tokenized frame instead of re-tokenizing
+        # from the shared tokenized frame instead of re-tokenizing.
+        # Materialized because it is consumed TWICE (the V-size count
+        # action below and the scoring join) — without the checkpoint
+        # each consumer re-runs the corpus-wide explode+agg; the
+        # vocabulary-bounded result is far smaller than the pass that
+        # builds it (r14, guide §5: reuse > recompute).
         unigrams = (
             tok_src.select(F.explode("__t").alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("count"))
-        )
+        ).localCheckpoint(eager=True)
     if bigrams is None:
         # identical extraction to adjacent_bigram_counts, same source
         bigrams = (
@@ -748,17 +753,25 @@ def lm_score_backoff_n(
             else:
                 tabs[k] = given[k]
         elif k == 1:
+            # consumed three times (the N/V scalar action, the order-2
+            # context join, the unigram leaf join): materialize so the
+            # corpus-wide explode+agg runs once (r14, guide §5)
             tabs[1] = (
                 tok_src.select(F.explode("__t").alias("w1"))
                 .groupBy("w1")
                 .agg(F.count(F.lit(1)).alias("n_gram"))
-            )
+            ).localCheckpoint(eager=True)
         else:
             tabs[k] = (
                 _lm_ngram_explode(tok_src, k)
                 .groupBy(*[f"w{i + 1}" for i in range(k)])
                 .agg(F.count(F.lit(1)).alias("n_gram"))
             )
+            if k < n:
+                # orders below the top join twice (as the gram table
+                # at k and the context table at k+1); the top order
+                # joins once and stays lazy
+                tabs[k] = tabs[k].localCheckpoint(eager=True)
     tot = tabs[1].agg(
         F.count(F.lit(1)).alias("v"), F.sum("n_gram").alias("n")
     ).collect()[0]
@@ -1102,18 +1115,26 @@ def lm_score_kn(
         raise ValueError(f"discount must be in (0, 1) (got {discount})")
     fit_any = unigrams is None or bigrams is None
     tok_src = _lm_token_frame(df, col, id_col, checkpoint=fit_any)
+    # Self-fit count tables are materialized (r14, guide §5): the
+    # unigram table is consumed twice (V-size count + scoring join)
+    # and the bigram table FOUR times (n_types count, the c12 join,
+    # and both continuation-statistic regroups) — without the
+    # checkpoints each consumer re-ran the corpus-wide explode+agg;
+    # the vocabulary-/distinct-pair-bounded results are far smaller
+    # than the passes that build them. Caller-supplied tables (the
+    # store path) are left untouched.
     if unigrams is None:
         unigrams = (
             tok_src.select(F.explode("__t").alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("count"))
-        )
+        ).localCheckpoint(eager=True)
     if bigrams is None:
         bigrams = (
             _lm_ngram_explode(tok_src, 2)
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("n_pair"))
-        )
+        ).localCheckpoint(eager=True)
     v_size = unigrams.count()
     if v_size == 0:
         raise ValueError("lm_score_kn needs a non-empty unigram table")

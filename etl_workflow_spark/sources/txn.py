@@ -265,12 +265,21 @@ def _write_data(
     z-ordered compaction), in which case repartitioning again would
     destroy the clustering the caller just paid for.
 
-    The recorded partition values are derived from the WRITTEN FILES
-    (read back with the frame's own schema — no hive type
-    re-inference), encoded via Spark ``cast('string')``. Deriving them
-    from ``df`` before the write would trust a possibly
-    non-deterministic lineage to evaluate identically twice; the files
-    are the single source of truth the manifest describes.
+    The recorded partition values are derived from the WRITTEN LAYOUT
+    (never from ``df``'s possibly non-deterministic lineage, which
+    could evaluate differently twice; the files are the single source
+    of truth the manifest describes). For a string-typed partition
+    column the hive directory NAMES are that layout — one filesystem
+    listing, zero extra Spark jobs (r14: the read-back scan +
+    distinct/collect cost one full job per partitioned commit). Spark
+    writes each value with ``escapePathName`` (every escape is a
+    ``%XX`` ASCII sequence, so ``unquote`` is its exact inverse) and
+    writes NULL **and empty-string** values as the hive default
+    partition — identical to what the old read-back recorded, since
+    parquet partition parsing maps both to NULL. Non-string partition
+    columns keep the read-back-and-cast path: their dir-name
+    rendering (timestamps, decimals) need not match
+    ``cast('string')``.
     """
     d = uuid.uuid4().hex
     target = f"{path.rstrip('/')}/{_DATA_DIR}/{d}"
@@ -281,6 +290,23 @@ def _write_data(
             .partitionBy(partition_col)
             .parquet(target)
         )
+        if df.schema[partition_col].dataType.simpleString() == "string":
+            from urllib.parse import unquote
+
+            jvm, fs = _fs(df.sparkSession, target)
+            prefix = f"{partition_col}="
+            parts = []
+            for status in fs.listStatus(_hpath(jvm, target)):
+                name = status.getPath().getName()
+                if not (status.isDirectory() and name.startswith(prefix)):
+                    continue
+                raw = name[len(prefix):]
+                parts.append(
+                    _NULL_PARTITION
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+            return d, sorted(parts)
         written = (
             df.sparkSession.read.schema(df.schema)
             .option("basePath", target)
@@ -767,7 +793,20 @@ def txn_merge_into(
     ).persist()
     kept = None
     try:
-        n_src = src.count()
+        # ONE agg over the persisted source: row count plus (for
+        # partitioned targets) its distinct partition values — the r13
+        # code paid a second full pass for the values inside the
+        # affected-partition collect (r14)
+        src_aggs = [F.count(F.lit(1)).alias("__n")]
+        if pcol is not None:
+            src_aggs.append(
+                F.collect_set(F.col(pcol).cast("string")).alias("__sp")
+            )
+            src_aggs.append(
+                F.max(F.col(pcol).isNull().cast("int")).alias("__snull")
+            )
+        srow = src.agg(*src_aggs).collect()[0]
+        n_src = int(srow["__n"])
         if strict_source and source.count() != n_src:
             raise ValueError(
                 "source has duplicate rows per key; merge would pick an "
@@ -816,24 +855,42 @@ def txn_merge_into(
             _commit(spark, path, base_v + 1, manifest)
             return (updated, n_src - updated)
 
-        affected = {
-            _NULL_PARTITION if r[0] is None else r[0]
-            for r in (
-                target.join(src.select(*keys), on=keys, how="left_semi")
-                .select(F.col(pcol).cast("string"))
-                .union(src.select(F.col(pcol).cast("string")))
-                .distinct()
-                .collect()
+        # ONE inner join answers both driver questions the r13 code
+        # asked with two separate semi-joins (r14): which target
+        # partitions hold a matched row (collect_set over the join),
+        # and how many SOURCE keys matched (countDistinct over the
+        # join — src is key-deduped, so distinct matched key tuples
+        # ARE matched source rows; key equality drops NULL-keyed rows
+        # exactly as the semi-joins did). "Matched source keys", not
+        # rows removed: a non-unique-key target collapses N rows into
+        # the one source row (the keyed merge contract), and counting
+        # removals would report updated > n_src and a negative insert
+        # count. Restricting the updated-count to affected partitions
+        # was never load-bearing — every matched target row sits in an
+        # affected partition by construction.
+        mrow = (
+            target.select(
+                *keys, F.col(pcol).cast("string").alias("__p")
             )
-        }
+            .join(src.select(*keys), on=keys, how="inner")
+            .agg(
+                F.countDistinct(*keys).alias("__u"),
+                F.collect_set("__p").alias("__tp"),
+                F.max(F.col("__p").isNull().cast("int")).alias("__tnull"),
+            )
+            .collect()[0]
+        )
+        affected = set(mrow["__tp"] or []) | set(srow["__sp"] or [])
+        if mrow["__tnull"] or srow["__snull"]:
+            affected.add(_NULL_PARTITION)
+        updated = int(mrow["__u"] or 0)
         sub = target.where(_partition_cond(pcol, sorted(affected)))
-        kept = sub.join(src.select(*keys), on=keys, how="left_anti").persist()
-        # matched SOURCE keys, not rows removed: a non-unique-key
-        # target collapses N rows into the one source row (the keyed
-        # merge contract), and counting removals would report
-        # updated > n_src and a negative insert count
-        updated = src.join(sub, on=keys, how="left_semi").count()
-        kept.count()
+        kept = sub.join(src.select(*keys), on=keys, how="left_anti")
+        # kept is consumed exactly once (the write below), so it needs
+        # neither a persist nor the materializing count the r13 code
+        # paid — one full anti-join pass saved per partitioned merge
+        # (r14); its inputs (version-pinned dirs, the persisted src)
+        # are immutable, so the single evaluation is deterministic
         d, parts = _write_data(kept.unionByName(src), path, pcol)
         entries = []
         for e in m["entries"]:
@@ -952,9 +1009,16 @@ def txn_replace_where(
         n_ins = repl.count() if repl is not None else 0
 
         if pcol is None:
-            kept = target.where(~hit).persist()
-            n_kept = kept.count()
-            deleted = target.count() - n_kept
+            # ONE counting pass (total + survivors together) instead of
+            # the r13 kept.count() + target.count() pair (r14); kept is
+            # then consumed exactly once (the write), so it stays lazy
+            row = target.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.count(F.when(~hit, 1)).alias("__k"),
+            ).collect()[0]
+            n_kept = int(row["__k"])
+            deleted = int(row["__n"]) - n_kept
+            kept = target.where(~hit)
             if deleted == 0 and n_ins == 0:
                 _commit_schema_only()
                 return (0, 0)
@@ -979,22 +1043,46 @@ def txn_replace_where(
             )
             return (deleted, n_ins)
 
-        aff_frames = target.where(hit).select(F.col(pcol).cast("string"))
-        if repl is not None:
-            aff_frames = aff_frames.union(
-                repl.select(F.col(pcol).cast("string"))
+        # ONE pass over the target: per-partition (rows, hit rows)
+        # counts — the collected frame is partition-cardinality-
+        # bounded. The r13 code paid two passes (the hit-partition
+        # distinct/collect, then a count agg over the affected slice);
+        # all three driver numbers fall out of this one (r14):
+        # affected = partitions holding a hit (hit rows live nowhere
+        # else), deleted = total hits, and n_kept = surviving rows of
+        # exactly the affected partitions.
+        pstats = (
+            target.groupBy(F.col(pcol).cast("string").alias("__p"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.count(F.when(hit, 1)).alias("__h"),
             )
-        affected = {
-            _NULL_PARTITION if r[0] is None else r[0]
-            for r in aff_frames.distinct().collect()
+            .collect()
+        )
+        enc = {
+            (_NULL_PARTITION if r["__p"] is None else r["__p"]): (
+                int(r["__n"]), int(r["__h"])
+            )
+            for r in pstats
         }
+        affected = {p for p, (_, h) in enc.items() if h > 0}
+        if repl is not None:
+            rrow = repl.agg(
+                F.collect_set(F.col(pcol).cast("string")).alias("__rp"),
+                F.max(F.col(pcol).isNull().cast("int")).alias("__rn"),
+            ).collect()[0]
+            affected |= set(rrow["__rp"] or [])
+            if rrow["__rn"]:
+                affected.add(_NULL_PARTITION)
         if not affected:
             _commit_schema_only()
             return (0, 0)
+        deleted = sum(h for _, h in enc.values())
+        n_kept = sum(
+            n - h for p, (n, h) in enc.items() if p in affected
+        )
         sub = target.where(_partition_cond(pcol, sorted(affected)))
-        kept = sub.where(~hit).persist()
-        n_kept = kept.count()
-        deleted = sub.count() - n_kept
+        kept = sub.where(~hit)
         entries = []
         for e in m["entries"]:
             if e["partitions"] is None:
