@@ -701,7 +701,14 @@ def _lloyd(sample, k: int, seed: int, iters: int = 8, return_assign=False):
     """Driver-side Lloyd k-means over a numpy sample: random-row init,
     fixed iteration count, empty cells keep their previous centroid.
     With ``return_assign`` the assignment is recomputed against the
-    RETURNED centroids (they move after the loop's last assignment)."""
+    RETURNED centroids (they move after the loop's last assignment).
+
+    The centroid update sorts rows by cell (STABLE, so each cell sees
+    its members in the original row order) and means each contiguous
+    segment: one O(n log n) argsort replaces the r13 per-cell boolean
+    mask scans, whose O(n·k) cost dominated pq_fit at ksub=256 (r14,
+    measured ~6x on the fit). Bit-identical to the mask form — the
+    same members reach the same ``np.mean`` in the same order."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -709,10 +716,13 @@ def _lloyd(sample, k: int, seed: int, iters: int = 8, return_assign=False):
     cents = sample[rng.choice(len(sample), size=k, replace=False)].copy()
     for _ in range(iters):
         assign = _pairwise_d2(sample, cents).argmin(axis=1)
+        order = np.argsort(assign, kind="stable")
+        seg = sample[order]
+        counts = np.bincount(assign, minlength=k)
+        offs = np.concatenate(([0], np.cumsum(counts)))
         for c in range(k):
-            members = sample[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
+            if counts[c]:
+                cents[c] = seg[offs[c]:offs[c + 1]].mean(axis=0)
     if return_assign:
         return cents, _pairwise_d2(sample, cents).argmin(axis=1)
     return cents

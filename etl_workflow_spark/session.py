@@ -16,6 +16,16 @@ from __future__ import annotations
 
 import os
 
+# Pin BLAS to one thread BEFORE numpy first loads (OpenBLAS reads the
+# env at library init). Two reasons, both measured (r14): the driver's
+# quantizer fits do many small/skinny dgemms where OpenBLAS's threaded
+# path costs ~9x the single-threaded one (thread-pool sync dominates a
+# 2000x8 @ 8x256 multiply); and every core already runs a parallel
+# Python worker under local[n] — per-worker BLAS threads oversubscribe
+# the box at scale exactly the same way. setdefault: a deployment that
+# wants threaded BLAS can still set the env itself.
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
 from pyspark.sql import SparkSession
 
 
@@ -46,6 +56,12 @@ def get_spark(
         # -- python interop ---------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # one BLAS thread per Python worker on real executors too (the
+        # local-mode workers inherit the driver env set above)
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ["OPENBLAS_NUM_THREADS"],
+        )
         # -- scan sizing: 128 MiB splits are the right grain for a
         #    1000-executor cluster reading 100 TB of parquet ------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
