@@ -283,11 +283,21 @@ def _verify_jaccard(
     col: str,
     id_col: str,
     hint,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair list: shingles are
     built ONLY for docs appearing in some pair (semi-join) — at corpus
     scale this is the difference between re-shingling 100 TB and a few
     GB. ``hint`` wraps the (tiny) candidate side, broadcast or identity.
+
+    With ``materialize`` (the production path) the candidate shingle
+    frame is checkpointed (r14, guide §5): it feeds BOTH sides of the
+    pair join below, and the two sides hash by different keys (doc_a
+    vs doc_b) so no exchange reuse can dedupe them — without the
+    checkpoint the semi-join's full corpus scan + shingling ran TWICE
+    per verify call. The frame is candidate-bounded (S-curve small),
+    far below the scan that builds it. ``materialize=False`` (the
+    callers' plan-inspection escape hatch) keeps the fully lazy shape.
     """
     members = cand.select(F.col("doc_a").alias("mid")).union(
         cand.select(F.col("doc_b"))
@@ -296,6 +306,8 @@ def _verify_jaccard(
     sh = in_cand.select(
         F.col(id_col).alias("id"), word_shingles(col, n).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     lhs = sh.select(
         F.col("id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
@@ -371,7 +383,10 @@ def minhash_lsh_pairs(
         # no .distinct() on members inside _verify_jaccard: left_semi
         # tolerates duplicate build keys and the extra shuffle costs
         # more than the slightly larger build side
-        verified = _verify_jaccard(df, cand, threshold, n, col, id_col, hint)
+        verified = _verify_jaccard(
+            df, cand, threshold, n, col, id_col, hint,
+            materialize=materialize,
+        )
         if not materialize:
             # plan-inspection escape hatch (tests): returns the LAZY
             # frame; the caller inherits the candidate persist
@@ -475,7 +490,10 @@ def minhash_lsh_probe(
         docs = new_docs.select(F.col(id_col), F.col(col)).unionByName(
             corpus.select(F.col(id_col), F.col(col))
         )
-        verified = _verify_jaccard(docs, cand, threshold, n, col, id_col, chint)
+        verified = _verify_jaccard(
+            docs, cand, threshold, n, col, id_col, chint,
+            materialize=materialize,
+        )
         if not materialize:
             # plan-inspection escape hatch (tests): returns the LAZY
             # frame; the caller inherits the internal persists

@@ -5413,7 +5413,17 @@ def collocations(
     per refresh: ingest through the bigram + vocabulary stores and
     call ``collocations_from_stores`` (identical scoring tail, zero
     corpus scans). Capability analog in the reference: none."""
-    pairs = adjacent_bigram_counts(df, col=col)
+    # Materialize both count tables (r14, guide §5): the scoring tail
+    # consumes ``uni`` three times (U total + two joins) and ``pairs``
+    # twice (B total + scoring) — each evaluation of the lazy frames
+    # re-ran the corpus tokenize+agg, five tokenize passes for what
+    # needs two. The vocabulary-bounded results are far smaller than
+    # the passes that build them; the store path
+    # (``collocations_from_stores``) reads persisted counts and is
+    # untouched.
+    pairs = adjacent_bigram_counts(df, col=col).localCheckpoint(
+        eager=True
+    )
     uni = (
         df.where(F.col(col).isNotNull())
         .select(
@@ -5426,7 +5436,7 @@ def collocations(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
-    )
+    ).localCheckpoint(eager=True)
     return _collocations_score(pairs, uni, k=k, min_count=min_count)
 
 
