@@ -914,11 +914,20 @@ def kmeans(
     quantizer on a driver SAMPLE, this clusters the FULL corpus and
     only ever moves k×dim doubles to the driver).
 
-    Per iteration: broadcast centroids into an Arrow-batched
-    nearest-cell pass, then ONE map-side-partial aggregation of
-    per-cell component sums (the shuffle carries ≤ partitions×k rows
-    of dim sums, never vectors). Iteration stops at ``max_iter`` or
-    when no centroid moves more than ``tol`` (L∞). Initialization is
+    Per iteration: broadcast centroids into ONE Arrow pass that fuses
+    the nearest-cell assignment WITH the per-cell partial sums
+    (``mapInPandas`` emitting ≤ k rows of (cell, n, component sums)
+    per partition) — r15, guide §§2.3/4.2: the r14 shape ran a
+    separate wide 64-column aggregation stage (its own shuffle +
+    codegen) per iteration whose input was every vector row; fusing
+    the partial reduction into the assignment pass leaves only
+    partitions×k partial rows behind the Arrow boundary. The partials
+    then combine on the driver (partition-ordered, deterministic)
+    when ``partitions × k`` is small, or through one tiny
+    ``groupBy("cell")`` agg first when it is not (the 100 TB branch:
+    a million-task corpus must not collect a million partial rows —
+    guide §5). Iteration stops at ``max_iter`` or when no centroid
+    moves more than ``tol`` (L∞). Initialization is
     farthest-first traversal (the deterministic k-means++ variant) over
     a bounded hash-ordered sample — reproducible across runs, layouts,
     and cluster sizes, unlike ``rand()``, and it can't seed two
@@ -956,26 +965,74 @@ def kmeans(
             mind = np.minimum(mind, ((S - S[nxt]) ** 2).sum(axis=1))
         cents = S[chosen].copy()
 
-        sums = [F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)]
+        part_schema = "cell long, n long, " + ", ".join(
+            f"s{i} double" for i in range(dim)
+        )
+        # collect partials directly only while partitions×k stays a
+        # bounded driver payload; a 100 TB corpus (≥10⁵ tasks) reduces
+        # them through one tiny cell-keyed agg first (guide §5: the
+        # driver does no data work)
+        small_partials = (
+            vecs.rdd.getNumPartitions() * k <= 32_768
+        )
+
+        def _partial_pass(cents_b):
+            def run(batches):
+                C = np.array(cents_b, dtype=np.float64)
+                n = np.zeros(len(C), dtype=np.int64)
+                s = np.zeros((len(C), C.shape[1]), dtype=np.float64)
+                for pdf in batches:
+                    M = np.array(pdf["v"].tolist(), dtype=np.float64)
+                    if not len(M):
+                        continue
+                    d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    a = d2.argmin(axis=1)
+                    order = np.argsort(a, kind="stable")
+                    seg = M[order]
+                    counts = np.bincount(a, minlength=len(C))
+                    offs = np.concatenate(([0], np.cumsum(counts)))
+                    for c in np.flatnonzero(counts):
+                        n[c] += counts[c]
+                        s[c] += seg[offs[c]:offs[c + 1]].sum(axis=0)
+                nz = np.flatnonzero(n)
+                if nz.size:
+                    yield pd.DataFrame(
+                        {
+                            "cell": nz.astype(np.int64),
+                            "n": n[nz],
+                            **{
+                                f"s{i}": s[nz, i]
+                                for i in range(C.shape[1])
+                            },
+                        }
+                    )
+
+            return run
+
         for _ in range(max_iter):
             cents_b = [list(map(float, c)) for c in cents]
-
-            @F.pandas_udf(LongType())
-            def cell_of(vs: pd.Series) -> pd.Series:
-                C = np.array(cents_b, dtype=np.float64)
-                M = np.array(vs.tolist(), dtype=np.float64)
-                d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                return pd.Series(d2.argmin(axis=1).astype(np.int64))
-
-            stats = (
-                vecs.withColumn("cell", cell_of(F.col("v")))
-                .groupBy("cell")
-                .agg(F.count(F.lit(1)).alias("n"), *sums)
-                .collect()
+            partials = vecs.select("v").mapInPandas(
+                _partial_pass(cents_b), part_schema
             )
+            if not small_partials:
+                partials = partials.groupBy("cell").agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+                )
+            rows = partials.collect()
+            n_tot = np.zeros(k, dtype=np.int64)
+            s_tot = np.zeros((k, dim), dtype=np.float64)
+            # collect returns partition-ordered rows: the driver-side
+            # combine is deterministic for a fixed input layout (the
+            # r14 shape was layout-dependent the same way — partial
+            # aggregation order followed partitioning)
+            for r in rows:
+                c = r[0]
+                n_tot[c] += r[1]
+                s_tot[c] += np.array(r[2:], dtype=np.float64)
             new = cents.copy()
-            for r in stats:
-                new[r.cell] = [getattr(r, f"s{i}") / r.n for i in range(dim)]
+            for c in np.flatnonzero(n_tot):
+                new[c] = s_tot[c] / n_tot[c]
             shift = float(np.abs(new - cents).max())
             cents = new
             if shift <= tol:

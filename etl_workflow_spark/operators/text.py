@@ -426,6 +426,7 @@ def lm_score(
     id_col: str = "doc_id",
     unigrams: DataFrame | None = None,
     bigrams: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Bigram language-model scoring — the CCNet-style perplexity
     quality filter (Wenzek et al. 2020: score pages under a reference
@@ -466,9 +467,14 @@ def lm_score(
     tokenizer fit this text). Reach for the proxy when you only need
     a ranking, this one when the threshold must mean something.
 
+    ``materialize=False`` (measurement/plan-inspection escape hatch,
+    the dedup-module convention) skips the self-fit checkpoints so
+    the full lazy plan stays visible; results are identical.
+
     Capability analog in the reference: none — extension tier."""
     tok_src = _lm_token_frame(
-        df, col, id_col, checkpoint=unigrams is None or bigrams is None
+        df, col, id_col,
+        checkpoint=materialize and (unigrams is None or bigrams is None),
     )
     if unigrams is None:
         # identical extraction to vocab_counts(lowercase=True), read
@@ -482,7 +488,9 @@ def lm_score(
             tok_src.select(F.explode("__t").alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("count"))
-        ).localCheckpoint(eager=True)
+        )
+        if materialize:
+            unigrams = unigrams.localCheckpoint(eager=True)
     if bigrams is None:
         # identical extraction to adjacent_bigram_counts, same source
         bigrams = (
@@ -613,6 +621,7 @@ def lm_score_backoff(
     bigrams: DataFrame | None = None,
     trigrams: DataFrame | None = None,
     alpha: float = 0.4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Stupid-backoff trigram scoring (Brants et al. 2007, "Large
     Language Models in Machine Translation") — the higher-order tier
@@ -666,7 +675,7 @@ def lm_score_backoff(
         )
     return lm_score_backoff_n(
         df, order=3, col=col, id_col=id_col,
-        counts=counts or None, alpha=alpha,
+        counts=counts or None, alpha=alpha, materialize=materialize,
     )
 
 
@@ -701,6 +710,7 @@ def lm_score_backoff_n(
     id_col: str = "doc_id",
     counts: dict[int, DataFrame] | None = None,
     alpha: float = 0.4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Stupid backoff at ARBITRARY order (Brants et al. 2007) — the
     actual CCNet shape at ``order=5``: per full-context position, the
@@ -738,7 +748,9 @@ def lm_score_backoff_n(
             f"counts keys {sorted(bad_orders)} outside 1..{n}"
         )
     fit_any = any(k not in given for k in range(1, n + 1))
-    tok_src = _lm_token_frame(df, col, id_col, checkpoint=fit_any)
+    tok_src = _lm_token_frame(
+        df, col, id_col, checkpoint=materialize and fit_any
+    )
     tabs: dict[int, DataFrame] = {}
     for k in range(1, n + 1):
         if k in given:
@@ -760,14 +772,16 @@ def lm_score_backoff_n(
                 tok_src.select(F.explode("__t").alias("w1"))
                 .groupBy("w1")
                 .agg(F.count(F.lit(1)).alias("n_gram"))
-            ).localCheckpoint(eager=True)
+            )
+            if materialize:
+                tabs[1] = tabs[1].localCheckpoint(eager=True)
         else:
             tabs[k] = (
                 _lm_ngram_explode(tok_src, k)
                 .groupBy(*[f"w{i + 1}" for i in range(k)])
                 .agg(F.count(F.lit(1)).alias("n_gram"))
             )
-            if k < n:
+            if materialize and k < n:
                 # orders below the top join twice (as the gram table
                 # at k and the context table at k+1); the top order
                 # joins once and stays lazy
@@ -1079,6 +1093,7 @@ def lm_score_kn(
     unigrams: DataFrame | None = None,
     bigrams: DataFrame | None = None,
     discount: float = 0.75,
+    materialize: bool = True,
 ) -> DataFrame:
     """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995;
     Chen & Goodman 1999's interpolated form with a fixed absolute
@@ -1114,7 +1129,9 @@ def lm_score_kn(
     if not (0.0 < d_disc < 1.0):
         raise ValueError(f"discount must be in (0, 1) (got {discount})")
     fit_any = unigrams is None or bigrams is None
-    tok_src = _lm_token_frame(df, col, id_col, checkpoint=fit_any)
+    tok_src = _lm_token_frame(
+        df, col, id_col, checkpoint=materialize and fit_any
+    )
     # Self-fit count tables are materialized (r14, guide §5): the
     # unigram table is consumed twice (V-size count + scoring join)
     # and the bigram table FOUR times (n_types count, the c12 join,
@@ -1128,13 +1145,17 @@ def lm_score_kn(
             tok_src.select(F.explode("__t").alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("count"))
-        ).localCheckpoint(eager=True)
+        )
+        if materialize:
+            unigrams = unigrams.localCheckpoint(eager=True)
     if bigrams is None:
         bigrams = (
             _lm_ngram_explode(tok_src, 2)
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("n_pair"))
-        ).localCheckpoint(eager=True)
+        )
+        if materialize:
+            bigrams = bigrams.localCheckpoint(eager=True)
     v_size = unigrams.count()
     if v_size == 0:
         raise ValueError("lm_score_kn needs a non-empty unigram table")
@@ -3898,21 +3919,45 @@ _DSIR_WS = _re_mod.compile(r"\s+", _re_mod.ASCII)
 _DSIR_CRC = _zlib_mod.crc32
 
 
-def _dsir_doc_counts(text: str, n: int, buckets: int):
-    """Hashed n-gram feature counts for one document — THE single
-    featurizer both the fit pass and the scoring pass call, so the
-    two cannot drift: lowercase, ASCII-whitespace word split (the
-    module convention), word 1..n-grams, crc32 mod ``buckets``.
-    Returns {bucket: count}."""
+def _dsir_doc_buckets(text: str, n: int, buckets: int) -> list[int]:
+    """Hashed n-gram feature bucket SEQUENCE for one document — THE
+    single featurizer body behind both the fit pass and the scoring
+    pass, so the two cannot drift: lowercase, ASCII-whitespace word
+    split (the module convention), word 1..n-grams, crc32 mod
+    ``buckets``. One bucket per gram occurrence, multiplicity
+    preserved.
+
+    The r14 form re-joined and re-encoded the gram string per (i, g)
+    — O(gram bytes) string work per gram. CRC32 is streamable
+    (``crc32(a + b) == crc32(b, crc32(a))``), so each order-g running
+    crc extends the order-(g-1) crc at the same start by one
+    pre-encoded ``b" " + word`` chunk: identical bucket values (exact
+    CRC identity, not an approximation), ~2x less per-gram Python
+    work (r15, guide §4.2)."""
     words = [w for w in _DSIR_WS.split(text.lower()) if w]
-    out: dict[int, int] = {}
-    for g in range(1, n + 1):
-        for i in range(len(words) - g + 1):
-            b = _DSIR_CRC(
-                " ".join(words[i : i + g]).encode("utf-8", "surrogatepass")
-            ) % buckets
-            out[b] = out.get(b, 0) + 1
+    wb = [w.encode("utf-8", "surrogatepass") for w in words]
+    crc = _DSIR_CRC
+    run = [crc(w) for w in wb]
+    out = [c % buckets for c in run]
+    if n > 1 and len(wb) > 1:
+        spwb = [b" " + w for w in wb]
+        for g in range(2, n + 1):
+            if len(wb) < g:
+                break
+            run = [
+                crc(spwb[i + g - 1], run[i])
+                for i in range(len(wb) - g + 1)
+            ]
+            out.extend(c % buckets for c in run)
     return out
+
+
+def _dsir_doc_counts(text: str, n: int, buckets: int):
+    """{bucket: count} view of :func:`_dsir_doc_buckets` — the sparse
+    per-document feature counts the classifier paths consume."""
+    from collections import Counter
+
+    return dict(Counter(_dsir_doc_buckets(text, n, buckets)))
 
 
 def _dsir_partials(
@@ -3935,8 +3980,12 @@ def _dsir_partials(
         c = np.zeros(buckets, dtype=np.int64)
         for pdf in batches:
             for t in pdf["t"]:
-                for b, k in _dsir_doc_counts(t, n, buckets).items():
-                    c[b] += k
+                bl = _dsir_doc_buckets(t, n, buckets)
+                if bl:
+                    # exact integer histogram of the bucket sequence —
+                    # identical counts to the r14 per-gram dict adds,
+                    # one C-speed bincount per document (guide §4.2)
+                    c += np.bincount(bl, minlength=buckets)
         nz = np.flatnonzero(c)
         if nz.size:
             yield pd.DataFrame({"b": nz.astype(np.int64), "k": c[nz]})
@@ -4052,18 +4101,20 @@ def _dsir_logw_udf(model: dict):
 
     @F.pandas_udf("long")
     def logw(ts: pd.Series) -> pd.Series:
-        # ratio stays the JSON list of plain Python ints: numpy would
-        # pay a scalar-boxing + int() per gram in the hottest loop
-        R = ratio_b
+        import numpy as np
+
+        # int64 gather+sum over the bucket sequence: sums R[b] exactly
+        # once per gram occurrence == the r14 per-bucket k * R[b] dict
+        # walk (exact int64 arithmetic, |w| bounded by grams x |R|max
+        # ~ 1e11, far inside int64)
+        R = np.asarray(ratio_b, dtype=np.int64)
         ws = []
         for t in ts:
             if t is None:
                 ws.append(None)
                 continue
-            w = 0
-            for b, k in _dsir_doc_counts(t, n, buckets).items():
-                w += k * R[b]
-            ws.append(w)
+            bl = _dsir_doc_buckets(t, n, buckets)
+            ws.append(int(R[bl].sum()) if bl else 0)
         return pd.Series(pd.array(ws, dtype="Int64"))
 
     return logw
@@ -4403,6 +4454,7 @@ def bm25_topk(
     postings: DataFrame | None = None,
     max_df_ratio: float | None = None,
     stats: tuple[int, int] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k documents per query under BM25, exactly and
     deterministically: per query term,
@@ -4457,9 +4509,10 @@ def bm25_topk(
         # manager. The production path (postings=, the stored
         # term-clustered table) is untouched: a stored table re-scan
         # is already broadcast-pruned to the query terms.
-        postings = build_text_index(
-            df, col=col, id_col=id_col
-        ).localCheckpoint(eager=True)
+        # (``materialize=False`` = plan-inspection escape hatch.)
+        postings = build_text_index(df, col=col, id_col=id_col)
+        if materialize:
+            postings = postings.localCheckpoint(eager=True)
     spark = postings.sparkSession
     if not isinstance(queries, DataFrame):
         # dedupe: the query string IS the result key, and a duplicate
@@ -5391,6 +5444,7 @@ def collocations(
     min_count: int = 5,
     col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k adjacent-bigram collocations by pointwise mutual
     information (Church & Hanks 1990, "Word Association Norms, Mutual
@@ -5421,9 +5475,7 @@ def collocations(
     # the passes that build them; the store path
     # (``collocations_from_stores``) reads persisted counts and is
     # untouched.
-    pairs = adjacent_bigram_counts(df, col=col).localCheckpoint(
-        eager=True
-    )
+    pairs = adjacent_bigram_counts(df, col=col)
     uni = (
         df.where(F.col(col).isNotNull())
         .select(
@@ -5436,7 +5488,11 @@ def collocations(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        # (``materialize=False`` = the plan-inspection escape hatch)
+        pairs = pairs.localCheckpoint(eager=True)
+        uni = uni.localCheckpoint(eager=True)
     return _collocations_score(pairs, uni, k=k, min_count=min_count)
 
 

@@ -21,7 +21,18 @@ def spark():
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.sql.warehouse.dir": warehouse},
+        extra_conf={
+            "spark.sql.warehouse.dir": warehouse,
+            # the suite issues thousands of SQL executions in ONE JVM;
+            # the status store retains 1000 of them (plan graphs +
+            # metrics) by default, and that accumulation measurably
+            # drags long sessions (same finding as bench.py's r14
+            # note). Nothing reads the UI state in tests.
+            "spark.sql.ui.retainedExecutions": "8",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "200",
+            "spark.ui.retainedTasks": "2000",
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
