@@ -255,8 +255,26 @@ def _partition_cond(pcol: str, values: list[str]):
 def _write_data(
     df: DataFrame, path: str, partition_col: str | None,
     arranged: bool = False,
-) -> tuple[str, list[str] | None]:
-    """Write an immutable data dir; return (dir name, partition values).
+    stats_cols: Sequence[str] | None = None,
+    types: dict | None = None,
+) -> tuple[str, list[str] | None, dict | None]:
+    """Write an immutable data dir; return (dir name, partition
+    values, stats).
+
+    ``stats_cols`` (r15, guide §1.2): per-column [min, max] key stats
+    are collected DURING the write via ``DataFrame.observe`` — the
+    observed rows ARE the written rows (stronger than the old
+    read-back against non-deterministic lineage), min/max/isnull are
+    idempotent under task retries, and the commit saves one full
+    column-pruned re-scan of the freshly written dir (at 100 TB, a
+    re-read of every byte just written). The returned ``stats`` dict
+    mirrors :func:`_dir_stats` exactly (same usable-type filter, same
+    ``_stats_value`` rendering, entries only when both bounds are
+    non-NULL). Returned as ``None`` — caller must fall back to
+    :func:`_dir_stats` — when the partition column is itself a stats
+    column: its WRITTEN form maps ``''`` to the hive default
+    partition (read back as NULL), so observed pre-write values could
+    record a bound readers never see.
 
     Partitioned data is repartitioned by the partition column first so
     each partition dir gets one file instead of one per upstream task
@@ -283,6 +301,49 @@ def _write_data(
     """
     d = uuid.uuid4().hex
     target = f"{path.rstrip('/')}/{_DATA_DIR}/{d}"
+
+    obs = None
+    obs_cols: list[str] = []
+    stats: dict | None = None
+    if stats_cols:
+        if partition_col is not None and partition_col in stats_cols:
+            stats = None  # caller falls back to _dir_stats
+        else:
+            dtypes = dict(types or {}) or dict(df.dtypes)
+            obs_cols = [
+                c for c in stats_cols
+                if str(dtypes.get(c, "")).startswith(_STATS_PREFIXES)
+                and not str(dtypes.get(c, "")).startswith("interval")
+            ]
+            if obs_cols:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                df = df.observe(
+                    obs,
+                    *[
+                        a
+                        for i, c in enumerate(obs_cols)
+                        for a in (
+                            F.min(c).alias(f"__mn{i}"),
+                            F.max(c).alias(f"__mx{i}"),
+                        )
+                    ],
+                )
+            stats = {}
+
+    def _obs_stats() -> dict:
+        if obs is None:
+            return {}
+        row = obs.get
+        out = {}
+        for i, c in enumerate(obs_cols):
+            mn = _stats_value(row[f"__mn{i}"])
+            mx = _stats_value(row[f"__mx{i}"])
+            if mn is not None and mx is not None:
+                out[c] = [mn, mx]
+        return out
+
     if partition_col:
         out = df if arranged else df.repartition(F.col(partition_col))
         (
@@ -290,6 +351,8 @@ def _write_data(
             .partitionBy(partition_col)
             .parquet(target)
         )
+        if stats is not None:
+            stats = _obs_stats()
         if df.schema[partition_col].dataType.simpleString() == "string":
             from urllib.parse import unquote
 
@@ -306,7 +369,7 @@ def _write_data(
                     if raw == "__HIVE_DEFAULT_PARTITION__"
                     else unquote(raw)
                 )
-            return d, sorted(parts)
+            return d, sorted(parts), stats
         written = (
             df.sparkSession.read.schema(df.schema)
             .option("basePath", target)
@@ -318,9 +381,11 @@ def _write_data(
                 F.col(partition_col).cast("string")
             ).distinct().collect()
         ]
-        return d, sorted(parts)
+        return d, sorted(parts), stats
     df.write.mode("errorifexists").parquet(target)
-    return d, None
+    if stats is not None:
+        stats = _obs_stats()
+    return d, None, stats
 
 
 # ------------------------------------------------------------ key stats
@@ -541,14 +606,21 @@ def txn_create(
     anti-join."""
     if latest_version(spark, path) is not None:
         raise ValueError(f"transactional table already exists at {path}")
-    d, parts = _write_data(df, path, partition_col)
+    col_types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    d, parts, wstats = _write_data(
+        df, path, partition_col,
+        stats_cols=list(stats_cols) if stats_cols else None,
+        types=col_types,
+    )
     manifest = {
         "partition_col": partition_col,
         # original column order: hive-layout reads move the partition
         # column to the end, so reads re-select this order
         "columns": list(df.columns),
         # DDL types so evolved-away or missing columns can be NULL-cast
-        "types": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "types": col_types,
         "entries": [],
     }
     if partition_col and not parts:
@@ -562,10 +634,10 @@ def txn_create(
         return 1
     entry: dict = {"dir": d, "partitions": parts}
     if stats_cols:
-        # stats from the freshly-written dir (a column-pruned scan of
-        # data still in page cache), not df's possibly
-        # non-deterministic lineage
-        stats = _dir_stats(
+        # stats observed during the write itself (the observed rows ARE
+        # the written rows); the read-back fallback only fires when the
+        # partition column is itself a stats column (see _write_data)
+        stats = wstats if wstats is not None else _dir_stats(
             spark, path, d, list(stats_cols),
             manifest["columns"], manifest["types"],
         )
@@ -733,7 +805,7 @@ def txn_append(
             manifest["entries"] = list(m["entries"])
             _commit(spark, path, base_v + 1, manifest)
         return 0
-    d, parts = _write_data(src, path, pcol)
+    d, parts, _ = _write_data(src, path, pcol)
     new_entry = {"dir": d, "partitions": parts}
     if stats:
         new_entry["stats"] = stats
@@ -841,9 +913,14 @@ def txn_merge_into(
             # rows into one source row; counting removals would yield
             # updated > n_src and negative inserts)
             updated = src.join(target, on=keys, how="left_semi").count()
-            d, parts = _write_data(kept.unionByName(src), path, None)
+            d, parts, wstats = _write_data(
+                kept.unionByName(src), path, None,
+                stats_cols=keys, types=out_types,
+            )
             entry: dict = {"dir": d, "partitions": parts}
-            stats = _dir_stats(spark, path, d, keys, out_columns, out_types)
+            stats = wstats if wstats is not None else _dir_stats(
+                spark, path, d, keys, out_columns, out_types
+            )
             if stats:
                 entry["stats"] = stats
             manifest = {
@@ -891,7 +968,10 @@ def txn_merge_into(
         # paid — one full anti-join pass saved per partitioned merge
         # (r14); its inputs (version-pinned dirs, the persisted src)
         # are immutable, so the single evaluation is deterministic
-        d, parts = _write_data(kept.unionByName(src), path, pcol)
+        d, parts, wstats = _write_data(
+            kept.unionByName(src), path, pcol,
+            stats_cols=keys, types=out_types,
+        )
         entries = []
         for e in m["entries"]:
             if e["partitions"] is None:
@@ -902,7 +982,9 @@ def txn_merge_into(
                     continue
             entries.append(dict(e, partitions=remaining))
         new_entry: dict = {"dir": d, "partitions": parts}
-        stats = _dir_stats(spark, path, d, keys, out_columns, out_types)
+        stats = wstats if wstats is not None else _dir_stats(
+            spark, path, d, keys, out_columns, out_types
+        )
         if stats:
             new_entry["stats"] = stats
         entries.append(new_entry)
@@ -976,10 +1058,12 @@ def txn_replace_where(
                       for e in m["entries"]])
     ) if m["entries"] else []
 
-    def _entry_with_stats(d: str, parts) -> dict:
+    def _entry_with_stats(d: str, parts, wstats=None) -> dict:
         e: dict = {"dir": d, "partitions": parts}
         if tracked:
-            s = _dir_stats(spark, path, d, tracked, out_columns, out_types)
+            s = wstats if wstats is not None else _dir_stats(
+                spark, path, d, tracked, out_columns, out_types
+            )
             if s:
                 e["stats"] = s
         return e
@@ -1028,8 +1112,11 @@ def txn_replace_where(
             entries = []
             if n_kept + n_ins > 0:
                 out = kept if repl is None else kept.unionByName(repl)
-                d, parts = _write_data(out, path, None)
-                entries = [_entry_with_stats(d, parts)]
+                d, parts, wstats = _write_data(
+                    out, path, None,
+                    stats_cols=tracked or None, types=out_types,
+                )
+                entries = [_entry_with_stats(d, parts, wstats)]
             _commit(
                 spark,
                 path,
@@ -1096,8 +1183,11 @@ def txn_replace_where(
             entries.append(dict(e, partitions=remaining))
         if n_kept + n_ins > 0:  # all-affected-rows delete -> no new dir
             out = kept if repl is None else kept.unionByName(repl)
-            d, parts = _write_data(out, path, pcol)
-            entries.append(_entry_with_stats(d, parts))
+            d, parts, wstats = _write_data(
+                out, path, pcol,
+                stats_cols=tracked or None, types=out_types,
+            )
+            entries.append(_entry_with_stats(d, parts, wstats))
         _commit(
             spark,
             path,
@@ -1309,7 +1399,7 @@ def txn_compact(
         snap = snap.repartition(target_files, F.col(pcol))
     else:
         snap = snap.coalesce(target_files)
-    d, parts = _write_data(snap, path, pcol, arranged=arranged)
+    d, parts, _ = _write_data(snap, path, pcol, arranged=arranged)
     entry: dict = {"dir": d, "partitions": parts}
     # Stats carry through compaction: columns every pre-compaction
     # entry has stats for merge WITHOUT a scan ([min of mins, max of
